@@ -1,0 +1,118 @@
+"""Deterministic hashing utilities: stable 64-bit hashes, MinHash, SimHash,
+rolling (Rabin-Karp-style) document fingerprints.
+
+All functions are seed-stable across processes and parallelism levels
+(no PYTHONHASHSEED dependence) — required for retry-safe, deterministic
+Ray tasks (SURVEY.md §7.5 "Determinism").
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAX64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def stable_hash64(s: str) -> int:
+    """First 8 bytes of blake2b — stable across processes."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def stable_hash64_batch(texts: list[str]) -> np.ndarray:
+    return np.fromiter((stable_hash64(t) for t in texts), dtype=np.uint64,
+                       count=len(texts))
+
+
+def content_sha1_batch(texts: list[str]) -> list[str]:
+    return [hashlib.sha1(t.encode()).hexdigest() for t in texts]
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    ws = text.split()
+    if len(ws) < k:
+        return [" ".join(ws)] if ws else []
+    return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
+
+
+class MinHasher:
+    """n_perm universal-hash MinHash over shingle sets; mergeable and
+    deterministic.  Signatures are uint64[n_perm]."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 7, shingle_k: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = word_shingles(text, self.shingle_k)
+        if not sh:
+            return np.full(self.n_perm, _MAX64, dtype=np.uint64)
+        base = stable_hash64_batch(sh)  # [n_shingles]
+        # (a*x+b) mod p, vectorized over perms × shingles
+        x = base.astype(np.object_)    # avoid uint64 overflow in python ints
+        vals = np.empty((self.n_perm, len(base)), dtype=np.uint64)
+        for i in range(self.n_perm):
+            vals[i] = ((int(self.a[i]) * x + int(self.b[i])) % _MERSENNE).astype(np.uint64)
+        return vals.min(axis=1)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        return np.stack([self.signature(t) for t in texts]) if texts else \
+            np.empty((0, self.n_perm), dtype=np.uint64)
+
+
+def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
+    """Split a signature into bands and hash each band (LSH bucketing)."""
+    rows = len(sig) // n_bands
+    out = []
+    for b in range(n_bands):
+        band = sig[b * rows:(b + 1) * rows]
+        h = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
+        out.append(int.from_bytes(h, "big"))
+    return out
+
+
+class SimHasher:
+    """64-bit SimHash over word-unigram features."""
+
+    def __init__(self, bits: int = 64):
+        self.bits = bits
+
+    def fingerprint(self, text: str) -> int:
+        acc = np.zeros(self.bits, dtype=np.int64)
+        for w in text.split():
+            h = stable_hash64(w)
+            for i in range(self.bits):
+                acc[i] += 1 if (h >> i) & 1 else -1
+        fp = 0
+        for i in range(self.bits):
+            if acc[i] > 0:
+                fp |= (1 << i)
+        return fp
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
+    """Winnowing-style document fingerprint: rolling hash over char windows,
+    keep hashes ≡ 0 (mod keep_mod).  Deterministic; used as a cheap
+    containment/near-dup signal (SURVEY.md 'document fingerprinting')."""
+    if len(text) < window:
+        return [stable_hash64(text)] if text else []
+    base, mod = 257, _MERSENNE
+    pw = pow(base, window - 1, mod)
+    h = 0
+    out = []
+    for i, c in enumerate(text):
+        h = (h * base + ord(c)) % mod
+        if i >= window:
+            h = (h - ord(text[i - window]) * pw * base) % mod
+        if i >= window - 1 and h % keep_mod == 0:
+            out.append(h)
+    return out

@@ -1,0 +1,62 @@
+"""Length-preserving text normalization.
+
+Semantics modeled on the reference's uniformization chain — full-width →
+half-width folding and lowercasing (AutoPhraseX-main/autophrasex/utils.py:33-49,
+tokenizer.py:17-39) and control-character stripping
+(ExtractionEntities/utils/tools.py:47-63) — with one deliberate difference:
+every mapping here is 1 char → 1 char (controls map to space instead of being
+deleted, no NFD decomposition), so **char offsets in the normalized text are
+identical to offsets in the raw text**.  That is how the engine preserves the
+reference's token↔char alignment contract (tools.py:23-75) without carrying a
+per-row char_mapping: mention spans computed on `text_norm` are valid spans
+into the untouched `text` column (SURVEY.md §7.5 "per-turn text equality").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _build_table() -> dict[int, int]:
+    t: dict[int, int] = {}
+    for i in list(range(0x00, 0x20)) + [0x7F]:   # C0 controls + DEL → space
+        t[i] = 0x20
+    for i in range(0xFF01, 0xFF5F):              # full-width ASCII block → ASCII
+        t[i] = i - 0xFEE0
+    t[0x3000] = 0x20                             # ideographic space
+    return t
+
+
+NORM_TABLE = _build_table()
+
+# rows that are already pure printable-ASCII lowercase need no Python pass
+_NEEDS_FOLD_RE = r"[^\x20-\x7e]|[\x00-\x1f\x7f]"
+
+
+def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized lower + width-fold + control→space over an Arrow string array."""
+    low = pc.utf8_lower(arr)
+    needs = pc.match_substring_regex(low, _NEEDS_FOLD_RE)
+    if not pc.any(needs).as_py():
+        return low
+    out = []
+    for s, n in zip(low.to_pylist(), needs.to_pylist()):
+        out.append(s.translate(NORM_TABLE) if (s is not None and n) else s)
+    return pa.array(out, pa.string())
+
+
+def normalize_text(s: str) -> str:
+    """Single-string variant (unit tests / oracles)."""
+    return s.lower().translate(NORM_TABLE)
+
+
+def add_text_norm(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "text_norm") -> pa.Table:
+    """map_batches kernel: append a normalized view, keep the raw column
+    untouched (the reference mutates text in place via char_mapping; we must
+    not — SURVEY.md §7.5)."""
+    norm = normalize_array(batch[text_col])
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    return batch.append_column(out_col, norm)

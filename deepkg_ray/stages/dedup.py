@@ -1,0 +1,278 @@
+"""Deduplication family over a document table — exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+These are the large-scale training-data-pipeline operators the engine adds
+beyond the reference (whose only dedups are per-record key dedup,
+sel2record.py:463-466, and cross-instance union, process_data.py:506-556 —
+the exact tier here generalizes the latter).
+
+Scale notes
+-----------
+- Exact dedup: content-hash column added vectorized in `map_batches`, then
+  a groupby on the hash — the shuffle moves one small hash row per doc, not
+  the document body, when `project=True`.
+- MinHash-LSH: signature per doc (actor pool) → explode to
+  (band_idx, band_hash, doc_id) rows → groupby band bucket → candidate
+  pairs → exact-Jaccard verification — candidate generation never compares
+  all pairs (SURVEY.md guidance / ray_guide near-dup pattern).
+- Embedding near-dup: LSH over random hyperplanes (or a blocking column)
+  to bucket, then in-bucket cosine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Min
+
+from deepkg_ray.functions.hashing import (MinHasher, SimHasher, band_hashes,
+                                          content_sha1_batch, hamming64,
+                                          word_shingles)
+
+
+# ---------------------------------------------------------------- exact ----
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column(
+        "content_hash", pa.array(content_sha1_batch(batch[text_col].to_pylist())))
+
+
+def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the min-id representative per distinct text.  Returns
+    (doc_id, content_hash, n_dups)."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
+                            batch_format="pyarrow")
+    proj = hashed.select_columns([id_col, "content_hash"])
+    return (proj.groupby("content_hash")
+            .aggregate(Min(id_col, alias_name=id_col),
+                       Count(alias_name="n_dups")))
+
+
+def exact_dup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(n_groups, n_docs, n_dup_docs) summary of exact duplication."""
+    groups = dedup_exact(ds, id_col, text_col)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = pc.sum(batch["n_dups"]).as_py() or 0
+        return pa.table({
+            "g": pa.array([1], pa.int32()),
+            "n_groups": pa.array([batch.num_rows], pa.int64()),
+            "n_docs": pa.array([n], pa.int64()),
+            "n_dup_docs": pa.array([n - batch.num_rows], pa.int64()),
+        })
+    partial = groups.map_batches(summarize, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    return (partial.groupby("g")
+            .aggregate(Sum("n_groups", alias_name="n_groups"),
+                       Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_dup_docs", alias_name="n_dup_docs"))
+            .drop_columns(["g"]))
+
+
+# ---------------------------------------------------------- minhash-LSH ----
+
+class MinHashSignature:
+    """Actor stage: add minhash signature + band-hash columns."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3,
+                 text_col: str = "text"):
+        self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+        self.n_bands = n_bands
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = self.mh.signatures(batch[self.text_col].to_pylist())
+        bands = [band_hashes(s, self.n_bands) for s in sigs]
+        return (batch
+                .append_column("minhash", pa.array([s.tolist() for s in sigs],
+                                                   pa.list_(pa.uint64())))
+                .append_column("bands", pa.array(bands, pa.list_(pa.uint64()))))
+
+
+def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    bands = batch["bands"].to_pylist()
+    sigs = batch["minhash"].to_pylist()
+    out_id, out_b, out_h, out_sig = [], [], [], []
+    for i, bl in zip(range(len(ids)), bands):
+        for bi, bh in enumerate(bl):
+            out_id.append(ids[i])
+            out_b.append(bi)
+            out_h.append(bh)
+            out_sig.append(sigs[i])
+    return pa.table({
+        id_col: pa.array(out_id, pa.int64()),
+        "band_idx": pa.array(out_b, pa.int32()),
+        "band_hash": pa.array(out_h, pa.uint64()),
+        "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
+    })
+
+
+def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                            n_perm: int = 64, n_bands: int = 16,
+                            shingle_k: int = 3, concurrency=4):
+    """documents → candidate near-dup pairs (doc_a < doc_b) with estimated
+    jaccard from signature agreement.  Pairs are generated per LSH bucket;
+    dedup across buckets via a final groupby-min."""
+    sigged = ds.select_columns([id_col, text_col]).map_batches(
+        MinHashSignature,
+        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands,
+                               "shingle_k": shingle_k, "text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+    exploded = sigged.map_batches(lambda b: _explode_bands(b, id_col),
+                                  batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["minhash"].to_numpy())
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+        return pd.DataFrame({"doc_a": ids[a_idx], "doc_b": ids[b_idx],
+                             "est_jaccard": est})
+
+    pairs = (exploded.groupby(["band_idx", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pandas"))
+    # a pair can surface from several bands — canonical one row per pair
+    return (pairs.groupby(["doc_a", "doc_b"])
+            .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = set(word_shingles(a, k)), set(word_shingles(b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+class JaccardVerifier:
+    """Actor stage: verify candidate pairs with exact shingle Jaccard.
+    The documents table rides in broadcast form (id → text dict built once
+    per actor from the parquet path — small-side lookup, no shuffle join)."""
+
+    def __init__(self, docs_path: str, id_col: str = "doc_id",
+                 text_col: str = "text", shingle_k: int = 3):
+        import pyarrow.parquet as pq
+        t = pq.read_table(docs_path, columns=[id_col, text_col])
+        self.text = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ja = [exact_jaccard(self.text[a], self.text[b], self.k)
+              for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
+        return batch.append_column("jaccard", pa.array(np.round(ja, 6), pa.float64()))
+
+
+def minhash_dedup_pairs(ds, docs_path: str, *, threshold: float = 0.8,
+                        id_col="doc_id", text_col="text", n_perm=64,
+                        n_bands=16, shingle_k=3, concurrency=4):
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
+    pairs ≥ threshold."""
+    cand = minhash_candidate_pairs(ds, id_col, text_col, n_perm, n_bands,
+                                   shingle_k, concurrency)
+    verified = cand.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs={"docs_path": docs_path, "id_col": id_col,
+                               "text_col": text_col, "shingle_k": shingle_k},
+        batch_format="pyarrow", concurrency=concurrency)
+    thr = threshold
+    return verified.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["jaccard"], thr)),
+        batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- simhash ----
+
+class SimHashStage:
+    def __init__(self, text_col: str = "text"):
+        self.sh = SimHasher()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [self.sh.fingerprint(t) for t in batch[self.text_col].to_pylist()]
+        return batch.append_column("simhash", pa.array(fps, pa.uint64()))
+
+
+def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=4):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        SimHashStage, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
+def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
+                       max_hamming: int = 3, n_tables: int = 4, concurrency=4):
+    """Near-dup pairs by SimHash: block on 16-bit key chunks (any pair with
+    hamming ≤ 3 over 64 bits shares at least one of 4 16-bit chunks), then
+    verify hamming in-bucket."""
+    sh = simhash_dataset(ds, id_col, text_col, concurrency)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        fps = batch["simhash"].to_pylist()
+        o_id, o_t, o_k, o_fp = [], [], [], []
+        for i, fp in zip(ids, fps):
+            for t in range(n_tables):
+                o_id.append(i)
+                o_t.append(t)
+                o_k.append((fp >> (t * 16)) & 0xFFFF)
+                o_fp.append(fp)
+        return pa.table({id_col: pa.array(o_id, pa.int64()),
+                         "tbl": pa.array(o_t, pa.int32()),
+                         "key": pa.array(o_k, pa.int32()),
+                         "simhash": pa.array(o_fp, pa.uint64())})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        fps = g["simhash"].to_numpy()
+        ra, rb, hd = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = hamming64(int(fps[x]), int(fps[y]))
+                if h <= max_hamming:
+                    ra.append(ids[x]); rb.append(ids[y]); hd.append(h)
+        return pd.DataFrame({"doc_a": ra, "doc_b": rb, "hamming": hd})
+
+    pairs = (sh.map_batches(explode, batch_format="pyarrow")
+             .groupby(["tbl", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
+    return (pairs.groupby(["doc_a", "doc_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# ---------------------------------------------------- embedding near-dup ----
+
+def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None = "label",
+                         id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Pairs of vectors with cosine ≥ threshold.  Blocking: group by
+    `block_col` (a cluster/label/LSH-bucket column) so each group does a
+    dense in-group matmul instead of an all-pairs sweep; pass
+    block_col=None only for small inputs."""
+    cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    proj = ds.select_columns(cols)
+
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        g = g.sort_values(id_col, kind="stable")
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.clip(norms, 1e-12, None)
+        sims = m @ m.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        mask = sims[ai, bi] >= threshold
+        return pd.DataFrame({"vec_a": ids[ai[mask]], "vec_b": ids[bi[mask]],
+                             "cosine": np.round(sims[ai, bi][mask], 6)})
+
+    if block_col:
+        return proj.groupby(block_col).map_groups(group_pairs, batch_format="pandas")
+    # single logical group: coalesce then one dense pass
+    return proj.repartition(1).map_batches(
+        lambda df: group_pairs(df), batch_format="pandas", batch_size=None)

@@ -1,0 +1,212 @@
+"""Entity linking: mention/triple surfaces → canonical entity ids.
+
+Two tiers, mirroring the reference's Normalization module:
+
+1. **Exact tier** — surface is a known dictionary alias: broadcast hash
+   lookup (the dictionary is the small side; analog of the reference's
+   id↔name maps, Bulid_Data_Model.py:32-35).  No shuffle: the map rides in
+   the actor constructor, per SURVEY.md §2.4.
+
+2. **Fuzzy tier** — unseen surfaces get candidate generation + scoring:
+   - BM25 over the tokenized dictionary (semantics of
+     Normalization/recall/model/BM25_Model.py:38-72: Okapi BM25, per-query
+     scores against every dictionary entry, top-N by score), and
+   - char-ngram cosine (the model-free stand-in for the SimCSE embedding
+     recall stage, SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76).
+   Both are per-row top-k via ``np.argpartition`` — a per-query sort over
+   the dictionary, NOT a dataset shuffle (SURVEY.md §2.6).
+
+Cut modes (char / word / ngram) mirror BM25_Model.py:22-28 /
+text_preprocess.py:17-116.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deepkg_ray.stages.mention import load_alias_map
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def cut(text: str, mode: str = "word", n: int = 2) -> list[str]:
+    """Tokenization modes analog of the reference's cut-function adapter dict
+    (BM25_Model.py:22-28): 'word' (jieba analog = \\w+ tokens), 'char',
+    'ngram' (char n-grams)."""
+    if mode == "word":
+        return _WORD_RE.findall(text)
+    if mode == "char":
+        return [c for c in text if not c.isspace()]
+    if mode == "ngram":
+        s = text.replace(" ", "")
+        return [s[i:i + n] for i in range(max(1, len(s) - n + 1))]
+    raise ValueError(mode)
+
+
+class BM25Index:
+    """Okapi BM25 over a (small, broadcastable) name dictionary.
+
+    Vectorized: document term-frequency matrix is materialized dense
+    (n_docs × vocab) at build time — the dictionary side is small by design
+    (the reference's ICD dictionary is ~40k names; ours smaller). Scoring a
+    query touches only its term columns.
+    """
+
+    def __init__(self, names: list[str], mode: str = "word", k1: float = 1.5,
+                 b: float = 0.75):
+        self.names = names
+        self.mode = mode
+        self.k1, self.b = k1, b
+        docs = [cut(n, mode) for n in names]
+        self.vocab: dict[str, int] = {}
+        rows, cols, vals = [], [], []
+        dl = np.zeros(len(docs), dtype=np.float64)
+        for i, toks in enumerate(docs):
+            dl[i] = len(toks)
+            tf: dict[int, int] = {}
+            for t in toks:
+                j = self.vocab.setdefault(t, len(self.vocab))
+                tf[j] = tf.get(j, 0) + 1
+            for j, c in tf.items():
+                rows.append(i); cols.append(j); vals.append(c)
+        self.tf = np.zeros((len(docs), len(self.vocab)), dtype=np.float32)
+        self.tf[rows, cols] = vals
+        df = (self.tf > 0).sum(axis=0)
+        n_docs = len(docs)
+        # Okapi idf with the standard +0.5 smoothing (BM25Okapi semantics
+        # used at BM25_Model.py:38-52)
+        self.idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+        avgdl = dl.mean() if n_docs else 1.0
+        denom_doc = self.k1 * (1 - self.b + self.b * dl / max(avgdl, 1e-9))
+        self.denom_doc = denom_doc.astype(np.float32)
+
+    def scores(self, query: str) -> np.ndarray:
+        toks = cut(query, self.mode)
+        s = np.zeros(self.tf.shape[0], dtype=np.float32)
+        for t in toks:
+            j = self.vocab.get(t)
+            if j is None:
+                continue
+            tf_j = self.tf[:, j]
+            s += self.idf[j] * tf_j * (self.k1 + 1) / (tf_j + self.denom_doc)
+        return s
+
+    def topn(self, query: str, n: int) -> list[tuple[int, float]]:
+        s = self.scores(query)
+        n = min(n, len(s))
+        idx = np.argpartition(-s, n - 1)[:n]
+        idx = idx[np.argsort(-s[idx], kind="stable")]
+        return [(int(i), float(s[i])) for i in idx]
+
+
+class CharNgramVectorizer:
+    """Hashing-trick char-ngram cosine — the deterministic, model-free
+    stand-in for the SimCSE embedding recall stage (simcse_unsup.py:44-76);
+    same contract: unit-norm vectors, inner-product = cosine, top-K."""
+
+    def __init__(self, dim: int = 512, n: int = 3):
+        self.dim, self.n = dim, n
+
+    def vectorize(self, texts: list[str]) -> np.ndarray:
+        import zlib
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            s = " " + t.replace(" ", "_") + " "
+            for j in range(max(1, len(s) - self.n + 1)):
+                h = zlib.crc32(s[j:j + self.n].encode()) % self.dim
+                out[i, h] += 1.0
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
+
+class CandidateGenerator:
+    """Actor-pool stage: mention batch → top-N candidate rows
+    (mention surface, candidate entity_id, candidate name, score, rank) —
+    the reference's recall-stage output shape (Bulid_Data_Model.py:62-68)."""
+
+    def __init__(self, dictionary_path: str, mode: str = "word", top_n: int = 10,
+                 text_col: str = "surface"):
+        t = pq.read_table(dictionary_path)
+        self.names = t["name"].to_pylist()
+        self.entity_ids = t["entity_id"].to_pylist()
+        self.index = BM25Index(self.names, mode=mode)
+        self.top_n = top_n
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        queries = batch[self.text_col].to_pylist()
+        q_out, cid, cname, score, rank = [], [], [], [], []
+        for q in queries:
+            for r, (i, s) in enumerate(self.index.topn(q, self.top_n)):
+                q_out.append(q)
+                cid.append(self.entity_ids[i])
+                cname.append(self.names[i])
+                score.append(round(s, 6))
+                rank.append(r)
+        return pa.table({
+            "query": pa.array(q_out, pa.string()),
+            "candidate_id": pa.array(cid, pa.int64()),
+            "candidate_name": pa.array(cname, pa.string()),
+            "score": pa.array(score, pa.float32()),
+            "rank": pa.array(rank, pa.int32()),
+        })
+
+
+class ExactLinker:
+    """Stateless-shaped actor stage: add subj_id/obj_id (+ canonical names)
+    to surface triples via broadcast alias map; unresolved surfaces get
+    id -1 (routed to the fuzzy tier by the pipeline)."""
+
+    def __init__(self, dictionary_path: str):
+        self.alias_map = load_alias_map(dictionary_path)
+
+    def _link(self, surfaces: list[str]) -> tuple[list[int], list[str]]:
+        ids, names = [], []
+        for s in surfaces:
+            m = self.alias_map.get(s)
+            ids.append(m[0] if m else -1)
+            names.append(m[2] if m else s)
+        return ids, names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s_ids, s_names = self._link(batch["subj_text"].to_pylist())
+        o_ids, o_names = self._link(batch["obj_text"].to_pylist())
+        return (batch
+                .append_column("subj_id", pa.array(s_ids, pa.int64()))
+                .append_column("subj_name", pa.array(s_names, pa.string()))
+                .append_column("obj_id", pa.array(o_ids, pa.int64()))
+                .append_column("obj_name", pa.array(o_names, pa.string())))
+
+
+def link_triples(ds, dictionary_path: str, *, concurrency=(1, 8), batch_size=8192):
+    return ds.map_batches(
+        ExactLinker,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def recall_at_n(candidates: pa.Table, gold: dict[str, list[str]], n: int) -> float:
+    """Row-mean recall@N (Bulid_Data_Model.py:71-89): per query, the
+    fraction of gold canonical names present in its top-N candidates —
+    computed exactly (no block-average bias; reference run.py:47 averages
+    block averages)."""
+    per_q: dict[str, set[str]] = {}
+    for q, c, r in zip(candidates["query"].to_pylist(),
+                       candidates["candidate_name"].to_pylist(),
+                       candidates["rank"].to_pylist()):
+        if r < n:
+            per_q.setdefault(q, set()).add(c)
+    vals = []
+    for q, golds in gold.items():
+        got = per_q.get(q, set())
+        vals.append(sum(g in got for g in golds) / len(golds))
+    return float(np.mean(vals)) if vals else math.nan

@@ -1,0 +1,148 @@
+"""Relation (triple) extraction — deterministic pattern tier.
+
+Produces the reference's relation record shape: the 5-tuple
+``(rel_type, subj_type, subj_span, obj_type, obj_span)`` whose
+``(subj, pred, obj)`` projection is the KG triple
+(UIE_torch/uie/evaluation/scorer.py:266-349; record assembly
+sel2record.py:405-519).  Where the reference gets records from a T5
+generator + SEL parse, this deterministic tier gets them from
+sentence-anchored surface patterns validated against the entity
+dictionary — the same "generate candidates, then validate types/spans
+against the schema, then de-duplicate" contract (sel2record.py:976-992,
+463-466), with the dictionary playing the role of the record schema.
+
+Execution: stateful actor pool; patterns compiled + dictionary loaded once
+per actor.  Per batch: one C-speed regex pass per predicate over the
+``\\x00``-joined batch text (no per-row Python loop), candidate captures
+validated by hash lookup, per-sentence de-dup by construction (finditer is
+non-overlapping).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from deepkg_ray.stages.mention import load_alias_map
+
+# default predicate templates — shared with the synthesizer so the engine
+# and the DuckDB oracle extract from identical surface forms.
+from deepkg_ray.synth import RELATION_TEMPLATES
+
+TRIPLE_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("pred", pa.string()),
+    ("subj_text", pa.string()),
+    ("subj_type", pa.string()),
+    ("subj_start", pa.int32()),
+    ("obj_text", pa.string()),
+    ("obj_type", pa.string()),
+    ("obj_start", pa.int32()),
+])
+
+# a candidate entity surface: starts with a letter, continues with
+# letters/digits/space/hyphen/comma — the charset the SQL oracle's RE2
+# capture uses; engine-side validation is the dictionary lookup itself.
+_SURF_OK = re.compile(r"[a-z][a-z0-9, -]*\Z")
+
+
+def compile_pred_patterns(templates=RELATION_TEMPLATES) -> list[tuple[str, str, str, re.Pattern]]:
+    """One compiled *infix* pattern per predicate.  The extraction anchors on
+    infix occurrences (rare) and expands to the enclosing sentence with
+    C-speed find/rfind — equivalent to the oracle regex
+    ``(^|\\. )(surf)<infix>(surf)\\.`` but O(text) instead of a lazy-capture
+    scan that backtracks quadratically per sentence."""
+    return [(pred, subj_t, obj_t, re.compile(re.escape(infix)))
+            for pred, subj_t, obj_t, infix in templates]
+
+
+class RelationExtractor:
+    """transcripts batch (with text_norm) → surface-triples batch."""
+
+    def __init__(self, dictionary_path: str, text_col: str = "text_norm",
+                 templates=RELATION_TEMPLATES):
+        self.alias_map = load_alias_map(dictionary_path)  # surface → (eid, type, canonical)
+        self.patterns = compile_pred_patterns(templates)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        blob = "\x00".join(texts)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+        row_starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=row_starts[1:])
+
+        rows: list[int] = []
+        preds: list[str] = []
+        s_txt: list[str] = []
+        s_typ: list[str] = []
+        s_pos: list[int] = []
+        o_txt: list[str] = []
+        o_typ: list[str] = []
+        o_pos: list[int] = []
+
+        for pred, subj_t, obj_t, rx in self.patterns:
+            for m in rx.finditer(blob):
+                istart, iend = m.span()
+                # subject: from the nearest sentence boundary (". ", row
+                # start, or blob start) up to the infix
+                b_dot = blob.rfind(". ", 0, istart)
+                b_nul = blob.rfind("\x00", 0, istart)
+                sstart = max(b_dot + 2 if b_dot != -1 else 0,
+                             b_nul + 1 if b_nul != -1 else 0)
+                subj = blob[sstart:istart]
+                # object: from the infix to the sentence period (must not
+                # cross a row sentinel)
+                pend = blob.find(".", iend)
+                if pend == -1:
+                    continue
+                nul = blob.find("\x00", iend, pend)
+                if nul != -1:
+                    continue
+                obj = blob[iend:pend]
+                # validate captured surfaces against the dictionary with the
+                # template's type constraints (schema-validation analog,
+                # sel2record.py:976-992); also enforce the oracle's RE2
+                # surface charset so engine ≡ oracle on any input
+                sm = self.alias_map.get(subj)
+                om = self.alias_map.get(obj)
+                if (sm is None or om is None or sm[1] != subj_t
+                        or om[1] != obj_t or not _SURF_OK.match(subj)
+                        or not _SURF_OK.match(obj)):
+                    continue
+                ridx = int(np.searchsorted(row_starts, sstart, side="right") - 1)
+                rows.append(ridx)
+                preds.append(pred)
+                s_txt.append(subj)
+                s_typ.append(subj_t)
+                s_pos.append(sstart - int(row_starts[ridx]))
+                o_txt.append(obj)
+                o_typ.append(obj_t)
+                o_pos.append(iend - int(row_starts[ridx]))
+
+        idx = pa.array(np.asarray(rows, dtype=np.int64))
+        return pa.table({
+            "conv_id": batch["conv_id"].take(idx),
+            "turn_idx": batch["turn_idx"].take(idx),
+            "pred": pa.array(preds, pa.string()),
+            "subj_text": pa.array(s_txt, pa.string()),
+            "subj_type": pa.array(s_typ, pa.string()),
+            "subj_start": pa.array(s_pos, pa.int32()),
+            "obj_text": pa.array(o_txt, pa.string()),
+            "obj_type": pa.array(o_typ, pa.string()),
+            "obj_start": pa.array(o_pos, pa.int32()),
+        }, schema=TRIPLE_SCHEMA)
+
+
+def extract_triples(ds, dictionary_path: str, *, concurrency=(1, 8),
+                    batch_size: int = 4096):
+    return ds.map_batches(
+        RelationExtractor,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

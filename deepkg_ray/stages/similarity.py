@@ -1,0 +1,167 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — per batch, a dense numpy matmul of the
+batch's vectors against a broadcast query matrix, emitting per-(query, row)
+partial top-k that a tiny global top-k reduction finishes.  This is the
+distributed analog of the reference's faiss flat/IVF inner-product search
+(SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76: normalized vectors, IP =
+cosine, top-K with explicit ids).
+
+Scale path: IVF — k-means coarse centroids (trained on a driver-side
+sample), each row assigned to its nearest centroid in a vectorized
+map_batches; queries probe only the nprobe nearest centroid partitions,
+mirroring GpuIndexIVFFlat(nprobe) semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()) if hasattr(col, "to_pandas") else np.stack(col)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.clip(n, 1e-12, None)
+
+
+class BruteForceTopK:
+    """Actor stage: per batch, cosine of all rows vs the query matrix,
+    emit each batch's local top-k rows per query (partial top-k combiner —
+    the global reduction then sees ≤ k rows per query per batch)."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list[int], k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
+        sims = self.q @ m.T                       # [n_q, n_rows]
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        q_out, id_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = part[qi]
+            q_out.extend([int(self.qids[qi])] * len(sel))
+            id_out.extend(ids[sel].tolist())
+            s_out.extend(sims[qi, sel].tolist())
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "cosine": pa.array(np.round(s_out, 6), pa.float64()),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
+                     *, id_col="vec_id", vec_col="embedding", concurrency=4):
+    """Dataset of vectors → global top-k rows per query.
+    Result: (query_id, vec_id, cosine, rank) with rank 0 = best.
+    Tie-break on (−cosine, vec_id) for determinism."""
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
+                               "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partial.groupby("query_id").map_groups(finish, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ IVF ----
+
+def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
+                    seed: int = 11) -> np.ndarray:
+    """Plain Lloyd k-means on a (driver-side, sampled) matrix — the analog
+    of faiss index.train (simcse_unsup.py:44-53).  Deterministic."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            pts = x[assign == j]
+            if len(pts):
+                v = pts.mean(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+class IVFAssign:
+    """Vectorized map_batches: add the nearest-centroid partition id."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str = "embedding"):
+        self.c = np.asarray(centroids, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
+        part = np.argmax(m @ self.c.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cell", pa.array(part, pa.int32()))
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
+             centroids: np.ndarray, nprobe: int = 4, id_col="vec_id",
+             vec_col="embedding", concurrency=4):
+    """IVF cosine top-k: rows are bucketed by nearest centroid; each query
+    only scans its `nprobe` nearest cells.  With nprobe = n_centroids this
+    is exact and equals brute_force_topk."""
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]       # [n_q, nprobe]
+    cell_to_queries: dict[int, list[int]] = {}
+    for qi, cells in enumerate(probe):
+        for cell in cells:
+            cell_to_queries.setdefault(int(cell), []).append(qi)
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        IVFAssign, fn_constructor_kwargs={"centroids": c, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=concurrency)
+
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def scan_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["ivf_cell"].iloc[0])
+        q_idx = cell_to_queries.get(cell, [])
+        if not q_idx:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        ids = g[id_col].to_numpy()
+        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        sims = q[q_idx] @ m.T
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        frames = []
+        for row, qi in enumerate(q_idx):
+            sel = part[row]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(len(sel), qids[qi], dtype=np.int64),
+                "vec_id": ids[sel].astype(np.int64),
+                "cosine": np.round(sims[row, sel], 6)}))
+        return pd.concat(frames, ignore_index=True)
+
+    partial = assigned.groupby("ivf_cell").map_groups(scan_cell,
+                                                      batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return partial.groupby("query_id").map_groups(finish, batch_format="pandas")

@@ -1,0 +1,420 @@
+"""Deterministic synthesis of the transcript table + entity dictionary.
+
+The engine's primary input (per BASELINE.json ``input_hint``) is a Parquet
+table of multi-turn conversation transcripts::
+
+    (conv_id: string, turn_idx: int32, role: string, text: string,
+     tool: string, ts: timestamp[us])
+
+There is no external data in the sandbox, so this module synthesizes that
+table deterministically (fixed seed) at a scale derived from the testdata
+scale factor, together with the entity dictionary (the analog of the
+reference's ICD-10 xlsx dictionary, Normalization/recall/model/
+Bulid_Data_Model.py:32-35) and gold mention/triple tables known by
+construction (FIXTURES.md §1-§5).
+
+Construction invariants (asserted at build time) that make the pipeline
+output *exactly* SQL-checkable by a DuckDB oracle:
+
+1. No entity surface (alias) is a substring of any other surface, and
+   surfaces never overlap in generated text → trie maximal matching equals
+   plain substring counting.
+2. Entity surfaces are built from pseudo-words disjoint from the filler and
+   template vocabulary → no accidental mentions.
+3. Relation sentences have exactly one surface form per predicate, the
+   subject starts at a sentence boundary, and two relation sentences are
+   never adjacent → an RE2-compatible regex (no lookbehind) extracts exactly
+   the planted triples.
+4. Normalization (width-fold + lowercase + control→space) is
+   length-preserving, and non-ASCII / control characters are planted only in
+   filler words → char offsets are identical in raw and normalized text, and
+   DuckDB's plain ``lower(text)`` agrees with the engine's normalizer on
+   every surface-bearing region.
+
+Nothing here imports Ray; synthesis is a pure driver-side step whose output
+is read back with ``ray.data.read_parquet``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260817
+SYNTH_VERSION = "v1"
+SYNTH_ROOT = "/tmp/deepkg_synth"
+
+ENTITY_TYPES = ["PERSON", "ORG", "LOC", "PRODUCT", "DRUG", "DISEASE"]
+
+# (pred, subj_type, obj_type, infix) — infix is the literal text between the
+# subject and object surfaces; the sentence is "{subj}{infix}{obj}.".
+# Shapes mirror the reference's relation 5-tuple
+# (rel_type, subj_type, subj_span, obj_type, obj_span)
+# (UIE_torch/uie/evaluation/scorer.py:266-349).
+RELATION_TEMPLATES: list[tuple[str, str, str, str]] = [
+    ("works_at", "PERSON", "ORG", " works at "),
+    ("founded", "PERSON", "ORG", " founded "),
+    ("located_in", "ORG", "LOC", " is located in "),
+    ("part_of", "LOC", "LOC", " is part of "),
+    ("acquired", "ORG", "ORG", " acquired "),
+    ("develops", "ORG", "PRODUCT", " develops "),
+    ("uses", "PERSON", "PRODUCT", " uses "),
+    ("treats", "DRUG", "DISEASE", " treats "),
+]
+
+# Filler vocabulary: deliberately excludes every relation-template keyword
+# (works, at, founded, located, in, part, of, acquired, develops, uses,
+# treats, is) and every dictionary suffix word.
+FILLER_WORDS = (
+    "the a then we they meeting notes review follow up summary action "
+    "agenda topic discussion result metric chart report deck plan idea "
+    "question answer detail context update status draft final copy table "
+    "list item thing point case issue fix test run batch job task queue "
+    "log trace error warning info debug line page file folder link"
+).split()
+
+# A few width-variant / control-flavored filler tokens to exercise the
+# normalizer; planted only in filler sentences (invariant 4).
+WEIRD_FILLERS = ["ｎｏｔｅ", "ｄａｔａ", "ｐｌａｎ", "todo\tlist"]
+
+MENTION_WRAPPERS = [
+    ("we discussed ", " today"),
+    ("follow up on ", ""),
+    ("see the report about ", ""),
+    ("next topic ", ""),
+]
+
+TYPE_SUFFIXES = {
+    # canonical-suffix, alias-suffix (invariant 1: base word unique per
+    # entity, so "X holdings" vs "X group" are never substrings of anything).
+    "ORG": ("holdings", "group"),
+    "LOC": ("valley", "harbor"),
+    "PRODUCT": ("engine", "toolkit"),
+    "DRUG": ("tablets", "serum"),
+    "DISEASE": ("syndrome", "fever"),
+}
+
+_CONSONANTS = "bdfgklmnprstvz"
+_VOWELS = "aeiou"
+
+
+@dataclass(frozen=True)
+class Entity:
+    entity_id: int
+    name: str          # canonical surface (normalized form, lowercase)
+    etype: str
+    aliases: tuple[str, ...]  # all surfaces incl. canonical, normalized
+
+    @property
+    def alias_only(self) -> tuple[str, ...]:
+        return tuple(a for a in self.aliases if a != self.name)
+
+
+@dataclass
+class SynthSpec:
+    sf: float
+    n_convs: int
+    avg_turns: int
+    n_hot: int
+    hot_turns: int
+    shard_rows: int = 50_000
+
+    @classmethod
+    def for_sf(cls, sf: float) -> "SynthSpec":
+        total = int(5_400_000 * sf)          # sf0.01 → ~54k turns (FIXTURES.md §9)
+        n_convs = max(20, total // 27)
+        return cls(
+            sf=sf,
+            n_convs=n_convs,
+            avg_turns=25,
+            n_hot=2,
+            hot_turns=max(200, min(2000, total // 10)),
+        )
+
+
+def _pseudo_words(rng: random.Random, n: int, taken: set[str], nsyll=(2, 3)) -> list[str]:
+    """Unique pronounceable pseudo-words, disjoint from all vocab in `taken`."""
+    out: list[str] = []
+    while len(out) < n:
+        k = rng.randint(*nsyll)
+        w = "".join(rng.choice(_CONSONANTS) + rng.choice(_VOWELS) for _ in range(k))
+        if w in taken or any(w in t or t in w for t in taken):
+            continue
+        taken.add(w)
+        out.append(w)
+    return out
+
+
+def build_dictionary(n_per_type: int = 30, seed: int = SEED) -> list[Entity]:
+    """Deterministic entity dictionary: analog of the reference's two-column
+    (id, name) term table (Bulid_Data_Model.py:32-35) extended with typed
+    aliases.  entity_id is dense in sorted-canonical-name order (SURVEY.md
+    §2.5 "label vocabulary build": order pinned by sort, not appearance)."""
+    rng = random.Random(seed)
+    taken = set(FILLER_WORDS)
+    for _, _, _, infix in RELATION_TEMPLATES:
+        taken.update(infix.split())
+    for a, b in TYPE_SUFFIXES.values():
+        taken.update((a, b))
+    for pre, post in MENTION_WRAPPERS:
+        taken.update((pre + post).split())
+
+    raw: list[tuple[str, str, tuple[str, ...]]] = []   # (name, type, aliases)
+    for etype in ENTITY_TYPES:
+        if etype == "PERSON":
+            firsts = _pseudo_words(rng, n_per_type, taken)
+            lasts = _pseudo_words(rng, n_per_type, taken)
+            for f, ln in zip(firsts, lasts):
+                name = f"{f} {ln}"
+                raw.append((name, etype, (name, f"{ln} {f}")))
+        else:
+            suf_a, suf_b = TYPE_SUFFIXES[etype]
+            bases = _pseudo_words(rng, n_per_type, taken)
+            for b in bases:
+                name = f"{b} {suf_a}"
+                raw.append((name, etype, (name, f"{b} {suf_b}")))
+
+    # invariant 1: no surface is a substring of any other surface
+    surfaces = [s for _, _, al in raw for s in al]
+    assert len(surfaces) == len(set(surfaces))
+    for i, s in enumerate(surfaces):
+        for j, t in enumerate(surfaces):
+            if i != j and s in t:
+                raise AssertionError(f"surface substring collision: {s!r} in {t!r}")
+
+    raw.sort(key=lambda r: r[0])
+    return [Entity(i, name, etype, aliases) for i, (name, etype, aliases) in enumerate(raw)]
+
+
+@dataclass
+class _Gold:
+    mentions: list[tuple] = field(default_factory=list)   # conv, turn, start, end_incl, type, surface, entity_id
+    triples: list[tuple] = field(default_factory=list)    # conv, turn, pred, s_txt, s_type, s_id, o_txt, o_type, o_id
+
+
+class _TurnWriter:
+    """Assembles one turn's text from sentences while recording gold offsets."""
+
+    def __init__(self, conv_id: str, turn_idx: int, gold: _Gold):
+        self.conv_id, self.turn_idx, self.gold = conv_id, turn_idx, gold
+        self.parts: list[str] = []
+        self.pos = 0
+
+    def _append(self, s: str) -> int:
+        start = self.pos
+        self.parts.append(s)
+        self.pos += len(s)
+        return start
+
+    def sep(self):
+        if self.parts:
+            self._append(" ")
+
+    def filler(self, rng: random.Random):
+        self.sep()
+        n = rng.randint(3, 7)
+        ws = [rng.choice(FILLER_WORDS) for _ in range(n)]
+        if rng.random() < 0.08:
+            ws[rng.randrange(n)] = rng.choice(WEIRD_FILLERS)
+        self._append(" ".join(ws) + ".")
+
+    def _mention_at(self, offset: int, ent: Entity, surface: str):
+        self.gold.mentions.append(
+            (self.conv_id, self.turn_idx, offset, offset + len(surface) - 1,
+             ent.etype, surface, ent.entity_id))
+
+    def mention(self, rng: random.Random, ent: Entity):
+        self.sep()
+        pre, post = MENTION_WRAPPERS[rng.randrange(len(MENTION_WRAPPERS))]
+        surface = ent.aliases[rng.randrange(len(ent.aliases))]
+        start = self._append(pre + surface + post + ".")
+        self._mention_at(start + len(pre), ent, surface)
+
+    def relation(self, rng: random.Random, pred: str, infix: str,
+                 subj: Entity, obj: Entity):
+        self.sep()
+        s_surf = subj.aliases[rng.randrange(len(subj.aliases))]
+        o_surf = obj.aliases[rng.randrange(len(obj.aliases))]
+        start = self._append(s_surf + infix + o_surf + ".")
+        self._mention_at(start, subj, s_surf)
+        self._mention_at(start + len(s_surf) + len(infix), obj, o_surf)
+        self.gold.triples.append(
+            (self.conv_id, self.turn_idx, pred,
+             s_surf, subj.etype, subj.entity_id,
+             o_surf, obj.etype, obj.entity_id))
+
+    def text(self) -> str:
+        return "".join(self.parts)
+
+
+def _gen_turn_text(rng: random.Random, conv_id: str, turn_idx: int,
+                   by_type: dict[str, list[Entity]], gold: _Gold) -> str:
+    w = _TurnWriter(conv_id, turn_idx, gold)
+    w.filler(rng)
+    n_extra = rng.randint(0, 3)
+    prev_was_relation = False
+    for _ in range(n_extra):
+        r = rng.random()
+        if r < 0.45 and not prev_was_relation:
+            pred, st, ot, infix = RELATION_TEMPLATES[rng.randrange(len(RELATION_TEMPLATES))]
+            subj = rng.choice(by_type[st])
+            obj = rng.choice(by_type[ot])
+            if st == ot and subj.entity_id == obj.entity_id:
+                obj = by_type[ot][(by_type[ot].index(subj) + 1) % len(by_type[ot])]
+            w.relation(rng, pred, infix, subj, obj)
+            # invariant 3: never two relation sentences back-to-back — the
+            # oracle regex consumes the trailing "." of a matched sentence.
+            prev_was_relation = True
+        elif r < 0.75:
+            w.mention(rng, rng.choice(by_type[rng.choice(ENTITY_TYPES)]))
+            prev_was_relation = False
+        else:
+            w.filler(rng)
+            prev_was_relation = False
+    return w.text()
+
+
+def synth_dir_for(sf_dir: str) -> str:
+    """Map a testdata dir like /root/testdata/sf0.01 → this synth's output dir."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SYNTH_ROOT, SYNTH_VERSION, name)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return float(name.replace("sf", "")) if name.startswith("sf") else 0.01
+
+
+def ensure_synth(sf_dir: str) -> str:
+    """Idempotently synthesize transcripts + dictionary + golds for the scale
+    implied by ``sf_dir``.  Returns the synth output dir containing:
+
+    - transcripts/part-NNNN.parquet  (sharded, for resume tests)
+    - dictionary.parquet             (entity_id, name, type, aliases)
+    - mentions_gold.parquet
+    - triples_gold.parquet
+    - spec.json
+    """
+    out = synth_dir_for(sf_dir)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+
+    sf = sf_from_dir(sf_dir)
+    spec = SynthSpec.for_sf(sf)
+    entities = build_dictionary()
+    by_type: dict[str, list[Entity]] = {t: [] for t in ENTITY_TYPES}
+    for e in entities:
+        by_type[e.etype].append(e)
+
+    rng = random.Random(SEED + 1)
+    gold = _Gold()
+
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+
+    base_ts = 1_700_000_000_000_000  # µs epoch
+    tool_names = ["search", "calc", "browse", ""]
+
+    def emit_conv(conv_id: str, n_turns: int):
+        t0 = base_ts + rng.randrange(10**9)
+        for ti in range(n_turns):
+            text = _gen_turn_text(rng, conv_id, ti, by_type, gold)
+            is_tool = rng.random() < 0.1
+            conv_ids.append(conv_id)
+            turn_idxs.append(ti)
+            roles.append("tool" if is_tool else ("user" if ti % 2 == 0 else "assistant"))
+            tools.append(rng.choice(tool_names[:3]) if is_tool else "")
+            texts.append(text)
+            tss.append(t0 + ti * 1_000_000)
+
+    # hot conversations first (invariant: a few convs get ~100x median turns
+    # to exercise salted-key skew handling, FIXTURES.md §1)
+    for h in range(spec.n_hot):
+        emit_conv(f"conv-hot-{h:02d}", spec.hot_turns)
+    for c in range(spec.n_convs):
+        emit_conv(f"conv-{c:06d}", max(2, int(rng.expovariate(1 / spec.avg_turns))))
+
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "transcripts"), exist_ok=True)
+
+    table = pa.table({
+        "conv_id": pa.array(conv_ids, pa.string()),
+        "turn_idx": pa.array(turn_idxs, pa.int32()),
+        "role": pa.array(roles, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array(tools, pa.string()),
+        "ts": pa.array(tss, pa.timestamp("us")),
+    })
+    n = table.num_rows
+    shard = spec.shard_rows
+    for i, off in enumerate(range(0, n, shard)):
+        pq.write_table(table.slice(off, shard),
+                       os.path.join(tmp, "transcripts", f"part-{i:04d}.parquet"))
+
+    pq.write_table(pa.table({
+        "entity_id": pa.array([e.entity_id for e in entities], pa.int64()),
+        "name": pa.array([e.name for e in entities], pa.string()),
+        "type": pa.array([e.etype for e in entities], pa.string()),
+        "aliases": pa.array([list(e.aliases) for e in entities], pa.list_(pa.string())),
+    }), os.path.join(tmp, "dictionary.parquet"))
+
+    m = gold.mentions
+    pq.write_table(pa.table({
+        "conv_id": pa.array([x[0] for x in m], pa.string()),
+        "turn_idx": pa.array([x[1] for x in m], pa.int32()),
+        "start_idx": pa.array([x[2] for x in m], pa.int32()),
+        "end_idx": pa.array([x[3] for x in m], pa.int32()),   # inclusive, like the reference
+        "type": pa.array([x[4] for x in m], pa.string()),
+        "surface": pa.array([x[5] for x in m], pa.string()),
+        "entity_id": pa.array([x[6] for x in m], pa.int64()),
+    }), os.path.join(tmp, "mentions_gold.parquet"))
+
+    t = gold.triples
+    pq.write_table(pa.table({
+        "conv_id": pa.array([x[0] for x in t], pa.string()),
+        "turn_idx": pa.array([x[1] for x in t], pa.int32()),
+        "pred": pa.array([x[2] for x in t], pa.string()),
+        "subj_text": pa.array([x[3] for x in t], pa.string()),
+        "subj_type": pa.array([x[4] for x in t], pa.string()),
+        "subj_id": pa.array([x[5] for x in t], pa.int64()),
+        "obj_text": pa.array([x[6] for x in t], pa.string()),
+        "obj_type": pa.array([x[7] for x in t], pa.string()),
+        "obj_id": pa.array([x[8] for x in t], pa.int64()),
+    }), os.path.join(tmp, "triples_gold.parquet"))
+
+    with open(os.path.join(tmp, "spec.json"), "w") as f:
+        json.dump({"sf": sf, "n_rows": n, "n_convs": spec.n_convs + spec.n_hot,
+                   "n_gold_triples": len(t), "n_gold_mentions": len(m),
+                   "seed": SEED, "version": SYNTH_VERSION}, f)
+
+    with open(os.path.join(tmp, "_COMPLETE"), "w") as f:
+        f.write("ok")
+    os.makedirs(SYNTH_ROOT, exist_ok=True)
+    # atomic-ish rename; tolerate a concurrent winner
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+    return out
+
+
+def transcripts_path(sf_dir: str) -> str:
+    return os.path.join(ensure_synth(sf_dir), "transcripts")
+
+
+def dictionary_path(sf_dir: str) -> str:
+    return os.path.join(ensure_synth(sf_dir), "dictionary.parquet")

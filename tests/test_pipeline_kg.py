@@ -1,0 +1,42 @@
+"""End-to-end KG pipeline on Ray: golden P/R and canonicalization checks."""
+
+import os
+
+import pyarrow.parquet as pq
+
+from deepkg_ray.pipelines import kg
+
+
+def test_linked_triples_match_gold(sf_dir, synth_dir):
+    lt = kg.linked_triples_dataset(sf_dir).to_pandas()
+    gold = pq.read_table(os.path.join(synth_dir, "triples_gold.parquet")).to_pandas()
+    cols = ["conv_id", "turn_idx", "pred", "subj_id", "obj_id"]
+    a = set(map(tuple, lt[cols].itertuples(index=False)))
+    b = set(map(tuple, gold[cols].itertuples(index=False)))
+    # north-star gate is P/R ≥ 0.95; the deterministic tier is exact
+    assert a == b
+    # alias surfaces resolved to canonical ids
+    assert (lt["subj_id"] >= 0).all() and (lt["obj_id"] >= 0).all()
+
+
+def test_adjacency_weights_sum_to_extractions(sf_dir, synth_dir):
+    adj = kg.adjacency_dataset(sf_dir).to_pandas()
+    gold = pq.read_table(os.path.join(synth_dir, "triples_gold.parquet")).to_pandas()
+    assert int(adj["weight"].sum()) == len(gold)
+    # canonical dedup: keys unique
+    assert not adj.duplicated(["subj_id", "pred", "obj_id"]).any()
+    # canonicalization collapses alias variants: distinct canonical keys
+    gold_keys = set(map(tuple, gold[["subj_id", "pred", "obj_id"]].itertuples(index=False)))
+    assert len(adj) == len(gold_keys)
+    # provenance exemplar is a real (conv:turn) of that edge
+    row = adj.iloc[0]
+    conv, turn = row["src"].split(":")
+    sub = gold[(gold.conv_id == conv) & (gold.turn_idx == int(turn))]
+    assert ((sub.subj_id == row.subj_id) & (sub.obj_id == row.obj_id)
+            & (sub.pred == row["pred"])).any()
+
+
+def test_mentions_dataset_counts(sf_dir, synth_dir):
+    n = kg.mentions_dataset(sf_dir).count()
+    gold = pq.read_metadata(os.path.join(synth_dir, "mentions_gold.parquet")).num_rows
+    assert n == gold
