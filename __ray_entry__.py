@@ -84,20 +84,230 @@ def _q_transcript_stats(sf_dir: str):
                        Count(alias_name="n_convs")))
 
 
+def _q_conv_cumulative_triples(sf_dir: str):
+    from deepkg_ray.pipelines import kg
+    return kg.conv_cumulative_triples(sf_dir)
+
+
+# ----------------------------------------------- documents / text analysis --
+
+def _docs(sf_dir: str, cols):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+
+
+def _q_doc_stats(sf_dir: str):
+    from deepkg_ray.stages.textstats import doc_stats
+    return doc_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_lang_id(sf_dir: str):
+    from deepkg_ray.stages.textstats import lang_id
+    return lang_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from deepkg_ray.stages.textstats import fingerprints
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).drop_columns(
+        ["fingerprints"])   # keep simhash + counts; raw list is rows-only detail
+
+
+def _q_dedup_exact(sf_dir: str):
+    from deepkg_ray.stages.dedup import dedup_exact
+    return dedup_exact(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_dedup_stats(sf_dir: str):
+    from deepkg_ray.stages.dedup import exact_dup_stats
+    return exact_dup_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from deepkg_ray.stages.dedup import minhash_dedup_pairs
+    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               f"{sf_dir}/documents.parquet", threshold=0.8)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from deepkg_ray.stages.dedup import simhash_near_pairs
+    return simhash_near_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_bigram_counts(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import ngram_counts
+    return ngram_counts(_docs(sf_dir, ["text"]), 2)
+
+
+def _q_word_idf(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import idf_table
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return idf_table(docs.select_columns(["text"]), n_docs=docs.count())
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import pmi_bigrams
+    return pmi_bigrams(_docs(sf_dir, ["text"]))
+
+
+def _q_neighbor_entropy(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import neighbor_entropy
+    return neighbor_entropy(_docs(sf_dir, ["text"]), side="right")
+
+
+# ------------------------------------------------------ similarity search --
+
+def _embed_queries(sf_dir: str, n: int = 8):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    t = t.filter(pc.less(t["vec_id"], n))
+    q = np.stack(t["embedding"].to_pandas().to_numpy())
+    return q, t["vec_id"].to_pylist()
+
+
+def _q_ann_topk(sf_dir: str):
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import brute_force_topk
+    q, qids = _embed_queries(sf_dir)
+    return brute_force_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                            q, qids, k=10)
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF path with nprobe = n_centroids → exact, so it shares the
+    brute-force oracle; bench runs it with low nprobe for the scale path."""
+    import pyarrow.parquet as pq
+    import numpy as np
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import ivf_topk, train_centroids
+    q, qids = _embed_queries(sf_dir)
+    sample = np.stack(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                                    columns=["embedding"])["embedding"]
+                      .slice(0, 2000).to_pandas().to_numpy())
+    cents = train_centroids(sample, n_centroids=8)
+    return ivf_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                    q, qids, k=10, centroids=cents, nprobe=8)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.dedup import embedding_near_pairs
+    return embedding_near_pairs(
+        read_embeddings(sf_dir, ["vec_id", "embedding", "label"]),
+        threshold=0.3, block_col="label")
+
+
+# ----------------------------------------------------------------- events --
+
+def _q_events_window(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import tumbling_window
+    return tumbling_window(read_events(sf_dir, ["event_type", "ts", "value"]),
+                           window_sec=300)
+
+
+def _q_events_sessionize(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import sessionize
+    return sessionize(read_events(sf_dir, ["user_id", "ts", "event_id"]))
+
+
+def _q_distinct_event_types(sf_dir: str):
+    from deepkg_ray.pipelines.relational import distinct_event_types
+    return distinct_event_types(sf_dir)
+
+
+# ------------------------------------------------------------- relational --
+
+def _q_pricing_summary(sf_dir: str):
+    from deepkg_ray.pipelines.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_top_revenue_orders(sf_dir: str):
+    from deepkg_ray.pipelines.relational import top_revenue_orders
+    return top_revenue_orders(sf_dir)
+
+
+def _q_segment_revenue(sf_dir: str):
+    from deepkg_ray.pipelines.relational import segment_revenue
+    return segment_revenue(sf_dir)
+
+
+# ------------------------------------------------- linking (rows-only) -----
+
+def _q_linking_candidates(sf_dir: str):
+    """BM25 top-N candidate generation for every dictionary alias surface —
+    the recall-stage output (not SQL-expressible: BM25 scoring)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.linking import CandidateGenerator
+    dict_path = synth.dictionary_path(sf_dir)
+    aliases = rd.read_parquet(dict_path, columns=["aliases"]).to_pandas()
+    import pandas as pd
+    surf = pd.DataFrame({"surface": sorted({a for al in aliases["aliases"]
+                                            for a in al})})
+    return rd.from_pandas(surf).map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
+def _q_multimodal_features(sf_dir: str):
+    """Binary-payload plumbing: synthetic media table → decode-stub features
+    (rows-only: involves the stubbed codec boundary)."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import decode_features, synth_media_table
+    ds = rd.from_arrow(synth_media_table(n=256))
+    return decode_features(ds).drop_columns(["features"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # KG pipeline family (synthesized transcripts)
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
+        "conv_cumulative_triples": _q_conv_cumulative_triples,
+        # text analysis / dedup over documents
+        "doc_stats": _q_doc_stats,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_stats": _q_dedup_stats,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        # phrase-mining stats
+        "bigram_counts": _q_bigram_counts,
+        "word_idf": _q_word_idf,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "neighbor_entropy": _q_neighbor_entropy,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # events / windows
+        "events_window": _q_events_window,
+        "events_sessionize": _q_events_sessionize,
+        "distinct_event_types": _q_distinct_event_types,
+        # relational primitives
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "segment_revenue": _q_segment_revenue,
+        # rows-only (non-SQL-expressible)
+        "linking_candidates": _q_linking_candidates,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from deepkg_ray import oracle, synth
-    synth.ensure_synth(SF_ORACLE)   # SQL reads the synthesized parquet
+    synth.ensure_synth(SF_ORACLE)   # transcript SQL reads the synth parquet
     return {
         "kg_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "kg_triples": oracle.triples_sql(SF_ORACLE),
@@ -105,4 +315,24 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
+        "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
+        "doc_stats": oracle.doc_stats_oracle(),
+        "lang_id": oracle.lang_id_oracle(),
+        "dedup_exact": oracle.dedup_exact_oracle(),
+        "dedup_stats": oracle.dedup_stats_oracle(),
+        "bigram_counts": oracle.bigram_counts_oracle(),
+        "word_idf": oracle.word_idf_oracle(),
+        "pmi_bigrams": oracle.pmi_bigrams_oracle(),
+        "neighbor_entropy": oracle.neighbor_entropy_oracle(),
+        "ann_topk": oracle.ann_topk_oracle(),
+        "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
+        "embedding_near_dup": oracle.embedding_near_dup_oracle(),
+        "events_window": oracle.events_window_oracle(),
+        "events_sessionize": oracle.sessionize_oracle(),
+        "distinct_event_types": oracle.distinct_event_types_oracle(),
+        "pricing_summary": oracle.pricing_summary_oracle(),
+        "top_revenue_orders": oracle.top_revenue_orders_oracle(),
+        "segment_revenue": oracle.segment_revenue_oracle(),
+        # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
+        # linking_candidates, multimodal_features
     }

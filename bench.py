@@ -1,0 +1,140 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+print ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "triples_per_sec": ...}
+
+--scaling: run the headline pipeline in two fresh processes (8 and 32 CPUs)
+on the same input and report both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _headline_kg(sf_dir: str, out_dir: str) -> dict:
+    """Full KG build: transcripts → mentions/triples → linked → canonical
+    adjacency + entities + predicates, materialized to parquet."""
+    from deepkg_ray.pipelines import kg
+    out = kg.build_kg(sf_dir, out_dir=out_dir)
+    n_edges = out["adjacency"].count()
+    return {"n_edges": n_edges}
+
+
+def _q_mentions(sf_dir: str):
+    from deepkg_ray.pipelines import kg
+    return kg.mentions_dataset(sf_dir).count()
+
+
+def _q_dedup_exact(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import dedup_exact
+    return dedup_exact(read_documents(sf_dir, ["doc_id", "text"])).count()
+
+
+def _q_ann(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import brute_force_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 8)
+    q = np.stack(t["embedding"].to_pandas().to_numpy())
+    qids = t["vec_id"].to_pylist()
+    return brute_force_topk(read_embeddings(sf_dir), q, qids, k=10).count()
+
+
+def _q_minhash(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import minhash_dedup_pairs
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    return minhash_dedup_pairs(docs, f"{sf_dir}/documents.parquet",
+                               threshold=0.8).count()
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from deepkg_ray import synth
+    synth.ensure_synth(sf_dir)            # untimed: synthesis + page-cache warm
+    n_turns = json.load(open(os.path.join(synth.ensure_synth(sf_dir),
+                                          "spec.json")))["n_rows"]
+
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    t0 = time.time()
+    extra.update(_headline_kg(sf_dir, out_dir=f"/tmp/bench_kg_{num_cpus}"))
+    headline = time.time() - t0
+    queries["kg_build"] = round(headline, 3)
+
+    for name, fn in [("kg_mentions", _q_mentions),
+                     ("dedup_exact", _q_dedup_exact),
+                     ("ann_topk", _q_ann),
+                     ("dedup_minhash", _q_minhash)]:
+        t0 = time.time()
+        try:
+            fn(sf_dir)
+            queries[name] = round(time.time() - t0, 3)
+        except Exception as e:                      # keep the bench robust
+            queries[name] = -1.0
+            extra[f"{name}_error"] = f"{type(e).__name__}: {e}"
+
+    import ray
+    ray.shutdown()
+    n_triples = extra.get("n_edges", 0)
+    return {
+        "metric": "kg_build_sec_sf0.1",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        **extra,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    import subprocess
+    def one(n):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    # warm synthesis + page cache once, untimed
+    from deepkg_ray import synth
+    synth.ensure_synth(sf_dir)
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -26,8 +26,10 @@ def stable_hash64_batch(texts: list[str]) -> np.ndarray:
                        count=len(texts))
 
 
-def content_sha1_batch(texts: list[str]) -> list[str]:
-    return [hashlib.sha1(t.encode()).hexdigest() for t in texts]
+def content_md5_batch(texts: list[str]) -> list[str]:
+    """md5 hex — deliberately the same function DuckDB's md5() computes, so
+    the exact-dedup oracle can reproduce the hash column in SQL."""
+    return [hashlib.md5(t.encode()).hexdigest() for t in texts]
 
 
 def word_shingles(text: str, k: int = 3) -> list[str]:
@@ -38,31 +40,47 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
 
 
 class MinHasher:
-    """n_perm universal-hash MinHash over shingle sets; mergeable and
-    deterministic.  Signatures are uint64[n_perm]."""
+    """n_perm MinHash over shingle sets; mergeable and deterministic.
+
+    Hash family: (a*x + b) with natural uint64 wrap-around (mod 2^64, a odd)
+    — fully vectorized; adequate mixing for minhash since the base shingle
+    hashes are blake2b.  Signatures are uint64[n_perm]."""
 
     def __init__(self, n_perm: int = 64, seed: int = 7, shingle_k: int = 3):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 63, size=n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.shingle_k = shingle_k
 
     def signature(self, text: str) -> np.ndarray:
-        sh = word_shingles(text, self.shingle_k)
-        if not sh:
-            return np.full(self.n_perm, _MAX64, dtype=np.uint64)
-        base = stable_hash64_batch(sh)  # [n_shingles]
-        # (a*x+b) mod p, vectorized over perms × shingles
-        x = base.astype(np.object_)    # avoid uint64 overflow in python ints
-        vals = np.empty((self.n_perm, len(base)), dtype=np.uint64)
-        for i in range(self.n_perm):
-            vals[i] = ((int(self.a[i]) * x + int(self.b[i])) % _MERSENNE).astype(np.uint64)
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        return np.stack([self.signature(t) for t in texts]) if texts else \
-            np.empty((0, self.n_perm), dtype=np.uint64)
+        """Vectorized batch path: flatten all shingle hashes, one
+        (n_perm × total_shingles) multiply-add, then per-doc segment minima
+        via np.minimum.reduceat."""
+        if not texts:
+            return np.empty((0, self.n_perm), dtype=np.uint64)
+        shingle_lists = [word_shingles(t, self.shingle_k) for t in texts]
+        lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
+                           count=len(texts))
+        flat = [s for sl in shingle_lists for s in sl]
+        out = np.full((len(texts), self.n_perm), _MAX64, dtype=np.uint64)
+        if not flat:
+            return out
+        base = stable_hash64_batch(flat)                       # [total]
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * base[None, :] + self.b[:, None]
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        # reduceat needs strictly valid segment starts; compute on the
+        # non-empty segments and scatter back
+        ne_off = offsets[nonempty]
+        mins = np.minimum.reduceat(vals, ne_off, axis=1)       # [n_perm, n_ne]
+        out[nonempty] = mins.T
+        return out
 
 
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:

@@ -145,3 +145,271 @@ SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
 FROM read_parquet('{_transcripts_glob(sf_dir)}')
 GROUP BY role
 """
+
+
+# ---------------------------------------------------------------------------
+# Oracles over the driver's pre-registered testdata views (documents, events,
+# lineitem, orders, customer, embeddings).  Float convention: see
+# functions/numeric.py — round6(x) = floor(x*1e6+0.5)/1e6; float sums via
+# per-element CAST(floor(x*1e6+0.5) AS BIGINT) then integer SUM.
+# ---------------------------------------------------------------------------
+
+def doc_stats_oracle() -> str:
+    stop = "'the','and','of','to','in'"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars_calc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                   x -> x IN ({stop}))) END AS n_stop
+  FROM documents
+), r AS (
+  SELECT doc_id, n_chars_calc, n_tokens,
+         floor(n_alpha * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) / 1e6 AS alpha_ratio,
+         floor(n_punct * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+         floor(n_stop * 1.0 / greatest(n_tokens, 1) * 1e6 + 0.5) / 1e6 AS stop_ratio
+  FROM base
+)
+SELECT doc_id, CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       alpha_ratio, punct_ratio, stop_ratio,
+       floor(least(greatest(0.4*alpha_ratio + 0.3*least(n_tokens,100)/100.0
+                            + 0.3*stop_ratio, 0.0), 1.0) * 1e6 + 0.5) / 1e6 AS quality
+FROM r
+"""
+
+
+def lang_id_oracle() -> str:
+    langs = {
+        "en": "'the','and','of','to','in'",
+        "de": "'der','die','und','das','ist'",
+        "es": "'el','la','los','y','de'",
+        "fr": "'le','la','les','et','des'",
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({sw}))) AS h_{lg}"
+        for lg, sw in langs.items())
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+  FROM documents
+), hits AS (SELECT doc_id, {hit_cols} FROM toks)
+SELECT doc_id,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+            WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_detected
+FROM hits
+"""
+
+
+def dedup_exact_oracle() -> str:
+    return """
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def dedup_stats_oracle() -> str:
+    return """
+WITH g AS (SELECT count(*) c FROM documents GROUP BY text)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs
+FROM g
+"""
+
+
+def bigram_counts_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM big GROUP BY w1, w2
+"""
+
+
+def word_idf_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w1
+  FROM documents WHERE trim(text) <> ''
+), df AS (
+  SELECT w1, count(DISTINCT doc_id) AS df FROM toks GROUP BY w1
+)
+SELECT w1, CAST(df AS BIGINT) AS df,
+       floor(ln((SELECT count(*) FROM documents) * 1.0 / df) * 1e6 + 0.5) / 1e6 AS idf
+FROM df
+"""
+
+
+def pmi_bigrams_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+), bc AS (
+  SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(cnt) FROM bc) AS n2
+)
+SELECT bc.w1, bc.w2, CAST(bc.cnt AS BIGINT) AS cnt,
+       floor(ln((bc.cnt / t.n2) / ((u1.c / t.n1) * (u2.c / t.n1))) * 1e6 + 0.5) / 1e6 AS pmi
+FROM bc, tot t
+JOIN uni u1 ON u1.w = bc.w1
+JOIN uni u2 ON u2.w = bc.w2
+"""
+
+
+def neighbor_entropy_oracle() -> str:
+    return """
+WITH toks AS (
+  SELECT row_number() OVER () AS doc, ws FROM (
+    SELECT CASE WHEN trim(text)='' THEN []
+                ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+    FROM documents)
+), pairs AS (
+  SELECT ws[i] AS w1,
+         CASE WHEN i+1 <= len(ws) THEN ws[i+1] ELSE '∅' END AS nb
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+), pc2 AS (
+  SELECT w1, nb, count(*) AS cnt FROM pairs GROUP BY w1, nb
+), tot AS (
+  SELECT w1, sum(cnt) AS total FROM pc2 GROUP BY w1
+)
+SELECT p.w1,
+       floor(-sum((p.cnt * 1.0 / t.total) * ln(p.cnt * 1.0 / t.total)) * 1e6 + 0.5) / 1e6 AS entropy
+FROM pc2 p JOIN tot t ON p.w1 = t.w1
+GROUP BY p.w1
+"""
+
+
+def ann_topk_oracle(n_queries: int = 8, k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {n_queries}),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         floor(list_cosine_similarity(q.qe, e.embedding) * 1e6 + 0.5) / 1e6 AS cosine
+  FROM q CROSS JOIN embeddings e
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, vec_id) - 1 AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank < {k}
+"""
+
+
+def embedding_near_dup_oracle(threshold: float = 0.3) -> str:
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor(list_cosine_similarity(a.embedding, b.embedding) * 1e6 + 0.5) / 1e6 AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+"""
+
+
+def events_window_oracle(window_sec: int = 300) -> str:
+    win_us = window_sec * 1_000_000
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {win_us}) * {win_us} AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_value
+FROM events
+GROUP BY event_type, window_start_us
+"""
+
+
+def sessionize_oracle(gap_sec: int = 1800) -> str:
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN pts IS NULL THEN 0
+                         WHEN epoch_us(ts) - epoch_us(pts) > {gap_us} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY user_id
+"""
+
+
+def pricing_summary_oracle() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_revenue,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_revenue_orders_oracle(k: int = 10) -> str:
+    return f"""
+WITH r AS (
+  SELECT l_orderkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)) AS rev_micros
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, rev_micros / 1e6 AS revenue
+FROM r ORDER BY rev_micros DESC, l_orderkey LIMIT {k}
+"""
+
+
+def segment_revenue_oracle() -> str:
+    return """
+SELECT c.c_mktsegment,
+       sum(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def distinct_event_types_oracle() -> str:
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type
+"""
+
+
+def conv_cumulative_triples_sql(sf_dir: str) -> str:
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+c AS (
+  SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_triples
+  FROM triples GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, n_triples,
+       CAST(sum(n_triples) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum_triples
+FROM c
+"""

@@ -80,3 +80,25 @@ def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=(1, 8)) -> 
         out["entities"].write_parquet(f"{out_dir}/entities")
         out["predicates"].write_parquet(f"{out_dir}/predicates")
     return out
+
+
+def conv_cumulative_triples(sf_dir: str, *, concurrency=(1, 8)):
+    """Per-conversation ordered analytics: per (conv_id, turn_idx) triple
+    counts with a running cumulative per conversation — exercises the
+    stable-turn-ordering contract (sort inside the group, never block
+    arrival order; SURVEY.md §2.9)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    per_turn = (surface_triples_dataset(sf_dir, concurrency=concurrency)
+                .groupby(["conv_id", "turn_idx"])
+                .aggregate(Count(alias_name="n_triples")))
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="stable").reset_index(drop=True)
+        g["cum_triples"] = g["n_triples"].astype(np.int64).cumsum()
+        g["n_triples"] = g["n_triples"].astype(np.int64)
+        return g
+
+    return per_turn.groupby("conv_id").map_groups(cum, batch_format="pandas")

@@ -29,15 +29,16 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min
 
 from deepkg_ray.functions.hashing import (MinHasher, SimHasher, band_hashes,
-                                          content_sha1_batch, hamming64,
+                                          content_md5_batch, hamming64,
                                           word_shingles)
+from deepkg_ray.functions.numeric import round6
 
 
 # ---------------------------------------------------------------- exact ----
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
-        "content_hash", pa.array(content_sha1_batch(batch[text_col].to_pylist())))
+        "content_hash", pa.array(content_md5_batch(batch[text_col].to_pylist())))
 
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -113,7 +114,7 @@ def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             n_perm: int = 64, n_bands: int = 16,
-                            shingle_k: int = 3, concurrency=4):
+                            shingle_k: int = 3, concurrency=(1, 4)):
     """documents → candidate near-dup pairs (doc_a < doc_b) with estimated
     jaccard from signature agreement.  Pairs are generated per LSH bucket;
     dedup across buckets via a final groupby-min."""
@@ -165,12 +166,12 @@ class JaccardVerifier:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ja = [exact_jaccard(self.text[a], self.text[b], self.k)
               for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
-        return batch.append_column("jaccard", pa.array(np.round(ja, 6), pa.float64()))
+        return batch.append_column("jaccard", pa.array(round6(ja), pa.float64()))
 
 
 def minhash_dedup_pairs(ds, docs_path: str, *, threshold: float = 0.8,
                         id_col="doc_id", text_col="text", n_perm=64,
-                        n_bands=16, shingle_k=3, concurrency=4):
+                        n_bands=16, shingle_k=3, concurrency=(1, 4)):
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
     pairs ≥ threshold."""
     cand = minhash_candidate_pairs(ds, id_col, text_col, n_perm, n_bands,
@@ -198,14 +199,14 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(fps, pa.uint64()))
 
 
-def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=4):
+def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=(1, 4)):
     return ds.select_columns([id_col, text_col]).map_batches(
         SimHashStage, fn_constructor_kwargs={"text_col": text_col},
         batch_format="pyarrow", concurrency=concurrency)
 
 
 def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
-                       max_hamming: int = 3, n_tables: int = 4, concurrency=4):
+                       max_hamming: int = 3, n_tables: int = 4, concurrency=(1, 4)):
     """Near-dup pairs by SimHash: block on 16-bit key chunks (any pair with
     hamming ≤ 3 over 64 bits shares at least one of 4 16-bit chunks), then
     verify hamming in-bucket."""
@@ -257,9 +258,14 @@ def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None =
     cols = [id_col, vec_col] + ([block_col] if block_col else [])
     proj = ds.select_columns(cols)
 
+    def _empty():
+        return pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                             "vec_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+
     def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+            return _empty()
         g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
@@ -268,8 +274,11 @@ def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None =
         sims = m @ m.T
         ai, bi = np.triu_indices(len(ids), k=1)
         mask = sims[ai, bi] >= threshold
-        return pd.DataFrame({"vec_a": ids[ai[mask]], "vec_b": ids[bi[mask]],
-                             "cosine": np.round(sims[ai, bi][mask], 6)})
+        if not mask.any():
+            return _empty()
+        return pd.DataFrame({"vec_a": ids[ai[mask]].astype(np.int64),
+                             "vec_b": ids[bi[mask]].astype(np.int64),
+                             "cosine": round6(sims[ai, bi][mask])})
 
     if block_col:
         return proj.groupby(block_col).map_groups(group_pairs, batch_format="pandas")

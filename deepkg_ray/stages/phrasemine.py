@@ -1,0 +1,146 @@
+"""Phrase-mining corpus statistics: n-gram frequency, document frequency /
+IDF, PMI, left/right neighbor entropy — the distributed re-expression of the
+reference's in-memory Counter extractors
+(AutoPhraseX-main/autophrasex/extractors.py:101-290).
+
+Each statistic is: explode n-grams inside map_batches with a per-batch
+pre-aggregation (combiner), then a small groupby-sum — the Counters become
+groupby-aggregate outputs (SURVEY.md §2.5).  Formulas (PMI
+extractors.py:120-158, IDF 186-213, entropy 245-290) are computed
+post-aggregation and rounded to 6 decimals for oracle comparison.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from deepkg_ray.functions.numeric import round6
+
+_WS = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> list[str]:
+    t = text.lower().strip()
+    return _WS.split(t) if t else []
+
+
+def _explode_counts(texts: list[str], n: int) -> pd.DataFrame:
+    """Per-batch n-gram counts (combiner)."""
+    counts: dict[tuple, int] = {}
+    for t in texts:
+        ws = _tokens(t)
+        for i in range(len(ws) - n + 1):
+            key = tuple(ws[i:i + n])
+            counts[key] = counts.get(key, 0) + 1
+    if not counts:
+        return pd.DataFrame({f"w{j+1}": [] for j in range(n)} | {"cnt": []})
+    keys = list(counts.keys())
+    data = {f"w{j+1}": [k[j] for k in keys] for j in range(n)}
+    data["cnt"] = list(counts.values())
+    return pd.DataFrame(data)
+
+
+def ngram_counts(ds, n: int, text_col: str = "text"):
+    """Global n-gram frequency table (w1..wn, cnt)."""
+    key_cols = [f"w{j+1}" for j in range(n)]
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: _explode_counts(b[text_col].to_pylist(), n),
+        batch_format="pyarrow")
+    return (partial.groupby(key_cols)
+            .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def doc_frequency(ds, text_col: str = "text"):
+    """Distinct-per-document unigram counts (df) — reference
+    extractors.py:161-184."""
+    def explode(b: pa.Table) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            for w in set(_tokens(t)):
+                counts[w] = counts.get(w, 0) + 1
+        return pd.DataFrame({"w1": list(counts.keys()),
+                             "df": list(counts.values())})
+    partial = ds.select_columns([text_col]).map_batches(explode,
+                                                        batch_format="pyarrow")
+    return partial.groupby("w1").aggregate(Sum("df", alias_name="df"))
+
+
+def idf_table(ds, n_docs: int, text_col: str = "text"):
+    """(w1, df, idf) with idf = ln(n_docs / df), rounded to 6 dp."""
+    df = doc_frequency(ds, text_col)
+
+    def add_idf(b: pa.Table) -> pa.Table:
+        d = np.asarray(b["df"].to_pylist(), dtype=np.float64)
+        return b.append_column("idf", pa.array(round6(np.log(n_docs / d)),
+                                               pa.float64()))
+    return df.map_batches(add_idf, batch_format="pyarrow")
+
+
+def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1):
+    """(w1, w2, cnt, pmi): pmi = ln((c12/N2) / ((c1/N1)*(c2/N1))), the
+    log-ratio form of extractors.py:120-158, rounded to 6 dp.
+
+    Plan: one pass for unigrams, one for bigrams; unigram totals are a
+    small table collected to the driver and broadcast into the final
+    vectorized kernel (no third shuffle)."""
+    uni = ngram_counts(ds, 1, text_col).to_pandas()
+    n1 = float(uni["cnt"].sum())
+    counts = dict(zip(uni["w1"], uni["cnt"]))
+    big = ngram_counts(ds, 2, text_col)
+
+    # total bigram count: cheap second aggregate over the (small) bigram table
+    n2 = float(big.sum("cnt"))
+
+    def add_pmi(b: pa.Table) -> pa.Table:
+        c12 = np.asarray(b["cnt"].to_pylist(), dtype=np.float64)
+        c1 = np.asarray([counts[w] for w in b["w1"].to_pylist()], dtype=np.float64)
+        c2 = np.asarray([counts[w] for w in b["w2"].to_pylist()], dtype=np.float64)
+        pmi = np.log((c12 / n2) / ((c1 / n1) * (c2 / n1)))
+        t = b.append_column("pmi", pa.array(round6(pmi), pa.float64()))
+        if min_count > 1:
+            import pyarrow.compute as pc
+            t = t.filter(pc.greater_equal(t["cnt"], min_count))
+        return t
+
+    return big.map_batches(add_pmi, batch_format="pyarrow")
+
+
+def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
+    """(w1, entropy): Shannon entropy of the left/right-neighbor
+    distribution of each unigram (extractors.py:216-290), rounded 6 dp.
+    Tokens at sequence edges contribute a sentinel neighbor '∅'."""
+    assert side in ("left", "right")
+
+    def explode(b: pa.Table) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for t in b[text_col].to_pylist():
+            ws = _tokens(t)
+            for i, w in enumerate(ws):
+                if side == "right":
+                    nb = ws[i + 1] if i + 1 < len(ws) else "∅"
+                else:
+                    nb = ws[i - 1] if i > 0 else "∅"
+                counts[(w, nb)] = counts.get((w, nb), 0) + 1
+        ks = list(counts.keys())
+        return pd.DataFrame({"w1": [k[0] for k in ks],
+                             "nb": [k[1] for k in ks],
+                             "cnt": list(counts.values())})
+
+    pairs = (ds.select_columns([text_col])
+             .map_batches(explode, batch_format="pyarrow")
+             .groupby(["w1", "nb"]).aggregate(Sum("cnt", alias_name="cnt")))
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cnt"].to_numpy(dtype=np.float64)
+        p = c / c.sum()
+        h = float(-(p * np.log(p)).sum())
+        return pd.DataFrame({"w1": [g["w1"].iloc[0]],
+                             "entropy": [float(round6(h))]})
+
+    return pairs.groupby("w1").map_groups(entropy, batch_format="pandas")

@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from deepkg_ray.functions.numeric import round6
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.stack(col.to_pandas().to_numpy()) if hasattr(col, "to_pandas") else np.stack(col)
@@ -44,24 +46,26 @@ class BruteForceTopK:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
         m = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
-        sims = self.q @ m.T                       # [n_q, n_rows]
+        sims = round6(self.q @ m.T)               # [n_q, n_rows]
         k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         q_out, id_out, s_out = [], [], []
         for qi in range(sims.shape[0]):
-            sel = part[qi]
+            # select in the SAME total order the global reduction (and the
+            # SQL oracle) uses — (rounded cosine desc, vec_id asc) — so a
+            # row dropped here is strictly worse under that order too
+            sel = np.lexsort((ids, -sims[qi]))[:k]
             q_out.extend([int(self.qids[qi])] * len(sel))
             id_out.extend(ids[sel].tolist())
             s_out.extend(sims[qi, sel].tolist())
         return pa.table({
             "query_id": pa.array(q_out, pa.int64()),
             "vec_id": pa.array(id_out, pa.int64()),
-            "cosine": pa.array(np.round(s_out, 6), pa.float64()),
+            "cosine": pa.array(np.asarray(s_out, np.float64), pa.float64()),
         })
 
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
-                     *, id_col="vec_id", vec_col="embedding", concurrency=4):
+                     *, id_col="vec_id", vec_col="embedding", concurrency=(1, 4)):
     """Dataset of vectors → global top-k rows per query.
     Result: (query_id, vec_id, cosine, rank) with rank 0 = best.
     Tie-break on (−cosine, vec_id) for determinism."""
@@ -116,7 +120,7 @@ class IVFAssign:
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
              centroids: np.ndarray, nprobe: int = 4, id_col="vec_id",
-             vec_col="embedding", concurrency=4):
+             vec_col="embedding", concurrency=(1, 4)):
     """IVF cosine top-k: rows are bucketed by nearest centroid; each query
     only scans its `nprobe` nearest cells.  With nprobe = n_centroids this
     is exact and equals brute_force_topk."""
@@ -141,18 +145,17 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "vec_id": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        ids = g[id_col].to_numpy()
+        ids = g[id_col].to_numpy().astype(np.int64)
         m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        sims = q[q_idx] @ m.T
+        sims = round6(q[q_idx] @ m.T)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         frames = []
         for row, qi in enumerate(q_idx):
-            sel = part[row]
+            sel = np.lexsort((ids, -sims[row]))[:kk]
             frames.append(pd.DataFrame({
                 "query_id": np.full(len(sel), qids[qi], dtype=np.int64),
-                "vec_id": ids[sel].astype(np.int64),
-                "cosine": np.round(sims[row, sel], 6)}))
+                "vec_id": ids[sel],
+                "cosine": sims[row, sel]}))
         return pd.concat(frames, ignore_index=True)
 
     partial = assigned.groupby("ivf_cell").map_groups(scan_cell,

@@ -1,0 +1,124 @@
+"""Text analysis over a document table: token counts, quality scoring,
+language ID, document fingerprints.
+
+These are the training-data-pipeline operators the engine adds as
+first-class stages; the quality/stat kernels are vectorized pandas/numpy
+inside map_batches.  Every SQL-checkable output is rounded to 6 decimals so
+the engine and the DuckDB oracle hash identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from deepkg_ray.functions.numeric import round6
+
+from deepkg_ray.functions.hashing import SimHasher, rolling_fingerprint
+
+_WS = re.compile(r"\s+")
+PUNCT_CLASS = ".,;:!?"
+
+# tiny per-language stopword inventories for the n-gram/stopword-hit
+# language-ID heuristic; priority order breaks ties deterministically.
+LANG_STOPWORDS: list[tuple[str, frozenset[str]]] = [
+    ("en", frozenset("the and of to in".split())),
+    ("de", frozenset("der die und das ist".split())),
+    ("es", frozenset("el la los y de".split())),
+    ("fr", frozenset("le la les et des".split())),
+]
+
+
+def doc_stats_kernel(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc stats: n_chars, n_tokens, alpha_ratio, punct_ratio,
+    stop_ratio (English stopwords), quality score.  All ratios rounded to 6
+    decimals; quality = clipped linear combination (deterministic)."""
+    texts = batch[text_col].to_pylist()
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_tokens = np.empty(n, dtype=np.int64)
+    n_alpha = np.empty(n, dtype=np.int64)
+    n_punct = np.empty(n, dtype=np.int64)
+    n_stop = np.empty(n, dtype=np.int64)
+    en_stop = LANG_STOPWORDS[0][1]
+    for i, t in enumerate(texts):
+        n_chars[i] = len(t)
+        toks = _WS.split(t.strip()) if t.strip() else []
+        n_tokens[i] = len(toks)
+        n_alpha[i] = sum(c.isalpha() and c.isascii() for c in t)
+        n_punct[i] = sum(c in PUNCT_CLASS for c in t)
+        n_stop[i] = sum(w.lower() in en_stop for w in toks)
+    alpha_ratio = round6(n_alpha / np.maximum(n_chars, 1))
+    punct_ratio = round6(n_punct / np.maximum(n_chars, 1))
+    stop_ratio = round6(n_stop / np.maximum(n_tokens, 1))
+    quality = round6(np.clip(
+        0.4 * alpha_ratio + 0.3 * np.minimum(n_tokens, 100) / 100.0
+        + 0.3 * stop_ratio, 0.0, 1.0))
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    for name, arr, typ in [("n_chars_calc", n_chars, pa.int64()),
+                           ("n_tokens", n_tokens, pa.int64()),
+                           ("alpha_ratio", alpha_ratio, pa.float64()),
+                           ("punct_ratio", punct_ratio, pa.float64()),
+                           ("stop_ratio", stop_ratio, pa.float64()),
+                           ("quality", quality, pa.float64())]:
+        out = out.append_column(name, pa.array(arr, typ))
+    return out
+
+
+def doc_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: doc_stats_kernel(b, text_col), batch_format="pyarrow")
+
+
+def lang_id_kernel(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-hit language ID; argmax over LANG_STOPWORDS with
+    priority-order tie-break; 0 hits → 'unknown'.  Matches the oracle's
+    CASE-chain exactly."""
+    texts = batch[text_col].to_pylist()
+    langs = []
+    for t in texts:
+        toks = [w for w in _WS.split(t.lower().strip()) if w]
+        hits = [sum(w in sw for w in toks) for _, sw in LANG_STOPWORDS]
+        best = max(hits)
+        if best == 0:
+            langs.append("unknown")
+        else:
+            langs.append(LANG_STOPWORDS[hits.index(best)][0])
+    out = batch.select([c for c in batch.column_names if c != text_col])
+    return out.append_column("lang_detected", pa.array(langs, pa.string()))
+
+
+def lang_id(ds, text_col: str = "text", id_col: str = "doc_id"):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: lang_id_kernel(b, text_col), batch_format="pyarrow")
+
+
+class FingerprintStage:
+    """Actor stage: SimHash + winnowing rolling-hash fingerprints per doc
+    (document fingerprinting for containment/near-dup diagnostics)."""
+
+    def __init__(self, text_col: str = "text", window: int = 8,
+                 keep_mod: int = 16):
+        self.sh = SimHasher()
+        self.text_col = text_col
+        self.window, self.keep_mod = window, keep_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sims = [self.sh.fingerprint(t) for t in texts]
+        fps = [rolling_fingerprint(t, self.window, self.keep_mod) for t in texts]
+        out = batch.select([c for c in batch.column_names if c != self.text_col])
+        return (out.append_column("simhash", pa.array(sims, pa.uint64()))
+                .append_column("fingerprints", pa.array(fps, pa.list_(pa.uint64())))
+                .append_column("n_fingerprints",
+                               pa.array([len(f) for f in fps], pa.int64())))
+
+
+def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                 concurrency=(1, 4)):
+    return ds.select_columns([id_col, text_col]).map_batches(
+        FingerprintStage, fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,79 @@
+"""Event-time windowed aggregates and sessionization over the events table.
+
+Ray Data has no event-time windowing primitives (SURVEY.md §2.9: neither
+does the reference — strictly batch).  Windows are expressed as derived
+bucket columns + groupby (tumbling), and sessionization as per-key ordered
+processing inside ``groupby(key).map_groups`` — the same
+sort-within-partition contract the KG pipeline uses for stable turn
+ordering.  Ordering assumption: rows within a (user) group are sorted by
+(ts, event_id) inside the group function; block arrival order is never
+relied on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Sum
+
+from deepkg_ray.functions.numeric import round6, to_micros
+
+
+def tumbling_window(ds, window_sec: int, ts_col: str = "ts",
+                    key_col: str = "event_type", value_col: str = "value"):
+    """(key, window_start_us, n_events, sum_value): tumbling event-time
+    window via epoch-bucket column + groupby."""
+    win_us = window_sec * 1_000_000
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # normalize to µs regardless of the source timestamp unit
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        bucket = pc.multiply(pc.divide(us, win_us), win_us)  # int floor-div
+        # float measure → scaled int64 so the partial-aggregate sum is
+        # order-independent and oracle-hash-exact (functions/numeric.py)
+        micros = pa.array(to_micros(b[value_col].to_pylist()), pa.int64())
+        return pa.table({key_col: b[key_col],
+                         "window_start_us": bucket,
+                         "v_micros": micros})
+
+    bucketed = ds.select_columns([key_col, ts_col, value_col]).map_batches(
+        add_bucket, batch_format="pyarrow")
+    agg = (bucketed.groupby([key_col, "window_start_us"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("v_micros", alias_name="v_micros")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v_micros"].to_pylist(), np.float64) / 1e6
+        return (b.drop_columns(["v_micros"])
+                .append_column("sum_value", pa.array(v, pa.float64())))
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(ds, gap_sec: int = 1800, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"):
+    """(user_id, n_sessions, n_events): session = maximal run of events with
+    inter-event gap ≤ gap_sec, computed per user on (ts, id)-sorted rows."""
+    gap_us = gap_sec * 1_000_000
+
+    # derive an explicit int64 µs column in Arrow BEFORE any pandas
+    # conversion — pandas datetime64 unit (ns vs us) is version/peer
+    # dependent and silently breaks gap comparisons
+    def add_us(b: pa.Table) -> pa.Table:
+        return pa.table({user_col: b[user_col],
+                         id_col: b[id_col],
+                         "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", id_col], kind="stable")
+        us = g["ts_us"].to_numpy()
+        n_sessions = 1 + int((np.diff(us) > gap_us).sum()) if len(us) else 0
+        return pd.DataFrame({user_col: [g[user_col].iloc[0]],
+                             "n_sessions": np.array([n_sessions], np.int64),
+                             "n_events": np.array([len(g)], np.int64)})
+
+    return (ds.select_columns([user_col, ts_col, id_col])
+            .map_batches(add_us, batch_format="pyarrow")
+            .groupby(user_col).map_groups(per_user, batch_format="pandas"))

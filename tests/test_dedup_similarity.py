@@ -1,0 +1,131 @@
+"""Dedup family + similarity search on small controlled inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deepkg_ray.functions.hashing import MinHasher, SimHasher, hamming64
+from deepkg_ray.stages import dedup, similarity
+
+
+def _docs_ds(tmp_path):
+    texts = ["alpha beta gamma delta epsilon zeta eta theta",
+             "alpha beta gamma delta epsilon zeta eta theta",      # exact dup of 0
+             "alpha beta gamma delta epsilon zeta eta iota",       # near dup of 0
+             "completely different words entirely unrelated here now",
+             "another unrelated document with other tokens inside"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    path = str(tmp_path / "docs.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df), path)
+    return rd.from_pandas(df), path
+
+
+def test_dedup_exact_groups(tmp_path):
+    ds, _ = _docs_ds(tmp_path)
+    out = dedup.dedup_exact(ds).to_pandas()
+    assert len(out) == 4                       # 5 docs, one exact dup pair
+    dup = out[out.n_dups == 2]
+    assert len(dup) == 1 and dup.iloc[0]["doc_id"] == 0   # min-id representative
+    stats = dedup.exact_dup_stats(ds).to_pandas().iloc[0]
+    assert (stats.n_groups, stats.n_docs, stats.n_dup_docs) == (4, 5, 1)
+
+
+def test_minhash_identical_sig_for_identical_text():
+    mh = MinHasher()
+    s = mh.signatures(["a b c d e f g", "a b c d e f g", "x y z w v u t"])
+    assert (s[0] == s[1]).all()
+    assert (s[0] != s[2]).any()
+
+
+def test_minhash_dedup_pipeline(tmp_path):
+    ds, path = _docs_ds(tmp_path)
+    pairs = dedup.minhash_dedup_pairs(ds, path, threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in got                      # exact dup must be found
+    assert all(a < b for a, b in got)
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_near_pairs(tmp_path):
+    ds, _ = _docs_ds(tmp_path)
+    pairs = dedup.simhash_near_pairs(ds).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    assert pairs.loc[(pairs.doc_a == 0) & (pairs.doc_b == 1), "hamming"].iloc[0] == 0
+
+
+def test_simhash_hamming():
+    sh = SimHasher()
+    a = sh.fingerprint("the quick brown fox jumps")
+    b = sh.fingerprint("the quick brown fox jumps")
+    assert a == b and hamming64(a, a) == 0
+
+
+@pytest.fixture()
+def vec_ds():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((4, 16))
+    vecs, labels = [], []
+    for i in range(40):
+        c = i % 4
+        vecs.append(base[c] + 0.01 * rng.standard_normal(16))
+        labels.append(c)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [v.astype(np.float32) for v in vecs],
+                       "label": np.array(labels, dtype=np.int32)})
+    return rd.from_pandas(df), np.stack(vecs)
+
+
+def test_brute_force_topk_matches_numpy(vec_ds):
+    ds, m = vec_ds
+    q = m[:2]
+    out = dedup.pd if False else None
+    res = similarity.brute_force_topk(ds, q, [0, 1], k=5).to_pandas()
+    assert set(res["query_id"]) == {0, 1}
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in (0, 1):
+        sims = norm @ norm[qi]
+        expect = set(np.argsort(-sims)[:5].tolist())
+        got = set(res[res.query_id == qi]["vec_id"].tolist())
+        assert got == expect
+        # rank 0 is the query itself (cosine 1)
+        r0 = res[(res.query_id == qi) & (res["rank"] == 0)].iloc[0]
+        assert r0.vec_id == qi and abs(r0.cosine - 1.0) < 1e-6
+
+
+def test_ivf_full_probe_equals_brute_force(vec_ds):
+    ds, m = vec_ds
+    q = m[:2]
+    cents = similarity.train_centroids(m, n_centroids=4)
+    bf = similarity.brute_force_topk(ds, q, [0, 1], k=5).to_pandas()
+    ivf = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                              nprobe=4).to_pandas()
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    a = bf[cols].sort_values(cols).reset_index(drop=True)
+    b = ivf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ivf_low_nprobe_recalls_own_cluster(vec_ds):
+    ds, m = vec_ds
+    q = m[:1]
+    cents = similarity.train_centroids(m, n_centroids=4)
+    ivf = similarity.ivf_topk(ds, q, [0], k=5, centroids=cents,
+                              nprobe=1).to_pandas()
+    # the query's own cluster members dominate its top-k
+    assert 0 in set(ivf["vec_id"])
+
+
+def test_embedding_near_pairs_blocked(vec_ds):
+    ds, m = vec_ds
+    pairs = dedup.embedding_near_pairs(ds, threshold=0.99,
+                                       block_col="label").to_pandas()
+    # same-cluster vectors are ~identical; cross-cluster never compared
+    assert len(pairs) > 0
+    assert (pairs.cosine >= 0.99).all()
+    lab = {i: i % 4 for i in range(40)}
+    assert all(lab[a] == lab[b] for a, b in
+               zip(pairs.vec_a, pairs.vec_b))

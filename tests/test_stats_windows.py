@@ -1,0 +1,138 @@
+"""textstats / phrasemine / windows stages on hand-computed goldens."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deepkg_ray.stages import phrasemine, textstats, windows
+
+
+def test_doc_stats_golden():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": ["the cat, the dog.", ""]})
+    out = textstats.doc_stats_kernel(t).to_pylist()
+    r = out[0]
+    assert r["n_chars_calc"] == 17
+    assert r["n_tokens"] == 4
+    assert r["alpha_ratio"] == math.floor(12 / 17 * 1e6 + 0.5) / 1e6
+    assert r["punct_ratio"] == math.floor(2 / 17 * 1e6 + 0.5) / 1e6
+    # "the" twice of 4 tokens ("cat," has a comma → not a stopword token)
+    assert r["stop_ratio"] == 0.5
+    assert out[1]["n_tokens"] == 0 and out[1]["quality"] == 0.0
+
+
+def test_lang_id_priority_ties():
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": ["de la de la",        # es 'de','la' hits=4? de∈es, la∈es/fr
+                           "der und ist",
+                           "zzz qqq"]})
+    out = textstats.lang_id_kernel(t)["lang_detected"].to_pylist()
+    assert out[1] == "de" and out[2] == "unknown"
+
+
+def test_ngram_pmi_golden():
+    docs = pd.DataFrame({"text": ["a b a b", "a b"]})
+    ds = rd.from_pandas(docs)
+    big = phrasemine.ngram_counts(ds, 2).to_pandas()
+    counts = {(r.w1, r.w2): r.cnt for r in big.itertuples()}
+    assert counts == {("a", "b"): 3, ("b", "a"): 1}
+    pmi = phrasemine.pmi_bigrams(ds).to_pandas()
+    row = pmi[(pmi.w1 == "a") & (pmi.w2 == "b")].iloc[0]
+    # n1=6 unigrams (a:3,b:3), n2=4 bigrams; pmi = ln((3/4)/((3/6)*(3/6)))
+    expect = math.log((3 / 4) / ((3 / 6) * (3 / 6)))
+    assert abs(row.pmi - expect) < 1e-6
+
+
+def test_idf_golden():
+    docs = pd.DataFrame({"text": ["a b", "a c", "a d"]})
+    ds = rd.from_pandas(docs)
+    out = phrasemine.idf_table(ds, n_docs=3).to_pandas().set_index("w1")
+    assert out.loc["a", "df"] == 3 and abs(out.loc["a", "idf"]) < 1e-9
+    assert abs(out.loc["b", "idf"] - math.log(3)) < 1e-6
+
+
+def test_neighbor_entropy_golden():
+    docs = pd.DataFrame({"text": ["a b", "a c"]})
+    out = phrasemine.neighbor_entropy(rd.from_pandas(docs)).to_pandas()
+    ent = dict(zip(out.w1, out.entropy))
+    # 'a' has neighbors b,c equally → ln 2; b/c only sentinel → 0
+    assert abs(ent["a"] - math.log(2)) < 1e-6
+    assert ent["b"] == 0.0
+
+
+def test_tumbling_window_and_sessionize():
+    base = 300_000_000 * 5_666_667        # aligned to the 300 s window
+    rows = []
+    for i, off_s in enumerate([0, 100, 400, 4000]):
+        rows.append({"event_id": i, "user_id": 1, "event_type": "x",
+                     "value": 1.5, "ts": base + off_s * 1_000_000})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    ds = rd.from_pandas(df)
+    win = windows.tumbling_window(ds, 300).to_pandas()
+    assert win["n_events"].sum() == 4
+    assert len(win) == 3                      # buckets 0, 300, 3900 (s)
+    assert np.isclose(win["sum_value"], [3.0, 1.5, 1.5]).all() or \
+        np.isclose(sorted(win["sum_value"]), [1.5, 1.5, 3.0]).all()
+    ses = windows.sessionize(ds, gap_sec=1800).to_pandas()
+    assert ses.iloc[0]["n_sessions"] == 2     # 3600s gap before the last event
+    assert ses.iloc[0]["n_events"] == 4
+
+
+def test_multimodal_plumbing():
+    from deepkg_ray.stages import multimodal
+    ds = rd.from_arrow(multimodal.synth_media_table(n=32))
+    out = multimodal.decode_features(ds).to_pandas()
+    assert len(out) == 32
+    assert all(len(f) == 16 for f in out["features"])
+    # deterministic: same payload → same features
+    out2 = multimodal.decode_features(
+        rd.from_arrow(multimodal.synth_media_table(n=32))).to_pandas()
+    a = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert np.array_equal(a, b)
+    # the real-codec tier is import-gated
+    import pytest
+    with pytest.raises((NotImplementedError, Exception)):
+        multimodal.LibDecoder()
+
+
+def test_checkpoint_resume(tmp_path):
+    import glob
+    from deepkg_ray.state.checkpoint import PartitionManifest, run_partitioned
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        pa.parquet.write_table(
+            pa.table({"x": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(src / f"shard-{i}.parquet"))
+    calls = []
+
+    def process(f):
+        calls.append(f)
+        return rd.read_parquet(f).map_batches(
+            lambda b: b.append_column("y", pa.array(
+                [v * 2 for v in b["x"].to_pylist()], pa.int64())),
+            batch_format="pyarrow")
+
+    out_dir = str(tmp_path / "out")
+    files = sorted(glob.glob(str(src / "*.parquet")))
+    c1 = run_partitioned(files, out_dir, process)
+    assert len(c1) == 3 and len(calls) == 3
+    # resume: nothing reprocessed
+    c2 = run_partitioned(files, out_dir, process)
+    assert len(calls) == 3 and c2 == c1
+    # partial resume: drop one partition from the manifest → only it reruns
+    m = PartitionManifest(out_dir)
+    del m._data["partitions"]["shard-1"]
+    import json, os
+    with open(m.path, "w") as f:
+        json.dump(m._data, f)
+    run_partitioned(files, out_dir, process)
+    assert len(calls) == 4
+    from deepkg_ray.state.checkpoint import metrics_table
+    mt = metrics_table(out_dir)
+    assert mt["rows_out"].to_pylist() == [10, 10, 10]
