@@ -27,11 +27,19 @@ def entry() -> Any:
 # --------------------------------------------------------------- queries ----
 
 def _q_kg_mention_counts(sf_dir: str):
-    from ray.data.aggregate import Count
+    import pyarrow as pa
     from deepkg_ray.pipelines import kg
-    m = kg.mentions_dataset(sf_dir)
-    return (m.groupby(["conv_id", "turn_idx", "surface", "entity_id", "type"])
-            .aggregate(Count(alias_name="n_occ")))
+    from deepkg_ray.stages.treeagg import merge_partials
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+
+    partial = kg.mentions_dataset(sf_dir).map_batches(combine,
+                                                      batch_format="pyarrow")
+    return merge_partials(partial, keys, {"n_occ": "sum"})
 
 
 def _q_kg_triples(sf_dir: str):

@@ -19,11 +19,11 @@ import sys
 import time
 
 
-def _headline_kg(sf_dir: str, out_dir: str) -> dict:
+def _headline_kg(sf_dir: str, out_dir: str, repeat: int = 1) -> dict:
     """Full KG build: transcripts → mentions/triples → linked → canonical
     adjacency + entities + predicates, materialized to parquet."""
     from deepkg_ray.pipelines import kg
-    out = kg.build_kg(sf_dir, out_dir=out_dir)
+    out = kg.build_kg(sf_dir, out_dir=out_dir, repeat=repeat)
     n_edges = out["adjacency"].count()
     return {"n_edges": n_edges}
 
@@ -72,18 +72,25 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_turns = json.load(open(os.path.join(synth.ensure_synth(sf_dir),
                                           "spec.json")))["n_rows"]
 
+    repeat = int(os.environ.get("DEEPKG_BENCH_REPEAT", "1"))
     queries: dict[str, float] = {}
     extra: dict = {}
 
     t0 = time.time()
-    extra.update(_headline_kg(sf_dir, out_dir=f"/tmp/bench_kg_{num_cpus}"))
+    extra.update(_headline_kg(sf_dir, out_dir=f"/tmp/bench_kg_{num_cpus}",
+                              repeat=repeat))
     headline = time.time() - t0
     queries["kg_build"] = round(headline, 3)
+    n_turns *= repeat
+    extra["repeat"] = repeat
 
-    for name, fn in [("kg_mentions", _q_mentions),
-                     ("dedup_exact", _q_dedup_exact),
-                     ("ann_topk", _q_ann),
-                     ("dedup_minhash", _q_minhash)]:
+    side = [("kg_mentions", _q_mentions),
+            ("dedup_exact", _q_dedup_exact),
+            ("ann_topk", _q_ann),
+            ("dedup_minhash", _q_minhash)]
+    if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
+        side = []
+    for name, fn in side:
         t0 = time.time()
         try:
             fn(sf_dir)
@@ -108,10 +115,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    """Same pipeline, same input, two fresh processes at lo and hi CPUs
+    (DEEPKG_SCALE_LO/HI, default 8 and 32).  The input is repeated
+    (DEEPKG_BENCH_REPEAT, default 24) so the run is long enough that
+    steady-state throughput — not actor-pool boot (~6s fixed) — is
+    measured; side queries are skipped in the sub-runs."""
     import subprocess
+    lo = lo or int(os.environ.get("DEEPKG_SCALE_LO", "8"))
+    hi = hi or int(os.environ.get("DEEPKG_SCALE_HI", "32"))
+    repeat = os.environ.get("DEEPKG_BENCH_REPEAT", "24")
     def one(n):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   DEEPKG_BENCH_REPEAT=repeat, DEEPKG_BENCH_ONLY="kg_build")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

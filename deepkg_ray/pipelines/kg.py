@@ -27,9 +27,14 @@ from deepkg_ray.stages.mention import detect_mentions
 from deepkg_ray.stages.relation import extract_triples
 
 
-def transcripts_with_norm(sf_dir: str, *, parallelism: int | None = None):
+def transcripts_with_norm(sf_dir: str, *, repeat: int = 1):
+    """repeat>1 re-reads the shard list N times — used by the scaling bench
+    to measure steady-state throughput on a workload large enough that
+    fixed startup costs don't dominate."""
+    import glob
     path = synth.transcripts_path(sf_dir)
-    ds = read_transcripts(path)
+    files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
+    ds = read_transcripts(files * repeat if repeat > 1 else path)
     return ds.map_batches(add_text_norm, batch_format="pyarrow", batch_size=8192)
 
 
@@ -48,21 +53,29 @@ def surface_triples_dataset(sf_dir: str, *, concurrency=(1, 8)):
     return extract_triples(ds, dict_path, concurrency=concurrency)
 
 
-def linked_triples_dataset(sf_dir: str, *, concurrency=(1, 8)):
+def linked_triples_dataset(sf_dir: str, *, concurrency=None, repeat: int = 1):
+    """Fused extract+link actor pool (one hot stage, cluster-sized)."""
+    from deepkg_ray.stages.relation import (extract_linked_triples,
+                                            extract_linked_triples_tasks)
     dict_path = synth.dictionary_path(sf_dir)
-    return link_triples(surface_triples_dataset(sf_dir, concurrency=concurrency),
-                        dict_path, concurrency=concurrency)
+    ds = transcripts_with_norm(sf_dir, repeat=repeat)
+    if concurrency is None:
+        # task pool + per-worker state cache (see relation.py) — elastic,
+        # no actor-boot cliff on short jobs
+        return extract_linked_triples_tasks(ds, dict_path)
+    return extract_linked_triples(ds, dict_path, concurrency=concurrency)
 
 
-def adjacency_dataset(sf_dir: str, *, concurrency=(1, 8)):
+def adjacency_dataset(sf_dir: str, *, concurrency=None):
     """Canonical graph edges (subj_id, pred, obj_id, names, types, weight, src)."""
     return aggregate_adjacency(linked_triples_dataset(sf_dir, concurrency=concurrency))
 
 
-def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=(1, 8)) -> dict:
+def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=None,
+             repeat: int = 1) -> dict:
     """Run the full pipeline; if out_dir is given, materialize all graph
     artifacts as parquet (the [F] stage); returns the datasets."""
-    linked = linked_triples_dataset(sf_dir, concurrency=concurrency)
+    linked = linked_triples_dataset(sf_dir, concurrency=concurrency, repeat=repeat)
     adj = aggregate_adjacency(linked)
     out = {
         "adjacency": adj,
@@ -102,3 +115,48 @@ def conv_cumulative_triples(sf_dir: str, *, concurrency=(1, 8)):
         return g
 
     return per_turn.groupby("conv_id").map_groups(cum, batch_format="pandas")
+
+
+def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=(1, 8)) -> dict:
+    """Checkpointed variant of build_kg: each transcript shard is processed
+    and written atomically under ``out_dir/linked/part=<shard>/`` with a
+    manifest (state/checkpoint.py), so a rerun skips completed shards; the
+    canonical adjacency is then aggregated over the partitioned output.
+    This is the shape a 100 TB run uses: partition = input file group,
+    lineage counters per partition, resume = skip."""
+    import glob
+    import ray.data as rd
+    from deepkg_ray.state.checkpoint import metrics_table, run_partitioned
+    from deepkg_ray.stages.linking import link_triples
+    from deepkg_ray.stages.relation import extract_triples
+
+    dict_path = synth.dictionary_path(sf_dir)
+    files = sorted(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
+
+    def process(f: str):
+        ds = rd.read_parquet(f, columns=["conv_id", "turn_idx", "text"])
+        ds = ds.map_batches(add_text_norm, batch_format="pyarrow",
+                            batch_size=8192)
+        triples = extract_triples(ds, dict_path, concurrency=concurrency)
+        return link_triples(triples, dict_path, concurrency=concurrency)
+
+    linked_dir = f"{out_dir}/linked"
+    counters = run_partitioned(files, linked_dir, process)
+
+    linked = rd.read_parquet([p for p in glob.glob(f"{linked_dir}/part=*")])
+    adj = aggregate_adjacency(linked)
+    # atomic overwrite — write_parquet otherwise APPENDS uniquely-named
+    # files into an existing dir, double-counting on rerun
+    import os
+    import shutil
+    tmp = f"{out_dir}/.adjacency.tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    adj.write_parquet(tmp)
+    final = f"{out_dir}/adjacency"
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+    import pyarrow.parquet as pq
+    pq.write_table(metrics_table(linked_dir), f"{out_dir}/metrics.parquet")
+    return {"counters": counters, "adjacency_dir": final}

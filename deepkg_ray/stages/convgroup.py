@@ -1,0 +1,134 @@
+"""Conversation-aware grouping with salted-key skew mitigation.
+
+The transcript table has hot conversations (1000× median turns —
+FIXTURES.md §1).  Any per-conversation grouped computation
+(`groupby("conv_id")`) puts a whole conversation in one task; a hot
+conversation becomes a straggler.  Mitigation (SURVEY.md §7.4 / north_rule
+"salted-key skew handling"):
+
+1. **Salted two-level aggregation** — group on
+   ``(conv_id, salt = turn_idx // K)`` first (bounded group size), then
+   merge the per-salt partials per conversation.  Works whenever the
+   per-conversation computation is decomposable (counts, sums, windows with
+   bounded overlap).
+
+2. **Ordered per-conversation processing** — when the computation needs the
+   full ordered conversation (context windows), sort within the salted
+   group and carry boundary rows between adjacent salt blocks.
+
+This module implements (1) generically and provides conversation context
+windows via (2) with a one-turn overlap carry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Max, Min, Sum
+
+
+def add_salt(ds, *, turns_per_salt: int = 256, conv_col: str = "conv_id",
+             turn_col: str = "turn_idx"):
+    """Append ``salt = turn_idx // K`` — the sub-conversation bucket key."""
+    def kernel(b: pa.Table) -> pa.Table:
+        salt = pc.divide(b[turn_col].combine_chunks().cast(pa.int64()),
+                         turns_per_salt)
+        return b.append_column("salt", salt.cast(pa.int32()))
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def salted_conv_stats(ds, *, turns_per_salt: int = 256):
+    """Per-conversation turn counts / char sums via salted two-level
+    aggregation: level 1 groups on (conv_id, salt) — no group exceeds
+    turns_per_salt rows regardless of conversation size — level 2 merges
+    the (tiny) per-salt partials."""
+    def kernel(b: pa.Table) -> pa.Table:
+        salt = pc.divide(b["turn_idx"].combine_chunks().cast(pa.int64()),
+                         turns_per_salt)
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "salt": salt.cast(pa.int32()),
+            "chars": pc.utf8_length(b["text"].combine_chunks()).cast(pa.int64()),
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+        })
+
+    lv1 = (ds.map_batches(kernel, batch_format="pyarrow")
+           .groupby(["conv_id", "salt"])
+           .aggregate(Sum("chars", alias_name="chars"),
+                      Min("turn_idx", alias_name="min_turn"),
+                      Max("turn_idx", alias_name="max_turn")))
+
+    def count_col(b: pa.Table) -> pa.Table:
+        n = pc.add(pc.subtract(b["max_turn"].combine_chunks(),
+                               b["min_turn"].combine_chunks()), 1)
+        return (b.append_column("n_turns", n.cast(pa.int64()))
+                .drop_columns(["min_turn", "max_turn"]))
+
+    lv2 = (lv1.map_batches(count_col, batch_format="pyarrow")
+           .groupby("conv_id")
+           .aggregate(Sum("chars", alias_name="n_chars"),
+                      Sum("n_turns", alias_name="n_turns"),
+                      Max("salt", alias_name="n_salt_blocks")))
+
+    def fix_blocks(b: pa.Table) -> pa.Table:
+        blocks = pc.add(b["n_salt_blocks"].combine_chunks(), 1)
+        return b.set_column(b.schema.get_field_index("n_salt_blocks"),
+                            "n_salt_blocks", blocks.cast(pa.int32()))
+    return lv2.map_batches(fix_blocks, batch_format="pyarrow")
+
+
+def conv_context_windows(ds, *, window: int = 2, turns_per_salt: int = 256):
+    """Per-turn context: concat of the previous `window` turns' text within
+    the conversation, computed per salted block with a `window`-turn overlap
+    carry so block boundaries don't lose context.  Ordered processing inside
+    the group (sort by turn_idx), never relying on block arrival order.
+
+    Returns (conv_id, turn_idx, context) where context joins the previous
+    `window` turn texts with " | "."""
+    assert window < turns_per_salt
+
+    def kernel(b: pa.Table) -> pa.Table:
+        turn = b["turn_idx"].combine_chunks().cast(pa.int64())
+        salt = pc.divide(turn, turns_per_salt)
+        base = pa.table({"conv_id": b["conv_id"], "turn_idx": turn,
+                         "text": b["text"], "salt": salt.cast(pa.int32()),
+                         "carry": pa.array(np.zeros(b.num_rows, np.bool_))})
+        # overlap carry: the last `window` turns of each block are ALSO sent
+        # to the next block (carry=True rows provide context only)
+        nxt_mask = pc.greater_equal(
+            pc.add(turn, window),
+            pc.multiply(pc.add(salt, 1), turns_per_salt))
+        carry_rows = base.filter(nxt_mask)
+        if carry_rows.num_rows:
+            carry_rows = (carry_rows
+                          .set_column(3, "salt",
+                                      pc.add(carry_rows["salt"].combine_chunks(), 1).cast(pa.int32()))
+                          .set_column(4, "carry",
+                                      pa.array(np.ones(carry_rows.num_rows, np.bool_))))
+            base = pa.concat_tables([base, carry_rows])
+        return base
+
+    salted = ds.select_columns(["conv_id", "turn_idx", "text"]).map_batches(
+        kernel, batch_format="pyarrow")
+
+    def per_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["turn_idx", "carry"], kind="stable")
+        g = g.drop_duplicates("turn_idx", keep="first")
+        texts = g["text"].tolist()
+        turns = g["turn_idx"].tolist()
+        carry = g["carry"].tolist()
+        ctx = []
+        for i in range(len(g)):
+            prev = [texts[j] for j in range(max(0, i - window), i)]
+            ctx.append(" | ".join(prev))
+        out = pd.DataFrame({"conv_id": g["conv_id"].tolist(),
+                            "turn_idx": np.asarray(turns, np.int64),
+                            "context": ctx,
+                            "carry": carry})
+        return out[~out["carry"]].drop(columns=["carry"])
+
+    return salted.groupby(["conv_id", "salt"]).map_groups(
+        per_block, batch_format="pandas")

@@ -64,11 +64,20 @@ class RelationExtractor:
 
     def __init__(self, dictionary_path: str, text_col: str = "text_norm",
                  templates=RELATION_TEMPLATES):
+        import re as _re
         self.alias_map = load_alias_map(dictionary_path)  # surface → (eid, type, canonical)
         self.patterns = compile_pred_patterns(templates)
         self.text_col = text_col
+        # vectorized C prefilter: rows without any predicate infix can never
+        # yield a triple — drop them before the Python-object conversion
+        # (typically 2-3x fewer rows reach the Python regex path)
+        self.prefilter_re = "|".join(_re.escape(infix.strip())
+                                     for _, _, _, infix in templates)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.match_substring_regex(batch[self.text_col], self.prefilter_re)
+        batch = batch.filter(mask)
         texts = batch[self.text_col].to_pylist()
         blob = "\x00".join(texts)
         lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
@@ -146,3 +155,61 @@ def extract_triples(ds, dictionary_path: str, *, concurrency=(1, 8),
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class LinkedRelationExtractor(RelationExtractor):
+    """Fused extraction + exact linking: the alias map is already in this
+    actor, so emitting canonical ids here removes a whole actor-pool stage
+    (and one object-store hop) from the hot path."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = super().__call__(batch)
+        s_ids, s_names, o_ids, o_names = [], [], [], []
+        for s in t["subj_text"].to_pylist():
+            m = self.alias_map[s]
+            s_ids.append(m[0]); s_names.append(m[2])
+        for o in t["obj_text"].to_pylist():
+            m = self.alias_map[o]
+            o_ids.append(m[0]); o_names.append(m[2])
+        return (t.append_column("subj_id", pa.array(s_ids, pa.int64()))
+                .append_column("subj_name", pa.array(s_names, pa.string()))
+                .append_column("obj_id", pa.array(o_ids, pa.int64()))
+                .append_column("obj_name", pa.array(o_names, pa.string())))
+
+
+def extract_linked_triples(ds, dictionary_path: str, *, concurrency=None,
+                           batch_size: int = 8192):
+    from deepkg_ray.util import heavy_pool
+    return ds.map_batches(
+        LinkedRelationExtractor,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or heavy_pool(),
+    )
+
+
+# Per-worker-process state cache for the TASK-pool variant: Ray reuses
+# worker processes across map tasks, so the extractor (alias map + compiled
+# patterns) is built once per worker — the same amortization an actor pool
+# gives, WITHOUT pool sizing/ramp pathologies (a fresh actor pool pays a
+# multi-second Python boot per actor, which dominates short jobs; a task
+# pool runs on prestarted workers and scales elastically).  Actor pools
+# remain the right shape for GPU/model stages (multimodal.py, linking
+# CandidateGenerator).
+_WORKER_CACHE: dict = {}
+
+
+def _cached_extractor(dictionary_path: str) -> "LinkedRelationExtractor":
+    ex = _WORKER_CACHE.get(dictionary_path)
+    if ex is None:
+        ex = LinkedRelationExtractor(dictionary_path)
+        _WORKER_CACHE[dictionary_path] = ex
+    return ex
+
+
+def extract_linked_triples_tasks(ds, dictionary_path: str, *,
+                                 batch_size: int = 8192):
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_extractor(dictionary_path)(batch)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

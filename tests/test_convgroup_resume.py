@@ -1,0 +1,83 @@
+"""Salted conversation grouping + resumable partitioned KG build."""
+
+import glob
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from deepkg_ray import synth
+from deepkg_ray.pipelines import kg
+from deepkg_ray.stages import convgroup
+
+
+def test_salted_conv_stats_match_direct(sf_dir, synth_dir):
+    ds = rd.read_parquet(os.path.join(synth_dir, "transcripts"),
+                         columns=["conv_id", "turn_idx", "text"])
+    out = convgroup.salted_conv_stats(ds, turns_per_salt=64).to_pandas()
+    # direct (unsalted) reference computation
+    df = pq.read_table(os.path.join(synth_dir, "transcripts"),
+                       columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    direct = (df.assign(chars=df.text.str.len())
+              .groupby("conv_id")
+              .agg(n_chars=("chars", "sum"), n_turns=("turn_idx", "count")))
+    merged = out.set_index("conv_id").join(direct, lsuffix="_salted")
+    assert (merged["n_chars_salted"] == merged["n_chars"]).all()
+    assert (merged["n_turns_salted"] == merged["n_turns"]).all()
+    # hot conversations span multiple salt blocks (skew actually exercised)
+    hot = out[out.conv_id.str.startswith("conv-hot")]
+    assert (hot["n_salt_blocks"] > 1).all()
+
+
+def test_conv_context_windows_cross_block(sf_dir, synth_dir):
+    ds = rd.read_parquet(os.path.join(synth_dir, "transcripts"),
+                         columns=["conv_id", "turn_idx", "text"])
+    K = 64
+    out = convgroup.conv_context_windows(ds, window=2,
+                                         turns_per_salt=K).to_pandas()
+    df = pq.read_table(os.path.join(synth_dir, "transcripts"),
+                       columns=["conv_id", "turn_idx", "text"]).to_pandas()
+    txt = {(c, t): x for c, t, x in zip(df.conv_id, df.turn_idx, df.text)}
+    # verify context at a salt-block boundary of a hot conversation
+    hot = out[(out.conv_id == "conv-hot-00") & (out.turn_idx == K)].iloc[0]
+    expect = " | ".join([txt[("conv-hot-00", K - 2)], txt[("conv-hot-00", K - 1)]])
+    assert hot["context"] == expect
+    # first turn has empty context
+    first = out[(out.conv_id == "conv-hot-00") & (out.turn_idx == 0)].iloc[0]
+    assert first["context"] == ""
+    assert len(out) == len(df)
+
+
+def test_build_kg_resumable(sf_dir, synth_dir, tmp_path):
+    out_dir = str(tmp_path / "kg")
+    r1 = kg.build_kg_resumable(sf_dir, out_dir)
+    n_parts = len(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
+    assert len(r1["counters"]) == n_parts
+    adj1 = pq.read_table(glob.glob(f"{out_dir}/adjacency/*.parquet")[0] if False
+                         else f"{out_dir}/adjacency").to_pandas()
+    gold = pq.read_table(os.path.join(synth_dir, "triples_gold.parquet")).to_pandas()
+    assert int(adj1["weight"].sum()) == len(gold)
+    # resume: second run reprocesses nothing (manifest unchanged mtimes)
+    manifest = f"{out_dir}/linked/_manifest.json"
+    mtime = os.path.getmtime(manifest)
+    part_dir = sorted(glob.glob(f"{out_dir}/linked/part=*"))[0]
+    pmtime = os.path.getmtime(part_dir)
+    r2 = kg.build_kg_resumable(sf_dir, out_dir)
+    assert os.path.getmtime(part_dir) == pmtime     # partition untouched
+    assert r2["counters"] == r1["counters"]
+    # crash-resume: wipe one partition + its manifest entry → only it reruns
+    import json
+    with open(manifest) as f:
+        m = json.load(f)
+    victim = sorted(m["partitions"])[0]
+    del m["partitions"][victim]
+    with open(manifest, "w") as f:
+        json.dump(m, f)
+    shutil.rmtree(f"{out_dir}/linked/part={victim}")
+    r3 = kg.build_kg_resumable(sf_dir, out_dir)
+    adj3 = pq.read_table(f"{out_dir}/adjacency").to_pandas()
+    assert int(adj3["weight"].sum()) == len(gold)   # byte-stable re-output
+    # metrics/lineage table exists with one row per partition
+    mt = pq.read_table(f"{out_dir}/metrics.parquet").to_pandas()
+    assert len(mt) == n_parts and (mt["rows_out"] > 0).all()

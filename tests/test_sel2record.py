@@ -1,0 +1,140 @@
+"""Golden tests for the SEL→record parity kernel, mirroring the reference's
+behaviors (UIE_torch/uie/evaluation/sel2record.py; tuple-shape docstrings in
+uie/evaluation/scorer.py)."""
+
+import pyarrow as pa
+
+from deepkg_ray.stages import sel2record as s2r
+
+TS, TE, SS = s2r.TYPE_START, s2r.TYPE_END, s2r.SPAN_START
+
+
+def sel(*parts):
+    return "".join(parts)
+
+
+def test_convert_and_parse_well_formed():
+    s = sel(TS, TS, " person ", SS, " rei kamone ", TE, TE)
+    recs, ctr = s2r.parse_sel(s, text="we saw rei kamone today",
+                              spot_set={"person"})
+    assert ctr.get("well-formed") == 1
+    assert recs == [{"type": "person", "spot": "rei kamone", "asocs": []}]
+
+
+def test_nested_asoc_records():
+    s = sel(TS, TS, " person ", SS, " alice ",
+            TS, " works for ", SS, " acme ", TE, TE, TE)
+    recs, _ = s2r.parse_sel(s, text="alice works for acme",
+                            spot_set={"person"}, asoc_set={"works for"})
+    assert recs == [{"type": "person", "spot": "alice",
+                     "asocs": [("works for", "acme")]}]
+
+
+def test_bracket_repair_on_truncated_output():
+    # generation cut off mid-expression: missing closing brackets
+    s = sel(TS, TS, " person ", SS, " alice ")
+    recs, ctr = s2r.parse_sel(s, text="alice", spot_set={"person"})
+    assert ctr.get("fixed") == 1
+    assert recs[0]["spot"] == "alice"
+
+
+def test_invalid_type_and_span_dropped():
+    bad_type = sel(TS, TS, " martian ", SS, " alice ", TE, TE)
+    recs, _ = s2r.parse_sel(bad_type, text="alice", spot_set={"person"})
+    assert recs == []
+    bad_span = sel(TS, TS, " person ", SS, " bob ", TE, TE)
+    recs, _ = s2r.parse_sel(bad_span, text="alice only", spot_set={"person"})
+    assert recs == []          # span∈text check (sel2record.py:984-988)
+
+
+def test_null_span_dropped():
+    s = sel(TS, TS, " person ", SS, " ", s2r.NULL_SPAN, " ", TE, TE)
+    recs, _ = s2r.parse_sel(s, text="anything", spot_set={"person"})
+    assert recs == []
+
+
+def test_unk_fix_from_text():
+    # reference example (sel2record.py:768-772)
+    fixed = s2r.fix_unk_from_text("<unk> colo e Bengo",
+                                  "Angola International Airport is located "
+                                  "at Ícolo e Bengo")
+    assert fixed == "Ícolo e Bengo"
+    # bail-out on over-long regex: span returned unchanged
+    long_span = "<unk> " + "x" * 120
+    assert s2r.fix_unk_from_text(long_span, "text") == long_span
+
+
+def test_records_to_tasks_relation_projection():
+    recs = [{"type": "person", "spot": "alice", "asocs": [("works for", "acme")]},
+            {"type": "org", "spot": "acme", "asocs": []}]
+    tasks = s2r.records_to_tasks(recs, entity_types={"person", "org"},
+                                 event_types=set())
+    assert tasks["entity"] == [{"text": "alice", "type": "person"},
+                               {"text": "acme", "type": "org"}]
+    # tail found in entity_dict → uses its own type
+    assert tasks["relation"] == [{"type": "works for",
+                                  "roles": [("person", "alice"),
+                                            ("org", "acme")]}]
+    # tail NOT an extracted entity → falls back to subject type
+    # (sel2record.py:83 entity_dict.get(role[1], record['type']))
+    tasks2 = s2r.records_to_tasks(
+        [{"type": "person", "spot": "alice", "asocs": [("works for", "zzz")]}],
+        entity_types={"person"}, event_types=set())
+    assert tasks2["relation"][0]["roles"][1] == ("person", "zzz")
+
+
+def test_event_role_filtering():
+    recs = [{"type": "attack", "spot": "bombed", "asocs": [("agent", "alice"),
+                                                           ("place", "mars")]},
+            {"type": "person", "spot": "alice", "asocs": []}]
+    tasks = s2r.records_to_tasks(recs, entity_types={"person"},
+                                 event_types={"attack"})
+    # roles filtered to known entities when any entity exists (:87-96)
+    assert tasks["event"][0]["roles"] == [("agent", "alice")]
+
+
+def test_match_sublist_and_overlap():
+    assert s2r.match_sublist([1, 2, 3, 4, 1, 2], [1, 2]) == [(0, 1), (4, 5)]
+    assert s2r.check_overlap((3, 4), (4, 5)) is True
+    assert s2r.check_overlap((3, 3), (4, 5)) is False
+
+
+def test_entity_offset_first_and_dedup():
+    tokens = "a b a b".split()
+    ents = [{"type": "t", "text": "a b"}, {"type": "t", "text": "a b"}]
+    out = s2r.entity_to_offset(ents, tokens, strategy="first")
+    # second identical record takes the NEXT match (dedup on (type, span))
+    assert out == [("t", (0, 1)), ("t", (2, 3))]
+
+
+def test_entity_offset_longer_first_no_overlap():
+    tokens = "big red dog".split()
+    ents = [{"type": "t", "text": "red"}, {"type": "t", "text": "big red dog"}]
+    out = s2r.entity_to_offset(ents, tokens, strategy="longer_first")
+    # longer span claims the region; the shorter overlapping one is skipped
+    assert out == [("t", (0, 1, 2))]
+
+
+def test_relation_offset_first_vs_closest():
+    tokens = "x y x z".split()
+    rels = [{"type": "r", "roles": [("a", "x"), ("b", "z")]}]
+    first = s2r.relation_to_offset(rels, tokens, strategy="first")
+    assert first == [("r", "a", (0,), "b", (3,))]
+    closest = s2r.relation_to_offset(rels, tokens, strategy="closest")
+    # the second "x" (index 2) is closer to "z" (index 3)
+    assert closest == [("r", "a", (2,), "b", (3,))]
+
+
+def test_kernel_end_to_end():
+    batch = pa.table({
+        "doc": pa.array([7], pa.int64()),
+        "text": ["alice works for acme"],
+        "pred_sel": [sel(TS, TS, " person ", SS, " alice ",
+                         TS, " works for ", SS, " acme ", TE, TE, TE)],
+    })
+    k = s2r.Sel2RecordKernel(entity_types={"person", "org"},
+                             asoc_types={"works for"})
+    out = k(batch).to_pylist()
+    assert out == [{"doc": 7, "pred": "works for", "subj_type": "person",
+                    "subj_text": "alice", "obj_type": "person",
+                    "obj_text": "acme"}]
