@@ -272,6 +272,149 @@ def _q_multimodal_features(sf_dir: str):
     return decode_features(ds).drop_columns(["features"])
 
 
+def _q_frequent_phrases(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import frequent_phrases
+    return frequent_phrases(_docs(sf_dir, ["text"]), n=2, topk=50, min_count=2)
+
+
+def _q_ner_span_model(sf_dir: str):
+    """Second NER tier (tokenize → span-score → threshold decode) projected
+    to mention counts — shares the kg_mention_counts oracle, so the two
+    deterministic NER paths are independently SQL-validated."""
+    import pyarrow as pa
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.spandecode import SpanModelNER
+    from deepkg_ray.stages.treeagg import merge_partials
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+    ds = transcripts_with_norm(sf_dir).map_batches(
+        SpanModelNER,
+        fn_constructor_kwargs={"dictionary_path": synth.dictionary_path(sf_dir)},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+    return merge_partials(ds.map_batches(combine, batch_format="pyarrow"),
+                          keys, {"n_occ": "sum"})
+
+
+def _q_linking_recall(sf_dir: str):
+    """BM25 recall@{1,5} over alias→canonical queries (rows-only: BM25 is
+    not SQL-expressible).  Exact row-mean, not the reference's biased
+    block-average (run.py:47)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.linking import CandidateGenerator
+    from deepkg_ray.stages.scoring import recall_at_n_ds
+    dict_path = synth.dictionary_path(sf_dir)
+    t = pq.read_table(dict_path)
+    gold = {}
+    for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
+        for a in aliases:
+            if a != name:
+                gold[a] = [name]
+    qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
+    cands = qds.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5},
+        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    return pd.DataFrame({
+        "n_queries": [len(gold)],
+        "recall_at_1": [round(recall_at_n_ds(cands, gold, 1), 6)],
+        "recall_at_5": [round(recall_at_n_ds(cands, gold, 5), 6)],
+    })
+
+
+def _q_extraction_prf(sf_dir: str):
+    """North-star gate as a query: P/R/F1 of the engine triples vs the gold
+    triples under match_mode='set' (scorer.py:79-88 semantics)."""
+    import os
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.scoring import distributed_prf
+    gold = rd.read_parquet(os.path.join(synth.ensure_synth(sf_dir),
+                                        "triples_gold.parquet"))
+    pred = kg.surface_triples_dataset(sf_dir)
+    res = distributed_prf(gold, pred, key_cols=["conv_id", "turn_idx"],
+                          tuple_cols=["pred", "subj_text", "obj_text"],
+                          match_mode="set")
+    return pd.DataFrame([{k: float(v) for k, v in res.items()}])
+
+
+def _q_transcript_sample(sf_dir: str):
+    """Deterministic seeded-hash row sampling (negative-keep filter analog,
+    utils_torch.py:133-139): md5-keyed keep mask, per-role kept counts."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.functions.textnorm import md5_keep_mask
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "role"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        keys = [f"{c}:{t}" for c, t in zip(b["conv_id"].to_pylist(),
+                                           b["turn_idx"].to_pylist())]
+        mask = pa.array(md5_keep_mask(keys, 30))
+        kept = b.filter(mask)
+        import pandas as pd
+        g = (pd.Series(kept["role"].to_pylist()).value_counts()
+             .rename_axis("role").reset_index(name="n_kept"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return merge_partials(ds.map_batches(kernel, batch_format="pyarrow"),
+                          ["role"], {"n_kept": "sum"}, fanout=2)
+
+
+def _q_duplicate_turn_groups(sf_dir: str):
+    """Merge-duplicated-texts analog (process_data.py:506-590): group turns
+    with byte-identical text, report group size + first provenance."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+
+    def kernel(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = pc.binary_join_element_wise(
+            b["conv_id"].combine_chunks(),
+            pc.utf8_lpad(pc.cast(b["turn_idx"].combine_chunks(), pa.string()),
+                         8, "0"), ":")
+        df = pd.DataFrame({
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in b["text"].to_pylist()],
+            "first_src": src.to_pandas(),
+            "n_turns": 1,
+        })
+        g = (df.groupby("content_hash", as_index=False)
+             .agg(n_turns=("n_turns", "sum"), first_src=("first_src", "min")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(ds.map_batches(kernel, batch_format="pyarrow"),
+                            ["content_hash"],
+                            {"n_turns": "sum", "first_src": "min"})
+    return merged.map_batches(
+        lambda b: b.filter(pc.greater(b["n_turns"], 1)),
+        batch_format="pyarrow")
+
+
+def _q_pruned_token_counts(sf_dir: str):
+    from deepkg_ray.stages.phrasemine import prune_low_freq
+    return prune_low_freq(_docs(sf_dir, ["doc_id", "text"]), min_freq=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -307,8 +450,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "segment_revenue": _q_segment_revenue,
+        "frequent_phrases": _q_frequent_phrases,
+        "transcript_sample": _q_transcript_sample,
+        "duplicate_turn_groups": _q_duplicate_turn_groups,
+        "pruned_token_counts": _q_pruned_token_counts,
+        "ner_span_model": _q_ner_span_model,
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
+        "linking_recall": _q_linking_recall,
+        "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
     }
 
@@ -339,6 +489,11 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracle.sessionize_oracle(),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
+        "frequent_phrases": oracle.frequent_phrases_oracle(),
+        "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),
+        "duplicate_turn_groups": oracle.duplicate_turn_groups_oracle(SF_ORACLE),
+        "pruned_token_counts": oracle.pruned_token_counts_oracle(),
+        "ner_span_model": oracle.mention_counts_sql(SF_ORACLE),
         "top_revenue_orders": oracle.top_revenue_orders_oracle(),
         "segment_revenue": oracle.segment_revenue_oracle(),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,

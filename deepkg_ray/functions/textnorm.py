@@ -60,3 +60,14 @@ def add_text_norm(batch: pa.Table, text_col: str = "text",
     if isinstance(norm, pa.ChunkedArray):
         norm = norm.combine_chunks()
     return batch.append_column(out_col, norm)
+
+
+def md5_keep_mask(keys: list[str], keep_pct: int) -> list[bool]:
+    """Deterministic row-sampling mask: keep iff the first md5 byte of the
+    key is < keep_pct*256/100.  Seeded-hash analog of the reference's
+    negative-sample filter (utils_torch.py:133-139) that is reproducible
+    across processes AND expressible in SQL (DuckDB md5())."""
+    import hashlib
+    cut = keep_pct * 256 // 100
+    return [int(hashlib.md5(k.encode()).hexdigest()[:2], 16) < cut
+            for k in keys]

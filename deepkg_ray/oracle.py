@@ -413,3 +413,58 @@ SELECT conv_id, turn_idx, n_triples,
        CAST(sum(n_triples) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS BIGINT) AS cum_triples
 FROM c
 """
+
+
+def frequent_phrases_oracle(n: int = 2, topk: int = 50, min_count: int = 2) -> str:
+    stop = ",".join(f"'{w}'" for w in
+                    "the a an and of to in is are was were be been it this that".split())
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+), counts AS (
+  SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+)
+SELECT w1 || ' ' || w2 AS phrase, CAST(cnt AS BIGINT) AS cnt
+FROM counts
+WHERE cnt >= {min_count}
+  AND w1 NOT IN ({stop}) AND w2 NOT IN ({stop})
+  AND NOT regexp_matches(w1, '[^a-z0-9 ]') AND NOT regexp_matches(w2, '[^a-z0-9 ]')
+ORDER BY cnt DESC, phrase LIMIT {topk}
+"""
+
+
+def transcript_sample_oracle(sf_dir: str, keep_pct: int = 30) -> str:
+    cut_hex = format(keep_pct * 256 // 100, "02x")
+    return f"""
+SELECT role, CAST(count(*) AS BIGINT) AS n_kept
+FROM read_parquet('{_transcripts_glob(sf_dir)}')
+WHERE substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)), 1, 2) < '{cut_hex}'
+GROUP BY role
+"""
+
+
+def duplicate_turn_groups_oracle(sf_dir: str) -> str:
+    return f"""
+SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_turns,
+       min(conv_id || ':' || lpad(CAST(turn_idx AS VARCHAR), 8, '0')) AS first_src
+FROM read_parquet('{_transcripts_glob(sf_dir)}')
+GROUP BY text HAVING count(*) > 1
+"""
+
+
+def pruned_token_counts_oracle(min_freq: int = 2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+FROM toks t JOIN freq f ON t.w = f.w
+WHERE f.c > {min_freq}
+GROUP BY t.doc_id
+"""

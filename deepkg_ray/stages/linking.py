@@ -210,3 +210,72 @@ def recall_at_n(candidates: pa.Table, gold: dict[str, list[str]], n: int) -> flo
         got = per_q.get(q, set())
         vals.append(sum(g in got for g in golds) / len(golds))
     return float(np.mean(vals)) if vals else math.nan
+
+
+def build_candidate_pairs(candidates: pa.Table, gold: dict[str, list[str]],
+                          false_num_rate: float = 2.0, seed: int = 13):
+    """Training-pair builder for a cross-encoder rank stage: positives are
+    the gold canonical names; negatives are top candidates not in gold, at
+    ``false_num_rate`` negatives per positive (semantics of the reference's
+    build-pair step, Normalization/recall/model/Bulid_Data_Model.py:111-143;
+    the reference encodes gold as a '##'-joined field, we take a dict).
+
+    Deterministic: negatives are taken in candidate-rank order, not sampled
+    (retry-safe under Ray; SURVEY.md §7.5 determinism)."""
+    rows_q, rows_c, rows_y = [], [], []
+    by_q: dict[str, list[tuple[int, str]]] = {}
+    for q, name, rank in zip(candidates["query"].to_pylist(),
+                             candidates["candidate_name"].to_pylist(),
+                             candidates["rank"].to_pylist()):
+        by_q.setdefault(q, []).append((rank, name))
+    for q, golds in gold.items():
+        pos = list(golds)
+        for g in pos:
+            rows_q.append(q); rows_c.append(g); rows_y.append(1)
+        n_neg = int(len(pos) * false_num_rate)
+        negs = [name for _, name in sorted(by_q.get(q, []))
+                if name not in set(pos)][:n_neg]
+        for n_ in negs:
+            rows_q.append(q); rows_c.append(n_); rows_y.append(0)
+    return pa.table({"text1": pa.array(rows_q, pa.string()),
+                     "text2": pa.array(rows_c, pa.string()),
+                     "label": pa.array(rows_y, pa.int32())})
+
+
+class CrossScorer:
+    """Deterministic pair scorer standing in for the (absent-in-reference)
+    cross-encoder rank stage (Normalization/rank has only an empty readme;
+    readme.md:42-43 promises it).  Scores = char-ngram cosine of the pair —
+    same actor contract a trained cross-encoder would use."""
+
+    def __init__(self, dim: int = 512, n: int = 3):
+        self.vec = CharNgramVectorizer(dim=dim, n=n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = self.vec.vectorize(batch["text1"].to_pylist())
+        b = self.vec.vectorize(batch["text2"].to_pylist())
+        from deepkg_ray.functions.numeric import round6
+        s = round6((a * b).sum(axis=1))
+        return batch.append_column("score", pa.array(s, pa.float64()))
+
+
+def rescore_candidates(batch: pa.Table, *, boost_repeats: bool = True) -> pa.Table:
+    """Length-normalized rescoring with repeat boost — semantics of the
+    reference's ES rescorer (ES_Model.py:76-123): per (query, candidate),
+    score' = score / (len(candidate) + len(query)); a candidate surfacing
+    more than once for the same query gets its (summed) score doubled; the
+    per-query rank is recomputed on the new score (desc, then name)."""
+    import pandas as pd
+    from deepkg_ray.functions.numeric import round6
+    df = batch.to_pandas()
+    df["norm_score"] = df["score"] / (df["candidate_name"].str.len()
+                                      + df["query"].str.len())
+    g = (df.groupby(["query", "candidate_name", "candidate_id"], as_index=False)
+         .agg(norm_score=("norm_score", "sum"), n_hits=("norm_score", "size")))
+    if boost_repeats:
+        g.loc[g["n_hits"] > 1, "norm_score"] *= 2.0
+    g["norm_score"] = round6(g["norm_score"])
+    g = g.sort_values(["query", "norm_score", "candidate_name"],
+                      ascending=[True, False, True], kind="stable")
+    g["rank"] = g.groupby("query").cumcount().astype("int32")
+    return pa.Table.from_pandas(g, preserve_index=False)

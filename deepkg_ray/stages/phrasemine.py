@@ -144,3 +144,63 @@ def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
                              "entropy": [float(round6(h))]})
 
     return pairs.groupby("w1").map_groups(entropy, batch_format="pandas")
+
+
+STOPWORDS = frozenset(
+    "the a an and of to in is are was were be been it this that".split())
+_NON_ALNUM = re.compile(r"[^a-z0-9 ]")
+
+
+def frequent_phrases(ds, n: int = 2, topk: int = 50, min_count: int = 2,
+                     text_col: str = "text"):
+    """Top-k frequent n-gram phrase candidates after quality filters —
+    the reference's frequent-phrase selection (AutoPhraseX
+    selector.py:107-135) with its stopword/charset candidate filters
+    (extractors.py:13-15,76-88): drop phrases containing stopwords or
+    non-alphanumeric tokens, keep count ≥ min_count, order by count desc
+    then phrase asc (deterministic tie-break), take topk."""
+    counts = ngram_counts(ds, n, text_col)
+    key_cols = [f"w{j+1}" for j in range(n)]
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        ok = np.ones(len(df), dtype=bool)
+        for c in key_cols:
+            vals = df[c].astype(str)
+            ok &= ~vals.isin(STOPWORDS)
+            ok &= vals.map(lambda w: _NON_ALNUM.search(w) is None)
+        df = df[ok & (df["cnt"] >= min_count)].copy()
+        df["phrase"] = df[key_cols].agg(" ".join, axis=1)
+        return df[["phrase", "cnt"]]
+
+    cands = counts.map_batches(filt, batch_format="pandas")
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["cnt", "phrase"], ascending=[False, True],
+                               kind="stable").head(topk).reset_index(drop=True))
+    # candidates are already a small aggregated table → single-task top-k
+    return cands.repartition(1).map_batches(final_topk, batch_format="pandas",
+                                            batch_size=None)
+
+
+def prune_low_freq(ds, min_freq: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Two-pass low-frequency token prune (reference
+    text_preprocess.py:31-43): pass 1 computes global token counts (a small
+    table collected to the driver and BROADCAST into pass 2 — no shuffle
+    join); pass 2 counts surviving tokens (freq > min_freq) per doc.
+    Docs with zero surviving tokens are omitted."""
+    uni = ngram_counts(ds.select_columns([text_col]), 1, text_col).to_pandas()
+    keep = frozenset(uni.loc[uni["cnt"] > min_freq, "w1"])
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        ids, kept = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            n = sum(w in keep for w in _tokens(t))
+            if n:
+                ids.append(i)
+                kept.append(n)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_kept": pa.array(kept, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        per_doc, batch_format="pyarrow")

@@ -1,0 +1,155 @@
+"""Evaluation metrics with reference-parity semantics, distributed.
+
+- ``TupleMetric``: exact tuple P/R/F1 with the reference's three match
+  modes (uie/evaluation/scorer.py:44-111):
+  * 'set'        — per-instance set intersection
+  * 'normal'     — multiset one-shot matching (each gold matched once)
+  * 'multimatch' — every pred matching any gold counts
+  F1 formula ×100 as in scorer.py compute_f1 (:65-77).
+
+- ``distributed_prf``: the Ray plan — per-row (tp, gold, pred) counters
+  emitted inside map_batches, global sums, final P/R/F1 on the driver
+  (SURVEY.md §2.5: per-row semantics preserved exactly, only the counter
+  summation is distributed).
+
+- ``global_pointer_f1``: 2·Σ(y_true·y_pred)/Σ(y_true+y_pred)
+  (ExtractionEntities/metrics/metrics.py:2-4) over span sets.
+
+- ``recall_at_n_ds``: mean over rows of the fraction of gold names present
+  in the top-N candidates (Normalization Bulid_Data_Model.py:71-89) —
+  computed exactly over all rows (the reference averages per-process block
+  averages, run.py:47, which biases when blocks are uneven; we do not).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class TupleMetric:
+    def __init__(self, match_mode: str = "normal"):
+        assert match_mode in {"set", "normal", "multimatch"}
+        self.match_mode = match_mode
+        self.tp = 0.0
+        self.gold_num = 0.0
+        self.pred_num = 0.0
+
+    @staticmethod
+    def _safe_div(a, b):
+        return 0.0 if b == 0 else a / b
+
+    def count_instance(self, gold_list, pred_list):
+        if self.match_mode == "set":
+            g, p = set(gold_list), set(pred_list)
+            self.gold_num += len(g)
+            self.pred_num += len(p)
+            self.tp += len(g & p)
+            return
+        self.gold_num += len(gold_list)
+        self.pred_num += len(pred_list)
+        dup = list(gold_list)
+        for pred in pred_list:
+            if pred in dup:
+                self.tp += 1
+                if self.match_mode == "normal":
+                    dup.remove(pred)
+
+    def merge(self, other: "TupleMetric"):
+        self.tp += other.tp
+        self.gold_num += other.gold_num
+        self.pred_num += other.pred_num
+
+    def compute_f1(self, prefix: str = "") -> dict:
+        p = self._safe_div(self.tp, self.pred_num)
+        r = self._safe_div(self.tp, self.gold_num)
+        return {prefix + "tp": self.tp, prefix + "gold": self.gold_num,
+                prefix + "pred": self.pred_num, prefix + "P": p * 100,
+                prefix + "R": r * 100,
+                prefix + "F1": self._safe_div(2 * p * r, p + r) * 100}
+
+
+def _instance_counters(gold_lists, pred_lists, match_mode):
+    tp = gold = pred = 0.0
+    for g, p in zip(gold_lists, pred_lists):
+        m = TupleMetric(match_mode)
+        m.count_instance(g, p)
+        tp += m.tp
+        gold += m.gold_num
+        pred += m.pred_num
+    return tp, gold, pred
+
+
+def distributed_prf(gold_ds, pred_ds, key_cols, tuple_cols,
+                    match_mode: str = "set") -> dict:
+    """P/R/F1 of pred vs gold tuples grouped per instance key.
+
+    Both datasets are reduced to per-instance tuple lists via a per-batch
+    combiner, then joined per key in a single pandas pass on the (small)
+    instance-level tables.  Per-instance match semantics are exactly
+    TupleMetric's."""
+    def collect(ds):
+        def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+            df["_tup"] = list(zip(*[df[c] for c in tuple_cols]))
+            g = (df.groupby(key_cols)["_tup"].agg(list).reset_index()
+                 .rename(columns={"_tup": "tuples"}))
+            return g
+        return ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+
+    g = collect(gold_ds)
+    p = collect(pred_ds)
+    # per-batch partials may split an instance across batches — merge lists
+    g = g.groupby(key_cols)["tuples"].agg(lambda ls: sum(ls, [])).reset_index()
+    p = p.groupby(key_cols)["tuples"].agg(lambda ls: sum(ls, [])).reset_index()
+    merged = g.merge(p, on=key_cols, how="outer", suffixes=("_gold", "_pred"))
+    gold_lists = [x if isinstance(x, list) else [] for x in merged["tuples_gold"]]
+    pred_lists = [x if isinstance(x, list) else [] for x in merged["tuples_pred"]]
+    tp, gold, pred = _instance_counters(gold_lists, pred_lists, match_mode)
+    m = TupleMetric(match_mode)
+    m.tp, m.gold_num, m.pred_num = tp, gold, pred
+    return m.compute_f1()
+
+
+def global_pointer_f1(gold_spans: set, pred_spans: set) -> float:
+    """2*|intersection| / (|gold| + |pred|) — the dense-tensor formula of
+    metrics/metrics.py:2-4 restated over span sets (identical value)."""
+    inter = len(gold_spans & pred_spans)
+    denom = len(gold_spans) + len(pred_spans)
+    return 0.0 if denom == 0 else 2 * inter / denom
+
+
+def recall_at_n_ds(candidates_ds, gold: dict[str, list[str]], n: int) -> float:
+    """Exact row-mean recall@N from a candidates Dataset
+    (query, candidate_name, rank)."""
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rank"] < n]
+        g = (df.groupby("query")["candidate_name"].agg(set).reset_index())
+        return g
+
+    per_q = candidates_ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+    got = {q: set() for q in gold}
+    for q, s in zip(per_q["query"], per_q["candidate_name"]):
+        if q in got:
+            got[q] |= s
+    vals = [np.mean([g in got[q] for g in golds]) if golds else 1.0
+            for q, golds in gold.items()]
+    return float(np.mean(vals)) if vals else float("nan")
+
+
+def spearman(x, y) -> float:
+    """Spearman rank correlation — the reference's embedding-eval metric
+    (simcse_unsup.py:204-228), computed driver-side on a small eval set."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    def ranks(a):
+        order = np.argsort(a, kind="stable")
+        r = np.empty(len(a), np.float64)
+        r[order] = np.arange(1, len(a) + 1)
+        # average ties
+        s = pd.Series(a)
+        return s.rank(method="average").to_numpy()
+    rx, ry = ranks(x), ranks(y)
+    rx -= rx.mean(); ry -= ry.mean()
+    denom = np.sqrt((rx ** 2).sum() * (ry ** 2).sum())
+    return float((rx * ry).sum() / denom) if denom else 0.0

@@ -372,3 +372,58 @@ class Sel2RecordKernel:
         for name, vals in rows.items():
             cols[name] = pa.array(vals, pa.string())
         return pa.table(cols)
+
+
+# ------------------------------------------------------- records → SEL -----
+
+def convert_spot_asoc(records: list[dict]) -> str:
+    """Serialize spot-asoc records back to a SEL string — the reference's
+    target-string builder (convert_spot_asoc, sel2record.py:995-1026, with
+    the BaseStructureMarker tokens of constants.py:59-73).  Inverse of
+    parse_sel for well-formed records; used for gold-side generation
+    (annonote_graph analog, process_data.py:284-350) and round-trip tests."""
+    parts = []
+    for rec in records:
+        inner = [rec["type"], SPAN_START, rec["spot"]]
+        for label, text in rec.get("asocs", []):
+            inner.append(TYPE_START)
+            inner.extend([label, SPAN_START, text])
+            inner.append(TYPE_END)
+        parts.append(TYPE_START + " " + " ".join(inner) + " " + TYPE_END)
+    return TYPE_START + " " + " ".join(parts) + " " + TYPE_END
+
+
+def tasks_to_spot_asoc(entities: list[dict], relations: list[dict],
+                       events: list[dict]) -> list[dict]:
+    """entity/relation/event task records → spot-asoc records — the
+    `annonote_graph` inversion (process_data.py:284-350): entities become
+    spots; each relation attaches (rel_type, obj_text) as an asoc of its
+    subject spot; events become spots with their role asocs."""
+    by_spot: dict[tuple[str, str], dict] = {}
+    for e in entities:
+        key = (e["type"], e["text"])
+        by_spot.setdefault(key, {"type": e["type"], "spot": e["text"],
+                                 "asocs": []})
+    for r in relations:
+        (s_type, s_text), (_o_type, o_text) = r["roles"][0], r["roles"][1]
+        spot = by_spot.setdefault((s_type, s_text),
+                                  {"type": s_type, "spot": s_text, "asocs": []})
+        spot["asocs"].append((r["type"], o_text))
+    out = list(by_spot.values())
+    for ev in events:
+        out.append({"type": ev["type"], "spot": ev["trigger"],
+                    "asocs": list(ev.get("roles", []))})
+    return out
+
+
+def build_ssi_prefix(spot_types: list[str], asoc_types: list[str]) -> str:
+    """Structured-schema-instruction prompt prefix: ordered
+    '<spot> t1 <spot> t2 ... <asoc> a1 ... <extra_id_2>' (the reference's
+    ordered_prompt=True assembly, data_collator_torch.py:196-226, 298-311;
+    ordering pinned by sort for determinism)."""
+    parts = []
+    for t in sorted(spot_types):
+        parts.append("<spot> " + t)
+    for a in sorted(asoc_types):
+        parts.append("<asoc> " + a)
+    return " ".join(parts) + " <extra_id_2> "

@@ -1,0 +1,90 @@
+"""Round-trip, rescoring, sampling, spearman — parity extras."""
+
+import numpy as np
+import pyarrow as pa
+
+from deepkg_ray.functions.textnorm import md5_keep_mask
+from deepkg_ray.stages import sel2record as s2r
+from deepkg_ray.stages.linking import rescore_candidates
+from deepkg_ray.stages.scoring import spearman
+
+
+def test_sel_roundtrip():
+    """records → SEL (convert_spot_asoc analog) → parse_sel → records."""
+    records = [
+        {"type": "person", "spot": "alice smith",
+         "asocs": [("works for", "acme corp"), ("uses", "toolx")]},
+        {"type": "org", "spot": "acme corp", "asocs": []},
+    ]
+    sel = s2r.convert_spot_asoc(records)
+    text = "alice smith works for acme corp and uses toolx"
+    back, ctr = s2r.parse_sel(sel, text=text,
+                              spot_set={"person", "org"},
+                              asoc_set={"works for", "uses"})
+    assert ctr.get("well-formed") == 1
+    assert back == records
+
+
+def test_tasks_to_spot_asoc_inversion():
+    """entity/relation/event → spot-asoc (annonote_graph analog) followed by
+    the forward projection is identity on the relation set."""
+    entities = [{"text": "alice", "type": "person"},
+                {"text": "acme", "type": "org"}]
+    relations = [{"type": "works for",
+                  "roles": [("person", "alice"), ("org", "acme")]}]
+    spot_asoc = s2r.tasks_to_spot_asoc(entities, relations, [])
+    tasks = s2r.records_to_tasks(spot_asoc, {"person", "org"}, set())
+    assert tasks["relation"] == relations
+    assert sorted(e["text"] for e in tasks["entity"]) == ["acme", "alice"]
+
+
+def test_ssi_prefix():
+    p = s2r.build_ssi_prefix(["person", "org"], ["works for"])
+    assert p == "<spot> org <spot> person <asoc> works for <extra_id_2> "
+
+
+def test_rescore_candidates():
+    t = pa.table({
+        "query": ["q1", "q1", "q1", "q2"],
+        "candidate_name": ["aa", "aa", "bbbb", "cc"],
+        "candidate_id": pa.array([1, 1, 2, 3], pa.int64()),
+        "score": pa.array([1.0, 1.0, 4.0, 2.0], pa.float32()),
+        "rank": pa.array([0, 1, 2, 0], pa.int32()),
+    })
+    out = rescore_candidates(t).to_pandas()
+    q1 = out[out["query"] == "q1"].set_index("candidate_name")
+    # aa: (1/(2+2) + 1/(2+2)) * 2 (repeat boost) = 1.0 ; bbbb: 4/(4+2)=0.667
+    assert abs(q1.loc["aa", "norm_score"] - 1.0) < 1e-6
+    assert abs(q1.loc["bbbb", "norm_score"] - 4 / 6) < 1e-4
+    assert q1.loc["aa", "rank"] == 0 and q1.loc["bbbb", "rank"] == 1
+
+
+def test_md5_keep_mask_deterministic_and_proportional():
+    keys = [f"conv-{i}:{j}" for i in range(200) for j in range(5)]
+    m1 = md5_keep_mask(keys, 30)
+    m2 = md5_keep_mask(keys, 30)
+    assert m1 == m2
+    frac = sum(m1) / len(m1)
+    assert 0.25 < frac < 0.35
+    assert sum(md5_keep_mask(keys, 100)) == len(keys)
+    assert sum(md5_keep_mask(keys, 0)) == 0
+
+
+def test_spearman():
+    assert abs(spearman([1, 2, 3, 4], [10, 20, 30, 40]) - 1.0) < 1e-9
+    assert abs(spearman([1, 2, 3, 4], [40, 30, 20, 10]) + 1.0) < 1e-9
+    # ties averaged
+    v = spearman([1, 2, 2, 3], [1, 2, 3, 4])
+    assert 0.9 < v < 1.0
+
+
+def test_prune_low_freq_golden():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.phrasemine import prune_low_freq
+    docs = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                         "text": ["a a b", "a c", "c d"]})
+    # freqs: a=3, b=1, c=2, d=1; min_freq=1 → keep freq>1: a, c
+    out = prune_low_freq(rd.from_pandas(docs), min_freq=1).to_pandas()
+    got = dict(zip(out.doc_id, out.n_kept))
+    assert got == {0: 2, 1: 2, 2: 1}

@@ -1,0 +1,128 @@
+"""Metric parity, span-decode NER tier, BM25 recall harness, pair builder."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from deepkg_ray.stages import scoring, spandecode
+from deepkg_ray.stages.linking import (BM25Index, CandidateGenerator,
+                                       CrossScorer, build_candidate_pairs,
+                                       cut, recall_at_n)
+
+
+def test_tuple_metric_modes():
+    # semantics of scorer.py:80-110: set / normal (one-shot) / multimatch
+    gold = [("a",), ("a",), ("b",)]
+    pred = [("a",), ("a",), ("a",)]
+    m = scoring.TupleMetric("set")
+    m.count_instance(gold, pred)
+    assert (m.tp, m.gold_num, m.pred_num) == (1, 2, 1)
+    m = scoring.TupleMetric("normal")
+    m.count_instance(gold, pred)
+    assert (m.tp, m.gold_num, m.pred_num) == (2, 3, 3)   # 'a' matched twice max
+    m = scoring.TupleMetric("multimatch")
+    m.count_instance(gold, pred)
+    assert m.tp == 3                                      # every pred matches
+    f1 = scoring.TupleMetric("normal")
+    f1.count_instance(gold, pred)
+    d = f1.compute_f1()
+    assert abs(d["F1"] - 2 * (2 / 3) * (2 / 3) / (4 / 3) * 100) < 1e-9
+
+
+def test_global_pointer_f1():
+    assert scoring.global_pointer_f1({(0, 1)}, {(0, 1)}) == 1.0
+    assert scoring.global_pointer_f1({(0, 1)}, set()) == 0.0
+    assert scoring.global_pointer_f1({(0, 1), (2, 3)}, {(0, 1)}) == 2 / 3
+
+
+def test_distributed_prf_exact(sf_dir, synth_dir):
+    """Engine triples vs gold triples through the distributed scorer: the
+    deterministic tier is exact, so P=R=F1=100."""
+    import ray.data as rd
+    from deepkg_ray.pipelines import kg
+    gold = rd.read_parquet(os.path.join(synth_dir, "triples_gold.parquet"))
+    pred = kg.surface_triples_dataset(sf_dir)
+    res = scoring.distributed_prf(
+        gold, pred, key_cols=["conv_id", "turn_idx"],
+        tuple_cols=["pred", "subj_text", "obj_text"], match_mode="set")
+    assert res["P"] == 100.0 and res["R"] == 100.0 and res["F1"] == 100.0
+
+
+def test_tokenize_offsets_and_decode():
+    text = "we saw kato vimo today."
+    toks, starts, ends = spandecode.tokenize_with_offsets(text)
+    assert toks == ["we", "saw", "kato", "vimo", "today"]
+    assert text[starts[2]:ends[3]] == "kato vimo"
+    scorer = spandecode.DictSpanScorer(
+        {"kato vimo": (5, "PERSON", "kato vimo")}, ["PERSON", "ORG"])
+    s = scorer.score(text, toks, starts, ends)
+    spans = spandecode.decode_spans(s, starts, ends, ["PERSON", "ORG"])
+    assert spans == [("PERSON", 7, 15)]
+    assert text[7:16] == "kato vimo"
+
+
+def test_span_model_matches_trie_tier(sf_dir, synth_dir):
+    """The span-model NER tier and the trie tier produce identical mention
+    sets (cross-validation of the two deterministic NER paths)."""
+    from deepkg_ray.functions.textnorm import add_text_norm
+    from deepkg_ray.stages.mention import DictionaryMentionDetector
+    dict_path = os.path.join(synth_dir, "dictionary.parquet")
+    batch = add_text_norm(pq.read_table(
+        os.path.join(synth_dir, "transcripts", "part-0000.parquet")).slice(0, 500))
+    trie = DictionaryMentionDetector(dict_path)(batch)
+    model = spandecode.SpanModelNER(dict_path)(batch)
+    cols = ["conv_id", "turn_idx", "start_idx", "end_idx", "type", "entity_id"]
+    assert set(zip(*[trie[c].to_pylist() for c in cols])) == \
+        set(zip(*[model[c].to_pylist() for c in cols]))
+
+
+def test_bm25_recall_and_cut_modes(synth_dir):
+    """Recall@N harness over alias→canonical queries: BM25 word-cut must
+    rank the matching canonical name first for shared-base aliases (the
+    engine analog of the reference's recall@N tables,
+    Normalization/readme.md:117-127)."""
+    dict_path = os.path.join(synth_dir, "dictionary.parquet")
+    t = pq.read_table(dict_path)
+    names = t["name"].to_pylist()
+    assert cut("abc def", "word") == ["abc", "def"]
+    assert cut("ab cd", "char") == ["a", "b", "c", "d"]
+    assert cut("abc", "ngram", 2) == ["ab", "bc"]
+
+    gen = CandidateGenerator(dict_path, mode="word", top_n=5)
+    # queries = alias variants (e.g. "X group" for canonical "X holdings")
+    queries, gold = [], {}
+    for name, aliases in zip(names[:40], t["aliases"].to_pylist()[:40]):
+        for a in aliases:
+            if a != name:
+                queries.append(a)
+                gold[a] = [name]
+    out = gen(pa.table({"surface": pa.array(queries, pa.string())}))
+    r1 = recall_at_n(out, gold, 5)
+    assert r1 > 0.9        # shared base word → canonical in top-5
+
+    pairs = build_candidate_pairs(out, gold, false_num_rate=2.0)
+    df = pairs.to_pandas()
+    assert set(df["label"]) == {0, 1}
+    assert (df["label"] == 1).sum() == len(gold)
+    # negatives bounded by rate
+    assert (df["label"] == 0).sum() <= 2 * len(gold)
+
+    scored = CrossScorer()(pairs)
+    sdf = scored.to_pandas()
+    # positive pairs (shared base word) outscore negatives on average
+    assert sdf[sdf.label == 1]["score"].mean() > sdf[sdf.label == 0]["score"].mean()
+
+
+def test_frequent_phrases(sf_dir):
+    import ray.data as rd
+    import pandas as pd
+    docs = pd.DataFrame({"text": ["big data engine rocks", "big data wins",
+                                  "the data engine", "big data"]})
+    from deepkg_ray.stages.phrasemine import frequent_phrases
+    out = frequent_phrases(rd.from_pandas(docs), n=2, topk=3,
+                           min_count=2).to_pandas()
+    assert out.iloc[0]["phrase"] == "big data" and out.iloc[0]["cnt"] == 3
+    # "the data" contains a stopword → filtered even though count 1<2 anyway
+    assert "the data" not in set(out["phrase"])
