@@ -415,6 +415,28 @@ def _q_pruned_token_counts(sf_dir: str):
     return prune_low_freq(_docs(sf_dir, ["doc_id", "text"]), min_freq=2)
 
 
+def _q_kg_triples_via_sel(sf_dir: str):
+    """UIE generative path: SEL generator actor pool → SEL parser → triples.
+    Must equal the direct mention-anchored path — same oracle as
+    kg_triples."""
+    from deepkg_ray.pipelines.uie import triples_via_sel
+    return triples_via_sel(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "pred", "subj_text", "subj_type",
+         "obj_text", "obj_type"])
+
+
+def _q_conv_context(sf_dir: str):
+    """Per-turn previous-2-turn context, computed with salted conversation
+    blocks + overlap carry (hot-conversation skew mitigation,
+    stages/convgroup.py); the oracle recomputes it with window functions."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import conv_context_windows
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    return conv_context_windows(ds, window=2, turns_per_salt=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -425,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
+        "conv_context": _q_conv_context,
         # text analysis / dedup over documents
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -451,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": _q_top_revenue_orders,
         "segment_revenue": _q_segment_revenue,
         "frequent_phrases": _q_frequent_phrases,
+        "kg_triples_via_sel": _q_kg_triples_via_sel,
         "transcript_sample": _q_transcript_sample,
         "duplicate_turn_groups": _q_duplicate_turn_groups,
         "pruned_token_counts": _q_pruned_token_counts,
@@ -474,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
+        "conv_context": oracle.conv_context_oracle(SF_ORACLE),
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
@@ -490,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),
+        "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),
         "duplicate_turn_groups": oracle.duplicate_turn_groups_oracle(SF_ORACLE),
         "pruned_token_counts": oracle.pruned_token_counts_oracle(),

@@ -468,3 +468,21 @@ FROM toks t JOIN freq f ON t.w = f.w
 WHERE f.c > {min_freq}
 GROUP BY t.doc_id
 """
+
+
+def conv_context_oracle(sf_dir: str, window: int = 2) -> str:
+    """Previous-`window`-turn context per turn via window functions (the
+    engine computes it with salted blocks + overlap carry; this oracle
+    validates cross-block correctness)."""
+    lags = ", ".join(
+        f"lag(text, {k}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS l{k}"
+        for k in range(window, 0, -1))
+    concat_args = ", ".join(f"l{k}" for k in range(window, 0, -1))
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, text, {lags}
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+)
+SELECT conv_id, turn_idx, concat_ws(' | ', {concat_args}) AS context
+FROM t
+"""

@@ -35,3 +35,27 @@ def read_embeddings(sf_dir: str, columns: list[str] | None = None):
 
 def read_events(sf_dir: str, columns: list[str] | None = None):
     return read_table(sf_dir, "events", columns)
+
+
+def read_text_corpus(path: str):
+    """Line-oriented text corpus (reference AutoPhraseX reader.py:46-91
+    analog): one row per line, column 'text'."""
+    import ray.data as rd
+    return rd.read_text(path)
+
+
+def read_jsonl(path: str):
+    """jsonline reader (reference utils_torch.py:98-102 analog)."""
+    import ray.data as rd
+    return rd.read_json(path)
+
+
+def export_text_corpus(ds, path: str, text_col: str = "text"):
+    """Materialize a Dataset's text column as a plain-text corpus dir
+    (debug/aux interchange; parquet remains the primary sink)."""
+    import pyarrow as pa
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        return b.select([text_col])
+    ds.map_batches(to_lines, batch_format="pyarrow").write_csv(path)
+    return path

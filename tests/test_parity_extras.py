@@ -88,3 +88,34 @@ def test_prune_low_freq_golden():
     out = prune_low_freq(rd.from_pandas(docs), min_freq=1).to_pandas()
     got = dict(zip(out.doc_id, out.n_kept))
     assert got == {0: 2, 1: 2, 2: 1}
+
+
+def test_read_text_and_jsonl(tmp_path):
+    import json
+    import ray.data as rd
+    from deepkg_ray.sources.readers import read_jsonl, read_text_corpus
+    txt = tmp_path / "corpus.txt"
+    txt.write_text("line one\nline two\nline three\n")
+    ds = read_text_corpus(str(txt))
+    assert ds.count() == 3
+    assert sorted(r["text"] for r in ds.take(3))[0] == "line one"
+    jl = tmp_path / "rows.jsonl"
+    with open(jl, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"text": f"t{i}", "entities": [
+                {"start_idx": 0, "end_idx": 1, "type": "X", "entity": "t"}]}) + "\n")
+    ds2 = read_jsonl(str(jl))
+    rows = ds2.take(4)
+    assert len(rows) == 4 and rows[0]["entities"][0]["type"] == "X"
+
+
+def test_uie_path_equals_direct_path(sf_dir):
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.pipelines.uie import triples_via_sel
+    cols = ["conv_id", "turn_idx", "pred", "subj_text", "subj_type",
+            "obj_text", "obj_type"]
+    direct = kg.surface_triples_dataset(sf_dir).select_columns(cols).to_pandas()
+    via_sel = triples_via_sel(sf_dir).select_columns(cols).to_pandas()
+    a = sorted(map(tuple, direct.itertuples(index=False)))
+    b = sorted(map(tuple, via_sel.itertuples(index=False)))
+    assert a == b
