@@ -279,3 +279,41 @@ def rescore_candidates(batch: pa.Table, *, boost_repeats: bool = True) -> pa.Tab
                       ascending=[True, False, True], kind="stable")
     g["rank"] = g.groupby("query").cumcount().astype("int32")
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+class EncoderStage:
+    """Embedding-encoder actor stage: text column → unit-norm embedding
+    column (list<float32>) — the SimCSE encode-batch contract
+    (simcse_unsup.py:54-64,152-182: deterministic eval mode, L2-normalized
+    vectors).  The bundled vectorizer is the model-free hashing tier; a
+    BERT replica drops into the same __init__/__call__ with num_gpus=1."""
+
+    def __init__(self, dim: int = 256, n: int = 3, text_col: str = "text",
+                 out_col: str = "embedding"):
+        self.vec = CharNgramVectorizer(dim=dim, n=n)
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.vec.vectorize(batch[self.text_col].to_pylist())
+        return batch.append_column(
+            self.out_col, pa.array([row.tolist() for row in m],
+                                   pa.list_(pa.float32())))
+
+
+def encode_texts(ds, *, dim: int = 256, text_col: str = "text",
+                 concurrency=(1, 4), batch_size: int = 2048):
+    return ds.map_batches(EncoderStage,
+                          fn_constructor_kwargs={"dim": dim,
+                                                 "text_col": text_col},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def export_training_pairs(pairs: pa.Table, path: str, seed: int = 17) -> str:
+    """Shuffled TSV pair export (text1\\ttext2\\tlabel) — the reference's
+    recall-stage training-data sink (Normalization/recall/run.py:36-39:
+    DataFrame.sample(frac=1) then to_csv(sep='\\t')).  Seeded shuffle for
+    determinism."""
+    df = pairs.to_pandas().sample(frac=1, random_state=seed)
+    df.to_csv(path, sep="\t", index=False, header=False)
+    return path

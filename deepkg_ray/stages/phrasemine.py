@@ -204,3 +204,41 @@ def prune_low_freq(ds, min_freq: int = 2, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_doc, batch_format="pyarrow")
+
+
+PHRASE_FEATURE_WEIGHTS = {"pmi": 0.5, "idf_min": 0.3, "entropy_min": 0.2}
+
+
+def phrase_quality_scores(ds, topk: int = 50, min_count: int = 2,
+                          text_col: str = "text"):
+    """Phrase-quality scoring: statistical features (PMI, min-token IDF,
+    min neighbor entropy) combined by a fixed linear scorer — the
+    deterministic stand-in for the reference's GBDT phrase classifier
+    (AutoPhraseX autophrase.py:53-56,118-130: features → classifier →
+    quality score → ranked phrases).  Runs on the small candidate table
+    driver-side after the distributed stat aggregation (same plan as the
+    reference's pooling step)."""
+    import math
+    cands = frequent_phrases(ds, n=2, topk=topk * 4,
+                             min_count=min_count, text_col=text_col).to_pandas()
+    pmi = pmi_bigrams(ds, text_col=text_col).to_pandas()
+    pmi["phrase"] = pmi["w1"] + " " + pmi["w2"]
+    n_docs = ds.count()
+    idf = idf_table(ds.select_columns([text_col]), n_docs=n_docs,
+                    text_col=text_col).to_pandas().set_index("w1")["idf"]
+    ent = neighbor_entropy(ds, side="right",
+                           text_col=text_col).to_pandas().set_index("w1")["entropy"]
+
+    df = cands.merge(pmi[["phrase", "pmi"]], on="phrase", how="left")
+    words = df["phrase"].str.split(" ")
+    df["idf_min"] = [min(idf.get(w, 0.0) for w in ws) for ws in words]
+    df["entropy_min"] = [min(ent.get(w, 0.0) for w in ws) for ws in words]
+    w = PHRASE_FEATURE_WEIGHTS
+    df["quality"] = (w["pmi"] * df["pmi"].fillna(0.0)
+                     + w["idf_min"] * df["idf_min"]
+                     + w["entropy_min"] * df["entropy_min"])
+    from deepkg_ray.functions.numeric import round6
+    df["quality"] = round6(df["quality"])
+    df = df.sort_values(["quality", "phrase"], ascending=[False, True],
+                        kind="stable").head(topk).reset_index(drop=True)
+    return df[["phrase", "cnt", "quality"]]

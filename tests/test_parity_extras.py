@@ -119,3 +119,57 @@ def test_uie_path_equals_direct_path(sf_dir):
     a = sorted(map(tuple, direct.itertuples(index=False)))
     b = sorted(map(tuple, via_sel.itertuples(index=False)))
     assert a == b
+
+
+def test_encoder_stage_and_pair_export(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.linking import encode_texts, export_training_pairs
+    ds = rd.from_pandas(pd.DataFrame({"text": ["abc def", "abc def", "xyz"]}))
+    out = encode_texts(ds, dim=64).to_pandas()
+    import numpy as np
+    m = np.stack(out["embedding"].to_numpy())
+    assert m.shape == (3, 64)
+    # unit-norm + deterministic: identical texts → identical vectors
+    assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+    assert np.allclose(m[0], m[1])
+    t = pa.table({"text1": ["a", "b"], "text2": ["c", "d"],
+                  "label": pa.array([1, 0], pa.int32())})
+    p = export_training_pairs(t, str(tmp_path / "pairs.tsv"))
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == 2 and all("\t" in ln for ln in lines)
+
+
+def test_phrase_quality_scores():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.phrasemine import phrase_quality_scores
+    docs = pd.DataFrame({"text": ["big data engine", "big data rocks",
+                                  "small data engine", "big data wins"]})
+    out = phrase_quality_scores(rd.from_pandas(docs), topk=5, min_count=2)
+    assert "big data" in set(out["phrase"])
+    assert (out["quality"].diff().dropna() <= 1e-9).all()   # sorted desc
+
+
+def test_config_registry_pipeline(sf_dir, synth_dir):
+    import os
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.config import STAGE_REGISTRY, build_pipeline, register_stage
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    spec = [{"stage": "normalize"},
+            {"stage": "triples", "params": {"dictionary_path": "$dict"}},
+            {"stage": "link", "params": {"dictionary_path": "$dict"}},
+            {"stage": "adjacency"}]
+    out = build_pipeline(ds, spec,
+                         context={"dict": synth.dictionary_path(sf_dir)})
+    import pyarrow.parquet as pq
+    gold = pq.read_metadata(os.path.join(synth_dir, "triples_gold.parquet")).num_rows
+    df = out.to_pandas()
+    assert int(df["weight"].sum()) == gold
+
+    @register_stage("noop_test")
+    def _noop(ds):
+        return ds
+    assert "noop_test" in STAGE_REGISTRY
