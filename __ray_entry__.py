@@ -437,6 +437,17 @@ def _q_conv_context(sf_dir: str):
     return conv_context_windows(ds, window=2, turns_per_salt=256)
 
 
+def _q_kg_events(sf_dir: str):
+    """Event extraction (the third UIE record family): trigger-typed events
+    with (place, actor) roles resolved to canonical ids."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.events import extract_events
+    ds = transcripts_with_norm(sf_dir)
+    return extract_events(ds, synth.dictionary_path(sf_dir)).drop_columns(
+        ["trigger_start"])   # offsets are rows-only detail (SQL has no spans)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -475,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "frequent_phrases": _q_frequent_phrases,
         "kg_triples_via_sel": _q_kg_triples_via_sel,
+        "kg_events": _q_kg_events,
         "transcript_sample": _q_transcript_sample,
         "duplicate_turn_groups": _q_duplicate_turn_groups,
         "pruned_token_counts": _q_pruned_token_counts,
@@ -516,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
+        "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),
         "duplicate_turn_groups": oracle.duplicate_turn_groups_oracle(SF_ORACLE),
         "pruned_token_counts": oracle.pruned_token_counts_oracle(),

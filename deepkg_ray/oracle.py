@@ -486,3 +486,27 @@ WITH t AS (
 SELECT conv_id, turn_idx, concat_ws(' | ', {concat_args}) AS context
 FROM t
 """
+
+
+def events_sql(sf_dir: str) -> str:
+    from deepkg_ray.synth import EVENT_TYPES
+    trig = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+    pat = r"(?:^|\. )alert: ([a-z]+?) at ([a-z][a-z0-9, -]*?) involving ([a-z][a-z0-9, -]*?)\."
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+raw AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(txt, '{pat}', 1)) AS event_type,
+         unnest(regexp_extract_all(txt, '{pat}', 2)) AS place_text,
+         unnest(regexp_extract_all(txt, '{pat}', 3)) AS actor_text
+  FROM t
+)
+SELECT r.conv_id, r.turn_idx, r.event_type,
+       r.place_text, dp.entity_id AS place_id,
+       r.actor_text, da.entity_id AS actor_id
+FROM raw r
+JOIN dict dp ON dp.surface = r.place_text AND dp.type = 'LOC'
+JOIN dict da ON da.surface = r.actor_text AND da.type = 'ORG'
+WHERE r.event_type IN ({trig})
+"""

@@ -46,10 +46,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260817
-SYNTH_VERSION = "v1"
+SYNTH_VERSION = "v2"
 SYNTH_ROOT = "/tmp/deepkg_synth"
 
 ENTITY_TYPES = ["PERSON", "ORG", "LOC", "PRODUCT", "DRUG", "DISEASE"]
+
+# Event sentences: "alert: {trigger} at {LOC} involving {ORG}." — the
+# trigger word IS the event type; roles are (place: LOC, actor: ORG).
+# Shapes mirror the reference's event record
+# {type, trigger_span, roles: [(role, span)...]} (sel2record.py:522-662).
+EVENT_TYPES = ["breach", "outage", "overload", "leak"]
+EVENT_PREFIX = "alert: "
+EVENT_AT = " at "
+EVENT_INVOLVING = " involving "
 
 # (pred, subj_type, obj_type, infix) — infix is the literal text between the
 # subject and object surfaces; the sentence is "{subj}{infix}{obj}.".
@@ -159,6 +168,8 @@ def build_dictionary(n_per_type: int = 30, seed: int = SEED) -> list[Entity]:
     taken = set(FILLER_WORDS)
     for _, _, _, infix in RELATION_TEMPLATES:
         taken.update(infix.split())
+    taken.update(EVENT_TYPES)
+    taken.update(["alert", "involving"])
     for a, b in TYPE_SUFFIXES.values():
         taken.update((a, b))
     for pre, post in MENTION_WRAPPERS:
@@ -195,6 +206,7 @@ def build_dictionary(n_per_type: int = 30, seed: int = SEED) -> list[Entity]:
 class _Gold:
     mentions: list[tuple] = field(default_factory=list)   # conv, turn, start, end_incl, type, surface, entity_id
     triples: list[tuple] = field(default_factory=list)    # conv, turn, pred, s_txt, s_type, s_id, o_txt, o_type, o_id
+    events: list[tuple] = field(default_factory=list)     # conv, turn, etype, trig_start, place_txt, place_id, actor_txt, actor_id
 
 
 class _TurnWriter:
@@ -248,6 +260,22 @@ class _TurnWriter:
              s_surf, subj.etype, subj.entity_id,
              o_surf, obj.etype, obj.entity_id))
 
+    def event(self, rng: random.Random, etype: str, place: Entity,
+              actor: Entity):
+        self.sep()
+        p_surf = place.aliases[rng.randrange(len(place.aliases))]
+        a_surf = actor.aliases[rng.randrange(len(actor.aliases))]
+        start = self._append(EVENT_PREFIX + etype + EVENT_AT + p_surf
+                             + EVENT_INVOLVING + a_surf + ".")
+        trig_start = start + len(EVENT_PREFIX)
+        p_start = trig_start + len(etype) + len(EVENT_AT)
+        a_start = p_start + len(p_surf) + len(EVENT_INVOLVING)
+        self._mention_at(p_start, place, p_surf)
+        self._mention_at(a_start, actor, a_surf)
+        self.gold.events.append(
+            (self.conv_id, self.turn_idx, etype, trig_start,
+             p_surf, place.entity_id, a_surf, actor.entity_id))
+
     def text(self) -> str:
         return "".join(self.parts)
 
@@ -270,7 +298,13 @@ def _gen_turn_text(rng: random.Random, conv_id: str, turn_idx: int,
             # invariant 3: never two relation sentences back-to-back — the
             # oracle regex consumes the trailing "." of a matched sentence.
             prev_was_relation = True
-        elif r < 0.75:
+        elif r < 0.55 and not prev_was_relation:
+            w.event(rng, EVENT_TYPES[rng.randrange(len(EVENT_TYPES))],
+                    rng.choice(by_type["LOC"]), rng.choice(by_type["ORG"]))
+            # event sentences consume their trailing "." when matched —
+            # same non-adjacency rule as relations (invariant 3)
+            prev_was_relation = True
+        elif r < 0.78:
             w.mention(rng, rng.choice(by_type[rng.choice(ENTITY_TYPES)]))
             prev_was_relation = False
         else:
@@ -395,9 +429,22 @@ def ensure_synth(sf_dir: str) -> str:
         "obj_id": pa.array([x[8] for x in t], pa.int64()),
     }), os.path.join(tmp, "triples_gold.parquet"))
 
+    ev = gold.events
+    pq.write_table(pa.table({
+        "conv_id": pa.array([x[0] for x in ev], pa.string()),
+        "turn_idx": pa.array([x[1] for x in ev], pa.int32()),
+        "event_type": pa.array([x[2] for x in ev], pa.string()),
+        "trigger_start": pa.array([x[3] for x in ev], pa.int32()),
+        "place_text": pa.array([x[4] for x in ev], pa.string()),
+        "place_id": pa.array([x[5] for x in ev], pa.int64()),
+        "actor_text": pa.array([x[6] for x in ev], pa.string()),
+        "actor_id": pa.array([x[7] for x in ev], pa.int64()),
+    }), os.path.join(tmp, "events_gold.parquet"))
+
     with open(os.path.join(tmp, "spec.json"), "w") as f:
         json.dump({"sf": sf, "n_rows": n, "n_convs": spec.n_convs + spec.n_hot,
                    "n_gold_triples": len(t), "n_gold_mentions": len(m),
+                   "n_gold_events": len(ev),
                    "seed": SEED, "version": SYNTH_VERSION}, f)
 
     with open(os.path.join(tmp, "_COMPLETE"), "w") as f:

@@ -40,3 +40,17 @@ def test_mentions_dataset_counts(sf_dir, synth_dir):
     n = kg.mentions_dataset(sf_dir).count()
     gold = pq.read_metadata(os.path.join(synth_dir, "mentions_gold.parquet")).num_rows
     assert n == gold
+
+
+def test_events_match_gold(sf_dir, synth_dir):
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.events import extract_events
+    ev = extract_events(transcripts_with_norm(sf_dir),
+                        synth.dictionary_path(sf_dir)).to_pandas()
+    gold = pq.read_table(os.path.join(synth_dir, "events_gold.parquet")).to_pandas()
+    cols = ["conv_id", "turn_idx", "event_type", "trigger_start",
+            "place_text", "place_id", "actor_text", "actor_id"]
+    assert sorted(map(tuple, ev[cols].itertuples(index=False))) == \
+        sorted(map(tuple, gold[cols].itertuples(index=False)))
