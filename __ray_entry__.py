@@ -448,6 +448,12 @@ def _q_kg_events(sf_dir: str):
         ["trigger_start"])   # offsets are rows-only detail (SQL has no spans)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from deepkg_ray.stages.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               max_id=200, threshold=0.05)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -467,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_stats": _q_dedup_stats,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "ngram_jaccard": _q_ngram_jaccard,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -515,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracle.lang_id_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
+        "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),

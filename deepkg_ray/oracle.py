@@ -510,3 +510,33 @@ JOIN dict dp ON dp.surface = r.place_text AND dp.type = 'LOC'
 JOIN dict da ON da.surface = r.actor_text AND da.type = 'ORG'
 WHERE r.event_type IN ({trig})
 """
+
+
+def ngram_jaccard_pairs_oracle(max_id: int = 200, threshold: float = 0.05,
+                               k: int = 3) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE doc_id < {max_id} AND trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-{k-1})) AS i) g
+  WHERE len(ws) >= {k}
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS shingle
+  FROM d WHERE len(ws) < {k}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       floor(i.i * 1.0 / (sa.n + sb.n - i.i) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
+"""

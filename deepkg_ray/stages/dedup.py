@@ -285,3 +285,40 @@ def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None =
     # single logical group: coalesce then one dense pass
     return proj.repartition(1).map_batches(
         lambda df: group_pairs(df), batch_format="pandas", batch_size=None)
+
+
+def ngram_jaccard_pairs(ds, *, max_id: int = 200, threshold: float = 0.05,
+                        shingle_k: int = 3, id_col="doc_id", text_col="text"):
+    """Exact all-pairs word-shingle Jaccard on a bounded id-range subset —
+    the exact-verification harness for the near-dup family (the scale path
+    is minhash_dedup_pairs; this exact variant is what validates it and is
+    itself SQL-checkable).  Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    import pyarrow.compute as pc
+
+    sub = ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: b.filter(pc.less(b[id_col], max_id)), batch_format="pyarrow")
+
+    def all_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        ids = df[id_col].to_numpy()
+        sets = [set(word_shingles(t, shingle_k)) for t in df[text_col]]
+        ra, rb, js = [], [], []
+        for x in range(len(ids)):
+            sx = sets[x]
+            for y in range(x + 1, len(ids)):
+                sy = sets[y]
+                if not sx and not sy:
+                    j = 1.0
+                else:
+                    inter = len(sx & sy)
+                    if inter == 0:
+                        continue
+                    j = inter / (len(sx) + len(sy) - inter)
+                if j >= threshold:
+                    ra.append(int(ids[x])); rb.append(int(ids[y])); js.append(j)
+        return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
+                             "doc_b": np.asarray(rb, np.int64),
+                             "jaccard": round6(js)})
+
+    return sub.repartition(1).map_batches(all_pairs, batch_format="pandas",
+                                          batch_size=None)

@@ -86,29 +86,42 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1):
     """(w1, w2, cnt, pmi): pmi = ln((c12/N2) / ((c1/N1)*(c2/N1))), the
     log-ratio form of extractors.py:120-158, rounded to 6 dp.
 
-    Plan: one pass for unigrams, one for bigrams; unigram totals are a
-    small table collected to the driver and broadcast into the final
-    vectorized kernel (no third shuffle)."""
-    uni = ngram_counts(ds, 1, text_col).to_pandas()
+    Plan: ONE pass emitting unigram AND bigram partial counts per batch
+    (unigram rows use a '' sentinel for w2), one tree merge, then the PMI
+    formula on the driver over the merged (vocab²-bounded) table — a single
+    Ray execution.  For unbounded vocabularies split into two
+    groupby('w1'[, 'w2']) passes instead."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def both_counts(b: pa.Table) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for t in b[text_col].to_pylist():
+            ws = _tokens(t)
+            for w in ws:
+                counts[(w, "")] = counts.get((w, ""), 0) + 1
+            for i in range(len(ws) - 1):
+                k = (ws[i], ws[i + 1])
+                counts[k] = counts.get(k, 0) + 1
+        ks = list(counts)
+        return pd.DataFrame({"w1": [k[0] for k in ks],
+                             "w2": [k[1] for k in ks],
+                             "cnt": list(counts.values())})
+
+    partial = ds.select_columns([text_col]).map_batches(both_counts,
+                                                        batch_format="pyarrow")
+    merged = merge_partials(partial, ["w1", "w2"], {"cnt": "sum"}).to_pandas()
+    uni = merged[merged["w2"] == ""]
+    big = merged[merged["w2"] != ""].copy()
     n1 = float(uni["cnt"].sum())
+    n2 = float(big["cnt"].sum())
     counts = dict(zip(uni["w1"], uni["cnt"]))
-    big = ngram_counts(ds, 2, text_col)
-
-    # total bigram count: cheap second aggregate over the (small) bigram table
-    n2 = float(big.sum("cnt"))
-
-    def add_pmi(b: pa.Table) -> pa.Table:
-        c12 = np.asarray(b["cnt"].to_pylist(), dtype=np.float64)
-        c1 = np.asarray([counts[w] for w in b["w1"].to_pylist()], dtype=np.float64)
-        c2 = np.asarray([counts[w] for w in b["w2"].to_pylist()], dtype=np.float64)
-        pmi = np.log((c12 / n2) / ((c1 / n1) * (c2 / n1)))
-        t = b.append_column("pmi", pa.array(round6(pmi), pa.float64()))
-        if min_count > 1:
-            import pyarrow.compute as pc
-            t = t.filter(pc.greater_equal(t["cnt"], min_count))
-        return t
-
-    return big.map_batches(add_pmi, batch_format="pyarrow")
+    c12 = big["cnt"].to_numpy(np.float64)
+    c1 = np.asarray([counts[w] for w in big["w1"]], np.float64)
+    c2 = np.asarray([counts[w] for w in big["w2"]], np.float64)
+    big["pmi"] = round6(np.log((c12 / n2) / ((c1 / n1) * (c2 / n1))))
+    if min_count > 1:
+        big = big[big["cnt"] >= min_count]
+    return big.reset_index(drop=True)[["w1", "w2", "cnt", "pmi"]]
 
 
 def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
@@ -132,18 +145,22 @@ def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
                              "nb": [k[1] for k in ks],
                              "cnt": list(counts.values())})
 
-    pairs = (ds.select_columns([text_col])
-             .map_batches(explode, batch_format="pyarrow")
-             .groupby(["w1", "nb"]).aggregate(Sum("cnt", alias_name="cnt")))
-
-    def entropy(g: pd.DataFrame) -> pd.DataFrame:
-        c = g["cnt"].to_numpy(dtype=np.float64)
+    from deepkg_ray.stages.treeagg import merge_partials
+    pairs = merge_partials(
+        ds.select_columns([text_col]).map_batches(explode,
+                                                  batch_format="pyarrow"),
+        ["w1", "nb"], {"cnt": "sum"}).to_pandas()
+    # per-w1 entropy on the (vocab²-bounded) merged table, driver-side;
+    # the summation order inside each group is pinned by a (w1, nb) sort so
+    # the rounded value is deterministic
+    pairs = pairs.sort_values(["w1", "nb"], kind="stable")
+    out_w, out_h = [], []
+    for w1, g in pairs.groupby("w1", sort=True):
+        c = g["cnt"].to_numpy(np.float64)
         p = c / c.sum()
-        h = float(-(p * np.log(p)).sum())
-        return pd.DataFrame({"w1": [g["w1"].iloc[0]],
-                             "entropy": [float(round6(h))]})
-
-    return pairs.groupby("w1").map_groups(entropy, batch_format="pandas")
+        out_w.append(w1)
+        out_h.append(float(round6(-(p * np.log(p)).sum())))
+    return pd.DataFrame({"w1": out_w, "entropy": out_h})
 
 
 STOPWORDS = frozenset(
@@ -221,13 +238,13 @@ def phrase_quality_scores(ds, topk: int = 50, min_count: int = 2,
     import math
     cands = frequent_phrases(ds, n=2, topk=topk * 4,
                              min_count=min_count, text_col=text_col).to_pandas()
-    pmi = pmi_bigrams(ds, text_col=text_col).to_pandas()
+    pmi = pmi_bigrams(ds, text_col=text_col)
     pmi["phrase"] = pmi["w1"] + " " + pmi["w2"]
     n_docs = ds.count()
     idf = idf_table(ds.select_columns([text_col]), n_docs=n_docs,
                     text_col=text_col).to_pandas().set_index("w1")["idf"]
     ent = neighbor_entropy(ds, side="right",
-                           text_col=text_col).to_pandas().set_index("w1")["entropy"]
+                           text_col=text_col).set_index("w1")["entropy"]
 
     df = cands.merge(pmi[["phrase", "pmi"]], on="phrase", how="left")
     words = df["phrase"].str.split(" ")

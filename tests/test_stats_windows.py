@@ -39,7 +39,7 @@ def test_ngram_pmi_golden():
     big = phrasemine.ngram_counts(ds, 2).to_pandas()
     counts = {(r.w1, r.w2): r.cnt for r in big.itertuples()}
     assert counts == {("a", "b"): 3, ("b", "a"): 1}
-    pmi = phrasemine.pmi_bigrams(ds).to_pandas()
+    pmi = phrasemine.pmi_bigrams(ds)
     row = pmi[(pmi.w1 == "a") & (pmi.w2 == "b")].iloc[0]
     # n1=6 unigrams (a:3,b:3), n2=4 bigrams; pmi = ln((3/4)/((3/6)*(3/6)))
     expect = math.log((3 / 4) / ((3 / 6) * (3 / 6)))
@@ -56,7 +56,7 @@ def test_idf_golden():
 
 def test_neighbor_entropy_golden():
     docs = pd.DataFrame({"text": ["a b", "a c"]})
-    out = phrasemine.neighbor_entropy(rd.from_pandas(docs)).to_pandas()
+    out = phrasemine.neighbor_entropy(rd.from_pandas(docs))
     ent = dict(zip(out.w1, out.entropy))
     # 'a' has neighbors b,c equally → ln 2; b/c only sentinel → 0
     assert abs(ent["a"] - math.log(2)) < 1e-6
