@@ -9,7 +9,7 @@ powerycy/DeepKg (reference analyzed in SURVEY.md), re-expressed as
                                  semantics of reference AutoNER/src/string_match.h:21-99)
 - relation extraction           (stages/relation.py  — mention-anchored pattern matcher,
                                  record shapes of reference UIE_torch sel2record.py:405-519)
-- SEL record parsing            (stages/sel2record.py — parity kernel for
+- SEL record parsing            (stages/selparse.py — parity kernel for
                                  reference sel2record.py:888-992,1029-1187)
 - entity linking                (stages/linking.py   — BM25 / char-ngram candidate gen,
                                  reference Normalization/recall/model/BM25_Model.py)

@@ -13,7 +13,7 @@ SEL2Record per instance) re-expressed as two Ray stages:
    synthesized with, so the downstream parse is exercised on realistic,
    well-formed-and-occasionally-truncated generator output.
 
-2. the stateless ``Sel2RecordKernel`` parse (stages/sel2record.py) with the
+2. the stateless ``Sel2RecordKernel`` parse (stages/selparse.py) with the
    record schema broadcast in the constructor.
 
 End-to-end this path must produce the SAME triples as the direct
@@ -29,7 +29,7 @@ from deepkg_ray import synth
 from deepkg_ray.functions.textnorm import add_text_norm
 from deepkg_ray.sources.readers import read_transcripts
 from deepkg_ray.stages.relation import RelationExtractor
-from deepkg_ray.stages.sel2record import Sel2RecordKernel, convert_spot_asoc
+from deepkg_ray.stages.selparse import Sel2RecordKernel, convert_spot_asoc
 from deepkg_ray.synth import ENTITY_TYPES, RELATION_TEMPLATES
 
 

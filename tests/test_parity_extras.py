@@ -4,7 +4,7 @@ import numpy as np
 import pyarrow as pa
 
 from deepkg_ray.functions.textnorm import md5_keep_mask
-from deepkg_ray.stages import sel2record as s2r
+from deepkg_ray.stages import selparse as s2r
 from deepkg_ray.stages.linking import rescore_candidates
 from deepkg_ray.stages.scoring import spearman
 

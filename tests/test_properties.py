@@ -9,7 +9,7 @@ from deepkg_ray.functions.hashing import MinHasher, word_shingles
 from deepkg_ray.functions.numeric import round6
 from deepkg_ray.functions.textnorm import md5_keep_mask, normalize_text
 from deepkg_ray.stages.dedup import exact_jaccard
-from deepkg_ray.stages.sel2record import (add_bracket, check_well_form,
+from deepkg_ray.stages.selparse import (add_bracket, check_well_form,
                                           clean_text, convert_bracket,
                                           match_sublist, parse_sel)
 

@@ -4,7 +4,7 @@ uie/evaluation/scorer.py)."""
 
 import pyarrow as pa
 
-from deepkg_ray.stages import sel2record as s2r
+from deepkg_ray.stages import selparse as s2r
 
 TS, TE, SS = s2r.TYPE_START, s2r.TYPE_END, s2r.SPAN_START
 
