@@ -93,22 +93,28 @@ class MinHashSignature:
                 .append_column("bands", pa.array(bands, pa.list_(pa.uint64()))))
 
 
-def _explode_bands(batch: pa.Table, id_col: str) -> pa.Table:
+def _explode_bands(batch: pa.Table, id_col: str,
+                   n_partitions: int = 64) -> pa.Table:
     ids = batch[id_col].to_pylist()
     bands = batch["bands"].to_pylist()
     sigs = batch["minhash"].to_pylist()
-    out_id, out_b, out_h, out_sig = [], [], [], []
+    out_id, out_b, out_h, out_sig, out_p = [], [], [], [], []
     for i, bl in zip(range(len(ids)), bands):
         for bi, bh in enumerate(bl):
             out_id.append(ids[i])
             out_b.append(bi)
             out_h.append(bh)
             out_sig.append(sigs[i])
+            out_p.append(bh % n_partitions)
     return pa.table({
         id_col: pa.array(out_id, pa.int64()),
         "band_idx": pa.array(out_b, pa.int32()),
         "band_hash": pa.array(out_h, pa.uint64()),
         "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
+        # coarse co-location key: shuffling into ~n_partitions groups costs
+        # the same as per-bucket groups but avoids the per-group scheduling
+        # overhead of millions of tiny LSH buckets
+        "bucket": pa.array(out_p, pa.int32()),
     })
 
 
@@ -126,19 +132,27 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     exploded = sigged.map_batches(lambda b: _explode_bands(b, id_col),
                                   batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["minhash"].to_numpy())
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
-        est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
-        return pd.DataFrame({"doc_a": ids[a_idx], "doc_b": ids[b_idx],
-                             "est_jaccard": est})
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        """All LSH-bucket pairs within one coarse hash partition: an inner
+        pandas groupby over the real (band_idx, band_hash) buckets."""
+        ra, rb, est_all = [], [], []
+        for _, g in part.groupby(["band_idx", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col, kind="stable")
+            ids = g[id_col].to_numpy()
+            sigs = np.stack(g["minhash"].to_numpy())
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+            ra.extend(ids[a_idx].tolist())
+            rb.extend(ids[b_idx].tolist())
+            est_all.extend(est.tolist())
+        return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
+                             "doc_b": np.asarray(rb, np.int64),
+                             "est_jaccard": np.asarray(est_all, np.float64)})
 
-    pairs = (exploded.groupby(["band_idx", "band_hash"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = (exploded.groupby("bucket")
+             .map_groups(partition_pairs, batch_format="pandas"))
     # a pair can surface from several bands — canonical one row per pair
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
@@ -215,34 +229,41 @@ def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         fps = batch["simhash"].to_pylist()
-        o_id, o_t, o_k, o_fp = [], [], [], []
+        o_id, o_t, o_k, o_fp, o_b = [], [], [], [], []
         for i, fp in zip(ids, fps):
             for t in range(n_tables):
+                key = (fp >> (t * 16)) & 0xFFFF
                 o_id.append(i)
                 o_t.append(t)
-                o_k.append((fp >> (t * 16)) & 0xFFFF)
+                o_k.append(key)
                 o_fp.append(fp)
+                o_b.append(key % 64)
         return pa.table({id_col: pa.array(o_id, pa.int64()),
                          "tbl": pa.array(o_t, pa.int32()),
                          "key": pa.array(o_k, pa.int32()),
-                         "simhash": pa.array(o_fp, pa.uint64())})
+                         "simhash": pa.array(o_fp, pa.uint64()),
+                         "bucket": pa.array(o_b, pa.int32())})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        g = g.sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        fps = g["simhash"].to_numpy()
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         ra, rb, hd = [], [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                h = hamming64(int(fps[x]), int(fps[y]))
-                if h <= max_hamming:
-                    ra.append(ids[x]); rb.append(ids[y]); hd.append(h)
-        return pd.DataFrame({"doc_a": ra, "doc_b": rb, "hamming": hd})
+        for _, g in part.groupby(["tbl", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col, kind="stable")
+            ids = g[id_col].to_numpy()
+            fps = g["simhash"].to_numpy()
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    h = hamming64(int(fps[x]), int(fps[y]))
+                    if h <= max_hamming:
+                        ra.append(ids[x]); rb.append(ids[y]); hd.append(h)
+        return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
+                             "doc_b": np.asarray(rb, np.int64),
+                             "hamming": np.asarray(hd, np.int64)})
 
     pairs = (sh.map_batches(explode, batch_format="pyarrow")
-             .groupby(["tbl", "key"]).map_groups(bucket_pairs, batch_format="pandas"))
+             .groupby("bucket").map_groups(partition_pairs,
+                                           batch_format="pandas"))
     return (pairs.groupby(["doc_a", "doc_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 
