@@ -68,7 +68,8 @@ def linked_triples_dataset(sf_dir: str, *, concurrency=None, repeat: int = 1):
 
 def adjacency_dataset(sf_dir: str, *, concurrency=None):
     """Canonical graph edges (subj_id, pred, obj_id, names, types, weight, src)."""
-    return aggregate_adjacency(linked_triples_dataset(sf_dir, concurrency=concurrency))
+    return aggregate_adjacency(linked_triples_dataset(sf_dir, concurrency=concurrency),
+                               dictionary_path=synth.dictionary_path(sf_dir))
 
 
 def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=None,
@@ -76,7 +77,8 @@ def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=None,
     """Run the full pipeline; if out_dir is given, materialize all graph
     artifacts as parquet (the [F] stage); returns the datasets."""
     linked = linked_triples_dataset(sf_dir, concurrency=concurrency, repeat=repeat)
-    adj = aggregate_adjacency(linked)
+    adj = aggregate_adjacency(linked,
+                              dictionary_path=synth.dictionary_path(sf_dir))
     out = {
         "adjacency": adj,
         "entities": entity_table(adj),
@@ -144,7 +146,7 @@ def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=(1, 8)) -> dict
     counters = run_partitioned(files, linked_dir, process)
 
     linked = rd.read_parquet([p for p in glob.glob(f"{linked_dir}/part=*")])
-    adj = aggregate_adjacency(linked)
+    adj = aggregate_adjacency(linked, dictionary_path=dict_path)
     # atomic overwrite — write_parquet otherwise APPENDS uniquely-named
     # files into an existing dir, double-counting on rerun
     import os

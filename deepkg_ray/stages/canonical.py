@@ -27,10 +27,12 @@ KEY_COLS = ["subj_id", "pred", "obj_id"]
 def _partial_adjacency(batch: pa.Table) -> pa.Table:
     """Combiner: one row per (subj_id, pred, obj_id) per batch with a local
     count and a deterministic provenance exemplar (lexicographically first
-    (conv_id, turn_idx))."""
+    (conv_id, turn_idx)).  Only the 5 key/aggregate columns travel through
+    the shuffle — the name/type columns are functionally dependent on the
+    ids and are re-attached from the broadcast dictionary on the (tiny)
+    final table."""
     import pyarrow.compute as pc
     from deepkg_ray.stages.treeagg import _merge_frame
-    cols = KEY_COLS + ["subj_name", "subj_type", "obj_name", "obj_type"]
     # single sortable provenance key so the global min stays a *real*
     # (conv_id, turn_idx) exemplar rather than field-wise minima; built
     # vectorized in Arrow before the pandas conversion
@@ -39,17 +41,37 @@ def _partial_adjacency(batch: pa.Table) -> pa.Table:
         pc.utf8_lpad(pc.cast(batch["turn_idx"].combine_chunks(), pa.string()),
                      8, "0"),
         ":")
-    df = batch.select(cols).to_pandas()
+    df = batch.select(KEY_COLS).to_pandas()
     df["src"] = src.to_pandas()
     df["cnt"] = 1
-    grp = _merge_frame(df, KEY_COLS,
-                       {"cnt": "sum", "src": "min", "subj_name": "first",
-                        "subj_type": "first", "obj_name": "first",
-                        "obj_type": "first"})
+    grp = _merge_frame(df, KEY_COLS, {"cnt": "sum", "src": "min"})
     return pa.Table.from_pandas(grp, preserve_index=False)
 
 
-def aggregate_adjacency(linked_triples_ds, mode: str = "tree"):
+def _attach_names(dictionary_path: str):
+    """map_batches kernel factory: append subj/obj name+type columns from
+    the (broadcast, dictionary-path-loaded) id→(name, type) map."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(dictionary_path, columns=["entity_id", "name", "type"])
+    id2name = dict(zip(t["entity_id"].to_pylist(), t["name"].to_pylist()))
+    id2type = dict(zip(t["entity_id"].to_pylist(), t["type"].to_pylist()))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        s_ids = b["subj_id"].to_pylist()
+        o_ids = b["obj_id"].to_pylist()
+        return (b.append_column("subj_name",
+                                pa.array([id2name.get(i, "") for i in s_ids]))
+                .append_column("subj_type",
+                               pa.array([id2type.get(i, "") for i in s_ids]))
+                .append_column("obj_name",
+                               pa.array([id2name.get(i, "") for i in o_ids]))
+                .append_column("obj_type",
+                               pa.array([id2type.get(i, "") for i in o_ids])))
+    return kernel
+
+
+def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
+                        dictionary_path: str | None = None):
     """linked triples Dataset → adjacency Dataset
     (subj_id, pred, obj_id, subj_name, subj_type, obj_name, obj_type,
     weight, src).
@@ -61,6 +83,36 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree"):
     (stages/treeagg.py) — exact, and ~5x faster than the sort shuffle when
     the distinct edge set fits one task.  mode='shuffle': Ray groupby, for
     unbounded key spaces (the 100 TB path when edges don't fit)."""
+    if dictionary_path is None:
+        # legacy path: carry names through the aggregation (works without a
+        # dictionary artifact, e.g. for ad-hoc linked tables)
+        import pyarrow.compute as pc
+        from deepkg_ray.stages.treeagg import _merge_frame, merge_partials
+
+        def partial_with_names(batch: pa.Table) -> pa.Table:
+            src = pc.binary_join_element_wise(
+                batch["conv_id"].combine_chunks(),
+                pc.utf8_lpad(pc.cast(batch["turn_idx"].combine_chunks(),
+                                     pa.string()), 8, "0"), ":")
+            df = batch.select(KEY_COLS + ["subj_name", "subj_type",
+                                          "obj_name", "obj_type"]).to_pandas()
+            df["src"] = src.to_pandas()
+            df["weight"] = 1
+            return pa.Table.from_pandas(
+                _merge_frame(df, KEY_COLS,
+                             {"weight": "sum", "src": "min",
+                              "subj_name": "first", "subj_type": "first",
+                              "obj_name": "first", "obj_type": "first"}),
+                preserve_index=False)
+
+        partial = linked_triples_ds.map_batches(partial_with_names,
+                                                batch_format="pyarrow",
+                                                batch_size=16384)
+        return merge_partials(partial, KEY_COLS,
+                              {"weight": "sum", "src": "min",
+                               "subj_name": "first", "subj_type": "first",
+                               "obj_name": "first", "obj_type": "first"})
+
     partial = linked_triples_ds.map_batches(_partial_adjacency,
                                             batch_format="pyarrow",
                                             batch_size=16384)
@@ -70,19 +122,14 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree"):
             partial.map_batches(lambda b: b.rename_columns(
                 [c if c != "cnt" else "weight" for c in b.column_names]),
                 batch_format="pyarrow"),
-            KEY_COLS,
-            {"weight": "sum", "src": "min", "subj_name": "first",
-             "subj_type": "first", "obj_name": "first", "obj_type": "first"})
-        return merged
-    agg = (partial
-           .groupby(KEY_COLS)
-           .aggregate(Sum("cnt", alias_name="weight"),
-                      Min("src", alias_name="src"),
-                      Min("subj_name", alias_name="subj_name"),
-                      Min("subj_type", alias_name="subj_type"),
-                      Min("obj_name", alias_name="obj_name"),
-                      Min("obj_type", alias_name="obj_type")))
-    return agg
+            KEY_COLS, {"weight": "sum", "src": "min"})
+    else:
+        merged = (partial
+                  .groupby(KEY_COLS)
+                  .aggregate(Sum("cnt", alias_name="weight"),
+                             Min("src", alias_name="src")))
+    return merged.map_batches(_attach_names(dictionary_path),
+                              batch_format="pyarrow")
 
 
 def dedup_triples(linked_triples_ds):
