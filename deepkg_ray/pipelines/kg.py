@@ -145,7 +145,9 @@ def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=(1, 8)) -> dict
     linked_dir = f"{out_dir}/linked"
     counters = run_partitioned(files, linked_dir, process)
 
-    linked = rd.read_parquet([p for p in glob.glob(f"{linked_dir}/part=*")])
+    # NB: ray 2.49 read_parquet accepts a list of FILES but trips on a
+    # list of multiple directories — expand to the part files explicitly
+    linked = rd.read_parquet(sorted(glob.glob(f"{linked_dir}/part=*/*.parquet")))
     adj = aggregate_adjacency(linked, dictionary_path=dict_path)
     # atomic overwrite — write_parquet otherwise APPENDS uniquely-named
     # files into an existing dir, double-counting on rerun
