@@ -454,6 +454,24 @@ def _q_ngram_jaccard(sf_dir: str):
                                max_id=200, threshold=0.05)
 
 
+def _q_events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the latest order of the same
+    customer at-or-before its timestamp (per-key sorted merge inside
+    map_groups — the composition Ray Data lacks natively)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.asof import asof_join_events_orders
+    return asof_join_events_orders(
+        read_events(sf_dir, ["event_id", "user_id", "ts"]),
+        f"{sf_dir}/orders.parquet")
+
+
+def _q_events_range_join(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.asof import range_join_counts
+    return range_join_counts(read_events(sf_dir, ["event_id", "user_id", "ts"]),
+                             f"{sf_dir}/orders.parquet")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -486,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / windows
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_orders": _q_events_asof_orders,
+        "events_range_join": _q_events_range_join,
         "distinct_event_types": _q_distinct_event_types,
         # relational primitives
         "pricing_summary": _q_pricing_summary,
@@ -532,6 +552,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "events_window": oracle.events_window_oracle(),
         "events_sessionize": oracle.sessionize_oracle(),
+        "events_asof_orders": oracle.asof_join_oracle(),
+        "events_range_join": oracle.range_join_oracle(),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),

@@ -540,3 +540,30 @@ JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b
 WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
 """
+
+
+def asof_join_oracle() -> str:
+    return """
+WITH j AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, ts_us,
+       CAST(coalesce(o_orderkey, -1) AS BIGINT) AS asof_orderkey
+FROM j WHERE rn = 1
+"""
+
+
+def range_join_oracle(window_days: int = 7) -> str:
+    win_us = window_days * 86_400 * 1_000_000
+    return f"""
+SELECT e.event_id,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders_in_window
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id
+ AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) <= {win_us}
+GROUP BY e.event_id
+"""

@@ -173,3 +173,36 @@ def test_config_registry_pipeline(sf_dir, synth_dir):
     def _noop(ds):
         return ds
     assert "noop_test" in STAGE_REGISTRY
+
+
+def test_asof_and_range_join_golden(tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.asof import asof_join_events_orders, range_join_counts
+    base = 1_700_000_000_000_000
+    day = 86_400 * 1_000_000
+    orders = pd.DataFrame({
+        "o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2],
+        "o_orderdate": pd.to_datetime([base, base + 5 * day, base], unit="us"),
+    })
+    opath = str(tmp_path / "orders.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(orders), opath)
+    events = pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "user_id": [1, 1, 2, 3],
+        "ts": pd.to_datetime([base - day,          # before any order → -1
+                              base + 6 * day,      # after both → key 11
+                              base + day,          # user 2 → key 12
+                              base], unit="us"),   # user 3: no orders → -1
+    })
+    ds = rd.from_pandas(events)
+    out = asof_join_events_orders(ds, opath).to_pandas().set_index("event_id")
+    assert out.loc[0, "asof_orderkey"] == -1
+    assert out.loc[1, "asof_orderkey"] == 11
+    assert out.loc[2, "asof_orderkey"] == 12
+    assert out.loc[3, "asof_orderkey"] == -1
+    rng = range_join_counts(ds, opath, window_days=2).to_pandas().set_index("event_id")
+    assert rng.loc[0, "n_orders_in_window"] == 1    # base within 2d of base-1d
+    assert rng.loc[1, "n_orders_in_window"] == 1    # base+5d within 2d of base+6d
+    assert rng.loc[2, "n_orders_in_window"] == 1
+    assert rng.loc[3, "n_orders_in_window"] == 0
