@@ -472,6 +472,96 @@ def _q_events_range_join(sf_dir: str):
                              f"{sf_dir}/orders.parquet")
 
 
+def _q_users_without_orders(sf_dir: str):
+    """Broadcast anti-join: events of users with no high-value order, per user
+    (Bloom prefilter + exact confirmation — stages/sketches.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.sketches import bloom_anti_join_counts
+    import pyarrow.compute as pc
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_custkey", "o_totalprice"])
+    # anti-join against customers holding a HIGH-VALUE order (>400k) so the
+    # result is non-trivial on the testdata
+    ot = ot.filter(pc.greater(ot["o_totalprice"], 400_000.0))
+    custkeys = [str(v) for v in ot["o_custkey"].to_pylist()]
+    out = bloom_anti_join_counts(read_events(sf_dir, ["user_id"]),
+                                 "user_id", custkeys)
+    return out.map_batches(
+        lambda b: pa.table({"user_id": pa.compute.cast(b["user_id"], pa.int64()),
+                            "n_rows": b["n_rows"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_native_join_revenue(sf_dir: str):
+    """Ray Data's native hash-partitioned Dataset.join (both-sides-large
+    path) — same result/oracle as the broadcast-join segment_revenue."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from deepkg_ray.functions.numeric import to_micros
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "price_micros": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                                     pa.int64())})
+    agg = (joined.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("price_micros", alias_name="price_micros"),
+                      Count(alias_name="n_orders")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": b["c_mktsegment"],
+            "total_revenue": pa.array(
+                np.asarray(b["price_micros"].to_pylist(), np.float64) / 1e6),
+            "n_orders": b["n_orders"].combine_chunks().cast(pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_top_events_per_type(sf_dir: str):
+    """Per-key windowed top-k: the 2 highest-value events per event_type
+    (rank-within-partition), deterministic tie-break on event_id."""
+    import numpy as np
+    import pandas as pd
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.sources.readers import read_events
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True],
+                          kind="stable").head(2).reset_index(drop=True)
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "event_id": g["event_id"].astype(np.int64),
+            "value": round6(g["value"].to_numpy()),
+            "rank": np.arange(len(g), dtype=np.int32)})
+
+    return (read_events(sf_dir, ["event_id", "event_type", "value"])
+            .groupby("event_type").map_groups(topk, batch_format="pandas"))
+
+
+def _q_approx_distinct(sf_dir: str):
+    """HLL approximate distinct users/types over events (rows-only by
+    nature: approximate).  Exactness paths elsewhere stay exact."""
+    import pandas as pd
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.sketches import approx_distinct
+    users = approx_distinct(read_events(sf_dir, ["user_id"]), "user_id")
+    types = approx_distinct(read_events(sf_dir, ["event_type"]), "event_type")
+    return pd.DataFrame({"approx_users": [round(users, 1)],
+                         "approx_event_types": [round(types, 1)]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -506,6 +596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
+        "users_without_orders": _q_users_without_orders,
+        "native_join_revenue": _q_native_join_revenue,
+        "top_events_per_type": _q_top_events_per_type,
+        "approx_distinct": _q_approx_distinct,
         "distinct_event_types": _q_distinct_event_types,
         # relational primitives
         "pricing_summary": _q_pricing_summary,
@@ -554,6 +648,9 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracle.sessionize_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),
+        "users_without_orders": oracle.users_without_orders_oracle(),
+        "native_join_revenue": oracle.segment_revenue_oracle(),
+        "top_events_per_type": oracle.top_events_per_type_oracle(),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),

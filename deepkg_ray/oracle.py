@@ -567,3 +567,26 @@ FROM events e LEFT JOIN orders o
  AND abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) <= {win_us}
 GROUP BY e.event_id
 """
+
+
+def users_without_orders_oracle() -> str:
+    return """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+GROUP BY user_id
+"""
+
+
+def top_events_per_type_oracle(k: int = 2) -> str:
+    return f"""
+WITH r AS (
+  SELECT event_type, event_id,
+         floor(value * 1e6 + 0.5) / 1e6 AS value,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY value DESC, event_id) - 1 AS INTEGER) AS rank
+  FROM events
+)
+SELECT event_type, event_id, value, rank FROM r WHERE rank < {k}
+"""

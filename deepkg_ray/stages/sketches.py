@@ -1,0 +1,140 @@
+"""Mergeable sketches: HyperLogLog approximate distinct + Bloom filters.
+
+The reference has no approximate aggregates (SURVEY.md §2.5: "no sketches
+anywhere"); these are the engine's scale additions for diagnostics — the
+canonical mergeable-sketch plan: one serialized sketch per batch emitted
+from map_batches, merged in a tiny second stage (sketches are designed to
+be mergeable), never a giant exact shuffle.  Correctness paths stay exact.
+
+Bloom filters serve broadcast semi/anti-join prefiltering: ship the filter
+(kilobytes) instead of the key set (gigabytes), accept false positives,
+confirm exactly afterwards if needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash64(values: list[str]) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                        "big") for v in values),
+        dtype=np.uint64, count=len(values))
+
+
+class HLL:
+    """HyperLogLog with 2^p registers (standard bias-corrected estimator)."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        self.alpha = 0.7213 / (1 + 1.079 / self.m)
+
+    def add_hashes(self, h: np.ndarray):
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
+        nz = rest != 0
+        if nz.any():
+            bits = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+            lz[nz] = (63 - bits + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, lz)
+
+    def merge(self, other: "HLL"):
+        np.maximum(self.registers, other.registers, out=self.registers)
+
+    def estimate(self) -> float:
+        e = self.alpha * self.m ** 2 / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * self.m and zeros:
+            return self.m * math.log(self.m / zeros)    # small-range correction
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, b: bytes, p: int = 12) -> "HLL":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate count-distinct of a column: per-batch HLL sketches,
+    merged driver-side (each sketch is 4 KiB — the merge is trivial)."""
+    def sketch(b: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(_hash64([str(v) for v in b[col].to_pylist()]))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    merged = HLL(p)
+    for row in ds.select_columns([col]).map_batches(
+            sketch, batch_format="pyarrow").iter_rows():
+        merged.merge(HLL.deserialize(row["sketch"], p))
+    return merged.estimate()
+
+
+class BloomFilter:
+    """Fixed-size Bloom filter (k hashes via double hashing); mergeable by
+    OR.  Built from one side's keys, broadcast into map_batches for
+    semi/anti prefiltering (no false negatives)."""
+
+    def __init__(self, n_bits: int = 1 << 16, k: int = 4):
+        assert n_bits & (n_bits - 1) == 0
+        self.n_bits, self.k = n_bits, k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = h >> np.uint64(32)
+        ks = np.arange(self.k, dtype=np.uint64)
+        return ((h1[:, None] + ks[None, :] * h2[:, None])
+                % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add(self, keys: list[str]):
+        pos = self._positions(_hash64(keys)).ravel()
+        np.bitwise_or.at(self.bits, pos // 8,
+                         (1 << (pos % 8)).astype(np.uint8))
+
+    def might_contain(self, keys: list[str]) -> np.ndarray:
+        pos = self._positions(_hash64(keys))
+        byte = self.bits[pos // 8]
+        hit = (byte & (1 << (pos % 8)).astype(np.uint8)) != 0
+        return hit.all(axis=1)
+
+
+def bloom_anti_join_counts(ds, key_col: str, member_keys: list[str],
+                           exact: bool = True):
+    """Rows of ds whose key is NOT in member_keys, counted per key.
+    Bloom prefilter (no false negatives → anti-join candidates are a
+    superset) + exact broadcast-set confirmation when ``exact``."""
+    bloom = BloomFilter()
+    bloom.add(member_keys)
+    member_set = frozenset(member_keys) if exact else None
+
+    def kernel(b: pa.Table) -> pd.DataFrame:
+        keys = [str(v) for v in b[key_col].to_pylist()]
+        maybe_member = bloom.might_contain(keys)
+        anti = ~maybe_member
+        if exact:
+            # Bloom false positives would wrongly drop rows — confirm them
+            fp_check = np.array([k not in member_set for k in keys])
+            anti = anti | (maybe_member & fp_check)
+        kept = [k for k, a in zip(keys, anti) if a]
+        vc = pd.Series(kept).value_counts()
+        return pd.DataFrame({key_col: vc.index.astype(str),
+                             "n_rows": vc.to_numpy().astype(np.int64)})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    partial = ds.select_columns([key_col]).map_batches(kernel,
+                                                       batch_format="pyarrow")
+    return merge_partials(partial, [key_col], {"n_rows": "sum"}, fanout=2)

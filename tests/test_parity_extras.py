@@ -206,3 +206,32 @@ def test_asof_and_range_join_golden(tmp_path):
     assert rng.loc[1, "n_orders_in_window"] == 1    # base+5d within 2d of base+6d
     assert rng.loc[2, "n_orders_in_window"] == 1
     assert rng.loc[3, "n_orders_in_window"] == 0
+
+
+def test_hll_accuracy():
+    import numpy as np
+    from deepkg_ray.stages.sketches import HLL, _hash64
+    h = HLL(p=12)
+    keys = [f"key-{i}" for i in range(50_000)]
+    h.add_hashes(_hash64(keys))
+    est = h.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.05      # ~1.04/sqrt(4096) ≈ 1.6%
+    # mergeable: two halves merged == whole
+    h1, h2 = HLL(12), HLL(12)
+    h1.add_hashes(_hash64(keys[:25_000]))
+    h2.add_hashes(_hash64(keys[25_000:]))
+    h1.merge(h2)
+    assert np.array_equal(h1.registers, h.registers)
+    # serialization round-trip
+    assert HLL.deserialize(h.serialize()).estimate() == est
+
+
+def test_bloom_no_false_negatives():
+    from deepkg_ray.stages.sketches import BloomFilter
+    members = [f"m{i}" for i in range(2000)]
+    bf = BloomFilter()
+    bf.add(members)
+    assert bf.might_contain(members).all()        # zero false negatives
+    others = [f"x{i}" for i in range(2000)]
+    fp = bf.might_contain(others).mean()
+    assert fp < 0.05                              # 64Kib/2k keys, k=4
