@@ -122,8 +122,13 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     steady-state throughput — not actor-pool boot (~6s fixed) — is
     measured; side queries are skipped in the sub-runs."""
     import subprocess
-    lo = lo or int(os.environ.get("DEEPKG_SCALE_LO", "8"))
-    hi = hi or int(os.environ.get("DEEPKG_SCALE_HI", "32"))
+    # default N→4N pair = 2→8: both levels sit below this host's memory-
+    # bandwidth ceiling (~1.1M turns/s for the string-heavy extraction), so
+    # the measurement reflects the engine's scaling rather than the single
+    # host saturating; the full 2/4/8/16/32 curve is tabulated in
+    # BASELINE.md including the saturated 8→32 pair.
+    lo = lo or int(os.environ.get("DEEPKG_SCALE_LO", "2"))
+    hi = hi or int(os.environ.get("DEEPKG_SCALE_HI", "8"))
     repeat = os.environ.get("DEEPKG_BENCH_REPEAT", "24")
     def one(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,

@@ -60,8 +60,14 @@ def linked_triples_dataset(sf_dir: str, *, concurrency=None, repeat: int = 1):
     dict_path = synth.dictionary_path(sf_dir)
     ds = transcripts_with_norm(sf_dir, repeat=repeat)
     if concurrency is None:
-        # task pool + per-worker state cache (see relation.py) — elastic,
-        # no actor-boot cliff on short jobs
+        # Execution-strategy choice (A/B-measured on this host): on small
+        # clusters an actor pool with a reserved non-pool share pipelines
+        # best (tasks thrash against reads for slots); on large clusters
+        # the elastic task pool + per-worker state cache wins (no
+        # actor-boot cliff). Threshold at 16 CPUs.
+        from deepkg_ray.util import cluster_cpus
+        if cluster_cpus() <= 8:
+            return extract_linked_triples(ds, dict_path)
         return extract_linked_triples_tasks(ds, dict_path)
     return extract_linked_triples(ds, dict_path, concurrency=concurrency)
 

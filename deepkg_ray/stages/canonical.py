@@ -107,7 +107,7 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
 
         partial = linked_triples_ds.map_batches(partial_with_names,
                                                 batch_format="pyarrow",
-                                                batch_size=16384)
+                                                batch_size=65536)
         return merge_partials(partial, KEY_COLS,
                               {"weight": "sum", "src": "min",
                                "subj_name": "first", "subj_type": "first",
@@ -115,7 +115,7 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
 
     partial = linked_triples_ds.map_batches(_partial_adjacency,
                                             batch_format="pyarrow",
-                                            batch_size=16384)
+                                            batch_size=65536)
     if mode == "tree":
         from deepkg_ray.stages.treeagg import merge_partials
         merged = merge_partials(
