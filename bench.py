@@ -50,6 +50,14 @@ def _q_ann(sf_dir: str):
     return brute_force_topk(read_embeddings(sf_dir), q, qids, k=10).count()
 
 
+def _q_events(sf_dir: str):
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.events import extract_events
+    return extract_events(transcripts_with_norm(sf_dir),
+                          synth.dictionary_path(sf_dir)).count()
+
+
 def _q_minhash(sf_dir: str):
     from deepkg_ray.sources.readers import read_documents
     from deepkg_ray.stages.dedup import minhash_dedup_pairs
@@ -85,6 +93,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extra["repeat"] = repeat
 
     side = [("kg_mentions", _q_mentions),
+            ("kg_events", _q_events),
             ("dedup_exact", _q_dedup_exact),
             ("ann_topk", _q_ann),
             ("dedup_minhash", _q_minhash)]

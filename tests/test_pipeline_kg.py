@@ -54,3 +54,27 @@ def test_events_match_gold(sf_dir, synth_dir):
             "place_text", "place_id", "actor_text", "actor_id"]
     assert sorted(map(tuple, ev[cols].itertuples(index=False))) == \
         sorted(map(tuple, gold[cols].itertuples(index=False)))
+
+
+def test_aggregate_modes_equivalent(sf_dir):
+    """tree-merge, sort-shuffle, and no-dictionary (legacy) aggregation
+    paths produce identical adjacency."""
+    from deepkg_ray import synth
+    from deepkg_ray.stages.canonical import aggregate_adjacency
+    dict_path = synth.dictionary_path(sf_dir)
+    linked = kg.linked_triples_dataset(sf_dir)
+    cols = ["subj_id", "pred", "obj_id", "weight", "src",
+            "subj_name", "subj_type", "obj_name", "obj_type"]
+
+    def canon(ds):
+        df = ds.to_pandas()[cols]
+        return df.sort_values(cols[:3]).reset_index(drop=True)
+
+    tree = canon(aggregate_adjacency(kg.linked_triples_dataset(sf_dir),
+                                     mode="tree", dictionary_path=dict_path))
+    shuf = canon(aggregate_adjacency(kg.linked_triples_dataset(sf_dir),
+                                     mode="shuffle", dictionary_path=dict_path))
+    legacy = canon(aggregate_adjacency(kg.linked_triples_dataset(sf_dir)))
+    import pandas as pd
+    pd.testing.assert_frame_equal(tree, shuf, check_dtype=False)
+    pd.testing.assert_frame_equal(tree, legacy, check_dtype=False)
