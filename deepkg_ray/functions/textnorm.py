@@ -25,30 +25,48 @@ def _build_table() -> dict[int, int]:
     for i in range(0xFF01, 0xFF5F):              # full-width ASCII block → ASCII
         t[i] = i - 0xFEE0
     t[0x3000] = 0x20                             # ideographic space
+    t[0x0130] = 0x69                             # İ → i (lower() would expand
+    # it to 'i̇', 2 chars — the one Unicode char whose lowercase grows)
     return t
 
 
 NORM_TABLE = _build_table()
 
-# rows that are already pure printable-ASCII lowercase need no Python pass
+# rows that are already pure printable-ASCII need no Python pass (ASCII
+# lower() is always length-preserving; non-ASCII rows take the per-char fold)
 _NEEDS_FOLD_RE = r"[^\x20-\x7e]|[\x00-\x1f\x7f]"
 
 
+def _fold_char(c: str) -> str:
+    c = NORM_MAP_STR.get(c, c)
+    lc = c.lower()
+    return lc if len(lc) == 1 else c   # never let lower() change the length
+
+
+NORM_MAP_STR = {chr(k): chr(v) for k, v in NORM_TABLE.items()}
+
+
 def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
-    """Vectorized lower + width-fold + control→space over an Arrow string array."""
+    """Vectorized lower + width-fold + control→space over an Arrow string
+    array.  The needs-fold test runs on the RAW strings (pre-lower), because
+    folding must see the original char to stay length-preserving."""
+    needs = pc.match_substring_regex(arr, _NEEDS_FOLD_RE)
     low = pc.utf8_lower(arr)
-    needs = pc.match_substring_regex(low, _NEEDS_FOLD_RE)
     if not pc.any(needs).as_py():
         return low
-    out = []
-    for s, n in zip(low.to_pylist(), needs.to_pylist()):
-        out.append(s.translate(NORM_TABLE) if (s is not None and n) else s)
+    out = [normalize_text(s) if (s is not None and n) else l
+           for s, n, l in zip(arr.to_pylist(), needs.to_pylist(),
+                              low.to_pylist())]
     return pa.array(out, pa.string())
 
 
 def normalize_text(s: str) -> str:
-    """Single-string variant (unit tests / oracles)."""
-    return s.lower().translate(NORM_TABLE)
+    """Single-string variant (unit tests / oracles).  Guaranteed
+    length-preserving: len(normalize_text(s)) == len(s) for every s — the
+    invariant the span/offset story rests on (see module docstring)."""
+    if s.isascii():
+        return s.lower().translate(NORM_TABLE)
+    return "".join(map(_fold_char, s))
 
 
 def add_text_norm(batch: pa.Table, text_col: str = "text",

@@ -169,17 +169,20 @@ WITH base AS (
                                    x -> x IN ({stop}))) END AS n_stop
   FROM documents
 ), r AS (
+  -- ratios as integer-valued micros; quality derived from the micros with
+  -- one final floor — mirrors textstats.doc_stats_kernel op for op
   SELECT doc_id, n_chars_calc, n_tokens,
-         floor(n_alpha * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) / 1e6 AS alpha_ratio,
-         floor(n_punct * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) / 1e6 AS punct_ratio,
-         floor(n_stop * 1.0 / greatest(n_tokens, 1) * 1e6 + 0.5) / 1e6 AS stop_ratio
+         floor(n_alpha * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) AS a_m,
+         floor(n_punct * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5) AS p_m,
+         floor(n_stop * 1.0 / greatest(n_tokens, 1) * 1e6 + 0.5) AS s_m
   FROM base
 )
 SELECT doc_id, CAST(n_chars_calc AS BIGINT) AS n_chars_calc,
        CAST(n_tokens AS BIGINT) AS n_tokens,
-       alpha_ratio, punct_ratio, stop_ratio,
-       floor(least(greatest(0.4*alpha_ratio + 0.3*least(n_tokens,100)/100.0
-                            + 0.3*stop_ratio, 0.0), 1.0) * 1e6 + 0.5) / 1e6 AS quality
+       a_m / 1e6 AS alpha_ratio, p_m / 1e6 AS punct_ratio,
+       s_m / 1e6 AS stop_ratio,
+       least(greatest(floor(0.4*a_m + 0.3*(least(n_tokens,100)*10000.0)
+                            + 0.3*s_m + 0.5), 0.0), 1000000.0) / 1e6 AS quality
 FROM r
 """
 
@@ -306,13 +309,17 @@ GROUP BY p.w1
 
 
 def ann_topk_oracle(n_queries: int = 8, k: int = 10) -> str:
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="q.qm", b="e.em")
     return f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE vec_id < {n_queries}),
+WITH q AS (SELECT vec_id AS query_id,
+                  {SQL_EMB_MICROS.format(e="embedding")} AS qm
+           FROM embeddings WHERE vec_id < {n_queries}),
+em AS (SELECT vec_id, {SQL_EMB_MICROS.format(e="embedding")} AS em
+       FROM embeddings),
 s AS (
-  SELECT q.query_id, e.vec_id,
-         floor(list_cosine_similarity(q.qe, e.embedding) * 1e6 + 0.5) / 1e6 AS cosine
-  FROM q CROSS JOIN embeddings e
+  SELECT q.query_id, e.vec_id, {cos} AS cosine
+  FROM q CROSS JOIN em e
 ), r AS (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                  ORDER BY cosine DESC, vec_id) - 1 AS INTEGER) AS rank
@@ -323,12 +330,17 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank < {k}
 
 
 def embedding_near_dup_oracle(threshold: float = 0.3) -> str:
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="a.em", b="b.em")
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       floor(list_cosine_similarity(a.embedding, b.embedding) * 1e6 + 0.5) / 1e6 AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= {threshold}
+WITH m AS (SELECT vec_id, label,
+                  {SQL_EMB_MICROS.format(e="embedding")} AS em
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+  FROM m a JOIN m b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
 """
 
 

@@ -31,7 +31,7 @@ from ray.data.aggregate import Count, Min
 from deepkg_ray.functions.hashing import (MinHasher, SimHasher, band_hashes,
                                           content_md5_batch, hamming64,
                                           word_shingles)
-from deepkg_ray.functions.numeric import round6
+from deepkg_ray.functions.numeric import cosine_micros, micros_matrix, round6
 
 
 # ---------------------------------------------------------------- exact ----
@@ -289,17 +289,17 @@ def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None =
             return _empty()
         g = g.sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        m = m / np.clip(norms, 1e-12, None)
-        sims = m @ m.T
+        # micros cosine (numeric.cosine_micros) and threshold on the ROUNDED
+        # value so engine and SQL oracle agree bitwise at the cut boundary
+        mm = micros_matrix(np.stack(g[vec_col].to_numpy()))
+        sims = cosine_micros(mm, mm)
         ai, bi = np.triu_indices(len(ids), k=1)
         mask = sims[ai, bi] >= threshold
         if not mask.any():
             return _empty()
         return pd.DataFrame({"vec_a": ids[ai[mask]].astype(np.int64),
                              "vec_b": ids[bi[mask]].astype(np.int64),
-                             "cosine": round6(sims[ai, bi][mask])})
+                             "cosine": sims[ai, bi][mask]})
 
     if block_col:
         return proj.groupby(block_col).map_groups(group_pairs, batch_format="pandas")

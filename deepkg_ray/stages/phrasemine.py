@@ -186,7 +186,12 @@ def frequent_phrases(ds, n: int = 2, topk: int = 50, min_count: int = 2,
             ok &= ~vals.isin(STOPWORDS)
             ok &= vals.map(lambda w: _NON_ALNUM.search(w) is None)
         df = df[ok & (df["cnt"] >= min_count)].copy()
-        df["phrase"] = df[key_cols].agg(" ".join, axis=1)
+        if df.empty:   # empty blocks appear at high parallelism; .agg on an
+            # empty frame returns a DataFrame and breaks the column assign
+            return pd.DataFrame({"phrase": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        df["phrase"] = df[key_cols[0]].astype(str).str.cat(
+            [df[c].astype(str) for c in key_cols[1:]], sep=" ")
         return df[["phrase", "cnt"]]
 
     cands = counts.map_batches(filt, batch_format="pandas")

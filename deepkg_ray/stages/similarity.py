@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from deepkg_ray.functions.numeric import round6
+from deepkg_ray.functions.numeric import cosine_micros, micros_matrix, round6
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -38,15 +38,16 @@ class BruteForceTopK:
 
     def __init__(self, queries: np.ndarray, query_ids: list[int], k: int,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
-        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qm = micros_matrix(queries)
         self.qids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        m = _normalize(_as_matrix(batch[self.vec_col]).astype(np.float64))
-        sims = round6(self.q @ m.T)               # [n_q, n_rows]
+        # micros cosine (numeric.cosine_micros) so the rounded value is
+        # bitwise-identical to the DuckDB oracle's SQL_COSINE expression
+        sims = cosine_micros(self.qm, micros_matrix(_as_matrix(batch[self.vec_col])))
         k = min(self.k, sims.shape[1])
         q_out, id_out, s_out = [], [], []
         for qi in range(sims.shape[0]):
@@ -126,6 +127,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
     is exact and equals brute_force_topk."""
     c = _normalize(np.asarray(centroids, dtype=np.float64))
     q = _normalize(np.asarray(queries, dtype=np.float64))
+    qm = micros_matrix(queries)                  # scoring tier (oracle parity)
     probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]       # [n_q, nprobe]
     cell_to_queries: dict[int, list[int]] = {}
     for qi, cells in enumerate(probe):
@@ -146,8 +148,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
                                  "vec_id": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
         ids = g[id_col].to_numpy().astype(np.int64)
-        m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
-        sims = round6(q[q_idx] @ m.T)
+        sims = cosine_micros(qm[q_idx], micros_matrix(np.stack(g[vec_col].to_numpy())))
         kk = min(k, sims.shape[1])
         frames = []
         for row, qi in enumerate(q_idx):

@@ -51,12 +51,19 @@ def doc_stats_kernel(batch: pa.Table, text_col: str = "text") -> pa.Table:
         n_alpha[i] = sum(c.isalpha() and c.isascii() for c in t)
         n_punct[i] = sum(c in PUNCT_CLASS for c in t)
         n_stop[i] = sum(w.lower() in en_stop for w in toks)
-    alpha_ratio = round6(n_alpha / np.maximum(n_chars, 1))
-    punct_ratio = round6(n_punct / np.maximum(n_chars, 1))
-    stop_ratio = round6(n_stop / np.maximum(n_tokens, 1))
-    quality = round6(np.clip(
-        0.4 * alpha_ratio + 0.3 * np.minimum(n_tokens, 100) / 100.0
-        + 0.3 * stop_ratio, 0.0, 1.0))
+    # ratios as integer-valued micros (floor(x*1e6+0.5)); quality is then
+    # derived from the micros with ONE final rounding, so the engine and the
+    # SQL oracle perform the identical double ops (chaining three
+    # already-rounded doubles diverged by 1 ulp on ~1/500 rows)
+    a_m = np.floor(n_alpha / np.maximum(n_chars, 1) * 1e6 + 0.5)
+    p_m = np.floor(n_punct / np.maximum(n_chars, 1) * 1e6 + 0.5)
+    s_m = np.floor(n_stop / np.maximum(n_tokens, 1) * 1e6 + 0.5)
+    t_m = np.minimum(n_tokens, 100) * 10000.0
+    q_m = np.floor(0.4 * a_m + 0.3 * t_m + 0.3 * s_m + 0.5)
+    alpha_ratio = a_m / 1e6
+    punct_ratio = p_m / 1e6
+    stop_ratio = s_m / 1e6
+    quality = np.minimum(np.maximum(q_m, 0.0), 1e6) / 1e6
     out = batch.select([c for c in batch.column_names if c != text_col])
     for name, arr, typ in [("n_chars_calc", n_chars, pa.int64()),
                            ("n_tokens", n_tokens, pa.int64()),

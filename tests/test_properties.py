@@ -2,7 +2,7 @@
 
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from deepkg_ray.functions.hashing import MinHasher, word_shingles
@@ -19,6 +19,9 @@ words_st = st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1,
 
 
 @given(text_st)
+@example("İ")   # U+0130: str.lower() expands it to 'i̇' (2 chars) — the
+# round-1 regression that broke the span-offset invariant
+@example("ΑΣ Σ ß ﬁ")
 @settings(max_examples=200, deadline=None)
 def test_normalize_always_length_preserving(s):
     assert len(normalize_text(s)) == len(s)
