@@ -76,41 +76,46 @@ def exact_dup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------- minhash-LSH ----
 
 class MinHashSignature:
-    """Actor stage: add minhash signature + band-hash columns."""
+    """Actor stage: add the per-doc band-hash column (and optionally the raw
+    minhash signature).  By default only the n_bands u64 band hashes leave
+    this stage — the 64-perm signature never enters the shuffle (round-1
+    shipped sig×n_bands through the exchange: 16× the bytes for nothing)."""
 
     def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3,
-                 text_col: str = "text"):
+                 text_col: str = "text", keep_signature: bool = False):
         self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
         self.n_bands = n_bands
         self.text_col = text_col
+        self.keep_signature = keep_signature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = self.mh.signatures(batch[self.text_col].to_pylist())
         bands = [band_hashes(s, self.n_bands) for s in sigs]
-        return (batch
-                .append_column("minhash", pa.array([s.tolist() for s in sigs],
-                                                   pa.list_(pa.uint64())))
-                .append_column("bands", pa.array(bands, pa.list_(pa.uint64()))))
+        out = batch.append_column("bands", pa.array(bands, pa.list_(pa.uint64())))
+        if self.keep_signature:
+            out = out.append_column(
+                "minhash", pa.array([s.tolist() for s in sigs],
+                                    pa.list_(pa.uint64())))
+        return out
 
 
 def _explode_bands(batch: pa.Table, id_col: str,
                    n_partitions: int = 64) -> pa.Table:
+    """(doc_id, band_idx, band_hash, bucket) rows — ~28 bytes each; this is
+    ALL that moves through the LSH shuffle."""
     ids = batch[id_col].to_pylist()
     bands = batch["bands"].to_pylist()
-    sigs = batch["minhash"].to_pylist()
-    out_id, out_b, out_h, out_sig, out_p = [], [], [], [], []
-    for i, bl in zip(range(len(ids)), bands):
+    out_id, out_b, out_h, out_p = [], [], [], []
+    for i, bl in zip(ids, bands):
         for bi, bh in enumerate(bl):
-            out_id.append(ids[i])
+            out_id.append(i)
             out_b.append(bi)
             out_h.append(bh)
-            out_sig.append(sigs[i])
             out_p.append(bh % n_partitions)
     return pa.table({
         id_col: pa.array(out_id, pa.int64()),
         "band_idx": pa.array(out_b, pa.int32()),
         "band_hash": pa.array(out_h, pa.uint64()),
-        "minhash": pa.array(out_sig, pa.list_(pa.uint64())),
         # coarse co-location key: shuffling into ~n_partitions groups costs
         # the same as per-bucket groups but avoids the per-group scheduling
         # overhead of millions of tiny LSH buckets
@@ -121,9 +126,10 @@ def _explode_bands(batch: pa.Table, id_col: str,
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             n_perm: int = 64, n_bands: int = 16,
                             shingle_k: int = 3, concurrency=(1, 4)):
-    """documents → candidate near-dup pairs (doc_a < doc_b) with estimated
-    jaccard from signature agreement.  Pairs are generated per LSH bucket;
-    dedup across buckets via a final groupby-min."""
+    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands_hit).
+    Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
+    from several bands is canonicalized to one row by the final groupby
+    (whose Count doubles as the band-collision strength signal)."""
     sigged = ds.select_columns([id_col, text_col]).map_batches(
         MinHashSignature,
         fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands,
@@ -135,27 +141,21 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """All LSH-bucket pairs within one coarse hash partition: an inner
         pandas groupby over the real (band_idx, band_hash) buckets."""
-        ra, rb, est_all = [], [], []
+        ra, rb = [], []
         for _, g in part.groupby(["band_idx", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            g = g.sort_values(id_col, kind="stable")
-            ids = g[id_col].to_numpy()
-            sigs = np.stack(g["minhash"].to_numpy())
+            ids = np.sort(g[id_col].to_numpy())
             a_idx, b_idx = np.triu_indices(len(ids), k=1)
-            est = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
             ra.extend(ids[a_idx].tolist())
             rb.extend(ids[b_idx].tolist())
-            est_all.extend(est.tolist())
         return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
-                             "doc_b": np.asarray(rb, np.int64),
-                             "est_jaccard": np.asarray(est_all, np.float64)})
+                             "doc_b": np.asarray(rb, np.int64)})
 
     pairs = (exploded.groupby("bucket")
              .map_groups(partition_pairs, batch_format="pandas"))
-    # a pair can surface from several bands — canonical one row per pair
     return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Min("est_jaccard", alias_name="est_jaccard")))
+            .aggregate(Count(alias_name="n_bands_hit")))
 
 
 def exact_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -165,40 +165,55 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-class JaccardVerifier:
-    """Actor stage: verify candidate pairs with exact shingle Jaccard.
-    The documents table rides in broadcast form (id → text dict built once
-    per actor from the parquet path — small-side lookup, no shuffle join)."""
+def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_partitions: int | None = None):
+    """Join candidate pairs back to the document table on each side with
+    Ray Data's hash-partitioned Dataset.join — the 100-TB-safe replacement
+    for round-1's per-actor full-corpus dict (every verifier actor read the
+    whole docs parquet; fatal beyond toy scale).  Output adds text_a/text_b."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
 
-    def __init__(self, docs_path: str, id_col: str = "doc_id",
-                 text_col: str = "text", shingle_k: int = 3):
-        import pyarrow.parquet as pq
-        t = pq.read_table(docs_path, columns=[id_col, text_col])
-        self.text = dict(zip(t[id_col].to_pylist(), t[text_col].to_pylist()))
-        self.k = shingle_k
+    def _renamer(names):   # Dataset.rename_columns chokes on pandas blocks
+        return lambda b: b.rename_columns(names)
+    side_a = docs.select_columns([id_col, text_col]).map_batches(
+        _renamer(["doc_a", "text_a"]), batch_format="pyarrow")
+    side_b = docs.select_columns([id_col, text_col]).map_batches(
+        _renamer(["doc_b", "text_b"]), batch_format="pyarrow")
+    out = pairs.join(side_a, join_type="inner",
+                     num_partitions=num_partitions, on=("doc_a",))
+    return out.join(side_b, join_type="inner",
+                    num_partitions=num_partitions, on=("doc_b",))
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ja = [exact_jaccard(self.text[a], self.text[b], self.k)
-              for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
-        return batch.append_column("jaccard", pa.array(round6(ja), pa.float64()))
 
-
-def minhash_dedup_pairs(ds, docs_path: str, *, threshold: float = 0.8,
-                        id_col="doc_id", text_col="text", n_perm=64,
-                        n_bands=16, shingle_k=3, concurrency=(1, 4)):
-    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify →
-    pairs ≥ threshold."""
+def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
+                        threshold: float = 0.8, id_col="doc_id",
+                        text_col="text", n_perm=64, n_bands=16, shingle_k=3,
+                        concurrency=(1, 4), num_partitions: int | None = None):
+    """Full near-dup pipeline: LSH candidates → join texts back per side →
+    exact-Jaccard verify → pairs ≥ threshold.  Returns (doc_a, doc_b,
+    jaccard).  `docs_path` optionally re-reads the corpus column-pruned for
+    the join sides instead of re-executing `ds`'s plan."""
     cand = minhash_candidate_pairs(ds, id_col, text_col, n_perm, n_bands,
                                    shingle_k, concurrency)
-    verified = cand.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs={"docs_path": docs_path, "id_col": id_col,
-                               "text_col": text_col, "shingle_k": shingle_k},
-        batch_format="pyarrow", concurrency=concurrency)
-    thr = threshold
-    return verified.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["jaccard"], thr)),
-        batch_format="pyarrow")
+    if docs_path is not None:
+        import ray.data as rd
+        docs = rd.read_parquet(docs_path, columns=[id_col, text_col])
+    else:
+        docs = ds
+    withtext = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col,
+                                 num_partitions=num_partitions)
+    thr, k = threshold, shingle_k
+
+    def verify(b: pa.Table) -> pa.Table:
+        ja = round6([exact_jaccard(a, bb, k) for a, bb in
+                     zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())])
+        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                        "jaccard": pa.array(ja, pa.float64())})
+        return out.filter(pc.greater_equal(out["jaccard"], thr))
+
+    return withtext.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------- simhash ----

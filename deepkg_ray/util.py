@@ -28,3 +28,11 @@ def heavy_pool(frac_min: float = 0.75, reserve: int = 2) -> tuple[int, int]:
 def light_pool() -> tuple[int, int]:
     n = cluster_cpus()
     return (1, max(2, n // 2))
+
+
+def join_partitions(cap: int = 64) -> int:
+    """num_partitions for Dataset.join: the hash-shuffle join runs one
+    aggregator actor per partition, so size it to the cluster (≈ half the
+    CPUs, capped) — 16 fixed partitions deadlock-adjacent a 4-CPU test
+    session and undershoot a 256-node cluster."""
+    return max(2, min(cap, cluster_cpus() // 2))
