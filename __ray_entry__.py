@@ -207,6 +207,17 @@ def _q_embedding_near_dup(sf_dir: str):
         threshold=0.3, block_col="label")
 
 
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    """Unlabeled-corpus near-dup: random-hyperplane LSH buckets; must
+    recover EVERY pair ≥ threshold to hash-match the all-pairs oracle
+    (recall-1 of the 4-bit × 48-table config verified in tests)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.dedup import embedding_lsh_near_pairs
+    return embedding_lsh_near_pairs(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]),
+        threshold=0.45, dim=64)
+
+
 # ----------------------------------------------------------------- events --
 
 def _q_events_window(sf_dir: str):
@@ -591,6 +602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # events / windows
         "events_window": _q_events_window,
         "events_sessionize": _q_events_sessionize,
@@ -644,6 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.ann_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
+        "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),
         "events_window": oracle.events_window_oracle(),
         "events_sessionize": oracle.sessionize_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),

@@ -99,22 +99,48 @@ class SimHasher:
 
     def __init__(self, bits: int = 64):
         self.bits = bits
+        self._shifts = np.arange(bits, dtype=np.uint64)
 
     def fingerprint(self, text: str) -> int:
-        acc = np.zeros(self.bits, dtype=np.int64)
-        for w in text.split():
-            h = stable_hash64(w)
-            for i in range(self.bits):
-                acc[i] += 1 if (h >> i) & 1 else -1
-        fp = 0
-        for i in range(self.bits):
-            if acc[i] > 0:
-                fp |= (1 << i)
-        return fp
+        return int(self.fingerprints([text])[0])
+
+    def fingerprints(self, texts: list[str]) -> np.ndarray:
+        """Vectorized batch path: flatten word hashes, unpack to a ±1 bit
+        matrix, segment-sum per doc via np.add.reduceat, repack sign bits.
+        Bit-identical to the per-word definition (bit i of fp = 1 iff
+        Σ_w (2·bit_i(h(w)) − 1) > 0)."""
+        words_lists = [t.split() for t in texts]
+        lens = np.fromiter((len(w) for w in words_lists), dtype=np.int64,
+                           count=len(texts))
+        flat = [w for wl in words_lists for w in wl]
+        out = np.zeros(len(texts), dtype=np.uint64)
+        if not flat:
+            return out
+        hs = stable_hash64_batch(flat)                        # [total]
+        signed = (2 * ((hs[:, None] >> self._shifts) & np.uint64(1))
+                  .astype(np.int32) - 1)                      # [total, bits]
+        offsets = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        sums = np.add.reduceat(signed, offsets[nonempty], axis=0)
+        fps = ((sums > 0).astype(np.uint64) << self._shifts).sum(axis=1,
+                                                                 dtype=np.uint64)
+        out[nonempty] = fps
+        return out
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64_array(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over a uint64 array (byte-LUT; numpy<2 has no
+    bitwise_count)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:

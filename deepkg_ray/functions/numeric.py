@@ -39,6 +39,15 @@ def micros_matrix(m) -> np.ndarray:
     return np.floor(np.asarray(m, dtype=np.float64) * SCALE + 0.5)
 
 
+def cosine_micros_rows(am: np.ndarray, bm: np.ndarray) -> np.ndarray:
+    """Row-wise round6 cosine over aligned micros matrices [n, d] — same op
+    chain as cosine_micros / SQL_COSINE, one pair per row."""
+    dot = (am * bm).sum(axis=1)
+    na = np.sqrt((am * am).sum(axis=1))
+    nb = np.sqrt((bm * bm).sum(axis=1))
+    return round6(dot / np.maximum(na * nb, 1.0))
+
+
 def cosine_micros(qm: np.ndarray, mm: np.ndarray) -> np.ndarray:
     """round6 cosine matrix [n_q, n_rows] over micros matrices, computed as
     dot / greatest(|a|*|b|, 1.0) — mirror of SQL_COSINE below, op for op."""

@@ -344,6 +344,22 @@ SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
 """
 
 
+def embedding_near_dup_lsh_oracle(threshold: float = 0.45) -> str:
+    """All-pairs (label-free) variant: the hyperplane-LSH engine path must
+    recover every qualifying pair to hash-match this."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="a.em", b="b.em")
+    return f"""
+WITH m AS (SELECT vec_id, {SQL_EMB_MICROS.format(e="embedding")} AS em
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine
+  FROM m a JOIN m b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {threshold}
+"""
+
+
 def events_window_oracle(window_sec: int = 300) -> str:
     win_us = window_sec * 1_000_000
     return f"""

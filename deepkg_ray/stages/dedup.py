@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from ray.data.aggregate import Count, Min
 
 from deepkg_ray.functions.hashing import (MinHasher, SimHasher, band_hashes,
-                                          content_md5_batch, hamming64,
+                                          content_md5_batch, hamming64_array,
                                           word_shingles)
 from deepkg_ray.functions.numeric import cosine_micros, micros_matrix, round6
 
@@ -123,6 +123,34 @@ def _explode_bands(batch: pa.Table, id_col: str,
     })
 
 
+def dedup_pair_rows(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
+                    count_col: str = "n_hits", n_partitions: int = 64,
+                    value_col: str | None = None, value_agg: str = "min"):
+    """Canonicalize duplicate (a, b) candidate rows to one row per pair —
+    a collision count by default, or value_agg over value_col.  Coarse-
+    bucket the pair key, then a vectorized pandas dedup per bucket.  Ray's
+    groupby().aggregate(Count) over pandas-block pair rows is ~400× slower
+    on this shape (163 s vs 0.4 s at 390k rows), so the aggregate is done
+    inside map_groups instead."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_pb"] = ((df[a_col] * 1_000_003 + df[b_col])
+                     % n_partitions).astype(np.int32)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if value_col is not None:
+            g = (df.groupby([a_col, b_col], sort=False)[value_col]
+                 .agg(value_agg).reset_index())
+            return g[[a_col, b_col, value_col]]
+        g = (df.groupby([a_col, b_col], sort=False).size()
+             .reset_index(name=count_col))
+        return g[[a_col, b_col, count_col]]
+
+    return (pairs.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_pb").map_groups(per_bucket, batch_format="pandas"))
+
+
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             n_perm: int = 64, n_bands: int = 16,
                             shingle_k: int = 3, concurrency=(1, 4)):
@@ -154,8 +182,8 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     pairs = (exploded.groupby("bucket")
              .map_groups(partition_pairs, batch_format="pandas"))
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Count(alias_name="n_bands_hit")))
+    return dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
+                           count_col="n_bands_hit")
 
 
 def exact_jaccard(a: str, b: str, k: int = 3) -> float:
@@ -165,26 +193,33 @@ def exact_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
-                      text_col: str = "text", num_partitions: int | None = None):
-    """Join candidate pairs back to the document table on each side with
-    Ray Data's hash-partitioned Dataset.join — the 100-TB-safe replacement
-    for round-1's per-actor full-corpus dict (every verifier actor read the
-    whole docs parquet; fatal beyond toy scale).  Output adds text_a/text_b."""
+def attach_pair_columns(pairs, docs, *, id_col: str, cols: list[str],
+                        a_key: str = "doc_a", b_key: str = "doc_b",
+                        num_partitions: int | None = None):
+    """Join candidate pairs back to the source table on each side with Ray
+    Data's hash-partitioned Dataset.join — the 100-TB-safe replacement for
+    round-1's per-actor full-corpus dict (every verifier actor read the
+    whole docs parquet; fatal beyond toy scale).  Adds {col}_a / {col}_b."""
     if num_partitions is None:
         from deepkg_ray.util import join_partitions
         num_partitions = join_partitions()
 
     def _renamer(names):   # Dataset.rename_columns chokes on pandas blocks
         return lambda b: b.rename_columns(names)
-    side_a = docs.select_columns([id_col, text_col]).map_batches(
-        _renamer(["doc_a", "text_a"]), batch_format="pyarrow")
-    side_b = docs.select_columns([id_col, text_col]).map_batches(
-        _renamer(["doc_b", "text_b"]), batch_format="pyarrow")
+    side_a = docs.select_columns([id_col] + cols).map_batches(
+        _renamer([a_key] + [f"{c}_a" for c in cols]), batch_format="pyarrow")
+    side_b = docs.select_columns([id_col] + cols).map_batches(
+        _renamer([b_key] + [f"{c}_b" for c in cols]), batch_format="pyarrow")
     out = pairs.join(side_a, join_type="inner",
-                     num_partitions=num_partitions, on=("doc_a",))
+                     num_partitions=num_partitions, on=(a_key,))
     return out.join(side_b, join_type="inner",
-                    num_partitions=num_partitions, on=("doc_b",))
+                    num_partitions=num_partitions, on=(b_key,))
+
+
+def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
+                      text_col: str = "text", num_partitions: int | None = None):
+    return attach_pair_columns(pairs, docs, id_col=id_col, cols=[text_col],
+                               num_partitions=num_partitions)
 
 
 def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
@@ -205,10 +240,11 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
     withtext = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col,
                                  num_partitions=num_partitions)
     thr, k = threshold, shingle_k
+    ta, tb = f"{text_col}_a", f"{text_col}_b"
 
     def verify(b: pa.Table) -> pa.Table:
         ja = round6([exact_jaccard(a, bb, k) for a, bb in
-                     zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())])
+                     zip(b[ta].to_pylist(), b[tb].to_pylist())])
         out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
                         "jaccard": pa.array(ja, pa.float64())})
         return out.filter(pc.greater_equal(out["jaccard"], thr))
@@ -224,7 +260,7 @@ class SimHashStage:
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fps = [self.sh.fingerprint(t) for t in batch[self.text_col].to_pylist()]
+        fps = self.sh.fingerprints(batch[self.text_col].to_pylist())
         return batch.append_column("simhash", pa.array(fps, pa.uint64()))
 
 
@@ -266,12 +302,13 @@ def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
                 continue
             g = g.sort_values(id_col, kind="stable")
             ids = g[id_col].to_numpy()
-            fps = g["simhash"].to_numpy()
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    h = hamming64(int(fps[x]), int(fps[y]))
-                    if h <= max_hamming:
-                        ra.append(ids[x]); rb.append(ids[y]); hd.append(h)
+            fps = g["simhash"].to_numpy().astype(np.uint64)
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            h = hamming64_array(fps[a_idx] ^ fps[b_idx])
+            keep = h <= max_hamming
+            ra.extend(ids[a_idx[keep]].tolist())
+            rb.extend(ids[b_idx[keep]].tolist())
+            hd.extend(h[keep].tolist())
         return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
                              "doc_b": np.asarray(rb, np.int64),
                              "hamming": np.asarray(hd, np.int64)})
@@ -279,8 +316,8 @@ def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
     pairs = (sh.map_batches(explode, batch_format="pyarrow")
              .groupby("bucket").map_groups(partition_pairs,
                                            batch_format="pandas"))
-    return (pairs.groupby(["doc_a", "doc_b"])
-            .aggregate(Min("hamming", alias_name="hamming")))
+    return dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
+                           value_col="hamming", value_agg="min")
 
 
 # ---------------------------------------------------- embedding near-dup ----
@@ -321,6 +358,114 @@ def embedding_near_pairs(ds, *, threshold: float = 0.95, block_col: str | None =
     # single logical group: coalesce then one dense pass
     return proj.repartition(1).map_batches(
         lambda df: group_pairs(df), batch_format="pandas", batch_size=None)
+
+
+class HyperplaneSigner:
+    """Stateless map_batches kernel: per table t of `n_tables`, the `n_bits`
+    sign bits of R_t·v packed into a small int key.  Planes are derived from
+    the seed in __init__ (once per actor/worker), never shipped per batch.
+    This is the unlabeled-corpus bucketing the round-1 embedding near-dup
+    lacked (it required a pre-existing `label` column; reference recall
+    analog: SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76 faiss recall)."""
+
+    def __init__(self, dim: int, n_bits: int = 4, n_tables: int = 48,
+                 seed: int = 7, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_partitions: int = 64):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        self.pow2 = (1 << np.arange(n_bits)).astype(np.int64)
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_partitions = n_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        m = np.stack(batch[self.vec_col].to_pandas().to_numpy()).astype(np.float64)
+        # keys[t, n] = packed sign bits of table t's hyperplanes
+        keys = ((np.einsum("tbd,nd->tnb", self.planes, m) >= 0)
+                @ self.pow2).astype(np.int64)
+        T, n = keys.shape
+        out_id = np.tile(ids, T)
+        out_t = np.repeat(np.arange(T, dtype=np.int32), n)
+        out_k = keys.reshape(-1)
+        bucket = ((out_t.astype(np.int64) * 1_000_003 + out_k)
+                  % self.n_partitions).astype(np.int32)
+        return pa.table({self.id_col: pa.array(out_id, pa.int64()),
+                         "tbl": pa.array(out_t, pa.int32()),
+                         "key": pa.array(out_k, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int32())})
+
+
+def embedding_lsh_near_pairs(ds, *, threshold: float = 0.45, dim: int,
+                             n_bits: int = 4, n_tables: int = 48,
+                             seed: int = 7, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             num_partitions: int | None = None):
+    """Unlabeled embedding near-dup: random-hyperplane LSH bucketing →
+    in-bucket candidate pairs (ids only through the shuffle) → join vectors
+    back per side → exact micros-cosine ≥ threshold.
+
+    Recall: P(pair at angle θ shares one table's bucket) = (1−θ/π)^n_bits,
+    OR-ed over n_tables.  At near-dup thresholds (≥0.8) a handful of tables
+    suffices; the defaults (4 bits × 48 tables) are sized for the test
+    corpus' 0.45 cut and verified recall-1 against brute force in tests."""
+    proj = ds.select_columns([id_col, vec_col])
+    signed = proj.map_batches(
+        HyperplaneSigner,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
+                               "n_tables": n_tables, "seed": seed,
+                               "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        ra, rb = [], []
+        for _, g in part.groupby(["tbl", "key"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g[id_col].to_numpy())
+            a_idx, b_idx = np.triu_indices(len(ids), k=1)
+            ra.extend(ids[a_idx].tolist())
+            rb.extend(ids[b_idx].tolist())
+        return pd.DataFrame({"vec_a": np.asarray(ra, np.int64),
+                             "vec_b": np.asarray(rb, np.int64)})
+
+    cand = dedup_pair_rows(
+        signed.groupby("bucket").map_groups(partition_pairs,
+                                            batch_format="pandas"),
+        a_col="vec_a", b_col="vec_b", count_col="n_tables_hit")
+
+    # vectors ride through the hash join as fixed-width float32 bytes —
+    # Acero rejects list/tensor payload columns, and binary is cheaper to
+    # shuffle anyway (no offsets)
+    def pack(b: pa.Table) -> pa.Table:
+        m = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float32)
+        return pa.table({id_col: b[id_col],
+                         "emb_bin": pa.array([r.tobytes() for r in m],
+                                             pa.binary())})
+
+    packed = proj.map_batches(pack, batch_format="pyarrow")
+    withvec = attach_pair_columns(cand, packed, id_col=id_col,
+                                  cols=["emb_bin"], a_key="vec_a",
+                                  b_key="vec_b", num_partitions=num_partitions)
+    thr = threshold
+
+    def _unpack(col) -> np.ndarray:
+        return np.stack([np.frombuffer(x, dtype=np.float32)
+                         for x in col.to_pylist()])
+
+    def verify(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.numeric import cosine_micros_rows
+        if b.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        am = micros_matrix(_unpack(b["emb_bin_a"]))
+        bm = micros_matrix(_unpack(b["emb_bin_b"]))
+        cos = cosine_micros_rows(am, bm)
+        out = pa.table({"vec_a": b["vec_a"], "vec_b": b["vec_b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        return out.filter(pc.greater_equal(out["cosine"], thr))
+
+    return withvec.map_batches(verify, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(ds, *, max_id: int = 200, threshold: float = 0.05,

@@ -115,7 +115,7 @@ class FingerprintStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        sims = [self.sh.fingerprint(t) for t in texts]
+        sims = self.sh.fingerprints(texts)
         fps = [rolling_fingerprint(t, self.window, self.keep_mod) for t in texts]
         out = batch.select([c for c in batch.column_names if c != self.text_col])
         return (out.append_column("simhash", pa.array(sims, pa.uint64()))

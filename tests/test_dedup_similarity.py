@@ -129,3 +129,21 @@ def test_embedding_near_pairs_blocked(vec_ds):
     lab = {i: i % 4 for i in range(40)}
     assert all(lab[a] == lab[b] for a, b in
                zip(pairs.vec_a, pairs.vec_b))
+
+
+def test_embedding_lsh_recall_vs_brute_force(vec_ds):
+    ds, m = vec_ds
+    thr = 0.9
+    pairs = dedup.embedding_lsh_near_pairs(ds, threshold=thr, dim=16,
+                                           n_bits=4, n_tables=24).to_pandas()
+    got = set(map(tuple, pairs[["vec_a", "vec_b"]].itertuples(index=False)))
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu = np.triu_indices(len(m), 1)
+    expect = {(int(a), int(b)) for a, b, s in
+              zip(iu[0], iu[1], sims[iu]) if s >= thr + 1e-6}
+    # recall 1 on clustered near-dups (cos ~0.999, tiny angle); precision
+    # is exact by construction (every candidate is cosine-verified)
+    assert expect <= got
+    assert (pairs.cosine >= thr).all()
+    assert all(a < b for a, b in got)
