@@ -436,6 +436,14 @@ def _q_kg_triples_via_sel(sf_dir: str):
          "obj_text", "obj_type"])
 
 
+def _q_uie_model_generate(sf_dir: str):
+    """REAL model tier (numpy seq2seq, seeded random weights) through the
+    generator actor pool + SEL parse; rows-only (model scoring is not
+    SQL-expressible).  One deterministic summary row."""
+    from deepkg_ray.pipelines.uie import model_sel_stats
+    return model_sel_stats(sf_dir, limit=2000)
+
+
 def _q_conv_context(sf_dir: str):
     """Per-turn previous-2-turn context, computed with salted conversation
     blocks + overlap carry (hot-conversation skew mitigation,
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "frequent_phrases": _q_frequent_phrases,
         "kg_triples_via_sel": _q_kg_triples_via_sel,
+        "uie_model_generate": _q_uie_model_generate,
         "kg_events": _q_kg_events,
         "transcript_sample": _q_transcript_sample,
         "duplicate_turn_groups": _q_duplicate_turn_groups,
