@@ -27,6 +27,10 @@ def _build_table() -> dict[int, int]:
     t[0x3000] = 0x20                             # ideographic space
     t[0x0130] = 0x69                             # İ → i (lower() would expand
     # it to 'i̇', 2 chars — the one Unicode char whose lowercase grows)
+    # traditional → simplified fold (1:1 pairs only, so the length invariant
+    # holds) — the reference's opencc t2s step (AutoPhraseX tokenizer.py:17-39)
+    from deepkg_ray.functions.zh import T2S_TABLE
+    t.update(T2S_TABLE)
     return t
 
 

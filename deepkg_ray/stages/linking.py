@@ -34,10 +34,12 @@ from deepkg_ray.stages.mention import load_alias_map
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
-def cut(text: str, mode: str = "word", n: int = 2) -> list[str]:
+def cut(text: str, mode: str = "word", n: int = 2, segmenter=None) -> list[str]:
     """Tokenization modes analog of the reference's cut-function adapter dict
-    (BM25_Model.py:22-28): 'word' (jieba analog = \\w+ tokens), 'char',
-    'ngram' (char n-grams)."""
+    (BM25_Model.py:22-28): 'word' (\\w+ tokens), 'char', 'ngram' (char
+    n-grams), 'dict' (jieba-semantics dictionary-DP segmentation — pass a
+    functions/zh.DictSegmenter built from the user dictionary, the analog of
+    jieba.load_userdict)."""
     if mode == "word":
         return _WORD_RE.findall(text)
     if mode == "char":
@@ -45,6 +47,10 @@ def cut(text: str, mode: str = "word", n: int = 2) -> list[str]:
     if mode == "ngram":
         s = text.replace(" ", "")
         return [s[i:i + n] for i in range(max(1, len(s) - n + 1))]
+    if mode == "dict":
+        if segmenter is None:
+            raise ValueError("mode='dict' needs a zh.DictSegmenter")
+        return [w for w in segmenter.cut(text) if not w.isspace()]
     raise ValueError(mode)
 
 

@@ -115,3 +115,50 @@ def test_kernel_parity_with_gold(synth_dir, dict_path):
     tcols = ["conv_id", "turn_idx", "pred", "subj_text", "obj_text"]
     assert set(zip(*[r[c].to_pylist() for c in tcols])) == \
         set(zip(*[gt[c].to_pylist() for c in tcols]))
+
+
+# --------------------------------------------------------- Chinese path -----
+
+def test_t2s_fold_known_pairs():
+    from deepkg_ray.functions.zh import t2s
+    from deepkg_ray.functions.textnorm import normalize_text
+    cases = {"醜": "丑", "東": "东", "馬": "马", "魚": "鱼", "龍": "龙",
+             "愛": "爱", "學": "学", "體": "体", "聽": "听", "書": "书"}
+    for trad, simp in cases.items():
+        assert t2s(trad) == simp
+        assert normalize_text(trad) == simp          # folded inside normalize
+    s = "東亞學會 ABC Ｘｙｚ"
+    n = normalize_text(s)
+    assert len(n) == len(s)                          # CJK length invariant
+    assert n == "东亚学会 abc xyz"
+
+
+def test_dict_segmenter_gold():
+    from deepkg_ray.functions.zh import DictSegmenter
+    seg = DictSegmenter({"北京": 100, "北京大学": 200, "大学": 80,
+                         "生": 5, "学生": 50, "研究": 60, "研究生": 90,
+                         "命": 5, "生命": 70, "起源": 40})
+    # longest/most-probable route wins
+    assert seg.cut("北京大学") == ["北京大学"]
+    assert seg.cut("研究生命起源") == ["研究", "生命", "起源"]
+    # OOV chars fall back to single chars
+    assert seg.cut("xx北京yy") == ["x", "x", "北京", "y", "y"]
+    assert seg.cut("") == []
+
+
+def test_dict_segmenter_maximal_match_equal_freq():
+    """With equal freqs the DP reduces to maximal matching — the AutoNER
+    annotation.h semantics the trie matcher also follows."""
+    from deepkg_ray.functions.zh import DictSegmenter
+    seg = DictSegmenter(["ab", "abc", "cd", "d"])
+    assert seg.cut("abcd") == ["abc", "d"]
+
+
+def test_cut_dict_mode():
+    from deepkg_ray.functions.zh import DictSegmenter
+    from deepkg_ray.stages.linking import cut
+    seg = DictSegmenter(["alpha beta", "alpha", "beta"])
+    assert cut("alpha", "dict", segmenter=seg) == ["alpha"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cut("x", "dict")
