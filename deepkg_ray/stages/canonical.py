@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min, Sum
-
 KEY_COLS = ["subj_id", "pred", "obj_id"]
 
 
@@ -70,8 +68,9 @@ def _attach_names(dictionary_path: str):
     return kernel
 
 
-def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
-                        dictionary_path: str | None = None):
+def aggregate_adjacency(linked_triples_ds, mode: str = "auto",
+                        dictionary_path: str | None = None,
+                        decision_out: dict | None = None):
     """linked triples Dataset → adjacency Dataset
     (subj_id, pred, obj_id, subj_name, subj_type, obj_name, obj_type,
     weight, src).
@@ -79,10 +78,13 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
     weight = number of supporting extractions (the graph edge weight of
     SURVEY.md §1.3 adjacency output).
 
-    mode='tree' (default): per-batch combiner then a repartition+merge tree
-    (stages/treeagg.py) — exact, and ~5x faster than the sort shuffle when
-    the distinct edge set fits one task.  mode='shuffle': Ray groupby, for
-    unbounded key spaces (the 100 TB path when edges don't fit)."""
+    mode='auto' (default): per-batch combiner, then treeagg picks tree vs
+    shuffle from the OBSERVED level-1 key cardinality — high-cardinality
+    edge sets route to the Ray groupby without caller intervention.
+    mode='tree': force the repartition+merge tree (exact, ~5x faster than
+    the sort shuffle when the distinct edge set is known dictionary-bounded
+    — the flagship KG path passes this explicitly).  mode='shuffle': force
+    Ray groupby (unbounded key spaces, the 100 TB path)."""
     if dictionary_path is None:
         # legacy path: carry names through the aggregation (works without a
         # dictionary artifact, e.g. for ad-hoc linked tables)
@@ -116,18 +118,13 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "tree",
     partial = linked_triples_ds.map_batches(_partial_adjacency,
                                             batch_format="pyarrow",
                                             batch_size=65536)
-    if mode == "tree":
-        from deepkg_ray.stages.treeagg import merge_partials
-        merged = merge_partials(
-            partial.map_batches(lambda b: b.rename_columns(
-                [c if c != "cnt" else "weight" for c in b.column_names]),
-                batch_format="pyarrow"),
-            KEY_COLS, {"weight": "sum", "src": "min"})
-    else:
-        merged = (partial
-                  .groupby(KEY_COLS)
-                  .aggregate(Sum("cnt", alias_name="weight"),
-                             Min("src", alias_name="src")))
+    from deepkg_ray.stages.treeagg import merge_partials
+    merged = merge_partials(
+        partial.map_batches(lambda b: b.rename_columns(
+            [c if c != "cnt" else "weight" for c in b.column_names]),
+            batch_format="pyarrow"),
+        KEY_COLS, {"weight": "sum", "src": "min"}, mode=mode,
+        decision_out=decision_out)
     return merged.map_batches(_attach_names(dictionary_path),
                               batch_format="pyarrow")
 

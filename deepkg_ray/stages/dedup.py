@@ -225,21 +225,54 @@ def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
 def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
                         threshold: float = 0.8, id_col="doc_id",
                         text_col="text", n_perm=64, n_bands=16, shingle_k=3,
-                        concurrency=(1, 4), num_partitions: int | None = None):
-    """Full near-dup pipeline: LSH candidates → join texts back per side →
-    exact-Jaccard verify → pairs ≥ threshold.  Returns (doc_a, doc_b,
-    jaccard).  `docs_path` optionally re-reads the corpus column-pruned for
-    the join sides instead of re-executing `ds`'s plan."""
+                        concurrency=(1, 4), num_partitions: int | None = None,
+                        broadcast_limit: int = 50_000):
+    """Full near-dup pipeline: LSH candidates → attach texts → exact-Jaccard
+    verify → pairs ≥ threshold.  Returns (doc_a, doc_b, jaccard).
+
+    Text attachment is ADAPTIVE on the observed candidate count: few pairs
+    (≤ broadcast_limit) gather only the REFERENCED texts distributed-side
+    and broadcast that bounded dict via ray.put (two Dataset.joins cost
+    ~17 s of aggregator-actor boot for a 256-pair verify); many pairs use
+    the hash-partitioned joins (the 100-TB path — never a full-corpus dict,
+    the broadcast dict is bounded by 2×broadcast_limit texts)."""
     cand = minhash_candidate_pairs(ds, id_col, text_col, n_perm, n_bands,
-                                   shingle_k, concurrency)
+                                   shingle_k, concurrency).materialize()
     if docs_path is not None:
         import ray.data as rd
         docs = rd.read_parquet(docs_path, columns=[id_col, text_col])
     else:
         docs = ds
+    thr, k = threshold, shingle_k
+
+    if cand.count() <= broadcast_limit:
+        import ray
+        pairs_df = cand.to_pandas()
+        need = set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])
+        need_ref = ray.put(need)
+
+        def gather(b: pa.Table) -> pa.Table:
+            nd = ray.get(need_ref)
+            ids = b[id_col].to_pylist()
+            keep = [i for i, x in enumerate(ids) if x in nd]
+            return b.select([id_col, text_col]).take(pa.array(keep, pa.int64()))
+
+        hits = (docs.select_columns([id_col, text_col])
+                .map_batches(gather, batch_format="pyarrow").take_all())
+        text_ref = ray.put({r[id_col]: r[text_col] for r in hits})
+
+        def verify_bc(b: pa.Table) -> pa.Table:
+            td = ray.get(text_ref)
+            ja = round6([exact_jaccard(td[a], td[bb], k) for a, bb in
+                         zip(b["doc_a"].to_pylist(), b["doc_b"].to_pylist())])
+            out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "jaccard": pa.array(ja, pa.float64())})
+            return out.filter(pc.greater_equal(out["jaccard"], thr))
+
+        return cand.map_batches(verify_bc, batch_format="pyarrow")
+
     withtext = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col,
                                  num_partitions=num_partitions)
-    thr, k = threshold, shingle_k
     ta, tb = f"{text_col}_a", f"{text_col}_b"
 
     def verify(b: pa.Table) -> pa.Table:

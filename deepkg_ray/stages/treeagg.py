@@ -58,18 +58,54 @@ def _merge_frame(df: pd.DataFrame, key_cols: list[str],
     return out[key_cols + list(aggs)]
 
 
+def _shuffle_merge(ds, key_cols: list[str], aggs: dict[str, str]):
+    """Ray groupby equivalent of the tree merge — the unbounded-key path.
+    'first' (exemplar of a key-dependent column) is realized as Min, which
+    is a valid exemplar and deterministic."""
+    from ray.data.aggregate import Max, Min, Sum
+    spec = {"sum": Sum, "min": Min, "max": Max, "first": Min}
+    return ds.groupby(key_cols).aggregate(
+        *[spec[a](c, alias_name=c) for c, a in aggs.items()])
+
+
 def merge_partials(ds, key_cols: list[str], aggs: dict[str, str],
-                   fanout: int = 8):
+                   fanout: int = 8, mode: str = "tree",
+                   max_final_rows: int = 2_000_000,
+                   decision_out: dict | None = None):
     """Merge partial rows exactly: aggs maps column → sum/min/max/first
-    ('first' for columns functionally dependent on the key).  Two-level
-    tree: fanout-way then single final."""
+    ('first' for columns functionally dependent on the key).
+
+    mode='tree': two-level repartition+merge tree (fanout-way then single
+    final) — for key spaces that fit one task.
+    mode='shuffle': Ray groupby — for unbounded key spaces.
+    mode='auto': run the level-1 merge, then pick by OBSERVED cardinality —
+    the level-1 output row count is an upper bound of fanout × distinct
+    keys, so `count > max_final_rows` means the single final-merge task
+    would not safely hold the keys and the shuffle path is used instead.
+    `decision_out` (optional dict) records {'mode', 'est_rows'}."""
     for a in aggs.values():
         assert a in MERGE_KINDS, a
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         return _merge_frame(df, key_cols, aggs)
 
+    if mode == "shuffle":
+        if decision_out is not None:
+            decision_out.update({"mode": "shuffle", "est_rows": None})
+        return _shuffle_merge(ds, key_cols, aggs)
+
     mid = (ds.repartition(fanout)
            .map_batches(merge, batch_format="pandas", batch_size=None))
+    if mode == "auto":
+        mid = mid.materialize()
+        est = mid.count()
+        if decision_out is not None:
+            decision_out.update(
+                {"mode": "shuffle" if est > max_final_rows else "tree",
+                 "est_rows": est})
+        if est > max_final_rows:
+            return _shuffle_merge(mid, key_cols, aggs)
+    elif decision_out is not None:
+        decision_out.update({"mode": "tree", "est_rows": None})
     return (mid.repartition(1)
             .map_batches(merge, batch_format="pandas", batch_size=None))

@@ -147,3 +147,15 @@ def test_embedding_lsh_recall_vs_brute_force(vec_ds):
     assert expect <= got
     assert (pairs.cosine >= thr).all()
     assert all(a < b for a, b in got)
+
+
+def test_minhash_broadcast_and_join_paths_agree(tmp_path):
+    ds, path = _docs_ds(tmp_path)
+    bc = dedup.minhash_dedup_pairs(ds, path, threshold=0.5).to_pandas()
+    jn = dedup.minhash_dedup_pairs(ds, path, threshold=0.5,
+                                   broadcast_limit=0).to_pandas()
+    cols = ["doc_a", "doc_b", "jaccard"]
+    a = bc[cols].sort_values(cols).reset_index(drop=True)
+    b = jn[cols].sort_values(cols).reset_index(drop=True)
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)
