@@ -24,19 +24,29 @@ def register_stage(name: str):
     return deco
 
 
-def build_pipeline(ds, spec: list[dict], context: dict | None = None):
+def build_pipeline(ds, spec: list[dict], context: dict | None = None,
+                   callbacks=None):
     """Fold a declarative spec over a Dataset:
     spec = [{"stage": "normalize"}, {"stage": "mentions",
              "params": {"dictionary_path": ...}}, ...]
-    Params named in ``context`` are resolved from it (e.g. paths)."""
+    Params named in ``context`` are resolved from it (e.g. paths).
+    ``callbacks`` (state/callbacks.py) get begin/end and per-stage events —
+    the reference's lifecycle Callback surface (AutoPhraseX
+    callbacks.py:5-120)."""
+    from deepkg_ray.state.callbacks import Callback, CallbackList
+    cbs = callbacks if isinstance(callbacks, Callback) else CallbackList(callbacks)
     context = context or {}
+    cbs.begin()
     for step in spec:
         fn = STAGE_REGISTRY[step["stage"]]
         params = dict(step.get("params", {}))
         for k, v in params.items():
             if isinstance(v, str) and v.startswith("$"):
                 params[k] = context[v[1:]]
+        cbs.on_stage_begin(step["stage"], params)
         ds = fn(ds, **params)
+        cbs.on_stage_end(step["stage"], ds)
+    cbs.end()
     return ds
 
 

@@ -82,15 +82,20 @@ def idf_table(ds, n_docs: int, text_col: str = "text"):
     return df.map_batches(add_idf, batch_format="pyarrow")
 
 
-def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1):
+def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1,
+                mode: str = "driver"):
     """(w1, w2, cnt, pmi): pmi = ln((c12/N2) / ((c1/N1)*(c2/N1))), the
     log-ratio form of extractors.py:120-158, rounded to 6 dp.
 
-    Plan: ONE pass emitting unigram AND bigram partial counts per batch
-    (unigram rows use a '' sentinel for w2), one tree merge, then the PMI
-    formula on the driver over the merged (vocab²-bounded) table — a single
-    Ray execution.  For unbounded vocabularies split into two
-    groupby('w1'[, 'w2']) passes instead."""
+    mode='driver' (dictionary-bounded vocab): ONE pass emitting unigram AND
+    bigram partial counts per batch (unigram rows use a '' sentinel for w2),
+    one tree merge, PMI formula on the driver over the merged
+    (vocab²-bounded) table → pandas DataFrame.
+
+    mode='groupby' (open vocab, the 100-TB shape): Ray groupby for the
+    counts, the two unigram lookups as hash-partitioned Dataset.joins, PMI
+    computed per batch → returns a streaming Dataset; nothing
+    vocabulary-sized ever lands on the driver."""
     from deepkg_ray.stages.treeagg import merge_partials
 
     def both_counts(b: pa.Table) -> pd.DataFrame:
@@ -109,6 +114,8 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1):
 
     partial = ds.select_columns([text_col]).map_batches(both_counts,
                                                         batch_format="pyarrow")
+    if mode == "groupby":
+        return _pmi_bigrams_groupby(partial, min_count)
     merged = merge_partials(partial, ["w1", "w2"], {"cnt": "sum"}).to_pandas()
     uni = merged[merged["w2"] == ""]
     big = merged[merged["w2"] != ""].copy()
@@ -124,10 +131,58 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1):
     return big.reset_index(drop=True)[["w1", "w2", "cnt", "pmi"]]
 
 
-def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
+def _pmi_bigrams_groupby(partial, min_count: int):
+    """Unbounded-vocab PMI: groupby-sum the mixed partial rows, split
+    unigrams/bigrams as Datasets, attach c1/c2 via hash joins, compute PMI
+    per batch.  The two scalar totals (n1, n2) are the only driver values."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    merged = (partial.groupby(["w1", "w2"])
+              .aggregate(Sum("cnt", alias_name="cnt")).materialize())
+    uni = merged.filter(expr="w2 == ''")
+    big = merged.filter(expr="w2 != ''")
+    n1 = float(uni.sum("cnt"))
+    n2 = float(big.sum("cnt"))
+    from deepkg_ray.util import join_partitions
+    np_ = join_partitions()
+
+    def rename(names):
+        return lambda b: b.rename_columns(names)
+
+    u1 = uni.select_columns(["w1", "cnt"]).map_batches(
+        rename(["w1", "c1"]), batch_format="pyarrow")
+    u2 = uni.select_columns(["w1", "cnt"]).map_batches(
+        rename(["w2", "c2"]), batch_format="pyarrow")
+    j = big.join(u1, join_type="inner", num_partitions=np_, on=("w1",))
+    j = j.join(u2, join_type="inner", num_partitions=np_, on=("w2",))
+
+    def add_pmi(b: pa.Table) -> pa.Table:
+        c12 = np.asarray(b["cnt"].to_pylist(), np.float64)
+        c1 = np.asarray(b["c1"].to_pylist(), np.float64)
+        c2 = np.asarray(b["c2"].to_pylist(), np.float64)
+        pmi = round6(np.log((c12 / n2) / ((c1 / n1) * (c2 / n1))))
+        out = pa.table({"w1": b["w1"], "w2": b["w2"],
+                        "cnt": b["cnt"].combine_chunks().cast(pa.int64()),
+                        "pmi": pa.array(pmi, pa.float64())})
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out["cnt"], min_count))
+        return out
+
+    return j.map_batches(add_pmi, batch_format="pyarrow")
+
+
+def neighbor_entropy(ds, side: str = "right", text_col: str = "text",
+                     mode: str = "driver"):
     """(w1, entropy): Shannon entropy of the left/right-neighbor
     distribution of each unigram (extractors.py:216-290), rounded 6 dp.
-    Tokens at sequence edges contribute a sentinel neighbor '∅'."""
+    Tokens at sequence edges contribute a sentinel neighbor '∅'.
+
+    mode='driver': tree-merge + driver pandas (vocab²-bounded).
+    mode='groupby': Ray groupby for the (w1, nb) counts, then per-w1
+    entropy inside groupby('w1').map_groups — streaming Dataset, nothing
+    vocabulary-sized on the driver (open-vocab / 100-TB shape)."""
     assert side in ("left", "right")
 
     def explode(b: pa.Table) -> pd.DataFrame:
@@ -146,10 +201,22 @@ def neighbor_entropy(ds, side: str = "right", text_col: str = "text"):
                              "cnt": list(counts.values())})
 
     from deepkg_ray.stages.treeagg import merge_partials
-    pairs = merge_partials(
-        ds.select_columns([text_col]).map_batches(explode,
-                                                  batch_format="pyarrow"),
-        ["w1", "nb"], {"cnt": "sum"}).to_pandas()
+    partial = ds.select_columns([text_col]).map_batches(explode,
+                                                        batch_format="pyarrow")
+    if mode == "groupby":
+        from ray.data.aggregate import Sum
+
+        def per_w1(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["w1", "nb"], kind="stable")
+            c = g["cnt"].to_numpy(np.float64)
+            p = c / c.sum()
+            return pd.DataFrame({"w1": [g["w1"].iloc[0]],
+                                 "entropy": [float(round6(-(p * np.log(p)).sum()))]})
+
+        return (partial.groupby(["w1", "nb"])
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .groupby("w1").map_groups(per_w1, batch_format="pandas"))
+    pairs = merge_partials(partial, ["w1", "nb"], {"cnt": "sum"}).to_pandas()
     # per-w1 entropy on the (vocab²-bounded) merged table, driver-side;
     # the summation order inside each group is pinned by a (w1, nb) sort so
     # the rounded value is deterministic
@@ -205,12 +272,19 @@ def frequent_phrases(ds, n: int = 2, topk: int = 50, min_count: int = 2,
 
 
 def prune_low_freq(ds, min_freq: int = 2, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", mode: str = "broadcast"):
     """Two-pass low-frequency token prune (reference
-    text_preprocess.py:31-43): pass 1 computes global token counts (a small
-    table collected to the driver and BROADCAST into pass 2 — no shuffle
-    join); pass 2 counts surviving tokens (freq > min_freq) per doc.
-    Docs with zero surviving tokens are omitted."""
+    text_preprocess.py:31-43): pass 1 computes global token counts; pass 2
+    counts surviving tokens (freq > min_freq) per doc.  Docs with zero
+    surviving tokens are omitted.
+
+    mode='broadcast' (bounded vocab): pass-1 counts collected to the driver
+    and broadcast into pass 2 — no shuffle join.
+    mode='semijoin' (open vocab): the surviving vocabulary stays a Dataset;
+    exploded (doc_id, w1) token rows hash-join it and re-aggregate per doc
+    — nothing vocabulary-sized on the driver."""
+    if mode == "semijoin":
+        return _prune_low_freq_semijoin(ds, min_freq, text_col, id_col)
     uni = ngram_counts(ds.select_columns([text_col]), 1, text_col).to_pandas()
     keep = frozenset(uni.loc[uni["cnt"] > min_freq, "w1"])
 
@@ -228,18 +302,54 @@ def prune_low_freq(ds, min_freq: int = 2, text_col: str = "text",
         per_doc, batch_format="pyarrow")
 
 
+def _prune_low_freq_semijoin(ds, min_freq: int, text_col: str, id_col: str):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+    from deepkg_ray.util import join_partitions
+
+    vocab = (ngram_counts(ds.select_columns([text_col]), 1, text_col)
+             .map_batches(lambda b: b.filter(pc.greater(b["cnt"], min_freq))
+                          .select(["w1"]), batch_format="pyarrow"))
+
+    def explode_tokens(b: pa.Table) -> pa.Table:
+        ids, ws = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for w in _tokens(t):
+                ids.append(i)
+                ws.append(w)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "w1": pa.array(ws, pa.string())})
+
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        explode_tokens, batch_format="pyarrow")
+    kept = toks.join(vocab, join_type="inner",
+                     num_partitions=join_partitions(), on=("w1",))
+    return (kept.groupby(id_col).aggregate(Count(alias_name="n_kept"))
+            .map_batches(lambda b: pa.table(
+                {id_col: b[id_col].combine_chunks().cast(pa.int64()),
+                 "n_kept": b["n_kept"].combine_chunks().cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
 PHRASE_FEATURE_WEIGHTS = {"pmi": 0.5, "idf_min": 0.3, "entropy_min": 0.2}
 
 
 def phrase_quality_scores(ds, topk: int = 50, min_count: int = 2,
-                          text_col: str = "text"):
+                          text_col: str = "text",
+                          classifier: str = "linear",
+                          positive_phrases: set[str] | None = None,
+                          gbdt_params: dict | None = None):
     """Phrase-quality scoring: statistical features (PMI, min-token IDF,
-    min neighbor entropy) combined by a fixed linear scorer — the
-    deterministic stand-in for the reference's GBDT phrase classifier
-    (AutoPhraseX autophrase.py:53-56,118-130: features → classifier →
-    quality score → ranked phrases).  Runs on the small candidate table
-    driver-side after the distributed stat aggregation (same plan as the
-    reference's pooling step)."""
+    min neighbor entropy) → classifier → ranked phrases, the reference's
+    phrase-classifier step (AutoPhraseX autophrase.py:53-56,118-130).
+
+    classifier='linear': fixed-weight scorer (deterministic baseline).
+    classifier='gbdt': gradient-boosted stumps (stages/gbdt.py) trained by
+    distant supervision — candidates in ``positive_phrases`` (the
+    reference's quality-phrase seed pool, autophrase.py:53-56) are
+    positives, the rest negatives; quality = P(positive | features).
+    Both run on the small candidate table driver-side after the distributed
+    stat aggregation (same plan position as the reference's pooling step)."""
     import math
     cands = frequent_phrases(ds, n=2, topk=topk * 4,
                              min_count=min_count, text_col=text_col).to_pandas()
@@ -255,10 +365,20 @@ def phrase_quality_scores(ds, topk: int = 50, min_count: int = 2,
     words = df["phrase"].str.split(" ")
     df["idf_min"] = [min(idf.get(w, 0.0) for w in ws) for ws in words]
     df["entropy_min"] = [min(ent.get(w, 0.0) for w in ws) for ws in words]
-    w = PHRASE_FEATURE_WEIGHTS
-    df["quality"] = (w["pmi"] * df["pmi"].fillna(0.0)
-                     + w["idf_min"] * df["idf_min"]
-                     + w["entropy_min"] * df["entropy_min"])
+    if classifier == "gbdt":
+        if not positive_phrases:
+            raise ValueError("classifier='gbdt' needs positive_phrases "
+                             "(the quality-phrase seed pool)")
+        from deepkg_ray.stages.gbdt import GradientBoostedStumps
+        X = df[["pmi", "idf_min", "entropy_min"]].fillna(0.0).to_numpy()
+        y = df["phrase"].isin(positive_phrases).to_numpy(dtype=np.float64)
+        model = GradientBoostedStumps(**(gbdt_params or {}))
+        df["quality"] = model.fit(X, y).predict_proba(X)
+    else:
+        w = PHRASE_FEATURE_WEIGHTS
+        df["quality"] = (w["pmi"] * df["pmi"].fillna(0.0)
+                         + w["idf_min"] * df["idf_min"]
+                         + w["entropy_min"] * df["entropy_min"])
     from deepkg_ray.functions.numeric import round6
     df["quality"] = round6(df["quality"])
     df = df.sort_values(["quality", "phrase"], ascending=[False, True],

@@ -89,20 +89,32 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
 # ------------------------------------------------------------------ IVF ----
 
 def train_centroids(sample: np.ndarray, n_centroids: int, n_iter: int = 10,
-                    seed: int = 11) -> np.ndarray:
+                    seed: int = 11, callbacks=None) -> np.ndarray:
     """Plain Lloyd k-means on a (driver-side, sampled) matrix — the analog
-    of faiss index.train (simcse_unsup.py:44-53).  Deterministic."""
+    of faiss index.train (simcse_unsup.py:44-53).  Deterministic.
+    ``callbacks`` get on_epoch_begin/end with state['centroid_shift'];
+    an EarlyStopping(monitor='centroid_shift') ends training once moves
+    stall (state/callbacks.py)."""
+    from deepkg_ray.state.callbacks import run_epochs
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(sample, dtype=np.float64))
     idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
     c = x[idx].copy()
-    for _ in range(n_iter):
+
+    def step(epoch, state):
         assign = np.argmax(x @ c.T, axis=1)
+        shift = 0.0
         for j in range(len(c)):
             pts = x[assign == j]
             if len(pts):
                 v = pts.mean(axis=0)
-                c[j] = v / max(np.linalg.norm(v), 1e-12)
+                v = v / max(np.linalg.norm(v), 1e-12)
+                shift = max(shift, float(np.abs(v - c[j]).max()))
+                c[j] = v
+        state["centroid_shift"] = shift
+        state["n_epochs_run"] = epoch + 1
+
+    run_epochs(n_iter, step, callbacks=callbacks)
     return c
 
 

@@ -136,3 +136,119 @@ def test_checkpoint_resume(tmp_path):
     from deepkg_ray.state.checkpoint import metrics_table
     mt = metrics_table(out_dir)
     assert mt["rows_out"].to_pylist() == [10, 10, 10]
+
+
+# ----------------------------------------------------- callbacks / gbdt -----
+
+def test_gbdt_separates_synthetic_classes():
+    import numpy as np
+    from deepkg_ray.stages.gbdt import GradientBoostedStumps
+    rng = np.random.default_rng(4)
+    n = 400
+    X = rng.standard_normal((n, 3))
+    y = ((X[:, 0] + 0.5 * X[:, 2]) > 0).astype(float)
+    m = GradientBoostedStumps(n_rounds=40).fit(X, y)
+    p = m.predict_proba(X)
+    acc = ((p > 0.5) == (y > 0.5)).mean()
+    assert acc > 0.95
+    # determinism
+    p2 = GradientBoostedStumps(n_rounds=40).fit(X, y).predict_proba(X)
+    assert (p == p2).all()
+
+
+def test_phrase_quality_gbdt_ranks_seeded_positives(ray_session):
+    import ray.data as rd
+    import pandas as pd
+    # positives occur across varied contexts (high neighbor entropy, tight
+    # PMI); the distractor bigram lives in a single frozen sentence
+    ctx = ["rocks", "wins", "scales", "helps", "grows", "ships"]
+    texts = ([f"big data {c} today" for c in ctx] * 6
+             + [f"machine learning {c} fast" for c in ctx] * 6
+             + ["random words salad noise qux"] * 30)
+    ds = rd.from_pandas(pd.DataFrame({"text": texts}))
+    from deepkg_ray.stages.phrasemine import phrase_quality_scores
+    out = phrase_quality_scores(ds, topk=20, min_count=2,
+                                classifier="gbdt",
+                                positive_phrases={"big data",
+                                                  "machine learning"})
+    q = dict(zip(out["phrase"], out["quality"]))
+    assert q["big data"] > q["salad noise"]
+    assert q["machine learning"] > q["salad noise"]
+    top2 = set(out.head(2)["phrase"])
+    assert top2 == {"big data", "machine learning"}
+
+
+def test_callbacks_lifecycle_and_early_stopping(ray_session):
+    from deepkg_ray.state.callbacks import (Callback, CallbackList,
+                                            EarlyStopping, run_epochs)
+
+    events = []
+
+    class Rec(Callback):
+        def begin(self): events.append("begin")
+        def end(self): events.append("end")
+        def on_stage_begin(self, stage, params): events.append(f"+{stage}")
+        def on_stage_end(self, stage, ds): events.append(f"-{stage}")
+
+    import ray.data as rd
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame({"text": ["Hello World"],
+                                      "doc_id": [0]}))
+    from deepkg_ray.config import build_pipeline
+    build_pipeline(ds, [{"stage": "normalize"}], callbacks=[Rec()])
+    assert events == ["begin", "+normalize", "-normalize", "end"]
+
+    # early stopping ends the epoch loop when the metric stalls
+    state = run_epochs(
+        100, lambda e, s: s.__setitem__("metric", 1.0 if e else 0.5),
+        callbacks=[EarlyStopping(monitor="metric", patience=2)])
+    assert state["early_stop"] and state.get("metric") == 1.0
+
+
+def test_kmeans_early_stopping_cuts_epochs():
+    import numpy as np
+    from deepkg_ray.stages.similarity import train_centroids
+    from deepkg_ray.state.callbacks import EarlyStopping, CallbackList
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.standard_normal((50, 8)) + 10,
+                        rng.standard_normal((50, 8)) - 10])
+    es = EarlyStopping(monitor="centroid_shift", patience=1, min_delta=1e-9)
+    probe = {}
+
+    class Probe(EarlyStopping.__mro__[1]):  # plain Callback
+        def on_epoch_end(self, epoch, state):
+            probe.update(state)
+
+    c_full = train_centroids(x, 2, n_iter=50)
+    c_es = train_centroids(x, 2, n_iter=50, callbacks=[es, Probe()])
+    # converged k-means: early stop must not change the result
+    assert np.allclose(c_full, c_es)
+    assert probe["n_epochs_run"] < 50
+
+
+def test_open_vocab_modes_equal_driver_modes(ray_session):
+    """pmi/entropy/prune groupby|semijoin modes must equal the
+    driver/broadcast modes exactly (open-vocab 100-TB shape vs bounded)."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages import phrasemine as pm
+    texts = ["the cat sat on the mat", "the dog sat on a log",
+             "a cat and a dog", "", "mat mat mat"]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+
+    a = pm.pmi_bigrams(ds).sort_values(["w1", "w2"]).reset_index(drop=True)
+    b = (pm.pmi_bigrams(ds, mode="groupby").to_pandas()
+         .sort_values(["w1", "w2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+    c = pm.neighbor_entropy(ds).sort_values("w1").reset_index(drop=True)
+    d = (pm.neighbor_entropy(ds, mode="groupby").to_pandas()
+         .sort_values("w1").reset_index(drop=True))
+    pd.testing.assert_frame_equal(c, d[c.columns.tolist()])
+
+    e = (pm.prune_low_freq(ds, min_freq=1).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    f = (pm.prune_low_freq(ds, min_freq=1, mode="semijoin").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(e, f[e.columns.tolist()])
