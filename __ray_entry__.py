@@ -581,6 +581,24 @@ def _q_approx_distinct(sf_dir: str):
                          "approx_event_types": [round(types, 1)]})
 
 
+def _q_snli_triplets(sf_dir: str):
+    """SNLI premise → (entailment, contradiction) triplet build (reference
+    SimCSE data_process.py:24-53 last-wins dict semantics)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.snli import snli_triplets
+    return snli_triplets(rd.read_parquet(synth.snli_path(sf_dir)))
+
+
+def _q_ck_tokens(sf_dir: str):
+    """.ck noisy-corpus reader parity: parse the synthesized AutoNER-format
+    corpus back into token rows (oracle = the generation-time gold parquet)."""
+    from deepkg_ray import synth
+    from deepkg_ray.sources.readers import read_ck_corpus
+    ck, _ = synth.ck_paths(sf_dir)
+    return read_ck_corpus(ck)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
@@ -633,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_turn_groups": _q_duplicate_turn_groups,
         "pruned_token_counts": _q_pruned_token_counts,
         "ner_span_model": _q_ner_span_model,
+        # aux-format readers / pair builders
+        "snli_triplets": _q_snli_triplets,
+        "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
         "linking_recall": _q_linking_recall,
@@ -684,6 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "ner_span_model": oracle.mention_counts_sql(SF_ORACLE),
         "top_revenue_orders": oracle.top_revenue_orders_oracle(),
         "segment_revenue": oracle.segment_revenue_oracle(),
+        "snli_triplets": oracle.snli_triplets_oracle(SF_ORACLE),
+        "ck_tokens": oracle.ck_tokens_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features
     }

@@ -74,6 +74,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from deepkg_ray.util import tune_data_context
+    tune_data_context()
 
     from deepkg_ray import synth
     synth.ensure_synth(sf_dir)            # untimed: synthesis + page-cache warm
@@ -125,38 +127,75 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
-    """Same pipeline, same input, two fresh processes at lo and hi CPUs
-    (DEEPKG_SCALE_LO/HI, default 8 and 32).  The input is repeated
-    (DEEPKG_BENCH_REPEAT, default 24) so the run is long enough that
-    steady-state throughput — not actor-pool boot (~6s fixed) — is
-    measured; side queries are skipped in the sub-runs."""
+    """Two-parallelism-level scaling criterion, one command, pinned protocol:
+
+    - levels lo→hi CPUs (DEEPKG_SCALE_LO/HI, default 8→32 = N and 4N), each
+      a FRESH process running ONLY kg_build over the SAME input repeated
+      DEEPKG_BENCH_REPEAT (default 24) times;
+    - strategy pinned to the elastic task pool at BOTH levels (identical
+      fused plan, no actor-pool share to bias the ratio);
+    - DEEPKG_SCALE_TRIALS (default 3) runs per level, per-level capacity =
+      BEST trial (the host is shared; co-tenant interference only ever
+      subtracts, so max is the least-biased capacity estimator and is
+      symmetric across levels);
+    - a zero-coordination hardware baseline (tools/hw_probe.py: forked
+      processes, no Ray, same kernels) at the same two K values →
+      ``hw_efficiency``; ``relative_efficiency`` = engine / hardware is the
+      engine's own scaling with the host's DRAM-bandwidth wall factored
+      out (a real multi-node cluster adds memory controllers with nodes;
+      this sandbox host does not)."""
     import subprocess
-    # default N→4N pair = 2→8: both levels sit below this host's memory-
-    # bandwidth ceiling (~1.1M turns/s for the string-heavy extraction), so
-    # the measurement reflects the engine's scaling rather than the single
-    # host saturating; the full 2/4/8/16/32 curve is tabulated in
-    # BASELINE.md including the saturated 8→32 pair.
-    lo = lo or int(os.environ.get("DEEPKG_SCALE_LO", "2"))
-    hi = hi or int(os.environ.get("DEEPKG_SCALE_HI", "8"))
+    lo = lo or int(os.environ.get("DEEPKG_SCALE_LO", "8"))
+    hi = hi or int(os.environ.get("DEEPKG_SCALE_HI", "32"))
     repeat = os.environ.get("DEEPKG_BENCH_REPEAT", "24")
+    trials = int(os.environ.get("DEEPKG_SCALE_TRIALS", "3"))
+    strategy = os.environ.get("DEEPKG_STRATEGY", "tasks")
+    here = os.path.dirname(os.path.abspath(__file__))
+
     def one(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   DEEPKG_BENCH_REPEAT=repeat, DEEPKG_BENCH_ONLY="kg_build")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
-    # warm synthesis + page cache once, untimed
+                   DEEPKG_BENCH_REPEAT=repeat, DEEPKG_BENCH_ONLY="kg_build",
+                   DEEPKG_STRATEGY=strategy)
+        best = None
+        for _ in range(trials):
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
+                best = r
+        return best
+
+    def probe(k):
+        env = dict(os.environ, GRAFT_SF_DIR=sf_dir)
+        best = 0.0
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "hw_probe.py"),
+                 str(k), repeat], env=env, capture_output=True, text=True,
+                check=True).stdout
+            best = max(best, json.loads(out.strip().splitlines()[-1])["turns_per_sec"])
+        return best
+
     from deepkg_ray import synth
-    synth.ensure_synth(sf_dir)
+    synth.ensure_synth(sf_dir)   # warm synthesis + page cache, untimed
     r_lo, r_hi = one(lo), one(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    hw_lo, hw_hi = probe(lo), probe(hi)
+    eff = (r_hi["turns_per_sec"] / r_lo["turns_per_sec"]) / (hi / lo)
+    eff_hw = (hw_hi / hw_lo) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
         f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
         f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        f"hw_turns_per_sec_{lo}": hw_lo, f"hw_turns_per_sec_{hi}": hw_hi,
+        "hw_efficiency": round(eff_hw, 3),
+        "relative_efficiency": round(eff / eff_hw, 3),
+        "cpus": [lo, hi],
+        "repeat": int(repeat),
+        "trials": trials,
+        "strategy": strategy,
         "sf": sf_dir,
     }
 

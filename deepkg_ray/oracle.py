@@ -618,3 +618,30 @@ WITH r AS (
 )
 SELECT event_type, event_id, value, rank FROM r WHERE rank < {k}
 """
+
+
+def snli_triplets_oracle(sf_dir: str) -> str:
+    """DuckDB equivalent of stages/snli.snli_triplets: last-seen (by file
+    order = row_idx) entailment/contradiction hypothesis per premise, only
+    premises having both (reference data_process.py:24-53)."""
+    from deepkg_ray import synth
+    p = synth.snli_path(sf_dir)
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{p}')),
+e AS (SELECT sentence1, arg_max(sentence2, row_idx) AS entailment
+      FROM t WHERE gold_label = 'entailment' GROUP BY sentence1),
+c AS (SELECT sentence1, arg_max(sentence2, row_idx) AS contradiction
+      FROM t WHERE gold_label = 'contradiction' GROUP BY sentence1)
+SELECT e.sentence1 AS origin, e.entailment, c.contradiction
+FROM e JOIN c ON e.sentence1 = c.sentence1
+"""
+
+
+def ck_tokens_oracle(sf_dir: str) -> str:
+    """The .ck reader's parse must reproduce the generation-time gold
+    parquet row-for-row (synth.ck_paths writes both from one in-memory
+    corpus)."""
+    from deepkg_ray import synth
+    _, gold = synth.ck_paths(sf_dir)
+    return (f"SELECT doc_idx, sent_idx, token_idx, token, boundary, types, "
+            f"safe FROM read_parquet('{gold}')")

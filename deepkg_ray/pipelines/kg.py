@@ -32,10 +32,13 @@ def transcripts_with_norm(sf_dir: str, *, repeat: int = 1):
     to measure steady-state throughput on a workload large enough that
     fixed startup costs don't dominate."""
     import glob
+    from deepkg_ray.util import tiny_task_cpus
     path = synth.transcripts_path(sf_dir)
     files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
-    ds = read_transcripts(files * repeat if repeat > 1 else path)
-    return ds.map_batches(add_text_norm, batch_format="pyarrow", batch_size=8192)
+    tc = tiny_task_cpus()
+    ds = read_transcripts(files * repeat if repeat > 1 else path, num_cpus=tc)
+    return ds.map_batches(add_text_norm, batch_format="pyarrow", batch_size=8192,
+                          **({"num_cpus": tc} if tc else {}))
 
 
 def mentions_dataset(sf_dir: str, *, concurrency=(1, 8)):
@@ -64,9 +67,14 @@ def linked_triples_dataset(sf_dir: str, *, concurrency=None, repeat: int = 1):
         # clusters an actor pool with a reserved non-pool share pipelines
         # best (tasks thrash against reads for slots); on large clusters
         # the elastic task pool + per-worker state cache wins (no
-        # actor-boot cliff). Threshold at 16 CPUs.
+        # actor-boot cliff). Threshold at 16 CPUs.  DEEPKG_STRATEGY
+        # (actors|tasks) pins the choice — the scaling bench sets it so
+        # both parallelism levels run the SAME plan (no curve-shopping).
+        import os
         from deepkg_ray.util import cluster_cpus
-        if cluster_cpus() <= 8:
+        pin = os.environ.get("DEEPKG_STRATEGY")
+        use_actors = (pin == "actors" if pin else cluster_cpus() <= 8)
+        if use_actors:
             return extract_linked_triples(ds, dict_path)
         return extract_linked_triples_tasks(ds, dict_path)
     return extract_linked_triples(ds, dict_path, concurrency=concurrency)

@@ -10,15 +10,20 @@ UIE_torch/uie/seq2struct/utils_torch.py:98-102) become streaming
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data as rd
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def read_transcripts(path: str, columns: list[str] | None = None):
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     num_cpus: float | None = None):
     """Transcript table (input_hint schema). Default prunes to the columns
-    the KG pipeline needs."""
-    return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"])
+    the KG pipeline needs.  num_cpus: per-read-task CPU request (fractional
+    on tiny clusters so reads co-schedule with a fractional actor pool)."""
+    kw = {"ray_remote_args": {"num_cpus": num_cpus}} if num_cpus else {}
+    return rd.read_parquet(path, columns=columns or ["conv_id", "turn_idx", "text"],
+                           **kw)
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -48,6 +53,71 @@ def read_jsonl(path: str):
     """jsonline reader (reference utils_torch.py:98-102 analog)."""
     import ray.data as rd
     return rd.read_json(path)
+
+
+def read_ck_corpus(path: str):
+    """.ck noisy-annotation corpus reader — the AutoNER distant-supervision
+    train format: one ``token I/O type[,type...] [S|D]`` line per token
+    (I = chunk break before the token, O = connected; the optional 4th
+    column marks the annotation safe/dangerous), blank line between
+    sentences, ``-DOCSTART-`` between documents (reference
+    AutoNER/preprocess_partial_ner/encode_folder.py:55-75 read_noisy_corpus
+    and the format comment at :62-68).
+
+    One output row per token with (doc_idx, sent_idx, token_idx) position
+    columns; structural lines are consumed.  Files parse independently
+    (indices are per-file), so a directory of .ck shards parallelizes per
+    file — the reader is a map_batches over ``read_binary_files`` rather
+    than read_text because sentence grouping crosses line boundaries."""
+    import ray.data as rd
+
+    def parse(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in
+                                 ("doc_idx", "sent_idx", "token_idx",
+                                  "token", "boundary", "types", "safe")}
+        for blob in batch["bytes"].to_pylist():
+            doc_idx, sent_idx, tok_idx = 0, 0, 0
+            started = False   # a -DOCSTART- before any sentence is doc 0
+            in_sent = False
+            for line in blob.decode("utf-8").split("\n"):
+                if line.startswith("-DOCSTART-"):
+                    if started:
+                        doc_idx += 1
+                    started = True
+                    in_sent = False
+                    tok_idx = 0
+                    continue
+                if not line or line.isspace():
+                    if in_sent:
+                        sent_idx += 1
+                        in_sent = False
+                        tok_idx = 0
+                    continue
+                parts = line.split()
+                assert 3 <= len(parts) <= 4, f"wrong ck file format: {line!r}"
+                cols["doc_idx"].append(doc_idx)
+                cols["sent_idx"].append(sent_idx)
+                cols["token_idx"].append(tok_idx)
+                cols["token"].append(parts[0])
+                cols["boundary"].append(parts[1])
+                cols["types"].append(parts[2])
+                # 3-column lines are implicitly safe (encode_folder.py:73-75)
+                cols["safe"].append(1 if len(parts) == 3
+                                    else int(parts[3] == "S"))
+                tok_idx += 1
+                in_sent = True
+        return pa.table({
+            "doc_idx": pa.array(cols["doc_idx"], pa.int64()),
+            "sent_idx": pa.array(cols["sent_idx"], pa.int64()),
+            "token_idx": pa.array(cols["token_idx"], pa.int64()),
+            "token": pa.array(cols["token"], pa.string()),
+            "boundary": pa.array(cols["boundary"], pa.string()),
+            "types": pa.array(cols["types"], pa.string()),
+            "safe": pa.array(cols["safe"], pa.int64()),
+        })
+
+    return rd.read_binary_files(path).map_batches(
+        parse, batch_format="pyarrow", batch_size=None)
 
 
 def export_text_corpus(ds, path: str, text_col: str = "text"):

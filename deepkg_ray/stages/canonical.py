@@ -115,18 +115,21 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "auto",
                                "subj_name": "first", "subj_type": "first",
                                "obj_name": "first", "obj_type": "first"})
 
+    from deepkg_ray.util import tiny_task_cpus
+    tc = tiny_task_cpus()
+    kw = {"num_cpus": tc} if tc else {}
     partial = linked_triples_ds.map_batches(_partial_adjacency,
                                             batch_format="pyarrow",
-                                            batch_size=65536)
+                                            batch_size=65536, **kw)
     from deepkg_ray.stages.treeagg import merge_partials
     merged = merge_partials(
         partial.map_batches(lambda b: b.rename_columns(
             [c if c != "cnt" else "weight" for c in b.column_names]),
-            batch_format="pyarrow"),
+            batch_format="pyarrow", **kw),
         KEY_COLS, {"weight": "sum", "src": "min"}, mode=mode,
         decision_out=decision_out)
     return merged.map_batches(_attach_names(dictionary_path),
-                              batch_format="pyarrow")
+                              batch_format="pyarrow", **kw)
 
 
 def dedup_triples(linked_triples_ds):

@@ -179,13 +179,26 @@ class LinkedRelationExtractor(RelationExtractor):
 
 def extract_linked_triples(ds, dictionary_path: str, *, concurrency=None,
                            batch_size: int = 8192):
-    from deepkg_ray.util import heavy_pool
+    from deepkg_ray.util import cluster_cpus, heavy_pool
+    kwargs: dict = {}
+    if concurrency is None:
+        if cluster_cpus() <= 3:
+            # tiny clusters: three half-CPU actors keep the extraction share
+            # at ~3/4 of the cluster — the SAME share larger clusters get
+            # from heavy_pool, so scaling measurements across levels compare
+            # like with like (integer actors at n=2 force a 50% share, which
+            # showed up as fake super-linear 2→8 efficiency)
+            concurrency = (3, 3)
+            kwargs["num_cpus"] = 0.5
+        else:
+            concurrency = heavy_pool()
     return ds.map_batches(
         LinkedRelationExtractor,
         fn_constructor_kwargs={"dictionary_path": dictionary_path},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or heavy_pool(),
+        concurrency=concurrency,
+        **kwargs,
     )
 
 

@@ -54,11 +54,20 @@ class DictSpanScorer:
         self.type_index = {t: i for i, t in enumerate(type_order)}
         self.type_order = type_order
         self.max_span_tokens = max_span_tokens
+        # spans can only start on a token that begins SOME alias — the
+        # prefilter turns the L × max_span probe loop into a probe per
+        # plausible start (the score tensor itself is unchanged)
+        self.first_tokens = frozenset(
+            m.group(0) for k in alias_map
+            if (m := _TOKEN_RE.search(k)) is not None)
 
     def score(self, text: str, toks, starts, ends) -> np.ndarray:
         L = len(toks)
         s = np.full((len(self.type_order), L, L), -1.0, dtype=np.float32)
+        first = self.first_tokens
         for i in range(L):
+            if toks[i] not in first:
+                continue
             for j in range(i, min(L, i + self.max_span_tokens)):
                 span = text[starts[i]:ends[j]]
                 m = self.alias_map.get(span)

@@ -94,8 +94,11 @@ def merge_partials(ds, key_cols: list[str], aggs: dict[str, str],
             decision_out.update({"mode": "shuffle", "est_rows": None})
         return _shuffle_merge(ds, key_cols, aggs)
 
+    from deepkg_ray.util import tiny_task_cpus
+    tc = tiny_task_cpus()
+    kw = {"num_cpus": tc} if tc else {}
     mid = (ds.repartition(fanout)
-           .map_batches(merge, batch_format="pandas", batch_size=None))
+           .map_batches(merge, batch_format="pandas", batch_size=None, **kw))
     if mode == "auto":
         mid = mid.materialize()
         est = mid.count()
@@ -108,4 +111,4 @@ def merge_partials(ds, key_cols: list[str], aggs: dict[str, str],
     elif decision_out is not None:
         decision_out.update({"mode": "tree", "est_rows": None})
     return (mid.repartition(1)
-            .map_batches(merge, batch_format="pandas", batch_size=None))
+            .map_batches(merge, batch_format="pandas", batch_size=None, **kw))

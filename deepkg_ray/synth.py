@@ -459,6 +459,118 @@ def ensure_synth(sf_dir: str) -> str:
     return out
 
 
+def snli_path(sf_dir: str) -> str:
+    """Lazily synthesize an SNLI-style premise/hypothesis pair table
+    (row_idx, sentence1, sentence2, gold_label) in the synth cache dir —
+    the input shape of the reference's supervised-SimCSE preprocess
+    (SimCSE-Chinese-Pytorch/data_process.py:24-53).  Generated as a
+    separate artifact with its own marker so existing caches stay valid.
+
+    Deterministic properties the snli_triplets oracle relies on:
+    - labels ∈ {entailment, contradiction, neutral};
+    - some premises appear with the same label more than once (exercises
+      the reference's dict-overwrite last-wins semantics);
+    - some premises lack one of the two labels (filtered out)."""
+    out = ensure_synth(sf_dir)
+    path = os.path.join(out, "snli.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(SEED + 7)
+    n_base = max(200, int(20_000 * sf_from_dir(sf_dir)))
+    rows: list[tuple[int, str, str, str]] = []
+    ridx = 0
+    for i in range(n_base):
+        w = [rng.choice(FILLER_WORDS) for _ in range(rng.randint(3, 6))]
+        s1 = f"premise {i:05d} " + " ".join(w)
+        labels = ["entailment", "contradiction", "neutral"]
+        # ~70% of premises get both target labels; the rest miss one
+        picks = (labels if rng.random() < 0.7
+                 else [rng.choice(labels[:2]), "neutral"])
+        if rng.random() < 0.3:          # duplicate a label → last-wins case
+            picks.append(picks[0])
+        for lbl in picks:
+            s2 = f"hyp {ridx:06d} " + rng.choice(FILLER_WORDS)
+            rows.append((ridx, s1, s2, lbl))
+            ridx += 1
+    t = pa.table({
+        "row_idx": pa.array([r[0] for r in rows], pa.int64()),
+        "sentence1": pa.array([r[1] for r in rows], pa.string()),
+        "sentence2": pa.array([r[2] for r in rows], pa.string()),
+        "gold_label": pa.array([r[3] for r in rows], pa.string()),
+    })
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ck_paths(sf_dir: str) -> tuple[str, str]:
+    """Lazily synthesize a .ck noisy-annotation corpus (the AutoNER
+    distant-supervision train format: one token per line —
+    ``token I/O type[,type...] [S|D]`` — blank line between sentences,
+    ``-DOCSTART-`` between documents; AutoNER/preprocess_partial_ner/
+    encode_folder.py:55-75) plus a parquet gold of the same content, so
+    the reader's parse is SQL-checkable row-for-row.
+    Returns (ck_file, gold_parquet)."""
+    out = ensure_synth(sf_dir)
+    ck = os.path.join(out, "corpus.ck")
+    gold = os.path.join(out, "ck_gold.parquet")
+    if os.path.exists(ck) and os.path.exists(gold):
+        return ck, gold
+    rng = random.Random(SEED + 11)
+    entities = build_dictionary()
+    n_sents = max(200, int(50_000 * sf_from_dir(sf_dir)))
+    lines: list[str] = []
+    g: dict[str, list] = {k: [] for k in
+                          ("doc_idx", "sent_idx", "token_idx", "token",
+                           "boundary", "types", "safe")}
+    doc_idx, sent_in_doc = 0, 0
+    sent_idx = 0
+    lines.append("-DOCSTART-\n")
+    for _ in range(n_sents):
+        if sent_in_doc >= 20:
+            lines.append("-DOCSTART-\n")
+            doc_idx += 1
+            sent_in_doc = 0
+        toks: list[tuple[str, str, str, int]] = []
+        for _ in range(rng.randint(2, 6)):
+            if rng.random() < 0.3:
+                e = entities[rng.randrange(len(entities))]
+                words = e.name.split()
+                for k, w in enumerate(words):
+                    # I = break BEFORE this token, O = connected to previous
+                    toks.append((w, "I" if k == 0 else "O", e.etype,
+                                 1 if rng.random() < 0.8 else 0))
+            else:
+                toks.append((rng.choice(FILLER_WORDS), "I", "None", 1))
+        for ti, (w, b, ty, safe) in enumerate(toks):
+            lines.append(f"{w} {b} {ty} {'S' if safe else 'D'}\n")
+            g["doc_idx"].append(doc_idx)
+            g["sent_idx"].append(sent_idx)
+            g["token_idx"].append(ti)
+            g["token"].append(w)
+            g["boundary"].append(b)
+            g["types"].append(ty)
+            g["safe"].append(safe)
+        lines.append("\n")
+        sent_idx += 1
+        sent_in_doc += 1
+    with open(ck + ".tmp", "w") as f:
+        f.writelines(lines)
+    pq.write_table(pa.table({
+        "doc_idx": pa.array(g["doc_idx"], pa.int64()),
+        "sent_idx": pa.array(g["sent_idx"], pa.int64()),
+        "token_idx": pa.array(g["token_idx"], pa.int64()),
+        "token": pa.array(g["token"], pa.string()),
+        "boundary": pa.array(g["boundary"], pa.string()),
+        "types": pa.array(g["types"], pa.string()),
+        "safe": pa.array(g["safe"], pa.int64()),
+    }), gold + ".tmp")
+    os.replace(ck + ".tmp", ck)
+    os.replace(gold + ".tmp", gold)
+    return ck, gold
+
+
 def transcripts_path(sf_dir: str) -> str:
     return os.path.join(ensure_synth(sf_dir), "transcripts")
 

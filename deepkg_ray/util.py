@@ -13,16 +13,49 @@ def cluster_cpus(default: int = 8) -> int:
     return default
 
 
-def heavy_pool(frac_min: float = 0.75, reserve: int = 2) -> tuple[int, int]:
+def heavy_pool(frac_min: float = 0.75, reserve: int = 1) -> tuple[int, int]:
     """Actor-pool sizing for a dominant compute stage: start near full size
     immediately (autoscaling from a small min ramps nondeterministically and
     dominates run-to-run variance on short jobs) but cap below the CPU count
     so read/write/shuffle tasks keep running (a full-size pool starves them
     and the pipeline serializes)."""
     n = cluster_cpus()
-    hi = max(2, n - max(reserve, n // 4))   # leave ~1/4 for read/write/shuffle
+    # leave ~1/4 for read/write/shuffle; the floor is 1, NOT 2 — at 2 CPUs a
+    # 2-actor pool owns every slot and serializes the pipeline (reads starve),
+    # which showed up as a physically-impossible >1 scaling efficiency
+    hi = max(1, n - max(reserve, n // 4))
     lo = max(1, min(hi, int(n * frac_min)))
     return (lo, hi)
+
+
+def tune_data_context() -> None:
+    """Recommended Ray Data context for this engine's workloads — called by
+    session OWNERS (bench.py, CLI tools), never from library code (the
+    driver/tests own their sessions and their defaults must stand).
+
+    - op_resource_reservation_enabled=False: the reservation allocator
+      caps the fused hot operator at ~2-3 concurrent tasks of 8 on this
+      pipeline shape (measured 184k → 395k turns/s at 8 CPUs when
+      disabled); our pipelines are linear chains where starvation between
+      operators isn't a risk.
+    - target_max_block_size=64 MiB: fewer, larger blocks through the hot
+      chain — measured ~35% throughput gain at 32 CPUs (533→837k turns/s
+      median); still far below worker heap at batch granularity."""
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.op_resource_reservation_enabled = False
+    ctx.target_max_block_size = 64 * 1024 * 1024
+
+
+def tiny_task_cpus() -> float | None:
+    """On clusters so small that the heavy stage runs fractional actors
+    (cluster_cpus() <= 3 → 3 × 0.5-CPU actors, see extract_linked_triples),
+    only a fractional CPU share remains for everything else — a 1-CPU read
+    or map task can then NEVER schedule against the 1.5-CPU pool and the
+    pipeline deadlocks (observed: 2-CPU scaling leg hung >20 min at 0%
+    worker CPU).  Stages that run concurrently with the pool must request
+    0.5 CPU on such clusters; returns None (use Ray's default) otherwise."""
+    return 0.5 if cluster_cpus() <= 3 else None
 
 
 def light_pool() -> tuple[int, int]:
