@@ -227,6 +227,13 @@ def _q_events_window(sf_dir: str):
                            window_sec=300)
 
 
+def _q_events_hopping(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import hopping_window
+    return hopping_window(read_events(sf_dir, ["event_type", "ts", "value"]),
+                          window_sec=300, hop_sec=60)
+
+
 def _q_events_sessionize(sf_dir: str):
     from deepkg_ray.sources.readers import read_events
     from deepkg_ray.stages.windows import sessionize
@@ -631,6 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # events / windows
         "events_window": _q_events_window,
+        "events_hopping": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
@@ -688,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),
         "events_window": oracle.events_window_oracle(),
+        "events_hopping": oracle.hopping_window_oracle(),
         "events_sessionize": oracle.sessionize_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),

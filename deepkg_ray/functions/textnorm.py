@@ -53,15 +53,24 @@ NORM_MAP_STR = {chr(k): chr(v) for k, v in NORM_TABLE.items()}
 def normalize_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """Vectorized lower + width-fold + control→space over an Arrow string
     array.  The needs-fold test runs on the RAW strings (pre-lower), because
-    folding must see the original char to stay length-preserving."""
+    folding must see the original char to stay length-preserving.
+
+    Rows stay on the C path (utf8_lower) unless they contain non-printable/
+    non-ASCII chars; only those few rows take the per-char Python fold and
+    are scattered back with replace_with_mask — the batch never round-trips
+    through Python lists (was ~30% of normalize cost at 8%-weird-row data)."""
     needs = pc.match_substring_regex(arr, _NEEDS_FOLD_RE)
     low = pc.utf8_lower(arr)
     if not pc.any(needs).as_py():
         return low
-    out = [normalize_text(s) if (s is not None and n) else l
-           for s, n, l in zip(arr.to_pylist(), needs.to_pylist(),
-                              low.to_pylist())]
-    return pa.array(out, pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+        needs = needs.combine_chunks()
+        low = low.combine_chunks()
+    needs = pc.fill_null(needs, False)
+    fixed = pa.array([normalize_text(s)
+                      for s in arr.filter(needs).to_pylist()], pa.string())
+    return pc.replace_with_mask(low, needs, fixed)
 
 
 def normalize_text(s: str) -> str:

@@ -645,3 +645,19 @@ def ck_tokens_oracle(sf_dir: str) -> str:
     _, gold = synth.ck_paths(sf_dir)
     return (f"SELECT doc_idx, sent_idx, token_idx, token, boundary, types, "
             f"safe FROM read_parquet('{gold}')")
+
+
+def hopping_window_oracle(window_sec: int = 300, hop_sec: int = 60) -> str:
+    """Each event lands in exactly window/hop hopping windows with starts
+    (floor(us/hop) - i)·hop, i ∈ [0, window/hop) — the same closed form
+    stages/windows.hopping_window explodes with."""
+    hop_us = hop_sec * 1_000_000
+    n = window_sec // hop_sec
+    return f"""
+SELECT event_type,
+       (epoch_us(ts) // {hop_us} - g.i) * {hop_us} AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_value
+FROM events, generate_series(0, {n - 1}) AS g(i)
+GROUP BY event_type, window_start_us
+"""

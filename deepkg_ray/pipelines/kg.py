@@ -3,9 +3,11 @@
     transcripts.parquet
       → read_parquet (pruned columns)
       → [A] normalize          (stateless map_batches, Arrow)
-      → [B] mention detection  (DictionaryMentionDetector actor pool)   — mentions table
-      → [C] relation extraction (RelationExtractor actor pool)          — surface triples
-      → [D] entity linking      (ExactLinker, broadcast dictionary)     — linked triples
+      → [B] mention detection  (DictionaryMentionDetector, worker-cached
+            task pool by default / actor pool on request)               — mentions table
+      → [C] relation extraction (RelationExtractor, same execution)     — surface triples
+      → [D] entity linking      (ExactLinker, broadcast dictionary;
+            fused into [C] on the flagship path)                        — linked triples
       → [E] canonical dedup     (partial-agg + groupby on (subj_id,pred,obj_id))
       → [F] materialize         adjacency / entities / predicates parquet
 
@@ -41,7 +43,7 @@ def transcripts_with_norm(sf_dir: str, *, repeat: int = 1):
                           **({"num_cpus": tc} if tc else {}))
 
 
-def mentions_dataset(sf_dir: str, *, concurrency=(1, 8)):
+def mentions_dataset(sf_dir: str, *, concurrency=None):
     """transcripts → typed mention spans (inclusive end), analog of the
     reference NER output format."""
     dict_path = synth.dictionary_path(sf_dir)
@@ -49,7 +51,7 @@ def mentions_dataset(sf_dir: str, *, concurrency=(1, 8)):
     return detect_mentions(ds, dict_path, concurrency=concurrency)
 
 
-def surface_triples_dataset(sf_dir: str, *, concurrency=(1, 8)):
+def surface_triples_dataset(sf_dir: str, *, concurrency=None):
     """transcripts → (conv_id, turn_idx, pred, subj/obj surface+type+start)."""
     dict_path = synth.dictionary_path(sf_dir)
     ds = transcripts_with_norm(sf_dir)
@@ -63,18 +65,15 @@ def linked_triples_dataset(sf_dir: str, *, concurrency=None, repeat: int = 1):
     dict_path = synth.dictionary_path(sf_dir)
     ds = transcripts_with_norm(sf_dir, repeat=repeat)
     if concurrency is None:
-        # Execution-strategy choice (A/B-measured on this host): on small
-        # clusters an actor pool with a reserved non-pool share pipelines
-        # best (tasks thrash against reads for slots); on large clusters
-        # the elastic task pool + per-worker state cache wins (no
-        # actor-boot cliff). Threshold at 16 CPUs.  DEEPKG_STRATEGY
-        # (actors|tasks) pins the choice — the scaling bench sets it so
-        # both parallelism levels run the SAME plan (no curve-shopping).
+        # Execution-strategy default: the elastic task pool with per-worker
+        # state caches — measured faster than the actor pool at EVERY
+        # cluster size on this host once the whole hot chain fuses into one
+        # task operator (r2: 205k vs 86k turns/s at 2 CPUs, 728k vs ~450k
+        # at 8, 1.2M vs 1.09M at 32), because there is no pool boot/ramp
+        # and no pool-vs-task slot contention.  DEEPKG_STRATEGY=actors
+        # pins the actor-pool variant (the shape a GPU model tier needs).
         import os
-        from deepkg_ray.util import cluster_cpus
-        pin = os.environ.get("DEEPKG_STRATEGY")
-        use_actors = (pin == "actors" if pin else cluster_cpus() <= 8)
-        if use_actors:
+        if os.environ.get("DEEPKG_STRATEGY") == "actors":
             return extract_linked_triples(ds, dict_path)
         return extract_linked_triples_tasks(ds, dict_path)
     return extract_linked_triples(ds, dict_path, concurrency=concurrency)
@@ -111,7 +110,7 @@ def build_kg(sf_dir: str, out_dir: str | None = None, *, concurrency=None,
     return out
 
 
-def conv_cumulative_triples(sf_dir: str, *, concurrency=(1, 8)):
+def conv_cumulative_triples(sf_dir: str, *, concurrency=None):
     """Per-conversation ordered analytics: per (conv_id, turn_idx) triple
     counts with a running cumulative per conversation — exercises the
     stable-turn-ordering contract (sort inside the group, never block
@@ -133,7 +132,7 @@ def conv_cumulative_triples(sf_dir: str, *, concurrency=(1, 8)):
     return per_turn.groupby("conv_id").map_groups(cum, batch_format="pandas")
 
 
-def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=(1, 8)) -> dict:
+def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None) -> dict:
     """Checkpointed variant of build_kg: each transcript shard is processed
     and written atomically under ``out_dir/linked/part=<shard>/`` with a
     manifest (state/checkpoint.py), so a rerun skips completed shards; the

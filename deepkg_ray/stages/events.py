@@ -105,10 +105,11 @@ class EventExtractor:
         }, schema=EVENT_SCHEMA)
 
 
-def extract_events(ds, dictionary_path: str, *, concurrency=(1, 8),
+def extract_events(ds, dictionary_path: str, *, concurrency=None,
                    batch_size: int = 8192):
-    return ds.map_batches(
-        EventExtractor,
-        fn_constructor_kwargs={"dictionary_path": dictionary_path},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+    """Default = worker-cached task pool; explicit concurrency = actor pool
+    (util.stateful_map)."""
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds, EventExtractor,
+                        {"dictionary_path": dictionary_path},
+                        concurrency=concurrency, batch_size=batch_size)

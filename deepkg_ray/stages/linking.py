@@ -190,14 +190,12 @@ class ExactLinker:
                 .append_column("obj_name", pa.array(o_names, pa.string())))
 
 
-def link_triples(ds, dictionary_path: str, *, concurrency=(1, 8), batch_size=8192):
-    return ds.map_batches(
-        ExactLinker,
-        fn_constructor_kwargs={"dictionary_path": dictionary_path},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def link_triples(ds, dictionary_path: str, *, concurrency=None, batch_size=8192):
+    """Default = worker-cached task pool; explicit concurrency = actor pool
+    (util.stateful_map)."""
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds, ExactLinker, {"dictionary_path": dictionary_path},
+                        concurrency=concurrency, batch_size=batch_size)
 
 
 def recall_at_n(candidates: pa.Table, gold: dict[str, list[str]], n: int) -> float:

@@ -107,13 +107,14 @@ class DictionaryMentionDetector:
         }, schema=MENTION_SCHEMA)
 
 
-def detect_mentions(ds, dictionary_path: str, *, concurrency=(1, 8),
+def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
                     batch_size: int = 4096):
-    """transcripts Dataset (with text_norm) → mentions Dataset."""
-    return ds.map_batches(
-        DictionaryMentionDetector,
-        fn_constructor_kwargs={"dictionary_path": dictionary_path},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    """transcripts Dataset (with text_norm) → mentions Dataset.
+
+    Default execution is the worker-cached task pool (automaton compiled
+    once per worker process); pass an explicit ``concurrency`` tuple for
+    an actor pool (util.stateful_map)."""
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds, DictionaryMentionDetector,
+                        {"dictionary_path": dictionary_path},
+                        concurrency=concurrency, batch_size=batch_size)

@@ -146,15 +146,14 @@ class RelationExtractor:
         }, schema=TRIPLE_SCHEMA)
 
 
-def extract_triples(ds, dictionary_path: str, *, concurrency=(1, 8),
+def extract_triples(ds, dictionary_path: str, *, concurrency=None,
                     batch_size: int = 4096):
-    return ds.map_batches(
-        RelationExtractor,
-        fn_constructor_kwargs={"dictionary_path": dictionary_path},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    """Default = worker-cached task pool; explicit concurrency = actor pool
+    (util.stateful_map)."""
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds, RelationExtractor,
+                        {"dictionary_path": dictionary_path},
+                        concurrency=concurrency, batch_size=batch_size)
 
 
 class LinkedRelationExtractor(RelationExtractor):

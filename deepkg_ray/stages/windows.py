@@ -52,6 +52,48 @@ def tumbling_window(ds, window_sec: int, ts_col: str = "ts",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window(ds, window_sec: int, hop_sec: int, ts_col: str = "ts",
+                   key_col: str = "event_type", value_col: str = "value"):
+    """(key, window_start_us, n_events, sum_value): hopping (sliding)
+    event-time window — window length ``window_sec`` advancing every
+    ``hop_sec``.  Each event is exploded into its window_sec/hop_sec
+    covering windows (k·hop ≤ t < k·hop + win ⇔
+    floor((t-win)/hop)+1 ≤ k ≤ floor(t/hop)) and the rest is the same
+    partial-sum groupby as the tumbling window — no ordering or state
+    needed, so it shuffles exactly one small row per (event, window)."""
+    assert window_sec % hop_sec == 0, "window must be a multiple of hop"
+    win_us = window_sec * 1_000_000
+    hop_us = hop_sec * 1_000_000
+    n_covers = window_sec // hop_sec
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        micros = np.asarray(to_micros(b[value_col].to_pylist()), np.int64)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        k_max = us // hop_us                       # int floor (us ≥ 0)
+        # one row per covering window, built vectorized via tiling
+        offs = np.arange(n_covers, dtype=np.int64)
+        starts = (k_max[:, None] - offs[None, :]) * hop_us   # (rows, covers)
+        return pa.table({
+            key_col: pa.array(np.repeat(keys, n_covers)),
+            "window_start_us": pa.array(starts.ravel(), pa.int64()),
+            "v_micros": pa.array(np.repeat(micros, n_covers), pa.int64()),
+        })
+
+    bucketed = ds.select_columns([key_col, ts_col, value_col]).map_batches(
+        explode, batch_format="pyarrow")
+    agg = (bucketed.groupby([key_col, "window_start_us"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("v_micros", alias_name="v_micros")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["v_micros"].to_pylist(), np.float64) / 1e6
+        return (b.drop_columns(["v_micros"])
+                .append_column("sum_value", pa.array(v, pa.float64())))
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def sessionize(ds, gap_sec: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id"):
     """(user_id, n_sessions, n_events): session = maximal run of events with

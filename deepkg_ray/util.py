@@ -28,6 +28,44 @@ def heavy_pool(frac_min: float = 0.75, reserve: int = 1) -> tuple[int, int]:
     return (lo, hi)
 
 
+_STATE_CACHE: dict = {}
+
+
+def _cached_instance(cls, kwargs: dict):
+    key = (cls, tuple(sorted(kwargs.items())))
+    inst = _STATE_CACHE.get(key)
+    if inst is None:
+        inst = cls(**kwargs)
+        _STATE_CACHE[key] = inst
+    return inst
+
+
+def stateful_map(ds, cls, ctor_kwargs: dict, *, concurrency=None,
+                 batch_size: int = 4096, batch_format: str = "pyarrow"):
+    """Run a stateful batch-kernel class over a Dataset.
+
+    concurrency=None (default): TASK pool with a per-worker-process state
+    cache — Ray reuses worker processes across map tasks, so the state
+    (automaton, dictionary, compiled patterns) is built once per worker,
+    the same amortization an actor pool gives WITHOUT pool-sizing or
+    autoscaling-ramp pathologies (a (1,8)-actor pool on a ~5 s job spends
+    most of the job ramping; a task pool runs on prestarted workers and
+    scales elastically with the cluster).
+
+    concurrency=tuple/int: ACTOR pool — the right shape when state must
+    pin resources (GPU model replicas) or is too costly to build on every
+    worker."""
+    if concurrency is None:
+        def fn(batch, _cls=cls, _kw=ctor_kwargs):
+            from deepkg_ray.util import _cached_instance
+            return _cached_instance(_cls, _kw)(batch)
+        return ds.map_batches(fn, batch_format=batch_format,
+                              batch_size=batch_size)
+    return ds.map_batches(cls, fn_constructor_kwargs=ctor_kwargs,
+                          batch_format=batch_format, batch_size=batch_size,
+                          concurrency=concurrency)
+
+
 def tune_data_context() -> None:
     """Recommended Ray Data context for this engine's workloads — called by
     session OWNERS (bench.py, CLI tools), never from library code (the

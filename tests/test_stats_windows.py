@@ -82,6 +82,42 @@ def test_tumbling_window_and_sessionize():
     assert ses.iloc[0]["n_events"] == 4
 
 
+def test_hopping_window_covers_and_sums():
+    base = 60_000_000 * 28_333_335        # aligned to the 60 s hop
+    rows = [{"event_id": 0, "user_id": 1, "event_type": "x",
+             "value": 2.0, "ts": base},                       # hop-aligned
+            {"event_id": 1, "user_id": 1, "event_type": "x",
+             "value": 1.0, "ts": base + 90 * 1_000_000}]      # mid-hop
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    win = (windows.hopping_window(rd.from_pandas(df), window_sec=300,
+                                  hop_sec=60)
+           .to_pandas().sort_values("window_start_us").reset_index(drop=True))
+    # every event covered by exactly window/hop = 5 windows
+    assert win["n_events"].sum() == 10
+    # event 1 (t = base+90s) is in starts base-240..base+60 step 60;
+    # event 0 in base-240..base: overlap of 5-1 windows hold both
+    both = win[win["n_events"] == 2]
+    assert len(both) == 4
+    assert np.isclose(both["sum_value"], 3.0).all()
+    # engine ≡ DuckDB closed form on the synthetic events table
+    import duckdb
+    from deepkg_ray import oracle
+    eng = (windows.hopping_window(
+        rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        window_sec=300, hop_sec=60).to_pandas()
+        .sort_values(["event_type", "window_start_us"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    ora = (con.execute(oracle.hopping_window_oracle()).df()
+           .sort_values(["event_type", "window_start_us"]).reset_index(drop=True))
+    assert len(eng) == len(ora)
+    assert (eng["n_events"].to_numpy() == ora["n_events"].to_numpy()).all()
+    assert np.isclose(eng["sum_value"].round(6), ora["sum_value"].round(6)).all()
+
+
 def test_multimodal_plumbing():
     from deepkg_ray.stages import multimodal
     ds = rd.from_arrow(multimodal.synth_media_table(n=32))
