@@ -90,11 +90,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
 
-    t0 = time.time()
-    extra.update(_headline_kg(sf_dir, out_dir=f"/tmp/bench_kg_{num_cpus}",
-                              repeat=repeat))
-    headline = time.time() - t0
-    queries["kg_build"] = round(headline, 3)
+    # best of 2: the first run in a fresh session pays worker-process
+    # imports (~1-2 s across the pool) and this shared host adds co-tenant
+    # noise that only ever SLOWS a run — min is the capacity estimate;
+    # both walls are recorded.
+    trials = []
+    for ti in range(int(os.environ.get("DEEPKG_BENCH_TRIALS", "2"))):
+        # fresh out_dir per trial — write_parquet APPENDS into existing dirs
+        out_dir = f"/tmp/bench_kg_{num_cpus}_t{ti}"
+        import shutil
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        extra.update(_headline_kg(sf_dir, out_dir=out_dir, repeat=repeat))
+        trials.append(round(time.time() - t0, 3))
+    headline = min(trials)
+    queries["kg_build"] = headline
+    extra["kg_build_trials"] = trials
     n_turns *= repeat
     extra["repeat"] = repeat
 
@@ -163,7 +174,7 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     def one(n):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    DEEPKG_BENCH_REPEAT=repeat, DEEPKG_BENCH_ONLY="kg_build",
-                   DEEPKG_STRATEGY=strategy)
+                   DEEPKG_STRATEGY=strategy, DEEPKG_BENCH_TRIALS="1")
         best = None
         for _ in range(trials):
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],

@@ -153,16 +153,17 @@ def dedup_pair_rows(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             n_perm: int = 64, n_bands: int = 16,
-                            shingle_k: int = 3, concurrency=(1, 4)):
+                            shingle_k: int = 3, concurrency=None):
     """documents → candidate near-dup pairs (doc_a < doc_b, n_bands_hit).
     Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
     from several bands is canonicalized to one row by the final groupby
     (whose Count doubles as the band-collision strength signal)."""
-    sigged = ds.select_columns([id_col, text_col]).map_batches(
-        MinHashSignature,
-        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands,
-                               "shingle_k": shingle_k, "text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    from deepkg_ray.util import stateful_map
+    sigged = stateful_map(
+        ds.select_columns([id_col, text_col]), MinHashSignature,
+        {"n_perm": n_perm, "n_bands": n_bands,
+         "shingle_k": shingle_k, "text_col": text_col},
+        concurrency=concurrency, batch_size=4096)
     exploded = sigged.map_batches(lambda b: _explode_bands(b, id_col),
                                   batch_format="pyarrow")
 
@@ -297,14 +298,15 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(fps, pa.uint64()))
 
 
-def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=(1, 4)):
-    return ds.select_columns([id_col, text_col]).map_batches(
-        SimHashStage, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=None):
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds.select_columns([id_col, text_col]), SimHashStage,
+                        {"text_col": text_col}, concurrency=concurrency,
+                        batch_size=4096)
 
 
 def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
-                       max_hamming: int = 3, n_tables: int = 4, concurrency=(1, 4)):
+                       max_hamming: int = 3, n_tables: int = 4, concurrency=None):
     """Near-dup pairs by SimHash: block on 16-bit key chunks (any pair with
     hamming ≤ 3 over 64 bits shares at least one of 4 16-bit chunks), then
     verify hamming in-bucket."""
@@ -442,12 +444,12 @@ def embedding_lsh_near_pairs(ds, *, threshold: float = 0.45, dim: int,
     suffices; the defaults (4 bits × 48 tables) are sized for the test
     corpus' 0.45 cut and verified recall-1 against brute force in tests."""
     proj = ds.select_columns([id_col, vec_col])
-    signed = proj.map_batches(
-        HyperplaneSigner,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits,
-                               "n_tables": n_tables, "seed": seed,
-                               "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=(1, 4))
+    from deepkg_ray.util import stateful_map
+    signed = stateful_map(proj, HyperplaneSigner,
+                          {"dim": dim, "n_bits": n_bits,
+                           "n_tables": n_tables, "seed": seed,
+                           "id_col": id_col, "vec_col": vec_col},
+                          concurrency=None, batch_size=4096)
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         ra, rb = [], []

@@ -66,15 +66,16 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
-                     *, id_col="vec_id", vec_col="embedding", concurrency=(1, 4)):
+                     *, id_col="vec_id", vec_col="embedding", concurrency=None):
     """Dataset of vectors → global top-k rows per query.
     Result: (query_id, vec_id, cosine, rank) with rank 0 = best.
     Tie-break on (−cosine, vec_id) for determinism."""
-    partial = ds.select_columns([id_col, vec_col]).map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries": queries, "query_ids": query_ids,
-                               "k": k, "id_col": id_col, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    from deepkg_ray.util import stateful_map
+    partial = stateful_map(
+        ds.select_columns([id_col, vec_col]), BruteForceTopK,
+        {"queries": queries, "query_ids": query_ids,
+         "k": k, "id_col": id_col, "vec_col": vec_col},
+        concurrency=concurrency, batch_size=4096)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
@@ -133,7 +134,7 @@ class IVFAssign:
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
              centroids: np.ndarray, nprobe: int = 4, id_col="vec_id",
-             vec_col="embedding", concurrency=(1, 4)):
+             vec_col="embedding", concurrency=None):
     """IVF cosine top-k: rows are bucketed by nearest centroid; each query
     only scans its `nprobe` nearest cells.  With nprobe = n_centroids this
     is exact and equals brute_force_topk."""
@@ -146,9 +147,10 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
         for cell in cells:
             cell_to_queries.setdefault(int(cell), []).append(qi)
 
-    assigned = ds.select_columns([id_col, vec_col]).map_batches(
-        IVFAssign, fn_constructor_kwargs={"centroids": c, "vec_col": vec_col},
-        batch_format="pyarrow", concurrency=concurrency)
+    from deepkg_ray.util import stateful_map
+    assigned = stateful_map(ds.select_columns([id_col, vec_col]), IVFAssign,
+                            {"centroids": c, "vec_col": vec_col},
+                            concurrency=concurrency, batch_size=4096)
 
     qids = np.asarray(query_ids, dtype=np.int64)
 

@@ -125,7 +125,8 @@ class FingerprintStage:
 
 
 def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
-                 concurrency=(1, 4)):
-    return ds.select_columns([id_col, text_col]).map_batches(
-        FingerprintStage, fn_constructor_kwargs={"text_col": text_col},
-        batch_format="pyarrow", concurrency=concurrency)
+                 concurrency=None):
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds.select_columns([id_col, text_col]),
+                        FingerprintStage, {"text_col": text_col},
+                        concurrency=concurrency, batch_size=4096)

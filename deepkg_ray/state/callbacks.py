@@ -103,6 +103,21 @@ class LoggingCallback(Callback):
                               if isinstance(v, (int, float, bool, str))})
 
 
+class ThresholdScheduler(Callback):
+    """Per-epoch threshold hook — the reference's ConstantThresholdScheduler
+    slot (AutoPhraseX callbacks.py:212-221; a pass-stub there).  Here it
+    actually works: writes ``state['threshold']`` at every epoch begin,
+    either a constant or ``schedule(epoch)``."""
+
+    def __init__(self, threshold: float = 0.45, schedule=None):
+        self.threshold = threshold
+        self.schedule = schedule
+
+    def on_epoch_begin(self, epoch, state):
+        state["threshold"] = (self.schedule(epoch) if self.schedule
+                              else self.threshold)
+
+
 class EarlyStopping(Callback):
     """Stop the epoch loop once the monitored state metric improves by less
     than min_delta for `patience` consecutive epochs (reference semantics,

@@ -31,8 +31,20 @@ def heavy_pool(frac_min: float = 0.75, reserve: int = 1) -> tuple[int, int]:
 _STATE_CACHE: dict = {}
 
 
+def _key_part(v):
+    """Stable cache-key token; non-hashable ctor args (numpy arrays, lists)
+    key by content digest."""
+    try:
+        hash(v)
+        return v
+    except TypeError:
+        import hashlib
+        import pickle
+        return ("digest", hashlib.sha1(pickle.dumps(v)).hexdigest())
+
+
 def _cached_instance(cls, kwargs: dict):
-    key = (cls, tuple(sorted(kwargs.items())))
+    key = (cls, tuple((k, _key_part(v)) for k, v in sorted(kwargs.items())))
     inst = _STATE_CACHE.get(key)
     if inst is None:
         inst = cls(**kwargs)
@@ -76,13 +88,14 @@ def tune_data_context() -> None:
       pipeline shape (measured 184k → 395k turns/s at 8 CPUs when
       disabled); our pipelines are linear chains where starvation between
       operators isn't a risk.
-    - target_max_block_size=64 MiB: fewer, larger blocks through the hot
-      chain — measured ~35% throughput gain at 32 CPUs (533→837k turns/s
-      median); still far below worker heap at batch granularity."""
+
+    target_max_block_size is left at the 128 MiB default: raising it to
+    64+ MiB looked good in contended trials but was noise (clean paired
+    runs: 1183k vs 1145k turns/s), and at small inputs it coalesces the
+    read into too few blocks to feed the cluster (repeat=1 kg_build
+    regressed 4.4 s → 5.8-7.3 s at 32 CPUs)."""
     from ray.data import DataContext
-    ctx = DataContext.get_current()
-    ctx.op_resource_reservation_enabled = False
-    ctx.target_max_block_size = 64 * 1024 * 1024
+    DataContext.get_current().op_resource_reservation_enabled = False
 
 
 def tiny_task_cpus() -> float | None:

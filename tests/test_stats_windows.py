@@ -240,6 +240,16 @@ def test_callbacks_lifecycle_and_early_stopping(ray_session):
         callbacks=[EarlyStopping(monitor="metric", patience=2)])
     assert state["early_stop"] and state.get("metric") == 1.0
 
+    # threshold scheduler writes state['threshold'] each epoch
+    from deepkg_ray.state.callbacks import ThresholdScheduler
+    seen = []
+    run_epochs(3, lambda e, s: seen.append(s["threshold"]),
+               callbacks=[ThresholdScheduler(schedule=lambda e: 0.5 - 0.1 * e)])
+    assert seen == [0.5, 0.4, 0.3]
+    st = run_epochs(1, lambda e, s: None,
+                    callbacks=[ThresholdScheduler(threshold=0.45)])
+    assert st["threshold"] == 0.45
+
 
 def test_kmeans_early_stopping_cuts_epochs():
     import numpy as np
