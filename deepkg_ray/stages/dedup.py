@@ -158,9 +158,9 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
     from several bands is canonicalized to one row by the final groupby
     (whose Count doubles as the band-collision strength signal)."""
-    from deepkg_ray.util import stateful_map
+    from deepkg_ray.util import spread_small, stateful_map
     sigged = stateful_map(
-        ds.select_columns([id_col, text_col]), MinHashSignature,
+        spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
         {"n_perm": n_perm, "n_bands": n_bands,
          "shingle_k": shingle_k, "text_col": text_col},
         concurrency=concurrency, batch_size=4096)
@@ -226,7 +226,7 @@ def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
 def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
                         threshold: float = 0.8, id_col="doc_id",
                         text_col="text", n_perm=64, n_bands=16, shingle_k=3,
-                        concurrency=(1, 4), num_partitions: int | None = None,
+                        concurrency=None, num_partitions: int | None = None,
                         broadcast_limit: int = 50_000):
     """Full near-dup pipeline: LSH candidates → attach texts → exact-Jaccard
     verify → pairs ≥ threshold.  Returns (doc_a, doc_b, jaccard).
@@ -299,8 +299,9 @@ class SimHashStage:
 
 
 def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=None):
-    from deepkg_ray.util import stateful_map
-    return stateful_map(ds.select_columns([id_col, text_col]), SimHashStage,
+    from deepkg_ray.util import spread_small, stateful_map
+    return stateful_map(spread_small(ds.select_columns([id_col, text_col])),
+                        SimHashStage,
                         {"text_col": text_col}, concurrency=concurrency,
                         batch_size=4096)
 
@@ -444,8 +445,8 @@ def embedding_lsh_near_pairs(ds, *, threshold: float = 0.45, dim: int,
     suffices; the defaults (4 bits × 48 tables) are sized for the test
     corpus' 0.45 cut and verified recall-1 against brute force in tests."""
     proj = ds.select_columns([id_col, vec_col])
-    from deepkg_ray.util import stateful_map
-    signed = stateful_map(proj, HyperplaneSigner,
+    from deepkg_ray.util import spread_small, stateful_map
+    signed = stateful_map(spread_small(proj), HyperplaneSigner,
                           {"dim": dim, "n_bits": n_bits,
                            "n_tables": n_tables, "seed": seed,
                            "id_col": id_col, "vec_col": vec_col},

@@ -78,6 +78,24 @@ def stateful_map(ds, cls, ctor_kwargs: dict, *, concurrency=None,
                           concurrency=concurrency)
 
 
+def spread_small(ds, target: int | None = None):
+    """Repartition ONLY when the dataset is backed by fewer input files
+    than the cluster has cores — a small table read from one parquet file
+    yields 1-3 blocks, serializing a CPU-heavy downstream stage to 1-3
+    tasks no matter the batch_size (tasks are per block).  At real scale
+    inputs already carry more blocks than CPUs and this is a no-op; when
+    the file count is unknown (from_pandas etc.) the dataset is left
+    untouched."""
+    target = target or cluster_cpus() * 2
+    try:
+        n_files = len(ds.input_files())
+    except Exception:
+        return ds
+    if 0 < n_files < target:
+        return ds.repartition(target)
+    return ds
+
+
 def tune_data_context() -> None:
     """Recommended Ray Data context for this engine's workloads — called by
     session OWNERS (bench.py, CLI tools), never from library code (the
