@@ -95,3 +95,64 @@ def test_shingles_count(ws):
     sh = word_shingles(t, 3)
     n = len(t.split())
     assert len(sh) == (max(1, n - 2) if n else 0)
+
+
+@given(st.lists(st.tuples(st.integers(0, 8),          # premise group
+                          st.sampled_from(["entailment", "contradiction",
+                                           "neutral"]),
+                          st.text(alphabet=string.ascii_lowercase,
+                                  min_size=1, max_size=6)),
+                max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_snli_partial_merge_order_independent(rows):
+    """The snli combiner's composite-key max must be associative and
+    order-independent: any batch split + merge order gives the reference's
+    sequential last-wins result."""
+    import pandas as pd
+    import pyarrow as pa
+    from deepkg_ray.stages.snli import _PAD, _finalize, _partial
+    from deepkg_ray.stages.treeagg import _merge_frame
+
+    table = pa.table({
+        "row_idx": pa.array(range(len(rows)), pa.int64()),
+        "sentence1": pa.array([f"p{g}" for g, _, _ in rows]),
+        "sentence2": pa.array([s for _, _, s in rows]),
+        "gold_label": pa.array([l for _, l, _ in rows]),
+    })
+    # reference semantics: sequential dict overwrite, keep if both present
+    ref: dict[str, dict[str, str]] = {}
+    for g, l, s in rows:
+        if l in ("entailment", "contradiction"):
+            ref.setdefault(f"p{g}", {})[l] = s
+    expect = sorted((k, v["entailment"], v["contradiction"])
+                    for k, v in ref.items()
+                    if "entailment" in v and "contradiction" in v)
+
+    for split in (1, 3, 7):
+        parts = [ _partial(table.slice(o, split))
+                  for o in range(0, max(len(rows), 1), split) ]
+        merged = _merge_frame(
+            pd.concat([p.to_pandas() for p in parts], ignore_index=True)[::-1],
+            ["sentence1"], {"ent_key": "max", "con_key": "max"})
+        got = _finalize(merged)
+        assert sorted(zip(got["origin"], got["entailment"],
+                          got["contradiction"])) == expect
+
+
+@given(st.lists(st.tuples(st.integers(0, 10**6), st.floats(-100, 100)),
+                min_size=1, max_size=50),
+       st.sampled_from([(4, 2), (6, 3), (10, 5)]))
+@settings(max_examples=25, deadline=None)
+def test_hopping_window_explode_covering_invariant(events, winhop):
+    """Every event lands in exactly window/hop windows, each start covers
+    the event, and consecutive starts differ by hop."""
+    import numpy as np
+    win, hop = winhop
+    hop_us, win_us = hop * 1_000_000, win * 1_000_000
+    for us, _ in events:
+        k_max = us * 1_000 // hop_us
+        starts = [(k_max - i) * hop_us for i in range(win // hop)]
+        assert len(starts) == win // hop
+        for s in starts:
+            assert s <= us * 1_000 < s + win_us
+        assert all(a - b == hop_us for a, b in zip(starts, starts[1:]))
