@@ -201,27 +201,14 @@ def extract_linked_triples(ds, dictionary_path: str, *, concurrency=None,
     )
 
 
-# Per-worker-process state cache for the TASK-pool variant: Ray reuses
-# worker processes across map tasks, so the extractor (alias map + compiled
-# patterns) is built once per worker — the same amortization an actor pool
-# gives, WITHOUT pool sizing/ramp pathologies (a fresh actor pool pays a
-# multi-second Python boot per actor, which dominates short jobs; a task
-# pool runs on prestarted workers and scales elastically).  Actor pools
-# remain the right shape for GPU/model stages (multimodal.py, linking
-# CandidateGenerator).
-_WORKER_CACHE: dict = {}
-
-
-def _cached_extractor(dictionary_path: str) -> "LinkedRelationExtractor":
-    ex = _WORKER_CACHE.get(dictionary_path)
-    if ex is None:
-        ex = LinkedRelationExtractor(dictionary_path)
-        _WORKER_CACHE[dictionary_path] = ex
-    return ex
-
-
 def extract_linked_triples_tasks(ds, dictionary_path: str, *,
                                  batch_size: int = 8192):
-    def fn(batch: pa.Table) -> pa.Table:
-        return _cached_extractor(dictionary_path)(batch)
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    """TASK-pool variant via the shared per-worker state cache
+    (util.stateful_map): the extractor (alias map + compiled patterns) is
+    built once per worker process — the same amortization an actor pool
+    gives, WITHOUT pool sizing/ramp pathologies.  Actor pools remain the
+    right shape for GPU/model stages (multimodal.py, uie.py)."""
+    from deepkg_ray.util import stateful_map
+    return stateful_map(ds, LinkedRelationExtractor,
+                        {"dictionary_path": dictionary_path},
+                        concurrency=None, batch_size=batch_size)

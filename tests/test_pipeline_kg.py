@@ -109,3 +109,25 @@ def test_auto_mode_routes_by_cardinality(ray_session):
                          decision_out=dec).to_pandas()
     assert dec["mode"] == "tree" and dec["est_rows"] <= 24
     assert sorted(out["v"]) == sorted([(n + 2) // 3, (n + 1) // 3, n // 3])
+
+
+def test_linked_triples_tasks_and_actors_paths_agree(sf_dir):
+    """The fused extract+link stage must produce identical rows whether it
+    runs as the worker-cached task pool (default) or an explicit actor
+    pool (DEEPKG_STRATEGY=actors / GPU-tier shape)."""
+    import pandas as pd
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.relation import (extract_linked_triples,
+                                            extract_linked_triples_tasks)
+
+    dict_path = synth.dictionary_path(sf_dir)
+    cols = ["conv_id", "turn_idx", "pred", "subj_id", "obj_id", "subj_start"]
+    tasks = (extract_linked_triples_tasks(transcripts_with_norm(sf_dir),
+                                          dict_path)
+             .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    actors = (extract_linked_triples(transcripts_with_norm(sf_dir), dict_path,
+                                     concurrency=(1, 2))
+              .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    assert len(tasks) > 100
+    pd.testing.assert_frame_equal(tasks, actors)
