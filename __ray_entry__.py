@@ -588,6 +588,23 @@ def _q_approx_distinct(sf_dir: str):
                          "approx_event_types": [round(types, 1)]})
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-source deterministic sampling counts (corpus-mixing primitive)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import stratified_sample_counts
+    return stratified_sample_counts(read_documents(sf_dir, ["doc_id", "source"]))
+
+
+def _q_conv_sentences(sf_dir: str):
+    """Sentence explode over transcripts (1-based sent_idx, '.'-stripped)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.textstats import explode_sentences
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    return explode_sentences(ds)
+
+
 def _q_snli_triplets(sf_dir: str):
     """SNLI premise → (entailment, contradiction) triplet build (reference
     SimCSE data_process.py:24-53 last-wins dict semantics)."""
@@ -661,6 +678,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ner_span_model": _q_ner_span_model,
         # aux-format readers / pair builders
         "snli_triplets": _q_snli_triplets,
+        "stratified_sample": _q_stratified_sample,
+        "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
@@ -716,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": oracle.segment_revenue_oracle(),
         "snli_triplets": oracle.snli_triplets_oracle(SF_ORACLE),
         "ck_tokens": oracle.ck_tokens_oracle(SF_ORACLE),
+        "stratified_sample": oracle.stratified_sample_oracle(),
+        "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features
     }

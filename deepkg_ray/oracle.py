@@ -661,3 +661,36 @@ SELECT event_type,
 FROM events, generate_series(0, {n - 1}) AS g(i)
 GROUP BY event_type, window_start_us
 """
+
+
+def stratified_sample_oracle() -> str:
+    """Per-source deterministic md5 keep counts; the per-source cut bytes
+    are generated from the SAME rule the engine uses
+    (textstats.source_keep_pct)."""
+    from deepkg_ray.stages.textstats import source_keep_pct
+    cases = "\n         ".join(
+        f"WHEN 'src{i}' THEN '{source_keep_pct(f'src{i}') * 256 // 100:02x}'"
+        for i in range(20))
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+         CASE source
+         {cases}
+         ELSE '0d' END THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+"""
+
+
+def conv_sentences_oracle(sf_dir: str) -> str:
+    """Sentence explode parity: DuckDB lateral generate_series over the
+    '. '-split list, trailing periods stripped (same semantics as
+    textstats.explode_sentences)."""
+    return f"""
+SELECT conv_id, turn_idx,
+       CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS sent_idx,
+       rtrim(unnest(parts), '.') AS sentence
+FROM (SELECT conv_id, turn_idx, string_split(text, '. ') AS parts
+      FROM read_parquet('{_transcripts_glob(sf_dir)}'))
+"""

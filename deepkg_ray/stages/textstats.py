@@ -130,3 +130,76 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
     return stateful_map(ds.select_columns([id_col, text_col]),
                         FingerprintStage, {"text_col": text_col},
                         concurrency=concurrency, batch_size=4096)
+
+
+# ------------------------------------------------- corpus prep additions ----
+
+def source_keep_pct(source: str) -> int:
+    """Deterministic per-source keep percentage for the stratified-sampling
+    demo rule: 5 + (source ordinal % 10) × 10 ∈ {5, 15, …, 95}.  Shared
+    verbatim with the SQL oracle (oracle.stratified_sample_oracle builds
+    its CASE from this function)."""
+    import re
+    m = re.search(r"(\d+)$", source)
+    return 5 + ((int(m.group(1)) if m else 0) % 10) * 10
+
+
+def stratified_sample_counts(ds, id_col: str = "doc_id",
+                             class_col: str = "source"):
+    """Corpus-mixing primitive: per-class deterministic md5 keep mask with a
+    per-class rate (the reference's seeded negative-keep filter,
+    utils_torch.py:133-139, generalized to per-stratum rates — the knob a
+    training-data pipeline uses to reweight sources).  Returns one row per
+    class: (class, n_total, n_kept).  Exact, reproducible on any
+    partitioning: the mask depends only on the row id."""
+    import hashlib
+
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        srcs = b[class_col].to_pylist()
+        kept = []
+        for i, s in zip(ids, srcs):
+            cut = source_keep_pct(s) * 256 // 100
+            first = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+            kept.append(1 if first < cut else 0)
+        df = pd.DataFrame({class_col: srcs, "n_total": 1, "n_kept": kept})
+        g = df.groupby(class_col, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.select_columns([id_col, class_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536)
+    return merge_partials(part, [class_col],
+                          {"n_total": "sum", "n_kept": "sum"}, fanout=2)
+
+
+def explode_sentences(ds, text_col: str = "text",
+                      key_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
+    """Sentence explode over '. '-joined text: one output row per sentence
+    with a 1-based sent_idx and the trailing periods stripped — the
+    sentence-level processing unit of the extraction pipelines.  Split
+    semantics are shared exactly with the DuckDB oracle
+    (string_split(text, '. ') + rtrim(part, '.'))."""
+    def explode(b: pa.Table) -> pa.Table:
+        keys = [b[c].to_pylist() for c in key_cols]
+        texts = b[text_col].to_pylist()
+        out_keys: list[list] = [[] for _ in key_cols]
+        idxs: list[int] = []
+        sents: list[str] = []
+        for row, t in enumerate(texts):
+            for i, part in enumerate(t.split(". "), start=1):
+                for kc, col in zip(out_keys, keys):
+                    kc.append(col[row])
+                idxs.append(i)
+                sents.append(part.rstrip("."))
+        cols = {c: pa.array(k, b[c].type)
+                for c, k in zip(key_cols, out_keys)}
+        cols["sent_idx"] = pa.array(idxs, pa.int64())
+        cols["sentence"] = pa.array(sents, pa.string())
+        return pa.table(cols)
+
+    return ds.select_columns([*key_cols, text_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=8192)

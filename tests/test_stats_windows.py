@@ -298,3 +298,27 @@ def test_open_vocab_modes_equal_driver_modes(ray_session):
     f = (pm.prune_low_freq(ds, min_freq=1, mode="semijoin").to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(e, f[e.columns.tolist()])
+
+
+def test_explode_sentences_and_stratified_sample(sf_dir):
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import (explode_sentences,
+                                             source_keep_pct,
+                                             stratified_sample_counts)
+
+    df = pd.DataFrame({"conv_id": ["c1", "c2"], "turn_idx": [0, 1],
+                       "text": ["a b. c d. e", "solo"]})
+    out = (explode_sentences(rd.from_pandas(df)).to_pandas()
+           .sort_values(["conv_id", "sent_idx"]).reset_index(drop=True))
+    assert out["sentence"].tolist() == ["a b", "c d", "e", "solo"]
+    assert out["sent_idx"].tolist() == [1, 2, 3, 1]
+
+    assert source_keep_pct("src0") == 5
+    assert source_keep_pct("src13") == 35
+    docs = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                         "source": ["src9"] * 100 + ["src0"] * 100})
+    counts = (stratified_sample_counts(rd.from_pandas(docs))
+              .to_pandas().set_index("source"))
+    assert counts.loc["src9", "n_total"] == 100
+    # src9 keeps ~95%, src0 ~5% — the per-class rates separate clearly
+    assert counts.loc["src9", "n_kept"] > 80 > 20 > counts.loc["src0", "n_kept"]
