@@ -588,6 +588,13 @@ def _q_approx_distinct(sf_dir: str):
                          "approx_event_types": [round(types, 1)]})
 
 
+def _q_doc_repetition(sf_dir: str):
+    """Within-doc duplicate-ngram fraction (C4/Gopher repetition filter)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import doc_repetition
+    return doc_repetition(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -679,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aux-format readers / pair builders
         "snli_triplets": _q_snli_triplets,
         "stratified_sample": _q_stratified_sample,
+        "doc_repetition": _q_doc_repetition,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -736,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "snli_triplets": oracle.snli_triplets_oracle(SF_ORACLE),
         "ck_tokens": oracle.ck_tokens_oracle(SF_ORACLE),
         "stratified_sample": oracle.stratified_sample_oracle(),
+        "doc_repetition": oracle.doc_repetition_oracle(),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features

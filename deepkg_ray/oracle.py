@@ -694,3 +694,27 @@ SELECT conv_id, turn_idx,
 FROM (SELECT conv_id, turn_idx, string_split(text, '. ') AS parts
       FROM read_parquet('{_transcripts_glob(sf_dir)}'))
 """
+
+
+def doc_repetition_oracle(n: int = 2) -> str:
+    """Duplicate-ngram fraction per doc via DuckDB list lambdas — the same
+    grams (space-joined word windows) the engine kernel builds."""
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= {n}
+              THEN list_transform(
+                     generate_series(1, len(string_split_regex(trim(text), '\\s+')) - {n - 1}),
+                     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + {n - 1}), ' '))
+              ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) = 0 THEN 0.0 ELSE
+         floor((1.0 - len(list_distinct(grams)) /
+                CAST(len(grams) AS DOUBLE)) * 1e6 + 0.5) / 1e6 END
+         AS rep_ratio
+FROM g
+"""

@@ -203,3 +203,33 @@ def explode_sentences(ds, text_col: str = "text",
 
     return ds.select_columns([*key_cols, text_col]).map_batches(
         explode, batch_format="pyarrow", batch_size=8192)
+
+
+def doc_repetition(ds, n: int = 2, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Within-document repetition signal (C4/Gopher-style quality filter):
+    per doc, the fraction of word n-grams that are duplicates —
+    rep_ratio = 1 − distinct_ngrams / total_ngrams (0 when the doc has
+    fewer than n words).  Stateless vectorized kernel; ratio in round6
+    micros so the value hash matches the DuckDB list-comprehension
+    oracle."""
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        total = np.empty(len(texts), dtype=np.int64)
+        distinct = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            grams = [" ".join(ws[j:j + n]) for j in range(len(ws) - n + 1)]
+            total[i] = len(grams)
+            distinct[i] = len(set(grams))
+        rep = np.where(total > 0,
+                       np.floor((1.0 - distinct / np.maximum(total, 1)) * 1e6
+                                + 0.5) / 1e6, 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_ngrams": pa.array(total, pa.int64()),
+            "n_distinct": pa.array(distinct, pa.int64()),
+            "rep_ratio": pa.array(rep, pa.float64()),
+        })
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)

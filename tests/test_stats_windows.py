@@ -322,3 +322,16 @@ def test_explode_sentences_and_stratified_sample(sf_dir):
     assert counts.loc["src9", "n_total"] == 100
     # src9 keeps ~95%, src0 ~5% — the per-class rates separate clearly
     assert counts.loc["src9", "n_kept"] > 80 > 20 > counts.loc["src0", "n_kept"]
+
+
+def test_doc_repetition_golden():
+    from deepkg_ray.stages.textstats import doc_repetition
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": ["a b a b a b",   # bigrams: ab ba ab ba ab → 5 total, 2 distinct
+                                "x y z",          # 2 total, 2 distinct → 0.0
+                                "w"]})            # < n words → 0 grams, ratio 0
+    out = (doc_repetition(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_ngrams"].tolist() == [5, 2, 0]
+    assert out["n_distinct"].tolist() == [2, 2, 0]
+    assert out["rep_ratio"].tolist() == [0.6, 0.0, 0.0]
