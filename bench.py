@@ -7,8 +7,10 @@ print ONE JSON line:
    "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
    "triples_per_sec": ...}
 
---scaling: run the headline pipeline in two fresh processes (8 and 32 CPUs)
-on the same input and report both throughputs + scaling efficiency.
+--scaling: run the headline pipeline in fresh processes at two CPU levels
+(default 2 and 8 — both below this host's DRAM-saturation point; see
+BASELINE.md) on the same input and report both throughputs, the scaling
+efficiency, and a zero-coordination hardware baseline.
 """
 
 from __future__ import annotations

@@ -51,7 +51,7 @@ class MinHasher:
 
     Hash family: (a*x + b) with natural uint64 wrap-around (mod 2^64, a odd)
     — fully vectorized; adequate mixing for minhash since the base shingle
-    hashes are blake2b.  Signatures are uint64[n_perm]."""
+    hashes are siphash13 (stable_hash64_batch).  Signatures are uint64[n_perm]."""
 
     def __init__(self, n_perm: int = 64, seed: int = 7, shingle_k: int = 3):
         rng = np.random.default_rng(seed)

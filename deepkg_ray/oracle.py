@@ -677,7 +677,8 @@ SELECT source,
        CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
          CASE source
          {cases}
-         ELSE '0d' END THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         ELSE '{source_keep_pct("other") * 256 // 100:02x}' END
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source
 """

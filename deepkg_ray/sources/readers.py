@@ -116,7 +116,13 @@ def read_ck_corpus(path: str):
             "safe": pa.array(cols["safe"], pa.int64()),
         })
 
-    return rd.read_binary_files(path).map_batches(
+    # one read block per input file: read_binary_files otherwise shreds a
+    # single file into cluster-parallelism blocks, and Ray forwards the
+    # resulting EMPTY blocks downstream without calling the UDF — their
+    # 0-column schema then poisons the stream (the round-1 '32-CPU
+    # empty-block condition').
+    n_files = len(path) if isinstance(path, (list, tuple)) else 1
+    return rd.read_binary_files(path, override_num_blocks=n_files).map_batches(
         parse, batch_format="pyarrow", batch_size=None)
 
 

@@ -18,7 +18,9 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
-_PAD = 12  # row_idx zero-pad width; prefix is _PAD+1 chars incl. ':'
+_PAD = 20  # row_idx zero-pad width (> max int64 digits, so the
+           # string max is the numeric argmax at ANY scale);
+           # prefix is _PAD+1 chars incl. ':'
 
 
 def _partial(b: pa.Table) -> pa.Table:

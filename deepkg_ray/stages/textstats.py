@@ -152,22 +152,25 @@ def stratified_sample_counts(ds, id_col: str = "doc_id",
     training-data pipeline uses to reweight sources).  Returns one row per
     class: (class, n_total, n_kept).  Exact, reproducible on any
     partitioning: the mask depends only on the row id."""
-    import hashlib
-
     import pandas as pd
 
+    from deepkg_ray.functions.textnorm import md5_keep_mask
     from deepkg_ray.stages.treeagg import merge_partials
 
     def partial(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_pylist()
-        srcs = b[class_col].to_pylist()
-        kept = []
-        for i, s in zip(ids, srcs):
-            cut = source_keep_pct(s) * 256 // 100
-            first = int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
-            kept.append(1 if first < cut else 0)
-        df = pd.DataFrame({class_col: srcs, "n_total": 1, "n_kept": kept})
-        g = df.groupby(class_col, as_index=False).sum()
+        # one md5_keep_mask call per class present in the batch — the SAME
+        # sampling primitive transcript_sample and its SQL convention use
+        # (no second copy of the cut rule to keep in sync)
+        df = pd.DataFrame({class_col: b[class_col].to_pylist(),
+                           "key": [str(i) for i in b[id_col].to_pylist()]})
+        df["n_kept"] = 0
+        for src, idx in df.groupby(class_col, sort=False).groups.items():
+            mask = md5_keep_mask(df.loc[idx, "key"].tolist(),
+                                 source_keep_pct(src))
+            df.loc[idx, "n_kept"] = [int(m) for m in mask]
+        df["n_total"] = 1
+        g = (df[[class_col, "n_total", "n_kept"]]
+             .groupby(class_col, as_index=False).sum())
         return pa.Table.from_pandas(g, preserve_index=False)
 
     part = ds.select_columns([id_col, class_col]).map_batches(

@@ -43,11 +43,19 @@ def _key_part(v):
         return ("digest", hashlib.sha1(pickle.dumps(v)).hexdigest())
 
 
+_STATE_CACHE_MAX = 8
+
+
 def _cached_instance(cls, kwargs: dict):
     key = (cls, tuple((k, _key_part(v)) for k, v in sorted(kwargs.items())))
     inst = _STATE_CACHE.get(key)
     if inst is None:
         inst = cls(**kwargs)
+        # bounded FIFO: ctor kwargs can embed per-call data (query/centroid
+        # matrices), so an unbounded cache would pin every variant in every
+        # worker process for its lifetime
+        if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+            _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
         _STATE_CACHE[key] = inst
     return inst
 
