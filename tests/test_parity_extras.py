@@ -235,3 +235,36 @@ def test_bloom_no_false_negatives():
     others = [f"x{i}" for i in range(2000)]
     fp = bf.might_contain(others).mean()
     assert fp < 0.05                              # 64Kib/2k keys, k=4
+
+
+def test_spread_small_and_state_cache(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray import util
+
+    # parquet-backed small table → repartitioned up to ~2x cores
+    pa.parquet.write_table(pa.table({"x": list(range(100))}),
+                           str(tmp_path / "t.parquet"))
+    ds = rd.read_parquet(str(tmp_path / "t.parquet"))
+    out = util.spread_small(ds, target=6)
+    assert out.materialize().num_blocks() == 6
+    # in-memory datasets (unknown file backing) are left untouched
+    ds2 = rd.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    assert util.spread_small(ds2, target=6) is ds2
+
+    # bounded per-worker instance cache: FIFO eviction, digest keys for
+    # non-hashable ctor args
+    util._STATE_CACHE.clear()
+    import numpy as np
+
+    class K:
+        def __init__(self, m):
+            self.m = m
+
+    a = util._cached_instance(K, {"m": np.array([1.0])})
+    assert util._cached_instance(K, {"m": np.array([1.0])}) is a   # hit
+    for i in range(util._STATE_CACHE_MAX):
+        util._cached_instance(K, {"m": np.array([float(i + 2)])})
+    assert util._cached_instance(K, {"m": np.array([1.0])}) is not a  # evicted
+    util._STATE_CACHE.clear()
