@@ -44,13 +44,19 @@ def _load() -> int:
 
 
 def _worker(idxs) -> int:
+    import numpy as np
     from deepkg_ray import synth
     from deepkg_ray.functions.textnorm import add_text_norm
     from deepkg_ray.stages.canonical import _partial_adjacency
     from deepkg_ray.stages.relation import LinkedRelationExtractor
     ex = LinkedRelationExtractor(synth.dictionary_path(SF))
     for i in idxs:
-        out = ex(add_text_norm(BATCHES[i]))
+        b = BATCHES[i]
+        # compact-copy the slice first: kernels on contiguous buffers are
+        # ~20% faster than on sliced views, and Ray blocks ARE contiguous —
+        # without this the baseline UNDERSTATES the hardware ceiling
+        b = b.take(np.arange(b.num_rows))
+        out = ex(add_text_norm(b))
         if out.num_rows:
             _partial_adjacency(out)
     return len(idxs)
