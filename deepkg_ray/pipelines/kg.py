@@ -39,7 +39,11 @@ def transcripts_with_norm(sf_dir: str, *, repeat: int = 1):
     files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
     tc = tiny_task_cpus()
     ds = read_transcripts(files * repeat if repeat > 1 else path, num_cpus=tc)
-    return ds.map_batches(add_text_norm, batch_format="pyarrow", batch_size=8192,
+    # batch_size=None → whole read blocks pass through as single batches;
+    # mismatched batch sizes between fused stages make Ray Data re-slice
+    # and rebuild (copy) every batch boundary — measured 3-4x overhead on
+    # the hot chain at 32 CPUs vs whole-block batches
+    return ds.map_batches(add_text_norm, batch_format="pyarrow", batch_size=None,
                           **({"num_cpus": tc} if tc else {}))
 
 

@@ -120,7 +120,7 @@ def aggregate_adjacency(linked_triples_ds, mode: str = "auto",
     kw = {"num_cpus": tc} if tc else {}
     partial = linked_triples_ds.map_batches(_partial_adjacency,
                                             batch_format="pyarrow",
-                                            batch_size=65536, **kw)
+                                            batch_size=None, **kw)
     from deepkg_ray.stages.treeagg import merge_partials
     merged = merge_partials(
         partial.map_batches(lambda b: b.rename_columns(

@@ -106,7 +106,7 @@ class EventExtractor:
 
 
 def extract_events(ds, dictionary_path: str, *, concurrency=None,
-                   batch_size: int = 8192):
+                   batch_size: int | None = None):
     """Default = worker-cached task pool; explicit concurrency = actor pool
     (util.stateful_map)."""
     from deepkg_ray.util import stateful_map

@@ -190,7 +190,7 @@ class ExactLinker:
                 .append_column("obj_name", pa.array(o_names, pa.string())))
 
 
-def link_triples(ds, dictionary_path: str, *, concurrency=None, batch_size=8192):
+def link_triples(ds, dictionary_path: str, *, concurrency=None, batch_size=None):
     """Default = worker-cached task pool; explicit concurrency = actor pool
     (util.stateful_map)."""
     from deepkg_ray.util import stateful_map

@@ -108,7 +108,7 @@ class DictionaryMentionDetector:
 
 
 def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
-                    batch_size: int = 4096):
+                    batch_size: int | None = None):
     """transcripts Dataset (with text_norm) → mentions Dataset.
 
     Default execution is the worker-cached task pool (automaton compiled

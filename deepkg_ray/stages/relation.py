@@ -205,7 +205,7 @@ class RelationExtractor:
 
 
 def extract_triples(ds, dictionary_path: str, *, concurrency=None,
-                    batch_size: int = 4096):
+                    batch_size: int | None = None):
     """Default = worker-cached task pool; explicit concurrency = actor pool
     (util.stateful_map)."""
     from deepkg_ray.util import stateful_map
@@ -260,7 +260,7 @@ def extract_linked_triples(ds, dictionary_path: str, *, concurrency=None,
 
 
 def extract_linked_triples_tasks(ds, dictionary_path: str, *,
-                                 batch_size: int = 8192):
+                                 batch_size: int | None = None):
     """TASK-pool variant via the shared per-worker state cache
     (util.stateful_map): the extractor (alias map + compiled patterns) is
     built once per worker process — the same amortization an actor pool
