@@ -160,8 +160,10 @@ def entity_table(adjacency_ds):
         return pa.table(out)
     exploded = adjacency_ds.map_batches(explode, batch_format="pyarrow")
     from deepkg_ray.stages.treeagg import merge_partials
+    # fanout=1 single-barrier fast path: the adjacency is dictionary-
+    # bounded, so the exploded entity partials always fit one merge task
     return merge_partials(exploded, ["entity_id", "name", "type"],
-                          {"degree": "sum"}, fanout=2)
+                          {"degree": "sum"}, fanout=1)
 
 
 def predicate_table(adjacency_ds):
@@ -174,4 +176,4 @@ def predicate_table(adjacency_ds):
     from deepkg_ray.stages.treeagg import merge_partials
     return merge_partials(
         adjacency_ds.map_batches(partial, batch_format="pyarrow"),
-        ["pred"], {"n_edges": "sum", "n_support": "sum"}, fanout=2)
+        ["pred"], {"n_edges": "sum", "n_support": "sum"}, fanout=1)

@@ -97,6 +97,14 @@ def merge_partials(ds, key_cols: list[str], aggs: dict[str, str],
     from deepkg_ray.util import tiny_task_cpus
     tc = tiny_task_cpus()
     kw = {"num_cpus": tc} if tc else {}
+    if mode == "tree" and fanout == 1:
+        # single-barrier fast path: one repartition + one merge — for
+        # partials already known tiny (e.g. entity/predicate tables over a
+        # materialized dictionary-bounded adjacency) the two-level tree's
+        # extra repartition+merge execution is pure fixed cost
+        return (ds.repartition(1)
+                .map_batches(merge, batch_format="pandas", batch_size=None,
+                             **kw))
     mid = (ds.repartition(fanout)
            .map_batches(merge, batch_format="pandas", batch_size=None, **kw))
     if mode == "auto":
