@@ -97,9 +97,12 @@ def spread_small(ds, target: int | None = None):
     target = target or cluster_cpus() * 2
     try:
         n_files = len(ds.input_files())
+        size = ds.size_bytes() or 0
     except Exception:
         return ds
-    if 0 < n_files < target:
+    # tables under ~8 MiB aren't worth a repartition barrier — the
+    # vectorized kernels chew them in well under the barrier's cost
+    if 0 < n_files < target and size > 8 * 1024 * 1024:
         return ds.repartition(target)
     return ds
 

@@ -243,12 +243,18 @@ def test_spread_small_and_state_cache(tmp_path):
     import ray.data as rd
     from deepkg_ray import util
 
-    # parquet-backed small table → repartitioned up to ~2x cores
-    pa.parquet.write_table(pa.table({"x": list(range(100))}),
+    # parquet-backed few-file table with real bytes → repartitioned up to
+    # ~2x cores
+    pa.parquet.write_table(pa.table({"x": ["y" * 200] * 60000}),
                            str(tmp_path / "t.parquet"))
     ds = rd.read_parquet(str(tmp_path / "t.parquet"))
     out = util.spread_small(ds, target=6)
     assert out.materialize().num_blocks() == 6
+    # tiny tables are NOT worth the repartition barrier (size-gated)
+    pa.parquet.write_table(pa.table({"x": list(range(100))}),
+                           str(tmp_path / "small.parquet"))
+    tiny = rd.read_parquet(str(tmp_path / "small.parquet"))
+    assert util.spread_small(tiny, target=6) is tiny
     # in-memory datasets (unknown file backing) are left untouched
     ds2 = rd.from_pandas(pd.DataFrame({"x": [1, 2]}))
     assert util.spread_small(ds2, target=6) is ds2
