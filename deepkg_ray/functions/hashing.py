@@ -46,6 +46,94 @@ def word_shingles(text: str, k: int = 3) -> list[str]:
     return [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
 
 
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized — full-avalanche dispersion of a
+    uint64 array (public-domain constant set, Steele et al. 2014)."""
+    x = np.array(x, dtype=np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= _SPLITMIX_1
+        x ^= x >> np.uint64(27)
+        x *= _SPLITMIX_2
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def shingle_hashes_batch(texts: list[str], k: int = 3
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc k-word-shingle hashes WITHOUT materializing shingle strings:
+    hash each word once (vectorized siphash), then combine the k hashes of
+    each window with positionally-salted multiply-xor and a splitmix64
+    finish.  Equal word sequences hash equal; the O(words·k) string joins
+    of the naive path (the minhash hot-path cost) disappear.
+
+    Returns (flat, counts): flat = concatenated shingle hashes doc by doc,
+    counts[i] = number of shingles of texts[i] (0 for empty docs; 1 for
+    docs shorter than k words, hashing the whole word sequence)."""
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    words_lists = [t.split() for t in texts]
+    wlens = np.fromiter((len(w) for w in words_lists), dtype=np.int64, count=n)
+    flat_words = [w for wl in words_lists for w in wl]
+    if not flat_words:
+        return np.empty(0, dtype=np.uint64), counts
+    hw = stable_hash64_batch(flat_words)
+    np.copyto(counts, np.where(wlens >= k, wlens - k + 1,
+                               (wlens > 0).astype(np.int64)))
+    woff = np.zeros(n, dtype=np.int64)
+    np.cumsum(wlens[:-1], out=woff[1:])
+
+    # window starts for the full-window docs, one flat index array
+    full = wlens >= k
+    n_win = np.where(full, wlens - k + 1, 0)
+    total = int(n_win.sum())
+    salts = mix64(_GOLDEN * np.arange(1, k + 1, dtype=np.uint64))
+    out_full = np.empty(0, dtype=np.uint64)
+    if total:
+        reps = n_win[full]
+        base = np.repeat(woff[full], reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        idx = base + within
+        acc = np.zeros(total, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                acc ^= hw[idx + j] * salts[j]
+        out_full = mix64(acc)
+
+    short = (wlens > 0) & ~full
+    if not short.any():
+        return out_full, counts
+    # rare tail: docs with 1..k-1 words hash their whole word sequence
+    short_hashes = np.empty(int(short.sum()), dtype=np.uint64)
+    for si, di in enumerate(np.flatnonzero(short)):
+        seg = hw[woff[di]:woff[di] + wlens[di]]
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for j in range(len(seg)):
+                acc ^= seg[j] * salts[j]
+        short_hashes[si] = mix64(acc[None])[0]
+    # interleave full-window and short-doc shingles back into doc order
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    soff = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1], out=soff[1:])
+    if total:
+        reps = n_win[full]
+        base = np.repeat(soff[full], reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        out[base + within] = out_full
+    out[soff[short]] = short_hashes
+    return out, counts
+
+
 class MinHasher:
     """n_perm MinHash over shingle sets; mergeable and deterministic.
 
@@ -64,41 +152,68 @@ class MinHasher:
         return self.signatures([text])[0]
 
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """Vectorized batch path: flatten all shingle hashes, one
-        (n_perm × total_shingles) multiply-add, then per-doc segment minima
-        via np.minimum.reduceat."""
+        """Vectorized batch path: flatten all shingle hashes (string-free,
+        shingle_hashes_batch), one (n_perm × total_shingles) multiply-add,
+        then per-doc segment minima via np.minimum.reduceat."""
         if not texts:
             return np.empty((0, self.n_perm), dtype=np.uint64)
-        shingle_lists = [word_shingles(t, self.shingle_k) for t in texts]
-        lens = np.fromiter((len(s) for s in shingle_lists), dtype=np.int64,
-                           count=len(texts))
-        flat = [s for sl in shingle_lists for s in sl]
+        base, lens = shingle_hashes_batch(texts, self.shingle_k)
         out = np.full((len(texts), self.n_perm), _MAX64, dtype=np.uint64)
-        if not flat:
+        if not len(base):
             return out
-        base = stable_hash64_batch(flat)                       # [total]
-        with np.errstate(over="ignore"):
-            vals = self.a[:, None] * base[None, :] + self.b[:, None]
         offsets = np.zeros(len(texts), dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
-        nonempty = lens > 0
-        # reduceat needs strictly valid segment starts; compute on the
-        # non-empty segments and scatter back
-        ne_off = offsets[nonempty]
-        mins = np.minimum.reduceat(vals, ne_off, axis=1)       # [n_perm, n_ne]
-        out[nonempty] = mins.T
+        # chunk over doc ranges so the (n_perm × shingles) working matrix
+        # stays ≤ ~256 MiB even for whole-block batches of large docs
+        chunk = max(1 << 19, int(lens.max()))
+        d0 = 0
+        while d0 < len(texts):
+            d1 = d0
+            tot = 0
+            while d1 < len(texts) and (tot + lens[d1] <= chunk or d1 == d0):
+                tot += int(lens[d1])
+                d1 += 1
+            if tot:
+                s0 = int(offsets[d0])
+                seg = base[s0:s0 + tot]
+                # per-row contiguous multiply-add: the broadcast outer form
+                # (a[:,None]*base[None,:]) routes numpy through a stride-0
+                # inner loop that can be 10-80× slower for uint64
+                vals = np.empty((self.n_perm, tot), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    for i in range(self.n_perm):
+                        np.multiply(seg, self.a[i], out=vals[i])
+                        vals[i] += self.b[i]
+                sub_lens = lens[d0:d1]
+                nonempty = sub_lens > 0
+                ne_off = (offsets[d0:d1] - s0)[nonempty]
+                # reduceat needs strictly valid segment starts; compute on
+                # the non-empty segments and scatter back
+                mins = np.minimum.reduceat(vals, ne_off, axis=1)
+                out[d0:d1][nonempty] = mins.T
+            d0 = d1
         return out
+
+
+def band_hashes_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """Vectorized band hashing for a whole batch: sigs is (n, n_perm);
+    returns (n, n_bands) uint64.  Each band's `rows` signature values are
+    folded with a golden-ratio multiply + splitmix64 finish — one numpy
+    pass replacing n·n_bands per-doc blake2b calls (the round-1 cost)."""
+    n, n_perm = sigs.shape
+    rows = n_perm // n_bands
+    v = sigs[:, :rows * n_bands].reshape(n, n_bands, rows)
+    acc = np.zeros((n, n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows):
+            acc = acc * _GOLDEN ^ mix64(v[:, :, j])
+    return mix64(acc)
 
 
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     """Split a signature into bands and hash each band (LSH bucketing)."""
-    rows = len(sig) // n_bands
-    out = []
-    for b in range(n_bands):
-        band = sig[b * rows:(b + 1) * rows]
-        h = hashlib.blake2b(band.tobytes(), digest_size=8).digest()
-        out.append(int.from_bytes(h, "big"))
-    return out
+    return band_hashes_matrix(np.asarray(sig, dtype=np.uint64)[None, :],
+                              n_bands)[0].tolist()
 
 
 class SimHasher:

@@ -89,9 +89,14 @@ class MinHashSignature:
         self.keep_signature = keep_signature
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import band_hashes_matrix
         sigs = self.mh.signatures(batch[self.text_col].to_pylist())
-        bands = [band_hashes(s, self.n_bands) for s in sigs]
-        out = batch.append_column("bands", pa.array(bands, pa.list_(pa.uint64())))
+        bm = band_hashes_matrix(sigs, self.n_bands)          # (n, n_bands)
+        bands = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(bm) + 1) * self.n_bands, self.n_bands),
+                     pa.int32()),
+            pa.array(bm.reshape(-1), pa.uint64()))
+        out = batch.append_column("bands", bands)
         if self.keep_signature:
             out = out.append_column(
                 "minhash", pa.array([s.tolist() for s in sigs],
@@ -103,23 +108,27 @@ def _explode_bands(batch: pa.Table, id_col: str,
                    n_partitions: int = 64) -> pa.Table:
     """(doc_id, band_idx, band_hash, bucket) rows — ~28 bytes each; this is
     ALL that moves through the LSH shuffle."""
-    ids = batch[id_col].to_pylist()
-    bands = batch["bands"].to_pylist()
-    out_id, out_b, out_h, out_p = [], [], [], []
-    for i, bl in zip(ids, bands):
-        for bi, bh in enumerate(bl):
-            out_id.append(i)
-            out_b.append(bi)
-            out_h.append(bh)
-            out_p.append(bh % n_partitions)
+    bands = batch["bands"]
+    if isinstance(bands, pa.ChunkedArray):
+        bands = bands.combine_chunks()
+    lens = pc.list_value_length(bands).to_numpy(zero_copy_only=False)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False),
+                    lens.astype(np.int64))
+    flat = bands.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    total = len(flat)
+    # band_idx restarts at 0 per doc (bands are fixed-length per doc)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    band_idx = (np.arange(total, dtype=np.int64)
+                - np.repeat(starts, lens.astype(np.int64))).astype(np.int32)
     return pa.table({
-        id_col: pa.array(out_id, pa.int64()),
-        "band_idx": pa.array(out_b, pa.int32()),
-        "band_hash": pa.array(out_h, pa.uint64()),
+        id_col: pa.array(ids, pa.int64()),
+        "band_idx": pa.array(band_idx, pa.int32()),
+        "band_hash": pa.array(flat, pa.uint64()),
         # coarse co-location key: shuffling into ~n_partitions groups costs
         # the same as per-bucket groups but avoids the per-group scheduling
         # overhead of millions of tiny LSH buckets
-        "bucket": pa.array(out_p, pa.int32()),
+        "bucket": pa.array((flat % np.uint64(n_partitions)).astype(np.int32)),
     })
 
 
@@ -151,19 +160,20 @@ def dedup_pair_rows(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
             .groupby("_pb").map_groups(per_bucket, batch_format="pandas"))
 
 
-def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                            n_perm: int = 64, n_bands: int = 16,
-                            shingle_k: int = 3, concurrency=None):
-    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands_hit).
-    Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
-    from several bands is canonicalized to one row by the final groupby
-    (whose Count doubles as the band-collision strength signal)."""
+def minhash_raw_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      n_perm: int = 64, n_bands: int = 16,
+                      shingle_k: int = 3, concurrency=None):
+    """documents → RAW in-bucket candidate rows (doc_a < doc_b), one row per
+    band collision — a pair colliding in several bands appears once per
+    band.  One all-to-all (the band-bucket groupby); callers canonicalize
+    (dedup_pair_rows distributed, or driver-side pandas when the candidate
+    set is observed small)."""
     from deepkg_ray.util import spread_small, stateful_map
     sigged = stateful_map(
         spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
         {"n_perm": n_perm, "n_bands": n_bands,
          "shingle_k": shingle_k, "text_col": text_col},
-        concurrency=concurrency, batch_size=4096)
+        concurrency=concurrency, batch_size=None)
     exploded = sigged.map_batches(lambda b: _explode_bands(b, id_col),
                                   batch_format="pyarrow")
 
@@ -181,8 +191,19 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({"doc_a": np.asarray(ra, np.int64),
                              "doc_b": np.asarray(rb, np.int64)})
 
-    pairs = (exploded.groupby("bucket")
-             .map_groups(partition_pairs, batch_format="pandas"))
+    return (exploded.groupby("bucket")
+            .map_groups(partition_pairs, batch_format="pandas"))
+
+
+def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                            n_perm: int = 64, n_bands: int = 16,
+                            shingle_k: int = 3, concurrency=None):
+    """documents → candidate near-dup pairs (doc_a < doc_b, n_bands_hit).
+    Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
+    from several bands is canonicalized to one row by the final groupby
+    (whose Count doubles as the band-collision strength signal)."""
+    pairs = minhash_raw_pairs(ds, id_col, text_col, n_perm, n_bands,
+                              shingle_k, concurrency)
     return dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
                            count_col="n_bands_hit")
 
@@ -236,9 +257,12 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
     and broadcast that bounded dict via ray.put (two Dataset.joins cost
     ~17 s of aggregator-actor boot for a 256-pair verify); many pairs use
     the hash-partitioned joins (the 100-TB path — never a full-corpus dict,
-    the broadcast dict is bounded by 2×broadcast_limit texts)."""
-    cand = minhash_candidate_pairs(ds, id_col, text_col, n_perm, n_bands,
-                                   shingle_k, concurrency).materialize()
+    the broadcast dict is bounded by 2×broadcast_limit texts).  The small
+    path also canonicalizes the raw band-collision rows driver-side (one
+    pandas groupby over ≤ broadcast_limit rows) instead of paying the
+    distributed dedup_pair_rows barrier; the join path keeps it."""
+    raw = minhash_raw_pairs(ds, id_col, text_col, n_perm, n_bands,
+                            shingle_k, concurrency).materialize()
     if docs_path is not None:
         import ray.data as rd
         docs = rd.read_parquet(docs_path, columns=[id_col, text_col])
@@ -246,9 +270,13 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
         docs = ds
     thr, k = threshold, shingle_k
 
-    if cand.count() <= broadcast_limit:
+    if raw.count() <= broadcast_limit:
         import ray
-        pairs_df = cand.to_pandas()
+        import ray.data as rd
+        raw_df = raw.to_pandas()
+        pairs_df = (raw_df.groupby(["doc_a", "doc_b"], sort=False).size()
+                    .reset_index(name="n_bands_hit"))
+        cand = rd.from_pandas(pairs_df)
         need = set(pairs_df["doc_a"]) | set(pairs_df["doc_b"])
         need_ref = ray.put(need)
 
@@ -272,6 +300,8 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
 
         return cand.map_batches(verify_bc, batch_format="pyarrow")
 
+    cand = dedup_pair_rows(raw, a_col="doc_a", b_col="doc_b",
+                           count_col="n_bands_hit")
     withtext = attach_pair_texts(cand, docs, id_col=id_col, text_col=text_col,
                                  num_partitions=num_partitions)
     ta, tb = f"{text_col}_a", f"{text_col}_b"
@@ -303,7 +333,7 @@ def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=None):
     return stateful_map(spread_small(ds.select_columns([id_col, text_col])),
                         SimHashStage,
                         {"text_col": text_col}, concurrency=concurrency,
-                        batch_size=4096)
+                        batch_size=None)
 
 
 def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
@@ -450,7 +480,7 @@ def embedding_lsh_near_pairs(ds, *, threshold: float = 0.45, dim: int,
                           {"dim": dim, "n_bits": n_bits,
                            "n_tables": n_tables, "seed": seed,
                            "id_col": id_col, "vec_col": vec_col},
-                          concurrency=None, batch_size=4096)
+                          concurrency=None, batch_size=None)
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         ra, rb = [], []

@@ -75,7 +75,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
         ds.select_columns([id_col, vec_col]), BruteForceTopK,
         {"queries": queries, "query_ids": query_ids,
          "k": k, "id_col": id_col, "vec_col": vec_col},
-        concurrency=concurrency, batch_size=4096)
+        concurrency=concurrency, batch_size=None)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
@@ -150,7 +150,7 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
     from deepkg_ray.util import stateful_map
     assigned = stateful_map(ds.select_columns([id_col, vec_col]), IVFAssign,
                             {"centroids": c, "vec_col": vec_col},
-                            concurrency=concurrency, batch_size=4096)
+                            concurrency=concurrency, batch_size=None)
 
     qids = np.asarray(query_ids, dtype=np.int64)
 

@@ -129,7 +129,7 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
     from deepkg_ray.util import stateful_map
     return stateful_map(ds.select_columns([id_col, text_col]),
                         FingerprintStage, {"text_col": text_col},
-                        concurrency=concurrency, batch_size=4096)
+                        concurrency=concurrency, batch_size=None)
 
 
 # ------------------------------------------------- corpus prep additions ----
