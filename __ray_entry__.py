@@ -480,6 +480,41 @@ def _q_ngram_jaccard(sf_dir: str):
                                max_id=200, threshold=0.05)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Connected components over the exact-Jaccard pair graph — the cluster
+    step that turns near-dup PAIRS into 'one survivor per duplicate group'
+    (stages/graph.py; adaptive driver union-find / distributed min-label
+    propagation)."""
+    from deepkg_ray.stages.dedup import ngram_jaccard_pairs
+    from deepkg_ray.stages.graph import connected_components
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                max_id=200, threshold=0.05)
+    return connected_components(pairs)
+
+
+def _q_dedup_cluster_sizes(sf_dir: str):
+    from deepkg_ray.stages.dedup import ngram_jaccard_pairs
+    from deepkg_ray.stages.graph import (connected_components,
+                                         dedup_cluster_stats)
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                max_id=200, threshold=0.05)
+    return dedup_cluster_stats(connected_components(pairs))
+
+
+def _q_kg_degrees(sf_dir: str):
+    """Undirected distinct-neighbor degree per entity over the built KG."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import node_degrees
+    return node_degrees(kg.adjacency_dataset(sf_dir))
+
+
+def _q_kg_triangles(sf_dir: str):
+    """Global triangle count over the simple undirected KG graph."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import triangle_count
+    return triangle_count(kg.adjacency_dataset(sf_dir))
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the latest order of the same
     customer at-or-before its timestamp (per-key sorted merge inside
@@ -650,6 +685,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_clusters": _q_dedup_clusters,
+        "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        # graph analytics over the built KG
+        "kg_degrees": _q_kg_degrees,
+        "kg_triangles": _q_kg_triangles,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -714,6 +754,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
+        "dedup_clusters": oracle.dedup_clusters_oracle(),
+        "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
+        "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
+        "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),

@@ -719,3 +719,116 @@ SELECT doc_id,
          AS rep_ratio
 FROM g
 """
+
+
+def _jaccard_pairs_cte(max_id: int = 200, threshold: float = 0.05,
+                       k: int = 3) -> str:
+    """The ngram_jaccard_pairs_oracle body as a reusable CTE block ending in
+    `jpairs(doc_a, doc_b)` — the SQL-reproducible edge source the graph
+    oracles build on."""
+    return f"""d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE doc_id < {max_id} AND trim(text) <> ''
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM d, LATERAL (SELECT unnest(generate_series(1, len(ws)-{k-1})) AS i) g
+  WHERE len(ws) >= {k}
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(ws, ' ') AS shingle
+  FROM d WHERE len(ws) < {k}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), jpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
+)"""
+
+
+def dedup_clusters_oracle(max_id: int = 200, threshold: float = 0.05) -> str:
+    """Connected components over the exact-Jaccard pair graph via a
+    recursive transitive-closure CTE (UNION dedups, so it terminates);
+    component = min reachable node id."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_cte(max_id, threshold)},
+edges2 AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges2
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+)
+SELECT u AS node, least(u, min(v)) AS component
+FROM reach GROUP BY u
+"""
+
+
+def dedup_cluster_sizes_oracle(max_id: int = 200,
+                               threshold: float = 0.05) -> str:
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_cte(max_id, threshold)},
+edges2 AS (
+  SELECT doc_a AS u, doc_b AS v FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges2
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM reach GROUP BY u
+)
+SELECT component, CAST(count(*) AS BIGINT) AS n_members
+FROM cc GROUP BY component
+"""
+
+
+def kg_degrees_oracle(sf_dir: str) -> str:
+    """Undirected distinct-neighbor degree over the KG edge list (the same
+    triples CTE the adjacency oracle builds)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (SELECT DISTINCT subj_id, obj_id FROM triples),
+bidir AS (
+  SELECT subj_id AS node, obj_id AS peer FROM adj
+  UNION
+  SELECT obj_id, subj_id FROM adj
+)
+SELECT node, CAST(count(DISTINCT peer) AS BIGINT) AS degree
+FROM bidir GROUP BY node
+"""
+
+
+def kg_triangles_oracle(sf_dir: str) -> str:
+    """Triangle count over the simple undirected KG graph: degree-ordered
+    orientation (lo < hi), wedge + closing-edge join — each triangle
+    counted exactly once."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+simple AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo,
+         greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM simple e1
+JOIN simple e2 ON e2.lo = e1.lo AND e1.hi < e2.hi
+JOIN simple e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+"""

@@ -1,0 +1,226 @@
+"""Graph operators over edge tables: connected components (the cluster step
+that completes the near-dup family — after LSH pair generation you still
+need "which docs form one duplicate group, who survives"), degree stats and
+triangle counting over the built KG adjacency.
+
+Reference parity: the reference has no graph algorithms — its KG build stops
+at the edge list (DeepKG KnowledgeExtraction writes triples; see
+pipelines/kg.py docstring for the file:line map).  These operators are the
+round-brief "beyond the reference" additions a 100-TB dedup / KG pipeline
+needs downstream of the edges.
+
+Scale notes
+-----------
+- connected_components is ADAPTIVE like minhash verify: near-dup pair sets
+  are tiny relative to the corpus (per-mille of docs), so up to
+  `driver_limit` pair rows a driver-side union-find is exact and cheap;
+  beyond it, a join-free min-label propagation runs distributed — each
+  round is two groupby shuffles (labels ∪ bidirected edges keyed by node;
+  per-group forward the node's current label along its edges; then a
+  per-node min).  Rounds = graph diameter, which for duplicate clusters is
+  small; the convergence probe is a single Sum aggregate (labels only ever
+  decrease, so an unchanged sum IS the fixpoint).
+- degrees / triangles shuffle by vertex id; triangle counting uses the
+  standard degree-ordered orientation so each triangle is counted once and
+  hub vertices don't explode the join fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min, Sum
+
+
+# ------------------------------------------------------ driver union-find ---
+
+def union_find_components(pairs_df: pd.DataFrame, a_col: str = "doc_a",
+                          b_col: str = "doc_b") -> pd.DataFrame:
+    """Exact union-find over a bounded pair table (driver-side tier).
+    Returns (node, component) for every node appearing in a pair, where
+    component = min node id of the connected component."""
+    a = pairs_df[a_col].to_numpy(dtype=np.int64)
+    b = pairs_df[b_col].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a, b):
+        ru, rv = find(idx[int(u)]), find(idx[int(v)])
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)   # min-root union
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    # nodes[] ascending ⇒ min root index = min node id of the component
+    return pd.DataFrame({"node": nodes, "component": nodes[roots]})
+
+
+# ------------------------------------------- distributed label propagation --
+
+def label_propagation_components(pairs, a_col: str = "doc_a",
+                                 b_col: str = "doc_b",
+                                 max_rounds: int = 50):
+    """Distributed min-label propagation, join-free: each round unions the
+    current (node, lbl) table with the bidirected edge list keyed by node,
+    groups by node to forward the node's label along its edges, then takes
+    a per-node min.  Two groupby shuffles per round, O(diameter) rounds.
+    Returns a Dataset (node, component)."""
+    import ray.data  # noqa: F401  (Dataset ops on `pairs`)
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64()),
+        })
+
+    edges = pairs.map_batches(bidirect, batch_format="pyarrow").materialize()
+
+    # initial labels: own id
+    labels = (edges.groupby("node").aggregate(Min("peer", alias_name="lbl"))
+              .map_batches(lambda t: pa.table({
+                  "node": t["node"],
+                  "lbl": pa.array(np.minimum(
+                      t["node"].to_numpy(zero_copy_only=False),
+                      t["lbl"].to_numpy(zero_copy_only=False)), pa.int64())}),
+                  batch_format="pyarrow")
+              .materialize())
+
+    def lbl_sum(ds) -> int:
+        return ds.aggregate(Sum("lbl", alias_name="s"))["s"]
+
+    prev = lbl_sum(labels)
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda t: pa.table({"node": t["node"], "peer": t["lbl"],
+                                "is_edge": pa.array(
+                                    np.zeros(t.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        edge_rows = edges.map_batches(
+            lambda t: pa.table({"node": t["node"], "peer": t["peer"],
+                                "is_edge": pa.array(
+                                    np.ones(t.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def forward(g: pd.DataFrame) -> pd.DataFrame:
+            lbl = int(g.loc[~g["is_edge"], "peer"].min())
+            dst = g.loc[g["is_edge"], "peer"].to_numpy(dtype=np.int64)
+            node = int(g["node"].iloc[0])
+            return pd.DataFrame({
+                "node": np.concatenate([dst, [node]]),
+                "lbl": np.full(len(dst) + 1, lbl, dtype=np.int64)})
+
+        labels = (lab_rows.union(edge_rows)
+                  .groupby("node").map_groups(forward, batch_format="pandas")
+                  .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+                  .materialize())
+        cur = lbl_sum(labels)
+        if cur == prev:       # labels only decrease ⇒ fixpoint
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["lbl"]}),
+        batch_format="pyarrow")
+
+
+def connected_components(pairs, a_col: str = "doc_a", b_col: str = "doc_b",
+                         mode: str = "auto", driver_limit: int = 1_000_000):
+    """(node, component) for every node in the pair table; component = min
+    reachable node id.  mode='auto' routes by observed pair count (see
+    module docstring); 'driver' / 'distributed' force a tier."""
+    if mode == "distributed":
+        return label_propagation_components(pairs, a_col, b_col)
+    pairs = pairs.materialize()
+    if mode == "auto" and pairs.count() > driver_limit:
+        return label_propagation_components(pairs, a_col, b_col)
+    import ray.data as rd
+    df = pairs.to_pandas()
+    if not len(df):
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype=np.int64),
+            "component": pd.Series([], dtype=np.int64)}))
+    return rd.from_pandas(union_find_components(df, a_col, b_col))
+
+
+def dedup_cluster_stats(components):
+    """(component, n_members) per duplicate cluster — the 'keep one per
+    cluster' accounting table (survivor = the component id itself, the min
+    node)."""
+    return components.groupby("component").aggregate(
+        Count(alias_name="n_members"))
+
+
+# ---------------------------------------------------------- KG graph stats --
+
+def node_degrees(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
+    """Undirected degree per node over a (possibly multi-) edge table:
+    distinct-neighbor degree, shuffled by vertex id."""
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def distinct_peers(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": [int(g["node"].iloc[0])],
+            "degree": [int(g["peer"].nunique())]})
+
+    return (edges.map_batches(bidirect, batch_format="pyarrow")
+            .groupby("node").map_groups(distinct_peers, batch_format="pandas"))
+
+
+def triangle_count(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                   num_partitions: int | None = None):
+    """Global triangle count over the undirected simple graph induced by the
+    edge table.  Orientation: each undirected edge kept once as (lo, hi);
+    wedges built per lo-vertex inside a groupby (adjacency lists co-located
+    by vertex), then a hash join probes whether each wedge's closing edge
+    exists.  Returns a 1-row Dataset {n_triangles}."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v                       # drop self-loops
+        u, v = u[keep], v[keep]
+        return pa.table({"lo": pa.array(np.minimum(u, v), pa.int64()),
+                         "hi": pa.array(np.maximum(u, v), pa.int64())})
+
+    simple = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def wedges(g: pa.Table) -> pa.Table:
+        # explicit-schema Arrow output: empty pandas blocks drop their
+        # schema and break the downstream hash join's key resolution
+        hi = np.sort(g["hi"].to_numpy(zero_copy_only=False))
+        if len(hi) < 2:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(hi), k=1)
+        return pa.table({"lo": pa.array(hi[ai], pa.int64()),
+                         "hi": pa.array(hi[bi], pa.int64())})
+
+    wedge_ds = simple.groupby("lo").map_groups(
+        wedges, batch_format="pyarrow").materialize()
+    import ray.data as rd
+    if wedge_ds.count() == 0:      # all-empty left side breaks the hash join
+        return rd.from_items([{"n_triangles": 0}])
+    closed = wedge_ds.join(simple, join_type="inner",
+                           num_partitions=num_partitions, on=("lo", "hi"))
+    return rd.from_items([{"n_triangles": closed.count()}])

@@ -1,0 +1,83 @@
+"""Graph operators: connected components (driver vs distributed parity),
+dedup cluster stats, degrees, triangle counting."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from deepkg_ray.stages import graph
+
+
+def _pairs_ds(edges):
+    df = pd.DataFrame({"doc_a": np.array([e[0] for e in edges], np.int64),
+                       "doc_b": np.array([e[1] for e in edges], np.int64)})
+    return rd.from_pandas(df), df
+
+
+def test_union_find_known_components():
+    # {1,2,3} via chain, {10,11}, and a cycle {20,21,22}
+    _, df = _pairs_ds([(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)])
+    out = graph.union_find_components(df).set_index("node")["component"]
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                             20: 20, 21: 20, 22: 20}
+
+
+def test_distributed_matches_driver_on_random_graph():
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 60, (80, 2))
+             if a != b]
+    ds, df = _pairs_ds(edges)
+    want = (graph.union_find_components(df)
+            .sort_values("node").reset_index(drop=True))
+    got = (graph.connected_components(ds, mode="distributed").to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["node", "component"]],
+                                  want[["node", "component"]],
+                                  check_dtype=False)
+
+
+def test_connected_components_auto_small_and_empty():
+    ds, df = _pairs_ds([(5, 9), (9, 7)])
+    out = graph.connected_components(ds).to_pandas().set_index("node")
+    assert out["component"].to_dict() == {5: 5, 9: 5, 7: 5}
+    empty = rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([], dtype=np.int64),
+        "doc_b": pd.Series([], dtype=np.int64)}))
+    assert graph.connected_components(empty).count() == 0
+
+
+def test_cluster_stats():
+    ds, _ = _pairs_ds([(1, 2), (2, 3), (10, 11)])
+    cc = graph.connected_components(ds)
+    stats = (graph.dedup_cluster_stats(cc).to_pandas()
+             .set_index("component")["n_members"].to_dict())
+    assert stats == {1: 3, 10: 2}
+
+
+def _edges_ds(edges):
+    return rd.from_pandas(pd.DataFrame({
+        "subj_id": np.array([e[0] for e in edges], np.int64),
+        "obj_id": np.array([e[1] for e in edges], np.int64)}))
+
+
+def test_node_degrees_distinct_and_bidirectional():
+    # multi-edge 1->2 twice, and both directions 2->3 / 3->2: degree is
+    # distinct-neighbor, direction-free
+    ds = _edges_ds([(1, 2), (1, 2), (2, 3), (3, 2)])
+    deg = (graph.node_degrees(ds).to_pandas()
+           .set_index("node")["degree"].to_dict())
+    assert deg == {1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_count_known_graphs():
+    # triangle + pendant edge = 1 triangle
+    ds = _edges_ds([(1, 2), (2, 3), (3, 1), (3, 4)])
+    assert graph.triangle_count(ds).to_pandas()["n_triangles"][0] == 1
+    # K4 = 4 triangles, with duplicate/reversed/self-loop noise
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(1, 0), (2, 2), (0, 1)]
+    assert graph.triangle_count(_edges_ds(noisy)).to_pandas(
+        )["n_triangles"][0] == 4
+    # no triangle in a path
+    path = _edges_ds([(1, 2), (2, 3), (3, 4)])
+    assert graph.triangle_count(path).to_pandas()["n_triangles"][0] == 0
