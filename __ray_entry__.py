@@ -515,6 +515,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_count(kg.adjacency_dataset(sf_dir))
 
 
+_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_token_quantiles(sf_dir: str):
+    """Exact discrete quantiles of per-doc token counts via the distributed
+    value-count histogram (stages/quantiles.py — shuffle bounded by
+    DISTINCT counts, not rows)."""
+    from deepkg_ray.stages.quantiles import token_count_quantiles
+    return token_count_quantiles(_docs(sf_dir, ["doc_id", "text"]),
+                                 _QUANTILES)
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the latest order of the same
     customer at-or-before its timestamp (per-key sorted merge inside
@@ -685,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
+        "token_quantiles": _q_token_quantiles,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         # graph analytics over the built KG
@@ -754,6 +767,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
+        "token_quantiles": oracle.token_quantiles_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),

@@ -832,3 +832,20 @@ FROM simple e1
 JOIN simple e2 ON e2.lo = e1.lo AND e1.hi < e2.hi
 JOIN simple e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
 """
+
+
+def token_quantiles_oracle(qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Exact discrete quantiles of per-doc token counts — quantile_disc on
+    the doc_stats n_tokens convention."""
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(quantile_disc(n_tokens, {q}) AS BIGINT) AS value FROM base"
+        for q in qs)
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+{rows}
+"""

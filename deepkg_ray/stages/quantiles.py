@@ -1,0 +1,78 @@
+"""Exact distributed quantiles over integer-valued metric columns via the
+value-count histogram method: per-batch partial counts (vectorized
+np.unique) → one small groupby-Sum shuffle over the DISTINCT values →
+driver-side cumulative pick.
+
+Scale note: the shuffle and driver step are bounded by the number of
+DISTINCT values, not rows — the right shape for discrete metrics (token
+counts, degrees, duplicate counts) whose value space is thousands while the
+row count is billions.  For continuous/unbounded columns use a sort-based
+or sketch method instead (documented trade-off; out of scope here since
+every quantile target in this engine is a discrete count).
+
+Quantile definition matches DuckDB's quantile_disc: the element at
+idx = max(0, ceil(q·n) − 1) of the sorted multiset — computed in integer
+arithmetic from micro-units of q so engine and SQL agree bitwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def value_counts(ds, col: str):
+    """Distributed histogram: (value, n) with one row per distinct value.
+    Per-batch partials keep the shuffle at distinct-value size."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64), pa.int64()),
+                         "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    return (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("value").aggregate(Sum("n", alias_name="n")))
+
+
+def quantiles_disc(ds, col: str, qs: list[float]):
+    """Exact discrete quantiles of an integer column.  Returns a Dataset
+    (q float64, value int64) with one row per requested quantile."""
+    hist = value_counts(ds, col).to_pandas().sort_values("value")
+    values = hist["value"].to_numpy(dtype=np.int64)
+    cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        idx = max(0, -(-(q_micros * n) // 1_000_000) - 1)   # ceil(q·n)−1
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        out_q.append(q)
+        out_v.append(int(values[min(pos, len(values) - 1)]))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.int64())}))
+
+
+def add_token_count(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "n_tokens") -> pa.Table:
+    """Whitespace token count per row — the doc_stats n_tokens convention
+    (trim, then split on runs of whitespace; empty/blank text → 0)."""
+    import re
+    ws = re.compile(r"\s+")
+    texts = batch[text_col].to_pylist()
+    counts = np.fromiter(
+        (len(ws.split(t.strip())) if t.strip() else 0 for t in texts),
+        dtype=np.int64, count=len(texts))
+    return batch.append_column(out_col, pa.array(counts, pa.int64()))
+
+
+def token_count_quantiles(ds, qs: list[float], text_col: str = "text"):
+    counted = ds.map_batches(
+        lambda b: add_token_count(b, text_col), batch_format="pyarrow")
+    return quantiles_disc(counted, "n_tokens", qs)

@@ -1,0 +1,41 @@
+"""Exact distributed quantiles: histogram method vs DuckDB quantile_disc."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from deepkg_ray.stages.quantiles import (add_token_count, quantiles_disc,
+                                         value_counts)
+
+
+def test_value_counts_match_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 40, 5000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"v": x}))
+    got = (value_counts(ds, "v").to_pandas()
+           .sort_values("value").reset_index(drop=True))
+    vals, cnts = np.unique(x, return_counts=True)
+    assert (got["value"].to_numpy() == vals).all()
+    assert (got["n"].to_numpy() == cnts).all()
+
+
+def test_quantiles_match_duckdb_on_random_ints():
+    rng = np.random.default_rng(9)
+    for n in (1, 7, 1000, 4096):
+        x = rng.integers(0, 300, n).astype(np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"v": x}))
+        qs = [0.0, 0.1, 0.25, 0.5, 0.7, 0.75, 0.9, 0.99, 1.0]
+        got = quantiles_disc(ds, "v", qs).to_pandas()
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"v": x}))
+        for q, v in zip(got["q"], got["value"]):
+            want = con.sql(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            assert v == want, (n, q, v, want)
+
+
+def test_add_token_count_blank_and_whitespace():
+    import pyarrow as pa
+    b = pa.table({"text": ["a b  c", "", "   ", "single"]})
+    out = add_token_count(b)["n_tokens"].to_pylist()
+    assert out == [3, 0, 0, 1]
