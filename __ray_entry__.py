@@ -508,6 +508,14 @@ def _q_kg_degrees(sf_dir: str):
     return node_degrees(kg.adjacency_dataset(sf_dir))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Fixed-iteration integer-scaled PageRank over the built KG (join-free
+    scatter/fold rounds; bitwise-identical to the unrolled-CTE oracle)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import pagerank_scaled
+    return pagerank_scaled(kg.adjacency_dataset(sf_dir), n_iters=5)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the simple undirected KG graph."""
     from deepkg_ray.pipelines import kg
@@ -703,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
         "kg_triangles": _q_kg_triangles,
+        "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -772,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
+        "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),

@@ -849,3 +849,43 @@ WITH base AS (
 )
 {rows}
 """
+
+
+def kg_pagerank_oracle(sf_dir: str, n_iters: int = 5,
+                       damping_pct: int = 85) -> str:
+    """Fixed-iteration integer-scaled PageRank, unrolled one CTE per
+    iteration (recursive CTEs can't aggregate in the recursive term) —
+    mirrors stages/graph.py pagerank_scaled op for op: BIGINT floor
+    division (//) everywhere, dangling mass dropped."""
+    scale, dp = 10**12, damping_pct
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""pr{i} AS (
+  SELECT nd.node,
+         (SELECT ({100 - dp} * {scale}) // (100 * n) FROM params)
+         + ({dp} * COALESCE(t.total, 0)) // 100 AS pm
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.pm // o.c) AS total
+    FROM {prev} p JOIN dedges e ON e.s = p.node
+    JOIN outdeg o ON o.s = p.node
+    GROUP BY e.d
+  ) t ON t.node = nd.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+params AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT s, count(*) AS c FROM dedges GROUP BY s),
+pr0 AS (SELECT node, (SELECT {scale} // n FROM params) AS pm FROM nodes),
+{chain}
+SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
+"""

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Min, Sum
 
@@ -159,6 +160,115 @@ def dedup_cluster_stats(components):
     node)."""
     return components.groupby("component").aggregate(
         Count(alias_name="n_members"))
+
+
+# ------------------------------------------------------------- pagerank -----
+
+PR_SCALE = 10**12
+
+
+def pagerank_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                    n_iters: int = 5, damping_pct: int = 85):
+    """Fixed-iteration PageRank over the simple directed graph (self-loops
+    dropped, parallel edges deduped), ALL arithmetic in int64 units of
+    1/PR_SCALE so the engine and the unrolled-CTE SQL oracle are bitwise
+    identical (the micros convention generalized to an iterative op):
+
+        pm0        = PR_SCALE // n
+        base       = ((100-damping_pct) * PR_SCALE) // (100 * n)
+        contrib(u) = pm[u] // outdeg[u]           (per out-edge)
+        pm'[v]     = base + (damping_pct * Σ contrib) // 100
+
+    Dangling mass is dropped (documented; both sides identical).  Each
+    iteration is two groupby shuffles, join-free like the CC rounds: the
+    state (node, pm, outdeg) unions with the edge list keyed by src to
+    scatter contributions, then a per-node group folds them with the static
+    outdeg row.  Returns (node, pr_scaled int64)."""
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["s"].to_numpy(zero_copy_only=False),
+                               b["d"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    n = nodes.count()
+    if n == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "pr_scaled": pa.array([], pa.int64())}))
+    pm0 = PR_SCALE // n
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+
+    # static per-node zero rows: every node appears in the fold groupby
+    # even with no in-edges
+    def zero_row(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table({"node": b["node"], "val": pa.array(z, pa.int64())})
+    zero_rows = nodes.map_batches(zero_row, batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "pm": pa.array(np.full(b.num_rows, pm0,
+                                                   np.int64))}),
+        batch_format="pyarrow")
+    dp = damping_pct
+
+    for it in range(n_iters):
+        # phase 1: scatter contributions along out-edges (keyed by src);
+        # a node's outdeg IS its group's edge-row count
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["pm"],
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b: pa.table({"node": b["s"], "peer": b["d"],
+                                "is_edge": pa.array(
+                                    np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            peer = g["peer"].to_numpy(zero_copy_only=False)
+            pm = int(peer[~is_edge][0])
+            dst = peer[is_edge]
+            if len(dst) == 0:       # dangling: mass dropped (documented)
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            contrib = pm // len(dst)
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(
+                                 np.full(len(dst), contrib, np.int64))})
+
+        contribs = (st_rows.union(ed_rows).groupby("node")
+                    .map_groups(scatter, batch_format="pyarrow"))
+
+        # phase 2: fold contributions per node (zero rows keep isolated-
+        # in-degree nodes present)
+        def fold(g: pa.Table) -> pa.Table:
+            total = int(pc.sum(g["val"]).as_py() or 0)
+            return pa.table({"node": g["node"].slice(0, 1),
+                             "pm": pa.array([base + (dp * total) // 100],
+                                            pa.int64())})
+
+        state = (contribs.union(zero_rows).groupby("node")
+                 .map_groups(fold, batch_format="pyarrow").materialize())
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "pr_scaled": b["pm"]}),
+        batch_format="pyarrow")
 
 
 # ---------------------------------------------------------- KG graph stats --

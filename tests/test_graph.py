@@ -81,3 +81,33 @@ def test_triangle_count_known_graphs():
     # no triangle in a path
     path = _edges_ds([(1, 2), (2, 3), (3, 4)])
     assert graph.triangle_count(path).to_pandas()["n_triangles"][0] == 0
+
+
+def _naive_pagerank(edges, n_iters=5, dp=85, scale=10**12):
+    """Per-definition integer PageRank mirror (dedupe, drop self-loops)."""
+    simple = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({x for e in simple for x in e})
+    n = len(nodes)
+    pm = {x: scale // n for x in nodes}
+    out = {}
+    for u, v in simple:
+        out.setdefault(u, []).append(v)
+    base = (100 - dp) * scale // (100 * n)
+    for _ in range(n_iters):
+        tot = {x: 0 for x in nodes}
+        for u, vs in out.items():
+            c = pm[u] // len(vs)
+            for v in vs:
+                tot[v] += c
+        pm = {x: base + (dp * tot[x]) // 100 for x in nodes}
+    return pm
+
+
+def test_pagerank_matches_naive_reference():
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 2), (2, 2), (5, 1)]
+    ds = _edges_ds(edges)
+    got = (graph.pagerank_scaled(ds, n_iters=5).to_pandas()
+           .set_index("node")["pr_scaled"].to_dict())
+    assert got == _naive_pagerank(edges)
+    # rank sanity: node 1 (most in-links) outranks the dangling-ish node 5
+    assert got[1] > got[5]
