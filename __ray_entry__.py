@@ -480,6 +480,14 @@ def _q_ngram_jaccard(sf_dir: str):
                                max_id=200, threshold=0.05)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact top-k frequent tokens via the two-pass Misra-Gries plan
+    (stages/sketches.py — bounded sketch shuffle + exact verify of the
+    candidate set; runtime exactness certificate)."""
+    from deepkg_ray.stages.sketches import heavy_hitter_tokens
+    return heavy_hitter_tokens(_docs(sf_dir, ["doc_id", "text"]), k=20)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Connected components over the exact-Jaccard pair graph — the cluster
     step that turns near-dup PAIRS into 'one survivor per duplicate group'
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_quantiles": _q_token_quantiles,
+        "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         # graph analytics over the built KG
@@ -777,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
         "token_quantiles": oracle.token_quantiles_oracle(),
+        "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),

@@ -889,3 +889,14 @@ pr0 AS (SELECT node, (SELECT {scale} // n FROM params) AS pm FROM nodes),
 {chain}
 SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
 """
+
+
+def heavy_hitter_tokens_oracle(k: int = 20) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT {k}
+"""

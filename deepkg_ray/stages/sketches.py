@@ -138,3 +138,106 @@ def bloom_anti_join_counts(ds, key_col: str, member_keys: list[str],
     partial = ds.select_columns([key_col]).map_batches(kernel,
                                                        batch_format="pyarrow")
     return merge_partials(partial, [key_col], {"n_rows": "sum"}, fanout=2)
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+
+def mg_prune(tokens: np.ndarray, counts: np.ndarray,
+             budget: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """Batch Misra-Gries decrement: subtract the (budget+1)-th largest count
+    from every counter, keep the positives (≤ budget survive).  Returns
+    (tokens, residual_counts, decrement); any item's true count within the
+    summarized data is ≤ residual + decrement."""
+    if len(tokens) <= budget:
+        return tokens, counts, 0
+    thr = int(np.partition(counts, -(budget + 1))[-(budget + 1)])
+    keep = counts > thr
+    return tokens[keep], counts[keep] - thr, thr
+
+
+def heavy_hitter_tokens(ds, text_col: str = "text", k: int = 20,
+                        budget: int = 4096):
+    """EXACT top-k most frequent whitespace tokens without a full-vocabulary
+    shuffle — the two-pass heavy-hitter plan:
+
+    1. candidate pass: per-block token counts pruned to a Misra-Gries
+       sketch of `budget` rows (so only budget×n_blocks rows shuffle, not
+       the open vocabulary) → groupby-sum → one more MG prune;
+    2. verify pass: EXACT counts for the bounded candidate set only
+       (broadcast membership, np.isin per batch, bounded groupby) →
+       deterministic top-k (count desc, token asc).
+
+    Exactness: a non-candidate's true count is ≤ the accumulated MG
+    decrement bound U; the result is provably the true top-k whenever the
+    k-th exact candidate count > U — asserted at runtime (raise rather
+    than silently return an approximate answer; at 100 TB raise `budget`).
+    Returns a Dataset (token, n)."""
+    import re
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ws = re.compile(r"\s+")
+
+    def block_sketch(b: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            t = t.lower().strip()
+            if not t:
+                continue
+            for w in ws.split(t):
+                toks[w] = toks.get(w, 0) + 1
+        if not toks:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        tk = np.asarray(list(toks.keys()), dtype=object)
+        ct = np.asarray(list(toks.values()), dtype=np.int64)
+        tk, ct, dec = mg_prune(tk, ct, budget)
+        # sidecar row carries this block's decrement; token "" is a safe
+        # sentinel (whitespace-split of stripped text never yields "")
+        return pa.table({
+            "token": pa.array(list(tk) + [""], pa.string()),
+            "c": pa.array(np.concatenate([ct, [0]]), pa.int64()),
+            "d": pa.array([0] * len(tk) + [dec], pa.int64())})
+
+    sketch = (ds.select_columns([text_col])
+              .map_batches(block_sketch, batch_format="pyarrow")
+              .groupby("token")
+              .aggregate(Sum("c", alias_name="c"), Sum("d", alias_name="d"))
+              .to_pandas())
+    side = sketch["token"] == ""
+    u_blocks = int(sketch.loc[side, "d"].sum())
+    body = sketch[~side]
+    tk, ct, dec = mg_prune(body["token"].to_numpy(),
+                           body["c"].to_numpy(dtype=np.int64), budget)
+    u_bound = u_blocks + dec
+    cand_ref = ray.put(set(tk.tolist()))
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        toks: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            t = t.lower().strip()
+            if not t:
+                continue
+            for w in ws.split(t):
+                if w in cand:
+                    toks[w] = toks.get(w, 0) + 1
+        return pa.table({"token": pa.array(list(toks.keys()), pa.string()),
+                         "n": pa.array(list(toks.values()), pa.int64())})
+
+    exact = (ds.select_columns([text_col])
+             .map_batches(exact_counts, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .to_pandas()
+             .sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(k))
+    kth = int(exact["n"].iloc[-1]) if len(exact) else 0
+    # certify: with pruning (u_bound > 0), a non-candidate's true count can
+    # be as high as u_bound — need k certified candidates strictly above it
+    if u_bound > 0 and (len(exact) < k or kth <= u_bound):
+        raise ValueError(
+            f"heavy_hitter_tokens: cannot certify exact top-{k} "
+            f"(k-th count {kth} <= undercount bound {u_bound}); "
+            f"raise budget (={budget})")
+    return rd.from_pandas(exact.reset_index(drop=True))

@@ -335,3 +335,43 @@ def test_doc_repetition_golden():
     assert out["n_ngrams"].tolist() == [5, 2, 0]
     assert out["n_distinct"].tolist() == [2, 2, 0]
     assert out["rep_ratio"].tolist() == [0.6, 0.0, 0.0]
+
+
+def test_mg_prune_bound_and_passthrough():
+    import numpy as np
+    from deepkg_ray.stages.sketches import mg_prune
+    tk = np.array(["a", "b", "c", "d"], dtype=object)
+    ct = np.array([10, 6, 3, 1], dtype=np.int64)
+    # passthrough under budget
+    t2, c2, d = mg_prune(tk, ct, 4)
+    assert d == 0 and list(c2) == [10, 6, 3, 1]
+    # budget 2: decrement by 3rd largest (3); survivors a:7 b:3
+    t2, c2, d = mg_prune(tk, ct, 2)
+    assert d == 3 and dict(zip(t2, c2)) == {"a": 7, "b": 3}
+    # undercount bound: true count <= residual + d for every survivor
+    assert all(ct[i] <= dict(zip(t2, c2)).get(tk[i], 0) + d
+               for i in range(len(tk)))
+
+
+def test_heavy_hitter_tokens_exact_and_certified():
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+    from deepkg_ray.stages.sketches import heavy_hitter_tokens
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    probs = np.array([1.0 / (i + 1) for i in range(200)])
+    probs /= probs.sum()
+    texts = [" ".join(rng.choice(vocab, size=30, p=probs))
+             for _ in range(400)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": np.arange(400), "text": texts}))
+    got = heavy_hitter_tokens(ds, k=10, budget=512).to_pandas()
+    # exact ground truth
+    from collections import Counter
+    truth = Counter(w for t in texts for w in t.split())
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(got["token"], got["n"])) == want
+    # a hopeless budget must refuse, not silently approximate
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitter_tokens(ds, k=10, budget=2)
