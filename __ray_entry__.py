@@ -349,7 +349,8 @@ def _q_linking_recall(sf_dir: str):
 
 def _q_extraction_prf(sf_dir: str):
     """North-star gate as a query: P/R/F1 of the engine triples vs the gold
-    triples under match_mode='set' (scorer.py:79-88 semantics)."""
+    triples under match_mode='set' (scorer.py:79-88 semantics).  Oracle:
+    oracle.prf_sql — exact DISTINCT-join counters, bit-identical doubles."""
     import os
     import pandas as pd
     import ray.data as rd
@@ -780,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
         "conv_context": oracle.conv_context_oracle(SF_ORACLE),
+        "extraction_prf": oracle.prf_sql(SF_ORACLE),
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),

@@ -147,6 +147,40 @@ GROUP BY role
 """
 
 
+def prf_sql(sf_dir: str) -> str:
+    """Oracle for extraction_prf: set-mode tuple P/R/F1 of the triples CTE
+    vs the generation-time gold parquet (scorer.py:44-111 semantics).
+
+    Set mode sums per-instance |set(g) ∩ set(p)| / |set(g)| / |set(p)|,
+    which equals global DISTINCT (key, tuple) counts and their inner join.
+    P/R/F1 are single IEEE double divisions of exact integers in the same
+    operation order as TupleMetric.compute_f1 (scoring.py:66-71), so the
+    doubles are bit-identical — no rounding convention needed."""
+    gold_path = os.path.join(synth.ensure_synth(sf_dir), "triples_gold.parquet")
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+g AS (SELECT DISTINCT conv_id, turn_idx, pred, subj_text, obj_text
+      FROM read_parquet('{gold_path}')),
+p AS (SELECT DISTINCT conv_id, turn_idx, pred, subj_text, obj_text
+      FROM triples),
+c AS (SELECT
+        CAST((SELECT count(*) FROM g) AS DOUBLE) AS gn,
+        CAST((SELECT count(*) FROM p) AS DOUBLE) AS pn,
+        CAST((SELECT count(*) FROM g JOIN p USING
+              (conv_id, turn_idx, pred, subj_text, obj_text)) AS DOUBLE) AS tp),
+r AS (SELECT tp, gn, pn,
+        CASE WHEN pn = 0 THEN 0.0 ELSE tp / pn END AS p_raw,
+        CASE WHEN gn = 0 THEN 0.0 ELSE tp / gn END AS r_raw
+      FROM c)
+SELECT tp, gn AS gold, pn AS pred, p_raw * 100 AS P, r_raw * 100 AS R,
+       CASE WHEN p_raw + r_raw = 0 THEN 0.0
+            ELSE 2 * p_raw * r_raw / (p_raw + r_raw) END * 100 AS F1
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracles over the driver's pre-registered testdata views (documents, events,
 # lineitem, orders, customer, embeddings).  Float convention: see
