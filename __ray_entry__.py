@@ -366,6 +366,16 @@ def _q_extraction_prf(sf_dir: str):
     return pd.DataFrame([{k: float(v) for k, v in res.items()}])
 
 
+def _q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (the SemDeDup
+    cluster step): deterministic init, 4 iterations, integer-micros exact
+    arithmetic.  Oracle: oracle.kmeans_oracle unrolled CTEs."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import kmeans
+    return kmeans(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                  k=8, iters=4)
+
+
 def _q_transcript_sample(sf_dir: str):
     """Deterministic seeded-hash row sampling (negative-keep filter analog,
     utils_torch.py:133-139): md5-keyed keep mask, per-role kept counts."""
@@ -729,6 +739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "embedding_kmeans": _q_embedding_kmeans,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -800,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
+        "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),
         "events_window": oracle.events_window_oracle(),

@@ -181,6 +181,42 @@ FROM r
 """
 
 
+def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    """Unrolled-CTE Lloyd's k-means over the embeddings view — mirrors
+    stages/kmeans.py op for op: micros vectors, integer-exact quadratic
+    distance, ties → lowest centroid index, centroid = floor(sum/count) in
+    double, empty clusters keep their previous centroid."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    parts = [f"""
+vecs AS (SELECT vec_id, {em} AS em FROM embeddings),
+cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
+                 em AS cem
+          FROM (SELECT vec_id, em FROM vecs ORDER BY vec_id LIMIT {k}))"""]
+    for i in range(iters + 1):
+        parts.append(f"""
+a{i} AS (SELECT vec_id, em, cl FROM (
+    SELECT v.vec_id, v.em, c.cidx AS cl,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+               list_dot_product(v.em, v.em)
+               - 2 * list_dot_product(v.em, c.cem)
+               + list_dot_product(c.cem, c.cem), c.cidx) AS rn
+    FROM vecs v CROSS JOIN cent{i} c) WHERE rn = 1)""")
+        if i == iters:
+            break
+        parts.append(f"""
+s{i} AS (SELECT cl, i, sum(x) AS sx, count(*) AS cnt
+         FROM (SELECT cl, unnest(em) AS x,
+                      unnest(range(1, 1 + len(em))) AS i FROM a{i})
+         GROUP BY cl, i),
+n{i} AS (SELECT cl AS cidx, list(floor(sx / cnt) ORDER BY i) AS cem
+         FROM s{i} GROUP BY cl),
+cent{i + 1} AS (SELECT c.cidx, COALESCE(n.cem, c.cem) AS cem
+                FROM cent{i} c LEFT JOIN n{i} n USING (cidx))""")
+    return ("WITH " + ",".join(parts)
+            + f"\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters}\n")
+
+
 # ---------------------------------------------------------------------------
 # Oracles over the driver's pre-registered testdata views (documents, events,
 # lineitem, orders, customer, embeddings).  Float convention: see

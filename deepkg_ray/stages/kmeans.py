@@ -1,0 +1,120 @@
+"""Distributed Lloyd's k-means over an embedding column (list<float>).
+
+The cluster step a large-scale training-data pipeline needs for semantic
+dedup / cluster-balanced sampling (SemDeDup-style): embeddings are grouped
+into k clusters, then downstream stages dedup or sample within clusters.
+The reference's analog is the faiss coarse-quantizer training used by its
+IVF recall index (SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76 builds the
+index; faiss trains k-means centroids inside GpuIndexIVFFlat) — here the
+whole algorithm is expressed on ray.data.
+
+Plan (100-TB-shaped):
+- every pass is ``map_batches`` over the streaming Dataset; a batch
+  contributes a single (k × d sums, k counts) partial — the ONLY data that
+  leaves a batch.  No shuffle at any point; the driver merges k×d-sized
+  partials (a few KiB) per iteration.
+- centroids are broadcast once per iteration via ``ray.put`` and read
+  inside each task (never re-shipped per batch).
+- fixed iteration count, deterministic init (the k rows with the smallest
+  ids) — same contract as stages/graph.py pagerank: iterative algorithms
+  become oracle-checkable when every step is deterministic.
+
+Exactness convention (functions/numeric.py): vectors are folded to integer
+micros (float64-exact integers), distances are the integer-exact quadratic
+form ||v||^2 - 2 v.c + ||c||^2, and the centroid update is
+``floor(sum / count)`` in float64 — every operation is order-independent
+and bit-identical to the DuckDB oracle (oracle.kmeans_oracle).  Partial
+sums stay exact while cluster_size × 1e6 × |x| < 2^53, i.e. ≲ 9e9 rows
+per cluster per dimension at unit-scale embeddings; beyond that, switch
+the partial dtype to int64 (object-store cost identical).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from deepkg_ray.functions.numeric import micros_matrix
+
+
+def _matrix(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy())
+
+
+def _assign(vm: np.ndarray, cm: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index per row; ties → lowest centroid index
+    (np.argmin first-minimum == the oracle's ORDER BY dist, cidx)."""
+    d2 = ((vm * vm).sum(axis=1)[:, None] - 2.0 * (vm @ cm.T)
+          + (cm * cm).sum(axis=1)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def _init_centroids(ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
+    """Rows with the k smallest ids, ordered by id — via a per-batch
+    partial top-k (each batch forwards ≤ k rows)."""
+    def partial(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        sel = np.argsort(ids, kind="stable")[:k]
+        return b.select([id_col, vec_col]).take(pa.array(sel))
+
+    small = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    small = small.sort_values(id_col, kind="stable").head(k)
+    return micros_matrix(np.stack(small[vec_col].to_numpy()))
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Run `iters` Lloyd iterations; returns the (k, d) micros centroid
+    matrix.  Each iteration is one streaming pass emitting k×d partials."""
+    cm = _init_centroids(ds, k, id_col, vec_col)
+
+    for _ in range(iters):
+        ref = ray.put(cm)
+
+        def partials(b: pa.Table, cref=ref) -> pa.Table:
+            c = ray.get(cref)
+            vm = micros_matrix(_matrix(b[vec_col]))
+            a = _assign(vm, c)
+            onehot = (a[:, None] == np.arange(c.shape[0])[None, :])
+            sums = onehot.astype(np.float64).T @ vm          # (k, d) exact
+            cnts = onehot.sum(axis=0).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "cnt": pa.array(cnts),
+                "sums": pa.array(list(sums)),
+            })
+
+        p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        g = p.groupby("cluster", sort=True)
+        cnts = g["cnt"].sum().to_numpy()
+        sums = np.stack(g["sums"].apply(lambda ls: np.sum(np.stack(ls), axis=0)))
+        new = cm.copy()
+        nz = cnts > 0
+        new[nz] = np.floor(sums[nz] / cnts[nz, None])
+        cm = new
+    return cm
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Final assignment pass → Dataset(id_col, cluster:int64)."""
+    ref = ray.put(centroids)
+
+    def fn(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        return pa.table({
+            id_col: b[id_col],
+            "cluster": pa.array(_assign(vm, c).astype(np.int64)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmeans(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
+           vec_col: str = "embedding"):
+    """fit + assign over the same Dataset."""
+    return kmeans_assign(ds, kmeans_fit(ds, k, iters, id_col, vec_col),
+                         id_col, vec_col)

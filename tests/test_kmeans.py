@@ -1,0 +1,75 @@
+"""Distributed Lloyd's k-means (stages/kmeans.py) vs a plain in-memory
+reference implementing the same deterministic contract."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deepkg_ray.functions.numeric import micros_matrix
+from deepkg_ray.stages import kmeans as km
+
+
+def _reference(vecs: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    """Single-machine Lloyd with the module's exact conventions."""
+    vm = micros_matrix(vecs)
+    order = np.argsort(ids, kind="stable")
+    cm = vm[order[:k]].copy()
+    for _ in range(iters + 1):
+        d2 = ((vm * vm).sum(1)[:, None] - 2.0 * vm @ cm.T
+              + (cm * cm).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        if _ == iters:
+            break
+        for j in range(k):
+            m = a == j
+            if m.any():
+                cm[j] = np.floor(vm[m].sum(0) / m.sum())
+    return a
+
+
+def _ds(vecs: np.ndarray, ids: np.ndarray, blocks: int = 5):
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array(list(vecs.astype(np.float32)))})
+    return rd.from_arrow(t).repartition(blocks)
+
+
+def test_kmeans_matches_reference_on_random_vectors():
+    rng = np.random.default_rng(7)
+    n, d, k, iters = 400, 16, 6, 3
+    vecs = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64)
+    out = (km.kmeans(_ds(vecs, ids), k=k, iters=iters)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    want = _reference(vecs, ids, k, iters)
+    got = out.set_index("vec_id")["cluster"]
+    expect = pd.Series(want, index=ids).sort_index()
+    assert (got.sort_index().to_numpy() == expect.to_numpy()).all()
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    # all points identical → ties send every row to cluster 0, cluster 1
+    # is empty from iteration 1 on; fit must keep the old centroid (no
+    # NaN / crash) and assignments must match the reference.
+    vecs = np.ones((40, 4))
+    ids = np.arange(40, dtype=np.int64)
+    out = (km.kmeans(_ds(vecs, ids, blocks=3), k=2, iters=3)
+           .to_pandas().sort_values("vec_id"))
+    want = _reference(vecs, ids, 2, 3)
+    assert (out["cluster"].to_numpy() == want).all()
+    assert (out["cluster"] == 0).all()
+
+
+def test_kmeans_cluster_separation():
+    # two far groups with init centroids in both → clean 2-way split.
+    rng = np.random.default_rng(1)
+    a = rng.normal(0.0, 0.01, size=(50, 4))
+    b = rng.normal(5.0, 0.01, size=(50, 4))
+    vecs = np.vstack([a, b])[rng.permutation(100)]
+    ids = np.arange(100, dtype=np.int64)
+    out = (km.kmeans(_ds(vecs, ids, blocks=3), k=2, iters=4)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    grp = (vecs[:, 0] > 2.5).astype(int)
+    c_of = {g: set(out["cluster"][grp == g]) for g in (0, 1)}
+    assert all(len(s) == 1 for s in c_of.values()) and c_of[0] != c_of[1]
