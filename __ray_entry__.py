@@ -376,6 +376,15 @@ def _q_embedding_kmeans(sf_dir: str):
                   k=8, iters=4)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup keep-set: k-means clusters, then within-cluster lower-id
+    cosine dominance at tau=0.4.  Oracle: oracle.semantic_dedup_oracle."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import semantic_dedup
+    return semantic_dedup(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                          k=8, iters=4, tau=0.4)
+
+
 def _q_transcript_sample(sf_dir: str):
     """Deterministic seeded-hash row sampling (negative-keep filter analog,
     utils_torch.py:133-139): md5-keyed keep mask, per-role kept counts."""
@@ -740,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_kmeans": _q_embedding_kmeans,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -812,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.ann_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
+        "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),
         "events_window": oracle.events_window_oracle(),

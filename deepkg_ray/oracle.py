@@ -181,11 +181,13 @@ FROM r
 """
 
 
-def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+def _kmeans_cte(k: int, iters: int) -> str:
     """Unrolled-CTE Lloyd's k-means over the embeddings view — mirrors
     stages/kmeans.py op for op: micros vectors, integer-exact quadratic
     distance, ties → lowest centroid index, centroid = floor(sum/count) in
-    double, empty clusters keep their previous centroid."""
+    double, empty clusters keep their previous centroid.  Exposes
+    ``vecs(vec_id, em)`` and the final assignment ``a{iters}(vec_id, em,
+    cl)`` to the caller's SELECT."""
     from deepkg_ray.functions.numeric import SQL_EMB_MICROS
     em = SQL_EMB_MICROS.format(e="embedding")
     parts = [f"""
@@ -213,8 +215,29 @@ n{i} AS (SELECT cl AS cidx, list(floor(sx / cnt) ORDER BY i) AS cem
          FROM s{i} GROUP BY cl),
 cent{i + 1} AS (SELECT c.cidx, COALESCE(n.cem, c.cem) AS cem
                 FROM cent{i} c LEFT JOIN n{i} n USING (cidx))""")
-    return ("WITH " + ",".join(parts)
+    return "WITH " + ",".join(parts)
+
+
+def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
+    return (_kmeans_cte(k, iters)
             + f"\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters}\n")
+
+
+def semantic_dedup_oracle(k: int = 8, iters: int = 4,
+                          tau: float = 0.95) -> str:
+    """SemDeDup keep-set: within each k-means cluster, drop a row iff a
+    LOWER-id row of the same cluster has round6 cosine ≥ tau with it
+    (dominance rule — order-independent, no chaining).  Mirrors
+    stages/kmeans.semantic_dedup."""
+    from deepkg_ray.functions.numeric import SQL_COSINE
+    cos = SQL_COSINE.format(a="b.em", b="a.em")
+    return f"""{_kmeans_cte(k, iters)}
+SELECT a.vec_id, CAST(a.cl AS BIGINT) AS cluster
+FROM a{iters} a
+WHERE NOT EXISTS (
+  SELECT 1 FROM a{iters} b
+  WHERE b.cl = a.cl AND b.vec_id < a.vec_id AND {cos} >= {tau})
+"""
 
 
 # ---------------------------------------------------------------------------

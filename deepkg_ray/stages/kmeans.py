@@ -98,17 +98,19 @@ def kmeans_fit(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
 
 
 def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
-                  vec_col: str = "embedding"):
-    """Final assignment pass → Dataset(id_col, cluster:int64)."""
+                  vec_col: str = "embedding", keep_vec: bool = False):
+    """Final assignment pass → Dataset(id_col, cluster:int64); with
+    ``keep_vec`` the embedding rides along (for within-cluster stages)."""
     ref = ray.put(centroids)
 
     def fn(b: pa.Table) -> pa.Table:
         c = ray.get(ref)
         vm = micros_matrix(_matrix(b[vec_col]))
-        return pa.table({
-            id_col: b[id_col],
-            "cluster": pa.array(_assign(vm, c).astype(np.int64)),
-        })
+        cols = {id_col: b[id_col],
+                "cluster": pa.array(_assign(vm, c).astype(np.int64))}
+        if keep_vec:
+            cols[vec_col] = b[vec_col]
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -118,3 +120,32 @@ def kmeans(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
     """fit + assign over the same Dataset."""
     return kmeans_assign(ds, kmeans_fit(ds, k, iters, id_col, vec_col),
                          id_col, vec_col)
+
+
+def semantic_dedup(ds, k: int = 8, iters: int = 4, tau: float = 0.95,
+                   id_col: str = "vec_id", vec_col: str = "embedding"):
+    """SemDeDup (arXiv:2303.09540) keep-set: cluster embeddings with
+    k-means, then inside each cluster drop a row iff a LOWER-id row has
+    round6 cosine ≥ tau with it.
+
+    The dominance rule (vs greedy chaining) is order-independent, so the
+    within-cluster filter needs no sequential scan — it vectorizes to one
+    cosine matrix per cluster and is exactly SQL-expressible
+    (oracle.semantic_dedup_oracle).  Scale note: within-cluster work is
+    O(|c|²); size k ~ N / target_cluster_size so clusters stay bounded —
+    the groupby shuffle moves each embedding exactly once."""
+    from deepkg_ray.functions.numeric import cosine_micros
+
+    asgn = kmeans_assign(ds, kmeans_fit(ds, k, iters, id_col, vec_col),
+                         id_col, vec_col, keep_vec=True)
+
+    def per_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable").reset_index(drop=True)
+        vm = micros_matrix(np.stack(df[vec_col].to_numpy()))
+        sims = cosine_micros(vm, vm)
+        # column i dominated ⇔ some row j < i (upper triangle) has sim ≥ tau
+        dominated = np.triu(sims >= tau, 1).any(axis=0)
+        return df.loc[~dominated, [id_col, "cluster"]]
+
+    return asgn.groupby("cluster").map_groups(per_cluster,
+                                              batch_format="pandas")

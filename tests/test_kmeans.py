@@ -61,6 +61,22 @@ def test_kmeans_empty_cluster_keeps_centroid():
     assert (out["cluster"] == 0).all()
 
 
+def test_semantic_dedup_drops_dominated_rows():
+    # pairs of near-identical vectors: within each pair the higher id must
+    # be dropped; distinct directions all survive.
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(30, 8))
+    vecs = np.vstack([base, base + rng.normal(0, 1e-4, size=base.shape)])
+    ids = np.arange(60, dtype=np.int64)
+    out = (km.semantic_dedup(_ds(vecs, ids, blocks=4), k=4, iters=3,
+                             tau=0.999)
+           .to_pandas().sort_values("vec_id"))
+    kept = set(out["vec_id"])
+    # clones land in the same cluster as their base (distance ~0), so every
+    # clone (id >= 30) is dominated by its base (id < 30)
+    assert kept == set(range(30))
+
+
 def test_kmeans_cluster_separation():
     # two far groups with init centroids in both → clean 2-way split.
     rng = np.random.default_rng(1)
