@@ -152,6 +152,14 @@ def _q_word_idf(sf_dir: str):
     return idf_table(docs.select_columns(["text"]), n_docs=docs.count())
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-5 tf·idf keywords — shuffle-free per-doc top-k with a
+    ray.put idf broadcast.  Oracle: oracle.tfidf_top_terms_oracle."""
+    from deepkg_ray.stages.phrasemine import tfidf_top_terms
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return tfidf_top_terms(docs, n_docs=docs.count(), k=5)
+
+
 def _q_pmi_bigrams(sf_dir: str):
     from deepkg_ray.stages.phrasemine import pmi_bigrams
     return pmi_bigrams(_docs(sf_dir, ["text"]))
@@ -744,6 +752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_bigrams": _q_pmi_bigrams,
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
@@ -817,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
+        "tfidf_top_terms": oracle.tfidf_top_terms_oracle(k=5),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),

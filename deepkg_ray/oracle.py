@@ -354,6 +354,33 @@ FROM df
 """
 
 
+def tfidf_top_terms_oracle(k: int = 5) -> str:
+    """Mirror of stages/phrasemine.tfidf_top_terms: score =
+    round6(tf × round6(ln(N/df))), ties (score desc, term asc)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), sc AS (
+  SELECT t.doc_id, t.term, t.tf,
+         floor(t.tf * (floor(ln((SELECT count(*) FROM documents) * 1.0 / d.df)
+                             * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS score
+  FROM tf t JOIN dfq d USING (term)
+), r AS (
+  SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+  FROM sc
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rnk AS BIGINT) AS "rank"
+FROM r WHERE rnk <= {k}
+"""
+
+
 def pmi_bigrams_oracle() -> str:
     return """
 WITH toks AS (

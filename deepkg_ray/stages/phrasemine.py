@@ -82,6 +82,70 @@ def idf_table(ds, n_docs: int, text_col: str = "text"):
     return df.map_batches(add_idf, batch_format="pyarrow")
 
 
+def tfidf_top_terms(ds, n_docs: int, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id", mode: str = "broadcast"):
+    """Per-document top-k terms by tf·idf — the keyword-extraction step of
+    a corpus-prep pipeline (reference idf analog extractors.py:161-184).
+
+    score = round6(tf × round6(ln(n_docs/df))) — both roundings mirrored in
+    oracle.tfidf_top_terms_oracle; ties broken (score desc, term asc).
+
+    A document's rows are batch-local (one text cell per doc), so tf AND
+    the per-doc top-k are computed inside map_batches with NO shuffle; only
+    the global df table is shared state.  mode='broadcast' ships the idf
+    dict once via ray.put (right whenever the vocabulary is
+    dictionary-/language-sized); mode='join' is the open-vocab escape
+    hatch: hash-partitioned Dataset.join on term, then a per-doc groupby
+    top-k (two shuffles, nothing vocabulary-sized on the driver)."""
+    import ray
+
+    idf_ds = idf_table(ds.select_columns([text_col]), n_docs, text_col)
+
+    def tf_rows(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_pylist()
+        toks = [_tokens(t) for t in b[text_col].to_pylist()]
+        lens = [len(x) for x in toks]
+        d = pd.DataFrame({
+            id_col: np.repeat(np.asarray(ids), lens),
+            "term": np.concatenate(toks) if any(lens) else
+                    np.empty(0, dtype=object),
+        })
+        return (d.groupby([id_col, "term"], sort=False).size()
+                .reset_index(name="tf"))
+
+    def topk(d: pd.DataFrame, idf: pd.Series) -> pd.DataFrame:
+        d["score"] = round6(d["tf"].to_numpy(np.float64)
+                            * d["term"].map(idf).to_numpy(np.float64))
+        d = d.sort_values([id_col, "score", "term"],
+                          ascending=[True, False, True], kind="stable")
+        d["rank"] = d.groupby(id_col, sort=False).cumcount() + 1
+        return d[d["rank"] <= k].reset_index(drop=True)
+
+    if mode == "join":
+        tf = ds.map_batches(tf_rows, batch_format="pyarrow")
+        joined = tf.join(idf_ds.map_batches(
+            lambda b: b.rename_columns(["term", "df", "idf"]),
+            batch_format="pyarrow"), join_type="inner",
+            num_partitions=8, on=("term",))
+
+        def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+            idf = g.drop_duplicates("term").set_index("term")["idf"]
+            return topk(g[[id_col, "term", "tf"]].copy(), idf)
+        return joined.groupby(id_col).map_groups(per_doc,
+                                                 batch_format="pandas")
+
+    idf_df = idf_ds.to_pandas()
+    ref = ray.put(pd.Series(idf_df["idf"].to_numpy(),
+                            index=idf_df["w1"].to_numpy()))
+
+    def kernel(b: pa.Table) -> pd.DataFrame:
+        idf = ray.get(ref)
+        return topk(tf_rows(b), idf)
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
 def pmi_bigrams(ds, text_col: str = "text", min_count: int = 1,
                 mode: str = "driver"):
     """(w1, w2, cnt, pmi): pmi = ln((c12/N2) / ((c1/N1)*(c2/N1))), the

@@ -54,6 +54,24 @@ def test_idf_golden():
     assert abs(out.loc["b", "idf"] - math.log(3)) < 1e-6
 
 
+def test_tfidf_top_terms_modes_agree():
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["a a b", "a c", "a d d d", "b b c", "e", "c d e e"],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    cols = ["doc_id", "rank", "score", "term", "tf"]
+    bc = (phrasemine.tfidf_top_terms(ds, n_docs=6, k=2).to_pandas()[cols]
+          .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    jn = (phrasemine.tfidf_top_terms(ds, n_docs=6, k=2, mode="join")
+          .to_pandas()[cols].sort_values(["doc_id", "rank"])
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jn)
+    # doc 2: 'd' (tf=3) must outrank 'a' (tf=1, df=3)
+    top = bc[(bc.doc_id == 2) & (bc["rank"] == 1)].iloc[0]
+    assert top["term"] == "d" and top["tf"] == 3
+
+
 def test_neighbor_entropy_golden():
     docs = pd.DataFrame({"text": ["a b", "a c"]})
     out = phrasemine.neighbor_entropy(rd.from_pandas(docs))
