@@ -537,6 +537,14 @@ def _q_dedup_cluster_sizes(sf_dir: str):
     return dedup_cluster_stats(connected_components(pairs))
 
 
+def _q_kg_kcore(sf_dir: str):
+    """3-core of the KG entity graph via iterative peeling (in-core
+    degrees).  Oracle: oracle.kg_kcore_oracle unrolled rounds."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import kcore_nodes
+    return kcore_nodes(kg.adjacency_dataset(sf_dir), k=3)
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -747,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
+        "kg_kcore": _q_kg_kcore,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
@@ -822,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
+        "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),

@@ -934,6 +934,38 @@ FROM bidir GROUP BY node
 """
 
 
+def kg_kcore_oracle(sf_dir: str, k: int = 3, rounds: int = 8) -> str:
+    """Unrolled peel rounds for stages/graph.kcore_nodes over the KG edge
+    list.  Peeling is monotone, so rounds beyond the fixpoint are no-ops —
+    `rounds` only needs to be ≥ the peel depth at this scale (validated by
+    the driver comparison itself: a too-small value would hash-mismatch)."""
+    # every per-round CTE is referenced more than once downstream — force
+    # MATERIALIZED or DuckDB's inlining re-evaluates the whole chain
+    # exponentially (6^rounds regex scans)
+    parts = [f"""
+e0 AS MATERIALIZED (SELECT DISTINCT least(subj_id, obj_id) AS u,
+                       greatest(subj_id, obj_id) AS v
+       FROM triples WHERE subj_id <> obj_id)"""]
+    for i in range(rounds + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (SELECT node, count(*) AS deg
+         FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+         GROUP BY node),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})""")
+        if i == rounds:
+            break
+        parts.append(f"""
+e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e
+             JOIN a{i} x ON e.u = x.node
+             JOIN a{i} y ON e.v = y.node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT node, CAST(deg AS BIGINT) AS degree
+FROM d{rounds} WHERE deg >= {k}
+""")
+
+
 def kg_triangles_oracle(sf_dir: str) -> str:
     """Triangle count over the simple undirected KG graph: degree-ordered
     orientation (lo < hi), wedge + closing-edge join — each triangle

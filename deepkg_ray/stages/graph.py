@@ -334,3 +334,81 @@ def triangle_count(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
     closed = wedge_ds.join(simple, join_type="inner",
                            num_partitions=num_partitions, on=("lo", "hi"))
     return rd.from_items([{"n_triangles": closed.count()}])
+
+
+def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
+                dst_col: str = "obj_id", mode: str = "broadcast",
+                max_rounds: int = 64, num_partitions: int | None = None):
+    """Nodes of the k-core of the undirected simple graph induced by the
+    edge table: iterative peeling (drop nodes with degree < k until stable).
+    Returns a Dataset (node, degree) with the IN-CORE degree (all ≥ k).
+
+    Each round is one degree aggregation (bidirect + groupby Count — a
+    simple edge list has distinct neighbors by construction) plus an
+    endpoint filter.  The alive-node count is monotone nonincreasing, so an
+    unchanged count IS the fixpoint.  mode='broadcast' ships the alive-node
+    id array via ray.put and masks edges with np.isin (right while the
+    node DICTIONARY is driver-sized — entity vocabularies are); mode='join'
+    semi-joins both endpoints with hash-partitioned Dataset.joins, nothing
+    node-sized on the driver (the open-graph 100-TB path).  Oracle:
+    oracle.kg_kcore_oracle (unrolled peel rounds; peeling is monotone so
+    surplus SQL rounds are no-ops)."""
+    import ray
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.minimum(u, v), pa.int64()),
+                         "v": pa.array(np.maximum(u, v), pa.int64())})
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([u, v]), pa.int64())})
+
+    cur = (edges.map_batches(orient, batch_format="pyarrow")
+           .groupby(["u", "v"]).aggregate(Count(alias_name="_m"))
+           .drop_columns(["_m"]).materialize())
+    prev_alive = -1
+    for _ in range(max_rounds):
+        deg = (cur.map_batches(bidirect, batch_format="pyarrow")
+               .groupby("node").aggregate(Count(alias_name="degree"))
+               .materialize())
+        alive = deg.filter(expr=f"degree >= {k}").materialize()
+        n_alive = alive.count()
+        if n_alive == prev_alive:
+            return alive
+        prev_alive = n_alive
+        if n_alive == 0:
+            return alive
+        if mode == "broadcast":
+            ids_ref = ray.put(np.sort(
+                alive.to_pandas()["node"].to_numpy(np.int64)))
+
+            def keep_alive(b: pa.Table, ref=ids_ref) -> pa.Table:
+                ids = ray.get(ref)
+                u = b["u"].to_numpy(zero_copy_only=False)
+                v = b["v"].to_numpy(zero_copy_only=False)
+                m = (ids[np.searchsorted(ids, u.clip(ids[0], ids[-1]))] == u) \
+                    & (ids[np.searchsorted(ids, v.clip(ids[0], ids[-1]))] == v)
+                return b.filter(pa.array(m))
+
+            cur = cur.map_batches(keep_alive,
+                                  batch_format="pyarrow").materialize()
+        else:
+            nodes = alive.drop_columns(["degree"])
+            cur = cur.join(
+                nodes.map_batches(lambda b: b.rename_columns(["u"]),
+                                  batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions, on=("u",))
+            cur = cur.join(
+                nodes.map_batches(lambda b: b.rename_columns(["v"]),
+                                  batch_format="pyarrow"),
+                join_type="inner", num_partitions=num_partitions,
+                on=("v",)).materialize()
+    return alive

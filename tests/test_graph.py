@@ -111,3 +111,33 @@ def test_pagerank_matches_naive_reference():
     assert got == _naive_pagerank(edges)
     # rank sanity: node 1 (most in-links) outranks the dangling-ish node 5
     assert got[1] > got[5]
+
+
+def test_kcore_peels_to_known_core():
+    # K4 on {1,2,3,4} plus a pendant path 4-5-6: 3-core = the K4 (the path
+    # peels away over two rounds).
+    ds, _ = _pairs_ds([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                       (4, 5), (5, 6)])
+    out = graph.kcore_nodes(ds, k=3, src_col="doc_a", dst_col="doc_b")
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    assert df["node"].tolist() == [1, 2, 3, 4]
+    assert (df["degree"] == 3).all()
+
+
+def test_kcore_modes_agree_on_random_graph():
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))]
+    ds, _ = _pairs_ds(edges)
+    bc = (graph.kcore_nodes(ds, k=3, src_col="doc_a", dst_col="doc_b")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    jn = (graph.kcore_nodes(ds, k=3, src_col="doc_a", dst_col="doc_b",
+                            mode="join")
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0 and (bc["degree"] >= 3).all()
+
+
+def test_kcore_empty_when_k_too_large():
+    ds, _ = _pairs_ds([(1, 2), (2, 3)])
+    assert graph.kcore_nodes(ds, k=3, src_col="doc_a",
+                             dst_col="doc_b").count() == 0
