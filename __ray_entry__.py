@@ -289,6 +289,26 @@ def _q_linking_candidates(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _q_bm25_topn(sf_dir: str):
+    """Micros-exact Okapi BM25 top-5 per alias surface (positive scores,
+    rank by score desc / entity_id) — the SQL-checkable tier of the recall
+    stage (oracle.bm25_topn_oracle evaluates the identical float64
+    expression grid)."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.linking import CandidateGenerator
+    dict_path = synth.dictionary_path(sf_dir)
+    aliases = rd.read_parquet(dict_path, columns=["aliases"]).to_pandas()
+    surf = pd.DataFrame({"surface": sorted({a for al in aliases["aliases"]
+                                            for a in al})})
+    return rd.from_pandas(surf).map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
+                               "exact": True},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+
 def _q_multimodal_features(sf_dir: str):
     """Binary-payload plumbing: synthetic media table → decode-stub features
     (rows-only: involves the stubbed codec boundary)."""
@@ -802,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
+        "bm25_topn": _q_bm25_topn,
         "linking_recall": _q_linking_recall,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
@@ -853,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "users_without_orders": oracle.users_without_orders_oracle(),
         "native_join_revenue": oracle.segment_revenue_oracle(),
         "top_events_per_type": oracle.top_events_per_type_oracle(),
+        "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),

@@ -1052,3 +1052,55 @@ WITH toks AS (
 c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT {k}
 """
+
+def bm25_topn_oracle(sf_dir: str, top_n: int = 5) -> str:
+    """Okapi BM25 top-N candidates over the synthesized name dictionary,
+    exactly as stages/linking.BM25Index.topn_micros computes them: idf
+    pre-rounded to micros, each per-(query-term-occurrence, doc)
+    contribution evaluated left-to-right in float64
+    (``idf * tf * 2.5 / (tf + 1.5*(1 - 0.75 + 0.75*dl/avgdl))``), rounded
+    to int64 micros, integer-summed; positive scores only; rank by
+    (score desc, entity_id).  Reference semantics: Okapi scoring loop of
+    Normalization/recall/model/BM25_Model.py:38-72."""
+    p = synth.dictionary_path(sf_dir)
+    return f"""
+WITH dict AS (SELECT entity_id, name, aliases FROM read_parquet('{p}')),
+dtok AS (SELECT entity_id, unnest(regexp_extract_all(name, '[a-z0-9]+')) AS tok
+         FROM dict),
+tf AS (SELECT entity_id, tok, CAST(count(*) AS DOUBLE) AS tf
+       FROM dtok GROUP BY entity_id, tok),
+dl AS (SELECT entity_id, CAST(count(*) AS DOUBLE) AS dl
+       FROM dtok GROUP BY entity_id),
+stats AS (SELECT CAST((SELECT count(*) FROM dict) AS DOUBLE) AS n_docs,
+                 (SELECT sum(dl) FROM dl)
+                 / CAST((SELECT count(*) FROM dict) AS DOUBLE) AS avgdl),
+df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+idf AS (SELECT tok,
+               floor(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * 1e6 + 0.5) / 1e6 AS idf
+        FROM df, stats s),
+q AS (SELECT DISTINCT unnest(aliases) AS query FROM dict),
+qtok AS (SELECT query, unnest(regexp_extract_all(query, '[a-z0-9]+')) AS tok
+         FROM q),
+contrib AS (
+  SELECT qt.query, tf.entity_id,
+         CAST(floor(i.idf * tf.tf * 2.5
+                    / (tf.tf + 1.5 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                    * 1e6 + 0.5) AS BIGINT) AS c
+  FROM qtok qt
+  JOIN idf i ON i.tok = qt.tok
+  JOIN tf ON tf.tok = qt.tok
+  JOIN dl ON dl.entity_id = tf.entity_id, stats s),
+score AS (SELECT query, entity_id, sum(c) AS s
+          FROM contrib GROUP BY query, entity_id),
+ranked AS (
+  SELECT query, entity_id, s,
+         CAST(row_number() OVER (PARTITION BY query
+                                 ORDER BY s DESC, entity_id) - 1
+              AS INTEGER) AS rank
+  FROM score WHERE s > 0)
+SELECT r.query, r.entity_id AS candidate_id, d.name AS candidate_name,
+       CAST(r.s AS DOUBLE) / 1e6 AS score, r.rank
+FROM ranked r JOIN dict d ON d.entity_id = r.entity_id
+WHERE r.rank < {top_n}
+"""

@@ -109,6 +109,62 @@ class BM25Index:
         idx = idx[np.argsort(-s[idx], kind="stable")]
         return [(int(i), float(s[i])) for i in idx]
 
+    def _exact_arrays(self):
+        """Float64 mirrors for the micros-exact scoring path, built lazily.
+        tf counts and doc lengths are small integers, so the float32→float64
+        promotion is exact; idf is recomputed in float64 and pre-rounded to
+        micros so the SQL oracle (DuckDB ln, also float64) lands on the
+        identical grid (CLAUDE.md float convention)."""
+        if not hasattr(self, "_tf64"):
+            from deepkg_ray.functions.numeric import round6
+            self._tf64 = self.tf.astype(np.float64)
+            df = (self._tf64 > 0).sum(axis=0)
+            n_docs = self._tf64.shape[0]
+            self._idf64 = np.asarray(round6(
+                np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)), np.float64)
+            # recompute the doc-length denominator end-to-end in float64
+            # (the float32 self.denom_doc would diverge from DuckDB):
+            # dl = row sums of integer tf (exact), avgdl = sum/n (exact
+            # int sum, one float64 divide — same value DuckDB computes)
+            dl = self._tf64.sum(axis=1)
+            avgdl = dl.sum() / n_docs
+            self._denom64 = self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+        return self._tf64, self._idf64, self._denom64
+
+    def scores_micros(self, query: str) -> np.ndarray:
+        """Okapi scores as int64 micros: each per-(term, doc) contribution
+        is computed in float64 with a fixed expression order
+        ``(idf_r * tf) * (k1+1) / (tf + k1*(1-b+b*dl/avgdl))``, rounded to
+        int64 micros, then integer-summed — bit-identical to the DuckDB
+        oracle (oracle.bm25_topn_oracle) which evaluates the same
+        expression left-to-right.  Query-term multiplicity counts, exactly
+        as ``scores`` (reference BM25_Model.py:38-52 loops query tokens)."""
+        tf64, idf64, denom64 = self._exact_arrays()
+        s = np.zeros(tf64.shape[0], dtype=np.int64)
+        for t in cut(query, self.mode):
+            j = self.vocab.get(t)
+            if j is None:
+                continue
+            tf_j = tf64[:, j]
+            contrib = idf64[j] * tf_j * (self.k1 + 1.0) / (tf_j + denom64)
+            s += np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+        return s
+
+    def topn_micros(self, query: str, n: int,
+                    tie_ids: np.ndarray | None = None
+                    ) -> list[tuple[int, int]]:
+        """(doc_index, score_micros) for the n highest POSITIVE scores,
+        ordered by (score desc, tie_ids asc — defaults to doc index).
+        Zero-score docs are excluded so the output set is exactly 'docs
+        sharing ≥1 query term', the set the SQL oracle's join produces."""
+        s = self.scores_micros(query)
+        pos = np.flatnonzero(s > 0)
+        if len(pos) == 0:
+            return []
+        ids = pos if tie_ids is None else np.asarray(tie_ids)[pos]
+        order = np.lexsort((ids, -s[pos]))[:min(n, len(pos))]
+        return [(int(pos[i]), int(s[pos[i]])) for i in order]
+
 
 class CharNgramVectorizer:
     """Hashing-trick char-ngram cosine — the deterministic, model-free
@@ -137,29 +193,41 @@ class CandidateGenerator:
     the reference's recall-stage output shape (Bulid_Data_Model.py:62-68)."""
 
     def __init__(self, dictionary_path: str, mode: str = "word", top_n: int = 10,
-                 text_col: str = "surface"):
+                 text_col: str = "surface", exact: bool = False):
         t = pq.read_table(dictionary_path)
         self.names = t["name"].to_pylist()
         self.entity_ids = t["entity_id"].to_pylist()
         self.index = BM25Index(self.names, mode=mode)
         self.top_n = top_n
         self.text_col = text_col
+        self.exact = exact
+        self._tie = np.asarray(self.entity_ids, np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         queries = batch[self.text_col].to_pylist()
         q_out, cid, cname, score, rank = [], [], [], [], []
         for q in queries:
-            for r, (i, s) in enumerate(self.index.topn(q, self.top_n)):
+            if self.exact:
+                # micros-exact tier: positive-score candidates only,
+                # (score desc, entity_id asc) order — the SQL-checkable
+                # contract (oracle.bm25_topn_oracle)
+                top = [(i, s / 1e6) for i, s in
+                       self.index.topn_micros(q, self.top_n, self._tie)]
+            else:
+                top = [(i, round(s, 6)) for i, s in
+                       self.index.topn(q, self.top_n)]
+            for r, (i, s) in enumerate(top):
                 q_out.append(q)
                 cid.append(self.entity_ids[i])
                 cname.append(self.names[i])
-                score.append(round(s, 6))
+                score.append(s)
                 rank.append(r)
         return pa.table({
             "query": pa.array(q_out, pa.string()),
             "candidate_id": pa.array(cid, pa.int64()),
             "candidate_name": pa.array(cname, pa.string()),
-            "score": pa.array(score, pa.float32()),
+            "score": pa.array(score,
+                              pa.float64() if self.exact else pa.float32()),
             "rank": pa.array(rank, pa.int32()),
         })
 
