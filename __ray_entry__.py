@@ -347,13 +347,14 @@ def _q_ner_span_model(sf_dir: str):
 
 
 def _q_linking_recall(sf_dir: str):
-    """BM25 recall@{1,5} over alias→canonical queries (rows-only: BM25 is
-    not SQL-expressible).  Exact row-mean, not the reference's biased
-    block-average (run.py:47)."""
+    """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
+    scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
+    Exact row-mean, not the reference's biased block-average (run.py:47)."""
     import pandas as pd
     import pyarrow.parquet as pq
     import ray.data as rd
     from deepkg_ray import synth
+    from deepkg_ray.functions.numeric import round6
     from deepkg_ray.stages.linking import CandidateGenerator
     from deepkg_ray.stages.scoring import recall_at_n_ds
     dict_path = synth.dictionary_path(sf_dir)
@@ -366,12 +367,13 @@ def _q_linking_recall(sf_dir: str):
     qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
     cands = qds.map_batches(
         CandidateGenerator,
-        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5},
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
+                               "exact": True},
         batch_format="pyarrow", concurrency=(1, 4)).materialize()
     return pd.DataFrame({
         "n_queries": [len(gold)],
-        "recall_at_1": [round(recall_at_n_ds(cands, gold, 1), 6)],
-        "recall_at_5": [round(recall_at_n_ds(cands, gold, 5), 6)],
+        "recall_at_1": [float(round6(recall_at_n_ds(cands, gold, 1)))],
+        "recall_at_5": [float(round6(recall_at_n_ds(cands, gold, 5)))],
     })
 
 
@@ -875,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "native_join_revenue": oracle.segment_revenue_oracle(),
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
+        "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),

@@ -1053,18 +1053,20 @@ c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT {k}
 """
 
-def bm25_topn_oracle(sf_dir: str, top_n: int = 5) -> str:
-    """Okapi BM25 top-N candidates over the synthesized name dictionary,
-    exactly as stages/linking.BM25Index.topn_micros computes them: idf
-    pre-rounded to micros, each per-(query-term-occurrence, doc)
-    contribution evaluated left-to-right in float64
+def _bm25_ctes(sf_dir: str, query_cte: str) -> str:
+    """Shared Okapi BM25 scoring CTE chain, exactly as
+    stages/linking.BM25Index.topn_micros computes scores: idf pre-rounded
+    to micros, each per-(query-term-occurrence, doc) contribution evaluated
+    left-to-right in float64
     (``idf * tf * 2.5 / (tf + 1.5*(1 - 0.75 + 0.75*dl/avgdl))``), rounded
     to int64 micros, integer-summed; positive scores only; rank by
-    (score desc, entity_id).  Reference semantics: Okapi scoring loop of
+    (score desc, entity_id).  ``query_cte`` must define ``q(query [, ...])``.
+    Reference semantics: Okapi scoring loop of
     Normalization/recall/model/BM25_Model.py:38-72."""
     p = synth.dictionary_path(sf_dir)
     return f"""
 WITH dict AS (SELECT entity_id, name, aliases FROM read_parquet('{p}')),
+{query_cte},
 dtok AS (SELECT entity_id, unnest(regexp_extract_all(name, '[a-z0-9]+')) AS tok
          FROM dict),
 tf AS (SELECT entity_id, tok, CAST(count(*) AS DOUBLE) AS tf
@@ -1079,7 +1081,6 @@ idf AS (SELECT tok,
                floor(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                      * 1e6 + 0.5) / 1e6 AS idf
         FROM df, stats s),
-q AS (SELECT DISTINCT unnest(aliases) AS query FROM dict),
 qtok AS (SELECT query, unnest(regexp_extract_all(query, '[a-z0-9]+')) AS tok
          FROM q),
 contrib AS (
@@ -1098,9 +1099,41 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query
                                  ORDER BY s DESC, entity_id) - 1
               AS INTEGER) AS rank
-  FROM score WHERE s > 0)
+  FROM score WHERE s > 0)"""
+
+
+def bm25_topn_oracle(sf_dir: str, top_n: int = 5) -> str:
+    """BM25 top-N per DISTINCT alias surface — see _bm25_ctes."""
+    q = "q AS (SELECT DISTINCT unnest(aliases) AS query FROM dict)"
+    return _bm25_ctes(sf_dir, q) + f"""
 SELECT r.query, r.entity_id AS candidate_id, d.name AS candidate_name,
        CAST(r.s AS DOUBLE) / 1e6 AS score, r.rank
 FROM ranked r JOIN dict d ON d.entity_id = r.entity_id
 WHERE r.rank < {top_n}
+"""
+
+
+def linking_recall_oracle(sf_dir: str) -> str:
+    """recall@1 / recall@5 of the canonical name among BM25 candidates,
+    over non-canonical alias surfaces (gold = the alias's own entity name)
+    — the reference recall evaluation (Normalization run.py:39-50) as exact
+    row-mean (0/1 sums are exact in float64, so one divide + round6 matches
+    the engine bit-for-bit)."""
+    q = ("q AS (SELECT DISTINCT a.query, dict.name AS gold FROM dict, "
+         "unnest(dict.aliases) AS a(query) WHERE a.query <> dict.name)")
+    return _bm25_ctes(sf_dir, q) + """
+, hits AS (
+  SELECT q.query,
+         max(CASE WHEN r.rank < 1 AND d.name = q.gold THEN 1 ELSE 0 END) AS h1,
+         max(CASE WHEN r.rank < 5 AND d.name = q.gold THEN 1 ELSE 0 END) AS h5
+  FROM q
+  LEFT JOIN ranked r ON r.query = q.query
+  LEFT JOIN dict d ON d.entity_id = r.entity_id
+  GROUP BY q.query)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       floor(CAST(sum(h1) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS recall_at_1,
+       floor(CAST(sum(h5) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS recall_at_5
+FROM hits
 """
