@@ -289,6 +289,18 @@ def _q_linking_candidates(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _q_similarity_join(sf_dir: str):
+    """Prefix-filtered exact-Jaccard R×S similarity join (AllPairs) over a
+    disjoint id split of documents; oracle = the all-pairs SQL ground
+    truth, so the driver check proves the prefix filter loses no pair."""
+    import pyarrow.compute as pc
+    from deepkg_ray.stages.simjoin import similarity_join
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    left = docs.filter(expr="doc_id < 300")
+    right = docs.filter(expr="doc_id >= 300 and doc_id < 600")
+    return similarity_join(left, right, threshold=0.8)
+
+
 def _q_bm25_topn(sf_dir: str):
     """Micros-exact Okapi BM25 top-5 per alias surface (positive scores,
     rank by score desc / entity_id) — the SQL-checkable tier of the recall
@@ -825,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
         "bm25_topn": _q_bm25_topn,
+        "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
@@ -878,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
+        "similarity_join": oracle.similarity_join_oracle(threshold=0.8),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),

@@ -1137,3 +1137,31 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
          / 1e6 AS recall_at_5
 FROM hits
 """
+
+def similarity_join_oracle(threshold: float = 0.4, left_max: int = 300,
+                           right_max: int = 600) -> str:
+    """Exact word-token-set Jaccard R×S join over a bounded id slice of
+    documents (left = ids < left_max, right = ids in [left_max, right_max))
+    — the all-pairs ground truth for stages/simjoin.similarity_join, whose
+    prefix-filtered plan must produce the identical pair set and round6
+    jaccards (integer ∩/∪ counts, one float64 divide on both sides)."""
+    return f"""
+WITH l AS (SELECT doc_id, text FROM documents WHERE doc_id < {left_max}),
+r AS (SELECT doc_id, text FROM documents
+      WHERE doc_id >= {left_max} AND doc_id < {right_max}),
+lt AS (SELECT DISTINCT doc_id, tok FROM
+       (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        AS tok FROM l)),
+rt AS (SELECT DISTINCT doc_id, tok FROM
+       (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+        AS tok FROM r)),
+ln AS (SELECT doc_id, count(*) AS n FROM lt GROUP BY doc_id),
+rn AS (SELECT doc_id, count(*) AS n FROM rt GROUP BY doc_id),
+inter AS (SELECT lt.doc_id AS a, rt.doc_id AS b, count(*) AS i
+          FROM lt JOIN rt ON lt.tok = rt.tok GROUP BY lt.doc_id, rt.doc_id),
+jac AS (SELECT a, b,
+               CAST(i AS DOUBLE) / CAST(ln.n + rn.n - i AS DOUBLE) AS j
+        FROM inter JOIN ln ON ln.doc_id = a JOIN rn ON rn.doc_id = b)
+SELECT a AS doc_a, b AS doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
+FROM jac WHERE j >= {threshold}
+"""

@@ -177,3 +177,54 @@ def test_minhash_broadcast_and_join_paths_agree(tmp_path):
     b = jn[cols].sort_values(cols).reset_index(drop=True)
     import pandas.testing as pdt
     pdt.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- similarity join ----
+
+def _simjoin_tables():
+    left = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["alpha beta gamma delta",            # J=1.0 with rid 10
+                 "alpha beta gamma epsilon",          # J=0.6 with rid 10
+                 "totally different words here",      # J=0 with everything
+                 "zeta eta theta iota"]})             # J=1.0 with rid 13
+    right = pd.DataFrame({
+        "doc_id": np.arange(10, 14, dtype=np.int64),
+        "text": ["alpha beta gamma delta",
+                 "unrelated content again",
+                 "more unrelated stuff",
+                 "iota theta eta zeta"]})
+    return rd.from_pandas(left), rd.from_pandas(right)
+
+
+def test_similarity_join_finds_exact_and_misses_below_threshold():
+    from deepkg_ray.stages.simjoin import similarity_join
+    left, right = _simjoin_tables()
+    out = (similarity_join(left, right, threshold=0.7)
+           .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    assert list(zip(out["doc_a"], out["doc_b"])) == [(0, 10), (3, 13)]
+    assert (out["jaccard"] == 1.0).all()
+
+
+def test_similarity_join_modes_agree_with_bruteforce():
+    from deepkg_ray.stages.simjoin import similarity_join, _token_set
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(12)]   # small vocab → real overlaps
+    mk = lambda: " ".join(rng.choice(vocab, size=rng.integers(4, 10)))
+    ldf = pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64),
+                        "text": [mk() for _ in range(25)]})
+    rdf = pd.DataFrame({"doc_id": np.arange(100, 125, dtype=np.int64),
+                        "text": [mk() for _ in range(25)]})
+    thr = 0.5
+    # brute-force ground truth
+    want = set()
+    for a, ta in zip(ldf["doc_id"], ldf["text"]):
+        for b, tb in zip(rdf["doc_id"], rdf["text"]):
+            sa, sb = set(_token_set(ta)), set(_token_set(tb))
+            if sa | sb and len(sa & sb) / len(sa | sb) >= thr:
+                want.add((a, b))
+    assert want, "fixture should produce at least one qualifying pair"
+    for order in ("df", "lex"):
+        out = similarity_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                              threshold=thr, order=order).to_pandas()
+        assert set(zip(out["doc_a"], out["doc_b"])) == want, order
