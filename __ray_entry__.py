@@ -579,6 +579,15 @@ def _q_kg_kcore(sf_dir: str):
     return kcore_nodes(kg.adjacency_dataset(sf_dir), k=3)
 
 
+def _q_kg_bfs(sf_dir: str):
+    """Multi-round BFS hop distances from entity 0 over the built KG
+    (frontier broadcast mode).  Oracle: oracle.kg_bfs_oracle unrolled
+    min-fold rounds."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import bfs_distances
+    return bfs_distances(kg.adjacency_dataset(sf_dir), sources=[0])
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -790,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
         "kg_kcore": _q_kg_kcore,
+        "kg_bfs": _q_kg_bfs,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
@@ -868,6 +878,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
+        "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),

@@ -1165,3 +1165,32 @@ jac AS (SELECT a, b,
 SELECT a AS doc_a, b AS doc_b, floor(j * 1e6 + 0.5) / 1e6 AS jaccard
 FROM jac WHERE j >= {threshold}
 """
+
+def kg_bfs_oracle(sf_dir: str, sources=(0,), rounds: int = 8) -> str:
+    """Unrolled min-fold BFS rounds for stages/graph.bfs_distances over the
+    KG edge list.  The fold is monotone (dists only appear/decrease and hit
+    the hop fixpoint at the graph diameter), so `rounds` beyond the
+    diameter are no-ops — a too-small value would hash-mismatch in the
+    driver comparison itself.  CTEs are MATERIALIZED for the same reason as
+    kg_kcore_oracle (multiple downstream references)."""
+    srcs = ", ".join(f"({int(s)}, 0)" for s in sorted(set(sources)))
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION ALL
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+d0(node, dist) AS (VALUES {srcs})"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.v AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+""")

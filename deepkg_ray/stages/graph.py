@@ -331,8 +331,10 @@ def triangle_count(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
     import ray.data as rd
     if wedge_ds.count() == 0:      # all-empty left side breaks the hash join
         return rd.from_items([{"n_triangles": 0}])
-    closed = wedge_ds.join(simple, join_type="inner",
-                           num_partitions=num_partitions, on=("lo", "hi"))
+    from deepkg_ray.util import drop_empty_blocks
+    closed = drop_empty_blocks(wedge_ds).join(
+        drop_empty_blocks(simple), join_type="inner",
+        num_partitions=num_partitions, on=("lo", "hi"))
     return rd.from_items([{"n_triangles": closed.count()}])
 
 
@@ -401,8 +403,11 @@ def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
             cur = cur.map_batches(keep_alive,
                                   batch_format="pyarrow").materialize()
         else:
-            nodes = alive.drop_columns(["degree"])
-            cur = cur.join(
+            # strip the 0-column empty blocks hash groupbys emit (see
+            # util.drop_empty_blocks) from BOTH join inputs
+            from deepkg_ray.util import drop_empty_blocks
+            nodes = drop_empty_blocks(alive).drop_columns(["degree"])
+            cur = drop_empty_blocks(cur).join(
                 nodes.map_batches(lambda b: b.rename_columns(["u"]),
                                   batch_format="pyarrow"),
                 join_type="inner", num_partitions=num_partitions, on=("u",))
@@ -412,3 +417,95 @@ def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
                 join_type="inner", num_partitions=num_partitions,
                 on=("v",)).materialize()
     return alive
+
+
+def bfs_distances(edges, sources, src_col: str = "subj_id",
+                  dst_col: str = "obj_id", mode: str = "broadcast",
+                  max_rounds: int = 64, num_partitions: int | None = None):
+    """Single/multi-source BFS hop distances over the undirected simple
+    graph induced by the edge table.  Returns a Dataset (node, dist) for
+    every node reachable from ``sources`` (sources at dist 0).
+
+    mode='broadcast': classic frontier expansion — the frontier id array
+    and the visited set live on the driver / in ray.put (right while the
+    node DICTIONARY is driver-sized, as entity vocabularies are); each
+    round is one map_batches edge scan, no shuffle at all.  mode='join':
+    nothing node-sized on the driver — per round one hash join
+    (edges ⋈ frontier) plus one min-groupby, the open-graph 100-TB path;
+    convergence = unchanged reached-node count (monotone nondecreasing).
+    Oracle: oracle.kg_bfs_oracle (unrolled min-fold rounds; BFS folds are
+    monotone so surplus SQL rounds are no-ops)."""
+    import ray
+    import ray.data as rd
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    src_list = sorted({int(s) for s in sources})
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bi = edges.map_batches(bidirect, batch_format="pyarrow").materialize()
+
+    if mode == "broadcast":
+        dist: dict[int, int] = {s: 0 for s in src_list}
+        frontier = np.asarray(src_list, np.int64)
+        for d in range(1, max_rounds + 1):
+            f_ref = ray.put(np.sort(frontier))
+
+            def neighbors(b: pa.Table, ref=f_ref) -> pa.Table:
+                f = ray.get(ref)
+                u = b["u"].to_numpy(zero_copy_only=False)
+                m = (f[np.searchsorted(f, u.clip(f[0], f[-1]))] == u)
+                # per-batch unique keeps the driver collect bounded by the
+                # node dictionary, not the edge count
+                return pa.table({"v": pa.array(
+                    np.unique(b["v"].to_numpy(zero_copy_only=False)[m]),
+                    pa.int64())})
+
+            nxt = np.unique(np.concatenate(
+                [b["v"].to_numpy(zero_copy_only=False) for b in
+                 bi.map_batches(neighbors, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow")] or
+                [np.array([], np.int64)]))
+            frontier = np.asarray([n for n in nxt if n not in dist], np.int64)
+            if len(frontier) == 0:
+                break
+            for n in frontier:
+                dist[int(n)] = d
+        return rd.from_items([{"node": n, "dist": d}
+                              for n, d in sorted(dist.items())])
+
+    if mode != "join":
+        raise ValueError(mode)
+    dist_ds = rd.from_items([{"node": s, "dist": 0} for s in src_list])
+    n_reached = len(src_list)
+
+    def as_frontier(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["node"], "dist": b["dist"]})
+
+    def step(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["v"], "dist": pc.add(b["dist"], 1)})
+
+    from deepkg_ray.util import drop_empty_blocks
+    for _ in range(max_rounds):
+        # groupby Min emits 0-column empty blocks that map_batches passes
+        # through WITHOUT calling the UDF; strip them or the join's schema
+        # resolution fails on right partitions that got only such shards
+        stepped = (bi.join(
+            drop_empty_blocks(dist_ds).map_batches(
+                as_frontier, batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("u",))
+            .map_batches(step, batch_format="pyarrow"))
+        dist_ds = (dist_ds.union(stepped).groupby("node")
+                   .aggregate(Min("dist", alias_name="dist")).materialize())
+        n = dist_ds.count()
+        if n == n_reached:
+            break
+        n_reached = n
+    return dist_ds

@@ -149,3 +149,29 @@ def join_partitions(cap: int = 64) -> int:
     CPUs, capped) — 16 fixed partitions deadlock-adjacent a 4-CPU test
     session and undershoot a 256-node cluster."""
     return max(2, min(cap, cluster_cpus() // 2))
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a dataset keeping only its non-empty blocks.
+
+    Hash-shuffle operators (groupby aggregate / join) emit 0-row blocks with
+    ZERO columns for partitions that received no keys, and map_batches passes
+    empty blocks through WITHOUT invoking the UDF — so a schema-repair lambda
+    never sees them.  A downstream Dataset.join whose hash partition happens
+    to receive only such shards then fails pyarrow schema resolution
+    ("No match ... FieldRef on right side").  This strips them at the block
+    level: the driver touches object refs + metadata only, never block data,
+    so it is metadata-cost even at cluster scale.  Call it on join inputs
+    that derive from a hash groupby.  Executes the dataset if it is lazy —
+    pass materialized inputs to avoid recompute.  If EVERY block is empty the
+    dataset is returned unchanged (callers guard the all-empty case, which
+    breaks pyarrow joins regardless)."""
+    import ray.data as rd
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return ds
+    return rd.from_arrow_refs(refs)

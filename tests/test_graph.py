@@ -141,3 +141,23 @@ def test_kcore_empty_when_k_too_large():
     ds, _ = _pairs_ds([(1, 2), (2, 3)])
     assert graph.kcore_nodes(ds, k=3, src_col="doc_a",
                              dst_col="doc_b").count() == 0
+
+
+def test_bfs_modes_agree_and_match_known_distances():
+    # path 1-2-3-4 plus branch 2-5; node 9-10 disconnected
+    ds, _ = _pairs_ds([(1, 2), (2, 3), (3, 4), (2, 5), (9, 10)])
+    want = {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+    bc = (graph.bfs_distances(ds, [1], src_col="doc_a", dst_col="doc_b")
+          .to_pandas())
+    assert dict(zip(bc["node"], bc["dist"])) == want
+    jn = (graph.bfs_distances(ds, [1], src_col="doc_a", dst_col="doc_b",
+                              mode="join").to_pandas())
+    assert dict(zip(jn["node"], jn["dist"])) == want
+
+
+def test_bfs_multi_source_takes_min_hops():
+    ds, _ = _pairs_ds([(1, 2), (2, 3), (3, 4), (4, 5)])
+    out = (graph.bfs_distances(ds, [1, 5], src_col="doc_a", dst_col="doc_b")
+           .to_pandas())
+    assert dict(zip(out["node"], out["dist"])) == {1: 0, 5: 0, 2: 1,
+                                                   4: 1, 3: 2}

@@ -274,3 +274,27 @@ def test_spread_small_and_state_cache(tmp_path):
         util._cached_instance(K, {"m": np.array([float(i + 2)])})
     assert util._cached_instance(K, {"m": np.array([1.0])}) is not a  # evicted
     util._STATE_CACHE.clear()
+
+
+def test_drop_empty_blocks_strips_groupby_empties():
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    from deepkg_ray import util
+
+    agg = (rd.from_items([{"node": 1, "dist": 0}, {"node": 2, "dist": 1}])
+           .groupby("node").aggregate(Min("dist", alias_name="dist"))
+           .materialize())
+    raw = [ray.get(ref).num_columns
+           for bundle in agg.iter_internal_ref_bundles()
+           for ref, _ in bundle.blocks]
+    assert 0 in raw                        # the hazard this util exists for
+    clean = util.drop_empty_blocks(agg)
+    for bundle in clean.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            assert meta.num_rows > 0
+    assert sorted(map(tuple, clean.to_pandas().itertuples(index=False))) \
+        == [(1, 0), (2, 1)]
+    # all-empty datasets come back unchanged (caller guards that case)
+    empty = rd.from_items([{"x": 1}]).filter(lambda r: False).materialize()
+    assert util.drop_empty_blocks(empty) is empty
