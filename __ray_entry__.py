@@ -737,6 +737,56 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails/URLs/phones) over deterministically
+    PII-augmented text — the public corpus has no PII, so the query injects
+    a doc_id-derived suffix (declared in both engine and oracle), then runs
+    the general scrub operator."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.scrub import augment_pii_kernel, pii_scrub
+    aug = read_documents(sf_dir, ["doc_id", "text"]).map_batches(
+        augment_pii_kernel, batch_format="pyarrow")
+    return pii_scrub(aug)
+
+
+def _q_quality_filter(sf_dir: str):
+    """Gopher-style rule-based quality gate with per-rule flags."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import quality_filter
+    return quality_filter(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark 4-gram decontamination: docs with doc_id%17==0 form the
+    benchmark; every other doc is flagged by distinct shared 4-grams."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.scrub import benchmark_ngrams, decontaminate
+
+    def mod_filter(want_zero: bool):
+        def f(b: pa.Table) -> pa.Table:
+            r = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64) % 17
+            return b.filter(pa.array(r == 0 if want_zero else r != 0))
+        return f
+
+    docs = read_documents(sf_dir, ["doc_id", "text"])
+    bench = benchmark_ngrams(
+        docs.map_batches(mod_filter(True), batch_format="pyarrow"), n=4)
+    return decontaminate(
+        docs.map_batches(mod_filter(False), batch_format="pyarrow"),
+        bench, n=4)
+
+
+def _q_doc_logprob(sf_dir: str):
+    """Per-doc unigram log-likelihood under the corpus' own unigram model
+    (micros-exact ln convention)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import doc_logprob
+    return doc_logprob(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -842,6 +892,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snli_triplets": _q_snli_triplets,
         "stratified_sample": _q_stratified_sample,
         "doc_repetition": _q_doc_repetition,
+        "pii_scrub": _q_pii_scrub,
+        "quality_filter": _q_quality_filter,
+        "decontaminate": _q_decontaminate,
+        "doc_logprob": _q_doc_logprob,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -918,6 +972,10 @@ def oracle_sql() -> dict[str, str]:
         "ck_tokens": oracle.ck_tokens_oracle(SF_ORACLE),
         "stratified_sample": oracle.stratified_sample_oracle(),
         "doc_repetition": oracle.doc_repetition_oracle(),
+        "pii_scrub": oracle.pii_scrub_oracle(),
+        "quality_filter": oracle.quality_filter_oracle(),
+        "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
+        "doc_logprob": oracle.doc_logprob_oracle(),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features

@@ -1194,3 +1194,133 @@ d{i + 1} AS MATERIALIZED (
             + f"""
 SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
 """)
+
+
+# ------------------------------------------------- corpus cleaning oracles --
+
+def pii_scrub_oracle() -> str:
+    """PII scrub over PII-augmented text — the SAME pattern strings as
+    stages/scrub.PII_PATTERNS (imported, not re-typed) feed DuckDB's RE2;
+    the patterns are restricted to the re∩RE2 common subset so counts and
+    replacements agree character for character.  The augmentation suffix
+    mirrors stages/scrub.augment_pii_kernel verbatim."""
+    from deepkg_ray.stages.scrub import PII_PATTERNS
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = "text"
+    for _, pat, rep in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact doc' || doc_id
+              || '@mail.example.com see https://docs.example.org/d/'
+              || doc_id || ' call 202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  {scrub} AS text_scrubbed
+FROM aug
+"""
+
+
+def quality_filter_oracle(min_words: int = 30, max_words: int = 100_000,
+                          min_mean_len: float = 3.0,
+                          max_mean_len: float = 10.0,
+                          min_stop_hits: int = 2) -> str:
+    """Gopher-rule quality gate — mirrors stages/textstats.quality_filter:
+    same stopword inventory (QUALITY_STOPWORDS), same micros rounding for
+    mean_word_len, flags compared on the rounded value."""
+    from deepkg_ray.stages.textstats import QUALITY_STOPWORDS
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_aggregate(list_transform(ws, x -> length(x)),
+                                      'sum'), 0) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(ws,
+              x -> list_contains([{stop_list}], lower(x)))) AS BIGINT)
+           AS stop_hits
+  FROM w),
+m AS (
+  SELECT doc_id, n_words, stop_hits,
+         CASE WHEN n_words > 0 THEN
+           floor(CAST(sum_len AS DOUBLE) / n_words * 1e6 + 0.5) / 1e6
+         ELSE 0.0 END AS mean_word_len
+  FROM s)
+SELECT doc_id, n_words, mean_word_len, stop_hits,
+  CAST(n_words >= {min_words} AND n_words <= {max_words} AS BIGINT)
+    AS flag_words,
+  CAST(mean_word_len >= {min_mean_len} AND mean_word_len <= {max_mean_len}
+    AS BIGINT) AS flag_mean_len,
+  CAST(stop_hits >= {min_stop_hits} AS BIGINT) AS flag_stop,
+  CAST(n_words >= {min_words} AND n_words <= {max_words}
+       AND mean_word_len >= {min_mean_len}
+       AND mean_word_len <= {max_mean_len}
+       AND stop_hits >= {min_stop_hits} AS BIGINT) AS keep
+FROM m
+"""
+
+
+def decontaminate_oracle(n: int = 4, bench_mod: int = 17) -> str:
+    """Benchmark n-gram decontamination — mirrors stages/scrub.decontaminate
+    with the query-level benchmark rule doc_id % bench_mod = 0: n_hits =
+    distinct shared n-grams, over non-benchmark docs only."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(ws) >= {n} THEN list_transform(
+           generate_series(1, len(ws) - {n - 1}),
+           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))
+         ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM d),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {bench_mod} = 0),
+hits AS (
+  SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % {bench_mod} <> 0
+  GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS BIGINT) AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {bench_mod} <> 0
+"""
+
+
+def doc_logprob_oracle() -> str:
+    """Per-doc unigram log-likelihood — mirrors stages/textstats.doc_logprob:
+    per-token micros floor(ln(count/total)*1e6+0.5) then integer SUM (the
+    BM25 ln-parity convention; DuckDB ln and numpy log are both float64
+    libm log on this expression grid)."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+lp AS (
+  SELECT w, CAST(floor(ln(CAST(c AS DOUBLE) / t) * 1e6 + 0.5) AS BIGINT)
+         AS lpm
+  FROM cnt, tot),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(lpm) AS BIGINT) AS logprob_micros
+  FROM tok JOIN lp USING (w) GROUP BY doc_id)
+SELECT doc_id, n_tokens, logprob_micros,
+       logprob_micros / 1e6 AS logprob,
+       floor(CAST(logprob_micros AS DOUBLE) / n_tokens + 0.5) / 1e6
+         AS avg_logprob
+FROM per
+"""

@@ -208,6 +208,151 @@ def explode_sentences(ds, text_col: str = "text",
         explode, batch_format="pyarrow", batch_size=8192)
 
 
+QUALITY_STOPWORDS = ("the", "a", "of", "to", "in")
+
+
+def quality_filter(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_words: int = 30, max_words: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   min_stop_hits: int = 2):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1 shape):
+    per doc emit the raw signals, one 0/1 flag per rule, and
+    keep = AND of flags.  Rules: word count in [min_words, max_words],
+    mean word length in [min_mean_len, max_mean_len], ≥ min_stop_hits
+    occurrences of the tiny stopword inventory.  mean_word_len is round6
+    micros so the value hash matches oracle.quality_filter_oracle.
+    Stateless vectorized kernel — the flag thresholds are plain ints the
+    tasks capture by value."""
+    stop = frozenset(QUALITY_STOPWORDS)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        m = len(texts)
+        n_words = np.empty(m, dtype=np.int64)
+        sum_len = np.empty(m, dtype=np.int64)
+        stop_hits = np.empty(m, dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = _WS.split(t.strip()) if t.strip() else []
+            n_words[i] = len(ws)
+            sum_len[i] = sum(len(w) for w in ws)
+            stop_hits[i] = sum(w.lower() in stop for w in ws)
+        mean_m = np.floor(sum_len / np.maximum(n_words, 1) * 1e6 + 0.5)
+        mean_word_len = np.where(n_words > 0, mean_m / 1e6, 0.0)
+        f_words = ((n_words >= min_words) & (n_words <= max_words))
+        f_len = ((mean_word_len >= min_mean_len)
+                 & (mean_word_len <= max_mean_len))
+        f_stop = stop_hits >= min_stop_hits
+        keep = f_words & f_len & f_stop
+        return pa.table({
+            id_col: b[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_word_len, pa.float64()),
+            "stop_hits": pa.array(stop_hits, pa.int64()),
+            "flag_words": pa.array(f_words.astype(np.int64), pa.int64()),
+            "flag_mean_len": pa.array(f_len.astype(np.int64), pa.int64()),
+            "flag_stop": pa.array(f_stop.astype(np.int64), pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)
+
+
+def doc_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                mode: str = "broadcast"):
+    """Per-document unigram log-likelihood under the corpus' own unigram
+    model — the classic LM-based quality signal (CCNet-style, here with the
+    corpus itself as the model).  p(w) = count(w) / total_tokens over the
+    whole input; per-token contribution floor(ln(count/total)*1e6+0.5) as
+    int64 micros, integer-summed per doc — the BM25 micros convention
+    (linking.BM25Index.scores_micros) generalized, so DuckDB ``ln`` lands
+    on identical values and the query is hash-exact.
+
+    mode='broadcast' (dictionary-bounded vocab): the unigram count table is
+    tree-merged, collected once, shipped via ray.put; one stateless pass
+    scores docs.  mode='join' (open vocab): explode (doc_id, term, tf)
+    rows, hash-join the count table on term, groupby-sum per doc — two
+    shuffles, nothing vocabulary-sized on the driver.
+
+    Output: (doc_id, n_tokens, logprob_micros, logprob, avg_logprob);
+    avg_logprob = floor(micros/n_tokens + 0.5)/1e6 (int64/int64 → float64
+    division, identical in SQL)."""
+    import ray
+
+    from deepkg_ray.stages.phrasemine import ngram_counts
+
+    counts = ngram_counts(ds.select_columns([text_col]), 1, text_col)
+
+    def tf_rows(b: pa.Table) -> pd.DataFrame:
+        rows_id, rows_w = [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            tt = t.lower().strip()
+            for w in (_WS.split(tt) if tt else []):
+                rows_id.append(d)
+                rows_w.append(w)
+        d = pd.DataFrame({id_col: rows_id, "w1": rows_w})
+        return (d.groupby([id_col, "w1"], sort=False).size()
+                .reset_index(name="tf"))
+
+    def add_derived(df: pd.DataFrame) -> pd.DataFrame:
+        df["logprob"] = df["logprob_micros"] / 1e6
+        df["avg_logprob"] = np.floor(
+            df["logprob_micros"].to_numpy(np.float64)
+            / df["n_tokens"].to_numpy(np.float64) + 0.5) / 1e6
+        return df
+
+    if mode == "join":
+        tf = ds.select_columns([id_col, text_col]).map_batches(
+            tf_rows, batch_format="pyarrow")
+        joined = tf.join(counts, join_type="inner", num_partitions=8,
+                         on=("w1",))
+        total = int(counts.sum("cnt"))
+
+        def contrib(b: pa.Table) -> pd.DataFrame:
+            d = b.to_pandas()
+            lpm = np.floor(np.log(d["cnt"].to_numpy(np.float64) / total)
+                           * 1e6 + 0.5).astype(np.int64)
+            d["n_tokens"] = d["tf"].astype(np.int64)
+            d["logprob_micros"] = d["tf"].to_numpy(np.int64) * lpm
+            return (d.groupby(id_col, as_index=False, sort=False)
+                    [["n_tokens", "logprob_micros"]].sum())
+
+        per_doc = joined.map_batches(contrib, batch_format="pyarrow")
+        from deepkg_ray.stages.treeagg import merge_partials
+        merged = merge_partials(per_doc, [id_col],
+                                {"n_tokens": "sum", "logprob_micros": "sum"},
+                                mode="shuffle")
+        return merged.map_batches(add_derived, batch_format="pandas")
+
+    tbl = counts.to_pandas()
+    total = int(tbl["cnt"].sum())
+    lpm = np.floor(np.log(tbl["cnt"].to_numpy(np.float64) / total)
+                   * 1e6 + 0.5).astype(np.int64)
+    ref = ray.put(dict(zip(tbl["w1"], lpm)))
+
+    def score(b: pa.Table) -> pd.DataFrame:
+        lp = ray.get(ref)
+        ids = b[id_col].to_pylist()
+        n_tok = np.zeros(len(ids), dtype=np.int64)
+        micros = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            tt = t.lower().strip()
+            ws = _WS.split(tt) if tt else []
+            n_tok[i] = len(ws)
+            micros[i] = sum(lp[w] for w in ws)
+        d = pd.DataFrame({id_col: ids, "n_tokens": n_tok,
+                          "logprob_micros": micros})
+        d = d[d["n_tokens"] > 0]
+        d["logprob"] = d["logprob_micros"] / 1e6
+        d["avg_logprob"] = np.floor(
+            d["logprob_micros"].to_numpy(np.float64)
+            / d["n_tokens"].to_numpy(np.float64) + 0.5) / 1e6
+        return d
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=8192)
+
+
 def doc_repetition(ds, n: int = 2, text_col: str = "text",
                    id_col: str = "doc_id"):
     """Within-document repetition signal (C4/Gopher-style quality filter):

@@ -1,0 +1,122 @@
+"""PII scrub, quality gate, decontamination, unigram logprob — goldens,
+modes-agree, and DuckDB-parity checks on the regex subset."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deepkg_ray.stages import scrub, textstats
+
+
+def test_pii_scrub_golden():
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": ["mail a.b+c@x.co and http://x.org/p then 123-456-7890",
+                 "clean text no pii"],
+    })
+    out = scrub.pii_scrub_kernel(t).to_pylist()
+    r = out[0]
+    assert (r["n_emails"], r["n_urls"], r["n_phones"]) == (1, 1, 1)
+    assert r["text_scrubbed"] == "mail <EMAIL> and <URL> then <PHONE>"
+    assert out[1]["text_scrubbed"] == "clean text no pii"
+    assert out[1]["n_emails"] == 0
+
+
+def test_pii_patterns_match_duckdb_re2():
+    """The load-bearing parity claim: on adversarial-ish strings, Python re
+    and DuckDB RE2 agree on match counts AND on the replaced text for every
+    PII pattern (greedy backtracking vs RE2 simulation)."""
+    texts = [
+        "a@b.cd x@y.z ab.cd@ef.gh.ij",       # .z TLD too short → no match
+        "https://a.b/c/d http://e.f dangling https://",
+        "000-111-2222 00-111-2222 0000-111-22223",
+        "a.b@c.d.e.fg end",                   # greedy domain backtrack
+        "doc7@mail.example.com see https://docs.example.org/d/7 "
+        "call 202-555-0007",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": texts})
+    eng = scrub.pii_scrub_kernel(t).to_pandas()
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame({"doc_id": range(len(texts)),
+                                       "text": texts}))
+    sel = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}s"
+        for name, pat, _ in scrub.PII_PATTERNS)
+    rep = "text"
+    for _, pat, r in scrub.PII_PATTERNS:
+        rep = f"regexp_replace({rep}, '{pat}', '{r}', 'g')"
+    ora = con.execute(
+        f"SELECT doc_id, {sel}, {rep} AS text_scrubbed FROM docs "
+        "ORDER BY doc_id").df()
+    for col in ["n_emails", "n_urls", "n_phones", "text_scrubbed"]:
+        assert list(eng[col]) == list(ora[col]), col
+
+
+def test_quality_filter_golden(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox dogs " * 10,  # 50 words, stops, keep
+                 "word " * 10,                      # too few words
+                 "supercalifragilistic " * 40],     # mean len > 10, no stops
+    })
+    out = (textstats.quality_filter(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "keep"] == 0 and out.loc[1, "flag_words"] == 0
+    assert out.loc[2, "keep"] == 0
+    assert out.loc[2, "flag_mean_len"] == 0 and out.loc[2, "flag_stop"] == 0
+    assert out.loc[0, "mean_word_len"] == math.floor(
+        (3 + 5 + 5 + 3 + 4) / 5 * 1e6 + 0.5) / 1e6
+
+
+def test_decontaminate_modes_agree(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(60, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(4, 14)))
+                 for _ in range(60)],
+    })
+    ds = rd.from_pandas(docs)
+    bench_mask = docs["doc_id"] % 5 == 0
+    bench = scrub.benchmark_ngrams(
+        rd.from_pandas(docs[bench_mask]), n=3)
+    rest = rd.from_pandas(docs[~bench_mask])
+    b = (scrub.decontaminate(rest, bench, n=3, mode="broadcast")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    j = (scrub.decontaminate(rest, bench, n=3, mode="join")
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    hit = b[b["n_hits"] > 0].reset_index(drop=True)
+    assert len(hit) > 0, "fixture produced no contamination"
+    pd.testing.assert_frame_equal(hit, j, check_dtype=False)
+    # brute-force golden for one contaminated doc
+    gid = int(hit.loc[0, "doc_id"])
+    grams = set(scrub._doc_grams(docs.loc[gid, "text"], 3))
+    bgrams = set()
+    for t in docs[bench_mask]["text"]:
+        bgrams |= set(scrub._doc_grams(t, 3))
+    assert hit.loc[0, "n_hits"] == len(grams & bgrams)
+
+
+def test_doc_logprob_modes_and_golden(ray_session):
+    docs = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["a a b", "b c"]})
+    ds = rd.from_pandas(docs)
+    out = (textstats.doc_logprob(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # corpus counts: a=2, b=2, c=1, total=5
+    lp = {w: math.floor(math.log(c / 5) * 1e6 + 0.5)
+          for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert out.loc[0, "logprob_micros"] == 2 * lp["a"] + lp["b"]
+    assert out.loc[1, "logprob_micros"] == lp["b"] + lp["c"]
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "avg_logprob"] == math.floor(
+        (2 * lp["a"] + lp["b"]) / 3 + 0.5) / 1e6
+    j = (textstats.doc_logprob(ds, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, j[out.columns], check_dtype=False)
