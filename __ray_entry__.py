@@ -787,6 +787,28 @@ def _q_doc_logprob(sf_dir: str):
     return doc_logprob(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_sentence_dedup(sf_dir: str):
+    """C4/RefinedWeb line dedup: first occurrence of each sentence wins;
+    docs reassembled from surviving sentences."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import sentence_dedup
+    return sentence_dedup(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_budget_select(sf_dir: str):
+    """Token-budget corpus selection: highest-quality docs (doc_stats
+    quality, ties by doc_id) until 60% of total tokens is reached —
+    histogram prefix-sum + boundary binary search, never a global sort."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import budget_select
+    from deepkg_ray.stages.textstats import doc_stats
+    stats = doc_stats(read_documents(sf_dir, ["doc_id", "text"])) \
+        .select_columns(["doc_id", "quality", "n_tokens"]).materialize()
+    budget = int(0.6 * int(stats.sum("n_tokens")))
+    return budget_select(stats, budget, score_col="quality",
+                         weight_col="n_tokens", id_col="doc_id")
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -896,6 +918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
+        "sentence_dedup": _q_sentence_dedup,
+        "budget_select": _q_budget_select,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -976,6 +1000,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracle.quality_filter_oracle(),
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),
+        "sentence_dedup": oracle.sentence_dedup_oracle(),
+        "budget_select": oracle.budget_select_oracle(frac=0.6),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features

@@ -1324,3 +1324,46 @@ SELECT doc_id, n_tokens, logprob_micros,
          AS avg_logprob
 FROM per
 """
+
+
+def sentence_dedup_oracle() -> str:
+    """Corpus-wide first-occurrence sentence dedup — mirrors
+    stages/curation.sentence_dedup: same '. ' split + rtrim('.') sentence
+    semantics as conv_sentences, winner = min(doc_id*2^20 + sent_idx),
+    docs reassembled in sent_idx order (docs with no surviving sentence
+    drop)."""
+    return """
+WITH s AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS sent_idx,
+         rtrim(unnest(parts), '.') AS sentence
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)),
+w AS (
+  SELECT sentence, min(doc_id * 1048576 + sent_idx) AS key
+  FROM s GROUP BY sentence),
+k AS (
+  SELECT CAST(key // 1048576 AS BIGINT) AS doc_id,
+         CAST(key % 1048576 AS BIGINT) AS sent_idx, sentence
+  FROM w)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       string_agg(sentence, '. ' ORDER BY sent_idx) AS text_clean
+FROM k GROUP BY doc_id
+"""
+
+
+def budget_select_oracle(frac: float = 0.6) -> str:
+    """Quality-ordered token-budget selection — mirrors
+    stages/curation.budget_select over doc_stats(quality, n_tokens):
+    maximal (quality DESC, doc_id ASC) prefix with running token sum ≤
+    floor(frac × total tokens).  The window running SUM is the ground
+    truth the engine's histogram + boundary binary search must equal."""
+    return f"""
+WITH t AS ({doc_stats_oracle()}),
+b AS (SELECT CAST(floor({frac} * sum(n_tokens)) AS BIGINT) AS budget FROM t),
+w AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+  FROM t)
+SELECT doc_id, quality, n_tokens
+FROM w, b WHERE cum <= budget
+"""

@@ -1,0 +1,141 @@
+"""Corpus curation operators: sentence-level exact dedup and
+budget-constrained quality selection.
+
+- ``sentence_dedup``: C4/RefinedWeb-style line dedup — across the whole
+  corpus, each distinct sentence survives only at its first occurrence
+  (min (doc_id, sent_idx)); documents are re-assembled from their surviving
+  sentences.  Exactly two shuffles: a groupby on the sentence (min-key
+  aggregate — the winner's coordinates are ENCODED in the key, so no join
+  back) and a groupby on doc_id to re-assemble.  Sentence semantics are
+  shared verbatim with textstats.explode_sentences / the SQL oracle
+  ('. ' split, trailing periods stripped).
+
+- ``budget_select``: pick the highest-quality documents until a weight
+  budget (e.g. token count) is exhausted — the data-mixing step that turns
+  quality scores into an actual training set.  Globally this is a prefix
+  sum over the score-desc ordering; the implementation never sorts the
+  data: pass 1 builds a per-score weight histogram (distinct-score-bounded
+  — scores are round6 micros, ≤1e6+1 values by construction), the driver
+  prefix-sums it to find the boundary score, and the boundary GROUP (only)
+  is resolved by an O(log n) distributed binary search over doc_id on a
+  materialized boundary slice — the exact-quantiles trick
+  (stages/quantiles.py) generalized to weighted prefix selection.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SENT_KEY_M = 1 << 20   # sent_idx < 2^20 per doc; key = doc_id*M + sent_idx
+
+
+def sentence_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, n_kept, text_clean): corpus-wide first-occurrence sentence
+    dedup.  Docs whose every sentence lost are dropped (mirrored in
+    oracle.sentence_dedup_oracle)."""
+    from ray.data.aggregate import Min
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        sents: list[str] = []
+        keys: list[int] = []
+        for d, t in zip(ids, b[text_col].to_pylist()):
+            for i, part in enumerate(t.split(". "), start=1):
+                sents.append(part.rstrip("."))
+                keys.append(d * _SENT_KEY_M + i)
+        return pa.table({"sentence": pa.array(sents, pa.string()),
+                         "key": pa.array(keys, pa.int64())})
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+    winners = exploded.groupby("sentence").aggregate(
+        Min("key", alias_name="key"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(k // _SENT_KEY_M, pa.int64()),
+            "sent_idx": pa.array(k % _SENT_KEY_M, pa.int64()),
+            "sentence": b["sentence"],
+        })
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("sent_idx", kind="stable")
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "n_kept": np.asarray([len(g)], dtype=np.int64),
+            "text_clean": [". ".join(g["sentence"])],
+        })
+
+    return (winners.map_batches(decode, batch_format="pyarrow")
+            .groupby(id_col).map_groups(reassemble, batch_format="pandas"))
+
+
+def budget_select(ds, budget: int, score_col: str = "score",
+                  weight_col: str = "weight", id_col: str = "doc_id"):
+    """Rows of ``ds`` forming the maximal (score DESC, id ASC)-ordered
+    prefix whose cumulative weight ≤ budget — returned as the selected
+    (id, score, weight) rows, order-independent (the driver/oracle compare
+    sorts).  Weights must be non-negative ints.
+
+    Scale shape: one distinct-score-bounded tree merge, then ≤ ~log2(n)
+    cheap aggregate probes over ONLY the boundary score group (materialized
+    once); the full dataset is never sorted or collected."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def per_score_partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            score_col: b[score_col].to_numpy(zero_copy_only=False),
+            "w": b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        return d.groupby(score_col, as_index=False, sort=False).sum()
+
+    hist = merge_partials(
+        ds.select_columns([score_col, weight_col]).map_batches(
+            per_score_partial, batch_format="pyarrow"),
+        [score_col], {"w": "sum"}, fanout=2).to_pandas()
+    hist = hist.sort_values(score_col, ascending=False, kind="stable")
+    cum = hist["w"].cumsum()
+    inside = cum <= budget
+    if inside.all():
+        return ds.select_columns([id_col, score_col, weight_col])
+    bpos = int(inside.sum())              # first score group that overflows
+    s_star = hist[score_col].iloc[bpos]
+    remaining = int(budget - (cum.iloc[bpos - 1] if bpos else 0))
+
+    def keep_above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b[score_col], pa.scalar(s_star)))
+
+    def keep_boundary(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b[score_col], pa.scalar(s_star)))
+
+    cols = [id_col, score_col, weight_col]
+    above = ds.select_columns(cols).map_batches(
+        keep_above, batch_format="pyarrow")
+    boundary = ds.select_columns(cols).map_batches(
+        keep_boundary, batch_format="pyarrow").materialize()
+
+    # binary-search the largest id cut with prefix weight ≤ remaining
+    lo = int(boundary.min(id_col)) - 1      # select none
+    hi = int(boundary.max(id_col))          # select all ≤ hi
+    if int(boundary.sum(weight_col)) <= remaining:
+        cut = hi
+    else:
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            got = boundary.map_batches(
+                lambda b, m=mid: b.filter(
+                    pc.less_equal(b[id_col], pa.scalar(m))),
+                batch_format="pyarrow").sum(weight_col)
+            if int(got or 0) <= remaining:
+                lo = mid
+            else:
+                hi = mid
+        cut = lo
+    picked = boundary.map_batches(
+        lambda b: b.filter(pc.less_equal(b[id_col], pa.scalar(cut))),
+        batch_format="pyarrow")
+    return above.union(picked)

@@ -1,0 +1,57 @@
+"""Curation ops: sentence dedup golden + budget_select vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deepkg_ray.stages import curation
+
+
+def test_sentence_dedup_golden(ray_session):
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["alpha beta. gamma delta. alpha beta",  # self-dup sentence
+                 "gamma delta. epsilon",                 # first sentence lost
+                 "alpha beta. gamma delta"],             # fully duplicated
+    })
+    out = (curation.sentence_dedup(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id").sort_index())
+    # doc 0 keeps both first occurrences; its repeated 'alpha beta' loses
+    assert out.loc[0, "text_clean"] == "alpha beta. gamma delta"
+    assert out.loc[0, "n_kept"] == 2
+    assert out.loc[1, "text_clean"] == "epsilon"
+    # doc 2 lost every sentence → dropped entirely
+    assert 2 not in out.index
+
+
+def test_budget_select_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        n = 200
+        df = pd.DataFrame({
+            "doc_id": np.arange(n, dtype=np.int64),
+            # few distinct scores → heavy ties → boundary group is wide
+            "score": rng.choice([0.1, 0.25, 0.5, 0.75], size=n),
+            "weight": rng.integers(0, 50, size=n).astype(np.int64),
+        })
+        total = int(df["weight"].sum())
+        budget = int(total * [0.0, 0.3, 0.7, 1.0][trial])
+        got = curation.budget_select(rd.from_pandas(df), budget).to_pandas()
+        b = df.sort_values(["score", "doc_id"], ascending=[False, True])
+        b = b[b["weight"].cumsum() <= budget]
+        want = b.sort_values("doc_id").reset_index(drop=True)
+        if want.empty:
+            assert got.empty
+            continue
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "score", "weight"]], want, check_dtype=False)
+
+
+def test_budget_select_all_fit(ray_session):
+    df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                       "score": [1.0, 0.5, 0.5, 0.2, 0.1],
+                       "weight": np.array([1, 1, 1, 1, 1], dtype=np.int64)})
+    got = curation.budget_select(rd.from_pandas(df), 100).to_pandas()
+    assert len(got) == 5
