@@ -809,6 +809,14 @@ def _q_budget_select(sf_dir: str):
                          weight_col="n_tokens", id_col="doc_id")
 
 
+def _q_corpus_curate(sf_dir: str):
+    """End-to-end curation pipeline: quality gate → sentence dedup →
+    re-score cleaned text → 60%-token-budget selection."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import corpus_curate
+    return corpus_curate(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -920,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_logprob": _q_doc_logprob,
         "sentence_dedup": _q_sentence_dedup,
         "budget_select": _q_budget_select,
+        "corpus_curate": _q_corpus_curate,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -1002,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_logprob": oracle.doc_logprob_oracle(),
         "sentence_dedup": oracle.sentence_dedup_oracle(),
         "budget_select": oracle.budget_select_oracle(frac=0.6),
+        "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features

@@ -247,7 +247,7 @@ WHERE NOT EXISTS (
 # per-element CAST(floor(x*1e6+0.5) AS BIGINT) then integer SUM.
 # ---------------------------------------------------------------------------
 
-def doc_stats_oracle() -> str:
+def doc_stats_oracle(table: str = "documents") -> str:
     stop = "'the','and','of','to','in'"
     return f"""
 WITH base AS (
@@ -260,7 +260,7 @@ WITH base AS (
          CASE WHEN trim(text) = '' THEN 0
               ELSE len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                                    x -> x IN ({stop}))) END AS n_stop
-  FROM documents
+  FROM {table}
 ), r AS (
   -- ratios as integer-valued micros; quality derived from the micros with
   -- one final floor — mirrors textstats.doc_stats_kernel op for op
@@ -1326,18 +1326,18 @@ FROM per
 """
 
 
-def sentence_dedup_oracle() -> str:
+def sentence_dedup_oracle(table: str = "documents") -> str:
     """Corpus-wide first-occurrence sentence dedup — mirrors
     stages/curation.sentence_dedup: same '. ' split + rtrim('.') sentence
     semantics as conv_sentences, winner = min(doc_id*2^20 + sent_idx),
     docs reassembled in sent_idx order (docs with no surviving sentence
     drop)."""
-    return """
+    return f"""
 WITH s AS (
   SELECT doc_id,
          CAST(unnest(generate_series(1, len(parts))) AS BIGINT) AS sent_idx,
          rtrim(unnest(parts), '.') AS sentence
-  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents)),
+  FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM {table})),
 w AS (
   SELECT sentence, min(doc_id * 1048576 + sent_idx) AS key
   FROM s GROUP BY sentence),
@@ -1359,6 +1359,28 @@ def budget_select_oracle(frac: float = 0.6) -> str:
     truth the engine's histogram + boundary binary search must equal."""
     return f"""
 WITH t AS ({doc_stats_oracle()}),
+b AS (SELECT CAST(floor({frac} * sum(n_tokens)) AS BIGINT) AS budget FROM t),
+w AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum
+  FROM t)
+SELECT doc_id, quality, n_tokens
+FROM w, b WHERE cum <= budget
+"""
+
+
+def corpus_curate_oracle(frac: float = 0.6) -> str:
+    """The composed curation pipeline — quality gate → sentence dedup →
+    re-score cleaned text → budget selection — as one chained-CTE query
+    mirroring stages/curation.corpus_curate stage for stage."""
+    return f"""
+WITH q AS ({quality_filter_oracle()}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN q USING (doc_id) WHERE q.keep = 1),
+sd AS ({sentence_dedup_oracle("kept")}),
+clean AS (SELECT doc_id, text_clean AS text FROM sd),
+t AS ({doc_stats_oracle("clean")}),
 b AS (SELECT CAST(floor({frac} * sum(n_tokens)) AS BIGINT) AS budget FROM t),
 w AS (
   SELECT doc_id, quality, n_tokens,

@@ -139,3 +139,29 @@ def budget_select(ds, budget: int, score_col: str = "score",
         lambda b: b.filter(pc.less_equal(b[id_col], pa.scalar(cut))),
         batch_format="pyarrow")
     return above.union(picked)
+
+
+def corpus_curate(ds, budget_frac: float = 0.6, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """The end-to-end curation pipeline: quality-rule gate →
+    corpus-wide sentence dedup → re-score the CLEANED text → token-budget
+    selection (budget = floor(budget_frac × total cleaned tokens)).
+    Returns the selected (doc_id, quality, n_tokens) rows.
+
+    One streaming pass feeds the dedup shuffles; only the (doc_id, quality,
+    n_tokens) stats table — three scalars per doc — is materialized (it is
+    consumed twice: once for the budget total, once for the histogram
+    selection)."""
+    from deepkg_ray.stages.textstats import doc_stats, filter_by_quality
+
+    kept = filter_by_quality(ds.select_columns([id_col, text_col]),
+                             text_col=text_col)
+    clean = sentence_dedup(kept, text_col=text_col, id_col=id_col)
+    stats = (doc_stats(clean, text_col="text_clean", id_col=id_col)
+             .select_columns([id_col, "quality", "n_tokens"]).materialize())
+    total = stats.sum("n_tokens")
+    if not total:
+        return stats
+    return budget_select(stats, int(budget_frac * int(total)),
+                         score_col="quality", weight_col="n_tokens",
+                         id_col=id_col)

@@ -211,6 +211,50 @@ def explode_sentences(ds, text_col: str = "text",
 QUALITY_STOPWORDS = ("the", "a", "of", "to", "in")
 
 
+def _quality_signals(texts: list[str]):
+    """(n_words, sum_word_len, stop_hits) int64 arrays — the shared raw
+    signals behind quality_filter and filter_by_quality."""
+    stop = frozenset(QUALITY_STOPWORDS)
+    m = len(texts)
+    n_words = np.empty(m, dtype=np.int64)
+    sum_len = np.empty(m, dtype=np.int64)
+    stop_hits = np.empty(m, dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = _WS.split(t.strip()) if t.strip() else []
+        n_words[i] = len(ws)
+        sum_len[i] = sum(len(w) for w in ws)
+        stop_hits[i] = sum(w.lower() in stop for w in ws)
+    return n_words, sum_len, stop_hits
+
+
+def _quality_keep(n_words, sum_len, stop_hits, min_words, max_words,
+                  min_mean_len, max_mean_len, min_stop_hits):
+    """Per-rule flag arrays + keep — mean_word_len compared on the round6
+    value so the engine and the SQL oracle gate identical doubles."""
+    mean_m = np.floor(sum_len / np.maximum(n_words, 1) * 1e6 + 0.5)
+    mean_word_len = np.where(n_words > 0, mean_m / 1e6, 0.0)
+    f_words = ((n_words >= min_words) & (n_words <= max_words))
+    f_len = ((mean_word_len >= min_mean_len)
+             & (mean_word_len <= max_mean_len))
+    f_stop = stop_hits >= min_stop_hits
+    return mean_word_len, f_words, f_len, f_stop, f_words & f_len & f_stop
+
+
+def filter_by_quality(ds, text_col: str = "text",
+                      min_words: int = 30, max_words: int = 100_000,
+                      min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                      min_stop_hits: int = 2):
+    """Row filter applying the quality_filter keep rule in place — keeps
+    ALL input columns (quality_filter emits the diagnostic flag table
+    instead)."""
+    def kernel(b: pa.Table) -> pa.Table:
+        sig = _quality_signals(b[text_col].to_pylist())
+        keep = _quality_keep(*sig, min_words, max_words, min_mean_len,
+                             max_mean_len, min_stop_hits)[4]
+        return b.filter(pa.array(keep))
+    return ds.map_batches(kernel, batch_format="pyarrow", batch_size=8192)
+
+
 def quality_filter(ds, text_col: str = "text", id_col: str = "doc_id",
                    min_words: int = 30, max_words: int = 100_000,
                    min_mean_len: float = 3.0, max_mean_len: float = 10.0,
@@ -223,26 +267,12 @@ def quality_filter(ds, text_col: str = "text", id_col: str = "doc_id",
     micros so the value hash matches oracle.quality_filter_oracle.
     Stateless vectorized kernel — the flag thresholds are plain ints the
     tasks capture by value."""
-    stop = frozenset(QUALITY_STOPWORDS)
-
     def kernel(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        m = len(texts)
-        n_words = np.empty(m, dtype=np.int64)
-        sum_len = np.empty(m, dtype=np.int64)
-        stop_hits = np.empty(m, dtype=np.int64)
-        for i, t in enumerate(texts):
-            ws = _WS.split(t.strip()) if t.strip() else []
-            n_words[i] = len(ws)
-            sum_len[i] = sum(len(w) for w in ws)
-            stop_hits[i] = sum(w.lower() in stop for w in ws)
-        mean_m = np.floor(sum_len / np.maximum(n_words, 1) * 1e6 + 0.5)
-        mean_word_len = np.where(n_words > 0, mean_m / 1e6, 0.0)
-        f_words = ((n_words >= min_words) & (n_words <= max_words))
-        f_len = ((mean_word_len >= min_mean_len)
-                 & (mean_word_len <= max_mean_len))
-        f_stop = stop_hits >= min_stop_hits
-        keep = f_words & f_len & f_stop
+        n_words, sum_len, stop_hits = _quality_signals(
+            b[text_col].to_pylist())
+        mean_word_len, f_words, f_len, f_stop, keep = _quality_keep(
+            n_words, sum_len, stop_hits, min_words, max_words,
+            min_mean_len, max_mean_len, min_stop_hits)
         return pa.table({
             id_col: b[id_col],
             "n_words": pa.array(n_words, pa.int64()),

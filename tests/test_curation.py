@@ -55,3 +55,35 @@ def test_budget_select_all_fit(ray_session):
                        "weight": np.array([1, 1, 1, 1, 1], dtype=np.int64)})
     got = curation.budget_select(rd.from_pandas(df), 100).to_pandas()
     assert len(got) == 5
+
+
+def test_filter_by_quality_matches_flags(ray_session):
+    from deepkg_ray.stages.textstats import filter_by_quality, quality_filter
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the quick brown fox dogs " * 10, "word " * 10,
+                 "supercalifragilistic " * 40,
+                 "the tiny one of all in a to " * 8],
+    })
+    ds = rd.from_pandas(docs)
+    flags = quality_filter(ds).to_pandas()
+    kept = filter_by_quality(ds).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(
+        flags[flags["keep"] == 1]["doc_id"])
+    assert list(kept.columns) == ["doc_id", "text"]   # all columns preserved
+
+
+def test_corpus_curate_end_to_end(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = ["the", "of", "to", "alpha", "beta", "gamma", "delta", "omega"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [". ".join(
+            " ".join(rng.choice(vocab, size=rng.integers(6, 10)))
+            for _ in range(rng.integers(4, 9))) for _ in range(40)],
+    })
+    out = curation.corpus_curate(rd.from_pandas(docs), budget_frac=0.5) \
+        .to_pandas()
+    assert set(out.columns) == {"doc_id", "quality", "n_tokens"}
+    # budget respected and selection is quality-prefix-shaped
+    assert 0 < len(out) < 40
