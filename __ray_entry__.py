@@ -817,6 +817,14 @@ def _q_corpus_curate(sf_dir: str):
     return corpus_curate(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_embedding_gram(sf_dir: str):
+    """One-pass Gram-matrix reduction over the embedding column (the
+    covariance/PCA building block), micros-exact."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_gram
+    return embedding_gram(read_embeddings(sf_dir, ["embedding"]))
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -929,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": _q_sentence_dedup,
         "budget_select": _q_budget_select,
         "corpus_curate": _q_corpus_curate,
+        "embedding_gram": _q_embedding_gram,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -1012,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_dedup": oracle.sentence_dedup_oracle(),
         "budget_select": oracle.budget_select_oracle(frac=0.6),
         "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),
+        "embedding_gram": oracle.embedding_gram_oracle(dim=64),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
         # linking_candidates, multimodal_features

@@ -1389,3 +1389,24 @@ w AS (
 SELECT doc_id, quality, n_tokens
 FROM w, b WHERE cum <= budget
 """
+
+
+def embedding_gram_oracle(dim: int = 64) -> str:
+    """Gram-matrix reduction — mirrors stages/similarity.embedding_gram:
+    per (row, i≤j) micros floor(CAST(e[i] AS DOUBLE)*e[j]*1e6+0.5), integer
+    SUM per cell (1-based i, j as DuckDB lists are 1-based)."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+cell AS (
+  SELECT a.i, b.i AS j,
+         CAST(floor(CAST(e.embedding[a.i] AS DOUBLE)
+                    * CAST(e.embedding[b.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS m
+  FROM embeddings e, idx a, idx b
+  WHERE b.i >= a.i)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(m) AS BIGINT) AS sxy_micros,
+       CAST(sum(m) AS BIGINT) / 1e6 AS sxy
+FROM cell GROUP BY i, j
+"""

@@ -183,3 +183,43 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
         return g
 
     return partial.groupby("query_id").map_groups(finish, batch_format="pandas")
+
+
+def embedding_gram(ds, emb_col: str = "embedding", dim: int | None = None):
+    """Uncentered second-moment (Gram) matrix of the embedding column —
+    the one-pass distributed reduction behind PCA / covariance / whitening:
+    each batch contributes a d×d outer-product partial, the tree merge sums
+    d(d+1)/2 int64 cells, and NOTHING row-shaped ever shuffles.
+
+    Exactness: each per-row product (float32→float64 cast, double multiply)
+    is rounded to int64 micros BEFORE the sum — the numeric.round6
+    convention lifted to a matrix reduction, so the DuckDB oracle's integer
+    SUM over the identical expression grid hash-matches.
+
+    Output rows (i ≤ j, 1-based to match SQL list indexing):
+    (i, j, n, sxy_micros, sxy)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        mat = _as_matrix(b[emb_col]).astype(np.float64)
+        d = mat.shape[1] if dim is None else dim
+        m = np.floor(mat[:, :, None] * mat[:, None, :] * 1e6 + 0.5) \
+            .astype(np.int64).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({
+            "i": (iu + 1).astype(np.int64), "j": (ju + 1).astype(np.int64),
+            "n": np.full(len(iu), len(mat), dtype=np.int64),
+            "sxy_micros": m[iu, ju],
+        })
+
+    merged = merge_partials(
+        ds.select_columns([emb_col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=1024),
+        ["i", "j"], {"n": "sum", "sxy_micros": "sum"}, fanout=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sxy"] = df["sxy_micros"] / 1e6
+        return df
+    return merged.map_batches(finish, batch_format="pandas")

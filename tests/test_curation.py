@@ -87,3 +87,17 @@ def test_corpus_curate_end_to_end(ray_session):
     assert set(out.columns) == {"doc_id", "quality", "n_tokens"}
     # budget respected and selection is quality-prefix-shaped
     assert 0 < len(out) < 40
+
+
+def test_embedding_gram_bruteforce(ray_session):
+    from deepkg_ray.stages.similarity import embedding_gram
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(30, 4)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"embedding": list(mat)}))
+    out = embedding_gram(ds).to_pandas().set_index(["i", "j"]).sort_index()
+    m64 = mat.astype(np.float64)
+    for i in range(4):
+        for j in range(i, 4):
+            want = int(np.floor(m64[:, i] * m64[:, j] * 1e6 + 0.5).sum())
+            assert out.loc[(i + 1, j + 1), "sxy_micros"] == want
+    assert (out["n"] == 30).all()
