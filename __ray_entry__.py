@@ -588,6 +588,14 @@ def _q_kg_bfs(sf_dir: str):
     return bfs_distances(kg.adjacency_dataset(sf_dir), sources=[0])
 
 
+def _q_kg_labelprop(sf_dir: str):
+    """Synchronous label-propagation communities over the built KG
+    (4 rounds, broadcast mode).  Oracle: unrolled QUALIFY-argmax CTEs."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import label_propagation
+    return label_propagation(kg.adjacency_dataset(sf_dir), rounds=4)
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -888,6 +896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": _q_kg_degrees,
         "kg_kcore": _q_kg_kcore,
         "kg_bfs": _q_kg_bfs,
+        "kg_labelprop": _q_kg_labelprop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
@@ -975,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
         "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),
+        "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),

@@ -1410,3 +1410,33 @@ SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
        CAST(sum(m) AS BIGINT) / 1e6 AS sxy
 FROM cell GROUP BY i, j
 """
+
+
+def kg_labelprop_oracle(sf_dir: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation rounds over the KG's
+    undirected simple graph — mirrors stages/graph.label_propagation:
+    argmax neighbor-label count, tie → min label, EXACTLY ``rounds``
+    rounds (synchronous LPA may 2-cycle, so the round count is the
+    contract; the engine's fixpoint short-circuit only fires when further
+    rounds are the identity)."""
+    parts = ["""
+es AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id)),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM es)"""]
+    for i in range(rounds):
+        parts.append(f"""
+c{i + 1} AS MATERIALIZED (
+  SELECT es.u, l.label, count(*) AS cnt
+  FROM es JOIN l{i} l ON l.node = es.v
+  GROUP BY es.u, l.label),
+l{i + 1} AS MATERIALIZED (
+  SELECT u AS node, label FROM c{i + 1}
+  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) = 1)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}
+""")

@@ -509,3 +509,97 @@ def bfs_distances(edges, sources, src_col: str = "subj_id",
             break
         n_reached = n
     return dist_ds
+
+
+def label_propagation(edges, rounds: int = 4, src_col: str = "subj_id",
+                      dst_col: str = "obj_id", mode: str = "broadcast",
+                      num_partitions: int | None = None):
+    """Deterministic synchronous label propagation (community detection)
+    over the undirected SIMPLE graph induced by the edge table: labels
+    start as node ids; each round every node adopts the most frequent
+    label among its distinct neighbors, ties broken by the smaller label.
+    Runs EXACTLY ``rounds`` synchronous rounds in both the engine and the
+    unrolled-CTE oracle — synchronous LPA can 2-cycle on bipartite
+    structures, so round-count parity (not convergence) is the contract;
+    an exact fixpoint (labels unchanged) short-circuits safely since every
+    further round is then the identity.
+
+    mode='broadcast': the label array lives in ray.put (node dictionary is
+    driver-sized, as entity vocabularies are); each round is one shuffle-
+    free edge scan emitting (node, neighbor-label) count partials, tree-
+    merged, argmax on the driver.  mode='join': per round one hash join
+    (edges ⋈ labels on the neighbor) + one count groupby + one per-node
+    argmax groupby — nothing node-sized on the driver (the open-graph
+    path).  Returns a Dataset (node, label)."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.dedup import dedup_pair_rows
+    from deepkg_ray.stages.treeagg import merge_partials
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = dedup_pair_rows(
+        edges.map_batches(bidirect, batch_format="pyarrow"),
+        a_col="u", b_col="v").drop_columns(["n_hits"]).materialize()
+
+    def argmax_frame(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["u", "cnt", "label"],
+                            ascending=[True, False, True], kind="stable")
+        return df.drop_duplicates("u")[["u", "label"]]
+
+    if mode == "join":
+        labels = simple.map_batches(
+            lambda b: pa.table({"v": pc.unique(b["u"]),
+                                "label": pc.unique(b["u"])}),
+            batch_format="pyarrow").groupby("v").aggregate(
+                Min("label", alias_name="label"))
+        for _ in range(rounds):
+            j = simple.join(labels, join_type="inner",
+                            num_partitions=num_partitions, on=("v",))
+            counts = (j.groupby(["u", "label"])
+                      .aggregate(Count(alias_name="cnt")))
+            labels = (counts.groupby("u")
+                      .map_groups(argmax_frame, batch_format="pandas")
+                      .map_batches(lambda b: b.rename_columns(["v", "label"]),
+                                   batch_format="pyarrow"))
+        return labels.map_batches(
+            lambda b: b.rename_columns(["node", "label"]),
+            batch_format="pyarrow")
+
+    nodes = np.unique(np.concatenate(
+        [b["u"].to_numpy(zero_copy_only=False)
+         for b in simple.select_columns(["u"]).iter_batches(
+             batch_format="pyarrow")] or [np.empty(0, np.int64)]))
+    labels_arr = nodes.copy()
+    for _ in range(rounds):
+        ref = ray.put((nodes, labels_arr))
+
+        def partial(b: pa.Table, r=ref) -> pd.DataFrame:
+            nd, lb = ray.get(r)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            lab_v = lb[np.searchsorted(nd, v)]
+            d = pd.DataFrame({"u": u, "label": lab_v})
+            g = d.groupby(["u", "label"], sort=False).size()
+            return g.reset_index(name="cnt")
+
+        merged = merge_partials(
+            simple.map_batches(partial, batch_format="pyarrow"),
+            ["u", "label"], {"cnt": "sum"}, fanout=2).to_pandas()
+        new = argmax_frame(merged).sort_values("u")
+        new_arr = new.set_index("u")["label"].reindex(nodes).to_numpy(
+            dtype=np.int64)
+        if np.array_equal(new_arr, labels_arr):   # exact fixpoint
+            break
+        labels_arr = new_arr
+    return rd.from_pandas(pd.DataFrame({"node": nodes, "label": labels_arr}))

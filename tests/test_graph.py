@@ -161,3 +161,35 @@ def test_bfs_multi_source_takes_min_hops():
            .to_pandas())
     assert dict(zip(out["node"], out["dist"])) == {1: 0, 5: 0, 2: 1,
                                                    4: 1, 3: 2}
+
+
+def test_label_propagation_golden_and_modes(ray_session):
+    import ray.data as rd
+    from deepkg_ray.stages.graph import label_propagation
+    # triangle {0,1,2} + pendant 3-4 chain; node 2 bridges
+    edges = pd.DataFrame({
+        "subj_id": np.array([0, 1, 0, 2, 3], dtype=np.int64),
+        "obj_id": np.array([1, 2, 2, 3, 4], dtype=np.int64),
+    })
+    ds = rd.from_pandas(edges)
+    b = (label_propagation(ds, rounds=4, mode="broadcast").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    j = (label_propagation(ds, rounds=4, mode="join").to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(b, j[["node", "label"]], check_dtype=False)
+    # brute-force synchronous LPA, tie -> min label
+    adj = {0: {1, 2}, 1: {0, 2}, 2: {0, 1, 3}, 3: {2, 4}, 4: {3}}
+    lab = {n: n for n in adj}
+    for _ in range(4):
+        new = {}
+        for n, nb in adj.items():
+            cnt = {}
+            for m in nb:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[n] = best
+        if new == lab:
+            break
+        lab = new
+    want = pd.DataFrame(sorted(lab.items()), columns=["node", "label"])
+    pd.testing.assert_frame_equal(b, want, check_dtype=False)
