@@ -596,6 +596,16 @@ def _q_kg_labelprop(sf_dir: str):
     return label_propagation(kg.adjacency_dataset(sf_dir), rounds=4)
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakly connected components over the built KG (distributed min-label
+    propagation — forced, so the driver gate exercises the 100-TB tier)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import connected_components
+    return connected_components(kg.adjacency_dataset(sf_dir),
+                                a_col="subj_id", b_col="obj_id",
+                                mode="distributed")
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -897,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_bfs": _q_kg_bfs,
         "kg_labelprop": _q_kg_labelprop,
+        "kg_components": _q_kg_components,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
@@ -985,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
         "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),
         "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
+        "kg_components": oracle.kg_components_oracle(SF_ORACLE),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),

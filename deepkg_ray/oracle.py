@@ -1440,3 +1440,22 @@ l{i + 1} AS MATERIALIZED (
             + f"""
 SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}
 """)
+
+
+def kg_components_oracle(sf_dir: str) -> str:
+    """Connected components over the KG's undirected edge graph —
+    recursive transitive-closure CTE (UNION dedups → terminates),
+    component = min reachable node id."""
+    return (f"WITH RECURSIVE {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + """,
+edges2 AS (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+reach(u, v) AS (
+  SELECT u, v FROM edges2
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u)
+SELECT u AS node, least(u, min(v)) AS component
+FROM reach GROUP BY u
+""")
