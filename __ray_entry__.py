@@ -843,6 +843,16 @@ def _q_embedding_gram(sf_dir: str):
     return embedding_gram(read_embeddings(sf_dir, ["embedding"]))
 
 
+def _q_doc_len_quantiles(sf_dir: str):
+    """Per-language document-length quantiles — fully distributed grouped
+    histogram + per-group pick (nothing driver-side)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.quantiles import grouped_quantiles_disc
+    return grouped_quantiles_disc(
+        read_documents(sf_dir, ["lang", "n_chars"]), "lang", "n_chars",
+        [0.25, 0.5, 0.75, 0.9])
+
+
 def _q_stratified_sample(sf_dir: str):
     """Per-source deterministic sampling counts (corpus-mixing primitive)."""
     from deepkg_ray.sources.readers import read_documents
@@ -899,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_quantiles": _q_token_quantiles,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -989,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
         "token_quantiles": oracle.token_quantiles_oracle(),
+        "doc_len_quantiles": oracle.grouped_quantiles_oracle(),
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),

@@ -1459,3 +1459,16 @@ reach(u, v) AS (
 SELECT u AS node, least(u, min(v)) AS component
 FROM reach GROUP BY u
 """)
+
+
+def grouped_quantiles_oracle(qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Per-lang n_chars quantiles — mirrors
+    stages/quantiles.grouped_quantiles_disc (quantile_disc semantics)."""
+    qlist = ", ".join(str(q) for q in qs)
+    return f"""
+WITH g AS (
+  SELECT lang, quantile_disc(n_chars, [{qlist}]) AS ql
+  FROM documents GROUP BY lang)
+SELECT lang, unnest([{qlist}]) AS q, CAST(unnest(ql) AS BIGINT) AS value
+FROM g
+"""

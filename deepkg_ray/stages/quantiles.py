@@ -76,3 +76,44 @@ def token_count_quantiles(ds, qs: list[float], text_col: str = "text"):
     counted = ds.map_batches(
         lambda b: add_token_count(b, text_col), batch_format="pyarrow")
     return quantiles_disc(counted, "n_tokens", qs)
+
+
+def grouped_quantiles_disc(ds, group_col: str, col: str, qs: list[float]):
+    """Exact per-group discrete quantiles: per-batch (group, value) count
+    partials → one groupby-Sum shuffle bounded by groups × distinct values
+    → per-group pick inside map_groups (DISTRIBUTED — nothing collects to
+    the driver, unlike the global quantiles_disc whose histogram is
+    driver-picked).  Returns (group, q, value) rows; same quantile_disc
+    index formula as the global path."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: b[group_col].to_pylist(),
+            "value": b[col].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = (df.groupby([group_col, "value"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "value"]).aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("value", kind="stable")
+        values = g["value"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            q_micros = int(np.floor(q * 1e6 + 0.5))
+            idx = max(0, -(-(q_micros * n) // 1_000_000) - 1)
+            pos = int(np.searchsorted(cum, idx + 1, side="left"))
+            out_q.append(q)
+            out_v.append(int(values[min(pos, len(values) - 1)]))
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]] * len(out_q),
+                             "q": np.asarray(out_q, np.float64),
+                             "value": np.asarray(out_v, np.int64)})
+
+    return hist.groupby(group_col).map_groups(pick, batch_format="pandas")

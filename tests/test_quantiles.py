@@ -39,3 +39,24 @@ def test_add_token_count_blank_and_whitespace():
     b = pa.table({"text": ["a b  c", "", "   ", "single"]})
     out = add_token_count(b)["n_tokens"].to_pylist()
     assert out == [3, 0, 0, 1]
+
+
+def test_grouped_quantiles_match_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import grouped_quantiles_disc
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"grp": rng.choice(["a", "b", "c"], size=500),
+                       "x": rng.integers(0, 40, size=500).astype(np.int64)})
+    qs = [0.1, 0.5, 0.9]
+    got = (grouped_quantiles_disc(rd.from_pandas(df), "grp", "x", qs)
+           .to_pandas().sort_values(["grp", "q"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "WITH g AS (SELECT grp, quantile_disc(x, [0.1,0.5,0.9]) ql "
+        "FROM t GROUP BY grp) "
+        "SELECT grp, unnest([0.1,0.5,0.9]) q, "
+        "CAST(unnest(ql) AS BIGINT) AS value FROM g ORDER BY grp, q").df()
+    pd.testing.assert_frame_equal(
+        got.rename(columns={"grp": "grp"}), want, check_dtype=False)
