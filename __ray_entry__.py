@@ -160,6 +160,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(docs, n_docs=docs.count(), k=5)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Posting-list index build per term (df, cf, ordered postings)."""
+    from deepkg_ray.stages.phrasemine import inverted_index
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_pmi_bigrams(sf_dir: str):
     from deepkg_ray.stages.phrasemine import pmi_bigrams
     return pmi_bigrams(_docs(sf_dir, ["text"]))
@@ -606,6 +612,15 @@ def _q_kg_components(sf_dir: str):
                                 mode="distributed")
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Filtered TransE-style negative triples over the built KG
+    (deterministic corruption offsets, positives removed by a distributed
+    left_anti join)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import negative_triples
+    return negative_triples(kg.adjacency_dataset(sf_dir), ks=(1, 7))
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -919,11 +934,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs": _q_kg_bfs,
         "kg_labelprop": _q_kg_labelprop,
         "kg_components": _q_kg_components,
+        "kg_negatives": _q_kg_negatives,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
+        "inverted_index": _q_inverted_index,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_bigrams": _q_pmi_bigrams,
         "neighbor_entropy": _q_neighbor_entropy,
@@ -1009,10 +1026,12 @@ def oracle_sql() -> dict[str, str]:
         "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),
         "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
         "kg_components": oracle.kg_components_oracle(SF_ORACLE),
+        "kg_negatives": oracle.kg_negatives_oracle(SF_ORACLE, ks=(1, 7)),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
+        "inverted_index": oracle.inverted_index_oracle(),
         "tfidf_top_terms": oracle.tfidf_top_terms_oracle(k=5),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),

@@ -1472,3 +1472,40 @@ WITH g AS (
 SELECT lang, unnest([{qlist}]) AS q, CAST(unnest(ql) AS BIGINT) AS value
 FROM g
 """
+
+
+def inverted_index_oracle() -> str:
+    """Posting-list build — mirrors stages/phrasemine.inverted_index:
+    same lower+trim+\\s+ tokenization as the tf/idf family, postings as
+    ascending comma-joined doc_ids."""
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents WHERE trim(text) <> ''),
+td AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY term, doc_id)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM td GROUP BY term
+"""
+
+
+def kg_negatives_oracle(sf_dir: str, ks=(1, 7)) -> str:
+    """Filtered negative sampling — mirrors stages/graph.negative_triples
+    over the deduplicated (subj_id, pred, obj_id) adjacency: corruption
+    (s, p, (o+k) mod V), V = 1 + max entity id, minus real positives."""
+    klist = ", ".join(str(int(k)) for k in ks)
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + f""",
+adj AS MATERIALIZED (SELECT DISTINCT subj_id, pred, obj_id FROM triples),
+vv AS (SELECT 1 + greatest(max(subj_id), max(obj_id)) AS n FROM adj),
+cand AS (
+  SELECT subj_id, pred, (obj_id + k) % n AS obj_neg, CAST(k AS BIGINT) AS k
+  FROM adj, vv, (SELECT unnest([{klist}]) AS k))
+SELECT c.subj_id, c.pred, CAST(c.obj_neg AS BIGINT) AS obj_neg, c.k
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM adj a
+  WHERE a.subj_id = c.subj_id AND a.pred = c.pred AND a.obj_id = c.obj_neg)
+""")

@@ -603,3 +603,53 @@ def label_propagation(edges, rounds: int = 4, src_col: str = "subj_id",
             break
         labels_arr = new_arr
     return rd.from_pandas(pd.DataFrame({"node": nodes, "label": labels_arr}))
+
+
+def negative_triples(adj, ks=(1, 7), src_col: str = "subj_id",
+                     pred_col: str = "pred", dst_col: str = "obj_id",
+                     n_entities: int | None = None,
+                     num_partitions: int | None = None):
+    """TransE-style filtered negative sampling over a deduplicated triple
+    table: for each positive (s, p, o) and each offset k, the corruption
+    (s, p, (o+k) mod V) — deterministic, so the sample is reproducible on
+    any partitioning — minus every corruption that collides with a REAL
+    positive (the standard 'filtered' setting), removed by a distributed
+    left_anti hash join on (s, p, o').  V defaults to 1 + max entity id.
+    Returns (subj_id, pred, obj_neg, k)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    edges = adj.select_columns([src_col, pred_col, dst_col])
+    if n_entities is None:
+        mx = edges.map_batches(
+            lambda b: pa.table({"m": pa.array(
+                [max(int(pc.max(b[src_col]).as_py() or 0),
+                     int(pc.max(b[dst_col]).as_py() or 0))], pa.int64())}),
+            batch_format="pyarrow")
+        n_entities = 1 + int(mx.max("m"))
+    v = int(n_entities)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b[pred_col].to_pylist()
+        o = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        outs, outp, outo, outk = [], [], [], []
+        for k in ks:
+            outs.append(s)
+            outp.extend(p)
+            outo.append((o + int(k)) % v)
+            outk.append(np.full(len(s), int(k), dtype=np.int64))
+        return pa.table({
+            src_col: pa.array(np.concatenate(outs), pa.int64()),
+            pred_col: pa.array(outp, b.schema.field(pred_col).type),
+            "obj_neg": pa.array(np.concatenate(outo), pa.int64()),
+            "k": pa.array(np.concatenate(outk), pa.int64()),
+        })
+
+    cand = edges.map_batches(corrupt, batch_format="pyarrow")
+    pos = edges.map_batches(
+        lambda b: b.rename_columns([src_col, pred_col, "obj_neg"]),
+        batch_format="pyarrow")
+    return cand.join(pos, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=(src_col, pred_col, "obj_neg"))

@@ -448,3 +448,42 @@ def phrase_quality_scores(ds, topk: int = 50, min_count: int = 2,
     df = df.sort_values(["quality", "phrase"], ascending=[False, True],
                         kind="stable").head(topk).reset_index(drop=True)
     return df[["phrase", "cnt", "quality"]]
+
+
+def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Search-index construction: per term emit document frequency (df),
+    collection frequency (cf), and the posting list as a comma-joined
+    doc_id string in ascending id order (string-encoded so the row is a
+    flat hashable scalar — the SQL oracle's string_agg ORDER BY mirrors
+    it).  One shuffle: per-batch (term, doc_id, tf) partials are already
+    one row per (term, doc) — docs are batch-local — then a term groupby
+    co-locates each posting list.
+
+    Scale note: a hot term's posting list lands in ONE group; for web-scale
+    vocabularies cap or shard postings (e.g. segment by doc_id range) —
+    this emits the classic single-segment index."""
+    def explode(b: pa.Table) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            cnt: dict[str, int] = {}
+            for w in _tokens(t):
+                cnt[w] = cnt.get(w, 0) + 1
+            ids.extend([d] * len(cnt))
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+        return pd.DataFrame({"term": terms,
+                             id_col: np.asarray(ids, np.int64),
+                             "tf": np.asarray(tfs, np.int64)})
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": np.asarray([len(g)], np.int64),
+            "cf": np.asarray([int(g["tf"].sum())], np.int64),
+            "postings": [",".join(str(int(d)) for d in g[id_col])],
+        })
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(explode, batch_format="pyarrow")
+            .groupby("term").map_groups(build, batch_format="pandas"))

@@ -193,3 +193,21 @@ def test_label_propagation_golden_and_modes(ray_session):
         lab = new
     want = pd.DataFrame(sorted(lab.items()), columns=["node", "label"])
     pd.testing.assert_frame_equal(b, want, check_dtype=False)
+
+
+def test_negative_triples_filtered(ray_session):
+    import ray.data as rd
+    from deepkg_ray.stages.graph import negative_triples
+    adj = pd.DataFrame({
+        "subj_id": np.array([0, 0, 1], dtype=np.int64),
+        "pred": ["r", "r", "s"],
+        "obj_id": np.array([1, 2, 2], dtype=np.int64),
+    })
+    # V = 3; corruption k=1: (0,r,2) collides with positive -> filtered
+    out = (negative_triples(rd.from_pandas(adj), ks=(1,))
+           .to_pandas().sort_values(["subj_id", "pred", "obj_neg"])
+           .reset_index(drop=True))
+    want = {(0, "r", 0), (1, "s", 0)}   # (0,r,2) dropped as a positive
+    assert set(map(tuple, out[["subj_id", "pred", "obj_neg"]]
+                   .itertuples(index=False))) == want
+    assert (out["k"] == 1).all()

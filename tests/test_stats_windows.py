@@ -393,3 +393,15 @@ def test_heavy_hitter_tokens_exact_and_certified():
     # a hopeless budget must refuse, not silently approximate
     with pytest.raises(ValueError, match="cannot certify"):
         heavy_hitter_tokens(ds, k=10, budget=2)
+
+
+def test_inverted_index_golden(ray_session):
+    from deepkg_ray.stages.phrasemine import inverted_index
+    docs = pd.DataFrame({"doc_id": np.array([3, 1, 2], dtype=np.int64),
+                         "text": ["b a a", "a c", "b b"]})
+    out = (inverted_index(rd.from_pandas(docs)).to_pandas()
+           .set_index("term").sort_index())
+    assert out.loc["a", "postings"] == "1,3"
+    assert out.loc["a", "df"] == 2 and out.loc["a", "cf"] == 3
+    assert out.loc["b", "postings"] == "2,3"
+    assert out.loc["b", "cf"] == 3 and out.loc["c", "df"] == 1
