@@ -92,6 +92,17 @@ def _q_transcript_stats(sf_dir: str):
                        Count(alias_name="n_convs")))
 
 
+def _q_turn_latency(sf_dir: str):
+    """Role-transition latency stats (salted blocks + 1-turn overlap
+    carry so hot conversations never straggle)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import turn_latency
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "role", "ts"])
+    return turn_latency(ds)
+
+
 def _q_conv_cumulative_triples(sf_dir: str):
     from deepkg_ray.pipelines import kg
     return kg.conv_cumulative_triples(sf_dir)
@@ -912,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
+        "turn_latency": _q_turn_latency,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
         "conv_context": _q_conv_context,
         # text analysis / dedup over documents
@@ -1008,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
+        "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
         "conv_context": oracle.conv_context_oracle(SF_ORACLE),
         "extraction_prf": oracle.prf_sql(SF_ORACLE),

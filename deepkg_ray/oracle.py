@@ -1509,3 +1509,25 @@ WHERE NOT EXISTS (
   SELECT 1 FROM adj a
   WHERE a.subj_id = c.subj_id AND a.pred = c.pred AND a.obj_id = c.obj_neg)
 """)
+
+
+def turn_latency_oracle(sf_dir: str) -> str:
+    """Role-transition latency — mirrors stages/convgroup.turn_latency:
+    lag() adjacency per conversation in turn order, integer-microsecond
+    deltas, avg = floor(total/n + 0.5)."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+l AS (
+  SELECT role AS to_role,
+         lag(role) OVER w AS from_role,
+         us - lag(us) OVER w AS delta
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(delta) AS BIGINT) AS total_us,
+       CAST(floor(CAST(sum(delta) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+         AS avg_us
+FROM l WHERE from_role IS NOT NULL
+GROUP BY from_role, to_role
+"""

@@ -132,3 +132,63 @@ def conv_context_windows(ds, *, window: int = 2, turns_per_salt: int = 256):
 
     return salted.groupby(["conv_id", "salt"]).map_groups(
         per_block, batch_format="pandas")
+
+
+def turn_latency(ds, *, n_parts: int = 64):
+    """Role-transition latency stats over the transcript table:
+    for every adjacent turn pair within a conversation (turn order, the
+    SQL lag() adjacency), emit (from_role, to_role) with the timestamp
+    delta in integer microseconds; aggregate to
+    (from_role, to_role, n, total_us, avg_us).
+
+    Shuffle shape: the transition kernel is a vectorized O(n log n)
+    sort+diff, so hot conversations need co-location, NOT salting — rows
+    are hashed into ``n_parts`` conversation-complete coarse partitions
+    (one groupby over ~n_parts groups, each processed with one vectorized
+    pandas pass); a whole hot conversation in one task is cheap here,
+    unlike the per-turn text ops that motivate the salted tier above.
+    avg_us = floor(total/n + 0.5) evaluated identically in SQL."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        us = b["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "role": b["role"], "us": us,
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    parted = ds.select_columns(["conv_id", "turn_idx", "role", "ts"]) \
+        .map_batches(add_part, batch_format="pyarrow")
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        same = g["conv_id"].to_numpy()[1:] == g["conv_id"].to_numpy()[:-1]
+        roles = g["role"].to_numpy()
+        us = g["us"].to_numpy(dtype=np.int64)
+        if len(g) < 2 or not same.any():
+            return pd.DataFrame({"from_role": [], "to_role": [],
+                                 "n": [], "total_us": []})
+        d = pd.DataFrame({"from_role": roles[:-1][same],
+                          "to_role": roles[1:][same],
+                          "delta": (us[1:] - us[:-1])[same]})
+        return (d.groupby(["from_role", "to_role"], sort=False)
+                .agg(n=("delta", "size"), total_us=("delta", "sum"))
+                .reset_index())
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    merged = merge_partials(
+        parted.groupby("part").map_groups(per_partition,
+                                          batch_format="pandas"),
+        ["from_role", "to_role"], {"n": "sum", "total_us": "sum"}, fanout=1)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n"] = df["n"].astype(np.int64)
+        df["total_us"] = df["total_us"].astype(np.int64)
+        df["avg_us"] = np.floor(df["total_us"].to_numpy(np.float64)
+                                / df["n"].to_numpy(np.float64)
+                                + 0.5).astype(np.int64)
+        return df
+    return merged.map_batches(finish, batch_format="pandas")

@@ -81,3 +81,25 @@ def test_build_kg_resumable(sf_dir, synth_dir, tmp_path):
     # metrics/lineage table exists with one row per partition
     mt = pq.read_table(f"{out_dir}/metrics.parquet").to_pandas()
     assert len(mt) == n_parts and (mt["rows_out"] > 0).all()
+
+
+def test_turn_latency_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.convgroup import turn_latency
+    ts0 = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    # conv A: u(0s) -> a(1s) -> u(4s); conv B: a(0s) -> a(10s)
+    for conv, seq in [("A", [("user", 0), ("asst", 1), ("user", 4)]),
+                      ("B", [("asst", 0), ("asst", 10)])]:
+        for i, (role, sec) in enumerate(seq):
+            rows.append({"conv_id": conv, "turn_idx": i, "role": role,
+                         "ts": ts0 + pd.Timedelta(seconds=sec)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (turn_latency(ds).to_pandas()
+           .set_index(["from_role", "to_role"]).sort_index())
+    assert out.loc[("user", "asst"), "total_us"] == 1_000_000
+    assert out.loc[("asst", "user"), "total_us"] == 3_000_000
+    assert out.loc[("asst", "asst"), "total_us"] == 10_000_000
+    assert out.loc[("user", "asst"), "n"] == 1
+    assert out.loc[("asst", "asst"), "avg_us"] == 10_000_000
