@@ -632,6 +632,14 @@ def _q_kg_negatives(sf_dir: str):
     return negative_triples(kg.adjacency_dataset(sf_dir), ks=(1, 7))
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic node2vec-style random walks over the built KG
+    (KG-embedding corpus generation)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import random_walks
+    return random_walks(kg.adjacency_dataset(sf_dir), steps=4, start_mod=3)
+
+
 def _q_kg_degrees(sf_dir: str):
     """Undirected distinct-neighbor degree per entity over the built KG."""
     from deepkg_ray.pipelines import kg
@@ -947,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop": _q_kg_labelprop,
         "kg_components": _q_kg_components,
         "kg_negatives": _q_kg_negatives,
+        "kg_walks": _q_kg_walks,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         # phrase-mining stats
@@ -1040,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
         "kg_components": oracle.kg_components_oracle(SF_ORACLE),
         "kg_negatives": oracle.kg_negatives_oracle(SF_ORACLE, ks=(1, 7)),
+        "kg_walks": oracle.kg_walks_oracle(SF_ORACLE, steps=4, start_mod=3),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),

@@ -1531,3 +1531,34 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
 FROM l WHERE from_role IS NOT NULL
 GROUP BY from_role, to_role
 """
+
+
+def kg_walks_oracle(sf_dir: str, steps: int = 4, start_mod: int = 3) -> str:
+    """Deterministic random walks — mirrors stages/graph.random_walks:
+    neighbors ranked by ascending id (row_number), next-hop rank =
+    (u*2654435761 + t*40503) mod deg + 1, unrolled ``steps`` rounds."""
+    parts = [f"""
+es AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id)),
+er AS MATERIALIZED (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY u ORDER BY v) AS rnk,
+         count(*) OVER (PARTITION BY u) AS deg
+  FROM es),
+w0 AS (SELECT DISTINCT u AS start, u AS cur FROM es
+       WHERE u % {start_mod} = 0)"""]
+    for t in range(1, steps + 1):
+        parts.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT w.start, er.v AS cur
+  FROM w{t - 1} w JOIN er
+    ON er.u = w.cur
+   AND er.rnk = (w.cur * 2654435761 + {t} * 40503) % er.deg + 1)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, cur AS node FROM w{t}"
+        for t in range(steps + 1))
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts) + "\n" + sel)

@@ -653,3 +653,66 @@ def negative_triples(adj, ks=(1, 7), src_col: str = "subj_id",
     return cand.join(pos, join_type="left_anti",
                      num_partitions=num_partitions,
                      on=(src_col, pred_col, "obj_neg"))
+
+
+WALK_C1, WALK_C2 = 2654435761, 40503   # Knuth multiplicative constants
+
+
+def random_walks(edges, steps: int = 4, start_mod: int = 3,
+                 src_col: str = "subj_id", dst_col: str = "obj_id",
+                 num_partitions: int | None = None):
+    """Deterministic node2vec-style random walks over the undirected
+    simple graph — the corpus-generation step of KG-embedding training,
+    made reproducible on any partitioning: from node u at step t the walk
+    moves to the ((u·C1 + t·C2) mod deg(u))-th neighbor in ascending-id
+    order.  Starts = nodes with id % start_mod == 0; returns one row per
+    (start, step, node) visit, steps 0..``steps``.
+
+    Tier: the deduped adjacency (node-dictionary-bounded for entity
+    graphs) is collected once into CSR arrays and every step is a single
+    vectorized gather — the pair dedup is the only shuffle.  For open
+    graphs the same recurrence runs distributed as two hash joins per step
+    (degree, then ranked-neighbor) — documented trade-off; this implements
+    the dictionary tier.
+    Oracle: oracle.kg_walks_oracle (row_number-ranked neighbors,
+    identical recurrence, unrolled)."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.dedup import dedup_pair_rows
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = dedup_pair_rows(
+        edges.map_batches(bidirect, batch_format="pyarrow"),
+        a_col="u", b_col="v").drop_columns(["n_hits"])
+    adj = simple.to_pandas().sort_values(["u", "v"], kind="stable")
+    nodes = np.unique(adj["u"].to_numpy(dtype=np.int64))
+    deg = adj.groupby("u", sort=True).size().to_numpy(dtype=np.int64)
+    indptr = np.zeros(len(nodes) + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    nbrs = adj["v"].to_numpy(dtype=np.int64)
+
+    starts = nodes[nodes % start_mod == 0]
+    cur = starts.copy()
+    out_start = [starts]
+    out_step = [np.zeros(len(starts), dtype=np.int64)]
+    out_node = [starts]
+    for t in range(1, steps + 1):
+        pos = np.searchsorted(nodes, cur)
+        d = deg[pos]
+        idx = (cur * WALK_C1 + t * WALK_C2) % d
+        cur = nbrs[indptr[pos] + idx]
+        out_start.append(starts)
+        out_step.append(np.full(len(starts), t, dtype=np.int64))
+        out_node.append(cur)
+    return rd.from_pandas(pd.DataFrame({
+        "start": np.concatenate(out_start),
+        "step": np.concatenate(out_step),
+        "node": np.concatenate(out_node)}))

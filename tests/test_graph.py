@@ -211,3 +211,24 @@ def test_negative_triples_filtered(ray_session):
     assert set(map(tuple, out[["subj_id", "pred", "obj_neg"]]
                    .itertuples(index=False))) == want
     assert (out["k"] == 1).all()
+
+
+def test_random_walks_deterministic_golden(ray_session):
+    import ray.data as rd
+    from deepkg_ray.stages.graph import WALK_C1, WALK_C2, random_walks
+    edges = pd.DataFrame({
+        "subj_id": np.array([0, 0, 1, 2], dtype=np.int64),
+        "obj_id": np.array([1, 2, 2, 3], dtype=np.int64),
+    })
+    out = (random_walks(rd.from_pandas(edges), steps=2, start_mod=3)
+           .to_pandas())
+    # starts: nodes {0, 3}
+    assert set(out[out["step"] == 0]["node"]) == {0, 3}
+    # hand-walk start 0: nbrs(0)=[1,2]; t=1: (0*C1+1*C2)%2
+    adj = {0: [1, 2], 1: [0, 2], 2: [0, 1, 3], 3: [2]}
+    for s in (0, 3):
+        cur = s
+        for t in (1, 2):
+            cur = adj[cur][(cur * WALK_C1 + t * WALK_C2) % len(adj[cur])]
+            got = out[(out["start"] == s) & (out["step"] == t)]["node"]
+            assert list(got) == [cur], (s, t)
