@@ -103,6 +103,15 @@ def _q_turn_latency(sf_dir: str):
     return turn_latency(ds)
 
 
+def _q_tool_usage(sf_dir: str):
+    """Per (role, tool) usage with distinct-conversation counts."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import tool_usage
+    return tool_usage(rd.read_parquet(
+        synth.transcripts_path(sf_dir), columns=["conv_id", "role", "tool"]))
+
+
 def _q_conv_cumulative_triples(sf_dir: str):
     from deepkg_ray.pipelines import kg
     return kg.conv_cumulative_triples(sf_dir)
@@ -932,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
         "turn_latency": _q_turn_latency,
+        "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
         "conv_context": _q_conv_context,
         # text analysis / dedup over documents
@@ -1030,6 +1040,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
+        "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
         "conv_context": oracle.conv_context_oracle(SF_ORACLE),
         "extraction_prf": oracle.prf_sql(SF_ORACLE),

@@ -1562,3 +1562,15 @@ w{t} AS MATERIALIZED (
         for t in range(steps + 1))
     return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
             + _triples_cte(sf_dir) + "," + ",".join(parts) + "\n" + sel)
+
+
+def tool_usage_oracle(sf_dir: str) -> str:
+    """Per (role, tool) turn + distinct-conversation counts over
+    tool-bearing turns — mirrors stages/convgroup.tool_usage."""
+    return f"""
+SELECT role, tool, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM read_parquet('{_transcripts_glob(sf_dir)}')
+WHERE tool <> ''
+GROUP BY role, tool
+"""

@@ -192,3 +192,22 @@ def turn_latency(ds, *, n_parts: int = 64):
                                 + 0.5).astype(np.int64)
         return df
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def tool_usage(ds):
+    """Per (role, tool) usage stats over tool-bearing turns: turn count and
+    DISTINCT conversations — two-level aggregation (per (role, tool,
+    conv_id) partial first) so the wide shuffle only moves pre-aggregated
+    rows and the distinct-count never materializes a conversation set."""
+    from ray.data.aggregate import Count, Sum
+
+    def keep_tools(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["tool"], pa.scalar("")))
+
+    lv1 = (ds.select_columns(["conv_id", "role", "tool"])
+           .map_batches(keep_tools, batch_format="pyarrow")
+           .groupby(["role", "tool", "conv_id"])
+           .aggregate(Count(alias_name="n")))
+    return (lv1.groupby(["role", "tool"])
+            .aggregate(Sum("n", alias_name="n_turns"),
+                       Count(alias_name="n_convs")))

@@ -103,3 +103,20 @@ def test_turn_latency_golden(ray_session):
     assert out.loc[("asst", "asst"), "total_us"] == 10_000_000
     assert out.loc[("user", "asst"), "n"] == 1
     assert out.loc[("asst", "asst"), "avg_us"] == 10_000_000
+
+
+def test_tool_usage_golden(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.convgroup import tool_usage
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "role": ["asst", "asst", "user", "asst", "asst"],
+        "tool": ["search", "", "calc", "search", "search"],
+    })
+    out = (tool_usage(rd.from_pandas(df)).to_pandas()
+           .set_index(["role", "tool"]).sort_index())
+    assert out.loc[("asst", "search"), "n_turns"] == 3
+    assert out.loc[("asst", "search"), "n_convs"] == 2
+    assert out.loc[("user", "calc"), "n_turns"] == 1
+    assert ("asst", "") not in out.index
