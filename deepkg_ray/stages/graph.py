@@ -660,7 +660,7 @@ WALK_C1, WALK_C2 = 2654435761, 40503   # Knuth multiplicative constants
 
 def random_walks(edges, steps: int = 4, start_mod: int = 3,
                  src_col: str = "subj_id", dst_col: str = "obj_id",
-                 num_partitions: int | None = None):
+                 mode: str = "dict", num_partitions: int | None = None):
     """Deterministic node2vec-style random walks over the undirected
     simple graph — the corpus-generation step of KG-embedding training,
     made reproducible on any partitioning: from node u at step t the walk
@@ -668,12 +668,15 @@ def random_walks(edges, steps: int = 4, start_mod: int = 3,
     order.  Starts = nodes with id % start_mod == 0; returns one row per
     (start, step, node) visit, steps 0..``steps``.
 
-    Tier: the deduped adjacency (node-dictionary-bounded for entity
-    graphs) is collected once into CSR arrays and every step is a single
-    vectorized gather — the pair dedup is the only shuffle.  For open
-    graphs the same recurrence runs distributed as two hash joins per step
-    (degree, then ranked-neighbor) — documented trade-off; this implements
-    the dictionary tier.
+    mode='dict': the deduped adjacency (node-dictionary-bounded for
+    entity graphs) is collected once into CSR arrays and every step is a
+    single vectorized gather — the pair dedup is the only shuffle.
+    mode='join': nothing node-sized on the driver — ranked adjacency
+    (u, v, rnk, deg) is built once with a per-node groupby and each step
+    is ONE hash join (walk frontier ⋈ ranked adjacency on the current
+    node) followed by the rank filter; the join fans out by deg(cur)
+    before filtering, the documented cost of staying join-only (a hub
+    visit expands to its degree for one stage).
     Oracle: oracle.kg_walks_oracle (row_number-ranked neighbors,
     identical recurrence, unrolled)."""
     import ray
@@ -692,6 +695,62 @@ def random_walks(edges, steps: int = 4, start_mod: int = 3,
     simple = dedup_pair_rows(
         edges.map_batches(bidirect, batch_format="pyarrow"),
         a_col="u", b_col="v").drop_columns(["n_hits"])
+
+    if mode == "join":
+        if num_partitions is None:
+            from deepkg_ray.util import join_partitions
+            num_partitions = join_partitions()
+
+        def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("v", kind="stable")
+            return pd.DataFrame({
+                "cur": g["u"].to_numpy(dtype=np.int64),
+                "nxt": g["v"].to_numpy(dtype=np.int64),
+                "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
+                "deg": np.full(len(g), len(g), dtype=np.int64)})
+
+        ranked = simple.groupby("u").map_groups(
+            rank_group, batch_format="pandas").materialize()
+
+        def start_rows(b: pa.Table) -> pa.Table:
+            u = np.unique(b["cur"].to_numpy(zero_copy_only=False))
+            u = u[u % start_mod == 0]
+            return pa.table({"start": pa.array(u, pa.int64()),
+                             "cur": pa.array(u, pa.int64())})
+
+        walks = ranked.map_batches(start_rows, batch_format="pyarrow")             .groupby("start").aggregate(Min("cur", alias_name="cur"))
+        outs = [walks.map_batches(
+            lambda b: pa.table({"start": b["start"],
+                                "step": pa.array(
+                                    np.zeros(b.num_rows, np.int64)),
+                                "node": b["cur"]}),
+            batch_format="pyarrow")]
+        for t in range(1, steps + 1):
+            j = walks.join(ranked, join_type="inner",
+                           num_partitions=num_partitions, on=("cur",))
+
+            def advance(b: pa.Table, tt=t) -> pa.Table:
+                cur = b["cur"].to_numpy(zero_copy_only=False)
+                deg = b["deg"].to_numpy(zero_copy_only=False)
+                rnk = b["rnk"].to_numpy(zero_copy_only=False)
+                pick = rnk == (cur * WALK_C1 + tt * WALK_C2) % deg + 1
+                return pa.table({
+                    "start": pa.array(b["start"].to_numpy(
+                        zero_copy_only=False)[pick], pa.int64()),
+                    "cur": pa.array(b["nxt"].to_numpy(
+                        zero_copy_only=False)[pick], pa.int64())})
+
+            walks = j.map_batches(advance, batch_format="pyarrow")                 .materialize()
+            outs.append(walks.map_batches(
+                lambda b, tt=t: pa.table({
+                    "start": b["start"],
+                    "step": pa.array(np.full(b.num_rows, tt, np.int64)),
+                    "node": b["cur"]}), batch_format="pyarrow"))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.union(o)
+        return out
+
     adj = simple.to_pandas().sort_values(["u", "v"], kind="stable")
     nodes = np.unique(adj["u"].to_numpy(dtype=np.int64))
     deg = adj.groupby("u", sort=True).size().to_numpy(dtype=np.int64)

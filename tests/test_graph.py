@@ -232,3 +232,21 @@ def test_random_walks_deterministic_golden(ray_session):
             cur = adj[cur][(cur * WALK_C1 + t * WALK_C2) % len(adj[cur])]
             got = out[(out["start"] == s) & (out["step"] == t)]["node"]
             assert list(got) == [cur], (s, t)
+
+
+def test_random_walks_modes_agree(ray_session):
+    import ray.data as rd
+    from deepkg_ray.stages.graph import random_walks
+    rng = np.random.default_rng(17)
+    edges = pd.DataFrame({
+        "subj_id": rng.integers(0, 30, size=80).astype(np.int64),
+        "obj_id": rng.integers(0, 30, size=80).astype(np.int64),
+    })
+    edges = edges[edges["subj_id"] != edges["obj_id"]]
+    ds = rd.from_pandas(edges)
+    d = (random_walks(ds, steps=3, start_mod=2, mode="dict").to_pandas()
+         .sort_values(["start", "step"]).reset_index(drop=True))
+    j = (random_walks(ds, steps=3, start_mod=2, mode="join").to_pandas()
+         .sort_values(["start", "step"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(d, j[d.columns], check_dtype=False)
+    assert len(d) > 0
