@@ -54,6 +54,21 @@ def _q_kg_adjacency(sf_dir: str):
     return kg.adjacency_dataset(sf_dir)
 
 
+def _q_kg_incremental(sf_dir: str):
+    """Incremental ingest proof: adjacency built on the first half of the
+    transcript files, then the second half's delta folded in with
+    update_adjacency — must hash-equal the full-rebuild oracle."""
+    import glob
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import (adjacency_dataset_for_files,
+                                         update_adjacency)
+    files = sorted(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
+    half = max(1, len(files) // 2)
+    base = adjacency_dataset_for_files(sf_dir, files[:half])
+    delta = adjacency_dataset_for_files(sf_dir, files[half:])
+    return update_adjacency(base, delta)
+
+
 def _q_kg_entities(sf_dir: str):
     from deepkg_ray.pipelines import kg
     from deepkg_ray.stages.canonical import entity_table
@@ -937,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
+        "kg_incremental": _q_kg_incremental,
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
@@ -1036,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "kg_triples": oracle.triples_sql(SF_ORACLE),
         "kg_adjacency": oracle.adjacency_sql(SF_ORACLE),
+        "kg_incremental": oracle.adjacency_sql(SF_ORACLE),
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),

@@ -181,3 +181,42 @@ def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None) -> dict:
     import pyarrow.parquet as pq
     pq.write_table(metrics_table(linked_dir), f"{out_dir}/metrics.parquet")
     return {"counters": counters, "adjacency_dir": final}
+
+
+def update_adjacency(existing_adj, delta_adj, mode: str = "auto"):
+    """Incremental KG ingest: merge a new partition's adjacency DELTA into
+    an existing adjacency — the production path at 10^12-turn scale, where
+    each arriving transcript partition is extracted once and folded in
+    instead of rebuilding the graph.  The per-edge aggregate is associative
+    (weight: sum, src: min over the zero-padded conv:turn key, names/types:
+    functionally dependent on the ids), so
+    update(adj(A), adj(B)) == adj(A ∪ B) EXACTLY — the kg_incremental
+    driver query proves it against the full-rebuild SQL oracle.
+    mode as in stages/canonical.aggregate_adjacency ('auto' routes tree vs
+    shuffle by observed key cardinality)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    merged = existing_adj.union(delta_adj)
+    return merge_partials(
+        merged, ["subj_id", "pred", "obj_id"],
+        {"weight": "sum", "src": "min", "subj_name": "first",
+         "subj_type": "first", "obj_name": "first", "obj_type": "first"},
+        mode=mode)
+
+
+def adjacency_dataset_for_files(sf_dir: str, files: list[str], *,
+                                concurrency=None):
+    """adjacency over an explicit transcript-file subset (one ingest
+    partition) — the delta builder for update_adjacency."""
+    import ray.data as rd
+    from deepkg_ray.stages.canonical import aggregate_adjacency
+    from deepkg_ray.stages.linking import link_triples
+    from deepkg_ray.stages.relation import extract_triples
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = rd.read_parquet(sorted(files),
+                         columns=["conv_id", "turn_idx", "text"])
+    ds = ds.map_batches(add_text_norm, batch_format="pyarrow",
+                        batch_size=8192)
+    linked = link_triples(extract_triples(ds, dict_path,
+                                          concurrency=concurrency),
+                          dict_path, concurrency=concurrency)
+    return aggregate_adjacency(linked, dictionary_path=dict_path)

@@ -131,3 +131,24 @@ def test_linked_triples_tasks_and_actors_paths_agree(sf_dir):
               .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
     assert len(tasks) > 100
     pd.testing.assert_frame_equal(tasks, actors)
+
+
+def test_incremental_update_equals_full_rebuild(ray_session):
+    import glob
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    sf = "/root/testdata/sf0.01"   # sf0.001 synthesizes a single file
+    files = sorted(glob.glob(f"{synth.transcripts_path(sf)}/*.parquet"))
+    assert len(files) >= 2, files
+    half = len(files) // 2
+    base = kg.adjacency_dataset_for_files(sf, files[:half])
+    delta = kg.adjacency_dataset_for_files(sf, files[half:])
+    inc = (kg.update_adjacency(base, delta).to_pandas()
+           .sort_values(["subj_id", "pred", "obj_id"])
+           .reset_index(drop=True))
+    full = (kg.adjacency_dataset(sf).to_pandas()
+            .sort_values(["subj_id", "pred", "obj_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(inc[sorted(inc.columns)],
+                                  full[sorted(full.columns)],
+                                  check_dtype=False)
