@@ -135,6 +135,8 @@ def test_linked_triples_tasks_and_actors_paths_agree(sf_dir):
 
 def test_incremental_update_equals_full_rebuild(ray_session):
     import glob
+
+    import pandas as pd
     from deepkg_ray import synth
     from deepkg_ray.pipelines import kg
     sf = "/root/testdata/sf0.01"   # sf0.001 synthesizes a single file
