@@ -569,3 +569,63 @@ def ngram_jaccard_pairs(ds, *, max_id: int = 200, threshold: float = 0.05,
 
     return sub.repartition(1).map_batches(all_pairs, batch_format="pandas",
                                           batch_size=None)
+
+
+# ------------------------------------------------- incremental minhash ----
+
+def minhash_band_table(ds, id_col: str = "doc_id", text_col: str = "text",
+                       n_perm: int = 64, n_bands: int = 16,
+                       shingle_k: int = 3, concurrency=None):
+    """(doc_id, band_idx, band_hash) — the persistable LSH index of a
+    corpus partition.  A production run writes this next to the corpus
+    (one directory per ingest partition) so later partitions dedup against
+    it WITHOUT recomputing old signatures."""
+    from deepkg_ray.util import spread_small, stateful_map
+    sigged = stateful_map(
+        spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
+        {"n_perm": n_perm, "n_bands": n_bands,
+         "shingle_k": shingle_k, "text_col": text_col},
+        concurrency=concurrency, batch_size=None)
+    return sigged.map_batches(
+        lambda b: _explode_bands(b, id_col).drop_columns(["bucket"]),
+        batch_format="pyarrow")
+
+
+def minhash_raw_pairs_incremental(new_ds, old_bands, id_col: str = "doc_id",
+                                  text_col: str = "text", n_perm: int = 64,
+                                  n_bands: int = 16, shingle_k: int = 3,
+                                  concurrency=None,
+                                  num_partitions: int | None = None):
+    """RAW candidate rows for an incremental dedup round: the NEW partition
+    against itself (the usual bucket groupby) plus NEW × OLD via one hash
+    join of the new band rows against the persisted old band table on
+    (band_idx, band_hash) — old signatures are never recomputed, old×old
+    pairs were already emitted by the old run.  Union of raw (doc_a <
+    doc_b) rows; canonicalize with dedup_pair_rows as usual.
+
+    Assumes disjoint id spaces between partitions (ingest invariant)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    within = minhash_raw_pairs(new_ds, id_col, text_col, n_perm, n_bands,
+                               shingle_k, concurrency)
+    new_bands = minhash_band_table(new_ds, id_col, text_col, n_perm,
+                                   n_bands, shingle_k, concurrency)
+    old = old_bands.map_batches(
+        lambda b: b.select([id_col, "band_idx", "band_hash"])
+                   .rename_columns(["old_id", "band_idx", "band_hash"]),
+        batch_format="pyarrow")
+    cross = new_bands.join(old, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("band_idx", "band_hash"))
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = b["old_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != o
+        a, o = a[keep], o[keep]
+        return pa.table({"doc_a": pa.array(np.minimum(a, o), pa.int64()),
+                         "doc_b": pa.array(np.maximum(a, o), pa.int64())})
+
+    return within.union(cross.map_batches(orient, batch_format="pyarrow"))
