@@ -72,6 +72,12 @@ def _q_minhash(sf_dir: str):
                                threshold=0.8).count()
 
 
+def _q_corpus_curate(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import corpus_curate
+    return corpus_curate(read_documents(sf_dir, ["doc_id", "text"])).count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -115,7 +121,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("kg_events", _q_events),
             ("dedup_exact", _q_dedup_exact),
             ("ann_topk", _q_ann),
-            ("dedup_minhash", _q_minhash)]
+            ("dedup_minhash", _q_minhash),
+            ("corpus_curate", _q_corpus_curate)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:
