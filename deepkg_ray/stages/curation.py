@@ -54,24 +54,33 @@ def sentence_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     winners = exploded.groupby("sentence").aggregate(
         Min("key", alias_name="key"))
 
+    n_parts = 64
+
     def decode(b: pa.Table) -> pa.Table:
         k = b["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = k // _SENT_KEY_M
         return pa.table({
-            id_col: pa.array(k // _SENT_KEY_M, pa.int64()),
+            id_col: pa.array(doc, pa.int64()),
             "sent_idx": pa.array(k % _SENT_KEY_M, pa.int64()),
             "sentence": b["sentence"],
+            # doc-complete COARSE partitions: per-doc map_groups pays a
+            # multi-second fixed cost for thousands of tiny groups (the
+            # turn_latency lesson) — one vectorized pandas pass per ~64
+            # partitions reassembles the same output in one shuffle
+            "part": pa.array((doc % n_parts).astype(np.int32)),
         })
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("sent_idx", kind="stable")
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "n_kept": np.asarray([len(g)], dtype=np.int64),
-            "text_clean": [". ".join(g["sentence"])],
-        })
+    def reassemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "sent_idx"], kind="stable")
+        out = (g.groupby(id_col, sort=False)
+               .agg(n_kept=("sentence", "size"),
+                    text_clean=("sentence", ". ".join)).reset_index())
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out
 
     return (winners.map_batches(decode, batch_format="pyarrow")
-            .groupby(id_col).map_groups(reassemble, batch_format="pandas"))
+            .groupby("part").map_groups(reassemble_part,
+                                        batch_format="pandas"))
 
 
 def budget_select(ds, budget: int, score_col: str = "score",
