@@ -150,9 +150,26 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_doc_fingerprints(sf_dir: str):
+    """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows.
+    Each fp is the polynomial window hash Σ ord·257^t mod 2^61-1 —
+    integer-exact and reproduced by oracle.doc_fingerprints_oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     from deepkg_ray.stages.textstats import fingerprints
-    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).drop_columns(
-        ["fingerprints"])   # keep simhash + counts; raw list is rows-only detail
+
+    def explode(b: pa.Table) -> pa.Table:
+        lst = b["fingerprints"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b["doc_id"].to_numpy(zero_copy_only=False),
+                        lens.astype(np.int64))
+        flat = lst.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(flat, pa.int64())})
+    return fingerprints(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        explode, batch_format="pyarrow")
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -795,15 +812,19 @@ def _q_top_events_per_type(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """HLL approximate distinct users/types over events (rows-only by
-    nature: approximate).  Exactness paths elsewhere stay exact."""
+    """HLL approximate-distinct over events — value-checked via the merged
+    sketch STATE: (col, register, rho) rows are integer-exact and the md5-
+    parity hash makes them reproducible in SQL (oracle.hll_registers_oracle);
+    estimate() accuracy is pytest-covered (test_hll_accuracy)."""
     import pandas as pd
     from deepkg_ray.sources.readers import read_events
-    from deepkg_ray.stages.sketches import approx_distinct
-    users = approx_distinct(read_events(sf_dir, ["user_id"]), "user_id")
-    types = approx_distinct(read_events(sf_dir, ["event_type"]), "event_type")
-    return pd.DataFrame({"approx_users": [round(users, 1)],
-                         "approx_event_types": [round(types, 1)]})
+    from deepkg_ray.stages.sketches import hll_registers
+    out = []
+    for col in ("user_id", "event_type"):
+        t = hll_registers(read_events(sf_dir, [col]), col)
+        t.insert(0, "col", col)
+        out.append(t)
+    return pd.concat(out, ignore_index=True)
 
 
 def _q_doc_repetition(sf_dir: str):
@@ -1127,6 +1148,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),
         "embedding_gram": oracle.embedding_gram_oracle(dim=64),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
+        "approx_distinct": oracle.hll_registers_oracle(),
+        "doc_fingerprints": oracle.doc_fingerprints_oracle(),
         # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
-        # linking_candidates, multimodal_features
+        # linking_candidates (BM25 float tier; bm25_topn is the SQL-checked
+        # tier), multimodal_features (stubbed codec boundary),
+        # uie_model_generate (neural generation)
     }

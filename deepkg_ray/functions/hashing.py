@@ -265,12 +265,25 @@ def hamming64_array(x: np.ndarray) -> np.ndarray:
     return _POP8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
 
 
+def md5_lower64(s: str) -> int:
+    """Little-endian int of md5-digest bytes 8..16 ≡ DuckDB
+    md5_number_lower() — the SQL-parity 64-bit string hash."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
 def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
     """Winnowing-style document fingerprint: rolling hash over char windows,
     keep hashes ≡ 0 (mod keep_mod).  Deterministic; used as a cheap
-    containment/near-dup signal (SURVEY.md 'document fingerprinting')."""
+    containment/near-dup signal (SURVEY.md 'document fingerprinting').
+
+    SQL-parity: each emitted value is the polynomial hash of one
+    window-char span, Σ ord(c_{p+t})·257^(window-1-t) mod (2^61-1) — the
+    rolling recurrence below computes exactly that per position, so the
+    DuckDB oracle reproduces it without recursion
+    (oracle.doc_fingerprints_oracle); the short-text fallback is
+    md5_lower64 % mod (≡ md5_number_lower % mod)."""
     if len(text) < window:
-        return [stable_hash64(text)] if text else []
+        return [md5_lower64(text) % _MERSENNE] if text else []
     base, mod = 257, _MERSENNE
     pw = pow(base, window - 1, mod)
     h = 0

@@ -1043,6 +1043,57 @@ SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
+def hll_registers_oracle(p: int = 12) -> str:
+    """HyperLogLog sketch state over events.user_id / event_type — the md5-
+    parity twin of stages/sketches.py (_hash64 ≡ md5_number_lower; register
+    = top p hash bits, rho = leading zeros of the low 64-p bits + 1 via
+    EXACT integer bit length, to_base(low, 2))."""
+    mask = (1 << (64 - p)) - 1
+    return f"""
+WITH h AS (
+  SELECT 'user_id' AS col, md5_number_lower(user_id::VARCHAR) AS h FROM events
+  UNION ALL
+  SELECT 'event_type' AS col, md5_number_lower(event_type::VARCHAR) FROM events
+),
+r AS (
+  SELECT col, CAST(h >> {64 - p} AS BIGINT) AS register,
+         {64 - p + 1} - (CASE WHEN (h & {mask}) = 0 THEN 0
+              ELSE length(to_base(CAST(h & {mask} AS BIGINT), 2)) END) AS rho
+  FROM h
+)
+SELECT col, register, CAST(MAX(rho) AS BIGINT) AS rho
+FROM r GROUP BY col, register
+"""
+
+
+def doc_fingerprints_oracle(window: int = 8, keep_mod: int = 16) -> str:
+    """Rabin-Karp rolling fingerprints (functions/hashing.py
+    rolling_fingerprint) — the rolling recurrence equals the per-window
+    polynomial hash Σ ord(c_{p+t})·257^(window-1-t) mod 2^61-1, so every
+    emitted value is computable position-independently (no recursion);
+    short texts fall back to md5_number_lower % mod, emitted unfiltered."""
+    m = (1 << 61) - 1
+    ks = [pow(257, window - 1 - t, m) for t in range(window)]
+    terms = " + ".join(f"CAST(cs[p + {t}] AS HUGEINT) * {k}"
+                       for t, k in enumerate(ks))
+    return f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> ord(c)) AS cs,
+         length(text) AS n
+  FROM documents
+),
+long AS (
+  SELECT doc_id, CAST(({terms}) % {m} AS BIGINT) AS fp
+  FROM codes, unnest(generate_series(1, n - {window - 1})) AS u(p)
+  WHERE n >= {window}
+)
+SELECT doc_id, fp FROM long WHERE fp % {keep_mod} = 0
+UNION ALL
+SELECT doc_id, CAST(md5_number_lower(text) % {m} AS BIGINT) AS fp
+FROM documents WHERE length(text) BETWEEN 1 AND {window - 1}
+"""
+
+
 def heavy_hitter_tokens_oracle(k: int = 20) -> str:
     return f"""
 WITH toks AS (

@@ -22,9 +22,12 @@ import pyarrow as pa
 
 
 def _hash64(values: list[str]) -> np.ndarray:
+    """64-bit hash = little-endian int of md5-digest bytes 8..16 —
+    deliberately the exact value DuckDB's ``md5_number_lower()`` computes,
+    so sketch state (HLL registers) is reproducible in the SQL oracle."""
     return np.fromiter(
-        (int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(),
-                        "big") for v in values),
+        (int.from_bytes(hashlib.md5(v.encode()).digest()[8:16], "little")
+         for v in values),
         dtype=np.uint64, count=len(values))
 
 
@@ -39,14 +42,15 @@ class HLL:
 
     def add_hashes(self, h: np.ndarray):
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = h << np.uint64(self.p)
-        # rank = leading zeros of the remaining 64-p bits + 1
-        lz = np.full(len(h), 64 - self.p + 1, dtype=np.uint8)
-        nz = rest != 0
-        if nz.any():
-            bits = np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-            lz[nz] = (63 - bits + 1).astype(np.uint8)
-        np.maximum.at(self.registers, idx, lz)
+        low = h & np.uint64((1 << (64 - self.p)) - 1)
+        # rank = leading zeros of the low 64-p bits + 1, via EXACT integer
+        # bit_length (frexp exponent; low ≤ 2^52 for p ≥ 12 so the float64
+        # conversion is exact — no log2 rounding hazard, and the identical
+        # value is computable in SQL as length(to_base(low, 2)))
+        assert self.p >= 12
+        bl = np.frexp(low.astype(np.float64))[1]     # bit_length, 0 for 0
+        rho = ((64 - self.p + 1) - bl).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
 
     def merge(self, other: "HLL"):
         np.maximum(self.registers, other.registers, out=self.registers)
@@ -68,9 +72,9 @@ class HLL:
         return h
 
 
-def approx_distinct(ds, col: str, p: int = 12) -> float:
-    """Approximate count-distinct of a column: per-batch HLL sketches,
-    merged driver-side (each sketch is 4 KiB — the merge is trivial)."""
+def merged_hll(ds, col: str, p: int = 12) -> HLL:
+    """Per-batch HLL sketches over a column, merged driver-side (each
+    sketch is 4 KiB — the merge is trivial)."""
     def sketch(b: pa.Table) -> pa.Table:
         h = HLL(p)
         h.add_hashes(_hash64([str(v) for v in b[col].to_pylist()]))
@@ -80,7 +84,24 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     for row in ds.select_columns([col]).map_batches(
             sketch, batch_format="pyarrow").iter_rows():
         merged.merge(HLL.deserialize(row["sketch"], p))
-    return merged.estimate()
+    return merged
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate count-distinct of a column via merged HLL sketches."""
+    return merged_hll(ds, col, p).estimate()
+
+
+def hll_registers(ds, col: str, p: int = 12) -> pd.DataFrame:
+    """The merged sketch STATE as an integer table (register, rho) over
+    nonzero registers.  This is the value-hash-checkable artifact of the
+    approximate-distinct path: the md5-parity hash (_hash64 ≡ DuckDB
+    md5_number_lower) and exact bit-length rho make every register value
+    reproducible in SQL; estimate() accuracy is pytest-covered."""
+    m = merged_hll(ds, col, p)
+    nz = np.flatnonzero(m.registers)
+    return pd.DataFrame({"register": nz.astype(np.int64),
+                         "rho": m.registers[nz].astype(np.int64)})
 
 
 class BloomFilter:
