@@ -183,14 +183,22 @@ def _q_dedup_stats(sf_dir: str):
 
 
 def _q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs, md5-parity shingle hashes — value-checked
+    against a full SQL re-derivation (signatures → band keys → candidates →
+    exact Jaccard), proving LSH bucketing AND the distributed verify join."""
     from deepkg_ray.stages.dedup import minhash_dedup_pairs
     return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]),
-                               f"{sf_dir}/documents.parquet", threshold=0.8)
+                               f"{sf_dir}/documents.parquet", threshold=0.8,
+                               hash_mode="parity")
 
 
 def _q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs, md5-parity word hashes — value-checked
+    against the ALL-PAIRS SQL ground truth, proving the 16-bit-chunk
+    blocking loses no pair at hamming ≤ 3."""
     from deepkg_ray.stages.dedup import simhash_near_pairs
-    return simhash_near_pairs(_docs(sf_dir, ["doc_id", "text"]))
+    return simhash_near_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              hash_mode="parity")
 
 
 def _q_bigram_counts(sf_dir: str):
@@ -1150,8 +1158,9 @@ def oracle_sql() -> dict[str, str]:
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),
-        # rows-only (no SQL): doc_fingerprints, dedup_minhash, dedup_simhash,
-        # linking_candidates (BM25 float tier; bm25_topn is the SQL-checked
-        # tier), multimodal_features (stubbed codec boundary),
-        # uie_model_generate (neural generation)
+        "dedup_simhash": oracle.dedup_simhash_oracle(),
+        "dedup_minhash": oracle.dedup_minhash_oracle(),
+        # rows-only (no SQL): linking_candidates (BM25 float tier; bm25_topn
+        # is the SQL-checked tier), multimodal_features (stubbed codec
+        # boundary), uie_model_generate (neural generation)
     }

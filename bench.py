@@ -65,6 +65,9 @@ def _q_events(sf_dir: str):
 
 
 def _q_minhash(sf_dir: str):
+    # Throughput tier (siphash shingle hashes).  The driver-gated
+    # queries() entry runs hash_mode="parity" (md5, SQL-reproducible) —
+    # same LSH topology, different base hash.
     from deepkg_ray.sources.readers import read_documents
     from deepkg_ray.stages.dedup import minhash_dedup_pairs
     docs = read_documents(sf_dir, ["doc_id", "text"])

@@ -139,17 +139,37 @@ class MinHasher:
 
     Hash family: (a*x + b) with natural uint64 wrap-around (mod 2^64, a odd)
     — fully vectorized; adequate mixing for minhash since the base shingle
-    hashes are siphash13 (stable_hash64_batch).  Signatures are uint64[n_perm]."""
+    hashes are siphash13 (stable_hash64_batch).  Signatures are uint64[n_perm].
 
-    def __init__(self, n_perm: int = 64, seed: int = 7, shingle_k: int = 3):
+    hash_mode: "fast" = string-free siphash shingle hashes (the throughput
+    path); "parity" = md5_lower64 over the materialized shingle STRINGS
+    (≡ DuckDB md5_number_lower) — every signature value, band key and
+    therefore the whole LSH candidate set becomes reproducible by the SQL
+    oracle (oracle.dedup_minhash_oracle)."""
+
+    def __init__(self, n_perm: int = 64, seed: int = 7, shingle_k: int = 3,
+                 hash_mode: str = "fast"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 1 << 63, size=n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
         self.b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
         self.n_perm = n_perm
         self.shingle_k = shingle_k
+        self.hash_mode = hash_mode
 
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[0]
+
+    def _signatures_parity(self, texts: list[str]) -> np.ndarray:
+        out = np.full((len(texts), self.n_perm), _MAX64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = word_shingles(t, self.shingle_k)
+            if not sh:
+                continue
+            base = md5_lower64_batch(sh)
+            with np.errstate(over="ignore"):
+                vals = base[None, :] * self.a[:, None] + self.b[:, None]
+            out[i] = vals.min(axis=1)
+        return out
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """Vectorized batch path: flatten all shingle hashes (string-free,
@@ -157,6 +177,8 @@ class MinHasher:
         then per-doc segment minima via np.minimum.reduceat."""
         if not texts:
             return np.empty((0, self.n_perm), dtype=np.uint64)
+        if self.hash_mode == "parity":
+            return self._signatures_parity(texts)
         base, lens = shingle_hashes_batch(texts, self.shingle_k)
         out = np.full((len(texts), self.n_perm), _MAX64, dtype=np.uint64)
         if not len(base):
@@ -210,18 +232,48 @@ def band_hashes_matrix(sigs: np.ndarray, n_bands: int) -> np.ndarray:
     return mix64(acc)
 
 
+def band_keys_parity(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """SQL-parity band keys: md5_lower64 of the comma-joined decimal
+    signature values of each band (≡ DuckDB md5_number_lower(string_agg(
+    mv::VARCHAR, ',' ORDER BY perm)))."""
+    n, n_perm = sigs.shape
+    rows = n_perm // n_bands
+    out = np.empty((n, n_bands), dtype=np.uint64)
+    for i in range(n):
+        row = sigs[i]
+        for b in range(n_bands):
+            seg = row[b * rows:(b + 1) * rows]
+            out[i, b] = md5_lower64(",".join(str(int(v)) for v in seg))
+    return out
+
+
 def band_hashes(sig: np.ndarray, n_bands: int) -> list[int]:
     """Split a signature into bands and hash each band (LSH bucketing)."""
     return band_hashes_matrix(np.asarray(sig, dtype=np.uint64)[None, :],
                               n_bands)[0].tolist()
 
 
-class SimHasher:
-    """64-bit SimHash over word-unigram features."""
+def md5_lower64_batch(texts: list[str]) -> np.ndarray:
+    """Batch md5_lower64 — the SQL-parity 64-bit hash (slower than
+    stable_hash64_batch; used by oracle-checked query configurations)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+         for t in texts), dtype=np.uint64, count=len(texts))
 
-    def __init__(self, bits: int = 64):
+
+class SimHasher:
+    """64-bit SimHash over word-unigram features.
+
+    hash_mode: "fast" = siphash13 word hashes (the throughput path);
+    "parity" = md5_lower64 (≡ DuckDB md5_number_lower) so the whole
+    fingerprint — and therefore the near-pair set — is reproducible by the
+    SQL oracle (oracle.dedup_simhash_oracle)."""
+
+    def __init__(self, bits: int = 64, hash_mode: str = "fast"):
         self.bits = bits
         self._shifts = np.arange(bits, dtype=np.uint64)
+        self._hash = (stable_hash64_batch if hash_mode == "fast"
+                      else md5_lower64_batch)
 
     def fingerprint(self, text: str) -> int:
         return int(self.fingerprints([text])[0])
@@ -238,7 +290,7 @@ class SimHasher:
         out = np.zeros(len(texts), dtype=np.uint64)
         if not flat:
             return out
-        hs = stable_hash64_batch(flat)                        # [total]
+        hs = self._hash(flat)                                 # [total]
         signed = (2 * ((hs[:, None] >> self._shifts) & np.uint64(1))
                   .astype(np.int32) - 1)                      # [total, bits]
         offsets = np.zeros(len(texts), dtype=np.int64)

@@ -1094,6 +1094,121 @@ FROM documents WHERE length(text) BETWEEN 1 AND {window - 1}
 """
 
 
+def dedup_simhash_oracle(max_hamming: int = 3) -> str:
+    """All-pairs SimHash ground truth (md5-parity word hashes): fingerprint
+    bit i = majority sign of Σ_w (2·bit_i(md5_lower64(w)) − 1); pairs with
+    bit_count(xor) ≤ max_hamming.  The engine's 16-bit-chunk blocking is
+    complete for this radius, so engine set == this set exactly."""
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            w -> w <> '')) AS w
+  FROM documents
+),
+wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh, unnest(generate_series(0, 63)) AS u(b)
+  GROUP BY doc_id, b
+),
+fpw AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN
+              CASE WHEN b = 63 THEN -9223372036854775808
+                   ELSE (1::BIGINT << b) END ELSE 0 END) AS BIGINT) AS f
+  FROM bits GROUP BY doc_id
+),
+fp AS (  -- docs with no words fingerprint to 0
+  SELECT d.doc_id, COALESCE(fpw.f, 0::BIGINT) AS f
+  FROM documents d LEFT JOIN fpw ON d.doc_id = fpw.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {max_hamming}
+"""
+
+
+def dedup_minhash_oracle(threshold: float = 0.8, n_perm: int = 64,
+                         n_bands: int = 16, shingle_k: int = 3) -> str:
+    """Full MinHash-LSH near-dup ground truth under md5-parity hashing:
+    k-word shingles → md5_number_lower → the engine's (a·x+b) mod 2^64
+    permutation family (seed-7 constants inlined; the 128-bit product is
+    split 32/64 so every intermediate fits HUGEINT) → per-band key =
+    md5_number_lower of the comma-joined minima → candidate pairs sharing
+    any band → EXACT shingle-set Jaccard, round6, ≥ threshold.  Matching
+    the engine value-for-value proves both the LSH candidate generation
+    and the distributed verify join."""
+    from deepkg_ray.functions.hashing import MinHasher
+    mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    perm_rows = ",\n    ".join(
+        f"({p}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b)))
+    rows = n_perm // n_bands
+    m64 = 1 << 64
+    return f"""
+WITH perms(p, a, b) AS (VALUES
+    {perm_rows}),
+words AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             w -> w <> '') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= {shingle_k} THEN
+           list_transform(generate_series(1, len(ws) - {shingle_k - 1}),
+                          i -> array_to_string(ws[i:i+{shingle_k - 1}], ' '))
+         WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+         ELSE [] END AS shingles
+  FROM words
+),
+hv AS (
+  SELECT doc_id, md5_number_lower(s) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh)
+),
+pv AS (
+  SELECT doc_id, p,
+         CAST((a::HUGEINT * (h & 4294967295)
+               + ((a::HUGEINT * (h >> 32)) % 4294967296) * 4294967296
+               + b) % {m64} AS UBIGINT) AS v
+  FROM hv, perms
+),
+sig0 AS (SELECT doc_id, p, MIN(v) AS mv FROM pv GROUP BY doc_id, p),
+sig AS (
+  SELECT d.doc_id, pr.p,
+         COALESCE(s.mv, 18446744073709551615::UBIGINT) AS mv
+  FROM documents d CROSS JOIN perms pr
+  LEFT JOIN sig0 s ON s.doc_id = d.doc_id AND s.p = pr.p
+),
+bands AS (
+  SELECT doc_id, p // {rows} AS band_idx,
+         md5_number_lower(string_agg(mv::VARCHAR, ',' ORDER BY p)) AS bk
+  FROM sig GROUP BY doc_id, band_idx
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.bk = b.bk AND a.doc_id < b.doc_id
+),
+ss AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN len(list_distinct(list_concat(x.sset, y.sset))) = 0
+              THEN 1.0
+              ELSE floor((len(list_intersect(x.sset, y.sset))::DOUBLE
+                          / len(list_distinct(list_concat(x.sset, y.sset))))
+                         * 1000000 + 0.5) / 1000000 END AS jaccard
+  FROM cand c
+  JOIN ss x ON x.doc_id = c.doc_a
+  JOIN ss y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
+"""
+
+
 def heavy_hitter_tokens_oracle(k: int = 20) -> str:
     return f"""
 WITH toks AS (

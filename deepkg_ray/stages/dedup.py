@@ -82,16 +82,22 @@ class MinHashSignature:
     shipped sig×n_bands through the exchange: 16× the bytes for nothing)."""
 
     def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3,
-                 text_col: str = "text", keep_signature: bool = False):
-        self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+                 text_col: str = "text", keep_signature: bool = False,
+                 hash_mode: str = "fast"):
+        self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k,
+                            hash_mode=hash_mode)
         self.n_bands = n_bands
         self.text_col = text_col
         self.keep_signature = keep_signature
+        self.hash_mode = hash_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from deepkg_ray.functions.hashing import band_hashes_matrix
+        from deepkg_ray.functions.hashing import (band_hashes_matrix,
+                                                  band_keys_parity)
         sigs = self.mh.signatures(batch[self.text_col].to_pylist())
-        bm = band_hashes_matrix(sigs, self.n_bands)          # (n, n_bands)
+        band_fn = (band_keys_parity if self.hash_mode == "parity"
+                   else band_hashes_matrix)
+        bm = band_fn(sigs, self.n_bands)                     # (n, n_bands)
         bands = pa.ListArray.from_arrays(
             pa.array(np.arange(0, (len(bm) + 1) * self.n_bands, self.n_bands),
                      pa.int32()),
@@ -162,7 +168,8 @@ def dedup_pair_rows(pairs, *, a_col: str = "doc_a", b_col: str = "doc_b",
 
 def minhash_raw_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                       n_perm: int = 64, n_bands: int = 16,
-                      shingle_k: int = 3, concurrency=None):
+                      shingle_k: int = 3, concurrency=None,
+                      hash_mode: str = "fast"):
     """documents → RAW in-bucket candidate rows (doc_a < doc_b), one row per
     band collision — a pair colliding in several bands appears once per
     band.  One all-to-all (the band-bucket groupby); callers canonicalize
@@ -172,7 +179,8 @@ def minhash_raw_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     sigged = stateful_map(
         spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
         {"n_perm": n_perm, "n_bands": n_bands,
-         "shingle_k": shingle_k, "text_col": text_col},
+         "shingle_k": shingle_k, "text_col": text_col,
+         "hash_mode": hash_mode},
         concurrency=concurrency, batch_size=None)
     exploded = sigged.map_batches(lambda b: _explode_bands(b, id_col),
                                   batch_format="pyarrow")
@@ -197,13 +205,14 @@ def minhash_raw_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             n_perm: int = 64, n_bands: int = 16,
-                            shingle_k: int = 3, concurrency=None):
+                            shingle_k: int = 3, concurrency=None,
+                            hash_mode: str = "fast"):
     """documents → candidate near-dup pairs (doc_a < doc_b, n_bands_hit).
     Pairs are generated per LSH bucket — never all-pairs; a pair surfacing
     from several bands is canonicalized to one row by the final groupby
     (whose Count doubles as the band-collision strength signal)."""
     pairs = minhash_raw_pairs(ds, id_col, text_col, n_perm, n_bands,
-                              shingle_k, concurrency)
+                              shingle_k, concurrency, hash_mode)
     return dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
                            count_col="n_bands_hit")
 
@@ -248,7 +257,8 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
                         threshold: float = 0.8, id_col="doc_id",
                         text_col="text", n_perm=64, n_bands=16, shingle_k=3,
                         concurrency=None, num_partitions: int | None = None,
-                        broadcast_limit: int = 50_000):
+                        broadcast_limit: int = 50_000,
+                        hash_mode: str = "fast"):
     """Full near-dup pipeline: LSH candidates → attach texts → exact-Jaccard
     verify → pairs ≥ threshold.  Returns (doc_a, doc_b, jaccard).
 
@@ -262,7 +272,7 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
     pandas groupby over ≤ broadcast_limit rows) instead of paying the
     distributed dedup_pair_rows barrier; the join path keeps it."""
     raw = minhash_raw_pairs(ds, id_col, text_col, n_perm, n_bands,
-                            shingle_k, concurrency).materialize()
+                            shingle_k, concurrency, hash_mode).materialize()
     if docs_path is not None:
         import ray.data as rd
         docs = rd.read_parquet(docs_path, columns=[id_col, text_col])
@@ -319,8 +329,8 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
 # -------------------------------------------------------------- simhash ----
 
 class SimHashStage:
-    def __init__(self, text_col: str = "text"):
-        self.sh = SimHasher()
+    def __init__(self, text_col: str = "text", hash_mode: str = "fast"):
+        self.sh = SimHasher(hash_mode=hash_mode)
         self.text_col = text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -328,20 +338,27 @@ class SimHashStage:
         return batch.append_column("simhash", pa.array(fps, pa.uint64()))
 
 
-def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=None):
+def simhash_dataset(ds, id_col="doc_id", text_col="text", concurrency=None,
+                    hash_mode: str = "fast"):
     from deepkg_ray.util import spread_small, stateful_map
     return stateful_map(spread_small(ds.select_columns([id_col, text_col])),
                         SimHashStage,
-                        {"text_col": text_col}, concurrency=concurrency,
-                        batch_size=None)
+                        {"text_col": text_col, "hash_mode": hash_mode},
+                        concurrency=concurrency, batch_size=None)
 
 
 def simhash_near_pairs(ds, id_col="doc_id", text_col="text",
-                       max_hamming: int = 3, n_tables: int = 4, concurrency=None):
+                       max_hamming: int = 3, n_tables: int = 4, concurrency=None,
+                       hash_mode: str = "fast"):
     """Near-dup pairs by SimHash: block on 16-bit key chunks (any pair with
-    hamming ≤ 3 over 64 bits shares at least one of 4 16-bit chunks), then
-    verify hamming in-bucket."""
-    sh = simhash_dataset(ds, id_col, text_col, concurrency)
+    hamming ≤ 3 over 64 bits shares at least one of 4 16-bit chunks — the
+    blocking is COMPLETE for max_hamming ≤ n_tables - 1 by pigeonhole), then
+    verify hamming in-bucket.  With hash_mode="parity" the result set is
+    exactly {pairs : hamming(fp_a, fp_b) ≤ max_hamming} under md5 word
+    hashes, which oracle.dedup_simhash_oracle reproduces all-pairs in SQL —
+    the driver check therefore proves the blocking loses no pair."""
+    assert max_hamming <= n_tables - 1, "blocking incomplete for this radius"
+    sh = simhash_dataset(ds, id_col, text_col, concurrency, hash_mode)
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -575,7 +592,8 @@ def ngram_jaccard_pairs(ds, *, max_id: int = 200, threshold: float = 0.05,
 
 def minhash_band_table(ds, id_col: str = "doc_id", text_col: str = "text",
                        n_perm: int = 64, n_bands: int = 16,
-                       shingle_k: int = 3, concurrency=None):
+                       shingle_k: int = 3, concurrency=None,
+                       hash_mode: str = "fast"):
     """(doc_id, band_idx, band_hash) — the persistable LSH index of a
     corpus partition.  A production run writes this next to the corpus
     (one directory per ingest partition) so later partitions dedup against
@@ -584,7 +602,8 @@ def minhash_band_table(ds, id_col: str = "doc_id", text_col: str = "text",
     sigged = stateful_map(
         spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
         {"n_perm": n_perm, "n_bands": n_bands,
-         "shingle_k": shingle_k, "text_col": text_col},
+         "shingle_k": shingle_k, "text_col": text_col,
+         "hash_mode": hash_mode},
         concurrency=concurrency, batch_size=None)
     return sigged.map_batches(
         lambda b: _explode_bands(b, id_col).drop_columns(["bucket"]),
