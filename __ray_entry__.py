@@ -149,6 +149,23 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    from deepkg_ray.stages.textstats import bpe_token_counts
+    return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_sequence_packing(sf_dir: str):
+    """Concat-and-chunk training-sequence packing via distributed exclusive
+    prefix sum (two-phase scan; one bucket shuffle)."""
+    from deepkg_ray.stages.packing import pack_sequences
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_packing_stats(sf_dir: str):
+    from deepkg_ray.stages.packing import packing_stats
+    return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_doc_fingerprints(sf_dir: str):
     """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows.
     Each fp is the polynomial window hash Σ ord·257^t mod 2^61-1 —
@@ -992,6 +1009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis / dedup over documents
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
+        "bpe_token_counts": _q_bpe_token_counts,
+        "sequence_packing": _q_sequence_packing,
+        "packing_stats": _q_packing_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_stats": _q_dedup_stats,
@@ -1092,6 +1112,9 @@ def oracle_sql() -> dict[str, str]:
         "extraction_prf": oracle.prf_sql(SF_ORACLE),
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),
+        "bpe_token_counts": oracle.bpe_token_counts_oracle(),
+        "sequence_packing": oracle.sequence_packing_oracle(),
+        "packing_stats": oracle.packing_stats_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),

@@ -280,6 +280,96 @@ FROM r
 """
 
 
+def sequence_packing_oracle(window: int = 2048, sep_tokens: int = 1,
+                            table: str = "documents") -> str:
+    """Window-function re-derivation of the distributed prefix-sum packing
+    (stages/packing.pack_sequences) — integer-exact."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM {table}
+), e AS (
+  SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+         CAST(nt + {sep_tokens} AS BIGINT) AS eff
+  FROM t
+), p AS (
+  SELECT doc_id, n_tokens, eff,
+         CAST(COALESCE(SUM(eff) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS token_start
+  FROM e
+)
+SELECT doc_id, n_tokens, token_start,
+       token_start // {window} AS pack_id,
+       token_start % {window} AS pack_offset,
+       (token_start + eff - 1) // {window} - token_start // {window} + 1
+         AS n_packs_spanned
+FROM p
+"""
+
+
+def packing_stats_oracle(window: int = 2048, sep_tokens: int = 1,
+                         table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM {table}
+), e AS (
+  SELECT doc_id, CAST(nt + {sep_tokens} AS BIGINT) AS eff FROM t
+), p AS (
+  SELECT doc_id, eff,
+         CAST(COALESCE(SUM(eff) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS token_start
+  FROM e
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(MAX(token_start + eff), 0) AS BIGINT) AS total_tokens,
+         CAST(COALESCE(SUM(CASE WHEN (token_start + eff - 1) // {window}
+                            > token_start // {window} THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_straddlers
+  FROM p
+)
+SELECT n_docs, total_tokens,
+       CAST(CASE WHEN total_tokens = 0 THEN 0
+            ELSE (total_tokens + {window} - 1) // {window} END AS BIGINT)
+         AS n_packs,
+       n_straddlers,
+       CASE WHEN total_tokens = 0 THEN 0.0
+            ELSE floor((total_tokens
+                        - ((total_tokens + {window} - 1) // {window} - 1)
+                          * {window}) * 1.0 / {window} * 1e6 + 0.5) / 1e6
+            END AS last_fill
+FROM agg
+"""
+
+
+def bpe_token_counts_oracle(table: str = "documents") -> str:
+    """regexp_extract_all under the identical RE2-safe pre-tokenizer
+    pattern (textstats.BPE_PRETOKEN_PATTERN); ratio from integer micros."""
+    from deepkg_ray.stages.textstats import BPE_PRETOKEN_PATTERN
+    sqlpat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{sqlpat}')) AS BIGINT)
+           AS n_bpe_tokens,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+              END AS n_ws_tokens
+  FROM {table}
+)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       floor(n_bpe_tokens * 1.0 / greatest(n_ws_tokens, 1) * 1e6 + 0.5) / 1e6
+         AS bpe_per_ws
+FROM base
+"""
+
+
 def lang_id_oracle() -> str:
     langs = {
         "en": "'the','and','of','to','in'",

@@ -1,0 +1,146 @@
+"""Sequence packing for training-data preparation: concat-and-chunk
+assignment of documents to fixed-size token windows (the GPT-pretraining
+packing scheme — all docs concatenated in doc_id order with a separator
+token, then chunked into ``window``-token packs).
+
+The core primitive is a DISTRIBUTED EXCLUSIVE PREFIX SUM over the corpus in
+id order — the classic two-phase scan:
+
+  phase 1 (no shuffle): per-batch partial sums per contiguous id bucket
+          (``bucket = doc_id // bucket_size``) → a bucket-count-bounded
+          table folded on the driver into exclusive bucket offsets;
+  phase 2 (one shuffle): groupby(bucket).map_groups — sort the bucket by
+          doc_id, in-bucket cumsum + the bucket's offset.
+
+At 100 TB nothing row-shaped ever reaches the driver: phase 1 ships one
+row per (block, bucket) and the driver folds ``n_buckets`` integers;
+``bucket_size`` bounds phase-2 group size (tune so a bucket's rows fit one
+task).  Output is integer-exact, so the DuckDB window-function oracle
+(``SUM(eff) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING ... 1
+PRECEDING)``) reproduces it bit-for-bit.
+
+Reference analog: the reference prepares training corpora driver-side
+(e.g. UIE_torch/run_seq2struct_torch.py data collation); packing itself is
+an engine addition per the round brief (training-data pipeline ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS_EMPTY_SAFE = r"\s+"
+
+
+def _ws_token_counts(texts: pd.Series) -> np.ndarray:
+    """Whitespace token counts matching the SQL oracle's
+    len(string_split_regex(trim(text), '\\s+')) with ''→0."""
+    import re
+    stripped = texts.str.strip()
+    return np.where(stripped.to_numpy() == "", 0,
+                    stripped.str.count(_WS_EMPTY_SAFE, flags=re.ASCII)
+                    .to_numpy(np.int64) + 1).astype(np.int64)
+
+
+def pack_sequences(ds, *, window: int = 2048, sep_tokens: int = 1,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   bucket_size: int = 1 << 16):
+    """documents → (doc_id, n_tokens, token_start, pack_id, pack_offset,
+    n_packs_spanned): each doc's placement in the concat-and-chunk token
+    stream.  ``eff = n_tokens + sep_tokens`` (the separator/EOS the doc
+    contributes); ``token_start`` is the exclusive prefix sum of eff in
+    doc_id order; ``pack_id = token_start // window``; a doc straddling a
+    chunk boundary spans ``n_packs_spanned`` consecutive packs."""
+    import ray
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = _ws_token_counts(df[text_col])
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_tokens": n_tok,
+            "eff": n_tok + np.int64(sep_tokens),
+            "bucket": df[id_col].to_numpy(np.int64) // bucket_size,
+        })
+
+    with_eff = ds.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pandas")
+
+    # phase 1: bucket partial sums (one row per (block, bucket) — tiny)
+    def bucket_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bucket", as_index=False)["eff"].sum()
+        return g.rename(columns={"eff": "bucket_sum"})
+
+    parts = with_eff.map_batches(bucket_partials, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    if len(parts) == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "token_start": pd.Series([], dtype=np.int64),
+            "pack_id": pd.Series([], dtype=np.int64),
+            "pack_offset": pd.Series([], dtype=np.int64),
+            "n_packs_spanned": pd.Series([], dtype=np.int64)}))
+    sums = (parts.groupby("bucket")["bucket_sum"].sum().sort_index())
+    offsets = {int(b): int(v) for b, v in
+               zip(sums.index, np.concatenate(([0], np.cumsum(
+                   sums.to_numpy(np.int64))[:-1])))}
+    offsets_ref = ray.put(offsets)
+    w = int(window)
+
+    # phase 2: in-bucket ordered cumsum + the bucket's global offset
+    def place(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        eff = df["eff"].to_numpy(np.int64)
+        base = ray.get(offsets_ref)[int(df["bucket"].iloc[0])]
+        start = base + np.concatenate(([0], np.cumsum(eff)[:-1]))
+        pack_id = start // w
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "token_start": start,
+            "pack_id": pack_id,
+            "pack_offset": start % w,
+            "n_packs_spanned": (start + eff - 1) // w - pack_id + 1})
+
+    return with_eff.groupby("bucket").map_groups(place, batch_format="pandas")
+
+
+def packing_stats(ds, *, window: int = 2048, sep_tokens: int = 1,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bucket_size: int = 1 << 16):
+    """Corpus-level packing summary: (n_docs, total_tokens, n_packs,
+    n_straddlers, last_fill) — derived from pack_sequences without a second
+    pass (Sum/Max/Count aggregate over the placement table)."""
+    placed = pack_sequences(ds, window=window, sep_tokens=sep_tokens,
+                            id_col=id_col, text_col=text_col,
+                            bucket_size=bucket_size)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n_docs": pd.Series([], dtype=np.int64),
+                                 "total_tokens": pd.Series([], dtype=np.int64),
+                                 "n_straddlers": pd.Series([], dtype=np.int64)})
+        end = (df["token_start"].to_numpy(np.int64)
+               + df["n_tokens"].to_numpy(np.int64) + sep_tokens)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "total_tokens": [end.max()],
+            "n_straddlers": [np.int64(
+                (df["n_packs_spanned"].to_numpy(np.int64) > 1).sum())]})
+
+    parts = placed.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    total = int(parts["total_tokens"].max()) if len(parts) else 0
+    n_packs = -(-total // window) if total else 0
+    last_fill = (total - (n_packs - 1) * window) / window if n_packs else 0.0
+    from deepkg_ray.functions.numeric import round6
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame({
+        "n_docs": [np.int64(parts["n_docs"].sum() if len(parts) else 0)],
+        "total_tokens": [np.int64(total)],
+        "n_packs": [np.int64(n_packs)],
+        "n_straddlers": [np.int64(parts["n_straddlers"].sum()
+                                  if len(parts) else 0)],
+        "last_fill": [round6(last_fill)]}))

@@ -132,6 +132,42 @@ def fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
                         concurrency=concurrency, batch_size=None)
 
 
+# GPT-2-style BPE pre-tokenizer restricted to the Python-re ∩ RE2 subset
+# (no lookahead, explicit ASCII classes) so DuckDB regexp_extract_all is an
+# exact oracle for the match count.  Alternation order matters (both
+# engines are leftmost-first): contraction suffixes, then optional-space
+# letter / digit / punctuation runs.  A second consecutive space is never
+# consumed (space ∉ the punct class), matching the upstream pattern's
+# behavior of discarding inter-token whitespace.
+BPE_PRETOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc token counts under the BPE-ish pre-tokenizer vs whitespace:
+    (doc_id, n_bpe_tokens, n_ws_tokens, bpe_per_ws) — the fertility-style
+    signal used to budget tokenizer work before a real BPE merge pass.
+    bpe_per_ws = round6(n_bpe / max(n_ws, 1)); ratio computed from integer
+    micros so the oracle reproduces it bit-exactly."""
+    pat = BPE_PRETOKEN_PATTERN
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        # re.ASCII pins \s to the ASCII class, matching RE2's semantics
+        # (Unicode whitespace like \xa0 would otherwise diverge)
+        n_bpe = df[text_col].str.count(pat, flags=re.ASCII).to_numpy(np.int64)
+        stripped = df[text_col].str.strip()
+        n_ws = np.where(stripped.to_numpy() == "", 0,
+                        stripped.str.count(r"\s+", flags=re.ASCII)
+                        .to_numpy(np.int64) + 1)
+        ratio = np.floor(n_bpe / np.maximum(n_ws, 1) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({id_col: df[id_col],
+                             "n_bpe_tokens": n_bpe,
+                             "n_ws_tokens": n_ws.astype(np.int64),
+                             "bpe_per_ws": ratio})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pandas")
+
+
 # ------------------------------------------------- corpus prep additions ----
 
 def source_keep_pct(source: str) -> int:

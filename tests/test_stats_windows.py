@@ -405,3 +405,55 @@ def test_inverted_index_golden(ray_session):
     assert out.loc["a", "df"] == 2 and out.loc["a", "cf"] == 3
     assert out.loc["b", "postings"] == "2,3"
     assert out.loc["b", "cf"] == 3 and out.loc["c", "df"] == 1
+
+
+def test_bpe_token_counts_golden_and_sql_parity():
+    import duckdb
+    from deepkg_ray.stages.textstats import (BPE_PRETOKEN_PATTERN,
+                                             bpe_token_counts)
+    texts = ["don't stop, it's 42.5% won't!!", "", "   ", "a  b\tc\nd",
+             "they're we've I'll o'clock", "'s'll'rex", "aaaaa!@#999"]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (bpe_token_counts(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_bpe_tokens"].tolist() == [13, 0, 0, 4, 9, 4, 3]
+    assert out["n_ws_tokens"].tolist() == [5, 0, 0, 4, 4, 1, 1]
+    # SQL parity on the same rows (the driver oracle's exact expression)
+    sqlpat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    con.register("d", df)
+    sql = con.execute(
+        f"SELECT CAST(len(regexp_extract_all(text, '{sqlpat}')) AS BIGINT) "
+        f"FROM d ORDER BY doc_id").df().iloc[:, 0].tolist()
+    assert sql == out["n_bpe_tokens"].tolist()
+
+
+def test_pack_sequences_multibucket_matches_bruteforce():
+    from deepkg_ray.stages.packing import pack_sequences, packing_stats
+    rng = np.random.default_rng(11)
+    n = 200
+    texts = [" ".join(["w"] * int(k)) if k else ""
+             for k in rng.integers(0, 40, size=n)]
+    # shuffled ids (sparse, not dense) to prove ordering comes from the scan
+    ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    perm = rng.permutation(n)
+    df = pd.DataFrame({"doc_id": ids[perm], "text": [texts[i] for i in perm]})
+    W, SEP = 64, 1
+    out = (pack_sequences(rd.from_pandas(df), window=W, sep_tokens=SEP,
+                          bucket_size=128)   # forces ~80 buckets
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # brute force in id order
+    order = np.argsort(df["doc_id"].to_numpy())
+    eff = np.array([len(t.split()) + SEP
+                    for t in df["text"].to_numpy()[order]], dtype=np.int64)
+    start = np.concatenate(([0], np.cumsum(eff)[:-1]))
+    assert out["token_start"].tolist() == start.tolist()
+    assert out["pack_id"].tolist() == (start // W).tolist()
+    assert out["n_packs_spanned"].tolist() == (
+        (start + eff - 1) // W - start // W + 1).tolist()
+    st = packing_stats(rd.from_pandas(df), window=W, sep_tokens=SEP,
+                       bucket_size=128).to_pandas()
+    total = int(start[-1] + eff[-1])
+    assert int(st["total_tokens"].iloc[0]) == total
+    assert int(st["n_packs"].iloc[0]) == -(-total // W)
