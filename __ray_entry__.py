@@ -189,6 +189,14 @@ def _q_doc_fingerprints(sf_dir: str):
         explode, batch_format="pyarrow")
 
 
+def _q_substring_dup_spans(sf_dir: str):
+    """Repeated w-gram span detection (hash-variant suffix-array dedup),
+    md5-parity tier — full derivation re-checked in SQL."""
+    from deepkg_ray.stages.dedup import substring_dup_spans
+    return substring_dup_spans(_docs(sf_dir, ["doc_id", "text"]),
+                               hash_mode="parity")
+
+
 def _q_dedup_exact(sf_dir: str):
     from deepkg_ray.stages.dedup import dedup_exact
     return dedup_exact(_docs(sf_dir, ["doc_id", "text"]))
@@ -1011,6 +1019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "bpe_token_counts": _q_bpe_token_counts,
         "sequence_packing": _q_sequence_packing,
+        "substring_dup_spans": _q_substring_dup_spans,
         "packing_stats": _q_packing_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -1114,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oracle.lang_id_oracle(),
         "bpe_token_counts": oracle.bpe_token_counts_oracle(),
         "sequence_packing": oracle.sequence_packing_oracle(),
+        "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),

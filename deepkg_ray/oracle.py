@@ -1299,6 +1299,40 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {threshold}
 """
 
 
+def substring_dup_spans_oracle(w: int = 5, min_count: int = 2,
+                               table: str = "documents") -> str:
+    """All-gram re-derivation of substring_dup_spans (md5-parity tier):
+    w-token grams → md5_number_lower → HAVING count ≥ min_count → the
+    identical gaps-and-islands merge (break when gap > w)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM {table}
+),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5_number_lower(array_to_string(ws[i:i+{w - 1}], ' ')) AS h
+  FROM toks, unnest(generate_series(1, len(ws) - {w - 1})) AS t(i)
+  WHERE len(ws) >= {w}
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= {min_count}),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+marks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {w} THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+grp AS (SELECT doc_id, pos,
+        SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM marks)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {w} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM grp GROUP BY doc_id, g
+"""
+
+
 def heavy_hitter_tokens_oracle(k: int = 20) -> str:
     return f"""
 WITH toks AS (

@@ -648,3 +648,108 @@ def minhash_raw_pairs_incremental(new_ds, old_bands, id_col: str = "doc_id",
                          "doc_b": pa.array(np.maximum(a, o), pa.int64())})
 
     return within.union(cross.map_batches(orient, batch_format="pyarrow"))
+
+
+# ------------------------------------------- repeated-substring dedup ----
+
+class GramRows:
+    """documents → (doc_id, pos, h): one row per w-token-gram position.
+    hash_mode 'fast' = siphash over the gram strings (throughput tier);
+    'parity' = md5_lower64 (≡ DuckDB md5_number_lower) so the dup-span
+    derivation is reproducible by oracle.substring_dup_spans_oracle.
+    Docs shorter than w tokens emit nothing (no gram exists)."""
+
+    def __init__(self, w: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text", hash_mode: str = "fast"):
+        from deepkg_ray.functions.hashing import (md5_lower64_batch,
+                                                  stable_hash64_batch)
+        self.w = w
+        self.id_col, self.text_col = id_col, text_col
+        self._hash = (md5_lower64_batch if hash_mode == "parity"
+                      else stable_hash64_batch)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = self.w
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        grams: list[str] = []
+        id_chunks, pos_chunks = [], []
+        for i, t in enumerate(texts):
+            ws = t.split()
+            m = len(ws) - w + 1
+            if m <= 0:
+                continue
+            grams.extend(" ".join(ws[j:j + w]) for j in range(m))
+            id_chunks.append(np.full(m, ids[i], dtype=np.int64))
+            pos_chunks.append(np.arange(m, dtype=np.int64))
+        if not grams:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        # int64 bit-reinterpret: groupby/join keys stay a native Arrow type
+        # through the hash-shuffle (uint64 degrades to a pickled-object
+        # extension column in the aggregate path and the join rejects it)
+        return pa.table({
+            self.id_col: pa.array(np.concatenate(id_chunks), pa.int64()),
+            "pos": pa.array(np.concatenate(pos_chunks), pa.int64()),
+            "h": pa.array(self._hash(grams).view(np.int64), pa.int64())})
+
+
+def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        hash_mode: str = "fast", concurrency=None,
+                        num_partitions: int | None = None):
+    """Repeated-substring detection (the hash variant of suffix-array
+    training-data dedup, Lee et al. 2022 'Deduplicating Training Data
+    Makes Language Models Better'): find every w-token gram occurring
+    ≥ min_count times across the corpus and merge the covered positions
+    into per-doc spans.  Returns (doc_id, span_start, span_end,
+    n_dup_grams) token-index intervals — the spans a curation pass would
+    cut or down-weight.
+
+    Plan (scale shape): gram rows (doc_id, pos, h) are materialized once
+    (object-store backed, spills at scale) and consumed twice — (1)
+    per-block np.unique partial counts → groupby(h) Sum → dup-hash table
+    (only duplicated grams survive, a tiny fraction of the corpus), (2)
+    hash-partitioned inner join of gram rows against the dup table, so
+    only duplicated positions reach the final per-doc islands groupby.
+    Nothing row-shaped touches the driver.  Spans merge when consecutive
+    dup positions are ≤ w apart (overlap or touch)."""
+    from ray.data.aggregate import Sum
+    from deepkg_ray.util import join_partitions, spread_small, stateful_map
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    grams = stateful_map(
+        spread_small(ds.select_columns([id_col, text_col])), GramRows,
+        {"w": w, "id_col": id_col, "text_col": text_col,
+         "hash_mode": hash_mode},
+        concurrency=concurrency, batch_size=None).materialize()
+
+    def pcount(b: pa.Table) -> pa.Table:
+        h, c = np.unique(b["h"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "cnt": pa.array(c, pa.int64())})
+
+    dup = (grams.map_batches(pcount, batch_format="pyarrow")
+           .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
+           .filter(expr=f"cnt >= {int(min_count)}")
+           .select_columns(["h"]))
+    hits = grams.join(dup, join_type="inner",
+                      num_partitions=num_partitions, on=("h",))
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(df["pos"].to_numpy(np.int64))
+        brk = np.ones(len(pos), dtype=np.int64)
+        brk[1:] = (np.diff(pos) > w).astype(np.int64)
+        g = np.cumsum(brk)
+        gdf = pd.DataFrame({"pos": pos, "g": g})
+        agg = gdf.groupby("g", sort=True)["pos"].agg(["min", "max", "count"])
+        return pd.DataFrame({
+            id_col: np.full(len(agg), df[id_col].iloc[0], dtype=np.int64),
+            "span_start": agg["min"].to_numpy(np.int64),
+            "span_end": agg["max"].to_numpy(np.int64) + w,
+            "n_dup_grams": agg["count"].to_numpy(np.int64)})
+
+    return hits.groupby(id_col).map_groups(islands, batch_format="pandas")

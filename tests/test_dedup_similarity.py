@@ -228,3 +228,27 @@ def test_similarity_join_modes_agree_with_bruteforce():
         out = similarity_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
                               threshold=thr, order=order).to_pandas()
         assert set(zip(out["doc_a"], out["doc_b"])) == want, order
+
+
+def test_substring_dup_spans_golden_and_modes_agree():
+    # Docs 0 and 1 share the 6-token run "p q r s t u" (two w=5 grams at
+    # positions 1,2 in doc0 / 0,1 in doc1 → one merged span each).  Doc 2
+    # repeats its own 5-gram "m m m m m" at positions 0 and 6 (gap 6 > w
+    # → two separate spans).  Doc 3 has no dups.
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x p q r s t u y z",
+                 "p q r s t u k l",
+                 "m m m m m z m m m m m",
+                 "totally unique words only here"]})
+    ds = rd.from_pandas(docs).repartition(3)
+    out = (dedup.substring_dup_spans(ds, w=5, hash_mode="parity")
+           .to_pandas().sort_values(["doc_id", "span_start"])
+           .reset_index(drop=True))
+    got = list(map(tuple, out[["doc_id", "span_start", "span_end",
+                               "n_dup_grams"]].to_numpy()))
+    assert got == [(0, 1, 7, 2), (1, 0, 6, 2), (2, 0, 5, 1), (2, 6, 11, 1)]
+    fast = (dedup.substring_dup_spans(ds, w=5, hash_mode="fast")
+            .to_pandas().sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, fast)
