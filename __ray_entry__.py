@@ -161,6 +161,18 @@ def _q_sequence_packing(sf_dir: str):
     return pack_sequences(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (shuffle-free per-doc map)."""
+    from deepkg_ray.stages.textstats import chunk_documents
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_sample_exact_k(sf_dir: str):
+    """Deterministic exact-size-k sample via md5 rank top-k."""
+    from deepkg_ray.stages.textstats import sample_exact_k
+    return sample_exact_k(_docs(sf_dir, ["doc_id"]), k=100)
+
+
 def _q_packing_stats(sf_dir: str):
     from deepkg_ray.stages.packing import packing_stats
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
@@ -1020,6 +1032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "sequence_packing": _q_sequence_packing,
         "substring_dup_spans": _q_substring_dup_spans,
+        "chunk_documents": _q_chunk_documents,
+        "sample_exact_k": _q_sample_exact_k,
         "packing_stats": _q_packing_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -1124,6 +1138,8 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": oracle.bpe_token_counts_oracle(),
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
+        "chunk_documents": oracle.chunk_documents_oracle(),
+        "sample_exact_k": oracle.sample_exact_k_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),

@@ -348,6 +348,38 @@ FROM agg
 """
 
 
+def chunk_documents_oracle(chunk_size: int = 64, overlap: int = 16,
+                           table: str = "documents") -> str:
+    C, S = chunk_size, chunk_size - overlap
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM {table}
+), n AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         CASE WHEN len(ws) = 0 THEN 0
+              WHEN len(ws) <= {C} THEN 1
+              ELSE (len(ws) - {C} + {S} - 1) // {S} + 1 END AS k
+  FROM toks
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {S} AS BIGINT) AS tok_start,
+       CAST(least(i * {S} + {C}, n) AS BIGINT) AS tok_end,
+       array_to_string(ws[i * {S} + 1 : least(i * {S} + {C}, n)], ' ')
+         AS chunk_text
+FROM n, unnest(generate_series(0, k - 1)) AS t(i)
+"""
+
+
+def sample_exact_k_oracle(k: int = 100, table: str = "documents") -> str:
+    return f"""
+SELECT doc_id FROM {table}
+ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT {k}
+"""
+
+
 def bpe_token_counts_oracle(table: str = "documents") -> str:
     """regexp_extract_all under the identical RE2-safe pre-tokenizer
     pattern (textstats.BPE_PRETOKEN_PATTERN); ratio from integer micros."""

@@ -168,6 +168,83 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         kernel, batch_format="pandas")
 
 
+def chunk_documents(ds, *, chunk_size: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """RAG/training-style document chunking: split each doc's whitespace
+    tokens into ``chunk_size``-token windows advancing by ``chunk_size -
+    overlap``; the last chunk may be short.  Emits (doc_id, chunk_idx,
+    tok_start, tok_end, chunk_text).  n_chunks = 0 for empty docs, 1 when
+    n ≤ chunk_size, else ceil((n - chunk_size)/stride) + 1 — every chunk
+    beyond the first contributes at least one new token.  Pure per-doc
+    map_batches: no shuffle, embarrassingly parallel at any scale."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    C, S = int(chunk_size), int(chunk_size) - int(overlap)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        texts = batch[text_col].to_pylist()
+        o_id, o_idx, o_start, o_end, o_text = [], [], [], [], []
+        for i, t in enumerate(texts):
+            ws = t.split()
+            n = len(ws)
+            if n == 0:
+                continue
+            k = 1 if n <= C else -(-(n - C) // S) + 1
+            for j in range(k):
+                s = j * S
+                e = min(s + C, n)
+                o_id.append(ids[i])
+                o_idx.append(j)
+                o_start.append(s)
+                o_end.append(e)
+                o_text.append(" ".join(ws[s:e]))
+        return pa.table({id_col: pa.array(o_id, pa.int64()),
+                         "chunk_idx": pa.array(o_idx, pa.int64()),
+                         "tok_start": pa.array(o_start, pa.int64()),
+                         "tok_end": pa.array(o_end, pa.int64()),
+                         "chunk_text": pa.array(o_text, pa.string())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+def sample_exact_k(ds, k: int = 100, id_col: str = "doc_id"):
+    """Deterministic EXACT-size-k corpus sample (the keep-mask sampler
+    gives a binomial size): rank every id by md5_lower64 of its decimal
+    string and keep the k smallest (tie → smaller id).  Partition- and
+    order-free, reproducible anywhere; per-block partial top-k
+    (argpartition) then one tiny global merge — k rows per block is all
+    that ever shuffles.  SQL: ORDER BY md5_number_lower(id::VARCHAR), id
+    LIMIT k."""
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    kk = int(k)
+    _SIGN = np.uint64(1 << 63)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "_rk": pa.array([], pa.int64())})
+        r = md5_lower64_batch([str(int(x)) for x in ids])
+        # order-preserving signed shift so the rank survives Arrow int64
+        rk = (r ^ _SIGN).view(np.int64)
+        if len(ids) > kk:
+            sel = np.lexsort((ids, rk))[:kk]
+            ids, rk = ids[sel], rk[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "_rk": pa.array(rk, pa.int64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rk", id_col], kind="stable").head(kk)
+        return df[[id_col]].reset_index(drop=True)
+
+    return (ds.select_columns([id_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 # ------------------------------------------------- corpus prep additions ----
 
 def source_keep_pct(source: str) -> int:

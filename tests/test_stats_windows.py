@@ -457,3 +457,37 @@ def test_pack_sequences_multibucket_matches_bruteforce():
     total = int(start[-1] + eff[-1])
     assert int(st["total_tokens"].iloc[0]) == total
     assert int(st["n_packs"].iloc[0]) == -(-total // W)
+
+
+def test_chunk_documents_golden():
+    from deepkg_ray.stages.textstats import chunk_documents
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": [" ".join(f"t{i}" for i in range(10)),
+                                " ".join(f"t{i}" for i in range(8)),
+                                "one two", ""]})
+    out = (chunk_documents(rd.from_pandas(df), chunk_size=8, overlap=2)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    # doc0: n=10, stride 6 -> chunks [0,8) and [6,10)
+    d0 = out[out.doc_id == 0]
+    assert list(zip(d0.tok_start, d0.tok_end)) == [(0, 8), (6, 10)]
+    assert d0.iloc[1]["chunk_text"] == "t6 t7 t8 t9"
+    # doc1: n=8 == chunk_size -> exactly one chunk (no contained tail)
+    assert (out.doc_id == 1).sum() == 1
+    # doc2: short doc -> one whole chunk; doc3: empty -> none
+    assert (out.doc_id == 2).sum() == 1 and (out.doc_id == 3).sum() == 0
+    import pytest
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), chunk_size=4, overlap=4)
+
+
+def test_sample_exact_k_matches_bruteforce_over_partitions():
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    from deepkg_ray.stages.textstats import sample_exact_k
+    ids = np.arange(1000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    out = (sample_exact_k(rd.from_pandas(df).repartition(7), k=37)
+           .to_pandas()["doc_id"].to_numpy())
+    ranks = md5_lower64_batch([str(i) for i in ids])
+    expect = ids[np.lexsort((ids, ranks))[:37]]
+    assert sorted(out.tolist()) == sorted(expect.tolist())
