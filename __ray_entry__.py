@@ -173,6 +173,13 @@ def _q_sample_exact_k(sf_dir: str):
     return sample_exact_k(_docs(sf_dir, ["doc_id"]), k=100)
 
 
+def _q_global_shuffle(sf_dir: str):
+    """Deterministic global shuffle rank (distributed row_number via the
+    two-phase scan over md5-uniform key buckets)."""
+    from deepkg_ray.stages.packing import global_shuffle_positions
+    return global_shuffle_positions(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_packing_stats(sf_dir: str):
     from deepkg_ray.stages.packing import packing_stats
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
@@ -1034,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
+        "global_shuffle_positions": _q_global_shuffle,
         "packing_stats": _q_packing_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -1140,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),
+        "global_shuffle_positions": oracle.global_shuffle_positions_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),

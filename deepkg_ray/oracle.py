@@ -372,6 +372,17 @@ FROM n, unnest(generate_series(0, k - 1)) AS t(i)
 """
 
 
+def global_shuffle_positions_oracle(seed: int = 7,
+                                    table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY md5_number_lower('{seed}:' || CAST(doc_id AS VARCHAR)),
+                    doc_id) - 1 AS BIGINT) AS shuffle_pos
+FROM {table}
+"""
+
+
 def sample_exact_k_oracle(k: int = 100, table: str = "documents") -> str:
     return f"""
 SELECT doc_id FROM {table}

@@ -144,3 +144,63 @@ def packing_stats(ds, *, window: int = 2048, sep_tokens: int = 1,
         "n_straddlers": [np.int64(parts["n_straddlers"].sum()
                                   if len(parts) else 0)],
         "last_fill": [round6(last_fill)]}))
+
+
+def global_shuffle_positions(ds, *, seed: int = 7, id_col: str = "doc_id",
+                             n_buckets: int = 4096):
+    """Deterministic global shuffle with MATERIALIZED positions: assign
+    every row its rank under the permutation key md5_lower64(f"{seed}:{id}")
+    (tie → smaller id).  Returns (doc_id, shuffle_pos) — the training-export
+    order a sharded writer consumes, reproducible on any partitioning and
+    resumable (re-running a shard recomputes identical positions, unlike
+    random_shuffle whose order is an execution artifact).
+
+    Distributed rank via the same two-phase scan as pack_sequences, with
+    the md5 key's own uniformity providing the range partition: bucket =
+    key's top bits (``n_buckets`` uniform ranges), per-bucket counts fold
+    to exclusive offsets on the driver (n_buckets integers), one bucket
+    groupby sorts in-bucket and adds the offset.  SQL oracle:
+    ROW_NUMBER() OVER (ORDER BY md5_number_lower('seed:'||id), id) - 1."""
+    import ray
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        key = md5_lower64_batch([f"{seed}:{int(x)}" for x in ids])
+        return pd.DataFrame({
+            id_col: ids,
+            # order-preserving signed shift (Arrow blocks degrade uint64)
+            "_key": (key ^ np.uint64(1 << 63)).view(np.int64),
+            "_bucket": (key >> shift).astype(np.int64)})
+
+    with_key = ds.select_columns([id_col]).map_batches(
+        keyed, batch_format="pandas")
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("_bucket", as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    parts = with_key.map_batches(bucket_counts, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    if len(parts) == 0:
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "shuffle_pos": pd.Series([], dtype=np.int64)}))
+    sums = parts.groupby("_bucket")["cnt"].sum().sort_index()
+    offsets = {int(b): int(v) for b, v in
+               zip(sums.index, np.concatenate(([0], np.cumsum(
+                   sums.to_numpy(np.int64))[:-1])))}
+    offsets_ref = ray.put(offsets)
+
+    def place(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_key", id_col], kind="stable")
+        base = ray.get(offsets_ref)[int(df["_bucket"].iloc[0])]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "shuffle_pos": base + np.arange(len(df), dtype=np.int64)})
+
+    return with_key.groupby("_bucket").map_groups(place,
+                                                  batch_format="pandas")

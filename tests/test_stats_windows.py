@@ -491,3 +491,21 @@ def test_sample_exact_k_matches_bruteforce_over_partitions():
     ranks = md5_lower64_batch([str(i) for i in ids])
     expect = ids[np.lexsort((ids, ranks))[:37]]
     assert sorted(out.tolist()) == sorted(expect.tolist())
+
+
+def test_global_shuffle_positions_is_a_permutation_and_stable():
+    from deepkg_ray.stages.packing import global_shuffle_positions
+    ids = np.arange(500, dtype=np.int64) * 3 + 1   # sparse ids
+    df = pd.DataFrame({"doc_id": ids})
+    a = (global_shuffle_positions(rd.from_pandas(df).repartition(5), seed=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # exact permutation of 0..n-1
+    assert sorted(a["shuffle_pos"].tolist()) == list(range(500))
+    # partitioning-invariant: one block gives the identical assignment
+    b = (global_shuffle_positions(rd.from_pandas(df).repartition(1), seed=3)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # a different seed is a different permutation
+    c = (global_shuffle_positions(rd.from_pandas(df).repartition(5), seed=4)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert not a["shuffle_pos"].equals(c["shuffle_pos"])
