@@ -81,6 +81,19 @@ def _q_corpus_curate(sf_dir: str):
     return corpus_curate(read_documents(sf_dir, ["doc_id", "text"])).count()
 
 
+def _q_substring_dup(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import substring_dup_spans
+    return substring_dup_spans(read_documents(sf_dir, ["doc_id", "text"])
+                               ).count()
+
+
+def _q_packing(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.packing import pack_sequences
+    return pack_sequences(read_documents(sf_dir, ["doc_id", "text"])).count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -125,7 +138,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("dedup_exact", _q_dedup_exact),
             ("ann_topk", _q_ann),
             ("dedup_minhash", _q_minhash),
-            ("corpus_curate", _q_corpus_curate)]
+            ("corpus_curate", _q_corpus_curate),
+            ("substring_dup_spans", _q_substring_dup),
+            ("sequence_packing", _q_packing)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:

@@ -698,7 +698,8 @@ class GramRows:
 def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
                         id_col: str = "doc_id", text_col: str = "text",
                         hash_mode: str = "fast", concurrency=None,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        broadcast_limit: int = 2_000_000):
     """Repeated-substring detection (the hash variant of suffix-array
     training-data dedup, Lee et al. 2022 'Deduplicating Training Data
     Makes Language Models Better'): find every w-token gram occurring
@@ -711,10 +712,13 @@ def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
     (object-store backed, spills at scale) and consumed twice — (1)
     per-block np.unique partial counts → groupby(h) Sum → dup-hash table
     (only duplicated grams survive, a tiny fraction of the corpus), (2)
-    hash-partitioned inner join of gram rows against the dup table, so
-    only duplicated positions reach the final per-doc islands groupby.
-    Nothing row-shaped touches the driver.  Spans merge when consecutive
-    dup positions are ≤ w apart (overlap or touch)."""
+    a semi-join of gram rows against the dup table — broadcast np.isin
+    when the dup set fits ``broadcast_limit`` hashes (~16 MB), else a
+    hash-partitioned Dataset.join — so only duplicated positions reach
+    the final per-doc islands groupby.  Nothing row-shaped touches the
+    driver.  Spans merge when consecutive dup positions are ≤ w apart
+    (overlap or touch).  At toy scale wall time is dominated by the two
+    all-to-all barrier boots, not kernels — both amortize at scale."""
     from ray.data.aggregate import Sum
     from deepkg_ray.util import join_partitions, spread_small, stateful_map
 
@@ -735,9 +739,27 @@ def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
     dup = (grams.map_batches(pcount, batch_format="pyarrow")
            .groupby("h").aggregate(Sum("cnt", alias_name="cnt"))
            .filter(expr=f"cnt >= {int(min_count)}")
-           .select_columns(["h"]))
-    hits = grams.join(dup, join_type="inner",
-                      num_partitions=num_partitions, on=("h",))
+           .select_columns(["h"])).materialize()
+
+    # adaptive semi-join: the dup-hash table is usually a tiny fraction of
+    # the corpus — broadcast it (ray.put once, np.isin per batch) instead
+    # of paying the hash-join aggregator boot; the join path remains for
+    # open-vocab dup sets past the broadcast bound (~16 MB of hashes).
+    if dup.count() <= broadcast_limit:
+        import ray
+        dup_arr = np.sort(dup.to_pandas()["h"].to_numpy(np.int64))
+        dup_ref = ray.put(dup_arr)
+
+        def semi(b: pa.Table) -> pa.Table:
+            d = ray.get(dup_ref)
+            mask = np.isin(b["h"].to_numpy(zero_copy_only=False), d,
+                           assume_unique=False)
+            return b.filter(pa.array(mask))
+
+        hits = grams.map_batches(semi, batch_format="pyarrow")
+    else:
+        hits = grams.join(dup, join_type="inner",
+                          num_partitions=num_partitions, on=("h",))
 
     def islands(df: pd.DataFrame) -> pd.DataFrame:
         pos = np.sort(df["pos"].to_numpy(np.int64))
