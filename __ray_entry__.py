@@ -180,6 +180,19 @@ def _q_global_shuffle(sf_dir: str):
     return global_shuffle_positions(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_stratified_exact_k(sf_dir: str):
+    """Hard per-source sample quotas (exact-k per group)."""
+    from deepkg_ray.stages.textstats import stratified_exact_k
+    return stratified_exact_k(_docs(sf_dir, ["doc_id", "source"]), k=10)
+
+
+def _q_containment_pairs(sf_dir: str):
+    """Winnowing containment (MOSS-style quotation/subset detection)."""
+    from deepkg_ray.stages.dedup import containment_pairs
+    return containment_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                             threshold=0.5)
+
+
 def _q_packing_stats(sf_dir: str):
     from deepkg_ray.stages.packing import packing_stats
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
@@ -1042,6 +1055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
         "global_shuffle_positions": _q_global_shuffle,
+        "stratified_exact_k": _q_stratified_exact_k,
+        "containment_pairs": _q_containment_pairs,
         "packing_stats": _q_packing_stats,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
@@ -1149,6 +1164,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": oracle.chunk_documents_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),
         "global_shuffle_positions": oracle.global_shuffle_positions_oracle(),
+        "stratified_exact_k": oracle.stratified_exact_k_oracle(),
+        "containment_pairs": oracle.containment_pairs_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),

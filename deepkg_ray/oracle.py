@@ -372,6 +372,16 @@ FROM n, unnest(generate_series(0, k - 1)) AS t(i)
 """
 
 
+def stratified_exact_k_oracle(k: int = 10, group_col: str = "source",
+                              table: str = "documents") -> str:
+    return f"""
+SELECT {group_col}, doc_id FROM {table}
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY {group_col}
+    ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) <= {k}
+"""
+
+
 def global_shuffle_positions_oracle(seed: int = 7,
                                     table: str = "documents") -> str:
     return f"""
@@ -1199,12 +1209,8 @@ FROM r GROUP BY col, register
 """
 
 
-def doc_fingerprints_oracle(window: int = 8, keep_mod: int = 16) -> str:
-    """Rabin-Karp rolling fingerprints (functions/hashing.py
-    rolling_fingerprint) — the rolling recurrence equals the per-window
-    polynomial hash Σ ord(c_{p+t})·257^(window-1-t) mod 2^61-1, so every
-    emitted value is computable position-independently (no recursion);
-    short texts fall back to md5_number_lower % mod, emitted unfiltered."""
+def _fp_rows_sql(window: int, keep_mod: int) -> str:
+    """Shared fingerprint-row derivation (see doc_fingerprints_oracle)."""
     m = (1 << 61) - 1
     ks = [pow(257, window - 1 - t, m) for t in range(window)]
     terms = " + ".join(f"CAST(cs[p + {t}] AS HUGEINT) * {k}"
@@ -1219,11 +1225,57 @@ long AS (
   SELECT doc_id, CAST(({terms}) % {m} AS BIGINT) AS fp
   FROM codes, unnest(generate_series(1, n - {window - 1})) AS u(p)
   WHERE n >= {window}
+),
+fp_rows AS (
+  SELECT doc_id, fp FROM long WHERE fp % {keep_mod} = 0
+  UNION ALL
+  SELECT doc_id, CAST(md5_number_lower(text) % {m} AS BIGINT) AS fp
+  FROM documents WHERE length(text) BETWEEN 1 AND {window - 1}
+)"""
+
+
+def doc_fingerprints_oracle(window: int = 8, keep_mod: int = 16) -> str:
+    """Rabin-Karp rolling fingerprints (functions/hashing.py
+    rolling_fingerprint) — the rolling recurrence equals the per-window
+    polynomial hash Σ ord(c_{p+t})·257^(window-1-t) mod 2^61-1, so every
+    emitted value is computable position-independently (no recursion);
+    short texts fall back to md5_number_lower % mod, emitted unfiltered."""
+    return _fp_rows_sql(window, keep_mod) + """
+SELECT doc_id, fp FROM fp_rows
+"""
+
+
+def containment_pairs_oracle(window: int = 8, keep_mod: int = 16,
+                             threshold: float = 0.5,
+                             max_bucket: int = 64) -> str:
+    """Winnowing containment ground truth: distinct fingerprints per doc,
+    stop-fingerprint buckets (> max_bucket docs) dropped, pair share
+    counts over surviving buckets, containment = shared / min(|FP|)."""
+    return _fp_rows_sql(window, keep_mod) + f""",
+fps AS (SELECT DISTINCT doc_id, fp FROM fp_rows),
+nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        FROM fps GROUP BY doc_id),
+ok_fp AS (SELECT fp FROM fps GROUP BY fp
+          HAVING COUNT(*) BETWEEN 2 AND {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a
+  JOIN ok_fp o ON o.fp = a.fp
+  JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT p.doc_a, p.doc_b, p.n_shared,
+         floor(p.n_shared * 1.0
+               / greatest(least(na.n_fp, nb.n_fp), 1) * 1e6 + 0.5) / 1e6
+           AS containment
+  FROM pairs p
+  JOIN nfp na ON na.doc_id = p.doc_a
+  JOIN nfp nb ON nb.doc_id = p.doc_b
 )
-SELECT doc_id, fp FROM long WHERE fp % {keep_mod} = 0
-UNION ALL
-SELECT doc_id, CAST(md5_number_lower(text) % {m} AS BIGINT) AS fp
-FROM documents WHERE length(text) BETWEEN 1 AND {window - 1}
+SELECT doc_a, doc_b, n_shared, containment
+FROM scored WHERE containment >= {threshold}
 """
 
 

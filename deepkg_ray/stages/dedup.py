@@ -241,10 +241,15 @@ def attach_pair_columns(pairs, docs, *, id_col: str, cols: list[str],
         _renamer([a_key] + [f"{c}_a" for c in cols]), batch_format="pyarrow")
     side_b = docs.select_columns([id_col] + cols).map_batches(
         _renamer([b_key] + [f"{c}_b" for c in cols]), batch_format="pyarrow")
+    from deepkg_ray.util import drop_empty_blocks
     out = pairs.join(side_a, join_type="inner",
                      num_partitions=num_partitions, on=(a_key,))
-    return out.join(side_b, join_type="inner",
-                    num_partitions=num_partitions, on=(b_key,))
+    # the first join emits zero-column blocks for empty hash partitions;
+    # strip them or the second join fails pyarrow field resolution when a
+    # partition receives only such shards (sparse pair sets)
+    return drop_empty_blocks(out).join(side_b, join_type="inner",
+                                       num_partitions=num_partitions,
+                                       on=(b_key,))
 
 
 def attach_pair_texts(pairs, docs, *, id_col: str = "doc_id",
@@ -775,3 +780,114 @@ def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
             "n_dup_grams": agg["count"].to_numpy(np.int64)})
 
     return hits.groupby(id_col).map_groups(islands, batch_format="pandas")
+
+
+# ------------------------------------------- fingerprint containment ----
+
+def containment_pairs(ds, *, window: int = 8, keep_mod: int = 16,
+                      threshold: float = 0.5, max_bucket: int = 64,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      concurrency=None, num_partitions: int | None = None):
+    """Winnowing containment detection (Schleimer et al. 2003 'MOSS'):
+    docs sharing a high fraction of rolling-hash fingerprints — catches
+    quotation/subset relations that whole-doc near-dup (minhash over the
+    full shingle set) dilutes away.  Returns (doc_a, doc_b, n_shared,
+    containment) with containment = round6(shared / min(|FP_a|, |FP_b|))
+    ≥ threshold.
+
+    Scale shape: distinct (doc_id, fp) rows → groupby(fp) buckets emit
+    pairs in-bucket (never all-pairs); buckets larger than ``max_bucket``
+    docs are stop-fingerprints and dropped (the skew guard — boilerplate
+    shared by every corpus); per-doc fingerprint counts attach via the
+    hash-partitioned pair joins (attach_pair_columns)."""
+    from deepkg_ray.util import spread_small, stateful_map
+    from deepkg_ray.stages.textstats import FingerprintStage
+
+    fp_ds = stateful_map(
+        spread_small(ds.select_columns([id_col, text_col])),
+        FingerprintStage, {"text_col": text_col, "window": window,
+                           "keep_mod": keep_mod},
+        concurrency=concurrency, batch_size=None)
+
+    # two projections of one pass: (doc_id, fp) rows and (doc_id, n_fp)
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        fps = b["fingerprints"].to_pylist()
+        o_id, o_fp = [], []
+        for i, lst in enumerate(fps):
+            u = np.unique(np.asarray(lst, dtype=np.int64))
+            o_id.append(np.full(len(u), ids[i], dtype=np.int64))
+            o_fp.append(u)
+        flat_id = (np.concatenate(o_id) if o_id
+                   else np.empty(0, dtype=np.int64))
+        flat_fp = (np.concatenate(o_fp) if o_fp
+                   else np.empty(0, dtype=np.int64))
+        return pa.table({id_col: pa.array(flat_id, pa.int64()),
+                         "fp": pa.array(flat_fp, pa.int64())})
+
+    def nfp(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        fps = b["fingerprints"].to_pylist()
+        n = np.array([len(np.unique(np.asarray(l, dtype=np.int64)))
+                      for l in fps], dtype=np.int64)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_fp": pa.array(n, pa.int64())})
+
+    fp_mat = fp_ds.materialize()
+    fp_rows = fp_mat.map_batches(explode, batch_format="pyarrow")
+    nfp_ds = fp_mat.map_batches(nfp, batch_format="pyarrow")
+
+    mb = int(max_bucket)
+
+    # coarse-bucket the fp space (64 shuffle groups, not one Ray group per
+    # fingerprint — millions of tiny groups cost per-group scheduling),
+    # then a vectorized segment scan emits in-fp pairs inside each bucket
+    def add_fb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_fb"] = (df["fp"] % 64).astype(np.int32)
+        return df
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", id_col], kind="stable")
+        fps = df["fp"].to_numpy(np.int64)
+        ids = df[id_col].to_numpy(np.int64)
+        bound = np.flatnonzero(np.r_[True, fps[1:] != fps[:-1], True])
+        out_a, out_b = [], []
+        for s, e in zip(bound[:-1], bound[1:]):
+            n = e - s
+            if n < 2 or n > mb:
+                continue
+            seg = ids[s:e]
+            ia, ib = np.triu_indices(n, k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
+
+    pairs = (fp_rows.map_batches(add_fb, batch_format="pandas")
+             .groupby("_fb").map_groups(bucket_pairs,
+                                        batch_format="pandas"))
+    counted = dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
+                              count_col="n_shared")
+    from deepkg_ray.util import drop_empty_blocks
+    withn = attach_pair_columns(drop_empty_blocks(counted), nfp_ds,
+                                id_col=id_col, cols=["n_fp"],
+                                num_partitions=num_partitions)
+
+    thr = float(threshold)
+
+    def score(b: pa.Table) -> pa.Table:
+        sh = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b["n_fp_a"].to_numpy(zero_copy_only=False)
+        nb_ = b["n_fp_b"].to_numpy(zero_copy_only=False)
+        denom = np.minimum(na, nb_).astype(np.float64)
+        cont = np.floor(sh / np.maximum(denom, 1.0) * 1e6 + 0.5) / 1e6
+        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                        "n_shared": b["n_shared"],
+                        "containment": pa.array(cont, pa.float64())})
+        return out.filter(pc.greater_equal(out["containment"], thr))
+
+    return withn.map_batches(score, batch_format="pyarrow")

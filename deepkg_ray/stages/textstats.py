@@ -245,6 +245,40 @@ def sample_exact_k(ds, k: int = 100, id_col: str = "doc_id"):
             .map_batches(final, batch_format="pandas", batch_size=None))
 
 
+def stratified_exact_k(ds, k: int = 10, group_col: str = "source",
+                       id_col: str = "doc_id"):
+    """Exact-size-k sample PER GROUP (corpus-mixing primitive with hard
+    per-source quotas, vs the binomial keep-mask sampler): within each
+    group keep the k smallest md5 ranks.  Per-block partial top-k per
+    group (sort + head — vectorized) then one groupby(group) final pick;
+    at most k rows per (block, group) ever shuffle.  SQL: QUALIFY
+    ROW_NUMBER() OVER (PARTITION BY group ORDER BY md5, id) <= k."""
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    kk = int(k)
+    _SIGN = np.uint64(1 << 63)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "_rk": pd.Series([], dtype=np.int64)})
+        ids = df[id_col].to_numpy(np.int64)
+        rk = (md5_lower64_batch([str(int(x)) for x in ids])
+              ^ _SIGN).view(np.int64)
+        out = pd.DataFrame({group_col: df[group_col].to_numpy(),
+                            id_col: ids, "_rk": rk})
+        return (out.sort_values([group_col, "_rk", id_col], kind="stable")
+                .groupby(group_col, sort=False).head(kk))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_rk", id_col], kind="stable").head(kk)
+        return df[[group_col, id_col]].reset_index(drop=True)
+
+    return (ds.select_columns([group_col, id_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
 # ------------------------------------------------- corpus prep additions ----
 
 def source_keep_pct(source: str) -> int:

@@ -252,3 +252,19 @@ def test_substring_dup_spans_golden_and_modes_agree():
             .to_pandas().sort_values(["doc_id", "span_start"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(out, fast)
+
+
+def test_containment_pairs_detects_quotation():
+    # doc1 quotes the middle of doc0; doc2 is unrelated
+    base = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 50))
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [base, quote + " extra tail words here",
+                 " ".join(f"z{i}" for i in range(60))]})
+    out = dedup.containment_pairs(rd.from_pandas(docs),
+                                  threshold=0.3).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 1) in got and all(2 not in p for p in got)
+    row = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
+    assert row["containment"] >= 0.3 and row["n_shared"] >= 1

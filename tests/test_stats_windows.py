@@ -509,3 +509,22 @@ def test_global_shuffle_positions_is_a_permutation_and_stable():
     c = (global_shuffle_positions(rd.from_pandas(df).repartition(5), seed=4)
          .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert not a["shuffle_pos"].equals(c["shuffle_pos"])
+
+
+def test_stratified_exact_k_quotas_and_determinism():
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    from deepkg_ray.stages.textstats import stratified_exact_k
+    rng = np.random.default_rng(2)
+    n = 300
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "source": rng.choice(["a", "b", "c"], size=n)})
+    out = (stratified_exact_k(rd.from_pandas(df).repartition(6), k=7)
+           .to_pandas())
+    assert (out.groupby("source").size() == 7).all()
+    # matches the brute-force per-group md5 rank
+    ranks = md5_lower64_batch([str(i) for i in range(n)])
+    for g in ["a", "b", "c"]:
+        ids = df[df.source == g]["doc_id"].to_numpy()
+        expect = ids[np.lexsort((ids, ranks[ids]))[:7]]
+        got = np.sort(out[out.source == g]["doc_id"].to_numpy())
+        assert sorted(expect.tolist()) == got.tolist()
