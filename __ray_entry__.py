@@ -127,6 +127,16 @@ def _q_tool_usage(sf_dir: str):
         synth.transcripts_path(sf_dir), columns=["conv_id", "role", "tool"]))
 
 
+def _q_key_skew(sf_dir: str):
+    """Per-key row-count distribution for the groupby key (the salting
+    decision signal for hot conversations)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.quantiles import key_skew_stats
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir), columns=["conv_id"])
+    return key_skew_stats(ds, "conv_id")
+
+
 def _q_conv_cumulative_triples(sf_dir: str):
     from deepkg_ray.pipelines import kg
     return kg.conv_cumulative_triples(sf_dir)
@@ -1042,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
         "transcript_stats": _q_transcript_stats,
+        "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
         "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
@@ -1151,6 +1162,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
+        "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
         "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),

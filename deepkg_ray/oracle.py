@@ -137,6 +137,25 @@ FROM adj GROUP BY pred
 """
 
 
+def key_skew_stats_oracle(sf_dir: str, col: str = "conv_id") -> str:
+    """Per-key count distribution (quantiles.key_skew_stats) — quantile_disc
+    matches the engine's ceil(q·n)−1 index formula bitwise."""
+    return f"""
+WITH c AS (
+  SELECT {col}, CAST(COUNT(*) AS BIGINT) AS n
+  FROM read_parquet('{_transcripts_glob(sf_dir)}') GROUP BY {col}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_cnt,
+       CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+       CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90,
+       CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+       floor(MAX(n) * 1.0 / SUM(n) * 1e6 + 0.5) / 1e6 AS top_share
+FROM c
+"""
+
+
 def transcript_stats_sql(sf_dir: str) -> str:
     return f"""
 SELECT role, CAST(count(*) AS BIGINT) AS n_turns,

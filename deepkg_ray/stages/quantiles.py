@@ -117,3 +117,56 @@ def grouped_quantiles_disc(ds, group_col: str, col: str, qs: list[float]):
                              "value": np.asarray(out_v, np.int64)})
 
     return hist.groupby(group_col).map_groups(pick, batch_format="pandas")
+
+
+def key_skew_stats(ds, col: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Shuffle-planning diagnostic: the distribution of per-key row counts
+    for a prospective groupby/join key — the signal that decides salted
+    two-level aggregation (convgroup) vs a plain groupby.  Two bounded
+    stages: per-batch (key, n) partials → groupby(key) Sum (the only
+    key-shaped shuffle), then a count-of-counts histogram (distinct-count-
+    bounded) folded on the driver.  Returns one row: n_keys, n_rows,
+    max_cnt, p50/p90/p99 of per-key counts, top_share =
+    round6(max/total rows)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({col: b[col].to_pylist()})
+        g = df.groupby(col, sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnts = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(col).aggregate(Sum("n", alias_name="n")))
+    hist = (value_counts(cnts, "n").to_pandas().sort_values("value"))
+    import ray.data as rd
+    if len(hist) == 0:
+        return rd.from_arrow(pa.table({
+            "n_keys": pa.array([0], pa.int64()),
+            "n_rows": pa.array([0], pa.int64()),
+            "max_cnt": pa.array([0], pa.int64()),
+            "p50": pa.array([0], pa.int64()),
+            "p90": pa.array([0], pa.int64()),
+            "p99": pa.array([0], pa.int64()),
+            "top_share": pa.array([0.0], pa.float64())}))
+    values = hist["value"].to_numpy(np.int64)     # distinct per-key counts
+    mult = hist["n"].to_numpy(np.int64)           # how many keys have each
+    cum = mult.cumsum()
+    n_keys = int(cum[-1])
+    n_rows = int((values * mult).sum())
+    picks = []
+    for q in qs:
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        idx = max(0, -(-(q_micros * n_keys) // 1_000_000) - 1)
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        picks.append(int(values[min(pos, len(values) - 1)]))
+    mx = int(values[-1])
+    top_share = np.floor(mx / n_rows * 1e6 + 0.5) / 1e6
+    return rd.from_arrow(pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "max_cnt": pa.array([mx], pa.int64()),
+        "p50": pa.array([picks[0]], pa.int64()),
+        "p90": pa.array([picks[1]], pa.int64()),
+        "p99": pa.array([picks[2]], pa.int64()),
+        "top_share": pa.array([top_share], pa.float64())}))

@@ -60,3 +60,17 @@ def test_grouped_quantiles_match_duckdb(ray_session):
         "CAST(unnest(ql) AS BIGINT) AS value FROM g ORDER BY grp, q").df()
     pd.testing.assert_frame_equal(
         got.rename(columns={"grp": "grp"}), want, check_dtype=False)
+
+
+def test_key_skew_stats_golden():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import key_skew_stats
+    # 10 keys with 1 row, one hot key with 90 rows
+    keys = [f"k{i}" for i in range(10)] + ["hot"] * 90
+    out = key_skew_stats(rd.from_pandas(pd.DataFrame({"k": keys}))
+                         .repartition(4), "k").to_pandas().iloc[0]
+    assert (out["n_keys"], out["n_rows"], out["max_cnt"]) == (11, 100, 90)
+    assert out["p50"] == 1 and out["p99"] == 90
+    assert out["top_share"] == 0.9
