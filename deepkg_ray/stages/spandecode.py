@@ -76,6 +76,48 @@ class DictSpanScorer:
         return s
 
 
+class NumpySpanScorer:
+    """REAL GlobalPointer head on CPU (seeded-random, untrained): hashed
+    token-embedding lookup → neighbor context mix → per-type W_q/W_k
+    projections → score[t, i, j] = q_i·k_j/√d — the actual tensor
+    computation of the reference head (ExtractionEntities/model/model.py
+    GlobalPointer forward), minus training.  Its threshold crossings are
+    arbitrary spans; the tier exists to prove the actor-pool + decode
+    contract executes real tensor compute (the role NumpySeq2SEL plays for
+    the UIE generator).  A trained torch GlobalPointer replaces this class
+    behind the same .score signature."""
+
+    def __init__(self, type_order: list[str], dim: int = 32, seed: int = 11,
+                 vocab_buckets: int = 4096):
+        rng = np.random.default_rng(seed)
+        nt = len(type_order)
+        self.emb = (rng.standard_normal((vocab_buckets, dim))
+                    .astype(np.float32) * 0.5)
+        self.wq = (rng.standard_normal((nt, dim, dim)).astype(np.float32)
+                   / np.sqrt(dim))
+        self.wk = (rng.standard_normal((nt, dim, dim)).astype(np.float32)
+                   / np.sqrt(dim))
+        self.dim = dim
+        self.buckets = vocab_buckets
+
+    def score(self, text: str, toks, starts, ends) -> np.ndarray:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        nt = self.wq.shape[0]
+        L = len(toks)
+        if L == 0:
+            return np.zeros((nt, 0, 0), dtype=np.float32)
+        idx = (stable_hash64_batch(list(toks))
+               % np.uint64(self.buckets)).astype(np.int64)
+        h = self.emb[idx]                                    # L × d
+        hm = h.copy()
+        hm[1:] += 0.5 * h[:-1]
+        hm[:-1] += 0.5 * h[1:]                               # context mix
+        q = np.einsum("tde,ld->tle", self.wq, hm)            # nt × L × d
+        k = np.einsum("tde,ld->tle", self.wk, hm)
+        return (q @ k.transpose(0, 2, 1)
+                / np.float32(np.sqrt(self.dim))).astype(np.float32)
+
+
 def decode_spans(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                  type_order: list[str], threshold: float = 0.0,
                  mask_specials: bool = False):
@@ -106,12 +148,18 @@ class SpanModelNER:
     cross-validate each other in tests."""
 
     def __init__(self, dictionary_path: str, text_col: str = "text_norm",
-                 threshold: float = 0.0):
+                 threshold: float = 0.0, scorer_tier: str = "dict",
+                 dim: int = 32, seed: int = 11):
         from deepkg_ray.stages.mention import load_alias_map
         self.alias_map = load_alias_map(dictionary_path)
         from deepkg_ray.synth import ENTITY_TYPES
         self.type_order = list(ENTITY_TYPES)
-        self.scorer = DictSpanScorer(self.alias_map, self.type_order)
+        if scorer_tier == "numpy":
+            # real-tensor-compute tier: spans are arbitrary (untrained head),
+            # entity_id falls back to -1 for surfaces outside the KB
+            self.scorer = NumpySpanScorer(self.type_order, dim=dim, seed=seed)
+        else:
+            self.scorer = DictSpanScorer(self.alias_map, self.type_order)
         self.text_col = text_col
         self.threshold = threshold
 
@@ -127,14 +175,14 @@ class SpanModelNER:
             for etype, cs, ce in decode_spans(scores, starts, ends,
                                               self.type_order, self.threshold):
                 surface = text[cs:ce + 1]
-                m = self.alias_map[surface]
+                m = self.alias_map.get(surface)
                 rows["conv_id"].append(c)
                 rows["turn_idx"].append(t)
                 rows["start_idx"].append(cs)
                 rows["end_idx"].append(ce)
                 rows["type"].append(etype)
                 rows["surface"].append(surface)
-                rows["entity_id"].append(m[0])
+                rows["entity_id"].append(m[0] if m is not None else -1)
         from deepkg_ray.stages.mention import MENTION_SCHEMA
         return pa.table({
             "conv_id": pa.array(rows["conv_id"], pa.string()),
