@@ -361,12 +361,31 @@ class EncoderStage:
     BERT replica drops into the same __init__/__call__ with num_gpus=1."""
 
     def __init__(self, dim: int = 256, n: int = 3, text_col: str = "text",
-                 out_col: str = "embedding"):
+                 out_col: str = "embedding", model_tier: str = "hash",
+                 hidden: int = 128, seed: int = 13):
         self.vec = CharNgramVectorizer(dim=dim, n=n)
         self.text_col, self.out_col = text_col, out_col
+        self.mlp = None
+        if model_tier == "numpy":
+            # REAL encoder forward (seeded-random, untrained): hashed BoW →
+            # W1/relu → W2/tanh → L2-norm — actual matmul inference through
+            # the actor pool; a trained torch SimCSE replaces the two
+            # matmuls behind the same __call__ (simcse_unsup.py:54-64)
+            rng = np.random.default_rng(seed)
+            self.mlp = (
+                (rng.standard_normal((dim, hidden)).astype(np.float32)
+                 / np.sqrt(dim)),
+                (rng.standard_normal((hidden, dim)).astype(np.float32)
+                 / np.sqrt(hidden)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = self.vec.vectorize(batch[self.text_col].to_pylist())
+        if self.mlp is not None:
+            w1, w2 = self.mlp
+            h = np.maximum(m @ w1, 0.0)
+            m = np.tanh(h @ w2)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = (m / np.maximum(norms, 1e-12)).astype(np.float32)
         return batch.append_column(
             self.out_col, pa.array([row.tolist() for row in m],
                                    pa.list_(pa.float32())))

@@ -298,3 +298,33 @@ def test_drop_empty_blocks_strips_groupby_empties():
     # all-empty datasets come back unchanged (caller guards that case)
     empty = rd.from_items([{"x": 1}]).filter(lambda r: False).materialize()
     assert util.drop_empty_blocks(empty) is empty
+
+
+def test_encoder_numpy_model_tier(ray_session):
+    """Real matmul encoder forward (seeded-random MLP over hashed BoW)
+    through the actor pool: unit-norm, deterministic, and distinct from
+    the hashing tier (proves the matmuls actually ran)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.linking import EncoderStage
+    df = pd.DataFrame({"text": ["abc def", "abc def", "xyz", ""]})
+
+    def run():
+        return (rd.from_pandas(df).map_batches(
+            EncoderStage,
+            fn_constructor_kwargs={"dim": 64, "model_tier": "numpy"},
+            batch_format="pyarrow", batch_size=2,
+            concurrency=(1, 2)).to_pandas())
+
+    a, b = run(), run()
+    ma = np.stack(a["embedding"].to_numpy())
+    mb = np.stack(b["embedding"].to_numpy())
+    assert np.array_equal(ma, mb)
+    assert np.allclose(np.linalg.norm(ma[:3], axis=1), 1.0, atol=1e-5)
+    assert np.allclose(ma[0], ma[1])
+    hash_tier = (rd.from_pandas(df).map_batches(
+        EncoderStage, fn_constructor_kwargs={"dim": 64},
+        batch_format="pyarrow", concurrency=1).to_pandas())
+    mh = np.stack(hash_tier["embedding"].to_numpy())
+    assert not np.allclose(ma[0], mh[0])
