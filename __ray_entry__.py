@@ -455,12 +455,15 @@ def _q_bm25_topn(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
-    """Binary-payload plumbing: synthetic media table → decode-stub features
-    (rows-only: involves the stubbed codec boundary)."""
+    """REAL decode over valid encoded payloads (P6 PPM images, PCM16 WAV
+    audio — parsed with numpy, no codec libs): decode → resize → feature
+    extraction through the actor pool (rows-only: features are binary-
+    derived floats, not SQL-derivable)."""
     import ray.data as rd
-    from deepkg_ray.stages.multimodal import decode_features, synth_media_table
-    ds = rd.from_arrow(synth_media_table(n=256))
-    return decode_features(ds).drop_columns(["features"])
+    from deepkg_ray.stages.multimodal import (RealDecoder, decode_features,
+                                              synth_real_media_table)
+    ds = rd.from_arrow(synth_real_media_table(n=256))
+    return decode_features(ds, decoder=RealDecoder).drop_columns(["features"])
 
 
 def _q_frequent_phrases(sf_dir: str):

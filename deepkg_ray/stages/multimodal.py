@@ -2,12 +2,17 @@
 
 Image/audio/video payloads are carried as Arrow ``binary`` columns with a
 ``media_type`` tag; decode / feature-extract / resize / frame-sample are
-actor-pool map_batches stages.  The decode libraries are not available in
-this container, so the codec boundary is STUBBED: ``FakeDecoder`` is a
-deterministic stand-in (hash-seeded pseudo-pixels) and ``LibDecoder`` raises
-``NotImplementedError`` unless PIL/soundfile import.  The Ray-side plumbing
-— schema, batch sizing for wide binary rows, actor signature, output layout
-— is real and tested.
+actor-pool map_batches stages.  Three decoder tiers behind one actor
+contract:
+
+- ``RealDecoder`` — ACTUAL decoding, zero external libs: P6 PPM images
+  (header parse + np.frombuffer → pixels → nearest-neighbor resize →
+  channel stats + histogram) and RIFF/WAVE PCM16 audio (chunk walk →
+  samples → RMS/ZCR/peak + rFFT band energies).
+- ``FakeDecoder`` — hash-seeded deterministic stand-in for plumbing tests
+  with arbitrary payloads.
+- ``LibDecoder`` — compressed formats (JPEG/MP3/...), import-gated on
+  PIL/soundfile which this container lacks; raises NotImplementedError.
 
 Scale note: binary rows are wide; callers should use a SMALL ``batch_size``
 (default 64 here) and rely on object-store spilling rather than Python
@@ -103,3 +108,162 @@ def decode_features(ds, *, decoder=FakeDecoder, feat_dim: int = 16,
                           fn_constructor_kwargs={"feat_dim": feat_dim},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# ------------------------------------------------ real-codec tier (PPM/WAV) --
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8.  Pure numpy — no codec libs."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    parts = payload.split(maxsplit=4)          # P6, w, h, maxval, raster
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    raster = parts[4] if len(parts) == 5 else b""
+    px = np.frombuffer(raster[: w * h * 3], dtype=np.uint8)
+    return px.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → minimal RIFF/WAVE PCM16 bytes."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 mono → (int16 samples, sample_rate)."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, 16000, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            _, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if ch != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)
+    if samples is None:
+        raise ValueError("no data chunk")
+    return samples, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize by integer index striding (vectorized)."""
+    h, w = img.shape[:2]
+    ri = (np.arange(out_h) * h) // out_h
+    ci = (np.arange(out_w) * w) // out_w
+    return img[ri][:, ci]
+
+
+def synth_real_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Media rows whose payloads are VALID encoded formats: gradient-
+    pattern P6 PPM images and sine-wave PCM16 WAVs — the real-decode tier's
+    test corpus (no codec libs needed to produce or parse them)."""
+    rng = np.random.default_rng(seed)
+    ids, types, payloads, w_, h_, sr = [], [], [], [], [], []
+    for i in range(n):
+        is_img = i % 2 == 0
+        ids.append(i)
+        if is_img:
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack([(xx * 255 // max(w - 1, 1)),
+                           (yy * 255 // max(h - 1, 1)),
+                           np.full((h, w), int(rng.integers(0, 256)))],
+                          axis=-1).astype(np.uint8)
+            payloads.append(encode_ppm(px))
+            types.append("image")
+            w_.append(w)
+            h_.append(h)
+            sr.append(0)
+        else:
+            rate = 16000
+            dur = int(rng.integers(400, 1600))
+            freq = float(rng.integers(100, 2000))
+            t = np.arange(dur, dtype=np.float64) / rate
+            s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+            payloads.append(encode_wav(s, rate))
+            types.append("audio")
+            w_.append(0)
+            h_.append(0)
+            sr.append(rate)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "media_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta_width": pa.array(w_, pa.int32()),
+        "meta_height": pa.array(h_, pa.int32()),
+        "meta_sample_rate": pa.array(sr, pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+
+
+class RealDecoder:
+    """REAL decode tier, zero external libs: PPM images are parsed to pixel
+    arrays (decode → nearest-neighbor resize to 16×16 → per-channel
+    mean/std + 10-bin grayscale histogram = 16-dim features); WAV audio is
+    parsed to PCM16 samples (RMS, zero-crossing rate, peak + 13 log-spaced
+    rFFT band energies = 16-dim).  Same actor contract and output schema
+    as FakeDecoder — PIL/ffmpeg tiers for compressed formats slot into the
+    same class boundary (LibDecoder), which stays import-gated here."""
+
+    def __init__(self, feat_dim: int = 16):
+        if feat_dim != 16:
+            raise ValueError("RealDecoder emits fixed 16-dim features")
+        self.feat_dim = feat_dim
+
+    def _image_features(self, payload: bytes) -> np.ndarray:
+        px = decode_ppm(payload)
+        small = resize_nearest(px, 16, 16).astype(np.float32) / 255.0
+        mean = small.mean(axis=(0, 1))
+        std = small.std(axis=(0, 1))
+        gray = small.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
+        hist = hist.astype(np.float32) / gray.size
+        return np.concatenate([mean, std, hist]).astype(np.float32)
+
+    def _audio_features(self, payload: bytes) -> np.ndarray:
+        s, rate = decode_wav(payload)
+        x = s.astype(np.float32) / 32768.0
+        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+        peak = float(np.max(np.abs(x))) if len(x) else 0.0
+        spec = np.abs(np.fft.rfft(x))
+        edges = np.unique(np.geomspace(1, max(len(spec) - 1, 2),
+                                       num=14).astype(np.int64))
+        bands = np.zeros(13, dtype=np.float32)
+        total = spec.sum() or 1.0
+        for b in range(min(13, len(edges) - 1)):
+            bands[b] = spec[edges[b]:edges[b + 1]].sum() / total
+        return np.concatenate([[rms, zcr, peak], bands]).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, sizes = [], []
+        for mt, p in zip(batch["media_type"].to_pylist(),
+                         batch["payload"].to_pylist()):
+            sizes.append(len(p))
+            feats.append(self._image_features(p) if mt == "image"
+                         else self._audio_features(p))
+        out = batch.select(["media_id", "media_type", "meta_width",
+                            "meta_height", "meta_sample_rate"])
+        return (out.append_column("payload_bytes", pa.array(sizes, pa.int64()))
+                .append_column("features",
+                               pa.array([f.tolist() for f in feats],
+                                        pa.list_(pa.float32()))))

@@ -528,3 +528,34 @@ def test_stratified_exact_k_quotas_and_determinism():
         expect = ids[np.lexsort((ids, ranks[ids]))[:7]]
         got = np.sort(out[out.source == g]["doc_id"].to_numpy())
         assert sorted(expect.tolist()) == got.tolist()
+
+
+def test_real_media_decode_tier():
+    """PPM/WAV decode is REAL: pixel values and samples round-trip, resize
+    is exact nearest-neighbor, and the actor-pool feature stage is
+    deterministic over valid encoded payloads."""
+    from deepkg_ray.stages import multimodal as mm
+    # PPM pixel-exact roundtrip
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+    # nearest resize on a known pattern: 4x4 checkerboard down to 2x2
+    board = np.zeros((4, 4, 3), np.uint8)
+    board[2:, :, :] = 255
+    small = mm.resize_nearest(board, 2, 2)
+    assert small[0, 0, 0] == 0 and small[1, 0, 0] == 255
+    # WAV roundtrip + RMS of a sine ~ amplitude/sqrt(2)
+    t = np.arange(16000, dtype=np.float64) / 16000
+    s = (np.sin(2 * np.pi * 440 * t) * 16384).astype(np.int16)
+    s2, rate = mm.decode_wav(mm.encode_wav(s))
+    assert np.array_equal(s, s2) and rate == 16000
+    feats = mm.RealDecoder()._audio_features(mm.encode_wav(s))
+    assert abs(feats[0] - 0.5 / np.sqrt(2)) < 0.01          # rms
+    # end-to-end through the actor pool, deterministic
+    ds = rd.from_arrow(mm.synth_real_media_table(n=32))
+    a = (mm.decode_features(ds, decoder=mm.RealDecoder).to_pandas()
+         .sort_values("media_id").reset_index(drop=True))
+    b = (mm.decode_features(rd.from_arrow(mm.synth_real_media_table(n=32)),
+                            decoder=mm.RealDecoder).to_pandas()
+         .sort_values("media_id").reset_index(drop=True))
+    assert np.array_equal(np.stack(a["features"]), np.stack(b["features"]))
+    assert len(a) == 32 and all(len(f) == 16 for f in a["features"])
