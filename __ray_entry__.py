@@ -203,6 +203,16 @@ def _q_containment_pairs(sf_dir: str):
                              threshold=0.5)
 
 
+def _q_video_frame_sample(sf_dir: str):
+    """Frame sampling over raw concatenated-PPM video payloads: decode
+    every 4th frame only (rows-only: binary-derived)."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import (sample_video_frames,
+                                              synth_video_table)
+    return (sample_video_frames(rd.from_arrow(synth_video_table(n=16)))
+            .drop_columns(["features"]))
+
+
 def _q_packing_stats(sf_dir: str):
     from deepkg_ray.stages.packing import packing_stats
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
@@ -1151,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linking_recall": _q_linking_recall,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
+        "video_frame_sample": _q_video_frame_sample,
     }
 
 
@@ -1250,7 +1261,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),
         "dedup_simhash": oracle.dedup_simhash_oracle(),
         "dedup_minhash": oracle.dedup_minhash_oracle(),
-        # rows-only (no SQL): linking_candidates (BM25 float tier; bm25_topn
+        # rows-only (no SQL): video_frame_sample (binary-derived),
+        # linking_candidates (BM25 float tier; bm25_topn
         # is the SQL-checked tier), multimodal_features (stubbed codec
         # boundary), uie_model_generate (neural generation)
     }

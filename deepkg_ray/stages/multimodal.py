@@ -267,3 +267,99 @@ class RealDecoder:
                 .append_column("features",
                                pa.array([f.tolist() for f in feats],
                                         pa.list_(pa.float32()))))
+
+
+# -------------------------------------------------------- video frames ----
+
+def encode_ppm_video(frames: list[np.ndarray]) -> bytes:
+    """Concatenated P6 frames — a raw 'video' container (MJPEG-style frame
+    concatenation, uncompressed)."""
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def iter_ppm_frames(payload: bytes):
+    """Walk a concatenated-P6 stream, yielding (h, w, 3) frames without
+    copying the whole payload per frame."""
+    pos = 0
+    view = memoryview(payload)
+    while pos < len(payload):
+        if payload[pos:pos + 2] != b"P6":
+            raise ValueError(f"bad frame header at byte {pos}")
+        # header = three whitespace-separated ints after the magic
+        cursor, vals = pos + 2, []
+        while len(vals) < 3:
+            while payload[cursor] in b" \t\r\n":
+                cursor += 1
+            start = cursor
+            while payload[cursor] not in b" \t\r\n":
+                cursor += 1
+            vals.append(int(payload[start:cursor]))
+        cursor += 1                       # the single whitespace after maxval
+        w, h, maxval = vals
+        if maxval != 255:
+            raise ValueError("only maxval=255 supported")
+        nbytes = w * h * 3
+        yield np.frombuffer(view[cursor:cursor + nbytes],
+                            dtype=np.uint8).reshape(h, w, 3)
+        pos = cursor + nbytes
+
+
+class FrameSampler:
+    """Actor stage: video payload rows → one row per SAMPLED frame
+    (media_id, frame_idx, n_frames, features) — decode only every
+    ``stride``-th frame (the frame-sample op: at 100 TB you never decode
+    frames you don't keep; the stream walk skips payload bytes, frombuffer
+    is zero-copy into the Arrow buffer)."""
+
+    def __init__(self, stride: int = 4, feat_dim: int = 16):
+        self.stride = int(stride)
+        self.dec = RealDecoder(feat_dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nfr, feats = [], [], [], []
+        for mid, p in zip(batch["media_id"].to_pylist(),
+                          batch["payload"].to_pylist()):
+            frames = list(iter_ppm_frames(p))
+            for j in range(0, len(frames), self.stride):
+                ids.append(mid)
+                fidx.append(j)
+                nfr.append(len(frames))
+                feats.append(self.dec._image_features(encode_ppm(frames[j])))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "n_frames": pa.array(nfr, pa.int64()),
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32()))})
+
+
+def sample_video_frames(ds, *, stride: int = 4, concurrency=(1, 4),
+                        batch_size: int = 16):
+    """video Dataset → sampled-frame feature rows (small batches: video
+    payload rows are the widest of all)."""
+    return ds.map_batches(FrameSampler,
+                          fn_constructor_kwargs={"stride": stride},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def synth_video_table(n: int = 8, seed: int = 9) -> pa.Table:
+    """Video rows: concatenated-P6 payloads of 6-16 gradient frames."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, counts = [], [], []
+    for i in range(n):
+        k = int(rng.integers(6, 17))
+        w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+        frames = []
+        for f in range(k):
+            yy, xx = np.mgrid[0:h, 0:w]
+            frames.append(np.stack(
+                [(xx * 255 // max(w - 1, 1)),
+                 np.full((h, w), (f * 255) // max(k - 1, 1)),
+                 (yy * 255 // max(h - 1, 1))], axis=-1).astype(np.uint8))
+        ids.append(i)
+        payloads.append(encode_ppm_video(frames))
+        counts.append(k)
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "n_frames_true": pa.array(counts, pa.int64())})

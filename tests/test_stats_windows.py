@@ -559,3 +559,17 @@ def test_real_media_decode_tier():
          .sort_values("media_id").reset_index(drop=True))
     assert np.array_equal(np.stack(a["features"]), np.stack(b["features"]))
     assert len(a) == 32 and all(len(f) == 16 for f in a["features"])
+
+
+def test_video_frame_sampling():
+    from deepkg_ray.stages import multimodal as mm
+    out = (mm.sample_video_frames(rd.from_arrow(mm.synth_video_table(n=8)),
+                                  stride=4)
+           .to_pandas().sort_values(["media_id", "frame_idx"])
+           .reset_index(drop=True))
+    truth = mm.synth_video_table(n=8).to_pandas().set_index("media_id")
+    for mid, g in out.groupby("media_id"):
+        k = int(truth.loc[mid, "n_frames_true"])
+        assert g["n_frames"].iloc[0] == k
+        assert g["frame_idx"].tolist() == list(range(0, k, 4))
+    assert all(len(f) == 16 for f in out["features"])
