@@ -735,6 +735,19 @@ def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
          "hash_mode": hash_mode},
         concurrency=concurrency, batch_size=None).materialize()
 
+    def _empty_spans():
+        import ray.data as rd
+        # pandas, not arrow: an empty arrow block loses its schema through
+        # Ray's block accessor (to_pandas comes back zero-column)
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "span_start": pd.Series([], dtype=np.int64),
+            "span_end": pd.Series([], dtype=np.int64),
+            "n_dup_grams": pd.Series([], dtype=np.int64)}))
+
+    if grams.count() == 0:      # no doc reaches w tokens — nothing to dedup
+        return _empty_spans()
+
     def pcount(b: pa.Table) -> pa.Table:
         h, c = np.unique(b["h"].to_numpy(zero_copy_only=False),
                          return_counts=True)
@@ -746,11 +759,15 @@ def substring_dup_spans(ds, *, w: int = 5, min_count: int = 2,
            .filter(expr=f"cnt >= {int(min_count)}")
            .select_columns(["h"])).materialize()
 
+    n_dup = dup.count()
+    if n_dup == 0:              # no gram repeats anywhere
+        return _empty_spans()
+
     # adaptive semi-join: the dup-hash table is usually a tiny fraction of
     # the corpus — broadcast it (ray.put once, np.isin per batch) instead
     # of paying the hash-join aggregator boot; the join path remains for
     # open-vocab dup sets past the broadcast bound (~16 MB of hashes).
-    if dup.count() <= broadcast_limit:
+    if n_dup <= broadcast_limit:
         import ray
         dup_arr = np.sort(dup.to_pandas()["h"].to_numpy(np.int64))
         dup_ref = ray.put(dup_arr)

@@ -156,3 +156,47 @@ def test_hopping_window_explode_covering_invariant(events, winhop):
         for s in starts:
             assert s <= us * 1_000 < s + win_us
         assert all(a - b == hop_us for a, b in zip(starts, starts[1:]))
+
+
+# ------------------------------------------- substring dup spans property ----
+
+def _brute_dup_spans(texts, w=3, min_count=2):
+    from collections import Counter
+    grams = []
+    for d, t in enumerate(texts):
+        ws = t.split()
+        grams.append([" ".join(ws[j:j + w]) for j in range(len(ws) - w + 1)])
+    freq = Counter(g for gs in grams for g in gs)
+    out = []
+    for d, gs in enumerate(grams):
+        pos = [j for j, g in enumerate(gs) if freq[g] >= min_count]
+        i = 0
+        while i < len(pos):
+            j = i
+            while j + 1 < len(pos) and pos[j + 1] - pos[j] <= w:
+                j += 1
+            out.append((d, pos[i], pos[j] + w, j - i + 1))
+            i = j + 1
+    return sorted(out)
+
+
+@given(st.lists(st.lists(st.sampled_from("ab"), min_size=0, max_size=12)
+                .map(lambda ws: " ".join(ws)), min_size=1, max_size=8))
+@settings(max_examples=12, deadline=None)
+def test_substring_dup_spans_matches_bruteforce(texts):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.dedup import substring_dup_spans
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    out = (substring_dup_spans(rd.from_pandas(df).repartition(2), w=3)
+           .to_pandas())
+    expect = _brute_dup_spans(texts, w=3)
+    if len(out) == 0:
+        # Ray's to_pandas drops columns on a fully-empty dataset
+        assert expect == []
+        return
+    got = sorted(map(tuple, out[["doc_id", "span_start", "span_end",
+                                 "n_dup_grams"]].to_numpy()))
+    assert got == expect
