@@ -278,6 +278,12 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
     distributed dedup_pair_rows barrier; the join path keeps it."""
     raw = minhash_raw_pairs(ds, id_col, text_col, n_perm, n_bands,
                             shingle_k, concurrency, hash_mode).materialize()
+    if raw.count() == 0:        # zero LSH collisions — no candidates at all
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)}))
     if docs_path is not None:
         import ray.data as rd
         docs = rd.read_parquet(docs_path, columns=[id_col, text_col])
@@ -888,7 +894,14 @@ def containment_pairs(ds, *, window: int = 8, keep_mod: int = 16,
              .groupby("_fb").map_groups(bucket_pairs,
                                         batch_format="pandas"))
     counted = dedup_pair_rows(pairs, a_col="doc_a", b_col="doc_b",
-                              count_col="n_shared")
+                              count_col="n_shared").materialize()
+    if counted.count() == 0:    # no shared fingerprints anywhere
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "n_shared": pd.Series([], dtype=np.int64),
+            "containment": pd.Series([], dtype=np.float64)}))
     from deepkg_ray.util import drop_empty_blocks
     withn = attach_pair_columns(drop_empty_blocks(counted), nfp_ds,
                                 id_col=id_col, cols=["n_fp"],

@@ -268,3 +268,19 @@ def test_containment_pairs_detects_quotation():
     assert (0, 1) in got and all(2 not in p for p in got)
     row = out[(out.doc_a == 0) & (out.doc_b == 1)].iloc[0]
     assert row["containment"] >= 0.3 and row["n_shared"] >= 1
+
+
+def test_dedup_family_handles_no_dup_corpora(tmp_path):
+    """Empty-result robustness: a corpus with zero near-dups must return
+    zero rows from every pair operator, not crash (Ray drops the schema of
+    fully-empty datasets; these paths early-return typed empties)."""
+    texts = ["alpha beta", "gamma delta", "epsilon zeta", "eta theta"]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    path = str(tmp_path / "nodups.parquet")
+    pa.parquet.write_table(pa.Table.from_pandas(df), path)
+    ds = rd.from_pandas(df).repartition(2)
+    assert dedup.minhash_dedup_pairs(ds, path, threshold=0.8).count() == 0
+    assert dedup.containment_pairs(ds, threshold=0.9).count() == 0
+    assert dedup.substring_dup_spans(ds, w=3).count() == 0
+    assert dedup.simhash_near_pairs(ds, max_hamming=0).count() == 0
