@@ -153,8 +153,17 @@ def similarity_join(left, right, *, threshold: float = 0.5,
     raw = prefix.groupby("bucket").map_groups(bucket_pairs,
                                               batch_format="pandas")
     from deepkg_ray.stages.dedup import dedup_pair_rows
-    cand = dedup_pair_rows(raw, a_col="doc_a", b_col="doc_b",
-                           count_col="_hits").drop_columns(["_hits"])
+    cand = (dedup_pair_rows(raw, a_col="doc_a", b_col="doc_b",
+                            count_col="_hits").drop_columns(["_hits"])
+            .materialize())
+    if cand.count() == 0:       # disjoint vocabularies — no candidates
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)}))
+    from deepkg_ray.util import drop_empty_blocks
+    cand = drop_empty_blocks(cand)
     # attach each side's text from ITS OWN table (R×S, not self-join):
     # two hash-partitioned joins, never a full-corpus dict
     ta, tb = f"{text_col}_a", f"{text_col}_b"

@@ -284,3 +284,13 @@ def test_dedup_family_handles_no_dup_corpora(tmp_path):
     assert dedup.containment_pairs(ds, threshold=0.9).count() == 0
     assert dedup.substring_dup_spans(ds, w=3).count() == 0
     assert dedup.simhash_near_pairs(ds, max_hamming=0).count() == 0
+
+
+def test_similarity_join_disjoint_vocabularies_returns_empty():
+    ldf = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                        "text": ["a b c", "d e f", "g h i"]})
+    rdf = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                        "text": ["x y z", "u v w", "p q r"]})
+    from deepkg_ray.stages.simjoin import similarity_join
+    assert similarity_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
+                           threshold=0.5).count() == 0
