@@ -1002,6 +1002,49 @@ def _q_corpus_curate(sf_dir: str):
     return corpus_curate(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Distributed PCA top component: Gram reduction → driver-side power
+    iteration (d² scalars) → streaming projection map (micros-exact,
+    oracle is the unrolled-CTE power iteration)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import pca_power_projection
+    return pca_power_projection(read_embeddings(sf_dir,
+                                                ["vec_id", "embedding"]))
+
+
+def _q_events_moving_avg(sf_dir: str):
+    """Trailing 3-row per-user moving average (windowed aggregate over
+    user-complete hash partitions)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import moving_average
+    return moving_average(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "value"]), k=3)
+
+
+def _q_pricing_rollup(sf_dir: str):
+    """ROLLUP(l_returnflag, l_linestatus) derived from one finest-level
+    distributed aggregate (micros-exact at every level)."""
+    from deepkg_ray.pipelines.relational import pricing_rollup
+    return pricing_rollup(sf_dir)
+
+
+def _q_kg_cooccurrence(sf_dir: str):
+    """Same-turn entity co-occurrence edges over the mention stream
+    (batch-local pair explosion, dictionary-bounded count merge)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.mention import cooccurrence_counts
+    return cooccurrence_counts(kg.mentions_dataset(sf_dir))
+
+
+def _q_kg_linkpred(sf_dir: str):
+    """Common-neighbor + resource-allocation link prediction over the KG
+    (wedge pairs per center vertex, left_anti join removes existing
+    edges)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import link_prediction
+    return link_prediction(kg.adjacency_dataset(sf_dir), min_cn=2)
+
+
 def _q_embedding_gram(sf_dir: str):
     """One-pass Gram-matrix reduction over the embedding column (the
     covariance/PCA building block), micros-exact."""
@@ -1152,6 +1195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": _q_budget_select,
         "corpus_curate": _q_corpus_curate,
         "embedding_gram": _q_embedding_gram,
+        "embedding_pca": _q_embedding_pca,
+        "events_moving_avg": _q_events_moving_avg,
+        "pricing_rollup": _q_pricing_rollup,
+        "kg_cooccurrence": _q_kg_cooccurrence,
+        "kg_linkpred": _q_kg_linkpred,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -1256,6 +1304,11 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": oracle.budget_select_oracle(frac=0.6),
         "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),
         "embedding_gram": oracle.embedding_gram_oracle(dim=64),
+        "embedding_pca": oracle.embedding_pca_oracle(dim=64, n_iters=6),
+        "events_moving_avg": oracle.moving_average_oracle(k=3),
+        "pricing_rollup": oracle.pricing_rollup_oracle(),
+        "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
+        "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),

@@ -1978,3 +1978,151 @@ FROM read_parquet('{_transcripts_glob(sf_dir)}')
 WHERE tool <> ''
 GROUP BY role, tool
 """
+
+
+def moving_average_oracle(k: int = 3) -> str:
+    """Trailing k-row per-user moving average — mirrors
+    stages/windows.moving_average: per-row micros, exact int window sum,
+    avg = floor(sum/n + 0.5)/1e6."""
+    frame = f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id,
+         sum(vm) OVER (PARTITION BY user_id ORDER BY ts, event_id {frame}) AS s,
+         count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id {frame}) AS n
+  FROM e
+)
+SELECT user_id, event_id, CAST(n AS BIGINT) AS n_window,
+       floor(CAST(s AS DOUBLE) / n + 0.5) / 1e6 AS ma_value
+FROM w
+"""
+
+
+def pricing_rollup_oracle() -> str:
+    """GROUP BY ROLLUP mirror of pipelines/relational.pricing_rollup
+    (sentinel 'ALL' for rolled-up dimensions; micros sums per level)."""
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_revenue,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def kg_cooccurrence_oracle(sf_dir: str) -> str:
+    """Same-turn entity co-occurrence — mirrors
+    stages/mention.cooccurrence_counts: distinct (turn, entity) mention
+    rows self-joined per turn (e1 < e2), counted per pair.  Uses the same
+    substring-membership derivation as mention_counts_sql (synth
+    invariants: no surface is a substring of another, no overlaps)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+m AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, d.entity_id
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+)
+SELECT a.entity_id AS e1, b.entity_id AS e2,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM m a JOIN m b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a.entity_id < b.entity_id
+GROUP BY e1, e2
+"""
+
+
+def kg_linkpred_oracle(sf_dir: str, min_cn: int = 2) -> str:
+    """Structural link prediction over the KG — mirrors
+    stages/graph.link_prediction: wedge pairs through common neighbors
+    weighted by the center's resource-allocation term floor(1e6/deg+0.5),
+    existing edges anti-joined away."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+deg AS (SELECT node, count(*) AS degree FROM bidir GROUP BY node),
+w AS (
+  SELECT b.node, b.peer,
+         CAST(floor(1e6 / d.degree + 0.5) AS BIGINT) AS wm
+  FROM bidir b JOIN deg d USING (node)
+  WHERE d.degree >= 2
+),
+pairs AS (
+  SELECT a.peer AS e1, b.peer AS e2, a.wm
+  FROM w a JOIN w b ON a.node = b.node AND a.peer < b.peer
+),
+cand AS (
+  SELECT e1, e2, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(wm) AS BIGINT) AS ra_micros
+  FROM pairs GROUP BY e1, e2
+  HAVING count(*) >= {min_cn}
+)
+SELECT c.e1, c.e2, c.cn, c.ra_micros / 1e6 AS ra
+FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.lo = c.e1 AND e.hi = c.e2)
+"""
+
+
+def embedding_pca_oracle(dim: int = 64, n_iters: int = 6) -> str:
+    """Unrolled power iteration on the Gram matrix — mirrors
+    stages/similarity.pca_power_projection.  Every intermediate is an
+    exactly-representable integer in double (Gn, v in [-1e6, 1e6]; matvec
+    sums < 2^53), so summation order never matters; the only roundings are
+    the floor(x*1e6+0.5) chains both sides evaluate identically."""
+    steps = []
+    prev = "v0"
+    for t in range(1, n_iters + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT gn.i, sum(gn.gv * {prev}.val) AS w
+  FROM gn JOIN {prev} ON gn.j = {prev}.i GROUP BY gn.i
+),
+m{t} AS (SELECT max(abs(w)) AS m FROM w{t}),
+v{t} AS (SELECT i, floor(w / m * 1e6 + 0.5) AS val FROM w{t}, m{t})""")
+        prev = f"v{t}"
+    unrolled = ",".join(steps)
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+cell AS (
+  SELECT a.i, b.i AS j,
+         CAST(floor(CAST(e.embedding[a.i] AS DOUBLE)
+                    * CAST(e.embedding[b.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS m
+  FROM embeddings e, idx a, idx b
+  WHERE b.i >= a.i),
+agg AS (SELECT i, j, CAST(sum(m) AS BIGINT) AS sm FROM cell GROUP BY i, j),
+g AS (
+  SELECT i, j, sm FROM agg
+  UNION ALL
+  SELECT j, i, sm FROM agg WHERE i <> j
+),
+gm AS (SELECT max(abs(sm)) AS m FROM g),
+gn AS (SELECT g.i, g.j, floor(CAST(g.sm AS DOUBLE) / gm.m * 1e6 + 0.5) AS gv
+       FROM g, gm),
+v0 AS (SELECT i, CAST(1000000 AS DOUBLE) AS val FROM idx),
+{unrolled},
+p AS (
+  SELECT e.vec_id,
+         floor(CAST(e.embedding[v.i] AS DOUBLE) * 1e6 + 0.5) * v.val AS t
+  FROM embeddings e, {prev} v
+)
+SELECT vec_id, floor(sum(t) / 1e6 + 0.5) / 1e6 AS pc1
+FROM p GROUP BY vec_id
+"""

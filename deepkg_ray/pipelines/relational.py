@@ -19,9 +19,10 @@ from ray.data.aggregate import Count, Sum
 from deepkg_ray.functions.numeric import to_micros
 
 
-def pricing_summary(sf_dir: str):
-    """TPC-H-Q1-shaped: per (returnflag, linestatus): sum qty, sum price,
-    revenue = Σ extprice*(1-discount), row count."""
+def _pricing_micros(sf_dir: str):
+    """Finest-level (flag, status) pricing aggregate in exact int64 micros —
+    shared by pricing_summary (finish) and pricing_rollup (roll up in micros
+    first, divide once, so every level equals SQL's SUM(micros)/1e6)."""
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_linestatus", "l_quantity",
                                   "l_extendedprice", "l_discount"])
@@ -37,12 +38,18 @@ def pricing_summary(sf_dir: str):
             "rev_micros": pa.array(to_micros(ext * (1.0 - disc)), pa.int64()),
         })
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("qty_micros", alias_name="qty_micros"),
-                      Sum("price_micros", alias_name="price_micros"),
-                      Sum("rev_micros", alias_name="rev_micros"),
-                      Count(alias_name="count_order")))
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("qty_micros", alias_name="qty_micros"),
+                       Sum("price_micros", alias_name="price_micros"),
+                       Sum("rev_micros", alias_name="rev_micros"),
+                       Count(alias_name="count_order")))
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped: per (returnflag, linestatus): sum qty, sum price,
+    revenue = Σ extprice*(1-discount), row count."""
+    agg = _pricing_micros(sf_dir)
 
     def finish(b: pa.Table) -> pa.Table:
         out = pa.table({
@@ -55,6 +62,39 @@ def pricing_summary(sf_dir: str):
         })
         return out
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_rollup(sf_dir: str):
+    """Multi-level ROLLUP(l_returnflag, l_linestatus) in ONE scan: the
+    distributed pass aggregates only the FINEST level (the 6-row
+    (flag, status) grid — Ray pre-aggregates per block before the tiny
+    shuffle); the coarser levels (per-flag, grand total) are derived from
+    those partials in a single final task, because sums/counts are
+    associative.  At 100 TB the input is read once and nothing beyond the
+    finest-level partials ever moves.  Sentinel 'ALL' marks rolled-up
+    dimensions (COALESCE form in the SQL oracle).  The roll-up happens in
+    exact int64 micros and divides once at the end, so every level equals
+    the oracle's SUM(micros)/1e6 bit for bit."""
+    fine = _pricing_micros(sf_dir)
+    sums = ["qty_micros", "price_micros", "rev_micros", "count_order"]
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        lv1 = (df.groupby("l_returnflag", as_index=False)[sums].sum()
+               .assign(l_linestatus="ALL"))
+        lv0 = df[sums].sum().to_frame().T.assign(
+            l_returnflag="ALL", l_linestatus="ALL")
+        out = pd.concat([df, lv1, lv0], ignore_index=True)
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"].astype(str),
+            "l_linestatus": out["l_linestatus"].astype(str),
+            "sum_qty": out["qty_micros"].to_numpy(np.float64) / 1e6,
+            "sum_base_price": out["price_micros"].to_numpy(np.float64) / 1e6,
+            "sum_revenue": out["rev_micros"].to_numpy(np.float64) / 1e6,
+            "count_order": out["count_order"].astype(np.int64),
+        })
+
+    return fine.repartition(1).map_batches(
+        rollup, batch_format="pandas", batch_size=None)
 
 
 def top_revenue_orders(sf_dir: str, k: int = 10):

@@ -292,6 +292,88 @@ def node_degrees(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
             .groupby("node").map_groups(distinct_peers, batch_format="pandas"))
 
 
+def link_prediction(edges, src_col: str = "subj_id",
+                    dst_col: str = "obj_id", min_cn: int = 2,
+                    max_degree: int | None = None,
+                    num_partitions: int | None = None):
+    """Structural link prediction over the undirected simple graph:
+    for every non-adjacent pair (e1 < e2) sharing ≥ ``min_cn`` neighbors,
+    emit common-neighbor count and the resource-allocation index
+    RA = Σ_{z ∈ N(e1)∩N(e2)} 1/deg(z)  (Zhou, Lü & Zhang, EPJ B 2009 —
+    the floor-stable cousin of Adamic-Adar: 1e6/deg is an exact-integer
+    double division, so the micros convention hashes identically in SQL,
+    where ln() could differ by an ulp and flip the floor).
+
+    Plan: bidirected neighbor lists co-located per center vertex (one
+    groupby), wedge pairs weighted by the center's 1e6/deg emitted inside
+    the group, one (e1, e2) aggregate, then a distributed left_anti hash
+    join removes already-connected pairs.  Hub centers emit deg²/2 wedge
+    rows — pass ``max_degree`` to drop super-hub centers at scale (the
+    standard LP truncation; default None matches the exact oracle).
+    Returns (e1, e2, cn, ra)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bidir = edges.map_batches(bidirect, batch_format="pyarrow")
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        peers = np.unique(g["peer"].to_numpy(zero_copy_only=False))
+        deg = len(peers)
+        if deg < 2 or (max_degree is not None and deg > max_degree):
+            return pa.table({"e1": pa.array([], pa.int64()),
+                             "e2": pa.array([], pa.int64()),
+                             "wm": pa.array([], pa.int64())})
+        wm = np.int64(np.floor(1e6 / deg + 0.5))
+        ai, bi = np.triu_indices(deg, k=1)
+        return pa.table({"e1": pa.array(peers[ai], pa.int64()),
+                         "e2": pa.array(peers[bi], pa.int64()),
+                         "wm": pa.array(np.full(len(ai), wm), pa.int64())})
+
+    cand = (bidir.groupby("node").map_groups(wedge_pairs,
+                                             batch_format="pyarrow")
+            .groupby(["e1", "e2"])
+            .aggregate(Count(alias_name="cn"),
+                       Sum("wm", alias_name="ra_micros")))
+
+    def keep_min_cn(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["cn"], pa.scalar(min_cn)))
+    cand = cand.map_batches(keep_min_cn, batch_format="pyarrow")
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"e1": pa.array(np.minimum(u, v), pa.int64()),
+                         "e2": pa.array(np.maximum(u, v), pa.int64())})
+
+    simple = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["e1", "e2"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]))
+
+    from deepkg_ray.util import drop_empty_blocks
+    new_pairs = drop_empty_blocks(cand).join(
+        drop_empty_blocks(simple), join_type="left_anti",
+        num_partitions=num_partitions, on=("e1", "e2"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ra = np.asarray(b["ra_micros"].to_pylist(), np.float64) / 1e6
+        return pa.table({"e1": b["e1"], "e2": b["e2"],
+                         "cn": b["cn"].combine_chunks().cast(pa.int64()),
+                         "ra": pa.array(ra, pa.float64())})
+    return new_pairs.map_batches(finish, batch_format="pyarrow")
+
+
 def triangle_count(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                    num_partitions: int | None = None):
     """Global triangle count over the undirected simple graph induced by the

@@ -107,6 +107,43 @@ class DictionaryMentionDetector:
         }, schema=MENTION_SCHEMA)
 
 
+def cooccurrence_counts(mentions, mode: str = "auto"):
+    """Same-turn entity co-occurrence edges over the mention stream:
+    (e1, e2, n_turns) = number of turns whose text mentions BOTH entities
+    (e1 < e2) — the classic co-occurrence signal KG construction uses to
+    propose candidate edges beyond pattern-extracted triples (distant-
+    supervision flavor; the reference keeps only pattern triples, this is
+    the additive signal layer).
+
+    Shuffle shape: a turn's mentions are emitted into ONE batch by the
+    detector (its text is one row), so the per-turn distinct-pair explosion
+    is batch-local — a vectorized self-merge per batch, NO (conv, turn)
+    shuffle ever happens.  Pair cardinality is bounded by the dictionary
+    (|E|²/2), so the count merge is dictionary-sized; merge_partials
+    mode='auto' falls back to the groupby shuffle for open vocabularies.
+    Per-turn pair sets are tiny (mentions-per-turn choose 2), unlike a
+    per-conversation grouping, which a hot conversation would blow up."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def pairs(b: pa.Table) -> pd.DataFrame:
+        df = (b.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
+              .drop_duplicates())
+        m = df.merge(df, on=["conv_id", "turn_idx"], suffixes=("_1", "_2"))
+        m = m[m["entity_id_1"] < m["entity_id_2"]]
+        out = (m.groupby(["entity_id_1", "entity_id_2"], as_index=False)
+               .size().rename(columns={"entity_id_1": "e1",
+                                       "entity_id_2": "e2",
+                                       "size": "n_turns"}))
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out
+
+    return merge_partials(
+        mentions.map_batches(pairs, batch_format="pyarrow"),
+        ["e1", "e2"], {"n_turns": "sum"}, mode=mode)
+
+
 def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
                     batch_size: int | None = None):
     """transcripts Dataset (with text_norm) → mentions Dataset.

@@ -223,3 +223,56 @@ def embedding_gram(ds, emb_col: str = "embedding", dim: int | None = None):
         df["sxy"] = df["sxy_micros"] / 1e6
         return df
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def pca_power_projection(ds, emb_col: str = "embedding",
+                         id_col: str = "vec_id", n_iters: int = 6):
+    """Distributed PCA, top component: power iteration on the Gram matrix
+    (one distributed pass — ``embedding_gram``'s d(d+1)/2 int64-micros
+    cells), then one map_batches projection of every row onto the dominant
+    direction.  The d×d iteration itself is driver-side (d² scalars, never
+    data-sized); the data-sized work is two streaming passes.
+
+    Determinism/oracle-exactness: iterations renormalize by max|w| (an
+    order-independent reduction) instead of the L2 norm (whose float sum
+    is order-dependent), and every intermediate stays an exactly-
+    representable integer in double — Gn ∈ [-1e6, 1e6], v ∈ [-1e6, 1e6],
+    so each matvec term ≤ 1e12 and each matvec sum ≤ d·1e12 < 2^53 is
+    EXACT in any summation order; the only roundings are correctly-rounded
+    double divisions mirrored op-for-op by the unrolled-CTE SQL oracle
+    (oracle.embedding_pca_oracle).  Fixed all-ones init pins the sign.
+
+    Returns (vec_id, pc1) with pc1 = round6(Σ_j micros(e_j)·v_j / 1e12
+    · 1e6) — i.e. the projection in the same round6 float convention."""
+    import pyarrow as pa
+
+    gram = embedding_gram(ds, emb_col)
+    cells = gram.select_columns(["i", "j", "sxy_micros"]).take_all()
+    d = max(int(c["j"]) for c in cells)
+    g = np.zeros((d, d), np.float64)
+    for c in cells:
+        i, j = int(c["i"]) - 1, int(c["j"]) - 1
+        g[i, j] = g[j, i] = float(c["sxy_micros"])
+    gmax = np.abs(g).max()
+    if gmax == 0.0:
+        v = np.zeros(d, np.float64)
+    else:
+        gn = np.floor(g / gmax * 1e6 + 0.5)           # |gn| ≤ 1e6, exact ints
+        v = np.full(d, 1e6, np.float64)
+        for _ in range(n_iters):
+            w = gn @ v                                 # exact integer matvec
+            m = np.abs(w).max()
+            if m == 0.0:
+                break
+            v = np.floor(w / m * 1e6 + 0.5)
+
+    def project(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b[emb_col]).astype(np.float64)
+        em = np.floor(mat * 1e6 + 0.5)                 # micros, exact ints
+        dot = em @ v                                   # ≤ d·1e12, exact
+        pc1 = np.floor(dot / 1e6 + 0.5) / 1e6
+        return pa.table({id_col: b[id_col],
+                         "pc1": pa.array(pc1, pa.float64())})
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        project, batch_format="pyarrow")

@@ -94,6 +94,55 @@ def hopping_window(ds, window_sec: int, hop_sec: int, ts_col: str = "ts",
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def moving_average(ds, k: int = 3, user_col: str = "user_id",
+                   ts_col: str = "ts", id_col: str = "event_id",
+                   value_col: str = "value", n_parts: int = 64):
+    """Trailing k-row moving average of ``value`` per user in event-time
+    order — the ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW windowed
+    aggregate (reference has no streaming ops; this extends §2.9 alongside
+    tumbling/hopping/sessionize).
+
+    Shuffle shape: users are hashed into ``n_parts`` user-complete coarse
+    partitions (same plan as convgroup.turn_latency) — one groupby over
+    ~n_parts groups, each processed with one vectorized sort + shifted-sum
+    pass; per-user state never leaves the task and no per-user group ever
+    stands alone as a straggler.
+
+    Exactness: per-row micros (numeric.to_micros), window sum is an exact
+    int64, avg = floor(sum/n + 0.5)/1e6 evaluated identically in SQL.
+    Returns (user_id, event_id, n_window, ma_value)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        vm = g["vm"].to_numpy(dtype=np.int64)
+        n = len(g)
+        s = vm.copy()
+        cnt = np.ones(n, np.int64)
+        for lag in range(1, k):
+            same = users[lag:] == users[:-lag]      # same-user lag validity
+            s[lag:] += np.where(same, vm[:-lag], 0)
+            cnt[lag:] += same.astype(np.int64)
+        ma = np.floor(s.astype(np.float64) / cnt + 0.5) / 1e6
+        return pd.DataFrame({user_col: users,
+                             id_col: g[id_col].to_numpy(),
+                             "n_window": cnt, "ma_value": ma})
+
+    parted = ds.select_columns([user_col, ts_col, id_col, value_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
 def sessionize(ds, gap_sec: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id"):
     """(user_id, n_sessions, n_events): session = maximal run of events with

@@ -1,0 +1,178 @@
+"""Round-2 additions: moving average, ROLLUP, co-occurrence, link
+prediction, PCA power projection — brute-force / DuckDB parity at tiny
+scale."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- moving avg --
+
+def test_moving_average_golden_and_user_isolation():
+    from deepkg_ray.stages.windows import moving_average
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "a", "a", "b", "b"],
+        "event_id": np.arange(6, dtype=np.int64),
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2], unit="s"),
+        "value": [1.0, 2.0, 6.0, 3.0, 10.0, 20.0],
+    })
+    out = (moving_average(rd.from_pandas(df), k=3, n_parts=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # windows: [1], [1,2], [1,2,6], [2,6,3] | [10], [10,20]
+    assert out["n_window"].tolist() == [1, 2, 3, 3, 1, 2]
+    assert out["ma_value"].tolist() == [1.0, 1.5, 3.0, 3.666667, 10.0, 15.0]
+
+
+def test_moving_average_matches_duckdb_on_events():
+    from deepkg_ray.oracle import moving_average_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import moving_average
+    got = (moving_average(read_events(SF, ["user_id", "event_id", "ts",
+                                           "value"]), k=3)
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(moving_average_oracle(k=3)).fetchdf()
+            .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["user_id", "event_id", "n_window", "ma_value"]],
+        want[["user_id", "event_id", "n_window", "ma_value"]],
+        check_dtype=False)
+
+
+# ------------------------------------------------------------------ rollup --
+
+def test_pricing_rollup_levels_consistent_and_duckdb_exact():
+    from deepkg_ray.oracle import pricing_rollup_oracle
+    from deepkg_ray.pipelines.relational import pricing_rollup
+    got = (pricing_rollup(SF).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    # internal consistency: grand total equals the sum of the finest level
+    fine = got[(got.l_returnflag != "ALL") & (got.l_linestatus != "ALL")]
+    total = got[(got.l_returnflag == "ALL") & (got.l_linestatus == "ALL")]
+    assert int(total["count_order"].iloc[0]) == int(fine["count_order"].sum())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    want = (con.execute(pricing_rollup_oracle()).fetchdf()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+# ----------------------------------------------------------- co-occurrence --
+
+def test_cooccurrence_brute_force_parity():
+    from deepkg_ray.stages.mention import cooccurrence_counts
+    mentions = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c1", "c2", "c2", "c2"],
+        "turn_idx": np.array([0, 0, 0, 1, 0, 0, 0], np.int32),
+        "entity_id": np.array([7, 3, 3, 7, 3, 7, 9], np.int64),
+    })
+    got = (cooccurrence_counts(rd.from_pandas(mentions)).to_pandas()
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+    # c1t0: {3,7}; c1t1: {7}; c2t0: {3,7,9}
+    want = pd.DataFrame({"e1": [3, 3, 7], "e2": [7, 9, 9],
+                         "n_turns": [2, 1, 1]})
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# --------------------------------------------------------- link prediction --
+
+def _lp_brute(edges, min_cn):
+    import collections
+    import math
+    nbrs = collections.defaultdict(set)
+    eset = set()
+    for u, v in edges:
+        if u == v:
+            continue
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+        eset.add((min(u, v), max(u, v)))
+    cand = collections.defaultdict(lambda: [0, 0])
+    for z, peers in nbrs.items():
+        deg = len(peers)
+        if deg < 2:
+            continue
+        wm = int(math.floor(1e6 / deg + 0.5))
+        ps = sorted(peers)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cand[(ps[i], ps[j])][0] += 1
+                cand[(ps[i], ps[j])][1] += wm
+    rows = [(a, b, cn, ram / 1e6) for (a, b), (cn, ram) in cand.items()
+            if cn >= min_cn and (a, b) not in eset]
+    return (pd.DataFrame(rows, columns=["e1", "e2", "cn", "ra"])
+            .sort_values(["e1", "e2"]).reset_index(drop=True))
+
+
+def test_link_prediction_brute_force_parity():
+    from deepkg_ray.stages.graph import link_prediction
+    rng = np.random.default_rng(5)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 25, (60, 2))]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"subj_id": np.array([e[0] for e in edges], np.int64),
+         "obj_id": np.array([e[1] for e in edges], np.int64)}))
+    got = (link_prediction(ds, min_cn=1).to_pandas()
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+    want = _lp_brute(edges, min_cn=1)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_link_prediction_max_degree_drops_hub_centers():
+    from deepkg_ray.stages.graph import link_prediction
+    # star around 0 (degree 5) plus a path 1-2-3; max_degree=3 keeps only
+    # wedges centered at 2 (and at 1/3 if deg≥2 — they have deg 2)
+    edges = [(0, k) for k in range(1, 6)] + [(1, 2), (2, 3)]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"subj_id": np.array([e[0] for e in edges], np.int64),
+         "obj_id": np.array([e[1] for e in edges], np.int64)}))
+    got = link_prediction(ds, min_cn=1, max_degree=3).to_pandas()
+    # center 0 excluded → pair (1,3) via center 2 survives; star pairs do not
+    pairs = set(zip(got["e1"], got["e2"]))
+    assert (1, 3) in pairs
+    assert (4, 5) not in pairs
+
+
+# --------------------------------------------------------------------- pca --
+
+def test_pca_projection_recovers_dominant_direction():
+    from deepkg_ray.stages.similarity import pca_power_projection
+    rng = np.random.default_rng(3)
+    d, n = 16, 400
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    coef = rng.normal(size=n) * 5.0           # dominant variance along dir
+    noise = rng.normal(size=(n, d)) * 0.1
+    mat = np.outer(coef, direction) + noise
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.astype(np.float32) for r in mat]})
+    out = (pca_power_projection(rd.from_pandas(df), n_iters=8).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    r = np.corrcoef(out["pc1"].to_numpy(), mat @ direction)[0, 1]
+    assert abs(r) > 0.99
+
+
+def test_pca_matches_duckdb_oracle_exactly():
+    from deepkg_ray.oracle import embedding_pca_oracle
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import pca_power_projection
+    got = (pca_power_projection(read_embeddings(SF, ["vec_id", "embedding"]),
+                                n_iters=6)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = (con.execute(embedding_pca_oracle(dim=64, n_iters=6)).fetchdf()
+            .sort_values("vec_id").reset_index(drop=True))
+    assert got["pc1"].tolist() == want["pc1"].tolist()
