@@ -1045,6 +1045,27 @@ def _q_kg_linkpred(sf_dir: str):
     return link_prediction(kg.adjacency_dataset(sf_dir), min_cn=2)
 
 
+def _q_kg_edge_spans(sf_dir: str):
+    """Temporal KG edges: first/last observation timestamp per canonical
+    edge via one distributed hash join (triples x turn timestamps)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    return edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+
+
+def _q_dsir_scores(sf_dir: str):
+    """DSIR hashed-ngram importance scores toward the English subset
+    (bucket-count reduction + broadcast log-ratio scoring map)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dsir_scores
+    return dsir_scores(read_documents(
+        sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_embedding_gram(sf_dir: str):
     """One-pass Gram-matrix reduction over the embedding column (the
     covariance/PCA building block), micros-exact."""
@@ -1200,6 +1221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
+        "kg_edge_spans": _q_kg_edge_spans,
+        "dsir_scores": _q_dsir_scores,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -1309,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
+        "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
+        "dsir_scores": oracle.dsir_scores_oracle(),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),

@@ -2126,3 +2126,64 @@ p AS (
 SELECT vec_id, floor(sum(t) / 1e6 + 0.5) / 1e6 AS pc1
 FROM p GROUP BY vec_id
 """
+
+
+def kg_edge_spans_oracle(sf_dir: str) -> str:
+    """Temporal KG edges — mirrors stages/canonical.edge_spans: triples
+    joined to the turn timestamp, min/max integer µs per canonical edge."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+tr AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+)
+SELECT x.subj_id, x.pred, x.obj_id,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(min(tr.ts_us) AS BIGINT) AS first_us,
+       CAST(max(tr.ts_us) AS BIGINT) AS last_us
+FROM triples x JOIN tr
+  ON tr.conv_id = x.conv_id AND tr.turn_idx = x.turn_idx
+GROUP BY x.subj_id, x.pred, x.obj_id
+"""
+
+
+def dsir_scores_oracle(target_lang: str = "en", n_buckets: int = 1024) -> str:
+    """Hashed-unigram DSIR log-likelihood-ratio scores — mirrors
+    stages/curation.dsir_scores (word_idf tokenization, md5_number_lower
+    bucketing, ln-micros per bucket, exact int64 per-doc sum)."""
+    b = int(n_buckets)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+tb AS (
+  SELECT doc_id, CAST(md5_number_lower(w) % {b} AS BIGINT) AS b FROM toks
+),
+flags AS (SELECT doc_id, (lang = '{target_lang}') AS is_tgt FROM documents),
+cnt AS (
+  SELECT tb.b, count(*) AS raw_n,
+         sum(CASE WHEN f.is_tgt THEN 1 ELSE 0 END) AS tgt_n
+  FROM tb JOIN flags f USING (doc_id) GROUP BY tb.b
+),
+tot AS (SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM cnt),
+lm AS (
+  SELECT b,
+         CAST(floor((ln((tgt_n + 1.0) / (t + {b}))
+                     - ln((raw_n + 1.0) / (r + {b}))) * 1e6 + 0.5)
+              AS BIGINT) AS lmm
+  FROM cnt, tot
+),
+s AS (
+  SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(lm.lmm) AS BIGINT) AS m
+  FROM tb JOIN lm USING (b) GROUP BY tb.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n, 0) AS n_tokens,
+       COALESCE(s.m, 0) AS dsir_micros,
+       COALESCE(s.m, 0) / 1e6 AS dsir
+FROM documents d LEFT JOIN s USING (doc_id)
+"""

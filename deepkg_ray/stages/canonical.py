@@ -177,3 +177,53 @@ def predicate_table(adjacency_ds):
     return merge_partials(
         adjacency_ds.map_batches(partial, batch_format="pyarrow"),
         ["pred"], {"n_edges": "sum", "n_support": "sum"}, fanout=1)
+
+
+def edge_spans(linked_triples_ds, transcripts_ds,
+               num_partitions: int | None = None):
+    """Temporal KG edges: (subj_id, pred, obj_id, weight, first_us,
+    last_us) — each canonical edge annotated with the first/last event-time
+    it was observed (temporal provenance; the validity-interval primitive
+    of temporal KGs).
+
+    Plan: triples are pre-aggregated per (conv, turn, s, p, o) — the
+    combiner bounds the join's left side by supporting TURNS, not
+    extractions — then one distributed hash join attaches the turn's
+    timestamp (both sides large: the honest all-to-all; no broadcast of a
+    10^12-turn table), and a (s, p, o) groupby folds min/max int64 µs +
+    weight.  Timestamps stay integer µs end to end, so min/max hash
+    exactly."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def tri_partial(b: pa.Table) -> pd.DataFrame:
+        df = b.select(["conv_id", "turn_idx"] + KEY_COLS).to_pandas()
+        df["turn_idx"] = df["turn_idx"].astype("int64")
+        g = (df.groupby(["conv_id", "turn_idx"] + KEY_COLS, as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def turn_ts(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "ts_us": b["ts"].combine_chunks()
+                      .cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    from deepkg_ray.util import drop_empty_blocks
+    tri = linked_triples_ds.map_batches(tri_partial, batch_format="pyarrow")
+    turns = transcripts_ds.map_batches(turn_ts, batch_format="pyarrow")
+    joined = drop_empty_blocks(tri).join(
+        drop_empty_blocks(turns), join_type="inner",
+        num_partitions=num_partitions, on=("conv_id", "turn_idx"))
+    return (joined.groupby(KEY_COLS)
+            .aggregate(Sum("n", alias_name="weight"),
+                       Min("ts_us", alias_name="first_us"),
+                       Max("ts_us", alias_name="last_us")))

@@ -174,3 +174,85 @@ def corpus_curate(ds, budget_frac: float = 0.6, text_col: str = "text",
     return budget_select(stats, int(budget_frac * int(total)),
                          score_col="quality", weight_col="n_tokens",
                          id_col=id_col)
+
+
+def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
+                id_col: str = "doc_id", lang_col: str = "lang",
+                n_buckets: int = 1024):
+    """Hashed-ngram importance scores for data selection (DSIR, Xie et al.
+    2023, arXiv:2302.03169): score(doc) = Σ_tokens [ ln p_target(b(w)) −
+    ln p_raw(b(w)) ] over hashed unigram buckets with add-1 smoothing —
+    the log-likelihood ratio a doc would get under a bag-of-hashed-ngrams
+    model of the target domain vs the raw corpus.  Selecting top-score
+    docs (compose with budget_select) importance-resamples the corpus
+    toward the target.
+
+    Two streaming passes, nothing row-shaped shuffles:
+      1. bucket counts — per-batch (bucket → raw_n, tgt_n) partials, tree
+         merge over the n_buckets-bounded key space;
+      2. the driver turns the ≤ n_buckets count rows into a micros
+         log-ratio array (broadcast via closure — 8 KiB), and a stateless
+         map scores every doc as an exact int64 sum.
+
+    SQL parity: tokens = string_split_regex(lower(trim(text)), '\\s+')
+    (the word_idf convention), bucket = md5_number_lower(w) % n_buckets
+    (functions/hashing.md5_lower64_batch), per-bucket micros =
+    floor((ln((tgt+1)/(T+B)) − ln((raw+1)/(R+B)))*1e6+0.5) — the
+    ln-micros convention established by doc_logprob/word_idf.
+    Returns (doc_id, n_tokens, dsir_micros, dsir)."""
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    from deepkg_ray.stages.phrasemine import _tokens
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    B = int(n_buckets)
+
+    def bucket_counts(b: pa.Table) -> pd.DataFrame:
+        raw = np.zeros(B, np.int64)
+        tgt = np.zeros(B, np.int64)
+        langs = b[lang_col].to_pylist()
+        for text, lang in zip(b[text_col].to_pylist(), langs):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            bk = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+            cnt = np.bincount(bk, minlength=B)
+            raw += cnt
+            if lang == target_lang:
+                tgt += cnt
+        nz = np.flatnonzero(raw)
+        return pd.DataFrame({"b": nz.astype(np.int64),
+                             "raw_n": raw[nz], "tgt_n": tgt[nz]})
+
+    merged = merge_partials(
+        ds.select_columns([text_col, lang_col]).map_batches(
+            bucket_counts, batch_format="pyarrow"),
+        ["b"], {"raw_n": "sum", "tgt_n": "sum"}, fanout=2)
+    rows = merged.take_all()                      # ≤ n_buckets rows, bounded
+    raw_n = np.zeros(B, np.int64)
+    tgt_n = np.zeros(B, np.int64)
+    for r in rows:
+        raw_n[int(r["b"])] = int(r["raw_n"])
+        tgt_n[int(r["b"])] = int(r["tgt_n"])
+    R, T = int(raw_n.sum()), int(tgt_n.sum())
+    lam = (np.log((tgt_n + 1.0) / (T + B)) - np.log((raw_n + 1.0) / (R + B)))
+    lam_m = np.floor(lam * 1e6 + 0.5).astype(np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        n_out = np.zeros(b.num_rows, np.int64)
+        m_out = np.zeros(b.num_rows, np.int64)
+        for i, text in enumerate(b[text_col].to_pylist()):
+            toks = _tokens(text)
+            if not toks:
+                continue
+            bk = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+            n_out[i] = len(toks)
+            m_out[i] = int(lam_m[bk].sum())
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(n_out, pa.int64()),
+            "dsir_micros": pa.array(m_out, pa.int64()),
+            "dsir": pa.array(m_out.astype(np.float64) / 1e6, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

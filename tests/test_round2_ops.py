@@ -176,3 +176,69 @@ def test_pca_matches_duckdb_oracle_exactly():
     want = (con.execute(embedding_pca_oracle(dim=64, n_iters=6)).fetchdf()
             .sort_values("vec_id").reset_index(drop=True))
     assert got["pc1"].tolist() == want["pc1"].tolist()
+
+
+# -------------------------------------------------------------- edge spans --
+
+def test_edge_spans_brute_force_parity():
+    from deepkg_ray.stages.canonical import edge_spans
+    tri = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+        "turn_idx": np.array([0, 0, 2, 1, 1], np.int32),
+        "subj_id": np.array([1, 1, 1, 2, 1], np.int64),
+        "pred": ["p", "p", "p", "p", "q"],
+        "obj_id": np.array([5, 5, 5, 6, 5], np.int64),
+    })
+    turns = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+        "turn_idx": np.array([0, 1, 2, 0, 1], np.int32),
+        "ts": pd.to_datetime([100, 200, 300, 50, 75], unit="s"),
+    })
+    got = (edge_spans(rd.from_pandas(tri), rd.from_pandas(turns),
+                      num_partitions=2).to_pandas()
+           .sort_values(["subj_id", "pred", "obj_id"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "subj_id": np.array([1, 1, 2], np.int64),
+        "pred": ["p", "q", "p"],
+        "obj_id": np.array([5, 5, 6], np.int64),
+        "weight": np.array([3, 1, 1], np.int64),
+        "first_us": np.array([100, 75, 75], np.int64) * 1_000_000,
+        "last_us": np.array([300, 75, 75], np.int64) * 1_000_000,
+    })
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+# --------------------------------------------------------------------- dsir --
+
+def test_dsir_scores_separate_target_language():
+    from deepkg_ray.stages.curation import dsir_scores
+    en = ["the cat sat on the mat", "the dog ran to the park",
+          "a cat and a dog played"]
+    de = ["der hund lief zum park", "die katze sass auf der matte",
+          "ein hund und eine katze"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": en + de,
+        "lang": ["en"] * 3 + ["de"] * 3,
+    })
+    out = (dsir_scores(rd.from_pandas(df), n_buckets=256).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # every English doc scores above every German doc (separable vocab)
+    assert out["dsir"][:3].min() > out["dsir"][3:].max()
+    assert (out["n_tokens"] > 0).all()
+
+
+def test_dsir_matches_duckdb_oracle_exactly():
+    from deepkg_ray.oracle import dsir_scores_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dsir_scores
+    got = (dsir_scores(read_documents(SF, ["doc_id", "text", "lang"]))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = (con.execute(dsir_scores_oracle()).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["dsir_micros"].tolist() == want["dsir_micros"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
