@@ -81,6 +81,13 @@ def _q_kg_predicates(sf_dir: str):
     return predicate_table(kg.adjacency_dataset(sf_dir))
 
 
+def _q_kg_schema(sf_dir: str):
+    """Predicate type-signature induction over the canonical graph."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.canonical import schema_table
+    return schema_table(kg.adjacency_dataset(sf_dir))
+
+
 def _q_transcript_stats(sf_dir: str):
     """Per-role turn/char/conversation counts over the transcript table —
     two-level aggregation (partial per (role, conv) then final per role) so
@@ -1066,6 +1073,15 @@ def _q_dsir_scores(sf_dir: str):
         sf_dir, ["doc_id", "text", "lang"]))
 
 
+def _q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding (class prototypes) — label-bounded
+    (labels x d) partial-sum reduction, micros-exact."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_centroids
+    return embedding_centroids(read_embeddings(sf_dir,
+                                               ["label", "embedding"]))
+
+
 def _q_embedding_gram(sf_dir: str):
     """One-pass Gram-matrix reduction over the embedding column (the
     covariance/PCA building block), micros-exact."""
@@ -1128,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": _q_kg_incremental,
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
+        "kg_schema": _q_kg_schema,
         "transcript_stats": _q_transcript_stats,
         "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
@@ -1223,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linkpred": _q_kg_linkpred,
         "kg_edge_spans": _q_kg_edge_spans,
         "dsir_scores": _q_dsir_scores,
+        "embedding_centroids": _q_embedding_centroids,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -1246,6 +1264,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_incremental": oracle.adjacency_sql(SF_ORACLE),
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
+        "kg_schema": oracle.kg_schema_oracle(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
@@ -1334,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "dsir_scores": oracle.dsir_scores_oracle(),
+        "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),

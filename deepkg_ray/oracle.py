@@ -2187,3 +2187,42 @@ SELECT d.doc_id,
        COALESCE(s.m, 0) / 1e6 AS dsir
 FROM documents d LEFT JOIN s USING (doc_id)
 """
+
+
+def embedding_centroids_oracle(dim: int = 64) -> str:
+    """Per-label mean embedding — mirrors
+    stages/similarity.embedding_centroids (per-element micros, integer
+    SUM, floor(sum/n+0.5)/1e6)."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+m AS (
+  SELECT e.label, idx.i,
+         CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS em
+  FROM embeddings e, idx
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(em) AS BIGINT) AS s_micros,
+       floor(CAST(sum(em) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_i
+FROM m GROUP BY label, i
+"""
+
+
+def kg_schema_oracle(sf_dir: str) -> str:
+    """Predicate type-signature counts — mirrors
+    stages/canonical.schema_table over the adjacency derivation."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT subj_id, pred, obj_id, count(*) AS weight,
+         min(subj_type) AS subj_type, min(obj_type) AS obj_type
+  FROM triples GROUP BY subj_id, pred, obj_id
+)
+SELECT subj_type, pred, obj_type,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(weight) AS BIGINT) AS n_support
+FROM adj GROUP BY subj_type, pred, obj_type
+"""

@@ -227,3 +227,28 @@ def edge_spans(linked_triples_ds, transcripts_ds,
             .aggregate(Sum("n", alias_name="weight"),
                        Min("ts_us", alias_name="first_us"),
                        Max("ts_us", alias_name="last_us")))
+
+
+def schema_table(adjacency_ds):
+    """Predicate signature induction over the canonical graph:
+    (subj_type, pred, obj_type, n_edges, n_support) — the observed type
+    signature of every predicate (ontology-induction signal; the
+    reference's schema is declared up front in its YAML/record converters,
+    this derives it from data).  Tiny aggregate over the already-canonical
+    edge table — nothing row-shaped shuffles."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["subj_type", "pred", "obj_type", "weight"]).to_pandas()
+        g = (df.groupby(["subj_type", "pred", "obj_type"], as_index=False)
+             .agg(n_edges=("weight", "size"), n_support=("weight", "sum")))
+        g["n_edges"] = g["n_edges"].astype("int64")
+        g["n_support"] = g["n_support"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return merge_partials(
+        adjacency_ds.map_batches(partial, batch_format="pyarrow"),
+        ["subj_type", "pred", "obj_type"],
+        {"n_edges": "sum", "n_support": "sum"}, fanout=1)

@@ -178,7 +178,7 @@ def corpus_curate(ds, budget_frac: float = 0.6, text_col: str = "text",
 
 def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
                 id_col: str = "doc_id", lang_col: str = "lang",
-                n_buckets: int = 1024):
+                n_buckets: int = 1024, hash_mode: str = "md5"):
     """Hashed-ngram importance scores for data selection (DSIR, Xie et al.
     2023, arXiv:2302.03169): score(doc) = Σ_tokens [ ln p_target(b(w)) −
     ln p_raw(b(w)) ] over hashed unigram buckets with add-1 smoothing —
@@ -199,11 +199,19 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
     (functions/hashing.md5_lower64_batch), per-bucket micros =
     floor((ln((tgt+1)/(T+B)) − ln((raw+1)/(R+B)))*1e6+0.5) — the
     ln-micros convention established by doc_logprob/word_idf.
-    Returns (doc_id, n_tokens, dsir_micros, dsir)."""
-    from deepkg_ray.functions.hashing import md5_lower64_batch
+    Returns (doc_id, n_tokens, dsir_micros, dsir).
+
+    ``hash_mode='md5'`` is the oracle-checked parity tier;
+    ``hash_mode='fast'`` swaps in the vectorized non-crypto 64-bit hash
+    (functions/hashing.stable_hash64_batch) — the 100-TB path, identical
+    bucket statistics, ~10x cheaper per token."""
+    from deepkg_ray.functions.hashing import (md5_lower64_batch,
+                                              stable_hash64_batch)
     from deepkg_ray.stages.phrasemine import _tokens
     from deepkg_ray.stages.treeagg import merge_partials
 
+    hash_batch = (md5_lower64_batch if hash_mode == "md5"
+                  else stable_hash64_batch)
     B = int(n_buckets)
 
     def bucket_counts(b: pa.Table) -> pd.DataFrame:
@@ -214,7 +222,7 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
             toks = _tokens(text)
             if not toks:
                 continue
-            bk = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+            bk = (hash_batch(toks) % np.uint64(B)).astype(np.int64)
             cnt = np.bincount(bk, minlength=B)
             raw += cnt
             if lang == target_lang:
@@ -244,7 +252,7 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
             toks = _tokens(text)
             if not toks:
                 continue
-            bk = (md5_lower64_batch(toks) % np.uint64(B)).astype(np.int64)
+            bk = (hash_batch(toks) % np.uint64(B)).astype(np.int64)
             n_out[i] = len(toks)
             m_out[i] = int(lam_m[bk].sum())
         return pa.table({

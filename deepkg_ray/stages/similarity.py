@@ -276,3 +276,45 @@ def pca_power_projection(ds, emb_col: str = "embedding",
 
     return ds.select_columns([id_col, emb_col]).map_batches(
         project, batch_format="pyarrow")
+
+
+def embedding_centroids(ds, label_col: str = "label",
+                        emb_col: str = "embedding"):
+    """Per-label mean embedding (class prototypes — the nearest-centroid /
+    prototypical-classification building block, and the per-cluster step
+    SemDeDup-style pipelines reuse).  One streaming pass: each batch
+    contributes per-label (n, Σ micros(e)) partials — a (labels × d)
+    matrix, never rows — merged by a label-bounded tree merge; mean =
+    floor(sum/n + 0.5)/1e6 per dimension, evaluated identically in SQL.
+    Output exploded for the oracle: (label, i, n, mean_i) with 1-based i."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        mat = _as_matrix(b[emb_col]).astype(np.float64)
+        em = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        d = em.shape[1]
+        df = pd.DataFrame({"label": b[label_col].to_pylist()})
+        labels, inv = np.unique(df["label"].to_numpy(), return_inverse=True)
+        sums = np.zeros((len(labels), d), np.int64)
+        np.add.at(sums, inv, em)
+        cnt = np.bincount(inv, minlength=len(labels)).astype(np.int64)
+        return pd.DataFrame({
+            "label": np.repeat(labels, d),
+            "i": np.tile(np.arange(1, d + 1, dtype=np.int64), len(labels)),
+            "n": np.repeat(cnt, d),
+            "s_micros": sums.ravel(),
+        })
+
+    merged = merge_partials(
+        ds.select_columns([label_col, emb_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["label", "i"], {"n": "sum", "s_micros": "sum"}, fanout=2)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mean_i"] = np.floor(df["s_micros"].to_numpy(np.float64)
+                                / df["n"].to_numpy(np.float64) + 0.5) / 1e6
+        return df
+    return merged.map_batches(finish, batch_format="pandas")

@@ -242,3 +242,55 @@ def test_dsir_matches_duckdb_oracle_exactly():
             .sort_values("doc_id").reset_index(drop=True))
     assert got["dsir_micros"].tolist() == want["dsir_micros"].tolist()
     assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+# ---------------------------------------------------------------- centroids --
+
+def test_embedding_centroids_matches_duckdb():
+    from deepkg_ray.oracle import embedding_centroids_oracle
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_centroids
+    got = (embedding_centroids(read_embeddings(SF, ["label", "embedding"]))
+           .to_pandas().sort_values(["label", "i"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = (con.execute(embedding_centroids_oracle(dim=64)).fetchdf()
+            .sort_values(["label", "i"]).reset_index(drop=True))
+    assert got["s_micros"].tolist() == want["s_micros"].tolist()
+    assert got["mean_i"].tolist() == want["mean_i"].tolist()
+
+
+# ------------------------------------------------------------------ schema --
+
+def test_schema_table_counts():
+    from deepkg_ray.stages.canonical import schema_table
+    adj = pd.DataFrame({
+        "subj_id": np.array([1, 2, 3, 4], np.int64),
+        "pred": ["works_at", "works_at", "located_in", "works_at"],
+        "obj_id": np.array([9, 9, 8, 7], np.int64),
+        "subj_type": ["PER", "PER", "ORG", "PER"],
+        "obj_type": ["ORG", "ORG", "LOC", "ORG"],
+        "weight": np.array([2, 3, 1, 1], np.int64),
+    })
+    got = (schema_table(rd.from_pandas(adj)).to_pandas()
+           .sort_values(["pred"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "subj_type": ["ORG", "PER"], "pred": ["located_in", "works_at"],
+        "obj_type": ["LOC", "ORG"],
+        "n_edges": [1, 3], "n_support": [1, 6],
+    }).sort_values(["pred"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_dsir_fast_hash_mode_still_separates():
+    from deepkg_ray.stages.curation import dsir_scores
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["the cat sat", "the dog ran", "der hund lief",
+                 "die katze sass"],
+        "lang": ["en", "en", "de", "de"],
+    })
+    out = (dsir_scores(rd.from_pandas(df), n_buckets=256, hash_mode="fast")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["dsir"][:2].min() > out["dsir"][2:].max()
