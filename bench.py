@@ -94,6 +94,32 @@ def _q_packing(sf_dir: str):
     return pack_sequences(read_documents(sf_dir, ["doc_id", "text"])).count()
 
 
+def _q_edge_spans(sf_dir: str):
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    return edge_spans(kg.linked_triples_dataset(sf_dir), turns).count()
+
+
+def _q_pca(sf_dir: str):
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import pca_power_projection
+    return pca_power_projection(
+        read_embeddings(sf_dir, ["vec_id", "embedding"])).count()
+
+
+def _q_dsir(sf_dir: str):
+    # throughput tier (vectorized 64-bit hash); the driver-gated queries()
+    # entry runs hash_mode="md5" (SQL-reproducible)
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dsir_scores
+    return dsir_scores(read_documents(sf_dir, ["doc_id", "text", "lang"]),
+                       hash_mode="fast").count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -140,7 +166,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("dedup_minhash", _q_minhash),
             ("corpus_curate", _q_corpus_curate),
             ("substring_dup_spans", _q_substring_dup),
-            ("sequence_packing", _q_packing)]
+            ("sequence_packing", _q_packing),
+            ("kg_edge_spans", _q_edge_spans),
+            ("embedding_pca", _q_pca),
+            ("dsir_scores", _q_dsir)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:

@@ -17,6 +17,7 @@ exemplar, not an unbounded list.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 KEY_COLS = ["subj_id", "pred", "obj_id"]
@@ -179,54 +180,80 @@ def predicate_table(adjacency_ds):
         ["pred"], {"n_edges": "sum", "n_support": "sum"}, fanout=1)
 
 
-def edge_spans(linked_triples_ds, transcripts_ds,
-               num_partitions: int | None = None):
+def edge_spans(linked_triples_ds, transcripts_ds, n_parts: int = 64,
+               mode: str = "auto"):
     """Temporal KG edges: (subj_id, pred, obj_id, weight, first_us,
     last_us) — each canonical edge annotated with the first/last event-time
     it was observed (temporal provenance; the validity-interval primitive
     of temporal KGs).
 
-    Plan: triples are pre-aggregated per (conv, turn, s, p, o) — the
-    combiner bounds the join's left side by supporting TURNS, not
-    extractions — then one distributed hash join attaches the turn's
-    timestamp (both sides large: the honest all-to-all; no broadcast of a
-    10^12-turn table), and a (s, p, o) groupby folds min/max int64 µs +
-    weight.  Timestamps stay integer µs end to end, so min/max hash
-    exactly."""
+    Plan: both sides are hashed into ``n_parts`` conversation-complete
+    coarse partitions (the convgroup.turn_latency plan) and merged with a
+    vectorized pandas join INSIDE each partition — Ray's generic hash join
+    (actor-pool shuffle) measured 38x slower on this shape at sf0.1
+    (107 s vs 2.8 s), because a two-key equi-join of pre-aggregated rows
+    needs co-location, not a general-purpose join operator.  Triples are
+    pre-aggregated per (conv, turn, s, p, o) first, so the shuffle carries
+    supporting TURNS, not extractions; per-partition (s, p, o) partials
+    then flow through the standard tree/shuffle merge (min/max int64 µs +
+    weight sum — associative, so partition boundaries are invisible)."""
     import pandas as pd
 
-    from ray.data.aggregate import Max, Min, Sum
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.stages.treeagg import merge_partials
 
-    if num_partitions is None:
-        from deepkg_ray.util import join_partitions
-        num_partitions = join_partitions()
-
-    def tri_partial(b: pa.Table) -> pd.DataFrame:
+    def tri_partial(b: pa.Table) -> pa.Table:
         df = b.select(["conv_id", "turn_idx"] + KEY_COLS).to_pandas()
         df["turn_idx"] = df["turn_idx"].astype("int64")
         g = (df.groupby(["conv_id", "turn_idx"] + KEY_COLS, as_index=False)
              .size().rename(columns={"size": "n"}))
-        g["n"] = g["n"].astype("int64")
-        return g
+        h = stable_hash64_batch(g["conv_id"].tolist())
+        return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "conv_id": pa.array(g["conv_id"], pa.string()),
+            "turn_idx": pa.array(g["turn_idx"].to_numpy(np.int64)),
+            "subj_id": pa.array(g["subj_id"].to_numpy(np.int64)),
+            "pred": pa.array(g["pred"], pa.string()),
+            "obj_id": pa.array(g["obj_id"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "ts_us": pa.array(np.full(len(g), -1, np.int64)),
+        })
 
     def turn_ts(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        nr = b.num_rows
         return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
             "conv_id": b["conv_id"],
             "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "subj_id": pa.array(np.zeros(nr, np.int64)),
+            "pred": pa.array([""] * nr, pa.string()),
+            "obj_id": pa.array(np.zeros(nr, np.int64)),
+            "n": pa.array(np.zeros(nr, np.int64)),
             "ts_us": b["ts"].combine_chunks()
                       .cast(pa.timestamp("us")).cast(pa.int64()),
         })
 
-    from deepkg_ray.util import drop_empty_blocks
     tri = linked_triples_ds.map_batches(tri_partial, batch_format="pyarrow")
     turns = transcripts_ds.map_batches(turn_ts, batch_format="pyarrow")
-    joined = drop_empty_blocks(tri).join(
-        drop_empty_blocks(turns), join_type="inner",
-        num_partitions=num_partitions, on=("conv_id", "turn_idx"))
-    return (joined.groupby(KEY_COLS)
-            .aggregate(Sum("n", alias_name="weight"),
-                       Min("ts_us", alias_name="first_us"),
-                       Max("ts_us", alias_name="last_us")))
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_turn = g["n"] == 0
+        tdf = g.loc[is_turn, ["conv_id", "turn_idx", "ts_us"]]
+        xdf = g.loc[~is_turn].drop(columns=["ts_us", "part"])
+        m = xdf.merge(tdf, on=["conv_id", "turn_idx"])
+        out = (m.groupby(KEY_COLS, as_index=False)
+               .agg(weight=("n", "sum"), first_us=("ts_us", "min"),
+                    last_us=("ts_us", "max")))
+        for c in ("weight", "first_us", "last_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = tri.union(turns).groupby("part").map_groups(
+        merge_part, batch_format="pandas")
+    return merge_partials(partials, KEY_COLS,
+                          {"weight": "sum", "first_us": "min",
+                           "last_us": "max"}, mode=mode)
 
 
 def schema_table(adjacency_ds):

@@ -195,7 +195,7 @@ def test_edge_spans_brute_force_parity():
         "ts": pd.to_datetime([100, 200, 300, 50, 75], unit="s"),
     })
     got = (edge_spans(rd.from_pandas(tri), rd.from_pandas(turns),
-                      num_partitions=2).to_pandas()
+                      n_parts=4).to_pandas()
            .sort_values(["subj_id", "pred", "obj_id"])
            .reset_index(drop=True))
     want = pd.DataFrame({
