@@ -1019,6 +1019,15 @@ def _q_embedding_pca(sf_dir: str):
                                                 ["vec_id", "embedding"]))
 
 
+def _q_grid_quantiles(sf_dir: str):
+    """Fixed-grid histogram approximate quantiles over the continuous
+    events.value column (deterministic, n_bins-bounded shuffle)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grid_quantiles
+    return grid_quantiles(read_events(sf_dir, ["value"]), "value",
+                          [0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+
+
 def _q_events_moving_avg(sf_dir: str):
     """Trailing 3-row per-user moving average (windowed aggregate over
     user-complete hash partitions)."""
@@ -1235,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": _q_embedding_gram,
         "embedding_pca": _q_embedding_pca,
         "events_moving_avg": _q_events_moving_avg,
+        "grid_quantiles": _q_grid_quantiles,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
@@ -1348,6 +1358,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram": oracle.embedding_gram_oracle(dim=64),
         "embedding_pca": oracle.embedding_pca_oracle(dim=64, n_iters=6),
         "events_moving_avg": oracle.moving_average_oracle(k=3),
+        "grid_quantiles": oracle.grid_quantiles_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),

@@ -2226,3 +2226,32 @@ SELECT subj_type, pred, obj_type,
        CAST(sum(weight) AS BIGINT) AS n_support
 FROM adj GROUP BY subj_type, pred, obj_type
 """
+
+
+def grid_quantiles_oracle(qs=(0.05, 0.25, 0.5, 0.75, 0.95, 0.99),
+                          n_bins: int = 4096) -> str:
+    """Fixed-grid histogram quantiles over events.value — mirrors
+    stages/quantiles.grid_quantiles (integer micros grid, quantile_disc
+    pick, bucket lower edge)."""
+    picks = []
+    for q in qs:
+        qm = int(q * 1e6 + 0.5)   # floor(q*1e6+0.5), q ≥ 0
+        picks.append(f"""
+SELECT CAST({q} AS DOUBLE) AS q, t.bucket,
+       CAST(mm.mn + t.bucket * (mm.mx - mm.mn + 1) // {n_bins} AS BIGINT)
+         / 1e6 AS approx
+FROM mm, (
+  SELECT min(bucket) AS bucket FROM s
+  WHERE cum >= greatest(0, ({qm} * (SELECT tot FROM tot)
+                            + 999999) // 1000000 - 1) + 1
+) t""")
+    body = " UNION ALL ".join(picks)
+    return f"""
+WITH v AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm FROM events),
+mm AS (SELECT min(vm) AS mn, max(vm) AS mx FROM v),
+tot AS (SELECT count(*) AS tot FROM v),
+b AS (SELECT (vm - mn) * {n_bins} // (mx - mn + 1) AS bucket FROM v, mm),
+h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+s AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM h)
+{body}
+"""

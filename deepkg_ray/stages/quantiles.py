@@ -170,3 +170,63 @@ def key_skew_stats(ds, col: str, qs: tuple = (0.5, 0.9, 0.99)):
         "p90": pa.array([picks[1]], pa.int64()),
         "p99": pa.array([picks[2]], pa.int64()),
         "top_share": pa.array([top_share], pa.float64())}))
+
+
+def grid_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096):
+    """Approximate quantiles for CONTINUOUS / open value domains — the
+    scale path the exact distinct-bounded method above explicitly scopes
+    out.  Fixed-width histogram over the observed micros range: one tiny
+    min/max pass, then an n_bins-bounded bucket-count shuffle (per-batch
+    bincount partials); error ≤ (max−min)/n_bins by construction.  Unlike
+    randomized sketches (KLL/t-digest) the result is DETERMINISTIC and
+    partitioning-invariant — every step is integer arithmetic — so the SQL
+    oracle reproduces it bitwise.  Quantile pick follows the
+    quantile_disc convention above (idx = ceil(q·n)−1 in integer micros);
+    the reported value is the selected bucket's lower edge.
+
+    Overflow bound: (max−min)·n_bins must stay < 2^63 — with micros
+    values that allows value ranges up to ~2×10^12/n_bins, plenty for
+    metric columns; assert-guarded.  Returns (q, bucket, approx)."""
+    from ray.data.aggregate import Max, Min
+
+    def to_vm(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[col].to_pylist(), np.float64)
+        return pa.table({"vm": pa.array(
+            np.floor(v * 1e6 + 0.5).astype(np.int64), pa.int64())})
+
+    vm_ds = ds.select_columns([col]).map_batches(
+        to_vm, batch_format="pyarrow").materialize()
+    mm = vm_ds.aggregate(Min("vm"), Max("vm"))
+    mn, mx = int(mm["min(vm)"]), int(mm["max(vm)"])
+    denom = mx - mn + 1
+    assert denom * n_bins < 2**63, "value range too wide for the grid"
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        vm = b["vm"].to_numpy(zero_copy_only=False)
+        bk = (vm - mn) * n_bins // denom
+        vals, cnts = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    hist = (vm_ds.map_batches(bucket_partial, batch_format="pyarrow")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("bucket"))
+    buckets = hist["bucket"].to_numpy(np.int64)
+    cum = hist["n"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_b, out_a = [], [], []
+    for q in qs:
+        if n == 0:
+            continue
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        idx = max(0, -(-(q_micros * n) // 1_000_000) - 1)   # ceil(q·n)−1
+        pos = int(np.searchsorted(cum, idx + 1, side="left"))
+        bk = int(buckets[min(pos, len(buckets) - 1)])
+        out_q.append(q)
+        out_b.append(bk)
+        out_a.append((mn + bk * denom // n_bins) / 1e6)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "bucket": pa.array(out_b, pa.int64()),
+        "approx": pa.array(out_a, pa.float64())}))

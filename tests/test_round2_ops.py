@@ -294,3 +294,29 @@ def test_dsir_fast_hash_mode_still_separates():
     out = (dsir_scores(rd.from_pandas(df), n_buckets=256, hash_mode="fast")
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["dsir"][:2].min() > out["dsir"][2:].max()
+
+
+# ------------------------------------------------------------- grid quant --
+
+def test_grid_quantiles_accuracy_and_duckdb_exact():
+    from deepkg_ray.oracle import grid_quantiles_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grid_quantiles
+    qs = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+    got = (grid_quantiles(read_events(SF, ["value"]), "value", qs)
+           .to_pandas().sort_values("q").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(grid_quantiles_oracle(tuple(qs))).fetchdf()
+            .sort_values("q").reset_index(drop=True))
+    assert got["bucket"].tolist() == want["bucket"].tolist()
+    assert got["approx"].tolist() == want["approx"].tolist()
+    # accuracy: within one grid cell of the true quantile
+    vals = con.execute("SELECT value FROM events").fetchdf()["value"].to_numpy()
+    cell = (vals.max() - vals.min()) / 4096
+    svals = np.sort(vals)
+    for q, a in zip(got["q"], got["approx"]):
+        idx = max(0, int(np.ceil(q * len(svals))) - 1)   # quantile_disc
+        true = svals[idx]
+        assert abs(a - true) <= cell + 1e-5, (q, a, true)
