@@ -542,6 +542,32 @@ def _q_linking_recall(sf_dir: str):
     })
 
 
+def _q_linking_mrr(sf_dir: str):
+    """MRR of the canonical name among BM25 top-5 candidates (micros-exact
+    tier; oracle evaluates the identical expression grid)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.linking import CandidateGenerator
+    from deepkg_ray.stages.scoring import mrr_ds
+    dict_path = synth.dictionary_path(sf_dir)
+    t = pq.read_table(dict_path)
+    gold = {}
+    for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
+        for a in aliases:
+            if a != name:
+                gold[a] = [name]
+    qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
+    cands = qds.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
+                               "exact": True},
+        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+    n_q, mrr = mrr_ds(cands, gold, n=5)
+    return pd.DataFrame({"n_queries": [n_q], "mrr": [mrr]})
+
+
 def _q_extraction_prf(sf_dir: str):
     """North-star gate as a query: P/R/F1 of the engine triples vs the gold
     triples under match_mode='set' (scorer.py:79-88 semantics).  Oracle:
@@ -1258,6 +1284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topn": _q_bm25_topn,
         "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
+        "linking_mrr": _q_linking_mrr,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
         "video_frame_sample": _q_video_frame_sample,
@@ -1332,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
+        "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),

@@ -2255,3 +2255,27 @@ h AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
 s AS (SELECT bucket, sum(n) OVER (ORDER BY bucket) AS cum FROM h)
 {body}
 """
+
+
+def linking_mrr_oracle(sf_dir: str, top_n: int = 5) -> str:
+    """MRR of the canonical name among BM25 top-n candidates over
+    non-canonical alias queries — mirrors stages/scoring.mrr_ds on the
+    micros-exact BM25 tier (same q CTE as linking_recall_oracle)."""
+    q = ("q AS (SELECT DISTINCT a.query, dict.name AS gold FROM dict, "
+         "unnest(dict.aliases) AS a(query) WHERE a.query <> dict.name)")
+    return _bm25_ctes(sf_dir, q) + f"""
+, hits AS (
+  SELECT q.query,
+         min(CASE WHEN r.rank < {top_n} AND d.name = q.gold
+                  THEN r.rank END) AS best
+  FROM q
+  LEFT JOIN ranked r ON r.query = q.query
+  LEFT JOIN dict d ON d.entity_id = r.entity_id
+  GROUP BY q.query)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       floor(CAST(sum(CASE WHEN best IS NULL THEN 0
+                           ELSE CAST(floor(1e6 / (best + 1) + 0.5) AS BIGINT)
+                      END) AS DOUBLE)
+             / count(*) + 0.5) / 1e6 AS mrr
+FROM hits
+"""

@@ -153,3 +153,32 @@ def spearman(x, y) -> float:
     rx -= rx.mean(); ry -= ry.mean()
     denom = np.sqrt((rx ** 2).sum() * (ry ** 2).sum())
     return float((rx * ry).sum() / denom) if denom else 0.0
+
+
+def mrr_ds(candidates_ds, gold: dict[str, list[str]], n: int = 5) -> tuple:
+    """Mean reciprocal rank from a candidates Dataset
+    (query, candidate_name, rank): rr(q) = 1/(1 + rank of the first gold
+    candidate) or 0 if absent from the top-n.  Reciprocals are micros ints
+    (floor(1e6/(rank+1)+0.5) — exact-integer double division, so the SQL
+    oracle matches bitwise); MRR = floor(Σrr/n_q + 0.5)/1e6.
+    Returns (n_queries, mrr)."""
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["rank"] < n]
+        return df[["query", "candidate_name", "rank"]]
+
+    per_q = candidates_ds.map_batches(per_batch,
+                                      batch_format="pandas").to_pandas()
+    best: dict[str, int] = {}
+    for q, name, rank in zip(per_q["query"], per_q["candidate_name"],
+                             per_q["rank"]):
+        if q in gold and name in gold[q]:
+            r = int(rank)
+            if q not in best or r < best[q]:
+                best[q] = r
+    total = 0
+    for q in gold:
+        if q in best:
+            total += int(np.floor(1e6 / (best[q] + 1) + 0.5))
+    n_q = len(gold)
+    mrr = float(np.floor(total / n_q + 0.5) / 1e6) if n_q else float("nan")
+    return n_q, mrr

@@ -320,3 +320,19 @@ def test_grid_quantiles_accuracy_and_duckdb_exact():
         idx = max(0, int(np.ceil(q * len(svals))) - 1)   # quantile_disc
         true = svals[idx]
         assert abs(a - true) <= cell + 1e-5, (q, a, true)
+
+
+# --------------------------------------------------------------------- mrr --
+
+def test_mrr_ds_golden():
+    from deepkg_ray.stages.scoring import mrr_ds
+    cands = pd.DataFrame({
+        "query": ["a", "a", "b", "b", "c"],
+        "candidate_name": ["x", "GOLD_A", "GOLD_B", "y", "z"],
+        "rank": np.array([0, 1, 0, 1, 0], np.int32),
+    })
+    gold = {"a": ["GOLD_A"], "b": ["GOLD_B"], "c": ["GOLD_C"]}
+    n_q, mrr = mrr_ds(rd.from_pandas(cands), gold, n=5)
+    # rr: a=1/2, b=1, c=0 → mean = 0.5 = floor((500000+1000000+0)/3+0.5)/1e6
+    assert n_q == 3
+    assert mrr == 0.5
