@@ -1045,6 +1045,15 @@ def _q_embedding_pca(sf_dir: str):
                                                 ["vec_id", "embedding"]))
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel counts (per-user sequence
+    match over user-complete hash partitions)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import funnel_counts
+    return funnel_counts(read_events(
+        sf_dir, ["user_id", "event_type", "ts"]))
+
+
 def _q_grid_quantiles(sf_dir: str):
     """Fixed-grid histogram approximate quantiles over the continuous
     events.value column (deterministic, n_bins-bounded shuffle)."""
@@ -1271,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _q_embedding_pca,
         "events_moving_avg": _q_events_moving_avg,
         "grid_quantiles": _q_grid_quantiles,
+        "events_funnel": _q_events_funnel,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
@@ -1387,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_pca": oracle.embedding_pca_oracle(dim=64, n_iters=6),
         "events_moving_avg": oracle.moving_average_oracle(k=3),
         "grid_quantiles": oracle.grid_quantiles_oracle(),
+        "events_funnel": oracle.funnel_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),

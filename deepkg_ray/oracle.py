@@ -2279,3 +2279,21 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
              / count(*) + 0.5) / 1e6 AS mrr
 FROM hits
 """
+
+
+def funnel_oracle(steps=("view", "click", "purchase")) -> str:
+    """Ordered funnel counts — mirrors stages/windows.funnel_counts
+    (strictly-later µs at each stage)."""
+    s1, s2, s3 = steps
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+a AS (SELECT user_id, min(us) AS ta FROM e
+      WHERE event_type = '{s1}' GROUP BY user_id),
+b AS (SELECT e.user_id, min(e.us) AS tb FROM e JOIN a USING (user_id)
+      WHERE e.event_type = '{s2}' AND e.us > a.ta GROUP BY e.user_id),
+c AS (SELECT e.user_id, min(e.us) AS tc FROM e JOIN b USING (user_id)
+      WHERE e.event_type = '{s3}' AND e.us > b.tb GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM a) AS n_step1,
+       (SELECT count(*) FROM b) AS n_step2,
+       (SELECT count(*) FROM c) AS n_step3
+"""

@@ -168,3 +168,55 @@ def sessionize(ds, gap_sec: int = 1800, user_col: str = "user_id",
     return (ds.select_columns([user_col, ts_col, id_col])
             .map_batches(add_us, batch_format="pyarrow")
             .groupby(user_col).map_groups(per_user, batch_format="pandas"))
+
+
+def funnel_counts(ds, steps=("view", "click", "purchase"),
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  ts_col: str = "ts", n_parts: int = 64):
+    """Ordered funnel analysis over the event stream: how many users
+    completed step 1, steps 1→2 (strictly later), steps 1→2→3 — the
+    classic product-analytics sequence-match aggregate (a per-key ORDERED
+    pattern, not expressible as any single groupby).
+
+    Plan: users hashed into ``n_parts`` user-complete coarse partitions;
+    inside each partition the three stages resolve with vectorized merges
+    (min ts of step1 per user → min ts of step2 AFTER it → …), never a
+    Python loop per user; single-row partials then sum.  Strictly-greater
+    µs comparisons make the result deterministic under timestamp ties.
+    Returns one row (n_step1, n_step2, n_step3)."""
+    assert len(steps) == 3
+    s1, s2, s3 = steps
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            type_col: b[type_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        a = (g[g[type_col] == s1].groupby(user_col, as_index=False)
+             .agg(ta=("us", "min")))
+        b2 = g[g[type_col] == s2].merge(a, on=user_col)
+        b2 = (b2[b2["us"] > b2["ta"]].groupby(user_col, as_index=False)
+              .agg(tb=("us", "min")))
+        c = g[g[type_col] == s3].merge(b2, on=user_col)
+        c = (c[c["us"] > c["tb"]].groupby(user_col, as_index=False)
+             .agg(tc=("us", "min")))
+        return pd.DataFrame({"n_step1": [np.int64(len(a))],
+                             "n_step2": [np.int64(len(b2))],
+                             "n_step3": [np.int64(len(c))]})
+
+    parted = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    partials = parted.groupby("part").map_groups(per_partition,
+                                                 batch_format="pandas")
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({c: [np.int64(df[c].sum())]
+                             for c in ("n_step1", "n_step2", "n_step3")})
+    return partials.repartition(1).map_batches(total, batch_format="pandas",
+                                               batch_size=None)

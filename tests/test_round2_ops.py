@@ -336,3 +336,43 @@ def test_mrr_ds_golden():
     # rr: a=1/2, b=1, c=0 → mean = 0.5 = floor((500000+1000000+0)/3+0.5)/1e6
     assert n_q == 3
     assert mrr == 0.5
+
+
+# ------------------------------------------------------------------ funnel --
+
+def test_funnel_counts_golden():
+    from deepkg_ray.stages.windows import funnel_counts
+    rows = [
+        # u1 completes all three in order
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "purchase", 3),
+        # u2: click BEFORE view → stops at step1
+        ("u2", "click", 1), ("u2", "view", 2),
+        # u3: view then click; purchase at the SAME us as click (not later)
+        ("u3", "view", 1), ("u3", "click", 5), ("u3", "purchase", 5),
+        # u4 never views
+        ("u4", "purchase", 1),
+    ]
+    df = pd.DataFrame({
+        "user_id": [r[0] for r in rows],
+        "event_type": [r[1] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows], unit="s"),
+    })
+    out = funnel_counts(rd.from_pandas(df), n_parts=4).to_pandas()
+    assert out["n_step1"].iloc[0] == 3    # u1, u2, u3 viewed
+    assert out["n_step2"].iloc[0] == 2    # u1, u3 clicked after viewing
+    assert out["n_step3"].iloc[0] == 1    # only u1 purchased strictly later
+
+
+def test_funnel_matches_duckdb_on_events():
+    from deepkg_ray.oracle import funnel_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import funnel_counts
+    got = funnel_counts(read_events(SF, ["user_id", "event_type", "ts"])
+                        ).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = con.execute(funnel_oracle()).fetchdf()
+    assert got["n_step1"].iloc[0] == want["n_step1"].iloc[0]
+    assert got["n_step2"].iloc[0] == want["n_step2"].iloc[0]
+    assert got["n_step3"].iloc[0] == want["n_step3"].iloc[0]
