@@ -1054,6 +1054,15 @@ def _q_events_funnel(sf_dir: str):
         sf_dir, ["user_id", "event_type", "ts"]))
 
 
+def _q_events_zscore(sf_dir: str):
+    """Per-type z-score standardization + outlier flag (tiny moment
+    aggregate broadcast into a stateless scoring map)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import zscore_events
+    return zscore_events(read_events(
+        sf_dir, ["event_id", "event_type", "value"]))
+
+
 def _q_grid_quantiles(sf_dir: str):
     """Fixed-grid histogram approximate quantiles over the continuous
     events.value column (deterministic, n_bins-bounded shuffle)."""
@@ -1281,6 +1290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "grid_quantiles": _q_grid_quantiles,
         "events_funnel": _q_events_funnel,
+        "events_zscore": _q_events_zscore,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
@@ -1398,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_avg": oracle.moving_average_oracle(k=3),
         "grid_quantiles": oracle.grid_quantiles_oracle(),
         "events_funnel": oracle.funnel_oracle(),
+        "events_zscore": oracle.zscore_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),

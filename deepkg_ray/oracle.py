@@ -2297,3 +2297,32 @@ SELECT (SELECT count(*) FROM a) AS n_step1,
        (SELECT count(*) FROM b) AS n_step2,
        (SELECT count(*) FROM c) AS n_step3
 """
+
+
+def zscore_oracle(z_cut: float = 3.0) -> str:
+    """Per-type z-scores over events — mirrors
+    stages/windows.zscore_events op for op."""
+    return f"""
+WITH m AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS s1,
+         sum(CAST(floor(value * value * 1e6 + 0.5) AS BIGINT)) AS s2
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         CAST(s1 AS DOUBLE) / 1e6 / n AS mean,
+         CAST(s2 AS DOUBLE) / 1e6 / n
+           - (CAST(s1 AS DOUBLE) / 1e6 / n) * (CAST(s1 AS DOUBLE) / 1e6 / n)
+           AS var
+  FROM m
+),
+z AS (
+  SELECT e.event_id, e.event_type,
+         CASE WHEN st.var > 0
+              THEN floor((e.value - st.mean) / sqrt(st.var) * 1e6 + 0.5) / 1e6
+              ELSE 0.0 END AS z
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_id, event_type, z, abs(z) > {z_cut} AS is_outlier FROM z
+"""

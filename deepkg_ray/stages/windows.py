@@ -220,3 +220,55 @@ def funnel_counts(ds, steps=("view", "click", "purchase"),
                              for c in ("n_step1", "n_step2", "n_step3")})
     return partials.repartition(1).map_batches(total, batch_format="pandas",
                                                batch_size=None)
+
+
+def zscore_events(ds, key_col: str = "event_type", id_col: str = "event_id",
+                  value_col: str = "value", z_cut: float = 3.0):
+    """Per-key z-score standardization (and |z|>cut outlier flag) over the
+    event stream — the feature-standardization / anomaly-gate primitive.
+
+    Two streaming passes: (1) per-key moments (n, Σmicros, Σmicros(v²)) —
+    a key-bounded aggregate, nothing row-shaped shuffles; (2) a broadcast
+    map computes z with the FIXED op chain
+        mean = Σv/1e6/n;  var = Σv²/1e6/n − mean²;  z = (v − mean)/√var
+    — every step a correctly-rounded double op on integer inputs, so the
+    SQL oracle evaluating the identical chain hash-matches (round6(z)).
+    Keys whose variance is 0 emit z = 0.  Returns
+    (event_id, event_type, z, is_outlier)."""
+    from ray.data.aggregate import Count, Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        return pa.table({
+            key_col: b[key_col],
+            "vm": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
+            "v2m": pa.array(np.floor(v * v * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    agg = (ds.select_columns([key_col, value_col])
+           .map_batches(moments, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Count(alias_name="n"), Sum("vm", alias_name="s1"),
+                      Sum("v2m", alias_name="s2")).take_all())
+    stats = {}
+    for r in agg:
+        n = float(r["n"])
+        mean = float(r["s1"]) / 1e6 / n
+        var = float(r["s2"]) / 1e6 / n - mean * mean
+        stats[r[key_col]] = (mean, np.sqrt(var) if var > 0 else 0.0)
+
+    def score(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        keys = b[key_col].to_pylist()
+        mean = np.fromiter((stats[k][0] for k in keys), np.float64, len(keys))
+        std = np.fromiter((stats[k][1] for k in keys), np.float64, len(keys))
+        z = np.where(std > 0, (v - mean) / np.where(std > 0, std, 1.0), 0.0)
+        z = round6(z)
+        return pa.table({
+            id_col: b[id_col], key_col: b[key_col],
+            "z": pa.array(z, pa.float64()),
+            "is_outlier": pa.array(np.abs(z) > z_cut),
+        })
+
+    return ds.select_columns([id_col, key_col, value_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -376,3 +376,24 @@ def test_funnel_matches_duckdb_on_events():
     assert got["n_step1"].iloc[0] == want["n_step1"].iloc[0]
     assert got["n_step2"].iloc[0] == want["n_step2"].iloc[0]
     assert got["n_step3"].iloc[0] == want["n_step3"].iloc[0]
+
+
+# ------------------------------------------------------------------ zscore --
+
+def test_zscore_matches_duckdb_and_flags_outliers():
+    from deepkg_ray.oracle import zscore_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import zscore_events
+    got = (zscore_events(read_events(SF, ["event_id", "event_type", "value"]))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.execute(zscore_oracle()).fetchdf()
+            .sort_values("event_id").reset_index(drop=True))
+    assert got["z"].tolist() == want["z"].tolist()
+    assert got["is_outlier"].tolist() == want["is_outlier"].tolist()
+    # z-scores are standardized: per-type mean ≈ 0, std ≈ 1
+    for _, g in got.groupby("event_type"):
+        assert abs(g["z"].mean()) < 0.05
+        assert abs(g["z"].std(ddof=0) - 1.0) < 0.05
