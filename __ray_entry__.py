@@ -1054,6 +1054,15 @@ def _q_events_funnel(sf_dir: str):
         sf_dir, ["user_id", "event_type", "ts"]))
 
 
+def _q_events_time_window(sf_dir: str):
+    """Trailing 600-second RANGE-frame window sum per user (peer-inclusive
+    SQL semantics, exact micros)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import time_window_sum
+    return time_window_sum(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "value"]))
+
+
 def _q_events_zscore(sf_dir: str):
     """Per-type z-score standardization + outlier flag (tiny moment
     aggregate broadcast into a stateless scoring map)."""
@@ -1291,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_quantiles": _q_grid_quantiles,
         "events_funnel": _q_events_funnel,
         "events_zscore": _q_events_zscore,
+        "events_time_window": _q_events_time_window,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
@@ -1409,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_quantiles": oracle.grid_quantiles_oracle(),
         "events_funnel": oracle.funnel_oracle(),
         "events_zscore": oracle.zscore_oracle(),
+        "events_time_window": oracle.time_window_sum_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),

@@ -2326,3 +2326,22 @@ z AS (
 )
 SELECT event_id, event_type, z, abs(z) > {z_cut} AS is_outlier FROM z
 """
+
+
+def time_window_sum_oracle(window_sec: int = 600) -> str:
+    """RANGE-frame trailing time-window sum — mirrors
+    stages/windows.time_window_sum (peer rows at equal ts included)."""
+    win_us = window_sec * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window,
+       sum(vm) OVER w / 1e6 AS win_sum
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {win_us} PRECEDING AND CURRENT ROW)
+"""

@@ -272,3 +272,60 @@ def zscore_events(ds, key_col: str = "event_type", id_col: str = "event_id",
 
     return ds.select_columns([id_col, key_col, value_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def time_window_sum(ds, window_sec: int = 600, user_col: str = "user_id",
+                    ts_col: str = "ts", id_col: str = "event_id",
+                    value_col: str = "value", n_parts: int = 64):
+    """Trailing TIME-window sum per key — the RANGE-frame windowed
+    aggregate (SUM OVER ... RANGE BETWEEN W PRECEDING AND CURRENT ROW),
+    complementing the ROWS-frame moving_average above.  SQL RANGE-frame
+    semantics are preserved exactly: the frame covers ALL rows with
+    timestamp in [t−W, t], including same-timestamp peers, so the result
+    is deterministic under timestamp ties.
+
+    Plan: user-complete coarse hash partitions; inside each partition one
+    sort + per-user-segment cumulative-sum with two binary searches per
+    row (vectorized searchsorted over the segment) — the loop is over
+    KEYS in the partition, not rows.  Window sums are exact int64 micros.
+    Returns (user_id, event_id, n_in_window, win_sum)."""
+    win_us = window_sec * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        vm = g["vm"].to_numpy(np.int64)
+        n = len(g)
+        out_sum = np.zeros(n, np.int64)
+        out_n = np.zeros(n, np.int64)
+        # user segment boundaries (users are contiguous after the sort)
+        seg = np.flatnonzero(np.concatenate(
+            ([True], users[1:] != users[:-1], [True])))
+        for si in range(len(seg) - 1):
+            a, b2 = seg[si], seg[si + 1]
+            u = us[a:b2]
+            cum = np.concatenate(([0], vm[a:b2].cumsum()))
+            lo = np.searchsorted(u, u - win_us, side="left")
+            hi = np.searchsorted(u, u, side="right")
+            out_sum[a:b2] = cum[hi] - cum[lo]
+            out_n[a:b2] = hi - lo
+        return pd.DataFrame({
+            user_col: users, id_col: g[id_col].to_numpy(),
+            "n_in_window": out_n,
+            "win_sum": out_sum.astype(np.float64) / 1e6})
+
+    parted = ds.select_columns([user_col, ts_col, id_col, value_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

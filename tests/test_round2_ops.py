@@ -397,3 +397,33 @@ def test_zscore_matches_duckdb_and_flags_outliers():
     for _, g in got.groupby("event_type"):
         assert abs(g["z"].mean()) < 0.05
         assert abs(g["z"].std(ddof=0) - 1.0) < 0.05
+
+
+# ------------------------------------------------------------- time window --
+
+def test_time_window_sum_golden_and_duckdb():
+    from deepkg_ray.oracle import time_window_sum_oracle
+    from deepkg_ray.stages.windows import time_window_sum
+    # u1: ts 0, 300, 900 (window 600s: row3 covers 300+900 only);
+    # tie: u2 has two events at the same ts — RANGE includes BOTH peers
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u1", "u2", "u2"],
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": pd.to_datetime([0, 300, 900, 50, 50], unit="s"),
+        "value": [1.0, 2.0, 4.0, 10.0, 20.0],
+    })
+    out = (time_window_sum(rd.from_pandas(df), window_sec=600, n_parts=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["win_sum"].tolist() == [1.0, 3.0, 6.0, 30.0, 30.0]
+    assert out["n_in_window"].tolist() == [1, 2, 2, 2, 2]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    from deepkg_ray.sources.readers import read_events
+    got = (time_window_sum(read_events(SF, ["user_id", "event_id", "ts",
+                                            "value"])).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (con.execute(time_window_sum_oracle()).fetchdf()
+            .sort_values("event_id").reset_index(drop=True))
+    assert got["win_sum"].tolist() == want["win_sum"].tolist()
+    assert got["n_in_window"].tolist() == want["n_in_window"].tolist()
