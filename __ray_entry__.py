@@ -1045,6 +1045,13 @@ def _q_embedding_pca(sf_dir: str):
                                                 ["vec_id", "embedding"]))
 
 
+def _q_segment_share(sf_dir: str):
+    """Each order's share of its segment's revenue (ratio-to-group via a
+    broadcast 5-row totals table; micros-exact)."""
+    from deepkg_ray.pipelines.relational import segment_revenue_share
+    return segment_revenue_share(sf_dir)
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel counts (per-user sequence
     match over user-complete hash partitions)."""
@@ -1275,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_revenue_orders": _q_top_revenue_orders,
         "segment_revenue": _q_segment_revenue,
+        "segment_revenue_share": _q_segment_share,
         "frequent_phrases": _q_frequent_phrases,
         "kg_triples_via_sel": _q_kg_triples_via_sel,
         "uie_model_generate": _q_uie_model_generate,
@@ -1402,6 +1410,7 @@ def oracle_sql() -> dict[str, str]:
         "ner_span_model": oracle.mention_counts_sql(SF_ORACLE),
         "top_revenue_orders": oracle.top_revenue_orders_oracle(),
         "segment_revenue": oracle.segment_revenue_oracle(),
+        "segment_revenue_share": oracle.segment_revenue_share_oracle(),
         "snli_triplets": oracle.snli_triplets_oracle(SF_ORACLE),
         "ck_tokens": oracle.ck_tokens_oracle(SF_ORACLE),
         "stratified_sample": oracle.stratified_sample_oracle(),

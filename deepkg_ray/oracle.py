@@ -2345,3 +2345,21 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN {win_us} PRECEDING AND CURRENT ROW)
 """
+
+
+def segment_revenue_share_oracle() -> str:
+    """Ratio-to-group shares — mirrors
+    pipelines/relational.segment_revenue_share (micros totals, one rounded
+    division)."""
+    return """
+WITH o AS (
+  SELECT o.o_orderkey, c.c_mktsegment,
+         CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT) AS rm
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+t AS (SELECT c_mktsegment, sum(rm) AS tot FROM o GROUP BY c_mktsegment)
+SELECT o.o_orderkey, o.c_mktsegment,
+       CAST(o.rm AS DOUBLE) / 1e6 AS revenue,
+       floor(CAST(o.rm AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS share
+FROM o JOIN t USING (c_mktsegment)
+"""

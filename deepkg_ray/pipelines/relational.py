@@ -179,3 +179,51 @@ def distinct_event_types(sf_dir: str):
     """unique() demo: distinct event_type values with counts."""
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def segment_revenue_share(sf_dir: str):
+    """Ratio-to-group window primitive: each order's share of its market
+    segment's total revenue — share = round6(order_total / segment_total).
+    Two-pass broadcast plan (no per-segment shuffle of order rows): the
+    5-row segment-total aggregate is computed once and carried into a
+    stateless scoring map; totals stay int64 micros so the share division
+    is the only float op, mirrored exactly in SQL.
+    Returns (o_orderkey, c_mktsegment, revenue, share)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_of = dict(zip(cust["c_custkey"].astype("int64"),
+                      cust["c_mktsegment"]))
+
+    def attach(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seg = [seg_of[int(k)] for k in ck]
+        price = np.asarray(b["o_totalprice"].to_pylist(), np.float64)
+        return pa.table({
+            "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "c_mktsegment": pa.array(seg, pa.string()),
+            "rev_micros": pa.array(to_micros(price), pa.int64()),
+        })
+
+    tagged = orders.map_batches(attach, batch_format="pyarrow").materialize()
+    totals = {r["c_mktsegment"]: int(r["t"]) for r in
+              tagged.groupby("c_mktsegment")
+              .aggregate(Sum("rev_micros", alias_name="t")).take_all()}
+
+    def score(b: pa.Table) -> pa.Table:
+        segs = b["c_mktsegment"].to_pylist()
+        rm = b["rev_micros"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.fromiter((totals[s] for s in segs), np.float64, len(segs))
+        share = np.floor(rm / tot * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "c_mktsegment": b["c_mktsegment"],
+            "revenue": pa.array(rm / 1e6, pa.float64()),
+            "share": pa.array(share, pa.float64()),
+        })
+
+    return tagged.map_batches(score, batch_format="pyarrow")

@@ -427,3 +427,23 @@ def test_time_window_sum_golden_and_duckdb():
             .sort_values("event_id").reset_index(drop=True))
     assert got["win_sum"].tolist() == want["win_sum"].tolist()
     assert got["n_in_window"].tolist() == want["n_in_window"].tolist()
+
+
+# ------------------------------------------------------------------- share --
+
+def test_segment_revenue_share_sums_to_one_and_duckdb_exact():
+    from deepkg_ray.oracle import segment_revenue_share_oracle
+    from deepkg_ray.pipelines.relational import segment_revenue_share
+    got = (segment_revenue_share(SF).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    # per-segment shares sum to ~1 (each share rounded to 1e-6)
+    sums = got.groupby("c_mktsegment")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-3).all()
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = (con.execute(segment_revenue_share_oracle()).fetchdf()
+            .sort_values("o_orderkey").reset_index(drop=True))
+    assert got["share"].tolist() == want["share"].tolist()
+    assert got["revenue"].tolist() == want["revenue"].tolist()
