@@ -81,6 +81,25 @@ def _q_kg_predicates(sf_dir: str):
     return predicate_table(kg.adjacency_dataset(sf_dir))
 
 
+def _q_entity_spans(sf_dir: str):
+    """Entity lifecycle timeline: first/last mention microsecond + total
+    mention count per entity (partition-merge plan, no generic join)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.mention import entity_spans
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    return entity_spans(kg.mentions_dataset(sf_dir), turns)
+
+
+def _q_lang_confusion(sf_dir: str):
+    """Lang-id heuristic confusion matrix vs the gold lang column."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import lang_confusion
+    return lang_confusion(read_documents(sf_dir, ["text", "lang"]))
+
+
 def _q_kg_schema(sf_dir: str):
     """Predicate type-signature induction over the canonical graph."""
     from deepkg_ray.pipelines import kg
@@ -1313,6 +1332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_linkpred": _q_kg_linkpred,
         "kg_edge_spans": _q_kg_edge_spans,
+        "kg_entity_spans": _q_entity_spans,
+        "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
         "conv_sentences": _q_conv_sentences,
@@ -1433,6 +1454,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
+        "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
+        "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),

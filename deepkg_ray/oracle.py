@@ -2363,3 +2363,62 @@ SELECT o.o_orderkey, o.c_mktsegment,
        floor(CAST(o.rm AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS share
 FROM o JOIN t USING (c_mktsegment)
 """
+
+
+def lang_confusion_oracle() -> str:
+    """Lang-id confusion counts vs the gold lang column — mirrors
+    stages/textstats.lang_confusion (same CASE chain as lang_id_oracle)."""
+    langs = {
+        "en": "'the','and','of','to','in'",
+        "de": "'der','die','und','das','ist'",
+        "es": "'el','la','los','y','de'",
+        "fr": "'le','la','les','et','des'",
+    }
+    hit_cols = ", ".join(
+        f"len(list_filter(toks, x -> x IN ({sw}))) AS h_{lg}"
+        for lg, sw in langs.items())
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS toks
+  FROM documents
+), hits AS (SELECT lang, {hit_cols} FROM toks),
+det AS (
+  SELECT lang,
+       CASE WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en > 0 THEN 'en'
+            WHEN h_de >= h_es AND h_de >= h_fr AND h_de > 0 THEN 'de'
+            WHEN h_es >= h_fr AND h_es > 0 THEN 'es'
+            WHEN h_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS lang_detected
+  FROM hits
+)
+SELECT lang, lang_detected, CAST(count(*) AS BIGINT) AS n
+FROM det GROUP BY lang, lang_detected
+"""
+
+
+def entity_spans_oracle(sf_dir: str) -> str:
+    """Entity timeline — mirrors stages/mention.entity_spans: per-turn
+    occurrence counts per entity (summed over its surfaces), joined to the
+    turn timestamp, min/max µs + mention sum per entity."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+m AS (
+  SELECT t.conv_id, t.turn_idx, d.entity_id,
+         CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, '')))
+                  / length(d.surface)) AS BIGINT) AS n
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+  GROUP BY t.conv_id, t.turn_idx, d.entity_id
+),
+tr AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+)
+SELECT m.entity_id, CAST(sum(m.n) AS BIGINT) AS n_mentions,
+       CAST(min(tr.ts_us) AS BIGINT) AS first_us,
+       CAST(max(tr.ts_us) AS BIGINT) AS last_us
+FROM m JOIN tr ON tr.conv_id = m.conv_id AND tr.turn_idx = m.turn_idx
+GROUP BY m.entity_id
+"""

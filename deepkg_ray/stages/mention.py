@@ -155,3 +155,67 @@ def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
     return stateful_map(ds, DictionaryMentionDetector,
                         {"dictionary_path": dictionary_path},
                         concurrency=concurrency, batch_size=batch_size)
+
+
+def entity_spans(mentions, transcripts_ds, n_parts: int = 64,
+                 mode: str = "auto"):
+    """Entity timeline: (entity_id, n_mentions, first_us, last_us) — the
+    per-entity lifecycle fold (first/last observation µs and total mention
+    count), the entity-side twin of canonical.edge_spans.
+
+    Same plan: both sides hashed into conversation-complete coarse
+    partitions, vectorized in-partition equi-join (Ray's generic hash join
+    measured 38x slower on this shape), associative per-partition partials
+    merged by the tree/shuffle tier."""
+    import pandas as pd
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def men_partial(b: pa.Table) -> pa.Table:
+        df = (b.select(["conv_id", "turn_idx", "entity_id"]).to_pandas()
+              .groupby(["conv_id", "turn_idx", "entity_id"], as_index=False)
+              .size().rename(columns={"size": "n"}))
+        h = stable_hash64_batch(df["conv_id"].tolist())
+        return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "conv_id": pa.array(df["conv_id"], pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy(np.int64)),
+            "entity_id": pa.array(df["entity_id"].to_numpy(np.int64)),
+            "n": pa.array(df["n"].to_numpy(np.int64)),
+            "ts_us": pa.array(np.full(len(df), -1, np.int64)),
+        })
+
+    def turn_ts(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        nr = b.num_rows
+        return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "entity_id": pa.array(np.zeros(nr, np.int64)),
+            "n": pa.array(np.zeros(nr, np.int64)),
+            "ts_us": b["ts"].combine_chunks()
+                      .cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    men = mentions.map_batches(men_partial, batch_format="pyarrow")
+    turns = transcripts_ds.map_batches(turn_ts, batch_format="pyarrow")
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_turn = g["n"] == 0
+        tdf = g.loc[is_turn, ["conv_id", "turn_idx", "ts_us"]]
+        xdf = g.loc[~is_turn].drop(columns=["ts_us", "part"])
+        m = xdf.merge(tdf, on=["conv_id", "turn_idx"])
+        out = (m.groupby("entity_id", as_index=False)
+               .agg(n_mentions=("n", "sum"), first_us=("ts_us", "min"),
+                    last_us=("ts_us", "max")))
+        for c in ("n_mentions", "first_us", "last_us"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    partials = men.union(turns).groupby("part").map_groups(
+        merge_part, batch_format="pandas")
+    return merge_partials(partials, ["entity_id"],
+                          {"n_mentions": "sum", "first_us": "min",
+                           "last_us": "max"}, mode=mode)

@@ -558,3 +558,25 @@ def doc_repetition(ds, n: int = 2, text_col: str = "text",
         })
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", batch_size=8192)
+
+
+def lang_confusion(ds, text_col: str = "text", gold_col: str = "lang"):
+    """Confusion matrix of the stopword lang-id heuristic vs the gold
+    label column: (lang, lang_detected, n) — the eval aggregate that turns
+    the classifier into a measured component.  Key space ≤ |langs|², so
+    the count merge is a tiny tree."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        scored = lang_id_kernel(b, text_col)
+        import pandas as pd
+        df = (scored.select([gold_col, "lang_detected"]).to_pandas()
+              .groupby([gold_col, "lang_detected"], as_index=False).size()
+              .rename(columns={"size": "n"}))
+        df["n"] = df["n"].astype("int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return merge_partials(
+        ds.select_columns([gold_col, text_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [gold_col, "lang_detected"], {"n": "sum"}, fanout=1)

@@ -447,3 +447,49 @@ def test_segment_revenue_share_sums_to_one_and_duckdb_exact():
             .sort_values("o_orderkey").reset_index(drop=True))
     assert got["share"].tolist() == want["share"].tolist()
     assert got["revenue"].tolist() == want["revenue"].tolist()
+
+
+# ------------------------------------------------------ entity spans / lang --
+
+def test_entity_spans_brute_force_parity(sf_dir):
+    """Engine entity_spans equals a pandas brute-force over the same
+    mentions + timestamps at sf0.001."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.mention import entity_spans
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    got = (entity_spans(kg.mentions_dataset(sf_dir), turns, n_parts=8)
+           .to_pandas().sort_values("entity_id").reset_index(drop=True))
+    m = kg.mentions_dataset(sf_dir).to_pandas()
+    t = turns.to_pandas()
+    t["ts_us"] = t["ts"].astype("datetime64[us]").astype("int64")
+    t["turn_idx"] = t["turn_idx"].astype("int64")
+    m["turn_idx"] = m["turn_idx"].astype("int64")
+    j = m.merge(t[["conv_id", "turn_idx", "ts_us"]],
+                on=["conv_id", "turn_idx"])
+    want = (j.groupby("entity_id", as_index=False)
+            .agg(n_mentions=("ts_us", "size"), first_us=("ts_us", "min"),
+                 last_us=("ts_us", "max"))
+            .sort_values("entity_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+
+
+def test_lang_confusion_matches_duckdb():
+    """The matrix is exact vs the oracle; note the synth documents' text is
+    English-templated regardless of the gold lang column, so the matrix
+    correctly reports the heuristic's behavior rather than a diagonal."""
+    from deepkg_ray.oracle import lang_confusion_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import lang_confusion
+    got = (lang_confusion(read_documents(SF, ["text", "lang"])).to_pandas()
+           .sort_values(["lang", "lang_detected"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = (con.execute(lang_confusion_oracle()).fetchdf()
+            .sort_values(["lang", "lang_detected"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns], want, check_dtype=False)
+    assert got["n"].sum() == 500
