@@ -376,6 +376,38 @@ def _q_ann_ivf(sf_dir: str):
                     q, qids, k=10, centroids=cents, nprobe=8)
 
 
+def _q_ann_recall(sf_dir: str):
+    """Quality measurement of the approximate scale path: recall@10 of
+    IVF(nprobe=4 of 8 cells) against the exact brute-force top-10, per
+    query and overall — the eval that makes the approximate tier a
+    measured component rather than a hope.  Rows-only (the measurement
+    compares two engine tiers; there is no independent SQL semantics)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import (brute_force_topk, ivf_topk,
+                                              train_centroids)
+    q, qids = _embed_queries(sf_dir)
+    sample = np.stack(pq.read_table(f"{sf_dir}/embeddings.parquet",
+                                    columns=["embedding"])["embedding"]
+                      .slice(0, 2000).to_pandas().to_numpy())
+    cents = train_centroids(sample, n_centroids=8)
+    exact = brute_force_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                             q, qids, k=10).to_pandas()
+    approx = ivf_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                      q, qids, k=10, centroids=cents, nprobe=4).to_pandas()
+    ex = exact.groupby("query_id")["vec_id"].agg(set)
+    ap = approx.groupby("query_id")["vec_id"].agg(set)
+    rows = []
+    for qid in sorted(ex.index):
+        hit = len(ex[qid] & ap.get(qid, set()))
+        rows.append((int(qid), hit, len(ex[qid])))
+    df = pd.DataFrame(rows, columns=["query_id", "n_hit", "n_exact"])
+    df["recall"] = np.floor(df["n_hit"] / df["n_exact"] * 1e6 + 0.5) / 1e6
+    return df
+
+
 def _q_embedding_near_dup(sf_dir: str):
     from deepkg_ray.sources.readers import read_embeddings
     from deepkg_ray.stages.dedup import embedding_near_pairs
@@ -1284,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
+        "ann_recall": _q_ann_recall,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         # events / windows
