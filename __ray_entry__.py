@@ -100,6 +100,17 @@ def _q_lang_confusion(sf_dir: str):
     return lang_confusion(read_documents(sf_dir, ["text", "lang"]))
 
 
+def _q_conv_sessions(sf_dir: str):
+    """Per-conversation session segmentation (gap > 30 min splits) over
+    conversation-complete hash partitions."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import conv_sessions
+    return conv_sessions(rd.read_parquet(
+        synth.transcripts_path(sf_dir), columns=["conv_id", "turn_idx",
+                                                 "ts"]))
+
+
 def _q_kg_schema(sf_dir: str):
     """Predicate type-signature induction over the canonical graph."""
     from deepkg_ray.pipelines import kg
@@ -1268,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_stats": _q_transcript_stats,
         "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
+        "conv_sessions": _q_conv_sessions,
         "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
         "conv_context": _q_conv_context,
@@ -1397,6 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
+        "conv_sessions": oracle.conv_sessions_oracle(SF_ORACLE),
         "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
         "conv_context": oracle.conv_context_oracle(SF_ORACLE),

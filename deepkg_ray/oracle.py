@@ -2422,3 +2422,23 @@ SELECT m.entity_id, CAST(sum(m.n) AS BIGINT) AS n_mentions,
 FROM m JOIN tr ON tr.conv_id = m.conv_id AND tr.turn_idx = m.turn_idx
 GROUP BY m.entity_id
 """
+
+
+def conv_sessions_oracle(sf_dir: str, gap_sec: int = 1800) -> str:
+    """Per-conversation session counts over the transcript table — mirrors
+    stages/convgroup.conv_sessions (turn order, gap > gap_sec starts a new
+    session)."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS pus
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN pus IS NULL OR us - pus > {gap_us}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(max(us) - min(us) AS BIGINT) AS span_us
+FROM t GROUP BY conv_id
+"""

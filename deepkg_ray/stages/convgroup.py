@@ -211,3 +211,50 @@ def tool_usage(ds):
     return (lv1.groupby(["role", "tool"])
             .aggregate(Sum("n", alias_name="n_turns"),
                        Count(alias_name="n_convs")))
+
+
+def conv_sessions(ds, gap_sec: int = 1800, n_parts: int = 64):
+    """Conversation session segmentation over the TRANSCRIPT table:
+    a session = maximal run of turns with inter-turn gap ≤ gap_sec
+    (the transcript-native twin of windows.sessionize — long-running agent
+    conversations fragment into work sessions; session count and span are
+    per-conversation curation signals).
+
+    Plan: conversation-complete coarse hash partitions (the turn_latency
+    shape), one vectorized sort+diff pass per partition.  Returns
+    (conv_id, n_turns, n_sessions, span_us)."""
+    gap_us = gap_sec * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "us": b["ts"].combine_chunks()
+                   .cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        same = np.concatenate(([False], conv[1:] == conv[:-1]))
+        gap = np.concatenate(([0], us[1:] - us[:-1]))
+        new_session = (~same) | (gap > gap_us)
+        df = pd.DataFrame({"conv_id": conv, "us": us,
+                           "ns": new_session.astype(np.int64)})
+        out = (df.groupby("conv_id", sort=False)
+               .agg(n_turns=("us", "size"), n_sessions=("ns", "sum"),
+                    first_us=("us", "min"), last_us=("us", "max"))
+               .reset_index())
+        out["span_us"] = (out["last_us"] - out["first_us"]).astype(np.int64)
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out[["conv_id", "n_turns", "n_sessions", "span_us"]]
+
+    parted = ds.select_columns(["conv_id", "turn_idx", "ts"]).map_batches(
+        add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

@@ -507,3 +507,20 @@ def test_ivf_nprobe4_recall_reasonable():
     df = m.queries()["ann_recall"](SF)
     assert (df["n_exact"] == 10).all()
     assert df["recall"].mean() >= 0.7
+
+
+# --------------------------------------------------------------- sessions --
+
+def test_conv_sessions_golden():
+    from deepkg_ray.stages.convgroup import conv_sessions
+    df = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "turn_idx": np.array([0, 1, 2, 0], np.int32),
+        # c1: gap 10s then gap 2h → 2 sessions; c2: single turn
+        "ts": pd.to_datetime([0, 10, 7300, 5], unit="s"),
+    })
+    out = (conv_sessions(rd.from_pandas(df), n_parts=4).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert out["n_sessions"].tolist() == [2, 1]
+    assert out["n_turns"].tolist() == [3, 1]
+    assert out["span_us"].tolist() == [7300_000_000, 0]
