@@ -111,6 +111,18 @@ def _q_conv_sessions(sf_dir: str):
                                                  "ts"]))
 
 
+def _q_kg_cooccurrence_pmi(sf_dir: str):
+    """PMI-scored entity co-occurrence edges (ranked edge proposals)."""
+    import glob
+    import pyarrow.parquet as pq
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.mention import cooccurrence_pmi
+    n_total = sum(pq.read_metadata(f).num_rows for f in
+                  glob.glob(synth.transcripts_path(sf_dir) + "/*.parquet"))
+    return cooccurrence_pmi(kg.mentions_dataset(sf_dir), n_total)
+
+
 def _q_kg_schema(sf_dir: str):
     """Predicate type-signature induction over the canonical graph."""
     from deepkg_ray.pipelines import kg
@@ -1375,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_window": _q_events_time_window,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
+        "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
@@ -1498,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "events_time_window": oracle.time_window_sum_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
+        "kg_cooccurrence_pmi": oracle.cooccurrence_pmi_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),

@@ -2442,3 +2442,32 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(max(us) - min(us) AS BIGINT) AS span_us
 FROM t GROUP BY conv_id
 """
+
+
+def cooccurrence_pmi_oracle(sf_dir: str) -> str:
+    """Entity co-occurrence PMI — mirrors stages/mention.cooccurrence_pmi
+    (turn-level marginals, N = total transcript turns, ln-micros)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+m AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, d.entity_id
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+),
+pair AS (
+  SELECT a.entity_id AS e1, b.entity_id AS e2,
+         CAST(count(*) AS BIGINT) AS n_turns
+  FROM m a JOIN m b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.entity_id < b.entity_id
+  GROUP BY e1, e2
+),
+ent AS (SELECT entity_id, count(*) AS n FROM m GROUP BY entity_id),
+tot AS (SELECT count(*) AS n FROM t)
+SELECT p.e1, p.e2, p.n_turns,
+       floor(ln((p.n_turns * tot.n) / CAST(a.n * b.n AS DOUBLE)) * 1e6 + 0.5)
+         / 1e6 AS pmi
+FROM pair p
+JOIN ent a ON a.entity_id = p.e1
+JOIN ent b ON b.entity_id = p.e2, tot
+"""

@@ -524,3 +524,21 @@ def test_conv_sessions_golden():
     assert out["n_sessions"].tolist() == [2, 1]
     assert out["n_turns"].tolist() == [3, 1]
     assert out["span_us"].tolist() == [7300_000_000, 0]
+
+
+# --------------------------------------------------------------------- pmi --
+
+def test_cooccurrence_pmi_brute_force():
+    from deepkg_ray.stages.mention import cooccurrence_pmi
+    mentions = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2", "c2", "c3"],
+        "turn_idx": np.array([0, 0, 0, 0, 0], np.int32),
+        "entity_id": np.array([1, 2, 1, 2, 1], np.int64),
+    })
+    # N=4 total turns (one extra mention-free); n1=3, n2=2, n12=2
+    out = cooccurrence_pmi(rd.from_pandas(mentions), n_turns_total=4,
+                           ).to_pandas()
+    assert len(out) == 1
+    want = np.floor(np.log((2 * 4.0) / (3.0 * 2.0)) * 1e6 + 0.5) / 1e6
+    assert out["pmi"].iloc[0] == want
+    assert out["n_turns"].iloc[0] == 2
