@@ -1144,6 +1144,15 @@ def _q_events_time_window(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "value"]))
 
 
+def _q_windowed_distinct(sf_dir: str):
+    """Approximate distinct users per tumbling hour: HLL register state
+    per window (sketch merge IS the aggregate — ≤2^p rows per window
+    shuffle instead of every (window, user) pair)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.sketches import windowed_hll_registers
+    return windowed_hll_registers(read_events(sf_dir, ["ts", "user_id"]))
+
+
 def _q_events_zscore(sf_dir: str):
     """Per-type z-score standardization + outlier flag (tiny moment
     aggregate broadcast into a stateless scoring map)."""
@@ -1384,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_quantiles": _q_grid_quantiles,
         "events_funnel": _q_events_funnel,
         "events_zscore": _q_events_zscore,
+        "windowed_distinct": _q_windowed_distinct,
         "events_time_window": _q_events_time_window,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
@@ -1508,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_quantiles": oracle.grid_quantiles_oracle(),
         "events_funnel": oracle.funnel_oracle(),
         "events_zscore": oracle.zscore_oracle(),
+        "windowed_distinct": oracle.windowed_hll_oracle(),
         "events_time_window": oracle.time_window_sum_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),

@@ -2471,3 +2471,26 @@ FROM pair p
 JOIN ent a ON a.entity_id = p.e1
 JOIN ent b ON b.entity_id = p.e2, tot
 """
+
+
+def windowed_hll_oracle(window_sec: int = 3600, p: int = 12) -> str:
+    """Per-tumbling-window HLL register state over events.user_id —
+    mirrors stages/sketches.windowed_hll_registers (md5-parity hash,
+    exact bit-length rho, Max per (window, register))."""
+    win_us = window_sec * 1_000_000
+    mask = (1 << (64 - p)) - 1
+    return f"""
+WITH h AS (
+  SELECT (epoch_us(ts) // {win_us}) * {win_us} AS window_start_us,
+         md5_number_lower(user_id::VARCHAR) AS h
+  FROM events
+),
+r AS (
+  SELECT window_start_us, CAST(h >> {64 - p} AS BIGINT) AS register,
+         {64 - p + 1} - (CASE WHEN (h & {mask}) = 0 THEN 0
+              ELSE length(to_base(CAST(h & {mask} AS BIGINT), 2)) END) AS rho
+  FROM h
+)
+SELECT window_start_us, register, CAST(max(rho) AS BIGINT) AS rho
+FROM r GROUP BY window_start_us, register
+"""

@@ -262,3 +262,73 @@ def heavy_hitter_tokens(ds, text_col: str = "text", k: int = 20,
             f"(k-th count {kth} <= undercount bound {u_bound}); "
             f"raise budget (={budget})")
     return rd.from_pandas(exact.reset_index(drop=True))
+
+
+def windowed_hll_registers(ds, window_sec: int = 3600,
+                           col: str = "user_id", ts_col: str = "ts",
+                           p: int = 12):
+    """Approximate distinct-per-window: HLL register state per TUMBLING
+    event-time window — the mergeable-sketch composition a 100 TB
+    windowed-distinct needs (exact distinct per window would shuffle every
+    (window, user) pair; this shuffles ≤ 2^p register rows per window).
+
+    Per batch: (window_bucket, register, rho) rows computed vectorized
+    with the md5-parity hash and exact bit-length rho (same conventions as
+    the global HLL above), then one groupby Max(rho) — sketch merge IS the
+    aggregate.  The register STATE is the value-hash-checked artifact
+    (oracle.windowed_hll_oracle) — the estimate itself is NOT a hashed
+    column because the 2^-rho float sum is summation-order-dependent;
+    use windowed_hll_estimates() for the numbers (pytest-covered
+    accuracy).  Returns (window_start_us, register, rho)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    win_us = window_sec * 1_000_000
+    assert p >= 12
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        bucket = (us // win_us) * win_us
+        h = _hash64([str(v) for v in b[col].to_pylist()])
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        low = h & np.uint64((1 << (64 - p)) - 1)
+        bl = np.frexp(low.astype(np.float64))[1]
+        rho = ((64 - p + 1) - bl).astype(np.int64)
+        df = (pd.DataFrame({"window_start_us": bucket, "register": idx,
+                            "rho": rho})
+              .groupby(["window_start_us", "register"], as_index=False)
+              .max())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (ds.select_columns([ts_col, col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["window_start_us", "register"])
+           .aggregate(Max("rho", alias_name="rho")))
+
+    def cast_cols(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_us": b["window_start_us"].combine_chunks()
+                                .cast(pa.int64()),
+            "register": b["register"].combine_chunks().cast(pa.int64()),
+            "rho": b["rho"].combine_chunks().cast(pa.int64()),
+        })
+    return agg.map_batches(cast_cols, batch_format="pyarrow")
+
+
+def windowed_hll_estimates(ds, window_sec: int = 3600,
+                           col: str = "user_id", ts_col: str = "ts",
+                           p: int = 12) -> pd.DataFrame:
+    """Per-window approximate distinct counts from the windowed register
+    state (driver-side finish over ≤ 2^p rows per window)."""
+    regs = windowed_hll_registers(ds, window_sec, col, ts_col, p).to_pandas()
+    out = []
+    for w, g in regs.groupby("window_start_us"):
+        h = HLL(p)
+        h.registers[g["register"].to_numpy(np.int64)] = \
+            g["rho"].to_numpy(np.int64).astype(np.uint8)
+        out.append((int(w), float(h.estimate())))
+    return pd.DataFrame(out, columns=["window_start_us", "n_distinct_est"])

@@ -542,3 +542,21 @@ def test_cooccurrence_pmi_brute_force():
     want = np.floor(np.log((2 * 4.0) / (3.0 * 2.0)) * 1e6 + 0.5) / 1e6
     assert out["pmi"].iloc[0] == want
     assert out["n_turns"].iloc[0] == 2
+
+
+# ------------------------------------------------------- windowed distinct --
+
+def test_windowed_hll_estimates_accurate():
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.sketches import windowed_hll_estimates
+    est = windowed_hll_estimates(read_events(SF, ["ts", "user_id"]))
+    con = duckdb.connect()
+    truth = con.execute(f"""
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+               count(DISTINCT user_id) AS n
+        FROM read_parquet('{SF}/events.parquet') GROUP BY w
+    """).fetchdf().set_index("w")["n"]
+    assert len(est) == len(truth)
+    for _, r in est.iterrows():
+        true = truth[int(r["window_start_us"])]
+        assert abs(r["n_distinct_est"] - true) / max(true, 1) < 0.15
