@@ -1162,6 +1162,14 @@ def _q_events_zscore(sf_dir: str):
         sf_dir, ["event_id", "event_type", "value"]))
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic ppswor sample (Efraimidis-Spirakis) of 100 docs
+    weighted by n_chars."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import weighted_sample_k
+    return weighted_sample_k(read_documents(sf_dir, ["doc_id", "n_chars"]))
+
+
 def _q_grid_quantiles(sf_dir: str):
     """Fixed-grid histogram approximate quantiles over the continuous
     events.value column (deterministic, n_bins-bounded shuffle)."""
@@ -1312,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
         "sample_exact_k": _q_sample_exact_k,
+        "weighted_sample": _q_weighted_sample,
         "global_shuffle_positions": _q_global_shuffle,
         "stratified_exact_k": _q_stratified_exact_k,
         "containment_pairs": _q_containment_pairs,
@@ -1444,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),
+        "weighted_sample": oracle.weighted_sample_oracle(),
         "global_shuffle_positions": oracle.global_shuffle_positions_oracle(),
         "stratified_exact_k": oracle.stratified_exact_k_oracle(),
         "containment_pairs": oracle.containment_pairs_oracle(),

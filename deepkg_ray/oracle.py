@@ -2494,3 +2494,21 @@ r AS (
 SELECT window_start_us, register, CAST(max(rho) AS BIGINT) AS rho
 FROM r GROUP BY window_start_us, register
 """
+
+
+def weighted_sample_oracle(k: int = 100, seed: int = 7) -> str:
+    """A-ES weighted sample — mirrors stages/textstats.weighted_sample_k:
+    identical exact-dyadic u and ln(u)/max(w,1) key, ORDER BY key DESC."""
+    u = (f"((md5_number_lower('{seed}:' || CAST(doc_id AS VARCHAR)) >> 11)"
+         f" + 1.0) / {float(1 << 53)!r}")
+    return f"""
+WITH s AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln({u}) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS key
+  FROM documents
+)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         AS "rank"
+FROM s ORDER BY key DESC, doc_id LIMIT {k}
+"""

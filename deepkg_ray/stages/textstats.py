@@ -580,3 +580,46 @@ def lang_confusion(ds, text_col: str = "text", gold_col: str = "lang"):
         ds.select_columns([gold_col, text_col]).map_batches(
             partial, batch_format="pyarrow"),
         [gold_col, "lang_detected"], {"n": "sum"}, fanout=1)
+
+
+def weighted_sample_k(ds, k: int = 100, weight_col: str = "n_chars",
+                      id_col: str = "doc_id", seed: int = 7):
+    """Deterministic weighted sample WITHOUT replacement, exact size k —
+    Efraimidis-Spirakis A-ES (IPL 2006): rank rows by ln(u)/w with u a
+    deterministic md5-uniform in (0,1], keep the k largest keys;
+    inclusion probability rises with weight (ppswor).  u is built as
+    ((md5_64 >> 11) + 1) / 2^53 — an EXACT dyadic double, so key values
+    (one ln + one division on identical inputs) reproduce bitwise in SQL
+    and the selected set is partition- and order-free.  Per-block partial
+    top-k, then one ≤ k·blocks-row final merge — the sample_exact_k plan
+    with a weighted key.  Returns (doc_id, weight, rank)."""
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    kk = int(k)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64()),
+                             "_key": pa.array([], pa.float64())})
+        h = md5_lower64_batch([f"{seed}:{int(x)}" for x in ids])
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        key = np.log(u) / np.maximum(w, 1.0)        # w ≥ 1 guard, ≤ 0 keys
+        if len(ids) > kk:
+            sel = np.lexsort((ids, -key))[:kk]
+            ids, w, key = ids[sel], w[sel], key[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "weight": pa.array(w.astype(np.int64), pa.int64()),
+                         "_key": pa.array(key, pa.float64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_key", id_col], ascending=[False, True],
+                            kind="stable").head(kk).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[id_col, "weight", "rank"]]
+
+    return (ds.select_columns([id_col, weight_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))

@@ -560,3 +560,23 @@ def test_windowed_hll_estimates_accurate():
     for _, r in est.iterrows():
         true = truth[int(r["window_start_us"])]
         assert abs(r["n_distinct_est"] - true) / max(true, 1) < 0.15
+
+
+# ---------------------------------------------------------- weighted sample --
+
+def test_weighted_sample_partition_invariant_and_biased():
+    from deepkg_ray.stages.textstats import weighted_sample_k
+    rng = np.random.default_rng(2)
+    n = 2000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        # half the docs are 50x heavier
+        "n_chars": np.where(np.arange(n) % 2 == 0, 5000, 100).astype(np.int64),
+    })
+    a = (weighted_sample_k(rd.from_pandas(df), k=200).to_pandas()
+         .sort_values("rank").reset_index(drop=True))
+    b = (weighted_sample_k(rd.from_pandas(df).repartition(13), k=200)
+         .to_pandas().sort_values("rank").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)                # partition-invariant
+    heavy = (a["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.8                                 # ppswor bias visible
