@@ -1162,6 +1162,23 @@ def _q_events_zscore(sf_dir: str):
         sf_dir, ["event_id", "event_type", "value"]))
 
 
+def _q_events_retention(sf_dir: str):
+    """Daily cohort retention matrix (user-complete coarse partitions →
+    per-cell partial counts → calendar-bounded merge)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cohort_retention
+    return cohort_retention(read_events(sf_dir, ["user_id", "ts"]))
+
+
+def _q_events_rank(sf_dir: str):
+    """Per-type percent_rank + ntile(4) ranking window functions
+    (deterministic (value, id) composite order)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import rank_events
+    return rank_events(read_events(
+        sf_dir, ["event_id", "event_type", "value"]))
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic ppswor sample (Efraimidis-Spirakis) of 100 docs
     weighted by n_chars."""
@@ -1404,6 +1421,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "windowed_distinct": _q_windowed_distinct,
         "events_time_window": _q_events_time_window,
+        "events_retention": _q_events_retention,
+        "events_rank": _q_events_rank,
         "pricing_rollup": _q_pricing_rollup,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
@@ -1530,6 +1549,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zscore": oracle.zscore_oracle(),
         "windowed_distinct": oracle.windowed_hll_oracle(),
         "events_time_window": oracle.time_window_sum_oracle(),
+        "events_retention": oracle.cohort_retention_oracle(),
+        "events_rank": oracle.rank_events_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_cooccurrence_pmi": oracle.cooccurrence_pmi_oracle(SF_ORACLE),

@@ -2003,6 +2003,43 @@ FROM w
 """
 
 
+def cohort_retention_oracle(bucket_sec: int = 86400) -> str:
+    """Daily cohort retention mirror of stages/windows.cohort_retention:
+    cohort = epoch-day of each user's first event; cell (cohort, offset)
+    counts distinct users active on cohort+offset."""
+    return f"""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / {bucket_sec}) AS BIGINT) AS day
+  FROM events
+), c AS (
+  SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id
+)
+SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def rank_events_oracle(n_tiles: int = 4) -> str:
+    """percent_rank + ntile mirror of stages/windows.rank_events — the
+    window orders by (value-micros, event_id), a total order, so
+    percent_rank is tie-free and ntile follows SQL bucket-fill rules."""
+    return f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_id, event_type,
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       CAST(ntile({n_tiles}) OVER w AS BIGINT) AS tile
+FROM v
+WINDOW w AS (PARTITION BY event_type ORDER BY vm, event_id)
+"""
+
+
 def pricing_rollup_oracle() -> str:
     """GROUP BY ROLLUP mirror of pipelines/relational.pricing_rollup
     (sentinel 'ALL' for rolled-up dimensions; micros sums per level)."""

@@ -170,6 +170,89 @@ def sessionize(ds, gap_sec: int = 1800, user_col: str = "user_id",
             .groupby(user_col).map_groups(per_user, batch_format="pandas"))
 
 
+def cohort_retention(ds, bucket_sec: int = 86400, user_col: str = "user_id",
+                     ts_col: str = "ts", n_parts: int = 64):
+    """Cohort retention matrix over the event stream: users are cohorted by
+    the epoch-day of their FIRST event, and each cell counts the distinct
+    users of cohort d active exactly ``offset`` days later — the classic
+    product-analytics retention triangle (reference is strictly batch; this
+    extends §2.9 alongside funnel/sessionize).
+
+    Plan: users hashed into ``n_parts`` user-complete coarse partitions; in
+    each partition one vectorized pass dedups (user, day), takes the
+    per-user min day (cohort) and emits per-(cohort, offset) PARTIAL
+    counts — each user contributes to a cell at most once globally because
+    its rows are partition-complete, so the partials sum exactly.  The
+    final groupby is over cohort_days × offsets (calendar-bounded), never
+    row-shaped.  Returns (cohort_day, day_offset, n_users)."""
+    bucket_us = bucket_sec * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            user_col: b[user_col],
+            "day": pc.divide(us, bucket_us),   # int floor-div (us ≥ 0)
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([user_col, "day"])
+        cohort = d.groupby(user_col)["day"].transform("min").to_numpy()
+        out = pd.DataFrame({"cohort_day": cohort,
+                            "day_offset": d["day"].to_numpy() - cohort})
+        p = (out.groupby(["cohort_day", "day_offset"], as_index=False)
+             .size().rename(columns={"size": "n_users"}))
+        p["n_users"] = p["n_users"].astype(np.int64)
+        return p
+
+    parted = ds.select_columns([user_col, ts_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    partials = parted.groupby("part").map_groups(per_partition,
+                                                 batch_format="pandas")
+    return (partials.groupby(["cohort_day", "day_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def rank_events(ds, n_tiles: int = 4, key_col: str = "event_type",
+                id_col: str = "event_id", value_col: str = "value"):
+    """Per-key rank analytics: SQL ``percent_rank()`` and ``ntile(k)`` over
+    (value, id)-ordered rows within each key — the ranking window-function
+    family (ROW_NUMBER/PERCENT_RANK/NTILE) the reference lacks.
+
+    The (value, id) composite order makes every rank deterministic (no
+    ties), so percent_rank is exactly (rn−1)/(n−1) and ntile follows SQL's
+    first-(n mod k)-buckets-get-one-extra rule, both reproduced verbatim in
+    the oracle.  Partitioning assumption: one task per key (groupby
+    map_groups) — per-key rows must fit a worker; for open key domains
+    salt the key and merge rank offsets.  Returns
+    (event_id, event_type, pct_rank, tile)."""
+    def add_vm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col], id_col: b[id_col],
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+        })
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vm", id_col], kind="stable")
+        n = len(g)
+        rn0 = np.arange(n, dtype=np.int64)
+        pct = round6(rn0 / (n - 1)) if n > 1 else np.zeros(n)
+        size, rem = divmod(n, n_tiles)
+        big = rem * (size + 1)
+        tile = np.where(rn0 < big, rn0 // max(size + 1, 1),
+                        rem + (rn0 - big) // max(size, 1)) + 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "pct_rank": pct,
+                             "tile": tile.astype(np.int64)})
+
+    return (ds.select_columns([key_col, id_col, value_col])
+            .map_batches(add_vm, batch_format="pyarrow")
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
 def funnel_counts(ds, steps=("view", "click", "purchase"),
                   user_col: str = "user_id", type_col: str = "event_type",
                   ts_col: str = "ts", n_parts: int = 64):

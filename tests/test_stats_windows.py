@@ -573,3 +573,39 @@ def test_video_frame_sampling():
         assert g["n_frames"].iloc[0] == k
         assert g["frame_idx"].tolist() == list(range(0, k, 4))
     assert all(len(f) == 16 for f in out["features"])
+
+
+def test_cohort_retention_golden():
+    # users: u1 first day 0, active days {0, 1, 3}; u2 first day 1,
+    # active {1}; u3 first day 0, active {0, 3}
+    day = 86400
+    rows = [(1, 10), (1, day + 5), (1, 3 * day + 1), (1, 3 * day + 2),
+            (2, day + 7), (3, 0), (3, 3 * day)]
+    df = pd.DataFrame({"user_id": [u for u, _ in rows],
+                       "ts": pd.to_datetime([t for _, t in rows], unit="s")})
+    out = (windows.cohort_retention(rd.from_pandas(df), n_parts=4)
+           .to_pandas().sort_values(["cohort_day", "day_offset"])
+           .reset_index(drop=True))
+    got = {(r.cohort_day, r.day_offset): r.n_users
+           for r in out.itertuples()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 2, (1, 0): 1}
+
+
+def test_rank_events_ntile_and_percent_rank():
+    # one key, 6 rows with a duplicate value broken by id; ntile(4) on n=6:
+    # rem=2 -> buckets of sizes 3? no: size=1 rem=2 -> first 2 buckets
+    # hold 2, last 2 hold 1  => tiles 1,1,2,2,3,4
+    df = pd.DataFrame({"event_id": [10, 11, 12, 13, 14, 15],
+                       "event_type": ["a"] * 6,
+                       "value": [5.0, 1.0, 3.0, 3.0, 2.0, 4.0]})
+    out = (windows.rank_events(rd.from_pandas(df), n_tiles=4)
+           .to_pandas().sort_values("pct_rank").reset_index(drop=True))
+    # order by (value, id): 11(1.0) 14(2.0) 12(3.0) 13(3.0) 15(4.0) 10(5.0)
+    assert out["event_id"].tolist() == [11, 14, 12, 13, 15, 10]
+    assert out["tile"].tolist() == [1, 1, 2, 2, 3, 4]
+    exp = [math.floor(i / 5 * 1e6 + 0.5) / 1e6 for i in range(6)]
+    assert out["pct_rank"].tolist() == exp
+    # single-row key edge: pct_rank defined as 0
+    one = windows.rank_events(rd.from_pandas(pd.DataFrame(
+        {"event_id": [1], "event_type": ["b"], "value": [9.0]}))).to_pandas()
+    assert one["pct_rank"].tolist() == [0.0] and one["tile"].tolist() == [1]
