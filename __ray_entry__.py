@@ -1205,6 +1205,20 @@ def _q_events_moving_avg(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "value"]), k=3)
 
 
+def _q_pricing_cube(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus): all grouping sets folded from the
+    one-scan finest-level aggregate."""
+    from deepkg_ray.pipelines.relational import pricing_cube
+    return pricing_cube(sf_dir)
+
+
+def _q_column_profile(sf_dir: str):
+    """Single-pass per-column profiling (count/nulls/min/max/micros mean)
+    of the lineitem numeric columns."""
+    from deepkg_ray.pipelines.relational import column_profile
+    return column_profile(sf_dir)
+
+
 def _q_pricing_rollup(sf_dir: str):
     """ROLLUP(l_returnflag, l_linestatus) derived from one finest-level
     distributed aggregate (micros-exact at every level)."""
@@ -1424,6 +1438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": _q_events_retention,
         "events_rank": _q_events_rank,
         "pricing_rollup": _q_pricing_rollup,
+        "pricing_cube": _q_pricing_cube,
+        "column_profile": _q_column_profile,
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
@@ -1552,6 +1568,8 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": oracle.cohort_retention_oracle(),
         "events_rank": oracle.rank_events_oracle(),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
+        "pricing_cube": oracle.pricing_cube_oracle(),
+        "column_profile": oracle.column_profile_oracle(),
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_cooccurrence_pmi": oracle.cooccurrence_pmi_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),

@@ -2003,6 +2003,38 @@ FROM w
 """
 
 
+def pricing_cube_oracle() -> str:
+    """GROUP BY CUBE mirror of pipelines/relational.pricing_cube
+    (sentinel 'ALL' for cubed-away dimensions; micros sums per level)."""
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS sum_revenue,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def column_profile_oracle(columns=("l_quantity", "l_extendedprice",
+                                   "l_discount", "l_tax")) -> str:
+    """Per-column profiling mirror of pipelines/relational.column_profile —
+    one UNION ALL arm per column, micros-exact min/max/mean."""
+    arms = []
+    for c in columns:
+        arms.append(f"""
+SELECT '{c}' AS "column",
+       CAST(count({c}) AS BIGINT) AS n,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(min(CAST(floor({c} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS min_v,
+       CAST(max(CAST(floor({c} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS max_v,
+       floor(CAST(sum(CAST(floor({c} * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count({c}) + 0.5) / 1e6 AS mean_v
+FROM lineitem""")
+    return " UNION ALL ".join(arms)
+
+
 def cohort_retention_oracle(bucket_sec: int = 86400) -> str:
     """Daily cohort retention mirror of stages/windows.cohort_retention:
     cohort = epoch-day of each user's first event; cell (cohort, offset)

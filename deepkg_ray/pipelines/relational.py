@@ -97,6 +97,100 @@ def pricing_rollup(sf_dir: str):
         rollup, batch_format="pandas", batch_size=None)
 
 
+def pricing_cube(sf_dir: str):
+    """CUBE(l_returnflag, l_linestatus) — all four grouping sets — derived
+    from the SAME one-scan finest-level aggregate as pricing_rollup: the
+    distributed pass produces only the (flag, status) grid partials, and
+    the per-flag, per-status and grand-total levels are folded from those
+    in a single final task (sums/counts are associative).  At 100 TB this
+    reads the input once and shuffles a 6-row grid; the extra grouping
+    set costs nothing more than ROLLUP did.  Sentinel 'ALL' marks
+    cubed-away dimensions; micros-exact at every level."""
+    fine = _pricing_micros(sf_dir)
+    sums = ["qty_micros", "price_micros", "rev_micros", "count_order"]
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        by_flag = (df.groupby("l_returnflag", as_index=False)[sums].sum()
+                   .assign(l_linestatus="ALL"))
+        by_status = (df.groupby("l_linestatus", as_index=False)[sums].sum()
+                     .assign(l_returnflag="ALL"))
+        total = df[sums].sum().to_frame().T.assign(
+            l_returnflag="ALL", l_linestatus="ALL")
+        out = pd.concat([df, by_flag, by_status, total], ignore_index=True)
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"].astype(str),
+            "l_linestatus": out["l_linestatus"].astype(str),
+            "sum_qty": out["qty_micros"].to_numpy(np.float64) / 1e6,
+            "sum_base_price": out["price_micros"].to_numpy(np.float64) / 1e6,
+            "sum_revenue": out["rev_micros"].to_numpy(np.float64) / 1e6,
+            "count_order": out["count_order"].astype(np.int64),
+        })
+
+    return fine.repartition(1).map_batches(
+        cube, batch_format="pandas", batch_size=None)
+
+
+def column_profile(sf_dir: str,
+                   columns=("l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax")):
+    """Single-pass data-profiling operator: per numeric column, row count,
+    null count, min, max and micros-exact mean — the schema-health summary
+    every ingest pipeline runs before training-data jobs.  One scan emits
+    len(columns) partial rows per block (count/nullcount/min/max/sum are
+    all mergeable), so the shuffle is bounded by columns × blocks, never
+    row-shaped.  Returns (column, n, n_null, min_v, max_v, mean_v)."""
+    from ray.data.aggregate import Max, Min
+
+    cols = list(columns)
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs, ss = [], [], [], [], [], []
+        for c in cols:
+            col = b[c]
+            vals = col.drop_null()
+            n = len(vals)
+            if n == 0:
+                continue
+            m = np.asarray(to_micros(vals.to_pylist()), np.int64)
+            names.append(c)
+            ns.append(n)
+            nulls.append(len(col) - n)
+            mns.append(int(m.min()))
+            mxs.append(int(m.max()))
+            ss.append(int(m.sum()))
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "mn": pa.array(mns, pa.int64()),
+            "mx": pa.array(mxs, pa.int64()),
+            "s": pa.array(ss, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("column")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_null", alias_name="n_null"),
+                      Min("mn", alias_name="mn"),
+                      Max("mx", alias_name="mx"),
+                      Sum("s", alias_name="s")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].to_pylist(), np.float64)
+        s = np.asarray(b["s"].to_pylist(), np.float64)
+        return pa.table({
+            "column": b["column"],
+            "n": b["n"], "n_null": b["n_null"],
+            "min_v": pa.array(
+                np.asarray(b["mn"].to_pylist(), np.float64) / 1e6),
+            "max_v": pa.array(
+                np.asarray(b["mx"].to_pylist(), np.float64) / 1e6),
+            "mean_v": pa.array(np.floor(s / n + 0.5) / 1e6),
+        })
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def top_revenue_orders(sf_dir: str, k: int = 10):
     """Global top-k: revenue per order, sort desc (tie-break orderkey asc),
     limit k.  Revenue summed as micros; the final sort/limit runs on the

@@ -580,3 +580,37 @@ def test_weighted_sample_partition_invariant_and_biased():
     pd.testing.assert_frame_equal(a, b)                # partition-invariant
     heavy = (a["doc_id"] % 2 == 0).mean()
     assert heavy > 0.8                                 # ppswor bias visible
+
+
+# ------------------------------------------------------------ cube/profile --
+
+def test_pricing_cube_grouping_sets_consistent_and_duckdb_exact():
+    from deepkg_ray.oracle import pricing_cube_oracle
+    from deepkg_ray.pipelines.relational import pricing_cube
+    got = (pricing_cube(SF).to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    fine = got[(got.l_returnflag != "ALL") & (got.l_linestatus != "ALL")]
+    by_status = got[(got.l_returnflag == "ALL") & (got.l_linestatus != "ALL")]
+    assert int(by_status["count_order"].sum()) == int(fine["count_order"].sum())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    want = (con.execute(pricing_cube_oracle()).fetchdf()
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_column_profile_matches_duckdb():
+    from deepkg_ray.oracle import column_profile_oracle
+    from deepkg_ray.pipelines.relational import column_profile
+    got = (column_profile(SF).to_pandas()
+           .sort_values("column").reset_index(drop=True))
+    assert (got["n_null"] == 0).all() and (got["n"] > 0).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    want = (con.execute(column_profile_oracle()).fetchdf()
+            .sort_values("column").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
