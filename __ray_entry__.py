@@ -891,6 +891,15 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_scaled(kg.adjacency_dataset(sf_dir), n_iters=5)
 
 
+def _q_kg_hits(sf_dir: str):
+    """Fixed-iteration integer-scaled HITS hubs/authorities over the built
+    KG (join-free scatters + scalar max normalizers; bitwise-identical to
+    the unrolled-CTE oracle)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import hits_scaled
+    return hits_scaled(kg.adjacency_dataset(sf_dir), n_iters=3)
+
+
 def _q_kg_triangles(sf_dir: str):
     """Global triangle count over the simple undirected KG graph."""
     from deepkg_ray.pipelines import kg
@@ -1377,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_hits": _q_kg_hits,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -1510,6 +1520,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": oracle.kg_walks_oracle(SF_ORACLE, steps=4, start_mod=3),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
+        "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "inverted_index": oracle.inverted_index_oracle(),

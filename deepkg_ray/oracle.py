@@ -1205,6 +1205,57 @@ SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
+def kg_hits_oracle(sf_dir: str, n_iters: int = 3,
+                   scale: int = 10**6) -> str:
+    """Fixed-iteration integer-scaled HITS, unrolled one MATERIALIZED CTE
+    pair per iteration (inlined CTEs re-expand the base scan exponentially
+    through the scalar-subquery normalizers and exhaust file handles) — mirrors stages/graph.hits_scaled op for op: BIGINT sums,
+    max-normalization via `(raw * scale) // max(raw)` floor division."""
+    prev_h = "h0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""a{i}raw AS MATERIALIZED (
+  SELECT nd.node, CAST(COALESCE(t.sm, 0) AS BIGINT) AS raw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.v) AS sm
+    FROM {prev_h} p JOIN dedges e ON e.s = p.node GROUP BY e.d
+  ) t ON t.node = nd.node
+), a{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT max(raw) FROM a{i}raw) > 0
+    THEN (raw * {scale}) // (SELECT max(raw) FROM a{i}raw)
+    ELSE 0 END AS v
+  FROM a{i}raw
+), h{i}raw AS MATERIALIZED (
+  SELECT nd.node, CAST(COALESCE(t.sm, 0) AS BIGINT) AS raw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.s AS node, SUM(p.v) AS sm
+    FROM a{i} p JOIN dedges e ON e.d = p.node GROUP BY e.s
+  ) t ON t.node = nd.node
+), h{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT max(raw) FROM h{i}raw) > 0
+    THEN (raw * {scale}) // (SELECT max(raw) FROM h{i}raw)
+    ELSE 0 END AS v
+  FROM h{i}raw
+)""")
+        prev_h = f"h{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+h0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),
+{chain}
+SELECT h.node, CAST(h.v AS BIGINT) AS hub_scaled,
+       CAST(a.v AS BIGINT) AS auth_scaled
+FROM h{n_iters} h JOIN a{n_iters} a USING (node)
+"""
+
+
 def hll_registers_oracle(p: int = 12) -> str:
     """HyperLogLog sketch state over events.user_id / event_type — the md5-
     parity twin of stages/sketches.py (_hash64 ≡ md5_number_lower; register

@@ -271,6 +271,126 @@ def pagerank_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
         batch_format="pyarrow")
 
 
+HITS_SCALE = 10**6
+
+
+def hits_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                n_iters: int = 3, scale: int = HITS_SCALE):
+    """Fixed-iteration HITS (hubs & authorities) over the simple directed
+    graph, ALL arithmetic in int64 units of 1/scale so engine and
+    unrolled-CTE SQL agree bitwise (pagerank_scaled's convention, with
+    max-normalization replacing the damping fold):
+
+        h0            = scale
+        a_raw(v)      = Σ_{u→v} h[u];  a[v] = (a_raw·scale) // max(a_raw)
+        h_raw(u)      = Σ_{u→v} a[v];  h[u] = (h_raw·scale) // max(h_raw)
+
+    Overflow bound: raw ≤ scale·maxdeg and raw·scale < 2^63 requires
+    maxdeg < 9.2e6 — documented partitioning assumption.  Each
+    half-iteration is one join-free scatter (state ∪ edges, grouped by the
+    scatter key) + one node-keyed Sum; the normalizer is a scalar max over
+    the node-shaped state, never row-shaped.  Returns
+    (node, hub_scaled, auth_scaled)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as RSum
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["s"].to_numpy(zero_copy_only=False),
+                               b["d"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    if nodes.count() == 0:
+        empty = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({"node": empty, "hub_scaled": empty,
+                                       "auth_scaled": empty}))
+
+    zero_rows = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "val": pa.array(np.zeros(b.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    def half_step(state, key, out):
+        """Scatter state values along edges keyed by ``key`` (s: along
+        out-edges to d; d: along in-edges to s), sum per receiving node,
+        max-normalize back to ``scale``."""
+        peer = "d" if key == "s" else "s"
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["v"],
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b, key=key, peer=peer: pa.table(
+                {"node": b[key], "peer": b[peer],
+                 "is_edge": pa.array(np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            pv = g["peer"].to_numpy(zero_copy_only=False)
+            val = int(pv[~is_edge][0])
+            dst = pv[is_edge]
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(
+                                 np.full(len(dst), val, np.int64))})
+
+        raw = (st_rows.union(ed_rows).groupby("node").map_groups(
+            scatter, batch_format="pyarrow")
+            .union(zero_rows).groupby("node")
+            .aggregate(RSum("val", alias_name="raw")).materialize())
+        mx = int(raw.max("raw") or 0)
+
+        def norm(b: pa.Table, mx=mx) -> pa.Table:
+            r = b["raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (r * scale) // mx if mx > 0 else np.zeros(len(r), np.int64)
+            return pa.table({"node": b["node"],
+                             out: pa.array(v, pa.int64())})
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    h = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "v": pa.array(np.full(b.num_rows, scale,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(n_iters):
+        a = half_step(h, "s", "v")          # authorities from hubs
+        h = half_step(a, "d", "v")          # hubs from authorities
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda b, name=name: pa.table(
+                {"node": b["node"], "which": pa.array(
+                    np.full(b.num_rows, 0 if name == "hub" else 1, np.int8)),
+                 "val": b["v"]}), batch_format="pyarrow")
+
+    def fold(g: pa.Table) -> pa.Table:
+        w = g["which"].to_numpy(zero_copy_only=False)
+        v = g["val"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": g["node"].slice(0, 1),
+                         "hub_scaled": pa.array([int(v[w == 0][0])],
+                                                pa.int64()),
+                         "auth_scaled": pa.array([int(v[w == 1][0])],
+                                                 pa.int64())})
+
+    return (tag(h, "hub").union(tag(a, "auth"))
+            .groupby("node").map_groups(fold, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------- KG graph stats --
 
 def node_degrees(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):

@@ -250,3 +250,39 @@ def test_random_walks_modes_agree(ray_session):
          .sort_values(["start", "step"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(d, j[d.columns], check_dtype=False)
     assert len(d) > 0
+
+
+def test_hits_matches_naive_reference():
+    import ray.data as rd
+    from deepkg_ray.stages.graph import hits_scaled, HITS_SCALE
+    rng = np.random.default_rng(5)
+    edges = pd.DataFrame({
+        "subj_id": rng.integers(0, 20, size=60).astype(np.int64),
+        "obj_id": rng.integers(0, 20, size=60).astype(np.int64),
+    })
+    edges = edges[edges["subj_id"] != edges["obj_id"]]
+    got = (hits_scaled(rd.from_pandas(edges), n_iters=3).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    # naive integer reference with the identical op chain
+    de = edges.drop_duplicates(["subj_id", "obj_id"])
+    nodes = sorted(set(de["subj_id"]) | set(de["obj_id"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    E = [(idx[s], idx[d]) for s, d in de.itertuples(index=False)]
+    h = {i: HITS_SCALE for i in range(len(nodes))}
+    a = {}
+    for _ in range(3):
+        raw = {i: 0 for i in range(len(nodes))}
+        for s, d in E:
+            raw[d] += h[s]
+        mx = max(raw.values())
+        a = {i: (v * HITS_SCALE) // mx if mx else 0 for i, v in raw.items()}
+        raw = {i: 0 for i in range(len(nodes))}
+        for s, d in E:
+            raw[s] += a[d]
+        mx = max(raw.values())
+        h = {i: (v * HITS_SCALE) // mx if mx else 0 for i, v in raw.items()}
+    want = pd.DataFrame({"node": nodes,
+                         "hub_scaled": [h[idx[n]] for n in nodes],
+                         "auth_scaled": [a[idx[n]] for n in nodes]})
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert got["hub_scaled"].max() == HITS_SCALE
