@@ -1171,6 +1171,31 @@ def _q_events_zscore(sf_dir: str):
         sf_dir, ["event_id", "event_type", "value"]))
 
 
+def _q_events_interarrival(sf_dir: str):
+    """Per-event LAG gap to the same user's previous event (user-complete
+    coarse partitions, vectorized shifted diff)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import interarrival_gaps
+    return interarrival_gaps(read_events(sf_dir, ["user_id", "event_id",
+                                                  "ts"]))
+
+
+def _q_events_pivot(sf_dir: str):
+    """Crosstab: day-of-week × event_type counts pivoted wide from a
+    dictionary-bounded grid aggregate."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import pivot_counts
+    return pivot_counts(read_events(sf_dir, ["ts", "event_type"]))
+
+
+def _q_kg_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity of the built KG (unordered-pair groupby,
+    ≤2 rows per group)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import reciprocity
+    return reciprocity(kg.adjacency_dataset(sf_dir))
+
+
 def _q_events_retention(sf_dir: str):
     """Daily cohort retention matrix (user-complete coarse partitions →
     per-cell partial counts → calendar-bounded merge)."""
@@ -1447,6 +1472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_window": _q_events_time_window,
         "events_retention": _q_events_retention,
         "events_rank": _q_events_rank,
+        "events_interarrival": _q_events_interarrival,
+        "events_pivot": _q_events_pivot,
+        "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
         "column_profile": _q_column_profile,
@@ -1578,6 +1606,9 @@ def oracle_sql() -> dict[str, str]:
         "events_time_window": oracle.time_window_sum_oracle(),
         "events_retention": oracle.cohort_retention_oracle(),
         "events_rank": oracle.rank_events_oracle(),
+        "events_interarrival": oracle.interarrival_oracle(),
+        "events_pivot": oracle.pivot_counts_oracle(),
+        "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "pricing_cube": oracle.pricing_cube_oracle(),
         "column_profile": oracle.column_profile_oracle(),

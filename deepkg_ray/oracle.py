@@ -2054,6 +2054,55 @@ FROM w
 """
 
 
+def interarrival_oracle() -> str:
+    """LAG mirror of stages/windows.interarrival_gaps — µs gap to the same
+    user's previous event, first-per-user rows dropped."""
+    return """
+WITH g AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+              AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT user_id, event_id, gap_us FROM g WHERE gap_us IS NOT NULL
+"""
+
+
+def pivot_counts_oracle(types=("click", "error", "purchase", "signup",
+                               "view")) -> str:
+    """Crosstab mirror of stages/windows.pivot_counts — one CASE-sum arm
+    per pivot value over the epoch-day-of-week key."""
+    arms = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}" for t in types)
+    return f"""
+SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow,
+       {arms}
+FROM events GROUP BY dow
+"""
+
+
+def kg_reciprocity_oracle(sf_dir: str) -> str:
+    """Reciprocity mirror of stages/graph.reciprocity over the KG's
+    distinct directed s≠d edges."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_reciprocal,
+       floor(CAST(sum(CASE WHEN r.s IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*) * 1e6 + 0.5) / 1e6 AS reciprocity
+FROM dedges e LEFT JOIN dedges r ON r.s = e.d AND r.d = e.s
+"""
+
+
 def pricing_cube_oracle() -> str:
     """GROUP BY CUBE mirror of pipelines/relational.pricing_cube
     (sentinel 'ALL' for cubed-away dimensions; micros sums per level)."""

@@ -391,6 +391,43 @@ def hits_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
             .groupby("node").map_groups(fold, batch_format="pyarrow"))
 
 
+def reciprocity(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
+    """Edge reciprocity of the simple directed graph: the fraction of
+    distinct s≠d edges whose reverse edge also exists.  One groupby over
+    the UNORDERED pair key — each group holds ≤2 direction rows, so a pair
+    is reciprocal iff its group has both; nothing heavier than the edge
+    dedup ever shuffles.  Returns one row
+    (n_edges, n_reciprocal, reciprocity=round6)."""
+    from deepkg_ray.functions.numeric import round6
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"lo": pa.array(np.minimum(u, v), pa.int64()),
+                         "hi": pa.array(np.maximum(u, v), pa.int64()),
+                         "fwd": pa.array(u < v)})
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        dirs = g["fwd"].nunique()
+        return pd.DataFrame({"n_edges": [np.int64(dirs)],
+                             "n_reciprocal": [np.int64(2 if dirs == 2 else 0)]})
+
+    partials = (edges.map_batches(orient, batch_format="pyarrow")
+                .groupby(["lo", "hi"]).map_groups(per_pair,
+                                                  batch_format="pandas"))
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        ne = np.int64(df["n_edges"].sum())
+        nr = np.int64(df["n_reciprocal"].sum())
+        r = float(round6(np.array([nr / ne]))[0]) if ne else 0.0
+        return pd.DataFrame({"n_edges": [ne], "n_reciprocal": [nr],
+                             "reciprocity": [r]})
+    return partials.repartition(1).map_batches(total, batch_format="pandas",
+                                               batch_size=None)
+
+
 # ---------------------------------------------------------- KG graph stats --
 
 def node_degrees(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):

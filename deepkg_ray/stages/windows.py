@@ -253,6 +253,74 @@ def rank_events(ds, n_tiles: int = 4, key_col: str = "event_type",
             .groupby(key_col).map_groups(per_key, batch_format="pandas"))
 
 
+def interarrival_gaps(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id", n_parts: int = 64):
+    """Per-event gap to the SAME USER's previous event — the LAG window
+    function (LAG(ts) OVER (PARTITION BY user ORDER BY ts, id)), the
+    building block of inter-arrival / retention-latency analyses.
+
+    Plan: user-complete coarse hash partitions, one sort + shifted-diff
+    pass per partition (diff is per-user-segment valid, vectorized).
+    First events per user have no predecessor and are dropped (SQL
+    mirrors with IS NOT NULL).  Returns (user_id, event_id, gap_us)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        same = np.concatenate(([False], users[1:] == users[:-1]))
+        gap = np.concatenate(([0], us[1:] - us[:-1]))
+        return pd.DataFrame({user_col: users[same],
+                             id_col: g[id_col].to_numpy()[same],
+                             "gap_us": gap[same]})
+
+    parted = ds.select_columns([user_col, ts_col, id_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
+def pivot_counts(ds, types=("click", "error", "purchase", "signup", "view"),
+                 ts_col: str = "ts", type_col: str = "event_type"):
+    """PIVOT/crosstab: long (day-of-week, event_type) counts reshaped into
+    one wide row per dow with an n_<type> column per pivot value.  The
+    distributed pass is a dictionary-bounded groupby over the
+    (dow × type) grid; the reshape runs in a single final task on that
+    tiny grid — the wide table never exists distributed.  Pivot values
+    must be a known, bounded list (same contract as SQL PIVOT ... IN)."""
+    def add_keys(b: pa.Table) -> pa.Table:
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        dow = (us // 86_400_000_000) % 7
+        return pa.table({"dow": pa.array(dow, pa.int64()),
+                         type_col: b[type_col]})
+
+    grid = (ds.select_columns([ts_col, type_col])
+            .map_batches(add_keys, batch_format="pyarrow")
+            .groupby(["dow", type_col]).aggregate(Count(alias_name="n")))
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"dow": sorted(df["dow"].unique())}
+        w = df.pivot_table(index="dow", columns=type_col, values="n",
+                           aggfunc="sum", fill_value=0)
+        for t in types:
+            col = w[t] if t in w.columns else pd.Series(0, index=w.index)
+            out[f"n_{t}"] = col.reindex(out["dow"], fill_value=0) \
+                               .astype(np.int64).to_numpy()
+        return pd.DataFrame(out)
+
+    return grid.repartition(1).map_batches(widen, batch_format="pandas",
+                                           batch_size=None)
+
+
 def funnel_counts(ds, steps=("view", "click", "purchase"),
                   user_col: str = "user_id", type_col: str = "event_type",
                   ts_col: str = "ts", n_parts: int = 64):

@@ -286,3 +286,17 @@ def test_hits_matches_naive_reference():
                          "auth_scaled": [a[idx[n]] for n in nodes]})
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
     assert got["hub_scaled"].max() == HITS_SCALE
+
+
+def test_reciprocity_golden():
+    import ray.data as rd
+    from deepkg_ray.stages.graph import reciprocity
+    # edges: 1<->2 reciprocal, 1->3 one-way, 3->3 self-loop dropped,
+    # duplicate 1->2 deduped
+    edges = pd.DataFrame({"subj_id": [1, 2, 1, 3, 1],
+                          "obj_id": [2, 1, 3, 3, 2]})
+    out = reciprocity(rd.from_pandas(edges)).to_pandas()
+    assert out["n_edges"].tolist() == [3]
+    assert out["n_reciprocal"].tolist() == [2]
+    import math
+    assert out["reciprocity"].tolist() == [math.floor(2 / 3 * 1e6 + 0.5) / 1e6]

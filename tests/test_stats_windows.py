@@ -609,3 +609,29 @@ def test_rank_events_ntile_and_percent_rank():
     one = windows.rank_events(rd.from_pandas(pd.DataFrame(
         {"event_id": [1], "event_type": ["b"], "value": [9.0]}))).to_pandas()
     assert one["pct_rank"].tolist() == [0.0] and one["tile"].tolist() == [1]
+
+
+def test_interarrival_gaps_golden():
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "a", "b", "b", "c"],
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": pd.to_datetime([0, 10, 10, 100, 101, 7], unit="s")})
+    out = (windows.interarrival_gaps(rd.from_pandas(df), n_parts=4)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    # first event per user dropped; tie at t=10 broken by event_id
+    assert out["event_id"].tolist() == [2, 3, 5]
+    assert out["gap_us"].tolist() == [10_000_000, 0, 1_000_000]
+
+
+def test_pivot_counts_golden_and_missing_type_zero():
+    day = 86400
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([0, 1, day, day + 1, 8 * day], unit="s"),
+        "event_type": ["click", "view", "click", "click", "view"]})
+    out = (windows.pivot_counts(rd.from_pandas(df))
+           .to_pandas().sort_values("dow").reset_index(drop=True))
+    # day 0 -> dow 0 (click, view); day 1 and day 8 -> dow 1
+    assert out["dow"].tolist() == [0, 1]
+    assert out["n_click"].tolist() == [1, 2]
+    assert out["n_view"].tolist() == [1, 1]
+    assert out["n_purchase"].tolist() == [0, 0]
