@@ -994,6 +994,13 @@ def _q_native_join_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H Q5-shaped star join: combiner-first lineitem pre-aggregate,
+    two native hash joins, broadcast 25-row nation dimension."""
+    from deepkg_ray.pipelines.relational import nation_revenue
+    return nation_revenue(sf_dir)
+
+
 def _q_top_events_per_type(sf_dir: str):
     """Per-key windowed top-k: the 2 highest-value events per event_type
     (rank-within-partition), deterministic tie-break on event_id."""
@@ -1435,6 +1442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": _q_events_range_join,
         "users_without_orders": _q_users_without_orders,
         "native_join_revenue": _q_native_join_revenue,
+        "nation_revenue": _q_nation_revenue,
         "top_events_per_type": _q_top_events_per_type,
         "approx_distinct": _q_approx_distinct,
         "distinct_event_types": _q_distinct_event_types,
@@ -1568,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": oracle.range_join_oracle(),
         "users_without_orders": oracle.users_without_orders_oracle(),
         "native_join_revenue": oracle.segment_revenue_oracle(),
+        "nation_revenue": oracle.nation_revenue_oracle(),
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),

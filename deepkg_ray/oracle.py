@@ -2054,6 +2054,23 @@ FROM w
 """
 
 
+def nation_revenue_oracle() -> str:
+    """4-table star-join mirror of pipelines/relational.nation_revenue —
+    per-lineitem micros summed per nation; n_orders counts distinct
+    orders that have lineitems."""
+    return """
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+                AS BIGINT)) / 1e6 AS revenue,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def interarrival_oracle() -> str:
     """LAG mirror of stages/windows.interarrival_gaps — µs gap to the same
     user's previous event, first-per-user rows dropped."""

@@ -97,6 +97,65 @@ def pricing_rollup(sf_dir: str):
         rollup, batch_format="pandas", batch_size=None)
 
 
+def nation_revenue(sf_dir: str):
+    """TPC-H Q5-shaped star join: lineitem ⨝ orders ⨝ customer ⨝ nation →
+    revenue per nation.  Join strategy tiered by side size: lineitem is
+    pre-aggregated to (orderkey, rev_micros) BEFORE any join (combiner
+    first — the join input shrinks from line-items to orders), the two
+    big-side joins (→orders, →customer) run on Ray's native
+    hash-partitioned Dataset.join, and the 25-row nation dimension is a
+    driver-broadcast dict — the one genuinely-small side never shuffles.
+    Returns (n_name, revenue, n_orders)."""
+    import pyarrow.parquet as pq
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                                pa.int64())})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev_micros", alias_name="rev_micros")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = per_order.join(orders, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(cust, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    names = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([names[k] for k in nk], pa.string()),
+            "rev_micros": b["rev_micros"]})
+
+    agg = (j2.map_batches(attach, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("rev_micros", alias_name="rev_micros"),
+                      Count(alias_name="n_orders")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "revenue": pa.array(
+                np.asarray(b["rev_micros"].to_pylist(), np.float64) / 1e6),
+            "n_orders": b["n_orders"].combine_chunks().cast(pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def pricing_cube(sf_dir: str):
     """CUBE(l_returnflag, l_linestatus) — all four grouping sets — derived
     from the SAME one-scan finest-level aggregate as pricing_rollup: the

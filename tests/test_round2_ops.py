@@ -614,3 +614,18 @@ def test_column_profile_matches_duckdb():
     want = (con.execute(column_profile_oracle()).fetchdf()
             .sort_values("column").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_nation_revenue_matches_duckdb():
+    from deepkg_ray.oracle import nation_revenue_oracle
+    from deepkg_ray.pipelines.relational import nation_revenue
+    got = (nation_revenue(SF).to_pandas()
+           .sort_values("n_name").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = (con.execute(nation_revenue_oracle()).fetchdf()
+            .sort_values("n_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+    assert len(got) > 0
