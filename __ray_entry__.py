@@ -352,6 +352,14 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_textrank_words(sf_dir: str):
+    """TextRank keyword scores: integer PageRank over the documents bigram
+    digraph, word ids via broadcast sorted-vocab dense rank."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.phrasemine import textrank_words
+    return textrank_words(read_documents(sf_dir, ["text"]))
+
+
 def _q_pmi_bigrams(sf_dir: str):
     from deepkg_ray.stages.phrasemine import pmi_bigrams
     return pmi_bigrams(_docs(sf_dir, ["text"]))
@@ -1425,6 +1433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_bigrams": _q_pmi_bigrams,
+        "textrank_words": _q_textrank_words,
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -1562,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracle.inverted_index_oracle(),
         "tfidf_top_terms": oracle.tfidf_top_terms_oracle(k=5),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),
+        "textrank_words": oracle.textrank_words_oracle(n_iters=5),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact

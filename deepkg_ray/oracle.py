@@ -1205,6 +1205,59 @@ SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
+def textrank_words_oracle(n_iters: int = 5, damping_pct: int = 85) -> str:
+    """TextRank mirror of stages/phrasemine.textrank_words: the
+    kg_pagerank chain (identical BIGINT ops) over the documents bigram
+    digraph, with word→id via dense_rank(ORDER BY w) — the same sorted
+    enumeration the engine broadcasts."""
+    scale, dp = 10**12, damping_pct
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""pr{i} AS MATERIALIZED (
+  SELECT nd.node,
+         (SELECT ({100 - dp} * {scale}) // (100 * n) FROM params)
+         + ({dp} * COALESCE(t.total, 0)) // 100 AS pm
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.pm // o.c) AS total
+    FROM {prev} p JOIN dedges e ON e.s = p.node
+    JOIN outdeg o ON o.s = p.node
+    GROUP BY e.d
+  ) t ON t.node = nd.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+),
+dedges0 AS MATERIALIZED (
+  SELECT DISTINCT w1, w2 FROM big WHERE w1 <> w2
+),
+ids AS MATERIALIZED (
+  SELECT w, CAST(dense_rank() OVER (ORDER BY w) AS BIGINT) AS id
+  FROM (SELECT w1 AS w FROM dedges0 UNION SELECT w2 FROM dedges0)
+),
+dedges AS MATERIALIZED (
+  SELECT a.id AS s, b.id AS d
+  FROM dedges0 JOIN ids a ON a.w = dedges0.w1
+  JOIN ids b ON b.w = dedges0.w2
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+params AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT s, count(*) AS c FROM dedges GROUP BY s),
+pr0 AS (SELECT node, (SELECT {scale} // n FROM params) AS pm FROM nodes),
+{chain}
+SELECT ids.w AS word, CAST(pm AS BIGINT) AS pr_scaled
+FROM {prev} JOIN ids ON ids.id = {prev}.node
+"""
+
+
 def kg_hits_oracle(sf_dir: str, n_iters: int = 3,
                    scale: int = 10**6) -> str:
     """Fixed-iteration integer-scaled HITS, unrolled one MATERIALIZED CTE

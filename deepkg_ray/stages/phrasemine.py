@@ -487,3 +487,84 @@ def inverted_index(ds, text_col: str = "text", id_col: str = "doc_id"):
     return (ds.select_columns([id_col, text_col])
             .map_batches(explode, batch_format="pyarrow")
             .groupby("term").map_groups(build, batch_format="pandas"))
+
+
+def textrank_words(ds, n_iters: int = 5, text_col: str = "text",
+                   local_threshold: int = 100_000):
+    """TextRank keyword scores: integer-scaled PageRank over the corpus
+    bigram graph (unweighted simple digraph w1→w2, self-bigrams dropped) —
+    the graph-based keyword-extraction composition of the phrase-mining
+    bigram pass and graph.pagerank_scaled (Mihalcea & Tarau 2004
+    semantics at window=2).
+
+    Node ids must agree bitwise with SQL, so words map to their
+    dense_rank in sorted order: the vocabulary is dictionary-bounded (the
+    same assumption every phrasemine aggregate documents), collected once
+    driver-side from the tiny bigram table and broadcast.  Returns
+    (word, pr_scaled)."""
+    from deepkg_ray.stages.graph import pagerank_scaled
+
+    bigrams = ngram_counts(ds, 2, text_col=text_col)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"w1": b["w1"], "w2": b["w2"]})
+    edge_words = bigrams.map_batches(to_edges,
+                                     batch_format="pyarrow").materialize()
+
+    vocab = sorted(set(edge_words.unique("w1"))
+                   | set(edge_words.unique("w2")))
+    wid = {w: i + 1 for i, w in enumerate(vocab)}     # dense_rank ORDER BY w
+
+    def encode(b: pa.Table) -> pa.Table:
+        s = np.fromiter((wid[w] for w in b["w1"].to_pylist()), np.int64,
+                        b.num_rows)
+        d = np.fromiter((wid[w] for w in b["w2"].to_pylist()), np.int64,
+                        b.num_rows)
+        return pa.table({"subj_id": pa.array(s), "obj_id": pa.array(d)})
+
+    if len(vocab) <= local_threshold:
+        # dictionary-bounded vocab: the graph already fits the driver
+        # (it was collected to build ids) — the distributed scatter
+        # rounds' per-iteration fixed cost would dominate.  Identical
+        # integer op chain as pagerank_scaled (same oracle).
+        import ray.data as rd
+        from deepkg_ray.stages.graph import PR_SCALE
+        ew = edge_words.to_pandas().drop_duplicates(["w1", "w2"])
+        s = ew["w1"].map(wid).to_numpy(np.int64) - 1
+        d = ew["w2"].map(wid).to_numpy(np.int64) - 1
+        keep = s != d
+        s, d = s[keep], d[keep]
+        node_ids = np.unique(np.concatenate([s, d]))
+        n = len(node_ids)
+        if n == 0:
+            return rd.from_arrow(pa.table({
+                "word": pa.array([], pa.string()),
+                "pr_scaled": pa.array([], pa.int64())}))
+        pos = np.full(len(vocab), -1, np.int64)
+        pos[node_ids] = np.arange(n)
+        si, di = pos[s], pos[d]
+        outdeg = np.bincount(si, minlength=n).astype(np.int64)
+        dp = 85                       # pagerank_scaled's default damping
+        pm = np.full(n, PR_SCALE // n, np.int64)
+        base = ((100 - dp) * PR_SCALE) // (100 * n)
+        for _ in range(n_iters):
+            contrib = pm[si] // outdeg[si]
+            tot = np.zeros(n, np.int64)
+            np.add.at(tot, di, contrib)
+            pm = base + (dp * tot) // 100
+        words = [vocab[i] for i in node_ids]
+        return rd.from_arrow(pa.table({
+            "word": pa.array(words, pa.string()),
+            "pr_scaled": pa.array(pm, pa.int64())}))
+
+    pr = pagerank_scaled(edge_words.map_batches(encode,
+                                                batch_format="pyarrow"),
+                         n_iters=n_iters)
+    names = {i: w for w, i in wid.items()}
+
+    def decode(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "word": pa.array([names[i] for i in b["node"].to_pylist()],
+                             pa.string()),
+            "pr_scaled": b["pr_scaled"]})
+    return pr.map_batches(decode, batch_format="pyarrow")

@@ -635,3 +635,18 @@ def test_pivot_counts_golden_and_missing_type_zero():
     assert out["n_click"].tolist() == [1, 2]
     assert out["n_view"].tolist() == [1, 1]
     assert out["n_purchase"].tolist() == [0, 0]
+
+
+def test_textrank_words_tiers_agree_and_rank_sanity():
+    docs = pd.DataFrame({"text": [
+        "data moves fast", "data moves far", "fast data wins",
+        "slow code loses"]})
+    ds = rd.from_pandas(docs)
+    loc = (phrasemine.textrank_words(ds, n_iters=4).to_pandas()
+           .sort_values("word").reset_index(drop=True))
+    dist = (phrasemine.textrank_words(ds, n_iters=4, local_threshold=0)
+            .to_pandas().sort_values("word").reset_index(drop=True))
+    pd.testing.assert_frame_equal(loc, dist[loc.columns], check_dtype=False)
+    scores = loc.set_index("word")["pr_scaled"]
+    # 'data' has the most in-links ('fast data'); beats leaf 'loses'
+    assert scores["data"] > scores["loses"]
