@@ -786,6 +786,17 @@ def _q_conv_context(sf_dir: str):
     return conv_context_windows(ds, window=2, turns_per_salt=256)
 
 
+def _q_conv_transcripts(sf_dir: str):
+    """Ordered collect: one document per conversation (string_agg ORDER BY
+    turn_idx) — the LLM-training document-assembly step."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import conv_transcripts
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "turn_idx", "text"])
+    return conv_transcripts(ds)
+
+
 def _q_kg_events(sf_dir: str):
     """Event extraction (the third UIE record family): trigger-typed events
     with (place, actor) roles resolved to canonical ids."""
@@ -1392,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
         "conv_context": _q_conv_context,
+        "conv_transcripts": _q_conv_transcripts,
         # text analysis / dedup over documents
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -1535,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),
         "conv_context": oracle.conv_context_oracle(SF_ORACLE),
+        "conv_transcripts": oracle.conv_transcripts_oracle(SF_ORACLE),
         "extraction_prf": oracle.prf_sql(SF_ORACLE),
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),

@@ -2107,6 +2107,17 @@ FROM w
 """
 
 
+def conv_transcripts_oracle(sf_dir: str) -> str:
+    """Ordered-collect mirror of stages/convgroup.conv_transcripts —
+    string_agg(text, chr(10) ORDER BY turn_idx) per conversation."""
+    return f"""
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+FROM read_parquet('{_transcripts_glob(sf_dir)}')
+GROUP BY conv_id
+"""
+
+
 def nation_revenue_oracle() -> str:
     """4-table star-join mirror of pipelines/relational.nation_revenue —
     per-lineitem micros summed per nation; n_orders counts distinct

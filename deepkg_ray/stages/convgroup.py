@@ -258,3 +258,25 @@ def conv_sessions(ds, gap_sec: int = 1800, n_parts: int = 64):
         add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def conv_transcripts(ds, sep: str = "\n", conv_col: str = "conv_id",
+                     order_col: str = "turn_idx", text_col: str = "text"):
+    """Ordered collect: one document per conversation — turns sorted by
+    ``order_col`` and joined with ``sep`` (SQL
+    string_agg(text, sep ORDER BY turn_idx)).  The document-assembly step
+    of an LLM training-data pipeline: groupby co-locates each
+    conversation, the group fn is one pandas sort + str join.
+    Partitioning assumption: one conversation fits a task (same contract
+    as every conv_* op; salt via convgroup.add_salt for hot
+    conversations).  Returns (conv_id, n_turns, transcript)."""
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        return pd.DataFrame({
+            conv_col: [g[conv_col].iloc[0]],
+            "n_turns": np.array([len(g)], np.int64),
+            "transcript": [sep.join(g[text_col].astype(str))],
+        })
+
+    return (ds.select_columns([conv_col, order_col, text_col])
+            .groupby(conv_col).map_groups(per_conv, batch_format="pandas"))

@@ -120,3 +120,16 @@ def test_tool_usage_golden(ray_session):
     assert out.loc[("asst", "search"), "n_convs"] == 2
     assert out.loc[("user", "calc"), "n_turns"] == 1
     assert ("asst", "") not in out.index
+
+
+def test_conv_transcripts_ordered_collect(ray_session):
+    import pandas as pd
+    df = pd.DataFrame({
+        "conv_id": ["c2", "c1", "c1", "c1"],
+        "turn_idx": [0, 2, 0, 1],
+        "text": ["solo", "three", "one", "two"]})
+    out = (convgroup.conv_transcripts(rd.from_pandas(df)).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert out["conv_id"].tolist() == ["c1", "c2"]
+    assert out["n_turns"].tolist() == [3, 1]
+    assert out["transcript"].tolist() == ["one\ntwo\nthree", "solo"]
