@@ -1222,6 +1222,22 @@ def _q_kg_reciprocity(sf_dir: str):
     return reciprocity(kg.adjacency_dataset(sf_dir))
 
 
+def _q_events_corr(sf_dir: str):
+    """Per-type Pearson r between value and hour-of-day (single-pass
+    mergeable six-tuple moments)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import corr_events
+    return corr_events(read_events(sf_dir, ["event_type", "ts", "value"]))
+
+
+def _q_top_with_ties(sf_dir: str):
+    """Per-type top-2 DISTINCT values WITH TIES (dense_rank ≤ 2)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import top_events_with_ties
+    return top_events_with_ties(read_events(
+        sf_dir, ["event_type", "event_id", "value"]))
+
+
 def _q_events_retention(sf_dir: str):
     """Daily cohort retention matrix (user-complete coarse partitions →
     per-cell partial counts → calendar-bounded merge)."""
@@ -1503,6 +1519,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": _q_events_rank,
         "events_interarrival": _q_events_interarrival,
         "events_pivot": _q_events_pivot,
+        "events_corr": _q_events_corr,
+        "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
         "pricing_cube": _q_pricing_cube,
@@ -1640,6 +1658,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rank": oracle.rank_events_oracle(),
         "events_interarrival": oracle.interarrival_oracle(),
         "events_pivot": oracle.pivot_counts_oracle(),
+        "events_corr": oracle.corr_events_oracle(),
+        "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),
         "pricing_cube": oracle.pricing_cube_oracle(),

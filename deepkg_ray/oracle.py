@@ -2135,6 +2135,51 @@ GROUP BY n.n_name
 """
 
 
+def corr_events_oracle() -> str:
+    """Per-key Pearson-r mirror of stages/windows.corr_events — DOUBLE-cast
+    int sums evaluated with the engine's exact op chain (DuckDB's native
+    corr() uses a different numerical path)."""
+    return """
+WITH m AS (
+  SELECT event_type,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS x,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN floor((n * sxy - sx * sy)
+                       / (sqrt(n * sxx - sx * sx)
+                          * sqrt(n * syy - sy * sy)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS corr_r
+FROM s
+"""
+
+
+def top_with_ties_oracle(k: int = 2) -> str:
+    """dense_rank ≤ k mirror of stages/windows.top_events_with_ties."""
+    return f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+), r AS (
+  SELECT event_type, event_id,
+         CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY vm DESC)
+              AS BIGINT) AS vrank
+  FROM v
+)
+SELECT event_type, event_id, vrank FROM r WHERE vrank <= {k}
+"""
+
+
 def interarrival_oracle() -> str:
     """LAG mirror of stages/windows.interarrival_gaps — µs gap to the same
     user's previous event, first-per-user rows dropped."""

@@ -425,6 +425,89 @@ def zscore_events(ds, key_col: str = "event_type", id_col: str = "event_id",
         score, batch_format="pyarrow")
 
 
+def corr_events(ds, key_col: str = "event_type", ts_col: str = "ts",
+                value_col: str = "value"):
+    """Per-key Pearson correlation between value and hour-of-day — the
+    single-pass mergeable-moments pattern: each batch emits per-key
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) with x = value-MILLIS (int64 —
+    millis not micros so Σx² stays in int64: per-key n·x² < 2^63 needs
+    n ≲ 3e7 at this value range; r is invariant to the linear scale) and
+    y = hour (0-23); the groupby merges key-bounded six-tuples, never
+    rows.  The final r is evaluated on DOUBLE-cast sums with the FIXED op
+    chain  num = n·Σxy − Σx·Σy;  r = num / (√(n·Σx²−Σx²ᵥ)·√(n·Σy²−Σy²ᵥ))
+    — identical in the SQL oracle, so round6(r) hash-matches (DuckDB's
+    own corr() uses a different numerical path and would not).  Zero
+    variance ⇒ r = 0.  Returns (event_type, n, corr_r)."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        x = np.floor(v * 1e3 + 0.5).astype(np.int64)
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        y = (us // 3_600_000_000) % 24
+        return pa.table({
+            key_col: b[key_col],
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+        })
+
+    agg = (ds.select_columns([key_col, ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Count(alias_name="n"),
+                      Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].to_pylist(), np.float64)
+        sx = np.asarray(b["sx"].to_pylist(), np.float64)
+        sy = np.asarray(b["sy"].to_pylist(), np.float64)
+        sxy = np.asarray(b["sxy"].to_pylist(), np.float64)
+        sxx = np.asarray(b["sxx"].to_pylist(), np.float64)
+        syy = np.asarray(b["syy"].to_pylist(), np.float64)
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        den = np.sqrt(vx) * np.sqrt(vy)
+        r = round6(np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0))
+        return pa.table({key_col: b[key_col],
+                         "n": b["n"].combine_chunks().cast(pa.int64()),
+                         "corr_r": pa.array(r, pa.float64())})
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_events_with_ties(ds, k: int = 2, key_col: str = "event_type",
+                         id_col: str = "event_id",
+                         value_col: str = "value"):
+    """Per-key top-k WITH TIES: every event whose value-micros is among
+    the key's k highest DISTINCT values — SQL dense_rank() ≤ k, the
+    ties-inclusive complement of the rank-based top_events_per_type.
+    One groupby per key; inside, a vectorized distinct-sort + isin mask.
+    Returns (event_type, event_id, vrank)."""
+    def add_vm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col], id_col: b[id_col],
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+        })
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vm = g["vm"].to_numpy(np.int64)
+        top = np.unique(vm)[::-1][:k]              # k highest distinct
+        rank_of = {v: i + 1 for i, v in enumerate(top)}
+        keep = np.isin(vm, top)
+        return pd.DataFrame({
+            key_col: g[key_col].to_numpy()[keep],
+            id_col: g[id_col].to_numpy()[keep],
+            "vrank": np.array([rank_of[v] for v in vm[keep]], np.int64),
+        })
+
+    return (ds.select_columns([key_col, id_col, value_col])
+            .map_batches(add_vm, batch_format="pyarrow")
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
 def time_window_sum(ds, window_sec: int = 600, user_col: str = "user_id",
                     ts_col: str = "ts", id_col: str = "event_id",
                     value_col: str = "value", n_parts: int = 64):

@@ -650,3 +650,29 @@ def test_textrank_words_tiers_agree_and_rank_sanity():
     scores = loc.set_index("word")["pr_scaled"]
     # 'data' has the most in-links ('fast data'); beats leaf 'loses'
     assert scores["data"] > scores["loses"]
+
+
+def test_corr_events_golden_and_zero_variance():
+    hour = 3_600
+    df = pd.DataFrame({
+        "event_type": ["a"] * 4 + ["b"] * 2,
+        # 'a': value rises exactly with hour -> r = 1; 'b': constant value
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 5.0],
+        "ts": pd.to_datetime([hour, 2 * hour, 3 * hour, 4 * hour,
+                              hour, 2 * hour], unit="s")})
+    out = (windows.corr_events(rd.from_pandas(df)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["a", "corr_r"] == 1.0
+    assert out.loc["b", "corr_r"] == 0.0
+    assert out.loc["a", "n"] == 4
+
+
+def test_top_events_with_ties_includes_all_tied_rows():
+    df = pd.DataFrame({
+        "event_type": ["a"] * 5,
+        "event_id": [1, 2, 3, 4, 5],
+        "value": [9.0, 9.0, 7.0, 7.0, 1.0]})
+    out = (windows.top_events_with_ties(rd.from_pandas(df), k=2)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["event_id"].tolist() == [1, 2, 3, 4]
+    assert out["vrank"].tolist() == [1, 1, 2, 2]
