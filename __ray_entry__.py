@@ -610,7 +610,10 @@ def _q_linking_recall(sf_dir: str):
     for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
         for a in aliases:
             if a != name:
-                gold[a] = [name]
+                # append (not overwrite): an alias shared by two entities
+                # keeps BOTH golds, matching the oracle's DISTINCT
+                # (query, gold) any-match credit
+                gold.setdefault(a, []).append(name)
     qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
     cands = qds.map_batches(
         CandidateGenerator,
@@ -619,8 +622,8 @@ def _q_linking_recall(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4)).materialize()
     return pd.DataFrame({
         "n_queries": [len(gold)],
-        "recall_at_1": [float(round6(recall_at_n_ds(cands, gold, 1)))],
-        "recall_at_5": [float(round6(recall_at_n_ds(cands, gold, 5)))],
+        "recall_at_1": [float(round6(recall_at_n_ds(cands, gold, 1, mode="any")))],
+        "recall_at_5": [float(round6(recall_at_n_ds(cands, gold, 5, mode="any")))],
     })
 
 
@@ -639,7 +642,10 @@ def _q_linking_mrr(sf_dir: str):
     for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
         for a in aliases:
             if a != name:
-                gold[a] = [name]
+                # append (not overwrite): an alias shared by two entities
+                # keeps BOTH golds, matching the oracle's DISTINCT
+                # (query, gold) any-match credit
+                gold.setdefault(a, []).append(name)
     qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
     cands = qds.map_batches(
         CandidateGenerator,

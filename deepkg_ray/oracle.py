@@ -2409,7 +2409,10 @@ g AS (
   SELECT j, i, sm FROM agg WHERE i <> j
 ),
 gm AS (SELECT max(abs(sm)) AS m FROM g),
-gn AS (SELECT g.i, g.j, floor(CAST(g.sm AS DOUBLE) / gm.m * 1e6 + 0.5) AS gv
+-- NULLIF guards the all-zero/empty Gram (gv NULL -> empty result, matching
+-- the engine's empty-input early return); identical on any real input
+gn AS (SELECT g.i, g.j,
+              floor(CAST(g.sm AS DOUBLE) / NULLIF(gm.m, 0) * 1e6 + 0.5) AS gv
        FROM g, gm),
 v0 AS (SELECT i, CAST(1000000 AS DOUBLE) AS val FROM idx),
 {unrolled},

@@ -137,10 +137,14 @@ def nation_revenue(sf_dir: str):
     names = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
 
     def attach(b: pa.Table) -> pa.Table:
+        # .get + filter = inner-join semantics on a dangling nationkey
+        # (the SQL oracle's inner join drops the row; so do we)
         nk = b["c_nationkey"].to_pylist()
-        return pa.table({
-            "n_name": pa.array([names[k] for k in nk], pa.string()),
+        name_col = [names.get(k) for k in nk]
+        t = pa.table({
+            "n_name": pa.array(name_col, pa.string()),
             "rev_micros": b["rev_micros"]})
+        return t.filter(pc.is_valid(t["n_name"]))
 
     agg = (j2.map_batches(attach, batch_format="pyarrow")
            .groupby("n_name")
@@ -197,10 +201,13 @@ def column_profile(sf_dir: str,
     every ingest pipeline runs before training-data jobs.  One scan emits
     len(columns) partial rows per block (count/nullcount/min/max/sum are
     all mergeable), so the shuffle is bounded by columns × blocks, never
-    row-shaped.  Returns (column, n, n_null, min_v, max_v, mean_v)."""
+    row-shaped.  Returns (column, n, n_null, min_v, max_v, mean_v); a
+    column that is entirely NULL keeps its n_null and reports
+    min/max/mean as NULL (matching SQL min/count semantics)."""
     from ray.data.aggregate import Max, Min
 
     cols = list(columns)
+    _MN_SENTINEL = 1 << 62  # Min/Max identity for fully-null partials
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
 
     def partial(b: pa.Table) -> pa.Table:
@@ -209,12 +216,17 @@ def column_profile(sf_dir: str,
             col = b[c]
             vals = col.drop_null()
             n = len(vals)
-            if n == 0:
-                continue
-            m = np.asarray(to_micros(vals.to_pylist()), np.int64)
             names.append(c)
             ns.append(n)
             nulls.append(len(col) - n)
+            if n == 0:
+                # fully-null block: still contributes its null count; the
+                # min/max sentinels are identities for Min/Max merges
+                mns.append(_MN_SENTINEL)
+                mxs.append(-_MN_SENTINEL)
+                ss.append(0)
+                continue
+            m = np.asarray(to_micros(vals.to_pylist()), np.int64)
             mns.append(int(m.min()))
             mxs.append(int(m.max()))
             ss.append(int(m.sum()))
@@ -238,14 +250,17 @@ def column_profile(sf_dir: str,
     def finish(b: pa.Table) -> pa.Table:
         n = np.asarray(b["n"].to_pylist(), np.float64)
         s = np.asarray(b["s"].to_pylist(), np.float64)
+        nz = n > 0
+        null_mask = ~nz  # fully-null column → NULL stats, like SQL min/avg
+        min_v = np.asarray(b["mn"].to_pylist(), np.float64) / 1e6
+        max_v = np.asarray(b["mx"].to_pylist(), np.float64) / 1e6
+        mean_v = np.floor(s / np.where(nz, n, 1.0) + 0.5) / 1e6
         return pa.table({
             "column": b["column"],
             "n": b["n"], "n_null": b["n_null"],
-            "min_v": pa.array(
-                np.asarray(b["mn"].to_pylist(), np.float64) / 1e6),
-            "max_v": pa.array(
-                np.asarray(b["mx"].to_pylist(), np.float64) / 1e6),
-            "mean_v": pa.array(np.floor(s / n + 0.5) / 1e6),
+            "min_v": pa.array(min_v, pa.float64(), mask=null_mask),
+            "max_v": pa.array(max_v, pa.float64(), mask=null_mask),
+            "mean_v": pa.array(mean_v, pa.float64(), mask=null_mask),
         })
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -353,14 +368,17 @@ def segment_revenue_share(sf_dir: str):
                       cust["c_mktsegment"]))
 
     def attach(b: pa.Table) -> pa.Table:
+        # inner-join semantics: a dangling custkey drops the order (the
+        # SQL oracle joins customer inner), never KeyErrors
         ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seg = [seg_of[int(k)] for k in ck]
+        seg = [seg_of.get(int(k)) for k in ck]
         price = np.asarray(b["o_totalprice"].to_pylist(), np.float64)
-        return pa.table({
+        t = pa.table({
             "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
             "c_mktsegment": pa.array(seg, pa.string()),
             "rev_micros": pa.array(to_micros(price), pa.int64()),
         })
+        return t.filter(pc.is_valid(t["c_mktsegment"]))
 
     tagged = orders.map_batches(attach, batch_format="pyarrow").materialize()
     totals = {r["c_mktsegment"]: int(r["t"]) for r in

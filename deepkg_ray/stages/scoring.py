@@ -119,9 +119,13 @@ def global_pointer_f1(gold_spans: set, pred_spans: set) -> float:
     return 0.0 if denom == 0 else 2 * inter / denom
 
 
-def recall_at_n_ds(candidates_ds, gold: dict[str, list[str]], n: int) -> float:
+def recall_at_n_ds(candidates_ds, gold: dict[str, list[str]], n: int, *,
+                   mode: str = "fraction") -> float:
     """Exact row-mean recall@N from a candidates Dataset
-    (query, candidate_name, rank)."""
+    (query, candidate_name, rank).  mode='fraction' scores each query by
+    the fraction of its gold names retrieved; mode='any' scores 1.0 if ANY
+    gold name is retrieved (the SQL oracle's max-over-golds semantics —
+    identical when every query has one gold)."""
     def per_batch(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["rank"] < n]
         g = (df.groupby("query")["candidate_name"].agg(set).reset_index())
@@ -132,8 +136,12 @@ def recall_at_n_ds(candidates_ds, gold: dict[str, list[str]], n: int) -> float:
     for q, s in zip(per_q["query"], per_q["candidate_name"]):
         if q in got:
             got[q] |= s
-    vals = [np.mean([g in got[q] for g in golds]) if golds else 1.0
-            for q, golds in gold.items()]
+    if mode == "any":
+        vals = [float(any(g in got[q] for g in golds)) if golds else 1.0
+                for q, golds in gold.items()]
+    else:
+        vals = [np.mean([g in got[q] for g in golds]) if golds else 1.0
+                for q, golds in gold.items()]
     return float(np.mean(vals)) if vals else float("nan")
 
 

@@ -248,6 +248,13 @@ def pca_power_projection(ds, emb_col: str = "embedding",
 
     gram = embedding_gram(ds, emb_col)
     cells = gram.select_columns(["i", "j", "sxy_micros"]).take_all()
+    if not cells:
+        # empty input → empty projection (matching the empty-graph guards
+        # in pagerank_scaled / hits_scaled) instead of a max() ValueError
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "pc1": pa.array([], pa.float64())}))
     d = max(int(c["j"]) for c in cells)
     g = np.zeros((d, d), np.float64)
     for c in cells:

@@ -390,6 +390,13 @@ def zscore_events(ds, key_col: str = "event_type", id_col: str = "event_id",
 
     def moments(b: pa.Table) -> pa.Table:
         v = np.asarray(b[value_col].to_pylist(), np.float64)
+        # v²·1e6 must fit int64 ⇒ |value| < ~3.0e6 (same convention as
+        # corr_events' documented Σx² bound) — checked, not assumed
+        if len(v) and float(np.abs(v).max()) >= 3.0e6:
+            raise ValueError(
+                f"zscore_events: |{value_col}| must be < 3.0e6 for the "
+                f"int64-micros second moment (got {np.abs(v).max():.3g}); "
+                "rescale the column or use a millis tier")
         return pa.table({
             key_col: b[key_col],
             "vm": pa.array(np.floor(v * 1e6 + 0.5).astype(np.int64)),
