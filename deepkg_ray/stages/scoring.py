@@ -81,33 +81,69 @@ def _instance_counters(gold_lists, pred_lists, match_mode):
     return tp, gold, pred
 
 
+_TUPLE_SEP = "\x1f"
+
+
 def distributed_prf(gold_ds, pred_ds, key_cols, tuple_cols,
                     match_mode: str = "set") -> dict:
-    """P/R/F1 of pred vs gold tuples grouped per instance key.
+    """P/R/F1 of pred vs gold tuples grouped per instance key — fully
+    distributed.
 
-    Both datasets are reduced to per-instance tuple lists via a per-batch
-    combiner, then joined per key in a single pandas pass on the (small)
-    instance-level tables.  Per-instance match semantics are exactly
-    TupleMetric's."""
-    def collect(ds):
+    Plan (nothing data-sized ever reaches the driver):
+      1. per-batch combiner on each side: rows → one (key, tuples[], side)
+         row per instance-per-batch (tuples encoded as \\x1f-joined strings
+         — injective as long as the separator never appears in a field, so
+         set/multiset match semantics are preserved exactly);
+      2. union of the two sides → ``groupby(key).map_groups`` — the
+         cogroup: each instance's gold and pred lists meet in ONE task,
+         which runs TupleMetric.count_instance and emits a 3-counter row;
+      3. a global Sum over (tp, gold, pred) — three scalars — and
+         compute_f1 on the driver.
+    Instances present on only one side still form a group (outer-join
+    semantics for free).  Per-instance match semantics are exactly
+    TupleMetric's (uie/evaluation/scorer.py:44-111)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def side_combiner(side: str):
         def per_batch(df: pd.DataFrame) -> pd.DataFrame:
-            df["_tup"] = list(zip(*[df[c] for c in tuple_cols]))
-            g = (df.groupby(key_cols)["_tup"].agg(list).reset_index()
+            enc = [_TUPLE_SEP.join(map(str, t))
+                   for t in zip(*[df[c] for c in tuple_cols])]
+            df = df[list(key_cols)].copy()
+            df["_tup"] = enc
+            g = (df.groupby(list(key_cols))["_tup"].agg(list).reset_index()
                  .rename(columns={"_tup": "tuples"}))
+            g["side"] = side
             return g
-        return ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+        return per_batch
 
-    g = collect(gold_ds)
-    p = collect(pred_ds)
-    # per-batch partials may split an instance across batches — merge lists
-    g = g.groupby(key_cols)["tuples"].agg(lambda ls: sum(ls, [])).reset_index()
-    p = p.groupby(key_cols)["tuples"].agg(lambda ls: sum(ls, [])).reset_index()
-    merged = g.merge(p, on=key_cols, how="outer", suffixes=("_gold", "_pred"))
-    gold_lists = [x if isinstance(x, list) else [] for x in merged["tuples_gold"]]
-    pred_lists = [x if isinstance(x, list) else [] for x in merged["tuples_pred"]]
-    tp, gold, pred = _instance_counters(gold_lists, pred_lists, match_mode)
+    g = gold_ds.select_columns(list(key_cols) + list(tuple_cols)) \
+        .map_batches(side_combiner("g"), batch_format="pandas")
+    p = pred_ds.select_columns(list(key_cols) + list(tuple_cols)) \
+        .map_batches(side_combiner("p"), batch_format="pandas")
+
+    def per_instance(grp: pd.DataFrame) -> pd.DataFrame:
+        # per-batch partials may split an instance across batches — the
+        # cogroup reunites them; order never matters (set/multiset math)
+        gold_list: list[str] = []
+        pred_list: list[str] = []
+        for side, tuples in zip(grp["side"], grp["tuples"]):
+            (gold_list if side == "g" else pred_list).extend(tuples)
+        m = TupleMetric(match_mode)
+        m.count_instance(gold_list, pred_list)
+        return pd.DataFrame({"tp": [m.tp], "gold": [m.gold_num],
+                             "pred": [m.pred_num]})
+
+    counters = (g.union(p)
+                .groupby(list(key_cols))
+                .map_groups(per_instance, batch_format="pandas")
+                .aggregate(Sum("tp", alias_name="tp"),
+                           Sum("gold", alias_name="gold"),
+                           Sum("pred", alias_name="pred")))
     m = TupleMetric(match_mode)
-    m.tp, m.gold_num, m.pred_num = tp, gold, pred
+    m.tp = float(counters["tp"] or 0.0)
+    m.gold_num = float(counters["gold"] or 0.0)
+    m.pred_num = float(counters["pred"] or 0.0)
     return m.compute_f1()
 
 

@@ -132,49 +132,79 @@ class IVFAssign:
         return batch.append_column("ivf_cell", pa.array(part, pa.int32()))
 
 
+class IVFScanTopK:
+    """Fused assign+scan actor: per batch, assign rows to their nearest
+    centroid, and for every query scan ONLY the rows whose cell is in the
+    query's probe set, emitting the batch-local top-k per query.
+
+    This removes the round-2 scale bound where one IVF cell was one
+    ``map_groups`` task (cell ≈ N/n_centroids rows in a single task's
+    memory): cells are never physically grouped at all — each batch scans
+    its own slice of every cell, and the only shuffle left is the final
+    per-query reduction over ≤ k·n_batches candidate rows.  Per-batch
+    selection uses the SAME total order as the global finish (cosine desc,
+    vec_id asc), so dropping a row locally never changes the global top-k."""
+
+    def __init__(self, queries: np.ndarray, query_ids: list[int], k: int,
+                 centroids: np.ndarray, nprobe: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        c = _normalize(np.asarray(centroids, dtype=np.float64))
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.c = c
+        self.qm = micros_matrix(queries)         # scoring tier (oracle parity)
+        self.qids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+        probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]   # [n_q, nprobe]
+        self.cell_to_queries: dict[int, np.ndarray] = {}
+        cq: dict[int, list[int]] = {}
+        for qi, cells in enumerate(probe):
+            for cell in cells:
+                cq.setdefault(int(cell), []).append(qi)
+        self.cell_to_queries = {c_: np.asarray(v, np.int64)
+                                for c_, v in cq.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[self.vec_col]).astype(np.float64)
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        cells = np.argmax(_normalize(mat) @ self.c.T, axis=1)
+        mm = micros_matrix(mat)
+        q_out, id_out, s_out = [], [], []
+        for cell in np.unique(cells):
+            q_idx = self.cell_to_queries.get(int(cell))
+            if q_idx is None:
+                continue
+            rows = np.flatnonzero(cells == cell)
+            sims = cosine_micros(self.qm[q_idx], mm[rows])
+            rids = ids[rows]
+            kk = min(self.k, sims.shape[1])
+            for row, qi in enumerate(q_idx):
+                sel = np.lexsort((rids, -sims[row]))[:kk]
+                q_out.extend([int(self.qids[qi])] * len(sel))
+                id_out.extend(rids[sel].tolist())
+                s_out.extend(sims[row, sel].tolist())
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "cosine": pa.array(np.asarray(s_out, np.float64), pa.float64()),
+        })
+
+
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
              centroids: np.ndarray, nprobe: int = 4, id_col="vec_id",
-             vec_col="embedding", concurrency=None):
+             vec_col="embedding", concurrency=None, batch_size=None):
     """IVF cosine top-k: rows are bucketed by nearest centroid; each query
     only scans its `nprobe` nearest cells.  With nprobe = n_centroids this
-    is exact and equals brute_force_topk."""
-    c = _normalize(np.asarray(centroids, dtype=np.float64))
-    q = _normalize(np.asarray(queries, dtype=np.float64))
-    qm = micros_matrix(queries)                  # scoring tier (oracle parity)
-    probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]       # [n_q, nprobe]
-    cell_to_queries: dict[int, list[int]] = {}
-    for qi, cells in enumerate(probe):
-        for cell in cells:
-            cell_to_queries.setdefault(int(cell), []).append(qi)
-
+    is exact and equals brute_force_topk.  Cell size never bounds a task:
+    the scan is a per-batch partial top-k (IVFScanTopK), so a cell spread
+    over many batches is scanned by many tasks."""
     from deepkg_ray.util import stateful_map
-    assigned = stateful_map(ds.select_columns([id_col, vec_col]), IVFAssign,
-                            {"centroids": c, "vec_col": vec_col},
-                            concurrency=concurrency, batch_size=None)
-
-    qids = np.asarray(query_ids, dtype=np.int64)
-
-    def scan_cell(g: pd.DataFrame) -> pd.DataFrame:
-        cell = int(g["ivf_cell"].iloc[0])
-        q_idx = cell_to_queries.get(cell, [])
-        if not q_idx:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "vec_id": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
-        ids = g[id_col].to_numpy().astype(np.int64)
-        sims = cosine_micros(qm[q_idx], micros_matrix(np.stack(g[vec_col].to_numpy())))
-        kk = min(k, sims.shape[1])
-        frames = []
-        for row, qi in enumerate(q_idx):
-            sel = np.lexsort((ids, -sims[row]))[:kk]
-            frames.append(pd.DataFrame({
-                "query_id": np.full(len(sel), qids[qi], dtype=np.int64),
-                "vec_id": ids[sel],
-                "cosine": sims[row, sel]}))
-        return pd.concat(frames, ignore_index=True)
-
-    partial = assigned.groupby("ivf_cell").map_groups(scan_cell,
-                                                      batch_format="pandas")
+    partial = stateful_map(
+        ds.select_columns([id_col, vec_col]), IVFScanTopK,
+        {"queries": queries, "query_ids": query_ids, "k": k,
+         "centroids": centroids, "nprobe": nprobe,
+         "id_col": id_col, "vec_col": vec_col},
+        concurrency=concurrency, batch_size=batch_size)
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],

@@ -127,6 +127,24 @@ def test_ivf_full_probe_equals_brute_force(vec_ds):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ivf_cell_split_across_batches_is_exact(vec_ds):
+    """Scale posture: a cell spread over MANY small batches (batch_size=3,
+    so every cell spans several tasks) must produce the identical result —
+    the per-batch partial top-k (IVFScanTopK) never depends on a cell
+    fitting one task."""
+    ds, m = vec_ds
+    q = m[:2]
+    cents = similarity.train_centroids(m, n_centroids=4)
+    whole = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                                nprobe=4).to_pandas()
+    split = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                                nprobe=4, batch_size=3).to_pandas()
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    a = whole[cols].sort_values(cols).reset_index(drop=True)
+    b = split[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ivf_low_nprobe_recalls_own_cluster(vec_ds):
     ds, m = vec_ds
     q = m[:1]
