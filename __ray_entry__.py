@@ -1325,6 +1325,18 @@ def _q_kg_linkpred(sf_dir: str):
     return link_prediction(kg.adjacency_dataset(sf_dir), min_cn=2)
 
 
+def _q_kg_linkpred_truncated(sf_dir: str):
+    """The 100-TB posture of link prediction: hub centers above
+    max_degree emit no wedge pairs (the standard LP truncation — caps the
+    deg²/2 wedge fan-out of super-hubs).  The oracle applies the SAME
+    degree cap, so the truncation semantics are themselves
+    oracle-checked, not just documented."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import link_prediction
+    return link_prediction(kg.adjacency_dataset(sf_dir), min_cn=2,
+                           max_degree=60)
+
+
 def _q_kg_edge_spans(sf_dir: str):
     """Temporal KG edges: first/last observation timestamp per canonical
     edge via one distributed hash join (triples x turn timestamps)."""
@@ -1534,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence": _q_kg_cooccurrence,
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
+        "kg_linkpred_truncated": _q_kg_linkpred_truncated,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
         "lang_confusion": _q_lang_confusion,
@@ -1673,6 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccurrence": oracle.kg_cooccurrence_oracle(SF_ORACLE),
         "kg_cooccurrence_pmi": oracle.cooccurrence_pmi_oracle(SF_ORACLE),
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
+        "kg_linkpred_truncated": oracle.kg_linkpred_oracle(
+            SF_ORACLE, min_cn=2, max_degree=60),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),

@@ -2334,11 +2334,15 @@ GROUP BY e1, e2
 """
 
 
-def kg_linkpred_oracle(sf_dir: str, min_cn: int = 2) -> str:
+def kg_linkpred_oracle(sf_dir: str, min_cn: int = 2,
+                       max_degree: int | None = None) -> str:
     """Structural link prediction over the KG — mirrors
     stages/graph.link_prediction: wedge pairs through common neighbors
     weighted by the center's resource-allocation term floor(1e6/deg+0.5),
-    existing edges anti-joined away."""
+    existing edges anti-joined away.  ``max_degree`` applies the engine's
+    hub-truncation cap (centers with deg > max_degree emit no wedges) so
+    the 100-TB scale posture is itself oracle-checked."""
+    cap = f"AND d.degree <= {max_degree}" if max_degree is not None else ""
     return f"""
 WITH {dict_values_cte()},
 {transcripts_cte(sf_dir)},
@@ -2357,7 +2361,7 @@ w AS (
   SELECT b.node, b.peer,
          CAST(floor(1e6 / d.degree + 0.5) AS BIGINT) AS wm
   FROM bidir b JOIN deg d USING (node)
-  WHERE d.degree >= 2
+  WHERE d.degree >= 2 {cap}
 ),
 pairs AS (
   SELECT a.peer AS e1, b.peer AS e2, a.wm

@@ -432,21 +432,29 @@ def reciprocity(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
 
 def node_degrees(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
     """Undirected degree per node over a (possibly multi-) edge table:
-    distinct-neighbor degree, shuffled by vertex id."""
-    def bidirect(b: pa.Table) -> pa.Table:
+    distinct-neighbor degree, shuffled by vertex id.
+
+    Plan: per-batch LOCAL (node, peer) dedup (cheap combiner — shrinks the
+    shuffle), one distributed (node, peer) dedup groupby, then a vectorized
+    Count per node — no per-group Python frames."""
+    def bidirect_dedup(b: pa.Table) -> pa.Table:
         u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
         v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([np.concatenate([u, v]),
+                                    np.concatenate([v, u])], axis=1), axis=0)
+        return pa.table({"node": pa.array(pairs[:, 0], pa.int64()),
+                         "peer": pa.array(pairs[:, 1], pa.int64())})
+
+    distinct = (edges.map_batches(bidirect_dedup, batch_format="pyarrow")
+                .groupby(["node", "peer"]).aggregate(Count(alias_name="_m"))
+                .drop_columns(["_m"]))
+    deg = distinct.groupby("node").aggregate(Count(alias_name="degree"))
+
+    def cast(b: pa.Table) -> pa.Table:
         return pa.table({
-            "node": pa.array(np.concatenate([u, v]), pa.int64()),
-            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
-
-    def distinct_peers(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "node": [int(g["node"].iloc[0])],
-            "degree": [int(g["peer"].nunique())]})
-
-    return (edges.map_batches(bidirect, batch_format="pyarrow")
-            .groupby("node").map_groups(distinct_peers, batch_format="pandas"))
+            "node": b["node"],
+            "degree": b["degree"].combine_chunks().cast(pa.int64())})
+    return deg.map_batches(cast, batch_format="pyarrow")
 
 
 def link_prediction(edges, src_col: str = "subj_id",
