@@ -593,6 +593,32 @@ def _q_ner_span_model(sf_dir: str):
                           keys, {"n_occ": "sum"})
 
 
+def _q_ner_biaffine_model(sf_dir: str):
+    """Third NER head: the Biaffine span scorer (start/end MLPs -> per-type
+    bilinear form + relative-position table, model/model.py:89-147
+    semantics) on its dict-margin tier -- the FULL biaffine forward runs in
+    the actor pool, and decode equals dictionary membership, so the head is
+    SQL-validated via the shared mention-counts oracle."""
+    import pyarrow as pa
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.spandecode import SpanModelNER
+    from deepkg_ray.stages.treeagg import merge_partials
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+    ds = transcripts_with_norm(sf_dir).map_batches(
+        SpanModelNER,
+        fn_constructor_kwargs={"dictionary_path": synth.dictionary_path(sf_dir),
+                               "scorer_tier": "biaffine_dict"},
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+    return merge_partials(ds.map_batches(combine, batch_format="pyarrow"),
+                          keys, {"n_occ": "sum"})
+
+
 def _q_linking_recall(sf_dir: str):
     """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
     scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
@@ -1514,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_turn_groups": _q_duplicate_turn_groups,
         "pruned_token_counts": _q_pruned_token_counts,
         "ner_span_model": _q_ner_span_model,
+        "ner_biaffine_model": _q_ner_biaffine_model,
         # aux-format readers / pair builders
         "snli_triplets": _q_snli_triplets,
         "stratified_sample": _q_stratified_sample,
@@ -1651,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_turn_groups": oracle.duplicate_turn_groups_oracle(SF_ORACLE),
         "pruned_token_counts": oracle.pruned_token_counts_oracle(),
         "ner_span_model": oracle.mention_counts_sql(SF_ORACLE),
+        "ner_biaffine_model": oracle.mention_counts_sql(SF_ORACLE),
         "top_revenue_orders": oracle.top_revenue_orders_oracle(),
         "segment_revenue": oracle.segment_revenue_oracle(),
         "segment_revenue_share": oracle.segment_revenue_share_oracle(),

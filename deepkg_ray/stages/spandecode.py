@@ -118,6 +118,117 @@ class NumpySpanScorer:
                 / np.float32(np.sqrt(self.dim))).astype(np.float32)
 
 
+class BiaffineSpanScorer:
+    """REAL Biaffine span head on CPU — the second NER head of the
+    reference (ExtractionEntities/model/model.py:89-147 Biaffine /
+    :193-235 UnlabeledEntity): start/end MLP projections of the token
+    representations, a per-type bilinear form, a linear term over the
+    concatenated pair, and a clipped relative-position embedding:
+
+        s(t, i, j) = hs_i · U_t · he_j  +  w_t · [hs_i ; he_j]
+                     + r_t[min(j−i, R−1)]  +  b_t
+
+    Two tiers behind the same ``.score`` signature:
+
+    * ``dict_margin=None`` — pure untrained head (seeded weights): its
+      threshold crossings are arbitrary spans; the tier exists to prove
+      the biaffine tensor computation executes through the actor pool
+      (the role NumpySpanScorer plays for GlobalPointer).
+    * ``dict_margin=alias_map`` — the FULL biaffine forward runs, its raw
+      output is squashed to (−0.4, 0.4) (x/(1+|x|)·0.4 — order-preserving,
+      never crosses the decode threshold on its own) and a ±1 dictionary
+      margin is added, so decode equals dictionary membership and the
+      query is SQL-checkable while every batch still pays — and proves —
+      the real bilinear math.  A trained torch Biaffine replaces the
+      squash+margin with its learned logits behind the same interface.
+    """
+
+    def __init__(self, type_order: list[str], dim: int = 32, seed: int = 17,
+                 vocab_buckets: int = 4096, max_rel: int = 8,
+                 dict_margin: dict | None = None,
+                 max_span_tokens: int = 6):
+        rng = np.random.default_rng(seed)
+        nt = len(type_order)
+        self.type_order = type_order
+        self.type_index = {t: i for i, t in enumerate(type_order)}
+        self.emb = (rng.standard_normal((vocab_buckets, dim))
+                    .astype(np.float32) * 0.5)
+        # start / end MLPs (model.py:96-101 start_layer/end_layer analog)
+        self.ws = (rng.standard_normal((dim, dim)).astype(np.float32)
+                   / np.sqrt(dim))
+        self.we = (rng.standard_normal((dim, dim)).astype(np.float32)
+                   / np.sqrt(dim))
+        # biaffine tensor U: nt × d × d (model.py:107 weight bilinear)
+        self.u = (rng.standard_normal((nt, dim, dim)).astype(np.float32)
+                  / dim)
+        # linear term over [hs; he] and bias (model.py:108-110)
+        self.w = (rng.standard_normal((nt, 2 * dim)).astype(np.float32)
+                  / np.sqrt(2 * dim))
+        self.b = rng.standard_normal(nt).astype(np.float32) * 0.1
+        # relative-position table (model.py:193-235 UnlabeledEntity's
+        # clipped span-width / relative-position embedding)
+        self.rel = (rng.standard_normal((nt, max_rel)).astype(np.float32)
+                    * 0.1)
+        self.max_rel = max_rel
+        self.dim = dim
+        self.buckets = vocab_buckets
+        self.dict_margin = dict_margin
+        self.max_span_tokens = max_span_tokens
+        if dict_margin is not None:
+            self.first_tokens = frozenset(
+                m.group(0) for k in dict_margin
+                if (m := _TOKEN_RE.search(k)) is not None)
+
+    def _reps(self, toks) -> np.ndarray:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        idx = (stable_hash64_batch(list(toks))
+               % np.uint64(self.buckets)).astype(np.int64)
+        h = self.emb[idx]
+        hm = h.copy()
+        hm[1:] += 0.5 * h[:-1]
+        hm[:-1] += 0.5 * h[1:]
+        return hm
+
+    def score(self, text: str, toks, starts, ends) -> np.ndarray:
+        nt = self.u.shape[0]
+        L = len(toks)
+        if L == 0:
+            return np.zeros((nt, 0, 0), dtype=np.float32)
+        hm = self._reps(toks)
+        hs = np.tanh(hm @ self.ws)                           # L × d
+        he = np.tanh(hm @ self.we)
+        # bilinear: s1[t,i,j] = hs_i U_t he_j — per-type (L×d)(d×d)(d×L)
+        # matmuls (nt is small; einsum's tij path is far slower per row)
+        nt_ = self.u.shape[0]
+        s1 = np.empty((nt_, L, L), dtype=np.float32)
+        het = he.T
+        for t in range(nt_):
+            s1[t] = (hs @ self.u[t]) @ het
+        # linear over the pair: w_t·hs_i + w_t·he_j (split halves)
+        ls = hs @ self.w[:, :self.dim].T                     # L × nt
+        le = he @ self.w[:, self.dim:].T
+        s2 = ls.T[:, :, None] + le.T[:, None, :]             # nt × L × L
+        # clipped relative-position embedding
+        rel_idx = np.clip(np.arange(L)[None, :] - np.arange(L)[:, None],
+                          0, self.max_rel - 1)
+        s3 = self.rel[:, rel_idx]                            # nt × L × L
+        raw = (s1 + s2 + s3 + self.b[:, None, None]).astype(np.float32)
+        if self.dict_margin is None:
+            return raw
+        # dict-margin tier: squash raw to (−0.4, 0.4), add ±1 dict margin
+        out = (raw / (1.0 + np.abs(raw))) * 0.4 - 1.0
+        first = self.first_tokens
+        for i in range(L):
+            if toks[i] not in first:
+                continue
+            for j in range(i, min(L, i + self.max_span_tokens)):
+                m = self.dict_margin.get(text[starts[i]:ends[j]])
+                if m is not None:
+                    t = self.type_index[m[1]]
+                    out[t, i, j] += 2.0
+        return out
+
+
 def decode_spans(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                  type_order: list[str], threshold: float = 0.0,
                  mask_specials: bool = False):
@@ -158,6 +269,16 @@ class SpanModelNER:
             # real-tensor-compute tier: spans are arbitrary (untrained head),
             # entity_id falls back to -1 for surfaces outside the KB
             self.scorer = NumpySpanScorer(self.type_order, dim=dim, seed=seed)
+        elif scorer_tier == "biaffine":
+            self.scorer = BiaffineSpanScorer(self.type_order, dim=dim,
+                                             seed=seed)
+        elif scorer_tier == "biaffine_dict":
+            # full biaffine forward + dominating dictionary margin —
+            # decode is dictionary membership (oracle-checkable) while the
+            # bilinear math runs per batch
+            self.scorer = BiaffineSpanScorer(self.type_order, dim=dim,
+                                             seed=seed,
+                                             dict_margin=self.alias_map)
         else:
             self.scorer = DictSpanScorer(self.alias_map, self.type_order)
         self.text_col = text_col

@@ -166,3 +166,39 @@ def test_numpy_span_model_tier_real_tensor_compute(sf_dir, synth_dir, ray_sessio
     assert s.shape == (2, 3, 3) and np.isfinite(s).all()
     s2 = sc.score("alpha beta gamma", toks, st, en)
     assert np.array_equal(s, s2)
+
+
+def test_biaffine_head_tiers(sf_dir, synth_dir):
+    """Biaffine span head (model/model.py:89-147 semantics): the pure tier
+    computes a real, deterministic bilinear score tensor; the dict-margin
+    tier's decode equals the trie tier exactly (so the head is
+    oracle-checkable) while still running the full biaffine forward."""
+    import numpy as np
+    from deepkg_ray.stages.mention import DictionaryMentionDetector
+
+    # pure tier: dense deterministic tensor, relative-position term active
+    sc = spandecode.BiaffineSpanScorer(["A", "B"], dim=16, seed=5)
+    text = "alpha beta gamma delta"
+    toks, st, en = spandecode.tokenize_with_offsets(text)
+    s = sc.score(text, toks, st, en)
+    assert s.shape == (2, 4, 4) and np.isfinite(s).all()
+    assert np.array_equal(s, sc.score(text, toks, st, en))
+    # the bilinear term makes scores genuinely pair-dependent: the score
+    # matrix is not an outer sum of unary start/end contributions alone
+    # (rank of the centered matrix > 1 almost surely for random U)
+    m = s[0] - s[0].mean(0, keepdims=True) - s[0].mean(1, keepdims=True)
+    assert np.linalg.matrix_rank(m + s[0].mean()) > 1
+
+    # dict-margin tier == trie tier decode, batch-for-batch
+    dict_path = os.path.join(synth_dir, "dictionary.parquet")
+    from deepkg_ray.functions.textnorm import add_text_norm
+    batch = add_text_norm(pq.read_table(
+        os.path.join(synth_dir, "transcripts", "part-0000.parquet"))
+        .slice(0, 300))
+    trie = DictionaryMentionDetector(dict_path)(batch)
+    bia = spandecode.SpanModelNER(dict_path,
+                                  scorer_tier="biaffine_dict")(batch)
+    cols = ["conv_id", "turn_idx", "start_idx", "end_idx", "type",
+            "entity_id"]
+    assert set(zip(*[trie[c].to_pylist() for c in cols])) == \
+        set(zip(*[bia[c].to_pylist() for c in cols]))
