@@ -619,6 +619,21 @@ def _q_ner_biaffine_model(sf_dir: str):
                           keys, {"n_occ": "sum"})
 
 
+def _q_distant_label(sf_dir: str):
+    """AutoNER distant supervision: core/full dictionaries + raw sentences
+    -> tie-or-break token labels through the Sigma-delta-squared DP
+    segmentation (string_match.h:21-99) and the Unknown-spill boundary
+    rules (annotation.h:263-351).  Zero-shuffle actor-pool pass; the
+    oracle re-derives the labels from the corpus-construction
+    invariants."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.distant import distant_label
+    sents_p, core_p, full_p = synth.distant_paths(sf_dir)
+    return distant_label(rd.read_parquet(sents_p), core_p, full_p,
+                         concurrency=(1, 8))
+
+
 def _q_linking_recall(sf_dir: str):
     """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
     scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
@@ -1541,6 +1556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pruned_token_counts": _q_pruned_token_counts,
         "ner_span_model": _q_ner_span_model,
         "ner_biaffine_model": _q_ner_biaffine_model,
+        "distant_label": _q_distant_label,
         # aux-format readers / pair builders
         "snli_triplets": _q_snli_triplets,
         "stratified_sample": _q_stratified_sample,
@@ -1679,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_token_counts": oracle.pruned_token_counts_oracle(),
         "ner_span_model": oracle.mention_counts_sql(SF_ORACLE),
         "ner_biaffine_model": oracle.mention_counts_sql(SF_ORACLE),
+        "distant_label": oracle.distant_label_oracle(SF_ORACLE),
         "top_revenue_orders": oracle.top_revenue_orders_oracle(),
         "segment_revenue": oracle.segment_revenue_oracle(),
         "segment_revenue_share": oracle.segment_revenue_share_oracle(),

@@ -2814,3 +2814,74 @@ SELECT doc_id, weight,
          AS "rank"
 FROM s ORDER BY key DESC, doc_id LIMIT {k}
 """
+
+
+def distant_label_oracle(sf_dir: str) -> str:
+    """Distant-supervision labels over the synthesized corpus — mirrors
+    stages/distant.distant_label.  SQL-derivable because of synth.
+    distant_paths' construction invariants (disjoint vocabularies,
+    non-overlapping non-abutting occurrences): the Σδ² DP segmentation
+    then equals 'every dictionary occurrence is a segment', so labels
+    reduce to joins: core match start → I/type/S, core match inside →
+    O/type/S, any position of a full match OR one past it → O/None/D
+    (annotation.h:276-281 Unknown spill), else I/None/S."""
+    from deepkg_ray import synth
+    sents_p, core_p, full_p = synth.distant_paths(sf_dir)
+    return f"""
+WITH sents AS (SELECT doc_idx, sent_idx, string_split(text, ' ') AS toks
+               FROM read_parquet('{sents_p}')),
+tok AS (SELECT doc_idx, sent_idx,
+               unnest(toks) AS token,
+               generate_subscripts(toks, 1) - 1 AS token_idx
+        FROM sents),
+core AS (SELECT surface,
+                string_agg(DISTINCT "type", ',' ORDER BY "type") AS types
+         FROM read_parquet('{core_p}') GROUP BY surface),
+core1 AS (SELECT surface AS w, types FROM core
+          WHERE NOT contains(surface, ' ')),
+core2 AS (SELECT string_split(surface, ' ')[1] AS w1,
+                 string_split(surface, ' ')[2] AS w2, types
+          FROM core WHERE contains(surface, ' ')),
+full1 AS (SELECT surface AS w FROM read_parquet('{full_p}')
+          WHERE NOT contains(surface, ' ')),
+full2 AS (SELECT string_split(surface, ' ')[1] AS w1,
+                 string_split(surface, ' ')[2] AS w2
+          FROM read_parquet('{full_p}') WHERE contains(surface, ' ')),
+m_core AS (
+  SELECT t.doc_idx, t.sent_idx, t.token_idx AS l, t.token_idx + 1 AS r,
+         c.types
+  FROM tok t JOIN core1 c ON t.token = c.w
+  UNION ALL
+  SELECT a.doc_idx, a.sent_idx, a.token_idx, a.token_idx + 2, c.types
+  FROM tok a JOIN tok b ON b.doc_idx = a.doc_idx
+                       AND b.sent_idx = a.sent_idx
+                       AND b.token_idx = a.token_idx + 1
+  JOIN core2 c ON a.token = c.w1 AND b.token = c.w2),
+m_full AS (
+  SELECT t.doc_idx, t.sent_idx, t.token_idx AS l, t.token_idx + 1 AS r
+  FROM tok t JOIN full1 c ON t.token = c.w
+  UNION ALL
+  SELECT a.doc_idx, a.sent_idx, a.token_idx, a.token_idx + 2
+  FROM tok a JOIN tok b ON b.doc_idx = a.doc_idx
+                       AND b.sent_idx = a.sent_idx
+                       AND b.token_idx = a.token_idx + 1
+  JOIN full2 c ON a.token = c.w1 AND b.token = c.w2)
+SELECT t.doc_idx, t.sent_idx, t.token_idx, t.token,
+  CASE WHEN cs.types IS NOT NULL THEN 'I'
+       WHEN ci.types IS NOT NULL THEN 'O'
+       WHEN EXISTS (SELECT 1 FROM m_full f
+                    WHERE f.doc_idx = t.doc_idx AND f.sent_idx = t.sent_idx
+                      AND t.token_idx BETWEEN f.l AND f.r) THEN 'O'
+       ELSE 'I' END AS boundary,
+  coalesce(cs.types, ci.types, 'None') AS types,
+  CASE WHEN cs.types IS NOT NULL OR ci.types IS NOT NULL THEN 1
+       WHEN EXISTS (SELECT 1 FROM m_full f
+                    WHERE f.doc_idx = t.doc_idx AND f.sent_idx = t.sent_idx
+                      AND t.token_idx BETWEEN f.l AND f.r) THEN 0
+       ELSE 1 END AS safe
+FROM tok t
+LEFT JOIN m_core cs ON cs.doc_idx = t.doc_idx AND cs.sent_idx = t.sent_idx
+                   AND cs.l = t.token_idx
+LEFT JOIN m_core ci ON ci.doc_idx = t.doc_idx AND ci.sent_idx = t.sent_idx
+                   AND ci.l = t.token_idx - 1 AND ci.r = t.token_idx + 1
+"""

@@ -577,3 +577,95 @@ def transcripts_path(sf_dir: str) -> str:
 
 def dictionary_path(sf_dir: str) -> str:
     return os.path.join(ensure_synth(sf_dir), "dictionary.parquet")
+
+
+def distant_paths(sf_dir: str) -> tuple[str, str, str]:
+    """Lazily synthesize the AutoNER distant-supervision inputs
+    (AutoNER/src/annotation.h:180-217 loadKBForMatching's two dictionaries
+    plus a raw token corpus):
+
+    - distant_sents.parquet  (doc_idx, sent_idx, text) — space-joined
+      token sentences (the parallel unit, one row per sentence);
+    - distant_core.parquet   (surface, type) — the CORE dict: typed, safe
+      supervision (one row per (surface, type); a surface may carry
+      several types, comma-joined by the trie like the reference's
+      set<string>);
+    - distant_full.parquet   (surface) — the FULL dict: untyped surfaces
+      that mark tie-or-break boundaries as Unknown/dangerous.
+
+    Construction invariants that make the Σδ² DP segmentation
+    (string_match.h:21-99) SQL-derivable on THIS corpus (the general
+    engine handles overlaps; tests cover those separately):
+
+    1. dict-surface tokens and filler tokens come from disjoint vocabularies
+       (no accidental or partial matches);
+    2. unigram-surface tokens, bigram first tokens and bigram second tokens
+       are pairwise disjoint (no surface is a prefix of another);
+    3. injected occurrences are separated by ≥1 filler token (matches never
+       overlap or abut, so optimal DP = all occurrences, and the filtered
+       span's Unknown spill always lands on a filler);
+    4. everything is lowercase and stopword-free (case folding and stopword
+       cleaning are identities here; covered by unit tests instead).
+
+    Returns (sents_parquet, core_parquet, full_parquet)."""
+    out = ensure_synth(sf_dir)
+    sents_p = os.path.join(out, "distant_sents.parquet")
+    core_p = os.path.join(out, "distant_core.parquet")
+    full_p = os.path.join(out, "distant_full.parquet")
+    if all(os.path.exists(p) for p in (sents_p, core_p, full_p)):
+        return sents_p, core_p, full_p
+
+    rng = random.Random(SEED + 13)
+    core_uni = [f"coru{i}qk" for i in range(20)]
+    core_bi = [(f"corp{i}vx", f"corq{i}mz") for i in range(20)]
+    full_uni = [f"fulu{i}rt" for i in range(15)]
+    full_bi = [(f"fulp{i}gd", f"fulq{i}bn") for i in range(15)]
+
+    core_rows: list[tuple[str, str]] = []
+    for i, w in enumerate(core_uni):
+        core_rows.append((w, ENTITY_TYPES[i % len(ENTITY_TYPES)]))
+    for i, (a, b) in enumerate(core_bi):
+        core_rows.append((f"{a} {b}", ENTITY_TYPES[(i + 2) % len(ENTITY_TYPES)]))
+    # two surfaces carry a second type — exercises the trie's set-union +
+    # comma-join (annotation.h:161-177 getTypeFromKB)
+    core_rows.append((core_uni[0], "PRODUCT"))
+    core_rows.append((f"{core_bi[0][0]} {core_bi[0][1]}", "LOC"))
+    full_rows = list(full_uni) + [f"{a} {b}" for a, b in full_bi]
+
+    core_surfaces = [s for s, _ in core_rows]
+    full_surfaces = list(full_rows)
+
+    n_sents = max(300, int(30_000 * sf_from_dir(sf_dir)))
+    docs, sents, texts = [], [], []
+    for s in range(n_sents):
+        toks: list[str] = []
+        n_seg = rng.randint(2, 5)
+        for k in range(n_seg):
+            # ≥1 filler between injections (invariant 3)
+            for _ in range(rng.randint(1, 3)):
+                toks.append(rng.choice(FILLER_WORDS))
+            r = rng.random()
+            if r < 0.35:
+                toks.extend(rng.choice(core_surfaces).split())
+            elif r < 0.55:
+                toks.extend(rng.choice(full_surfaces).split())
+        if rng.random() < 0.5:          # half the sentences end on a filler
+            toks.append(rng.choice(FILLER_WORDS))
+        docs.append(s // 20)
+        sents.append(s)
+        texts.append(" ".join(toks))
+
+    def _write(t: pa.Table, path: str):
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    _write(pa.table({
+        "doc_idx": pa.array(docs, pa.int64()),
+        "sent_idx": pa.array(sents, pa.int64()),
+        "text": pa.array(texts, pa.string())}), sents_p)
+    _write(pa.table({
+        "surface": pa.array([s for s, _ in core_rows], pa.string()),
+        "type": pa.array([t for _, t in core_rows], pa.string())}), core_p)
+    _write(pa.table({
+        "surface": pa.array(full_rows, pa.string())}), full_p)
+    return sents_p, core_p, full_p
