@@ -208,6 +208,20 @@ def _q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_bpe_merge_token_counts(sf_dir: str):
+    """Real-BPE tier: merge table learned from the corpus (driver-side on
+    the word-frequency dict -- the distributed pre-aggregation plan is
+    phrasemine's ngram counts), applied per doc through a per-actor
+    word->count cache.  Oracle joins the persisted vocabulary."""
+    from deepkg_ray.stages.bpe import bpe_artifacts, bpe_merge_token_counts
+    import pyarrow.parquet as pq
+    merges_p, _ = bpe_artifacts(sf_dir, n_merges=200)
+    mt = pq.read_table(merges_p)
+    merges = list(zip(mt["left"].to_pylist(), mt["right"].to_pylist()))
+    return bpe_merge_token_counts(_docs(sf_dir, ["doc_id", "text"]), merges,
+                                  concurrency=(1, 8))
+
+
 def _q_bpe_token_counts(sf_dir: str):
     from deepkg_ray.stages.textstats import bpe_token_counts
     return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]))
@@ -1483,6 +1497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "bpe_token_counts": _q_bpe_token_counts,
+        "bpe_merge_token_counts": _q_bpe_merge_token_counts,
         "sequence_packing": _q_sequence_packing,
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
@@ -1632,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),
         "bpe_token_counts": oracle.bpe_token_counts_oracle(),
+        "bpe_merge_token_counts": oracle.bpe_merge_counts_oracle(SF_ORACLE),
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),

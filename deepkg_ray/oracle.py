@@ -2885,3 +2885,27 @@ LEFT JOIN m_core cs ON cs.doc_idx = t.doc_idx AND cs.sent_idx = t.sent_idx
 LEFT JOIN m_core ci ON ci.doc_idx = t.doc_idx AND ci.sent_idx = t.sent_idx
                    AND ci.l = t.token_idx - 1 AND ci.r = t.token_idx + 1
 """
+
+
+def bpe_merge_counts_oracle(sf_dir: str, n_merges: int = 200) -> str:
+    """Per-doc token counts under the LEARNED BPE merge table — mirrors
+    stages/bpe.bpe_merge_token_counts: the same RE2-safe pre-tokenizer in
+    SQL, joined to the persisted word→n_tokens vocabulary (total by
+    construction: the vocab covers every distinct corpus pre-token; the
+    word-level merge math is pinned by brute-force unit tests in
+    tests/test_bpe.py)."""
+    from deepkg_ray.stages.bpe import bpe_artifacts
+    from deepkg_ray.stages.textstats import BPE_PRETOKEN_PATTERN
+    _, vocab_p = bpe_artifacts(sf_dir, n_merges)
+    sqlpat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{sqlpat}')) AS word
+  FROM documents),
+c AS (
+  SELECT t.doc_id, CAST(sum(v.n_tokens) AS BIGINT) AS n_merge_tokens
+  FROM toks t JOIN read_parquet('{vocab_p}') v ON t.word = v.word
+  GROUP BY t.doc_id)
+SELECT d.doc_id, coalesce(c.n_merge_tokens, 0) AS n_merge_tokens
+FROM documents d LEFT JOIN c USING (doc_id)
+"""
