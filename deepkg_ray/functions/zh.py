@@ -50,6 +50,9 @@ _T2S_PAIRS = (
     "較较輩辈輝辉輸输電电優优國国圖图圓圆團团場场塊块壓压壞坏壘垒墳坟壩坝"
     "報报聲声殼壳處处備备複复夠够頭头奪夺奮奋婦妇媽妈嫗妪姍姗姪侄媧娲嫻娴"
     "學学孫孙寧宁實实寵宠審审寫写寬宽對对尋寻導导壽寿將将爾尔塵尘嘗尝"
+    # defaults whose exceptions live in T2S_PHRASES (opencc layering:
+    # char table = default fold, phrase table = contextual overrides)
+    "乾干瞭了髮发颱台鞦秋韆千藉借後后"
 )
 assert len(_T2S_PAIRS) % 2 == 0
 T2S_TABLE: dict[int, int] = {ord(_T2S_PAIRS[i]): ord(_T2S_PAIRS[i + 1])
@@ -112,3 +115,63 @@ class DictSegmenter:
 
     def cut_batch(self, texts: list[str]) -> list[list[str]]:
         return [self.cut(t) for t in texts]
+
+
+# --------------------------------------------------- phrase-level opencc ----
+
+# OpenCC TSPhrases-style entries: multi-char phrases whose conversion is
+# context-dependent — a per-char fold would be wrong on at least one char
+# (e.g. 乾 → 干 in 乾燥 but stays 乾 in the proper noun 乾隆; 瞭 → 了 in
+# 瞭解 but 瞭 in 瞭望).  Only length-preserving entries are admissible,
+# keeping textnorm's span-offset contract intact (enforced below).
+T2S_PHRASES: dict[str, str] = {
+    "乾燥": "干燥",
+    "乾杯": "干杯",
+    "乾隆": "乾隆",          # exception: proper noun keeps the traditional char
+    "瞭解": "了解",
+    "瞭望": "瞭望",          # exception: 瞭 is kept in this sense
+    "鞦韆": "秋千",
+    "颱風": "台风",
+    "藉口": "借口",
+    "藉故": "借故",
+    "頭髮": "头发",
+    "皇後": "皇后",
+}
+assert all(len(k) == len(v) for k, v in T2S_PHRASES.items()), \
+    "only length-preserving phrase entries are admissible"
+
+_PHRASE_MAX = max((len(k) for k in T2S_PHRASES), default=0)
+_PHRASE_FIRST = frozenset(k[0] for k in T2S_PHRASES)
+
+
+def t2s_phrases(text: str, phrases: dict[str, str] | None = None) -> str:
+    """opencc-style traditional→simplified conversion WITH phrase-level
+    entries (AutoPhraseX tokenizer.py:17-39's opencc step beyond 1:1):
+    greedy longest-match over the phrase table (opencc's segmentation
+    conversion), per-char T2S_TABLE fallback between matches.  Strictly
+    length-preserving (both the phrase entries and the char table are)."""
+    if phrases is None:
+        phrases = T2S_PHRASES
+        first, pmax = _PHRASE_FIRST, _PHRASE_MAX
+    else:
+        first = frozenset(k[0] for k in phrases)
+        pmax = max((len(k) for k in phrases), default=0)
+    n = len(text)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        ch = text[i]
+        if ch in first:
+            for l in range(min(pmax, n - i), 1, -1):   # longest first
+                rep = phrases.get(text[i:i + l])
+                if rep is not None:
+                    out.append(rep)
+                    i += l
+                    break
+            else:
+                out.append(ch.translate(T2S_TABLE))
+                i += 1
+        else:
+            out.append(ch.translate(T2S_TABLE))
+            i += 1
+    return "".join(out)

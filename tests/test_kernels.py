@@ -162,3 +162,26 @@ def test_cut_dict_mode():
     import pytest as _pt
     with _pt.raises(ValueError):
         cut("x", "dict")
+
+
+def test_t2s_phrase_level_conversion():
+    """opencc TSPhrases semantics: context-dependent multi-char entries
+    override the per-char fold, exception phrases keep traditional chars,
+    and length is preserved on every input."""
+    from deepkg_ray.functions.zh import T2S_TABLE, t2s_phrases
+    # context-dependent: 乾 folds in 乾燥 but NOT in 乾隆
+    assert t2s_phrases("乾燥") == "干燥"
+    assert t2s_phrases("乾隆") == "乾隆"
+    assert t2s_phrases("瞭解瞭望") == "了解瞭望"
+    assert t2s_phrases("鞦韆颱風藉口") == "秋千台风借口"
+    # fallback between matches is the per-char table
+    assert t2s_phrases("東乾燥馬") == "东干燥马"
+    # length invariant on arbitrary mixes (incl. ASCII + partial phrases)
+    import random
+    rng = random.Random(9)
+    pool = list("乾燥隆瞭解望鞦韆颱風藉口東馬abc 123")
+    for _ in range(200):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 30)))
+        assert len(t2s_phrases(s)) == len(s)
+    # a phrase split across the boundary is NOT converted as a phrase
+    assert t2s_phrases("乾") == "干"                 # char fold applies alone
