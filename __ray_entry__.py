@@ -835,6 +835,17 @@ def _q_uie_model_generate(sf_dir: str):
     return model_sel_stats(sf_dir, limit=2000)
 
 
+def _q_uie_trained_extract(sf_dir: str):
+    """TRAINED model tier: tiny attention encoder-decoder fine-tuned on the
+    dictionary-derived text→SEL corpus (cached checkpoint), generating SEL
+    through the actor pool over every transcript sentence; scored against
+    the construction-gold triples with the distributed cogroup P/R/F1.
+    Accuracy-asserted (raises below P/R 95%); rows-only for the driver
+    (model scoring is not SQL-expressible)."""
+    from deepkg_ray.pipelines.uie import trained_extraction_metrics
+    return trained_extraction_metrics(sf_dir)
+
+
 def _q_conv_context(sf_dir: str):
     """Per-turn previous-2-turn context, computed with salted conversation
     blocks + overlap carry (hot-conversation skew mitigation,
@@ -1565,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_phrases": _q_frequent_phrases,
         "kg_triples_via_sel": _q_kg_triples_via_sel,
         "uie_model_generate": _q_uie_model_generate,
+        "uie_trained_extract": _q_uie_trained_extract,
         "kg_events": _q_kg_events,
         "transcript_sample": _q_transcript_sample,
         "duplicate_turn_groups": _q_duplicate_turn_groups,
@@ -1762,5 +1774,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (no SQL): video_frame_sample (binary-derived),
         # linking_candidates (BM25 float tier; bm25_topn
         # is the SQL-checked tier), multimodal_features (stubbed codec
-        # boundary), uie_model_generate (neural generation)
+        # boundary), uie_model_generate (neural generation),
+        # uie_trained_extract (trained-model scoring, accuracy-asserted
+        # in-query instead)
     }

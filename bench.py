@@ -120,6 +120,16 @@ def _q_dsir(sf_dir: str):
                        hash_mode="fast").count()
 
 
+def _q_uie_trained(sf_dir: str):
+    # trained-model extraction path (north-star accuracy clause: the tiny
+    # attention checkpoint holds triple P/R = 100 ≥ 0.95 at sf0.001/sf0.01,
+    # CORRECTNESS uie_trained_extract).  Checkpoint training is warmed
+    # untimed in run_bench; this times sentence explode → neural generate
+    # (worker-cached task pool) → SEL parse over the full corpus.
+    from deepkg_ray.pipelines.uie import trained_triples
+    return trained_triples(sf_dir).count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -133,6 +143,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     from deepkg_ray import synth
     synth.ensure_synth(sf_dir)            # untimed: synthesis + page-cache warm
+    if os.environ.get("DEEPKG_BENCH_ONLY") != "kg_build":
+        # untimed: offline fine-tune of the tiny seq2struct checkpoint
+        # (cached across runs; the timed uie_trained query is inference)
+        from deepkg_ray.pipelines.uie import ensure_trained_checkpoint
+        ensure_trained_checkpoint(sf_dir)
     n_turns = json.load(open(os.path.join(synth.ensure_synth(sf_dir),
                                           "spec.json")))["n_rows"]
 
@@ -169,7 +184,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("sequence_packing", _q_packing),
             ("kg_edge_spans", _q_edge_spans),
             ("embedding_pca", _q_pca),
-            ("dsir_scores", _q_dsir)]
+            ("dsir_scores", _q_dsir),
+            ("uie_trained", _q_uie_trained)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:

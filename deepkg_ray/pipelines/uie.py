@@ -161,6 +161,163 @@ def triples_via_sel(sf_dir: str, *, concurrency=(1, 8), generator=TemplateSEL,
     return parsed
 
 
+class TrainedSeq2SEL:
+    """Trained-checkpoint model tier: loads the tiny attention
+    encoder-decoder checkpoint once per actor and batch-generates SEL
+    strings — the CPU-scale analog of the reference's fine-tuned
+    T5ForConditionalGeneration inference (run_seq2struct_torch.py:115-137:
+    tokenizer(batch, padding=True) → model.generate → batch_decode).
+    Operates on SENTENCE rows (the reference's instance unit); sources are
+    encoded in the schema-vocabulary mode (drop_oov=True, the trained
+    tokenizer's closed task vocabulary)."""
+
+    def __init__(self, ckpt_path: str, text_col: str = "sent",
+                 enc_len: int = 12, max_length: int = 26):
+        from deepkg_ray.stages.seq2seq import load_checkpoint
+        self.model, self.tok, self.meta = load_checkpoint(ckpt_path)
+        self.text_col = text_col
+        self.enc_len = enc_len
+        self.max_length = max_length
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = self.tok.encode_batch(texts, max_len=self.enc_len,
+                                    drop_oov=True)
+        gen = self.model.generate(ids, max_length=self.max_length)
+        sels = [self.tok.decode(row) for row in gen]
+        return batch.append_column("pred_sel", pa.array(sels, pa.string()))
+
+
+def split_sentences(batch: pa.Table, text_col: str = "text_norm") -> pa.Table:
+    """Explode turns into sentence rows — the reference's per-instance unit
+    (one generate() call per text instance).  '.' terminates every synth
+    sentence and never appears inside a token (synth.py invariants), so a
+    vectorized split_pattern is exact."""
+    import pyarrow.compute as pc
+    parts = pc.split_pattern(batch[text_col], ".")
+    flat = pc.utf8_trim_whitespace(pc.list_flatten(parts))
+    parent = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    taken = batch.select(["conv_id", "turn_idx"]).take(parent.filter(keep))
+    return taken.append_column("sent", flat.filter(keep))
+
+
+def checkpoint_path() -> str:
+    """Cache location for the trained tiny checkpoint.  The entity
+    dictionary is scale-invariant (synth.build_dictionary is seeded and
+    independent of sf), so one checkpoint serves every sf_dir."""
+    import os
+    return os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION,
+                        "tiny_seq2seq_attn_v1.npz")
+
+
+def ensure_trained_checkpoint(sf_dir: str, *, epochs: int = 70,
+                              stop_below: float = 5e-4) -> str:
+    """Idempotently train + cache the tiny attention seq2struct checkpoint
+    on the dictionary-derived fine-tune corpus (build_sel_training_corpus).
+    Pure numpy, driver-side, seconds-to-minutes — the analog of the
+    reference's offline fine-tune step; inference then runs distributed
+    through the actor pool.  Early-stops once mean token loss < stop_below."""
+    import os
+    path = checkpoint_path()
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+    from deepkg_ray.state.callbacks import Callback
+    from deepkg_ray.stages.seq2seq import (SELTokenizer, TinySeq2Seq,
+                                           build_schema_vocab,
+                                           build_sel_training_corpus,
+                                           save_checkpoint,
+                                           train_tiny_seq2seq)
+    from deepkg_ray.synth import EVENT_TYPES
+
+    class _StopBelow(Callback):
+        def on_epoch_end(self, epoch, state):
+            if float(state.get("loss", 1e9)) < stop_below:
+                state["early_stop"] = True
+
+    rows = pq.read_table(synth.dictionary_path(sf_dir)).to_pylist()
+    words = build_schema_vocab(rows, RELATION_TEMPLATES, ENTITY_TYPES)
+    tok = SELTokenizer(words)
+    pairs = build_sel_training_corpus(rows, RELATION_TEMPLATES, EVENT_TYPES)
+    model = TinySeq2Seq(len(tok), d_model=128, seed=13, pad_id=tok.pad_id,
+                        eos_id=tok.eos_id, order2=True, pos_emb=26,
+                        attn=True, enc_pos=16)
+    res = train_tiny_seq2seq(model, tok, pairs, epochs=epochs,
+                             batch_size=256, lr=3e-3, enc_len=12,
+                             dec_len=26, drop_oov=True,
+                             callbacks=[_StopBelow()])
+    tmp = path + ".tmp.npz"
+    save_checkpoint(tmp, model, words,
+                    meta={"final_loss": res["losses"][-1],
+                          "epochs_run": len(res["losses"]),
+                          "n_pairs": len(pairs)})
+    os.replace(tmp, path)
+    return path
+
+
+def _norm_split(batch: pa.Table) -> pa.Table:
+    """Fused normalize + sentence explode (one task stage, arrow-native)."""
+    return split_sentences(add_text_norm(batch))
+
+
+def trained_triples(sf_dir: str, *, concurrency=None):
+    """transcripts → sentence explode → TRAINED generator (worker-cached
+    task pool: the checkpoint loads once per worker process, util.py
+    stateful_map) → Sel2RecordKernel → surface-triple rows.  The model path
+    of triples_via_sel: same parse, but pred_sel comes from a genuinely
+    trained neural generate loop."""
+    from deepkg_ray.util import stateful_map
+    ckpt = ensure_trained_checkpoint(sf_dir)
+    ds = read_transcripts(synth.transcripts_path(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    sents = ds.map_batches(_norm_split, batch_format="pyarrow",
+                           batch_size=8192)
+    sel = stateful_map(sents, TrainedSeq2SEL, {"ckpt_path": ckpt},
+                       concurrency=concurrency, batch_size=2048)
+    asoc_types = {p for p, _, _, _ in RELATION_TEMPLATES}
+    return stateful_map(sel, Sel2RecordKernel,
+                        {"entity_types": set(ENTITY_TYPES),
+                         "event_types": set(),
+                         "asoc_types": asoc_types,
+                         "sel_col": "pred_sel",
+                         "text_col": "sent"},
+                        concurrency=concurrency, batch_size=2048)
+
+
+def trained_extraction_metrics(sf_dir: str, *, assert_prf: float = 95.0):
+    """Accuracy-asserted trained-model query: run the trained tier over the
+    whole corpus, score against the construction-gold triples with the
+    distributed cogroup P/R/F1 (scoring.distributed_prf, 'set' semantics —
+    per-turn distinct triples), and return one metrics row.  Raises if
+    P or R falls below ``assert_prf`` (percent) — the trained checkpoint is
+    expected to be near-exact on this closed-vocabulary task."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from deepkg_ray.stages.scoring import distributed_prf
+
+    pred = trained_triples(sf_dir)
+    gold_path = os.path.join(synth.ensure_synth(sf_dir),
+                             "triples_gold.parquet")
+    gold = ray.data.read_parquet(gold_path)
+    tuple_cols = ("pred", "subj_type", "subj_text", "obj_type", "obj_text")
+    res = distributed_prf(gold, pred, key_cols=("conv_id", "turn_idx"),
+                          tuple_cols=tuple_cols, match_mode="set")
+    if res["P"] < assert_prf or res["R"] < assert_prf:
+        raise AssertionError(
+            f"trained extraction degraded: P={res['P']:.2f} "
+            f"R={res['R']:.2f} < {assert_prf}")
+    return pd.DataFrame({"n_gold": [int(res["gold"])],
+                         "n_pred": [int(res["pred"])],
+                         "tp": [int(res["tp"])],
+                         "precision_pct": [round(res["P"], 4)],
+                         "recall_pct": [round(res["R"], 4)],
+                         "f1_pct": [round(res["F1"], 4)]})
+
+
 def model_sel_stats(sf_dir: str, *, limit: int = 2000, concurrency=(1, 4)):
     """Model-tier smoke pipeline (rows-only driver query): run the REAL
     autoregressive generator (NumpySeq2SEL, seeded-random weights) over a
