@@ -915,6 +915,28 @@ def _q_dedup_cluster_sizes(sf_dir: str):
     return dedup_cluster_stats(connected_components(pairs))
 
 
+def _q_editdist_pairs(sf_dir: str):
+    """Levenshtein<=1 fuzzy self-join over customer names via lossless
+    deletion-neighborhood blocking (stages/editdist.py — the scalable form
+    of the reference's normalization candidate recall,
+    Normalization/recall/run_recall.py)."""
+    import ray.data as rd
+    from deepkg_ray.stages.editdist import editdist_pairs
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return editdist_pairs(cust, id_col="c_custkey", name_col="c_name")
+
+
+def _q_editdist_clusters(sf_dir: str):
+    """Edit-distance canonicalization clusters: connected components over
+    the ed<=1 pair graph, component = min reachable id."""
+    import ray.data as rd
+    from deepkg_ray.stages.editdist import editdist_clusters
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    return editdist_clusters(cust, id_col="c_custkey", name_col="c_name")
+
+
 def _q_kg_kcore(sf_dir: str):
     """3-core of the KG entity graph via iterative peeling (in-core
     degrees).  Oracle: oracle.kg_kcore_oracle unrolled rounds."""
@@ -1529,6 +1551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
+        "editdist_pairs": _q_editdist_pairs,
+        "editdist_clusters": _q_editdist_clusters,
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
         "kg_kcore": _q_kg_kcore,
@@ -1677,6 +1701,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
+        "editdist_pairs": oracle.editdist_pairs_oracle(),
+        "editdist_clusters": oracle.editdist_clusters_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
         "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),

@@ -2909,3 +2909,45 @@ c AS (
 SELECT d.doc_id, coalesce(c.n_merge_tokens, 0) AS n_merge_tokens
 FROM documents d LEFT JOIN c USING (doc_id)
 """
+
+
+# ------------------------------------------------------- edit-distance join --
+
+def editdist_pairs_oracle() -> str:
+    """All-pairs Levenshtein <= 1 over customer names — the blocking-free
+    ground truth stages/editdist.editdist_pairs must reproduce exactly
+    (the deletion-neighborhood blocking is lossless for max_d=1)."""
+    return """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def editdist_clusters_oracle() -> str:
+    """Connected components (min reachable id) over the ed<=1 pair graph
+    via the same transitive-closure CTE dedup_clusters_oracle uses."""
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges2 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges2
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+)
+SELECT u AS node, CAST(least(u, min(v)) AS BIGINT) AS component
+FROM reach GROUP BY u
+"""
