@@ -1324,6 +1324,16 @@ def _q_events_corr(sf_dir: str):
     return corr_events(read_events(sf_dir, ["event_type", "ts", "value"]))
 
 
+def _q_events_resample(sf_dir: str):
+    """Per (user, 5-min tumbling window) OHLC resample: first/last/min/max
+    value + count, via associative per-block partials (one tiny row per
+    key per block travels the shuffle, never the events)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import resample_ohlc
+    return resample_ohlc(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def _q_top_with_ties(sf_dir: str):
     """Per-type top-2 DISTINCT values WITH TIES (dense_rank ≤ 2)."""
     from deepkg_ray.sources.readers import read_events
@@ -1632,6 +1642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "events_pivot": _q_events_pivot,
         "events_corr": _q_events_corr,
+        "events_resample": _q_events_resample,
         "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
@@ -1777,6 +1788,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": oracle.interarrival_oracle(),
         "events_pivot": oracle.pivot_counts_oracle(),
         "events_corr": oracle.corr_events_oracle(),
+        "events_resample": oracle.events_resample_oracle(window_sec=300),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),

@@ -2951,3 +2951,44 @@ reach(u, v) AS (
 SELECT u AS node, CAST(least(u, min(v)) AS BIGINT) AS component
 FROM reach GROUP BY u
 """
+
+
+def events_resample_oracle(window_sec: int = 300) -> str:
+    """Per (user, tumbling window) OHLC resample for
+    stages/windows.resample_ohlc: first/last by the total (ts_us, event_id)
+    order via row_number rn=1 / rn=n joins (DuckDB arg_min cannot take a
+    composite key), min/max/count over int64 micros, round6 finish — the
+    engine's op chain verbatim."""
+    win_us = window_sec * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // {win_us}) * {win_us} AS window_start_us,
+         epoch_us(ts) AS ts_us, event_id,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+r AS (
+  SELECT user_id, window_start_us, vm,
+         row_number() OVER (PARTITION BY user_id, window_start_us
+                            ORDER BY ts_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, window_start_us) AS n
+  FROM e
+),
+g AS (
+  SELECT user_id, window_start_us,
+         CAST(count(*) AS BIGINT) AS n_events,
+         min(vm) AS mn, max(vm) AS mx
+  FROM e GROUP BY user_id, window_start_us
+)
+SELECT g.user_id, g.window_start_us, g.n_events,
+       floor((f.vm / 1e6) * 1e6 + 0.5) / 1e6 AS v_first,
+       floor((l.vm / 1e6) * 1e6 + 0.5) / 1e6 AS v_last,
+       floor((g.mn / 1e6) * 1e6 + 0.5) / 1e6 AS v_min,
+       floor((g.mx / 1e6) * 1e6 + 0.5) / 1e6 AS v_max
+FROM g
+JOIN r f ON f.user_id = g.user_id
+        AND f.window_start_us = g.window_start_us AND f.rn = 1
+JOIN r l ON l.user_id = g.user_id
+        AND l.window_start_us = g.window_start_us AND l.rn = l.n
+"""

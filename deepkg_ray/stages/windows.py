@@ -570,3 +570,60 @@ def time_window_sum(ds, window_sec: int = 600, user_col: str = "user_id",
         .map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def resample_ohlc(ds, window_sec: int = 300, user_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value"):
+    """Time-series downsample: per (user, tumbling window) emit
+    (n_events, v_first, v_last, v_min, v_max) — the OHLC/resample
+    primitive (open/close = first/last by the total (ts, event_id) order,
+    high/low = max/min).
+
+    Scale shape: the per-batch combiner reduces each block to ONE partial
+    row per (user, window) seen in that block — the partial
+    (first_key, first_vm, last_key, last_vm, vmin, vmax, n) is
+    associative-mergeable, so the shuffle carries O(keys x blocks) tiny
+    rows, never the events.  Merge is a groupby over the unbounded
+    (user, window) key space (CLAUDE.md: Ray groupby, not treeagg, for
+    unbounded keys).  Values travel as int64 micros; the float divide +
+    round6 happens once at finish (oracle: events_resample_oracle, same
+    op chain via row_number rn=1 / rn=n joins)."""
+    win_us = window_sec * 1_000_000
+
+    def partials(b: pa.Table) -> pd.DataFrame:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        df = pd.DataFrame({
+            "u": b[user_col].to_numpy(zero_copy_only=False),
+            "w": (us // win_us) * win_us,
+            "us": us,
+            "eid": b[id_col].to_numpy(zero_copy_only=False),
+            "vm": to_micros(b[value_col].to_pylist()),
+        })
+        df = df.sort_values(["u", "w", "us", "eid"], kind="stable")
+        g = df.groupby(["u", "w"], sort=False)
+        agg = g.agg(first_us=("us", "first"), first_eid=("eid", "first"),
+                    first_vm=("vm", "first"), last_us=("us", "last"),
+                    last_eid=("eid", "last"), last_vm=("vm", "last"),
+                    vmin=("vm", "min"), vmax=("vm", "max"),
+                    n=("vm", "size")).reset_index()
+        return agg
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["first_us", "first_eid"], kind="stable")
+        first = part.iloc[0]
+        last = part.sort_values(["last_us", "last_eid"],
+                                kind="stable").iloc[-1]
+        return pd.DataFrame({
+            user_col: [part["u"].iloc[0]],
+            "window_start_us": np.asarray([part["w"].iloc[0]], np.int64),
+            "n_events": np.asarray([part["n"].sum()], np.int64),
+            "v_first": round6(np.asarray([first["first_vm"]]) / 1e6),
+            "v_last": round6(np.asarray([last["last_vm"]]) / 1e6),
+            "v_min": round6(np.asarray([part["vmin"].min()]) / 1e6),
+            "v_max": round6(np.asarray([part["vmax"].max()]) / 1e6),
+        })
+
+    parts = ds.select_columns([user_col, ts_col, id_col, value_col]) \
+        .map_batches(partials, batch_format="pyarrow")
+    return parts.groupby(["u", "w"]).map_groups(merge, batch_format="pandas")

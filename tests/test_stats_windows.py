@@ -676,3 +676,48 @@ def test_top_events_with_ties_includes_all_tied_rows():
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert out["event_id"].tolist() == [1, 2, 3, 4]
     assert out["vrank"].tolist() == [1, 1, 2, 2]
+
+
+def test_resample_ohlc_golden_and_sql_parity():
+    base = 300_000_000 * 5_666_667        # aligned to the 300 s window
+    # one user, one window, with a ts TIE on the first two events so the
+    # (ts, event_id) total order decides v_first; plus a second window
+    rows = [
+        {"event_id": 5, "user_id": 1, "value": 4.25, "ts": base},
+        {"event_id": 2, "user_id": 1, "value": 1.5,  "ts": base},   # first
+        {"event_id": 7, "user_id": 1, "value": -3.0, "ts": base + 200 * 1_000_000},  # last
+        {"event_id": 9, "user_id": 1, "value": 8.0,  "ts": base + 400 * 1_000_000},  # next window
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = (windows.resample_ohlc(rd.from_pandas(df), window_sec=300)
+           .to_pandas().sort_values("window_start_us")
+           .reset_index(drop=True))
+    assert len(out) == 2
+    w0 = out.iloc[0]
+    assert w0["n_events"] == 3
+    assert np.isclose(w0["v_first"], 1.5)      # ts-tie broken by event_id
+    assert np.isclose(w0["v_last"], -3.0)
+    assert np.isclose(w0["v_min"], -3.0)
+    assert np.isclose(w0["v_max"], 4.25)
+    w1 = out.iloc[1]
+    assert w1["n_events"] == 1
+    assert all(np.isclose(w1[c], 8.0)
+               for c in ["v_first", "v_last", "v_min", "v_max"])
+    # engine ≡ DuckDB row_number-join oracle on the synthetic events table
+    import duckdb
+    from deepkg_ray import oracle
+    key = ["user_id", "window_start_us"]
+    eng = (windows.resample_ohlc(
+        rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                        columns=["user_id", "ts", "event_id", "value"]))
+        .to_pandas().sort_values(key).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.001/events.parquet')")
+    ora = (con.execute(oracle.events_resample_oracle()).df()
+           .sort_values(key).reset_index(drop=True))
+    assert len(eng) == len(ora)
+    assert (eng["n_events"].to_numpy() == ora["n_events"].to_numpy()).all()
+    for c in ["v_first", "v_last", "v_min", "v_max"]:
+        assert np.isclose(eng[c].to_numpy(), ora[c].to_numpy()).all(), c
