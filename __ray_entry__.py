@@ -1334,6 +1334,80 @@ def _q_events_resample(sf_dir: str):
         sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """CDC delta between two deterministic orders snapshots (A drops keys
+    %10==3; B drops keys %7==2 and bumps price +1.0 on keys %5==0):
+    added/removed/changed rows via a narrow-row co-group, unchanged
+    dropped batch-side."""
+    import numpy as np
+    import pyarrow as pa
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.diff import table_diff
+
+    def snap_a(b: "pa.Table") -> "pa.Table":
+        k = b["o_orderkey"].to_numpy()
+        keep = (k % 10) != 3
+        return pa.table({
+            "o_orderkey": pa.array(k[keep], pa.int64()),
+            "price": pa.array(b["o_totalprice"].to_numpy()[keep],
+                              pa.float64())})
+
+    def snap_b(b: "pa.Table") -> "pa.Table":
+        k = b["o_orderkey"].to_numpy()
+        keep = (k % 7) != 2
+        p = (b["o_totalprice"].to_numpy()[keep]
+             + (k[keep] % 5 == 0).astype(np.float64))
+        return pa.table({"o_orderkey": pa.array(k[keep], pa.int64()),
+                         "price": pa.array(p, pa.float64())})
+
+    cols = ["o_orderkey", "o_totalprice"]
+    ds_a = read_table(sf_dir, "orders", cols).map_batches(
+        snap_a, batch_format="pyarrow")
+    ds_b = read_table(sf_dir, "orders", cols).map_batches(
+        snap_b, batch_format="pyarrow")
+    return table_diff(ds_a, ds_b, "o_orderkey", "price")
+
+
+def _q_fk_audit(sf_dir: str):
+    """Referential-integrity audit over four FK edges (parents drop keys
+    %13==0 to inject orphans): broadcast-set tier for dictionary-sized
+    parents, key co-group tier for the rest."""
+    import pandas as pd
+    import pyarrow as pa
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.diff import fk_orphans
+
+    def drop13(key):
+        def fn(b: "pa.Table") -> "pa.Table":
+            return b.filter(pa.array((b[key].to_numpy() % 13) != 0))
+        return fn
+
+    def parent(tbl, key, inject=True):
+        ds = read_table(sf_dir, tbl, [key])
+        return ds.map_batches(drop13(key), batch_format="pyarrow") \
+            if inject else ds
+
+    rows = [
+        fk_orphans(read_table(sf_dir, "lineitem", ["l_orderkey"]),
+                   parent("orders", "o_orderkey"),
+                   "l_orderkey", "o_orderkey",
+                   "lineitem.l_orderkey->orders"),
+        fk_orphans(read_table(sf_dir, "orders", ["o_custkey"]),
+                   parent("customer", "c_custkey"),
+                   "o_custkey", "c_custkey",
+                   "orders.o_custkey->customer"),
+        fk_orphans(read_table(sf_dir, "customer", ["c_nationkey"]),
+                   parent("nation", "n_nationkey", inject=False),
+                   "c_nationkey", "n_nationkey",
+                   "customer.c_nationkey->nation", broadcast=True),
+        fk_orphans(read_table(sf_dir, "lineitem", ["l_suppkey"]),
+                   parent("supplier", "s_suppkey"),
+                   "l_suppkey", "s_suppkey",
+                   "lineitem.l_suppkey->supplier", broadcast=True),
+    ]
+    return pd.concat(rows, ignore_index=True)
+
+
 def _q_top_with_ties(sf_dir: str):
     """Per-type top-2 DISTINCT values WITH TIES (dense_rank ≤ 2)."""
     from deepkg_ray.sources.readers import read_events
@@ -1643,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "events_corr": _q_events_corr,
         "events_resample": _q_events_resample,
+        "snapshot_diff": _q_snapshot_diff,
+        "fk_audit": _q_fk_audit,
         "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
@@ -1789,6 +1865,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracle.pivot_counts_oracle(),
         "events_corr": oracle.corr_events_oracle(),
         "events_resample": oracle.events_resample_oracle(window_sec=300),
+        "snapshot_diff": oracle.snapshot_diff_oracle(),
+        "fk_audit": oracle.fk_audit_oracle(),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),

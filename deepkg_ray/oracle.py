@@ -2992,3 +2992,69 @@ JOIN r f ON f.user_id = g.user_id
 JOIN r l ON l.user_id = g.user_id
         AND l.window_start_us = g.window_start_us AND l.rn = l.n
 """
+
+
+def snapshot_diff_oracle() -> str:
+    """CDC delta between the two deterministic orders snapshots in
+    stages/diff.table_diff's query wiring: snapshot A drops keys %10==3,
+    snapshot B drops keys %7==2 and bumps price by +1.0 on keys %5==0.
+    FULL OUTER JOIN on the key; unchanged rows (equal micros) excluded;
+    -1.0 sentinel for the absent side (matching diff.ABSENT)."""
+    return """
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM orders WHERE o_orderkey % 10 != 3
+),
+b AS (
+  SELECT o_orderkey,
+         CAST(floor((o_totalprice +
+                     CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END)
+                    * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM orders WHERE o_orderkey % 7 != 2
+)
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN a.o_orderkey IS NULL THEN 'added'
+            WHEN b.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CASE WHEN a.o_orderkey IS NULL THEN -1.0
+            ELSE floor((a.vm / 1e6) * 1e6 + 0.5) / 1e6 END AS value_a,
+       CASE WHEN b.o_orderkey IS NULL THEN -1.0
+            ELSE floor((b.vm / 1e6) * 1e6 + 0.5) / 1e6 END AS value_b
+FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.vm != b.vm
+"""
+
+
+def fk_audit_oracle() -> str:
+    """Referential-integrity audit for stages/diff.fk_orphans: per FK edge,
+    child rowcount + orphan count against a parent view that deterministically
+    drops keys %13==0 (orphan injection — same view on the engine side)."""
+    return """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE p.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+FROM lineitem c LEFT JOIN
+     (SELECT o_orderkey FROM orders WHERE o_orderkey % 13 != 0) p
+  ON c.l_orderkey = p.o_orderkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p.c_custkey IS NULL) AS BIGINT)
+FROM orders c LEFT JOIN
+     (SELECT c_custkey FROM customer WHERE c_custkey % 13 != 0) p
+  ON c.o_custkey = p.c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p.n_nationkey IS NULL) AS BIGINT)
+FROM customer c LEFT JOIN nation p
+  ON c.c_nationkey = p.n_nationkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) FILTER (WHERE p.s_suppkey IS NULL) AS BIGINT)
+FROM lineitem c LEFT JOIN
+     (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 != 0) p
+  ON c.l_suppkey = p.s_suppkey
+"""
