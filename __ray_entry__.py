@@ -1334,6 +1334,26 @@ def _q_events_resample(sf_dir: str):
         sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
+def _q_state_history(sf_dir: str):
+    """SCD2 validity intervals: per-user consecutive equal-type runs
+    collapsed to (valid_from_us, valid_to_us, n_events) via one
+    vectorized run-length encode per user-complete partition."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import state_history
+    return state_history(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
+def _q_markov_transitions(sf_dir: str):
+    """First-order Markov transition matrix over per-user event-type
+    sequences (per-partition pair combiner → tree merge over the
+    |types|² key space → one row-normalizing divide)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import markov_transitions
+    return markov_transitions(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
 def _q_snapshot_diff(sf_dir: str):
     """CDC delta between two deterministic orders snapshots (A drops keys
     %10==3; B drops keys %7==2 and bumps price +1.0 on keys %5==0):
@@ -1719,6 +1739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample": _q_events_resample,
         "snapshot_diff": _q_snapshot_diff,
         "fk_audit": _q_fk_audit,
+        "state_history": _q_state_history,
+        "markov_transitions": _q_markov_transitions,
         "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
@@ -1867,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         "events_resample": oracle.events_resample_oracle(window_sec=300),
         "snapshot_diff": oracle.snapshot_diff_oracle(),
         "fk_audit": oracle.fk_audit_oracle(),
+        "state_history": oracle.state_history_oracle(),
+        "markov_transitions": oracle.markov_transitions_oracle(),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),

@@ -3058,3 +3058,53 @@ FROM lineitem c LEFT JOIN
      (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 != 0) p
   ON c.l_suppkey = p.s_suppkey
 """
+
+
+def state_history_oracle() -> str:
+    """Gaps-and-islands SCD2 intervals for stages/windows.state_history:
+    island key = rn − rn_per_type over the (ts, event_id) total order,
+    island aggregate, LEAD(valid_from) closes each interval (-1 = open)."""
+    return """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts), event_id) AS rn_t
+  FROM events
+),
+isl AS (
+  SELECT user_id, event_type, min(ts_us) AS valid_from_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM e GROUP BY user_id, event_type, rn - rn_t
+)
+SELECT user_id, event_type, valid_from_us,
+       COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us),
+                -1) AS valid_to_us,
+       n_events
+FROM isl
+"""
+
+
+def markov_transitions_oracle() -> str:
+    """LEAD-pair transition counts + row-normalized probability for
+    stages/windows.markov_transitions (single correctly-rounded divide on
+    exact integer counts, same op chain as the engine finish)."""
+    return """
+WITH e AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst_type
+  FROM events
+),
+c AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+)
+SELECT src_type, dst_type, n,
+       floor((CAST(n AS DOUBLE) /
+              CAST(sum(n) OVER (PARTITION BY src_type) AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS p
+FROM c
+"""

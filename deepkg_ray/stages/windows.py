@@ -627,3 +627,112 @@ def resample_ohlc(ds, window_sec: int = 300, user_col: str = "user_id",
     parts = ds.select_columns([user_col, ts_col, id_col, value_col]) \
         .map_batches(partials, batch_format="pyarrow")
     return parts.groupby(["u", "w"]).map_groups(merge, batch_format="pandas")
+
+
+def state_history(ds, user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", key_col: str = "event_type",
+                  n_parts: int = 64):
+    """SCD2-style state history: collapse each user's consecutive runs of
+    equal ``event_type`` into validity intervals
+    (user, type, valid_from_us, valid_to_us, n_events) — the
+    gaps-and-islands pattern (SQL: rn − rn_per_type island key, island
+    aggregate, LEAD(valid_from) for the closing edge; open intervals get
+    the -1 sentinel).
+
+    Plan: user-complete coarse hash partitions (same contract as
+    interarrival_gaps), then ONE vectorized run-length encode per
+    partition — run starts are `user-change | type-change` boundaries on
+    the (user, ts, event_id)-sorted frame, never a Python loop over rows.
+    Shuffle carries only (user, type, ts µs, id) — the output is
+    run-count-sized, bounded by the input but typically far smaller."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], key_col: b[key_col], id_col: b[id_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        types = g[key_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        n = len(g)
+        new_run = np.concatenate(([True], (users[1:] != users[:-1])
+                                  | (types[1:] != types[:-1])))
+        starts = np.flatnonzero(new_run)
+        ends = np.concatenate((starts[1:], [n]))
+        run_user = users[starts]
+        valid_from = us[starts]
+        same_next = np.concatenate((run_user[1:] == run_user[:-1], [False]))
+        nxt_from = np.concatenate((valid_from[1:], [-1]))
+        return pd.DataFrame({
+            user_col: run_user,
+            key_col: types[starts],
+            "valid_from_us": valid_from,
+            "valid_to_us": np.where(same_next, nxt_from, -1).astype(np.int64),
+            "n_events": (ends - starts).astype(np.int64),
+        })
+
+    parted = ds.select_columns([user_col, ts_col, id_col, key_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
+def markov_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       key_col: str = "event_type", n_parts: int = 64):
+    """First-order Markov transition matrix over each user's event-type
+    sequence: (src_type, dst_type, n, p) with p = n / Σ_dst n — the
+    LEAD-pair count + row-normalization (sequence-mining building block).
+
+    Plan: user-complete coarse partitions → vectorized consecutive-pair
+    extraction + per-partition value_counts (the combiner), then
+    treeagg.merge_partials over the |types|² bounded key space (CLAUDE.md:
+    tree, not shuffle, for dictionary-sized keys).  The row-normalizing
+    divide happens once on the final ≤|types|² rows (repartition(1) —
+    bounded by construction) so p is a single correctly-rounded float op
+    on exact integer counts, identical to the SQL oracle's op chain."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], key_col: b[key_col], id_col: b[id_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        types = g[key_col].to_numpy()
+        same = users[1:] == users[:-1]
+        src, dst = types[:-1][same], types[1:][same]
+        if not len(src):
+            return pd.DataFrame({"src_type": pd.Series([], dtype=object),
+                                 "dst_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        c = (pd.DataFrame({"src_type": src, "dst_type": dst})
+             .value_counts().reset_index(name="n"))
+        c["n"] = c["n"].astype(np.int64)
+        return c
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parts = ds.select_columns([user_col, ts_col, id_col, key_col]) \
+        .map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_partition, batch_format="pandas")
+    merged = merge_partials(parts, ["src_type", "dst_type"], {"n": "sum"},
+                            mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("src_type")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        out = df.copy()
+        out["p"] = round6(out["n"].to_numpy(np.float64) / tot)
+        return out
+
+    return merged.repartition(1).map_batches(finish, batch_format="pandas",
+                                             batch_size=None)

@@ -721,3 +721,46 @@ def test_resample_ohlc_golden_and_sql_parity():
     assert (eng["n_events"].to_numpy() == ora["n_events"].to_numpy()).all()
     for c in ["v_first", "v_last", "v_min", "v_max"]:
         assert np.isclose(eng[c].to_numpy(), ora[c].to_numpy()).all(), c
+
+
+def test_state_history_golden():
+    base = 1_000_000_000_000
+    # user 1: A A B A (3 islands); user 2: B (open)
+    rows = [
+        {"event_id": 0, "user_id": 1, "event_type": "A", "ts": base},
+        {"event_id": 1, "user_id": 1, "event_type": "A", "ts": base + 10**6},
+        {"event_id": 2, "user_id": 1, "event_type": "B", "ts": base + 2 * 10**6},
+        {"event_id": 3, "user_id": 1, "event_type": "A", "ts": base + 3 * 10**6},
+        {"event_id": 4, "user_id": 2, "event_type": "B", "ts": base},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = (windows.state_history(rd.from_pandas(df))
+           .to_pandas().sort_values(["user_id", "valid_from_us"])
+           .reset_index(drop=True))
+    assert out["event_type"].tolist() == ["A", "B", "A", "B"]
+    assert out["n_events"].tolist() == [2, 1, 1, 1]
+    assert out["valid_to_us"].tolist() == [base + 2 * 10**6,
+                                           base + 3 * 10**6, -1, -1]
+    assert out["valid_from_us"].tolist() == [base, base + 2 * 10**6,
+                                             base + 3 * 10**6, base]
+
+
+def test_markov_transitions_golden():
+    base = 1_000_000_000_000
+    # user 1: A->B->A ; user 2: A->B  => A->B n=2 p=1.0 ; B->A n=1 p=0.5... no:
+    # from B: B->A (u1) only => p=1.0
+    rows = []
+    for i, (u, t) in enumerate([(1, "A"), (1, "B"), (1, "A"),
+                                (2, "A"), (2, "B")]):
+        rows.append({"event_id": i, "user_id": u, "event_type": t,
+                     "ts": base + i * 10**6})
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = (windows.markov_transitions(rd.from_pandas(df))
+           .to_pandas().sort_values(["src_type", "dst_type"])
+           .reset_index(drop=True))
+    assert out[["src_type", "dst_type"]].values.tolist() == [["A", "B"],
+                                                             ["B", "A"]]
+    assert out["n"].tolist() == [2, 1]
+    assert np.isclose(out["p"].tolist(), [1.0, 1.0]).all()
