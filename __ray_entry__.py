@@ -1354,6 +1354,17 @@ def _q_markov_transitions(sf_dir: str):
         sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_frequent_pairs(sf_dir: str):
+    """Market-basket pair supports over lineitem (basket = order, item =
+    part): vectorized within-basket pair fan-out + per-partition combiner
+    before the one pair-space shuffle; support ≥ 2."""
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.basket import frequent_pairs
+    return frequent_pairs(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        basket_col="l_orderkey", item_col="l_partkey", min_support=2)
+
+
 def _q_snapshot_diff(sf_dir: str):
     """CDC delta between two deterministic orders snapshots (A drops keys
     %10==3; B drops keys %7==2 and bumps price +1.0 on keys %5==0):
@@ -1741,6 +1752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": _q_fk_audit,
         "state_history": _q_state_history,
         "markov_transitions": _q_markov_transitions,
+        "frequent_pairs": _q_frequent_pairs,
         "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
@@ -1891,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_audit": oracle.fk_audit_oracle(),
         "state_history": oracle.state_history_oracle(),
         "markov_transitions": oracle.markov_transitions_oracle(),
+        "frequent_pairs": oracle.frequent_pairs_oracle(min_support=2),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),

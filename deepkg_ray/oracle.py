@@ -3108,3 +3108,17 @@ SELECT src_type, dst_type, n,
              * 1e6 + 0.5) / 1e6 AS p
 FROM c
 """
+
+
+def frequent_pairs_oracle(min_support: int = 2) -> str:
+    """Basket pair supports for stages/basket.frequent_pairs: distinct
+    (order, part) baskets, a<b self-join, HAVING support filter."""
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b2.l_partkey AS item_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM b a JOIN b b2
+  ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+GROUP BY a.l_partkey, b2.l_partkey
+HAVING count(*) >= {min_support}
+"""
