@@ -1365,6 +1365,17 @@ def _q_frequent_pairs(sf_dir: str):
         basket_col="l_orderkey", item_col="l_partkey", min_support=2)
 
 
+def _q_part_skyline(sf_dir: str):
+    """Pareto frontier of part in (min price, max size): per-block local
+    skyline → fanout merge tree (skyline is closed under union, so only
+    frontier rows ever move)."""
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.skyline import skyline_2d
+    return skyline_2d(
+        read_table(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"]),
+        key_col="p_partkey", min_col="p_retailprice", max_col="p_size")
+
+
 def _q_snapshot_diff(sf_dir: str):
     """CDC delta between two deterministic orders snapshots (A drops keys
     %10==3; B drops keys %7==2 and bumps price +1.0 on keys %5==0):
@@ -1753,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "state_history": _q_state_history,
         "markov_transitions": _q_markov_transitions,
         "frequent_pairs": _q_frequent_pairs,
+        "part_skyline": _q_part_skyline,
         "top_events_with_ties": _q_top_with_ties,
         "kg_reciprocity": _q_kg_reciprocity,
         "pricing_rollup": _q_pricing_rollup,
@@ -1904,6 +1916,7 @@ def oracle_sql() -> dict[str, str]:
         "state_history": oracle.state_history_oracle(),
         "markov_transitions": oracle.markov_transitions_oracle(),
         "frequent_pairs": oracle.frequent_pairs_oracle(min_support=2),
+        "part_skyline": oracle.skyline_oracle(),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),
         "kg_reciprocity": oracle.kg_reciprocity_oracle(SF_ORACLE),
         "pricing_rollup": oracle.pricing_rollup_oracle(),

@@ -3122,3 +3122,19 @@ FROM b a JOIN b b2
 GROUP BY a.l_partkey, b2.l_partkey
 HAVING count(*) >= {min_support}
 """
+
+
+def skyline_oracle() -> str:
+    """Pareto frontier of part in (minimize p_retailprice, maximize
+    p_size) for stages/skyline.skyline_2d: NOT EXISTS dominance test
+    (≤/≥ with at least one strict), round6 on the echoed measures."""
+    return """
+SELECT p.p_partkey,
+       floor(p.p_retailprice * 1e6 + 0.5) / 1e6 AS p_retailprice,
+       floor(p.p_size * 1e6 + 0.5) / 1e6 AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
