@@ -1004,6 +1004,16 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank_scaled(kg.adjacency_dataset(sf_dir), n_iters=5)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart to the 2 smallest
+    node ids) over the built KG — same int64 scatter/fold rounds as
+    kg_pagerank with seed-concentrated teleport."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import personalized_pagerank_scaled
+    return personalized_pagerank_scaled(kg.adjacency_dataset(sf_dir),
+                                        n_seeds=2, n_iters=5)
+
+
 def _q_kg_hits(sf_dir: str):
     """Fixed-iteration integer-scaled HITS hubs/authorities over the built
     KG (join-free scatters + scalar max normalizers; bitwise-identical to
@@ -1689,6 +1699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_ppr": _q_kg_ppr,
         "kg_hits": _q_kg_hits,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
@@ -1845,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": oracle.kg_walks_oracle(SF_ORACLE, steps=4, start_mod=3),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
+        "kg_ppr": oracle.kg_ppr_oracle(SF_ORACLE, n_seeds=2),
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),

@@ -3138,3 +3138,50 @@ WHERE NOT EXISTS (
   WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
 """
+
+
+def kg_ppr_oracle(sf_dir: str, n_seeds: int = 2, n_iters: int = 5,
+                  damping_pct: int = 85) -> str:
+    """Personalized PageRank mirror of stages/graph.py
+    personalized_pagerank_scaled: the kg_pagerank unrolled-CTE chain with
+    teleport mass restricted to the n_seeds smallest node ids (CASE base
+    term), identical BIGINT floor-division ops."""
+    scale, dp = 10**12, damping_pct
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""pr{i} AS (
+  SELECT nd.node,
+         (CASE WHEN nd.node IN (SELECT node FROM seeds)
+               THEN (SELECT ({100 - dp} * {scale}) // (100 * s)
+                     FROM sparams)
+               ELSE 0 END)
+         + ({dp} * COALESCE(t.total, 0)) // 100 AS pm
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.pm // o.c) AS total
+    FROM {prev} p JOIN dedges e ON e.s = p.node
+    JOIN outdeg o ON o.s = p.node
+    GROUP BY e.d
+  ) t ON t.node = nd.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {n_seeds}),
+sparams AS (SELECT count(*) AS s FROM seeds),
+outdeg AS (SELECT s, count(*) AS c FROM dedges GROUP BY s),
+pr0 AS (SELECT node,
+               CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN (SELECT {scale} // s FROM sparams) ELSE 0 END AS pm
+        FROM nodes),
+{chain}
+SELECT node, CAST(pm AS BIGINT) AS ppr_scaled FROM {prev}
+"""

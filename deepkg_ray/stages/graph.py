@@ -271,6 +271,112 @@ def pagerank_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
         batch_format="pyarrow")
 
 
+
+def personalized_pagerank_scaled(edges, src_col: str = "subj_id",
+                                 dst_col: str = "obj_id", n_seeds: int = 2,
+                                 n_iters: int = 5, damping_pct: int = 85):
+    """Personalized PageRank (random walk with restart) — pagerank_scaled
+    with the teleport mass concentrated on a seed set instead of uniform:
+
+        S          = the n_seeds smallest node ids (deterministic, so the
+                     unrolled-CTE oracle derives the same set)
+        pm0[v]     = PR_SCALE // |S|  if v ∈ S else 0
+        base[v]    = ((100−dp)·PR_SCALE) // (100·|S|)  if v ∈ S else 0
+        pm'[v]     = base[v] + (dp · Σ contrib) // 100
+
+    Same int64 op chain, dangling mass dropped, two groupby shuffles per
+    iteration.  The seed set is tiny by definition (a personalization
+    vector), so holding it in the fold closure is a broadcast, not a
+    driver materialization of data.  Returns (node, ppr_scaled int64).
+    Reference analog: the restart-biased neighborhood scoring the linking
+    stage's candidate ranker approximates lexically."""
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["s"].to_numpy(zero_copy_only=False),
+                               b["d"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    if nodes.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "ppr_scaled": pa.array([], pa.int64())}))
+    seeds = frozenset(
+        r["node"] for r in nodes.sort("node").limit(n_seeds).take_all())
+    s_cnt = len(seeds)
+    pm0 = PR_SCALE // s_cnt
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * s_cnt)
+    dp = damping_pct
+
+    def zero_row(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table({"node": b["node"], "val": pa.array(z, pa.int64())})
+    zero_rows = nodes.map_batches(zero_row,
+                                  batch_format="pyarrow").materialize()
+
+    def init_state(b: pa.Table) -> pa.Table:
+        nd = b["node"].to_numpy()
+        pm = np.where(np.isin(nd, np.fromiter(seeds, np.int64)), pm0, 0)
+        return pa.table({"node": b["node"],
+                         "pm": pa.array(pm.astype(np.int64))})
+    state = nodes.map_batches(init_state, batch_format="pyarrow")
+
+    for _ in range(n_iters):
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["pm"],
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b: pa.table({"node": b["s"], "peer": b["d"],
+                                "is_edge": pa.array(
+                                    np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            peer = g["peer"].to_numpy(zero_copy_only=False)
+            pm = int(peer[~is_edge][0])
+            dst = peer[is_edge]
+            if len(dst) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            contrib = pm // len(dst)
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(
+                                 np.full(len(dst), contrib, np.int64))})
+
+        contribs = (st_rows.union(ed_rows).groupby("node")
+                    .map_groups(scatter, batch_format="pyarrow"))
+
+        def fold(g: pa.Table) -> pa.Table:
+            node = int(g["node"][0].as_py())
+            total = int(pc.sum(g["val"]).as_py() or 0)
+            b0 = base if node in seeds else 0
+            return pa.table({"node": g["node"].slice(0, 1),
+                             "pm": pa.array([b0 + (dp * total) // 100],
+                                            pa.int64())})
+
+        state = (contribs.union(zero_rows).groupby("node")
+                 .map_groups(fold, batch_format="pyarrow").materialize())
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "ppr_scaled": b["pm"]}),
+        batch_format="pyarrow")
+
+
 HITS_SCALE = 10**6
 
 

@@ -300,3 +300,36 @@ def test_reciprocity_golden():
     assert out["n_reciprocal"].tolist() == [2]
     import math
     assert out["reciprocity"].tolist() == [math.floor(2 / 3 * 1e6 + 0.5) / 1e6]
+
+
+def test_personalized_pagerank_golden_and_seed_bias():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import PR_SCALE, personalized_pagerank_scaled
+
+    # 1->2->3->1 triangle plus 4->3 ; seeds = {1, 2}
+    edges = pd.DataFrame({"subj_id": [1, 2, 3, 4],
+                          "obj_id": [2, 3, 1, 3]})
+    out = (personalized_pagerank_scaled(rd.from_pandas(edges), n_seeds=2,
+                                        n_iters=5)
+           .to_pandas().set_index("node")["ppr_scaled"].to_dict())
+
+    # pure-python replica of the documented int64 op chain
+    seeds, dp = {1, 2}, 85
+    adj = {1: [2], 2: [3], 3: [1], 4: [3]}
+    nodes = [1, 2, 3, 4]
+    base = {v: ((100 - dp) * PR_SCALE) // (100 * len(seeds))
+            if v in seeds else 0 for v in nodes}
+    pm = {v: PR_SCALE // len(seeds) if v in seeds else 0 for v in nodes}
+    for _ in range(5):
+        tot = {v: 0 for v in nodes}
+        for u, dsts in adj.items():
+            c = pm[u] // len(dsts)
+            for d in dsts:
+                tot[d] += c
+        pm = {v: base[v] + (dp * tot[v]) // 100 for v in nodes}
+    assert out == pm
+    # restart bias: the seed set holds more mass than the non-seeds
+    assert out[1] + out[2] > out[3] + out[4]
+    # node 4 has no in-edges and is not a seed -> exactly zero
+    assert out[4] == 0
