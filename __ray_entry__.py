@@ -1460,6 +1460,15 @@ def _q_fk_audit(sf_dir: str):
     return pd.concat(rows, ignore_index=True)
 
 
+def _q_events_regression(sf_dir: str):
+    """Per-type OLS fit value ~ hour-of-day (mergeable integer moments,
+    fixed-op-chain DOUBLE finish)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import regression_events
+    return regression_events(read_events(
+        sf_dir, ["event_type", "ts", "value"]))
+
+
 def _q_top_with_ties(sf_dir: str):
     """Per-type top-2 DISTINCT values WITH TIES (dense_rank ≤ 2)."""
     from deepkg_ray.sources.readers import read_events
@@ -1769,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "events_pivot": _q_events_pivot,
         "events_corr": _q_events_corr,
+        "events_regression": _q_events_regression,
         "events_resample": _q_events_resample,
         "snapshot_diff": _q_snapshot_diff,
         "fk_audit": _q_fk_audit,
@@ -1922,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "events_interarrival": oracle.interarrival_oracle(),
         "events_pivot": oracle.pivot_counts_oracle(),
         "events_corr": oracle.corr_events_oracle(),
+        "events_regression": oracle.regression_events_oracle(),
         "events_resample": oracle.events_resample_oracle(window_sec=300),
         "snapshot_diff": oracle.snapshot_diff_oracle(),
         "fk_audit": oracle.fk_audit_oracle(),

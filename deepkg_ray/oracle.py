@@ -3185,3 +3185,31 @@ pr0 AS (SELECT node,
 {chain}
 SELECT node, CAST(pm AS BIGINT) AS ppr_scaled FROM {prev}
 """
+
+
+def regression_events_oracle() -> str:
+    """Per-key OLS mirror of stages/windows.regression_events — DOUBLE-cast
+    integer sums, the engine's exact op chain (not DuckDB regr_slope)."""
+    return """
+WITH m AS (
+  SELECT event_type,
+         (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS x,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS y
+  FROM events
+), s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM m GROUP BY event_type
+)
+SELECT event_type, n,
+       floor((CASE WHEN n * sxx - sx * sx > 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   ELSE 0.0 END) / 1e3 * 1e6 + 0.5) / 1e6 AS slope,
+       floor(((sy - (CASE WHEN n * sxx - sx * sx > 0
+                          THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          ELSE 0.0 END) * sx) / n) / 1e3 * 1e6 + 0.5) / 1e6
+         AS intercept
+FROM s
+"""

@@ -736,3 +736,53 @@ def markov_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     return merged.repartition(1).map_batches(finish, batch_format="pandas",
                                              batch_size=None)
+
+
+def regression_events(ds, key_col: str = "event_type", ts_col: str = "ts",
+                      value_col: str = "value"):
+    """Per-key OLS fit value ~ hour-of-day: (event_type, n, slope,
+    intercept) — the grouped-regression primitive, single-pass mergeable
+    moments like corr_events (x = hour 0-23, y = value in int64 MILLIS so
+    Σy² stays in int64; see corr_events' bound note).  The finish divides
+    on DOUBLE-cast integer sums with a FIXED op chain —
+        num = n·Σxy − Σx·Σy;   den = n·Σx² − (Σx)²
+        slope = (num/den)/1e3;  intercept = ((Σy − (num/den)·Σx)/n)/1e3
+    — identical in the SQL oracle (DuckDB's regr_slope uses a different
+    numerical path and would not hash-match).  Zero x-variance ⇒ slope 0,
+    intercept = mean.  round6 on both outputs."""
+    def partial(b: pa.Table) -> pa.Table:
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        y = np.floor(v * 1e3 + 0.5).astype(np.int64)
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        x = (us // 3_600_000_000) % 24
+        return pa.table({
+            key_col: b[key_col],
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+        })
+
+    agg = (ds.select_columns([key_col, ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Count(alias_name="n"),
+                      Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n"].to_pylist(), np.float64)
+        sx = np.asarray(b["sx"].to_pylist(), np.float64)
+        sy = np.asarray(b["sy"].to_pylist(), np.float64)
+        sxy = np.asarray(b["sxy"].to_pylist(), np.float64)
+        sxx = np.asarray(b["sxx"].to_pylist(), np.float64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        m = np.where(den > 0, num / np.where(den > 0, den, 1.0), 0.0)
+        slope = round6(m / 1e3)
+        intercept = round6(((sy - m * sx) / n) / 1e3)
+        return pa.table({key_col: b[key_col],
+                         "n": b["n"].combine_chunks().cast(pa.int64()),
+                         "slope": pa.array(slope, pa.float64()),
+                         "intercept": pa.array(intercept, pa.float64())})
+    return agg.map_batches(finish, batch_format="pyarrow")

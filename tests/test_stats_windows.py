@@ -764,3 +764,25 @@ def test_markov_transitions_golden():
                                                              ["B", "A"]]
     assert out["n"].tolist() == [2, 1]
     assert np.isclose(out["p"].tolist(), [1.0, 1.0]).all()
+
+
+def test_regression_events_golden():
+    # one type, perfect line value = 2*hour + 1 at hours 1,2,3
+    base_day = 86_400_000_000 * 20_000     # midnight-aligned epoch µs
+    rows = [{"event_id": i, "user_id": 1, "event_type": "x",
+             "value": 2.0 * h + 1.0,
+             "ts": base_day + h * 3_600_000_000}
+            for i, h in enumerate([1, 2, 3])]
+    # constant type: zero x-variance -> slope 0, intercept = mean
+    rows += [{"event_id": 10 + i, "user_id": 1, "event_type": "c",
+              "value": 7.5, "ts": base_day + 5 * 3_600_000_000}
+             for i in range(2)]
+    df = pd.DataFrame(rows)
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = (windows.regression_events(rd.from_pandas(df))
+           .to_pandas().set_index("event_type"))
+    assert np.isclose(out.loc["x", "slope"], 2.0)
+    assert np.isclose(out.loc["x", "intercept"], 1.0)
+    assert np.isclose(out.loc["c", "slope"], 0.0)
+    assert np.isclose(out.loc["c", "intercept"], 7.5)
+    assert out["n"].tolist() == [2, 3] or out["n"].tolist() == [3, 2]
