@@ -1042,6 +1042,15 @@ def _q_token_quantiles(sf_dir: str):
                                  _QUANTILES)
 
 
+def _q_token_quantiles_cont(sf_dir: str):
+    """Interpolated (percentile_cont / type-7) quantiles of per-doc token
+    counts — micro-index interpolation over the same value-count
+    histogram plan as the discrete path."""
+    from deepkg_ray.stages.quantiles import token_count_quantiles_cont
+    return token_count_quantiles_cont(_docs(sf_dir, ["doc_id", "text"]),
+                                      _QUANTILES)
+
+
 def _q_events_asof_orders(sf_dir: str):
     """As-of join: each event matched to the latest order of the same
     customer at-or-before its timestamp (per-key sorted merge inside
@@ -1692,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "ngram_jaccard": _q_ngram_jaccard,
         "token_quantiles": _q_token_quantiles,
+        "token_quantiles_cont": _q_token_quantiles_cont,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_clusters": _q_dedup_clusters,
@@ -1851,6 +1861,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
         "token_quantiles": oracle.token_quantiles_oracle(),
+        "token_quantiles_cont": oracle.token_quantiles_cont_oracle(),
         "doc_len_quantiles": oracle.grouped_quantiles_oracle(),
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),

@@ -3213,3 +3213,40 @@ SELECT event_type, n,
          AS intercept
 FROM s
 """
+
+
+def token_quantiles_cont_oracle(qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Interpolated (type-7) quantiles of per-doc token counts for
+    stages/quantiles.quantiles_cont — re-derived from the cumulative
+    histogram with the engine's exact micro-index op chain, NOT the
+    builtin quantile_cont (different internal expression ordering)."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS v
+  FROM documents
+),
+h AS (SELECT v, count(*) AS n FROM base GROUP BY v),
+c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h),
+params AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM h),
+qs AS ({q_rows}),
+pos AS (
+  SELECT q, qm * (n - 1) AS hm FROM qs, params
+),
+pick AS (
+  SELECT q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos
+),
+el AS (
+  SELECT p.q, p.frac,
+         (SELECT min(v) FROM c WHERE cum > p.lo) AS vlo,
+         (SELECT min(v) FROM c
+          WHERE cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT q,
+       floor((vlo + (frac * (vhi - vlo)) / 1e6) * 1e6 + 0.5) / 1e6 AS value
+FROM el
+"""

@@ -230,3 +230,49 @@ def grid_quantiles(ds, col: str, qs: list[float], n_bins: int = 4096):
         "q": pa.array(out_q, pa.float64()),
         "bucket": pa.array(out_b, pa.int64()),
         "approx": pa.array(out_a, pa.float64())}))
+
+
+def quantiles_cont(ds, col: str, qs: list[float]):
+    """Exact INTERPOLATED quantiles (percentile_cont / numpy type-7) of an
+    integer column: position h = q·(n−1); value = v⌊h⌋ + frac·(v⌈h⌉ −
+    v⌊h⌋).  Same value-count histogram plan as quantiles_disc (shuffle
+    bounded by distinct values, driver holds only the histogram); all
+    positional arithmetic in integer micros of q, ONE float op chain at
+    the end —  v = v_lo + (frac_micros·(v_hi−v_lo)) / 1e6  — mirrored
+    verbatim in the SQL oracle (DuckDB's builtin quantile_cont may
+    interpolate through a different expression ordering).
+    Returns (q float64, value float64 round6)."""
+    hist = value_counts(ds, col).to_pandas().sort_values("value")
+    values = hist["value"].to_numpy(dtype=np.int64)
+    cum = hist["n"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    from deepkg_ray.functions.numeric import round6
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        hm = q_micros * (n - 1)              # position in micro-index units
+        lo = hm // 1_000_000
+        frac = hm % 1_000_000
+        # element at 0-based index i = min value with cum > i
+        p_lo = int(np.searchsorted(cum, lo + 1, side="left"))
+        v_lo = int(values[min(p_lo, len(values) - 1)])
+        if frac > 0:
+            p_hi = int(np.searchsorted(cum, lo + 2, side="left"))
+            v_hi = int(values[min(p_hi, len(values) - 1)])
+        else:
+            v_hi = v_lo
+        out_q.append(q)
+        out_v.append(float(round6(
+            np.asarray([v_lo + (frac * (v_hi - v_lo)) / 1e6]))[0]))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64())}))
+
+
+def token_count_quantiles_cont(ds, qs: list[float], text_col: str = "text"):
+    counted = ds.map_batches(
+        lambda b: add_token_count(b, text_col), batch_format="pyarrow")
+    return quantiles_cont(counted, "n_tokens", qs)

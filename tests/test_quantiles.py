@@ -74,3 +74,17 @@ def test_key_skew_stats_golden():
     assert (out["n_keys"], out["n_rows"], out["max_cnt"]) == (11, 100, 90)
     assert out["p50"] == 1 and out["p99"] == 90
     assert out["top_share"] == 0.9
+
+
+def test_quantiles_cont_matches_numpy_type7():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import quantiles_cont
+    vals = np.array([1, 1, 2, 5, 9, 9, 10, 40], np.int64)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    out = (quantiles_cont(rd.from_pandas(pd.DataFrame({"v": vals})), "v", qs)
+           .to_pandas())
+    ref = np.quantile(vals, qs)               # numpy default = type-7
+    assert out["q"].tolist() == qs
+    assert np.allclose(out["value"].to_numpy(), ref, atol=2e-6)
