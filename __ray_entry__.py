@@ -1014,6 +1014,14 @@ def _q_kg_ppr(sf_dir: str):
                                         n_seeds=2, n_iters=5)
 
 
+def _q_kg_truss(sf_dir: str):
+    """3-truss of the built KG: iterative wedge-support peeling to
+    fixpoint (edge-cohesion analog of k-core)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import truss_edges
+    return truss_edges(kg.adjacency_dataset(sf_dir), k=3)
+
+
 def _q_kg_hits(sf_dir: str):
     """Fixed-iteration integer-scaled HITS hubs/authorities over the built
     KG (join-free scatters + scalar max normalizers; bitwise-identical to
@@ -1469,6 +1477,23 @@ def _q_fk_audit(sf_dir: str):
     return pd.concat(rows, ignore_index=True)
 
 
+def _q_running_distinct(sf_dir: str):
+    """Per-event running count of DISTINCT event types per user
+    (first-occurrence flag + segment-rebased cumulative sum over
+    user-complete partitions)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import running_distinct
+    return running_distinct(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped pipeline: segment + date-filtered 3-table join,
+    lineitem pre-aggregated before any join, deterministic top-10."""
+    from deepkg_ray.pipelines.relational import shipping_priority
+    return shipping_priority(sf_dir)
+
+
 def _q_events_regression(sf_dir: str):
     """Per-type OLS fit value ~ hour-of-day (mergeable integer moments,
     fixed-op-chain DOUBLE finish)."""
@@ -1719,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
+        "kg_truss": _q_kg_truss,
         "kg_hits": _q_kg_hits,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
@@ -1789,6 +1815,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "events_corr": _q_events_corr,
         "events_regression": _q_events_regression,
+        "running_distinct": _q_running_distinct,
+        "shipping_priority": _q_shipping_priority,
         "events_resample": _q_events_resample,
         "snapshot_diff": _q_snapshot_diff,
         "fk_audit": _q_fk_audit,
@@ -1878,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),
         "kg_pagerank": oracle.kg_pagerank_oracle(SF_ORACLE),
         "kg_ppr": oracle.kg_ppr_oracle(SF_ORACLE, n_seeds=2),
+        "kg_truss": oracle.kg_truss_oracle(SF_ORACLE, k=3, n_rounds=8),
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
@@ -1944,6 +1973,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oracle.pivot_counts_oracle(),
         "events_corr": oracle.corr_events_oracle(),
         "events_regression": oracle.regression_events_oracle(),
+        "running_distinct": oracle.running_distinct_oracle(),
+        "shipping_priority": oracle.shipping_priority_oracle(),
         "events_resample": oracle.events_resample_oracle(window_sec=300),
         "snapshot_diff": oracle.snapshot_diff_oracle(),
         "fk_audit": oracle.fk_audit_oracle(),

@@ -3250,3 +3250,85 @@ SELECT q,
        floor((vlo + (frac * (vhi - vlo)) / 1e6) * 1e6 + 0.5) / 1e6 AS value
 FROM el
 """
+
+
+def shipping_priority_oracle(segment: str = "BUILDING",
+                             cutoff: str = "1998-06-01", k: int = 10) -> str:
+    """TPC-H Q3 mirror of pipelines/relational.shipping_priority: micros
+    revenue, deterministic (-rev, orderkey) top-k."""
+    return f"""
+SELECT l.l_orderkey,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+                AS BIGINT)) / 1e6 AS revenue,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{segment}'
+  AND epoch_us(o.o_orderdate) < epoch_us(TIMESTAMP '{cutoff}')
+  AND epoch_us(l.l_shipdate) > epoch_us(TIMESTAMP '{cutoff}')
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+             AS BIGINT)) DESC, l.l_orderkey
+LIMIT {k}
+"""
+
+
+def running_distinct_oracle() -> str:
+    """First-occurrence flag + running SUM emulation of windowed
+    count(DISTINCT) for stages/windows.running_distinct."""
+    return """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY epoch_us(ts), event_id) = 1
+              THEN 1 ELSE 0 END AS fst
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(sum(fst) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_distinct_types
+FROM e
+"""
+
+
+def kg_truss_oracle(sf_dir: str, k: int = 3, n_rounds: int = 8) -> str:
+    """k-truss peeling mirror of stages/graph.truss_edges: per round,
+    wedge-pair supports over the current edge set, support < k−2 dropped;
+    unrolled n_rounds (extra rounds past the fixpoint are no-ops, so any
+    n_rounds ≥ the engine's convergence round matches exactly)."""
+    min_sup = k - 2
+    rounds = []
+    prev = "t0"
+    for i in range(1, n_rounds + 1):
+        rounds.append(f"""b{i} AS MATERIALIZED (
+  SELECT e1 AS node, e2 AS peer FROM {prev}
+  UNION ALL SELECT e2, e1 FROM {prev}
+),
+s{i} AS MATERIALIZED (
+  SELECT a.peer AS e1, b.peer AS e2, count(*) AS sup
+  FROM b{i} a JOIN b{i} b ON a.node = b.node AND a.peer < b.peer
+  GROUP BY a.peer, b.peer
+),
+t{i} AS MATERIALIZED (
+  SELECT t.e1, t.e2 FROM {prev} t
+  JOIN s{i} s ON s.e1 = t.e1 AND s.e2 = t.e2
+  WHERE s.sup >= {min_sup}
+)""")
+        prev = f"t{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+t0 AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS e1,
+                  greatest(subj_id, obj_id) AS e2
+  FROM triples WHERE subj_id <> obj_id
+),
+{chain}
+SELECT e1, e2 FROM {prev}
+"""

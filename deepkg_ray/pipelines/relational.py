@@ -398,3 +398,90 @@ def segment_revenue_share(sf_dir: str):
         })
 
     return tagged.map_batches(score, batch_format="pyarrow")
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3-shaped shipping-priority pipeline: revenue of not-yet-
+    shipped lineitems for a market segment's pre-cutoff orders, top-k.
+
+    Plan shape (the Q3 playbook at scale): every side is FILTERED AND
+    PROJECTED in the first map over its read (at 100 TB these predicates
+    belong in the parquet row-group filter; the vectorized batch filter is
+    the same contract), lineitem is pre-aggregated to (orderkey, micros)
+    BEFORE any join, both joins are hash-partitioned Dataset.join on the
+    already-shrunk sides, and the global top-k sorts only the aggregated
+    order-level table (top_revenue_orders' deterministic (-rev, key)
+    order).  Returns (l_orderkey, revenue, o_orderdate_us,
+    o_orderpriority)."""
+    from deepkg_ray.util import join_partitions
+    nparts = join_partitions()
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1_000)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = ship > cutoff_us
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)[keep]
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)[keep]
+        return pa.table({
+            "l_orderkey": pa.array(
+                b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                   pa.int64())})
+
+    per_order = (li.map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev_micros", alias_name="rev_micros")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        t = pa.table({"o_orderkey": b["o_orderkey"],
+                      "o_custkey": b["o_custkey"],
+                      "o_orderdate_us": od,
+                      "o_orderpriority": b["o_orderpriority"]})
+        return t.filter(pc.less(t["o_orderdate_us"], cutoff_us))
+
+    ords = orders.map_batches(ord_filter, batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        t = pa.table({"c_custkey": b["c_custkey"],
+                      "c_mktsegment": b["c_mktsegment"]})
+        return t.filter(pc.equal(t["c_mktsegment"], segment)) \
+            .drop_columns(["c_mktsegment"])
+
+    custs = cust.map_batches(cust_filter, batch_format="pyarrow")
+
+    from deepkg_ray.util import drop_empty_blocks
+    j1 = drop_empty_blocks(ords).join(
+        drop_empty_blocks(custs), join_type="inner",
+        num_partitions=nparts, on=("o_custkey",), right_on=("c_custkey",))
+    j2 = drop_empty_blocks(per_order).join(
+        drop_empty_blocks(j1), join_type="inner",
+        num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    topk = (j2.map_batches(
+        lambda b: b.append_column(
+            "neg", pc.negate(b["rev_micros"].combine_chunks())),
+        batch_format="pyarrow")
+        .sort(["neg", "l_orderkey"]).limit(k))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": pa.array(
+                np.asarray(b["rev_micros"].to_pylist(), np.float64) / 1e6),
+            "o_orderdate_us": b["o_orderdate_us"],
+            "o_orderpriority": b["o_orderpriority"]})
+    return topk.map_batches(finish, batch_format="pyarrow")

@@ -645,6 +645,99 @@ def link_prediction(edges, src_col: str = "subj_id",
     return new_pairs.map_batches(finish, batch_format="pyarrow")
 
 
+def truss_edges(edges, k: int = 3, src_col: str = "subj_id",
+                dst_col: str = "obj_id", max_iters: int = 8,
+                num_partitions: int | None = None):
+    """k-truss peeling over the undirected simple graph: iteratively drop
+    every edge whose support (triangles containing it within the CURRENT
+    edge set) is < k−2, to fixpoint — the edge-cohesion analog of k-core
+    (node degrees), and a strictly stronger community filter.
+
+    Each round reuses the link-prediction wedge machinery: neighbor lists
+    co-located per center (one groupby), wedge pairs emitted inside the
+    group, a (p1, p2) Count, then an INNER hash join back onto the edge
+    set (support of an edge = wedges matching it) and a support filter.
+    Rounds stop at fixpoint (edge count unchanged — one scalar count per
+    round on the driver, never rows); ``max_iters`` bounds the cascade
+    and an assertion documents non-convergence instead of silently
+    returning a non-truss.  Hub wedge fan-out is deg²/2 per center —
+    at scale compose with the same max_degree truncation as
+    link_prediction (here the oracle unrolls the exact semantics, so no
+    cap).  Returns the surviving (e1, e2) edges."""
+    # support-0 edges never reach the wedge aggregate, so the INNER join
+    # below implements "< min_sup drops them" only when min_sup ≥ 1
+    assert k >= 3, "k-truss requires k >= 3 (k=2 is the whole simple graph)"
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"e1": pa.array(np.minimum(u, v), pa.int64()),
+                         "e2": pa.array(np.maximum(u, v), pa.int64())})
+
+    cur = (edges.map_batches(orient, batch_format="pyarrow")
+           .groupby(["e1", "e2"]).aggregate(Count(alias_name="_m"))
+           .drop_columns(["_m"]).materialize())
+    n_edges = cur.count()
+    min_sup = k - 2
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b["e1"].to_numpy(zero_copy_only=False)
+        v = b["e2"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        peers = np.unique(g["peer"].to_numpy(zero_copy_only=False))
+        if len(peers) < 2:
+            return pa.table({"e1": pa.array([], pa.int64()),
+                             "e2": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(peers), k=1)
+        return pa.table({"e1": pa.array(peers[ai], pa.int64()),
+                         "e2": pa.array(peers[bi], pa.int64())})
+
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        support = (cur.map_batches(bidirect, batch_format="pyarrow")
+                   .groupby("node").map_groups(wedge_pairs,
+                                               batch_format="pyarrow")
+                   .groupby(["e1", "e2"]).aggregate(Count(alias_name="sup"))
+                   .map_batches(
+                       lambda b: b.rename_columns(["s1", "s2", "sup"]),
+                       batch_format="pyarrow")).materialize()
+        if support.count() == 0:
+            # no wedges at all: every remaining edge has support 0 < k−2
+            import ray.data as rd
+            return rd.from_arrow(pa.table({"e1": pa.array([], pa.int64()),
+                                           "e2": pa.array([], pa.int64())}))
+        survivors = drop_empty_blocks(cur).join(
+            drop_empty_blocks(support), join_type="inner",
+            num_partitions=num_partitions,
+            on=("e1", "e2"), right_on=("s1", "s2"))
+
+        def keep_sup(b: pa.Table) -> pa.Table:
+            kept = b.filter(pc.greater_equal(b["sup"], pa.scalar(min_sup)))
+            return kept.select(["e1", "e2"])
+
+        nxt = survivors.map_batches(keep_sup,
+                                    batch_format="pyarrow").materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        cur, n_edges = nxt, n_next
+    assert n_edges == 0, (
+        f"k-truss did not converge within {max_iters} rounds "
+        f"({n_edges} edges still changing)")
+    return cur
+
+
 def triangle_count(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                    num_partitions: int | None = None):
     """Global triangle count over the undirected simple graph induced by the

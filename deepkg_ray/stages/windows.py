@@ -786,3 +786,46 @@ def regression_events(ds, key_col: str = "event_type", ts_col: str = "ts",
                          "slope": pa.array(slope, pa.float64()),
                          "intercept": pa.array(intercept, pa.float64())})
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def running_distinct(ds, user_col: str = "user_id", ts_col: str = "ts",
+                     id_col: str = "event_id", key_col: str = "event_type",
+                     n_parts: int = 64):
+    """Per-event RUNNING COUNT DISTINCT: how many distinct event types the
+    same user has seen up to and including this event — the windowed
+    count(DISTINCT) that SQL engines can't frame directly (emulated as a
+    first-occurrence flag + running SUM; same two-step op chain here).
+
+    Plan: user-complete coarse partitions; inside each, one sort +
+    vectorized first-occurrence mask (pandas duplicated over (user, type))
+    + segment-rebased cumulative sum.  Returns (user_id, event_id,
+    n_distinct_types)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], key_col: b[key_col], id_col: b[id_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        first = (~g.duplicated([user_col, key_col])).to_numpy() \
+            .astype(np.int64)
+        cs = first.cumsum()
+        new_seg = np.concatenate(([True], users[1:] != users[:-1]))
+        seg_id = np.cumsum(new_seg) - 1
+        # cumsum value just before each segment start, rebased per segment
+        seg_base = (cs[new_seg] - first[new_seg])[seg_id]
+        return pd.DataFrame({
+            user_col: users,
+            id_col: g[id_col].to_numpy(),
+            "n_distinct_types": cs - seg_base,
+        })
+
+    parted = ds.select_columns([user_col, ts_col, id_col, key_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

@@ -333,3 +333,23 @@ def test_personalized_pagerank_golden_and_seed_bias():
     assert out[1] + out[2] > out[3] + out[4]
     # node 4 has no in-edges and is not a seed -> exactly zero
     assert out[4] == 0
+
+
+def test_truss_edges_golden_and_cascade():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import truss_edges
+
+    # triangle (1,2,3) + pendant (3,4) + tail (4,5): 3-truss = the triangle
+    e = pd.DataFrame({"subj_id": [1, 2, 3, 3, 4],
+                      "obj_id": [2, 3, 1, 4, 5]})
+    out = (truss_edges(rd.from_pandas(e), k=3).to_pandas()
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+    assert out.values.tolist() == [[1, 2], [1, 3], [2, 3]]
+
+    # square with one diagonal: 4-truss cascades to empty (diagonal's
+    # support collapses after round-1 removals)
+    e2 = pd.DataFrame({"subj_id": [1, 2, 3, 4, 1],
+                       "obj_id": [2, 3, 4, 1, 3]})
+    out2 = truss_edges(rd.from_pandas(e2), k=4)
+    assert out2.count() == 0

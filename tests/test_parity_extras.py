@@ -328,3 +328,25 @@ def test_encoder_numpy_model_tier(ray_session):
         batch_format="pyarrow", concurrency=1).to_pandas())
     mh = np.stack(hash_tier["embedding"].to_numpy())
     assert not np.allclose(ma[0], mh[0])
+
+
+def test_shipping_priority_sql_parity(sf_dir):
+    import duckdb
+    import numpy as np
+    from deepkg_ray import oracle
+    from deepkg_ray.pipelines.relational import shipping_priority
+    eng = (shipping_priority(sf_dir).to_pandas()
+           .sort_values("l_orderkey").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    ora = (con.execute(oracle.shipping_priority_oracle()).df()
+           .sort_values("l_orderkey").reset_index(drop=True))
+    assert len(eng) == len(ora) > 0
+    assert eng["l_orderkey"].tolist() == ora["l_orderkey"].tolist()
+    assert np.isclose(eng["revenue"].to_numpy(),
+                      ora["revenue"].to_numpy()).all()
+    assert (eng["o_orderdate_us"].to_numpy()
+            == ora["o_orderdate_us"].to_numpy()).all()
+    assert eng["o_orderpriority"].tolist() == ora["o_orderpriority"].tolist()

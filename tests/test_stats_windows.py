@@ -786,3 +786,15 @@ def test_regression_events_golden():
     assert np.isclose(out.loc["c", "slope"], 0.0)
     assert np.isclose(out.loc["c", "intercept"], 7.5)
     assert out["n"].tolist() == [2, 3] or out["n"].tolist() == [3, 2]
+
+
+def test_running_distinct_golden():
+    base = 1_000_000_000_000
+    rows = [(1, "A"), (1, "B"), (1, "A"), (1, "C"), (2, "B"), (2, "B")]
+    df = pd.DataFrame([{"event_id": i, "user_id": u, "event_type": t,
+                        "ts": base + i * 10**6}
+                       for i, (u, t) in enumerate(rows)])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    out = (windows.running_distinct(rd.from_pandas(df))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["n_distinct_types"].tolist() == [1, 2, 2, 3, 1, 1]
