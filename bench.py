@@ -130,6 +130,27 @@ def _q_uie_trained(sf_dir: str):
     return trained_triples(sf_dir).count()
 
 
+def _q_frequent_pairs(sf_dir: str):
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.basket import frequent_pairs
+    return frequent_pairs(
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2).count()
+
+
+def _q_snapshot_diff(sf_dir: str):
+    import __ray_entry__ as m
+    return m.queries()["snapshot_diff"](sf_dir).count()
+
+
+def _q_state_history(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import state_history
+    return state_history(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"])).count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -185,7 +206,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("kg_edge_spans", _q_edge_spans),
             ("embedding_pca", _q_pca),
             ("dsir_scores", _q_dsir),
-            ("uie_trained", _q_uie_trained)]
+            ("uie_trained", _q_uie_trained),
+            ("frequent_pairs", _q_frequent_pairs),
+            ("snapshot_diff", _q_snapshot_diff),
+            ("state_history", _q_state_history)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:

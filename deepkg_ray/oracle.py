@@ -3332,3 +3332,41 @@ t0 AS MATERIALIZED (
 {chain}
 SELECT e1, e2 FROM {prev}
 """
+
+
+def kg_sssp_oracle(sf_dir: str, rounds: int = 16) -> str:
+    """Unrolled Bellman-Ford min-folds for stages/graph.sssp_weighted over
+    the KG adjacency: pair weight = min over (pred, direction) parallel
+    rows of the (subj, pred, obj) support count; source = smallest node.
+    The fold is monotone, so rounds beyond the weighted diameter are
+    no-ops (kg_bfs_oracle's argument, with dist + w replacing dist + 1)."""
+    parts = [f"""
+adjw AS MATERIALIZED (
+  SELECT subj_id, obj_id, CAST(count(*) AS BIGINT) AS w
+  FROM triples WHERE subj_id <> obj_id
+  GROUP BY subj_id, pred, obj_id
+),
+pairw AS MATERIALIZED (
+  SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+         min(w) AS w
+  FROM adjw GROUP BY least(subj_id, obj_id), greatest(subj_id, obj_id)
+),
+e0 AS MATERIALIZED (
+  SELECT a AS u, b AS v, w FROM pairw
+  UNION ALL SELECT b, a, w FROM pairw
+),
+d0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS dist FROM e0)"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.v AS node, d.dist + e.w AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+""")

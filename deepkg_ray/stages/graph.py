@@ -865,6 +865,89 @@ def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
     return alive
 
 
+
+def sssp_weighted(edges, source: int | None = None,
+                  src_col: str = "subj_id", dst_col: str = "obj_id",
+                  weight_col: str = "weight", max_rounds: int = 16,
+                  num_partitions: int | None = None):
+    """Weighted single-source shortest paths (Bellman-Ford relaxation
+    rounds) over the undirected simple graph with integer edge weights —
+    the weighted complement of bfs_distances.  Edge weight of an unordered
+    pair = min over its (pred, direction) parallel rows; ``source``
+    defaults to the smallest node id (deterministic, oracle-derivable).
+
+    Each round is one hash join (edges ⋈ state) + one Min-groupby —
+    join-shaped like bfs_distances' mode='join', nothing node-sized on the
+    driver.  The fold is monotone (dists only appear or decrease), so
+    convergence is exactly "(node count, Σdist) unchanged" — two scalar
+    aggregates per round; ``max_rounds`` bounds the relaxation and an
+    assertion documents non-convergence instead of returning a non-SSSP.
+    Returns (node, dist) over nodes reachable from the source."""
+    import ray.data as rd
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+    from ray.data.aggregate import Min
+
+    def pairw(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        return pa.table({"a": pa.array(np.minimum(u, v), pa.int64()),
+                         "b": pa.array(np.maximum(u, v), pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    pair = (edges.map_batches(pairw, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Min("w", alias_name="w")))
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "v": pa.array(np.concatenate([bb, a]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    bi = pair.map_batches(bidirect, batch_format="pyarrow").materialize()
+    if bi.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "dist": pa.array([], pa.int64())}))
+    if source is None:
+        source = int(bi.min("u"))
+
+    state = rd.from_arrow(pa.table({
+        "node": pa.array([int(source)], pa.int64()),
+        "dist": pa.array([0], pa.int64())})).materialize()
+    n_prev, s_prev = 1, 0
+
+    for _ in range(max_rounds):
+        cand = drop_empty_blocks(bi).join(
+            drop_empty_blocks(state), join_type="inner",
+            num_partitions=num_partitions, on=("u",), right_on=("node",))
+
+        def relax(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": b["v"],
+                "dist": pc.add(b["dist"].combine_chunks(),
+                               b["w"].combine_chunks())})
+
+        nxt = (cand.map_batches(relax, batch_format="pyarrow")
+               .union(state)
+               .groupby("node").aggregate(Min("dist", alias_name="dist"))
+               .materialize())
+        n_now, s_now = nxt.count(), int(nxt.sum("dist"))
+        state = nxt
+        if (n_now, s_now) == (n_prev, s_prev):
+            return state          # monotone fold: unchanged ⇒ fixpoint
+        n_prev, s_prev = n_now, s_now
+    raise AssertionError(
+        f"SSSP did not converge within {max_rounds} relaxation rounds")
+
+
 def bfs_distances(edges, sources, src_col: str = "subj_id",
                   dst_col: str = "obj_id", mode: str = "broadcast",
                   max_rounds: int = 64, num_partitions: int | None = None):

@@ -353,3 +353,20 @@ def test_truss_edges_golden_and_cascade():
                        "obj_id": [2, 3, 4, 1, 3]})
     out2 = truss_edges(rd.from_pandas(e2), k=4)
     assert out2.count() == 0
+
+
+def test_sssp_weighted_golden():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import sssp_weighted
+
+    # weighted path beats fewer hops: 1-2 (w=10) vs 1-3-2 (w=2+3)
+    # parallel rows between 1 and 4 keep the MIN weight (7 over 9)
+    e = pd.DataFrame({
+        "subj_id": [1, 1, 3, 1, 4, 5],
+        "obj_id":  [2, 3, 2, 4, 1, 6],
+        "weight":  [10, 2, 3, 9, 7, 1]})
+    out = (sssp_weighted(rd.from_pandas(e)).to_pandas()
+           .set_index("node")["dist"].to_dict())
+    # source = smallest node = 1; nodes 5,6 unreachable
+    assert out == {1: 0, 2: 5, 3: 2, 4: 7}
