@@ -1059,6 +1059,18 @@ def _q_token_quantiles(sf_dir: str):
                                  _QUANTILES)
 
 
+def _q_flag_quantiles_cont(sf_dir: str):
+    """Per-returnflag interpolated quantiles of l_quantity — the grouped
+    percentile_cont path (shuffle bounded by groups × distinct values,
+    per-group micro-index interpolation)."""
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+
+    return grouped_quantiles_cont(
+        read_table(sf_dir, "lineitem", ["l_returnflag", "l_quantity"]),
+        "l_returnflag", "l_quantity", [0.25, 0.5, 0.75, 0.9])
+
+
 def _q_token_quantiles_cont(sf_dir: str):
     """Interpolated (percentile_cont / type-7) quantiles of per-doc token
     counts — micro-index interpolation over the same value-count
@@ -1736,6 +1748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "token_quantiles": _q_token_quantiles,
         "token_quantiles_cont": _q_token_quantiles_cont,
+        "flag_quantiles_cont": _q_flag_quantiles_cont,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "heavy_hitter_tokens": _q_heavy_hitters,
         "dedup_clusters": _q_dedup_clusters,
@@ -1900,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),
         "token_quantiles": oracle.token_quantiles_oracle(),
         "token_quantiles_cont": oracle.token_quantiles_cont_oracle(),
+        "flag_quantiles_cont": oracle.flag_quantiles_cont_oracle(),
         "doc_len_quantiles": oracle.grouped_quantiles_oracle(),
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),

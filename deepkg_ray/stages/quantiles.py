@@ -276,3 +276,55 @@ def token_count_quantiles_cont(ds, qs: list[float], text_col: str = "text"):
     counted = ds.map_batches(
         lambda b: add_token_count(b, text_col), batch_format="pyarrow")
     return quantiles_cont(counted, "n_tokens", qs)
+
+
+def grouped_quantiles_cont(ds, group_col: str, col: str, qs: list[float]):
+    """Per-group INTERPOLATED quantiles (percentile_cont / type-7) of a
+    float column quantized to int64 micros: grouped_quantiles_disc's
+    distributed plan — per-batch (group, micros) count partials, one
+    groupby-Sum shuffle bounded by groups × distinct values, per-group
+    pick inside map_groups — with quantiles_cont's micro-index
+    interpolation in the pick.  Op chain per quantile:
+    value = round6((v_lo + (frac·(v_hi − v_lo)) / 1e6) / 1e6) on micros —
+    mirrored verbatim in SQL.  Returns (group, q, value float64)."""
+    import pandas as pd
+    from deepkg_ray.functions.numeric import round6, to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            group_col: b[group_col].to_pylist(),
+            "vm": to_micros(b[col].to_pylist()),
+        })
+        g = (df.groupby([group_col, "vm"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "vm"]).aggregate(Sum("n", alias_name="n")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vm", kind="stable")
+        values = g["vm"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        out_q, out_v = [], []
+        for q in qs:
+            q_micros = int(np.floor(q * 1e6 + 0.5))
+            hm = q_micros * (n - 1)
+            lo, frac = hm // 1_000_000, hm % 1_000_000
+            p_lo = int(np.searchsorted(cum, lo + 1, side="left"))
+            v_lo = int(values[min(p_lo, len(values) - 1)])
+            if frac > 0:
+                p_hi = int(np.searchsorted(cum, lo + 2, side="left"))
+                v_hi = int(values[min(p_hi, len(values) - 1)])
+            else:
+                v_hi = v_lo
+            out_q.append(q)
+            out_v.append(float(round6(np.asarray(
+                [(v_lo + (frac * (v_hi - v_lo)) / 1e6) / 1e6]))[0]))
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]] * len(out_q),
+                             "q": np.asarray(out_q, np.float64),
+                             "value": np.asarray(out_v, np.float64)})
+
+    return hist.groupby(group_col).map_groups(pick, batch_format="pandas")

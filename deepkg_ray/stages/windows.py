@@ -584,49 +584,79 @@ def resample_ohlc(ds, window_sec: int = 300, user_col: str = "user_id",
     row per (user, window) seen in that block — the partial
     (first_key, first_vm, last_key, last_vm, vmin, vmax, n) is
     associative-mergeable, so the shuffle carries O(keys x blocks) tiny
-    rows, never the events.  Merge is a groupby over the unbounded
-    (user, window) key space (CLAUDE.md: Ray groupby, not treeagg, for
-    unbounded keys).  Values travel as int64 micros; the float divide +
+    rows, never the events.  Partials merge inside user-complete coarse
+    hash partitions — two lexsorts + reduceat per partition, never a
+    per-key Python call (the unbounded (user, window) key space shuffles
+    as ~64 coarse parts).  Values travel as int64 micros; the float divide +
     round6 happens once at finish (oracle: events_resample_oracle, same
     op chain via row_number rn=1 / rn=n joins)."""
     win_us = window_sec * 1_000_000
 
     def partials(b: pa.Table) -> pd.DataFrame:
         us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
-        df = pd.DataFrame({
-            "u": b[user_col].to_numpy(zero_copy_only=False),
-            "w": (us // win_us) * win_us,
-            "us": us,
-            "eid": b[id_col].to_numpy(zero_copy_only=False),
-            "vm": to_micros(b[value_col].to_pylist()),
-        })
-        df = df.sort_values(["u", "w", "us", "eid"], kind="stable")
-        g = df.groupby(["u", "w"], sort=False)
-        agg = g.agg(first_us=("us", "first"), first_eid=("eid", "first"),
-                    first_vm=("vm", "first"), last_us=("us", "last"),
-                    last_eid=("eid", "last"), last_vm=("vm", "last"),
-                    vmin=("vm", "min"), vmax=("vm", "max"),
-                    n=("vm", "size")).reset_index()
-        return agg
-
-    def merge(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["first_us", "first_eid"], kind="stable")
-        first = part.iloc[0]
-        last = part.sort_values(["last_us", "last_eid"],
-                                kind="stable").iloc[-1]
+        u = b[user_col].to_numpy(zero_copy_only=False)
+        w = (us // win_us) * win_us
+        eid = b[id_col].to_numpy(zero_copy_only=False)
+        vm = to_micros(b[value_col].to_pylist())
+        # one lexsort, then segment extrema via reduceat — no pandas
+        # mixed-function agg (CLAUDE.md: that's the slow per-group path)
+        order = np.lexsort((eid, us, w, u))
+        u, w, us, eid, vm = u[order], w[order], us[order], eid[order], \
+            vm[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1]))))
+        ends = np.concatenate((starts[1:], [len(u)]))
         return pd.DataFrame({
-            user_col: [part["u"].iloc[0]],
-            "window_start_us": np.asarray([part["w"].iloc[0]], np.int64),
-            "n_events": np.asarray([part["n"].sum()], np.int64),
-            "v_first": round6(np.asarray([first["first_vm"]]) / 1e6),
-            "v_last": round6(np.asarray([last["last_vm"]]) / 1e6),
-            "v_min": round6(np.asarray([part["vmin"].min()]) / 1e6),
-            "v_max": round6(np.asarray([part["vmax"].max()]) / 1e6),
+            "u": u[starts], "w": w[starts],
+            "first_us": us[starts], "first_eid": eid[starts],
+            "first_vm": vm[starts],
+            "last_us": us[ends - 1], "last_eid": eid[ends - 1],
+            "last_vm": vm[ends - 1],
+            "vmin": np.minimum.reduceat(vm, starts),
+            "vmax": np.maximum.reduceat(vm, starts),
+            "n": (ends - starts).astype(np.int64),
+        })
+
+    def add_part(df: pd.DataFrame, n_parts: int = 64) -> pd.DataFrame:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(df["u"].tolist())
+        df["part"] = (h % np.uint64(n_parts)).astype(np.int32)
+        return df
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # user-complete partition: every partial of a (u, w) key is here.
+        # firsts by (first_us, first_eid) order, lasts by (last_us,
+        # last_eid) — two lexsorts + reduceat, no per-key Python.
+        u = g["u"].to_numpy()
+        w = g["w"].to_numpy(np.int64)
+        of = np.lexsort((g["first_eid"].to_numpy(), g["first_us"].to_numpy(),
+                         w, u))
+        seg = np.concatenate(([True], (u[of][1:] != u[of][:-1])
+                              | (w[of][1:] != w[of][:-1])))
+        starts = np.flatnonzero(seg)
+        ends = np.concatenate((starts[1:], [len(u)]))
+        ol = np.lexsort((g["last_eid"].to_numpy(), g["last_us"].to_numpy(),
+                         w, u))
+        return pd.DataFrame({
+            user_col: u[of][starts],
+            "window_start_us": w[of][starts],
+            "n_events": np.add.reduceat(
+                g["n"].to_numpy(np.int64)[of], starts).astype(np.int64),
+            "v_first": round6(
+                g["first_vm"].to_numpy(np.int64)[of][starts] / 1e6),
+            "v_last": round6(
+                g["last_vm"].to_numpy(np.int64)[ol][ends - 1] / 1e6),
+            "v_min": round6(np.minimum.reduceat(
+                g["vmin"].to_numpy(np.int64)[of], starts) / 1e6),
+            "v_max": round6(np.maximum.reduceat(
+                g["vmax"].to_numpy(np.int64)[of], starts) / 1e6),
         })
 
     parts = ds.select_columns([user_col, ts_col, id_col, value_col]) \
-        .map_batches(partials, batch_format="pyarrow")
-    return parts.groupby(["u", "w"]).map_groups(merge, batch_format="pandas")
+        .map_batches(partials, batch_format="pyarrow") \
+        .map_batches(add_part, batch_format="pandas")
+    return parts.groupby("part").map_groups(merge_partition,
+                                            batch_format="pandas")
 
 
 def state_history(ds, user_col: str = "user_id", ts_col: str = "ts",

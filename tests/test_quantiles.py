@@ -88,3 +88,21 @@ def test_quantiles_cont_matches_numpy_type7():
     ref = np.quantile(vals, qs)               # numpy default = type-7
     assert out["q"].tolist() == qs
     assert np.allclose(out["value"].to_numpy(), ref, atol=2e-6)
+
+
+def test_grouped_quantiles_cont_matches_numpy_per_group():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    rng = {"a": np.array([1.0, 2.0, 3.5, 10.0]),
+           "b": np.array([5.0, 5.0, 7.25])}
+    df = pd.DataFrame({
+        "g": np.repeat(list(rng), [len(v) for v in rng.values()]),
+        "v": np.concatenate(list(rng.values()))})
+    qs = [0.25, 0.5, 0.75]
+    out = (grouped_quantiles_cont(rd.from_pandas(df), "g", "v", qs)
+           .to_pandas().sort_values(["g", "q"]).reset_index(drop=True))
+    for g, vals in rng.items():
+        got = out[out["g"] == g]["value"].to_numpy()
+        assert np.allclose(got, np.quantile(vals, qs), atol=2e-6), g
