@@ -1014,6 +1014,14 @@ def _q_kg_ppr(sf_dir: str):
                                         n_seeds=2, n_iters=5)
 
 
+def _q_kg_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED KG (forward-backward
+    min-label coloring, join-shaped; component = min SCC member)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import scc_components
+    return scc_components(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_sssp(sf_dir: str):
     """Weighted shortest paths from the smallest KG node (Bellman-Ford
     join+Min-groupby rounds to monotone fixpoint; pair weight = min
@@ -1768,6 +1776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,
         "kg_truss": _q_kg_truss,
         "kg_sssp": _q_kg_sssp,
+        "kg_scc": _q_kg_scc,
         "kg_hits": _q_kg_hits,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
@@ -1932,6 +1941,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": oracle.kg_ppr_oracle(SF_ORACLE, n_seeds=2),
         "kg_truss": oracle.kg_truss_oracle(SF_ORACLE, k=3, n_rounds=8),
         "kg_sssp": oracle.kg_sssp_oracle(SF_ORACLE, rounds=16),
+        "kg_scc": oracle.kg_scc_oracle(SF_ORACLE),
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),

@@ -3408,3 +3408,34 @@ SELECT grp AS l_returnflag, q,
          AS value
 FROM el
 """
+
+
+def kg_scc_oracle(sf_dir: str) -> str:
+    """Strongly connected components by definition, for
+    stages/graph.scc_components: recursive directed transitive closure,
+    mutual-reach pairs, component = min(mutual partners ∪ self) — the
+    same id (min SCC member) the FW-BW coloring assigns."""
+    return f"""
+WITH RECURSIVE {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+reach(u, v) AS (
+  SELECT s, d FROM dedges
+  UNION
+  SELECT r.u, e.d FROM reach r JOIN dedges e ON r.v = e.s
+),
+mutual AS (
+  SELECT r1.u AS a, r1.v AS b
+  FROM reach r1 JOIN reach r2 ON r1.u = r2.v AND r1.v = r2.u
+)
+SELECT nd.node,
+       CAST(least(nd.node, COALESCE(min(m.a), nd.node)) AS BIGINT)
+         AS component
+FROM nodes nd LEFT JOIN mutual m ON m.b = nd.node
+GROUP BY nd.node
+"""

@@ -866,6 +866,187 @@ def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
 
 
 
+
+def scc_components(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                   max_outer: int = 12, max_rounds: int = 32,
+                   num_partitions: int | None = None):
+    """Strongly connected components of the DIRECTED simple graph via
+    forward-backward min-label coloring (Orzan-style FW-BW, the standard
+    distributed SCC): per outer round, (1) forward fixpoint lab[v] = min
+    ancestor-or-self (join+Min rounds, monotone — Σlab unchanged ⇒
+    fixpoint), (2) backward reach of each color root WITHIN its color
+    class (intra-color edges only; count unchanged ⇒ fixpoint),
+    (3) settle reached nodes with component = color root (an SCC is never
+    split across colors: mutual reachability ⇒ identical ancestor sets ⇒
+    identical min label; the settled root's component is exactly its
+    SCC's minimum member), (4) remove settled nodes.  Nodes that lose all
+    edges settle as singletons at the end.  Assertion documents
+    non-termination instead of returning a partial labeling.
+
+    Everything is join-shaped (nothing node-sized on the driver beyond
+    per-round scalar convergence counters).  Returns (node, component)
+    with component = min SCC member id, matching the recursive-closure
+    SQL oracle (kg_scc_oracle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    active = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def nodes_of(ds_edges):
+        def both(b: pa.Table) -> pa.Table:
+            nd = np.unique(np.concatenate(
+                [b["s"].to_numpy(zero_copy_only=False),
+                 b["d"].to_numpy(zero_copy_only=False)]))
+            return pa.table({"node": pa.array(nd, pa.int64())})
+        return (ds_edges.map_batches(both, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+
+    all_nodes = nodes_of(active).materialize()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+    if all_nodes.count() == 0:
+        return rd.from_arrow(empty)
+
+    settled_parts = []
+
+    for _ in range(max_outer):
+        if active.count() == 0:
+            break
+        nodes = nodes_of(active).materialize()
+        n_nodes = nodes.count()
+
+        # ---- forward min-label fixpoint: lab[v] = min(ancestors ∪ {v})
+        lab = nodes.map_batches(
+            lambda b: pa.table({"node": b["node"], "lab": b["node"]}),
+            batch_format="pyarrow").materialize()
+        s_prev = int(lab.sum("lab"))
+        for _r in range(max_rounds):
+            cand = drop_empty_blocks(active).join(
+                drop_empty_blocks(lab), join_type="inner",
+                num_partitions=num_partitions, on=("s",),
+                right_on=("node",))
+            prop = cand.map_batches(
+                lambda b: pa.table({"node": b["d"], "lab": b["lab"]}),
+                batch_format="pyarrow")
+            lab = (prop.union(lab).groupby("node")
+                   .aggregate(Min("lab", alias_name="lab")).materialize())
+            s_now = int(lab.sum("lab"))
+            if s_now == s_prev:
+                break
+            s_prev = s_now
+        else:
+            raise AssertionError("SCC forward fixpoint did not converge")
+
+        # ---- intra-color edges: keep (s, d) where lab[s] == lab[d]
+        lab_s = lab.map_batches(
+            lambda b: b.rename_columns(["ns", "lab_s"]),
+            batch_format="pyarrow")
+        lab_d = lab.map_batches(
+            lambda b: b.rename_columns(["nd", "lab_d"]),
+            batch_format="pyarrow")
+        es = drop_empty_blocks(active).join(
+            drop_empty_blocks(lab_s), join_type="inner",
+            num_partitions=num_partitions, on=("s",), right_on=("ns",))
+        esd = drop_empty_blocks(es).join(
+            drop_empty_blocks(lab_d), join_type="inner",
+            num_partitions=num_partitions, on=("d",), right_on=("nd",))
+
+        def intra(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b["lab_s"], b["lab_d"])
+            return b.filter(keep).select(["s", "d"])
+        el = esd.map_batches(intra, batch_format="pyarrow").materialize()
+
+        # ---- backward reach of color roots within the color class
+        reached = lab.map_batches(
+            lambda b: b.filter(pc.equal(b["node"], b["lab"]))
+            .select(["node"]),
+            batch_format="pyarrow").materialize()
+        n_prev = reached.count()
+        # no intra-color edges ⇒ roots are already the whole reach set
+        # (empty-left joins break pyarrow schema resolution; see
+        # util.drop_empty_blocks)
+        if el.count() > 0:
+            for _r in range(max_rounds):
+                cand = drop_empty_blocks(el).join(
+                    drop_empty_blocks(reached), join_type="inner",
+                    num_partitions=num_partitions, on=("d",),
+                    right_on=("node",)).materialize()
+                if cand.count() == 0:
+                    break       # nothing flows into the reach set
+                prop = cand.map_batches(
+                    lambda b: pa.table({"node": b["s"]}),
+                    batch_format="pyarrow")
+                reached = (prop.union(reached).groupby("node")
+                           .aggregate(Count(alias_name="_c"))
+                           .drop_columns(["_c"]).materialize())
+                n_now = reached.count()
+                if n_now == n_prev:
+                    break
+                n_prev = n_now
+            else:
+                raise AssertionError(
+                    "SCC backward fixpoint did not converge")
+
+        # ---- settle: reached nodes, component = their color label
+        settled = drop_empty_blocks(lab).join(
+            drop_empty_blocks(reached.map_batches(
+                lambda b: b.rename_columns(["rn"]),
+                batch_format="pyarrow")),
+            join_type="inner", num_partitions=num_partitions,
+            on=("node",), right_on=("rn",)).map_batches(
+            lambda b: pa.table({"node": b["node"], "component": b["lab"]}),
+            batch_format="pyarrow").materialize()
+        settled_parts.append(settled)
+
+        # ---- remove settled nodes from the active graph (two anti-joins)
+        sn = settled.map_batches(lambda b: b.select(["node"]),
+                                 batch_format="pyarrow")
+        empty_edges = rd.from_arrow(pa.table({
+            "s": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}))
+        a1 = drop_empty_blocks(active).join(
+            drop_empty_blocks(sn), join_type="left_anti",
+            num_partitions=num_partitions, on=("s",),
+            right_on=("node",)).materialize()
+        if a1.count() == 0:     # all-empty left breaks pyarrow joins
+            active = empty_edges
+            continue
+        active = drop_empty_blocks(a1).join(
+            drop_empty_blocks(sn), join_type="left_anti",
+            num_partitions=num_partitions, on=("d",),
+            right_on=("node",)).materialize()
+    assert active.count() == 0, (
+        f"SCC coloring did not terminate within {max_outer} outer rounds")
+
+    out = settled_parts[0]
+    for p in settled_parts[1:]:
+        out = out.union(p)
+    # nodes that lost every edge before being reached: singleton SCCs
+    done = out.map_batches(lambda b: b.select(["node"]),
+                           batch_format="pyarrow")
+    leftover = drop_empty_blocks(all_nodes).join(
+        drop_empty_blocks(done.map_batches(
+            lambda b: b.rename_columns(["dn"]), batch_format="pyarrow")),
+        join_type="left_anti", num_partitions=num_partitions,
+        on=("node",), right_on=("dn",)).map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["node"]}),
+        batch_format="pyarrow")
+    return out.union(leftover)
+
+
 def sssp_weighted(edges, source: int | None = None,
                   src_col: str = "subj_id", dst_col: str = "obj_id",
                   weight_col: str = "weight", max_rounds: int = 16,

@@ -370,3 +370,16 @@ def test_sssp_weighted_golden():
            .set_index("node")["dist"].to_dict())
     # source = smallest node = 1; nodes 5,6 unreachable
     assert out == {1: 0, 2: 5, 3: 2, 4: 7}
+
+
+def test_scc_components_golden():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import scc_components
+
+    # cycle {1,2,3}, 2-cycle {5,6}, bridge 3->5, DAG tail 6->7
+    e = pd.DataFrame({"subj_id": [1, 2, 3, 3, 5, 6, 6],
+                      "obj_id":  [2, 3, 1, 5, 6, 5, 7]})
+    out = (scc_components(rd.from_pandas(e)).to_pandas()
+           .set_index("node")["component"].to_dict())
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
