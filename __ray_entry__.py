@@ -1523,6 +1523,52 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_events_cume_dist(sf_dir: str):
+    """Tie-aware cume_dist() window per event_type (exact-micros tie
+    classes, vectorized searchsorted per key)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cume_dist_events
+    return cume_dist_events(read_events(
+        sf_dir, ["event_id", "event_type", "value"]))
+
+
+def _q_mode_event_type(sf_dir: str):
+    """Grouped MODE aggregate: each user's most frequent event type,
+    deterministic lexicographic tie-break (count groupby + user-complete
+    partition argmax)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import mode_per_user
+    return mode_per_user(read_events(sf_dir, ["user_id", "event_type"]))
+
+
+def _q_part_unpivot(sf_dir: str):
+    """UNPIVOT/melt reshape of part's numeric measures to long form —
+    stateless per-batch melt, no shuffle."""
+    from deepkg_ray.pipelines.relational import part_unpivot
+    return part_unpivot(sf_dir)
+
+
+def _q_order_priority_counts(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
+    priority (lineitem collapsed to max-shipdate per order before the join)."""
+    from deepkg_ray.pipelines.relational import order_priority_counts
+    return order_priority_counts(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-shaped conditional-aggregation join: PROMO-part revenue
+    share for one shipdate month, exact micros sums, one final division."""
+    from deepkg_ray.pipelines.relational import promo_revenue
+    return promo_revenue(sf_dir)
+
+
+def _q_large_volume_customers(sf_dir: str):
+    """TPC-H Q18-shaped HAVING semi-join: heavy-quantity orders joined back
+    to orders+customer, deterministic top-100 by totalprice."""
+    from deepkg_ray.pipelines.relational import large_volume_customers
+    return large_volume_customers(sf_dir)
+
+
 def _q_events_regression(sf_dir: str):
     """Per-type OLS fit value ~ hour-of-day (mergeable integer moments,
     fixed-op-chain DOUBLE finish)."""
@@ -1849,6 +1895,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
+        "order_priority_counts": _q_order_priority_counts,
+        "promo_revenue": _q_promo_revenue,
+        "large_volume_customers": _q_large_volume_customers,
+        "events_cume_dist": _q_events_cume_dist,
+        "mode_event_type": _q_mode_event_type,
+        "part_unpivot": _q_part_unpivot,
         "events_resample": _q_events_resample,
         "snapshot_diff": _q_snapshot_diff,
         "fk_audit": _q_fk_audit,
@@ -2010,6 +2062,12 @@ def oracle_sql() -> dict[str, str]:
         "events_regression": oracle.regression_events_oracle(),
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
+        "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "promo_revenue": oracle.promo_revenue_oracle(),
+        "large_volume_customers": oracle.large_volume_customers_oracle(),
+        "events_cume_dist": oracle.cume_dist_events_oracle(),
+        "mode_event_type": oracle.mode_per_user_oracle(),
+        "part_unpivot": oracle.part_unpivot_oracle(),
         "events_resample": oracle.events_resample_oracle(window_sec=300),
         "snapshot_diff": oracle.snapshot_diff_oracle(),
         "fk_audit": oracle.fk_audit_oracle(),

@@ -3439,3 +3439,108 @@ SELECT nd.node,
 FROM nodes nd LEFT JOIN mutual m ON m.b = nd.node
 GROUP BY nd.node
 """
+
+
+def order_priority_counts_oracle() -> str:
+    """TPC-H Q4 mirror of pipelines/relational.order_priority_counts: the
+    EXISTS correlated subquery the engine rewrites as max(shipdate) > odate."""
+    return """
+SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate))
+GROUP BY o.o_orderpriority
+"""
+
+
+def promo_revenue_oracle(month_start: str = "1997-09-01",
+                         month_end: str = "1997-10-01") -> str:
+    """TPC-H Q14 mirror of pipelines/relational.promo_revenue: both sums as
+    exact int64 micros, one final 100·promo/total double division (the same
+    op chain as the engine)."""
+    return f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+             THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6
+                             + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6
+                             + 0.5) AS BIGINT)) AS DOUBLE) AS promo_revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE epoch_us(l.l_shipdate) >= epoch_us(TIMESTAMP '{month_start}')
+  AND epoch_us(l.l_shipdate) <  epoch_us(TIMESTAMP '{month_end}')
+"""
+
+
+def large_volume_customers_oracle(min_qty: float = 300.0,
+                                  k: int = 100) -> str:
+    """TPC-H Q18 mirror of pipelines/relational.large_volume_customers:
+    HAVING on the exact micros quantity sum, deterministic
+    (-totalprice_micros, orderkey) top-k."""
+    thresh = int(round(min_qty * 1e6))
+    return f"""
+WITH heavy AS (
+  SELECT l_orderkey,
+         SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS qty_micros
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) > {thresh}
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+       CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT) / 1e6
+         AS o_totalprice,
+       h.qty_micros / 1e6 AS sum_qty
+FROM heavy h
+JOIN orders o   ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT) DESC,
+         o.o_orderkey
+LIMIT {k}
+"""
+
+
+def cume_dist_events_oracle() -> str:
+    """cume_dist mirror of stages/windows.cume_dist_events — tie classes on
+    exact value micros, the engine's floor-based 6-dp round."""
+    return """
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+)
+SELECT event_id, event_type,
+       floor(cume_dist() OVER (PARTITION BY event_type ORDER BY vm)
+             * 1e6 + 0.5) / 1e6 AS cume_dist
+FROM v
+"""
+
+
+def mode_per_user_oracle() -> str:
+    """Grouped-mode mirror of stages/windows.mode_per_user: highest count
+    wins, ties to the lexicographically smallest type."""
+    return """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY cnt DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode_type, cnt AS mode_count
+FROM r WHERE rn = 1
+"""
+
+
+def part_unpivot_oracle() -> str:
+    """UNION-ALL melt mirror of pipelines/relational.part_unpivot."""
+    return """
+SELECT p_partkey, 'p_retailprice' AS measure,
+       CAST(floor(p_retailprice * 1e6 + 0.5) AS BIGINT) / 1e6 AS value
+FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+FROM part
+"""

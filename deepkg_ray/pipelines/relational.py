@@ -485,3 +485,231 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
             "o_orderdate_us": b["o_orderdate_us"],
             "o_orderpriority": b["o_orderpriority"]})
     return topk.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_counts(sf_dir: str):
+    """TPC-H Q4-shaped EXISTS semi-join: per order priority, how many orders
+    have at least one lineitem shipped AFTER the order date (late-shipped).
+
+    The EXISTS correlated subquery is rewritten as an aggregate semi-join:
+    EXISTS(l_shipdate > o_orderdate) ⟺ max(l_shipdate) > o_orderdate, so
+    lineitem is reduced to ONE row per orderkey (a Max groupby, combiner-
+    first) before the hash join — the join never sees lineitem fan-out, and
+    the final groupby is over the 5-value priority dictionary (tree-merge
+    sized).  Reference analog: the predicate-driven record filters of
+    sel2record (sel2record.py:212-260) lifted to relational shape."""
+    from ray.data.aggregate import Max
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_us": b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    max_ship = (li.map_batches(li_proj, batch_format="pyarrow")
+                .groupby("l_orderkey")
+                .aggregate(Max("ship_us", alias_name="max_ship_us")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    ords = orders.map_batches(ord_proj, batch_format="pyarrow")
+    j = drop_empty_blocks(ords).join(
+        drop_empty_blocks(max_ship), join_type="inner",
+        num_partitions=nparts, on=("o_orderkey",), right_on=("l_orderkey",))
+
+    late = j.map_batches(
+        lambda b: b.filter(pc.greater(b["max_ship_us"], b["odate_us"]))
+                   .select(["o_orderpriority"]),
+        batch_format="pyarrow")
+
+    agg = late.groupby("o_orderpriority").aggregate(
+        Count(alias_name="order_count"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "order_count": b["order_count"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def promo_revenue(sf_dir: str, month_start: str = "1997-09-01",
+                  month_end: str = "1997-10-01"):
+    """TPC-H Q14-shaped promotion-revenue share: 100 × Σ rev over PROMO parts
+    / Σ rev over all parts, for lineitems shipped inside one month.
+
+    Scale shape: lineitem is FILTERED at the first map over the read (the
+    shipdate predicate belongs in the row-group filter at 100 TB) and
+    projected to (l_partkey, rev_micros); part is projected to a boolean
+    (p_partkey, is_promo) and hash-joined; the conditional aggregation is a
+    per-batch combiner emitting ONE (promo, total) micros row per batch, so
+    the global step sums a handful of rows.  Both sums are exact int64
+    micros; the single final division is the only float op, mirrored
+    verbatim in the SQL oracle."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    lo_us = int(pd.Timestamp(month_start).value // 1_000)
+    hi_us = int(pd.Timestamp(month_end).value // 1_000)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (ship >= lo_us) & (ship < hi_us)
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)[keep]
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)[keep]
+        return pa.table({
+            "l_partkey": pa.array(
+                b["l_partkey"].to_numpy(zero_copy_only=False)[keep]),
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)), pa.int64()),
+        })
+
+    lif = li.map_batches(li_partial, batch_format="pyarrow")
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+
+    def part_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b["p_partkey"],
+            "is_promo": pc.starts_with(b["p_type"], "PROMO"),
+        })
+
+    pd_side = parts.map_batches(part_proj, batch_format="pyarrow")
+    j = drop_empty_blocks(lif).join(
+        drop_empty_blocks(pd_side), join_type="inner",
+        num_partitions=nparts, on=("l_partkey",), right_on=("p_partkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        rev = b["rev_micros"].to_numpy(zero_copy_only=False)
+        promo = b["is_promo"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table({
+            "promo_micros": pa.array([int(rev[promo].sum())], pa.int64()),
+            "total_micros": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    # the join's hash shuffle emits 0-row blocks that map_batches passes
+    # through un-invoked — strip them so every partial block has the
+    # (promo_micros, total_micros) schema the Sum sees
+    partials = drop_empty_blocks(j).map_batches(combine,
+                                                batch_format="pyarrow")
+    agg = partials.aggregate(Sum("promo_micros", alias_name="p"),
+                             Sum("total_micros", alias_name="t"))
+    p, t = int(agg["p"] or 0), int(agg["t"] or 0)
+    return pa.table({
+        "promo_revenue": pa.array([100.0 * p / t if t else 0.0], pa.float64()),
+    })
+
+
+def large_volume_customers(sf_dir: str, min_qty: float = 300.0,
+                           k: int = 100):
+    """TPC-H Q18-shaped HAVING-driven semi-join: orders whose total lineitem
+    quantity exceeds min_qty, joined back to orders and customer, top-k by
+    (o_totalprice desc, orderkey).
+
+    The HAVING clause acts as the semi-join driver: lineitem collapses to
+    (orderkey, qty_micros) via a combiner-first Sum groupby, the threshold
+    filter shrinks it to the rare heavy orders BEFORE either hash join, so
+    both joins move only survivor-sized tables.  Quantity is summed in exact
+    int64 micros; the top-k sort key includes orderkey so the LIMIT is
+    deterministic."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    thresh = int(round(min_qty * 1e6))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty_micros": pa.array(to_micros(b["l_quantity"].to_pylist()),
+                                   pa.int64())})
+
+    heavy = (li.map_batches(li_partial, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .aggregate(Sum("qty_micros", alias_name="qty_micros"))
+             .map_batches(lambda b: b.filter(pc.greater(
+                 b["qty_micros"].combine_chunks(), thresh)),
+                 batch_format="pyarrow"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                                              .cast(pa.int64()),
+            "price_micros": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                                     pa.int64())})
+
+    ords = orders.map_batches(ord_proj, batch_format="pyarrow")
+    j1 = drop_empty_blocks(heavy).join(
+        drop_empty_blocks(ords), join_type="inner",
+        num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    j2 = drop_empty_blocks(j1).join(
+        drop_empty_blocks(cust), join_type="inner",
+        num_partitions=nparts, on=("o_custkey",), right_on=("c_custkey",))
+
+    topk = (j2.map_batches(
+        lambda b: b.append_column(
+            "neg_price", pc.negate(b["price_micros"].combine_chunks())),
+        batch_format="pyarrow")
+        .sort(["neg_price", "l_orderkey"]).limit(k))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": b["c_name"],
+            "c_custkey": b["o_custkey"],
+            "o_orderkey": b["l_orderkey"],
+            "o_orderdate_us": b["o_orderdate_us"],
+            "o_totalprice": pa.array(
+                np.asarray(b["price_micros"].to_pylist(), np.float64) / 1e6),
+            "sum_qty": pa.array(
+                np.asarray(b["qty_micros"].to_pylist(), np.float64) / 1e6)})
+    return topk.map_batches(finish, batch_format="pyarrow")
+
+
+def part_unpivot(sf_dir: str):
+    """UNPIVOT/melt reshape: part's numeric measures (retailprice, size) to
+    long form (p_partkey, measure, value) — the inverse of the pivot
+    crosstab, as a stateless fully-parallel map (each batch melts locally,
+    no shuffle at any scale).  retailprice goes through the shared micros
+    round so the double equals SQL's; size is an exact int→double cast."""
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def melt(b: pa.Table) -> pa.Table:
+        keys = b["p_partkey"].to_numpy(zero_copy_only=False)
+        price = np.asarray(
+            to_micros(b["p_retailprice"].to_pylist()), np.int64) / 1e6
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(keys)
+        return pa.table({
+            "p_partkey": pa.array(np.concatenate([keys, keys])),
+            "measure": pa.array(["p_retailprice"] * n + ["p_size"] * n),
+            "value": pa.array(np.concatenate([price, size])),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")

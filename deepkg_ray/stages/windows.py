@@ -859,3 +859,73 @@ def running_distinct(ds, user_col: str = "user_id", ts_col: str = "ts",
         .map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def cume_dist_events(ds, key_col: str = "event_type",
+                     id_col: str = "event_id", value_col: str = "value"):
+    """SQL ``cume_dist()`` per key over value order — the TIE-AWARE rank
+    window (every row in a tie class shares the fraction of rows ≤ it),
+    complementing rank_events' tie-free percent_rank.
+
+    Values are compared as exact int64 micros on both sides so tie classes
+    are identical to the oracle's.  Per-key plan: one sorted pass,
+    cume = searchsorted(vm, vm, 'right')/n, vectorized.  Partitioning
+    assumption as rank_events: per-key rows fit one task (dictionary-sized
+    key domain); salt + offset-merge for open domains.  Returns
+    (event_id, event_type, cume_dist)."""
+    def add_vm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col], id_col: b[id_col],
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+        })
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vm", id_col], kind="stable")
+        vm = g["vm"].to_numpy(np.int64)
+        n = len(g)
+        cume = round6(np.searchsorted(vm, vm, side="right") / n)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             key_col: g[key_col].to_numpy(),
+                             "cume_dist": cume})
+
+    return (ds.select_columns([key_col, id_col, value_col])
+            .map_batches(add_vm, batch_format="pyarrow")
+            .groupby(key_col).map_groups(per_key, batch_format="pandas"))
+
+
+def mode_per_user(ds, user_col: str = "user_id", key_col: str = "event_type",
+                  n_parts: int = 64):
+    """Grouped MODE: each user's most frequent event type, ties broken by
+    lexicographically smallest type — the statistical-mode aggregate SQL
+    spells as row_number() over (partition by user order by cnt desc, type).
+
+    Plan: (user, type) Count groupby first (combiner-first, output bounded
+    by users × type-dictionary), then user-complete coarse hash partitions
+    where one lexsort + first-row-per-user pass picks the argmax — the
+    per-partition merge pattern of interarrival_gaps, never one task per
+    user.  Returns (user_id, mode_type, mode_count)."""
+    counts = (ds.select_columns([user_col, key_col])
+              .groupby([user_col, key_col])
+              .aggregate(Count(alias_name="cnt")))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], key_col: b[key_col],
+            "cnt": b["cnt"].combine_chunks().cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "cnt", key_col],
+                          ascending=[True, False, True], kind="stable")
+        users = g[user_col].to_numpy()
+        first = np.concatenate(([True], users[1:] != users[:-1]))
+        return pd.DataFrame({user_col: users[first],
+                             "mode_type": g[key_col].to_numpy()[first],
+                             "mode_count": g["cnt"].to_numpy(np.int64)[first]})
+
+    parted = counts.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

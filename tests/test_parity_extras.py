@@ -350,3 +350,66 @@ def test_shipping_priority_sql_parity(sf_dir):
     assert (eng["o_orderdate_us"].to_numpy()
             == ora["o_orderdate_us"].to_numpy()).all()
     assert eng["o_orderpriority"].tolist() == ora["o_orderpriority"].tolist()
+
+
+def test_order_priority_counts_sql_parity(sf_dir):
+    """TPC-H Q4 shape: engine's max-shipdate semi-join rewrite equals the
+    EXISTS correlated subquery."""
+    import duckdb
+    from deepkg_ray import oracle
+    from deepkg_ray.pipelines.relational import order_priority_counts
+    eng = (order_priority_counts(sf_dir).to_pandas()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["orders", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    ora = (con.execute(oracle.order_priority_counts_oracle()).df()
+           .sort_values("o_orderpriority").reset_index(drop=True))
+    assert len(eng) == len(ora) > 0
+    assert eng["o_orderpriority"].tolist() == ora["o_orderpriority"].tolist()
+    assert eng["order_count"].tolist() == ora["order_count"].tolist()
+
+
+def test_promo_revenue_sql_parity(sf_dir):
+    """TPC-H Q14 shape: micros-exact conditional aggregation over the
+    part join matches SQL to the shared 6-dp contract."""
+    import duckdb
+    from deepkg_ray import oracle
+    from deepkg_ray.pipelines.relational import promo_revenue
+    eng = promo_revenue(sf_dir).to_pandas()
+    con = duckdb.connect()
+    for t in ["lineitem", "part"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    ora = con.execute(oracle.promo_revenue_oracle()).df()
+    assert len(eng) == 1
+    v_e, v_o = float(eng["promo_revenue"][0]), float(ora["promo_revenue"][0])
+    assert 0.0 < v_e < 100.0
+    assert round(v_e, 6) == round(v_o, 6)
+
+
+def test_large_volume_customers_sql_parity(sf_dir):
+    """TPC-H Q18 shape: HAVING-driven semi-join survivors and deterministic
+    top-k match SQL exactly."""
+    import duckdb
+    import numpy as np
+    from deepkg_ray import oracle
+    from deepkg_ray.pipelines.relational import large_volume_customers
+    eng = (large_volume_customers(sf_dir).to_pandas()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    ora = (con.execute(oracle.large_volume_customers_oracle()).df()
+           .sort_values("o_orderkey").reset_index(drop=True))
+    assert len(eng) == len(ora) > 0
+    assert eng["o_orderkey"].tolist() == ora["o_orderkey"].tolist()
+    assert eng["c_name"].tolist() == ora["c_name"].tolist()
+    assert np.isclose(eng["o_totalprice"].to_numpy(),
+                      ora["o_totalprice"].to_numpy()).all()
+    assert np.isclose(eng["sum_qty"].to_numpy(),
+                      ora["sum_qty"].to_numpy()).all()
+    # every survivor really exceeds the threshold
+    assert (eng["sum_qty"] > 300.0).all()

@@ -798,3 +798,32 @@ def test_running_distinct_golden():
     out = (windows.running_distinct(rd.from_pandas(df))
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     assert out["n_distinct_types"].tolist() == [1, 2, 2, 3, 1, 1]
+
+
+def test_cume_dist_tie_classes():
+    """Tied values share the fraction-of-rows-≤ (cume_dist), unlike the
+    tie-free percent_rank."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.windows import cume_dist_events
+    df = pd.DataFrame({"event_id": [1, 2, 3, 4],
+                       "event_type": ["a"] * 4,
+                       "value": [1.0, 1.0, 2.0, 3.0]})
+    out = (cume_dist_events(rd.from_pandas(df))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert out["cume_dist"].tolist() == [0.5, 0.5, 0.75, 1.0]
+
+
+def test_mode_per_user_tie_break():
+    """Highest count wins; equal counts fall to the lexicographically
+    smallest type."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.windows import mode_per_user
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_type": ["b", "b", "a", "c", "a"]})
+    out = (mode_per_user(rd.from_pandas(df))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert out["mode_type"].tolist() == ["b", "a"]
+    assert out["mode_count"].tolist() == [2, 1]
