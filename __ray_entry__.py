@@ -1523,6 +1523,14 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_kg_closeness(sf_dir: str):
+    """Landmark closeness centrality for the 4 smallest entity ids over the
+    built KG — one labeled Bellman-Ford fixpoint runs all seeds together."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import closeness_centrality
+    return closeness_centrality(kg.adjacency_dataset(sf_dir), k_seeds=4)
+
+
 def _q_events_cume_dist(sf_dir: str):
     """Tie-aware cume_dist() window per event_type (exact-micros tie
     classes, vectorized searchsorted per key)."""
@@ -1898,6 +1906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": _q_order_priority_counts,
         "promo_revenue": _q_promo_revenue,
         "large_volume_customers": _q_large_volume_customers,
+        "kg_closeness": _q_kg_closeness,
         "events_cume_dist": _q_events_cume_dist,
         "mode_event_type": _q_mode_event_type,
         "part_unpivot": _q_part_unpivot,
@@ -2065,6 +2074,9 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracle.order_priority_counts_oracle(),
         "promo_revenue": oracle.promo_revenue_oracle(),
         "large_volume_customers": oracle.large_volume_customers_oracle(),
+        "kg_closeness": oracle.closeness_centrality_oracle(SF_ORACLE,
+                                                           k_seeds=4,
+                                                           rounds=8),
         "events_cume_dist": oracle.cume_dist_events_oracle(),
         "mode_event_type": oracle.mode_per_user_oracle(),
         "part_unpivot": oracle.part_unpivot_oracle(),

@@ -3544,3 +3544,40 @@ UNION ALL
 SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
 FROM part
 """
+
+
+def closeness_centrality_oracle(sf_dir: str, k_seeds: int = 4,
+                                rounds: int = 8) -> str:
+    """Unrolled labeled min-fold BFS for stages/graph.closeness_centrality:
+    seeds are the k smallest node ids of the bidirected simple KG graph;
+    rounds beyond the diameter are no-ops (monotone fold, same argument as
+    kg_bfs_oracle).  Finish mirrors the engine's (n_reach−1)/Σdist double
+    division."""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION ALL
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT u AS s FROM e0 ORDER BY u LIMIT {k_seeds}),
+d0(seed, node, dist) AS (SELECT s, s, 0 FROM seeds)"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{i}
+    UNION ALL
+    SELECT d.seed, e.v AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY seed, node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT seed, CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(sum(dist) AS BIGINT) AS total_dist,
+       CASE WHEN sum(dist) > 0
+            THEN CAST(count(*) - 1 AS DOUBLE) / CAST(sum(dist) AS DOUBLE)
+            ELSE 0.0 END AS closeness
+FROM d{rounds}
+GROUP BY seed
+""")

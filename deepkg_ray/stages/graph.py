@@ -1485,3 +1485,95 @@ def random_walks(edges, steps: int = 4, start_mod: int = 3,
         "start": np.concatenate(out_start),
         "step": np.concatenate(out_step),
         "node": np.concatenate(out_node)}))
+
+
+def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
+                         dst_col: str = "obj_id", max_rounds: int = 32,
+                         num_partitions: int | None = None):
+    """Landmark closeness centrality: exact per-seed BFS distances for the
+    ``k_seeds`` smallest node ids, folded to (n_reach, Σdist, closeness =
+    (n_reach−1)/Σdist) per seed — the landmark-sampling estimator for
+    closeness at scale (run it on a node sample; each seed's column is an
+    exact BFS).
+
+    One LABELED Bellman-Ford over composite state (seed, node, dist) runs
+    all seeds together: per round one hash join (edges ⋈ state on node)
+    plus one Min-groupby on (seed, node) — k seeds cost one fixpoint, not k
+    (the SSSP machinery of sssp_weighted with a seed label carried through
+    the fold).  The fold is monotone, so convergence is "(pair count,
+    Σdist) unchanged".  Nothing node-sized touches the driver except the
+    k-row seed pick."""
+    import ray.data as rd
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+    from ray.data.aggregate import Count as _Count, Min, Sum as _Sum
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bi = edges.map_batches(bidirect, batch_format="pyarrow").materialize()
+    empty = pa.table({"seed": pa.array([], pa.int64()),
+                      "n_reach": pa.array([], pa.int64()),
+                      "total_dist": pa.array([], pa.int64()),
+                      "closeness": pa.array([], pa.float64())})
+    if bi.count() == 0:
+        return rd.from_arrow(empty)
+
+    seed_rows = (bi.select_columns(["u"]).groupby("u")
+                 .aggregate(_Count(alias_name="c"))
+                 .sort("u").limit(k_seeds).to_pandas())
+    seeds = seed_rows["u"].astype(np.int64).tolist()
+
+    state = rd.from_arrow(pa.table({
+        "seed": pa.array(seeds, pa.int64()),
+        "node": pa.array(seeds, pa.int64()),
+        "dist": pa.array([0] * len(seeds), pa.int64())})).materialize()
+    n_prev, s_prev = len(seeds), 0
+
+    for _ in range(max_rounds):
+        cand = drop_empty_blocks(bi).join(
+            drop_empty_blocks(state), join_type="inner",
+            num_partitions=num_partitions, on=("u",), right_on=("node",))
+
+        def relax(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "seed": b["seed"],
+                "node": b["v"],
+                "dist": pc.add(b["dist"].combine_chunks(), 1)})
+
+        nxt = (cand.map_batches(relax, batch_format="pyarrow")
+               .union(state)
+               .groupby(["seed", "node"])
+               .aggregate(Min("dist", alias_name="dist"))
+               .materialize())
+        n_now, s_now = nxt.count(), int(nxt.sum("dist"))
+        state = nxt
+        if (n_now, s_now) == (n_prev, s_prev):
+            break                  # monotone fold: unchanged ⇒ fixpoint
+        n_prev, s_prev = n_now, s_now
+    else:
+        raise AssertionError(
+            f"labeled BFS did not converge within {max_rounds} rounds")
+
+    agg = (state.groupby("seed")
+           .aggregate(_Count(alias_name="n_reach"),
+                      _Sum("dist", alias_name="total_dist")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n_reach"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b["total_dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        clo = np.where(s > 0, (n - 1).astype(np.float64)
+                       / np.where(s > 0, s, 1).astype(np.float64), 0.0)
+        return pa.table({
+            "seed": b["seed"].combine_chunks().cast(pa.int64()),
+            "n_reach": pa.array(n, pa.int64()),
+            "total_dist": pa.array(s, pa.int64()),
+            "closeness": pa.array(clo, pa.float64())})
+    return agg.map_batches(finish, batch_format="pyarrow")

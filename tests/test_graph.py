@@ -383,3 +383,32 @@ def test_scc_components_golden():
     out = (scc_components(rd.from_pandas(e)).to_pandas()
            .set_index("node")["component"].to_dict())
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_closeness_centrality_path_graph():
+    """Path 1-2-3-4: closeness(1) = 3/(1+2+3), closeness(2) = 3/(1+1+2);
+    all 4 nodes are seeds (k=4), every seed reaches all 4 nodes."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import closeness_centrality
+    edges = pd.DataFrame({"subj_id": [1, 2, 3], "obj_id": [2, 3, 4]})
+    out = (closeness_centrality(rd.from_pandas(edges), k_seeds=4)
+           .to_pandas().sort_values("seed").reset_index(drop=True))
+    assert out["seed"].tolist() == [1, 2, 3, 4]
+    assert out["n_reach"].tolist() == [4, 4, 4, 4]
+    assert out["total_dist"].tolist() == [6, 4, 4, 6]
+    assert abs(out["closeness"][0] - 0.5) < 1e-12
+    assert abs(out["closeness"][1] - 0.75) < 1e-12
+
+
+def test_closeness_centrality_disconnected():
+    """Two components: a seed in the small component reaches only it."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import closeness_centrality
+    edges = pd.DataFrame({"subj_id": [1, 10], "obj_id": [2, 11]})
+    out = (closeness_centrality(rd.from_pandas(edges), k_seeds=2)
+           .to_pandas().sort_values("seed").reset_index(drop=True))
+    assert out["seed"].tolist() == [1, 2]
+    assert out["n_reach"].tolist() == [2, 2]
+    assert out["total_dist"].tolist() == [1, 1]
