@@ -379,6 +379,13 @@ def _q_pmi_bigrams(sf_dir: str):
     return pmi_bigrams(_docs(sf_dir, ["text"]))
 
 
+def _q_llr_collocations(sf_dir: str):
+    """Dunning G² collocation significance per bigram (margins re-derived
+    from the bigram count table; driver-tier finish like pmi_bigrams)."""
+    from deepkg_ray.stages.phrasemine import llr_collocations
+    return llr_collocations(_docs(sf_dir, ["text"]))
+
+
 def _q_neighbor_entropy(sf_dir: str):
     from deepkg_ray.stages.phrasemine import neighbor_entropy
     return neighbor_entropy(_docs(sf_dir, ["text"]), side="right")
@@ -1838,6 +1845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "pmi_bigrams": _q_pmi_bigrams,
+        "llr_collocations": _q_llr_collocations,
         "textrank_words": _q_textrank_words,
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
@@ -2009,6 +2017,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oracle.inverted_index_oracle(),
         "tfidf_top_terms": oracle.tfidf_top_terms_oracle(k=5),
         "pmi_bigrams": oracle.pmi_bigrams_oracle(),
+        "llr_collocations": oracle.llr_collocations_oracle(),
         "textrank_words": oracle.textrank_words_oracle(n_iters=5),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),

@@ -3581,3 +3581,46 @@ SELECT seed, CAST(count(*) AS BIGINT) AS n_reach,
 FROM d{rounds}
 GROUP BY seed
 """)
+
+
+def llr_collocations_oracle() -> str:
+    """Dunning G² mirror of stages/phrasemine.llr_collocations: margins and
+    N re-derived from the bigram count table, the four k·ln(kN/(row·col))
+    terms summed in the engine's fixed order, 6-dp floor round."""
+    t11 = ("CASE WHEN k11 > 0 THEN k11 * ln((k11 * n) / (r * c)) "
+           "ELSE 0 END")
+    t12 = ("CASE WHEN k12 > 0 THEN k12 * ln((k12 * n) / (r * (n - c))) "
+           "ELSE 0 END")
+    t21 = ("CASE WHEN k21 > 0 THEN k21 * ln((k21 * n) / ((n - r) * c)) "
+           "ELSE 0 END")
+    t22 = ("CASE WHEN k22 > 0 THEN k22 * ln((k22 * n) / ((n - r) * (n - c))) "
+           "ELSE 0 END")
+    return f"""
+WITH toks AS (
+  SELECT CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+), bc AS (
+  SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+), rm AS (
+  SELECT w1, CAST(sum(cnt) AS DOUBLE) AS r FROM bc GROUP BY w1
+), cm AS (
+  SELECT w2, CAST(sum(cnt) AS DOUBLE) AS c FROM bc GROUP BY w2
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM bc
+), cells AS (
+  SELECT bc.w1, bc.w2, bc.cnt, rm.r, cm.c, t.n,
+         CAST(bc.cnt AS DOUBLE)              AS k11,
+         rm.r - CAST(bc.cnt AS DOUBLE)       AS k12,
+         cm.c - CAST(bc.cnt AS DOUBLE)       AS k21,
+         t.n - rm.r - cm.c + CAST(bc.cnt AS DOUBLE) AS k22
+  FROM bc JOIN rm ON rm.w1 = bc.w1
+          JOIN cm ON cm.w2 = bc.w2, tot t
+)
+SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+       floor(2.0 * ({t11} + {t12} + {t21} + {t22}) * 1e6 + 0.5) / 1e6 AS llr
+FROM cells
+"""

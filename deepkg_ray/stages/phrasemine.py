@@ -568,3 +568,55 @@ def textrank_words(ds, n_iters: int = 5, text_col: str = "text",
                              pa.string()),
             "pr_scaled": b["pr_scaled"]})
     return pr.map_batches(decode, batch_format="pyarrow")
+
+
+def llr_collocations(ds, text_col: str = "text", min_count: int = 1):
+    """Dunning log-likelihood-ratio (G²) collocation scores per bigram —
+    the significance-test complement of pmi_bigrams (PMI over-rewards rare
+    pairs; G² weights by evidence).  Reference analog: the phrase-quality
+    scoring features of extractors.py:120-158, with the G² statistic from
+    Dunning (1993).
+
+    The 2×2 contingency is over bigram positions: k11 = c(w1,w2),
+    margins r = Σ_y c(w1,y) and c = Σ_x c(x,w2), N = Σ all bigrams — ALL
+    derivable from the bigram count table alone, so the distributed pass
+    is exactly ngram_counts(n=2) (per-batch combiner + one groupby); the
+    vocab²-bounded count table is finished on the driver (the
+    dictionary-bounded tier, as pmi_bigrams mode='driver').  The four
+    k·ln(kN/(row·col)) terms are summed in fixed order and rounded to 6 dp,
+    mirrored verbatim in the SQL oracle.  Returns
+    (w1, w2, cnt, llr) as pandas."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    partial = ds.select_columns([text_col]).map_batches(
+        lambda b: _explode_counts(b[text_col].to_pylist(), 2),
+        batch_format="pyarrow")
+    big = merge_partials(partial, ["w1", "w2"], {"cnt": "sum"}).to_pandas()
+    if len(big) == 0:
+        return pd.DataFrame({"w1": [], "w2": [], "cnt": [], "llr": []})
+
+    n = float(big["cnt"].sum())
+    r = big.groupby("w1")["cnt"].sum()
+    c = big.groupby("w2")["cnt"].sum()
+    k11 = big["cnt"].to_numpy(np.float64)
+    rr = r.loc[big["w1"]].to_numpy(np.float64)
+    cc = c.loc[big["w2"]].to_numpy(np.float64)
+    k12 = rr - k11
+    k21 = cc - k11
+    k22 = n - rr - cc + k11
+
+    def term(k, row, col):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = k * np.log((k * n) / (row * col))
+        return np.where(k > 0, t, 0.0)
+
+    llr = 2.0 * (term(k11, rr, cc) + term(k12, rr, n - cc)
+                 + term(k21, n - rr, cc) + term(k22, n - rr, n - cc))
+    out = pd.DataFrame({"w1": big["w1"].to_numpy(),
+                        "w2": big["w2"].to_numpy(),
+                        "cnt": big["cnt"].astype(np.int64).to_numpy(),
+                        "llr": round6(llr)})
+    if min_count > 1:
+        out = out[out["cnt"] >= min_count].reset_index(drop=True)
+    return out

