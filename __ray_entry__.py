@@ -1530,6 +1530,22 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_kg_diameter(sf_dir: str):
+    """2-sweep diameter lower bound over the built KG (two BFS passes,
+    far-node tie-break to the smallest id)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import diameter_2sweep
+    return diameter_2sweep(kg.adjacency_dataset(sf_dir))
+
+
+def _q_events_props_extract(sf_dir: str):
+    """Vectorized JSON-field extraction from the props column + per-type
+    integer stats (the semi-structured column path)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import props_extract_stats
+    return props_extract_stats(read_events(sf_dir, ["event_type", "props"]))
+
+
 def _q_kg_closeness(sf_dir: str):
     """Landmark closeness centrality for the 4 smallest entity ids over the
     built KG — one labeled Bellman-Ford fixpoint runs all seeds together."""
@@ -1915,6 +1931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
+        "kg_diameter": _q_kg_diameter,
+        "events_props_extract": _q_events_props_extract,
         "events_cume_dist": _q_events_cume_dist,
         "mode_event_type": _q_mode_event_type,
         "part_unpivot": _q_part_unpivot,
@@ -2083,6 +2101,8 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_counts": oracle.order_priority_counts_oracle(),
         "promo_revenue": oracle.promo_revenue_oracle(),
         "large_volume_customers": oracle.large_volume_customers_oracle(),
+        "kg_diameter": oracle.diameter_2sweep_oracle(SF_ORACLE, rounds=10),
+        "events_props_extract": oracle.events_props_extract_oracle(),
         "kg_closeness": oracle.closeness_centrality_oracle(SF_ORACLE,
                                                            k_seeds=4,
                                                            rounds=8),

@@ -3624,3 +3624,65 @@ SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
        floor(2.0 * ({t11} + {t12} + {t21} + {t22}) * 1e6 + 0.5) / 1e6 AS llr
 FROM cells
 """
+
+
+def diameter_2sweep_oracle(sf_dir: str, rounds: int = 10) -> str:
+    """2-sweep mirror of stages/graph.diameter_2sweep: two unrolled
+    min-fold BFS chains (monotone, surplus rounds no-ops), far node =
+    (max dist, smallest id) after sweep 1."""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION ALL
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+mn AS (SELECT min(u) AS s FROM e0),
+a0 AS (SELECT s AS node, 0 AS dist FROM mn)"""]
+    for i in range(rounds):
+        parts.append(f"""
+a{i + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM a{i}
+    UNION ALL
+    SELECT e.v AS node, d.dist + 1 AS dist
+    FROM a{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY node)""")
+    parts.append(f"""
+far AS (SELECT node FROM a{rounds}
+        WHERE dist = (SELECT max(dist) FROM a{rounds})
+        ORDER BY node LIMIT 1),
+b0 AS (SELECT node, 0 AS dist FROM far)""")
+    for i in range(rounds):
+        parts.append(f"""
+b{i + 1} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM b{i}
+    UNION ALL
+    SELECT e.v AS node, d.dist + 1 AS dist
+    FROM b{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT CAST((SELECT s FROM mn) AS BIGINT) AS src,
+       CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+       CAST(max(dist) AS BIGINT) AS diameter_lb
+FROM b{rounds}
+""")
+
+
+def events_props_extract_oracle() -> str:
+    """JSON-path mirror of the engine's vectorized regex extraction of the
+    props column's integer k (per-type min/max/sum/count)."""
+    return """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+  WHERE json_extract(props, '$.k') IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM x GROUP BY event_type
+"""

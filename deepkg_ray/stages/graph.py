@@ -1577,3 +1577,47 @@ def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
             "total_dist": pa.array(s, pa.int64()),
             "closeness": pa.array(clo, pa.float64())})
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def diameter_2sweep(edges, src_col: str = "subj_id",
+                    dst_col: str = "obj_id", max_rounds: int = 64):
+    """Graph-diameter lower bound by the classic 2-sweep heuristic
+    (Magnien, Latapy & Habib 2009): BFS from the smallest node id, then BFS
+    from the farthest node found (ties to the smallest id); the second
+    eccentricity is the bound — exact on trees, within a small factor on
+    real graphs, and two BFS passes instead of n.
+
+    Both sweeps reuse bfs_distances (frontier broadcast — the node
+    dictionary is driver-sized by that mode's documented contract); only
+    the (node, dist) tables, never edges, reach the driver.  Returns one
+    row (src, far_node, diameter_lb)."""
+    import ray.data as rd
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"u": pa.array(u[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    simple = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    if simple.count() == 0:
+        return rd.from_arrow(pa.table({
+            "src": pa.array([], pa.int64()),
+            "far_node": pa.array([], pa.int64()),
+            "diameter_lb": pa.array([], pa.int64())}))
+    seed = min(int(simple.min("u")), int(simple.min("v")))
+
+    def far_of(dist_df: pd.DataFrame) -> int:
+        mx = dist_df["dist"].max()
+        return int(dist_df.loc[dist_df["dist"] == mx, "node"].min())
+
+    d1 = bfs_distances(simple, [seed], src_col="u", dst_col="v",
+                       max_rounds=max_rounds).to_pandas()
+    far = far_of(d1)
+    d2 = bfs_distances(simple, [far], src_col="u", dst_col="v",
+                       max_rounds=max_rounds).to_pandas()
+    return rd.from_arrow(pa.table({
+        "src": pa.array([seed], pa.int64()),
+        "far_node": pa.array([far], pa.int64()),
+        "diameter_lb": pa.array([int(d2["dist"].max())], pa.int64())}))

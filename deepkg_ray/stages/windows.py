@@ -929,3 +929,40 @@ def mode_per_user(ds, user_col: str = "user_id", key_col: str = "event_type",
     parted = counts.map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def props_extract_stats(ds, props_col: str = "props",
+                        key_col: str = "event_type"):
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON props column with ONE vectorized regex pass (compiled once, pandas
+    str.extract — no per-row json.loads loop), then per-type
+    count/sum/min/max via combiner-first groupby.  Rows without the field
+    are dropped (the oracle's IS NOT NULL).  The regex '"k"\\s*:\\s*(\\d+)'
+    is in the re∩RE2 common subset, the same contract as scrub.py's PII
+    patterns, so DuckDB's json_extract agrees on this corpus shape.
+    Returns (event_type, n, sum_k, min_k, max_k)."""
+    from ray.data.aggregate import Count as _Count, Max, Min, Sum as _Sum
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[props_col].str.extract(r'"k"\s*:\s*(\d+)', expand=False)
+        ok = k.notna()
+        return pd.DataFrame({
+            key_col: df[key_col].to_numpy()[ok.to_numpy()],
+            "k": k[ok].astype(np.int64).to_numpy()})
+
+    agg = (ds.select_columns([key_col, props_col])
+           .map_batches(extract, batch_format="pandas")
+           .groupby(key_col)
+           .aggregate(_Count(alias_name="n"),
+                      _Sum("k", alias_name="sum_k"),
+                      Min("k", alias_name="min_k"),
+                      Max("k", alias_name="max_k")))
+
+    def cast(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: b[key_col],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_k": b["sum_k"].combine_chunks().cast(pa.int64()),
+            "min_k": b["min_k"].combine_chunks().cast(pa.int64()),
+            "max_k": b["max_k"].combine_chunks().cast(pa.int64())})
+    return agg.map_batches(cast, batch_format="pyarrow")

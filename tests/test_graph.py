@@ -412,3 +412,16 @@ def test_closeness_centrality_disconnected():
     assert out["seed"].tolist() == [1, 2]
     assert out["n_reach"].tolist() == [2, 2]
     assert out["total_dist"].tolist() == [1, 1]
+
+
+def test_diameter_2sweep_path_exact():
+    """2-sweep is exact on trees: path 5-6-7-8-9 has diameter 4; starting
+    from an interior smallest id still finds an endpoint."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import diameter_2sweep
+    edges = pd.DataFrame({"subj_id": [5, 6, 7, 8], "obj_id": [6, 7, 8, 9]})
+    out = diameter_2sweep(rd.from_pandas(edges)).to_pandas()
+    assert out["src"].tolist() == [5]
+    assert out["far_node"].tolist() == [9]
+    assert out["diameter_lb"].tolist() == [4]
