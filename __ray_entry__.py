@@ -1530,6 +1530,24 @@ def _q_shipping_priority(sf_dir: str):
     return shipping_priority(sf_dir)
 
 
+def _q_events_iqr_outliers(sf_dir: str):
+    """Tukey-fence outliers per event_type: grouped interpolated quartiles
+    in exact scaled-integer space, broadcast fences, pure-int64 boundary
+    test (the quantile-join-filter pattern)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_iqr_outliers
+    return grouped_iqr_outliers(read_events(
+        sf_dir, ["event_id", "event_type", "value"]))
+
+
+def _q_events_chi_square(sf_dir: str):
+    """Pearson χ² independence test of day-of-week × event_type over the
+    full margin grid (unobserved cells included)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import chi_square_independence
+    return chi_square_independence(read_events(sf_dir, ["ts", "event_type"]))
+
+
 def _q_kg_diameter(sf_dir: str):
     """2-sweep diameter lower bound over the built KG (two BFS passes,
     far-node tie-break to the smallest id)."""
@@ -1932,6 +1950,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
         "kg_diameter": _q_kg_diameter,
+        "events_iqr_outliers": _q_events_iqr_outliers,
+        "events_chi_square": _q_events_chi_square,
         "events_props_extract": _q_events_props_extract,
         "events_cume_dist": _q_events_cume_dist,
         "mode_event_type": _q_mode_event_type,
@@ -2102,6 +2122,8 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": oracle.promo_revenue_oracle(),
         "large_volume_customers": oracle.large_volume_customers_oracle(),
         "kg_diameter": oracle.diameter_2sweep_oracle(SF_ORACLE, rounds=10),
+        "events_iqr_outliers": oracle.grouped_iqr_outliers_oracle(),
+        "events_chi_square": oracle.chi_square_independence_oracle(),
         "events_props_extract": oracle.events_props_extract_oracle(),
         "kg_closeness": oracle.closeness_centrality_oracle(SF_ORACLE,
                                                            k_seeds=4,

@@ -3686,3 +3686,75 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        CAST(max(k) AS BIGINT) AS max_k
 FROM x GROUP BY event_type
 """
+
+
+def grouped_iqr_outliers_oracle() -> str:
+    """Tukey-fence mirror of stages/quantiles.grouped_iqr_outliers: the
+    grouped interpolated quartiles in the engine's exact scaled-integer
+    space, the 1.5 factor cleared to the 2·vm·1e6 vs 2·q1−3·IQR integer
+    comparison — boundary rows cannot flip."""
+    return """
+WITH base AS (
+  SELECT event_id, event_type AS grp,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+h AS (SELECT grp, vm, count(*) AS n FROM base GROUP BY grp, vm),
+c AS (SELECT grp, vm, sum(n) OVER (PARTITION BY grp ORDER BY vm) AS cum
+      FROM h),
+params AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY grp),
+qq(q, qm) AS (VALUES (0.25, 250000), (0.75, 750000)),
+pos AS (SELECT p.grp, q.q, q.qm * (p.n - 1) AS hm FROM params p, qq q),
+pick AS (SELECT grp, q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos),
+el AS (
+  SELECT p.grp, p.q, p.frac,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp AND cum > p.lo) AS vlo,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp
+          AND cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+),
+qscaled AS (
+  SELECT grp, q, vlo * 1000000 + frac * (vhi - vlo) AS qs FROM el
+),
+fences AS (
+  SELECT a.grp,
+         2 * a.qs - 3 * (b.qs - a.qs) AS lo2,
+         2 * b.qs + 3 * (b.qs - a.qs) AS hi2
+  FROM qscaled a JOIN qscaled b ON a.grp = b.grp
+  WHERE a.q = 0.25 AND b.q = 0.75
+)
+SELECT base.event_id, base.grp AS event_type, base.vm / 1e6 AS value
+FROM base JOIN fences f ON f.grp = base.grp
+WHERE 2 * base.vm * 1000000 < f.lo2 OR 2 * base.vm * 1000000 > f.hi2
+"""
+
+
+def chi_square_independence_oracle() -> str:
+    """χ² mirror of stages/windows.chi_square_independence: full
+    dow × type grid via margin cross join with COALESCE(0) observed,
+    the engine's (r·c)/N expected-count op chain, 6-dp floor round."""
+    return """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) % 7 AS dow, event_type
+  FROM events
+),
+cnt AS (SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM base GROUP BY dow, event_type),
+rows_ AS (SELECT dow, CAST(sum(n) AS DOUBLE) AS r FROM cnt GROUP BY dow),
+cols_ AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS c
+          FROM cnt GROUP BY event_type),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+               CAST(sum(n) AS BIGINT) AS n_int FROM cnt),
+grid AS (
+  SELECT r.dow, c.event_type, r.r, c.c,
+         CAST(COALESCE(cnt.n, 0) AS DOUBLE) AS o
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN cnt ON cnt.dow = r.dow AND cnt.event_type = c.event_type
+)
+SELECT floor(sum((g.o - (g.r * g.c) / t.nn) * (g.o - (g.r * g.c) / t.nn)
+                 / ((g.r * g.c) / t.nn)) * 1e6 + 0.5) / 1e6 AS chi2,
+       CAST(((SELECT count(*) FROM rows_) - 1)
+            * ((SELECT count(*) FROM cols_) - 1) AS BIGINT) AS dof,
+       CAST(max(t.n_int) AS BIGINT) AS n
+FROM grid g, tot t
+"""

@@ -328,3 +328,86 @@ def grouped_quantiles_cont(ds, group_col: str, col: str, qs: list[float]):
                              "value": np.asarray(out_v, np.float64)})
 
     return hist.groupby(group_col).map_groups(pick, batch_format="pandas")
+
+
+def grouped_iqr_outliers(ds, group_col: str = "event_type",
+                         col: str = "value", id_col: str = "event_id"):
+    """Tukey-fence outlier detection per group: rows whose value falls
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR] of their group's interpolated
+    quartiles — the quantile-join-filter pattern (compute a per-group
+    statistic, broadcast it back, filter the stream).
+
+    The quartiles come from grouped_quantiles_cont's histogram plan, kept
+    in the EXACT scaled-integer space q_s = v_lo·1e6 + frac·(v_hi − v_lo)
+    (micros × 1e6); the 1.5 factor is cleared to integers by comparing
+    2·vm·1e6 against 2·q1_s − 3·IQR_s, so the fence test is pure int64 on
+    both sides — no float round can flip a boundary row.  Requires
+    |value| < 4.6e5 (2·vm·1e6 must fit int64; asserted).  The per-group
+    fence table is dictionary-sized and is broadcast into the filter map;
+    the event stream itself never shuffles.  Returns
+    (event_id, event_type, value) for outlier rows."""
+    import pandas as pd
+    import ray
+    from deepkg_ray.functions.numeric import to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            group_col: b[group_col].to_pylist(),
+            "vm": to_micros(b[col].to_pylist()),
+        })
+        g = (df.groupby([group_col, "vm"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "vm"]).aggregate(Sum("n", alias_name="n")))
+
+    def pick_q_s(g: pd.DataFrame, q: float) -> int:
+        values = g["vm"].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        hm = q_micros * (n - 1)
+        lo, frac = hm // 1_000_000, hm % 1_000_000
+        p_lo = int(np.searchsorted(cum, lo + 1, side="left"))
+        v_lo = int(values[min(p_lo, len(values) - 1)])
+        if frac > 0:
+            p_hi = int(np.searchsorted(cum, lo + 2, side="left"))
+            v_hi = int(values[min(p_hi, len(values) - 1)])
+        else:
+            v_hi = v_lo
+        return v_lo * 1_000_000 + frac * (v_hi - v_lo)
+
+    def fences(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vm", kind="stable")
+        assert int(np.abs(g["vm"].to_numpy(np.int64)).max()) < 4_600_000_000_000, \
+            "grouped_iqr_outliers requires |value| < 4.6e5 (int64 fence space)"
+        q1s, q3s = pick_q_s(g, 0.25), pick_q_s(g, 0.75)
+        iqr = q3s - q1s
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "lo2": [2 * q1s - 3 * iqr],
+                             "hi2": [2 * q3s + 3 * iqr]})
+
+    fence_df = (hist.groupby(group_col)
+                .map_groups(fences, batch_format="pandas").to_pandas())
+    fence_ref = ray.put({r[group_col]: (int(r["lo2"]), int(r["hi2"]))
+                         for _, r in fence_df.iterrows()})
+
+    def flag(b: pa.Table, ref=fence_ref) -> pa.Table:
+        fen = ray.get(ref)
+        grp = b[group_col].to_pylist()
+        vm = np.asarray(to_micros(b[col].to_pylist()), np.int64)
+        lo2 = np.asarray([fen[g][0] for g in grp], np.int64)
+        hi2 = np.asarray([fen[g][1] for g in grp], np.int64)
+        vm2 = 2 * vm * 1_000_000
+        keep = (vm2 < lo2) | (vm2 > hi2)
+        return pa.table({
+            id_col: pa.array(
+                b[id_col].to_numpy(zero_copy_only=False)[keep]),
+            group_col: pa.array(np.asarray(grp, object)[keep], pa.string()),
+            col: pa.array(vm[keep].astype(np.float64) / 1e6, pa.float64())})
+
+    return ds.select_columns([id_col, group_col, col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -966,3 +966,46 @@ def props_extract_stats(ds, props_col: str = "props",
             "min_k": b["min_k"].combine_chunks().cast(pa.int64()),
             "max_k": b["max_k"].combine_chunks().cast(pa.int64())})
     return agg.map_batches(cast, batch_format="pyarrow")
+
+
+def chi_square_independence(ds, ts_col: str = "ts",
+                            type_col: str = "event_type"):
+    """Pearson χ² test of independence between day-of-week and event type:
+    χ² = Σ_cells (O − E)²/E with E = row·col/N over the FULL dow × type
+    grid (unobserved cells contribute E, as the test requires).
+
+    The distributed pass is the dictionary-bounded (dow, type) Count
+    groupby of pivot_counts; the ≤ 7×|types| grid is finished in one final
+    task — margins, expected counts and the cell sum never exist
+    distributed.  All counts are exact int64; E and the terms are doubles
+    (cross-backend Σ-order differences are below the 6-dp contract).
+    Returns one row (chi2, dof, n)."""
+    def add_keys(b: pa.Table) -> pa.Table:
+        us = (b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+              .to_numpy(zero_copy_only=False))
+        dow = (us // 86_400_000_000) % 7
+        return pa.table({"dow": pa.array(dow, pa.int64()),
+                         type_col: b[type_col]})
+
+    grid = (ds.select_columns([ts_col, type_col])
+            .map_batches(add_keys, batch_format="pyarrow")
+            .groupby(["dow", type_col]).aggregate(Count(alias_name="n")))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        wide = (df.pivot_table(index="dow", columns=type_col, values="n",
+                               aggfunc="sum", fill_value=0)
+                .astype(np.int64))
+        obs = wide.to_numpy(np.float64)
+        r = obs.sum(axis=1, keepdims=True)
+        c = obs.sum(axis=0, keepdims=True)
+        n = obs.sum()
+        e = (r * c) / n
+        chi2 = float(round6(np.asarray(
+            [np.sum((obs - e) * (obs - e) / e)]))[0])
+        dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+        return pd.DataFrame({"chi2": [chi2],
+                             "dof": np.asarray([dof], np.int64),
+                             "n": np.asarray([int(n)], np.int64)})
+
+    return grid.repartition(1).map_batches(finish, batch_format="pandas",
+                                           batch_size=None)

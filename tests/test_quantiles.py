@@ -106,3 +106,20 @@ def test_grouped_quantiles_cont_matches_numpy_per_group():
     for g, vals in rng.items():
         got = out[out["g"] == g]["value"].to_numpy()
         assert np.allclose(got, np.quantile(vals, qs), atol=2e-6), g
+
+
+def test_grouped_iqr_outliers_golden():
+    """19 uniform values + one far spike per group: exactly the spike is
+    fenced out; a tight group with no spike emits nothing."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import grouped_iqr_outliers
+    vals_a = [float(i) for i in range(1, 20)] + [1000.0]
+    vals_b = [5.0, 5.5, 6.0, 6.5, 7.0]
+    df = pd.DataFrame({
+        "event_id": list(range(25)),
+        "event_type": ["a"] * 20 + ["b"] * 5,
+        "value": vals_a + vals_b})
+    out = grouped_iqr_outliers(rd.from_pandas(df)).to_pandas()
+    assert out["event_id"].tolist() == [19]
+    assert out["value"].tolist() == [1000.0]

@@ -827,3 +827,26 @@ def test_mode_per_user_tie_break():
            .to_pandas().sort_values("user_id").reset_index(drop=True))
     assert out["mode_type"].tolist() == ["b", "a"]
     assert out["mode_count"].tolist() == [2, 1]
+
+
+def test_chi_square_independence_golden():
+    """Perfectly independent 2×2 grid (counts proportional to margins) has
+    χ² = 0; a diagonal-only grid has χ² = n."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.windows import chi_square_independence
+    day0 = pd.Timestamp("1970-01-01")
+    day1 = pd.Timestamp("1970-01-02")
+    # independent: each dow sees both types at the same ratio
+    rows = ([(day0, "x")] * 2 + [(day0, "y")] * 2
+            + [(day1, "x")] * 3 + [(day1, "y")] * 3)
+    df = pd.DataFrame(rows, columns=["ts", "event_type"])
+    out = chi_square_independence(rd.from_pandas(df)).to_pandas()
+    assert out["chi2"][0] == 0.0
+    assert out["dof"][0] == 1
+    assert out["n"][0] == 10
+    # diagonal: complete dependence, chi2 == n for a 2x2
+    rows2 = [(day0, "x")] * 5 + [(day1, "y")] * 5
+    df2 = pd.DataFrame(rows2, columns=["ts", "event_type"])
+    out2 = chi_square_independence(rd.from_pandas(df2)).to_pandas()
+    assert out2["chi2"][0] == 10.0
