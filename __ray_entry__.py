@@ -1597,6 +1597,122 @@ def _q_part_unpivot(sf_dir: str):
     return part_unpivot(sf_dir)
 
 
+
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shaped left-outer count distribution: per order count
+    (including 0), how many customers placed exactly that many orders."""
+    from deepkg_ray.pipelines.relational import customer_order_distribution
+    return customer_order_distribution(sf_dir)
+
+
+def _q_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22-shaped anti-join: above-positive-average-balance customers
+    with no orders, counted/summed per nation (division-cleared threshold,
+    native left_anti join)."""
+    from deepkg_ray.pipelines.relational import dormant_rich_customers
+    return dormant_rich_customers(sf_dir)
+
+
+def _q_small_lot_revenue(sf_dir: str):
+    """TPC-H Q17-shaped correlated-average filter: revenue of below-20%%-of-
+    part-average lots for one brand, integer-exact threshold."""
+    from deepkg_ray.pipelines.relational import small_lot_revenue
+    return small_lot_revenue(sf_dir)
+
+
+def _q_supplier_share_nations(sf_dir: str):
+    """TPC-H Q11-shaped global-threshold HAVING: nations holding >5%% of
+    total supplier balance (division-cleared against one broadcast scalar)."""
+    from deepkg_ray.pipelines.relational import supplier_share_nations
+    return supplier_share_nations(sf_dir)
+
+
+
+def _q_events_mad(sf_dir: str):
+    """Grouped median absolute deviation per event type — doubled-micros
+    exact medians, two distinct-bounded histogram passes."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_mad
+    return grouped_mad(read_events(sf_dir, ["event_type", "value"]))
+
+
+def _q_events_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov D between click and view value
+    distributions, division-cleared integer max."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import ks_two_sample
+    return ks_two_sample(read_events(sf_dir, ["event_type", "value"]))
+
+
+def _q_events_auc(sf_dir: str):
+    """ROC AUC of value as a purchase-detector score, exact average-rank
+    tie handling in doubled integer space."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import roc_auc
+    return roc_auc(read_events(sf_dir, ["event_type", "value"]))
+
+
+def _q_events_drawdown(sf_dir: str):
+    """Per-user max drawdown of the cumulative value series (chained
+    SUM-OVER / MAX-OVER windows on user-complete partitions)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import max_drawdown
+    return max_drawdown(read_events(sf_dir, ["user_id", "event_id", "ts",
+                                             "value"]))
+
+
+
+def _q_token_zipf_fit(sf_dir: str):
+    """Zipf-law OLS fit (ln freq ~ ln rank) over the top-500 corpus
+    unigrams — corpus-health diagnostic, big-int exact moments."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import token_zipf_fit
+    return token_zipf_fit(read_documents(sf_dir, ["text"]))
+
+
+def _q_token_burstiness(sf_dir: str):
+    """Variance-to-mean ratio of per-doc term frequency for the top-50
+    tokens (burstiness, zeros included) — division-cleared exact."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import token_burstiness
+    return token_burstiness(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_source_kl(sf_dir: str):
+    """KL divergence between two sources' add-one-smoothed unigram
+    distributions — domain-shift monitor, ln-micros integer sum."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_kl_divergence
+    return source_kl_divergence(
+        read_documents(sf_dir, ["source", "text"]))
+
+
+
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10-shaped returned-item revenue: top-20 customers by
+    returned-lineitem revenue with nation attached."""
+    from deepkg_ray.pipelines.relational import returned_item_customers
+    return returned_item_customers(sf_dir)
+
+
+def _q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15-shaped top supplier WITH TIES over one quarter."""
+    from deepkg_ray.pipelines.relational import top_supplier_revenue
+    return top_supplier_revenue(sf_dir)
+
+
+def _q_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16-shaped distinct-supplier counts per (brand, type)."""
+    from deepkg_ray.pipelines.relational import brand_supplier_counts
+    return brand_supplier_counts(sf_dir)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped OR-of-conjuncts revenue filter."""
+    from deepkg_ray.pipelines.relational import disjunctive_revenue
+    return disjunctive_revenue(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -1714,6 +1830,16 @@ def _q_kg_linkpred(sf_dir: str):
     from deepkg_ray.pipelines import kg
     from deepkg_ray.stages.graph import link_prediction
     return link_prediction(kg.adjacency_dataset(sf_dir), min_cn=2)
+
+
+
+def _q_kg_linkpred_scores(sf_dir: str):
+    """Full structural link-prediction score family over the KG: common
+    neighbors, resource allocation, Adamic-Adar, endpoint-degree Jaccard —
+    degree table joined distributed, no driver state."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import link_prediction_scores
+    return link_prediction_scores(kg.adjacency_dataset(sf_dir), min_cn=2)
 
 
 def _q_kg_linkpred_truncated(sf_dir: str):
@@ -1946,6 +2072,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "returned_item_customers": _q_returned_item_customers,
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        "brand_supplier_counts": _q_brand_supplier_counts,
+        "disjunctive_revenue": _q_disjunctive_revenue,
+        "token_zipf_fit": _q_token_zipf_fit,
+        "token_burstiness": _q_token_burstiness,
+        "source_kl": _q_source_kl,
+        "events_mad": _q_events_mad,
+        "events_ks": _q_events_ks,
+        "events_auc": _q_events_auc,
+        "events_drawdown": _q_events_drawdown,
+        "customer_order_distribution": _q_customer_order_distribution,
+        "dormant_rich_customers": _q_dormant_rich_customers,
+        "small_lot_revenue": _q_small_lot_revenue,
+        "supplier_share_nations": _q_supplier_share_nations,
         "promo_revenue": _q_promo_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
@@ -1972,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
         "lang_confusion": _q_lang_confusion,
@@ -2119,6 +2261,21 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "returned_item_customers": oracle.returned_item_customers_oracle(),
+        "top_supplier_revenue": oracle.top_supplier_revenue_oracle(),
+        "brand_supplier_counts": oracle.brand_supplier_counts_oracle(),
+        "disjunctive_revenue": oracle.disjunctive_revenue_oracle(),
+        "token_zipf_fit": oracle.token_zipf_fit_oracle(),
+        "token_burstiness": oracle.token_burstiness_oracle(),
+        "source_kl": oracle.source_kl_divergence_oracle(),
+        "events_mad": oracle.grouped_mad_oracle(),
+        "events_ks": oracle.ks_two_sample_oracle(),
+        "events_auc": oracle.roc_auc_oracle(),
+        "events_drawdown": oracle.max_drawdown_oracle(),
+        "customer_order_distribution": oracle.customer_order_distribution_oracle(),
+        "dormant_rich_customers": oracle.dormant_rich_customers_oracle(),
+        "small_lot_revenue": oracle.small_lot_revenue_oracle(),
+        "supplier_share_nations": oracle.supplier_share_nations_oracle(),
         "promo_revenue": oracle.promo_revenue_oracle(),
         "large_volume_customers": oracle.large_volume_customers_oracle(),
         "kg_diameter": oracle.diameter_2sweep_oracle(SF_ORACLE, rounds=10),
@@ -2148,6 +2305,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred": oracle.kg_linkpred_oracle(SF_ORACLE, min_cn=2),
         "kg_linkpred_truncated": oracle.kg_linkpred_oracle(
             SF_ORACLE, min_cn=2, max_degree=60),
+        "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),

@@ -3758,3 +3758,426 @@ SELECT floor(sum((g.o - (g.r * g.c) / t.nn) * (g.o - (g.r * g.c) / t.nn)
        CAST(max(t.n_int) AS BIGINT) AS n
 FROM grid g, tot t
 """
+
+
+def customer_order_distribution_oracle() -> str:
+    """TPC-H Q13 mirror of relational.customer_order_distribution: LEFT JOIN
+    preserves zero-order customers, identical to the engine's left_outer
+    join + fill_null(0)."""
+    return """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey) per_cust
+GROUP BY c_count
+"""
+
+
+def dormant_rich_customers_oracle(cutoff: str = "2000-01-01") -> str:
+    """TPC-H Q22 mirror of relational.dormant_rich_customers: the avg
+    comparison cleared of division (micros·n > sum_micros) exactly as the
+    engine does, NOT EXISTS = the engine's left_anti join."""
+    return f"""
+WITH cm AS (SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_micros,
+                   c_acctbal
+            FROM customer),
+     avgpos AS (SELECT CAST(coalesce(SUM(bal_micros), 0) AS BIGINT) AS s,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM cm WHERE c_acctbal > 0.0)
+SELECT CAST(cm.c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(cm.bal_micros) AS BIGINT) AS totacctbal_micros,
+       CAST(CAST(SUM(cm.bal_micros) AS BIGINT) AS DOUBLE) / 1e6
+           AS totacctbal
+FROM cm, avgpos
+WHERE cm.bal_micros * avgpos.n > avgpos.s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cm.c_custkey
+                    AND epoch_us(o.o_orderdate)
+                        >= epoch_us(TIMESTAMP '{cutoff}'))
+GROUP BY cm.c_nationkey
+"""
+
+
+def small_lot_revenue_oracle(brand: str = "Brand#23") -> str:
+    """TPC-H Q17 mirror of relational.small_lot_revenue: the 0.2·avg
+    threshold cleared of division (qm·5·n < sum_qm), revenue in exact
+    micros, the same /7.0/1e6 finish chain."""
+    return f"""
+WITH li AS (SELECT l.l_partkey,
+                   CAST(floor(l.l_quantity * 1e6 + 0.5) AS BIGINT) AS qm,
+                   CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT) AS em
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+                       AND p.p_brand = '{brand}'),
+     st AS (SELECT l_partkey, CAST(SUM(qm) AS BIGINT) AS sq,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM li GROUP BY l_partkey)
+SELECT CAST(coalesce(SUM(li.em), 0) AS BIGINT) AS total_micros,
+       CAST(CAST(coalesce(SUM(li.em), 0) AS BIGINT) AS DOUBLE) / 7.0 / 1e6
+           AS avg_yearly
+FROM li JOIN st ON st.l_partkey = li.l_partkey
+WHERE li.qm * 5 * st.n < st.sq
+"""
+
+
+def supplier_share_nations_oracle(pct_twentieths: int = 1) -> str:
+    """TPC-H Q11 mirror of relational.supplier_share_nations: HAVING cleared
+    of division (nation_sum·20 > global_sum·k), inner join to nation."""
+    return f"""
+WITH sm AS (SELECT s_nationkey,
+                   CAST(floor(s_acctbal * 1e6 + 0.5) AS BIGINT) AS bal_micros
+            FROM supplier),
+     tot AS (SELECT CAST(coalesce(SUM(bal_micros), 0) AS BIGINT) AS t
+             FROM sm)
+SELECT CAST(sm.s_nationkey AS BIGINT) AS nationkey,
+       n.n_name,
+       CAST(SUM(sm.bal_micros) AS BIGINT) AS value_micros
+FROM sm JOIN nation n ON n.n_nationkey = sm.s_nationkey, tot
+GROUP BY sm.s_nationkey, n.n_name, tot.t
+HAVING CAST(SUM(sm.bal_micros) AS BIGINT) * 20 > tot.t * {pct_twentieths}
+"""
+
+
+def grouped_mad_oracle() -> str:
+    """Mirror of quantiles.grouped_mad: doubled-space medians (med2 =
+    vm[(n−1)//2] + vm[n//2]) computed via row_number, deviations kept
+    integral, the same /2e6 and /4e6 finish casts."""
+    return """
+WITH vm AS (SELECT event_type AS g,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events),
+     cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vm GROUP BY g),
+     ordv AS (SELECT g, vm,
+                     row_number() OVER (PARTITION BY g ORDER BY vm) - 1 AS i
+              FROM vm),
+     med AS (SELECT o.g,
+                    CAST(SUM(CASE WHEN o.i = (c.n - 1) // 2
+                             THEN o.vm ELSE 0 END)
+                       + SUM(CASE WHEN o.i = c.n // 2
+                             THEN o.vm ELSE 0 END) AS BIGINT) AS med2
+             FROM ordv o JOIN cnt c ON c.g = o.g GROUP BY o.g),
+     dev AS (SELECT v.g, ABS(2 * v.vm - m.med2) AS d2
+             FROM vm v JOIN med m ON m.g = v.g),
+     ordd AS (SELECT g, d2,
+                     row_number() OVER (PARTITION BY g ORDER BY d2) - 1 AS i
+              FROM dev),
+     mad AS (SELECT o.g,
+                    CAST(SUM(CASE WHEN o.i = (c.n - 1) // 2
+                             THEN o.d2 ELSE 0 END)
+                       + SUM(CASE WHEN o.i = c.n // 2
+                             THEN o.d2 ELSE 0 END) AS BIGINT) AS mad4
+             FROM ordd o JOIN cnt c ON c.g = o.g GROUP BY o.g)
+SELECT m.g AS event_type, m.med2, d.mad4,
+       CAST(m.med2 AS DOUBLE) / 2e6 AS median,
+       CAST(d.mad4 AS DOUBLE) / 4e6 AS mad
+FROM med m JOIN mad d ON d.g = m.g
+"""
+
+
+def ks_two_sample_oracle(type_a: str = "click", type_b: str = "view") -> str:
+    """Mirror of quantiles.ks_two_sample: division-cleared
+    D·n_a·n_b = max |cum_a·n_b − cum_b·n_a| over the sorted value union."""
+    return f"""
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+                   CASE WHEN event_type = '{type_a}' THEN 1 ELSE 0 END AS ia,
+                   CASE WHEN event_type = '{type_b}' THEN 1 ELSE 0 END AS ib
+            FROM events
+            WHERE event_type IN ('{type_a}', '{type_b}')),
+     h AS (SELECT vm, CAST(SUM(ia) AS BIGINT) AS a,
+                  CAST(SUM(ib) AS BIGINT) AS b
+           FROM vm GROUP BY vm),
+     t AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+                  CAST(SUM(b) AS BIGINT) AS nb FROM h),
+     c AS (SELECT SUM(a) OVER (ORDER BY vm
+                               ROWS UNBOUNDED PRECEDING) AS cuma,
+                  SUM(b) OVER (ORDER BY vm
+                               ROWS UNBOUNDED PRECEDING) AS cumb
+           FROM h)
+SELECT t.na AS n_a, t.nb AS n_b,
+       CAST(max(ABS(c.cuma * t.nb - c.cumb * t.na)) AS BIGINT) AS d_num,
+       CAST(max(ABS(c.cuma * t.nb - c.cumb * t.na)) AS DOUBLE)
+           / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)) AS d
+FROM c, t GROUP BY t.na, t.nb
+"""
+
+
+def roc_auc_oracle(positive: str = "purchase") -> str:
+    """Mirror of quantiles.roc_auc: exact doubled-space tie handling,
+    num2 = Σ pos(v)·(2·neg_below + neg_at), auc = num2/(2·P·N)."""
+    return f"""
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+                   CASE WHEN event_type = '{positive}'
+                        THEN 1 ELSE 0 END AS p
+            FROM events),
+     h AS (SELECT vm, CAST(SUM(p) AS BIGINT) AS p,
+                  CAST(count(*) - SUM(p) AS BIGINT) AS q
+           FROM vm GROUP BY vm),
+     t AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+                  CAST(SUM(q) AS BIGINT) AS nq FROM h),
+     c AS (SELECT p, q,
+                  CAST(coalesce(SUM(q) OVER (ORDER BY vm
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS qb
+           FROM h)
+SELECT t.np AS n_pos, t.nq AS n_neg,
+       CAST(SUM(c.p * (2 * c.qb + c.q)) AS BIGINT) AS auc_num2,
+       CAST(SUM(c.p * (2 * c.qb + c.q)) AS DOUBLE)
+           / (2.0 * CAST(t.np AS DOUBLE) * CAST(t.nq AS DOUBLE)) AS auc
+FROM c, t GROUP BY t.np, t.nq
+"""
+
+
+def max_drawdown_oracle() -> str:
+    """Mirror of windows.max_drawdown: SUM-OVER running total, MAX-OVER
+    running peak, grouped MAX of the gap — all in exact micros."""
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events),
+     r AS (SELECT user_id, tu, event_id,
+                  SUM(vm) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+           FROM e),
+     m AS (SELECT user_id, run,
+                  MAX(run) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS runmax
+           FROM r)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(MAX(runmax - run) AS BIGINT) AS max_drawdown_micros,
+       CAST(MAX(runmax - run) AS DOUBLE) / 1e6 AS max_drawdown
+FROM m GROUP BY user_id
+"""
+
+
+def kg_linkpred_scores_oracle(sf_dir: str, min_cn: int = 2,
+                              max_degree: int | None = None) -> str:
+    """Mirror of stages/graph.link_prediction_scores: the kg_linkpred
+    wedge/anti-join derivation extended with Adamic–Adar center weights
+    floor(1e6/ln(deg)+0.5) (ln verified bit-equal numpy/libm/DuckDB over
+    deg ∈ [2, 10^6]) and the endpoint-degree Jaccard as ONE round6
+    division."""
+    cap = f"AND d.degree <= {max_degree}" if max_degree is not None else ""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+deg AS (SELECT node, count(*) AS degree FROM bidir GROUP BY node),
+w AS (
+  SELECT b.node, b.peer,
+         CAST(floor(1e6 / d.degree + 0.5) AS BIGINT) AS wra,
+         CAST(floor(1e6 / ln(d.degree) + 0.5) AS BIGINT) AS waa
+  FROM bidir b JOIN deg d USING (node)
+  WHERE d.degree >= 2 {cap}
+),
+pairs AS (
+  SELECT a.peer AS e1, b.peer AS e2, a.wra, a.waa
+  FROM w a JOIN w b ON a.node = b.node AND a.peer < b.peer
+),
+cand AS (
+  SELECT e1, e2, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(wra) AS BIGINT) AS ra_micros,
+         CAST(sum(waa) AS BIGINT) AS aa_micros
+  FROM pairs GROUP BY e1, e2
+  HAVING count(*) >= {min_cn}
+)
+SELECT c.e1, c.e2, c.cn,
+       c.ra_micros / 1e6 AS ra,
+       c.aa_micros / 1e6 AS aa,
+       floor(CAST(c.cn AS DOUBLE)
+             / CAST(d1.degree + d2.degree - c.cn AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM cand c
+JOIN deg d1 ON d1.node = c.e1
+JOIN deg d2 ON d2.node = c.e2
+WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.lo = c.e1 AND e.hi = c.e2)
+"""
+
+
+def token_zipf_fit_oracle(k: int = 500) -> str:
+    """Mirror of textstats.token_zipf_fit: deterministic (freq desc, token
+    asc) ranks, ln-micros points, HUGEINT moments (the engine's Python
+    big-ints), the same slope/intercept double op chain."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w1
+  FROM documents WHERE trim(text) <> ''
+), cnts AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w1
+), topk AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w1) AS rnk
+  FROM cnts QUALIFY rnk <= {k}
+), xy AS (
+  SELECT CAST(floor(ln(rnk) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cnt) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM topk
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+           / CAST(n AS DOUBLE) / 1e6 AS intercept
+FROM m
+"""
+
+
+def token_burstiness_oracle(k: int = 50) -> str:
+    """Mirror of textstats.token_burstiness: per-doc tf with zeros folded
+    in analytically, VMR division-cleared to one double division."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w1
+  FROM documents WHERE trim(text) <> ''
+), tf AS (
+  SELECT doc_id, w1, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, w1
+), agg AS (
+  SELECT w1 AS token, CAST(count(*) AS BIGINT) AS df,
+         CAST(SUM(tf) AS BIGINT) AS total_tf,
+         CAST(SUM(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY w1
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+topk AS (
+  SELECT * FROM agg ORDER BY total_tf DESC, token LIMIT {k}
+)
+SELECT t.token, t.df, t.total_tf,
+       CAST(nd.n * t.s2 - t.total_tf * t.total_tf AS DOUBLE)
+           / CAST(nd.n * t.total_tf AS DOUBLE) AS vmr
+FROM topk t, nd
+"""
+
+
+def source_kl_divergence_oracle(src_a: str = "src0",
+                                src_b: str = "src1") -> str:
+    """Mirror of textstats.source_kl_divergence: add-one smoothing over
+    the joint vocab, per-term floor(p·ln(p/q)·1e6+0.5) int64 sum — the
+    identical double op chain (two divisions, one ln, one product)."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w1
+  FROM documents
+  WHERE source IN ('{src_a}', '{src_b}') AND trim(text) <> ''
+), c AS (
+  SELECT w1,
+         CAST(SUM(CASE WHEN source = '{src_a}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN source = '{src_b}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM toks GROUP BY w1
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(coalesce(SUM(ca), 0) AS BIGINT) AS ta,
+         CAST(coalesce(SUM(cb), 0) AS BIGINT) AS tb
+  FROM c
+)
+SELECT t.v AS n_vocab, t.ta AS t_a, t.tb AS t_b,
+       CAST(coalesce(SUM(CAST(floor(
+           (CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+           * ln((CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+                / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.tb + t.v AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS kl_micros,
+       CAST(CAST(coalesce(SUM(CAST(floor(
+           (CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+           * ln((CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE))
+                / (CAST(c.cb + 1 AS DOUBLE) / CAST(t.tb + t.v AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS DOUBLE) / 1e6 AS kl
+FROM c, t GROUP BY t.v, t.ta, t.tb
+"""
+
+
+def returned_item_customers_oracle(k: int = 20) -> str:
+    """TPC-H Q10 mirror of relational.returned_item_customers: returned
+    revenue per customer in exact micros, deterministic (rev desc,
+    custkey) top-k, inner joins throughout."""
+    return f"""
+WITH rev AS (
+  SELECT o.o_custkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rm
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name, rev.rm / 1e6 AS revenue
+FROM rev
+JOIN customer c ON c.c_custkey = rev.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev.rm DESC, c.c_custkey
+LIMIT {k}
+"""
+
+
+def top_supplier_revenue_oracle(lo: str = "1997-01-01",
+                                hi: str = "1997-04-01") -> str:
+    """TPC-H Q15 mirror of relational.top_supplier_revenue: WITH TIES via
+    integer-equality against the max micros revenue."""
+    return f"""
+WITH rev AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rm
+  FROM lineitem l
+  WHERE epoch_us(l.l_shipdate) >= epoch_us(TIMESTAMP '{lo}')
+    AND epoch_us(l.l_shipdate) < epoch_us(TIMESTAMP '{hi}')
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.rm / 1e6 AS total_revenue
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.rm = (SELECT max(rm) FROM rev)
+"""
+
+
+def brand_supplier_counts_oracle(exclude_brand: str = "Brand#45") -> str:
+    """TPC-H Q16 mirror of relational.brand_supplier_counts: distinct
+    suppliers per (brand, type) via the lineitem supplier relationship."""
+    return f"""
+SELECT p.p_brand, p.p_type,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{exclude_brand}'
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+def disjunctive_revenue_oracle() -> str:
+    """TPC-H Q19 mirror of relational.disjunctive_revenue: the three-arm
+    OR evaluated on micros-quantized quantity, revenue in exact micros."""
+    return """
+WITH j AS (
+  SELECT p.p_brand, p.p_size,
+         CAST(floor(l.l_quantity * 1e6 + 0.5) AS BIGINT) AS qty,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+              AS BIGINT) AS rm
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(coalesce(SUM(rm), 0) AS BIGINT) AS DOUBLE) / 1e6
+           AS revenue
+FROM j
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND qty BETWEEN 1 * 1000000 AND 11 * 1000000)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND qty BETWEEN 10 * 1000000 AND 20 * 1000000)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND qty BETWEEN 20 * 1000000 AND 30 * 1000000)
+"""

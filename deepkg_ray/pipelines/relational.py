@@ -713,3 +713,500 @@ def part_unpivot(sf_dir: str):
         })
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13-shaped order-count distribution: for each order count c
+    (including 0), how many customers placed exactly c orders.
+
+    Scale shape: orders collapses to ONE row per custkey via a combiner-first
+    Count groupby (bounded by |customer|, never |orders|), then a native
+    LEFT OUTER hash join against the customer key column preserves the
+    zero-order customers; the distribution groupby runs over the tiny
+    order-count value domain.  No driver-side materialization at any step.
+    Reference analog: the per-conversation record-count rollups of
+    sel2record evaluation (evaluation/scorer.py-style counting) lifted to
+    relational shape."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    per_cust = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey"])
+                .groupby("o_custkey")
+                .aggregate(Count(alias_name="c_count")))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    j = drop_empty_blocks(cust).join(
+        drop_empty_blocks(per_cust), join_type="left_outer",
+        num_partitions=nparts, on=("c_custkey",), right_on=("o_custkey",))
+
+    def coalesce(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_count": pc.fill_null(b["c_count"], 0).cast(pa.int64()),
+        })
+
+    dist = (drop_empty_blocks(j)
+            .map_batches(coalesce, batch_format="pyarrow")
+            .groupby("c_count")
+            .aggregate(Count(alias_name="custdist")))
+    return dist.map_batches(
+        lambda b: pa.table({
+            "c_count": b["c_count"].combine_chunks().cast(pa.int64()),
+            "custdist": b["custdist"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def dormant_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):
+    """TPC-H Q22-shaped dormant-account report: customers whose account
+    balance exceeds the global average of positive balances but who placed
+    no orders on or after ``cutoff``, counted and summed per nation.
+
+    The correlated average is ONE tiny (sum, count) aggregate broadcast as
+    two int64 scalars; the comparison acctbal > avg is cleared of division
+    (micros·n > sum_micros) so the filter is integer-exact.  The NOT EXISTS
+    is a native left_anti hash join against the per-custkey-deduped orders
+    side — both sides stream, nothing is driver-loaded (contrast the
+    broadcast-Bloom tier in sketches.bloom_anti_join_counts, which this
+    engine uses when the member side is dictionary-sized).  totacctbal is
+    summed in exact micros; the single /1e6 finish is mirrored in SQL."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_nationkey": b["c_nationkey"],
+            "bal_micros": pa.array(to_micros(b["c_acctbal"].to_pylist()),
+                                   pa.int64()),
+            "positive": pc.greater(b["c_acctbal"], 0.0),
+        })
+
+    projected = cust.map_batches(proj, batch_format="pyarrow")
+
+    def pos_partial(b: pa.Table) -> pa.Table:
+        m = b["positive"].to_numpy(zero_copy_only=False).astype(bool)
+        bal = b["bal_micros"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array([int(bal[m].sum())], pa.int64()),
+                         "n": pa.array([int(m.sum())], pa.int64())})
+
+    avg = (projected.map_batches(pos_partial, batch_format="pyarrow")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s, n = int(avg["s"] or 0), int(avg["n"] or 0)
+
+    rich = projected.map_batches(
+        lambda b: b.filter(pc.greater(pc.multiply_checked(
+            b["bal_micros"], pa.scalar(n, pa.int64())), s))
+                   .select(["c_custkey", "c_nationkey", "bal_micros"]),
+        batch_format="pyarrow")
+
+    cut_us = int(pd.Timestamp(cutoff).value // 1_000)
+    buyers = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_custkey", "o_orderdate"])
+              .map_batches(lambda b: b.filter(pc.greater_equal(
+                  b["o_orderdate"].cast(pa.timestamp("us"))
+                                  .cast(pa.int64()), cut_us))
+                            .select(["o_custkey"]),
+                           batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Count(alias_name="_n"))
+              .select_columns(["o_custkey"]))
+
+    dormant = drop_empty_blocks(rich).join(
+        drop_empty_blocks(buyers), join_type="left_anti",
+        num_partitions=nparts, on=("c_custkey",), right_on=("o_custkey",))
+
+    agg = (drop_empty_blocks(dormant)
+           .groupby("c_nationkey")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("bal_micros", alias_name="tot_micros")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = b["tot_micros"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "nationkey": b["c_nationkey"].combine_chunks().cast(pa.int64()),
+            "numcust": b["numcust"].combine_chunks().cast(pa.int64()),
+            "totacctbal_micros": tot,
+            "totacctbal": pa.array(
+                tot.to_numpy(zero_copy_only=False).astype(np.float64) / 1e6),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def small_lot_revenue(sf_dir: str, brand: str = "Brand#23"):
+    """TPC-H Q17-shaped small-lot revenue: average yearly revenue lost if
+    orders below 20% of a part's average order quantity were not filled,
+    restricted to one brand.
+
+    The correlated per-part average is division-cleared: l_quantity <
+    0.2·avg(qty) ⟺ qty_micros·5·n < sum_qty_micros with per-part (sum, n)
+    from a combiner-first groupby — integer-exact, no float threshold.  The
+    brand's partkeys are a broadcast frozenset applied AT THE READ side of
+    lineitem (row pruning before any shuffle); the per-part stats join then
+    moves only brand-filtered rows.  Revenue is summed in exact micros; the
+    /7.0/1e6 finish is the one float chain, mirrored in SQL."""
+    import ray
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    part_keys = frozenset(
+        rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_brand"])
+        .filter(lambda r: r["p_brand"] == brand)
+        .to_pandas()["p_partkey"].tolist())
+    keys_ref = ray.put(part_keys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def brand_filter(b: pa.Table) -> pa.Table:
+        # ray.get on the broadcast ref is a local plasma hit after the
+        # first call on each worker — the key set ships ONCE per node,
+        # not per task (stateless task, no actor-pool CPU reservation)
+        keys = np.sort(np.asarray(list(ray.get(keys_ref)), np.int64))
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, keys)
+        return pa.table({
+            "l_partkey": pa.array(pk[keep]),
+            "qm": pa.array(to_micros(
+                np.asarray(b["l_quantity"].to_pylist(),
+                           np.float64)[keep]), pa.int64()),
+            "em": pa.array(to_micros(
+                np.asarray(b["l_extendedprice"].to_pylist(),
+                           np.float64)[keep]), pa.int64()),
+        })
+
+    lif = li.map_batches(brand_filter, batch_format="pyarrow")
+    stats = (lif.select_columns(["l_partkey", "qm"])
+             .groupby("l_partkey")
+             .aggregate(Sum("qm", alias_name="sq"),
+                        Count(alias_name="n")))
+
+    j = drop_empty_blocks(lif).join(
+        drop_empty_blocks(stats.map_batches(
+            lambda b: pa.table({
+                "s_partkey": b["l_partkey"],
+                "sq": b["sq"].combine_chunks().cast(pa.int64()),
+                "n": b["n"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")),
+        join_type="inner", num_partitions=nparts,
+        on=("l_partkey",), right_on=("s_partkey",))
+
+    def small_partial(b: pa.Table) -> pa.Table:
+        qm = b["qm"].to_numpy(zero_copy_only=False)
+        em = b["em"].to_numpy(zero_copy_only=False)
+        sq = b["sq"].to_numpy(zero_copy_only=False)
+        nn = b["n"].to_numpy(zero_copy_only=False)
+        keep = qm * 5 * nn < sq
+        return pa.table({"t": pa.array([int(em[keep].sum())], pa.int64())})
+
+    agg = (drop_empty_blocks(j)
+           .map_batches(small_partial, batch_format="pyarrow")
+           .aggregate(Sum("t", alias_name="t")))
+    total = int(agg["t"] or 0)
+    return pa.table({
+        "total_micros": pa.array([total], pa.int64()),
+        "avg_yearly": pa.array([float(total) / 7.0 / 1e6], pa.float64()),
+    })
+
+
+def supplier_share_nations(sf_dir: str, pct_twentieths: int = 1):
+    """TPC-H Q11-shaped value-concentration report: nations whose suppliers'
+    total account balance exceeds a fixed fraction (pct_twentieths/20, i.e.
+    5% by default) of the global total.
+
+    The subquery scalar is ONE global Sum broadcast to the filter; the
+    HAVING comparison is division-cleared (nation_sum·20 > global_sum·k) so
+    it is integer-exact even with negative balances.  The nation dimension
+    (25 rows) is a broadcast dict, never shuffled.  Mirrors the
+    global-threshold semantics of phrasemine's corpus-frequency pruning
+    (extractors.py frequency floor) in relational shape."""
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_nationkey": b["s_nationkey"],
+            "bal_micros": pa.array(to_micros(b["s_acctbal"].to_pylist()),
+                                   pa.int64()),
+        })
+
+    projected = sup.map_batches(proj, batch_format="pyarrow")
+    per_nation = (projected.groupby("s_nationkey")
+                  .aggregate(Sum("bal_micros", alias_name="value_micros")))
+    total = int(projected.aggregate(
+        Sum("bal_micros", alias_name="t"))["t"] or 0)
+
+    names = {int(r["n_nationkey"]): r["n_name"]
+             for r in rd.read_parquet(f"{sf_dir}/nation.parquet",
+                                      columns=["n_nationkey", "n_name"])
+             .take_all()}
+
+    def finish(b: pa.Table) -> pa.Table:
+        vm = b["value_micros"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = vm * 20 > total * pct_twentieths
+        nk, vm = nk[keep], vm[keep]
+        # inner-join semantics on the dim: drop dangling nationkeys
+        nm = [names.get(int(k)) for k in nk]
+        ok = np.array([x is not None for x in nm], bool)
+        return pa.table({
+            "nationkey": pa.array(nk[ok].astype(np.int64)),
+            "n_name": pa.array([x for x in nm if x is not None]),
+            "value_micros": pa.array(vm[ok], pa.int64()),
+        })
+
+    return per_nation.map_batches(finish, batch_format="pyarrow")
+
+
+def returned_item_customers(sf_dir: str, k: int = 20):
+    """TPC-H Q10-shaped returned-item loss report: revenue of returned
+    lineitems (l_returnflag = 'R') per customer, top-k with the nation name
+    attached.
+
+    Scale shape: the returnflag predicate prunes lineitem at the first map
+    (row-group filter territory at 100 TB), revenue collapses to ONE row
+    per orderkey before the hash join to orders, the per-customer groupby
+    is combiner-first, and only the k survivors (plus the 25-row broadcast
+    nation dim) reach the driver-side finish.  Revenue in exact micros;
+    the deterministic sort key includes custkey.  Returns
+    (c_custkey, c_name, n_name, revenue)."""
+    import pyarrow.parquet as pq
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                   pa.int64())})
+
+    per_order = (li.map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("rev_micros", alias_name="rev_micros")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = drop_empty_blocks(per_order).join(
+        drop_empty_blocks(orders), join_type="inner",
+        num_partitions=nparts, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    per_cust = (drop_empty_blocks(j1)
+                .groupby("o_custkey")
+                .aggregate(Sum("rev_micros", alias_name="rev_micros")))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    j2 = drop_empty_blocks(per_cust).join(
+        drop_empty_blocks(cust), join_type="inner",
+        num_partitions=nparts, on=("o_custkey",), right_on=("c_custkey",))
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    names = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+
+    def topk_partial(b: pa.Table) -> pa.Table:
+        rev = b["rev_micros"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(rev) > k:
+            idx = np.argpartition(-rev, k - 1)[:k]
+            b = b.take(pa.array(idx))
+        return b
+
+    # per-block partial top-k (combiner) then one tiny driver finish
+    parts = (drop_empty_blocks(j2)
+             .map_batches(topk_partial, batch_format="pyarrow")
+             .to_pandas())
+    parts = parts.sort_values(["rev_micros", "o_custkey"],
+                              ascending=[False, True]).head(k)
+    nm = [names.get(int(x)) for x in parts["c_nationkey"]]
+    ok = np.array([x is not None for x in nm], bool)
+    parts = parts[ok]
+    return pa.table({
+        "c_custkey": pa.array(parts["o_custkey"].astype(np.int64)),
+        "c_name": pa.array(parts["c_name"].astype(str)),
+        "n_name": pa.array([x for x in nm if x is not None]),
+        "revenue": pa.array(
+            parts["rev_micros"].to_numpy(np.float64) / 1e6, pa.float64()),
+    })
+
+
+def top_supplier_revenue(sf_dir: str, lo: str = "1997-01-01",
+                         hi: str = "1997-04-01"):
+    """TPC-H Q15-shaped top supplier: revenue per supplier over one
+    quarter's shipments, keeping EVERY supplier tied for the maximum
+    (Q15's view + max subquery = WITH TIES semantics).
+
+    Scale shape: date filter at the first map, per-suppkey combiner-first
+    Sum groupby (bounded by |supplier|), the max is ONE tiny aggregate
+    broadcast to an integer-equality filter, and the supplier dim attaches
+    via a broadcast dict.  Returns (s_suppkey, s_name, total_revenue)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
+    lo_us = int(pd.Timestamp(lo).value // 1_000)
+    hi_us = int(pd.Timestamp(hi).value // 1_000)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (ship >= lo_us) & (ship < hi_us)
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)[keep]
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)[keep]
+        return pa.table({
+            "l_suppkey": pa.array(
+                b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]),
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                   pa.int64())})
+
+    per_supp = (li.map_batches(li_partial, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("rev_micros", alias_name="rev_micros")))
+    mx = int(per_supp.aggregate(Max("rev_micros", alias_name="m"))["m"] or 0)
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_name"])
+    names = dict(zip(st["s_suppkey"].to_pylist(), st["s_name"].to_pylist()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rev_micros"].combine_chunks(), mx))
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        nm = [names.get(int(x)) for x in sk]
+        ok = np.array([x is not None for x in nm], bool)
+        rev = b["rev_micros"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)[ok]
+        return pa.table({
+            "s_suppkey": pa.array(sk[ok].astype(np.int64)),
+            "s_name": pa.array([x for x in nm if x is not None]),
+            "total_revenue": pa.array(rev.astype(np.float64) / 1e6),
+        })
+
+    return per_supp.map_batches(finish, batch_format="pyarrow")
+
+
+def brand_supplier_counts(sf_dir: str, exclude_brand: str = "Brand#45"):
+    """TPC-H Q16-shaped supplier-diversity report: per (p_brand, p_type),
+    how many DISTINCT suppliers shipped that part class (partsupp is
+    absent from the synth schema; lineitem's l_suppkey supplies the
+    supplier relationship — the same count-distinct-over-join shape).
+
+    Scale shape: lineitem projects to (partkey, suppkey) and dedups
+    per-batch BEFORE the join (combiner shrinks the shuffle), the part
+    dim join is hash-partitioned, the distinct collapses to a
+    (brand, type, suppkey) groupby, and the final count groups over the
+    small brand×type grid.  Returns (p_brand, p_type, supplier_cnt)."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([pk, sk], axis=1), axis=0)
+        return pa.table({"l_partkey": pa.array(pairs[:, 0], pa.int64()),
+                         "l_suppkey": pa.array(pairs[:, 1], pa.int64())})
+
+    ps = li.map_batches(dedup_batch, batch_format="pyarrow")
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand", "p_type"])
+    parts = parts.map_batches(
+        lambda b: b.filter(pc.not_equal(b["p_brand"], exclude_brand)),
+        batch_format="pyarrow")
+
+    j = drop_empty_blocks(ps).join(
+        drop_empty_blocks(parts), join_type="inner",
+        num_partitions=nparts, on=("l_partkey",), right_on=("p_partkey",))
+
+    distinct = (drop_empty_blocks(j)
+                .groupby(["p_brand", "p_type", "l_suppkey"])
+                .aggregate(Count(alias_name="_m"))
+                .drop_columns(["_m"]))
+    agg = (distinct.groupby(["p_brand", "p_type"])
+           .aggregate(Count(alias_name="supplier_cnt")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "p_brand": b["p_brand"], "p_type": b["p_type"],
+            "supplier_cnt":
+                b["supplier_cnt"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-range) conjunct groups across the
+    lineitem ⨝ part join — the predicate shape that defeats naive
+    row-group pruning and must evaluate vectorized per batch.
+
+    Scale shape: part projects to (partkey, brand, size) and joins
+    hash-partitioned; the three-arm OR evaluates as numpy masks in one
+    pass; the final Sum is a per-batch single-row combiner.  Returns one
+    row (n_rows, revenue) in exact micros."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        return pa.table({
+            "l_partkey": b["l_partkey"],
+            "qty": pa.array(to_micros(b["l_quantity"].to_pylist()),
+                            pa.int64()),
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                   pa.int64())})
+
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_brand", "p_size"])
+    j = drop_empty_blocks(
+        li.map_batches(li_proj, batch_format="pyarrow")).join(
+        drop_empty_blocks(parts), join_type="inner",
+        num_partitions=nparts, on=("l_partkey",), right_on=("p_partkey",))
+
+    M = 1_000_000
+
+    def arm_mask(brand, size, qty, b_lo_size, b_hi_size, b_brand,
+                 q_lo, q_hi):
+        return ((brand == b_brand) & (size >= b_lo_size)
+                & (size <= b_hi_size) & (qty >= q_lo * M)
+                & (qty <= q_hi * M))
+
+    def combine(b: pa.Table) -> pa.Table:
+        brand = np.asarray(b["p_brand"].to_pylist(), object)
+        size = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = b["qty"].to_numpy(zero_copy_only=False)
+        rev = b["rev_micros"].to_numpy(zero_copy_only=False)
+        m = (arm_mask(brand, size, qty, 1, 5, "Brand#12", 1, 11)
+             | arm_mask(brand, size, qty, 1, 10, "Brand#23", 10, 20)
+             | arm_mask(brand, size, qty, 1, 15, "Brand#34", 20, 30))
+        return pa.table({
+            "n": pa.array([int(m.sum())], pa.int64()),
+            "t": pa.array([int(rev[m].sum())], pa.int64())})
+
+    agg = (drop_empty_blocks(j)
+           .map_batches(combine, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t")))
+    n, t = int(agg["n"] or 0), int(agg["t"] or 0)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "revenue": pa.array([float(t) / 1e6], pa.float64())})

@@ -1621,3 +1621,120 @@ def diameter_2sweep(edges, src_col: str = "subj_id",
         "src": pa.array([seed], pa.int64()),
         "far_node": pa.array([far], pa.int64()),
         "diameter_lb": pa.array([int(d2["dist"].max())], pa.int64())}))
+
+
+def link_prediction_scores(edges, src_col: str = "subj_id",
+                           dst_col: str = "obj_id", min_cn: int = 2,
+                           max_degree: int | None = None,
+                           num_partitions: int | None = None):
+    """link_prediction extended with the full structural score family:
+    common neighbors (cn), resource allocation (ra = Σ 1/deg z), Adamic–
+    Adar (aa = Σ 1/ln deg z; Adamic & Adar, Soc. Networks 2003) and the
+    neighborhood Jaccard  cn / (deg e1 + deg e2 − cn).
+
+    Exactness: ra/aa terms are per-center integers floor(1e6/f(deg)+0.5)
+    summed as int64 (f = identity / ln); the ln path is safe because the
+    term is computed from the integer degree on BOTH sides with the same
+    libm — verified bit-equal over deg ∈ [2, 10^6] (numpy log, CPython
+    math.log and DuckDB ln agree); jaccard is ONE round6 division of two
+    int64s.  Plan: the wedge/anti-join pipeline of link_prediction plus
+    two hash joins against the distinct-neighbor degree table (node_degrees
+    — |V|-sized, fully distributed; no driver or closure capture).
+    Returns (e1, e2, cn, ra, aa, jaccard)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bidir = edges.map_batches(bidirect, batch_format="pyarrow")
+
+    def wedge_pairs(g: pa.Table) -> pa.Table:
+        peers = np.unique(g["peer"].to_numpy(zero_copy_only=False))
+        deg = len(peers)
+        if deg < 2 or (max_degree is not None and deg > max_degree):
+            return pa.table({"e1": pa.array([], pa.int64()),
+                             "e2": pa.array([], pa.int64()),
+                             "wm_ra": pa.array([], pa.int64()),
+                             "wm_aa": pa.array([], pa.int64())})
+        wm_ra = np.int64(np.floor(1e6 / deg + 0.5))
+        wm_aa = np.int64(np.floor(1e6 / np.log(deg) + 0.5))
+        ai, bi = np.triu_indices(deg, k=1)
+        return pa.table({
+            "e1": pa.array(peers[ai], pa.int64()),
+            "e2": pa.array(peers[bi], pa.int64()),
+            "wm_ra": pa.array(np.full(len(ai), wm_ra), pa.int64()),
+            "wm_aa": pa.array(np.full(len(ai), wm_aa), pa.int64())})
+
+    cand = (bidir.groupby("node").map_groups(wedge_pairs,
+                                             batch_format="pyarrow")
+            .groupby(["e1", "e2"])
+            .aggregate(Count(alias_name="cn"),
+                       Sum("wm_ra", alias_name="ra_micros"),
+                       Sum("wm_aa", alias_name="aa_micros")))
+    cand = cand.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["cn"], pa.scalar(min_cn))),
+        batch_format="pyarrow")
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"e1": pa.array(np.minimum(u, v), pa.int64()),
+                         "e2": pa.array(np.maximum(u, v), pa.int64())})
+
+    simple = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["e1", "e2"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]))
+
+    new_pairs = drop_empty_blocks(cand).join(
+        drop_empty_blocks(simple), join_type="left_anti",
+        num_partitions=num_partitions, on=("e1", "e2"))
+
+    # degrees over the SELF-LOOP-FREE simple graph (the wedge machinery and
+    # the oracle's adj CTE both exclude u = v; node_degrees alone would
+    # count a self-loop as a neighbor)
+    noself = edges.map_batches(
+        lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
+        batch_format="pyarrow")
+    deg = node_degrees(noself, src_col=src_col, dst_col=dst_col)
+    j1 = drop_empty_blocks(new_pairs).join(
+        drop_empty_blocks(deg.map_batches(
+            lambda b: pa.table({"n1": b["node"], "d1": b["degree"]}),
+            batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions,
+        on=("e1",), right_on=("n1",))
+    j2 = drop_empty_blocks(j1).join(
+        drop_empty_blocks(deg.map_batches(
+            lambda b: pa.table({"n2": b["node"], "d2": b["degree"]}),
+            batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions,
+        on=("e2",), right_on=("n2",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.numeric import round6
+        cn = b["cn"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d1 = b["d1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d2 = b["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        den = d1 + d2 - cn
+        jac = round6(cn.astype(np.float64) / den.astype(np.float64))
+        return pa.table({
+            "e1": b["e1"], "e2": b["e2"],
+            "cn": pa.array(cn, pa.int64()),
+            "ra": pa.array(np.asarray(
+                b["ra_micros"].to_pylist(), np.float64) / 1e6),
+            "aa": pa.array(np.asarray(
+                b["aa_micros"].to_pylist(), np.float64) / 1e6),
+            "jaccard": pa.array(jac, pa.float64())})
+
+    return drop_empty_blocks(j2).map_batches(finish, batch_format="pyarrow")

@@ -411,3 +411,172 @@ def grouped_iqr_outliers(ds, group_col: str = "event_type",
 
     return ds.select_columns([id_col, group_col, col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def grouped_mad(ds, group_col: str = "event_type", col: str = "value"):
+    """Per-group median absolute deviation, interpolation-exact: median in
+    DOUBLED micros space (med2 = vm[(n−1)//2] + vm[n//2], an exact int64
+    whether n is odd or even), deviations d2 = |2·vm − med2| stay integral,
+    and the MAD repeats the doubled-median trick giving mad4 in 4× micros.
+    The only float ops are the final /2e6 and /4e6 casts, mirrored in SQL.
+
+    Two histogram passes (same value-count plan as grouped_quantiles_cont:
+    shuffle bounded by groups × distinct values, never rows); the per-group
+    med2 dict is driver-broadcast between them — groups are
+    dictionary-sized (event types), documented like the other grouped
+    quantile ops.  Robust-scale statistic for outlier gating at corpus
+    scale (reference analog: the frequency-floor heuristics of
+    extractors.py phrase pruning, replaced by a principled robust scale).
+    Returns (group, med2, mad4, median, mad)."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "vm": to_micros(b[col].to_pylist())})
+        g = (df.groupby([group_col, "vm"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby([group_col, "vm"]).aggregate(Sum("n", alias_name="n")))
+
+    def pick2(g: pd.DataFrame, vcol: str) -> int:
+        """x[(n−1)//2] + x[n//2] of the histogram multiset — exact int."""
+        g = g.sort_values(vcol, kind="stable")
+        values = g[vcol].to_numpy(dtype=np.int64)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        ilo, ihi = (n - 1) // 2, n // 2
+        p_lo = int(np.searchsorted(cum, ilo + 1, side="left"))
+        p_hi = int(np.searchsorted(cum, ihi + 1, side="left"))
+        return int(values[p_lo]) + int(values[p_hi])
+
+    def pick_med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]],
+                             "med2": [pick2(g, "vm")]})
+
+    med = (hist.groupby(group_col).map_groups(pick_med,
+                                              batch_format="pandas")
+           .to_pandas())
+    med2_of = dict(zip(med[group_col], med["med2"].astype(np.int64)))
+
+    def dev_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "vm": to_micros(b[col].to_pylist())})
+        m2 = df[group_col].map(med2_of).to_numpy(np.int64)
+        df["d2"] = np.abs(2 * df["vm"].to_numpy(np.int64) - m2)
+        g = (df.groupby([group_col, "d2"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g[[group_col, "d2", "n"]],
+                                    preserve_index=False)
+
+    dev_hist = (ds.select_columns([group_col, col])
+                .map_batches(dev_partial, batch_format="pyarrow")
+                .groupby([group_col, "d2"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def pick_mad(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g[group_col].iloc[0]
+        med2 = int(med2_of[grp])
+        mad4 = pick2(g, "d2")
+        return pd.DataFrame({
+            group_col: [grp],
+            "med2": np.asarray([med2], np.int64),
+            "mad4": np.asarray([mad4], np.int64),
+            "median": np.asarray([med2 / 2e6], np.float64),
+            "mad": np.asarray([mad4 / 4e6], np.float64)})
+
+    return dev_hist.groupby(group_col).map_groups(pick_mad,
+                                                  batch_format="pandas")
+
+
+def ks_two_sample(ds, group_col: str = "event_type", col: str = "value",
+                  type_a: str = "click", type_b: str = "view"):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups, division-cleared: D·n_a·n_b =
+    max over the sorted value union of |cum_a·n_b − cum_b·n_a| — every
+    comparison is exact int64; the single d_num/(n_a·n_b) cast at the end
+    is the only float op, mirrored in SQL.
+
+    Plan: one (vm → count_a, count_b) histogram shuffle bounded by
+    DISTINCT values (the module's standing bound, documented at top); the
+    driver walks the sorted histogram once (distinct-sized, not
+    row-sized).  Returns one row (n_a, n_b, d_num, d)."""
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.asarray(b[group_col].to_pylist(), object)
+        vm = np.asarray(to_micros(b[col].to_pylist()), np.int64)
+        is_a, is_b = t == type_a, t == type_b
+        keep = is_a | is_b
+        vm, a = vm[keep], is_a[keep].astype(np.int64)
+        vals, inv = np.unique(vm, return_inverse=True)
+        ca = np.bincount(inv, weights=a).astype(np.int64)
+        cb = np.bincount(inv, weights=1 - a).astype(np.int64)
+        return pa.table({"vm": pa.array(vals, pa.int64()),
+                         "a": pa.array(ca, pa.int64()),
+                         "b": pa.array(cb, pa.int64())})
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("a", alias_name="a"),
+                                     Sum("b", alias_name="b"))
+            .to_pandas().sort_values("vm"))
+    cuma = hist["a"].to_numpy(np.int64).cumsum()
+    cumb = hist["b"].to_numpy(np.int64).cumsum()
+    n_a = int(cuma[-1]) if len(cuma) else 0
+    n_b = int(cumb[-1]) if len(cumb) else 0
+    d_num = int(np.max(np.abs(cuma * n_b - cumb * n_a))) if len(cuma) else 0
+    d = float(d_num) / (float(n_a) * float(n_b)) if n_a and n_b else 0.0
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d": pa.array([d], pa.float64())}))
+
+
+def roc_auc(ds, group_col: str = "event_type", col: str = "value",
+            positive: str = "purchase"):
+    """ROC AUC of ``col`` as a score for the ``positive`` class, with exact
+    average-rank tie handling in DOUBLED space: auc_num2 =
+    Σ_v pos(v)·(2·neg_below(v) + neg_at(v)) — an exact int64 numerator
+    (each tied pair contributes 1 of 2 half-units); auc =
+    num2 / (2·P·N) is the single float chain, mirrored in SQL.
+
+    Same distinct-value-bounded histogram plan as ks_two_sample.  Returns
+    one row (n_pos, n_neg, auc_num2, auc)."""
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.asarray(b[group_col].to_pylist(), object)
+        vm = np.asarray(to_micros(b[col].to_pylist()), np.int64)
+        p = (t == positive).astype(np.int64)
+        vals, inv = np.unique(vm, return_inverse=True)
+        cp = np.bincount(inv, weights=p).astype(np.int64)
+        cq = np.bincount(inv, weights=1 - p).astype(np.int64)
+        return pa.table({"vm": pa.array(vals, pa.int64()),
+                         "p": pa.array(cp, pa.int64()),
+                         "q": pa.array(cq, pa.int64())})
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("p", alias_name="p"),
+                                     Sum("q", alias_name="q"))
+            .to_pandas().sort_values("vm"))
+    p = hist["p"].to_numpy(np.int64)
+    q = hist["q"].to_numpy(np.int64)
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    qb = np.concatenate([[0], q.cumsum()[:-1]]) if len(q) else q
+    num2 = int(np.sum(p * (2 * qb + q)))
+    auc = float(num2) / (2.0 * float(n_pos) * float(n_neg)) \
+        if n_pos and n_neg else 0.0
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_num2": pa.array([num2], pa.int64()),
+        "auc": pa.array([auc], pa.float64())}))

@@ -623,3 +623,184 @@ def weighted_sample_k(ds, k: int = 100, weight_col: str = "n_chars",
             .map_batches(partial, batch_format="pyarrow")
             .repartition(1)
             .map_batches(final, batch_format="pandas", batch_size=None))
+
+
+# --------------------------------------------------- corpus-level statistics
+
+def token_zipf_fit(ds, k: int = 500, text_col: str = "text"):
+    """Zipf-law fit over the corpus unigram distribution: OLS of ln(freq)
+    on ln(rank) for the top-``k`` tokens (rank by freq desc, token asc —
+    fully deterministic).  A healthy natural-language corpus sits near
+    slope ≈ −1 (Zipf 1949); synthetic or heavily-duplicated data drifts —
+    a cheap corpus-health diagnostic for training-data pipelines.
+
+    Exactness: per-point ln values are floor-microed from INTEGER ranks
+    and counts (np.log / libm / DuckDB ln verified bit-equal on integer
+    args), the OLS moments are exact Python big-ints on the k-sized driver
+    table (the dictionary-bounded tier, as llr_collocations), and the
+    slope/intercept finish is one fixed double op chain mirrored in SQL
+    (which promotes to HUGEINT for the same products).  The distributed
+    part is exactly ngram_counts(n=1): per-batch combiner, one
+    vocab-bounded groupby, then sort+limit moves only k rows.
+    Returns one row (n_tokens, slope, intercept)."""
+    import ray.data as rd
+    from deepkg_ray.stages.phrasemine import ngram_counts
+
+    top = (ngram_counts(ds, 1, text_col=text_col)
+           .sort(["cnt", "w1"], descending=[True, False])
+           .limit(k).to_pandas())
+    n = len(top)
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "n_tokens": pa.array([n], pa.int64()),
+            "slope": pa.array([0.0], pa.float64()),
+            "intercept": pa.array([0.0], pa.float64())}))
+    rnk = np.arange(1, n + 1, dtype=np.int64)
+    cnt = top["cnt"].to_numpy(np.int64)
+    x = np.floor(np.log(rnk) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cnt) * 1e6 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx   # exact python ints
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e6
+    return rd.from_arrow(pa.table({
+        "n_tokens": pa.array([n], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64())}))
+
+
+def token_burstiness(ds, k: int = 50, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Per-token burstiness (variance-to-mean ratio of the per-document
+    term-frequency count, zeros included): VMR = (N·Σtf² − (Σtf)²) /
+    (N·Σtf) — division-cleared to ONE double division of two exact int64s.
+    VMR ≈ 1 is Poisson scatter; bursty content words score ≫ 1 while
+    function words sit near uniform (Church & Gale 1995) — a
+    quality/topicality signal over the corpus.
+
+    Plan: docs are rows, so per-batch (token, Σtf, Σtf², n_docs) partials
+    are exact combiners; one vocab-bounded groupby-Sum, sort+limit moves
+    only the top-k rows; the global doc count is one scalar.  Overflow
+    bound: N·Σtf² must stay < 2^63 (asserted).  Returns
+    (token, df, total_tf, vmr) for the top-k tokens by total_tf."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for t in texts:
+            tf: dict[str, int] = {}
+            tl = t.lower().strip()
+            for w in (_WS.split(tl) if tl else []):
+                tf[w] = tf.get(w, 0) + 1
+            for w, c in tf.items():
+                s = acc.get(w)
+                if s is None:
+                    acc[w] = [c, c * c, 1]
+                else:
+                    s[0] += c
+                    s[1] += c * c
+                    s[2] += 1
+        toks = list(acc.keys())
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "s_tf": pa.array([acc[w][0] for w in toks], pa.int64()),
+            "s_tf2": pa.array([acc[w][1] for w in toks], pa.int64()),
+            "df": pa.array([acc[w][2] for w in toks], pa.int64())})
+
+    agg = (ds.select_columns([id_col, text_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("token")
+           .aggregate(Sum("s_tf", alias_name="total_tf"),
+                      Sum("s_tf2", alias_name="s_tf2"),
+                      Sum("df", alias_name="df")))
+    n_docs = ds.count()
+    top = (agg.sort(["total_tf", "token"], descending=[True, False])
+           .limit(k))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tf = b["total_tf"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s2 = b["s_tf2"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = b["df"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        assert s2.max(initial=0) < 2**63 // max(n_docs, 1), \
+            "N·Σtf² would overflow int64"
+        num = n_docs * s2 - tf * tf
+        den = n_docs * tf
+        return pa.table({
+            "token": b["token"],
+            "df": pa.array(df, pa.int64()),
+            "total_tf": pa.array(tf, pa.int64()),
+            "vmr": pa.array(num.astype(np.float64) / den.astype(np.float64),
+                            pa.float64())})
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
+                         text_col: str = "text", src_col: str = "source"):
+    """KL divergence KL(Pₐ ‖ P_b) between the add-one-smoothed unigram
+    distributions of two corpus slices — the standard domain-shift /
+    contamination monitor between data sources (cf. the DSIR importance
+    weights in curation.py, which this generalizes to a symmetric-ready
+    divergence).
+
+    p_i = (cₐᵢ+1)/(Tₐ+V), q_i = (c_bᵢ+1)/(T_b+V) over the JOINT vocab;
+    per-term contribution floor(p·ln(p/q)·1e6+0.5) as int64, integer-
+    summed — the module's standing ln-micros convention (doc_logprob), so
+    the oracle lands on identical values.  Distributed part: one
+    vocab-bounded (token → cₐ, c_b) groupby with per-batch combiners; the
+    vocab-sized finish runs vectorized on the driver (dictionary-bounded
+    tier, as llr_collocations).  Returns one row
+    (n_vocab, t_a, t_b, kl_micros, kl)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for t, s in zip(texts, srcs):
+            if s != src_a and s != src_b:
+                continue
+            ia = 1 if s == src_a else 0
+            tl = t.lower().strip()
+            for w in (_WS.split(tl) if tl else []):
+                e = acc.get(w)
+                if e is None:
+                    acc[w] = [ia, 1 - ia]
+                else:
+                    e[0] += ia
+                    e[1] += 1 - ia
+        toks = list(acc.keys())
+        return pa.table({
+            "w1": pa.array(toks, pa.string()),
+            "ca": pa.array([acc[w][0] for w in toks], pa.int64()),
+            "cb": pa.array([acc[w][1] for w in toks], pa.int64())})
+
+    c = (ds.select_columns([src_col, text_col])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby("w1").aggregate(Sum("ca", alias_name="ca"),
+                                  Sum("cb", alias_name="cb"))
+         .to_pandas())
+    v = len(c)
+    ca = c["ca"].to_numpy(np.int64)
+    cb = c["cb"].to_numpy(np.int64)
+    ta, tb = int(ca.sum()), int(cb.sum())
+    if v == 0:
+        kl_micros = 0
+    else:
+        p = (ca + 1).astype(np.float64) / np.float64(ta + v)
+        q = (cb + 1).astype(np.float64) / np.float64(tb + v)
+        term = p * np.log(p / q)
+        kl_micros = int(np.floor(term * 1e6 + 0.5).astype(np.int64).sum())
+    return rd.from_arrow(pa.table({
+        "n_vocab": pa.array([v], pa.int64()),
+        "t_a": pa.array([ta], pa.int64()),
+        "t_b": pa.array([tb], pa.int64()),
+        "kl_micros": pa.array([kl_micros], pa.int64()),
+        "kl": pa.array([kl_micros / 1e6], pa.float64())}))

@@ -1009,3 +1009,53 @@ def chi_square_independence(ds, ts_col: str = "ts",
 
     return grid.repartition(1).map_batches(finish, batch_format="pandas",
                                            batch_size=None)
+
+
+def max_drawdown(ds, user_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", value_col: str = "value",
+                 n_parts: int = 64):
+    """Per-user maximum drawdown of the cumulative value series in
+    event-time order: max over t of (running-max(cumsum) − cumsum) — the
+    chained SUM-OVER / MAX-OVER / grouped-MAX window composition.
+
+    Shuffle shape: the moving_average user-complete coarse-partition plan
+    (hash users into n_parts, one vectorized pass per partition) — per-user
+    state never crosses tasks, no per-user straggler groups.  The running
+    sums stay exact int64 micros end-to-end; the single /1e6 finish is
+    mirrored in SQL.  Returns (user_id, n_events, max_drawdown_micros,
+    max_drawdown)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", id_col], kind="stable")
+        run = g.groupby(user_col, sort=False)["vm"].cumsum().to_numpy(
+            np.int64)
+        g = g.assign(run=run)
+        runmax = g.groupby(user_col, sort=False)["run"].cummax().to_numpy(
+            np.int64)
+        g = g.assign(dd=runmax - run)
+        out = (g.groupby(user_col, sort=False)
+               .agg(n_events=("dd", "size"),
+                    max_drawdown_micros=("dd", "max"))
+               .reset_index())
+        return pd.DataFrame({
+            user_col: out[user_col],
+            "n_events": out["n_events"].astype(np.int64),
+            "max_drawdown_micros":
+                out["max_drawdown_micros"].astype(np.int64),
+            "max_drawdown":
+                out["max_drawdown_micros"].to_numpy(np.float64) / 1e6,
+        })
+
+    parted = ds.select_columns([user_col, ts_col, id_col, value_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Round-3 TPC-H-family additions: Q13 order-count distribution, Q22
+dormant-rich customers, Q17 small-lot revenue, Q11 supplier share —
+DuckDB parity at tiny scale plus semantics goldens."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "part", "supplier", "nation"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_customer_order_distribution_matches_duckdb():
+    from deepkg_ray.oracle import customer_order_distribution_oracle
+    from deepkg_ray.pipelines.relational import customer_order_distribution
+    got = _canon(customer_order_distribution(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(customer_order_distribution_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # distribution covers every customer exactly once
+    n_cust = con.sql("SELECT count(*) FROM customer").fetchone()[0]
+    assert got["custdist"].sum() == n_cust
+
+
+def test_dormant_rich_customers_matches_duckdb():
+    from deepkg_ray.oracle import dormant_rich_customers_oracle
+    from deepkg_ray.pipelines.relational import dormant_rich_customers
+    got = _canon(dormant_rich_customers(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(dormant_rich_customers_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 0, "cutoff should leave some dormant-rich customers"
+
+
+def test_small_lot_revenue_matches_duckdb():
+    from deepkg_ray.oracle import small_lot_revenue_oracle
+    from deepkg_ray.pipelines.relational import small_lot_revenue
+    got = _canon(small_lot_revenue(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(small_lot_revenue_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_small_lot_threshold_is_integer_exact():
+    # qty*5*n < sum_qty must be equivalent to qty < 0.2*avg for integral
+    # quantities: spot-check the division-cleared form on a boundary case
+    qm = np.array([10_000_000, 2_000_000, 2_000_000], np.int64)  # 10, 2, 2
+    sq, n = int(qm.sum()), len(qm)                               # avg=14/3
+    # 0.2*avg = 14/15 ≈ 0.933 → nothing below it
+    assert [bool(x * 5 * n < sq) for x in qm] == [False, False, False]
+    qm2 = np.array([1_000_000, 50_000_000], np.int64)            # 1, 50
+    sq2, n2 = int(qm2.sum()), len(qm2)                           # avg=25.5
+    # 0.2*avg = 5.1 → the qty=1 row is below
+    assert [bool(x * 5 * n2 < sq2) for x in qm2] == [True, False]
+
+
+def test_supplier_share_nations_matches_duckdb():
+    from deepkg_ray.oracle import supplier_share_nations_oracle
+    from deepkg_ray.pipelines.relational import supplier_share_nations
+    got = _canon(supplier_share_nations(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(supplier_share_nations_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # every surviving nation really holds > 5% of the global total
+    tot = con.sql(
+        "SELECT SUM(CAST(floor(s_acctbal*1e6+0.5) AS BIGINT)) "
+        "FROM supplier").fetchone()[0]
+    assert np.all(got["value_micros"].to_numpy() * 20 > tot)
+
+
+def test_returned_item_customers_matches_duckdb():
+    from deepkg_ray.oracle import returned_item_customers_oracle
+    from deepkg_ray.pipelines.relational import returned_item_customers
+    got = _canon(returned_item_customers(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(returned_item_customers_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 20
+
+
+def test_top_supplier_revenue_matches_duckdb_with_ties():
+    from deepkg_ray.oracle import top_supplier_revenue_oracle
+    from deepkg_ray.pipelines.relational import top_supplier_revenue
+    got = _canon(top_supplier_revenue(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(top_supplier_revenue_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) >= 1
+
+
+def test_brand_supplier_counts_matches_duckdb():
+    from deepkg_ray.oracle import brand_supplier_counts_oracle
+    from deepkg_ray.pipelines.relational import brand_supplier_counts
+    got = _canon(brand_supplier_counts(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(brand_supplier_counts_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # the excluded brand never appears
+    assert not (got["p_brand"] == "Brand#45").any()
+
+
+def test_disjunctive_revenue_matches_duckdb():
+    from deepkg_ray.oracle import disjunctive_revenue_oracle
+    from deepkg_ray.pipelines.relational import disjunctive_revenue
+    got = _canon(disjunctive_revenue(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(disjunctive_revenue_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)

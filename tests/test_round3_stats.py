@@ -1,0 +1,286 @@
+"""Round-3 distribution statistics: grouped MAD, two-sample KS, ROC AUC,
+max drawdown — goldens against hand-computed values plus DuckDB parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events_con():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(6)
+        else:
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- MAD --
+
+def test_grouped_mad_golden():
+    from deepkg_ray.stages.quantiles import grouped_mad
+    df = pd.DataFrame({
+        "event_type": ["a"] * 5 + ["b"] * 4,
+        "value": [1.0, 2.0, 4.0, 7.0, 9.0,      # med=4, |d|=3,2,0,3,5 med=3
+                  10.0, 20.0, 30.0, 100.0],     # med=25, |d|=15,5,5,75→10
+    })
+    out = (grouped_mad(rd.from_pandas(df)).to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert out["median"].tolist() == [4.0, 25.0]
+    assert out["mad"].tolist() == [3.0, 10.0]
+    # doubled-space invariants: med2 = 2·median, mad4 = 4·mad in micros
+    assert out["med2"].tolist() == [8_000_000, 50_000_000]
+    assert out["mad4"].tolist() == [12_000_000, 40_000_000]
+
+
+def test_grouped_mad_matches_duckdb():
+    from deepkg_ray.oracle import grouped_mad_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_mad
+    got = _canon(grouped_mad(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(grouped_mad_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------------------------- KS --
+
+def test_ks_two_sample_golden():
+    from deepkg_ray.stages.quantiles import ks_two_sample
+    # a: {1,2,3}, b: {3,4,5} → D = 2/3 at v=2
+    df = pd.DataFrame({
+        "event_type": ["click"] * 3 + ["view"] * 3 + ["other"],
+        "value": [1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 99.0],
+    })
+    out = ks_two_sample(rd.from_pandas(df)).to_pandas()
+    assert out["n_a"].item() == 3 and out["n_b"].item() == 3
+    assert out["d_num"].item() == 6          # |2·3 − 0·3| at v=2
+    assert abs(out["d"].item() - 2 / 3) < 1e-12
+
+
+def test_ks_identical_distributions_is_zero():
+    from deepkg_ray.stages.quantiles import ks_two_sample
+    df = pd.DataFrame({
+        "event_type": ["click", "view"] * 4,
+        "value": [1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 4.0, 4.0],
+    })
+    assert ks_two_sample(rd.from_pandas(df)).to_pandas()["d_num"].item() == 0
+
+
+def test_ks_matches_duckdb():
+    from deepkg_ray.oracle import ks_two_sample_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import ks_two_sample
+    got = _canon(ks_two_sample(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(ks_two_sample_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# ------------------------------------------------------------------- AUC --
+
+def test_roc_auc_golden_with_ties():
+    from deepkg_ray.stages.quantiles import roc_auc
+    # pos scores {3, 2}, neg scores {1, 2} → pairs: (3>1)=1, (3>2)=1,
+    # (2>1)=1, (2=2)=0.5 → AUC = 3.5/4
+    df = pd.DataFrame({
+        "event_type": ["purchase", "purchase", "view", "view"],
+        "value": [3.0, 2.0, 1.0, 2.0],
+    })
+    out = roc_auc(rd.from_pandas(df)).to_pandas()
+    assert out["n_pos"].item() == 2 and out["n_neg"].item() == 2
+    assert out["auc_num2"].item() == 7       # 2·AUC·P·N = 7
+    assert abs(out["auc"].item() - 0.875) < 1e-12
+
+
+def test_roc_auc_perfect_separation():
+    from deepkg_ray.stages.quantiles import roc_auc
+    df = pd.DataFrame({
+        "event_type": ["purchase"] * 3 + ["view"] * 3,
+        "value": [10.0, 11.0, 12.0, 1.0, 2.0, 3.0],
+    })
+    assert roc_auc(rd.from_pandas(df)).to_pandas()["auc"].item() == 1.0
+
+
+def test_roc_auc_matches_duckdb():
+    from deepkg_ray.oracle import roc_auc_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import roc_auc
+    got = _canon(roc_auc(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(roc_auc_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------------------- drawdown --
+
+def test_max_drawdown_golden():
+    from deepkg_ray.stages.windows import max_drawdown
+    # user a: values 5, -3, -4, 10 → run 5, 2, -2, 8; peak 5,5,5,8 →
+    # dd 0, 3, 7, 0 → max 7.  user b monotone up → 0.
+    df = pd.DataFrame({
+        "user_id": ["a"] * 4 + ["b"] * 3,
+        "event_id": np.arange(7, dtype=np.int64),
+        "ts": pd.to_datetime([1, 2, 3, 4, 1, 2, 3], unit="s"),
+        "value": [5.0, -3.0, -4.0, 10.0, 1.0, 2.0, 3.0],
+    })
+    out = (max_drawdown(rd.from_pandas(df), n_parts=4).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["max_drawdown"].tolist() == [7.0, 0.0]
+    assert out["n_events"].tolist() == [4, 3]
+
+
+def test_max_drawdown_matches_duckdb():
+    from deepkg_ray.oracle import max_drawdown_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import max_drawdown
+    got = _canon(max_drawdown(
+        read_events(SF, ["user_id", "event_id", "ts", "value"]))
+        .to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(max_drawdown_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------- linkpred score family --
+
+def test_link_prediction_scores_brute_force_parity():
+    import math
+    from deepkg_ray.stages.graph import link_prediction_scores
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 20, (50, 2))]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"subj_id": np.array([e[0] for e in edges], np.int64),
+         "obj_id": np.array([e[1] for e in edges], np.int64)}))
+    got = (link_prediction_scores(ds, min_cn=1).to_pandas()
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+
+    # brute force over the simple undirected graph
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    rows = []
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in nbrs[u]:
+                continue
+            common = nbrs[u] & nbrs[v]
+            if not common:
+                continue
+            ra = sum(int(np.floor(1e6 / len(nbrs[z]) + 0.5))
+                     for z in common) / 1e6
+            aa = sum(int(np.floor(1e6 / math.log(len(nbrs[z])) + 0.5))
+                     for z in common if len(nbrs[z]) >= 2) / 1e6
+            cn = len(common)
+            den = len(nbrs[u]) + len(nbrs[v]) - cn
+            jac = np.floor(cn / den * 1e6 + 0.5) / 1e6
+            rows.append((u, v, cn, ra, aa, jac))
+    want = pd.DataFrame(rows, columns=["e1", "e2", "cn", "ra", "aa",
+                                       "jaccard"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ------------------------------------------------------ corpus statistics --
+
+def _docs_con():
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def test_token_zipf_fit_perfect_zipf_slope():
+    from deepkg_ray.stages.textstats import token_zipf_fit
+    # counts ∝ 1/rank → slope ≈ −1 exactly on the fitted points
+    docs = []
+    words = [f"w{i:02d}" for i in range(20)]
+    for r, w in enumerate(words, start=1):
+        docs.extend([w] * (1200 // r))
+    df = pd.DataFrame({"doc_id": [0], "text": [" ".join(docs)]})
+    out = token_zipf_fit(rd.from_pandas(df), k=20).to_pandas()
+    assert out["n_tokens"].item() == 20
+    assert abs(out["slope"].item() + 1.0) < 0.01
+
+
+def test_token_zipf_fit_matches_duckdb():
+    from deepkg_ray.oracle import token_zipf_fit_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import token_zipf_fit
+    got = _canon(token_zipf_fit(read_documents(SF, ["text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(token_zipf_fit_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_token_burstiness_golden():
+    from deepkg_ray.stages.textstats import token_burstiness
+    # 'a': tf per doc [4, 0] over N=2 docs → mean 2, var 4, vmr 2
+    # 'b': tf [1, 1] → var 0 → vmr 0
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["a a a a b", "b c"]})
+    out = (token_burstiness(rd.from_pandas(df), k=10).to_pandas()
+           .set_index("token"))
+    assert out.loc["a", "vmr"] == 2.0 and out.loc["a", "df"] == 1
+    assert out.loc["b", "vmr"] == 0.0 and out.loc["b", "df"] == 2
+
+
+def test_token_burstiness_matches_duckdb():
+    from deepkg_ray.oracle import token_burstiness_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import token_burstiness
+    got = _canon(token_burstiness(
+        read_documents(SF, ["doc_id", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(token_burstiness_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_source_kl_zero_on_identical_slices():
+    from deepkg_ray.stages.textstats import source_kl_divergence
+    df = pd.DataFrame({
+        "source": ["src0", "src1"],
+        "text": ["alpha beta gamma", "alpha beta gamma"]})
+    out = source_kl_divergence(rd.from_pandas(df)).to_pandas()
+    assert out["kl_micros"].item() == 0
+
+
+def test_source_kl_positive_on_disjoint_slices():
+    from deepkg_ray.stages.textstats import source_kl_divergence
+    df = pd.DataFrame({
+        "source": ["src0", "src1"],
+        "text": ["alpha alpha alpha", "omega omega omega"]})
+    out = source_kl_divergence(rd.from_pandas(df)).to_pandas()
+    assert out["kl"].item() > 0.5
+
+
+def test_source_kl_matches_duckdb():
+    from deepkg_ray.oracle import source_kl_divergence_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_kl_divergence
+    got = _canon(source_kl_divergence(
+        read_documents(SF, ["source", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(source_kl_divergence_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
