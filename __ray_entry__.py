@@ -1713,6 +1713,23 @@ def _q_disjunctive_revenue(sf_dir: str):
     return disjunctive_revenue(sf_dir)
 
 
+
+def _q_csv_roundtrip(sf_dir: str):
+    """CSV sink + source roundtrip (micros-int crossing) verified by
+    hash-matching the parquet-side aggregate."""
+    from deepkg_ray.sources.readers import csv_roundtrip_counts
+    return csv_roundtrip_counts(sf_dir)
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix (order-free
+    ln-micros integer sum)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import user_event_entropy
+    return user_event_entropy(read_events(sf_dir, ["user_id",
+                                                   "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2072,6 +2089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "user_event_entropy": _q_user_event_entropy,
         "returned_item_customers": _q_returned_item_customers,
         "top_supplier_revenue": _q_top_supplier_revenue,
         "brand_supplier_counts": _q_brand_supplier_counts,
@@ -2261,6 +2280,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "csv_roundtrip": oracle.csv_roundtrip_counts_oracle(),
+        "user_event_entropy": oracle.user_event_entropy_oracle(),
         "returned_item_customers": oracle.returned_item_customers_oracle(),
         "top_supplier_revenue": oracle.top_supplier_revenue_oracle(),
         "brand_supplier_counts": oracle.brand_supplier_counts_oracle(),

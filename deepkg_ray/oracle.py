@@ -4181,3 +4181,37 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
        AND qty BETWEEN 20 * 1000000 AND 30 * 1000000)
 """
+
+
+def csv_roundtrip_counts_oracle() -> str:
+    """Parquet-side mirror of readers.csv_roundtrip_counts: if the CSV
+    sink+source layer is lossless the aggregates hash-match."""
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros
+FROM events GROUP BY event_type
+"""
+
+
+def user_event_entropy_oracle() -> str:
+    """Mirror of windows.user_event_entropy: per-term
+    floor(−(c/n)·ln(c/n)·1e6+0.5) integer sum (order-free)."""
+    return """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY user_id, event_type),
+     n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_types
+           FROM c GROUP BY user_id)
+SELECT n.user_id, n.n AS n_events, n.n_types,
+       CAST(SUM(CAST(floor(
+           -((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS ent_micros,
+       CAST(CAST(SUM(CAST(floor(
+           -((CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+             * ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)))
+           * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS entropy
+FROM c JOIN n ON n.user_id = c.user_id
+GROUP BY n.user_id, n.n, n.n_types
+"""

@@ -135,3 +135,48 @@ def export_text_corpus(ds, path: str, text_col: str = "text"):
         return b.select([text_col])
     ds.map_batches(to_lines, batch_format="pyarrow").write_csv(path)
     return path
+
+
+def csv_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_csv"):
+    """CSV sink + source demonstrated as a verified roundtrip: events
+    project to (event_type, value micros), write a partitioned CSV
+    directory, read it back with ray.data.read_csv, and aggregate — the
+    hash check against the parquet-side oracle proves the CSV layer is
+    lossless (floats cross the text boundary as int64 micros, the only
+    safe way to roundtrip doubles through CSV).  Reference analog: the
+    json/jsonline interchange of the reference's readers
+    (run_seq2struct.py data loading), here on the columnar CSV path.
+    Returns (event_type, n, sum_micros)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from deepkg_ray.functions.numeric import to_micros
+
+    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "vm": pa.array(to_micros(b["value"].to_pylist()), pa.int64())})
+
+    (rd.read_parquet(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+     .map_batches(proj, batch_format="pyarrow")
+     .write_csv(out_dir))
+
+    back = rd.read_csv(out_dir)
+    agg = (back.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("vm", alias_name="sum_micros")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_micros":
+                b["sum_micros"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")

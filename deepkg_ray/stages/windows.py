@@ -1059,3 +1059,44 @@ def max_drawdown(ds, user_col: str = "user_id", ts_col: str = "ts",
         .map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def user_event_entropy(ds, user_col: str = "user_id",
+                       type_col: str = "event_type"):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity signal (one number per user; uniform usage →
+    ln(n_types), single-type users → 0).
+
+    Exactness: per-(user, type) counts from one combiner-first groupby;
+    the per-user finish computes each term as
+    floor(−(c/n)·ln(c/n)·1e6+0.5) int64 and integer-sums them —
+    order-free, unlike a float Σ p·ln p — mirrored verbatim in SQL.
+    The per-user type list is dictionary-sized, so the map_groups frame
+    is tiny.  Returns (user_id, n_events, n_types, ent_micros, entropy)."""
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({user_col: b[user_col].to_pylist(),
+                           type_col: b[type_col].to_pylist()})
+        g = (df.groupby([user_col, type_col], sort=False).size()
+             .reset_index(name="c"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([user_col, type_col])
+              .map_batches(count_partial, batch_format="pyarrow")
+              .groupby([user_col, type_col])
+              .aggregate(Sum("c", alias_name="c")))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64).astype(np.float64)
+        n = c.sum()
+        p = c / n
+        terms = np.floor(-(p * np.log(p)) * 1e6 + 0.5).astype(np.int64)
+        em = int(terms.sum())
+        return pd.DataFrame({
+            user_col: [g[user_col].iloc[0]],
+            "n_events": np.asarray([int(n)], np.int64),
+            "n_types": np.asarray([len(c)], np.int64),
+            "ent_micros": np.asarray([em], np.int64),
+            "entropy": np.asarray([em / 1e6], np.float64)})
+
+    return counts.groupby(user_col).map_groups(per_user,
+                                               batch_format="pandas")

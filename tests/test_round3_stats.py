@@ -284,3 +284,41 @@ def test_source_kl_matches_duckdb():
     con = _docs_con()
     exp = _canon(con.sql(source_kl_divergence_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+# -------------------------------------------------- csv roundtrip, entropy --
+
+def test_csv_roundtrip_counts_matches_parquet():
+    from deepkg_ray.oracle import csv_roundtrip_counts_oracle
+    from deepkg_ray.sources.readers import csv_roundtrip_counts
+    got = _canon(csv_roundtrip_counts(
+        SF, tmp_root="/tmp/deepkg_csv_test").to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(csv_roundtrip_counts_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_user_event_entropy_golden():
+    import math
+    from deepkg_ray.stages.windows import user_event_entropy
+    df = pd.DataFrame({
+        "user_id": ["u1"] * 4 + ["u2"] * 3,
+        "event_type": ["a", "a", "b", "b", "c", "c", "c"],
+    })
+    out = (user_event_entropy(rd.from_pandas(df)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # u1: uniform over 2 types → ln 2; u2: single type → 0
+    want_u1 = 2 * int(np.floor(0.5 * math.log(2.0) * 1e6 + 0.5)) / 1e6
+    assert out["entropy"].tolist() == [want_u1, 0.0]
+    assert out["n_types"].tolist() == [2, 1]
+
+
+def test_user_event_entropy_matches_duckdb():
+    from deepkg_ray.oracle import user_event_entropy_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import user_event_entropy
+    got = _canon(user_event_entropy(
+        read_events(SF, ["user_id", "event_type"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(user_event_entropy_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
