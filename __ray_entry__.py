@@ -1730,6 +1730,22 @@ def _q_user_event_entropy(sf_dir: str):
                                                    "event_type"]))
 
 
+
+def _q_monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth (LAG on the aggregated series)."""
+    from deepkg_ray.pipelines.relational import monthly_revenue_growth
+    return monthly_revenue_growth(sf_dir)
+
+
+def _q_conversion_lag(sf_dir: str):
+    """First-view to first-purchase lag quantiles per user (funnel
+    latency distribution, interpolated type-7)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import conversion_lag_quantiles
+    return conversion_lag_quantiles(
+        read_events(sf_dir, ["user_id", "ts", "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2089,6 +2105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "monthly_revenue_growth": _q_monthly_revenue_growth,
+        "conversion_lag": _q_conversion_lag,
         "csv_roundtrip": _q_csv_roundtrip,
         "user_event_entropy": _q_user_event_entropy,
         "returned_item_customers": _q_returned_item_customers,
@@ -2280,6 +2298,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "monthly_revenue_growth": oracle.monthly_revenue_growth_oracle(),
+        "conversion_lag": oracle.conversion_lag_quantiles_oracle(),
         "csv_roundtrip": oracle.csv_roundtrip_counts_oracle(),
         "user_event_entropy": oracle.user_event_entropy_oracle(),
         "returned_item_customers": oracle.returned_item_customers_oracle(),

@@ -4215,3 +4215,65 @@ SELECT n.user_id, n.n AS n_events, n.n_types,
 FROM c JOIN n ON n.user_id = c.user_id
 GROUP BY n.user_id, n.n, n.n_types
 """
+
+
+def monthly_revenue_growth_oracle() -> str:
+    """Mirror of relational.monthly_revenue_growth: month aggregate in
+    exact micros, LAG window, one round6 growth division."""
+    return """
+WITH m AS (
+  SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+         CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_micros
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT month_us, rev_micros,
+         LAG(rev_micros) OVER (ORDER BY month_us) AS prev_micros
+  FROM m
+)
+SELECT month_us, rev_micros, CAST(prev_micros AS BIGINT) AS prev_micros,
+       floor(CAST(rev_micros - prev_micros AS DOUBLE)
+             / CAST(prev_micros AS DOUBLE) * 1e6 + 0.5) / 1e6 AS growth
+FROM w WHERE prev_micros IS NOT NULL
+"""
+
+
+def conversion_lag_quantiles_oracle(first_type: str = "view",
+                                    then_type: str = "purchase",
+                                    qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Mirror of windows.conversion_lag_quantiles: first-event lags in
+    integer seconds through the engine's exact micro-index type-7
+    interpolation chain (same CTE shape as token_quantiles_cont)."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH fv AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = '{first_type}'
+             THEN epoch_us(ts) END) AS v,
+         min(CASE WHEN event_type = '{then_type}'
+             THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+),
+base AS (
+  SELECT (p - v) // 1000000 AS v FROM fv
+  WHERE v IS NOT NULL AND p IS NOT NULL AND p > v
+),
+h AS (SELECT v, count(*) AS n FROM base GROUP BY v),
+c AS (SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM h),
+params AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM h),
+qs AS ({q_rows}),
+pos AS (SELECT q, qm * (n - 1) AS hm FROM qs, params),
+pick AS (SELECT q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos),
+el AS (
+  SELECT p.q, p.frac,
+         (SELECT min(v) FROM c WHERE cum > p.lo) AS vlo,
+         (SELECT min(v) FROM c
+          WHERE cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT q,
+       floor((vlo + (frac * (vhi - vlo)) / 1e6) * 1e6 + 0.5) / 1e6 AS value
+FROM el
+"""

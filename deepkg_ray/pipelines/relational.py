@@ -1210,3 +1210,51 @@ def disjunctive_revenue(sf_dir: str):
     return pa.table({
         "n_rows": pa.array([n], pa.int64()),
         "revenue": pa.array([float(t) / 1e6], pa.float64())})
+
+
+def monthly_revenue_growth(sf_dir: str):
+    """Month-over-month revenue growth over the orders series — the
+    LAG-on-aggregate window shape (aggregate first, window the tiny
+    series).  The distributed part is one combiner-first month groupby in
+    exact micros; the months table (one row per month of history) is
+    driver-finished, where LAG and the single growth division
+    growth = round6((rev − prev) / prev) run vectorized.  The first
+    month (no LAG predecessor) is excluded, mirroring SQL's NULL-LAG
+    drop.  Returns (month_us, rev_micros, prev_micros, growth)."""
+    from deepkg_ray.functions.numeric import round6
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        month_us = (dt.to_period("M").to_timestamp().asi8 // 1_000)
+        return pa.table({
+            "month_us": pa.array(month_us, pa.int64()),
+            "rev_micros": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                                   pa.int64())})
+
+    months = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("month_us")
+              .aggregate(Sum("rev_micros", alias_name="rev_micros"))
+              .to_pandas().sort_values("month_us"))
+    rev = months["rev_micros"].to_numpy(np.int64)
+    prev = np.concatenate([[0], rev[:-1]])
+    out = pd.DataFrame({
+        "month_us": months["month_us"].to_numpy(np.int64),
+        "rev_micros": rev, "prev_micros": prev})
+    out = out.iloc[1:]
+    growth = round6((out["rev_micros"].to_numpy(np.int64)
+                     - out["prev_micros"].to_numpy(np.int64))
+                    .astype(np.float64)
+                    / out["prev_micros"].to_numpy(np.int64)
+                    .astype(np.float64))
+    return pa.table({
+        "month_us": pa.array(out["month_us"].to_numpy(np.int64), pa.int64()),
+        "rev_micros": pa.array(out["rev_micros"].to_numpy(np.int64),
+                               pa.int64()),
+        "prev_micros": pa.array(out["prev_micros"].to_numpy(np.int64),
+                                pa.int64()),
+        "growth": pa.array(growth, pa.float64())})

@@ -1100,3 +1100,58 @@ def user_event_entropy(ds, user_col: str = "user_id",
 
     return counts.groupby(user_col).map_groups(per_user,
                                                batch_format="pandas")
+
+
+def conversion_lag_quantiles(ds, first_type: str = "view",
+                             then_type: str = "purchase",
+                             qs=(0.25, 0.5, 0.75, 0.9),
+                             user_col: str = "user_id", ts_col: str = "ts",
+                             type_col: str = "event_type"):
+    """Funnel latency distribution: per user, the lag from the FIRST
+    ``first_type`` event to the FIRST ``then_type`` event (users with both,
+    positive lags only), summarized as interpolated type-7 quantiles in
+    whole seconds.
+
+    Plan: per-batch (user, min_first, min_then) sentinel partials are
+    exact Min combiners; one user-bounded groupby-Min; the surviving lag
+    values feed quantiles_cont's value-count histogram (shuffle bounded by
+    distinct lag values).  All arithmetic integer micros → integer
+    seconds; interpolation is the module-standard micro-index chain.
+    Returns (q, value)."""
+    from deepkg_ray.stages.quantiles import quantiles_cont
+
+    SENT = np.int64(2**62)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            user_col: b[user_col].to_pylist(),
+            "t": np.asarray(b[type_col].to_pylist(), object),
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_numpy(zero_copy_only=False),
+        })
+        df["v"] = np.where(df["t"] == first_type, df["us"], SENT)
+        df["p"] = np.where(df["t"] == then_type, df["us"], SENT)
+        g = (df.groupby(user_col, sort=False)
+             .agg(v=("v", "min"), p=("p", "min")).reset_index())
+        return pa.Table.from_pandas(g[[user_col, "v", "p"]],
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Min
+    per_user = (ds.select_columns([user_col, ts_col, type_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(user_col)
+                .aggregate(Min("v", alias_name="v"),
+                           Min("p", alias_name="p")))
+
+    def lags(b: pa.Table) -> pa.Table:
+        v = b["v"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        p = b["p"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (v < SENT) & (p < SENT) & (p > v)
+        lag_s = (p[keep] - v[keep]) // 1_000_000
+        return pa.table({"lag_s": pa.array(lag_s, pa.int64())})
+
+    return quantiles_cont(per_user.map_batches(lags,
+                                               batch_format="pyarrow"),
+                          "lag_s", list(qs))

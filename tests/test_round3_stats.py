@@ -322,3 +322,43 @@ def test_user_event_entropy_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(user_event_entropy_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+# --------------------------------------------- growth, conversion latency --
+
+def test_monthly_revenue_growth_matches_duckdb():
+    from deepkg_ray.oracle import monthly_revenue_growth_oracle
+    from deepkg_ray.pipelines.relational import monthly_revenue_growth
+    got = _canon(pd.DataFrame(monthly_revenue_growth(SF).to_pandas()))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    exp = _canon(con.sql(monthly_revenue_growth_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) > 12      # several years of monthly history
+
+
+def test_conversion_lag_golden():
+    from deepkg_ray.stages.windows import conversion_lag_quantiles
+    # u1: view@10s, purchase@70s → 60; u2: view@0, purchase@120 → 120
+    # u3: purchase before view → dropped; u4: view only → dropped
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u2", "u2", "u3", "u3", "u4"],
+        "ts": pd.to_datetime([10, 70, 0, 120, 50, 40, 5], unit="s"),
+        "event_type": ["view", "purchase", "view", "purchase",
+                       "view", "purchase", "view"],
+    })
+    out = (conversion_lag_quantiles(rd.from_pandas(df), qs=(0.5,))
+           .to_pandas())
+    assert out["value"].tolist() == [90.0]     # midpoint of {60, 120}
+
+
+def test_conversion_lag_matches_duckdb():
+    from deepkg_ray.oracle import conversion_lag_quantiles_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import conversion_lag_quantiles
+    got = _canon(conversion_lag_quantiles(
+        read_events(SF, ["user_id", "ts", "event_type"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(conversion_lag_quantiles_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
