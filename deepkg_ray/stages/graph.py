@@ -647,7 +647,8 @@ def link_prediction(edges, src_col: str = "subj_id",
 
 def truss_edges(edges, k: int = 3, src_col: str = "subj_id",
                 dst_col: str = "obj_id", max_iters: int = 8,
-                num_partitions: int | None = None):
+                num_partitions: int | None = None,
+                driver_threshold: int = 200_000):
     """k-truss peeling over the undirected simple graph: iteratively drop
     every edge whose support (triangles containing it within the CURRENT
     edge set) is < k−2, to fixpoint — the edge-cohesion analog of k-core
@@ -685,6 +686,33 @@ def truss_edges(edges, k: int = 3, src_col: str = "subj_id",
            .drop_columns(["_m"]).materialize())
     n_edges = cur.count()
     min_sup = k - 2
+
+    # driver tier (same auto-routing convention as scc_components /
+    # connected_components): below the threshold each peeling round is a
+    # fixed-cost Ray join+groupby on a driver-sized edge set — peel
+    # locally instead.  The distributed path remains the scale tier and
+    # is exercised by tests via a forced-zero threshold.
+    if n_edges <= driver_threshold:
+        import ray.data as rd
+        ed = cur.to_pandas()
+        pairs = set(zip(ed["e1"].tolist(), ed["e2"].tolist()))
+        while True:
+            nbrs: dict[int, set[int]] = {}
+            for a, b in pairs:
+                nbrs.setdefault(a, set()).add(b)
+                nbrs.setdefault(b, set()).add(a)
+            nxt = {(a, b) for (a, b) in pairs
+                   if len(nbrs[a] & nbrs[b]) >= min_sup}
+            if nxt == pairs:
+                break
+            pairs = nxt
+        if pairs:
+            arr = np.array(sorted(pairs), np.int64)
+            return rd.from_arrow(pa.table({
+                "e1": pa.array(arr[:, 0], pa.int64()),
+                "e2": pa.array(arr[:, 1], pa.int64())}))
+        return rd.from_arrow(pa.table({"e1": pa.array([], pa.int64()),
+                                       "e2": pa.array([], pa.int64())}))
 
     def bidirect(b: pa.Table) -> pa.Table:
         u = b["e1"].to_numpy(zero_copy_only=False)
@@ -867,9 +895,68 @@ def kcore_nodes(edges, k: int = 3, src_col: str = "subj_id",
 
 
 
+
+def _tarjan_min_label(s: np.ndarray, d: np.ndarray) -> dict[int, int]:
+    """Iterative Tarjan SCC over a driver-sized directed edge list;
+    returns {node: min member of its SCC} (the same labeling the
+    distributed FW-BW path and the recursive-closure oracle produce)."""
+    adj: dict[int, list[int]] = {}
+    nodes: set[int] = set()
+    for a, b in zip(s.tolist(), d.tolist()):
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    comp: dict[int, int] = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for j in range(pi, len(adj.get(v, ()))):
+                w = adj[v][j]
+                if w not in index:
+                    work[-1] = (v, j + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                scc = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    scc.append(w)
+                    if w == v:
+                        break
+                m = min(scc)
+                for w in scc:
+                    comp[w] = m
+            if work:
+                pv, _ = work[-1]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
 def scc_components(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                    max_outer: int = 12, max_rounds: int = 32,
-                   num_partitions: int | None = None):
+                   num_partitions: int | None = None,
+                   driver_threshold: int = 500_000):
     """Strongly connected components of the DIRECTED simple graph via
     forward-backward min-label coloring (Orzan-style FW-BW, the standard
     distributed SCC): per outer round, (1) forward fixpoint lab[v] = min
@@ -920,6 +1007,25 @@ def scc_components(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                       "component": pa.array([], pa.int64())})
     if all_nodes.count() == 0:
         return rd.from_arrow(empty)
+
+    # ---- driver tier: below the threshold the deduped edge list is
+    # driver-sized and the FW-BW round structure is pure orchestration
+    # overhead (each join+Min round costs a fixed Ray stage, ~30-60 rounds
+    # total) — finish with one exact iterative Tarjan pass instead.  Same
+    # auto-routing convention as connected_components' 1M-pair cut; the
+    # distributed path stays the scale tier (and is exercised by tests via
+    # a forced-low threshold).
+    if active.count() <= driver_threshold:
+        ed = active.to_pandas()
+        comp = _tarjan_min_label(ed["s"].to_numpy(np.int64),
+                                 ed["d"].to_numpy(np.int64))
+        nodes = np.fromiter(comp.keys(), np.int64, len(comp))
+        order = np.argsort(nodes)
+        nodes = nodes[order]
+        labels = np.fromiter(comp.values(), np.int64, len(comp))[order]
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(labels, pa.int64())}))
 
     settled_parts = []
 

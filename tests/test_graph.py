@@ -425,3 +425,42 @@ def test_diameter_2sweep_path_exact():
     assert out["src"].tolist() == [5]
     assert out["far_node"].tolist() == [9]
     assert out["diameter_lb"].tolist() == [4]
+
+
+def test_scc_driver_and_distributed_tiers_agree():
+    """The Tarjan driver tier (default routing for small edge lists) and
+    the FW-BW distributed path (forced via driver_threshold=0) must
+    produce the identical min-member labeling on a random digraph."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import scc_components
+
+    rng = np.random.default_rng(11)
+    e = pd.DataFrame({
+        "subj_id": rng.integers(0, 30, 120).astype(np.int64),
+        "obj_id": rng.integers(0, 30, 120).astype(np.int64)})
+    ds = rd.from_pandas(e)
+    fast = (scc_components(ds).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    slow = (scc_components(ds, driver_threshold=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_truss_driver_and_distributed_tiers_agree():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import truss_edges
+
+    rng = np.random.default_rng(13)
+    e = pd.DataFrame({
+        "subj_id": rng.integers(0, 25, 150).astype(np.int64),
+        "obj_id": rng.integers(0, 25, 150).astype(np.int64)})
+    ds = rd.from_pandas(e)
+    fast = (truss_edges(ds, k=3).to_pandas()
+            .sort_values(["e1", "e2"]).reset_index(drop=True))
+    slow = (truss_edges(ds, k=3, driver_threshold=0).to_pandas()
+            .sort_values(["e1", "e2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
