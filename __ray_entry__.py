@@ -1746,6 +1746,23 @@ def _q_conversion_lag(sf_dir: str):
         read_events(sf_dir, ["user_id", "ts", "event_type"]))
 
 
+
+def _q_json_roundtrip(sf_dir: str):
+    """JSONL sink + source roundtrip (micros-int crossing), hash-checked
+    against the parquet-side aggregate."""
+    from deepkg_ray.sources.readers import json_roundtrip_counts
+    return json_roundtrip_counts(sf_dir)
+
+
+def _q_timed_conversions(sf_dir: str):
+    """Per-user purchases with a view in the strictly-preceding hour
+    (timed funnel step, vectorized searchsorted containment)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import timed_conversions
+    return timed_conversions(read_events(sf_dir, ["user_id", "ts",
+                                                  "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2105,6 +2122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "json_roundtrip": _q_json_roundtrip,
+        "timed_conversions": _q_timed_conversions,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "conversion_lag": _q_conversion_lag,
         "csv_roundtrip": _q_csv_roundtrip,
@@ -2298,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "json_roundtrip": oracle.csv_roundtrip_counts_oracle(),
+        "timed_conversions": oracle.timed_conversions_oracle(),
         "monthly_revenue_growth": oracle.monthly_revenue_growth_oracle(),
         "conversion_lag": oracle.conversion_lag_quantiles_oracle(),
         "csv_roundtrip": oracle.csv_roundtrip_counts_oracle(),

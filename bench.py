@@ -151,6 +151,24 @@ def _q_state_history(sf_dir: str):
         sf_dir, ["user_id", "ts", "event_id", "event_type"])).count()
 
 
+
+def _q_q13_distribution(sf_dir: str):
+    from deepkg_ray.pipelines.relational import customer_order_distribution
+    return customer_order_distribution(sf_dir).count()
+
+
+def _q_events_mad(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_mad
+    return grouped_mad(read_events(sf_dir, ["event_type", "value"])).count()
+
+
+def _q_token_burstiness(sf_dir: str):
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import token_burstiness
+    return token_burstiness(read_documents(sf_dir, ["doc_id", "text"])).count()
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     if not ray.is_initialized():
@@ -209,7 +227,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("uie_trained", _q_uie_trained),
             ("frequent_pairs", _q_frequent_pairs),
             ("snapshot_diff", _q_snapshot_diff),
-            ("state_history", _q_state_history)]
+            ("state_history", _q_state_history),
+            ("q13_distribution", _q_q13_distribution),
+            ("events_mad", _q_events_mad),
+            ("token_burstiness", _q_token_burstiness)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:

@@ -4277,3 +4277,23 @@ SELECT q,
        floor((vlo + (frac * (vhi - vlo)) / 1e6) * 1e6 + 0.5) / 1e6 AS value
 FROM el
 """
+
+
+def timed_conversions_oracle(first_type: str = "view",
+                             then_type: str = "purchase",
+                             window_sec: int = 3600) -> str:
+    """Mirror of windows.timed_conversions: a first_type event in
+    [p − window, p) strictly before each then_type event."""
+    w = window_sec * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events),
+     p AS (SELECT user_id, tu FROM e WHERE event_type = '{then_type}'),
+     v AS (SELECT user_id, tu FROM e WHERE event_type = '{first_type}')
+SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_then,
+       CAST(SUM(CASE WHEN EXISTS (
+                SELECT 1 FROM v
+                WHERE v.user_id = p.user_id
+                  AND v.tu >= p.tu - {w} AND v.tu < p.tu)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM p GROUP BY p.user_id
+"""

@@ -727,13 +727,23 @@ def customer_order_distribution(sf_dir: str):
     Reference analog: the per-conversation record-count rollups of
     sel2record evaluation (evaluation/scorer.py-style counting) lifted to
     relational shape."""
+    from deepkg_ray.stages.treeagg import merge_partials
     from deepkg_ray.util import drop_empty_blocks, join_partitions
     nparts = join_partitions()
 
-    per_cust = (rd.read_parquet(f"{sf_dir}/orders.parquet",
-                                columns=["o_custkey"])
-                .groupby("o_custkey")
-                .aggregate(Count(alias_name="c_count")))
+    def count_partial(b: pa.Table) -> pa.Table:
+        keys, cnts = np.unique(
+            b["o_custkey"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"o_custkey": pa.array(keys.astype(np.int64)),
+                         "c_count": pa.array(cnts.astype(np.int64))})
+
+    # per-batch combiner + cardinality-auto merge: tree when custkeys fit
+    # one task, hash shuffle when they don't (the 100-TB path)
+    per_cust = merge_partials(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow"),
+        ["o_custkey"], {"c_count": "sum"}, mode="auto")
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
@@ -741,20 +751,19 @@ def customer_order_distribution(sf_dir: str):
         drop_empty_blocks(per_cust), join_type="left_outer",
         num_partitions=nparts, on=("c_custkey",), right_on=("o_custkey",))
 
-    def coalesce(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "c_count": pc.fill_null(b["c_count"], 0).cast(pa.int64()),
-        })
+    def dist_partial(b: pa.Table) -> pa.Table:
+        cc = pc.fill_null(b["c_count"], 0).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(cc, return_counts=True)
+        return pa.table({"c_count": pa.array(vals.astype(np.int64)),
+                         "custdist": pa.array(cnts.astype(np.int64))})
 
-    dist = (drop_empty_blocks(j)
-            .map_batches(coalesce, batch_format="pyarrow")
-            .groupby("c_count")
-            .aggregate(Count(alias_name="custdist")))
-    return dist.map_batches(
-        lambda b: pa.table({
-            "c_count": b["c_count"].combine_chunks().cast(pa.int64()),
-            "custdist": b["custdist"].combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow")
+    # the count-value domain is tiny — combiner + single tree merge, no
+    # second hash shuffle
+    return merge_partials(
+        drop_empty_blocks(j).map_batches(dist_partial,
+                                         batch_format="pyarrow"),
+        ["c_count"], {"custdist": "sum"}, mode="tree")
 
 
 def dormant_rich_customers(sf_dir: str, cutoff: str = "2000-01-01"):

@@ -180,3 +180,44 @@ def csv_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_csv"):
             "sum_micros":
                 b["sum_micros"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def json_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_jsonl"):
+    """JSONL sink + source as a verified roundtrip (the reference's
+    jsonline writer/reader pair, sel2record output jsonlines — here
+    Ray-native write_json/read_json over a partitioned directory).  Floats
+    cross as int64 micros like csv_roundtrip_counts.  Returns
+    (event_type, n, sum_micros)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from deepkg_ray.functions.numeric import to_micros
+
+    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "vm": pa.array(to_micros(b["value"].to_pylist()), pa.int64())})
+
+    (rd.read_parquet(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "value"])
+     .map_batches(proj, batch_format="pyarrow")
+     .write_json(out_dir))
+
+    back = rd.read_json(out_dir)
+    agg = (back.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("vm", alias_name="sum_micros")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_micros":
+                b["sum_micros"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -439,9 +439,11 @@ def grouped_mad(ds, group_col: str = "event_type", col: str = "value"):
              .reset_index(name="n"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = (ds.select_columns([group_col, col])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby([group_col, "vm"]).aggregate(Sum("n", alias_name="n")))
+    from deepkg_ray.stages.treeagg import merge_partials
+    hist = merge_partials(
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col, "vm"], {"n": "sum"}, mode="auto")
 
     def pick2(g: pd.DataFrame, vcol: str) -> int:
         """x[(n−1)//2] + x[n//2] of the histogram multiset — exact int."""
@@ -473,10 +475,10 @@ def grouped_mad(ds, group_col: str = "event_type", col: str = "value"):
         return pa.Table.from_pandas(g[[group_col, "d2", "n"]],
                                     preserve_index=False)
 
-    dev_hist = (ds.select_columns([group_col, col])
-                .map_batches(dev_partial, batch_format="pyarrow")
-                .groupby([group_col, "d2"])
-                .aggregate(Sum("n", alias_name="n")))
+    dev_hist = merge_partials(
+        ds.select_columns([group_col, col])
+        .map_batches(dev_partial, batch_format="pyarrow"),
+        [group_col, "d2"], {"n": "sum"}, mode="auto")
 
     def pick_mad(g: pd.DataFrame) -> pd.DataFrame:
         grp = g[group_col].iloc[0]

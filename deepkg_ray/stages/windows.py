@@ -1155,3 +1155,63 @@ def conversion_lag_quantiles(ds, first_type: str = "view",
     return quantiles_cont(per_user.map_batches(lags,
                                                batch_format="pyarrow"),
                           "lag_s", list(qs))
+
+
+def timed_conversions(ds, first_type: str = "view",
+                      then_type: str = "purchase", window_sec: int = 3600,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", n_parts: int = 64):
+    """Time-bounded sequential conversion count: per user, how many
+    ``then_type`` events have at least one ``first_type`` event in the
+    strictly-preceding ``window_sec`` window — the timed funnel step
+    (events_funnel counts unordered presence; this enforces order AND
+    recency, the as-of-join shape on a single stream).
+
+    Plan: the user-complete coarse-partition contract (moving_average);
+    inside a partition both sides sort once and every containment test is
+    one vectorized np.searchsorted over an integer (user, ts) encoding —
+    no per-user Python loop.  Returns (user_id, n_then, n_converted)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            "t": b[type_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        users, uidx = np.unique(g[user_col].to_numpy(), return_inverse=True)
+        ts = g["ts_us"].to_numpy(np.int64)
+        t = np.asarray(g["t"].to_numpy(), object)
+        tmin = ts.min() if len(ts) else np.int64(0)
+        span = np.int64(ts.max() - tmin + win_us + 2) if len(ts) else np.int64(1)
+        key = uidx.astype(np.int64) * span + (ts - tmin)
+
+        vkey = np.sort(key[t == first_type])
+        is_then = t == then_type
+        pk = key[is_then]
+        pu = uidx[is_then]
+        # a view exists in [p−win, p) ⟺ the sorted view-key array has an
+        # element in [pk−win, pk) — same user guaranteed because the span
+        # encoding separates users by more than win_us
+        lo = np.searchsorted(vkey, pk - win_us, side="left")
+        hi = np.searchsorted(vkey, pk, side="left")
+        conv = (hi > lo)
+
+        n_then = np.bincount(pu, minlength=len(users)).astype(np.int64)
+        n_conv = np.bincount(pu, weights=conv.astype(np.float64),
+                             minlength=len(users)).astype(np.int64)
+        keep = n_then > 0
+        return pd.DataFrame({
+            user_col: users[keep],
+            "n_then": n_then[keep],
+            "n_converted": n_conv[keep]})
+
+    parted = ds.select_columns([user_col, ts_col, type_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")

@@ -362,3 +362,53 @@ def test_conversion_lag_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(conversion_lag_quantiles_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_json_roundtrip_counts_matches_parquet():
+    from deepkg_ray.oracle import csv_roundtrip_counts_oracle
+    from deepkg_ray.sources.readers import json_roundtrip_counts
+    got = _canon(json_roundtrip_counts(
+        SF, tmp_root="/tmp/deepkg_jsonl_test").to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(csv_roundtrip_counts_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_timed_conversions_golden():
+    from deepkg_ray.stages.windows import timed_conversions
+    # u1: view@0, purchase@1800 (in window), purchase@7200 (view too old)
+    # u2: purchase@100 with no view; u3's view must not leak into u2
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u1", "u2", "u3"],
+        "ts": pd.to_datetime([0, 1800, 7200, 100, 50], unit="s"),
+        "event_type": ["view", "purchase", "purchase", "purchase", "view"],
+    })
+    out = (timed_conversions(rd.from_pandas(df), n_parts=1).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == ["u1", "u2"]
+    assert out["n_then"].tolist() == [2, 1]
+    assert out["n_converted"].tolist() == [1, 0]
+
+
+def test_timed_conversions_window_boundaries():
+    from deepkg_ray.stages.windows import timed_conversions
+    # view exactly at p − window is IN; view exactly at p is OUT
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "b", "b"],
+        "ts": pd.to_datetime([0, 3600, 3600, 3600], unit="s"),
+        "event_type": ["view", "purchase", "view", "purchase"],
+    })
+    out = (timed_conversions(rd.from_pandas(df), n_parts=2).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["n_converted"].tolist() == [1, 0]
+
+
+def test_timed_conversions_matches_duckdb():
+    from deepkg_ray.oracle import timed_conversions_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import timed_conversions
+    got = _canon(timed_conversions(
+        read_events(SF, ["user_id", "ts", "event_type"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(timed_conversions_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
