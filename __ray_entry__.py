@@ -1763,6 +1763,30 @@ def _q_timed_conversions(sf_dir: str):
                                                   "event_type"]))
 
 
+
+def _q_events_mad_outliers(sf_dir: str):
+    """Hampel-filter robust outliers: rows beyond 3 MADs from their
+    group median (division-cleared doubled-space integer test)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_mad_outliers
+    return grouped_mad_outliers(
+        read_events(sf_dir, ["event_id", "event_type", "value"]))
+
+
+def _q_part_size_histogram(sf_dir: str):
+    """Equal-width histogram of p_size (bincount combiner + tree merge)."""
+    from deepkg_ray.pipelines.relational import part_size_histogram
+    return part_size_histogram(sf_dir)
+
+
+
+def _q_rfm_scores(sf_dir: str):
+    """RFM customer segmentation: NTILE(5) over recency/frequency/
+    monetary via three exact two-phase distributed global ranks."""
+    from deepkg_ray.pipelines.relational import rfm_scores
+    return rfm_scores(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2122,6 +2146,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "rfm_scores": _q_rfm_scores,
+        "events_mad_outliers": _q_events_mad_outliers,
+        "part_size_histogram": _q_part_size_histogram,
         "json_roundtrip": _q_json_roundtrip,
         "timed_conversions": _q_timed_conversions,
         "monthly_revenue_growth": _q_monthly_revenue_growth,
@@ -2317,6 +2344,9 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "rfm_scores": oracle.rfm_scores_oracle(),
+        "events_mad_outliers": oracle.grouped_mad_outliers_oracle(),
+        "part_size_histogram": oracle.part_size_histogram_oracle(),
         "json_roundtrip": oracle.csv_roundtrip_counts_oracle(),
         "timed_conversions": oracle.timed_conversions_oracle(),
         "monthly_revenue_growth": oracle.monthly_revenue_growth_oracle(),

@@ -4297,3 +4297,80 @@ SELECT p.user_id, CAST(count(*) AS BIGINT) AS n_then,
             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM p GROUP BY p.user_id
 """
+
+
+def grouped_mad_outliers_oracle(k: int = 3) -> str:
+    """Mirror of quantiles.grouped_mad_outliers: the grouped_mad doubled-
+    space CTEs composed with the division-cleared Hampel test
+    2·|2·vm − med2| > k·mad4."""
+    return f"""
+WITH vm AS (SELECT event_type AS g,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events),
+     cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vm GROUP BY g),
+     ordv AS (SELECT g, vm,
+                     row_number() OVER (PARTITION BY g ORDER BY vm) - 1 AS i
+              FROM vm),
+     med AS (SELECT o.g,
+                    CAST(SUM(CASE WHEN o.i = (c.n - 1) // 2
+                             THEN o.vm ELSE 0 END)
+                       + SUM(CASE WHEN o.i = c.n // 2
+                             THEN o.vm ELSE 0 END) AS BIGINT) AS med2
+             FROM ordv o JOIN cnt c ON c.g = o.g GROUP BY o.g),
+     dev AS (SELECT v.g, ABS(2 * v.vm - m.med2) AS d2
+             FROM vm v JOIN med m ON m.g = v.g),
+     ordd AS (SELECT g, d2,
+                     row_number() OVER (PARTITION BY g ORDER BY d2) - 1 AS i
+              FROM dev),
+     mad AS (SELECT o.g,
+                    CAST(SUM(CASE WHEN o.i = (c.n - 1) // 2
+                             THEN o.d2 ELSE 0 END)
+                       + SUM(CASE WHEN o.i = c.n // 2
+                             THEN o.d2 ELSE 0 END) AS BIGINT) AS mad4
+             FROM ordd o JOIN cnt c ON c.g = o.g GROUP BY o.g)
+SELECT e.event_id, e.event_type, e.value
+FROM events e
+JOIN med m ON m.g = e.event_type
+JOIN mad d ON d.g = e.event_type
+WHERE 2 * ABS(2 * CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) - m.med2)
+      > {k} * d.mad4
+"""
+
+
+def part_size_histogram_oracle(n_bins: int = 10, lo: int = 1,
+                               hi: int = 50) -> str:
+    """Mirror of relational.part_size_histogram: integer bucket and edge
+    arithmetic, clipped edge bins."""
+    span = hi - lo + 1
+    return f"""
+SELECT bucket,
+       CAST({lo} + bucket * {span} // {n_bins} AS BIGINT) AS lo_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT LEAST(GREATEST((p_size - {lo}) * {n_bins} // {span}, 0),
+                   {n_bins - 1}) AS bucket
+      FROM part)
+GROUP BY bucket
+"""
+
+
+def rfm_scores_oracle(k: int = 5) -> str:
+    """Mirror of relational.rfm_scores: NTILE(k) over (last_us DESC,
+    custkey) / (n_orders, custkey) / (monetary, custkey)."""
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS monetary_micros
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey AS c_custkey, last_us, n_orders, monetary_micros,
+       CAST(NTILE({k}) OVER (ORDER BY last_us DESC, o_custkey)
+            AS BIGINT) AS r_tile,
+       CAST(NTILE({k}) OVER (ORDER BY n_orders, o_custkey)
+            AS BIGINT) AS f_tile,
+       CAST(NTILE({k}) OVER (ORDER BY monetary_micros, o_custkey)
+            AS BIGINT) AS m_tile
+FROM per_cust
+"""

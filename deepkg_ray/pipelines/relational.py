@@ -1267,3 +1267,201 @@ def monthly_revenue_growth(sf_dir: str):
         "prev_micros": pa.array(out["prev_micros"].to_numpy(np.int64),
                                 pa.int64()),
         "growth": pa.array(growth, pa.float64())})
+
+
+def part_size_histogram(sf_dir: str, n_bins: int = 10,
+                        lo: int = 1, hi: int = 50):
+    """Equal-width histogram of p_size over fixed integer bin edges —
+    the bincount-combiner reduction (each batch contributes one partial
+    histogram row per occupied bin; the merge moves n_bins rows, never
+    data).  Bin b covers [lo + b·w, lo + (b+1)·w) with w = (hi−lo+1)/
+    n_bins in exact integer arithmetic (b = (v − lo)·n_bins // (hi−lo+1));
+    out-of-range values are clipped into the edge bins, mirroring SQL's
+    LEAST/GREATEST.  Returns (bucket, lo_edge, n)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    span = hi - lo + 1
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_size"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = np.clip((v - lo) * n_bins // span, 0, n_bins - 1)
+        vals, cnts = np.unique(bk, return_counts=True)
+        return pa.table({"bucket": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    hist = merge_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["bucket"], {"n": "sum"}, mode="tree")
+    return hist.map_batches(
+        lambda b: pa.table({
+            "bucket": b["bucket"].combine_chunks().cast(pa.int64()),
+            "lo_edge": pa.array(
+                lo + b["bucket"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False) * span // n_bins,
+                pa.int64()),
+            "n": b["n"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _global_ranks(ds, key_col: str, id_col: str, n_buckets: int = 1024):
+    """Exact 0-based global rank of every row under ORDER BY (key, id) —
+    the two-phase scan of packing.global_shuffle_positions generalized to
+    an arbitrary int64 sort key: order-preserving unsigned bucketing on
+    the key's top bits, per-bucket counts fold to exclusive offsets on
+    the driver (n_buckets integers, never rows), one bucket groupby sorts
+    in-bucket and adds the offset.  Key skew imbalances buckets (a perf
+    caveat, never a correctness one).  Returns (id, rank)."""
+    import ray
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].to_numpy(np.int64)
+        u = key.view(np.uint64) ^ np.uint64(1 << 63)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "_key": key,
+            "_bucket": (u >> shift).astype(np.int64)})
+
+    with_key = ds.map_batches(keyed, batch_format="pandas")
+    parts = with_key.map_batches(
+        lambda df: df.groupby("_bucket", as_index=False).size()
+        .rename(columns={"size": "cnt"}),
+        batch_format="pandas", batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            id_col: pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64)}))
+    sums = parts.groupby("_bucket")["cnt"].sum().sort_index()
+    offsets = {int(b): int(v) for b, v in
+               zip(sums.index, np.concatenate(([0], np.cumsum(
+                   sums.to_numpy(np.int64))[:-1])))}
+    offsets_ref = ray.put(offsets)
+
+    def place(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_key", id_col], kind="stable")
+        base = ray.get(offsets_ref)[int(df["_bucket"].iloc[0])]
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "rank": base + np.arange(len(df), dtype=np.int64)})
+
+    return with_key.groupby("_bucket").map_groups(place,
+                                                  batch_format="pandas")
+
+
+def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) from 0-based ranks: the first n mod k tiles get one
+    extra row (the rank_events rule)."""
+    size, rem = divmod(n, k)
+    big = rem * (size + 1)
+    return np.where(rank < big, rank // max(size + 1, 1),
+                    rem + (rank - big) // max(size, 1)) + 1
+
+
+def rfm_scores(sf_dir: str, k: int = 5):
+    """RFM customer scoring: per customer the last-order recency, order
+    frequency and monetary total, each bucketed into NTILE(k) segments —
+    the classic marketing-segmentation scoring, here as three exact
+    distributed global ranks (no per-dimension full sort on the driver).
+
+    Plan: ONE combiner-first per-customer aggregate (last_us via Max,
+    n_orders via Count, monetary via micros Sum), then three
+    _global_ranks passes (two-phase scan; driver holds bucket counts
+    only) joined back by custkey through broadcast maps of the
+    customer-bounded rank tables.  r_tile ranks by (−last_us, custkey) so
+    tile 1 = most recent; f/m rank ascending.  Returns (c_custkey,
+    last_us, n_orders, monetary_micros, r_tile, f_tile, m_tile)."""
+    import ray
+    from ray.data.aggregate import Max
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "last_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()),
+            "tp_micros": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                                  pa.int64())})
+
+    per_cust = (orders.map_batches(proj, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Max("last_us", alias_name="last_us"),
+                           Count(alias_name="n_orders"),
+                           Sum("tp_micros", alias_name="monetary_micros"))
+                .map_batches(lambda b: pa.table({
+                    "o_custkey": b["o_custkey"],
+                    "last_us":
+                        b["last_us"].combine_chunks().cast(pa.int64()),
+                    "n_orders":
+                        b["n_orders"].combine_chunks().cast(pa.int64()),
+                    "monetary_micros": b["monetary_micros"].combine_chunks()
+                        .cast(pa.int64())}), batch_format="pyarrow")
+                .materialize())
+    n = per_cust.count()
+
+    def key_ds(col, negate=False):
+        def mk(b: pa.Table) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "key": pa.array(-v if negate else v, pa.int64()),
+                "o_custkey": b["o_custkey"]})
+        return per_cust.map_batches(mk, batch_format="pyarrow")
+
+    dims = (("r_tile", "last_us", True),
+            ("f_tile", "n_orders", False),
+            ("m_tile", "monetary_micros", False))
+
+    def tiled(name, col, neg):
+        rk = _global_ranks(key_ds(col, neg), "key", "o_custkey")
+
+        def to_tile(b: pa.Table) -> pa.Table:
+            r = b["rank"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "o_custkey": b["o_custkey"],
+                name: pa.array(_ntile(r, n, k).astype(np.int64),
+                               pa.int64())})
+        return rk.map_batches(to_tile, batch_format="pyarrow")
+
+    if n <= 2_000_000:
+        # customer-bounded broadcast tier: three rank tables collect to
+        # sorted-array maps (one driver-sized pull each), one stateless
+        # attach pass — no joins
+        maps = {}
+        for name, col, neg in dims:
+            t = tiled(name, col, neg).to_pandas()
+            order = np.argsort(t["o_custkey"].to_numpy(np.int64))
+            maps[name] = ray.put(
+                (t["o_custkey"].to_numpy(np.int64)[order],
+                 t[name].to_numpy(np.int64)[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cols = {"c_custkey": pa.array(ck),
+                    "last_us": b["last_us"], "n_orders": b["n_orders"],
+                    "monetary_micros": b["monetary_micros"]}
+            for name in ("r_tile", "f_tile", "m_tile"):
+                keys, vals = ray.get(maps[name])
+                cols[name] = pa.array(vals[np.searchsorted(keys, ck)],
+                                      pa.int64())
+            return pa.table(cols)
+
+        return per_cust.map_batches(attach, batch_format="pyarrow")
+
+    # distributed tier: three hash joins back onto the per-customer table
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    out = per_cust.map_batches(
+        lambda b: pa.table({
+            "c_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+            "last_us": b["last_us"], "n_orders": b["n_orders"],
+            "monetary_micros": b["monetary_micros"]}),
+        batch_format="pyarrow")
+    for name, col, neg in dims:
+        out = drop_empty_blocks(out).join(
+            drop_empty_blocks(tiled(name, col, neg)), join_type="inner",
+            num_partitions=nparts, on=("c_custkey",),
+            right_on=("o_custkey",))
+    return out

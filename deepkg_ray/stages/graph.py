@@ -1812,7 +1812,52 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
     noself = edges.map_batches(
         lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
         batch_format="pyarrow")
-    deg = node_degrees(noself, src_col=src_col, dst_col=dst_col)
+    deg = node_degrees(noself, src_col=src_col, dst_col=dst_col) \
+        .materialize()
+
+    def attach_broadcast(pairs_ds, deg_map_ref):
+        import ray
+
+        def finish(b: pa.Table) -> pa.Table:
+            from deepkg_ray.functions.numeric import round6
+            dm = ray.get(deg_map_ref)
+            cn = b["cn"].combine_chunks().cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            e1 = b["e1"].to_numpy(zero_copy_only=False)
+            e2 = b["e2"].to_numpy(zero_copy_only=False)
+            idx1 = np.searchsorted(dm[0], e1)
+            idx2 = np.searchsorted(dm[0], e2)
+            # anti-joined candidate endpoints always carry a degree; the
+            # take is safe because every e1/e2 appeared as a wedge peer
+            d1 = dm[1][idx1]
+            d2 = dm[1][idx2]
+            den = d1 + d2 - cn
+            jac = round6(cn.astype(np.float64) / den.astype(np.float64))
+            return pa.table({
+                "e1": pa.array(e1, pa.int64()),
+                "e2": pa.array(e2, pa.int64()),
+                "cn": pa.array(cn, pa.int64()),
+                "ra": pa.array(np.asarray(
+                    b["ra_micros"].to_pylist(), np.float64) / 1e6),
+                "aa": pa.array(np.asarray(
+                    b["aa_micros"].to_pylist(), np.float64) / 1e6),
+                "jaccard": pa.array(jac, pa.float64())})
+
+        return drop_empty_blocks(pairs_ds).map_batches(
+            finish, batch_format="pyarrow")
+
+    # tiered degree attach: the degree table is |V|-sized — when the node
+    # vocabulary is dictionary-bounded (the KG case: entities come from the
+    # alias dictionary) a ray.put sorted-array broadcast replaces TWO hash
+    # joins; above the threshold fall back to the distributed joins
+    if deg.count() <= 2_000_000:
+        import ray
+        dd = deg.to_pandas()
+        order = np.argsort(dd["node"].to_numpy(np.int64))
+        deg_ref = ray.put((dd["node"].to_numpy(np.int64)[order],
+                           dd["degree"].to_numpy(np.int64)[order]))
+        return attach_broadcast(new_pairs, deg_ref)
+
     j1 = drop_empty_blocks(new_pairs).join(
         drop_empty_blocks(deg.map_batches(
             lambda b: pa.table({"n1": b["node"], "d1": b["degree"]}),

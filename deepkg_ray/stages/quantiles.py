@@ -582,3 +582,41 @@ def roc_auc(ds, group_col: str = "event_type", col: str = "value",
         "n_neg": pa.array([n_neg], pa.int64()),
         "auc_num2": pa.array([num2], pa.int64()),
         "auc": pa.array([auc], pa.float64())}))
+
+
+def grouped_mad_outliers(ds, k: int = 3, group_col: str = "event_type",
+                         col: str = "value", id_col: str = "event_id"):
+    """Robust outlier flagging per group: rows more than ``k`` MADs from
+    their group median — the Hampel filter companion to
+    grouped_iqr_outliers (median/MAD resist the very outliers that drag
+    mean/stddev z-scores).
+
+    Integer-exact end to end: grouped_mad supplies (med2, mad4) in
+    doubled/quadrupled micros; the test |vm − median| > k·MAD clears to
+    2·|2·vm − med2| > k·mad4, pure int64 both sides.  The per-group
+    (med2, mad4) table is dictionary-sized and broadcast into the filter
+    map — the event stream itself never shuffles.  Returns
+    (event_id, event_type, value) for outlier rows."""
+    import ray
+    from deepkg_ray.functions.numeric import to_micros
+
+    stats = grouped_mad(ds, group_col=group_col, col=col).to_pandas()
+    ref = ray.put({r[group_col]: (int(r["med2"]), int(r["mad4"]))
+                   for _, r in stats.iterrows()})
+
+    def flag(b: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        grp = np.asarray(b[group_col].to_pylist(), object)
+        vm = np.asarray(to_micros(b[col].to_pylist()), np.int64)
+        med2 = np.array([sm[g][0] for g in grp], np.int64)
+        mad4 = np.array([sm[g][1] for g in grp], np.int64)
+        out = 2 * np.abs(2 * vm - med2) > k * mad4
+        return pa.table({
+            id_col: pa.array(
+                b[id_col].to_numpy(zero_copy_only=False)[out]),
+            group_col: pa.array(grp[out].astype(str), pa.string()),
+            col: pa.array(np.asarray(
+                b[col].to_pylist(), np.float64)[out], pa.float64())})
+
+    return ds.select_columns([id_col, group_col, col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -127,3 +127,42 @@ def test_disjunctive_revenue_matches_duckdb():
     con = _con()
     exp = _canon(con.sql(disjunctive_revenue_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_global_ranks_matches_row_number():
+    import numpy as np
+    import ray.data as rd
+    from deepkg_ray.pipelines.relational import _global_ranks
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "key": rng.integers(-10**12, 10**12, 500).astype(np.int64),
+        "o_custkey": np.arange(500, dtype=np.int64)})
+    # duplicate keys to exercise the (key, id) tie-break
+    df.loc[100:199, "key"] = df.loc[0:99, "key"].to_numpy()
+    got = (_global_ranks(rd.from_pandas(df), "key", "o_custkey")
+           .to_pandas().sort_values("o_custkey").reset_index(drop=True))
+    want = (df.sort_values(["key", "o_custkey"], kind="stable")
+            .assign(rank=np.arange(500, dtype=np.int64))
+            .sort_values("o_custkey").reset_index(drop=True))
+    assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_ntile_rule_matches_duckdb():
+    import numpy as np
+    from deepkg_ray.pipelines.relational import _ntile
+    for n, k in [(7, 5), (10, 3), (5, 5), (4, 5), (23, 4)]:
+        got = _ntile(np.arange(n, dtype=np.int64), n, k).tolist()
+        con = duckdb.connect()
+        exp = [r[0] for r in con.sql(
+            f"SELECT NTILE({k}) OVER (ORDER BY x) FROM "
+            f"(SELECT unnest(range({n})) x)").fetchall()]
+        assert got == exp, (n, k)
+
+
+def test_rfm_scores_matches_duckdb():
+    from deepkg_ray.oracle import rfm_scores_oracle
+    from deepkg_ray.pipelines.relational import rfm_scores
+    got = _canon(rfm_scores(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(rfm_scores_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)

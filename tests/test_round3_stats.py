@@ -412,3 +412,41 @@ def test_timed_conversions_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(timed_conversions_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_mad_outliers_golden():
+    from deepkg_ray.stages.quantiles import grouped_mad_outliers
+    # med2=4+7=11 (median 5.5), mad4=7+7=14 (MAD 3.5):
+    # 2·|2v−med2| > 3·mad4 ⟺ d2 > 21 — only v=20 (d2=29)
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "event_type": ["a"] * 6,
+        "value": [1.0, 2.0, 4.0, 7.0, 9.0, 20.0],
+    })
+    out = grouped_mad_outliers(rd.from_pandas(df), k=3).to_pandas()
+    assert out["value"].tolist() == [20.0]
+
+
+def test_grouped_mad_outliers_matches_duckdb():
+    from deepkg_ray.oracle import grouped_mad_outliers_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_mad_outliers
+    got = _canon(grouped_mad_outliers(
+        read_events(SF, ["event_id", "event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(grouped_mad_outliers_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_part_size_histogram_matches_duckdb():
+    from deepkg_ray.oracle import part_size_histogram_oracle
+    from deepkg_ray.pipelines.relational import part_size_histogram
+    got = _canon(part_size_histogram(SF).to_pandas())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF}/part.parquet')")
+    exp = _canon(con.sql(part_size_histogram_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # the histogram covers every part exactly once
+    n = con.sql("SELECT count(*) FROM part").fetchone()[0]
+    assert got["n"].sum() == n
