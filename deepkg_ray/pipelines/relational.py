@@ -747,6 +747,35 @@ def customer_order_distribution(sf_dir: str):
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey"])
+
+    per_cust = per_cust.materialize()
+    if per_cust.count() <= 2_000_000:
+        # bounded tier: the per-custkey count table is customer-bounded —
+        # broadcast it as a sorted array and stream CUSTOMER through one
+        # stateless lookup map (left-outer semantics: missing key → 0,
+        # dangling order custkeys never looked up) — zero join actors
+        import ray
+        pc_df = per_cust.to_pandas()
+        order = np.argsort(pc_df["o_custkey"].to_numpy(np.int64))
+        ref = ray.put((pc_df["o_custkey"].to_numpy(np.int64)[order],
+                       pc_df["c_count"].to_numpy(np.int64)[order]))
+
+        def lookup_partial(b: pa.Table) -> pa.Table:
+            keys, cnts = ray.get(ref)
+            ck = b["c_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(keys, ck)
+            pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == ck)
+            cc = np.where(hit, cnts[pos_c], 0)
+            vals, n = np.unique(cc, return_counts=True)
+            return pa.table({"c_count": pa.array(vals.astype(np.int64)),
+                             "custdist": pa.array(n.astype(np.int64))})
+
+        return merge_partials(
+            cust.map_batches(lookup_partial, batch_format="pyarrow"),
+            ["c_count"], {"custdist": "sum"}, mode="tree")
+
     j = drop_empty_blocks(cust).join(
         drop_empty_blocks(per_cust), join_type="left_outer",
         num_partitions=nparts, on=("c_custkey",), right_on=("o_custkey",))
