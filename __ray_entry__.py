@@ -1787,6 +1787,23 @@ def _q_rfm_scores(sf_dir: str):
     return rfm_scores(sf_dir)
 
 
+
+def _q_conjunctive_search(sf_dir: str):
+    """AND keyword search over documents (scan tier: broadcast query
+    tokens, vectorized per-batch hit masks)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import conjunctive_search
+    return conjunctive_search(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_source_length_gini(sf_dir: str):
+    """Per-source Gini coefficient of doc token counts (sorted-form
+    integer numerator)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_length_gini
+    return source_length_gini(read_documents(sf_dir, ["source", "text"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2146,6 +2163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "conjunctive_search": _q_conjunctive_search,
+        "source_length_gini": _q_source_length_gini,
         "rfm_scores": _q_rfm_scores,
         "events_mad_outliers": _q_events_mad_outliers,
         "part_size_histogram": _q_part_size_histogram,
@@ -2344,6 +2363,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "conjunctive_search": oracle.conjunctive_search_oracle(),
+        "source_length_gini": oracle.source_length_gini_oracle(),
         "rfm_scores": oracle.rfm_scores_oracle(),
         "events_mad_outliers": oracle.grouped_mad_outliers_oracle(),
         "part_size_histogram": oracle.part_size_histogram_oracle(),

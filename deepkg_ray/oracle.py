@@ -4374,3 +4374,48 @@ SELECT o_custkey AS c_custkey, last_us, n_orders, monetary_micros,
             AS BIGINT) AS m_tile
 FROM per_cust
 """
+
+
+def conjunctive_search_oracle(query: str = "data hash join") -> str:
+    """Mirror of textstats.conjunctive_search: docs containing every
+    query token, total tf."""
+    toks = sorted(set(w for w in query.lower().strip().split() if w))
+    in_list = ", ".join(f"'{t}'" for t in toks)
+    k = len(toks)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), m AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE w IN ({in_list}) GROUP BY doc_id, w
+)
+SELECT doc_id, CAST({k} AS BIGINT) AS n_terms,
+       CAST(SUM(c) AS BIGINT) AS tf_sum
+FROM m GROUP BY doc_id HAVING count(*) = {k}
+"""
+
+
+def source_length_gini_oracle() -> str:
+    """Mirror of textstats.source_length_gini: sorted-form Gini with
+    exact integer numerator, one double division."""
+    return """
+WITH l AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS len
+  FROM documents
+), o AS (
+  SELECT source, len,
+         row_number() OVER (PARTITION BY source ORDER BY len) AS i
+  FROM l
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len) AS BIGINT) AS sum_len,
+       CAST(2 * SUM(i * len) - (count(*) + 1) * SUM(len) AS BIGINT)
+           AS gini_num,
+       CAST(CAST(2 * SUM(i * len) - (count(*) + 1) * SUM(len) AS BIGINT)
+            AS DOUBLE)
+           / CAST(count(*) * SUM(len) AS DOUBLE) AS gini
+FROM o GROUP BY source
+"""

@@ -804,3 +804,83 @@ def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
         "t_b": pa.array([tb], pa.int64()),
         "kl_micros": pa.array([kl_micros], pa.int64()),
         "kl": pa.array([kl_micros / 1e6], pa.float64())}))
+
+
+def conjunctive_search(ds, query: str = "data hash join",
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Conjunctive (AND) keyword search: documents containing EVERY query
+    token, scored by total term frequency — the retrieval counterpart of
+    the BM25 ranking stage (linking.BM25Index), as a pure streaming scan:
+    the query tokens broadcast in the task closure, each batch computes
+    per-doc hit masks vectorized, no index required (the index-backed path
+    is inverted_index + a semi-join; this is the scan tier a fresh corpus
+    query uses).  Returns (doc_id, n_terms, tf_sum) for matching docs."""
+    q_tokens = sorted(set(w for w in _WS.split(query.lower().strip()) if w))
+    k = len(q_tokens)
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, out_n, out_tf = [], [], []
+        for i, t in enumerate(texts):
+            tl = t.lower().strip()
+            toks = _WS.split(tl) if tl else []
+            tf = 0
+            hit = 0
+            for q in q_tokens:
+                c = toks.count(q)
+                if c:
+                    hit += 1
+                    tf += c
+            if hit == k:
+                out_id.append(int(ids[i]))
+                out_n.append(k)
+                out_tf.append(tf)
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "n_terms": pa.array(out_n, pa.int64()),
+            "tf_sum": pa.array(out_tf, pa.int64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+def source_length_gini(ds, text_col: str = "text", src_col: str = "source"):
+    """Per-source Gini coefficient of document token counts — the
+    length-inequality diagnostic for corpus mixing (a source whose Gini
+    spikes is dominated by a few giant documents; cf. the doc-length
+    quality gates of curation.py).
+
+    Sorted-form Gini: G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) with 1-based
+    ranks over ascending token counts — numerator and denominator are
+    exact int64 (token counts are ints), ONE double division at the end,
+    mirrored in SQL via row_number.  Per-batch (source, len) rows shuffle
+    by source (dictionary-sized groups, one vectorized sort per group).
+    Returns (source, n_docs, sum_len, gini_num, gini)."""
+    def lens(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        n = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            tl = t.strip()
+            n[i] = len(_WS.split(tl)) if tl else 0
+        return pa.table({src_col: b[src_col],
+                         "len": pa.array(n, pa.int64())})
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        x = np.sort(g["len"].to_numpy(np.int64))
+        n = len(x)
+        sx = int(x.sum())
+        num = int(2 * np.sum(np.arange(1, n + 1, dtype=np.int64) * x)
+                  - (n + 1) * sx)
+        gini = float(num) / float(n * sx) if sx else 0.0
+        return pd.DataFrame({
+            src_col: [g[src_col].iloc[0]],
+            "n_docs": np.asarray([n], np.int64),
+            "sum_len": np.asarray([sx], np.int64),
+            "gini_num": np.asarray([num], np.int64),
+            "gini": np.asarray([gini], np.float64)})
+
+    return (ds.select_columns([src_col, text_col])
+            .map_batches(lens, batch_format="pyarrow")
+            .groupby(src_col).map_groups(per_source,
+                                         batch_format="pandas"))

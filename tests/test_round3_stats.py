@@ -450,3 +450,50 @@ def test_part_size_histogram_matches_duckdb():
     # the histogram covers every part exactly once
     n = con.sql("SELECT count(*) FROM part").fetchone()[0]
     assert got["n"].sum() == n
+
+
+# ------------------------------------------------- search, gini ----------
+
+def test_conjunctive_search_golden():
+    from deepkg_ray.stages.textstats import conjunctive_search
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["alpha beta alpha", "alpha gamma", "beta beta alpha"]})
+    out = (conjunctive_search(rd.from_pandas(df), query="alpha beta")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 2]      # doc 1 lacks 'beta'
+    assert out["tf_sum"].tolist() == [3, 3]
+
+
+def test_conjunctive_search_matches_duckdb():
+    from deepkg_ray.oracle import conjunctive_search_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import conjunctive_search
+    got = _canon(conjunctive_search(
+        read_documents(SF, ["doc_id", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(conjunctive_search_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_source_length_gini_golden():
+    from deepkg_ray.stages.textstats import source_length_gini
+    # equal lengths → gini 0; lengths 1 and 3 → G = (2·(1·1+2·3) − 3·4)
+    #  / (2·4) = 2/8 = 0.25
+    df = pd.DataFrame({
+        "source": ["a", "a", "b", "b"],
+        "text": ["x y", "p q", "w", "u v w"]})
+    out = (source_length_gini(rd.from_pandas(df)).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    assert out["gini"].tolist() == [0.0, 0.25]
+
+
+def test_source_length_gini_matches_duckdb():
+    from deepkg_ray.oracle import source_length_gini_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_length_gini
+    got = _canon(source_length_gini(
+        read_documents(SF, ["source", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(source_length_gini_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
