@@ -1804,6 +1804,27 @@ def _q_source_length_gini(sf_dir: str):
     return source_length_gini(read_documents(sf_dir, ["source", "text"]))
 
 
+
+def _q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-shaped predicate-pushdown aggregate (micros-exact
+    discount band)."""
+    from deepkg_ray.pipelines.relational import forecast_revenue
+    return forecast_revenue(sf_dir)
+
+
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8-shaped market share per order year (conditional micros
+    aggregation through two hash joins + broadcast dims)."""
+    from deepkg_ray.pipelines.relational import nation_market_share
+    return nation_market_share(sf_dir)
+
+
+def _q_heavy_part_suppliers(sf_dir: str):
+    """TPC-H Q20-shaped nested semi-join supplier screen."""
+    from deepkg_ray.pipelines.relational import heavy_part_suppliers
+    return heavy_part_suppliers(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2163,6 +2184,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "forecast_revenue": _q_forecast_revenue,
+        "nation_market_share": _q_nation_market_share,
+        "heavy_part_suppliers": _q_heavy_part_suppliers,
         "conjunctive_search": _q_conjunctive_search,
         "source_length_gini": _q_source_length_gini,
         "rfm_scores": _q_rfm_scores,
@@ -2363,6 +2387,9 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "forecast_revenue": oracle.forecast_revenue_oracle(),
+        "nation_market_share": oracle.nation_market_share_oracle(),
+        "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),
         "conjunctive_search": oracle.conjunctive_search_oracle(),
         "source_length_gini": oracle.source_length_gini_oracle(),
         "rfm_scores": oracle.rfm_scores_oracle(),

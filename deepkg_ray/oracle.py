@@ -4419,3 +4419,79 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            / CAST(count(*) * SUM(len) AS DOUBLE) AS gini
 FROM o GROUP BY source
 """
+
+
+def forecast_revenue_oracle(year: int = 1997, disc_lo: int = 50_000,
+                            disc_hi: int = 70_000,
+                            max_qty: int = 24) -> str:
+    """TPC-H Q6 mirror of relational.forecast_revenue: micros-exact
+    discount band and quantity cap, Σ extprice·discount micros."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(CAST(coalesce(SUM(CAST(floor(
+           l_extendedprice * l_discount * 1e6 + 0.5) AS BIGINT)), 0)
+           AS BIGINT) AS DOUBLE) / 1e6 AS revenue
+FROM lineitem
+WHERE epoch_us(l_shipdate) >= epoch_us(TIMESTAMP '{year}-01-01')
+  AND epoch_us(l_shipdate) < epoch_us(TIMESTAMP '{year + 1}-01-01')
+  AND CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT)
+      BETWEEN {disc_lo} AND {disc_hi}
+  AND CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT) < {max_qty} * 1000000
+"""
+
+
+def nation_market_share_oracle(nation: str = "NATION_3",
+                               region: str = "EUROPE") -> str:
+    """TPC-H Q8 mirror of relational.nation_market_share: conditional
+    micros aggregation per order year, one share division."""
+    return f"""
+WITH li AS (
+  SELECT l.l_orderkey,
+         CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+              AS BIGINT) AS rm,
+         (s.s_nationkey = (SELECT n_nationkey FROM nation
+                           WHERE n_name = '{nation}')) AS fl
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(year(o_orderdate) AS BIGINT) AS o_year
+  FROM orders
+), c AS (
+  SELECT c.c_custkey
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+                AND r.r_name = '{region}'
+)
+SELECT o.o_year,
+       CAST(SUM(CASE WHEN li.fl THEN li.rm ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(li.rm) AS DOUBLE) AS share,
+       CAST(SUM(CASE WHEN li.fl THEN li.rm ELSE 0 END) AS BIGINT)
+           AS nation_micros,
+       CAST(SUM(li.rm) AS BIGINT) AS total_micros
+FROM li
+JOIN o ON o.o_orderkey = li.l_orderkey
+JOIN c ON c.c_custkey = o.o_custkey
+GROUP BY o.o_year
+"""
+
+
+def heavy_part_suppliers_oracle(brand: str = "Brand#12",
+                                min_qty: float = 50.0) -> str:
+    """TPC-H Q20 mirror of relational.heavy_part_suppliers: per-supplier
+    shipped quantity of one brand in exact micros over the threshold."""
+    thresh = int(round(min_qty * 1e6))
+    return f"""
+WITH x AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(floor(l.l_quantity * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS qm
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                              AND p.p_brand = '{brand}'
+  GROUP BY l.l_suppkey
+)
+SELECT x.l_suppkey AS s_suppkey, s.s_name,
+       CAST(x.qm AS DOUBLE) / 1e6 AS qty
+FROM x JOIN supplier s ON s.s_suppkey = x.l_suppkey
+WHERE x.qm > {thresh}
+"""

@@ -1494,3 +1494,220 @@ def rfm_scores(sf_dir: str, k: int = 5):
             num_partitions=nparts, on=("c_custkey",),
             right_on=("o_custkey",))
     return out
+
+
+def forecast_revenue(sf_dir: str, year: int = 1997,
+                     disc_lo: int = 50_000, disc_hi: int = 70_000,
+                     max_qty: int = 24):
+    """TPC-H Q6-shaped forecasting filter: Σ extendedprice·discount over
+    lineitems of one shipdate year with discount in a band and quantity
+    below a cap — the pure predicate-pushdown aggregate (every predicate
+    belongs in the row-group filter at 100 TB; here one vectorized mask).
+    Discount compares in exact micros (disc_lo/hi are micros bounds) so
+    no float-literal boundary can flip a row.  Returns one row
+    (n_rows, revenue) with revenue = Σ micros/1e6."""
+    lo_us = int(pd.Timestamp(f"{year}-01-01").value // 1_000)
+    hi_us = int(pd.Timestamp(f"{year + 1}-01-01").value // 1_000)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_discount", "l_quantity",
+                                  "l_extendedprice"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dm = np.asarray(to_micros(b["l_discount"].to_pylist()), np.int64)
+        qm = np.asarray(to_micros(b["l_quantity"].to_pylist()), np.int64)
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        m = ((ship >= lo_us) & (ship < hi_us)
+             & (dm >= disc_lo) & (dm <= disc_hi)
+             & (qm < max_qty * 1_000_000))
+        rev = to_micros(ext[m] * disc[m])
+        return pa.table({"n": pa.array([int(m.sum())], pa.int64()),
+                         "t": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = (ds.map_batches(combine, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("t", alias_name="t")))
+    n, t = int(agg["n"] or 0), int(agg["t"] or 0)
+    return pa.table({"n_rows": pa.array([n], pa.int64()),
+                     "revenue": pa.array([float(t) / 1e6], pa.float64())})
+
+
+def nation_market_share(sf_dir: str, nation: str = "NATION_3",
+                        region: str = "EUROPE"):
+    """TPC-H Q8-shaped market share: per order year, the share of revenue
+    (to customers in ``region``) supplied by ``nation``'s suppliers.
+
+    Scale shape: lineitem pre-projects (orderkey, suppkey, rev micros);
+    orders contributes (orderkey, custkey, year) through a native hash
+    join; customer's regional membership arrives by a second hash join
+    against the region-filtered customer keys; the supplier→is-nation flag
+    and the nation/region dimensions are driver-broadcast (dimension
+    tables — at a fleet scale where supplier outgrows broadcast, swap the
+    flag attach for a third hash join).  The share is promo_revenue's
+    conditional-aggregation pattern per year: both sums exact int64
+    micros, one division each.  Returns (o_year, share, nation_micros,
+    total_micros)."""
+    import pyarrow.parquet as pq
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {int(r["r_regionkey"]): r["r_name"]
+            for r in rt.to_pylist()}
+    nat_in_region = {int(r["n_nationkey"]) for r in nt.to_pylist()
+                     if rkey.get(int(r["n_regionkey"])) == region}
+    nation_key = next(int(r["n_nationkey"]) for r in nt.to_pylist()
+                      if r["n_name"] == nation)
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_nationkey"])
+    is_nation = {int(k): int(nk) == nation_key
+                 for k, nk in zip(st["s_suppkey"].to_pylist(),
+                                  st["s_nationkey"].to_pylist())}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        flag = np.array([is_nation.get(int(x), False) for x in sk], bool)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)),
+                                   pa.int64()),
+            "from_nation": pa.array(flag)})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        dt = pd.to_datetime(
+            b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+            .to_numpy(zero_copy_only=False), unit="us")
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_year": pa.array(dt.year.to_numpy().astype(np.int64))})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def cust_filter(b: pa.Table) -> pa.Table:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = np.array([int(x) in nat_in_region for x in nk], bool)
+        return pa.table({"c_custkey": pa.array(
+            b["c_custkey"].to_numpy(zero_copy_only=False)[keep])})
+
+    j1 = drop_empty_blocks(li.map_batches(li_proj,
+                                          batch_format="pyarrow")).join(
+        drop_empty_blocks(orders.map_batches(ord_proj,
+                                             batch_format="pyarrow")),
+        join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = drop_empty_blocks(j1).join(
+        drop_empty_blocks(cust.map_batches(cust_filter,
+                                           batch_format="pyarrow")),
+        join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        rev = b["rev_micros"].to_numpy(zero_copy_only=False)
+        fl = b["from_nation"].to_numpy(zero_copy_only=False).astype(bool)
+        yr = b["o_year"].to_numpy(zero_copy_only=False)
+        years, inv = np.unique(yr, return_inverse=True)
+        nm = np.bincount(inv, weights=np.where(fl, rev, 0)) \
+            .astype(np.int64)
+        tm = np.bincount(inv, weights=rev.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({"o_year": pa.array(years.astype(np.int64)),
+                         "nation_micros": pa.array(nm, pa.int64()),
+                         "total_micros": pa.array(tm, pa.int64())})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    agg = merge_partials(
+        drop_empty_blocks(j2).map_batches(combine, batch_format="pyarrow"),
+        ["o_year"], {"nation_micros": "sum", "total_micros": "sum"},
+        mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        nm = b["nation_micros"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        tm = b["total_micros"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_year": b["o_year"].combine_chunks().cast(pa.int64()),
+            "share": pa.array(nm.astype(np.float64)
+                              / tm.astype(np.float64), pa.float64()),
+            "nation_micros": pa.array(nm, pa.int64()),
+            "total_micros": pa.array(tm, pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
+                         min_qty: float = 50.0):
+    """TPC-H Q20-shaped nested semi-join: suppliers whose total shipped
+    quantity of one brand's parts exceeds a threshold, with names
+    attached — the have-they-shipped-enough supplier screen.
+
+    The brand partkeys broadcast into the lineitem scan (row pruning at
+    the read), the per-supplier Sum groupby is combiner-first and
+    supplier-bounded, the threshold compares in exact micros, and the
+    supplier dim attaches from a broadcast dict.  Returns
+    (s_suppkey, s_name, qty)."""
+    import pyarrow.parquet as pq
+    import ray
+    thresh = int(round(min_qty * 1e6))
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"])
+    keys = np.sort(np.array(
+        [int(k) for k, b_ in zip(pt["p_partkey"].to_pylist(),
+                                 pt["p_brand"].to_pylist()) if b_ == brand],
+        np.int64))
+    keys_ref = ray.put(keys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, ks)
+        return pa.table({
+            "l_suppkey": pa.array(
+                b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]),
+            "qm": pa.array(to_micros(np.asarray(
+                b["l_quantity"].to_pylist(), np.float64)[keep]),
+                pa.int64())})
+
+    per_supp = (li.map_batches(li_filter, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Sum("qm", alias_name="qm")))
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_name"])
+    names = dict(zip(st["s_suppkey"].to_pylist(), st["s_name"].to_pylist()))
+
+    def finish(b: pa.Table) -> pa.Table:
+        qm = b["qm"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = qm > thresh
+        sk, qm = sk[keep], qm[keep]
+        nm = [names.get(int(x)) for x in sk]
+        ok = np.array([x is not None for x in nm], bool)
+        return pa.table({
+            "s_suppkey": pa.array(sk[ok].astype(np.int64)),
+            "s_name": pa.array([x for x in nm if x is not None]),
+            "qty": pa.array(qm[ok].astype(np.float64) / 1e6, pa.float64()),
+        })
+
+    return per_supp.map_batches(finish, batch_format="pyarrow")

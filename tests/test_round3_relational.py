@@ -13,7 +13,8 @@ SF = "/root/testdata/sf0.001"
 
 def _con():
     con = duckdb.connect()
-    for t in ["customer", "orders", "lineitem", "part", "supplier", "nation"]:
+    for t in ["customer", "orders", "lineitem", "part", "supplier",
+              "nation", "region"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{SF}/{t}.parquet')")
     return con
@@ -165,4 +166,32 @@ def test_rfm_scores_matches_duckdb():
     got = _canon(rfm_scores(SF).to_pandas())
     con = _con()
     exp = _canon(con.sql(rfm_scores_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_forecast_revenue_matches_duckdb():
+    from deepkg_ray.oracle import forecast_revenue_oracle
+    from deepkg_ray.pipelines.relational import forecast_revenue
+    got = _canon(forecast_revenue(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(forecast_revenue_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_nation_market_share_matches_duckdb():
+    from deepkg_ray.oracle import nation_market_share_oracle
+    from deepkg_ray.pipelines.relational import nation_market_share
+    got = _canon(nation_market_share(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(nation_market_share_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got["share"] <= 1.0).all() and (got["share"] >= 0.0).all()
+
+
+def test_heavy_part_suppliers_matches_duckdb():
+    from deepkg_ray.oracle import heavy_part_suppliers_oracle
+    from deepkg_ray.pipelines.relational import heavy_part_suppliers
+    got = _canon(heavy_part_suppliers(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(heavy_part_suppliers_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
