@@ -1825,6 +1825,30 @@ def _q_heavy_part_suppliers(sf_dir: str):
     return heavy_part_suppliers(sf_dir)
 
 
+
+def _q_latest_order_per_customer(sf_dir: str):
+    """Keep-latest-row-per-key compaction (SCD-1): per customer the most
+    recent order via an associative row-wise argmax merge tree."""
+    from deepkg_ray.pipelines.relational import latest_order_per_customer
+    return latest_order_per_customer(sf_dir)
+
+
+
+def _q_upsert_snapshot(sf_dir: str):
+    """MERGE/upsert application: derived D/U/I change set applied to the
+    orders base through a left_outer hash join, snapshot per status."""
+    from deepkg_ray.stages.diff import upsert_snapshot
+    return upsert_snapshot(sf_dir)
+
+
+def _q_embedding_norms(sf_dir: str):
+    """Per-label embedding squared-norm stats in exact integer micros^2
+    (encoder-health check)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_norms
+    return embedding_norms(read_embeddings(sf_dir, ["label", "embedding"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2184,6 +2208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "upsert_snapshot": _q_upsert_snapshot,
+        "embedding_norms": _q_embedding_norms,
+        "latest_order_per_customer": _q_latest_order_per_customer,
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
@@ -2387,6 +2414,9 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "upsert_snapshot": oracle.upsert_snapshot_oracle(),
+        "embedding_norms": oracle.embedding_norms_oracle(),
+        "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),

@@ -4495,3 +4495,70 @@ SELECT x.l_suppkey AS s_suppkey, s.s_name,
 FROM x JOIN supplier s ON s.s_suppkey = x.l_suppkey
 WHERE x.qm > {thresh}
 """
+
+
+def latest_order_per_customer_oracle() -> str:
+    """Mirror of relational.latest_order_per_customer: row_number() DESC
+    over (last_us, orderkey) per customer."""
+    return """
+WITH o AS (
+  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS last_us,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS tpm,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY epoch_us(o_orderdate) DESC,
+                                     o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, CAST(last_us AS BIGINT) AS last_us,
+       CAST(tpm AS DOUBLE) / 1e6 AS o_totalprice
+FROM o WHERE rn = 1
+"""
+
+
+def upsert_snapshot_oracle() -> str:
+    """Mirror of diff.upsert_snapshot: the same derived change set
+    (D: %7, U: %3 of the rest, I: %11) applied via LEFT JOIN semantics."""
+    return """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS tpm
+  FROM orders
+), ch AS (
+  SELECT o_orderkey AS c_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+         tpm + 10000000 AS new_tpm
+  FROM base WHERE o_orderkey % 7 = 0 OR o_orderkey % 3 = 0
+), applied AS (
+  SELECT b.o_orderstatus,
+         CASE WHEN c.op = 'U' THEN c.new_tpm ELSE b.tpm END AS tpm
+  FROM base b LEFT JOIN ch c ON c.c_orderkey = b.o_orderkey
+  WHERE c.op IS NULL OR c.op <> 'D'
+), ins AS (
+  SELECT 'I' AS o_orderstatus, CAST(100000000 AS BIGINT) AS tpm
+  FROM base WHERE o_orderkey % 11 = 0
+), allr AS (
+  SELECT * FROM applied UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(tpm) AS BIGINT) AS sum_micros
+FROM allr GROUP BY o_orderstatus
+"""
+
+
+def embedding_norms_oracle() -> str:
+    """Mirror of similarity.embedding_norms: Σ over dims of the squared
+    micros-quantized components, exact integer sums per label."""
+    return """
+WITH n2 AS (
+  SELECT label,
+         (SELECT CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)
+                           * CAST(floor(x * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT)
+          FROM unnest(embedding) AS t(x)) AS n2
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(n2) AS BIGINT) AS sum_norm2,
+       CAST(SUM(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2
+FROM n2 GROUP BY label
+"""

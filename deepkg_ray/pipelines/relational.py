@@ -1711,3 +1711,60 @@ def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
         })
 
     return per_supp.map_batches(finish, batch_format="pyarrow")
+
+
+def latest_order_per_customer(sf_dir: str):
+    """Keep-latest-row-per-key (the SCD-1 compaction / CDC dedup shape):
+    per customer, their most recent order row, ties broken by the larger
+    orderkey — the per-key argmax as an ASSOCIATIVE combiner: each batch
+    reduces to one candidate row per custkey on the packed key
+    (date_us·2^20 + orderkey low bits ordering via lexicographic pair
+    max), partials merge by the same max, so the reduction tree never
+    moves more than |customer| rows.  Returns (o_custkey, o_orderkey,
+    last_us, o_totalprice)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "o_orderkey": b["o_orderkey"].to_numpy(zero_copy_only=False),
+            "last_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                        .cast(pa.int64()).to_numpy(zero_copy_only=False),
+            "tp_micros": np.asarray(
+                to_micros(b["o_totalprice"].to_pylist()), np.int64),
+        })
+        df = df.sort_values(["o_custkey", "last_us", "o_orderkey"],
+                            kind="stable")
+        keep = df.groupby("o_custkey", sort=False).tail(1)
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    # 'max' over the (last_us, o_orderkey) ORDER is not expressible as
+    # independent per-column maxes (a row's fields travel together), so
+    # the merge tree reuses the row-wise argmax kernel itself: level-1
+    # fan-in, then one final merge whose input is ≤ |customer| candidate
+    # rows (the documented key-bounded final-task tier — for open key
+    # domains use Max(last_us) + join-back instead)
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "last_us", "o_orderkey"],
+                            kind="stable")
+        return df.groupby("o_custkey", sort=False).tail(1)
+
+    lvl1 = parts.repartition(8).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)
+    final = lvl1.repartition(1).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b["o_custkey"].combine_chunks().cast(pa.int64()),
+            "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
+            "last_us": b["last_us"].combine_chunks().cast(pa.int64()),
+            "o_totalprice": pa.array(
+                b["tp_micros"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.float64) / 1e6,
+                pa.float64())})
+    return final.map_batches(finish, batch_format="pyarrow")

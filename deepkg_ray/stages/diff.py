@@ -170,3 +170,96 @@ def fk_orphans(child_ds, parent_ds, child_key: str, parent_key: str,
     return pd.DataFrame({"fk_edge": [edge],
                          "n_child": [np.int64(agg["n_child"])],
                          "n_orphans": [np.int64(agg["n_orphans"])]})
+
+
+def upsert_snapshot(sf_dir: str):
+    """MERGE / upsert application (the CDC write path that table_diff is
+    the read path of): a derived change table — DELETE every orderkey
+    divisible by 7, UPDATE (+10.00 to totalprice) the remaining
+    divisible-by-3 keys, INSERT a fresh 100.00 'I'-status row per
+    divisible-by-11 key — applied to the orders base via a native
+    left_outer hash join (update-else-keep per matched key, delete drops
+    the row), inserts unioned in, and the new snapshot summarized per
+    order status in exact micros.  Both the engine and the SQL oracle
+    derive the SAME change set from the base table, so the applied
+    snapshot is fully deterministic.  Returns
+    (o_orderstatus, n, sum_micros)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderstatus",
+                                    "o_totalprice"])
+
+    def base_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_orderstatus": b["o_orderstatus"],
+            "tpm": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                            pa.int64())})
+
+    bp = base.map_batches(base_proj, batch_format="pyarrow").materialize()
+
+    def changes(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        tpm = b["tpm"].to_numpy(zero_copy_only=False)
+        is_d = ok % 7 == 0
+        is_u = (~is_d) & (ok % 3 == 0)
+        keep = is_d | is_u
+        op = np.where(is_d[keep], "D", "U")
+        return pa.table({
+            "c_orderkey": pa.array(ok[keep].astype(np.int64)),
+            "op": pa.array(op.astype(object), pa.string()),
+            "new_tpm": pa.array(tpm[keep] + 10_000_000, pa.int64())})
+
+    ch = bp.map_batches(changes, batch_format="pyarrow")
+
+    j = drop_empty_blocks(bp).join(
+        drop_empty_blocks(ch), join_type="left_outer",
+        num_partitions=nparts, on=("o_orderkey",), right_on=("c_orderkey",))
+
+    def apply_partial(b: pa.Table) -> pa.Table:
+        op = np.asarray(b["op"].to_pylist(), object)
+        tpm = b["tpm"].to_numpy(zero_copy_only=False)
+        new = b["new_tpm"].to_pylist()
+        st = np.asarray(b["o_orderstatus"].to_pylist(), object)
+        keep = op != "D"
+        val = np.where(op == "U",
+                       np.array([x if x is not None else 0 for x in new],
+                                np.int64), tpm)[keep]
+        stk = st[keep]
+        df = pd.DataFrame({"o_orderstatus": stk, "tpm": val})
+        g = (df.groupby("o_orderstatus", sort=False)
+             .agg(n=("tpm", "size"), s=("tpm", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    applied = drop_empty_blocks(j).map_batches(apply_partial,
+                                               batch_format="pyarrow")
+
+    def inserts(b: pa.Table) -> pa.Table:
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        n_ins = int((ok % 11 == 0).sum())
+        return pa.table({
+            "o_orderstatus": pa.array(["I"], pa.string()),
+            "n": pa.array([n_ins], pa.int64()),
+            "s": pa.array([n_ins * 100_000_000], pa.int64())})
+
+    ins = bp.map_batches(inserts, batch_format="pyarrow")
+
+    merged = merge_partials(applied.union(ins), ["o_orderstatus"],
+                            {"n": "sum", "s": "sum"}, mode="tree")
+    return merged.map_batches(
+        lambda b: pa.table({
+            "o_orderstatus": b["o_orderstatus"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_micros": b["s"].combine_chunks().cast(pa.int64())})
+        .filter(pc.greater(b["n"].combine_chunks().cast(pa.int64()), 0)),
+        batch_format="pyarrow")

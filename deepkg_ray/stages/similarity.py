@@ -355,3 +355,46 @@ def embedding_centroids(ds, label_col: str = "label",
                                 / df["n"].to_numpy(np.float64) + 0.5) / 1e6
         return df
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def embedding_norms(ds, emb_col: str = "embedding",
+                    label_col: str = "label"):
+    """Per-label squared-norm statistics of the embedding column in the
+    EXACT integer micros² space (micros_matrix: every element integral in
+    double, dot products order-free; functions/numeric.py): per label n,
+    Σ‖v‖² and the mean — the embedding-health check (collapsed or
+    exploding norms are the first symptom of a broken encoder; cf.
+    linking.EncoderStage's unit-norm contract).  One stateless combiner
+    pass + a tree merge over the label dictionary.  Returns
+    (label, n, sum_norm2, mean_norm2)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import micros_matrix
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = micros_matrix(np.stack(
+            [np.asarray(x, np.float64) for x in b[emb_col].to_pylist()]))
+        n2 = (m * m).sum(axis=1).astype(np.int64)
+        df = pd.DataFrame({"label": b[label_col].to_pylist(), "n2": n2})
+        g = (df.groupby("label", sort=False)
+             .agg(n=("n2", "size"), s=("n2", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        ds.select_columns([label_col, emb_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["label"], {"n": "sum", "s": "sum"}, mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = b["s"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": b["label"],
+            "n": pa.array(n, pa.int64()),
+            "sum_norm2": pa.array(s, pa.int64()),
+            "mean_norm2": pa.array(s.astype(np.float64)
+                                   / n.astype(np.float64), pa.float64())})
+    return merged.map_batches(finish, batch_format="pyarrow")

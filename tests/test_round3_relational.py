@@ -195,3 +195,45 @@ def test_heavy_part_suppliers_matches_duckdb():
     con = _con()
     exp = _canon(con.sql(heavy_part_suppliers_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_latest_order_per_customer_matches_duckdb():
+    from deepkg_ray.oracle import latest_order_per_customer_oracle
+    from deepkg_ray.pipelines.relational import latest_order_per_customer
+    got = _canon(latest_order_per_customer(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(latest_order_per_customer_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # exactly one row per customer with orders
+    n = con.sql("SELECT count(DISTINCT o_custkey) FROM orders").fetchone()[0]
+    assert len(got) == n
+
+
+def test_upsert_snapshot_matches_duckdb():
+    from deepkg_ray.oracle import upsert_snapshot_oracle
+    from deepkg_ray.stages.diff import upsert_snapshot
+    got = _canon(upsert_snapshot(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(upsert_snapshot_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # deletes really removed rows: applied total < base total
+    n_base = con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    n_del = con.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0").fetchone()[0]
+    n_ins = con.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 11 = 0").fetchone()[0]
+    assert got["n"].sum() == n_base - n_del + n_ins
+
+
+def test_embedding_norms_matches_duckdb():
+    import duckdb as _d
+    from deepkg_ray.oracle import embedding_norms_oracle
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_norms
+    got = _canon(embedding_norms(
+        read_embeddings(SF, ["label", "embedding"])).to_pandas())
+    con = _d.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = _canon(con.sql(embedding_norms_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
