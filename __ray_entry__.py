@@ -1849,6 +1849,17 @@ def _q_embedding_norms(sf_dir: str):
     return embedding_norms(read_embeddings(sf_dir, ["label", "embedding"]))
 
 
+
+def _q_type_cooccurrence(sf_dir: str):
+    """Audience-overlap set op: per event-type pair the user-set
+    intersection/union cardinalities and Jaccard via a bitmask
+    histogram (users counted, never listed)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.events import type_cooccurrence_jaccard
+    return type_cooccurrence_jaccard(
+        read_events(sf_dir, ["user_id", "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2208,6 +2219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "type_cooccurrence": _q_type_cooccurrence,
         "upsert_snapshot": _q_upsert_snapshot,
         "embedding_norms": _q_embedding_norms,
         "latest_order_per_customer": _q_latest_order_per_customer,
@@ -2414,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "type_cooccurrence": oracle.type_cooccurrence_jaccard_oracle(),
         "upsert_snapshot": oracle.upsert_snapshot_oracle(),
         "embedding_norms": oracle.embedding_norms_oracle(),
         "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),

@@ -4562,3 +4562,29 @@ SELECT label, CAST(count(*) AS BIGINT) AS n,
        CAST(SUM(n2) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_norm2
 FROM n2 GROUP BY label
 """
+
+
+def type_cooccurrence_jaccard_oracle() -> str:
+    """Mirror of events.type_cooccurrence_jaccard: distinct (user, type)
+    pairs self-joined a < b, union via inclusion-exclusion."""
+    return """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+     pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+       CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+       CAST(ca.n + cb.n - coalesce(p.n_both, 0) AS BIGINT) AS n_either,
+       floor(CAST(coalesce(p.n_both, 0) AS DOUBLE)
+             / CAST(ca.n + cb.n - coalesce(p.n_both, 0) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM cnt ca
+JOIN cnt cb ON ca.event_type < cb.event_type
+LEFT JOIN pairs p ON p.ta = ca.event_type AND p.tb = cb.event_type
+"""

@@ -113,3 +113,81 @@ def extract_events(ds, dictionary_path: str, *, concurrency=None,
     return stateful_map(ds, EventExtractor,
                         {"dictionary_path": dictionary_path},
                         concurrency=concurrency, batch_size=batch_size)
+
+
+def type_cooccurrence_jaccard(ds, user_col: str = "user_id",
+                              type_col: str = "event_type"):
+    """User-set overlap between event types: for every type pair a < b,
+    |users(a) ∩ users(b)|, |users(a) ∪ users(b)| and their Jaccard — the
+    audience-overlap set operation (intersection/union cardinalities
+    computed WITHOUT materializing any user set).
+
+    Plan: one (user → type-bitmask) groupby (per-batch OR-combiner), then
+    the bitmask HISTOGRAM (≤ 2^|types| rows, a dictionary-sized table)
+    folds to every pairwise intersection/union count on the driver —
+    users are counted, never listed, so the shuffle is user-bounded and
+    the driver holds 2^k integers.  Jaccard is one round6 division.
+    Returns (type_a, type_b, n_both, n_either, jaccard)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from deepkg_ray.functions.numeric import round6
+
+    # stable type order: sorted distinct types (dictionary-sized)
+    types = sorted(r[type_col] for r in
+                   ds.select_columns([type_col])
+                   .groupby(type_col).aggregate(Max(type_col,
+                                                    alias_name="_m"))
+                   .drop_columns(["_m"]).take_all())
+    bit_of = {t: 1 << i for i, t in enumerate(types)}
+
+    # bitwise-OR is not a built-in Ray aggregate; the exact route is
+    # (user, bit) dedup rows + Sum — distinct bits sum to the OR mask
+    def bit_rows(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": b[user_col].to_pylist(),
+            "bit": [bit_of[t] for t in b[type_col].to_pylist()]})
+        g = df.drop_duplicates()
+        return pa.table({"u": pa.array(g["u"].astype(str), pa.string()),
+                         "bit": pa.array(g["bit"].to_numpy(np.int64),
+                                         pa.int64())})
+
+    masks = (ds.select_columns([user_col, type_col])
+             .map_batches(bit_rows, batch_format="pyarrow")
+             .groupby(["u", "bit"]).aggregate(Sum("bit", alias_name="_s"))
+             .drop_columns(["_s"])
+             .groupby("u").aggregate(Sum("bit", alias_name="mask")))
+
+    def mask_hist(b: pa.Table) -> pa.Table:
+        m = b["mask"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table({"mask": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    hist = merge_partials(
+        masks.map_batches(mask_hist, batch_format="pyarrow"),
+        ["mask"], {"n": "sum"}, mode="tree").to_pandas()
+
+    mvals = hist["mask"].to_numpy(np.int64)
+    mcnts = hist["n"].to_numpy(np.int64)
+    rows = []
+    for (i, a), (jj, b_) in itertools.combinations(enumerate(types), 2):
+        ba, bb = 1 << i, 1 << jj
+        has_a = (mvals & ba) > 0
+        has_b = (mvals & bb) > 0
+        n_both = int(mcnts[has_a & has_b].sum())
+        n_either = int(mcnts[has_a | has_b].sum())
+        jac = float(round6(np.asarray(
+            [n_both / n_either]))[0]) if n_either else 0.0
+        rows.append((a, b_, n_both, n_either, jac))
+    return rd.from_arrow(pa.table({
+        "type_a": pa.array([r[0] for r in rows], pa.string()),
+        "type_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_both": pa.array([r[2] for r in rows], pa.int64()),
+        "n_either": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[4] for r in rows], pa.float64())}))

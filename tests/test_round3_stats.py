@@ -497,3 +497,29 @@ def test_source_length_gini_matches_duckdb():
     con = _docs_con()
     exp = _canon(con.sql(source_length_gini_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_type_cooccurrence_golden():
+    from deepkg_ray.stages.events import type_cooccurrence_jaccard
+    # users: u1 does a+b, u2 does a, u3 does b+c
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u2", "u3", "u3", "u1"],
+        "event_type": ["a", "b", "a", "b", "c", "a"]})
+    out = (type_cooccurrence_jaccard(rd.from_pandas(df)).to_pandas()
+           .set_index(["type_a", "type_b"]))
+    assert out.loc[("a", "b"), "n_both"] == 1     # u1
+    assert out.loc[("a", "b"), "n_either"] == 3   # u1, u2, u3
+    assert out.loc[("a", "c"), "n_both"] == 0
+    assert out.loc[("b", "c"), "n_both"] == 1     # u3
+    assert abs(out.loc[("a", "b"), "jaccard"] - 0.333333) < 1e-9
+
+
+def test_type_cooccurrence_matches_duckdb():
+    from deepkg_ray.oracle import type_cooccurrence_jaccard_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.events import type_cooccurrence_jaccard
+    got = _canon(type_cooccurrence_jaccard(
+        read_events(SF, ["user_id", "event_type"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(type_cooccurrence_jaccard_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
