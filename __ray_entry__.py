@@ -1860,6 +1860,16 @@ def _q_type_cooccurrence(sf_dir: str):
         read_events(sf_dir, ["user_id", "event_type"]))
 
 
+
+def _q_events_winsorized(sf_dir: str):
+    """Winsorized mean per event type (discrete-quantile clip bounds,
+    exact integer clipped sums)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_winsorized_mean
+    return grouped_winsorized_mean(
+        read_events(sf_dir, ["event_type", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2219,6 +2229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "events_winsorized": _q_events_winsorized,
         "type_cooccurrence": _q_type_cooccurrence,
         "upsert_snapshot": _q_upsert_snapshot,
         "embedding_norms": _q_embedding_norms,
@@ -2426,6 +2437,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "events_winsorized": oracle.grouped_winsorized_mean_oracle(),
         "type_cooccurrence": oracle.type_cooccurrence_jaccard_oracle(),
         "upsert_snapshot": oracle.upsert_snapshot_oracle(),
         "embedding_norms": oracle.embedding_norms_oracle(),

@@ -4588,3 +4588,25 @@ FROM cnt ca
 JOIN cnt cb ON ca.event_type < cb.event_type
 LEFT JOIN pairs p ON p.ta = ca.event_type AND p.tb = cb.event_type
 """
+
+
+def grouped_winsorized_mean_oracle(q_lo: float = 0.05,
+                                   q_hi: float = 0.95) -> str:
+    """Mirror of quantiles.grouped_winsorized_mean: quantile_disc clip
+    bounds (DuckDB's quantile_disc = the engine's ceil(q·n)−1 element),
+    integer clip, floor(sum/n+0.5)/1e6 mean."""
+    return f"""
+WITH vm AS (SELECT event_type AS g,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events),
+     b AS (SELECT g, CAST(quantile_disc(vm, {q_lo}) AS BIGINT) AS lo,
+                  CAST(quantile_disc(vm, {q_hi}) AS BIGINT) AS hi
+           FROM vm GROUP BY g)
+SELECT vm.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(LEAST(GREATEST(vm.vm, b.lo), b.hi)) AS BIGINT)
+           AS sum_micros,
+       floor(CAST(SUM(LEAST(GREATEST(vm.vm, b.lo), b.hi)) AS BIGINT)
+             / CAST(count(*) AS DOUBLE) + 0.5) / 1e6 AS wmean
+FROM vm JOIN b ON b.g = vm.g
+GROUP BY vm.g
+"""

@@ -620,3 +620,70 @@ def grouped_mad_outliers(ds, k: int = 3, group_col: str = "event_type",
 
     return ds.select_columns([id_col, group_col, col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+def grouped_winsorized_mean(ds, group_col: str = "event_type",
+                            col: str = "value",
+                            q_lo: float = 0.05, q_hi: float = 0.95):
+    """Winsorized mean per group: values clipped to the group's exact
+    DISCRETE [q_lo, q_hi] quantiles (quantile_disc elements, so the clip
+    bounds are actual data micros — integer clip, no interpolation
+    boundary risk), then the mean via the module's floor(sum/n+0.5)/1e6
+    convention.  The robust-mean companion to grouped_iqr_outliers /
+    grouped_mad_outliers: instead of dropping tails it pins them.
+
+    Plan: one grouped value-count histogram for the bounds
+    (grouped_quantiles_disc), bounds broadcast as a dict, then one
+    (n, clipped-sum) combiner pass + tree merge over the group
+    dictionary.  Returns (group, n, sum_micros, wmean)."""
+    import pandas as pd
+    import ray
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def to_vm(b: pa.Table) -> pa.Table:
+        return pa.table({
+            group_col: b[group_col],
+            "vm": pa.array(to_micros(b[col].to_pylist()), pa.int64())})
+
+    vm_ds = ds.select_columns([group_col, col]).map_batches(
+        to_vm, batch_format="pyarrow").materialize()
+    qt = grouped_quantiles_disc(vm_ds, group_col, "vm",
+                                [q_lo, q_hi]).to_pandas()
+    lo_of, hi_of = {}, {}
+    for _, r in qt.iterrows():
+        if abs(r["q"] - q_lo) < 1e-9:
+            lo_of[r[group_col]] = int(r["value"])
+        else:
+            hi_of[r[group_col]] = int(r["value"])
+    ref = ray.put((lo_of, hi_of))
+
+    def partial(b: pa.Table) -> pa.Table:
+        lo_m, hi_m = ray.get(ref)
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "vm": b["vm"].to_numpy(zero_copy_only=False)})
+        lo = df[group_col].map(lo_m).to_numpy(np.int64)
+        hi = df[group_col].map(hi_m).to_numpy(np.int64)
+        df["cl"] = np.minimum(np.maximum(df["vm"].to_numpy(np.int64), lo),
+                              hi)
+        g = (df.groupby(group_col, sort=False)
+             .agg(n=("cl", "size"), s=("cl", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        vm_ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"n": "sum", "s": "sum"}, mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = b["s"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wmean = np.floor(s.astype(np.float64) / n.astype(np.float64)
+                         + 0.5) / 1e6
+        return pa.table({
+            group_col: b[group_col],
+            "n": pa.array(n, pa.int64()),
+            "sum_micros": pa.array(s, pa.int64()),
+            "wmean": pa.array(wmean, pa.float64())})
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -523,3 +523,29 @@ def test_type_cooccurrence_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(type_cooccurrence_jaccard_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_grouped_winsorized_mean_golden():
+    from deepkg_ray.stages.quantiles import grouped_winsorized_mean
+    # values 1..9 + outlier 1000 at (q10, q90): disc bounds are the
+    # elements at idx ceil(q·n)−1 → lo = 1 (idx 0), hi = 9 (idx 8),
+    # so the outlier pins to 9
+    df = pd.DataFrame({
+        "event_type": ["a"] * 10,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1000.0]})
+    out = grouped_winsorized_mean(rd.from_pandas(df),
+                                  q_lo=0.1, q_hi=0.9).to_pandas()
+    # bounds: lo = idx ceil(1)−1=0 → 1; hi = idx ceil(9)−1=8 → 9
+    # clipped sum = 45 + 9 = 54 → mean 5.4
+    assert out["wmean"].item() == 5.4
+
+
+def test_grouped_winsorized_mean_matches_duckdb():
+    from deepkg_ray.oracle import grouped_winsorized_mean_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_winsorized_mean
+    got = _canon(grouped_winsorized_mean(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(grouped_winsorized_mean_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
