@@ -1870,6 +1870,14 @@ def _q_events_winsorized(sf_dir: str):
         read_events(sf_dir, ["event_type", "value"]))
 
 
+
+def _q_partitioned_prune(sf_dir: str):
+    """Hive-partitioned parquet sink + partition-pruned read-back
+    (only one partition directory leaves storage)."""
+    from deepkg_ray.sources.readers import partitioned_prune_counts
+    return partitioned_prune_counts(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2229,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "partitioned_prune": _q_partitioned_prune,
         "events_winsorized": _q_events_winsorized,
         "type_cooccurrence": _q_type_cooccurrence,
         "upsert_snapshot": _q_upsert_snapshot,
@@ -2437,6 +2446,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "partitioned_prune": oracle.partitioned_prune_counts_oracle(),
         "events_winsorized": oracle.grouped_winsorized_mean_oracle(),
         "type_cooccurrence": oracle.type_cooccurrence_jaccard_oracle(),
         "upsert_snapshot": oracle.upsert_snapshot_oracle(),

@@ -4610,3 +4610,16 @@ SELECT vm.g AS event_type, CAST(count(*) AS BIGINT) AS n,
 FROM vm JOIN b ON b.g = vm.g
 GROUP BY vm.g
 """
+
+
+def partitioned_prune_counts_oracle(keep_type: str = "purchase") -> str:
+    """Predicate-filtered mirror of readers.partitioned_prune_counts on
+    the unpartitioned base — equality proves the partitioned sink +
+    pruned source layer is lossless."""
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type = '{keep_type}'
+"""

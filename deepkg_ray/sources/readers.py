@@ -221,3 +221,51 @@ def json_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_jsonl"):
             "sum_micros":
                 b["sum_micros"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def partitioned_prune_counts(sf_dir: str,
+                             tmp_root: str = "/tmp/deepkg_part",
+                             keep_type: str = "purchase"):
+    """Hive-partitioned sink + partition-PRUNED source: events write as a
+    parquet directory partitioned by event_type (write_parquet
+    partition_cols — the resumable-output layout the 100-TB posture
+    requires), then the read targets ONE partition directory so only that
+    partition's row groups ever leave storage — the partition-pruning
+    pattern that turns a full-table scan into a 1/k read.  Hash-checked
+    against the predicate-filtered oracle on the unpartitioned base.
+    Returns (n, sum_micros, n_users)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from deepkg_ray.functions.numeric import to_micros
+
+    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "user_id": b["user_id"],
+            "vm": pa.array(to_micros(b["value"].to_pylist()), pa.int64())})
+
+    (rd.read_parquet(f"{sf_dir}/events.parquet",
+                     columns=["event_type", "user_id", "value"])
+     .map_batches(proj, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["event_type"]))
+
+    pruned = rd.read_parquet(os.path.join(out_dir,
+                                          f"event_type={keep_type}"))
+
+    # per-user combiner groupby (user-bounded), tiny driver fold
+    agg = pruned.groupby("user_id").aggregate(
+        Count(alias_name="c"), Sum("vm", alias_name="s"))
+    import pandas as pd
+    df = agg.to_pandas()
+    return pa.table({
+        "n": pa.array([int(df["c"].sum())], pa.int64()),
+        "sum_micros": pa.array([int(df["s"].sum())], pa.int64()),
+        "n_users": pa.array([len(df)], pa.int64())})
