@@ -1878,6 +1878,15 @@ def _q_partitioned_prune(sf_dir: str):
     return partitioned_prune_counts(sf_dir)
 
 
+
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension embedding moments (the (x-mu)/sigma standardization
+    pre-pass), d-bounded merge tree, exact integer moments."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_dim_stats
+    return embedding_dim_stats(read_embeddings(sf_dir, ["embedding"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2237,6 +2246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "embedding_dim_stats": _q_embedding_dim_stats,
         "partitioned_prune": _q_partitioned_prune,
         "events_winsorized": _q_events_winsorized,
         "type_cooccurrence": _q_type_cooccurrence,
@@ -2446,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "embedding_dim_stats": oracle.embedding_dim_stats_oracle(),
         "partitioned_prune": oracle.partitioned_prune_counts_oracle(),
         "events_winsorized": oracle.grouped_winsorized_mean_oracle(),
         "type_cooccurrence": oracle.type_cooccurrence_jaccard_oracle(),

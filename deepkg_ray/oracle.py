@@ -4623,3 +4623,28 @@ SELECT CAST(count(*) AS BIGINT) AS n,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events WHERE event_type = '{keep_type}'
 """
+
+
+def embedding_dim_stats_oracle(dim: int = 64) -> str:
+    """Mirror of similarity.embedding_dim_stats: per-dim micros moments,
+    HUGEINT n·Σx² − (Σx)² (the engine's Python big-ints), the same
+    μ/σ double chains."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+x AS (
+  SELECT idx.i,
+         CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings e, idx),
+m AS (
+  SELECT i, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(xm) AS BIGINT) AS sm,
+         CAST(SUM(xm * xm) AS BIGINT) AS ss
+  FROM x GROUP BY i)
+SELECT CAST(i AS BIGINT) AS i, n, sm AS sum_micros, ss,
+       (CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)) / 1e6 AS mean,
+       sqrt(CAST(CAST(n AS HUGEINT) * CAST(ss AS HUGEINT)
+                 - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT) AS DOUBLE))
+           / CAST(n AS DOUBLE) / 1e6 AS std
+FROM m
+"""

@@ -398,3 +398,53 @@ def embedding_norms(ds, emb_col: str = "embedding",
             "mean_norm2": pa.array(s.astype(np.float64)
                                    / n.astype(np.float64), pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_dim_stats(ds, emb_col: str = "embedding", dim: int = 64):
+    """Per-dimension moment statistics of the embedding matrix — the
+    feature-standardization pre-pass ((x − μ)/σ normalization needs
+    exactly these moments; the d²-bounded Gram reduction's 1-D sibling):
+    per dim i, n, Σx and Σx² in exact micros / micros² integers, mean and
+    std by one fixed double op chain (μ = (Σx/n)/1e6; σ =
+    √(n·Σx² − (Σx)²)/n/1e6 — IEEE sqrt is correctly rounded, so both
+    sides land on the same double).  Per-batch partials emit d rows each;
+    the merge tree moves d-bounded tables only.  The n·Σx² product is
+    taken in Python big-ints (SQL mirrors with HUGEINT).
+    Returns (i, n, sum_micros, ss, mean, std) with 1-based i."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import micros_matrix
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = micros_matrix(np.stack(
+            [np.asarray(x, np.float64) for x in b[emb_col].to_pylist()]))
+        return pa.table({
+            "i": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64)),
+            "sm": pa.array(m.sum(axis=0).astype(np.int64), pa.int64()),
+            "ss": pa.array((m * m).sum(axis=0).astype(np.int64),
+                           pa.int64())})
+
+    merged = merge_partials(
+        ds.select_columns([emb_col]).map_batches(partial,
+                                                 batch_format="pyarrow"),
+        ["i"], {"n": "sum", "sm": "sum", "ss": "sum"},
+        mode="tree").to_pandas()
+
+    n = merged["n"].to_numpy(np.int64)
+    sm = merged["sm"].to_numpy(np.int64)
+    ss = merged["ss"].to_numpy(np.int64)
+    mean = (sm.astype(np.float64) / n.astype(np.float64)) / 1e6
+    num = [int(nn) * int(s2) - int(s1) * int(s1)
+           for nn, s2, s1 in zip(n, ss, sm)]          # exact big-ints
+    std = np.sqrt(np.asarray([float(x) for x in num], np.float64)) \
+        / n.astype(np.float64) / 1e6
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "i": pa.array(merged["i"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "sum_micros": pa.array(sm, pa.int64()),
+        "ss": pa.array(ss, pa.int64()),
+        "mean": pa.array(mean, pa.float64()),
+        "std": pa.array(std, pa.float64())}))

@@ -566,3 +566,27 @@ def test_partitioned_prune_counts_matches_filtered_base():
                   if d.startswith("event_type=")) == [
         f"event_type={t}" for t in
         ["click", "error", "purchase", "signup", "view"]]
+
+
+def test_embedding_dim_stats_golden():
+    from deepkg_ray.stages.similarity import embedding_dim_stats
+    df = pd.DataFrame({
+        "embedding": [np.array([1.0, 0.0]), np.array([3.0, 0.0])]})
+    out = (embedding_dim_stats(rd.from_pandas(df), dim=2).to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    assert out["mean"].tolist() == [2.0, 0.0]
+    assert out["std"].tolist() == [1.0, 0.0]     # population std of {1,3}
+
+
+def test_embedding_dim_stats_matches_duckdb():
+    import duckdb as _d
+    from deepkg_ray.oracle import embedding_dim_stats_oracle
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_dim_stats
+    got = _canon(embedding_dim_stats(
+        read_embeddings(SF, ["embedding"])).to_pandas())
+    con = _d.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = _canon(con.sql(embedding_dim_stats_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
