@@ -715,7 +715,8 @@ def part_unpivot(sf_dir: str):
     return ds.map_batches(melt, batch_format="pyarrow")
 
 
-def customer_order_distribution(sf_dir: str):
+def customer_order_distribution(sf_dir: str,
+                                broadcast_threshold: int = 2_000_000):
     """TPC-H Q13-shaped order-count distribution: for each order count c
     (including 0), how many customers placed exactly c orders.
 
@@ -749,7 +750,7 @@ def customer_order_distribution(sf_dir: str):
                            columns=["c_custkey"])
 
     per_cust = per_cust.materialize()
-    if per_cust.count() <= 2_000_000:
+    if per_cust.count() <= broadcast_threshold:
         # bounded tier: the per-custkey count table is customer-bounded —
         # broadcast it as a sorted array and stream CUSTOMER through one
         # stateless lookup map (left-outer semantics: missing key → 0,
@@ -1386,7 +1387,8 @@ def _ntile(rank: np.ndarray, n: int, k: int) -> np.ndarray:
                     rem + (rank - big) // max(size, 1)) + 1
 
 
-def rfm_scores(sf_dir: str, k: int = 5):
+def rfm_scores(sf_dir: str, k: int = 5,
+               broadcast_threshold: int = 2_000_000):
     """RFM customer scoring: per customer the last-order recency, order
     frequency and monetary total, each bucketed into NTILE(k) segments —
     the classic marketing-segmentation scoring, here as three exact
@@ -1453,7 +1455,7 @@ def rfm_scores(sf_dir: str, k: int = 5):
                                pa.int64())})
         return rk.map_batches(to_tile, batch_format="pyarrow")
 
-    if n <= 2_000_000:
+    if n <= broadcast_threshold:
         # customer-bounded broadcast tier: three rank tables collect to
         # sorted-array maps (one driver-sized pull each), one stateless
         # attach pass — no joins

@@ -1732,7 +1732,8 @@ def diameter_2sweep(edges, src_col: str = "subj_id",
 def link_prediction_scores(edges, src_col: str = "subj_id",
                            dst_col: str = "obj_id", min_cn: int = 2,
                            max_degree: int | None = None,
-                           num_partitions: int | None = None):
+                           num_partitions: int | None = None,
+                           broadcast_threshold: int = 2_000_000):
     """link_prediction extended with the full structural score family:
     common neighbors (cn), resource allocation (ra = Σ 1/deg z), Adamic–
     Adar (aa = Σ 1/ln deg z; Adamic & Adar, Soc. Networks 2003) and the
@@ -1850,7 +1851,7 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
     # vocabulary is dictionary-bounded (the KG case: entities come from the
     # alias dictionary) a ray.put sorted-array broadcast replaces TWO hash
     # joins; above the threshold fall back to the distributed joins
-    if deg.count() <= 2_000_000:
+    if deg.count() <= broadcast_threshold:
         import ray
         dd = deg.to_pandas()
         order = np.argsort(dd["node"].to_numpy(np.int64))

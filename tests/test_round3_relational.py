@@ -237,3 +237,35 @@ def test_embedding_norms_matches_duckdb():
                 f"read_parquet('{SF}/embeddings.parquet')")
     exp = _canon(con.sql(embedding_norms_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_q13_broadcast_and_join_tiers_agree():
+    from deepkg_ray.pipelines.relational import customer_order_distribution
+    fast = _canon(customer_order_distribution(SF).to_pandas())
+    slow = _canon(customer_order_distribution(
+        SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_rfm_broadcast_and_join_tiers_agree():
+    from deepkg_ray.pipelines.relational import rfm_scores
+    fast = _canon(rfm_scores(SF).to_pandas())
+    slow = _canon(rfm_scores(SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_linkpred_scores_broadcast_and_join_tiers_agree():
+    import numpy as np
+    import ray.data as rd
+    from deepkg_ray.stages.graph import link_prediction_scores
+    rng = np.random.default_rng(17)
+    e = pd.DataFrame({
+        "subj_id": rng.integers(0, 18, 60).astype(np.int64),
+        "obj_id": rng.integers(0, 18, 60).astype(np.int64)})
+    ds = rd.from_pandas(e)
+    fast = (link_prediction_scores(ds, min_cn=1).to_pandas()
+            .sort_values(["e1", "e2"]).reset_index(drop=True))
+    slow = (link_prediction_scores(ds, min_cn=1, broadcast_threshold=0)
+            .to_pandas().sort_values(["e1", "e2"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
