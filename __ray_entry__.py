@@ -1887,6 +1887,15 @@ def _q_embedding_dim_stats(sf_dir: str):
     return embedding_dim_stats(read_embeddings(sf_dir, ["embedding"]))
 
 
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic md5 train/val/test split assignment with
+    per-(split, lang) accounting."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dataset_split_assign
+    return dataset_split_assign(read_documents(sf_dir, ["doc_id", "lang"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2246,6 +2255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "dataset_split": _q_dataset_split,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "partitioned_prune": _q_partitioned_prune,
         "events_winsorized": _q_events_winsorized,
@@ -2456,6 +2466,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "dataset_split": oracle.dataset_split_assign_oracle(),
         "embedding_dim_stats": oracle.embedding_dim_stats_oracle(),
         "partitioned_prune": oracle.partitioned_prune_counts_oracle(),
         "events_winsorized": oracle.grouped_winsorized_mean_oracle(),

@@ -4648,3 +4648,28 @@ SELECT CAST(i AS BIGINT) AS i, n, sm AS sum_micros, ss,
            / CAST(n AS DOUBLE) / 1e6 AS std
 FROM m
 """
+
+
+def dataset_split_assign_oracle(pcts=(80, 10, 10), seed: int = 9) -> str:
+    """Mirror of curation.dataset_split_assign: first md5 byte of
+    'seed:doc_id' against the same cumulative 256-scaled cuts."""
+    acc = 0
+    cuts = []
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    c0 = f"{cuts[0]:02x}"
+    c1 = f"{cuts[1]:02x}"
+    return f"""
+WITH a AS (
+  SELECT CASE
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c0}' THEN 'train'
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c1}' THEN 'val'
+           ELSE 'test' END AS split,
+         lang
+  FROM documents)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY split, lang
+"""

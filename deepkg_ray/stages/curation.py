@@ -264,3 +264,46 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def dataset_split_assign(ds, id_col: str = "doc_id",
+                         group_col: str = "lang",
+                         pcts=(80, 10, 10), seed: int = 9):
+    """Deterministic train/val/test split assignment + per-(split, group)
+    accounting — the reproducible-split primitive every training-data
+    export needs: split = first md5 byte of "seed:id" against cumulative
+    percent cuts (the md5_keep_mask convention, functions/textnorm.py:96,
+    generalized to k-way), so ANY worker on ANY partitioning assigns the
+    same row to the same split, and DuckDB reproduces the assignment
+    byte-for-byte.  Returns (split, group, n) counts (the assignment
+    itself is the per-batch map; counts verify it)."""
+    import hashlib
+
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    names = ["train", "val", "test"]
+    cuts = []
+    acc = 0
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        grp = b[group_col].to_pylist()
+        byte = [int(hashlib.md5(f"{seed}:{i}".encode())
+                    .hexdigest()[:2], 16) for i in ids]
+        split = [names[0] if x < cuts[0]
+                 else names[1] if x < cuts[1] else names[2]
+                 for x in byte]
+        df = pd.DataFrame({"split": split, group_col: grp})
+        g = (df.groupby(["split", group_col], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return merge_partials(
+        ds.select_columns([id_col, group_col])
+        .map_batches(assign, batch_format="pyarrow"),
+        ["split", group_col], {"n": "sum"}, mode="tree")

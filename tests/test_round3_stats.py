@@ -590,3 +590,27 @@ def test_embedding_dim_stats_matches_duckdb():
                 f"read_parquet('{SF}/embeddings.parquet')")
     exp = _canon(con.sql(embedding_dim_stats_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dataset_split_deterministic_and_complete():
+    from deepkg_ray.stages.curation import dataset_split_assign
+    df = pd.DataFrame({"doc_id": np.arange(500, dtype=np.int64),
+                       "lang": ["en", "zh"] * 250})
+    out1 = _canon(dataset_split_assign(rd.from_pandas(df)).to_pandas())
+    out2 = _canon(dataset_split_assign(
+        rd.from_pandas(df).repartition(7)).to_pandas())
+    pd.testing.assert_frame_equal(out1, out2)   # partitioning-invariant
+    assert out1["n"].sum() == 500               # every row assigned once
+    tr = out1[out1["split"] == "train"]["n"].sum()
+    assert 320 <= tr <= 480                      # ~80% of 500
+
+
+def test_dataset_split_matches_duckdb():
+    from deepkg_ray.oracle import dataset_split_assign_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dataset_split_assign
+    got = _canon(dataset_split_assign(
+        read_documents(SF, ["doc_id", "lang"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(dataset_split_assign_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
