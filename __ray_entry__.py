@@ -1896,6 +1896,23 @@ def _q_dataset_split(sf_dir: str):
     return dataset_split_assign(read_documents(sf_dir, ["doc_id", "lang"]))
 
 
+
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted price median (weighted quantile_disc over the
+    price histogram)."""
+    from deepkg_ray.stages.quantiles import weighted_median_price
+    return weighted_median_price(sf_dir, qs=(0.25, 0.5, 0.75))
+
+
+def _q_events_harmonic_mean(sf_dir: str):
+    """Harmonic mean of positive values per event type (reciprocal-micros
+    integer sums)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_harmonic_mean
+    return grouped_harmonic_mean(
+        read_events(sf_dir, ["event_type", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2255,6 +2272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "weighted_median_price": _q_weighted_median_price,
+        "events_harmonic_mean": _q_events_harmonic_mean,
         "dataset_split": _q_dataset_split,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "partitioned_prune": _q_partitioned_prune,
@@ -2466,6 +2485,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "weighted_median_price": oracle.weighted_median_price_oracle(qs=(0.25, 0.5, 0.75)),
+        "events_harmonic_mean": oracle.grouped_harmonic_mean_oracle(),
         "dataset_split": oracle.dataset_split_assign_oracle(),
         "embedding_dim_stats": oracle.embedding_dim_stats_oracle(),
         "partitioned_prune": oracle.partitioned_prune_counts_oracle(),

@@ -4673,3 +4673,44 @@ WITH a AS (
 SELECT split, lang, CAST(count(*) AS BIGINT) AS n
 FROM a GROUP BY split, lang
 """
+
+
+def weighted_median_price_oracle(qs=(0.5,)) -> str:
+    """Mirror of quantiles.weighted_median_price: smallest price whose
+    cumulative quantity weight reaches ceil(q·W), integer micros of q."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH h AS (
+  SELECT CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS vm,
+         CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+              AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+), c AS (
+  SELECT vm, SUM(w) OVER (ORDER BY vm) AS cum FROM h
+), t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM h),
+qs AS ({q_rows})
+SELECT qs.q,
+       (SELECT min(vm) FROM c, t
+        WHERE c.cum >= -((-(qs.qm * t.total)) // 1000000)) / 1e6 AS value
+FROM qs
+"""
+
+
+def grouped_harmonic_mean_oracle() -> str:
+    """Mirror of quantiles.grouped_harmonic_mean: reciprocal micros
+    floor(1e12/vm+0.5) over positive values, n·1e12/Σ/1e6 finish."""
+    return """
+WITH vm AS (SELECT event_type AS g,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events
+            WHERE CAST(floor(value * 1e6 + 0.5) AS BIGINT) > 0)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(1e12 / vm + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_recip_micros,
+       CAST(count(*) AS DOUBLE) * 1e12
+           / CAST(SUM(CAST(floor(1e12 / vm + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e6 AS hmean
+FROM vm GROUP BY g
+"""

@@ -687,3 +687,91 @@ def grouped_winsorized_mean(ds, group_col: str = "event_type",
             "sum_micros": pa.array(s, pa.int64()),
             "wmean": pa.array(wmean, pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def weighted_median_price(sf_dir: str, qs=(0.5,)):
+    """WEIGHTED quantiles: the order-price distribution where each
+    lineitem price counts with its quantity as mass — quantile_disc
+    generalized to integer weights: the element at the smallest value
+    whose cumulative weight reaches ceil(q·W) (W = total weight), all in
+    integer micros of q.  Same value-count histogram plan (shuffle
+    bounded by distinct prices), weights summed instead of counted.
+    Returns (q, value) with value = the selected price."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import to_micros
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        pm = np.asarray(to_micros(b["l_extendedprice"].to_pylist()),
+                        np.int64)
+        qm = np.asarray(to_micros(b["l_quantity"].to_pylist()), np.int64)
+        vals, inv = np.unique(pm, return_inverse=True)
+        w = np.bincount(inv, weights=qm.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({"vm": pa.array(vals, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("w", alias_name="w"))
+            .to_pandas().sort_values("vm"))
+    values = hist["vm"].to_numpy(np.int64)
+    cum = hist["w"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if total == 0:
+            continue
+        q_micros = int(np.floor(q * 1e6 + 0.5))
+        target = -(-(q_micros * total) // 1_000_000)      # ceil(q·W)
+        pos = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(q)
+        out_v.append(values[min(pos, len(values) - 1)] / 1e6)
+    return rd.from_arrow(pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v, pa.float64())}))
+
+
+def grouped_harmonic_mean(ds, group_col: str = "event_type",
+                          col: str = "value"):
+    """Harmonic mean of the POSITIVE values per group — the rate-averaging
+    statistic (throughputs, latencies-as-rates), division-cleared to
+    integer sums: each reciprocal is floor(1e12/vm + 0.5) — reciprocal
+    MICROS, exact int since vm ≥ 1 micro — Σ as int64, and
+    hmean = n·1e12/Σ/1e6, one double chain mirrored in SQL.  Rows with
+    value ≤ 0 are excluded (matching SQL's WHERE).  Returns
+    (group, n, sum_recip_micros, hmean)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "vm": to_micros(b[col].to_pylist())})
+        df = df[df["vm"] > 0]
+        vm = df["vm"].to_numpy(np.int64)
+        df["r"] = np.floor(1e12 / vm + 0.5).astype(np.int64)
+        g = (df.groupby(group_col, sort=False)
+             .agg(n=("r", "size"), s=("r", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"n": "sum", "s": "sum"}, mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = b["s"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hm = n.astype(np.float64) * 1e12 / s.astype(np.float64) / 1e6
+        return pa.table({
+            group_col: b[group_col],
+            "n": pa.array(n, pa.int64()),
+            "sum_recip_micros": pa.array(s, pa.int64()),
+            "hmean": pa.array(hm, pa.float64())})
+    return merged.map_batches(finish, batch_format="pyarrow")

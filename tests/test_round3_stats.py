@@ -614,3 +614,38 @@ def test_dataset_split_matches_duckdb():
     con = _docs_con()
     exp = _canon(con.sql(dataset_split_assign_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_harmonic_mean_golden():
+    import ray.data as _rd
+    from deepkg_ray.stages.quantiles import grouped_harmonic_mean
+    # harmonic mean of {1, 2} = 2/(1 + 0.5) = 4/3
+    df = pd.DataFrame({"event_type": ["a", "a", "a"],
+                       "value": [1.0, 2.0, -5.0]})   # negative excluded
+    out = grouped_harmonic_mean(_rd.from_pandas(df)).to_pandas()
+    assert out["n"].item() == 2
+    assert abs(out["hmean"].item() - 4 / 3) < 1e-6
+
+
+def test_weighted_median_matches_duckdb():
+    from deepkg_ray.oracle import weighted_median_price_oracle
+    from deepkg_ray.stages.quantiles import weighted_median_price
+    got = _canon(weighted_median_price(SF, qs=(0.25, 0.5, 0.75))
+                 .to_pandas())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    exp = _canon(con.sql(
+        weighted_median_price_oracle(qs=(0.25, 0.5, 0.75))).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_harmonic_mean_matches_duckdb():
+    from deepkg_ray.oracle import grouped_harmonic_mean_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_harmonic_mean
+    got = _canon(grouped_harmonic_mean(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(grouped_harmonic_mean_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
