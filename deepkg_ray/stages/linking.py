@@ -114,7 +114,7 @@ class BM25Index:
         tf counts and doc lengths are small integers, so the float32→float64
         promotion is exact; idf is recomputed in float64 and pre-rounded to
         micros so the SQL oracle (DuckDB ln, also float64) lands on the
-        identical grid (CLAUDE.md float convention)."""
+        identical grid (the functions/numeric.py float convention)."""
         if not hasattr(self, "_tf64"):
             from deepkg_ray.functions.numeric import round6
             self._tf64 = self.tf.astype(np.float64)

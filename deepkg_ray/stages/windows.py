@@ -599,7 +599,7 @@ def resample_ohlc(ds, window_sec: int = 300, user_col: str = "user_id",
         eid = b[id_col].to_numpy(zero_copy_only=False)
         vm = to_micros(b[value_col].to_pylist())
         # one lexsort, then segment extrema via reduceat — no pandas
-        # mixed-function agg (CLAUDE.md: that's the slow per-group path)
+        # mixed-function agg (repo convention: that's the slow per-group path)
         order = np.lexsort((eid, us, w, u))
         u, w, us, eid, vm = u[order], w[order], us[order], eid[order], \
             vm[order]
@@ -721,7 +721,7 @@ def markov_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
 
     Plan: user-complete coarse partitions → vectorized consecutive-pair
     extraction + per-partition value_counts (the combiner), then
-    treeagg.merge_partials over the |types|² bounded key space (CLAUDE.md:
+    treeagg.merge_partials over the |types|² bounded key space (repo convention:
     tree, not shuffle, for dictionary-sized keys).  The row-normalizing
     divide happens once on the final ≤|types|² rows (repartition(1) —
     bounded by construction) so p is a single correctly-rounded float op

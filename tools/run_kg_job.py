@@ -8,7 +8,7 @@ On a real cluster:
 
 In this sandbox the same script runs standalone (`ray.init` falls back to
 the local cluster; `RAY_ADDRESS=local` is preset).  The script OWNS a Ray
-session (CLI entry points do, per CLAUDE.md); it is the launch shell
+session (CLI entry points own their Ray session); it is the launch shell
 around pipelines/kg.build_kg_resumable — per-partition checkpoint
 manifest, lineage counters, idempotent resume — and prints one JSON line
 with the run's metrics.
