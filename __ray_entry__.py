@@ -1913,6 +1913,39 @@ def _q_events_harmonic_mean(sf_dir: str):
         read_events(sf_dir, ["event_type", "value"]))
 
 
+
+def _q_configured_mention_counts(sf_dir: str):
+    """The declarative extension surface under the driver gate: the SAME
+    mention-count result as kg_mention_counts, but assembled through the
+    config.build_pipeline spec (normalize -> mentions from STAGE_REGISTRY,
+    $-resolved context params) instead of direct calls — hash-equality
+    against the kg_mention_counts oracle proves the registry path is
+    semantics-preserving."""
+    import pyarrow as pa
+
+    from deepkg_ray import synth
+    from deepkg_ray.config import build_pipeline
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ds = read_transcripts(synth.transcripts_path(sf_dir),
+                          columns=["conv_id", "turn_idx", "text"])
+    mentions = build_pipeline(
+        ds,
+        [{"stage": "normalize"},
+         {"stage": "mentions", "params": {"dictionary_path": "$dict"}}],
+        context={"dict": synth.dictionary_path(sf_dir)})
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+
+    partial = mentions.map_batches(combine, batch_format="pyarrow")
+    return merge_partials(partial, keys, {"n_occ": "sum"})
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2272,6 +2305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "configured_mention_counts": _q_configured_mention_counts,
         "weighted_median_price": _q_weighted_median_price,
         "events_harmonic_mean": _q_events_harmonic_mean,
         "dataset_split": _q_dataset_split,
@@ -2485,6 +2519,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "configured_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "weighted_median_price": oracle.weighted_median_price_oracle(qs=(0.25, 0.5, 0.75)),
         "events_harmonic_mean": oracle.grouped_harmonic_mean_oracle(),
         "dataset_split": oracle.dataset_split_assign_oracle(),
