@@ -1946,6 +1946,16 @@ def _q_configured_mention_counts(sf_dir: str):
     return merge_partials(partial, keys, {"n_occ": "sum"})
 
 
+
+def _q_salted_type_stats(sf_dir: str):
+    """Hot-key-safe salted two-phase aggregation, hash-equal to the plain
+    GROUP BY oracle (the skew mitigation itself is gate-checked)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.events import salted_type_stats
+    return salted_type_stats(read_events(sf_dir, ["event_id",
+                                                  "event_type", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2305,6 +2315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "salted_type_stats": _q_salted_type_stats,
         "configured_mention_counts": _q_configured_mention_counts,
         "weighted_median_price": _q_weighted_median_price,
         "events_harmonic_mean": _q_events_harmonic_mean,
@@ -2519,6 +2530,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "salted_type_stats": oracle.salted_type_stats_oracle(),
         "configured_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "weighted_median_price": oracle.weighted_median_price_oracle(qs=(0.25, 0.5, 0.75)),
         "events_harmonic_mean": oracle.grouped_harmonic_mean_oracle(),

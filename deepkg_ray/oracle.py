@@ -4714,3 +4714,14 @@ SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
            / 1e6 AS hmean
 FROM vm GROUP BY g
 """
+
+
+def salted_type_stats_oracle() -> str:
+    """Plain GROUP BY mirror of events.salted_type_stats — equality
+    proves the salted two-phase plan is answer-preserving."""
+    return """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micros
+FROM events GROUP BY event_type
+"""

@@ -191,3 +191,54 @@ def type_cooccurrence_jaccard(ds, user_col: str = "user_id",
         "n_both": pa.array([r[2] for r in rows], pa.int64()),
         "n_either": pa.array([r[3] for r in rows], pa.int64()),
         "jaccard": pa.array([r[4] for r in rows], pa.float64())}))
+
+
+def salted_type_stats(ds, type_col: str = "event_type",
+                      value_col: str = "value", id_col: str = "event_id",
+                      n_salts: int = 16):
+    """Hot-key-safe grouped aggregation: counts + exact micros sums per
+    event type computed through a SALTED two-phase plan — phase 1 groups
+    by (type, salt) where salt = md5-byte of the row id mod n_salts, so a
+    hot type's rows spread over n_salts reducers instead of one straggler
+    partition; phase 2 folds the n_salts partials per type (a
+    dictionary-sized merge).  The result is identical to a plain GROUP BY
+    (the SQL oracle) — salting changes the shuffle shape, never the
+    answer.  The same mitigation convgroup.py applies to hot
+    conversations, here gate-checked on its own.  Returns
+    (event_type, n, sum_micros)."""
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        salt = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:2], 16)
+             % n_salts for i in ids), np.int64, len(ids))
+        df = pd.DataFrame({
+            type_col: b[type_col].to_pylist(),
+            "salt": salt,
+            "vm": to_micros(b[value_col].to_pylist())})
+        g = (df.groupby([type_col, "salt"], sort=False)
+             .agg(n=("vm", "size"), s=("vm", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    salted = (ds.select_columns([id_col, type_col, value_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([type_col, "salt"])
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("s", alias_name="s")))
+
+    # phase 2: fold the ≤ |types|·n_salts partials per type
+    return merge_partials(
+        salted.map_batches(
+            lambda b: pa.table({
+                type_col: b[type_col],
+                "n": b["n"].combine_chunks().cast(pa.int64()),
+                "sum_micros": b["s"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow"),
+        [type_col], {"n": "sum", "sum_micros": "sum"}, mode="tree")

@@ -649,3 +649,28 @@ def test_harmonic_mean_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(grouped_harmonic_mean_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_type_stats_matches_plain_groupby():
+    from deepkg_ray.oracle import salted_type_stats_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.events import salted_type_stats
+    got = _canon(salted_type_stats(
+        read_events(SF, ["event_id", "event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(salted_type_stats_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_type_stats_hot_key_spread():
+    from deepkg_ray.stages.events import salted_type_stats
+    # one hot key with 400 rows, one cold with 4 — result must still be
+    # the plain totals
+    df = pd.DataFrame({
+        "event_id": np.arange(404, dtype=np.int64),
+        "event_type": ["hot"] * 400 + ["cold"] * 4,
+        "value": [1.0] * 404})
+    out = (salted_type_stats(rd.from_pandas(df)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["hot", "n"] == 400 and out.loc["cold", "n"] == 4
+    assert out.loc["hot", "sum_micros"] == 400_000_000
