@@ -1956,6 +1956,16 @@ def _q_salted_type_stats(sf_dir: str):
                                                   "event_type", "value"]))
 
 
+
+def _q_session_stats(sf_dir: str):
+    """Session-grain histogram: per session-length bucket the session
+    count, total duration and purchase-revenue attribution."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import session_stats
+    return session_stats(read_events(sf_dir, ["user_id", "event_id", "ts",
+                                              "event_type", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2315,6 +2325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "session_stats": _q_session_stats,
         "salted_type_stats": _q_salted_type_stats,
         "configured_mention_counts": _q_configured_mention_counts,
         "weighted_median_price": _q_weighted_median_price,
@@ -2530,6 +2541,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "session_stats": oracle.session_stats_oracle(),
         "salted_type_stats": oracle.salted_type_stats_oracle(),
         "configured_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "weighted_median_price": oracle.weighted_median_price_oracle(qs=(0.25, 0.5, 0.75)),

@@ -4725,3 +4725,35 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
            AS sum_micros
 FROM events GROUP BY event_type
 """
+
+
+def session_stats_oracle(gap_sec: int = 1800,
+                         purchase_type: str = "purchase") -> str:
+    """Mirror of windows.session_stats: gaps-and-islands session ids,
+    session-grain agg, session-length histogram with exact µs/micros."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS tu,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+), s AS (
+  SELECT *, SUM(CASE WHEN pts IS NULL
+                     OR tu - epoch_us(pts) > {gap_us} THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY tu, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), per AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+         CAST(max(tu) - min(tu) AS BIGINT) AS dur,
+         CAST(SUM(CASE WHEN event_type = '{purchase_type}'
+                  THEN vm ELSE 0 END) AS BIGINT) AS pv
+  FROM s GROUP BY user_id, sid
+)
+SELECT n_ev AS session_len, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(dur) AS BIGINT) AS total_duration_us,
+       CAST(SUM(pv) AS BIGINT) AS purchase_micros
+FROM per GROUP BY n_ev
+"""

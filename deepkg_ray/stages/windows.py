@@ -1215,3 +1215,70 @@ def timed_conversions(ds, first_type: str = "view",
         .map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("part").map_groups(per_partition,
                                              batch_format="pandas")
+
+
+def session_stats(ds, gap_sec: int = 1800, purchase_type: str = "purchase",
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", type_col: str = "event_type",
+                  value_col: str = "value", n_parts: int = 64):
+    """Session-GRAIN analytics (sessionize reports per-user totals; this
+    emits the session-length histogram with duration and purchase-revenue
+    attribution): sessions split on ``gap_sec`` inactivity, then per
+    session-length bucket — how many sessions, their total duration, and
+    the purchase value they captured (last-mile revenue attribution).
+
+    Plan: user-complete coarse partitions (sessions can never straddle
+    them), one vectorized island pass per partition (gap flags → cumsum
+    session ids → groupby agg), per-partition histogram partials, tree
+    merge over the tiny session-length domain.  Duration and revenue stay
+    exact int64 (µs / micros).  Returns
+    (session_len, n_sessions, total_duration_us, purchase_micros)."""
+    gap_us = np.int64(gap_sec) * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "t": b[type_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(to_micros(b[value_col].to_pylist()), pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        ts = g["ts_us"].to_numpy(np.int64)
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = users[1:] != users[:-1]
+        gap = np.ones(len(g), bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new_user | gap)
+        pv = np.where(np.asarray(g["t"].to_numpy(), object)
+                      == purchase_type, g["vm"].to_numpy(np.int64), 0)
+        g = g.assign(sid=sid, pv=pv)
+        per = (g.groupby("sid", sort=False)
+               .agg(n_ev=("ts_us", "size"),
+                    lo=("ts_us", "min"), hi=("ts_us", "max"),
+                    pv=("pv", "sum")).reset_index())
+        per["dur"] = per["hi"] - per["lo"]
+        hist = (per.groupby("n_ev", sort=False)
+                .agg(n_sessions=("n_ev", "size"),
+                     total_duration_us=("dur", "sum"),
+                     purchase_micros=("pv", "sum")).reset_index())
+        return pd.DataFrame({
+            "session_len": hist["n_ev"].astype(np.int64),
+            "n_sessions": hist["n_sessions"].astype(np.int64),
+            "total_duration_us": hist["total_duration_us"].astype(np.int64),
+            "purchase_micros": hist["purchase_micros"].astype(np.int64)})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parted = ds.select_columns([user_col, ts_col, id_col, type_col,
+                                value_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    partials = parted.groupby("part").map_groups(per_partition,
+                                                 batch_format="pandas")
+    return merge_partials(partials, ["session_len"],
+                          {"n_sessions": "sum", "total_duration_us": "sum",
+                           "purchase_micros": "sum"}, mode="tree")

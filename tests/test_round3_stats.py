@@ -674,3 +674,34 @@ def test_salted_type_stats_hot_key_spread():
            .set_index("event_type"))
     assert out.loc["hot", "n"] == 400 and out.loc["cold", "n"] == 4
     assert out.loc["hot", "sum_micros"] == 400_000_000
+
+
+def test_session_stats_golden():
+    from deepkg_ray.stages.windows import session_stats
+    # u1: events at 0s, 10s (one session, purchase 5.0 at 10s), then a
+    # 1h gap → second session of 1 event; u2: single event
+    df = pd.DataFrame({
+        "user_id": ["u1", "u1", "u1", "u2"],
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": pd.to_datetime([0, 10, 4000, 7], unit="s"),
+        "event_type": ["view", "purchase", "view", "view"],
+        "value": [1.0, 5.0, 2.0, 3.0],
+    })
+    out = (session_stats(rd.from_pandas(df), n_parts=2).to_pandas()
+           .set_index("session_len"))
+    assert out.loc[2, "n_sessions"] == 1
+    assert out.loc[2, "total_duration_us"] == 10_000_000
+    assert out.loc[2, "purchase_micros"] == 5_000_000
+    assert out.loc[1, "n_sessions"] == 2     # u1's tail + u2
+
+
+def test_session_stats_matches_duckdb():
+    from deepkg_ray.oracle import session_stats_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import session_stats
+    got = _canon(session_stats(
+        read_events(SF, ["user_id", "event_id", "ts", "event_type",
+                         "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(session_stats_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
