@@ -2095,6 +2095,15 @@ def _q_kg_linkpred_scores(sf_dir: str):
     return link_prediction_scores(kg.adjacency_dataset(sf_dir), min_cn=2)
 
 
+
+def _q_kg_two_hop(sf_dir: str):
+    """Ego-net reach per KG node: degree and distinct <=2-hop neighbor
+    count (2-path self-join + dedup)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import two_hop_sizes
+    return two_hop_sizes(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_linkpred_truncated(sf_dir: str):
     """The 100-TB posture of link prediction: hub centers above
     max_degree emit no wedge pairs (the standard LP truncation — caps the
@@ -2393,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
@@ -2613,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_truncated": oracle.kg_linkpred_oracle(
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
+        "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),

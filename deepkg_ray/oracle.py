@@ -4757,3 +4757,34 @@ SELECT n_ev AS session_len, CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(SUM(pv) AS BIGINT) AS purchase_micros
 FROM per GROUP BY n_ev
 """
+
+
+def kg_two_hop_sizes_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.two_hop_sizes over the KG adjacency:
+    2-path self-join unioned with direct neighbors, distinct reach count."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS a, hi AS b FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+reach AS (
+  SELECT a AS node, b AS reach FROM bidir
+  UNION
+  SELECT p.a, q.b FROM bidir p JOIN bidir q ON q.a = p.b
+  WHERE q.b <> p.a
+),
+n2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM reach
+       GROUP BY node),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n1 FROM bidir
+        GROUP BY a)
+SELECT n2.node, deg.n1, n2.n2
+FROM n2 JOIN deg ON deg.node = n2.node
+"""

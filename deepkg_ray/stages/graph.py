@@ -1890,3 +1890,75 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
             "jaccard": pa.array(jac, pa.float64())})
 
     return drop_empty_blocks(j2).map_batches(finish, batch_format="pyarrow")
+
+
+def two_hop_sizes(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                  num_partitions: int | None = None):
+    """Ego-network reach per node on the undirected simple graph: degree
+    (1-hop) and the distinct node count within ≤ 2 hops (excluding self)
+    — the neighborhood-growth signal (dense cores grow slowly, tree-like
+    regions double).
+
+    Plan: bidirected edges self-joined on the middle vertex emit 2-path
+    endpoints (a, c); unioned with the direct (a, b) pairs and deduped by
+    one (node, reach) groupby, then a Count per node.  The join moves
+    Σ deg² wedge rows — the same fan-out bound as link_prediction, and
+    the same max_degree truncation applies at scale (exact here to match
+    the oracle).  Returns (node, n1, n2)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "a": pa.array(np.concatenate([u, v]), pa.int64()),
+            "b": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bidir = (edges.map_batches(bidirect, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
+             .drop_columns(["_m"]).materialize())
+
+    mid = bidir.map_batches(
+        lambda t: pa.table({"m": t["a"], "c": t["b"]}),
+        batch_format="pyarrow")
+    paths2 = drop_empty_blocks(bidir).join(
+        drop_empty_blocks(mid), join_type="inner",
+        num_partitions=num_partitions, on=("b",), right_on=("m",))
+
+    reach2 = paths2.map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], t["c"]))
+                   .select(["a", "c"])
+                   .rename_columns(["node", "reach"]),
+        batch_format="pyarrow")
+    reach1 = bidir.map_batches(
+        lambda t: t.rename_columns(["node", "reach"]),
+        batch_format="pyarrow")
+
+    distinct = (reach1.union(reach2)
+                .groupby(["node", "reach"])
+                .aggregate(Count(alias_name="_m")).drop_columns(["_m"]))
+    n2 = distinct.groupby("node").aggregate(Count(alias_name="n2"))
+
+    deg = node_degrees(
+        edges.map_batches(
+            lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
+            batch_format="pyarrow"),
+        src_col=src_col, dst_col=dst_col)
+
+    j = drop_empty_blocks(n2).join(
+        drop_empty_blocks(deg.map_batches(
+            lambda b: pa.table({"dn": b["node"], "n1": b["degree"]}),
+            batch_format="pyarrow")),
+        join_type="inner", num_partitions=num_partitions,
+        on=("node",), right_on=("dn",))
+    return drop_empty_blocks(j).map_batches(
+        lambda b: pa.table({
+            "node": b["node"].combine_chunks().cast(pa.int64()),
+            "n1": b["n1"].combine_chunks().cast(pa.int64()),
+            "n2": b["n2"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")

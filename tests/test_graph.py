@@ -464,3 +464,15 @@ def test_truss_driver_and_distributed_tiers_agree():
     slow = (truss_edges(ds, k=3, driver_threshold=0).to_pandas()
             .sort_values(["e1", "e2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_two_hop_sizes_path_graph():
+    """Path 1-2-3-4-5: node 1 reaches {2,3}, node 3 reaches {1,2,4,5}."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import two_hop_sizes
+    e = pd.DataFrame({"subj_id": [1, 2, 3, 4], "obj_id": [2, 3, 4, 5]})
+    out = (two_hop_sizes(rd.from_pandas(e)).to_pandas()
+           .set_index("node").sort_index())
+    assert out["n1"].tolist() == [1, 2, 2, 2, 1]
+    assert out["n2"].tolist() == [2, 3, 4, 3, 2]
