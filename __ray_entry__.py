@@ -1966,6 +1966,14 @@ def _q_session_stats(sf_dir: str):
                                               "event_type", "value"]))
 
 
+
+def _q_revenue_cohorts(sf_dir: str):
+    """Revenue cohort triangle: first-order month x months-since-first
+    with exact micros revenue."""
+    from deepkg_ray.pipelines.relational import revenue_cohorts
+    return revenue_cohorts(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2334,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "revenue_cohorts": _q_revenue_cohorts,
         "session_stats": _q_session_stats,
         "salted_type_stats": _q_salted_type_stats,
         "configured_mention_counts": _q_configured_mention_counts,
@@ -2551,6 +2560,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "revenue_cohorts": oracle.revenue_cohorts_oracle(),
         "session_stats": oracle.session_stats_oracle(),
         "salted_type_stats": oracle.salted_type_stats_oracle(),
         "configured_mention_counts": oracle.mention_counts_sql(SF_ORACLE),

@@ -4788,3 +4788,26 @@ deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS n1 FROM bidir
 SELECT n2.node, deg.n1, n2.n2
 FROM n2 JOIN deg ON deg.node = n2.node
 """
+
+
+def revenue_cohorts_oracle() -> str:
+    """Mirror of relational.revenue_cohorts: first-order month per
+    customer, month-number arithmetic, exact micros revenue grid."""
+    return """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+              AS BIGINT) AS mnum,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS tpm
+  FROM orders
+), f AS (
+  SELECT o_custkey, CAST(min(mnum) AS BIGINT) AS cohort
+  FROM o GROUP BY o_custkey
+)
+SELECT f.cohort AS cohort_month,
+       CAST(o.mnum - f.cohort AS BIGINT) AS age_months,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.tpm) AS BIGINT) AS rev_micros
+FROM o JOIN f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort, o.mnum - f.cohort
+"""

@@ -1770,3 +1770,84 @@ def latest_order_per_customer(sf_dir: str):
                 .to_numpy(zero_copy_only=False).astype(np.float64) / 1e6,
                 pa.float64())})
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_cohorts(sf_dir: str, broadcast_threshold: int = 2_000_000):
+    """Revenue cohort triangle: customers grouped by FIRST-order month
+    (the cohort), revenue rolled up by months-since-first (the age) —
+    the classic retention/LTV table at revenue grain (events_retention's
+    user-count analog, here with exact micros money).
+
+    Plan: first-order month per customer is a combiner-first Min groupby
+    (customer-bounded); below the threshold it broadcasts as a sorted
+    array into one stateless pass over orders (no join), above it falls
+    back to a hash join.  The (cohort, age) grid is months² — tree-merge
+    sized.  Returns (cohort_month, age_months, n_orders, rev_micros)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+
+    def proj(b: pa.Table) -> pa.Table:
+        us = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        mnum = (dt.year * 12 + (dt.month - 1)).to_numpy()
+        return pa.table({
+            "o_custkey": b["o_custkey"],
+            "mnum": pa.array(mnum.astype(np.int64), pa.int64()),
+            "tpm": pa.array(to_micros(b["o_totalprice"].to_pylist()),
+                            pa.int64())})
+
+    op = orders.map_batches(proj, batch_format="pyarrow").materialize()
+    first = (op.select_columns(["o_custkey", "mnum"])
+             .groupby("o_custkey")
+             .aggregate(Min("mnum", alias_name="cohort"))
+             .materialize())
+
+    def grid_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cohort": b["cohort"].to_numpy(zero_copy_only=False),
+            "age": b["mnum"].to_numpy(zero_copy_only=False)
+                   - b["cohort"].to_numpy(zero_copy_only=False),
+            "tpm": b["tpm"].to_numpy(zero_copy_only=False)})
+        g = (df.groupby(["cohort", "age"], sort=False)
+             .agg(n_orders=("tpm", "size"), rev=("tpm", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    if first.count() <= broadcast_threshold:
+        fd = first.to_pandas()
+        order = np.argsort(fd["o_custkey"].to_numpy(np.int64))
+        ref = ray.put((fd["o_custkey"].to_numpy(np.int64)[order],
+                       fd["cohort"].to_numpy(np.int64)[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, coh = ray.get(ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            c = coh[np.searchsorted(keys, ck)]
+            return pa.table({"cohort": pa.array(c, pa.int64()),
+                             "mnum": b["mnum"], "tpm": b["tpm"]})
+
+        joined = op.map_batches(attach, batch_format="pyarrow")
+    else:
+        from deepkg_ray.util import drop_empty_blocks, join_partitions
+        joined = drop_empty_blocks(op).join(
+            drop_empty_blocks(first), join_type="inner",
+            num_partitions=join_partitions(), on=("o_custkey",))
+
+    grid = merge_partials(
+        joined.map_batches(grid_partial, batch_format="pyarrow"),
+        ["cohort", "age"], {"n_orders": "sum", "rev": "sum"}, mode="tree")
+    return grid.map_batches(
+        lambda b: pa.table({
+            "cohort_month": b["cohort"].combine_chunks().cast(pa.int64()),
+            "age_months": b["age"].combine_chunks().cast(pa.int64()),
+            "n_orders": b["n_orders"].combine_chunks().cast(pa.int64()),
+            "rev_micros": b["rev"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")

