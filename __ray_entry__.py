@@ -1974,6 +1974,15 @@ def _q_revenue_cohorts(sf_dir: str):
     return revenue_cohorts(sf_dir)
 
 
+
+def _q_dedup_keep_longest(sf_dir: str):
+    """Exact dedup with keep-longest survivorship (normalized content,
+    associative argmax merge tree)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import dedup_keep_longest
+    return dedup_keep_longest(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2342,6 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "revenue_cohorts": _q_revenue_cohorts,
         "session_stats": _q_session_stats,
         "salted_type_stats": _q_salted_type_stats,
@@ -2560,6 +2570,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "dedup_keep_longest": oracle.dedup_keep_longest_oracle(),
         "revenue_cohorts": oracle.revenue_cohorts_oracle(),
         "session_stats": oracle.session_stats_oracle(),
         "salted_type_stats": oracle.salted_type_stats_oracle(),

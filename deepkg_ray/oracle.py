@@ -4811,3 +4811,22 @@ SELECT f.cohort AS cohort_month,
 FROM o JOIN f ON f.o_custkey = o.o_custkey
 GROUP BY f.cohort, o.mnum - f.cohort
 """
+
+
+def dedup_keep_longest_oracle() -> str:
+    """Mirror of dedup.dedup_keep_longest: per normalized-content group
+    the longest doc (tie → smallest id)."""
+    return """
+WITH n AS (
+  SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+         CAST(len(lower(trim(text))) AS BIGINT) AS n_chars
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash
+                               ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY content_hash) AS n_dups
+  FROM n
+)
+SELECT content_hash, doc_id, n_chars, CAST(n_dups AS BIGINT) AS n_dups
+FROM r WHERE rn = 1
+"""

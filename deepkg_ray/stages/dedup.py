@@ -921,3 +921,52 @@ def containment_pairs(ds, *, window: int = 8, keep_mod: int = 16,
         return out.filter(pc.greater_equal(out["containment"], thr))
 
     return withn.map_batches(score, batch_format="pyarrow")
+
+
+def dedup_keep_longest(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup with the KEEP-LONGEST survivorship policy (dedup_exact
+    keeps min id; real curation pipelines usually keep the longest copy —
+    boilerplate-stripped variants lose to the full document): per distinct
+    NORMALIZED content (lower+trim), the survivor maximizes (n_chars,
+    −doc_id) — a row-wise argmax that is associative, so it folds per
+    batch and merges through the repartition tree (the
+    latest_order_per_customer kernel on content groups; final task holds
+    ≤ distinct-content candidate rows — for open content domains swap the
+    tree for Max(n_chars)-join-Min(id) shuffle rounds).
+    Returns (content_hash, doc_id, n_chars, n_dups)."""
+    import hashlib
+
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        norm = [t.lower().strip() for t in texts]
+        df = pd.DataFrame({
+            "content_hash": [hashlib.md5(t.encode()).hexdigest()
+                             for t in norm],
+            id_col: ids.astype(np.int64),
+            "n_chars": np.asarray([len(t) for t in norm], np.int64),
+            "n_dups": np.ones(len(ids), np.int64)})
+        df = df.sort_values(["content_hash", "n_chars", id_col],
+                            ascending=[True, True, False], kind="stable")
+        agg = (df.groupby("content_hash", sort=False)
+               .agg({id_col: "last", "n_chars": "last", "n_dups": "sum"})
+               .reset_index())
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow")
+
+    def merge_frames(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["content_hash", "n_chars", id_col],
+                            ascending=[True, True, False], kind="stable")
+        agg = (df.groupby("content_hash", sort=False)
+               .agg({id_col: "last", "n_chars": "last", "n_dups": "sum"})
+               .reset_index())
+        return agg
+
+    lvl1 = parts.repartition(8).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)

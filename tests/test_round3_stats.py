@@ -705,3 +705,28 @@ def test_session_stats_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(session_stats_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_dedup_keep_longest_golden():
+    from deepkg_ray.stages.dedup import dedup_keep_longest
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["Hello World", "  hello world ", "hello world!", "x"]})
+    # docs 0 and 1 normalize identically ("hello world"); doc 1's
+    # normalized length ties doc 0's → smaller id (0) survives
+    out = (dedup_keep_longest(rd.from_pandas(df)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3
+    grp = out[out["n_dups"] == 2]
+    assert grp["doc_id"].item() == 0
+
+
+def test_dedup_keep_longest_matches_duckdb():
+    from deepkg_ray.oracle import dedup_keep_longest_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import dedup_keep_longest
+    got = _canon(dedup_keep_longest(
+        read_documents(SF, ["doc_id", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(dedup_keep_longest_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
