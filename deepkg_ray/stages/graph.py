@@ -166,6 +166,10 @@ def dedup_cluster_stats(components):
 
 PR_SCALE = 10**12
 
+# (lo, hi) node-pair packing base for combiner keys and broadcast edge
+# sets — requires node ids < 2^31 (assert-guarded at use sites)
+PACK = np.int64(2**31)
+
 
 def pagerank_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                     n_iters: int = 5, damping_pct: int = 85):
@@ -597,27 +601,72 @@ def link_prediction(edges, src_col: str = "subj_id",
 
     bidir = edges.map_batches(bidirect, batch_format="pyarrow")
 
-    def wedge_pairs(g: pa.Table) -> pa.Table:
-        peers = np.unique(g["peer"].to_numpy(zero_copy_only=False))
-        deg = len(peers)
-        if deg < 2 or (max_degree is not None and deg > max_degree):
+    # node-complete coarse partitions: one task processes MANY centers
+    # (one-task-per-node map_groups drowned 180-node graphs in per-task
+    # overhead; hub balance comes from the hash spread)
+    def add_part(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (node % np.int64(64)).astype(np.int32)))
+
+    def wedge_partition(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        peer = g["peer"].to_numpy(zero_copy_only=False)
+        if len(peer):
+            assert peer.min() >= 0 and peer.max() < 2**31, \
+                "pair packing requires node ids in [0, 2^31)"
+        order = np.lexsort((peer, node))
+        node, peer = node[order], peer[order]
+        # per-center distinct peers: drop duplicate (node, peer) runs
+        first = np.ones(len(node), bool)
+        first[1:] = (node[1:] != node[:-1]) | (peer[1:] != peer[:-1])
+        node, peer = node[first], peer[first]
+        starts = np.nonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(node)]))
+        e1o, e2o, wmo = [], [], []
+        for s, e in zip(starts, ends):
+            deg = e - s
+            if deg < 2 or (max_degree is not None and deg > max_degree):
+                continue
+            wm = np.int64(np.floor(1e6 / deg + 0.5))
+            ai, bi = np.triu_indices(deg, k=1)
+            p = peer[s:e]
+            e1o.append(p[ai])
+            e2o.append(p[bi])
+            wmo.append(np.full(len(ai), wm, np.int64))
+        if not e1o:
             return pa.table({"e1": pa.array([], pa.int64()),
                              "e2": pa.array([], pa.int64()),
-                             "wm": pa.array([], pa.int64())})
-        wm = np.int64(np.floor(1e6 / deg + 0.5))
-        ai, bi = np.triu_indices(deg, k=1)
-        return pa.table({"e1": pa.array(peers[ai], pa.int64()),
-                         "e2": pa.array(peers[bi], pa.int64()),
-                         "wm": pa.array(np.full(len(ai), wm), pa.int64())})
+                             "cn": pa.array([], pa.int64()),
+                             "ra_micros": pa.array([], pa.int64())})
+        e1c = np.concatenate(e1o)
+        e2c = np.concatenate(e2o)
+        wmc = np.concatenate(wmo)
+        # local combiner: fold duplicate (e1, e2) wedges inside the task
+        # (ids < 2^31 — packing bound shared with the anti-join tier)
+        key = e1c * PACK + e2c
+        uk, inv = np.unique(key, return_inverse=True)
+        cn = np.bincount(inv).astype(np.int64)
+        wm_sum = np.bincount(inv, weights=wmc.astype(np.float64)) \
+            .astype(np.int64)
+        return pa.table({
+            "e1": pa.array((uk // PACK).astype(np.int64), pa.int64()),
+            "e2": pa.array((uk % PACK).astype(np.int64), pa.int64()),
+            "cn": pa.array(cn, pa.int64()),
+            "ra_micros": pa.array(wm_sum, pa.int64())})
 
-    cand = (bidir.groupby("node").map_groups(wedge_pairs,
-                                             batch_format="pyarrow")
-            .groupby(["e1", "e2"])
-            .aggregate(Count(alias_name="cn"),
-                       Sum("wm", alias_name="ra_micros")))
+    from deepkg_ray.stages.treeagg import merge_partials
+    cand = merge_partials(
+        bidir.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(wedge_partition,
+                                    batch_format="pyarrow"),
+        ["e1", "e2"], {"cn": "sum", "ra_micros": "sum"}, mode="auto")
 
     def keep_min_cn(b: pa.Table) -> pa.Table:
-        return b.filter(pc.greater_equal(b["cn"], pa.scalar(min_cn)))
+        return b.filter(pc.greater_equal(
+            b["cn"].combine_chunks().cast(pa.int64()),
+            pa.scalar(min_cn)))
     cand = cand.map_batches(keep_min_cn, batch_format="pyarrow")
 
     def orient(b: pa.Table) -> pa.Table:
@@ -625,17 +674,53 @@ def link_prediction(edges, src_col: str = "subj_id",
         v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = u != v
         u, v = u[keep], v[keep]
-        return pa.table({"e1": pa.array(np.minimum(u, v), pa.int64()),
-                         "e2": pa.array(np.maximum(u, v), pa.int64())})
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        if len(lo):
+            assert lo.min() >= 0 and hi.max() < 2**31, \
+                "pair packing requires node ids in [0, 2^31)"
+        packed = np.unique(lo * PACK + hi)
+        return pa.table({"packed": pa.array(packed, pa.int64())})
 
-    simple = (edges.map_batches(orient, batch_format="pyarrow")
-              .groupby(["e1", "e2"]).aggregate(Count(alias_name="_m"))
-              .drop_columns(["_m"]))
+    simple_packed = merge_partials(
+        edges.map_batches(orient, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "_n", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["packed"], {"_n": "sum"}, mode="auto").materialize()
 
     from deepkg_ray.util import drop_empty_blocks
-    new_pairs = drop_empty_blocks(cand).join(
-        drop_empty_blocks(simple), join_type="left_anti",
-        num_partitions=num_partitions, on=("e1", "e2"))
+    n_edges = simple_packed.count()
+    if n_edges <= 2_000_000:
+        # dictionary-bounded tier: broadcast the packed edge set and
+        # filter the candidate stream — no join actors
+        import ray
+        ep = np.sort(simple_packed.to_pandas()["packed"]
+                     .to_numpy(np.int64))
+        ep_ref = ray.put(ep)
+
+        def anti(b: pa.Table) -> pa.Table:
+            edges_arr = ray.get(ep_ref)
+            key = b["e1"].to_numpy(zero_copy_only=False) * PACK \
+                + b["e2"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(edges_arr, key)
+            pos_c = np.clip(pos, 0, max(len(edges_arr) - 1, 0))
+            hit = (len(edges_arr) > 0) & (edges_arr[pos_c] == key)
+            return b.filter(pa.array(~hit))
+
+        new_pairs = drop_empty_blocks(cand).map_batches(
+            anti, batch_format="pyarrow")
+    else:
+        simple = simple_packed.map_batches(
+            lambda b: pa.table({
+                "e1": pa.array(b["packed"].to_numpy(
+                    zero_copy_only=False) // PACK, pa.int64()),
+                "e2": pa.array(b["packed"].to_numpy(
+                    zero_copy_only=False) % PACK, pa.int64())}),
+            batch_format="pyarrow")
+        new_pairs = drop_empty_blocks(cand).join(
+            drop_empty_blocks(simple), join_type="left_anti",
+            num_partitions=num_partitions, on=("e1", "e2"))
 
     def finish(b: pa.Table) -> pa.Table:
         ra = np.asarray(b["ra_micros"].to_pylist(), np.float64) / 1e6
@@ -1764,31 +1849,72 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
 
     bidir = edges.map_batches(bidirect, batch_format="pyarrow")
 
-    def wedge_pairs(g: pa.Table) -> pa.Table:
-        peers = np.unique(g["peer"].to_numpy(zero_copy_only=False))
-        deg = len(peers)
-        if deg < 2 or (max_degree is not None and deg > max_degree):
+    # node-complete coarse partitions + local (e1, e2) combiner — the
+    # link_prediction plan with the (ra, aa) weight pair
+    def add_part(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (node % np.int64(64)).astype(np.int32)))
+
+    def wedge_partition(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        peer = g["peer"].to_numpy(zero_copy_only=False)
+        if len(peer):
+            assert peer.min() >= 0 and peer.max() < 2**31, \
+                "pair packing requires node ids in [0, 2^31)"
+        order = np.lexsort((peer, node))
+        node, peer = node[order], peer[order]
+        first = np.ones(len(node), bool)
+        first[1:] = (node[1:] != node[:-1]) | (peer[1:] != peer[:-1])
+        node, peer = node[first], peer[first]
+        starts = np.nonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(node)]))
+        e1o, e2o, rao, aao = [], [], [], []
+        for s, e in zip(starts, ends):
+            deg = e - s
+            if deg < 2 or (max_degree is not None and deg > max_degree):
+                continue
+            wm_ra = np.int64(np.floor(1e6 / deg + 0.5))
+            wm_aa = np.int64(np.floor(1e6 / np.log(deg) + 0.5))
+            ai, bi = np.triu_indices(deg, k=1)
+            p = peer[s:e]
+            e1o.append(p[ai])
+            e2o.append(p[bi])
+            rao.append(np.full(len(ai), wm_ra, np.int64))
+            aao.append(np.full(len(ai), wm_aa, np.int64))
+        if not e1o:
             return pa.table({"e1": pa.array([], pa.int64()),
                              "e2": pa.array([], pa.int64()),
-                             "wm_ra": pa.array([], pa.int64()),
-                             "wm_aa": pa.array([], pa.int64())})
-        wm_ra = np.int64(np.floor(1e6 / deg + 0.5))
-        wm_aa = np.int64(np.floor(1e6 / np.log(deg) + 0.5))
-        ai, bi = np.triu_indices(deg, k=1)
+                             "cn": pa.array([], pa.int64()),
+                             "ra_micros": pa.array([], pa.int64()),
+                             "aa_micros": pa.array([], pa.int64())})
+        key = np.concatenate(e1o) * PACK + np.concatenate(e2o)
+        ra = np.concatenate(rao)
+        aa = np.concatenate(aao)
+        uk, inv = np.unique(key, return_inverse=True)
         return pa.table({
-            "e1": pa.array(peers[ai], pa.int64()),
-            "e2": pa.array(peers[bi], pa.int64()),
-            "wm_ra": pa.array(np.full(len(ai), wm_ra), pa.int64()),
-            "wm_aa": pa.array(np.full(len(ai), wm_aa), pa.int64())})
+            "e1": pa.array((uk // PACK).astype(np.int64), pa.int64()),
+            "e2": pa.array((uk % PACK).astype(np.int64), pa.int64()),
+            "cn": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "ra_micros": pa.array(np.bincount(
+                inv, weights=ra.astype(np.float64)).astype(np.int64),
+                pa.int64()),
+            "aa_micros": pa.array(np.bincount(
+                inv, weights=aa.astype(np.float64)).astype(np.int64),
+                pa.int64())})
 
-    cand = (bidir.groupby("node").map_groups(wedge_pairs,
-                                             batch_format="pyarrow")
-            .groupby(["e1", "e2"])
-            .aggregate(Count(alias_name="cn"),
-                       Sum("wm_ra", alias_name="ra_micros"),
-                       Sum("wm_aa", alias_name="aa_micros")))
+    from deepkg_ray.stages.treeagg import merge_partials
+    cand = merge_partials(
+        bidir.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(wedge_partition,
+                                    batch_format="pyarrow"),
+        ["e1", "e2"], {"cn": "sum", "ra_micros": "sum",
+                       "aa_micros": "sum"}, mode="auto")
     cand = cand.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["cn"], pa.scalar(min_cn))),
+        lambda b: b.filter(pc.greater_equal(
+            b["cn"].combine_chunks().cast(pa.int64()),
+            pa.scalar(min_cn))),
         batch_format="pyarrow")
 
     def orient(b: pa.Table) -> pa.Table:
@@ -1796,16 +1922,46 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
         v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = u != v
         u, v = u[keep], v[keep]
-        return pa.table({"e1": pa.array(np.minimum(u, v), pa.int64()),
-                         "e2": pa.array(np.maximum(u, v), pa.int64())})
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        packed = np.unique(lo * PACK + hi)
+        return pa.table({"packed": pa.array(packed, pa.int64())})
 
-    simple = (edges.map_batches(orient, batch_format="pyarrow")
-              .groupby(["e1", "e2"]).aggregate(Count(alias_name="_m"))
-              .drop_columns(["_m"]))
+    simple_packed = merge_partials(
+        edges.map_batches(orient, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "_n", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["packed"], {"_n": "sum"}, mode="auto").materialize()
 
-    new_pairs = drop_empty_blocks(cand).join(
-        drop_empty_blocks(simple), join_type="left_anti",
-        num_partitions=num_partitions, on=("e1", "e2"))
+    if simple_packed.count() <= 2_000_000:
+        import ray
+        ep = np.sort(simple_packed.to_pandas()["packed"]
+                     .to_numpy(np.int64))
+        ep_ref = ray.put(ep)
+
+        def anti(b: pa.Table) -> pa.Table:
+            edges_arr = ray.get(ep_ref)
+            key = b["e1"].to_numpy(zero_copy_only=False) * PACK \
+                + b["e2"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(edges_arr, key)
+            pos_c = np.clip(pos, 0, max(len(edges_arr) - 1, 0))
+            hit = (len(edges_arr) > 0) & (edges_arr[pos_c] == key)
+            return b.filter(pa.array(~hit))
+
+        new_pairs = drop_empty_blocks(cand).map_batches(
+            anti, batch_format="pyarrow")
+    else:
+        simple = simple_packed.map_batches(
+            lambda b: pa.table({
+                "e1": pa.array(b["packed"].to_numpy(
+                    zero_copy_only=False) // PACK, pa.int64()),
+                "e2": pa.array(b["packed"].to_numpy(
+                    zero_copy_only=False) % PACK, pa.int64())}),
+            batch_format="pyarrow")
+        new_pairs = drop_empty_blocks(cand).join(
+            drop_empty_blocks(simple), join_type="left_anti",
+            num_partitions=num_partitions, on=("e1", "e2"))
 
     # degrees over the SELF-LOOP-FREE simple graph (the wedge machinery and
     # the oracle's adj CTE both exclude u = v; node_degrees alone would
