@@ -2049,7 +2049,8 @@ def link_prediction_scores(edges, src_col: str = "subj_id",
 
 
 def two_hop_sizes(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
-                  num_partitions: int | None = None):
+                  num_partitions: int | None = None,
+                  driver_threshold: int = 500_000):
     """Ego-network reach per node on the undirected simple graph: degree
     (1-hop) and the distinct node count within ≤ 2 hops (excluding self)
     — the neighborhood-growth signal (dense cores grow slowly, tree-like
@@ -2078,6 +2079,30 @@ def two_hop_sizes(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
     bidir = (edges.map_batches(bidirect, batch_format="pyarrow")
              .groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
              .drop_columns(["_m"]).materialize())
+
+    # driver tier below the edge threshold (the scc/truss auto-routing
+    # convention): neighbor-set unions on a dict beat a Σdeg² wedge join
+    # whose every stage pays fixed shuffle cost
+    if bidir.count() <= driver_threshold:
+        import ray.data as rd
+        ed = bidir.to_pandas()
+        nbrs: dict[int, set] = {}
+        for a, b in zip(ed["a"].to_numpy(np.int64),
+                        ed["b"].to_numpy(np.int64)):
+            nbrs.setdefault(int(a), set()).add(int(b))
+        nodes = sorted(nbrs)
+        n1 = [len(nbrs[v]) for v in nodes]
+        n2 = []
+        for v in nodes:
+            reach = set(nbrs[v])
+            for u in nbrs[v]:
+                reach |= nbrs[u]
+            reach.discard(v)
+            n2.append(len(reach))
+        return rd.from_arrow(pa.table({
+            "node": pa.array(np.asarray(nodes, np.int64), pa.int64()),
+            "n1": pa.array(np.asarray(n1, np.int64), pa.int64()),
+            "n2": pa.array(np.asarray(n2, np.int64), pa.int64())}))
 
     mid = bidir.map_batches(
         lambda t: pa.table({"m": t["a"], "c": t["b"]}),

@@ -476,3 +476,20 @@ def test_two_hop_sizes_path_graph():
            .set_index("node").sort_index())
     assert out["n1"].tolist() == [1, 2, 2, 2, 1]
     assert out["n2"].tolist() == [2, 3, 4, 3, 2]
+
+
+def test_two_hop_driver_and_distributed_tiers_agree():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import two_hop_sizes
+    rng = np.random.default_rng(19)
+    e = pd.DataFrame({
+        "subj_id": rng.integers(0, 22, 80).astype(np.int64),
+        "obj_id": rng.integers(0, 22, 80).astype(np.int64)})
+    ds = rd.from_pandas(e)
+    fast = (two_hop_sizes(ds).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    slow = (two_hop_sizes(ds, driver_threshold=0).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, slow)
