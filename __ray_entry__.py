@@ -1983,6 +1983,23 @@ def _q_dedup_keep_longest(sf_dir: str):
     return dedup_keep_longest(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+
+def _q_lang_top_tokens(sf_dir: str):
+    """Per-language top-5 tokens (grouped heavy hitters, exact)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import lang_top_tokens
+    return lang_top_tokens(read_documents(sf_dir, ["lang", "text"]))
+
+
+def _q_events_value_histogram(sf_dir: str):
+    """Equal-width value histogram per event type (2-key bincount
+    combiner, fixed micros edges)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import value_histogram_by_type
+    return value_histogram_by_type(
+        read_events(sf_dir, ["event_type", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2351,6 +2368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "lang_top_tokens": _q_lang_top_tokens,
+        "events_value_histogram": _q_events_value_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "revenue_cohorts": _q_revenue_cohorts,
         "session_stats": _q_session_stats,
@@ -2570,6 +2589,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "lang_top_tokens": oracle.lang_top_tokens_oracle(),
+        "events_value_histogram": oracle.value_histogram_by_type_oracle(),
         "dedup_keep_longest": oracle.dedup_keep_longest_oracle(),
         "revenue_cohorts": oracle.revenue_cohorts_oracle(),
         "session_stats": oracle.session_stats_oracle(),

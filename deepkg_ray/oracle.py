@@ -4830,3 +4830,47 @@ WITH n AS (
 SELECT content_hash, doc_id, n_chars, CAST(n_dups AS BIGINT) AS n_dups
 FROM r WHERE rn = 1
 """
+
+
+def lang_top_tokens_oracle(k: int = 5) -> str:
+    """Mirror of textstats.lang_top_tokens: per-lang row_number over
+    (cnt desc, token)."""
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT lang, w AS token, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, w
+), r AS (
+  SELECT lang, token, cnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY cnt DESC, token) AS rank
+  FROM c
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, token, cnt
+FROM r WHERE rank <= {k}
+"""
+
+
+def value_histogram_by_type_oracle(n_bins: int = 20, lo: float = -10.0,
+                                   hi: float = 10.0) -> str:
+    """Mirror of windows.value_histogram_by_type: fixed micros bin edges,
+    integer bucket arithmetic, clipped edge bins."""
+    import math
+    lo_m = int(math.floor(lo * 1e6 + 0.5))
+    hi_m = int(math.floor(hi * 1e6 + 0.5))
+    span = hi_m - lo_m + 1
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         LEAST(GREATEST((CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                         - {lo_m}) * {n_bins} // {span}, 0),
+               {n_bins - 1}) AS bucket
+  FROM events)
+SELECT event_type, bucket,
+       CAST(CAST({lo_m} + bucket * {span} // {n_bins} AS BIGINT)
+            AS DOUBLE) / 1e6 AS lo_edge,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bucket
+"""

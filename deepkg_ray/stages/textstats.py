@@ -884,3 +884,47 @@ def source_length_gini(ds, text_col: str = "text", src_col: str = "source"):
             .map_batches(lens, batch_format="pyarrow")
             .groupby(src_col).map_groups(per_source,
                                          batch_format="pandas"))
+
+
+def lang_top_tokens(ds, k: int = 5, text_col: str = "text",
+                    lang_col: str = "lang"):
+    """Per-language top-k tokens by corpus frequency (tie → token asc) —
+    the grouped heavy-hitters report (heavy_hitter_tokens is global; this
+    partitions by the lang dictionary).  One (lang, token) count shuffle
+    with per-batch combiners (vocab×langs bounded), then a per-lang
+    vectorized top-k pick inside map_groups.  Returns
+    (lang, rank, token, cnt)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        langs = b[lang_col].to_pylist()
+        acc: dict[tuple, int] = {}
+        for t, lg in zip(texts, langs):
+            tl = t.lower().strip()
+            for w in (_WS.split(tl) if tl else []):
+                key = (lg, w)
+                acc[key] = acc.get(key, 0) + 1
+        keys = list(acc.keys())
+        return pa.table({
+            "lang": pa.array([kk[0] for kk in keys], pa.string()),
+            "token": pa.array([kk[1] for kk in keys], pa.string()),
+            "cnt": pa.array([acc[kk] for kk in keys], pa.int64())})
+
+    counts = (ds.select_columns([lang_col, text_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["lang", "token"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "token"], ascending=[False, True],
+                          kind="stable").head(k)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "token": g["token"].to_numpy(),
+            "cnt": g["cnt"].to_numpy(np.int64)})
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")

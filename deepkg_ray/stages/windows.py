@@ -1282,3 +1282,41 @@ def session_stats(ds, gap_sec: int = 1800, purchase_type: str = "purchase",
     return merge_partials(partials, ["session_len"],
                           {"n_sessions": "sum", "total_duration_us": "sum",
                            "purchase_micros": "sum"}, mode="tree")
+
+
+def value_histogram_by_type(ds, n_bins: int = 20, lo: float = -10.0,
+                            hi: float = 10.0,
+                            type_col: str = "event_type",
+                            value_col: str = "value"):
+    """Equal-width value histogram per event type over FIXED micros bin
+    edges (out-of-range clips into the edge bins) — the 2-key bincount
+    combiner: every batch contributes at most |types|·n_bins partial
+    rows, merged through the tree.  All bucket arithmetic in exact
+    integer micros.  Returns (event_type, bucket, lo_edge, n)."""
+    lo_m = np.int64(np.floor(lo * 1e6 + 0.5))
+    hi_m = np.int64(np.floor(hi * 1e6 + 0.5))
+    span = hi_m - lo_m + 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = np.asarray(to_micros(b[value_col].to_pylist()), np.int64)
+        bk = np.clip((vm - lo_m) * n_bins // span, 0, n_bins - 1)
+        df = pd.DataFrame({type_col: b[type_col].to_pylist(), "bucket": bk})
+        g = (df.groupby([type_col, "bucket"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    hist = merge_partials(
+        ds.select_columns([type_col, value_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [type_col, "bucket"], {"n": "sum"}, mode="tree")
+    return hist.map_batches(
+        lambda b: pa.table({
+            type_col: b[type_col],
+            "bucket": b["bucket"].combine_chunks().cast(pa.int64()),
+            "lo_edge": pa.array(
+                (lo_m + b["bucket"].combine_chunks().cast(pa.int64())
+                 .to_numpy(zero_copy_only=False) * span // n_bins)
+                .astype(np.float64) / 1e6, pa.float64()),
+            "n": b["n"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -730,3 +730,28 @@ def test_dedup_keep_longest_matches_duckdb():
     con = _docs_con()
     exp = _canon(con.sql(dedup_keep_longest_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_lang_top_tokens_matches_duckdb():
+    from deepkg_ray.oracle import lang_top_tokens_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import lang_top_tokens
+    got = _canon(lang_top_tokens(
+        read_documents(SF, ["lang", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(lang_top_tokens_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_events_value_histogram_matches_duckdb():
+    from deepkg_ray.oracle import value_histogram_by_type_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import value_histogram_by_type
+    got = _canon(value_histogram_by_type(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(value_histogram_by_type_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    # per-type bucket counts cover every event exactly once
+    n = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == n
