@@ -2000,6 +2000,14 @@ def _q_events_value_histogram(sf_dir: str):
         read_events(sf_dir, ["event_type", "value"]))
 
 
+
+def _q_events_heatmap(sf_dir: str):
+    """Usage heatmap: event counts per (day-of-week, hour) 7x24 grid."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import dow_hour_heatmap
+    return dow_hour_heatmap(read_events(sf_dir, ["ts"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2136,6 +2144,14 @@ def _q_kg_two_hop(sf_dir: str):
     from deepkg_ray.pipelines import kg
     from deepkg_ray.stages.graph import two_hop_sizes
     return two_hop_sizes(kg.adjacency_dataset(sf_dir))
+
+
+
+def _q_kg_degree_distribution(sf_dir: str):
+    """Degree distribution of the KG (power-law / hub diagnostic)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import degree_distribution
+    return degree_distribution(kg.adjacency_dataset(sf_dir))
 
 
 def _q_kg_linkpred_truncated(sf_dir: str):
@@ -2368,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "events_heatmap": _q_events_heatmap,
         "lang_top_tokens": _q_lang_top_tokens,
         "events_value_histogram": _q_events_value_histogram,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -2440,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_edge_spans": _q_kg_edge_spans,
@@ -2589,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "events_heatmap": oracle.dow_hour_heatmap_oracle(),
         "lang_top_tokens": oracle.lang_top_tokens_oracle(),
         "events_value_histogram": oracle.value_histogram_by_type_oracle(),
         "dedup_keep_longest": oracle.dedup_keep_longest_oracle(),
@@ -2666,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
+        "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),

@@ -4874,3 +4874,35 @@ SELECT event_type, bucket,
        CAST(count(*) AS BIGINT) AS n
 FROM b GROUP BY event_type, bucket
 """
+
+
+def dow_hour_heatmap_oracle() -> str:
+    """Mirror of windows.dow_hour_heatmap (DuckDB dayofweek: 0=Sunday)."""
+    return """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def kg_degree_distribution_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.degree_distribution over the KG."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bidir
+        GROUP BY node)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""

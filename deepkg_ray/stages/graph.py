@@ -2143,3 +2143,28 @@ def two_hop_sizes(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
             "n1": b["n1"].combine_chunks().cast(pa.int64()),
             "n2": b["n2"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def degree_distribution(edges, src_col: str = "subj_id",
+                        dst_col: str = "obj_id"):
+    """Degree distribution of the undirected simple graph: how many nodes
+    have each distinct-neighbor degree — the power-law diagnostic (a
+    heavy tail marks hub risk for every wedge-shaped operator in this
+    module).  node_degrees' |V|-bounded table collapses to a value-count
+    histogram (degree-value-bounded shuffle).  Returns (degree, n_nodes)."""
+    deg = node_degrees(
+        edges.map_batches(
+            lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
+            batch_format="pyarrow"),
+        src_col=src_col, dst_col=dst_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(vals.astype(np.int64)),
+                         "n_nodes": pa.array(cnts.astype(np.int64))})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    return merge_partials(
+        deg.map_batches(partial, batch_format="pyarrow"),
+        ["degree"], {"n_nodes": "sum"}, mode="tree")

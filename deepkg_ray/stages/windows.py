@@ -1320,3 +1320,29 @@ def value_histogram_by_type(ds, n_bins: int = 20, lo: float = -10.0,
                 .astype(np.float64) / 1e6, pa.float64()),
             "n": b["n"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def dow_hour_heatmap(ds, ts_col: str = "ts"):
+    """Usage heatmap grid: event counts per (day-of-week, hour-of-day) —
+    the 7×24 bincount combiner (every batch emits ≤ 168 partial rows; the
+    merge tree moves grids, never events).  DOW follows DuckDB's
+    dayofweek (0 = Sunday).  Returns (dow, hour, n)."""
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        # pandas dayofweek: 0=Monday; DuckDB dayofweek: 0=Sunday
+        dow = (dt.dayofweek.to_numpy() + 1) % 7
+        hour = dt.hour.to_numpy()
+        key = dow * 24 + hour
+        vals, cnts = np.unique(key, return_counts=True)
+        return pa.table({
+            "dow": pa.array((vals // 24).astype(np.int64), pa.int64()),
+            "hour": pa.array((vals % 24).astype(np.int64), pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    return merge_partials(
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["dow", "hour"], {"n": "sum"}, mode="tree")

@@ -493,3 +493,15 @@ def test_two_hop_driver_and_distributed_tiers_agree():
     slow = (two_hop_sizes(ds, driver_threshold=0).to_pandas()
             .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_degree_distribution_star_graph():
+    """Star 0-{1..5}: center degree 5 (one node), leaves degree 1 (5)."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import degree_distribution
+    e = pd.DataFrame({"subj_id": [0] * 5,
+                      "obj_id": [1, 2, 3, 4, 5]})
+    out = (degree_distribution(rd.from_pandas(e)).to_pandas()
+           .set_index("degree").sort_index())
+    assert out["n_nodes"].to_dict() == {1: 5, 5: 1}

@@ -755,3 +755,15 @@ def test_events_value_histogram_matches_duckdb():
     # per-type bucket counts cover every event exactly once
     n = con.sql("SELECT count(*) FROM events").fetchone()[0]
     assert got["n"].sum() == n
+
+
+def test_events_heatmap_matches_duckdb():
+    from deepkg_ray.oracle import dow_hour_heatmap_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import dow_hour_heatmap
+    got = _canon(dow_hour_heatmap(read_events(SF, ["ts"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(dow_hour_heatmap_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    n = con.sql("SELECT count(*) FROM events").fetchone()[0]
+    assert got["n"].sum() == n
