@@ -2008,6 +2008,15 @@ def _q_events_heatmap(sf_dir: str):
     return dow_hour_heatmap(read_events(sf_dir, ["ts"]))
 
 
+
+def _q_training_manifest(sf_dir: str):
+    """End-to-end training-set manifest: curate -> exact-dedup survivors
+    -> md5 split -> per-split doc/token accounting, one composed check."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import training_manifest
+    return training_manifest(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2384,6 +2393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "training_manifest": _q_training_manifest,
         "events_heatmap": _q_events_heatmap,
         "lang_top_tokens": _q_lang_top_tokens,
         "events_value_histogram": _q_events_value_histogram,
@@ -2607,6 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "training_manifest": oracle.training_manifest_oracle(),
         "events_heatmap": oracle.dow_hour_heatmap_oracle(),
         "lang_top_tokens": oracle.lang_top_tokens_oracle(),
         "events_value_histogram": oracle.value_histogram_by_type_oracle(),

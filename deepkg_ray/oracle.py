@@ -4906,3 +4906,39 @@ deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bidir
 SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY degree
 """
+
+
+def training_manifest_oracle(budget_frac: float = 0.6,
+                             pcts=(80, 10, 10), seed: int = 9) -> str:
+    """Mirror of curation.training_manifest: the corpus_curate chain →
+    min-id exact dedup among selected docs → md5 split → accounting."""
+    acc = 0
+    cuts = []
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    c0, c1 = f"{cuts[0]:02x}", f"{cuts[1]:02x}"
+    return f"""
+WITH sel AS ({corpus_curate_oracle(budget_frac)}),
+docs2 AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN sel USING (doc_id)
+),
+grp AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id FROM docs2 GROUP BY md5(text)
+),
+sur AS (
+  SELECT g.doc_id, s.n_tokens FROM grp g JOIN sel s USING (doc_id)
+),
+a AS (
+  SELECT CASE
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c0}' THEN 'train'
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c1}' THEN 'val'
+           ELSE 'test' END AS split,
+         n_tokens
+  FROM sur)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM a GROUP BY split
+"""

@@ -307,3 +307,71 @@ def dataset_split_assign(ds, id_col: str = "doc_id",
         ds.select_columns([id_col, group_col])
         .map_batches(assign, batch_format="pyarrow"),
         ["split", group_col], {"n": "sum"}, mode="tree")
+
+
+def training_manifest(ds_docs, budget_frac: float = 0.6,
+                      pcts=(80, 10, 10), seed: int = 9):
+    """The full training-set manifest — the end of the curation story
+    composed under ONE check: corpus_curate (quality gate → sentence
+    dedup → budget select) → exact dedup among the selected docs (min-id
+    survivor per raw-text content) → deterministic md5 split assignment →
+    per-split doc and token accounting.  Every stage is the already-
+    oracle-checked operator; the manifest proves they compose without
+    semantic drift.
+
+    The curated id→n_tokens table is corpus-bounded and broadcasts as a
+    sorted array into the dedup/split passes (documented tier — swap for
+    hash joins when the selection outgrows a broadcast).  Returns
+    (split, n_docs, sum_tokens)."""
+    import hashlib
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.dedup import dedup_exact
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    sel = corpus_curate(ds_docs, budget_frac=budget_frac).to_pandas()
+    order = np.argsort(sel["doc_id"].to_numpy(np.int64))
+    sel_ids = sel["doc_id"].to_numpy(np.int64)[order]
+    sel_tok = sel["n_tokens"].to_numpy(np.int64)[order]
+    ids_ref = ray.put(sel_ids)
+
+    def keep_selected(b: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ids, did)
+        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+        hit = (len(ids) > 0) & (ids[pos_c] == did)
+        return b.filter(pa.array(hit))
+
+    survivors = dedup_exact(
+        ds_docs.map_batches(keep_selected, batch_format="pyarrow"))
+
+    names = ["train", "val", "test"]
+    cuts = []
+    acc = 0
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    tok_ref = ray.put((sel_ids, sel_tok))
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids, toks = ray.get(tok_ref)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = toks[np.searchsorted(ids, did)]
+        byte = [int(hashlib.md5(f"{seed}:{i}".encode())
+                    .hexdigest()[:2], 16) for i in did]
+        split = [names[0] if x < cuts[0]
+                 else names[1] if x < cuts[1] else names[2]
+                 for x in byte]
+        df = pd.DataFrame({"split": split, "nt": nt})
+        g = (df.groupby("split", sort=False)
+             .agg(n_docs=("nt", "size"), sum_tokens=("nt", "sum"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return merge_partials(
+        survivors.map_batches(assign, batch_format="pyarrow"),
+        ["split"], {"n_docs": "sum", "sum_tokens": "sum"}, mode="tree")

@@ -767,3 +767,15 @@ def test_events_heatmap_matches_duckdb():
     pd.testing.assert_frame_equal(got, exp)
     n = con.sql("SELECT count(*) FROM events").fetchone()[0]
     assert got["n"].sum() == n
+
+
+def test_training_manifest_matches_duckdb():
+    from deepkg_ray.oracle import training_manifest_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import training_manifest
+    got = _canon(training_manifest(
+        read_documents(SF, ["doc_id", "text"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(training_manifest_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(got["split"]) <= {"train", "val", "test"}
