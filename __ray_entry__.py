@@ -2017,6 +2017,16 @@ def _q_training_manifest(sf_dir: str):
     return training_manifest(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+
+def _q_source_dup_rates(sf_dir: str):
+    """Per-source exact-duplication breakdown (docs, distinct contents,
+    dup fraction)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import source_dup_rates
+    return source_dup_rates(
+        read_documents(sf_dir, ["doc_id", "text", "source"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2161,6 +2171,15 @@ def _q_kg_degree_distribution(sf_dir: str):
     from deepkg_ray.pipelines import kg
     from deepkg_ray.stages.graph import degree_distribution
     return degree_distribution(kg.adjacency_dataset(sf_dir))
+
+
+
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the KG (Newman r over bidirected edges,
+    big-int exact moments)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import degree_assortativity
+    return degree_assortativity(kg.adjacency_dataset(sf_dir))
 
 
 def _q_kg_linkpred_truncated(sf_dir: str):
@@ -2393,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "source_dup_rates": _q_source_dup_rates,
         "training_manifest": _q_training_manifest,
         "events_heatmap": _q_events_heatmap,
         "lang_top_tokens": _q_lang_top_tokens,
@@ -2467,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_assortativity": _q_kg_assortativity,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
@@ -2617,6 +2638,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "source_dup_rates": oracle.source_dup_rates_oracle(),
         "training_manifest": oracle.training_manifest_oracle(),
         "events_heatmap": oracle.dow_hour_heatmap_oracle(),
         "lang_top_tokens": oracle.lang_top_tokens_oracle(),
@@ -2696,6 +2718,7 @@ def oracle_sql() -> dict[str, str]:
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
+        "kg_assortativity": oracle.kg_degree_assortativity_oracle(SF_ORACLE),
         "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),

@@ -4942,3 +4942,59 @@ SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
 FROM a GROUP BY split
 """
+
+
+def kg_degree_assortativity_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.degree_assortativity over the KG: HUGEINT
+    moments, num/(√a·√b) finish."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS a, hi AS b FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS degree FROM bidir
+        GROUP BY a),
+xy AS (
+  SELECT d1.degree AS x, d2.degree AS y
+  FROM bidir e
+  JOIN deg d1 ON d1.node = e.a
+  JOIN deg d2 ON d2.node = e.b
+),
+mm AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy
+  FROM xy
+)
+SELECT CAST(m AS BIGINT) AS m,
+       CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS r
+FROM mm
+"""
+
+
+def source_dup_rates_oracle() -> str:
+    """Mirror of dedup.source_dup_rates."""
+    return """
+WITH c AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       floor(CAST(SUM(n) - count(*) AS DOUBLE)
+             / CAST(SUM(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_rate
+FROM c GROUP BY source
+"""

@@ -970,3 +970,44 @@ def dedup_keep_longest(ds, id_col: str = "doc_id", text_col: str = "text"):
         merge_frames, batch_format="pandas", batch_size=None)
     return lvl1.repartition(1).map_batches(
         merge_frames, batch_format="pandas", batch_size=None)
+
+
+def source_dup_rates(ds, id_col: str = "doc_id", text_col: str = "text",
+                     src_col: str = "source"):
+    """Per-source exact-duplication report: docs, distinct contents, and
+    the duplicate fraction (round6) — the where-is-my-duplication-coming-
+    from breakdown that decides which source needs the minhash pass.
+    One (source, content_hash) counting shuffle with per-batch combiners.
+    Returns (source, n_docs, n_distinct, dup_rate)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        hashed = add_content_hash(b, text_col)
+        df = pd.DataFrame({src_col: hashed[src_col].to_pylist(),
+                           "content_hash":
+                               hashed["content_hash"].to_pylist()})
+        g = (df.groupby([src_col, "content_hash"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.select_columns([id_col, text_col, src_col])
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby([src_col, "content_hash"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        n_docs = int(g["n"].sum())
+        n_distinct = len(g)
+        rate = float(round6(np.asarray(
+            [(n_docs - n_distinct) / n_docs]))[0]) if n_docs else 0.0
+        return pd.DataFrame({
+            src_col: [g[src_col].iloc[0]],
+            "n_docs": np.asarray([n_docs], np.int64),
+            "n_distinct": np.asarray([n_distinct], np.int64),
+            "dup_rate": np.asarray([rate], np.float64)})
+
+    return counts.groupby(src_col).map_groups(per_source,
+                                              batch_format="pandas")

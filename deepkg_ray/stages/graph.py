@@ -2168,3 +2168,94 @@ def degree_distribution(edges, src_col: str = "subj_id",
     return merge_partials(
         deg.map_batches(partial, batch_format="pyarrow"),
         ["degree"], {"n_nodes": "sum"}, mode="tree")
+
+
+def degree_assortativity(edges, src_col: str = "subj_id",
+                         dst_col: str = "obj_id",
+                         num_partitions: int | None = None):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of (deg u, deg v) over the bidirected edge list —
+    positive = hubs attach to hubs, negative = hub-and-spoke.
+
+    Exactness: degrees are ints, so all five moments (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact int64 partial sums; the M·Σxy − Σx·Σy products finish
+    in Python big-ints (HUGEINT in SQL) and the one float chain is
+    num / (√a · √b) — IEEE sqrt, same on both sides.  Plan: degrees
+    attach to edge endpoints by broadcast below 2M nodes (hash joins
+    above), moments fold per batch to single-row partials.
+    Returns one row (m, num, r)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    if num_partitions is None:
+        num_partitions = join_partitions()
+
+    noself = edges.map_batches(
+        lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
+        batch_format="pyarrow")
+    deg = node_degrees(noself, src_col=src_col, dst_col=dst_col) \
+        .materialize()
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        packed = np.unique(lo * PACK + hi)
+        return pa.table({
+            "a": pa.array(np.concatenate([packed // PACK,
+                                          packed % PACK]), pa.int64()),
+            "b": pa.array(np.concatenate([packed % PACK,
+                                          packed // PACK]), pa.int64())})
+
+    # per-batch local edge dedup; the exact global dedup below
+    bidir = (noself.map_batches(bidirect, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
+             .drop_columns(["_m"]))
+
+    assert deg.count() <= 2_000_000, \
+        "broadcast degree tier only (swap for hash joins beyond 2M nodes)"
+    dd = deg.to_pandas()
+    order = np.argsort(dd["node"].to_numpy(np.int64))
+    ref = ray.put((dd["node"].to_numpy(np.int64)[order],
+                   dd["degree"].to_numpy(np.int64)[order]))
+
+    def moments(b: pa.Table) -> pa.Table:
+        nodes, degs = ray.get(ref)
+        x = degs[np.searchsorted(nodes, b["a"].to_numpy(
+            zero_copy_only=False))]
+        y = degs[np.searchsorted(nodes, b["b"].to_numpy(
+            zero_copy_only=False))]
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+    agg = drop_empty_blocks(bidir).map_batches(
+        moments, batch_format="pyarrow").aggregate(
+        Sum("m", alias_name="m"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+    m = int(agg["m"] or 0)
+    import ray.data as rd
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "m": pa.array([0], pa.int64()),
+            "num": pa.array([0.0], pa.float64()),
+            "r": pa.array([0.0], pa.float64())}))
+    sx, sy = int(agg["sx"]), int(agg["sy"])
+    sxy, sxx, syy = int(agg["sxy"]), int(agg["sxx"]), int(agg["syy"])
+    num = m * sxy - sx * sy                       # exact python ints
+    a = m * sxx - sx * sx
+    bq = m * syy - sy * sy
+    r = float(num) / (np.sqrt(float(a)) * np.sqrt(float(bq))) \
+        if a > 0 and bq > 0 else 0.0
+    return rd.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "num": pa.array([float(num)], pa.float64()),
+        "r": pa.array([r], pa.float64())}))

@@ -505,3 +505,23 @@ def test_degree_distribution_star_graph():
     out = (degree_distribution(rd.from_pandas(e)).to_pandas()
            .set_index("degree").sort_index())
     assert out["n_nodes"].to_dict() == {1: 5, 5: 1}
+
+
+def test_assortativity_star_is_negative():
+    """A star graph is maximally disassortative (r = −1)."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import degree_assortativity
+    e = pd.DataFrame({"subj_id": [0] * 5, "obj_id": [1, 2, 3, 4, 5]})
+    out = degree_assortativity(rd.from_pandas(e)).to_pandas()
+    assert abs(out["r"].item() + 1.0) < 1e-9
+
+
+def test_assortativity_cycle_is_degenerate_zero():
+    """A cycle has constant degree → zero variance → r reported as 0."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import degree_assortativity
+    e = pd.DataFrame({"subj_id": [1, 2, 3, 4], "obj_id": [2, 3, 4, 1]})
+    out = degree_assortativity(rd.from_pandas(e)).to_pandas()
+    assert out["r"].item() == 0.0

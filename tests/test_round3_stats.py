@@ -779,3 +779,14 @@ def test_training_manifest_matches_duckdb():
     exp = _canon(con.sql(training_manifest_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
     assert set(got["split"]) <= {"train", "val", "test"}
+
+
+def test_source_dup_rates_matches_duckdb():
+    from deepkg_ray.oracle import source_dup_rates_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.dedup import source_dup_rates
+    got = _canon(source_dup_rates(
+        read_documents(SF, ["doc_id", "text", "source"])).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(source_dup_rates_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
