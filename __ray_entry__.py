@@ -2027,6 +2027,31 @@ def _q_source_dup_rates(sf_dir: str):
         read_documents(sf_dir, ["doc_id", "text", "source"]))
 
 
+
+def _q_brand_price_summary(sf_dir: str):
+    """Per-brand five-number price summary (interpolated grouped
+    quantiles incl. exact min/max at q=0/1)."""
+    import ray.data as _rd
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    ds = _rd.read_parquet(f"{sf_dir}/part.parquet",
+                          columns=["p_brand", "p_retailprice"])
+    out = grouped_quantiles_cont(ds, "p_brand", "p_retailprice",
+                                 [0.0, 0.25, 0.5, 0.75, 1.0])
+    import pyarrow as _pa
+    return out.map_batches(
+        lambda b: _pa.table({"p_brand": b["p_brand"], "q": b["q"],
+                             "value": b["value"]}),
+        batch_format="pyarrow")
+
+
+def _q_daily_type_mix(sf_dir: str):
+    """Per-day event-type counts and within-day shares (category drift
+    monitor)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import daily_type_mix
+    return daily_type_mix(read_events(sf_dir, ["ts", "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2412,6 +2437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "brand_price_summary": _q_brand_price_summary,
+        "daily_type_mix": _q_daily_type_mix,
         "source_dup_rates": _q_source_dup_rates,
         "training_manifest": _q_training_manifest,
         "events_heatmap": _q_events_heatmap,
@@ -2638,6 +2665,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "brand_price_summary": oracle.brand_price_summary_oracle(),
+        "daily_type_mix": oracle.daily_type_mix_oracle(),
         "source_dup_rates": oracle.source_dup_rates_oracle(),
         "training_manifest": oracle.training_manifest_oracle(),
         "events_heatmap": oracle.dow_hour_heatmap_oracle(),

@@ -4998,3 +4998,59 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
              / CAST(SUM(n) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS dup_rate
 FROM c GROUP BY source
 """
+
+
+def brand_price_summary_oracle(qs=(0.0, 0.25, 0.5, 0.75, 1.0)) -> str:
+    """Per-brand five-number summary of p_retailprice for
+    stages/quantiles.grouped_quantiles_cont — the flag_quantiles_cont
+    CTE on the part dimension (q=0/1 interpolate to exact min/max)."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT p_brand AS grp,
+         CAST(floor(p_retailprice * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM part
+),
+h AS (SELECT grp, vm, count(*) AS n FROM base GROUP BY grp, vm),
+c AS (SELECT grp, vm, sum(n) OVER (PARTITION BY grp ORDER BY vm) AS cum
+      FROM h),
+params AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY grp),
+qs AS ({q_rows}),
+pos AS (
+  SELECT p.grp, q.q, q.qm * (p.n - 1) AS hm FROM params p, qs q
+),
+pick AS (
+  SELECT grp, q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos
+),
+el AS (
+  SELECT p.grp, p.q, p.frac,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp AND cum > p.lo) AS vlo,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp
+          AND cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT grp AS p_brand, q,
+       floor(((vlo + (frac * (vhi - vlo)) / 1e6) / 1e6) * 1e6 + 0.5) / 1e6
+         AS value
+FROM el
+"""
+
+
+def daily_type_mix_oracle() -> str:
+    """Mirror of windows.daily_type_mix: per-day event-type counts and
+    round6 within-day shares."""
+    return """
+WITH m AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT day_us, CAST(SUM(n) AS BIGINT) AS tot FROM m GROUP BY day_us
+)
+SELECT m.day_us, m.event_type, m.n,
+       floor(CAST(m.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1e6 + 0.5)
+           / 1e6 AS share
+FROM m JOIN t ON t.day_us = m.day_us
+"""

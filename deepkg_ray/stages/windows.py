@@ -1346,3 +1346,41 @@ def dow_hour_heatmap(ds, ts_col: str = "ts"):
         ds.select_columns([ts_col])
         .map_batches(partial, batch_format="pyarrow"),
         ["dow", "hour"], {"n": "sum"}, mode="tree")
+
+
+def daily_type_mix(ds, ts_col: str = "ts", type_col: str = "event_type"):
+    """Category mix over time: per calendar day the event-type counts
+    and each type's within-day share (round6 of one division) — the
+    drift monitor for event streams (a type whose share trends is the
+    first sign of instrumentation change).  One (day, type) grid
+    combiner + tree merge; day totals fold from the grid itself.
+    Returns (day_us, event_type, n, share)."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        day_us = dt.to_period("D").to_timestamp().asi8 // 1_000
+        df = pd.DataFrame({"day_us": day_us.astype(np.int64),
+                           type_col: b[type_col].to_pylist()})
+        g = (df.groupby(["day_us", type_col], sort=False).size()
+             .reset_index(name="n"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    grid = merge_partials(
+        ds.select_columns([ts_col, type_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["day_us", type_col], {"n": "sum"}, mode="tree").to_pandas()
+
+    tot = grid.groupby("day_us")["n"].transform("sum").to_numpy(np.int64)
+    n = grid["n"].to_numpy(np.int64)
+    share = round6(n.astype(np.float64) / tot.astype(np.float64))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "day_us": pa.array(grid["day_us"].to_numpy(np.int64),
+                           pa.int64()),
+        type_col: pa.array(grid[type_col].astype(str), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "share": pa.array(share, pa.float64())}))

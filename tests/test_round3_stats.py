@@ -790,3 +790,33 @@ def test_source_dup_rates_matches_duckdb():
     con = _docs_con()
     exp = _canon(con.sql(source_dup_rates_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_brand_price_summary_matches_duckdb():
+    import ray.data as _rd
+    from deepkg_ray.oracle import brand_price_summary_oracle
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    ds = _rd.read_parquet(f"{SF}/part.parquet",
+                          columns=["p_brand", "p_retailprice"])
+    got = _canon(grouped_quantiles_cont(
+        ds, "p_brand", "p_retailprice",
+        [0.0, 0.25, 0.5, 0.75, 1.0]).to_pandas()
+        .rename(columns={"p_brand": "p_brand"}))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF}/part.parquet')")
+    exp = _canon(con.sql(brand_price_summary_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_daily_type_mix_shares_sum_to_one():
+    from deepkg_ray.oracle import daily_type_mix_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import daily_type_mix
+    got = daily_type_mix(
+        read_events(SF, ["ts", "event_type"])).to_pandas()
+    con = _events_con()
+    exp = _canon(con.sql(daily_type_mix_oracle()).df())
+    pd.testing.assert_frame_equal(_canon(got), exp)
+    sums = got.groupby("day_us")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()   # round6 residuals only
