@@ -2052,6 +2052,14 @@ def _q_daily_type_mix(sf_dir: str):
     return daily_type_mix(read_events(sf_dir, ["ts", "event_type"]))
 
 
+
+def _q_segment_priority_counts(sf_dir: str):
+    """Cross-table crosstab: orders per (market segment, priority) via a
+    broadcast customer dimension (join fallback above 2M)."""
+    from deepkg_ray.pipelines.relational import segment_priority_counts
+    return segment_priority_counts(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2437,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "segment_priority_counts": _q_segment_priority_counts,
         "brand_price_summary": _q_brand_price_summary,
         "daily_type_mix": _q_daily_type_mix,
         "source_dup_rates": _q_source_dup_rates,
@@ -2665,6 +2674,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "segment_priority_counts": oracle.segment_priority_counts_oracle(),
         "brand_price_summary": oracle.brand_price_summary_oracle(),
         "daily_type_mix": oracle.daily_type_mix_oracle(),
         "source_dup_rates": oracle.source_dup_rates_oracle(),

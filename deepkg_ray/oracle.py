@@ -5054,3 +5054,12 @@ SELECT m.day_us, m.event_type, m.n,
            / 1e6 AS share
 FROM m JOIN t ON t.day_us = m.day_us
 """
+
+
+def segment_priority_counts_oracle() -> str:
+    """Mirror of relational.segment_priority_counts."""
+    return """
+SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment, o.o_orderpriority
+"""

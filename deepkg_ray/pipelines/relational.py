@@ -1851,3 +1851,68 @@ def revenue_cohorts(sf_dir: str, broadcast_threshold: int = 2_000_000):
             "n_orders": b["n_orders"].combine_chunks().cast(pa.int64()),
             "rev_micros": b["rev"].combine_chunks().cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def segment_priority_counts(sf_dir: str,
+                            broadcast_threshold: int = 2_000_000):
+    """Cross-table crosstab: order counts per (market segment, order
+    priority) — the dimension-attach crosstab (segment lives on customer,
+    priority on orders).  The custkey→segment map is customer-bounded and
+    broadcasts as a sorted array below the threshold (hash join above);
+    the (segment × priority) grid is tens of cells — combiner + tree
+    merge.  Returns (c_mktsegment, o_orderpriority, n)."""
+    import ray
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .materialize()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"])
+
+    if cust.count() <= broadcast_threshold:
+        cd = cust.to_pandas()
+        order = np.argsort(cd["c_custkey"].to_numpy(np.int64))
+        ref = ray.put((cd["c_custkey"].to_numpy(np.int64)[order],
+                       cd["c_mktsegment"].to_numpy()[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, segs = ray.get(ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(keys, ck)
+            pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == ck)
+            # inner-join semantics: drop dangling custkeys
+            seg = segs[pos_c][hit]
+            pri = np.asarray(b["o_orderpriority"].to_pylist(),
+                             object)[hit]
+            df = pd.DataFrame({"c_mktsegment": seg,
+                               "o_orderpriority": pri})
+            g = (df.groupby(["c_mktsegment", "o_orderpriority"],
+                            sort=False).size().reset_index(name="n"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = orders.map_batches(attach, batch_format="pyarrow")
+    else:
+        from deepkg_ray.util import drop_empty_blocks, join_partitions
+        j = drop_empty_blocks(orders).join(
+            drop_empty_blocks(cust), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",), right_on=("c_custkey",))
+
+        def grid(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "c_mktsegment": b["c_mktsegment"].to_pylist(),
+                "o_orderpriority": b["o_orderpriority"].to_pylist()})
+            g = (df.groupby(["c_mktsegment", "o_orderpriority"],
+                            sort=False).size().reset_index(name="n"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partials = drop_empty_blocks(j).map_batches(
+            grid, batch_format="pyarrow")
+
+    return merge_partials(partials, ["c_mktsegment", "o_orderpriority"],
+                          {"n": "sum"}, mode="tree")

@@ -282,3 +282,15 @@ def test_revenue_cohorts_matches_duckdb_and_tiers_agree():
     pd.testing.assert_frame_equal(got, slow)
     # age 0 revenue equals the first-order-month totals (cohort sanity)
     assert (got["age_months"] >= 0).all()
+
+
+def test_segment_priority_counts_matches_duckdb_and_tiers_agree():
+    from deepkg_ray.oracle import segment_priority_counts_oracle
+    from deepkg_ray.pipelines.relational import segment_priority_counts
+    got = _canon(segment_priority_counts(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(segment_priority_counts_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+    slow = _canon(segment_priority_counts(
+        SF, broadcast_threshold=0).to_pandas())
+    pd.testing.assert_frame_equal(got, slow)
