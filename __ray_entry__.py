@@ -2060,6 +2060,16 @@ def _q_segment_priority_counts(sf_dir: str):
     return segment_priority_counts(sf_dir)
 
 
+
+def _q_event_context_pairs(sf_dir: str):
+    """Behavioral skip-grams: (type_a -> type_b) counts within the next
+    3 events per user (vectorized shifted-mask pass)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import event_context_pairs
+    return event_context_pairs(
+        read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2445,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "event_context_pairs": _q_event_context_pairs,
         "segment_priority_counts": _q_segment_priority_counts,
         "brand_price_summary": _q_brand_price_summary,
         "daily_type_mix": _q_daily_type_mix,
@@ -2674,6 +2685,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "event_context_pairs": oracle.event_context_pairs_oracle(),
         "segment_priority_counts": oracle.segment_priority_counts_oracle(),
         "brand_price_summary": oracle.brand_price_summary_oracle(),
         "daily_type_mix": oracle.daily_type_mix_oracle(),

@@ -5063,3 +5063,21 @@ SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS n
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment, o.o_orderpriority
 """
+
+
+def event_context_pairs_oracle(k: int = 3) -> str:
+    """Mirror of windows.event_context_pairs: self-join on row_number
+    distance 1..k within the per-user (ts, event_id) order."""
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM o a JOIN o b ON b.user_id = a.user_id
+                  AND b.rn > a.rn AND b.rn <= a.rn + {k}
+GROUP BY a.event_type, b.event_type
+"""

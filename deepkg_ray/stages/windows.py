@@ -1384,3 +1384,54 @@ def daily_type_mix(ds, ts_col: str = "ts", type_col: str = "event_type"):
         type_col: pa.array(grid[type_col].astype(str), pa.string()),
         "n": pa.array(n, pa.int64()),
         "share": pa.array(share, pa.float64())}))
+
+
+def event_context_pairs(ds, k: int = 3, user_col: str = "user_id",
+                        ts_col: str = "ts", id_col: str = "event_id",
+                        type_col: str = "event_type", n_parts: int = 64):
+    """Sequential context pairs: for every user's event-time-ordered
+    stream, count (type_a → type_b) where b occurs within the next ``k``
+    events after a — the skip-gram of behavioral sequences
+    (markov_transitions is the k=1 cut; larger k captures loose order).
+
+    Plan: user-complete coarse partitions; inside each, ONE vectorized
+    pass per lag 1..k (shifted same-user masks, the moving_average
+    pattern) emits (ta, tb) partial counts; the |types|²-bounded grid
+    tree-merges.  Returns (type_a, type_b, n)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "t": b[type_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        t = np.asarray(g["t"].to_numpy(), object)
+        acc: dict[tuple, int] = {}
+        for lag in range(1, k + 1):
+            if lag >= len(t):
+                break
+            same = users[lag:] == users[:-lag]
+            ta = t[:-lag][same]
+            tb = t[lag:][same]
+            for a, b_ in zip(ta, tb):
+                key = (a, b_)
+                acc[key] = acc.get(key, 0) + 1
+        keys = list(acc.keys())
+        return pd.DataFrame({
+            "type_a": [kk[0] for kk in keys],
+            "type_b": [kk[1] for kk in keys],
+            "n": np.asarray([acc[kk] for kk in keys], np.int64)})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parted = ds.select_columns([user_col, ts_col, id_col, type_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    partials = parted.groupby("part").map_groups(per_partition,
+                                                 batch_format="pandas")
+    return merge_partials(partials, ["type_a", "type_b"], {"n": "sum"},
+                          mode="tree")

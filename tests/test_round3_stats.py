@@ -820,3 +820,30 @@ def test_daily_type_mix_shares_sum_to_one():
     pd.testing.assert_frame_equal(_canon(got), exp)
     sums = got.groupby("day_us")["share"].sum()
     assert ((sums - 1.0).abs() < 1e-4).all()   # round6 residuals only
+
+
+def test_event_context_pairs_golden():
+    from deepkg_ray.stages.windows import event_context_pairs
+    # u1 sequence a,b,c with k=2 → pairs: (a,b),(a,c),(b,c)
+    df = pd.DataFrame({
+        "user_id": ["u1"] * 3,
+        "ts": pd.to_datetime([1, 2, 3], unit="s"),
+        "event_id": np.arange(3, dtype=np.int64),
+        "event_type": ["a", "b", "c"]})
+    out = (event_context_pairs(rd.from_pandas(df), k=2).to_pandas()
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    assert list(zip(out["type_a"], out["type_b"])) == [
+        ("a", "b"), ("a", "c"), ("b", "c")]
+    assert out["n"].tolist() == [1, 1, 1]
+
+
+def test_event_context_pairs_matches_duckdb():
+    from deepkg_ray.oracle import event_context_pairs_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import event_context_pairs
+    got = _canon(event_context_pairs(
+        read_events(SF, ["user_id", "ts", "event_id", "event_type"]))
+        .to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(event_context_pairs_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
