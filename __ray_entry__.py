@@ -2070,6 +2070,15 @@ def _q_event_context_pairs(sf_dir: str):
         read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
+
+def _q_weekly_active_users(sf_dir: str):
+    """DAU/WAU/stickiness per day with the rolling distinct computed
+    exactly via window-day explosion (no sketch, no driver user lists)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import weekly_active_users
+    return weekly_active_users(read_events(sf_dir, ["ts", "user_id"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2455,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "weekly_active_users": _q_weekly_active_users,
         "event_context_pairs": _q_event_context_pairs,
         "segment_priority_counts": _q_segment_priority_counts,
         "brand_price_summary": _q_brand_price_summary,
@@ -2685,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "weekly_active_users": oracle.weekly_active_users_oracle(),
         "event_context_pairs": oracle.event_context_pairs_oracle(),
         "segment_priority_counts": oracle.segment_priority_counts_oracle(),
         "brand_price_summary": oracle.brand_price_summary_oracle(),

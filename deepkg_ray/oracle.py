@@ -5081,3 +5081,30 @@ FROM o a JOIN o b ON b.user_id = a.user_id
                   AND b.rn > a.rn AND b.rn <= a.rn + {k}
 GROUP BY a.event_type, b.event_type
 """
+
+
+def weekly_active_users_oracle(window_days: int = 7) -> str:
+    """Mirror of windows.weekly_active_users: a (day, user) active table,
+    DAU per day, WAU per day via the trailing-window membership join
+    (inner join keeps only days with actives — the engine's wday
+    explosion also emits warm-up days past the data edge, which the
+    inner join on DAU-days drops on both sides)."""
+    w_us = window_days * 86_400_000_000
+    return f"""
+WITH au AS (
+  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+         user_id
+  FROM events
+), dau AS (
+  SELECT day_us, CAST(count(*) AS BIGINT) AS dau FROM au GROUP BY day_us
+), wau AS (
+  SELECT d.day_us, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM dau d JOIN au a
+    ON a.day_us > d.day_us - {w_us} AND a.day_us <= d.day_us
+  GROUP BY d.day_us
+)
+SELECT dau.day_us, dau.dau, wau.wau,
+       floor(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS stickiness
+FROM dau JOIN wau ON wau.day_us = dau.day_us
+"""

@@ -1435,3 +1435,71 @@ def event_context_pairs(ds, k: int = 3, user_col: str = "user_id",
                                                  batch_format="pandas")
     return merge_partials(partials, ["type_a", "type_b"], {"n": "sum"},
                           mode="tree")
+
+
+def weekly_active_users(ds, window_days: int = 7,
+                        user_col: str = "user_id", ts_col: str = "ts"):
+    """DAU / WAU / stickiness per calendar day: distinct daily actives,
+    distinct actives over the TRAILING ``window_days`` window, and their
+    round6 ratio — the engagement report, with the rolling distinct
+    computed EXACTLY (no sketch): each (day, user) active pair explodes
+    to the ≤ ``window_days`` window-days it contributes to, and a second
+    dedup-count collapses them — users are never listed on the driver,
+    and both shuffles are bounded by days × users, not events.
+    Returns (day_us, dau, wau, stickiness)."""
+    from ray.data.aggregate import Count
+    from deepkg_ray.functions.numeric import round6
+
+    DAY_US = np.int64(86_400_000_000)
+
+    def day_user(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (us // DAY_US) * DAY_US
+        df = pd.DataFrame({"day_us": day,
+                           user_col: b[user_col].to_pylist()})
+        g = df.drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (ds.select_columns([ts_col, user_col])
+             .map_batches(day_user, batch_format="pyarrow")
+             .groupby(["day_us", user_col])
+             .aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+             .materialize())
+
+    dau = pairs.groupby("day_us").aggregate(Count(alias_name="dau"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        day = b["day_us"].to_numpy(zero_copy_only=False)
+        users = np.asarray(b[user_col].to_pylist(), object)
+        wd = (day[:, None] + DAY_US * np.arange(window_days)[None, :]) \
+            .ravel()
+        uu = np.repeat(users, window_days)
+        return pa.table({"wday_us": pa.array(wd, pa.int64()),
+                         user_col: pa.array(uu.astype(str), pa.string())})
+
+    wau = (pairs.map_batches(explode, batch_format="pyarrow")
+           .groupby(["wday_us", user_col])
+           .aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+           .groupby("wday_us").aggregate(Count(alias_name="wau")))
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    j = drop_empty_blocks(dau).join(
+        drop_empty_blocks(wau), join_type="inner",
+        num_partitions=join_partitions(),
+        on=("day_us",), right_on=("wday_us",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["dau"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        w = b["wau"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day_us": b["day_us"].combine_chunks().cast(pa.int64()),
+            "dau": pa.array(d, pa.int64()),
+            "wau": pa.array(w, pa.int64()),
+            "stickiness": pa.array(round6(
+                d.astype(np.float64) / w.astype(np.float64)),
+                pa.float64())})
+    return drop_empty_blocks(j).map_batches(finish,
+                                            batch_format="pyarrow")

@@ -847,3 +847,29 @@ def test_event_context_pairs_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(event_context_pairs_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_weekly_active_users_golden():
+    from deepkg_ray.stages.windows import weekly_active_users
+    # day 0: u1, u2; day 1: u1; day 9: u3 (outside day-1's window)
+    day = 86_400
+    df = pd.DataFrame({
+        "ts": pd.to_datetime([0, 10, day + 5, 9 * day], unit="s"),
+        "user_id": ["u1", "u2", "u1", "u3"]})
+    out = (weekly_active_users(rd.from_pandas(df)).to_pandas()
+           .sort_values("day_us").reset_index(drop=True))
+    assert out["dau"].tolist() == [2, 1, 1]
+    # day 1's trailing week includes day 0 → wau = 2; day 9 stands alone
+    assert out["wau"].tolist() == [2, 2, 1]
+    assert out["stickiness"].tolist() == [1.0, 0.5, 1.0]
+
+
+def test_weekly_active_users_matches_duckdb():
+    from deepkg_ray.oracle import weekly_active_users_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import weekly_active_users
+    got = _canon(weekly_active_users(
+        read_events(SF, ["ts", "user_id"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(weekly_active_users_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
