@@ -2079,6 +2079,16 @@ def _q_weekly_active_users(sf_dir: str):
     return weekly_active_users(read_events(sf_dir, ["ts", "user_id"]))
 
 
+
+def _q_value_autocorr(sf_dir: str):
+    """Pooled lag-1 autocorrelation of values over same-user consecutive
+    pairs (persistence diagnostic)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import value_autocorr
+    return value_autocorr(
+        read_events(sf_dir, ["user_id", "ts", "event_id", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2464,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "value_autocorr": _q_value_autocorr,
         "weekly_active_users": _q_weekly_active_users,
         "event_context_pairs": _q_event_context_pairs,
         "segment_priority_counts": _q_segment_priority_counts,
@@ -2695,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "value_autocorr": oracle.value_autocorr_oracle(),
         "weekly_active_users": oracle.weekly_active_users_oracle(),
         "event_context_pairs": oracle.event_context_pairs_oracle(),
         "segment_priority_counts": oracle.segment_priority_counts_oracle(),

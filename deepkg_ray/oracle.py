@@ -5108,3 +5108,33 @@ SELECT dau.day_us, dau.dau, wau.wau,
              * 1e6 + 0.5) / 1e6 AS stickiness
 FROM dau JOIN wau ON wau.day_us = dau.day_us
 """
+
+
+def value_autocorr_oracle() -> str:
+    """Mirror of windows.value_autocorr: LEAD pairs, int64 moment sums,
+    the identical DOUBLE chain num/(√vx·√vy), round6."""
+    return """
+WITH p AS (
+  SELECT user_id, CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS x,
+         LEAD(CAST(floor(value * 1e3 + 0.5) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM events
+), q AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM q
+)
+SELECT n AS n_pairs,
+       floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS autocorr
+FROM m
+"""

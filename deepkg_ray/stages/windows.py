@@ -1503,3 +1503,78 @@ def weekly_active_users(ds, window_days: int = 7,
                 pa.float64())})
     return drop_empty_blocks(j).map_batches(finish,
                                             batch_format="pyarrow")
+
+
+def value_autocorr(ds, user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value",
+                   n_parts: int = 64):
+    """Pooled lag-1 autocorrelation of the value series: Pearson r over
+    all same-user consecutive (vₜ, vₜ₊₁) pairs in event-time order —
+    the persistence/momentum diagnostic (white-noise streams read ≈ 0).
+
+    Exactness: the corr_events convention — millis-quantized values, five
+    int64 moment sums (per-partition single-row partials → one global
+    Sum), then the identical float chain num/(√vx·√vy) mirrored in SQL
+    (the moment products exceed 2^53 so the DOUBLE chain itself is the
+    contract, same ops both sides).  Pairs never cross partitions
+    (user-complete hashing).  Returns one row (n_pairs, autocorr)."""
+    from ray.data.aggregate import Sum
+    from deepkg_ray.functions.numeric import round6
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        return pa.table({
+            user_col: b[user_col], id_col: b[id_col],
+            "ts_us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "xm": pa.array(np.floor(v * 1e3 + 0.5).astype(np.int64),
+                           pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "ts_us", id_col], kind="stable")
+        users = g[user_col].to_numpy()
+        xm = g["xm"].to_numpy(np.int64)
+        if len(xm) < 2:
+            return pd.DataFrame({c: np.asarray([0], np.int64)
+                                 for c in ["n", "sx", "sy", "sxy",
+                                           "sxx", "syy"]})
+        same = users[1:] == users[:-1]
+        x = xm[:-1][same]
+        y = xm[1:][same]
+        return pd.DataFrame({
+            "n": np.asarray([len(x)], np.int64),
+            "sx": np.asarray([int(x.sum())], np.int64),
+            "sy": np.asarray([int(y.sum())], np.int64),
+            "sxy": np.asarray([int((x * y).sum())], np.int64),
+            "sxx": np.asarray([int((x * x).sum())], np.int64),
+            "syy": np.asarray([int((y * y).sum())], np.int64)})
+
+    parted = ds.select_columns([user_col, ts_col, id_col, value_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    agg = (parted.groupby("part")
+           .map_groups(per_partition, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy")))
+    n = float(agg["n"] or 0)
+    import ray.data as rd
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "n_pairs": pa.array([int(n)], pa.int64()),
+            "autocorr": pa.array([0.0], pa.float64())}))
+    sx, sy = float(agg["sx"]), float(agg["sy"])
+    sxy, sxx, syy = float(agg["sxy"]), float(agg["sxx"]), float(agg["syy"])
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    den = np.sqrt(vx) * np.sqrt(vy)
+    r = float(round6(np.asarray([num / den if den > 0 else 0.0]))[0])
+    return rd.from_arrow(pa.table({
+        "n_pairs": pa.array([int(agg["n"])], pa.int64()),
+        "autocorr": pa.array([r], pa.float64())}))

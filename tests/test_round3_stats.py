@@ -873,3 +873,28 @@ def test_weekly_active_users_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(weekly_active_users_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_value_autocorr_golden():
+    from deepkg_ray.stages.windows import value_autocorr
+    # perfectly alternating series → strong negative lag-1 autocorr
+    df = pd.DataFrame({
+        "user_id": ["u"] * 8,
+        "ts": pd.to_datetime(np.arange(8), unit="s"),
+        "event_id": np.arange(8, dtype=np.int64),
+        "value": [1.0, -1.0] * 4})
+    out = value_autocorr(rd.from_pandas(df), n_parts=2).to_pandas()
+    assert out["n_pairs"].item() == 7
+    assert out["autocorr"].item() < -0.9
+
+
+def test_value_autocorr_matches_duckdb():
+    from deepkg_ray.oracle import value_autocorr_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import value_autocorr
+    got = _canon(value_autocorr(
+        read_events(SF, ["user_id", "ts", "event_id", "value"]))
+        .to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(value_autocorr_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
