@@ -2244,6 +2244,15 @@ def _q_kg_assortativity(sf_dir: str):
     return degree_assortativity(kg.adjacency_dataset(sf_dir))
 
 
+
+def _q_kg_clustering(sf_dir: str):
+    """Local clustering coefficient per KG node (closed-wedge membership
+    probes against the broadcast packed edge set)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import clustering_coefficients
+    return clustering_coefficients(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_linkpred_truncated(sf_dir: str):
     """The 100-TB posture of link prediction: hub centers above
     max_degree emit no wedge pairs (the standard LP truncation — caps the
@@ -2555,6 +2564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_clustering": _q_kg_clustering,
         "kg_assortativity": _q_kg_assortativity,
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_two_hop": _q_kg_two_hop,
@@ -2792,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
+        "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),
         "kg_assortativity": oracle.kg_degree_assortativity_oracle(SF_ORACLE),
         "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),

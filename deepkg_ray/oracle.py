@@ -5138,3 +5138,41 @@ SELECT n AS n_pairs,
              * 1e6 + 0.5) / 1e6 AS autocorr
 FROM m
 """
+
+
+def kg_clustering_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.clustering_coefficients over the KG:
+    wedges joined against the edge set, the same 2·T/(d·(d−1)) round6
+    chain, degree<2 nodes at cc=0."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION
+  SELECT hi, lo FROM adj
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM bidir
+        GROUP BY node),
+wedge AS (
+  SELECT a.node, a.peer AS p1, b.peer AS p2
+  FROM bidir a JOIN bidir b ON b.node = a.node AND b.peer > a.peer
+),
+tri AS (
+  SELECT w.node, CAST(count(*) AS BIGINT) AS t
+  FROM wedge w JOIN adj e ON e.lo = w.p1 AND e.hi = w.p2
+  GROUP BY w.node
+)
+SELECT d.node, d.degree,
+       CAST(coalesce(t.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.degree < 2 THEN 0.0
+            ELSE floor(2.0 * coalesce(t.t, 0)
+                       / (d.degree * (d.degree - 1)) * 1e6 + 0.5) / 1e6
+       END AS cc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+"""

@@ -2259,3 +2259,113 @@ def degree_assortativity(edges, src_col: str = "subj_id",
         "m": pa.array([m], pa.int64()),
         "num": pa.array([float(num)], pa.float64()),
         "r": pa.array([r], pa.float64())}))
+
+
+def clustering_coefficients(edges, src_col: str = "subj_id",
+                            dst_col: str = "obj_id",
+                            broadcast_threshold: int = 2_000_000):
+    """Local clustering coefficient per node: cc(v) = 2·T(v) / (d(v)·
+    (d(v)−1)) with T(v) = closed wedges centered at v — the transitivity
+    profile (Watts–Strogatz 1998) that k-truss thresholds and triangle
+    counts summarize globally.
+
+    Plan: the link-prediction coarse-partition wedge pass emits each
+    center's peer pairs; closure tests run against the broadcast packed
+    edge set (node ids < 2^31; the tier the anti-join uses, here as a
+    MEMBERSHIP probe — join fallback above the threshold is the
+    triangle_count shape).  cc is ONE round6 division.  Returns
+    (node, degree, triangles, cc)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.util import drop_empty_blocks
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bidir = edges.map_batches(bidirect, batch_format="pyarrow")
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        if len(lo):
+            assert lo.min() >= 0 and hi.max() < 2**31, \
+                "pair packing requires node ids in [0, 2^31)"
+        packed = np.unique(lo * PACK + hi)
+        return pa.table({"packed": pa.array(packed, pa.int64())})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    simple_packed = merge_partials(
+        edges.map_batches(orient, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "_n", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["packed"], {"_n": "sum"}, mode="auto").materialize()
+    assert simple_packed.count() <= broadcast_threshold, \
+        "membership broadcast tier only (triangle_count joins beyond it)"
+    ep = np.sort(simple_packed.to_pandas()["packed"].to_numpy(np.int64))
+    ep_ref = ray.put(ep)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (node % np.int64(64)).astype(np.int32)))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        edges_arr = ray.get(ep_ref)
+        node = g["node"].to_numpy(zero_copy_only=False)
+        peer = g["peer"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((peer, node))
+        node, peer = node[order], peer[order]
+        first = np.ones(len(node), bool)
+        first[1:] = (node[1:] != node[:-1]) | (peer[1:] != peer[:-1])
+        node, peer = node[first], peer[first]
+        starts = np.nonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(node)]))
+        outn, outd, outt = [], [], []
+        for s, e in zip(starts, ends):
+            deg = e - s
+            outn.append(int(node[s]))
+            outd.append(int(deg))
+            if deg < 2:
+                outt.append(0)
+                continue
+            p = peer[s:e]
+            ai, bi = np.triu_indices(deg, k=1)
+            key = p[ai] * PACK + p[bi]
+            pos = np.searchsorted(edges_arr, key)
+            pos_c = np.clip(pos, 0, max(len(edges_arr) - 1, 0))
+            hit = (len(edges_arr) > 0) & (edges_arr[pos_c] == key)
+            outt.append(int(hit.sum()))
+        return pa.table({
+            "node": pa.array(np.asarray(outn, np.int64), pa.int64()),
+            "degree": pa.array(np.asarray(outd, np.int64), pa.int64()),
+            "triangles": pa.array(np.asarray(outt, np.int64), pa.int64())})
+
+    per_node = (bidir.map_batches(add_part, batch_format="pyarrow")
+                .groupby("part").map_groups(per_partition,
+                                            batch_format="pyarrow"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        d = b["degree"].to_numpy(zero_copy_only=False)
+        t = b["triangles"].to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        cc = round6(np.where(denom > 0,
+                             2.0 * t / np.where(denom > 0, denom, 1),
+                             0.0))
+        return pa.table({"node": b["node"], "degree": b["degree"],
+                         "triangles": b["triangles"],
+                         "cc": pa.array(cc, pa.float64())})
+    return per_node.map_batches(finish, batch_format="pyarrow")

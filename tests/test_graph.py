@@ -525,3 +525,17 @@ def test_assortativity_cycle_is_degenerate_zero():
     e = pd.DataFrame({"subj_id": [1, 2, 3, 4], "obj_id": [2, 3, 4, 1]})
     out = degree_assortativity(rd.from_pandas(e)).to_pandas()
     assert out["r"].item() == 0.0
+
+
+def test_clustering_triangle_and_star():
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import clustering_coefficients
+    # triangle {1,2,3} each cc=1; star center 4-{5,6} cc=0 (no 5-6 edge)
+    e = pd.DataFrame({"subj_id": [1, 2, 3, 4, 4],
+                      "obj_id": [2, 3, 1, 5, 6]})
+    out = (clustering_coefficients(rd.from_pandas(e)).to_pandas()
+           .set_index("node").sort_index())
+    assert out.loc[1, "cc"] == 1.0 and out.loc[3, "cc"] == 1.0
+    assert out.loc[4, "cc"] == 0.0
+    assert out.loc[4, "triangles"] == 0 and out.loc[1, "triangles"] == 1
