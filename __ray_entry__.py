@@ -2089,6 +2089,17 @@ def _q_value_autocorr(sf_dir: str):
         read_events(sf_dir, ["user_id", "ts", "event_id", "value"]))
 
 
+
+def _q_pair_lift(sf_dir: str):
+    """Association-rule lift for the top-50 co-occurring part pairs in
+    order baskets (exact big-int numerator, one round6 division)."""
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.basket import pair_lift
+    return pair_lift(read_table(sf_dir, "lineitem",
+                                ["l_orderkey", "l_partkey"]),
+                     basket_col="l_orderkey", item_col="l_partkey")
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2483,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
         "weekly_active_users": _q_weekly_active_users,
         "event_context_pairs": _q_event_context_pairs,
@@ -2716,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "pair_lift": oracle.pair_lift_oracle(),
         "value_autocorr": oracle.value_autocorr_oracle(),
         "weekly_active_users": oracle.weekly_active_users_oracle(),
         "event_context_pairs": oracle.event_context_pairs_oracle(),

@@ -5176,3 +5176,29 @@ SELECT d.node, d.degree,
        END AS cc
 FROM deg d LEFT JOIN tri t ON t.node = d.node
 """
+
+
+def pair_lift_oracle(min_support: int = 2, top_k: int = 50) -> str:
+    """Mirror of basket.pair_lift on lineitem baskets: HUGEINT N·c(ab)
+    over c(a)·c(b), round6; deterministic (n desc, a, b) top-k."""
+    return f"""
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), pr AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bi a JOIN bi b ON b.basket = a.basket AND b.item > a.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= {min_support}
+), topk AS (
+  SELECT * FROM pr ORDER BY n DESC, item_a, item_b LIMIT {top_k}
+), nb AS (SELECT CAST(count(DISTINCT basket) AS HUGEINT) AS n_baskets
+          FROM bi),
+mg AS (SELECT item, CAST(count(*) AS HUGEINT) AS c FROM bi GROUP BY item)
+SELECT t.item_a, t.item_b, t.n,
+       floor(CAST(nb.n_baskets * CAST(t.n AS HUGEINT) AS DOUBLE)
+             / CAST(ma.c * mb.c AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
+FROM topk t, nb
+JOIN mg ma ON ma.item = t.item_a
+JOIN mg mb ON mb.item = t.item_b
+"""

@@ -98,3 +98,61 @@ def frequent_pairs(ds, basket_col: str, item_col: str,
         return b.filter(pa.array(b["n"].to_numpy() >= min_support))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def pair_lift(ds, basket_col: str, item_col: str, min_support: int = 2,
+              top_k: int = 50):
+    """Association-rule LIFT for the top co-occurring item pairs:
+    lift(a, b) = N·c(ab) / (c(a)·c(b)) with N = distinct baskets,
+    c(x) = baskets containing x, c(ab) from frequent_pairs — > 1 means
+    genuine affinity, ≈ 1 coincidence.  The numerator/denominator stay
+    exact int64 (Python big-ints for the N·c product; HUGEINT in SQL)
+    and lift is ONE round6 division.  Margins come from a basket-deduped
+    (item → basket count) groupby; N is one scalar; the top-k cut is by
+    (n desc, item_a, item_b) for determinism.
+    Returns (item_a, item_b, n, lift)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    from deepkg_ray.functions.numeric import round6
+
+    pairs = frequent_pairs(ds, basket_col, item_col,
+                           min_support=min_support)
+    pairs = (pairs.sort(["n", "item_a", "item_b"],
+                        descending=[True, False, False])
+             .limit(top_k).to_pandas())
+
+    def dedup_batch(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            basket_col: b[basket_col].to_numpy(zero_copy_only=False),
+            item_col: b[item_col].to_numpy(zero_copy_only=False)})
+        g = df.drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    bi = (ds.select_columns([basket_col, item_col])
+          .map_batches(dedup_batch, batch_format="pyarrow")
+          .groupby([basket_col, item_col])
+          .aggregate(Count(alias_name="_m")).drop_columns(["_m"])
+          .materialize())
+    n_baskets = (bi.groupby(basket_col)
+                 .aggregate(Count(alias_name="_c")).count())
+    margins = (bi.groupby(item_col)
+               .aggregate(Count(alias_name="c")).to_pandas())
+    c_of = dict(zip(margins[item_col].astype(np.int64),
+                    margins["c"].astype(np.int64)))
+
+    n = pairs["n"].to_numpy(np.int64)
+    ia = pairs["item_a"].to_numpy(np.int64)
+    ib = pairs["item_b"].to_numpy(np.int64)
+    lifts = []
+    for a, b_, cab in zip(ia, ib, n):
+        num = int(n_baskets) * int(cab)          # exact python ints
+        den = int(c_of[int(a)]) * int(c_of[int(b_)])
+        lifts.append(float(round6(np.asarray([num / den]))[0]))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "item_a": pa.array(ia, pa.int64()),
+        "item_b": pa.array(ib, pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "lift": pa.array(np.asarray(lifts, np.float64), pa.float64())}))

@@ -898,3 +898,30 @@ def test_value_autocorr_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(value_autocorr_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pair_lift_golden():
+    from deepkg_ray.stages.basket import pair_lift
+    # baskets: {1,2} x3, {1},{2},{3} → c(1)=4, c(2)=4, c(12)=3, N=6
+    # lift(1,2) = 6*3/(4*4) = 1.125
+    df = pd.DataFrame({
+        "basket": [10, 10, 11, 11, 12, 12, 13, 14, 15],
+        "item": [1, 2, 1, 2, 1, 2, 1, 2, 3]})
+    out = pair_lift(rd.from_pandas(df), basket_col="basket",
+                    item_col="item", min_support=2).to_pandas()
+    assert out["n"].tolist() == [3]
+    assert out["lift"].tolist() == [1.125]
+
+
+def test_pair_lift_matches_duckdb():
+    from deepkg_ray.oracle import pair_lift_oracle
+    from deepkg_ray.sources.readers import read_table
+    from deepkg_ray.stages.basket import pair_lift
+    got = _canon(pair_lift(
+        read_table(SF, "lineitem", ["l_orderkey", "l_partkey"]),
+        basket_col="l_orderkey", item_col="l_partkey").to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF}/lineitem.parquet')")
+    exp = _canon(con.sql(pair_lift_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
