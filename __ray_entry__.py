@@ -2100,6 +2100,14 @@ def _q_pair_lift(sf_dir: str):
                      basket_col="l_orderkey", item_col="l_partkey")
 
 
+
+def _q_shipping_delay_quantiles(sf_dir: str):
+    """Order-to-ship latency quantiles per priority (whole-day delays,
+    interpolated type-7)."""
+    from deepkg_ray.pipelines.relational import shipping_delay_quantiles
+    return shipping_delay_quantiles(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2494,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
         "weekly_active_users": _q_weekly_active_users,
@@ -2728,6 +2737,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "shipping_delay_quantiles": oracle.shipping_delay_quantiles_oracle(),
         "pair_lift": oracle.pair_lift_oracle(),
         "value_autocorr": oracle.value_autocorr_oracle(),
         "weekly_active_users": oracle.weekly_active_users_oracle(),

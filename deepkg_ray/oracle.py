@@ -5202,3 +5202,42 @@ FROM topk t, nb
 JOIN mg ma ON ma.item = t.item_a
 JOIN mg mb ON mb.item = t.item_b
 """
+
+
+def shipping_delay_quantiles_oracle(qs=(0.25, 0.5, 0.75, 0.9)) -> str:
+    """Mirror of relational.shipping_delay_quantiles: whole-day delays
+    through the flag_quantiles_cont per-group interpolation CTE."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT o.o_orderpriority AS grp,
+         CAST(floor(CAST((epoch_us(l.l_shipdate)
+                          - epoch_us(o.o_orderdate)) // 86400000000
+                         AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+h AS (SELECT grp, vm, count(*) AS n FROM base GROUP BY grp, vm),
+c AS (SELECT grp, vm, sum(n) OVER (PARTITION BY grp ORDER BY vm) AS cum
+      FROM h),
+params AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY grp),
+qs AS ({q_rows}),
+pos AS (
+  SELECT p.grp, q.q, q.qm * (p.n - 1) AS hm FROM params p, qs q
+),
+pick AS (
+  SELECT grp, q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos
+),
+el AS (
+  SELECT p.grp, p.q, p.frac,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp AND cum > p.lo) AS vlo,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp
+          AND cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT grp AS o_orderpriority, q,
+       floor(((vlo + (frac * (vhi - vlo)) / 1e6) / 1e6) * 1e6 + 0.5) / 1e6
+         AS value
+FROM el
+"""

@@ -1916,3 +1916,54 @@ def segment_priority_counts(sf_dir: str,
 
     return merge_partials(partials, ["c_mktsegment", "o_orderpriority"],
                           {"n": "sum"}, mode="tree")
+
+
+def shipping_delay_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
+    """Order-to-ship latency distribution per order priority: the
+    interpolated (type-7) quantiles of whole-day shipping delays — the
+    operational-SLA profile (lineitem's shipdate joined back to its
+    order's date; delays quantized to integer days so the histogram plan
+    is exact).  One hash join, then grouped_quantiles_cont's
+    groups × distinct-days bounded histogram.  Returns
+    (o_orderpriority, q, value)."""
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "ship_us": b["l_shipdate"].cast(pa.timestamp("us"))
+                        .cast(pa.int64())})
+
+    def ord_proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": b["o_orderdate"].cast(pa.timestamp("us"))
+                         .cast(pa.int64()),
+            "o_orderpriority": b["o_orderpriority"]})
+
+    j = drop_empty_blocks(
+        li.map_batches(li_proj, batch_format="pyarrow")).join(
+        drop_empty_blocks(orders.map_batches(ord_proj,
+                                             batch_format="pyarrow")),
+        join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    DAY = 86_400_000_000
+
+    def delays(b: pa.Table) -> pa.Table:
+        d = (b["ship_us"].to_numpy(zero_copy_only=False)
+             - b["odate_us"].to_numpy(zero_copy_only=False)) // DAY
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "delay_days": pa.array(d.astype(np.float64), pa.float64())})
+
+    dd = drop_empty_blocks(j).map_batches(delays, batch_format="pyarrow")
+    return grouped_quantiles_cont(dd, "o_orderpriority", "delay_days",
+                                  list(qs))

@@ -294,3 +294,12 @@ def test_segment_priority_counts_matches_duckdb_and_tiers_agree():
     slow = _canon(segment_priority_counts(
         SF, broadcast_threshold=0).to_pandas())
     pd.testing.assert_frame_equal(got, slow)
+
+
+def test_shipping_delay_quantiles_matches_duckdb():
+    from deepkg_ray.oracle import shipping_delay_quantiles_oracle
+    from deepkg_ray.pipelines.relational import shipping_delay_quantiles
+    got = _canon(shipping_delay_quantiles(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(shipping_delay_quantiles_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
