@@ -2108,6 +2108,15 @@ def _q_shipping_delay_quantiles(sf_dir: str):
     return shipping_delay_quantiles(sf_dir)
 
 
+
+def _q_weekend_effect(sf_dir: str):
+    """Welch t statistic for weekend-vs-weekday value shift (mirrored
+    DOUBLE chain over exact millis moments)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import weekend_effect
+    return weekend_effect(read_events(sf_dir, ["ts", "value"]))
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2270,6 +2279,15 @@ def _q_kg_clustering(sf_dir: str):
     from deepkg_ray.pipelines import kg
     from deepkg_ray.stages.graph import clustering_coefficients
     return clustering_coefficients(kg.adjacency_dataset(sf_dir))
+
+
+
+def _q_kg_metapaths(sf_dir: str):
+    """Typed meta-path profile: directed 2-path counts per (subj_type,
+    mid_type, obj_type) over the canonical adjacency."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import metapath_counts
+    return metapath_counts(kg.adjacency_dataset(sf_dir))
 
 
 def _q_kg_linkpred_truncated(sf_dir: str):
@@ -2502,6 +2520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "weekend_effect": _q_weekend_effect,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -2585,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_pmi": _q_kg_cooccurrence_pmi,
         "kg_linkpred": _q_kg_linkpred,
         "kg_linkpred_truncated": _q_kg_linkpred_truncated,
+        "kg_metapaths": _q_kg_metapaths,
         "kg_clustering": _q_kg_clustering,
         "kg_assortativity": _q_kg_assortativity,
         "kg_degree_distribution": _q_kg_degree_distribution,
@@ -2737,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "weekend_effect": oracle.weekend_effect_oracle(),
         "shipping_delay_quantiles": oracle.shipping_delay_quantiles_oracle(),
         "pair_lift": oracle.pair_lift_oracle(),
         "value_autocorr": oracle.value_autocorr_oracle(),
@@ -2825,6 +2846,7 @@ def oracle_sql() -> dict[str, str]:
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
+        "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),
         "kg_assortativity": oracle.kg_degree_assortativity_oracle(SF_ORACLE),
         "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),

@@ -5241,3 +5241,61 @@ SELECT grp AS o_orderpriority, q,
          AS value
 FROM el
 """
+
+
+def weekend_effect_oracle() -> str:
+    """Mirror of windows.weekend_effect: identical DOUBLE op order for
+    the Welch chain on millis-int moments."""
+    return """
+WITH x AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS xm
+  FROM events
+), m AS (
+  SELECT CAST(SUM(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN we = 0 THEN xm ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN we = 0 THEN xm * xm ELSE 0 END) AS BIGINT)
+             AS ss1,
+         CAST(SUM(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN we = 1 THEN xm ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN we = 1 THEN xm * xm ELSE 0 END) AS BIGINT)
+             AS ss2
+  FROM x
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e3 * 1e6 + 0.5)
+           / 1e6 AS mean_weekday,
+       floor(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e3 * 1e6 + 0.5)
+           / 1e6 AS mean_weekend,
+       floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+             / sqrt((CAST(ss1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+                    / CAST(n1 AS DOUBLE)
+                    + (CAST(ss2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                         / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+                    / CAST(n2 AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS t_stat
+FROM m
+"""
+
+
+def kg_metapaths_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.metapath_counts over the canonical
+    adjacency: directed 2-path self-join on the middle vertex."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adjn AS (
+  SELECT subj_id, obj_id,
+         min(subj_type) AS subj_type, min(obj_type) AS obj_type
+  FROM triples GROUP BY subj_id, pred, obj_id
+)
+SELECT a.subj_type, a.obj_type AS mid_type, b.obj_type,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM adjn a JOIN adjn b ON b.subj_id = a.obj_id
+GROUP BY a.subj_type, a.obj_type, b.obj_type
+"""

@@ -2369,3 +2369,52 @@ def clustering_coefficients(edges, src_col: str = "subj_id",
                          "triangles": b["triangles"],
                          "cc": pa.array(cc, pa.float64())})
     return per_node.map_batches(finish, batch_format="pyarrow")
+
+
+def metapath_counts(adjacency, num_partitions: int | None = None):
+    """Meta-path profile of the typed KG: counts of directed 2-paths
+    s →p1→ m →p2→ o aggregated by (subj_type, mid_type, obj_type) — the
+    schema-level connectivity fingerprint (which type triangles the
+    extraction actually produces; the per-instance analog is kg_schema's
+    predicate signatures).
+
+    Input is the canonical adjacency (one row per (subj, pred, obj) with
+    types attached); paths multiply edge pairs through ONE directed hash
+    join on the shared middle vertex, then the |types|³-bounded grid
+    folds through per-batch combiners + tree merge.  Returns
+    (subj_type, mid_type, obj_type, n_paths)."""
+    import pandas as pd
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    if num_partitions is None:
+        num_partitions = join_partitions()
+
+    left = adjacency.map_batches(
+        lambda b: pa.table({
+            "subj_type": b["subj_type"],
+            "mid": b["obj_id"],
+            "mid_type": b["obj_type"]}),
+        batch_format="pyarrow")
+    right = adjacency.map_batches(
+        lambda b: pa.table({
+            "mid2": b["subj_id"],
+            "obj_type2": b["obj_type"]}),
+        batch_format="pyarrow")
+
+    j = drop_empty_blocks(left).join(
+        drop_empty_blocks(right), join_type="inner",
+        num_partitions=num_partitions, on=("mid",), right_on=("mid2",))
+
+    def grid(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "subj_type": b["subj_type"].to_pylist(),
+            "mid_type": b["mid_type"].to_pylist(),
+            "obj_type": b["obj_type2"].to_pylist()})
+        g = (df.groupby(["subj_type", "mid_type", "obj_type"],
+                        sort=False).size().reset_index(name="n_paths"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return merge_partials(
+        drop_empty_blocks(j).map_batches(grid, batch_format="pyarrow"),
+        ["subj_type", "mid_type", "obj_type"], {"n_paths": "sum"},
+        mode="tree")

@@ -1578,3 +1578,66 @@ def value_autocorr(ds, user_col: str = "user_id", ts_col: str = "ts",
     return rd.from_arrow(pa.table({
         "n_pairs": pa.array([int(agg["n"])], pa.int64()),
         "autocorr": pa.array([r], pa.float64())}))
+
+
+def weekend_effect(ds, ts_col: str = "ts", value_col: str = "value"):
+    """Weekend-vs-weekday value comparison: Welch's t statistic over the
+    two buckets — the did-the-distribution-shift test (chi2 covers
+    categorical mixes; this covers the metric's mean).
+
+    Moments are exact int64 millis sums (the corr_events convention);
+    the finish chain  t = (m1 − m2)/√(v1/n1 + v2/n2)  with vᵢ the
+    sample variance (n−1) runs in the same DOUBLE op order as the SQL
+    mirror.  One single-row-per-batch combiner, one global Sum.
+    Returns (n_weekday, n_weekend, mean_weekday, mean_weekend, t_stat)."""
+    from ray.data.aggregate import Sum
+    from deepkg_ray.functions.numeric import round6
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        # DuckDB dayofweek: 0=Sunday, 6=Saturday
+        dow = (dt.dayofweek.to_numpy() + 1) % 7
+        we = (dow == 0) | (dow == 6)
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        x = np.floor(v * 1e3 + 0.5).astype(np.int64)
+        out = {}
+        for tag, mask in (("wd", ~we), ("we", we)):
+            xs = x[mask]
+            out[f"n_{tag}"] = int(mask.sum())
+            out[f"s_{tag}"] = int(xs.sum())
+            out[f"ss_{tag}"] = int((xs * xs).sum())
+        return pa.table({k: pa.array([v_], pa.int64())
+                         for k, v_ in out.items()})
+
+    agg = (ds.select_columns([ts_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ["n_wd", "s_wd", "ss_wd",
+                                  "n_we", "s_we", "ss_we"]]))
+    import ray.data as rd
+    n1, n2 = float(agg["n_wd"] or 0), float(agg["n_we"] or 0)
+    if n1 < 2 or n2 < 2:
+        return rd.from_arrow(pa.table({
+            "n_weekday": pa.array([int(n1)], pa.int64()),
+            "n_weekend": pa.array([int(n2)], pa.int64()),
+            "mean_weekday": pa.array([0.0], pa.float64()),
+            "mean_weekend": pa.array([0.0], pa.float64()),
+            "t_stat": pa.array([0.0], pa.float64())}))
+    s1, ss1 = float(agg["s_wd"]), float(agg["ss_wd"])
+    s2, ss2 = float(agg["s_we"]), float(agg["ss_we"])
+    m1 = s1 / n1 / 1e3
+    m2 = s2 / n2 / 1e3
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    t = (s1 / n1 - s2 / n2) / np.sqrt(v1 / n1 + v2 / n2)
+    return rd.from_arrow(pa.table({
+        "n_weekday": pa.array([int(n1)], pa.int64()),
+        "n_weekend": pa.array([int(n2)], pa.int64()),
+        "mean_weekday": pa.array([float(round6(np.asarray([m1]))[0])],
+                                 pa.float64()),
+        "mean_weekend": pa.array([float(round6(np.asarray([m2]))[0])],
+                                 pa.float64()),
+        "t_stat": pa.array([float(round6(np.asarray([t]))[0])],
+                           pa.float64())}))

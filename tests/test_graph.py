@@ -539,3 +539,22 @@ def test_clustering_triangle_and_star():
     assert out.loc[1, "cc"] == 1.0 and out.loc[3, "cc"] == 1.0
     assert out.loc[4, "cc"] == 0.0
     assert out.loc[4, "triangles"] == 0 and out.loc[1, "triangles"] == 1
+
+
+def test_metapath_counts_golden():
+    """Typed chain A-1->B-2->C plus B-2->D gives two 2-paths from 1."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import metapath_counts
+    adj = pd.DataFrame({
+        "subj_id": [1, 2, 2],
+        "obj_id": [2, 3, 4],
+        "subj_type": ["A", "B", "B"],
+        "obj_type": ["B", "C", "D"],
+        "pred": ["p", "p", "p"]})
+    out = (metapath_counts(rd.from_pandas(adj)).to_pandas()
+           .sort_values(["subj_type", "mid_type", "obj_type"])
+           .reset_index(drop=True))
+    assert list(zip(out["subj_type"], out["mid_type"],
+                    out["obj_type"])) == [("A", "B", "C"), ("A", "B", "D")]
+    assert out["n_paths"].tolist() == [1, 1]

@@ -925,3 +925,27 @@ def test_pair_lift_matches_duckdb():
                 f"read_parquet('{SF}/lineitem.parquet')")
     exp = _canon(con.sql(pair_lift_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_weekend_effect_golden():
+    from deepkg_ray.stages.windows import weekend_effect
+    # Jan 6+7 2024 = Sat+Sun; Jan 8-9 = Mon-Tue
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-06", "2024-01-07",
+                              "2024-01-08", "2024-01-09"]),
+        "value": [10.0, 10.0, 2.0, 2.0]})
+    out = weekend_effect(rd.from_pandas(df)).to_pandas()
+    assert out["n_weekend"].item() == 2 and out["n_weekday"].item() == 2
+    assert out["mean_weekend"].item() == 10.0
+    assert out["mean_weekday"].item() == 2.0
+
+
+def test_weekend_effect_matches_duckdb():
+    from deepkg_ray.oracle import weekend_effect_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import weekend_effect
+    got = _canon(weekend_effect(
+        read_events(SF, ["ts", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(weekend_effect_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
