@@ -2117,6 +2117,25 @@ def _q_weekend_effect(sf_dir: str):
     return weekend_effect(read_events(sf_dir, ["ts", "value"]))
 
 
+
+def _q_user_value_bands(sf_dir: str):
+    """Per-user p10/p90 value bands (grouped interpolated quantiles keyed
+    by user — the per-entity personalization cut)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    return grouped_quantiles_cont(
+        read_events(sf_dir, ["user_id", "value"]), "user_id", "value",
+        [0.1, 0.9])
+
+
+
+def _q_pricing_charge(sf_dir: str):
+    """TPC-H Q1's full measure set: charge aggregate + micros-exact
+    averages per (returnflag, linestatus)."""
+    from deepkg_ray.pipelines.relational import pricing_charge_summary
+    return pricing_charge_summary(sf_dir)
+
+
 def _q_order_priority_counts(sf_dir: str):
     """TPC-H Q4-shaped EXISTS semi-join: late-shipped order counts per
     priority (lineitem collapsed to max-shipdate per order before the join)."""
@@ -2520,6 +2539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_distinct": _q_running_distinct,
         "shipping_priority": _q_shipping_priority,
         "order_priority_counts": _q_order_priority_counts,
+        "pricing_charge": _q_pricing_charge,
+        "user_value_bands": _q_user_value_bands,
         "weekend_effect": _q_weekend_effect,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
@@ -2757,6 +2778,8 @@ def oracle_sql() -> dict[str, str]:
         "running_distinct": oracle.running_distinct_oracle(),
         "shipping_priority": oracle.shipping_priority_oracle(),
         "order_priority_counts": oracle.order_priority_counts_oracle(),
+        "pricing_charge": oracle.pricing_charge_summary_oracle(),
+        "user_value_bands": oracle.user_value_bands_oracle(),
         "weekend_effect": oracle.weekend_effect_oracle(),
         "shipping_delay_quantiles": oracle.shipping_delay_quantiles_oracle(),
         "pair_lift": oracle.pair_lift_oracle(),

@@ -5299,3 +5299,62 @@ SELECT a.subj_type, a.obj_type AS mid_type, b.obj_type,
 FROM adjn a JOIN adjn b ON b.subj_id = a.obj_id
 GROUP BY a.subj_type, a.obj_type, b.obj_type
 """
+
+
+def user_value_bands_oracle(qs=(0.1, 0.9)) -> str:
+    """Per-user interpolated value quantiles — the flag_quantiles_cont
+    CTE keyed by user_id on micros-quantized values."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT user_id AS grp,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events
+),
+h AS (SELECT grp, vm, count(*) AS n FROM base GROUP BY grp, vm),
+c AS (SELECT grp, vm, sum(n) OVER (PARTITION BY grp ORDER BY vm) AS cum
+      FROM h),
+params AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY grp),
+qs AS ({q_rows}),
+pos AS (
+  SELECT p.grp, q.q, q.qm * (p.n - 1) AS hm FROM params p, qs q
+),
+pick AS (
+  SELECT grp, q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos
+),
+el AS (
+  SELECT p.grp, p.q, p.frac,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp AND cum > p.lo) AS vlo,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp
+          AND cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT grp AS user_id, q,
+       floor(((vlo + (frac * (vhi - vlo)) / 1e6) / 1e6) * 1e6 + 0.5) / 1e6
+         AS value
+FROM el
+"""
+
+
+def pricing_charge_summary_oracle() -> str:
+    """Mirror of relational.pricing_charge_summary: Q1's charge + avg
+    columns, micros sums and floor(sum/n+0.5)/1e6 averages."""
+    return """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                      * (1.0 + l_tax) * 1e6 + 0.5) AS BIGINT)) / 1e6
+           AS sum_charge,
+       floor(CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6
+           AS avg_qty,
+       floor(CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6
+           AS avg_price,
+       floor(CAST(SUM(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) / 1e6
+           AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""

@@ -1967,3 +1967,60 @@ def shipping_delay_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     dd = drop_empty_blocks(j).map_batches(delays, batch_format="pyarrow")
     return grouped_quantiles_cont(dd, "o_orderpriority", "delay_days",
                                   list(qs))
+
+
+def pricing_charge_summary(sf_dir: str):
+    """TPC-H Q1's full measure set completed: per (returnflag, status)
+    the CHARGE aggregate Σ price·(1−disc)·(1+tax) alongside avg
+    quantities — pricing_summary's missing columns (avg_qty, avg_price,
+    avg_disc via floor(sum/n+0.5) micros division).  One combiner pass in
+    exact micros, a 6-row grid groupby.  Returns (l_returnflag,
+    l_linestatus, sum_charge, avg_qty, avg_price, avg_disc,
+    count_order)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        tax = np.asarray(b["l_tax"].to_pylist(), np.float64)
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_micros": pa.array(to_micros(b["l_quantity"].to_pylist()),
+                                   pa.int64()),
+            "price_micros": pa.array(to_micros(ext), pa.int64()),
+            "disc_micros": pa.array(to_micros(disc), pa.int64()),
+            "charge_micros": pa.array(
+                to_micros(ext * (1.0 - disc) * (1.0 + tax)), pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty_micros", alias_name="qm"),
+                      Sum("price_micros", alias_name="pm"),
+                      Sum("disc_micros", alias_name="dm"),
+                      Sum("charge_micros", alias_name="cm"),
+                      Count(alias_name="count_order")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["count_order"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        def avg(col):
+            s = b[col].combine_chunks().cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            return np.floor(s / n + 0.5) / 1e6
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_charge": pa.array(
+                b["cm"].combine_chunks().cast(pa.int64())
+                .to_numpy(zero_copy_only=False).astype(np.float64) / 1e6),
+            "avg_qty": pa.array(avg("qm"), pa.float64()),
+            "avg_price": pa.array(avg("pm"), pa.float64()),
+            "avg_disc": pa.array(avg("dm"), pa.float64()),
+            "count_order": b["count_order"].combine_chunks()
+                .cast(pa.int64())})
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -303,3 +303,26 @@ def test_shipping_delay_quantiles_matches_duckdb():
     con = _con()
     exp = _canon(con.sql(shipping_delay_quantiles_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_pricing_charge_matches_duckdb():
+    from deepkg_ray.oracle import pricing_charge_summary_oracle
+    from deepkg_ray.pipelines.relational import pricing_charge_summary
+    got = _canon(pricing_charge_summary(SF).to_pandas())
+    con = _con()
+    exp = _canon(con.sql(pricing_charge_summary_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_user_value_bands_matches_duckdb():
+    from deepkg_ray.oracle import user_value_bands_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+    got = _canon(grouped_quantiles_cont(
+        read_events(SF, ["user_id", "value"]), "user_id", "value",
+        [0.1, 0.9]).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    exp = _canon(con.sql(user_value_bands_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
