@@ -1060,8 +1060,11 @@ def returned_item_customers(sf_dir: str, k: int = 20):
         rev = b["rev_micros"].combine_chunks().cast(pa.int64()) \
             .to_numpy(zero_copy_only=False)
         if len(rev) > k:
-            idx = np.argpartition(-rev, k - 1)[:k]
-            b = b.take(pa.array(idx))
+            # over-keep ties: every row with rev >= the kth-largest value
+            # survives the block cut, so a tied row with a smaller custkey
+            # (global order: rev DESC, custkey ASC) is never lost here
+            kth = np.partition(rev, len(rev) - k)[len(rev) - k]
+            b = b.filter(pa.array(rev >= kth))
         return b
 
     # per-block partial top-k (combiner) then one tiny driver finish

@@ -137,6 +137,18 @@ def export_text_corpus(ds, path: str, text_col: str = "text"):
     return path
 
 
+def _unique_out_dir(tmp_root: str, sf_dir: str) -> str:
+    """Per-invocation output dir: two concurrent sessions over the same
+    sf_dir (bench.py + driver_sim) must never share a sink path — a fixed
+    path races (one reads a half-written / just-deleted directory)."""
+    import os
+    import uuid
+    return os.path.join(
+        tmp_root,
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}"
+        f"-{uuid.uuid4().hex[:8]}")
+
+
 def csv_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_csv"):
     """CSV sink + source demonstrated as a verified roundtrip: events
     project to (event_type, value micros), write a partitioned CSV
@@ -155,8 +167,7 @@ def csv_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_csv"):
 
     from deepkg_ray.functions.numeric import to_micros
 
-    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _unique_out_dir(tmp_root, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def proj(b: pa.Table) -> pa.Table:
@@ -173,13 +184,17 @@ def csv_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_csv"):
     agg = (back.groupby("event_type")
            .aggregate(Count(alias_name="n"),
                       Sum("vm", alias_name="sum_micros")))
-    return agg.map_batches(
+    # materialize the dictionary-sized result so the sink dir can be
+    # removed before returning (the returned Dataset must not read it)
+    out = agg.map_batches(
         lambda b: pa.table({
             "event_type": b["event_type"],
             "n": b["n"].combine_chunks().cast(pa.int64()),
             "sum_micros":
                 b["sum_micros"].combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").to_pandas()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rd.from_pandas(out)
 
 
 def json_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_jsonl"):
@@ -196,8 +211,7 @@ def json_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_jsonl"):
 
     from deepkg_ray.functions.numeric import to_micros
 
-    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _unique_out_dir(tmp_root, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def proj(b: pa.Table) -> pa.Table:
@@ -214,18 +228,21 @@ def json_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_jsonl"):
     agg = (back.groupby("event_type")
            .aggregate(Count(alias_name="n"),
                       Sum("vm", alias_name="sum_micros")))
-    return agg.map_batches(
+    out = agg.map_batches(
         lambda b: pa.table({
             "event_type": b["event_type"],
             "n": b["n"].combine_chunks().cast(pa.int64()),
             "sum_micros":
                 b["sum_micros"].combine_chunks().cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").to_pandas()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rd.from_pandas(out)
 
 
 def partitioned_prune_counts(sf_dir: str,
                              tmp_root: str = "/tmp/deepkg_part",
-                             keep_type: str = "purchase"):
+                             keep_type: str = "purchase",
+                             cleanup: bool = True):
     """Hive-partitioned sink + partition-PRUNED source: events write as a
     parquet directory partitioned by event_type (write_parquet
     partition_cols — the resumable-output layout the 100-TB posture
@@ -242,8 +259,7 @@ def partitioned_prune_counts(sf_dir: str,
 
     from deepkg_ray.functions.numeric import to_micros
 
-    out_dir = os.path.join(tmp_root, os.path.basename(sf_dir.rstrip("/")))
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _unique_out_dir(tmp_root, sf_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def proj(b: pa.Table) -> pa.Table:
@@ -263,8 +279,12 @@ def partitioned_prune_counts(sf_dir: str,
     # per-user combiner groupby (user-bounded), tiny driver fold
     agg = pruned.groupby("user_id").aggregate(
         Count(alias_name="c"), Sum("vm", alias_name="s"))
-    import pandas as pd
     df = agg.to_pandas()
+    if cleanup:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    else:
+        # layout-inspection mode (tests): leave the dir, report its path
+        partitioned_prune_counts.last_out_dir = out_dir
     return pa.table({
         "n": pa.array([int(df["c"].sum())], pa.int64()),
         "sum_micros": pa.array([int(df["s"].sum())], pa.int64()),

@@ -2172,7 +2172,8 @@ def degree_distribution(edges, src_col: str = "subj_id",
 
 def degree_assortativity(edges, src_col: str = "subj_id",
                          dst_col: str = "obj_id",
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         broadcast_max: int = 2_000_000):
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation of (deg u, deg v) over the bidirected edge list —
     positive = hubs attach to hubs, negative = hub-and-spoke.
@@ -2215,29 +2216,58 @@ def degree_assortativity(edges, src_col: str = "subj_id",
              .groupby(["a", "b"]).aggregate(Count(alias_name="_m"))
              .drop_columns(["_m"]))
 
-    assert deg.count() <= 2_000_000, \
-        "broadcast degree tier only (swap for hash joins beyond 2M nodes)"
-    dd = deg.to_pandas()
-    order = np.argsort(dd["node"].to_numpy(np.int64))
-    ref = ray.put((dd["node"].to_numpy(np.int64)[order],
-                   dd["degree"].to_numpy(np.int64)[order]))
+    if deg.count() <= broadcast_max:
+        # broadcast tier: degrees attach via ray.put'd sorted arrays
+        dd = deg.to_pandas()
+        order = np.argsort(dd["node"].to_numpy(np.int64))
+        ref = ray.put((dd["node"].to_numpy(np.int64)[order],
+                       dd["degree"].to_numpy(np.int64)[order]))
 
-    def moments(b: pa.Table) -> pa.Table:
-        nodes, degs = ray.get(ref)
-        x = degs[np.searchsorted(nodes, b["a"].to_numpy(
-            zero_copy_only=False))]
-        y = degs[np.searchsorted(nodes, b["b"].to_numpy(
-            zero_copy_only=False))]
-        return pa.table({
-            "m": pa.array([len(x)], pa.int64()),
-            "sx": pa.array([int(x.sum())], pa.int64()),
-            "sy": pa.array([int(y.sum())], pa.int64()),
-            "sxy": pa.array([int((x * y).sum())], pa.int64()),
-            "sxx": pa.array([int((x * x).sum())], pa.int64()),
-            "syy": pa.array([int((y * y).sum())], pa.int64())})
+        def moments(b: pa.Table) -> pa.Table:
+            nodes, degs = ray.get(ref)
+            x = degs[np.searchsorted(nodes, b["a"].to_numpy(
+                zero_copy_only=False))]
+            y = degs[np.searchsorted(nodes, b["b"].to_numpy(
+                zero_copy_only=False))]
+            return pa.table({
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64())})
 
-    agg = drop_empty_blocks(bidir).map_batches(
-        moments, batch_format="pyarrow").aggregate(
+        withdeg = drop_empty_blocks(bidir).map_batches(
+            moments, batch_format="pyarrow")
+    else:
+        # distributed tier: two hash joins attach (deg a, deg b) — the
+        # link_prediction_scores join shape, no driver materialization
+        dega = deg.map_batches(lambda t: t.rename_columns(["node", "dx"]),
+                               batch_format="pyarrow")
+        degb = deg.map_batches(lambda t: t.rename_columns(["nodeb", "dy"]),
+                               batch_format="pyarrow")
+        j = drop_empty_blocks(bidir).join(
+            drop_empty_blocks(dega), join_type="inner",
+            num_partitions=num_partitions, on=("a",), right_on=("node",))
+        j = drop_empty_blocks(j).join(
+            drop_empty_blocks(degb), join_type="inner",
+            num_partitions=num_partitions, on=("b",), right_on=("nodeb",))
+
+        def moments_j(b: pa.Table) -> pa.Table:
+            x = b["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "m": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+        withdeg = drop_empty_blocks(j).map_batches(
+            moments_j, batch_format="pyarrow")
+
+    agg = withdeg.aggregate(
         Sum("m", alias_name="m"), Sum("sx", alias_name="sx"),
         Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
         Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))

@@ -51,15 +51,28 @@ def _assign(vm: np.ndarray, cm: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def _init_centroids(ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
-    """Rows with the k smallest ids, ordered by id — via a per-batch
-    partial top-k (each batch forwards ≤ k rows)."""
+def _init_centroids(ds, k: int, id_col: str, vec_col: str,
+                    fanout: int = 8) -> np.ndarray:
+    """Rows with the k smallest ids, ordered by id — per-batch partial
+    top-k (each batch forwards ≤ k rows), then a two-level merge tree so
+    the driver materializes exactly k rows (never k × n_blocks)."""
     def partial(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
         sel = np.argsort(ids, kind="stable")[:k]
         return b.select([id_col, vec_col]).take(pa.array(sel))
 
-    small = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(id_col, kind="stable").head(k)
+
+    from deepkg_ray.util import tiny_task_cpus
+    tc = tiny_task_cpus()
+    kw = {"num_cpus": tc} if tc else {}
+    small = (ds.map_batches(partial, batch_format="pyarrow")
+             .repartition(fanout)
+             .map_batches(topk, batch_format="pandas", batch_size=None, **kw)
+             .repartition(1)
+             .map_batches(topk, batch_format="pandas", batch_size=None, **kw)
+             .to_pandas())
     small = small.sort_values(id_col, kind="stable").head(k)
     return micros_matrix(np.stack(small[vec_col].to_numpy()))
 
@@ -67,8 +80,18 @@ def _init_centroids(ds, k: int, id_col: str, vec_col: str) -> np.ndarray:
 def kmeans_fit(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding") -> np.ndarray:
     """Run `iters` Lloyd iterations; returns the (k, d) micros centroid
-    matrix.  Each iteration is one streaming pass emitting k×d partials."""
+    matrix.  Each iteration is one streaming pass emitting (cluster, dim)
+    cell partials, folded through treeagg.merge_partials — the driver
+    materializes exactly k×d rows per iteration (a few KiB), never a
+    block-count-shaped table.  Cell sums are integer-valued float64
+    (exact while cluster_size × 1e6 × |x| < 2^53), so the tree merge is
+    order-independent — same plan as stages/similarity.embedding_gram."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
     cm = _init_centroids(ds, k, id_col, vec_col)
+    d = cm.shape[1]
+    cell_cluster = np.repeat(np.arange(k, dtype=np.int64), d)
+    cell_dim = np.tile(np.arange(d, dtype=np.int64), k)
 
     for _ in range(iters):
         ref = ray.put(cm)
@@ -81,15 +104,18 @@ def kmeans_fit(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
             sums = onehot.astype(np.float64).T @ vm          # (k, d) exact
             cnts = onehot.sum(axis=0).astype(np.int64)
             return pa.table({
-                "cluster": pa.array(np.arange(c.shape[0], dtype=np.int64)),
-                "cnt": pa.array(cnts),
-                "sums": pa.array(list(sums)),
+                "cluster": pa.array(cell_cluster),
+                "dim": pa.array(cell_dim),
+                "v": pa.array(sums.ravel()),
+                "cnt": pa.array(np.repeat(cnts, d)),
             })
 
-        p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-        g = p.groupby("cluster", sort=True)
-        cnts = g["cnt"].sum().to_numpy()
-        sums = np.stack(g["sums"].apply(lambda ls: np.sum(np.stack(ls), axis=0)))
+        cells = ds.map_batches(partials, batch_format="pyarrow")
+        p = merge_partials(cells, ["cluster", "dim"],
+                           {"v": "sum", "cnt": "sum"}).to_pandas()
+        p = p.sort_values(["cluster", "dim"], kind="stable")
+        sums = p["v"].to_numpy(np.float64).reshape(k, d)
+        cnts = p["cnt"].to_numpy(np.int64).reshape(k, d)[:, 0]
         new = cm.copy()
         nz = cnts > 0
         new[nz] = np.floor(sums[nz] / cnts[nz, None])

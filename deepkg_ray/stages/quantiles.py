@@ -382,8 +382,10 @@ def grouped_iqr_outliers(ds, group_col: str = "event_type",
 
     def fences(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vm", kind="stable")
-        assert int(np.abs(g["vm"].to_numpy(np.int64)).max()) < 4_600_000_000_000, \
-            "grouped_iqr_outliers requires |value| < 4.6e5 (int64 fence space)"
+        # fences are |2*q - 3*iqr| <= 8 * max|vm| * 1e6, so int64 safety
+        # needs max|vm| < 2^63 / 8e6 ~= 1.15e12 micros (|value| < ~1.15e6)
+        assert int(np.abs(g["vm"].to_numpy(np.int64)).max()) < 10 ** 12, \
+            "grouped_iqr_outliers requires |value| < 1e6 (int64 fence space)"
         q1s, q3s = pick_q_s(g, 0.25), pick_q_s(g, 0.75)
         iqr = q3s - q1s
         return pd.DataFrame({group_col: [g[group_col].iloc[0]],

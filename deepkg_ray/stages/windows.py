@@ -1189,6 +1189,11 @@ def timed_conversions(ds, first_type: str = "view",
         t = np.asarray(g["t"].to_numpy(), object)
         tmin = ts.min() if len(ts) else np.int64(0)
         span = np.int64(ts.max() - tmin + win_us + 2) if len(ts) else np.int64(1)
+        # the (user, ts) packing must fit int64 or searchsorted containment
+        # silently wraps — fail loudly, mirroring the graph PACK asserts
+        assert int(len(users)) * int(span) < 2 ** 63, (
+            "timed_conversions: users*span overflows int64 "
+            f"({len(users)} users x span {int(span)} us)")
         key = uidx.astype(np.int64) * span + (ts - tmin)
 
         vkey = np.sort(key[t == first_type])

@@ -517,6 +517,22 @@ def test_assortativity_star_is_negative():
     assert abs(out["r"].item() + 1.0) < 1e-9
 
 
+def test_assortativity_tiers_agree():
+    """The distributed two-hash-join tier (forced via broadcast_max=0)
+    must produce the same exact moments and r as the broadcast tier."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.graph import degree_assortativity
+    rng = __import__("numpy").random.default_rng(7)
+    e = pd.DataFrame({"subj_id": rng.integers(0, 40, 300),
+                      "obj_id": rng.integers(0, 40, 300)})
+    a = degree_assortativity(rd.from_pandas(e)).to_pandas()
+    b = degree_assortativity(rd.from_pandas(e),
+                             broadcast_max=0).to_pandas()
+    assert a["m"].item() == b["m"].item()
+    assert a["r"].item() == b["r"].item()
+
+
 def test_assortativity_cycle_is_degenerate_zero():
     """A cycle has constant degree → zero variance → r reported as 0."""
     import pandas as pd

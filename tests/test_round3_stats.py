@@ -555,17 +555,19 @@ def test_partitioned_prune_counts_matches_filtered_base():
     from deepkg_ray.oracle import partitioned_prune_counts_oracle
     from deepkg_ray.sources.readers import partitioned_prune_counts
     got = _canon(partitioned_prune_counts(
-        SF, tmp_root="/tmp/deepkg_part_test").to_pandas())
+        SF, tmp_root="/tmp/deepkg_part_test", cleanup=False).to_pandas())
     con = _events_con()
     exp = _canon(con.sql(partitioned_prune_counts_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
     # the partitioned layout really exists, one dir per type
     import os
-    base = "/tmp/deepkg_part_test/sf0.001"
+    import shutil
+    base = partitioned_prune_counts.last_out_dir
     assert sorted(d for d in os.listdir(base)
                   if d.startswith("event_type=")) == [
         f"event_type={t}" for t in
         ["click", "error", "purchase", "signup", "view"]]
+    shutil.rmtree(base, ignore_errors=True)
 
 
 def test_embedding_dim_stats_golden():
