@@ -172,9 +172,21 @@ class TrainedSeq2SEL:
     tokenizer's closed task vocabulary)."""
 
     def __init__(self, ckpt_path: str, text_col: str = "sent",
-                 enc_len: int = 12, max_length: int = 26):
+                 enc_len: int = 12, max_length: int = 26,
+                 dtype: str = "float32"):
         from deepkg_ray.stages.seq2seq import load_checkpoint
         self.model, self.tok, self.meta = load_checkpoint(ckpt_path)
+        if dtype == "float32":
+            # inference-only downcast: halves the matmul bandwidth of the
+            # decode loop.  Deterministic (float32 math is), and safe here
+            # because every consumer of this tier is accuracy-asserted
+            # (trained_extraction_metrics raises below P/R 95) — pass
+            # dtype="float64" to reproduce the training-precision logits.
+            import numpy as np
+            for p in self.model.param_names():
+                setattr(self.model, p,
+                        getattr(self.model, p).astype(np.float32))
+        self.model.freeze_for_inference()
         self.text_col = text_col
         self.enc_len = enc_len
         self.max_length = max_length
@@ -183,8 +195,14 @@ class TrainedSeq2SEL:
         texts = batch[self.text_col].to_pylist()
         ids = self.tok.encode_batch(texts, max_len=self.enc_len,
                                     drop_oov=True)
-        gen = self.model.generate(ids, max_length=self.max_length)
-        sels = [self.tok.decode(row) for row in gen]
+        # decode in ~1k-row chunks regardless of the caller's batch size:
+        # the per-step K/V working set then stays cache-resident (measured
+        # ~1.5-5x over one huge call; outputs are row-independent)
+        sels: list[str] = []
+        for i in range(0, len(ids), 1024):
+            gen = self.model.generate(ids[i:i + 1024],
+                                      max_length=self.max_length)
+            sels.extend(self.tok.decode(row) for row in gen)
         return batch.append_column("pred_sel", pa.array(sels, pa.string()))
 
 
@@ -261,28 +279,89 @@ def _norm_split(batch: pa.Table) -> pa.Table:
     return split_sentences(add_text_norm(batch))
 
 
-def trained_triples(sf_dir: str, *, concurrency=None):
+def trained_triples(sf_dir: str, *, concurrency=None,
+                    dedup_sentences: bool = True,
+                    num_partitions: int | None = None):
     """transcripts → sentence explode → TRAINED generator (worker-cached
     task pool: the checkpoint loads once per worker process, util.py
     stateful_map) → Sel2RecordKernel → surface-triple rows.  The model path
     of triples_via_sel: same parse, but pred_sel comes from a genuinely
-    trained neural generate loop."""
+    trained neural generate loop.
+
+    ``dedup_sentences`` (default): identical sentences are generated ONCE —
+    hash(sentence) → groupby-first over the hash → generate + parse the
+    unique set → hash-join the records back onto the (conv_id, turn_idx)
+    occurrences.  Exactly the dedup_exact plan; the neural decode (the one
+    compute-bound stage in the engine) runs on distinct inputs only.  The
+    64-bit key is pandas siphash13 (functions/hashing.stable_hash64_batch);
+    at n distinct sentences the collision odds are ~n²/2⁶⁵ (negligible
+    below ~10⁹ distinct), and a collision can only drop/duplicate records
+    for the colliding pair — the accuracy assertion downstream would trip."""
+    from deepkg_ray.functions.hashing import stable_hash64_batch
     from deepkg_ray.util import stateful_map
+
     ckpt = ensure_trained_checkpoint(sf_dir)
     ds = read_transcripts(synth.transcripts_path(sf_dir),
                           columns=["conv_id", "turn_idx", "text"])
     sents = ds.map_batches(_norm_split, batch_format="pyarrow",
                            batch_size=8192)
-    sel = stateful_map(sents, TrainedSeq2SEL, {"ckpt_path": ckpt},
-                       concurrency=concurrency, batch_size=2048)
     asoc_types = {p for p, _, _, _ in RELATION_TEMPLATES}
-    return stateful_map(sel, Sel2RecordKernel,
-                        {"entity_types": set(ENTITY_TYPES),
-                         "event_types": set(),
-                         "asoc_types": asoc_types,
-                         "sel_col": "pred_sel",
-                         "text_col": "sent"},
-                        concurrency=concurrency, batch_size=2048)
+    parse_kwargs = {"entity_types": set(ENTITY_TYPES),
+                    "event_types": set(),
+                    "asoc_types": asoc_types,
+                    "sel_col": "pred_sel",
+                    "text_col": "sent"}
+
+    if not dedup_sentences:
+        sel = stateful_map(sents, TrainedSeq2SEL, {"ckpt_path": ckpt},
+                           concurrency=concurrency, batch_size=2048)
+        return stateful_map(sel, Sel2RecordKernel, parse_kwargs,
+                            concurrency=concurrency, batch_size=2048)
+
+    import numpy as np
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["sent"].to_pylist()).view(np.int64)
+        return b.append_column("sk", pa.array(h, pa.int64()))
+
+    # materialize once: BOTH branches (occurrence side of the join, unique
+    # side of the merge tree) consume keyed — lazy would re-read +
+    # re-normalize + re-split the corpus twice.  Narrow rows (two ints, a
+    # hash, one sentence), object-store resident.
+    keyed = sents.map_batches(add_key, batch_format="pyarrow",
+                              batch_size=8192).materialize()
+    # unique sentences: per-batch local dedup (cheap combiner) then the
+    # cardinality-auto merge tree ('first' — all sents under one sk are
+    # identical, so the pick is representative, not a choice); tree while
+    # the distinct set fits one task, Ray groupby beyond
+    def local_uniq(b: pa.Table) -> pa.Table:
+        _, idx = np.unique(b["sk"].to_numpy(zero_copy_only=False),
+                           return_index=True)
+        return b.select(["sk", "sent"]).take(pa.array(idx))
+
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    uniq = merge_partials(
+        keyed.map_batches(local_uniq, batch_format="pyarrow",
+                          batch_size=8192),
+        ["sk"], {"sent": "first"}, mode="auto")
+    # the merge tree finishes in one block — spread the unique set back
+    # out so the compute-bound generate stage parallelizes across the
+    # WHOLE pool (2 blocks per CPU: decode is the engine's one
+    # compute-bound stage, stragglers matter)
+    from deepkg_ray.util import cluster_cpus
+    uniq = uniq.repartition(max(num_partitions, 2 * cluster_cpus()))
+    sel = stateful_map(uniq, TrainedSeq2SEL, {"ckpt_path": ckpt},
+                       concurrency=concurrency, batch_size=2048)
+    records = stateful_map(sel, Sel2RecordKernel, parse_kwargs,
+                           concurrency=concurrency, batch_size=2048)
+    occ = keyed.drop_columns(["sent"])
+    joined = occ.join(records, join_type="inner",
+                      num_partitions=num_partitions, on=("sk",))
+    return joined.drop_columns(["sk"])
 
 
 def trained_extraction_metrics(sf_dir: str, *, assert_prf: float = 95.0):

@@ -158,56 +158,110 @@ class TinySeq2Seq:
             names += ["Penc", "W_q", "W_k", "W_v"]
         return names
 
+    def freeze_for_inference(self):
+        """Precompute inference lookup tables (call once after training /
+        checkpoint load; weights must not change afterwards).  All three
+        rewrites are exact because the pad mask is 0/1:
+
+        - (E @ W_dec)[prev]           == E[prev] @ W_dec   (same dots)
+        - (E @ W_v)[ids] * mask       == (E[ids] * mask) @ W_v
+        - ((E[v]+Penc[l]) @ W_k)·mask == ((E[ids]+Penc)·mask) @ W_k
+
+        so the encoder's two [B·L,d]@[d,d] gemms and the decoder's
+        per-step [A,d]@[d,d] gemm all become row gathers from tables of
+        size O(V·d) / O(Lenc·V·d) — the schema vocabulary V is tiny."""
+        self._EWdec = self.E @ self.W_dec
+        self._EWdec2 = self.E @ self.W_dec2 if self.order2 else None
+        if self.attn:
+            Lp, d = self.Penc.shape
+            Vn = self.E.shape[0]
+            kin = (self.E[None, :, :]
+                   + self.Penc[:, None, :]).reshape(Lp * Vn, d)
+            self._KT = (kin @ self.W_k).reshape(Lp, Vn, d)
+            self._EWv = self.E @ self.W_v
+        self._frozen = True
+        return self
+
     def _encode_src(self, input_ids: np.ndarray):
         """Shared encoder forward: (mask[B,L,1], token embs, mean ctx@U,
         attention keys/values or None)."""
-        mask = (input_ids != self.pad_id).astype(np.float64)[:, :, None]
+        mask = (input_ids != self.pad_id).astype(self.E.dtype)[:, :, None]
         emb = self.E[input_ids] * mask
         denom = np.maximum(mask.sum(axis=1), 1.0)
         ctx = np.tanh((emb.sum(axis=1) / denom) @ self.W_enc)       # [B, d]
         ctx_u = ctx @ self.U
         K = V = None
         if self.attn:
-            L = input_ids.shape[1]
-            K = (emb + self.Penc[:L][None, :, :] * mask) @ self.W_k
-            V = emb @ self.W_v
+            B, L = input_ids.shape
+            d = self.d_model
+            if getattr(self, "_frozen", False):
+                pos = np.arange(L)[None, :]
+                K = self._KT[pos, input_ids] * mask
+                V = self._EWv[input_ids] * mask
+            else:
+                # flatten the [B,L,d]@[d,d] to ONE [B·L,d]@[d,d] gemm
+                # (numpy otherwise dispatches B tiny per-item gemms)
+                kin = emb + self.Penc[:L][None, :, :] * mask
+                K = (kin.reshape(B * L, d) @ self.W_k).reshape(B, L, d)
+                V = (emb.reshape(B * L, d) @ self.W_v).reshape(B, L, d)
         return mask, emb, denom, ctx, ctx_u, K, V
 
     def generate(self, input_ids: np.ndarray, max_length: int = 48) -> np.ndarray:
         """Greedy batch decode → id matrix [B, max_length] (pad-filled after
-        each row's EOS)."""
+        each row's EOS).
+
+        Active-row compaction: rows that have emitted EOS are dropped from
+        the working set each step (their remaining output is pad by
+        definition), so per-step cost tracks the number of still-decoding
+        sequences instead of the full batch — exact, same outputs."""
         B = input_ids.shape[0]
         mask, _emb, _den, _ctx, ctx_u, K, V = self._encode_src(input_ids)
         neg = (1.0 - mask[:, :, 0]) * -1e9                          # [B, L]
         scale = 1.0 / np.sqrt(self.d_model)
-        prev = np.full(B, self.pad_id, dtype=np.int64)              # decoder start
-        prev2 = np.full(B, self.pad_id, dtype=np.int64)
-        done = np.zeros(B, dtype=bool)
         out = np.full((B, max_length), self.pad_id, dtype=np.int64)
+        alive = np.arange(B)                         # row ids still decoding
+        prev = np.full(B, self.pad_id, dtype=np.int64)   # decoder start
+        prev2 = np.full(B, self.pad_id, dtype=np.int64)
+        # E[prev] @ W_dec == (E @ W_dec)[prev] elementwise (identical dot
+        # products), so the per-step [B,d]@[d,d] matmul becomes a V×d
+        # table lookup — V is tiny (schema vocab); the table is cached by
+        # freeze_for_inference, else costs one [V,d]@[d,d] per call
+        if getattr(self, "_frozen", False):
+            EW, EW2 = self._EWdec, self._EWdec2
+        else:
+            EW = self.E @ self.W_dec
+            EW2 = self.E @ self.W_dec2 if self.order2 else None
         for t in range(max_length):
-            pre = self.E[prev] @ self.W_dec + ctx_u + self.b
+            pre = EW[prev] + ctx_u + self.b
             if self.order2:
-                pre = pre + self.E[prev2] @ self.W_dec2
+                pre = pre + EW2[prev2]
             if self.pos_emb:
                 pre = pre + self.P[min(t, self.pos_emb - 1)]
             h = np.tanh(pre)
             o = h
             if self.attn:
-                q = h @ self.W_q                                    # [B, d]
+                q = h @ self.W_q                                    # [A, d]
                 sc = np.einsum("bd,bld->bl", q, K) * scale + neg
                 sc -= sc.max(axis=1, keepdims=True)
                 a = np.exp(sc)
                 a /= a.sum(axis=1, keepdims=True)
                 o = h + np.einsum("bl,bld->bd", a, V)
-            logits = o @ self.E.T                                   # [B, V]
+            logits = o @ self.E.T                                   # [A, V]
             nxt = np.argmax(logits, axis=1)
-            nxt = np.where(done, self.pad_id, nxt)
-            out[:, t] = nxt
-            done |= nxt == self.eos_id
-            if done.all():
-                break
-            prev2 = prev
-            prev = nxt
+            out[alive, t] = nxt
+            live = nxt != self.eos_id
+            if not live.all():
+                alive = alive[live]
+                if not len(alive):
+                    break
+                ctx_u = ctx_u[live]
+                if self.attn:
+                    K, V, neg = K[live], V[live], neg[live]
+                prev2 = prev[live]
+                prev = nxt[live]
+            else:
+                prev2 = prev
+                prev = nxt
         return out
 
 
