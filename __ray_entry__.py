@@ -266,14 +266,37 @@ def _q_containment_pairs(sf_dir: str):
                              threshold=0.5)
 
 
+def _explode_feature_cols(ds):
+    """features list<float> column → round6 float64 columns f00..f15 (the
+    golden-oracle compare layout, stages/multimodal.FEAT_COLS)."""
+    import numpy as np
+    import pyarrow as pa
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.multimodal import FEAT_COLS
+
+    def explode(b: pa.Table) -> pa.Table:
+        lst = b["features"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        m = round6(np.stack(lst.to_numpy(zero_copy_only=False))
+                   .astype(np.float64))
+        b = b.drop_columns(["features"])
+        for j, c in enumerate(FEAT_COLS):
+            b = b.append_column(c, pa.array(m[:, j], pa.float64()))
+        return b
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_video_frame_sample(sf_dir: str):
     """Frame sampling over raw concatenated-PPM video payloads: decode
-    every 4th frame only (rows-only: binary-derived)."""
+    every 4th frame only.  Value-checked against the construction gold
+    (multimodal.video_frames_gold — raw frames, no payload walk)."""
     import ray.data as rd
     from deepkg_ray.stages.multimodal import (sample_video_frames,
                                               synth_video_table)
-    return (sample_video_frames(rd.from_arrow(synth_video_table(n=16)))
-            .drop_columns(["features"]))
+    return _explode_feature_cols(
+        sample_video_frames(rd.from_arrow(synth_video_table(n=16))))
 
 
 def _q_packing_stats(sf_dir: str):
@@ -577,13 +600,14 @@ def _q_bm25_topn(sf_dir: str):
 def _q_multimodal_features(sf_dir: str):
     """REAL decode over valid encoded payloads (P6 PPM images, PCM16 WAV
     audio — parsed with numpy, no codec libs): decode → resize → feature
-    extraction through the actor pool (rows-only: features are binary-
-    derived floats, not SQL-derivable)."""
+    extraction through the actor pool.  Value-checked against the
+    construction gold (multimodal.media_features_gold — features computed
+    from the raw arrays, never through the codec)."""
     import ray.data as rd
     from deepkg_ray.stages.multimodal import (RealDecoder, decode_features,
                                               synth_real_media_table)
     ds = rd.from_arrow(synth_real_media_table(n=256))
-    return decode_features(ds, decoder=RealDecoder).drop_columns(["features"])
+    return _explode_feature_cols(decode_features(ds, decoder=RealDecoder))
 
 
 def _q_frequent_phrases(sf_dir: str):
@@ -2883,10 +2907,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),
         "dedup_simhash": oracle.dedup_simhash_oracle(),
         "dedup_minhash": oracle.dedup_minhash_oracle(),
-        # rows-only (no SQL): video_frame_sample (binary-derived),
-        # linking_candidates (BM25 float tier; bm25_topn
-        # is the SQL-checked tier), multimodal_features (stubbed codec
-        # boundary), uie_model_generate (neural generation),
-        # uie_trained_extract (trained-model scoring, accuracy-asserted
-        # in-query instead)
+        "multimodal_features": oracle.multimodal_features_oracle(),
+        "video_frame_sample": oracle.video_frame_sample_oracle(),
+        # rows-only (no SQL): linking_candidates (BM25 float tier;
+        # bm25_topn is the SQL-checked tier), uie_model_generate (neural
+        # generation), uie_trained_extract (trained-model scoring,
+        # accuracy-asserted in-query instead)
     }

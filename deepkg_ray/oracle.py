@@ -929,6 +929,24 @@ def ck_tokens_oracle(sf_dir: str) -> str:
             f"safe FROM read_parquet('{gold}')")
 
 
+def multimodal_features_oracle() -> str:
+    """decode_features(RealDecoder) must reproduce the construction-gold
+    features (multimodal.media_features_gold: same feature math over the
+    RAW pixel/sample arrays, never through encode/decode — so the codec
+    path and distributed plumbing are what this checks)."""
+    from deepkg_ray.stages.multimodal import media_gold_paths
+    fpath, _ = media_gold_paths()
+    return f"SELECT * FROM read_parquet('{fpath}')"
+
+
+def video_frame_sample_oracle() -> str:
+    """sample_video_frames (stride-4 decode of the concatenated-P6 walk)
+    must reproduce the construction gold computed from the raw frames."""
+    from deepkg_ray.stages.multimodal import media_gold_paths
+    _, vpath = media_gold_paths()
+    return f"SELECT * FROM read_parquet('{vpath}')"
+
+
 def hopping_window_oracle(window_sec: int = 300, hop_sec: int = 60) -> str:
     """Each event lands in exactly window/hop hopping windows with starts
     (floor(us/hop) - i)·hop, i ∈ [0, window/hop) — the same closed form

@@ -172,15 +172,14 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return img[ri][:, ci]
 
 
-def synth_real_media_table(n: int = 64, seed: int = 5) -> pa.Table:
-    """Media rows whose payloads are VALID encoded formats: gradient-
-    pattern P6 PPM images and sine-wave PCM16 WAVs — the real-decode tier's
-    test corpus (no codec libs needed to produce or parse them)."""
+def _real_media_items(n: int = 64, seed: int = 5) -> list[dict]:
+    """The one in-memory corpus behind BOTH the encoded media table and
+    the construction-gold features (ck_tokens convention): each item keeps
+    its raw pixel/sample array alongside the encoded payload."""
     rng = np.random.default_rng(seed)
-    ids, types, payloads, w_, h_, sr = [], [], [], [], [], []
+    items = []
     for i in range(n):
         is_img = i % 2 == 0
-        ids.append(i)
         if is_img:
             w = int(rng.integers(8, 48))
             h = int(rng.integers(8, 48))
@@ -189,30 +188,70 @@ def synth_real_media_table(n: int = 64, seed: int = 5) -> pa.Table:
                            (yy * 255 // max(h - 1, 1)),
                            np.full((h, w), int(rng.integers(0, 256)))],
                           axis=-1).astype(np.uint8)
-            payloads.append(encode_ppm(px))
-            types.append("image")
-            w_.append(w)
-            h_.append(h)
-            sr.append(0)
+            items.append({"media_id": i, "media_type": "image",
+                          "payload": encode_ppm(px), "raw": px,
+                          "meta_width": w, "meta_height": h,
+                          "meta_sample_rate": 0})
         else:
             rate = 16000
             dur = int(rng.integers(400, 1600))
             freq = float(rng.integers(100, 2000))
             t = np.arange(dur, dtype=np.float64) / rate
             s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
-            payloads.append(encode_wav(s, rate))
-            types.append("audio")
-            w_.append(0)
-            h_.append(0)
-            sr.append(rate)
+            items.append({"media_id": i, "media_type": "audio",
+                          "payload": encode_wav(s, rate), "raw": s,
+                          "meta_width": 0, "meta_height": 0,
+                          "meta_sample_rate": rate})
+    return items
+
+
+def synth_real_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Media rows whose payloads are VALID encoded formats: gradient-
+    pattern P6 PPM images and sine-wave PCM16 WAVs — the real-decode tier's
+    test corpus (no codec libs needed to produce or parse them)."""
+    items = _real_media_items(n, seed)
     return pa.table({
-        "media_id": pa.array(ids, pa.int64()),
-        "media_type": pa.array(types, pa.string()),
-        "payload": pa.array(payloads, pa.binary()),
-        "meta_width": pa.array(w_, pa.int32()),
-        "meta_height": pa.array(h_, pa.int32()),
-        "meta_sample_rate": pa.array(sr, pa.int32()),
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "media_type": pa.array([d["media_type"] for d in items], pa.string()),
+        "payload": pa.array([d["payload"] for d in items], pa.binary()),
+        "meta_width": pa.array([d["meta_width"] for d in items], pa.int32()),
+        "meta_height": pa.array([d["meta_height"] for d in items], pa.int32()),
+        "meta_sample_rate": pa.array([d["meta_sample_rate"] for d in items],
+                                     pa.int32()),
     }, schema=MEDIA_SCHEMA)
+
+
+def image_features_from_pixels(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → 16-dim features (per-channel mean/std of the
+    16×16 nearest-neighbor resize + 10-bin grayscale histogram).  Shared
+    by the decode tier AND the construction-gold generator — the parity
+    the golden oracle checks is the encode→decode→distribute path, the
+    ck_tokens convention (one in-memory corpus, two routes to the rows)."""
+    small = resize_nearest(px, 16, 16).astype(np.float32) / 255.0
+    mean = small.mean(axis=(0, 1))
+    std = small.std(axis=(0, 1))
+    gray = small.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / gray.size
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+def audio_features_from_samples(s: np.ndarray) -> np.ndarray:
+    """int16 mono samples → 16-dim features (RMS, ZCR, peak + 13
+    log-spaced rFFT band energy fractions).  See image_features_from_pixels
+    for the shared-math golden-oracle convention."""
+    x = s.astype(np.float32) / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+    peak = float(np.max(np.abs(x))) if len(x) else 0.0
+    spec = np.abs(np.fft.rfft(x))
+    edges = np.unique(np.geomspace(1, max(len(spec) - 1, 2),
+                                   num=14).astype(np.int64))
+    bands = np.zeros(13, dtype=np.float32)
+    total = spec.sum() or 1.0
+    for b in range(min(13, len(edges) - 1)):
+        bands[b] = spec[edges[b]:edges[b + 1]].sum() / total
+    return np.concatenate([[rms, zcr, peak], bands]).astype(np.float32)
 
 
 class RealDecoder:
@@ -230,29 +269,11 @@ class RealDecoder:
         self.feat_dim = feat_dim
 
     def _image_features(self, payload: bytes) -> np.ndarray:
-        px = decode_ppm(payload)
-        small = resize_nearest(px, 16, 16).astype(np.float32) / 255.0
-        mean = small.mean(axis=(0, 1))
-        std = small.std(axis=(0, 1))
-        gray = small.mean(axis=2)
-        hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
-        hist = hist.astype(np.float32) / gray.size
-        return np.concatenate([mean, std, hist]).astype(np.float32)
+        return image_features_from_pixels(decode_ppm(payload))
 
     def _audio_features(self, payload: bytes) -> np.ndarray:
-        s, rate = decode_wav(payload)
-        x = s.astype(np.float32) / 32768.0
-        rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
-        zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
-        peak = float(np.max(np.abs(x))) if len(x) else 0.0
-        spec = np.abs(np.fft.rfft(x))
-        edges = np.unique(np.geomspace(1, max(len(spec) - 1, 2),
-                                       num=14).astype(np.int64))
-        bands = np.zeros(13, dtype=np.float32)
-        total = spec.sum() or 1.0
-        for b in range(min(13, len(edges) - 1)):
-            bands[b] = spec[edges[b]:edges[b + 1]].sum() / total
-        return np.concatenate([[rms, zcr, peak], bands]).astype(np.float32)
+        s, _rate = decode_wav(payload)
+        return audio_features_from_samples(s)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, sizes = [], []
@@ -343,10 +364,11 @@ def sample_video_frames(ds, *, stride: int = 4, concurrency=(1, 4),
                           concurrency=concurrency)
 
 
-def synth_video_table(n: int = 8, seed: int = 9) -> pa.Table:
-    """Video rows: concatenated-P6 payloads of 6-16 gradient frames."""
+def _video_items(n: int = 8, seed: int = 9) -> list[dict]:
+    """In-memory video corpus (raw frames + encoded payload) — see
+    _real_media_items."""
     rng = np.random.default_rng(seed)
-    ids, payloads, counts = [], [], []
+    items = []
     for i in range(n):
         k = int(rng.integers(6, 17))
         w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
@@ -357,9 +379,97 @@ def synth_video_table(n: int = 8, seed: int = 9) -> pa.Table:
                 [(xx * 255 // max(w - 1, 1)),
                  np.full((h, w), (f * 255) // max(k - 1, 1)),
                  (yy * 255 // max(h - 1, 1))], axis=-1).astype(np.uint8))
-        ids.append(i)
-        payloads.append(encode_ppm_video(frames))
-        counts.append(k)
-    return pa.table({"media_id": pa.array(ids, pa.int64()),
-                     "payload": pa.array(payloads, pa.binary()),
-                     "n_frames_true": pa.array(counts, pa.int64())})
+        items.append({"media_id": i, "frames": frames,
+                      "payload": encode_ppm_video(frames)})
+    return items
+
+
+def synth_video_table(n: int = 8, seed: int = 9) -> pa.Table:
+    """Video rows: concatenated-P6 payloads of 6-16 gradient frames."""
+    items = _video_items(n, seed)
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "payload": pa.array([d["payload"] for d in items], pa.binary()),
+        "n_frames_true": pa.array([len(d["frames"]) for d in items],
+                                  pa.int64())})
+
+
+# ------------------------------------------------- construction golds ------
+
+FEAT_COLS = [f"f{i:02d}" for i in range(16)]
+
+
+def _feat_columns(feats: list[np.ndarray]) -> dict:
+    """16-dim feature vectors → round6 float64 columns f00..f15 (the
+    driver-hash float convention, functions/numeric.round6)."""
+    from deepkg_ray.functions.numeric import round6
+    m = round6(np.stack(feats).astype(np.float64))
+    return {c: pa.array(m[:, j], pa.float64())
+            for j, c in enumerate(FEAT_COLS)}
+
+
+def media_features_gold(n: int = 64, seed: int = 5) -> pa.Table:
+    """Expected decode_features(RealDecoder) output, computed from the RAW
+    construction arrays (never through encode/decode bytes) — what the
+    golden oracle reads.  A decode/codec/plumbing bug shows up as an
+    engine/gold mismatch."""
+    items = _real_media_items(n, seed)
+    feats = [image_features_from_pixels(d["raw"])
+             if d["media_type"] == "image"
+             else audio_features_from_samples(d["raw"]) for d in items]
+    cols = {
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "media_type": pa.array([d["media_type"] for d in items], pa.string()),
+        "meta_width": pa.array([d["meta_width"] for d in items], pa.int32()),
+        "meta_height": pa.array([d["meta_height"] for d in items], pa.int32()),
+        "meta_sample_rate": pa.array([d["meta_sample_rate"] for d in items],
+                                     pa.int32()),
+        "payload_bytes": pa.array([len(d["payload"]) for d in items],
+                                  pa.int64()),
+    }
+    cols.update(_feat_columns(feats))
+    return pa.table(cols)
+
+
+def video_frames_gold(n: int = 8, seed: int = 9,
+                      stride: int = 4) -> pa.Table:
+    """Expected sample_video_frames output from the raw construction
+    frames (same stride arithmetic, no payload walk)."""
+    items = _video_items(n, seed)
+    ids, fidx, nfr, feats = [], [], [], []
+    for d in items:
+        k = len(d["frames"])
+        for j in range(0, k, stride):
+            ids.append(d["media_id"])
+            fidx.append(j)
+            nfr.append(k)
+            feats.append(image_features_from_pixels(d["frames"][j]))
+    cols = {"media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int64()),
+            "n_frames": pa.array(nfr, pa.int64())}
+    cols.update(_feat_columns(feats))
+    return pa.table(cols)
+
+
+def media_gold_paths() -> tuple[str, str]:
+    """Idempotently write the two golden parquets under the synth cache
+    (versioned like every other golden); returns (features_gold,
+    video_gold) paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    root = os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION)
+    os.makedirs(root, exist_ok=True)
+    fpath = os.path.join(root, "media_features_gold_v1.parquet")
+    vpath = os.path.join(root, "video_frames_gold_v1.parquet")
+    if not os.path.exists(fpath):
+        tmp = fpath + f".tmp{os.getpid()}"
+        pq.write_table(media_features_gold(n=256), tmp)
+        os.replace(tmp, fpath)
+    if not os.path.exists(vpath):
+        tmp = vpath + f".tmp{os.getpid()}"
+        pq.write_table(video_frames_gold(n=16), tmp)
+        os.replace(tmp, vpath)
+    return fpath, vpath

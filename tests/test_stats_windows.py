@@ -575,6 +575,34 @@ def test_video_frame_sampling():
     assert all(len(f) == 16 for f in out["features"])
 
 
+def test_media_construction_golds_match_decode_path():
+    """The golden tables (features from the RAW construction arrays) must
+    equal the engine's decode-path output exactly — the parity the driver
+    oracle checks (multimodal_features / video_frame_sample PASS tier)."""
+    import importlib
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages import multimodal as mm
+    gold = mm.media_features_gold(n=32).to_pandas()
+    eng = (mm.decode_features(rd.from_arrow(mm.synth_real_media_table(n=32)),
+                              decoder=mm.RealDecoder)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    em = round6(np.stack(eng["features"]).astype(np.float64))
+    gm = gold.sort_values("media_id")[mm.FEAT_COLS].to_numpy()
+    assert np.array_equal(em, gm)
+    assert eng["payload_bytes"].tolist() == gold["payload_bytes"].tolist()
+
+    vgold = (mm.video_frames_gold(n=8).to_pandas()
+             .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    veng = (mm.sample_video_frames(rd.from_arrow(mm.synth_video_table(n=8)),
+                                   stride=4)
+            .to_pandas().sort_values(["media_id", "frame_idx"])
+            .reset_index(drop=True))
+    assert np.array_equal(round6(np.stack(veng["features"]).astype(np.float64)),
+                          vgold[mm.FEAT_COLS].to_numpy())
+    assert veng["n_frames"].tolist() == vgold["n_frames"].tolist()
+
+
 def test_cohort_retention_golden():
     # users: u1 first day 0, active days {0, 1, 3}; u2 first day 1,
     # active {1}; u3 first day 0, active {0, 3}
