@@ -550,7 +550,10 @@ def _q_segment_revenue(sf_dir: str):
 
 def _q_linking_candidates(sf_dir: str):
     """BM25 top-N candidate generation for every dictionary alias surface —
-    the recall-stage output (not SQL-expressible: BM25 scoring)."""
+    the recall-stage output at its full width (top_n=10, the
+    CandidateGenerator default), routed through the micros-exact scoring
+    tier so the whole eval family is SQL-checked
+    (oracle.bm25_topn_oracle(top_n=10) evaluates the identical grid)."""
     import ray.data as rd
     from deepkg_ray import synth
     from deepkg_ray.stages.linking import CandidateGenerator
@@ -561,7 +564,8 @@ def _q_linking_candidates(sf_dir: str):
                                             for a in al})})
     return rd.from_pandas(surf).map_batches(
         CandidateGenerator,
-        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5},
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 10,
+                               "exact": True},
         batch_format="pyarrow", concurrency=(1, 4))
 
 
@@ -679,66 +683,59 @@ def _q_distant_label(sf_dir: str):
                          concurrency=(1, 8))
 
 
-def _q_linking_recall(sf_dir: str):
-    """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
-    scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
-    Exact row-mean, not the reference's biased block-average (run.py:47)."""
+def _linking_eval_inputs(sf_dir: str):
+    """(candidates_ds, gold_ds) for the alias→canonical eval: gold is a
+    DATASET of (query, gold) pairs — the open-query-set contract of
+    scoring.recall_at_n_distributed / mrr_distributed (no driver dict).
+    An alias shared by two entities keeps BOTH gold rows, matching the
+    oracle's DISTINCT (query, gold) any-match credit."""
     import pandas as pd
     import pyarrow.parquet as pq
     import ray.data as rd
     from deepkg_ray import synth
-    from deepkg_ray.functions.numeric import round6
     from deepkg_ray.stages.linking import CandidateGenerator
-    from deepkg_ray.stages.scoring import recall_at_n_ds
     dict_path = synth.dictionary_path(sf_dir)
     t = pq.read_table(dict_path)
-    gold = {}
-    for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
-        for a in aliases:
-            if a != name:
-                # append (not overwrite): an alias shared by two entities
-                # keeps BOTH golds, matching the oracle's DISTINCT
-                # (query, gold) any-match credit
-                gold.setdefault(a, []).append(name)
-    qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
+    pairs = sorted({(a, name)
+                    for name, aliases in zip(t["name"].to_pylist(),
+                                             t["aliases"].to_pylist())
+                    for a in aliases if a != name})
+    gold_ds = rd.from_pandas(pd.DataFrame(
+        {"query": [q for q, _ in pairs], "gold": [g for _, g in pairs]}))
+    qds = rd.from_pandas(pd.DataFrame(
+        {"surface": sorted({q for q, _ in pairs})}))
     cands = qds.map_batches(
         CandidateGenerator,
         fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
                                "exact": True},
-        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+        batch_format="pyarrow", concurrency=(1, 4))
+    return cands, gold_ds
+
+
+def _q_linking_recall(sf_dir: str):
+    """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
+    scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
+    Fully distributed: gold joins as a Dataset, hit counters Sum down to
+    four scalars (scoring.recall_at_n_distributed)."""
+    import pandas as pd
+    from deepkg_ray.stages.scoring import recall_at_n_distributed
+    cands, gold_ds = _linking_eval_inputs(sf_dir)
+    res = recall_at_n_distributed(cands.materialize(), gold_ds, ns=(1, 5))
     return pd.DataFrame({
-        "n_queries": [len(gold)],
-        "recall_at_1": [float(round6(recall_at_n_ds(cands, gold, 1, mode="any")))],
-        "recall_at_5": [float(round6(recall_at_n_ds(cands, gold, 5, mode="any")))],
+        "n_queries": [res["n_queries"]],
+        "recall_at_1": [res["recall_at_1"]],
+        "recall_at_5": [res["recall_at_5"]],
     })
 
 
 def _q_linking_mrr(sf_dir: str):
     """MRR of the canonical name among BM25 top-5 candidates (micros-exact
-    tier; oracle evaluates the identical expression grid)."""
+    tier; oracle evaluates the identical expression grid).  Distributed:
+    min-rank groupby → micros-reciprocal Sum (scoring.mrr_distributed)."""
     import pandas as pd
-    import pyarrow.parquet as pq
-    import ray.data as rd
-    from deepkg_ray import synth
-    from deepkg_ray.stages.linking import CandidateGenerator
-    from deepkg_ray.stages.scoring import mrr_ds
-    dict_path = synth.dictionary_path(sf_dir)
-    t = pq.read_table(dict_path)
-    gold = {}
-    for name, aliases in zip(t["name"].to_pylist(), t["aliases"].to_pylist()):
-        for a in aliases:
-            if a != name:
-                # append (not overwrite): an alias shared by two entities
-                # keeps BOTH golds, matching the oracle's DISTINCT
-                # (query, gold) any-match credit
-                gold.setdefault(a, []).append(name)
-    qds = rd.from_pandas(pd.DataFrame({"surface": sorted(gold)}))
-    cands = qds.map_batches(
-        CandidateGenerator,
-        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
-                               "exact": True},
-        batch_format="pyarrow", concurrency=(1, 4)).materialize()
-    n_q, mrr = mrr_ds(cands, gold, n=5)
+    from deepkg_ray.stages.scoring import mrr_distributed
+    cands, gold_ds = _linking_eval_inputs(sf_dir)
+    n_q, mrr = mrr_distributed(cands.materialize(), gold_ds)
     return pd.DataFrame({"n_queries": [n_q], "mrr": [mrr]})
 
 
@@ -2757,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracle.nation_revenue_oracle(),
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
+        "linking_candidates": oracle.bm25_topn_oracle(SF_ORACLE, top_n=10),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),
@@ -2909,8 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": oracle.dedup_minhash_oracle(),
         "multimodal_features": oracle.multimodal_features_oracle(),
         "video_frame_sample": oracle.video_frame_sample_oracle(),
-        # rows-only (no SQL): linking_candidates (BM25 float tier;
-        # bm25_topn is the SQL-checked tier), uie_model_generate (neural
-        # generation), uie_trained_extract (trained-model scoring,
-        # accuracy-asserted in-query instead)
+        # rows-only (no SQL): uie_model_generate (neural generation),
+        # uie_trained_extract (trained-model scoring, accuracy-asserted
+        # in-query instead)
     }

@@ -181,6 +181,91 @@ def recall_at_n_ds(candidates_ds, gold: dict[str, list[str]], n: int, *,
     return float(np.mean(vals)) if vals else float("nan")
 
 
+def _min_gold_rank(candidates_ds, gold_ds, *, num_partitions=None):
+    """(query, minr) Dataset: inner hash-join of candidate rows
+    (query, candidate_name, rank) to gold pairs (query, gold) on
+    (query, name), then groupby(query).min(rank).  Duplicate gold pairs
+    are harmless (min over more copies), so no dedup shuffle is needed."""
+    from ray.data.aggregate import Min
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    g = gold_ds.map_batches(
+        lambda t: t.rename_columns(["query", "candidate_name"]),
+        batch_format="pyarrow")
+    matched = drop_empty_blocks(
+        candidates_ds.select_columns(["query", "candidate_name", "rank"])) \
+        .join(drop_empty_blocks(g), join_type="inner",
+              num_partitions=num_partitions,
+              on=("query", "candidate_name"))
+    return matched.groupby("query").aggregate(Min("rank", alias_name="minr"))
+
+
+def _distinct_query_count(gold_ds) -> int:
+    """n_queries of an open gold set — distinct-key groupby, count only
+    (no query strings reach the driver)."""
+    from ray.data.aggregate import Count
+    return gold_ds.select_columns(["query"]).groupby("query") \
+        .aggregate(Count(alias_name="_c")).count()
+
+
+def recall_at_n_distributed(candidates_ds, gold_ds, ns=(1, 5), *,
+                            num_partitions=None) -> dict:
+    """Any-match recall@N for an OPEN query set: gold is a Dataset of
+    (query, gold) pairs — never a driver dict.  Plan: hash-join to the
+    matched candidate rows, min-rank per query (groupby), per-batch hit
+    counters, global Sum — four scalars reach the driver.  Round6 row-mean
+    (exact 0/1 integer sums, one float64 divide) — same value as
+    recall_at_n_ds(mode='any')."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from deepkg_ray.functions.numeric import round6
+
+    minr = _min_gold_rank(candidates_ds, gold_ds,
+                          num_partitions=num_partitions)
+
+    def hits(b: pa.Table) -> pa.Table:
+        r = b["minr"].to_numpy(zero_copy_only=False)
+        return pa.table({f"h{n}": pa.array([int((r < n).sum())], pa.int64())
+                         for n in ns})
+
+    agg = minr.map_batches(hits, batch_format="pyarrow").aggregate(
+        *[Sum(f"h{n}", alias_name=f"h{n}") for n in ns])
+    n_q = _distinct_query_count(gold_ds)
+    out = {"n_queries": n_q}
+    for n in ns:
+        out[f"recall_at_{n}"] = float(round6((agg[f"h{n}"] or 0) / n_q)) \
+            if n_q else float("nan")
+    return out
+
+
+def mrr_distributed(candidates_ds, gold_ds, *,
+                    num_partitions=None) -> tuple:
+    """MRR for an OPEN query set (gold as a (query, gold) Dataset): the
+    min-rank groupby feeds per-batch micros-reciprocal sums
+    (floor(1e6/(rank+1)+0.5) — exact-integer double division), one global
+    Sum, one driver divide.  Same value as mrr_ds.  Returns
+    (n_queries, mrr)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    minr = _min_gold_rank(candidates_ds, gold_ds,
+                          num_partitions=num_partitions)
+
+    def rr(b: pa.Table) -> pa.Table:
+        r = b["minr"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micros = np.floor(1e6 / (r + 1.0) + 0.5).astype(np.int64)
+        return pa.table({"rr": pa.array([int(micros.sum())], pa.int64())})
+
+    total = minr.map_batches(rr, batch_format="pyarrow") \
+        .aggregate(Sum("rr", alias_name="rr"))["rr"] or 0
+    n_q = _distinct_query_count(gold_ds)
+    mrr = float(np.floor(total / n_q + 0.5) / 1e6) if n_q else float("nan")
+    return n_q, mrr
+
+
 def spearman(x, y) -> float:
     """Spearman rank correlation — the reference's embedding-eval metric
     (simcse_unsup.py:204-228), computed driver-side on a small eval set."""

@@ -202,3 +202,28 @@ def test_biaffine_head_tiers(sf_dir, synth_dir):
             "entity_id"]
     assert set(zip(*[trie[c].to_pylist() for c in cols])) == \
         set(zip(*[bia[c].to_pylist() for c in cols]))
+
+
+def test_distributed_recall_mrr_match_dict_tier():
+    """recall_at_n_distributed / mrr_distributed (gold as a Dataset, join +
+    groupby + Sum) must equal the driver-dict tier on the same candidates."""
+    import pandas as pd
+    import ray.data as rd
+    cands = pd.DataFrame({
+        "query": ["a", "a", "a", "b", "b", "c", "c", "d"],
+        "candidate_name": ["x", "y", "z", "y", "q", "z", "x", "w"],
+        "rank": [0, 1, 2, 0, 1, 0, 1, 0]})
+    gold = {"a": ["y"], "b": ["p"], "c": ["x", "z"], "e": ["m"]}
+    pairs = [(q, g) for q, gs in gold.items() for g in gs]
+    gold_ds = rd.from_pandas(pd.DataFrame(
+        {"query": [q for q, _ in pairs], "gold": [g for _, g in pairs]}))
+    cds = rd.from_pandas(cands)
+    res = scoring.recall_at_n_distributed(cds, gold_ds, ns=(1, 5))
+    from deepkg_ray.functions.numeric import round6
+    r1 = float(round6(scoring.recall_at_n_ds(cds, gold, 1, mode="any")))
+    r5 = float(round6(scoring.recall_at_n_ds(cds, gold, 5, mode="any")))
+    assert res["n_queries"] == 4
+    assert res["recall_at_1"] == r1 and res["recall_at_5"] == r5
+    n_q, mrr = scoring.mrr_distributed(cds, gold_ds)
+    n_q2, mrr2 = scoring.mrr_ds(cds, gold, n=5)
+    assert (n_q, mrr) == (n_q2, mrr2)
