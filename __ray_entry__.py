@@ -619,6 +619,18 @@ def _q_frequent_phrases(sf_dir: str):
     return frequent_phrases(_docs(sf_dir, ["text"]), n=2, topk=50, min_count=2)
 
 
+def _q_autophrase_selftrain(sf_dir: str):
+    """AutoPhrase iterative self-training (classify → threshold-reselect →
+    refit epochs with EarlyStopping at the fixed point) — the reference's
+    mining loop, oracle-checked end-to-end by an unrolled per-epoch SQL
+    re-derivation (the kg_pagerank convention applied to a learning
+    loop)."""
+    from deepkg_ray.stages.autophrase import autophrase_selftrain
+    return autophrase_selftrain(_docs(sf_dir, ["doc_id", "text"]),
+                                topk=200, min_count=2, n_seed=10,
+                                max_epochs=6)
+
+
 def _q_ner_span_model(sf_dir: str):
     """Second NER tier (tokenize → span-score → threshold decode) projected
     to mention counts — shares the kg_mention_counts oracle, so the two
@@ -2522,6 +2534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": _q_segment_revenue,
         "segment_revenue_share": _q_segment_share,
         "frequent_phrases": _q_frequent_phrases,
+        "autophrase_selftrain": _q_autophrase_selftrain,
         "kg_triples_via_sel": _q_kg_triples_via_sel,
         "uie_model_generate": _q_uie_model_generate,
         "uie_trained_extract": _q_uie_trained_extract,
@@ -2761,6 +2774,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),
         "frequent_phrases": oracle.frequent_phrases_oracle(),
+        "autophrase_selftrain": oracle.autophrase_selftrain_oracle(),
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

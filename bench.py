@@ -152,7 +152,7 @@ def _q_state_history(sf_dir: str):
 
 
 
-def _q_q13_distribution(sf_dir: str):
+def _q_customer_order_distribution(sf_dir: str):
     from deepkg_ray.pipelines.relational import customer_order_distribution
     return customer_order_distribution(sf_dir).count()
 
@@ -228,7 +228,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("frequent_pairs", _q_frequent_pairs),
             ("snapshot_diff", _q_snapshot_diff),
             ("state_history", _q_state_history),
-            ("q13_distribution", _q_q13_distribution),
+            ("customer_order_distribution", _q_customer_order_distribution),
             ("events_mad", _q_events_mad),
             ("token_burstiness", _q_token_burstiness)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":

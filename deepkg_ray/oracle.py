@@ -929,6 +929,123 @@ def ck_tokens_oracle(sf_dir: str) -> str:
             f"safe FROM read_parquet('{gold}')")
 
 
+def autophrase_selftrain_oracle(topk: int = 200, min_count: int = 2,
+                                n_seed: int = 10,
+                                max_epochs: int = 6) -> str:
+    """Unrolled re-derivation of the WHOLE self-training loop
+    (stages/autophrase.autophrase_selftrain) — the kg_pagerank convention
+    applied to a learning loop: one CTE pair (centroids, pool) per epoch.
+    The epoch map is deterministic and reaches a fixed point, so the
+    engine's EarlyStopping (stop when an epoch moves nothing) and this
+    fixed-depth unroll land on identical final pools.  All loop math is
+    integer micros: centroid = floor(CAST(sum AS DOUBLE)/count) (sums
+    < 2^53, exact), margins are BIGINT squared distances."""
+    stop = ",".join(f"'{w}'" for w in
+                    "the a an and of to in is are was were be been it this that".split())
+    d2 = ("((f.pmi_m - c.{s}_pmi)*(f.pmi_m - c.{s}_pmi)"
+          " + (f.idf_m - c.{s}_idf)*(f.idf_m - c.{s}_idf)"
+          " + (f.ent_m - c.{s}_ent)*(f.ent_m - c.{s}_ent))")
+    cent_expr = ("CAST(floor(CAST(sum(f.{col}) AS DOUBLE) / count(*)) "
+                 "AS BIGINT)")
+    epochs = []
+    prev = "pool0"
+    for i in range(1, max_epochs + 1):
+        pos_sel = ", ".join(
+            cent_expr.format(col=c) + f" AS p_{a}"
+            for c, a in [("pmi_m", "pmi"), ("idf_m", "idf"),
+                         ("ent_m", "ent")])
+        neg_sel = ", ".join(
+            cent_expr.format(col=c) + f" AS n_{a}"
+            for c, a in [("pmi_m", "pmi"), ("idf_m", "idf"),
+                         ("ent_m", "ent")])
+        epochs.append(f"""cent{i} AS MATERIALIZED (
+  SELECT * FROM
+    (SELECT {pos_sel} FROM feat f
+     WHERE f.phrase IN (SELECT phrase FROM {prev})),
+    (SELECT {neg_sel} FROM feat f
+     WHERE f.phrase NOT IN (SELECT phrase FROM {prev}))
+),
+pool{i} AS MATERIALIZED (
+  SELECT phrase, epoch_added FROM {prev}
+  UNION ALL
+  SELECT f.phrase, {i} AS epoch_added
+  FROM feat f, cent{i} c
+  WHERE f.phrase NOT IN (SELECT phrase FROM {prev})
+    AND {d2.format(s='n')} - {d2.format(s='p')} > 0
+)""")
+        prev = f"pool{i}"
+    chain = ",\n".join(epochs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+), bc AS (
+  SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2
+), cands AS (
+  SELECT w1, w2, w1 || ' ' || w2 AS phrase, cnt
+  FROM bc
+  WHERE cnt >= {min_count}
+    AND w1 NOT IN ({stop}) AND w2 NOT IN ({stop})
+    AND NOT regexp_matches(w1, '[^a-z0-9 ]')
+    AND NOT regexp_matches(w2, '[^a-z0-9 ]')
+  ORDER BY cnt DESC, phrase LIMIT {topk}
+), uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(cnt) FROM bc) AS n2
+), pmi AS (
+  SELECT bc.w1, bc.w2,
+         CAST(floor(ln((bc.cnt / t.n2) / ((u1.c / t.n1) * (u2.c / t.n1)))
+                    * 1e6 + 0.5) AS BIGINT) AS pmi_m
+  FROM bc, tot t
+  JOIN uni u1 ON u1.w = bc.w1
+  JOIN uni u2 ON u2.w = bc.w2
+), dtoks AS (
+  SELECT doc_id, unnest(ws) AS w FROM toks
+), dfq AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM dtoks GROUP BY w
+), idf AS (
+  SELECT w, CAST(floor(ln((SELECT count(*) FROM documents) * 1.0 / df)
+                       * 1e6 + 0.5) AS BIGINT) AS idf_m
+  FROM dfq
+), pairs AS (
+  SELECT ws[i] AS w1,
+         CASE WHEN i+1 <= len(ws) THEN ws[i+1] ELSE '∅' END AS nb
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+), pc2 AS (
+  SELECT w1, nb, count(*) AS cnt FROM pairs GROUP BY w1, nb
+), ptot AS (
+  SELECT w1, sum(cnt) AS total FROM pc2 GROUP BY w1
+), ent AS (
+  SELECT p.w1 AS w,
+         CAST(floor(-sum((p.cnt * 1.0 / t.total) * ln(p.cnt * 1.0 / t.total))
+                    * 1e6 + 0.5) AS BIGINT) AS ent_m
+  FROM pc2 p JOIN ptot t ON p.w1 = t.w1
+  GROUP BY p.w1
+), feat AS MATERIALIZED (
+  SELECT c.phrase, c.cnt, p.pmi_m,
+         least(i1.idf_m, i2.idf_m) AS idf_m,
+         least(e1.ent_m, e2.ent_m) AS ent_m
+  FROM cands c
+  JOIN pmi p ON p.w1 = c.w1 AND p.w2 = c.w2
+  JOIN idf i1 ON i1.w = c.w1 JOIN idf i2 ON i2.w = c.w2
+  JOIN ent e1 ON e1.w = c.w1 JOIN ent e2 ON e2.w = c.w2
+), pool0 AS (
+  SELECT phrase, 0 AS epoch_added
+  FROM cands ORDER BY cnt DESC, phrase LIMIT {n_seed}
+),
+{chain}
+SELECT f.phrase, CAST(f.cnt AS BIGINT) AS cnt,
+       CAST(p.epoch_added AS BIGINT) AS epoch_added
+FROM {prev} p JOIN feat f USING (phrase)
+"""
+
+
 def multimodal_features_oracle() -> str:
     """decode_features(RealDecoder) must reproduce the construction-gold
     features (multimodal.media_features_gold: same feature math over the
