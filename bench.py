@@ -212,6 +212,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     extra["kg_build_trials"] = trials
     n_turns *= repeat
     extra["repeat"] = repeat
+    if os.path.exists(SF1_CACHE):
+        # most recent `bench.py --sf1` stress-tier run (see run_sf1)
+        with open(SF1_CACHE) as f:
+            extra["sf1"] = json.load(f)
 
     side = [("kg_mentions", _q_mentions),
             ("kg_events", _q_events),
@@ -256,6 +260,70 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "triples_per_sec": round(extra.get("n_extractions", 0) / headline, 1),
         **extra,
     }
+
+
+SF1_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SF1.json")
+
+
+def run_sf1(num_cpus: int = 32) -> dict:
+    """sf1 stress tier (~5.4M turns, ~50k docs — both synthesized;
+    testdata tops out at sf0.1): the flagship build + the dedup family at
+    10× the driver's bench scale, evidencing the 100-TB posture holds as
+    data grows (streaming blocks, no driver materialization, no memory
+    blowup).  Results cache to BENCH_SF1.json; plain bench runs fold the
+    cached section into their JSON line under "sf1"."""
+    import shutil
+
+    import ray
+
+    sf_dir = "/tmp/deepkg_sf1_dir/sf1"
+    os.makedirs(sf_dir, exist_ok=True)
+    from deepkg_ray import synth
+    synth.ensure_synth(sf_dir)                   # untimed, cached
+    doc = synth.documents_table_path(sf_dir)
+    dst = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(dst) and doc != dst:
+        os.symlink(doc, dst)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from deepkg_ray.util import tune_data_context
+    tune_data_context()
+
+    n_turns = json.load(open(os.path.join(synth.ensure_synth(sf_dir),
+                                          "spec.json")))["n_rows"]
+    res: dict = {"sf": "sf1", "num_cpus": num_cpus, "n_turns": n_turns}
+
+    out_dir = "/tmp/bench_kg_sf1"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    extra = _headline_kg(sf_dir, out_dir=out_dir)
+    res["kg_build"] = round(time.time() - t0, 3)
+    res["turns_per_sec"] = round(n_turns / res["kg_build"], 1)
+    res["n_edges"] = extra["n_edges"]
+    res["n_extractions"] = extra["n_extractions"]
+
+    import pyarrow.parquet as pq
+    res["n_docs"] = pq.read_metadata(dst).num_rows
+    for name, fn in [("dedup_exact", _q_dedup_exact),
+                     ("dedup_minhash", _q_minhash),
+                     ("substring_dup_spans", _q_substring_dup)]:
+        t0 = time.time()
+        try:
+            n = fn(sf_dir)
+            res[name] = round(time.time() - t0, 3)
+            res[f"{name}_rows"] = int(n)
+        except Exception as e:
+            res[name] = -1.0
+            res[f"{name}_error"] = f"{type(e).__name__}: {e}"
+    ray.shutdown()
+    with open(SF1_CACHE, "w") as f:
+        json.dump(res, f)
+    return res
 
 
 def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
@@ -341,5 +409,7 @@ if __name__ == "__main__":
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
+    elif "--sf1" in sys.argv:
+        print(json.dumps(run_sf1(ncpu)))
     else:
         print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -575,6 +575,59 @@ def transcripts_path(sf_dir: str) -> str:
     return os.path.join(ensure_synth(sf_dir), "transcripts")
 
 
+DOC_VOCAB = ("stream shard block batch merge spill probe build scan seek "
+             "flush fold pivot slice stripe bucket vector kernel lattice "
+             "cursor ledger packet beacon tensor module router schema "
+             "window filter reduce append encode decode verify sample "
+             "anchor offset replay braid quorum epoch digest signal").split()
+
+
+def documents_table_path(sf_dir: str) -> str:
+    """documents.parquet for ``sf_dir``: the driver testdata file when it
+    exists, else a lazily synthesized corpus of the SAME shape (doc_id,
+    text, lang, source, n_chars; 50k docs/sf; ~1% exact-dup + ~2% near-dup
+    rows so the dedup family has structure to find) in the synth cache —
+    what lets bench.py run the dedup pipelines at sf1, where no testdata
+    tier exists."""
+    real = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(real):
+        return real
+    out = synth_dir_for(sf_dir)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    rng = random.Random(SEED + 23)
+    n = max(500, int(50_000 * sf_from_dir(sf_dir)))
+    langs = ["en"] * 6 + ["zh"] * 2 + ["es", "fr"]
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 100 and r < 0.01:                    # exact duplicate
+            texts.append(texts[rng.randrange(i - 100, i)])
+            continue
+        if i > 100 and r < 0.03:                    # near duplicate
+            w = texts[rng.randrange(i - 100, i)].split()
+            for _ in range(rng.randint(1, 2)):
+                w[rng.randrange(len(w))] = rng.choice(DOC_VOCAB)
+            texts.append(" ".join(w))
+            continue
+        k = rng.randint(10, 60)
+        texts.append(" ".join(rng.choice(DOC_VOCAB) for _ in range(k)))
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([langs[i % len(langs)] for i in range(n)],
+                         pa.string()),
+        "source": pa.array([f"src{i % 20}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(t_) for t_ in texts], pa.int64()),
+    })
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def dictionary_path(sf_dir: str) -> str:
     return os.path.join(ensure_synth(sf_dir), "dictionary.parquet")
 
