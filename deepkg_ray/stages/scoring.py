@@ -90,18 +90,20 @@ def distributed_prf(gold_ds, pred_ds, key_cols, tuple_cols,
     distributed.
 
     Plan (nothing data-sized ever reaches the driver):
-      1. per-batch combiner on each side: rows → one (key, tuples[], side)
-         row per instance-per-batch (tuples encoded as \\x1f-joined strings
-         — injective as long as the separator never appears in a field, so
-         set/multiset match semantics are preserved exactly);
-      2. union of the two sides → ``groupby(key).map_groups`` — the
-         cogroup: each instance's gold and pred lists meet in ONE task,
-         which runs TupleMetric.count_instance and emits a 3-counter row;
+      1. per-batch combiner on each side: rows → (key, tuple, side count)
+         cells (tuples encoded as \\x1f-joined strings — injective as long
+         as the separator never appears in a field, so set/multiset match
+         semantics are preserved exactly);
+      2. union of the two sides → ONE groupby at (instance, tuple) grain
+         summing the per-side counts — the cogroup, with no per-group
+         Python: every TupleMetric mode is a closed form over the two
+         cell counts (see `finish` below), evaluated vectorized per batch;
       3. a global Sum over (tp, gold, pred) — three scalars — and
          compute_f1 on the driver.
-    Instances present on only one side still form a group (outer-join
+    Instances present on only one side still form cells (outer-join
     semantics for free).  Per-instance match semantics are exactly
-    TupleMetric's (uie/evaluation/scorer.py:44-111)."""
+    TupleMetric's (uie/evaluation/scorer.py:44-111): 'normal' sequential
+    gold-removal matching ≡ Σ min(gc, pc) per tuple cell."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
@@ -111,10 +113,11 @@ def distributed_prf(gold_ds, pred_ds, key_cols, tuple_cols,
                    for t in zip(*[df[c] for c in tuple_cols])]
             df = df[list(key_cols)].copy()
             df["_tup"] = enc
-            g = (df.groupby(list(key_cols))["_tup"].agg(list).reset_index()
-                 .rename(columns={"_tup": "tuples"}))
-            g["side"] = side
-            return g
+            g = (df.groupby(list(key_cols) + ["_tup"]).size()
+                 .reset_index(name="c"))
+            g["gc"] = g["c"] if side == "g" else 0
+            g["pc"] = g["c"] if side == "p" else 0
+            return g.drop(columns=["c"])
         return per_batch
 
     g = gold_ds.select_columns(list(key_cols) + list(tuple_cols)) \
@@ -122,24 +125,40 @@ def distributed_prf(gold_ds, pred_ds, key_cols, tuple_cols,
     p = pred_ds.select_columns(list(key_cols) + list(tuple_cols)) \
         .map_batches(side_combiner("p"), batch_format="pandas")
 
-    def per_instance(grp: pd.DataFrame) -> pd.DataFrame:
-        # per-batch partials may split an instance across batches — the
-        # cogroup reunites them; order never matters (set/multiset math)
-        gold_list: list[str] = []
-        pred_list: list[str] = []
-        for side, tuples in zip(grp["side"], grp["tuples"]):
-            (gold_list if side == "g" else pred_list).extend(tuples)
-        m = TupleMetric(match_mode)
-        m.count_instance(gold_list, pred_list)
-        return pd.DataFrame({"tp": [m.tp], "gold": [m.gold_num],
-                             "pred": [m.pred_num]})
+    # ONE cogroup at (instance, tuple) grain, then a vectorized per-batch
+    # finish — no per-group Python.  Every TupleMetric mode is a closed
+    # form over the two per-cell counts (instances split across batches
+    # just sum):
+    #   set:        tp = Σ [gc>0 ∧ pc>0], gold = Σ [gc>0], pred = Σ [pc>0]
+    #   normal:     tp = Σ min(gc, pc),   gold = Σ gc,     pred = Σ pc
+    #   multimatch: tp = Σ pc·[gc>0],     gold = Σ gc,     pred = Σ pc
+    # The cell merge routes by observed cardinality (treeagg mode='auto'):
+    # pandas merge tree while the distinct cells fit one task, Ray groupby
+    # beyond — a Ray sort-aggregate keyed on long tuple STRINGS is ~4×
+    # slower at the tree-friendly scale.
+    from deepkg_ray.stages.treeagg import merge_partials
+    cells = merge_partials(g.union(p), list(key_cols) + ["_tup"],
+                           {"gc": "sum", "pc": "sum"}, mode="auto")
 
-    counters = (g.union(p)
-                .groupby(list(key_cols))
-                .map_groups(per_instance, batch_format="pandas")
-                .aggregate(Sum("tp", alias_name="tp"),
-                           Sum("gold", alias_name="gold"),
-                           Sum("pred", alias_name="pred")))
+    def finish(b: pa.Table) -> pa.Table:
+        gc = b["gc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if match_mode == "set":
+            tp = int(((gc > 0) & (pc > 0)).sum())
+            gold, pred = int((gc > 0).sum()), int((pc > 0).sum())
+        elif match_mode == "normal":
+            tp = int(np.minimum(gc, pc).sum())
+            gold, pred = int(gc.sum()), int(pc.sum())
+        else:                                        # multimatch
+            tp = int((pc * (gc > 0)).sum())
+            gold, pred = int(gc.sum()), int(pc.sum())
+        return pa.table({"tp": pa.array([tp], pa.int64()),
+                         "gold": pa.array([gold], pa.int64()),
+                         "pred": pa.array([pred], pa.int64())})
+
+    counters = cells.map_batches(finish, batch_format="pyarrow").aggregate(
+        Sum("tp", alias_name="tp"), Sum("gold", alias_name="gold"),
+        Sum("pred", alias_name="pred"))
     m = TupleMetric(match_mode)
     m.tp = float(counters["tp"] or 0.0)
     m.gold_num = float(counters["gold"] or 0.0)

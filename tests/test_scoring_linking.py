@@ -227,3 +227,31 @@ def test_distributed_recall_mrr_match_dict_tier():
     n_q, mrr = scoring.mrr_distributed(cds, gold_ds)
     n_q2, mrr2 = scoring.mrr_ds(cds, gold, n=5)
     assert (n_q, mrr) == (n_q2, mrr2)
+
+
+def test_distributed_prf_closed_forms_match_tuplemetric():
+    """The vectorized (instance, tuple)-cell cogroup must equal the
+    reference TupleMetric sequential semantics in ALL THREE modes on
+    random multisets (including instances on one side only)."""
+    import pandas as pd
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+
+    def mk(n, n_inst=40):
+        return pd.DataFrame({
+            "k": rng.integers(0, n_inst, n),
+            "a": rng.integers(0, 4, n).astype(str),
+            "b": rng.integers(0, 3, n).astype(str)})
+
+    for mode in ("set", "normal", "multimatch"):
+        g, p = mk(300), mk(280)
+        res = scoring.distributed_prf(rd.from_pandas(g), rd.from_pandas(p),
+                                      ("k",), ("a", "b"), match_mode=mode)
+        m = scoring.TupleMetric(mode)
+        for k in set(g["k"]) | set(p["k"]):
+            gl = [f"{a}\x1f{b}" for a, b in zip(g[g.k == k].a, g[g.k == k].b)]
+            pl = [f"{a}\x1f{b}" for a, b in zip(p[p.k == k].a, p[p.k == k].b)]
+            m.count_instance(gl, pl)
+        exp = m.compute_f1()
+        assert all(abs(res[x] - exp[x]) < 1e-9
+                   for x in ("tp", "gold", "pred", "P", "R", "F1")), mode
