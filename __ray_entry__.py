@@ -304,6 +304,14 @@ def _q_packing_stats(sf_dir: str):
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Sliding-window document chunking (RAG / context-window prep):
+    overlapping max_tokens-token chunks per document, no shuffle."""
+    from deepkg_ray.stages.packing import chunk_documents
+    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
+                           max_tokens=64, overlap=16)
+
+
 def _q_doc_fingerprints(sf_dir: str):
     """Winnowing rolling-hash fingerprints, exploded to (doc_id, fp) rows.
     Each fp is the polynomial window hash Σ ord·257^t mod 2^61-1 —
@@ -2469,6 +2477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_exact_k": _q_stratified_exact_k,
         "containment_pairs": _q_containment_pairs,
         "packing_stats": _q_packing_stats,
+        "chunk_documents": _q_chunk_documents,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_stats": _q_dedup_stats,
@@ -2717,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_exact_k": oracle.stratified_exact_k_oracle(),
         "containment_pairs": oracle.containment_pairs_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
+        "chunk_documents": oracle.chunk_documents_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),

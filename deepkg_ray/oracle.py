@@ -929,6 +929,31 @@ def ck_tokens_oracle(sf_dir: str) -> str:
             f"safe FROM read_parquet('{gold}')")
 
 
+def chunk_documents_oracle(max_tokens: int = 64, overlap: int = 16) -> str:
+    """Mirror of stages/packing.chunk_documents: n_chunks closed form in
+    integer arithmetic, 1-based inclusive list slices ≡ Python 0-based
+    half-open token windows."""
+    stride = max_tokens - overlap
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE trim(text) <> ''
+), sized AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= {max_tokens} THEN 1
+              ELSE 1 + (len(ws) - {max_tokens} + {stride} - 1) // {stride}
+         END AS n_chunks
+  FROM d
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
+       CAST(len(ws[g.i*{stride}+1 : g.i*{stride}+{max_tokens}]) AS BIGINT)
+         AS n_tokens,
+       array_to_string(ws[g.i*{stride}+1 : g.i*{stride}+{max_tokens}], ' ')
+         AS chunk_text
+FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks-1)) AS i) g
+"""
+
+
 def autophrase_selftrain_oracle(topk: int = 200, min_count: int = 2,
                                 n_seed: int = 10,
                                 max_epochs: int = 6) -> str:

@@ -69,3 +69,28 @@ def test_phrase_feature_table_shape():
     assert k == sorted(k)
     for c in ("pmi_m", "idf_m", "ent_m"):
         assert f[c].dtype == np.int64
+
+
+def test_chunk_documents_golden():
+    """Hand-computed chunk layout: stride = max_tokens - overlap; last
+    chunk may be short; docs at or under the window emit one chunk; empty
+    docs emit none."""
+    from deepkg_ray.stages.packing import chunk_documents
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g h i j",      # 10 toks
+                 "x y z",                     # 3 toks (<= window)
+                 "  ",                        # empty -> no chunks
+                 "p q r s t u"]})             # 6 toks (== window w/ mt=6)
+    out = (chunk_documents(rd.from_pandas(docs), max_tokens=6, overlap=2)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    # doc 1: stride 4 -> chunks [0:6], [4:10] -> n_chunks = 1+ceil(4/4)=2
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["n_tokens"],
+                   out["chunk_text"]))
+    assert got == [
+        (1, 0, 6, "a b c d e f"),
+        (1, 1, 6, "e f g h i j"),
+        (2, 0, 3, "x y z"),
+        (4, 0, 6, "p q r s t u"),
+    ]
