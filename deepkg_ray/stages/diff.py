@@ -66,11 +66,14 @@ def table_diff(ds_a, ds_b, key_col: str, value_col: str):
 
     tagged = ds_a.map_batches(project("a"), batch_format="pyarrow") \
         .union(ds_b.map_batches(project("b"), batch_format="pyarrow"))
-    merged = tagged.groupby(key_col).aggregate(
-        Sum("a_cnt", alias_name="a_cnt"),
-        Sum("b_cnt", alias_name="b_cnt"),
-        Sum("va_micros", alias_name="va_micros"),
-        Sum("vb_micros", alias_name="vb_micros"))
+    # cardinality-auto co-group: pandas merge tree while the distinct key
+    # set fits one task, Ray groupby beyond (treeagg mode='auto') — the
+    # sort-aggregate costs ~4× more at tree-friendly snapshot sizes
+    from deepkg_ray.stages.treeagg import merge_partials
+    merged = merge_partials(tagged, [key_col],
+                            {"a_cnt": "sum", "b_cnt": "sum",
+                             "va_micros": "sum", "vb_micros": "sum"},
+                            mode="auto")
 
     def finish(b: pa.Table) -> pa.Table:
         a = b["a_cnt"].to_numpy()
