@@ -43,13 +43,21 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def dedup_exact(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep the min-id representative per distinct text.  Returns
-    (doc_id, content_hash, n_dups)."""
+    (doc_id, content_hash, n_dups).  The group step routes by observed
+    cardinality (treeagg mode='auto'): pandas merge tree while the
+    distinct-hash set fits one task, Ray groupby beyond — sort-aggregates
+    keyed on md5 hex strings are ~4× slower at tree-friendly sizes."""
+    from deepkg_ray.stages.treeagg import merge_partials
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col),
                             batch_format="pyarrow")
-    proj = hashed.select_columns([id_col, "content_hash"])
-    return (proj.groupby("content_hash")
-            .aggregate(Min(id_col, alias_name=id_col),
-                       Count(alias_name="n_dups")))
+    proj = hashed.map_batches(
+        lambda b: pa.table({
+            "content_hash": b["content_hash"],
+            id_col: b[id_col],
+            "n_dups": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    return merge_partials(proj, ["content_hash"],
+                          {id_col: "min", "n_dups": "sum"}, mode="auto")
 
 
 def exact_dup_stats(ds, id_col: str = "doc_id", text_col: str = "text"):

@@ -47,13 +47,17 @@ def _explode_counts(texts: list[str], n: int) -> pd.DataFrame:
 
 
 def ngram_counts(ds, n: int, text_col: str = "text"):
-    """Global n-gram frequency table (w1..wn, cnt)."""
+    """Global n-gram frequency table (w1..wn, cnt).  Per-batch combiner
+    (_explode_counts already emits one row per distinct n-gram per batch)
+    then the cardinality-auto merge (treeagg): pandas tree below 2M
+    distinct n-grams, Ray groupby beyond — string-keyed sort-aggregates
+    are ~4× slower at tree-friendly vocabulary sizes."""
+    from deepkg_ray.stages.treeagg import merge_partials
     key_cols = [f"w{j+1}" for j in range(n)]
     partial = ds.select_columns([text_col]).map_batches(
         lambda b: _explode_counts(b[text_col].to_pylist(), n),
         batch_format="pyarrow")
-    return (partial.groupby(key_cols)
-            .aggregate(Sum("cnt", alias_name="cnt")))
+    return merge_partials(partial, key_cols, {"cnt": "sum"}, mode="auto")
 
 
 def doc_frequency(ds, text_col: str = "text"):
@@ -66,9 +70,10 @@ def doc_frequency(ds, text_col: str = "text"):
                 counts[w] = counts.get(w, 0) + 1
         return pd.DataFrame({"w1": list(counts.keys()),
                              "df": list(counts.values())})
+    from deepkg_ray.stages.treeagg import merge_partials
     partial = ds.select_columns([text_col]).map_batches(explode,
                                                         batch_format="pyarrow")
-    return partial.groupby("w1").aggregate(Sum("df", alias_name="df"))
+    return merge_partials(partial, ["w1"], {"df": "sum"}, mode="auto")
 
 
 def idf_table(ds, n_docs: int, text_col: str = "text"):
