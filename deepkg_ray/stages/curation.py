@@ -51,8 +51,12 @@ def sentence_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     exploded = ds.select_columns([id_col, text_col]).map_batches(
         explode, batch_format="pyarrow")
-    winners = exploded.groupby("sentence").aggregate(
-        Min("key", alias_name="key"))
+    # cardinality-auto first-occurrence pick: pandas merge tree below 2M
+    # distinct sentences, Ray groupby beyond (string-keyed sort-aggregates
+    # are ~4× slower at tree-friendly sizes)
+    from deepkg_ray.stages.treeagg import merge_partials
+    winners = merge_partials(exploded, ["sentence"], {"key": "min"},
+                             mode="auto")
 
     n_parts = 64
 
