@@ -247,7 +247,7 @@ def embedding_gram(ds, emb_col: str = "embedding", dim: int | None = None):
     merged = merge_partials(
         ds.select_columns([emb_col]).map_batches(
             partial, batch_format="pyarrow", batch_size=1024),
-        ["i", "j"], {"n": "sum", "sxy_micros": "sum"}, fanout=2)
+        ["i", "j"], {"n": "sum", "sxy_micros": "sum"}, fanout=1)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df["sxy"] = df["sxy_micros"] / 1e6
