@@ -304,12 +304,12 @@ def _q_packing_stats(sf_dir: str):
     return packing_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
-def _q_chunk_documents(sf_dir: str):
-    """Sliding-window document chunking (RAG / context-window prep):
-    overlapping max_tokens-token chunks per document, no shuffle."""
-    from deepkg_ray.stages.packing import chunk_documents
-    return chunk_documents(_docs(sf_dir, ["doc_id", "text"]),
-                           max_tokens=64, overlap=16)
+
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher-rule repetition quality signals: duplicate-line instance /
+    char fractions + modal-bigram fraction per document."""
+    from deepkg_ray.stages.textstats import gopher_repetition
+    return gopher_repetition(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_doc_fingerprints(sf_dir: str):
@@ -2471,13 +2471,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": _q_sequence_packing,
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
+        "gopher_repetition": _q_gopher_repetition,
         "sample_exact_k": _q_sample_exact_k,
         "weighted_sample": _q_weighted_sample,
         "global_shuffle_positions": _q_global_shuffle,
         "stratified_exact_k": _q_stratified_exact_k,
         "containment_pairs": _q_containment_pairs,
         "packing_stats": _q_packing_stats,
-        "chunk_documents": _q_chunk_documents,
         "doc_fingerprints": _q_doc_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "dedup_stats": _q_dedup_stats,
@@ -2720,13 +2720,13 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),
+        "gopher_repetition": oracle.gopher_repetition_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),
         "weighted_sample": oracle.weighted_sample_oracle(),
         "global_shuffle_positions": oracle.global_shuffle_positions_oracle(),
         "stratified_exact_k": oracle.stratified_exact_k_oracle(),
         "containment_pairs": oracle.containment_pairs_oracle(),
         "packing_stats": oracle.packing_stats_oracle(),
-        "chunk_documents": oracle.chunk_documents_oracle(),
         "dedup_exact": oracle.dedup_exact_oracle(),
         "dedup_stats": oracle.dedup_stats_oracle(),
         "ngram_jaccard": oracle.ngram_jaccard_pairs_oracle(),

@@ -929,28 +929,49 @@ def ck_tokens_oracle(sf_dir: str) -> str:
             f"safe FROM read_parquet('{gold}')")
 
 
-def chunk_documents_oracle(max_tokens: int = 64, overlap: int = 16) -> str:
-    """Mirror of stages/packing.chunk_documents: n_chunks closed form in
-    integer arithmetic, 1-based inclusive list slices ≡ Python 0-based
-    half-open token windows."""
-    stride = max_tokens - overlap
-    return f"""
-WITH d AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
-  FROM documents WHERE trim(text) <> ''
-), sized AS (
-  SELECT doc_id, ws,
-         CASE WHEN len(ws) <= {max_tokens} THEN 1
-              ELSE 1 + (len(ws) - {max_tokens} + {stride} - 1) // {stride}
-         END AS n_chunks
-  FROM d
+def gopher_repetition_oracle() -> str:
+    """Mirror of stages/textstats.gopher_repetition: '. '-split +
+    rtrim('.') lines, per-doc duplicate-line instance/char fractions and
+    the modal-bigram fraction — exact integer counts, one round6 float64
+    divide per fraction."""
+    return """
+WITH s AS (
+  SELECT doc_id, rtrim(unnest(string_split(text, '. ')), '.') AS line
+  FROM documents
+), lc AS (
+  SELECT doc_id, line, count(*) AS c, count(*) * len(line) AS chars
+  FROM s GROUP BY doc_id, line
+), l AS (
+  SELECT doc_id,
+         sum(c) AS n_lines,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+         sum(chars) AS total_chars,
+         sum(CASE WHEN c > 1 THEN chars ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) x
+  GROUP BY doc_id, g
+), tb AS (
+  SELECT doc_id, max(c) AS top, sum(c) AS tot FROM bg GROUP BY doc_id
 )
-SELECT doc_id, CAST(g.i AS BIGINT) AS chunk_idx,
-       CAST(len(ws[g.i*{stride}+1 : g.i*{stride}+{max_tokens}]) AS BIGINT)
-         AS n_tokens,
-       array_to_string(ws[g.i*{stride}+1 : g.i*{stride}+{max_tokens}], ' ')
-         AS chunk_text
-FROM sized, LATERAL (SELECT unnest(generate_series(0, n_chunks-1)) AS i) g
+SELECT l.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       floor(CAST(l.dup_lines AS DOUBLE) / l.n_lines * 1e6 + 0.5) / 1e6
+         AS dup_line_frac,
+       CASE WHEN l.total_chars > 0
+            THEN floor(CAST(l.dup_chars AS DOUBLE) / l.total_chars * 1e6
+                       + 0.5) / 1e6
+            ELSE 0.0 END AS dup_line_char_frac,
+       CASE WHEN tb.tot IS NOT NULL
+            THEN floor(CAST(tb.top AS DOUBLE) / tb.tot * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS top_bigram_frac
+FROM l LEFT JOIN tb ON tb.doc_id = l.doc_id
 """
 
 

@@ -205,50 +205,3 @@ def global_shuffle_positions(ds, *, seed: int = 7, id_col: str = "doc_id",
     return with_key.groupby("_bucket").map_groups(place,
                                                   batch_format="pandas")
 
-
-def chunk_documents(ds, *, max_tokens: int = 64, overlap: int = 16,
-                    text_col: str = "text", id_col: str = "doc_id"):
-    """Per-document sliding-window chunking — the RAG / context-window
-    prep op (split long documents into overlapping ``max_tokens``-token
-    chunks; stride = max_tokens − overlap).  The inverse concern of
-    pack_sequences: packing JOINS short docs, chunking SPLITS long ones.
-
-    Chunk-count closed form (identical integer arithmetic in the SQL
-    oracle): n_chunks = 1 if n ≤ max_tokens else
-    1 + ceil((n − max_tokens)/stride); chunk i covers tokens
-    [i·stride, i·stride + max_tokens).  Tokens are whitespace splits of
-    the trimmed text (string_split_regex(trim(text), '\\s+')); empty
-    docs emit no chunks.  Purely per-row → one map_batches, no shuffle,
-    embarrassingly parallel at any scale.
-
-    Returns (id_col, chunk_idx, n_tokens, chunk_text)."""
-    assert 0 <= overlap < max_tokens, "need 0 <= overlap < max_tokens"
-    stride = max_tokens - overlap
-
-    def explode(b: pa.Table) -> pa.Table:
-        ids_out: list[int] = []
-        cidx: list[int] = []
-        ntok: list[int] = []
-        texts_out: list[str] = []
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            w = t.split()
-            n = len(w)
-            if n == 0:
-                continue
-            n_chunks = (1 if n <= max_tokens
-                        else 1 + -(-(n - max_tokens) // stride))
-            for c in range(n_chunks):
-                s = c * stride
-                piece = w[s:s + max_tokens]
-                ids_out.append(i)
-                cidx.append(c)
-                ntok.append(len(piece))
-                texts_out.append(" ".join(piece))
-        return pa.table({
-            id_col: pa.array(ids_out, pa.int64()),
-            "chunk_idx": pa.array(cidx, pa.int64()),
-            "n_tokens": pa.array(ntok, pa.int64()),
-            "chunk_text": pa.array(texts_out, pa.string())})
-
-    return ds.select_columns([id_col, text_col]).map_batches(
-        explode, batch_format="pyarrow")

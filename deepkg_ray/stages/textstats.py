@@ -928,3 +928,54 @@ def lang_top_tokens(ds, k: int = 5, text_col: str = "text",
             "cnt": g["cnt"].to_numpy(np.int64)})
 
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def gopher_repetition(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-rule repetition signals (Rae et al. 2021 §A1.1) the n-gram
+    rep_ratio (doc_repetition) doesn't cover: per doc,
+
+    - n_lines and dup_line_frac — fraction of LINE INSTANCES whose line
+      text occurs more than once in the doc ('. '-split + rtrim('.')
+      sentence semantics, the sentence_dedup convention);
+    - dup_line_char_frac — the same fraction weighted by line characters
+      (0 when the doc has no line characters);
+    - top_bigram_frac — occurrences of the modal word bigram over total
+      bigrams (0 when the doc has fewer than 2 words).
+
+    Counts are exact ints; each fraction is ONE float64 divide in round6 —
+    the DuckDB oracle evaluates the identical grid.  Stateless vectorized
+    kernel, no shuffle."""
+    from collections import Counter
+
+    def kernel(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        n_lines = np.empty(len(texts), np.int64)
+        dupf = np.empty(len(texts), np.float64)
+        dupcf = np.empty(len(texts), np.float64)
+        topbf = np.empty(len(texts), np.float64)
+        for i, t in enumerate(texts):
+            lines = [p.rstrip(".") for p in t.split(". ")]
+            lc = Counter(lines)
+            n = len(lines)
+            dup = sum(c for c in lc.values() if c > 1)
+            chars = sum(len(x) for x in lines)
+            dup_chars = sum(len(x) * c for x, c in lc.items() if c > 1)
+            n_lines[i] = n
+            dupf[i] = np.floor(dup / n * 1e6 + 0.5) / 1e6
+            dupcf[i] = (np.floor(dup_chars / chars * 1e6 + 0.5) / 1e6
+                        if chars else 0.0)
+            ws = t.split()
+            bg = Counter(zip(ws, ws[1:]))
+            tot = sum(bg.values())
+            topbf[i] = (np.floor(max(bg.values()) / tot * 1e6 + 0.5) / 1e6
+                        if tot else 0.0)
+        return pa.table({
+            id_col: b[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dupf, pa.float64()),
+            "dup_line_char_frac": pa.array(dupcf, pa.float64()),
+            "top_bigram_frac": pa.array(topbf, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)

@@ -71,26 +71,20 @@ def test_phrase_feature_table_shape():
         assert f[c].dtype == np.int64
 
 
-def test_chunk_documents_golden():
-    """Hand-computed chunk layout: stride = max_tokens - overlap; last
-    chunk may be short; docs at or under the window emit one chunk; empty
-    docs emit none."""
-    from deepkg_ray.stages.packing import chunk_documents
+def test_gopher_repetition_golden():
+    """Hand-built docs: known duplicate-line and modal-bigram fractions."""
+    from deepkg_ray.stages.textstats import gopher_repetition
     docs = pd.DataFrame({
-        "doc_id": [1, 2, 3, 4],
-        "text": ["a b c d e f g h i j",      # 10 toks
-                 "x y z",                     # 3 toks (<= window)
-                 "  ",                        # empty -> no chunks
-                 "p q r s t u"]})             # 6 toks (== window w/ mt=6)
-    out = (chunk_documents(rd.from_pandas(docs), max_tokens=6, overlap=2)
-           .to_pandas().sort_values(["doc_id", "chunk_idx"])
-           .reset_index(drop=True))
-    # doc 1: stride 4 -> chunks [0:6], [4:10] -> n_chunks = 1+ceil(4/4)=2
-    got = list(zip(out["doc_id"], out["chunk_idx"], out["n_tokens"],
-                   out["chunk_text"]))
-    assert got == [
-        (1, 0, 6, "a b c d e f"),
-        (1, 1, 6, "e f g h i j"),
-        (2, 0, 3, "x y z"),
-        (4, 0, 6, "p q r s t u"),
-    ]
+        "doc_id": [1, 2, 3],
+        "text": ["a b. a b. c d",      # lines: 'a b'x2,'c d' -> dup 2/3
+                 "x y z",              # 1 line, no dups; bigrams xy,yz 1/2
+                 ""]})                 # 1 empty line; no bigrams
+    out = (gopher_repetition(rd.from_pandas(docs)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_lines"].tolist() == [3, 1, 1]
+    assert out["dup_line_frac"].tolist() == [0.666667, 0.0, 0.0]
+    # dup chars: 'a b'(3)*2 of total 3+3+3=9 -> 6/9
+    assert out["dup_line_char_frac"].tolist() == [0.666667, 0.0, 0.0]
+    # doc1 bigrams: (a,b)x2,(b,a),(b,c)? -> tokens a b a b c d:
+    # ab,ba,ab,bc,cd -> modal ab 2/5
+    assert out["top_bigram_frac"].tolist() == [0.4, 0.5, 0.0]
