@@ -556,6 +556,40 @@ def _q_segment_revenue(sf_dir: str):
 
 # ------------------------------------------------- linking (rows-only) -----
 
+
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 proper (customer nation = lineitem-supplier nation, one
+    region, one order year)."""
+    from deepkg_ray.pipelines.relational import local_supplier_volume
+    return local_supplier_volume(sf_dir)
+
+
+def _q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 proper (directed nation-pair revenue by ship year)."""
+    from deepkg_ray.pipelines.relational import volume_shipping
+    return volume_shipping(sf_dir)
+
+
+def _q_product_type_profit(sf_dir: str):
+    """TPC-H Q9 shape (profit by supplier nation x order year for a part
+    name substring; supplycost term dropped - no partsupp table)."""
+    from deepkg_ray.pipelines.relational import product_type_profit
+    return product_type_profit(sf_dir)
+
+
+def _q_shipmode_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape (late/ontime x priority CASE-sums over the join)."""
+    from deepkg_ray.pipelines.relational import shipmode_priority_counts
+    return shipmode_priority_counts(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (unique-latest supplier on multi-supplier 'F'
+    orders)."""
+    from deepkg_ray.pipelines.relational import waiting_suppliers
+    return waiting_suppliers(sf_dir)
+
+
 def _q_linking_candidates(sf_dir: str):
     """BM25 top-N candidate generation for every dictionary alias surface —
     the recall-stage output at its full width (top_n=10, the
@@ -2639,6 +2673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auc": _q_events_auc,
         "events_drawdown": _q_events_drawdown,
         "customer_order_distribution": _q_customer_order_distribution,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "volume_shipping": _q_volume_shipping,
+        "product_type_profit": _q_product_type_profit,
+        "shipmode_priority_counts": _q_shipmode_priority_counts,
+        "waiting_suppliers": _q_waiting_suppliers,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "small_lot_revenue": _q_small_lot_revenue,
         "supplier_share_nations": _q_supplier_share_nations,
@@ -2881,6 +2920,11 @@ def oracle_sql() -> dict[str, str]:
         "events_auc": oracle.roc_auc_oracle(),
         "events_drawdown": oracle.max_drawdown_oracle(),
         "customer_order_distribution": oracle.customer_order_distribution_oracle(),
+        "local_supplier_volume": oracle.local_supplier_volume_oracle(),
+        "volume_shipping": oracle.volume_shipping_oracle(),
+        "product_type_profit": oracle.product_type_profit_oracle(),
+        "shipmode_priority_counts": oracle.shipmode_priority_counts_oracle(),
+        "waiting_suppliers": oracle.waiting_suppliers_oracle(),
         "dormant_rich_customers": oracle.dormant_rich_customers_oracle(),
         "small_lot_revenue": oracle.small_lot_revenue_oracle(),
         "supplier_share_nations": oracle.supplier_share_nations_oracle(),

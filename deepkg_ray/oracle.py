@@ -5539,3 +5539,110 @@ SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
+
+
+def local_supplier_volume_oracle(region: str = "ASIA",
+                                 year_start: str = "1996-01-01",
+                                 year_end: str = "1997-01-01") -> str:
+    """TPC-H Q5 proper — mirror of relational.local_supplier_volume
+    (per-lineitem micros, customer nation = supplier nation, one region,
+    one order year)."""
+    return f"""
+SELECT n.n_name,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+                AS BIGINT)) / 1e6 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '{year_start}'
+  AND o.o_orderdate < TIMESTAMP '{year_end}'
+GROUP BY n.n_name
+"""
+
+
+def volume_shipping_oracle(nation_a: str = "NATION_3",
+                           nation_b: str = "NATION_8",
+                           lo: str = "1996-01-01",
+                           hi: str = "1998-01-01") -> str:
+    """TPC-H Q7 proper — mirror of relational.volume_shipping."""
+    return f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+                AS BIGINT)) / 1e6 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{nation_a}' AND n2.n_name = '{nation_b}')
+    OR (n1.n_name = '{nation_b}' AND n2.n_name = '{nation_a}'))
+  AND l.l_shipdate >= TIMESTAMP '{lo}'
+  AND l.l_shipdate < TIMESTAMP '{hi}'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def product_type_profit_oracle(name_like: str = "gear") -> str:
+    """TPC-H Q9 shape (no partsupp in this schema, so profit omits the
+    supplycost term) — mirror of relational.product_type_profit."""
+    return f"""
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 1e6 + 0.5)
+                AS BIGINT)) / 1e6 AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%{name_like}%'
+GROUP BY nation, o_year
+"""
+
+
+def shipmode_priority_counts_oracle(delay_days: int = 90) -> str:
+    """TPC-H Q12 shape (late/ontime buckets by ship−order delay, no
+    shipmode column here) — mirror of relational.shipmode_priority_counts."""
+    delay_us = delay_days * 86_400_000_000
+    return f"""
+SELECT CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+            >= {delay_us} THEN 'late' ELSE 'ontime' END AS bucket,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY bucket
+"""
+
+
+def waiting_suppliers_oracle(status: str = "F",
+                             min_suppliers: int = 2) -> str:
+    """TPC-H Q21 shape (unique-latest supplier on multi-supplier finished
+    orders; no receipt/commit dates here) — mirror of
+    relational.waiting_suppliers."""
+    return f"""
+WITH f AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = '{status}'),
+os AS (
+  SELECT l.l_orderkey, l.l_suppkey, max(l.l_shipdate) AS smax
+  FROM lineitem l JOIN f ON l.l_orderkey = f.o_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey),
+om AS (
+  SELECT l_orderkey, max(smax) AS m, count(*) AS ns
+  FROM os GROUP BY l_orderkey),
+w AS (
+  SELECT os.l_orderkey, min(os.l_suppkey) AS l_suppkey
+  FROM os JOIN om USING (l_orderkey)
+  WHERE om.ns >= {min_suppliers} AND os.smax = om.m
+  GROUP BY os.l_orderkey HAVING count(*) = 1)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_name
+"""

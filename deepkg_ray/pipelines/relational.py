@@ -2027,3 +2027,439 @@ def pricing_charge_summary(sf_dir: str):
             "count_order": b["count_order"].combine_chunks()
                 .cast(pa.int64())})
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _ts_us(s: str) -> int:
+    return int(pd.Timestamp(s).value // 1_000)
+
+
+def _broadcast_i64_map(path: str, key: str, val: str) -> tuple:
+    """(sorted keys, values) arrays for a searchsorted broadcast lookup of
+    a dimension table — ray.put by the caller."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(path, columns=[key, val])
+    k = np.asarray(t[key].to_pylist(), np.int64)
+    v = np.asarray(t[val].to_pylist(), np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          year_start: str = "1996-01-01",
+                          year_end: str = "1997-01-01"):
+    """TPC-H Q5 proper: revenue per nation for orders placed in one year
+    where the CUSTOMER and the LINEITEM'S SUPPLIER sit in the same nation
+    of one region.  Plan: lineitem projects to (orderkey, suppkey, rev
+    micros); orders filter at the read (date predicate → row-group filter
+    at 100 TB) and hash-join; customer hash-joins for c_nationkey; the
+    supplier/nation/region dimensions broadcast (supplier is 10k·sf rows —
+    the one side that is genuinely dimension-shaped here; swap for a hash
+    join if a deployment's supplier table is data-sized).  Returns
+    (n_name, revenue)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    lo, hi = _ts_us(year_start), _ts_us(year_end)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev_micros": pa.array(to_micros(ext * (1.0 - disc)), pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (od >= lo) & (od < hi)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b["o_orderkey"].to_numpy(zero_copy_only=False)[keep]),
+            "o_custkey": pa.array(
+                b["o_custkey"].to_numpy(zero_copy_only=False)[keep])})
+
+    j1 = drop_empty_blocks(li.map_batches(li_proj, batch_format="pyarrow")) \
+        .join(drop_empty_blocks(orders.map_batches(
+            o_proj, batch_format="pyarrow")),
+            join_type="inner", num_partitions=nparts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j2 = drop_empty_blocks(j1).join(
+        drop_empty_blocks(cust), join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    sk, sv = _broadcast_i64_map(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+    supp_ref = ray.put((sk, sv))
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {r: n for r, n in zip(rt["r_regionkey"].to_pylist(),
+                               rt["r_name"].to_pylist())}
+    nation_name = {k: (n, rk.get(g)) for k, n, g in
+                   zip(nt["n_nationkey"].to_pylist(),
+                       nt["n_name"].to_pylist(),
+                       nt["n_regionkey"].to_pylist())}
+    nat_ref = ray.put(nation_name)
+
+    def attach(b: pa.Table) -> pa.Table:
+        skeys, svals = ray.get(supp_ref)
+        nats = ray.get(nat_ref)
+        sup = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, sup)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        ok = skeys[pos] == sup
+        s_nat = np.where(ok, svals[pos], -1)
+        c_nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ok & (s_nat == c_nat)
+        names = []
+        for nk in s_nat[keep]:
+            n, r = nats.get(int(nk), (None, None))
+            names.append(n if r == region else None)
+        t = pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "rev_micros": pa.array(
+                b["rev_micros"].to_numpy(zero_copy_only=False)[keep])})
+        return t.filter(pc.is_valid(t["n_name"]))
+
+    agg = (drop_empty_blocks(j2).map_batches(attach, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("rev_micros", alias_name="rm")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "revenue": pa.array(
+                np.asarray(b["rm"].to_pylist(), np.float64) / 1e6)}),
+        batch_format="pyarrow")
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                    nation_b: str = "NATION_8",
+                    lo: str = "1996-01-01", hi: str = "1998-01-01"):
+    """TPC-H Q7 proper: yearly shipping volume between a nation pair —
+    (supp_nation, cust_nation, l_year, revenue) for the two directed
+    directions, lineitems shipped inside [lo, hi).  Supplier and nation
+    broadcast; orders→customer hash-join carries cust nation.  The year is
+    extracted from the shipdate in µs (both sides use the same epoch
+    arithmetic via year() in SQL / numpy datetime in the engine)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    lo_us, hi_us = _ts_us(lo), _ts_us(hi)
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nat = dict(zip(nt["n_nationkey"].to_pylist(), nt["n_name"].to_pylist()))
+    pair = {nation_a, nation_b}
+    sk, sv = _broadcast_i64_map(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+    supp_ref = ray.put((sk, sv))
+    nat_ref = ray.put(nat)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        keep = (ship >= lo_us) & (ship < hi_us)
+        skeys, svals = ray.get(supp_ref)
+        nats = ray.get(nat_ref)
+        sup = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        pos = np.clip(np.searchsorted(skeys, sup), 0, len(skeys) - 1)
+        ok = skeys[pos] == sup
+        s_nat = svals[pos]
+        names = np.array([nats.get(int(x), "") for x in s_nat], object)
+        keep2 = ok & np.isin(names, list(pair))
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)[keep]
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)[keep]
+        years = (ship[keep][keep2].astype("datetime64[us]")
+                 .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "l_orderkey": pa.array(
+                b["l_orderkey"].to_numpy(zero_copy_only=False)[keep][keep2]),
+            "supp_nation": pa.array(names[keep2].astype(str), pa.string()),
+            "l_year": pa.array(years, pa.int64()),
+            "rev_micros": pa.array(
+                to_micros((ext * (1.0 - disc)))[keep2], pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    oj = drop_empty_blocks(orders).join(
+        drop_empty_blocks(cust), join_type="inner", num_partitions=nparts,
+        on=("o_custkey",), right_on=("c_custkey",))
+    j = drop_empty_blocks(
+        li.map_batches(li_proj, batch_format="pyarrow")).join(
+        drop_empty_blocks(oj), join_type="inner", num_partitions=nparts,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def attach_cust(b: pa.Table) -> pa.Table:
+        nats = ray.get(nat_ref)
+        c_nat = b["c_nationkey"].to_numpy(zero_copy_only=False)
+        cnames = np.array([nats.get(int(x), "") for x in c_nat], object)
+        sn = np.asarray(b["supp_nation"].to_pylist(), object)
+        keep = ((cnames != sn)
+                & np.isin(cnames, list(pair)))
+        return pa.table({
+            "supp_nation": pa.array(sn[keep].astype(str), pa.string()),
+            "cust_nation": pa.array(cnames[keep].astype(str), pa.string()),
+            "l_year": pa.array(
+                b["l_year"].to_numpy(zero_copy_only=False)[keep]),
+            "rev_micros": pa.array(
+                b["rev_micros"].to_numpy(zero_copy_only=False)[keep])})
+
+    agg = (drop_empty_blocks(j)
+           .map_batches(attach_cust, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("rev_micros", alias_name="rm")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "supp_nation": b["supp_nation"],
+            "cust_nation": b["cust_nation"],
+            "l_year": b["l_year"].combine_chunks().cast(pa.int64()),
+            "revenue": pa.array(
+                np.asarray(b["rm"].to_pylist(), np.float64) / 1e6)}),
+        batch_format="pyarrow")
+
+
+def product_type_profit(sf_dir: str, name_like: str = "gear"):
+    """TPC-H Q9 shape (profit by supplier nation × order year for parts
+    whose name contains a substring) adapted to this star schema: the
+    testdata has no partsupp table, so profit = Σ ext·(1−disc) (the
+    supplycost term is dropped; the join/aggregation topology — part
+    filter, supplier-nation attach, order-year attach, two-key group — is
+    the Q9 plan).  part broadcast as a filtered key set; supplier/nation
+    broadcast; orders hash-join for the year."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_name"])
+    keep_parts = np.sort(np.asarray(
+        [k for k, n in zip(pt["p_partkey"].to_pylist(),
+                           pt["p_name"].to_pylist()) if name_like in n],
+        np.int64))
+    parts_ref = ray.put(keep_parts)
+    sk, sv = _broadcast_i64_map(f"{sf_dir}/supplier.parquet",
+                                "s_suppkey", "s_nationkey")
+    supp_ref = ray.put((sk, sv))
+    nt = pq.read_table(f"{sf_dir}/nation.parquet",
+                       columns=["n_nationkey", "n_name"])
+    nat_ref = ray.put(dict(zip(nt["n_nationkey"].to_pylist(),
+                               nt["n_name"].to_pylist())))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        kp = ray.get(parts_ref)
+        pos = np.clip(np.searchsorted(kp, pk), 0, max(len(kp) - 1, 0))
+        keep = (kp[pos] == pk) if len(kp) else np.zeros(len(pk), bool)
+        skeys, svals = ray.get(supp_ref)
+        nats = ray.get(nat_ref)
+        sup = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        spos = np.clip(np.searchsorted(skeys, sup), 0, len(skeys) - 1)
+        ok = skeys[spos] == sup
+        names = np.array([nats.get(int(x), "") for x in svals[spos]], object)
+        ext = np.asarray(b["l_extendedprice"].to_pylist(), np.float64)[keep]
+        disc = np.asarray(b["l_discount"].to_pylist(), np.float64)[keep]
+        return pa.table({
+            "l_orderkey": pa.array(
+                b["l_orderkey"].to_numpy(zero_copy_only=False)[keep][ok]),
+            "nation": pa.array(names[ok].astype(str), pa.string()),
+            "rev_micros": pa.array(
+                to_micros(ext * (1.0 - disc))[ok], pa.int64())})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        years = (od.astype("datetime64[us]").astype("datetime64[Y]")
+                 .astype(np.int64) + 1970)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_year": pa.array(years, pa.int64())})
+
+    j = drop_empty_blocks(li.map_batches(li_proj, batch_format="pyarrow")) \
+        .join(drop_empty_blocks(orders.map_batches(
+            o_proj, batch_format="pyarrow")),
+            join_type="inner", num_partitions=nparts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = (drop_empty_blocks(j)
+           .groupby(["nation", "o_year"])
+           .aggregate(Sum("rev_micros", alias_name="rm")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "nation": b["nation"],
+            "o_year": b["o_year"].combine_chunks().cast(pa.int64()),
+            "profit": pa.array(
+                np.asarray(b["rm"].to_pylist(), np.float64) / 1e6)}),
+        batch_format="pyarrow")
+
+
+def shipmode_priority_counts(sf_dir: str, delay_days: int = 90):
+    """TPC-H Q12 shape adapted (no l_shipmode/receiptdate in this schema):
+    lineitems bucket into late/ontime by l_shipdate − o_orderdate ≥
+    ``delay_days``, and per bucket count lines on HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs the rest — the Q12 CASE-sum over a join.  One
+    hash join (lineitem→orders) then a two-key combiner groupby."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+    delay_us = delay_days * 86_400_000_000
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "ship_us": ship})
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def o_proj(b: pa.Table) -> pa.Table:
+        od = b["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        pri = b["o_orderpriority"]
+        high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "order_us": od,
+                         "is_high": high})
+
+    j = drop_empty_blocks(li.map_batches(li_proj, batch_format="pyarrow")) \
+        .join(drop_empty_blocks(orders.map_batches(
+            o_proj, batch_format="pyarrow")),
+            join_type="inner", num_partitions=nparts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def combine(b: pa.Table) -> pa.Table:
+        late = (b["ship_us"].to_numpy(zero_copy_only=False)
+                - b["order_us"].to_numpy(zero_copy_only=False)) >= delay_us
+        high = b["is_high"].to_numpy(zero_copy_only=False).astype(bool)
+        rows = {"bucket": [], "high_count": [], "low_count": []}
+        for flag, name in ((late, "late"), (~late, "ontime")):
+            rows["bucket"].append(name)
+            rows["high_count"].append(int((flag & high).sum()))
+            rows["low_count"].append(int((flag & ~high).sum()))
+        return pa.table({
+            "bucket": pa.array(rows["bucket"], pa.string()),
+            "high_count": pa.array(rows["high_count"], pa.int64()),
+            "low_count": pa.array(rows["low_count"], pa.int64())})
+
+    agg = (drop_empty_blocks(j).map_batches(combine, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("high_count", alias_name="high_count"),
+                      Sum("low_count", alias_name="low_count")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "bucket": b["bucket"],
+            "high_count": b["high_count"].combine_chunks().cast(pa.int64()),
+            "low_count": b["low_count"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
+def waiting_suppliers(sf_dir: str, status: str = "F", min_suppliers: int = 2):
+    """TPC-H Q21 shape adapted (no receipt/commit dates): for finished
+    ('F') orders served by ≥ ``min_suppliers`` distinct suppliers, the
+    supplier(s) that UNIQUELY shipped last (their max l_shipdate equals
+    the order's max and no other supplier attains it) 'kept the order
+    waiting'.  Per-supplier count of such orders.
+
+    Plan: per-(order, supplier) max-shipdate groupby (combiner inside the
+    shuffle), then a per-order cogroup resolves the unique-latest
+    supplier — both shuffles are ids+timestamps only; supplier names
+    attach by broadcast at the end.  Returns (s_name, numwait)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    nparts = join_partitions()
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    okeep = orders.map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], status))
+        .select(["o_orderkey"]), batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_proj(b: pa.Table) -> pa.Table:
+        ship = b["l_shipdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"],
+                         "ship_us": ship})
+
+    j = drop_empty_blocks(li.map_batches(li_proj, batch_format="pyarrow")) \
+        .join(drop_empty_blocks(okeep), join_type="inner",
+              num_partitions=nparts, on=("l_orderkey",),
+              right_on=("o_orderkey",))
+
+    # per-(order, supplier) latest shipment — int keys, combiner shuffle
+    per_os = drop_empty_blocks(j).groupby(["l_orderkey", "l_suppkey"]) \
+        .aggregate(Max("ship_us", alias_name="smax"))
+
+    # order-complete COARSE partitions + one vectorized pandas pass per
+    # partition (per-order map_groups pays a multi-second fixed cost for
+    # thousands of tiny groups — the turn_latency lesson)
+    n_parts_c = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((ok % n_parts_c).astype(np.int32)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("l_orderkey")
+        ns = grp["l_suppkey"].transform("size")     # rows are per-supplier
+        m = grp["smax"].transform("max")
+        at_max = g["smax"].eq(m)
+        n_at_max = at_max.groupby(g["l_orderkey"]).transform("sum")
+        keep = (ns >= min_suppliers) & at_max & (n_at_max == 1)
+        return g.loc[keep, ["l_suppkey"]]
+
+    waits = (per_os.map_batches(add_part, batch_format="pyarrow")
+             .groupby("part").map_groups(per_part, batch_format="pandas"))
+    agg = waits.groupby("l_suppkey").aggregate(Count(alias_name="numwait"))
+
+    st = pq.read_table(f"{sf_dir}/supplier.parquet",
+                       columns=["s_suppkey", "s_name"])
+    names_ref = ray.put(dict(zip(st["s_suppkey"].to_pylist(),
+                                 st["s_name"].to_pylist())))
+
+    def attach(b: pa.Table) -> pa.Table:
+        nm = ray.get(names_ref)
+        keys = b["l_suppkey"].to_pylist()
+        return pa.table({
+            "s_name": pa.array([nm[k] for k in keys], pa.string()),
+            "numwait": b["numwait"].combine_chunks().cast(pa.int64())})
+
+    return agg.map_batches(attach, batch_format="pyarrow")
