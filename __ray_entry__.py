@@ -590,6 +590,25 @@ def _q_waiting_suppliers(sf_dir: str):
     return waiting_suppliers(sf_dir)
 
 
+
+def _q_semantic_contamination(sf_dir: str):
+    """Train/eval semantic decontamination: every (eval, train) embedding
+    pair with cosine >= tau, eval matrix broadcast, train side streaming
+    (one pass, no shuffle)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import semantic_contamination
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    keep = np.asarray(t["vec_id"].to_pylist()) < 16
+    q = np.stack(t["embedding"].to_pandas().to_numpy())[keep]
+    qids = np.asarray(t["vec_id"].to_pylist())[keep]
+    train = read_embeddings(sf_dir, ["vec_id", "embedding"]) \
+        .filter(expr="vec_id >= 16")
+    return semantic_contamination(train, q, qids, tau=0.3)
+
+
 def _q_linking_candidates(sf_dir: str):
     """BM25 top-N candidate generation for every dictionary alias surface —
     the recall-stage output at its full width (top_n=10, the
@@ -2678,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_type_profit": _q_product_type_profit,
         "shipmode_priority_counts": _q_shipmode_priority_counts,
         "waiting_suppliers": _q_waiting_suppliers,
+        "semantic_contamination": _q_semantic_contamination,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "small_lot_revenue": _q_small_lot_revenue,
         "supplier_share_nations": _q_supplier_share_nations,
@@ -2925,6 +2945,7 @@ def oracle_sql() -> dict[str, str]:
         "product_type_profit": oracle.product_type_profit_oracle(),
         "shipmode_priority_counts": oracle.shipmode_priority_counts_oracle(),
         "waiting_suppliers": oracle.waiting_suppliers_oracle(),
+        "semantic_contamination": oracle.semantic_contamination_oracle(tau=0.3),
         "dormant_rich_customers": oracle.dormant_rich_customers_oracle(),
         "small_lot_revenue": oracle.small_lot_revenue_oracle(),
         "supplier_share_nations": oracle.supplier_share_nations_oracle(),

@@ -5646,3 +5646,23 @@ SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
 FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
 GROUP BY s.s_name
 """
+
+
+def semantic_contamination_oracle(n_eval: int = 16,
+                                  tau: float = 0.5) -> str:
+    """Thresholded eval×train cosine scan — mirror of
+    similarity.semantic_contamination over the vec_id split (eval =
+    vec_id < n_eval, train = the rest); identical SQL_COSINE micros
+    grid as the ANN oracles."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="q.qm", b="e.em")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id,
+                  {SQL_EMB_MICROS.format(e="embedding")} AS qm
+           FROM embeddings WHERE vec_id < {n_eval}),
+em AS (SELECT vec_id, {SQL_EMB_MICROS.format(e="embedding")} AS em
+       FROM embeddings WHERE vec_id >= {n_eval})
+SELECT q.query_id, e.vec_id, {cos} AS cosine
+FROM q CROSS JOIN em e
+WHERE {cos} >= {tau}
+"""

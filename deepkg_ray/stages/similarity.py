@@ -448,3 +448,34 @@ def embedding_dim_stats(ds, emb_col: str = "embedding", dim: int = 64):
         "ss": pa.array(ss, pa.int64()),
         "mean": pa.array(mean, pa.float64()),
         "std": pa.array(std, pa.float64())}))
+
+
+def semantic_contamination(ds, queries: np.ndarray, query_ids, tau: float,
+                           *, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Train/eval SEMANTIC decontamination scan: every (eval vector, train
+    vector) pair with round6 cosine ≥ tau — the embedding analog of the
+    n-gram decontaminate op (eval sets are small by nature, so the eval
+    matrix broadcasts inside the kernel closure and the train side
+    STREAMS; one pass, no shuffle, no top-k bound — contamination wants
+    every hit, not the best k).  Returns (query_id, vec_id, cosine).
+
+    Reference analog: the faiss similarity scan of simcse_unsup.py:44-76;
+    the thresholded-scan variant is an engine addition (training-data
+    decontamination per the round brief)."""
+    from deepkg_ray.functions.numeric import cosine_micros, micros_matrix
+    qm = micros_matrix(np.asarray(queries))
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        sims = cosine_micros(qm, micros_matrix(_as_matrix(batch[vec_col])))
+        qi, vi = np.nonzero(sims >= tau)
+        return pa.table({
+            "query_id": pa.array(qids[qi], pa.int64()),
+            "vec_id": pa.array(ids[vi], pa.int64()),
+            "cosine": pa.array(sims[qi, vi].astype(np.float64),
+                               pa.float64())})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        scan, batch_format="pyarrow")

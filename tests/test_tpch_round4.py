@@ -72,3 +72,26 @@ def test_q21_waiting_suppliers():
     from deepkg_ray import oracle
     from deepkg_ray.pipelines.relational import waiting_suppliers
     _check(waiting_suppliers, oracle.waiting_suppliers_oracle())
+
+
+def test_semantic_contamination_matches_brute_force():
+    """Thresholded scan must equal the brute-force pair set (same micros
+    cosine) on a small synthetic corpus with planted near-dups."""
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import cosine_micros, micros_matrix
+    from deepkg_ray.stages.similarity import semantic_contamination
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 8)).astype(np.float32)
+    base[25] = base[0] + 0.01           # planted contamination
+    ids = np.arange(40, dtype=np.int64)
+    q, qids = base[:4], ids[:4]
+    train = pd.DataFrame({"vec_id": ids[4:],
+                          "embedding": list(base[4:])})
+    out = (semantic_contamination(rd.from_pandas(train), q, qids, tau=0.9)
+           .to_pandas().sort_values(["query_id", "vec_id"])
+           .reset_index(drop=True))
+    sims = cosine_micros(micros_matrix(q), micros_matrix(base[4:]))
+    qi, vi = np.nonzero(sims >= 0.9)
+    assert list(zip(out["query_id"], out["vec_id"])) == \
+        list(zip(qids[qi], ids[4:][vi]))
+    assert (0, 25) in set(zip(out["query_id"], out["vec_id"]))
