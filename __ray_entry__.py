@@ -609,6 +609,16 @@ def _q_semantic_contamination(sf_dir: str):
     return semantic_contamination(train, q, qids, tau=0.3)
 
 
+
+def _q_mixture_plan(sf_dir: str):
+    """Target-weighted data mixing: per-source quotas filled in the
+    deterministic (md5(doc_id), doc_id) order."""
+    from deepkg_ray.stages.textstats import mixture_plan
+    return mixture_plan(_docs(sf_dir, ["doc_id", "source"]),
+                        weights={f"src{i}": 1.0 / 8 for i in range(8)},
+                        budget=200)
+
+
 def _q_linking_candidates(sf_dir: str):
     """BM25 top-N candidate generation for every dictionary alias surface —
     the recall-stage output at its full width (top_n=10, the
@@ -2698,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipmode_priority_counts": _q_shipmode_priority_counts,
         "waiting_suppliers": _q_waiting_suppliers,
         "semantic_contamination": _q_semantic_contamination,
+        "mixture_plan": _q_mixture_plan,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "small_lot_revenue": _q_small_lot_revenue,
         "supplier_share_nations": _q_supplier_share_nations,
@@ -2946,6 +2957,7 @@ def oracle_sql() -> dict[str, str]:
         "shipmode_priority_counts": oracle.shipmode_priority_counts_oracle(),
         "waiting_suppliers": oracle.waiting_suppliers_oracle(),
         "semantic_contamination": oracle.semantic_contamination_oracle(tau=0.3),
+        "mixture_plan": oracle.mixture_plan_oracle(),
         "dormant_rich_customers": oracle.dormant_rich_customers_oracle(),
         "small_lot_revenue": oracle.small_lot_revenue_oracle(),
         "supplier_share_nations": oracle.supplier_share_nations_oracle(),

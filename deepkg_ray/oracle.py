@@ -5666,3 +5666,23 @@ SELECT q.query_id, e.vec_id, {cos} AS cosine
 FROM q CROSS JOIN em e
 WHERE {cos} >= {tau}
 """
+
+
+def mixture_plan_oracle(weights: dict[str, float] | None = None,
+                        budget: int = 200) -> str:
+    """Mirror of textstats.mixture_plan: per-source quota =
+    floor(budget·w), selection = first quota docs by (md5(doc_id),
+    doc_id)."""
+    weights = weights or {f"src{i}": 1.0 / 8 for i in range(8)}
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(budget * w)}" for s, w in weights.items())
+    return f"""
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn,
+         CASE source {cases} ELSE 0 END AS quota
+  FROM documents)
+SELECT source, doc_id FROM r WHERE rn <= quota
+"""

@@ -979,3 +979,42 @@ def gopher_repetition(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         kernel, batch_format="pyarrow", batch_size=8192)
+
+
+def mixture_plan(ds, weights: dict[str, float], budget: int,
+                 id_col: str = "doc_id", class_col: str = "source"):
+    """Data-mixing selection to TARGET proportions (the trainer-prep knob:
+    'give me `budget` docs at these source weights'): per source s, keep
+    the floor(budget·w_s) docs that rank first by (md5(doc_id), doc_id) —
+    the same deterministic order every sampling op here uses, so the
+    selection is reproducible on any partitioning and exactly
+    SQL-expressible (row_number over the md5 order).  Sources absent from
+    ``weights`` contribute nothing; a source smaller than its quota yields
+    all its docs (the plan reports the shortfall).
+
+    Returns the selected rows (class, doc_id) plus per-source plan rows
+    via ``mixture_plan_summary``.  Plan: per-source ranking runs in one
+    vectorized pass per source group — sources are mixture components
+    (dozens), so groups are coarse by construction."""
+    import hashlib
+
+    import pandas as pd
+
+    targets = {s: int(budget * w) for s, w in weights.items()}
+
+    def per_source(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[class_col].iloc[0]
+        t = targets.get(src, 0)
+        if t <= 0:
+            return pd.DataFrame({class_col: pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64)})
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in g[id_col].to_numpy()]
+        order = np.lexsort((g[id_col].to_numpy(np.int64),
+                            np.asarray(h, object)))
+        keep = order[:t]
+        return pd.DataFrame({class_col: g[class_col].to_numpy()[keep],
+                             id_col: g[id_col].to_numpy(np.int64)[keep]})
+
+    return ds.select_columns([id_col, class_col]).groupby(class_col) \
+        .map_groups(per_source, batch_format="pandas")

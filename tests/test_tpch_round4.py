@@ -95,3 +95,21 @@ def test_semantic_contamination_matches_brute_force():
     assert list(zip(out["query_id"], out["vec_id"])) == \
         list(zip(qids[qi], ids[4:][vi]))
     assert (0, 25) in set(zip(out["query_id"], out["vec_id"]))
+
+
+def test_mixture_plan_quotas_and_shortfall():
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import mixture_plan
+    df = pd.DataFrame({"doc_id": range(30),
+                       "source": ["a"] * 20 + ["b"] * 5 + ["c"] * 5})
+    out = (mixture_plan(rd.from_pandas(df),
+                        weights={"a": 0.5, "b": 0.5}, budget=20)
+           .to_pandas())
+    # a: quota 10 of 20; b: quota 10 but only 5 exist (shortfall); c: no
+    # weight -> nothing
+    counts = out["source"].value_counts().to_dict()
+    assert counts == {"a": 10, "b": 5}
+    # deterministic: same input -> same ids
+    out2 = mixture_plan(rd.from_pandas(df),
+                        weights={"a": 0.5, "b": 0.5}, budget=20).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
