@@ -443,6 +443,21 @@ def _q_ann_topk(sf_dir: str):
                             q, qids, k=10)
 
 
+def _q_hard_negatives(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import hard_negatives
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    t = t.filter(pc.less(t["vec_id"], 8))
+    anchors = np.stack(t["embedding"].to_pandas().to_numpy())
+    return hard_negatives(
+        read_embeddings(sf_dir, ["vec_id", "embedding", "label"]),
+        anchors, t["vec_id"].to_pylist(), t["label"].to_pylist(), k=5)
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF path with nprobe = n_centroids → exact, so it shares the
     brute-force oracle; bench runs it with low nprobe for the scale path."""
@@ -2582,6 +2597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "hard_negatives": _q_hard_negatives,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
@@ -2832,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_words": oracle.textrank_words_oracle(n_iters=5),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
+        "hard_negatives": oracle.hard_negatives_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),

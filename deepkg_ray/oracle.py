@@ -611,6 +611,30 @@ SELECT query_id, vec_id, cosine, rank FROM r WHERE rank < {k}
 """
 
 
+def hard_negatives_oracle(n_anchors: int = 8, k: int = 5) -> str:
+    """Brute-force mirror of stages/similarity.hard_negatives: per anchor
+    (vec_id < n_anchors), top-k round6 cosine among different-label rows,
+    rank ordered (cosine DESC, vec_id)."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="a.am", b="e.em")
+    return f"""
+WITH a AS (SELECT vec_id AS anchor_id, label AS albl,
+                  {SQL_EMB_MICROS.format(e="embedding")} AS am
+           FROM embeddings WHERE vec_id < {n_anchors}),
+em AS (SELECT vec_id, label, {SQL_EMB_MICROS.format(e="embedding")} AS em
+       FROM embeddings),
+s AS (
+  SELECT a.anchor_id, e.vec_id, {cos} AS cosine
+  FROM a JOIN em e ON e.label <> a.albl
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cosine DESC, vec_id) - 1 AS INTEGER) AS rank
+  FROM s
+)
+SELECT anchor_id, vec_id, cosine, rank FROM r WHERE rank < {k}
+"""
+
+
 def embedding_near_dup_oracle(threshold: float = 0.3) -> str:
     from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
     cos = SQL_COSINE.format(a="a.em", b="b.em")

@@ -479,3 +479,52 @@ def semantic_contamination(ds, queries: np.ndarray, query_ids, tau: float,
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         scan, batch_format="pyarrow")
+
+
+def hard_negatives(ds, anchors: np.ndarray, anchor_ids, anchor_labels,
+                   k: int = 5, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label"):
+    """Contrastive hard-negative mining: for each anchor vector, the k
+    most-cosine-similar corpus vectors whose ``label`` DIFFERS from the
+    anchor's — the candidates a contrastive trainer most needs (closest
+    wrong-class points; simcse_unsup.py:44-76 builds its training batches
+    from exactly this faiss scan, minus the label exclusion).
+
+    Scale shape: the anchor matrix rides the kernel closure (anchors are
+    few by nature — a training batch, not a corpus), the corpus STREAMS;
+    each batch emits only its local top-k per anchor in the same
+    (round6 cosine desc, vec_id asc) total order the global reduction and
+    the SQL oracle use, so the global groupby sees ≤ k rows per anchor per
+    block.  Returns (anchor_id, vec_id, cosine, rank), rank 0 = hardest."""
+    am = micros_matrix(np.asarray(anchors))
+    aids = np.asarray(anchor_ids, dtype=np.int64)
+    albl = np.asarray(anchor_labels, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        lbl = np.asarray(batch[label_col].to_pylist(), dtype=np.int64)
+        sims = cosine_micros(am, micros_matrix(_as_matrix(batch[vec_col])))
+        a_out, id_out, s_out = [], [], []
+        for ai in range(sims.shape[0]):
+            ok = np.flatnonzero(lbl != albl[ai])
+            if not len(ok):
+                continue
+            sel = ok[np.lexsort((ids[ok], -sims[ai, ok]))[:k]]
+            a_out.extend([int(aids[ai])] * len(sel))
+            id_out.extend(ids[sel].tolist())
+            s_out.extend(sims[ai, sel].tolist())
+        return pa.table({
+            "anchor_id": pa.array(a_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "cosine": pa.array(np.asarray(s_out, np.float64), pa.float64()),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return (ds.select_columns([id_col, vec_col, label_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("anchor_id").map_groups(finish, batch_format="pandas"))

@@ -312,3 +312,24 @@ def test_similarity_join_disjoint_vocabularies_returns_empty():
     from deepkg_ray.stages.simjoin import similarity_join
     assert similarity_join(rd.from_pandas(ldf), rd.from_pandas(rdf),
                            threshold=0.5).count() == 0
+
+
+def test_hard_negatives_excludes_same_label_and_ranks():
+    # 2 labels; anchor 0 (label 0) must only ever see label-1 rows, ranked
+    # by cosine desc.  Vectors built so v3 (label 1) is closest to anchor.
+    vecs = np.array([
+        [1.0, 0.0, 0.0],   # id 0, label 0 (anchor)
+        [0.99, 0.1, 0.0],  # id 1, label 0 — same label, must be excluded
+        [0.0, 1.0, 0.0],   # id 2, label 1 — orthogonal
+        [0.9, 0.4, 0.0],   # id 3, label 1 — hardest negative
+        [0.5, 0.8, 0.0],   # id 4, label 1
+    ], dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64),
+                       "embedding": list(vecs),
+                       "label": np.array([0, 0, 1, 1, 1], dtype=np.int64)})
+    ds = rd.from_pandas(df)
+    out = similarity.hard_negatives(ds, vecs[:1], [0], [0], k=2).to_pandas()
+    out = out.sort_values("rank")
+    assert list(out["vec_id"]) == [3, 4]          # id 1 (same label) excluded
+    assert list(out["rank"]) == [0, 1]
+    assert out["cosine"].is_monotonic_decreasing
