@@ -1390,6 +1390,14 @@ def _q_doc_logprob(sf_dir: str):
     return doc_logprob(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_boilerplate_stats(sf_dir: str):
+    """CCNet-style boilerplate removal stats: sentences in ≥3 distinct
+    docs are boilerplate; per-doc surviving-text accounting."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import boilerplate_stats
+    return boilerplate_stats(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_sentence_dedup(sf_dir: str):
     """C4/RefinedWeb line dedup: first occurrence of each sentence wins;
     docs reassembled from surviving sentences."""
@@ -2642,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
         "sentence_dedup": _q_sentence_dedup,
+        "boilerplate_stats": _q_boilerplate_stats,
         "budget_select": _q_budget_select,
         "corpus_curate": _q_corpus_curate,
         "embedding_gram": _q_embedding_gram,
@@ -2849,6 +2858,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
         "hard_negatives": oracle.hard_negatives_oracle(),
+        "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),

@@ -2064,6 +2064,28 @@ FROM k GROUP BY doc_id
 """
 
 
+def boilerplate_stats_oracle(min_docs: int = 3,
+                             table: str = "documents") -> str:
+    """Mirrors stages/curation.boilerplate_stats: '. ' split + rtrim('.')
+    sentences; df = COUNT(DISTINCT doc_id); per-doc occurrence totals,
+    boilerplate occurrence count (df >= min_docs), and kept characters."""
+    return f"""
+WITH s AS (
+  SELECT doc_id, rtrim(unnest(string_split(text, '. ')), '.') AS sentence
+  FROM {table}),
+df AS (
+  SELECT sentence, COUNT(DISTINCT doc_id) AS df FROM s GROUP BY sentence)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_sents,
+       CAST(SUM(CASE WHEN df.df >= {min_docs} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN df.df < {min_docs} THEN length(s.sentence)
+                ELSE 0 END) AS BIGINT) AS kept_chars
+FROM s JOIN df USING (sentence)
+GROUP BY s.doc_id
+"""
+
+
 def budget_select_oracle(frac: float = 0.6) -> str:
     """Quality-ordered token-budget selection — mirrors
     stages/curation.budget_select over doc_stats(quality, n_tokens):

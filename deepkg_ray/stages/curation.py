@@ -379,3 +379,158 @@ def training_manifest(ds_docs, budget_frac: float = 0.6,
     return merge_partials(
         survivors.map_batches(assign, batch_format="pyarrow"),
         ["split"], {"n_docs": "sum", "sum_tokens": "sum"}, mode="tree")
+
+
+def boilerplate_stats(ds, min_docs: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_broadcast: int = 500_000,
+                      decision_out: dict | None = None):
+    """CCNet/RefinedWeb-style boilerplate detection: a sentence occurring
+    in ≥ ``min_docs`` DISTINCT documents is boilerplate (nav bars, license
+    footers, share buttons); report per doc how much text survives its
+    removal.  Sentence semantics are sentence_dedup's ('. ' split, trailing
+    periods stripped) so the two curation ops compose on one convention.
+
+    Returns (doc_id, n_sents, n_boiler, kept_chars): total sentence
+    occurrences, occurrences of boilerplate sentences, and the summed
+    character length of the kept (non-boilerplate) occurrences.
+
+    Scale shape, two tiers on the ONE uncertain cardinality (the boiler
+    set):
+    - document-frequency pass: per-batch per-doc-DISTINCT (sentence, 1)
+      partials → cardinality-auto merge tree (string-keyed Ray groupby is
+      pathological at tree-friendly sizes — memory/ray-groupby-vs-treeagg);
+    - boiler set ≤ max_broadcast → ray.put a frozenset, one streaming
+      map_batches over the docs computes all three stats in-batch (docs are
+      row-atomic, no second shuffle at all);
+    - larger boiler sets → sentence-keyed inner join of the occurrence
+      partials against the boiler table, then a doc_id-keyed Sum merge
+      unioned with batch-side per-doc totals (zero-filled columns instead
+      of an outer join).
+
+    Reference analog: none (engine addition per the round brief — web-scale
+    curation needs boilerplate removal alongside sentence_dedup)."""
+    import ray
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def _sents(text: str) -> list[str]:
+        return [p.rstrip(".") for p in text.split(". ")]
+
+    def df_partial(b: pa.Table) -> pd.DataFrame:
+        rows_doc, rows_sent = [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for s in set(_sents(t)):
+                rows_doc.append(d)
+                rows_sent.append(s)
+        df = pd.DataFrame({"sentence": rows_sent, "_doc": rows_doc})
+        out = (df.groupby("sentence", as_index=False, sort=False)
+               .agg(df=("_doc", "size")))
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    docfreq = merge_partials(
+        ds.select_columns([id_col, text_col]).map_batches(
+            df_partial, batch_format="pyarrow"),
+        ["sentence"], {"df": "sum"}, mode="auto")
+    boiler = docfreq.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["df"], pa.scalar(min_docs))),
+        batch_format="pyarrow").materialize()
+    n_boiler = boiler.count()
+
+    if n_boiler <= max_broadcast:
+        if decision_out is not None:
+            decision_out.update({"mode": "broadcast", "n_boiler": n_boiler})
+        bset = frozenset(
+            s for blk in boiler.select_columns(["sentence"])
+            .iter_batches(batch_format="pyarrow")
+            for s in blk["sentence"].to_pylist())
+        ref = ray.put(bset)
+
+        class Probe:
+            def __init__(self, ref):
+                self.bset = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                ids, ns, nb, kc = [], [], [], []
+                for d, t in zip(b[id_col].to_pylist(),
+                                b[text_col].to_pylist()):
+                    sents = _sents(t)
+                    boil = [s in self.bset for s in sents]
+                    ids.append(d)
+                    ns.append(len(sents))
+                    nb.append(sum(boil))
+                    kc.append(sum(len(s) for s, x in zip(sents, boil)
+                               if not x))
+                return pa.table({
+                    id_col: pa.array(ids, pa.int64()),
+                    "n_sents": pa.array(ns, pa.int64()),
+                    "n_boiler": pa.array(nb, pa.int64()),
+                    "kept_chars": pa.array(kc, pa.int64())})
+
+        from deepkg_ray.util import stateful_map
+        return stateful_map(ds.select_columns([id_col, text_col]), Probe,
+                            {"ref": ref})
+
+    # join tier: occurrence partials × boiler table, then doc-keyed sums
+    if decision_out is not None:
+        decision_out.update({"mode": "join", "n_boiler": n_boiler})
+
+    def occ_partial(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for s in _sents(t):
+                rows.append((s, d, 1, len(s)))
+        df = pd.DataFrame(rows, columns=["sentence", id_col, "occ", "chars"])
+        out = (df.groupby(["sentence", id_col], as_index=False, sort=False)
+               .agg(occ=("occ", "sum"), chars=("chars", "sum")))
+        out["occ"] = out["occ"].astype("int64")
+        out["chars"] = out["chars"].astype("int64")
+        return out
+
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        occ_partial, batch_format="pyarrow")
+    hit = occ.join(boiler.select_columns(["sentence"]), join_type="inner",
+                   num_partitions=16, on=("sentence",))
+
+    def tag_hits(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "n_sents": pa.array(np.zeros(len(b), np.int64)),
+            "n_boiler": b["occ"],
+            "boiler_chars": b["chars"],
+            "total_chars": pa.array(np.zeros(len(b), np.int64))})
+
+    def tag_totals(b: pa.Table) -> pa.Table:
+        ids, ns, tc = [], [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            sents = _sents(t)
+            ids.append(d)
+            ns.append(len(sents))
+            tc.append(sum(len(s) for s in sents))
+        z = np.zeros(len(ids), np.int64)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "n_sents": pa.array(ns, pa.int64()),
+            "n_boiler": pa.array(z),
+            "boiler_chars": pa.array(z),
+            "total_chars": pa.array(tc, pa.int64())})
+
+    tagged = (hit.map_batches(tag_hits, batch_format="pyarrow")
+              .union(ds.select_columns([id_col, text_col]).map_batches(
+                  tag_totals, batch_format="pyarrow")))
+    merged = merge_partials(tagged, [id_col],
+                            {"n_sents": "sum", "n_boiler": "sum",
+                             "boiler_chars": "sum", "total_chars": "sum"},
+                            mode="auto")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "n_sents": b["n_sents"],
+            "n_boiler": b["n_boiler"],
+            "kept_chars": pa.array(
+                b["total_chars"].to_numpy() - b["boiler_chars"].to_numpy(),
+                pa.int64())})
+
+    return merged.map_batches(finish, batch_format="pyarrow")

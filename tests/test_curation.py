@@ -101,3 +101,32 @@ def test_embedding_gram_bruteforce(ray_session):
             want = int(np.floor(m64[:, i] * m64[:, j] * 1e6 + 0.5).sum())
             assert out.loc[(i + 1, j + 1), "sxy_micros"] == want
     assert (out["n"] == 30).all()
+
+
+def test_boilerplate_stats_golden_and_tier_agreement(ray_session):
+    # "footer" appears in 3 docs -> boilerplate at min_docs=3; "hello"
+    # appears in 2 -> kept.  Doc 3 repeats the footer twice: both
+    # occurrences count as boiler but df counts the doc once.
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["footer. hello world",
+                 "footer. unique one",
+                 "hello world. other text",
+                 "footer. footer. tail"]})
+    ds = rd.from_pandas(docs)
+    dec = {}
+    out = (curation.boilerplate_stats(ds, min_docs=3, decision_out=dec)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dec["mode"] == "broadcast"
+    assert list(out["n_sents"]) == [2, 2, 2, 3]
+    assert list(out["n_boiler"]) == [1, 1, 0, 2]
+    assert list(out["kept_chars"]) == [len("hello world"),
+                                       len("unique one"),
+                                       len("hello world") + len("other text"),
+                                       len("tail")]
+    dec2 = {}
+    out2 = (curation.boilerplate_stats(ds, min_docs=3, max_broadcast=0,
+                                       decision_out=dec2)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dec2["mode"] == "join"
+    pd.testing.assert_frame_equal(out, out2[out.columns])
