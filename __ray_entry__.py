@@ -443,6 +443,14 @@ def _q_ann_topk(sf_dir: str):
                             q, qids, k=10)
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization codes (m=4 subspaces × k=16 centroids) —
+    the memory-bound scale path for the embedding index family."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import pq_codes
+    return pq_codes(read_embeddings(sf_dir, ["vec_id", "embedding"]))
+
+
 def _q_hard_negatives(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2606,6 +2614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
+        "pq_codes": _q_pq_codes,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
@@ -2859,6 +2868,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.ann_topk_oracle(),
         "hard_negatives": oracle.hard_negatives_oracle(),
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
+        "pq_codes": oracle.pq_codes_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),

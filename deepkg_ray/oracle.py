@@ -200,41 +200,78 @@ FROM r
 """
 
 
-def _kmeans_cte(k: int, iters: int) -> str:
-    """Unrolled-CTE Lloyd's k-means over the embeddings view — mirrors
+def _kmeans_parts(k: int, iters: int, suffix: str = "",
+                  vec_expr: str | None = None) -> str:
+    """Comma-joined CTE parts for one unrolled Lloyd chain — mirrors
     stages/kmeans.py op for op: micros vectors, integer-exact quadratic
     distance, ties → lowest centroid index, centroid = floor(sum/count) in
-    double, empty clusters keep their previous centroid.  Exposes
-    ``vecs(vec_id, em)`` and the final assignment ``a{iters}(vec_id, em,
-    cl)`` to the caller's SELECT."""
+    double, empty clusters keep their previous centroid.  ``suffix`` renames
+    every CTE (vecs{suffix}, a0{suffix}, …) so several chains — e.g. one per
+    PQ subspace — compose inside one WITH; ``vec_expr`` overrides the
+    micros-vector expression (e.g. a list_slice for a PQ subspace).
+    Exposes ``vecs{suffix}(vec_id, em)`` and the final assignment
+    ``a{iters}{suffix}(vec_id, em, cl)``."""
     from deepkg_ray.functions.numeric import SQL_EMB_MICROS
-    em = SQL_EMB_MICROS.format(e="embedding")
+    em = vec_expr or SQL_EMB_MICROS.format(e="embedding")
+    s = suffix
     parts = [f"""
-vecs AS (SELECT vec_id, {em} AS em FROM embeddings),
-cent0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
+vecs{s} AS (SELECT vec_id, {em} AS em FROM embeddings),
+cent0{s} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cidx,
                  em AS cem
-          FROM (SELECT vec_id, em FROM vecs ORDER BY vec_id LIMIT {k}))"""]
+          FROM (SELECT vec_id, em FROM vecs{s} ORDER BY vec_id LIMIT {k}))"""]
     for i in range(iters + 1):
         parts.append(f"""
-a{i} AS (SELECT vec_id, em, cl FROM (
+a{i}{s} AS (SELECT vec_id, em, cl FROM (
     SELECT v.vec_id, v.em, c.cidx AS cl,
            row_number() OVER (PARTITION BY v.vec_id ORDER BY
                list_dot_product(v.em, v.em)
                - 2 * list_dot_product(v.em, c.cem)
                + list_dot_product(c.cem, c.cem), c.cidx) AS rn
-    FROM vecs v CROSS JOIN cent{i} c) WHERE rn = 1)""")
+    FROM vecs{s} v CROSS JOIN cent{i}{s} c) WHERE rn = 1)""")
         if i == iters:
             break
         parts.append(f"""
-s{i} AS (SELECT cl, i, sum(x) AS sx, count(*) AS cnt
+s{i}{s} AS (SELECT cl, i, sum(x) AS sx, count(*) AS cnt
          FROM (SELECT cl, unnest(em) AS x,
-                      unnest(range(1, 1 + len(em))) AS i FROM a{i})
+                      unnest(range(1, 1 + len(em))) AS i FROM a{i}{s})
          GROUP BY cl, i),
-n{i} AS (SELECT cl AS cidx, list(floor(sx / cnt) ORDER BY i) AS cem
-         FROM s{i} GROUP BY cl),
-cent{i + 1} AS (SELECT c.cidx, COALESCE(n.cem, c.cem) AS cem
-                FROM cent{i} c LEFT JOIN n{i} n USING (cidx))""")
-    return "WITH " + ",".join(parts)
+n{i}{s} AS (SELECT cl AS cidx, list(floor(sx / cnt) ORDER BY i) AS cem
+         FROM s{i}{s} GROUP BY cl),
+cent{i + 1}{s} AS (SELECT c.cidx, COALESCE(n.cem, c.cem) AS cem
+                FROM cent{i}{s} c LEFT JOIN n{i}{s} n USING (cidx))""")
+    return ",".join(parts)
+
+
+def _kmeans_cte(k: int, iters: int) -> str:
+    """One-chain WITH wrapper over _kmeans_parts (original callers)."""
+    return "WITH " + _kmeans_parts(k, iters)
+
+
+def pq_codes_oracle(m: int = 4, k: int = 16, iters: int = 2,
+                    dim: int = 64) -> str:
+    """Product-quantization codes — one Lloyd chain per contiguous
+    subspace (list_slice of the micros vector, 1-based inclusive), joined
+    on vec_id.  Mirrors stages/kmeans.pq_fit/pq_assign (whose fused pass
+    is bitwise per-subspace kmeans_fit)."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    w = dim // m
+    chains = []
+    for j in range(m):
+        expr = f"list_slice({em}, {j * w + 1}, {(j + 1) * w})"
+        chains.append(_kmeans_parts(k, iters, suffix=f"_p{j}",
+                                    vec_expr=expr))
+    cols = ",\n       ".join(
+        f"CAST(a{iters}_p{j}.cl AS BIGINT) AS code{j}" for j in range(m))
+    joins = "\n".join(
+        f"JOIN a{iters}_p{j} ON a{iters}_p{j}.vec_id = a{iters}_p0.vec_id"
+        for j in range(1, m))
+    return f"""WITH {",".join(chains)}
+SELECT a{iters}_p0.vec_id AS vec_id,
+       {cols}
+FROM a{iters}_p0
+{joins}
+"""
 
 
 def kmeans_oracle(k: int = 8, iters: int = 4) -> str:

@@ -175,3 +175,95 @@ def semantic_dedup(ds, k: int = 8, iters: int = 4, tau: float = 0.95,
 
     return asgn.groupby("cluster").map_groups(per_cluster,
                                               batch_format="pandas")
+
+
+def pq_fit(ds, m: int = 4, k: int = 16, iters: int = 2,
+           id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011): the d dims are
+    split into m contiguous width-(d/m) subspaces and Lloyd runs per
+    subspace — faiss IndexPQ's train step (the reference's faiss recall
+    index quantizes exactly this way when memory-bound;
+    SimCSE-Chinese-Pytorch/simcse_unsup.py:44-76 is the index consumer).
+
+    FUSED passes: all m subspace fits share each streaming iteration —
+    a batch emits (sub, cluster, dim) cells for every subspace at once, so
+    PQ training costs the same number of passes as ONE kmeans_fit
+    regardless of m, and the merge tree hands the driver exactly k×d cell
+    rows per iteration.  Init/arithmetic conventions are kmeans_fit's
+    (first-k-ids init per subspace — the same rows for every subspace —
+    micros vectors, integer-exact distances, floor(sum/cnt) update, empty
+    cluster keeps its centroid), so each subspace's codebook is bitwise
+    what kmeans_fit would produce on the sliced input.
+
+    Returns (m, k, d/m) micros codebooks."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    init = _init_centroids(ds, k, id_col, vec_col)   # (k, d) micros
+    d = init.shape[1]
+    assert d % m == 0, (d, m)
+    w = d // m
+    cm = np.stack([init[:, j * w:(j + 1) * w] for j in range(m)])  # (m,k,w)
+    cell_sub = np.repeat(np.arange(m, dtype=np.int64), k * w)
+    cell_cluster = np.tile(np.repeat(np.arange(k, dtype=np.int64), w), m)
+    cell_dim = np.tile(np.arange(w, dtype=np.int64), m * k)
+
+    for _ in range(iters):
+        ref = ray.put(cm)
+
+        def partials(b: pa.Table, cref=ref) -> pa.Table:
+            c = ray.get(cref)
+            vm = micros_matrix(_matrix(b[vec_col]))
+            v_out = np.empty((m, k, w), np.float64)
+            n_out = np.empty((m, k), np.int64)
+            for j in range(m):
+                sub = vm[:, j * w:(j + 1) * w]
+                a = _assign(sub, c[j])
+                onehot = (a[:, None] == np.arange(k)[None, :])
+                v_out[j] = onehot.astype(np.float64).T @ sub
+                n_out[j] = onehot.sum(axis=0)
+            return pa.table({
+                "sub": pa.array(cell_sub),
+                "cluster": pa.array(cell_cluster),
+                "dim": pa.array(cell_dim),
+                "v": pa.array(v_out.ravel()),
+                "cnt": pa.array(np.repeat(n_out.ravel(), w)),
+            })
+
+        cells = ds.map_batches(partials, batch_format="pyarrow")
+        p = merge_partials(cells, ["sub", "cluster", "dim"],
+                           {"v": "sum", "cnt": "sum"}).to_pandas()
+        p = p.sort_values(["sub", "cluster", "dim"], kind="stable")
+        sums = p["v"].to_numpy(np.float64).reshape(m, k, w)
+        cnts = p["cnt"].to_numpy(np.int64).reshape(m, k, w)[:, :, 0]
+        new = cm.copy()
+        nz = cnts > 0
+        new[nz] = np.floor(sums[nz] / cnts[nz, None])
+        cm = new
+    return cm
+
+
+def pq_assign(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Encode every vector against the (m, k, w) codebooks → one row per
+    vector with columns code0..code{m-1} (int64) — faiss IndexPQ.add's
+    code computation, streaming."""
+    mq, kq, w = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def fn(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        cols = {id_col: b[id_col]}
+        for j in range(mq):
+            a = _assign(vm[:, j * w:(j + 1) * w], c[j])
+            cols[f"code{j}"] = pa.array(a.astype(np.int64))
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pq_codes(ds, m: int = 4, k: int = 16, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """fit + encode over the same Dataset."""
+    return pq_assign(ds, pq_fit(ds, m, k, iters, id_col, vec_col),
+                     id_col, vec_col)

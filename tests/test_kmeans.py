@@ -89,3 +89,42 @@ def test_kmeans_cluster_separation():
     grp = (vecs[:, 0] > 2.5).astype(int)
     c_of = {g: set(out["cluster"][grp == g]) for g in (0, 1)}
     assert all(len(s) == 1 for s in c_of.values()) and c_of[0] != c_of[1]
+
+
+def test_pq_fit_matches_per_subspace_kmeans(ray_session):
+    rng = np.random.default_rng(7)
+    d, m, k = 8, 4, 3
+    vecs = rng.normal(size=(40, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    books = km.pq_fit(ds, m=m, k=k, iters=2)
+    assert books.shape == (m, k, d // m)
+    w = d // m
+    for j in range(m):
+        sub_df = pd.DataFrame({
+            "vec_id": df["vec_id"],
+            "embedding": [v[j * w:(j + 1) * w] for v in vecs]})
+        ref = km.kmeans_fit(rd.from_pandas(sub_df), k=k, iters=2)
+        np.testing.assert_array_equal(books[j], ref)
+
+
+def test_pq_assign_codes_are_nearest_subcentroid(ray_session):
+    rng = np.random.default_rng(3)
+    d, m, k = 8, 2, 4
+    vecs = rng.normal(size=(30, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    books = km.pq_fit(ds, m=m, k=k, iters=1)
+    out = (km.pq_assign(ds, books).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    vm = micros_matrix(vecs)
+    w = d // m
+    for j in range(m):
+        sub = vm[:, j * w:(j + 1) * w]
+        cm = books[j]
+        d2 = ((sub * sub).sum(1)[:, None] - 2.0 * sub @ cm.T
+              + (cm * cm).sum(1)[None, :])
+        np.testing.assert_array_equal(out[f"code{j}"].to_numpy(),
+                                      np.argmin(d2, axis=1))
