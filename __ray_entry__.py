@@ -451,6 +451,15 @@ def _q_pq_codes(sf_dir: str):
     return pq_codes(read_embeddings(sf_dir, ["vec_id", "embedding"]))
 
 
+def _q_pq_adc_topk(sf_dir: str):
+    """ADC top-k over PQ codes — the compressed-index answer path."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import pq_adc_topk, pq_fit
+    ds = read_embeddings(sf_dir, ["vec_id", "embedding"])
+    q, qids = _embed_queries(sf_dir)
+    return pq_adc_topk(ds, q, qids, pq_fit(ds), k=10)
+
+
 def _q_hard_negatives(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2615,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
+        "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
@@ -2869,6 +2879,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": oracle.hard_negatives_oracle(),
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),
+        "pq_adc_topk": oracle.pq_adc_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),

@@ -274,6 +274,44 @@ FROM a{iters}_p0
 """
 
 
+def pq_adc_topk_oracle(m: int = 4, k_codes: int = 16, iters: int = 2,
+                       dim: int = 64, n_queries: int = 8,
+                       k: int = 10) -> str:
+    """ADC search over the PQ chains: per (query, vector), the distance is
+    the sum over subspaces of the exact integer quadratic distance between
+    the query's sub-vector and the CENTROID the vector's code points at —
+    mirrors stages/kmeans.pq_adc_topk's lookup-table scan."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    w = dim // m
+    chains = [
+        _kmeans_parts(k_codes, iters, suffix=f"_p{j}",
+                      vec_expr=f"list_slice({em}, {j * w + 1}, {(j + 1) * w})")
+        for j in range(m)]
+    unions = []
+    for j in range(m):
+        qj = f"list_slice(q.em, {j * w + 1}, {(j + 1) * w})"
+        unions.append(f"""
+  SELECT q.query_id, a.vec_id,
+         list_dot_product({qj}, {qj})
+         - 2 * list_dot_product({qj}, c.cem)
+         + list_dot_product(c.cem, c.cem) AS dj
+  FROM qfull q
+  CROSS JOIN a{iters}_p{j} a
+  JOIN cent{iters}_p{j} c ON c.cidx = a.cl""")
+    u = "\n  UNION ALL\n".join(unions)
+    return f"""WITH {",".join(chains)},
+qfull AS (SELECT vec_id AS query_id, {em} AS em
+          FROM embeddings WHERE vec_id < {n_queries}),
+d AS ({u}),
+s AS (SELECT query_id, vec_id, CAST(SUM(dj) AS BIGINT) AS dist
+      FROM d GROUP BY query_id, vec_id),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, vec_id) - 1 AS INTEGER) AS rank FROM s)
+SELECT query_id, vec_id, dist, rank FROM r WHERE rank < {k}
+"""
+
+
 def kmeans_oracle(k: int = 8, iters: int = 4) -> str:
     return (_kmeans_cte(k, iters)
             + f"\nSELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM a{iters}\n")

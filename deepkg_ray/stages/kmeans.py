@@ -267,3 +267,59 @@ def pq_codes(ds, m: int = 4, k: int = 16, iters: int = 2,
     """fit + encode over the same Dataset."""
     return pq_assign(ds, pq_fit(ds, m, k, iters, id_col, vec_col),
                      id_col, vec_col)
+
+
+def pq_adc_topk(ds, queries: np.ndarray, query_ids, codebooks: np.ndarray,
+                k: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding"):
+    """Asymmetric-distance top-k over PQ codes (faiss IndexPQ.search): per
+    query, an (m, k_codes) lookup table of exact integer sub-distances to
+    every codebook centroid is built once; each streaming batch then
+    encodes its vectors and scores them with m table lookups + adds — no
+    full-dimension math per candidate.  All values are integer-exact in
+    float64 (micros² × w ≪ 2^53), so the result hashes bitwise against the
+    SQL re-derivation.  Returns (query_id, vec_id, dist:int64, rank),
+    ordered (dist asc, vec_id asc)."""
+    mq, kq, w = codebooks.shape
+    qm = micros_matrix(np.asarray(queries))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    # LUT[q, j, c] = ||q_j - c||² (exact integers)
+    lut = np.empty((len(qm), mq, kq), np.float64)
+    for j in range(mq):
+        qs = qm[:, j * w:(j + 1) * w]
+        cm = codebooks[j]
+        lut[:, j, :] = ((qs * qs).sum(1)[:, None] - 2.0 * qs @ cm.T
+                        + (cm * cm).sum(1)[None, :])
+    cref = ray.put(codebooks)
+    lref = ray.put(lut)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lt = ray.get(lref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        dist = np.zeros((len(lt), len(ids)), np.float64)
+        for j in range(mq):
+            codes = _assign(vm[:, j * w:(j + 1) * w], c[j])
+            dist += lt[:, j, :][:, codes]
+        kk = min(k, len(ids))
+        q_out, id_out, d_out = [], [], []
+        for qi in range(len(lt)):
+            sel = np.lexsort((ids, dist[qi]))[:kk]
+            q_out.extend([int(qids[qi])] * len(sel))
+            id_out.extend(ids[sel].tolist())
+            d_out.extend(dist[qi, sel].astype(np.int64).tolist())
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "vec_id": pa.array(id_out, pa.int64()),
+            "dist": pa.array(d_out, pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist", "vec_id"], kind="stable") \
+             .head(k).reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g
+
+    return (ds.select_columns([id_col, vec_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("query_id").map_groups(finish, batch_format="pandas"))

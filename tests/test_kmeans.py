@@ -128,3 +128,32 @@ def test_pq_assign_codes_are_nearest_subcentroid(ray_session):
               + (cm * cm).sum(1)[None, :])
         np.testing.assert_array_equal(out[f"code{j}"].to_numpy(),
                                       np.argmin(d2, axis=1))
+
+
+def test_pq_adc_topk_matches_exhaustive_code_distance(ray_session):
+    rng = np.random.default_rng(11)
+    d, m, k_codes = 8, 2, 4
+    vecs = rng.normal(size=(50, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    books = km.pq_fit(ds, m=m, k=k_codes, iters=1)
+    out = (km.pq_adc_topk(ds, vecs[:2], [0, 1], books, k=5).to_pandas()
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # exhaustive reference: encode all, then LUT-sum per (query, vector)
+    vm = micros_matrix(vecs)
+    qm = micros_matrix(vecs[:2])
+    w = d // m
+    dist = np.zeros((2, 50))
+    for j in range(m):
+        sub, qs, cm = vm[:, j*w:(j+1)*w], qm[:, j*w:(j+1)*w], books[j]
+        d2 = ((sub*sub).sum(1)[:, None] - 2.0*sub@cm.T + (cm*cm).sum(1))
+        codes = np.argmin(d2, axis=1)
+        qd = ((qs*qs).sum(1)[:, None] - 2.0*qs@cm.T + (cm*cm).sum(1))
+        dist += qd[:, codes]
+    for qi in (0, 1):
+        exp = np.lexsort((np.arange(50), dist[qi]))[:5]
+        got = out[out.query_id == qi].sort_values("rank")
+        np.testing.assert_array_equal(got["vec_id"].to_numpy(), exp)
+        np.testing.assert_array_equal(got["dist"].to_numpy(),
+                                      dist[qi, exp].astype(np.int64))
