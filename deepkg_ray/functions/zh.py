@@ -125,15 +125,49 @@ class DictSegmenter:
 # 瞭解 but 瞭 in 瞭望).  Only length-preserving entries are admissible,
 # keeping textnorm's span-offset contract intact (enforced below).
 T2S_PHRASES: dict[str, str] = {
+    # 乾: gān → 干 (dry) vs qián (trigram/proper noun) stays 乾
     "乾燥": "干燥",
     "乾杯": "干杯",
+    "乾旱": "干旱",
+    "乾淨": "干净",
+    "乾脆": "干脆",
+    "餅乾": "饼干",
     "乾隆": "乾隆",          # exception: proper noun keeps the traditional char
+    "乾坤": "乾坤",          # exception: qián sense keeps the char
+    # 瞭: liǎo → 了 (understand) vs liào (watch) stays 瞭
     "瞭解": "了解",
+    "明瞭": "明了",
+    "瞭如指掌": "了如指掌",
+    "一目瞭然": "一目了然",
     "瞭望": "瞭望",          # exception: 瞭 is kept in this sense
-    "鞦韆": "秋千",
-    "颱風": "台风",
+    # 藉: jiè → 借 (by means of) vs jí/jiè in 狼藉/慰藉 stays 藉
     "藉口": "借口",
     "藉故": "借故",
+    "藉助": "借助",
+    "憑藉": "凭借",
+    "狼藉": "狼藉",          # exception
+    "慰藉": "慰藉",          # exception
+    # 著: zhe/zháo → 着 vs zhù (writing) stays 著
+    "著急": "着急",
+    "著涼": "着凉",
+    "著手": "着手",
+    "著迷": "着迷",
+    "接著": "接着",
+    "跟著": "跟着",
+    "沿著": "沿着",
+    "穿著": "穿着",
+    "執著": "执着",
+    "著名": "著名",          # exception: zhù sense keeps the char
+    "著作": "著作",          # exception
+    # 覆: 回覆/答覆/反覆 use 复; 覆蓋-style cover senses keep 覆
+    "回覆": "回复",
+    "答覆": "答复",
+    "反覆": "反复",
+    # 傢: 傢俱/傢伙 simplify the SECOND char contextually too
+    "傢俱": "家具",
+    "傢伙": "家伙",
+    "鞦韆": "秋千",
+    "颱風": "台风",
     "頭髮": "头发",
     "皇後": "皇后",
 }

@@ -176,6 +176,15 @@ def test_t2s_phrase_level_conversion():
     assert t2s_phrases("鞦韆颱風藉口") == "秋千台风借口"
     # fallback between matches is the per-char table
     assert t2s_phrases("東乾燥馬") == "东干燥马"
+    # zhe/zhù split on 著: action senses fold to 着, writing senses keep 著
+    assert t2s_phrases("執著著手") == "执着着手"
+    assert t2s_phrases("著名著作") == "著名著作"
+    assert t2s_phrases("接著著急") == "接着着急"
+    # second-char contextual simplification (傢俱→家具, not 家俱)
+    assert t2s_phrases("傢俱傢伙") == "家具家伙"
+    # jiè→借 vs exception phrases that keep 藉
+    assert t2s_phrases("憑藉藉助") == "凭借借助"
+    assert t2s_phrases("狼藉慰藉") == "狼藉慰藉"
     # length invariant on arbitrary mixes (incl. ASCII + partial phrases)
     import random
     rng = random.Random(9)
