@@ -1978,6 +1978,13 @@ def _q_latest_order_per_customer(sf_dir: str):
 
 
 
+def _q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2-shaped correlated-min join: per eligible part, every
+    region supplier tying the minimum sale price, Q2-ordered top-k."""
+    from deepkg_ray.pipelines.relational import cheapest_supplier_per_part
+    return cheapest_supplier_per_part(sf_dir)
+
+
 def _q_upsert_snapshot(sf_dir: str):
     """MERGE/upsert application: derived D/U/I change set applied to the
     orders base through a left_outer hash join, snapshot per status."""
@@ -2723,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
+        "cheapest_supplier_per_part": _q_cheapest_supplier,
         "conjunctive_search": _q_conjunctive_search,
         "source_length_gini": _q_source_length_gini,
         "rfm_scores": _q_rfm_scores,
@@ -2976,6 +2984,8 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),
+        "cheapest_supplier_per_part":
+            oracle.cheapest_supplier_per_part_oracle(),
         "conjunctive_search": oracle.conjunctive_search_oracle(),
         "source_length_gini": oracle.source_length_gini_oracle(),
         "rfm_scores": oracle.rfm_scores_oracle(),

@@ -5807,3 +5807,40 @@ WITH r AS (
   FROM documents)
 SELECT source, doc_id FROM r WHERE rn <= quota
 """
+
+
+def cheapest_supplier_per_part_oracle(region: str = "EUROPE",
+                                      ptype: str = "SMALL",
+                                      max_size: int = 10,
+                                      k: int = 100) -> str:
+    """Mirror of relational.cheapest_supplier_per_part: TPC-H Q2's
+    correlated MIN subquery over micros-exact lineitem prices."""
+    return f"""
+WITH elig_part AS (
+  SELECT p_partkey, p_brand FROM part
+  WHERE p_type = '{ptype}' AND p_size <= {max_size}
+), elig_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{region}'
+), costs AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+         CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS cost_micros
+  FROM lineitem
+  JOIN elig_part ON l_partkey = p_partkey
+  JOIN elig_supp ON l_suppkey = s_suppkey
+), mins AS (
+  SELECT l_partkey, MIN(cost_micros) AS mc FROM costs GROUP BY l_partkey
+)
+SELECT s.s_acctbal, s.s_name, s.n_name,
+       c.l_partkey AS p_partkey, p.p_brand,
+       CAST(c.cost_micros AS DOUBLE) / 1e6 AS cost
+FROM costs c
+JOIN mins m ON c.l_partkey = m.l_partkey AND c.cost_micros = m.mc
+JOIN elig_supp s ON c.l_suppkey = s.s_suppkey
+JOIN elig_part p ON c.l_partkey = p.p_partkey
+ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, c.l_partkey
+LIMIT {k}
+"""

@@ -2463,3 +2463,97 @@ def waiting_suppliers(sf_dir: str, status: str = "F", min_suppliers: int = 2):
             "numwait": b["numwait"].combine_chunks().cast(pa.int64())})
 
     return agg.map_batches(attach, batch_format="pyarrow")
+
+
+def cheapest_supplier_per_part(sf_dir: str, region: str = "EUROPE",
+                               ptype: str = "SMALL", max_size: int = 10,
+                               k: int = 100):
+    """TPC-H Q2-shaped correlated-min join — the last playbook shape: for
+    parts of one type/size band, every REGION supplier that achieves the
+    per-part MINIMUM sale price, decorated and ranked by account balance
+    (DeepKg analog: picking the minimum-cost canonical source per entity;
+    reference semantics per CoreKnowledgeGraph entity merge).
+
+    Without a partsupp table the supply cost is the lineitem extendedprice
+    (exact micros).  Plan: both dims broadcast (part filter as a sorted
+    key array, region suppliers as a dict — dims are key-bounded); the
+    lineitem scan keeps, per batch, only rows tying the per-part batch
+    minimum (an associative argmin-with-ties combiner, deduped on
+    (part, supp)), then the same kernel merges through an 8-way level and
+    a final task whose input is bounded by |eligible parts| × ties — the
+    latest_order_per_customer reduction generalized to keep ALL min rows.
+    Returns (s_acctbal, s_name, n_name, p_partkey, p_brand, cost) in
+    Q2 order (acctbal DESC, n_name, s_name, p_partkey) limited to k."""
+    import pyarrow.parquet as pq
+    import ray
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    pdf = pt.to_pandas()
+    pdf = pdf[(pdf["p_type"] == ptype) & (pdf["p_size"] <= max_size)]
+    part_keys = np.sort(pdf["p_partkey"].to_numpy(np.int64))
+    brand_of = dict(zip(pdf["p_partkey"].astype(int), pdf["p_brand"]))
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    rt = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    ok_nations = nt.merge(rt, left_on="n_regionkey", right_on="r_regionkey")
+    ok_nations = ok_nations[ok_nations["r_name"] == region]
+    st = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    sdf = st.merge(ok_nations[["n_nationkey", "n_name"]],
+                   left_on="s_nationkey", right_on="n_nationkey")
+    supp = {int(r.s_suppkey): (r.s_name, float(r.s_acctbal), r.n_name)
+            for r in sdf.itertuples()}
+    supp_keys = np.sort(sdf["s_suppkey"].to_numpy(np.int64))
+    pref, sref = ray.put(part_keys), ray.put(supp_keys)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def argmin_ties(df: pd.DataFrame) -> pd.DataFrame:
+        mn = df.groupby("p_partkey", sort=False)["cost_micros"] \
+               .transform("min")
+        out = df[df["cost_micros"].eq(mn)]
+        return out.drop_duplicates(["p_partkey", "s_suppkey"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(pk, ray.get(pref)) & np.isin(sk, ray.get(sref))
+        df = pd.DataFrame({
+            "p_partkey": pk[keep].astype(np.int64),
+            "s_suppkey": sk[keep].astype(np.int64),
+            "cost_micros": np.asarray(to_micros(np.asarray(
+                b["l_extendedprice"].to_pylist(), np.float64)[keep]),
+                np.int64)})
+        return pa.Table.from_pandas(argmin_ties(df), preserve_index=False)
+
+    parts = li.map_batches(li_partial, batch_format="pyarrow")
+    lvl1 = parts.repartition(8).map_batches(
+        argmin_ties, batch_format="pandas", batch_size=None)
+    final = lvl1.repartition(1).map_batches(
+        argmin_ties, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"s_acctbal": pd.Series([], "float64"),
+                                 "s_name": pd.Series([], "string"),
+                                 "n_name": pd.Series([], "string"),
+                                 "p_partkey": pd.Series([], "int64"),
+                                 "p_brand": pd.Series([], "string"),
+                                 "cost": pd.Series([], "float64")})
+        dec = df["s_suppkey"].map(supp)
+        out = pd.DataFrame({
+            "s_acctbal": dec.str[1].astype(np.float64),
+            "s_name": dec.str[0],
+            "n_name": dec.str[2],
+            "p_partkey": df["p_partkey"].astype(np.int64),
+            "p_brand": df["p_partkey"].map(brand_of),
+            "cost": df["cost_micros"].astype(np.float64) / 1e6})
+        out = out.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True], kind="stable")
+        return out.head(k).reset_index(drop=True)
+
+    return final.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

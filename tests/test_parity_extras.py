@@ -413,3 +413,26 @@ def test_large_volume_customers_sql_parity(sf_dir):
                       ora["sum_qty"].to_numpy()).all()
     # every survivor really exceeds the threshold
     assert (eng["sum_qty"] > 300.0).all()
+
+
+def test_cheapest_supplier_sql_parity(sf_dir):
+    """TPC-H Q2 shape: the argmin-with-ties merge tree equals the
+    correlated MIN subquery, including the Q2 ordering and limit."""
+    import duckdb
+    from deepkg_ray import oracle
+    from deepkg_ray.pipelines.relational import cheapest_supplier_per_part
+    eng = cheapest_supplier_per_part(sf_dir).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ["part", "supplier", "nation", "region", "lineitem"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    ora = con.execute(
+        oracle.cheapest_supplier_per_part_oracle()).df()
+    assert len(eng) == len(ora) > 0
+    for c in ["s_name", "n_name", "p_partkey", "p_brand"]:
+        assert eng[c].tolist() == ora[c].tolist()
+    assert np.isclose(eng["s_acctbal"], ora["s_acctbal"]).all()
+    assert np.isclose(eng["cost"], ora["cost"]).all()
+    # every part keeps ALL suppliers tying its minimum (Q2 semantics)
+    assert eng.duplicated(["p_partkey", "s_name"]).sum() == 0
