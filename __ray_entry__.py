@@ -704,6 +704,26 @@ def _q_bm25_topn(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _q_media_phash(sf_dir: str):
+    """Perceptual image hash: P6 decode → exact int64 DCT-II (micros
+    cosine basis, BLAS-free) → 63-bit median-threshold pHash through the
+    actor pool; value-checked against the raw-pixel construction gold."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import phash_hashes, synth_phash_table
+    return phash_hashes(rd.from_arrow(synth_phash_table(n=256)))
+
+
+def _q_phash_near_dups(sf_dir: str):
+    """Image near-dup pairs by pHash: 8×8-bit band LSH (lossless for
+    hamming ≤ 7) + exact XOR-popcount verify, vs the brute-force
+    self-join oracle."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import (phash_near_dups,
+                                              synth_phash_table)
+    return phash_near_dups(rd.from_arrow(synth_phash_table(n=256)),
+                           hamming_max=6)
+
+
 def _q_multimodal_features(sf_dir: str):
     """REAL decode over valid encoded payloads (P6 PPM images, PCM16 WAV
     audio — parsed with numpy, no codec libs): decode → resize → feature
@@ -2811,6 +2831,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linking_mrr": _q_linking_mrr,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
+        "media_phash": _q_media_phash,
+        "phash_near_dups": _q_phash_near_dups,
         "video_frame_sample": _q_video_frame_sample,
     }
 
@@ -3065,6 +3087,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle.dedup_simhash_oracle(),
         "dedup_minhash": oracle.dedup_minhash_oracle(),
         "multimodal_features": oracle.multimodal_features_oracle(),
+        "media_phash": oracle.media_phash_oracle(),
+        "phash_near_dups": oracle.phash_near_dups_oracle(),
         "video_frame_sample": oracle.video_frame_sample_oracle(),
         # rows-only (no SQL): uie_model_generate (neural generation),
         # uie_trained_extract (trained-model scoring, accuracy-asserted

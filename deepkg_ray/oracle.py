@@ -5844,3 +5844,24 @@ JOIN elig_part p ON c.l_partkey = p.p_partkey
 ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, c.l_partkey
 LIMIT {k}
 """
+
+
+def media_phash_oracle() -> str:
+    """phash_hashes (P6 decode → integer DCT pHash through the actor pool)
+    must reproduce the construction gold computed from the raw pixels."""
+    from deepkg_ray.stages.multimodal import phash_gold_path
+    return f"SELECT * FROM read_parquet('{phash_gold_path()}')"
+
+
+def phash_near_dups_oracle(hamming_max: int = 6) -> str:
+    """Brute-force XOR-popcount self-join over the pHash gold: the banded
+    LSH plan is lossless for hamming_max < 8 (pigeonhole over 8×8-bit
+    bands), so the two must agree exactly."""
+    from deepkg_ray.stages.multimodal import phash_gold_path
+    return f"""
+WITH g AS (SELECT * FROM read_parquet('{phash_gold_path()}'))
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM g a JOIN g b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {hamming_max}
+"""

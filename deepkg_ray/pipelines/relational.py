@@ -2536,12 +2536,12 @@ def cheapest_supplier_per_part(sf_dir: str, region: str = "EUROPE",
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return pd.DataFrame({"s_acctbal": pd.Series([], "float64"),
-                                 "s_name": pd.Series([], "string"),
-                                 "n_name": pd.Series([], "string"),
-                                 "p_partkey": pd.Series([], "int64"),
-                                 "p_brand": pd.Series([], "string"),
-                                 "cost": pd.Series([], "float64")})
+            return pd.DataFrame({"s_acctbal": pd.Series([], dtype="float64"),
+                                 "s_name": pd.Series([], dtype="string"),
+                                 "n_name": pd.Series([], dtype="string"),
+                                 "p_partkey": pd.Series([], dtype="int64"),
+                                 "p_brand": pd.Series([], dtype="string"),
+                                 "cost": pd.Series([], dtype="float64")})
         dec = df["s_suppkey"].map(supp)
         out = pd.DataFrame({
             "s_acctbal": dec.str[1].astype(np.float64),

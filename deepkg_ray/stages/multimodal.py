@@ -122,12 +122,22 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6) → (h, w, 3) uint8.  Pure numpy — no codec libs."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    parts = payload.split(maxsplit=4)          # P6, w, h, maxval, raster
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    # cursor header parse: exactly ONE whitespace byte follows maxval, so
+    # raster bytes that are themselves whitespace (0x20/0x0a/...) survive —
+    # a str.split header parse would eat them (iter_ppm_frames convention)
+    cursor, vals = 2, []
+    while len(vals) < 3:
+        while payload[cursor] in b" \t\r\n":
+            cursor += 1
+        start = cursor
+        while payload[cursor] not in b" \t\r\n":
+            cursor += 1
+        vals.append(int(payload[start:cursor]))
+    cursor += 1
+    w, h, maxval = vals
     if maxval != 255:
         raise ValueError("only maxval=255 supported")
-    raster = parts[4] if len(parts) == 5 else b""
-    px = np.frombuffer(raster[: w * h * 3], dtype=np.uint8)
+    px = np.frombuffer(payload[cursor: cursor + w * h * 3], dtype=np.uint8)
     return px.reshape(h, w, 3)
 
 
@@ -473,3 +483,190 @@ def media_gold_paths() -> tuple[str, str]:
         pq.write_table(video_frames_gold(n=16), tmp)
         os.replace(tmp, vpath)
     return fpath, vpath
+
+
+# ---------------------------------------------- perceptual hash (pHash) ----
+
+def dct_basis_micros(n: int = 32) -> np.ndarray:
+    """DCT-II cosine basis scaled to exact int64 micros:
+    B[k, j] = floor(cos(pi * (j + 0.5) * k / n) * 1e6 + 0.5).  Integer
+    matmuls through this basis are BLAS-free in numpy (int64 path), so the
+    transform is bit-identical on every worker — the property the phash
+    golden oracle relies on (float DCTs can differ across BLAS builds)."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    j = np.arange(n, dtype=np.float64)[None, :]
+    return np.floor(np.cos(np.pi * (j + 0.5) * k / n) * 1e6 + 0.5) \
+        .astype(np.int64)
+
+
+_PHASH_N = 32          # resize edge
+_PHASH_K = 8           # low-frequency block edge
+
+
+def phash_from_pixels(px: np.ndarray) -> int:
+    """(h, w, 3) uint8 → 63-bit perceptual hash: nearest-neighbor resize
+    to 32×32, integer grayscale (r+g+b), exact int64 DCT-II through the
+    micros basis, keep the top-left 8×8 low-frequency block, drop the DC
+    term, set bit j iff coefficient j exceeds the exact integer median of
+    the 63 AC coefficients.  Every step is integer-exact (|coeff| ≤
+    32²·765·1e12 < 2^63), so the same image hashes identically on every
+    worker, BLAS, and the golden generator."""
+    small = resize_nearest(px, _PHASH_N, _PHASH_N)
+    gray = small.astype(np.int64).sum(axis=2)           # 0..765 exact
+    b = dct_basis_micros(_PHASH_N)[:_PHASH_K]           # (8, 32) int64
+    coeff = b @ gray @ b.T                              # exact int64 (8, 8)
+    ac = coeff.ravel()[1:]                              # drop DC → 63 vals
+    med = int(np.sort(ac)[31])                          # exact middle of 63
+    bits = ac > med
+    h = 0
+    for i in range(63):
+        if bits[i]:
+            h |= 1 << i
+    return h
+
+
+def _phash_items(n: int = 96, seed: int = 11) -> list[dict]:
+    """Image corpus with PLANTED near-duplicates: each base image is a
+    random 4×4 block pattern upsampled to 32×32 (strong distinct
+    low-frequency content); every i % 3 == 2 item re-uses the previous
+    item's blocks with one block nudged by +6 gray levels — a small
+    low-frequency perturbation, so the pair's pHash hamming distance is
+    small but usually nonzero.  Raw pixels ride along for the golds."""
+    rng = np.random.default_rng(seed)
+    items = []
+    prev_blocks = None
+    for i in range(n):
+        if i % 3 == 2 and prev_blocks is not None:
+            blocks = prev_blocks.copy()
+            r, c = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+            blocks[r, c] = np.minimum(blocks[r, c].astype(np.int64) + 6,
+                                      255).astype(np.uint8)
+        else:
+            blocks = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        prev_blocks = blocks
+        px = resize_nearest(blocks, 32, 32)
+        items.append({"media_id": i, "payload": encode_ppm(px), "raw": px})
+    return items
+
+
+def synth_phash_table(n: int = 96, seed: int = 11) -> pa.Table:
+    """Encoded P6 payload rows for the pHash corpus."""
+    items = _phash_items(n, seed)
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "payload": pa.array([d["payload"] for d in items], pa.binary())})
+
+
+def phash_gold(n: int = 96, seed: int = 11) -> pa.Table:
+    """(media_id, phash) computed from the RAW construction pixels — the
+    golden the oracle self-joins for near-dup pairs."""
+    items = _phash_items(n, seed)
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "phash": pa.array([phash_from_pixels(d["raw"]) for d in items],
+                          pa.int64())})
+
+
+def phash_gold_path() -> str:
+    """Idempotently write the pHash golden parquet (versioned synth-cache
+    convention, see media_gold_paths)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    root = os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "phash_gold_v1.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(phash_gold(n=256), tmp)
+        os.replace(tmp, path)
+    return path
+
+
+class PhashStage:
+    """Actor stage: P6 payload rows → (media_id, phash:int64).  The DCT
+    basis is built once per actor in __init__ (stateful-stage convention);
+    __call__ is the per-batch decode + integer transform."""
+
+    def __init__(self):
+        self.basis = dct_basis_micros(_PHASH_N)[:_PHASH_K]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [phash_from_pixels(decode_ppm(p))
+                  for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"].combine_chunks().cast(pa.int64()),
+            "phash": pa.array(hashes, pa.int64())})
+
+
+def phash_hashes(ds, *, concurrency=(1, 4), batch_size: int = 64):
+    """media Dataset → (media_id, phash) through the actor pool."""
+    return ds.map_batches(PhashStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+_PHASH_BANDS = 8       # 8 bands × 8 bits: band-equality is GUARANTEED
+                       # for any pair at hamming ≤ 7 (pigeonhole), so the
+                       # banded plan finds exactly the brute-force pairs
+                       # for every hamming_max < 8.
+
+
+def phash_near_dups(ds, hamming_max: int = 6, *, concurrency=(1, 4)):
+    """Perceptual-hash image near-dup pairs: decode → 63-bit integer pHash
+    (actor pool) → band the 64 hash bits into 8 × 8-bit LSH buckets →
+    within-bucket pairs → exact XOR-popcount hamming verify ≤ hamming_max
+    → distinct pairs.  With hamming_max < 8 the banding is LOSSLESS
+    (pigeonhole over 8 bands), so the result equals the brute-force
+    self-join the oracle runs — LSH here is purely a shuffle-size
+    optimization: candidate generation moves (band, bucket, id, hash)
+    rows only, never payloads, and buckets are the unit of pair work
+    (100-TB posture: same as dedup.minhash_near_dups' band plan).
+    Returns (id_a, id_b, hamming:int64)."""
+    assert hamming_max < _PHASH_BANDS, \
+        "banding guarantee requires hamming_max < n_bands"
+    from ray.data.aggregate import Min
+
+    hashes = phash_hashes(ds, concurrency=concurrency)
+
+    def band(b: pa.Table) -> pa.Table:
+        h = b["phash"].to_numpy(zero_copy_only=False)
+        ids = b["media_id"].to_numpy(zero_copy_only=False)
+        k = _PHASH_BANDS
+        bid = np.repeat(np.arange(k, dtype=np.int64), len(h))
+        hh = np.tile(h, k)
+        buck = (hh >> (np.repeat(np.arange(k, dtype=np.int64), len(h)) * 8)) \
+            & 0xFF
+        return pa.table({
+            "band": pa.array(bid),
+            "bucket": pa.array(buck.astype(np.int64)),
+            "media_id": pa.array(np.tile(ids, k).astype(np.int64)),
+            "phash": pa.array(hh.astype(np.int64))})
+
+    def pairs(g) -> "pd.DataFrame":
+        import pandas as pd
+        g = g.sort_values("media_id", kind="stable")
+        ids = g["media_id"].to_numpy(np.int64)
+        h = g["phash"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = (h[ia] ^ h[ib]).astype(np.uint64)
+        hd = np.zeros(len(x), np.int64)
+        while x.any():
+            hd += (x & 1).astype(np.int64)
+            x >>= 1
+        keep = hd <= hamming_max
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "hamming": hd[keep]})
+
+    cand = (hashes.map_batches(band, batch_format="pyarrow")
+            .groupby(["band", "bucket"])
+            .map_groups(pairs, batch_format="pandas"))
+    # a pair can surface from several bands — Min collapses duplicates
+    # (hamming is identical for every sighting of the same pair)
+    return (cand.groupby(["id_a", "id_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))

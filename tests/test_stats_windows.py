@@ -878,3 +878,34 @@ def test_chi_square_independence_golden():
     df2 = pd.DataFrame(rows2, columns=["ts", "event_type"])
     out2 = chi_square_independence(rd.from_pandas(df2)).to_pandas()
     assert out2["chi2"][0] == 10.0
+
+
+def test_phash_integer_exactness_and_near_dups():
+    """pHash: decode_ppm survives whitespace-leading rasters, the integer
+    DCT hash is payload/raw-identical, planted near-dups land under the
+    hamming threshold, and the banded LSH plan equals brute force."""
+    import ray.data as rd
+
+    from deepkg_ray.stages import multimodal as mm
+
+    # whitespace bytes at the raster head must survive the header parse
+    px = np.full((4, 4, 3), 0x20, np.uint8)
+    assert np.array_equal(mm.decode_ppm(mm.encode_ppm(px)), px)
+
+    items = mm._phash_items(48, 11)
+    gold = {d["media_id"]: mm.phash_from_pixels(d["raw"]) for d in items}
+    for d in items:
+        assert mm.phash_from_pixels(mm.decode_ppm(d["payload"])) \
+            == gold[d["media_id"]]
+
+    ds = rd.from_arrow(mm.synth_phash_table(48, 11))
+    eng = mm.phash_near_dups(ds, hamming_max=6).to_pandas()
+    eng_pairs = set(zip(eng["id_a"], eng["id_b"]))
+    # brute force over the gold hashes
+    ids = sorted(gold)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(gold[a] ^ gold[b]).count("1") <= 6}
+    assert eng_pairs == brute and len(brute) > 0
+    # planted pairs dominate the result set
+    planted = {(i - 1, i) for i in range(48) if i % 3 == 2}
+    assert len(planted & brute) >= len(planted) - 2
