@@ -381,9 +381,10 @@ def segment_revenue_share(sf_dir: str):
         return t.filter(pc.is_valid(t["c_mktsegment"]))
 
     tagged = orders.map_batches(attach, batch_format="pyarrow").materialize()
-    totals = {r["c_mktsegment"]: int(r["t"]) for r in
+    from deepkg_ray.util import rows_all
+    totals = {r["c_mktsegment"]: int(r["t"]) for r in rows_all(
               tagged.groupby("c_mktsegment")
-              .aggregate(Sum("rev_micros", alias_name="t")).take_all()}
+              .aggregate(Sum("rev_micros", alias_name="t")))}
 
     def score(b: pa.Table) -> pa.Table:
         segs = b["c_mktsegment"].to_pylist()
@@ -414,7 +415,7 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
     order-level table (top_revenue_orders' deterministic (-rev, key)
     order).  Returns (l_orderkey, revenue, o_orderdate_us,
     o_orderpriority)."""
-    from deepkg_ray.util import join_partitions
+    from deepkg_ray.util import join_partitions, rows_all
     nparts = join_partitions()
     cutoff_us = int(pd.Timestamp(cutoff).value // 1_000)
 
@@ -980,10 +981,11 @@ def supplier_share_nations(sf_dir: str, pct_twentieths: int = 1):
     total = int(projected.aggregate(
         Sum("bal_micros", alias_name="t"))["t"] or 0)
 
+    from deepkg_ray.util import rows_all
     names = {int(r["n_nationkey"]): r["n_name"]
-             for r in rd.read_parquet(f"{sf_dir}/nation.parquet",
-                                      columns=["n_nationkey", "n_name"])
-             .take_all()}
+             for r in rows_all(
+                 rd.read_parquet(f"{sf_dir}/nation.parquet",
+                                 columns=["n_nationkey", "n_name"]))}
 
     def finish(b: pa.Table) -> pa.Table:
         vm = b["value_micros"].combine_chunks().cast(pa.int64()) \

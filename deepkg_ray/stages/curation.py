@@ -239,7 +239,8 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
         ds.select_columns([text_col, lang_col]).map_batches(
             bucket_counts, batch_format="pyarrow"),
         ["b"], {"raw_n": "sum", "tgt_n": "sum"}, fanout=2)
-    rows = merged.take_all()                      # ≤ n_buckets rows, bounded
+    from deepkg_ray.util import rows_all
+    rows = rows_all(merged)                       # ≤ n_buckets rows, bounded
     raw_n = np.zeros(B, np.int64)
     tgt_n = np.zeros(B, np.int64)
     for r in rows:
@@ -468,7 +469,7 @@ def boilerplate_stats(ds, min_docs: int = 3, text_col: str = "text",
                     "n_boiler": pa.array(nb, pa.int64()),
                     "kept_chars": pa.array(kc, pa.int64())})
 
-        from deepkg_ray.util import stateful_map
+        from deepkg_ray.util import rows_all, stateful_map
         return stateful_map(ds.select_columns([id_col, text_col]), Probe,
                             {"ref": ref})
 

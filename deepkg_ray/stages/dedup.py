@@ -183,7 +183,7 @@ def minhash_raw_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     band.  One all-to-all (the band-bucket groupby); callers canonicalize
     (dedup_pair_rows distributed, or driver-side pandas when the candidate
     set is observed small)."""
-    from deepkg_ray.util import spread_small, stateful_map
+    from deepkg_ray.util import rows_all, spread_small, stateful_map
     sigged = stateful_map(
         spread_small(ds.select_columns([id_col, text_col])), MinHashSignature,
         {"n_perm": n_perm, "n_bands": n_bands,
@@ -316,7 +316,9 @@ def minhash_dedup_pairs(ds, docs_path: str | None = None, *,
             return b.select([id_col, text_col]).take(pa.array(keep, pa.int64()))
 
         hits = (docs.select_columns([id_col, text_col])
-                .map_batches(gather, batch_format="pyarrow").take_all())
+                .map_batches(gather, batch_format="pyarrow"))
+        from deepkg_ray.util import rows_all
+        hits = rows_all(hits)
         text_ref = ray.put({r[id_col]: r[text_col] for r in hits})
 
         def verify_bc(b: pa.Table) -> pa.Table:

@@ -109,7 +109,7 @@ def extract_events(ds, dictionary_path: str, *, concurrency=None,
                    batch_size: int | None = None):
     """Default = worker-cached task pool; explicit concurrency = actor pool
     (util.stateful_map)."""
-    from deepkg_ray.util import stateful_map
+    from deepkg_ray.util import rows_all, stateful_map
     return stateful_map(ds, EventExtractor,
                         {"dictionary_path": dictionary_path},
                         concurrency=concurrency, batch_size=batch_size)
@@ -137,11 +137,12 @@ def type_cooccurrence_jaccard(ds, user_col: str = "user_id",
     from deepkg_ray.functions.numeric import round6
 
     # stable type order: sorted distinct types (dictionary-sized)
-    types = sorted(r[type_col] for r in
+    from deepkg_ray.util import rows_all
+    types = sorted(r[type_col] for r in rows_all(
                    ds.select_columns([type_col])
                    .groupby(type_col).aggregate(Max(type_col,
                                                     alias_name="_m"))
-                   .drop_columns(["_m"]).take_all())
+                   .drop_columns(["_m"])))
     bit_of = {t: 1 << i for i, t in enumerate(types)}
 
     # bitwise-OR is not a built-in Ray aggregate; the exact route is

@@ -317,8 +317,9 @@ def personalized_pagerank_scaled(edges, src_col: str = "subj_id",
         import ray.data as rd
         return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
                                        "ppr_scaled": pa.array([], pa.int64())}))
+    from deepkg_ray.util import rows_all
     seeds = frozenset(
-        r["node"] for r in nodes.sort("node").limit(n_seeds).take_all())
+        r["node"] for r in rows_all(nodes.sort("node").limit(n_seeds)))
     s_cnt = len(seeds)
     pm0 = PR_SCALE // s_cnt
     base = ((100 - damping_pct) * PR_SCALE) // (100 * s_cnt)
@@ -587,7 +588,7 @@ def link_prediction(edges, src_col: str = "subj_id",
     standard LP truncation; default None matches the exact oracle).
     Returns (e1, e2, cn, ra)."""
     if num_partitions is None:
-        from deepkg_ray.util import join_partitions
+        from deepkg_ray.util import join_partitions, rows_all
         num_partitions = join_partitions()
 
     def bidirect(b: pa.Table) -> pa.Table:

@@ -151,7 +151,7 @@ def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
     Default execution is the worker-cached task pool (automaton compiled
     once per worker process); pass an explicit ``concurrency`` tuple for
     an actor pool (util.stateful_map)."""
-    from deepkg_ray.util import stateful_map
+    from deepkg_ray.util import rows_all, stateful_map
     return stateful_map(ds, DictionaryMentionDetector,
                         {"dictionary_path": dictionary_path},
                         concurrency=concurrency, batch_size=batch_size)
@@ -251,7 +251,9 @@ def cooccurrence_pmi(mentions, n_turns_total: int, mode: str = "auto"):
 
     marg = merge_partials(
         mentions.map_batches(ent_partial, batch_format="pyarrow"),
-        ["entity_id"], {"n": "sum"}, mode=mode).take_all()
+        ["entity_id"], {"n": "sum"}, mode=mode)
+    from deepkg_ray.util import rows_all
+    marg = rows_all(marg)
     n_of = {int(r["entity_id"]): int(r["n"]) for r in marg}
     n_total = float(n_turns_total)
 

@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from deepkg_ray.util import rows_all
+
 # ---------------------------------------------------------------- pii scrub
 
 # Patterns restricted to the Python-re ∩ RE2 common subset (see module
@@ -159,7 +161,7 @@ def decontaminate(ds, bench_ds, n: int = 4, text_col: str = "text",
             })
         return hits.map_batches(finish, batch_format="pyarrow")
 
-    bench = frozenset(r["gram"] for r in bench_ds.take_all())
+    bench = frozenset(r["gram"] for r in rows_all(bench_ds))
     ref = ray.put(bench)
 
     def per_batch(b: pa.Table) -> pa.Table:

@@ -70,7 +70,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: list[int], k: int,
     """Dataset of vectors → global top-k rows per query.
     Result: (query_id, vec_id, cosine, rank) with rank 0 = best.
     Tie-break on (−cosine, vec_id) for determinism."""
-    from deepkg_ray.util import stateful_map
+    from deepkg_ray.util import rows_all, stateful_map
     partial = stateful_map(
         ds.select_columns([id_col, vec_col]), BruteForceTopK,
         {"queries": queries, "query_ids": query_ids,
@@ -277,7 +277,8 @@ def pca_power_projection(ds, emb_col: str = "embedding",
     import pyarrow as pa
 
     gram = embedding_gram(ds, emb_col)
-    cells = gram.select_columns(["i", "j", "sxy_micros"]).take_all()
+    from deepkg_ray.util import rows_all
+    cells = rows_all(gram.select_columns(["i", "j", "sxy_micros"]))
     if not cells:
         # empty input → empty projection (matching the empty-graph guards
         # in pagerank_scaled / hits_scaled) instead of a max() ValueError

@@ -407,7 +407,9 @@ def zscore_events(ds, key_col: str = "event_type", id_col: str = "event_id",
            .map_batches(moments, batch_format="pyarrow")
            .groupby(key_col)
            .aggregate(Count(alias_name="n"), Sum("vm", alias_name="s1"),
-                      Sum("v2m", alias_name="s2")).take_all())
+                      Sum("v2m", alias_name="s2")))
+    from deepkg_ray.util import rows_all
+    agg = rows_all(agg)
     stats = {}
     for r in agg:
         n = float(r["n"])
@@ -1488,7 +1490,7 @@ def weekly_active_users(ds, window_days: int = 7,
            .aggregate(Count(alias_name="_m")).drop_columns(["_m"])
            .groupby("wday_us").aggregate(Count(alias_name="wau")))
 
-    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    from deepkg_ray.util import drop_empty_blocks, join_partitions, rows_all
     j = drop_empty_blocks(dau).join(
         drop_empty_blocks(wau), join_type="inner",
         num_partitions=join_partitions(),
