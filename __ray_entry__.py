@@ -1125,6 +1125,15 @@ def _q_kg_labelprop(sf_dir: str):
     return label_propagation(kg.adjacency_dataset(sf_dir), rounds=4)
 
 
+def _q_kg_modularity(sf_dir: str):
+    """Newman modularity per LPA community over the built KG: one extra
+    label-classified edge scan on top of kg_labelprop, exact doubled-edge
+    integers, round6 in double (both sides)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import modularity
+    return modularity(kg.adjacency_dataset(sf_dir), rounds=4)
+
+
 def _q_kg_components(sf_dir: str):
     """Weakly connected components over the built KG (distributed min-label
     propagation — forced, so the driver gate exercises the 100-TB tier)."""
@@ -2628,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,
         "kg_bfs": _q_kg_bfs,
         "kg_labelprop": _q_kg_labelprop,
+        "kg_modularity": _q_kg_modularity,
         "kg_components": _q_kg_components,
         "kg_negatives": _q_kg_negatives,
         "kg_walks": _q_kg_walks,
@@ -2887,6 +2897,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),
         "kg_bfs": oracle.kg_bfs_oracle(SF_ORACLE, sources=(0,), rounds=8),
         "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
+        "kg_modularity": oracle.kg_modularity_oracle(SF_ORACLE, rounds=4),
         "kg_components": oracle.kg_components_oracle(SF_ORACLE),
         "kg_negatives": oracle.kg_negatives_oracle(SF_ORACLE, ks=(1, 7)),
         "kg_walks": oracle.kg_walks_oracle(SF_ORACLE, steps=4, start_mod=3),

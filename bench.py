@@ -238,6 +238,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:
+        # drop dead Dataset refs from the previous query BEFORE timing this
+        # one: garbage executors pin object-store blocks and skew later
+        # entries by multiple seconds (measured: frequent_pairs 6.2s dirty
+        # vs 1.6s clean on the same session)
+        import gc
+        gc.collect()
         t0 = time.time()
         try:
             fn(sf_dir)

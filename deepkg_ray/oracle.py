@@ -2222,13 +2222,10 @@ FROM cell GROUP BY i, j
 """
 
 
-def kg_labelprop_oracle(sf_dir: str, rounds: int = 4) -> str:
-    """Unrolled synchronous label-propagation rounds over the KG's
-    undirected simple graph — mirrors stages/graph.label_propagation:
-    argmax neighbor-label count, tie → min label, EXACTLY ``rounds``
-    rounds (synchronous LPA may 2-cycle, so the round count is the
-    contract; the engine's fixpoint short-circuit only fires when further
-    rounds are the identity)."""
+def _lpa_ctes(rounds: int) -> str:
+    """The unrolled synchronous label-propagation CTE chain over the KG's
+    undirected simple graph (es, l0 … l{rounds}) — shared by
+    kg_labelprop_oracle and kg_modularity_oracle."""
     parts = ["""
 es AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
@@ -2245,10 +2242,56 @@ c{i + 1} AS MATERIALIZED (
 l{i + 1} AS MATERIALIZED (
   SELECT u AS node, label FROM c{i + 1}
   QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, label) = 1)""")
+    return ",".join(parts)
+
+
+def kg_labelprop_oracle(sf_dir: str, rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation rounds over the KG's
+    undirected simple graph — mirrors stages/graph.label_propagation:
+    argmax neighbor-label count, tie → min label, EXACTLY ``rounds``
+    rounds (synchronous LPA may 2-cycle, so the round count is the
+    contract; the engine's fixpoint short-circuit only fires when further
+    rounds are the identity)."""
     return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
-            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + _triples_cte(sf_dir) + "," + _lpa_ctes(rounds)
             + f"""
 SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}
+""")
+
+
+def kg_modularity_oracle(sf_dir: str, rounds: int = 4) -> str:
+    """Mirror of stages/graph.modularity: Newman Q per LPA community in
+    doubled-edge terms, Q_c = (e2_c·m2 − d_c²)/m2².  The round6 is done in
+    DOUBLE exactly as the engine does (numerators < 2^53 are exact in
+    double; DuckDB's integer // truncates toward zero on negatives, so the
+    floor must happen in float space)."""
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + _lpa_ctes(rounds)
+            + f""",
+lab AS (SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}),
+deg AS (SELECT u AS node, count(*) AS deg FROM es GROUP BY u),
+mm AS (SELECT count(*) AS m2 FROM es),
+e2t AS (
+  SELECT la.label, count(*) AS e2
+  FROM es
+  JOIN lab la ON la.node = es.u
+  JOIN lab lb ON lb.node = es.v
+  WHERE la.label = lb.label
+  GROUP BY la.label),
+dct AS (
+  SELECT la.label, CAST(sum(d.deg) AS BIGINT) AS d_tot,
+         CAST(count(*) AS BIGINT) AS n_nodes
+  FROM lab la JOIN deg d ON d.node = la.node
+  GROUP BY la.label)
+SELECT dct.label,
+       dct.n_nodes,
+       CAST(COALESCE(e2t.e2, 0) / 2 AS BIGINT) AS intra_edges,
+       dct.d_tot AS degree_total,
+       CAST(floor((CAST(COALESCE(e2t.e2, 0) AS DOUBLE) * mm.m2
+                   - CAST(dct.d_tot AS DOUBLE) * dct.d_tot)
+                  / (CAST(mm.m2 AS DOUBLE) * mm.m2) * 1e6 + 0.5) AS BIGINT)
+           / 1e6 AS q_contrib
+FROM dct LEFT JOIN e2t USING (label) CROSS JOIN mm
 """)
 
 

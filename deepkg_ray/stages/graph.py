@@ -2449,3 +2449,87 @@ def metapath_counts(adjacency, num_partitions: int | None = None):
         drop_empty_blocks(j).map_batches(grid, batch_format="pyarrow"),
         ["subj_type", "mid_type", "obj_type"], {"n_paths": "sum"},
         mode="tree")
+
+
+def modularity(edges, rounds: int = 4, src_col: str = "subj_id",
+               dst_col: str = "obj_id"):
+    """Newman modularity of the label-propagation communities over the
+    undirected simple graph: per community c,
+    Q_c = e_c/m − (d_c/(2m))² with e_c = intra-community undirected
+    edges, d_c = community degree sum, m = undirected edge count — the
+    community-quality score the reference's graph consumers read off a
+    partition (CoreKnowledgeGraph's clustered entity groups).
+
+    Plan: communities come from label_propagation (broadcast tier — the
+    node dictionary is entity-vocabulary-bounded, the same collect LPA
+    itself performs); one additional edge scan classifies every directed
+    es row by its endpoints' labels and emits per-label (deg2, e2) count
+    partials, tree-merged to the label-bounded table.  In doubled-edge
+    terms Q_c = (e2_c·m2 − d_c²)/m2² with m2 = |es| = 2m, e2_c = 2e_c —
+    all integers; the single rounding is the round6 of that exact ratio,
+    computed in double (numerators are asserted < 2^53 so the double math
+    is exact and hash-matches the SQL mirror, which cannot use DuckDB's
+    truncating // on negative numerators).
+
+    Returns (label, n_nodes, intra_edges, degree_total, q_contrib);
+    Q = Σ q_contrib (up to the per-community roundings)."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.dedup import dedup_pair_rows
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    lab_df = label_propagation(edges, rounds, src_col, dst_col).to_pandas()
+    nd = lab_df["node"].to_numpy(np.int64)
+    lb = lab_df["label"].to_numpy(np.int64)
+    order = np.argsort(nd, kind="stable")
+    nd, lb = nd[order], lb[order]
+    ref = ray.put((nd, lb))
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = dedup_pair_rows(
+        edges.map_batches(bidirect, batch_format="pyarrow"),
+        a_col="u", b_col="v").drop_columns(["n_hits"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        nodes, labels = ray.get(ref)
+        u = b["u"].to_numpy(zero_copy_only=False)
+        v = b["v"].to_numpy(zero_copy_only=False)
+        lu = labels[np.searchsorted(nodes, u)]
+        lv = labels[np.searchsorted(nodes, v)]
+        uniq, codes = np.unique(lu, return_inverse=True)
+        deg2 = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        e2 = np.bincount(codes, weights=(lu == lv).astype(np.float64),
+                         minlength=len(uniq)).astype(np.int64)
+        return pa.table({"label": pa.array(uniq),
+                         "deg2": pa.array(deg2), "e2": pa.array(e2)})
+
+    cells = merge_partials(
+        simple.map_batches(partial, batch_format="pyarrow"),
+        ["label"], {"deg2": "sum", "e2": "sum"}).to_pandas()
+
+    n_nodes = pd.Series(lb).value_counts()
+    deg2 = cells["deg2"].to_numpy(np.int64)        # d_c (each es row adds 1)
+    e2 = cells["e2"].to_numpy(np.int64)            # 2·e_c
+    m2 = int(deg2.sum())                           # 2·m
+    num = e2.astype(np.float64) * m2 - deg2.astype(np.float64) ** 2
+    assert (np.abs(e2.astype(object) * m2) < 2 ** 53).all() and \
+        (deg2.astype(object) ** 2 < 2 ** 53).all(), \
+        "modularity double-exactness bound exceeded; use exact-int tier"
+    q = np.floor(num / (float(m2) * m2) * 1e6 + 0.5) / 1e6 if m2 else \
+        np.zeros(len(num))
+    out = pd.DataFrame({
+        "label": cells["label"].to_numpy(np.int64),
+        "n_nodes": n_nodes.reindex(cells["label"]).fillna(0)
+                    .to_numpy(np.int64),
+        "intra_edges": e2 // 2,
+        "degree_total": deg2,
+        "q_contrib": q})
+    return rd.from_pandas(out)

@@ -574,3 +574,29 @@ def test_metapath_counts_golden():
     assert list(zip(out["subj_type"], out["mid_type"],
                     out["obj_type"])) == [("A", "B", "C"), ("A", "B", "D")]
     assert out["n_paths"].tolist() == [1, 1]
+
+
+def test_modularity_golden(ray_session):
+    """Two disjoint triangles: LPA labels each triangle with its min node;
+    per community e_c = 3, d_c = 6, m = 6 → Q_c = 3/6 - (6/12)^2 = 0.25."""
+    import ray.data as rd
+
+    from deepkg_ray.stages.graph import modularity
+    edges = pd.DataFrame({
+        "subj_id": np.array([0, 1, 0, 10, 11, 10], dtype=np.int64),
+        "obj_id": np.array([1, 2, 2, 11, 12, 12], dtype=np.int64),
+    })
+    out = (modularity(rd.from_pandas(edges), rounds=4).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    assert out["label"].tolist() == [0, 10]
+    assert out["n_nodes"].tolist() == [3, 3]
+    assert out["intra_edges"].tolist() == [3, 3]
+    assert out["degree_total"].tolist() == [6, 6]
+    assert np.allclose(out["q_contrib"], [0.25, 0.25])
+    # bipartite 4-chain: synchronous LPA 2-cycles into the alternating
+    # partition {0,2}/{1,3}, both sides edgeless inside => Q_c = -(1/2)^2
+    chain = pd.DataFrame({"subj_id": np.array([0, 1, 2], np.int64),
+                          "obj_id": np.array([1, 2, 3], np.int64)})
+    o2 = modularity(rd.from_pandas(chain), rounds=8).to_pandas()
+    assert sorted(o2["intra_edges"]) == [0, 0]
+    assert np.allclose(sorted(o2["q_contrib"]), [-0.25, -0.25])
