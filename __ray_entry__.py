@@ -443,6 +443,14 @@ def _q_ann_topk(sf_dir: str):
                             q, qids, k=10)
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact kNN graph (k=5 cosine neighbors per vector): whole-corpus
+    broadcast tier, per-batch matmul emits final rows — zero shuffle."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import knn_graph
+    return knn_graph(read_embeddings(sf_dir, ["vec_id", "embedding"]), k=5)
+
+
 def _q_pq_codes(sf_dir: str):
     """Product-quantization codes (m=4 subspaces × k=16 centroids) —
     the memory-bound scale path for the embedding index family."""
@@ -2659,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "knn_graph": _q_knn_graph,
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
@@ -2917,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_words": oracle.textrank_words_oracle(n_iters=5),
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
+        "knn_graph": oracle.knn_graph_oracle(),
         "hard_negatives": oracle.hard_negatives_oracle(),
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),

@@ -5908,3 +5908,24 @@ SELECT a.media_id AS id_a, b.media_id AS id_b,
 FROM g a JOIN g b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {hamming_max}
 """
+
+
+def knn_graph_oracle(k: int = 5) -> str:
+    """Brute-force mirror of stages/similarity.knn_graph: per vector the
+    top-k round6 cosine neighbors (self excluded), rank ordered
+    (cosine DESC, nbr id)."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="a.em", b="b.em")
+    return f"""
+WITH em AS (SELECT vec_id, {SQL_EMB_MICROS.format(e="embedding")} AS em
+            FROM embeddings),
+s AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, {cos} AS cosine
+  FROM em a JOIN em b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, nbr_id) - 1 AS INTEGER) AS rank
+  FROM s
+)
+SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank < {k}
+"""

@@ -529,3 +529,62 @@ def hard_negatives(ds, anchors: np.ndarray, anchor_ids, anchor_labels,
     return (ds.select_columns([id_col, vec_col, label_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("anchor_id").map_groups(finish, batch_format="pandas"))
+
+
+def knn_graph(ds, k: int = 5, *, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              broadcast_threshold: int = 200_000, concurrency=None):
+    """Exact k-nearest-neighbor GRAPH over the embedding column: for every
+    vector its top-k round6-cosine neighbors (self excluded), ties → the
+    smaller neighbor id — the corpus-wide generalization of
+    brute_force_topk where every row is a query (the structure semantic
+    dedup / hard-negative mining / diversity sampling consume; the
+    reference's faiss index serves exactly this query when SimCSE
+    evaluates recall, simcse_unsup.py:44-76).
+
+    Plan: the corpus (ids + micros matrix) broadcasts ONCE via ray.put —
+    N×d int64, asserted ≤ broadcast_threshold rows so the object is
+    ~100 MB at d=64 — and each streaming batch matmuls against it,
+    emitting its rows' FINAL top-k: the broadcast side is the whole
+    corpus, so no cross-batch reduction or shuffle exists at all.  Above
+    the threshold the exact all-pairs graph is a different algorithm
+    (IVF/LSH-bucketed blocked matmul — ann_ivf holds the bucketed scan);
+    this operator is the exactness tier and fails loudly past its bound.
+
+    Returns (vec_id, nbr_id, cosine, rank), rank 0 = nearest."""
+    import ray
+
+    from deepkg_ray.util import stateful_map
+
+    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
+    assert len(corpus) <= broadcast_threshold, \
+        (len(corpus), "knn_graph exact tier bound; use ann_ivf above it")
+    ids_all = corpus[id_col].to_numpy(np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = ids_all[order]
+    mm = micros_matrix(np.stack(corpus[vec_col].to_numpy())[order])
+    ref = ray.put((ids_all, mm))
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        nodes, mat = ray.get(ref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        sims = cosine_micros(micros_matrix(_as_matrix(b[vec_col])), mat)
+        # self-exclusion: cosine ≥ -1 always, so -2 sorts strictly last
+        pos = np.searchsorted(nodes, ids)
+        sims[np.arange(len(ids)), pos] = -2.0
+        kk = min(k, sims.shape[1] - 1)
+        src, nbr, cos, rnk = [], [], [], []
+        for i in range(len(ids)):
+            sel = np.lexsort((nodes, -sims[i]))[:kk]
+            src.extend([int(ids[i])] * len(sel))
+            nbr.extend(nodes[sel].tolist())
+            cos.extend(sims[i, sel].tolist())
+            rnk.extend(range(len(sel)))
+        return pa.table({
+            id_col: pa.array(src, pa.int64()),
+            "nbr_id": pa.array(nbr, pa.int64()),
+            "cosine": pa.array(np.asarray(cos, np.float64), pa.float64()),
+            "rank": pa.array(np.asarray(rnk, np.int32), pa.int32())})
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        per_batch, batch_format="pyarrow")

@@ -333,3 +333,28 @@ def test_hard_negatives_excludes_same_label_and_ranks():
     assert list(out["vec_id"]) == [3, 4]          # id 1 (same label) excluded
     assert list(out["rank"]) == [0, 1]
     assert out["cosine"].is_monotonic_decreasing
+
+
+def test_knn_graph_exact(ray_session):
+    """knn_graph equals the brute-force numpy derivation, excludes self,
+    and every row has exactly k neighbors."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import cosine_micros, micros_matrix
+    from deepkg_ray.stages.similarity import knn_graph
+    rng = np.random.default_rng(7)
+    n, d, k = 40, 8, 3
+    m = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in m]})
+    out = (knn_graph(rd.from_pandas(df), k=k).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert len(out) == n * k
+    assert (out["vec_id"] != out["nbr_id"]).all()
+    mm = micros_matrix(m)
+    sims = cosine_micros(mm, mm)
+    np.fill_diagonal(sims, -2.0)
+    for i in range(n):
+        want = np.lexsort((np.arange(n), -sims[i]))[:k]
+        got = out.loc[out["vec_id"] == i, "nbr_id"].to_numpy()
+        assert (got == want).all(), (i, got, want)
