@@ -1065,6 +1065,14 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(_docs(sf_dir, ["doc_id", "text"]), k=20)
 
 
+def _q_rake_keywords(sf_dir: str):
+    """RAKE keyword extraction (Rose et al. 2010) at corpus level:
+    stopword-delimited candidate phrases, deg/freq word scores, top-k
+    phrases — two streaming passes, vocabulary-bounded merges."""
+    from deepkg_ray.stages.textstats import rake_keywords
+    return rake_keywords(_docs(sf_dir, ["doc_id", "text"]), k=50)
+
+
 def _q_dedup_clusters(sf_dir: str):
     """Connected components over the exact-Jaccard pair graph — the cluster
     step that turns near-dup PAIRS into 'one survivor per duplicate group'
@@ -2636,6 +2644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_quantiles_cont": _q_flag_quantiles_cont,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "heavy_hitter_tokens": _q_heavy_hitters,
+        "rake_keywords": _q_rake_keywords,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "editdist_pairs": _q_editdist_pairs,
@@ -2898,6 +2907,7 @@ def oracle_sql() -> dict[str, str]:
         "flag_quantiles_cont": oracle.flag_quantiles_cont_oracle(),
         "doc_len_quantiles": oracle.grouped_quantiles_oracle(),
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
+        "rake_keywords": oracle.rake_keywords_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "editdist_pairs": oracle.editdist_pairs_oracle(),

@@ -5929,3 +5929,52 @@ s AS (
 )
 SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank < {k}
 """
+
+
+def rake_keywords_oracle(k: int = 50) -> str:
+    """Mirror of stages/textstats.rake_keywords: RAKE phrase segmentation
+    as a cumsum-of-stopwords gaps-and-islands, word score deg/freq rounded
+    to micros in double, phrase score the integer micros sum."""
+    from deepkg_ray.stages.textstats import RAKE_STOPWORDS
+    stops = ", ".join(f"'{w}'" for w in sorted(RAKE_STOPWORDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tl
+  FROM documents WHERE trim(text) <> ''
+), pt AS (
+  SELECT doc_id, u.z.pos AS pos, u.z.tok AS tok
+  FROM toks, unnest(list_transform(tl, (x, i) -> {{'tok': x, 'pos': i}})) u(z)
+), m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS stop
+  FROM pt
+), isl AS (
+  SELECT *, SUM(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM m
+), pw AS (
+  SELECT doc_id, grp, pos, tok FROM isl WHERE stop = 0
+), ph AS (
+  SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM pw GROUP BY doc_id, grp
+), wstat AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM pw JOIN ph USING (doc_id, grp) GROUP BY tok
+), wscore AS (
+  SELECT tok, CAST(floor(CAST(deg AS DOUBLE) / freq * 1e6 + 0.5) AS BIGINT)
+           AS sm
+  FROM wstat
+), pscore AS (
+  SELECT ph.doc_id, ph.grp, ph.phrase,
+         CAST(SUM(ws.sm) AS BIGINT) AS s_micros
+  FROM pw JOIN ph USING (doc_id, grp) JOIN wscore ws ON ws.tok = pw.tok
+  GROUP BY ph.doc_id, ph.grp, ph.phrase
+), agg AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         MIN(s_micros) AS s_micros
+  FROM pscore GROUP BY phrase
+)
+SELECT phrase, n_occurrences, CAST(s_micros AS DOUBLE) / 1e6 AS score
+FROM agg ORDER BY score DESC, phrase LIMIT {k}
+"""

@@ -1018,3 +1018,109 @@ def mixture_plan(ds, weights: dict[str, float], budget: int,
 
     return ds.select_columns([id_col, class_col]).groupby(class_col) \
         .map_groups(per_source, batch_format="pandas")
+
+
+# ------------------------------------------------------------- RAKE --------
+
+RAKE_STOPWORDS = frozenset("a the and of to in".split())
+
+
+def _rake_phrase_rows(texts: list, stop_arr: np.ndarray) -> pd.DataFrame:
+    """Whitespace tokens → candidate-phrase rows (doc, grp, tok): maximal
+    stopword-free runs, the RAKE segmentation (Rose et al. 2010).  One
+    vectorized pass: explode tokens, cumsum the stopword mask as the
+    island id — (doc, grp) keys keep runs from bridging documents."""
+    s = pd.Series(texts, dtype="object").fillna("").str.strip()
+    s = s[s != ""].str.lower().str.split()
+    if not len(s):
+        return pd.DataFrame({"doc": pd.Series([], dtype=np.int64),
+                             "grp": pd.Series([], dtype=np.int64),
+                             "tok": pd.Series([], dtype="object")})
+    ex = s.explode()
+    tok = ex.to_numpy()
+    stop = np.isin(tok, stop_arr)
+    return pd.DataFrame({"doc": ex.index.to_numpy(np.int64),
+                         "grp": np.cumsum(stop),
+                         "tok": tok})[~stop]
+
+
+def rake_keywords(ds, text_col: str = "text", k: int = 50,
+                  stopwords=RAKE_STOPWORDS):
+    """RAKE keyword extraction at corpus level: candidate phrases are
+    stopword-delimited token runs; word score = deg/freq where freq counts
+    a word's phrase occurrences and deg sums the lengths of its containing
+    phrases (within-phrase co-occurrence incl. self); a phrase scores the
+    sum of its words' scores.  Returns the top-k distinct phrases
+    (phrase, n_occurrences, score), score DESC / phrase ASC.
+
+    Two streaming passes: (1) per-batch (word → freq, deg) count partials
+    tree-merge to the vocabulary-bounded score table, broadcast back as
+    int64 micros; (2) phrases rebuilt per batch score themselves by lookup
+    and pre-aggregate (phrase, n, s_micros) partials that the merge tree
+    finishes with one sort+head task — the phrase space is the observed
+    n-gram table, frequent_phrases' posture.  All arithmetic is the round6
+    micros convention, so the DuckDB mirror (rake_keywords_oracle) hashes
+    identically."""
+    import ray
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    stop_arr = np.asarray(sorted(stopwords))
+
+    def word_partial(b: pa.Table) -> pa.Table:
+        dfk = _rake_phrase_rows(b[text_col].to_pylist(), stop_arr)
+        if not len(dfk):
+            return pa.table({"word": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        plen = dfk.groupby(["doc", "grp"], sort=False)["tok"] \
+                  .transform("size").to_numpy(np.int64)
+        g = pd.DataFrame({"tok": dfk["tok"].to_numpy(), "plen": plen}) \
+            .groupby("tok", sort=False)
+        freq = g.size()
+        deg = g["plen"].sum()
+        return pa.table({"word": pa.array(freq.index.to_numpy(), pa.string()),
+                         "freq": pa.array(freq.to_numpy(np.int64)),
+                         "deg": pa.array(deg.to_numpy(np.int64))})
+
+    wstat = merge_partials(
+        ds.select_columns([text_col]).map_batches(
+            word_partial, batch_format="pyarrow"),
+        ["word"], {"freq": "sum", "deg": "sum"}).to_pandas()
+    sm = np.floor(wstat["deg"].to_numpy(np.float64)
+                  / wstat["freq"].to_numpy(np.float64) * 1e6 + 0.5) \
+        .astype(np.int64)
+    score_ref = ray.put(dict(zip(wstat["word"], sm)))
+
+    def phrase_partial(b: pa.Table) -> pa.Table:
+        scores = ray.get(score_ref)
+        dfk = _rake_phrase_rows(b[text_col].to_pylist(), stop_arr)
+        if not len(dfk):
+            return pa.table({"phrase": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "s_micros": pa.array([], pa.int64())})
+        dfk = dfk.assign(sm=dfk["tok"].map(scores).astype(np.int64))
+        g = dfk.groupby(["doc", "grp"], sort=False)
+        ph = pd.DataFrame({"phrase": g["tok"].agg(" ".join),
+                           "s_micros": g["sm"].sum()})
+        agg = ph.groupby("phrase", sort=False).agg(
+            n=("s_micros", "size"), s_micros=("s_micros", "first"))
+        return pa.table({
+            "phrase": pa.array(agg.index.to_numpy(), pa.string()),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "s_micros": pa.array(agg["s_micros"].to_numpy(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([text_col]).map_batches(
+            phrase_partial, batch_format="pyarrow"),
+        ["phrase"], {"n": "sum", "s_micros": "first"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(score=df["s_micros"].to_numpy(np.float64) / 1e6)
+        df = df.sort_values(["score", "phrase"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+        return df.rename(columns={"n": "n_occurrences"})[
+            ["phrase", "n_occurrences", "score"]]
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

@@ -120,3 +120,19 @@ def test_doc_logprob_modes_and_golden(ray_session):
     j = (textstats.doc_logprob(ds, mode="join").to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, j[out.columns], check_dtype=False)
+
+
+def test_rake_keywords_golden(ray_session):
+    """Hand-derived RAKE: 'deep learning of the deep graph' + 'a graph' →
+    deg/freq word scores deep=2, learning=2, graph=1.5 and phrase scores
+    4.0 / 3.5 / 1.5."""
+    import ray.data as rd
+
+    from deepkg_ray.stages.textstats import rake_keywords
+    docs = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["deep learning of the deep graph",
+                                  "a graph"]})
+    out = rake_keywords(rd.from_pandas(docs), k=10).to_pandas()
+    assert out["phrase"].tolist() == ["deep learning", "deep graph", "graph"]
+    assert out["n_occurrences"].tolist() == [1, 1, 1]
+    assert np.allclose(out["score"], [4.0, 3.5, 1.5])
