@@ -93,6 +93,15 @@ def _q_entity_spans(sf_dir: str):
     return entity_spans(kg.mentions_dataset(sf_dir), turns)
 
 
+def _q_entity_lifespan(sf_dir: str):
+    """Per-entity temporal lineage with a day dimension: total mentions,
+    first/last mention microsecond and distinct active days — fused
+    detect+collapse (mention rows never shuffle; ts attaches batch-locally),
+    then two dictionary-×-days-bounded tree merges."""
+    from deepkg_ray.pipelines import kg
+    return kg.entity_lifespan_dataset(sf_dir)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Lang-id heuristic confusion matrix vs the gold lang column."""
     from deepkg_ray.sources.readers import read_documents
@@ -2846,6 +2855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
+        "kg_entity_lifespan": _q_entity_lifespan,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
@@ -3109,6 +3119,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
+        "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),

@@ -51,6 +51,36 @@ FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
 """
 
 
+def entity_lifespan_sql(sf_dir: str, bucket_us: int = 60_000_000) -> str:
+    """Per-entity temporal lineage: total mention occurrences, first/last
+    mention timestamp (us) and distinct active time buckets.  Occurrence
+    counting is the mention_counts_sql substring-count identity (synth
+    invariant 1); the bucket key is epoch_us // bucket_us, matching the
+    engine's int64 floor division (synth timestamps are post-epoch, so
+    // == floor)."""
+    return f"""
+WITH {dict_values_cte()},
+t AS (SELECT conv_id, turn_idx, lower(text) AS txt, epoch_us(ts) AS ts_us
+      FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+occ AS (
+  SELECT d.entity_id,
+         CAST((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface) AS BIGINT) AS n_occ,
+         t.ts_us
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+),
+per_bucket AS (
+  SELECT entity_id, ts_us // {int(bucket_us)} AS bucket,
+         SUM(n_occ) AS n, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+  FROM occ GROUP BY entity_id, bucket
+)
+SELECT entity_id, CAST(sum(n) AS BIGINT) AS n_mentions,
+       CAST(min(first_us) AS BIGINT) AS first_us,
+       CAST(max(last_us) AS BIGINT) AS last_us,
+       CAST(count(*) AS BIGINT) AS n_active_buckets
+FROM per_bucket GROUP BY entity_id
+"""
+
+
 def _triples_cte(sf_dir: str) -> str:
     """UNION ALL of one RE2 extraction per predicate, validated against the
     inline dictionary with the template's type constraints."""

@@ -29,16 +29,19 @@ from deepkg_ray.stages.mention import detect_mentions
 from deepkg_ray.stages.relation import extract_triples
 
 
-def transcripts_with_norm(sf_dir: str, *, repeat: int = 1):
+def transcripts_with_norm(sf_dir: str, *, repeat: int = 1,
+                          columns: list[str] | None = None):
     """repeat>1 re-reads the shard list N times — used by the scaling bench
     to measure steady-state throughput on a workload large enough that
-    fixed startup costs don't dominate."""
+    fixed startup costs don't dominate.  columns widens the default
+    read pruning (e.g. + ts for the temporal operators)."""
     import glob
     from deepkg_ray.util import tiny_task_cpus
     path = synth.transcripts_path(sf_dir)
     files = sorted(glob.glob(f"{path}/*.parquet")) or [path]
     tc = tiny_task_cpus()
-    ds = read_transcripts(files * repeat if repeat > 1 else path, num_cpus=tc)
+    ds = read_transcripts(files * repeat if repeat > 1 else path,
+                          columns=columns, num_cpus=tc)
     # batch_size=None → whole read blocks pass through as single batches;
     # mismatched batch sizes between fused stages make Ray Data re-slice
     # and rebuild (copy) every batch boundary — measured 3-4x overhead on
@@ -53,6 +56,21 @@ def mentions_dataset(sf_dir: str, *, concurrency=None):
     dict_path = synth.dictionary_path(sf_dir)
     ds = transcripts_with_norm(sf_dir)
     return detect_mentions(ds, dict_path, concurrency=concurrency)
+
+
+def entity_lifespan_dataset(sf_dir: str, *, bucket_us: int = 60_000_000,
+                            concurrency=None):
+    """transcripts (+ts) → per-entity temporal lineage
+    (mention.entity_lifespan: fused detect+collapse, zero mention
+    shuffle).  Default bucket is 1 minute — the synth corpus spans under
+    an hour, so minute buckets exercise the real two-level cell merge;
+    production corpora would pass mention._DAY_US."""
+    from deepkg_ray.stages.mention import entity_lifespan
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    return entity_lifespan(ds, dict_path, bucket_us=bucket_us,
+                           concurrency=concurrency)
 
 
 def surface_triples_dataset(sf_dir: str, *, concurrency=None):

@@ -270,3 +270,93 @@ def cooccurrence_pmi(mentions, n_turns_total: int, mode: str = "auto"):
         })
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+_DAY_US = 86_400_000_000
+
+
+class EntityLifespanCells(DictionaryMentionDetector):
+    """Fused per-batch stage: detect mentions (the DictionaryMentionDetector
+    kernel) and immediately collapse them to (entity_id, bucket) cells with
+    (n, first_us, last_us) — the mention rows never leave the task, and ts
+    attaches from the SAME batch (both sides come from the same transcript
+    rows, so the 'join' is a batch-local two-key merge, zero shuffle).
+    bucket_us is the time-bucket width (1 day in production; tests and the
+    driver query use 1 minute because the synth corpus spans < 1 hour)."""
+
+    def __init__(self, dictionary_path: str, bucket_us: int = _DAY_US,
+                 **kw):
+        super().__init__(dictionary_path, **kw)
+        self.bucket_us = int(bucket_us)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        men = DictionaryMentionDetector.__call__(
+            self, batch)
+        empty = pa.table({
+            "entity_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "first_us": pa.array([], pa.int64()),
+            "last_us": pa.array([], pa.int64())})
+        if men.num_rows == 0:
+            return empty
+        bm = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False)})
+        md = pd.DataFrame({
+            "conv_id": men["conv_id"].to_pylist(),
+            "turn_idx": men["turn_idx"].to_numpy(zero_copy_only=False),
+            "entity_id": men["entity_id"].to_numpy(zero_copy_only=False)})
+        j = md.merge(bm, on=["conv_id", "turn_idx"], how="left", sort=False)
+        j["bucket"] = j["ts_us"].to_numpy(np.int64) // self.bucket_us
+        g = j.groupby(["entity_id", "bucket"], sort=False)["ts_us"]
+        out = pd.DataFrame({"n": g.size(), "first_us": g.min(),
+                            "last_us": g.max()}).reset_index()
+        return pa.table({
+            "entity_id": pa.array(out["entity_id"].to_numpy(np.int64)),
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "first_us": pa.array(out["first_us"].to_numpy(np.int64)),
+            "last_us": pa.array(out["last_us"].to_numpy(np.int64))})
+
+
+def entity_lifespan(ds, dictionary_path: str, *, bucket_us: int = _DAY_US,
+                    concurrency=None):
+    """Temporal lineage per KG entity: first/last mention timestamp, total
+    mention count and distinct active time buckets — the entity-freshness
+    table an incremental KG build consults (reference analog: the
+    per-entity update bookkeeping around CoreKnowledgeGraph merges,
+    KnowledgeGraph/core.py).
+
+    ds must carry (conv_id, turn_idx, text_norm, ts).  Plan: one fused
+    detect+collapse pass (EntityLifespanCells — mention rows never shuffle),
+    (entity, bucket) cells tree-merge (entity-vocabulary × buckets bounded),
+    then the bucket dimension folds out in a second cell-sized merge.
+    Returns (entity_id, n_mentions, first_us, last_us, n_active_buckets)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import stateful_map
+
+    cells = stateful_map(ds, EntityLifespanCells,
+                         {"dictionary_path": dictionary_path,
+                          "bucket_us": bucket_us},
+                         concurrency=concurrency, batch_size=None)
+    per_bucket = merge_partials(cells, ["entity_id", "bucket"],
+                                {"n": "sum", "first_us": "min",
+                                 "last_us": "max"})
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": b["entity_id"].combine_chunks().cast(pa.int64()),
+            "n_mentions": b["n"].combine_chunks().cast(pa.int64()),
+            "first_us": b["first_us"].combine_chunks().cast(pa.int64()),
+            "last_us": b["last_us"].combine_chunks().cast(pa.int64()),
+            "n_active_buckets": pa.array(np.ones(b.num_rows, np.int64))})
+
+    return merge_partials(
+        per_bucket.map_batches(bucket_rows, batch_format="pyarrow"),
+        ["entity_id"],
+        {"n_mentions": "sum", "first_us": "min", "last_us": "max",
+         "n_active_buckets": "sum"})

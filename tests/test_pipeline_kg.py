@@ -154,3 +154,35 @@ def test_incremental_update_equals_full_rebuild(ray_session):
     pd.testing.assert_frame_equal(inc[sorted(inc.columns)],
                                   full[sorted(full.columns)],
                                   check_dtype=False)
+
+
+def test_entity_lifespan_matches_rederivation(sf_dir, synth_dir):
+    """The fused detect+collapse lifespan plan (mention rows never leave the
+    task) equals a naive driver re-derivation: mentions_gold joined to the
+    transcript ts, grouped by (entity, day) then entity."""
+    import numpy as np
+    import pandas as pd
+    from deepkg_ray import synth
+
+    got = (kg.entity_lifespan_dataset(sf_dir).to_pandas()
+           .sort_values("entity_id").reset_index(drop=True))
+
+    men = pq.read_table(os.path.join(synth_dir, "mentions_gold.parquet"),
+                        columns=["conv_id", "turn_idx", "entity_id"]).to_pandas()
+    tr = pq.read_table(synth.transcripts_path(sf_dir),
+                       columns=["conv_id", "turn_idx", "ts"]).to_pandas()
+    tr["ts_us"] = tr["ts"].astype("datetime64[us]").astype("int64")
+    j = men.merge(tr[["conv_id", "turn_idx", "ts_us"]],
+                  on=["conv_id", "turn_idx"], how="left")
+    j["bucket"] = j["ts_us"].to_numpy(np.int64) // 60_000_000
+    per_bucket = (j.groupby(["entity_id", "bucket"])["ts_us"]
+                  .agg(n="size", first_us="min", last_us="max").reset_index())
+    exp = (per_bucket.groupby("entity_id")
+           .agg(n_mentions=("n", "sum"), first_us=("first_us", "min"),
+                last_us=("last_us", "max"),
+                n_active_buckets=("bucket", "size"))
+           .reset_index().sort_values("entity_id").reset_index(drop=True))
+    assert got["n_active_buckets"].max() > 1       # bucket dimension is real
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], exp[sorted(exp.columns)],
+        check_dtype=False)
