@@ -102,6 +102,13 @@ def _q_entity_lifespan(sf_dir: str):
     return kg.entity_lifespan_dataset(sf_dir)
 
 
+def _q_role_entity_affinity(sf_dir: str):
+    """Who talks about what: (role, entity_id, type, n_mentions, n_turns)
+    via the fused detect+collapse plan (role attaches batch-locally)."""
+    from deepkg_ray.pipelines import kg
+    return kg.role_entity_affinity_dataset(sf_dir)
+
+
 def _q_lang_confusion(sf_dir: str):
     """Lang-id heuristic confusion matrix vs the gold lang column."""
     from deepkg_ray.sources.readers import read_documents
@@ -2856,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_entity_spans": _q_entity_spans,
         "kg_entity_lifespan": _q_entity_lifespan,
+        "role_entity_affinity": _q_role_entity_affinity,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
@@ -3120,6 +3128,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
+        "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),

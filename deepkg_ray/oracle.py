@@ -81,6 +81,23 @@ FROM per_bucket GROUP BY entity_id
 """
 
 
+def role_entity_affinity_sql(sf_dir: str) -> str:
+    """(role, entity_id, type) mention totals + distinct mentioning turns.
+    Occurrence counting is the mention_counts_sql substring identity;
+    n_turns is COUNT(DISTINCT turn) because two aliases of one entity in
+    one turn must count that turn once."""
+    return f"""
+WITH {dict_values_cte()},
+t AS (SELECT conv_id, turn_idx, role, lower(text) AS txt
+      FROM read_parquet('{_transcripts_glob(sf_dir)}'))
+SELECT t.role, d.entity_id, d.type,
+       CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface)) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT t.conv_id || ':' || t.turn_idx) AS BIGINT) AS n_turns
+FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+GROUP BY t.role, d.entity_id, d.type
+"""
+
+
 def _triples_cte(sf_dir: str) -> str:
     """UNION ALL of one RE2 extraction per predicate, validated against the
     inline dictionary with the template's type constraints."""

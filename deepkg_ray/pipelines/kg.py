@@ -73,6 +73,17 @@ def entity_lifespan_dataset(sf_dir: str, *, bucket_us: int = 60_000_000,
                            concurrency=concurrency)
 
 
+def role_entity_affinity_dataset(sf_dir: str, *, concurrency=None):
+    """transcripts (+role) → (role, entity_id, type, n_mentions, n_turns)
+    (mention.role_entity_affinity: fused detect+collapse, zero mention
+    shuffle)."""
+    from deepkg_ray.stages.mention import role_entity_affinity
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "role"])
+    return role_entity_affinity(ds, dict_path, concurrency=concurrency)
+
+
 def surface_triples_dataset(sf_dir: str, *, concurrency=None):
     """transcripts → (conv_id, turn_idx, pred, subj/obj surface+type+start)."""
     dict_path = synth.dictionary_path(sf_dir)

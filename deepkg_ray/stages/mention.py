@@ -360,3 +360,60 @@ def entity_lifespan(ds, dictionary_path: str, *, bucket_us: int = _DAY_US,
         ["entity_id"],
         {"n_mentions": "sum", "first_us": "min", "last_us": "max",
          "n_active_buckets": "sum"})
+
+
+class RoleEntityCells(DictionaryMentionDetector):
+    """Fused per-batch stage: detect mentions and collapse them to
+    (role, entity_id, type) cells with (n_mentions, n_turns).  role
+    attaches from the SAME batch (batch-local two-key merge, zero mention
+    shuffle), and n_turns — distinct turns where the role mentions the
+    entity — is batch-locally exact because a turn's text is one row and
+    therefore lives in exactly one batch."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        men = DictionaryMentionDetector.__call__(self, batch)
+        if men.num_rows == 0:
+            return pa.table({
+                "role": pa.array([], pa.string()),
+                "entity_id": pa.array([], pa.int64()),
+                "type": pa.array([], pa.string()),
+                "n_mentions": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64())})
+        bm = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+            "role": batch["role"].to_pylist()})
+        md = pd.DataFrame({
+            "conv_id": men["conv_id"].to_pylist(),
+            "turn_idx": men["turn_idx"].to_numpy(zero_copy_only=False),
+            "entity_id": men["entity_id"].to_numpy(zero_copy_only=False),
+            "type": men["type"].to_pylist()})
+        j = md.merge(bm, on=["conv_id", "turn_idx"], how="left", sort=False)
+        keys = ["role", "entity_id", "type"]
+        n = j.groupby(keys, sort=False).size()
+        nt = (j.drop_duplicates(keys + ["conv_id", "turn_idx"])
+              .groupby(keys, sort=False).size())
+        out = pd.DataFrame({"n_mentions": n, "n_turns": nt}).reset_index()
+        return pa.table({
+            "role": pa.array(out["role"], pa.string()),
+            "entity_id": pa.array(out["entity_id"].to_numpy(np.int64)),
+            "type": pa.array(out["type"], pa.string()),
+            "n_mentions": pa.array(out["n_mentions"].to_numpy(np.int64)),
+            "n_turns": pa.array(out["n_turns"].to_numpy(np.int64))})
+
+
+def role_entity_affinity(ds, dictionary_path: str, *, concurrency=None):
+    """Which speaker role mentions which entity: (role, entity_id, type,
+    n_mentions, n_turns) — the transcript-axis affinity table (who talks
+    about what) that conversational KG curation slices by.  ds must carry
+    (conv_id, turn_idx, role, text_norm).  Plan: fused detect+collapse
+    (RoleEntityCells), then one roles × dictionary-bounded tree merge."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import stateful_map
+
+    cells = stateful_map(ds, RoleEntityCells,
+                         {"dictionary_path": dictionary_path},
+                         concurrency=concurrency, batch_size=None)
+    return merge_partials(cells, ["role", "entity_id", "type"],
+                          {"n_mentions": "sum", "n_turns": "sum"})

@@ -224,3 +224,26 @@ def test_llr_collocations_golden():
     exp_ac = g2(1, 3, 1, 3)
     assert abs(out["llr"][0] - round(exp_ab, 6)) < 2e-6
     assert abs(out["llr"][1] - round(exp_ac, 6)) < 2e-6
+
+
+def test_role_entity_cells_distinct_turns(dict_path):
+    """Two aliases of the SAME entity in one turn: n_mentions=2, n_turns=1;
+    the same alias from two roles stays separated by role."""
+    from deepkg_ray.stages.mention import RoleEntityCells
+    det = RoleEntityCells(dict_path)
+    # find an entity with >= 2 aliases
+    by_eid = {}
+    for s, (eid, et, _) in det.alias_map.items():
+        by_eid.setdefault(eid, []).append(s)
+    eid, aliases = next((e, a) for e, a in by_eid.items() if len(a) >= 2)
+    a1, a2 = aliases[:2]
+    b = add_text_norm(pa.table({
+        "conv_id": pa.array(["c0", "c1"], pa.string()),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array([f"we saw {a1} and {a2}.", f"again {a1}."],
+                         pa.string()),
+        "role": pa.array(["user", "assistant"], pa.string())}))
+    out = {(r["role"], r["entity_id"]): r for r in det(b).to_pylist()}
+    assert out[("user", eid)]["n_mentions"] == 2
+    assert out[("user", eid)]["n_turns"] == 1
+    assert out[("assistant", eid)]["n_mentions"] == 1
