@@ -2265,6 +2265,13 @@ def _q_daily_type_mix(sf_dir: str):
 
 
 
+def _q_rollup_segment_priority(sf_dir: str):
+    """ROLLUP subtotals derived once from the merged leaf grid — the
+    fact table is scanned exactly once for all three grouping levels."""
+    from deepkg_ray.pipelines.relational import rollup_segment_priority
+    return rollup_segment_priority(sf_dir)
+
+
 def _q_segment_priority_counts(sf_dir: str):
     """Cross-table crosstab: orders per (market segment, priority) via a
     broadcast customer dimension (join fallback above 2M)."""
@@ -2769,6 +2776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": _q_weekly_active_users,
         "event_context_pairs": _q_event_context_pairs,
         "segment_priority_counts": _q_segment_priority_counts,
+        "rollup_segment_priority": _q_rollup_segment_priority,
         "brand_price_summary": _q_brand_price_summary,
         "daily_type_mix": _q_daily_type_mix,
         "source_dup_rates": _q_source_dup_rates,
@@ -3030,6 +3038,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_active_users": oracle.weekly_active_users_oracle(),
         "event_context_pairs": oracle.event_context_pairs_oracle(),
         "segment_priority_counts": oracle.segment_priority_counts_oracle(),
+        "rollup_segment_priority": oracle.rollup_segment_priority_oracle(),
         "brand_price_summary": oracle.brand_price_summary_oracle(),
         "daily_type_mix": oracle.daily_type_mix_oracle(),
         "source_dup_rates": oracle.source_dup_rates_oracle(),

@@ -5457,6 +5457,18 @@ GROUP BY c.c_mktsegment, o.o_orderpriority
 """
 
 
+def rollup_segment_priority_oracle() -> str:
+    """Mirror of relational.rollup_segment_priority: GROUP BY ROLLUP with
+    'ALL' standing in for the rolled-up dimension."""
+    return """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS c_mktsegment,
+       COALESCE(o.o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY ROLLUP(c.c_mktsegment, o.o_orderpriority)
+"""
+
+
 def event_context_pairs_oracle(k: int = 3) -> str:
     """Mirror of windows.event_context_pairs: self-join on row_number
     distance 1..k within the per-user (ts, event_id) order."""

@@ -1923,6 +1923,33 @@ def segment_priority_counts(sf_dir: str,
                           {"n": "sum"}, mode="tree")
 
 
+def rollup_segment_priority(sf_dir: str):
+    """GROUP BY ROLLUP (segment, priority): leaf cells + per-segment
+    subtotals + grand total, with 'ALL' standing in for the rolled-up
+    dimension.  The subtotal derivation runs ONCE over the already-merged
+    leaf grid (tens of cells — merge_partials ends in a single block), so
+    the rollup costs nothing beyond the leaf crosstab's one pass; this is
+    the general plan for hierarchy subtotals at any scale (subtotals are
+    always derivable from leaves, never re-scan the fact table).
+    Returns (c_mktsegment, o_orderpriority, n)."""
+    leaf = segment_priority_counts(sf_dir)
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df.groupby("c_mktsegment", as_index=False)["n"].sum()
+        seg["o_orderpriority"] = "ALL"
+        total = pd.DataFrame({"c_mktsegment": ["ALL"],
+                              "o_orderpriority": ["ALL"],
+                              "n": [df["n"].sum()]})
+        cols = ["c_mktsegment", "o_orderpriority", "n"]
+        out = pd.concat([df[cols], seg[cols], total[cols]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return leaf.map_batches(rollup, batch_format="pandas",
+                            batch_size=None)
+
+
 def shipping_delay_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.9)):
     """Order-to-ship latency distribution per order priority: the
     interpolated (type-7) quantiles of whole-day shipping delays — the

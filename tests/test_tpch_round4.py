@@ -113,3 +113,17 @@ def test_mixture_plan_quotas_and_shortfall():
     out2 = mixture_plan(rd.from_pandas(df),
                         weights={"a": 0.5, "b": 0.5}, budget=20).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_rollup_subtotals_consistent(sf_dir):
+    """ROLLUP subtotals must equal sums of their leaf cells."""
+    from deepkg_ray.pipelines.relational import rollup_segment_priority
+    df = rollup_segment_priority(sf_dir).to_pandas()
+    leaf = df[(df.c_mktsegment != "ALL") & (df.o_orderpriority != "ALL")]
+    seg = df[(df.c_mktsegment != "ALL") & (df.o_orderpriority == "ALL")]
+    assert set(seg.c_mktsegment) == set(leaf.c_mktsegment)
+    for s, n in zip(seg.c_mktsegment, seg.n):
+        assert n == leaf[leaf.c_mktsegment == s].n.sum()
+    total = df[df.c_mktsegment == "ALL"]
+    assert len(total) == 1 and total.n.iloc[0] == leaf.n.sum()
+    assert total.o_orderpriority.iloc[0] == "ALL"
