@@ -102,6 +102,13 @@ def _q_entity_lifespan(sf_dir: str):
     return kg.entity_lifespan_dataset(sf_dir)
 
 
+def _q_decayed_adjacency(sf_dir: str):
+    """Freshness-weighted KG edges: per-extraction exp-decay in exact
+    int64 micros, fused extract+decay+collapse, ts-only Max pre-pass."""
+    from deepkg_ray.pipelines import kg
+    return kg.decayed_adjacency_dataset(sf_dir)
+
+
 def _q_role_entity_affinity(sf_dir: str):
     """Who talks about what: (role, entity_id, type, n_mentions, n_turns)
     via the fused detect+collapse plan (role attaches batch-locally)."""
@@ -2872,6 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_spans": _q_entity_spans,
         "kg_entity_lifespan": _q_entity_lifespan,
         "role_entity_affinity": _q_role_entity_affinity,
+        "kg_decayed_adjacency": _q_decayed_adjacency,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
@@ -3138,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
         "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),
+        "kg_decayed_adjacency": oracle.decayed_adjacency_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),

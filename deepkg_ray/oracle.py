@@ -148,6 +148,29 @@ GROUP BY subj_id, pred, obj_id
 """
 
 
+def decayed_adjacency_sql(sf_dir: str,
+                          halflife_us: int = 600_000_000) -> str:
+    """Mirror of relation.decayed_adjacency: per-extraction decay weight
+    floor(exp(-ln2·(tref-ts)/halflife)·1e6 + 0.5) as BIGINT, integer SUM
+    per canonical edge (order-independent, engine-exact); tref = corpus
+    max epoch_us."""
+    return f"""
+WITH {dict_values_cte()},
+t AS (SELECT conv_id, turn_idx, lower(text) AS txt, epoch_us(ts) AS ts_us
+      FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+{_triples_cte(sf_dir)},
+tref AS (SELECT max(ts_us) AS v FROM t)
+SELECT tr.subj_id, tr.pred, tr.obj_id,
+       CAST(sum(CAST(floor(exp(-0.6931471805599453 * (tref.v - tt.ts_us)
+                               / {float(halflife_us)}) * 1000000 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS w_micros,
+       CAST(count(*) AS BIGINT) AS n
+FROM triples tr
+JOIN t tt ON tt.conv_id = tr.conv_id AND tt.turn_idx = tr.turn_idx, tref
+GROUP BY tr.subj_id, tr.pred, tr.obj_id
+"""
+
+
 def entities_sql(sf_dir: str) -> str:
     return f"""
 WITH {dict_values_cte()},

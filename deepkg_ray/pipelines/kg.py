@@ -84,6 +84,33 @@ def role_entity_affinity_dataset(sf_dir: str, *, concurrency=None):
     return role_entity_affinity(ds, dict_path, concurrency=concurrency)
 
 
+def decayed_adjacency_dataset(sf_dir: str, *,
+                              halflife_us: int = 600_000_000,
+                              concurrency=None):
+    """transcripts (+ts) → freshness-weighted KG edges
+    (relation.decayed_adjacency).  tref (corpus max ts) comes from a
+    ts-only distributed Max pre-pass — one pruned-column scan, driver
+    sees a single scalar."""
+    import pyarrow as pa
+
+    from deepkg_ray.stages.relation import decayed_adjacency
+    from deepkg_ray.util import tiny_task_cpus
+
+    tc = tiny_task_cpus()
+    ts_only = read_transcripts(synth.transcripts_path(sf_dir),
+                               columns=["ts"], num_cpus=tc)
+    tref_us = int(ts_only.map_batches(
+        lambda b: pa.table({"ts_us": b["ts"].cast(pa.timestamp("us"))
+                            .cast(pa.int64())}),
+        batch_format="pyarrow").max("ts_us"))
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    return decayed_adjacency(ds, dict_path, tref_us,
+                             halflife_us=halflife_us,
+                             concurrency=concurrency)
+
+
 def surface_triples_dataset(sf_dir: str, *, concurrency=None):
     """transcripts → (conv_id, turn_idx, pred, subj/obj surface+type+start)."""
     dict_path = synth.dictionary_path(sf_dir)

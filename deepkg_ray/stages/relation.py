@@ -270,3 +270,77 @@ def extract_linked_triples_tasks(ds, dictionary_path: str, *,
     return stateful_map(ds, LinkedRelationExtractor,
                         {"dictionary_path": dictionary_path},
                         concurrency=None, batch_size=batch_size)
+
+
+_LN2 = 0.6931471805599453
+
+
+class DecayedEdgeCells(LinkedRelationExtractor):
+    """Fused extraction + linking + freshness collapse: per batch, extract
+    linked triples, attach ts batch-locally ((conv, turn) lives in this
+    batch's rows), weight each extraction exp(-ln2 * (tref - ts)/halflife)
+    rounded to int64 micros, and collapse to (subj_id, pred, obj_id) cells
+    with (w_micros, n).  Integer micros per extraction + integer SUM keeps
+    the result order-independent and SQL-exact (the harmonic-mean
+    convention applied to a decay kernel)."""
+
+    def __init__(self, dictionary_path: str, tref_us: int,
+                 halflife_us: int = 600_000_000, **kw):
+        super().__init__(dictionary_path, **kw)
+        self.tref_us = int(tref_us)
+        self.halflife_us = int(halflife_us)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        tri = LinkedRelationExtractor.__call__(self, batch)
+        if tri.num_rows == 0:
+            return pa.table({
+                "subj_id": pa.array([], pa.int64()),
+                "pred": pa.array([], pa.string()),
+                "obj_id": pa.array([], pa.int64()),
+                "w_micros": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64())})
+        bm = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+                      .to_numpy(zero_copy_only=False)})
+        td = pd.DataFrame({
+            "conv_id": tri["conv_id"].to_pylist(),
+            "turn_idx": tri["turn_idx"].to_numpy(zero_copy_only=False),
+            "subj_id": tri["subj_id"].to_numpy(zero_copy_only=False),
+            "pred": tri["pred"].to_pylist(),
+            "obj_id": tri["obj_id"].to_numpy(zero_copy_only=False)})
+        j = td.merge(bm, on=["conv_id", "turn_idx"], how="left", sort=False)
+        dt = (self.tref_us - j["ts_us"].to_numpy(np.int64)).astype(np.float64)
+        w = np.floor(np.exp(-_LN2 * dt / float(self.halflife_us))
+                     * 1_000_000.0 + 0.5).astype(np.int64)
+        j["w_micros"] = w
+        g = j.groupby(["subj_id", "pred", "obj_id"], sort=False)["w_micros"]
+        out = pd.DataFrame({"w_micros": g.sum(), "n": g.size()}).reset_index()
+        return pa.table({
+            "subj_id": pa.array(out["subj_id"].to_numpy(np.int64)),
+            "pred": pa.array(out["pred"], pa.string()),
+            "obj_id": pa.array(out["obj_id"].to_numpy(np.int64)),
+            "w_micros": pa.array(out["w_micros"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64))})
+
+
+def decayed_adjacency(ds, dictionary_path: str, tref_us: int, *,
+                      halflife_us: int = 600_000_000, concurrency=None):
+    """Freshness-weighted KG edges: (subj_id, pred, obj_id, w_micros, n)
+    where w_micros = Σ round6-micros(exp(-ln2·(tref-ts)/halflife)) over
+    that edge's extractions — the recency signal an incremental KG ranks
+    edges by (old evidence decays, repeated fresh evidence dominates).
+    ds must carry (conv_id, turn_idx, text_norm, ts); tref_us is the
+    corpus max-ts computed by the caller's cheap ts-only pre-pass.
+    Plan: fused extract+decay+collapse (DecayedEdgeCells — triple rows
+    never shuffle), one dictionary-bounded tree merge."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import stateful_map
+    cells = stateful_map(ds, DecayedEdgeCells,
+                         {"dictionary_path": dictionary_path,
+                          "tref_us": tref_us, "halflife_us": halflife_us},
+                         concurrency=concurrency, batch_size=None)
+    return merge_partials(cells, ["subj_id", "pred", "obj_id"],
+                          {"w_micros": "sum", "n": "sum"})

@@ -186,3 +186,19 @@ def test_entity_lifespan_matches_rederivation(sf_dir, synth_dir):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], exp[sorted(exp.columns)],
         check_dtype=False)
+
+
+def test_decayed_adjacency_consistent_with_adjacency(sf_dir):
+    """The decay table's n equals the adjacency weight per edge, and
+    weights obey 0 < w_micros <= n * 1e6 (each extraction contributes at
+    most exp(0)=1)."""
+    import pandas as pd
+    dec = kg.decayed_adjacency_dataset(sf_dir).to_pandas()
+    adj = kg.adjacency_dataset(sf_dir).to_pandas()
+    keys = ["subj_id", "pred", "obj_id"]
+    m = dec.merge(adj[keys + ["weight"]], on=keys, how="outer",
+                  indicator=True)
+    assert (m["_merge"] == "both").all()
+    assert (m["n"] == m["weight"]).all()
+    assert (m["w_micros"] > 0).all()
+    assert (m["w_micros"] <= m["n"] * 1_000_000).all()
