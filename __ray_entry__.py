@@ -589,6 +589,16 @@ def _q_events_hopping(sf_dir: str):
                           window_sec=300, hop_sec=60)
 
 
+def _q_events_watermark(sf_dir: str):
+    """Streaming watermark audit: on-time vs late counts per tumbling
+    window under merged per-user arrival order — global prefix-max via a
+    two-pass bucket carry (driver sees n_parts scalars)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import watermark_late_counts
+    return watermark_late_counts(
+        read_events(sf_dir, ["user_id", "event_id", "ts"]))
+
+
 def _q_events_sessionize(sf_dir: str):
     from deepkg_ray.sources.readers import read_events
     from deepkg_ray.stages.windows import sessionize
@@ -2720,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
+        "events_watermark": _q_events_watermark,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "users_without_orders": _q_users_without_orders,
@@ -2983,6 +2994,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oracle.events_window_oracle(),
         "events_hopping": oracle.hopping_window_oracle(),
         "events_sessionize": oracle.sessionize_oracle(),
+        "events_watermark": oracle.watermark_late_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),
         "users_without_orders": oracle.users_without_orders_oracle(),

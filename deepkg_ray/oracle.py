@@ -823,6 +823,28 @@ GROUP BY event_type, window_start_us
 """
 
 
+def watermark_late_oracle(lateness_us: int = 60_000_000,
+                          window_us: int = 60_000_000) -> str:
+    """Mirror of windows.watermark_late_counts: arrival order is
+    (user_id, event_id); the watermark is the exclusive running MAX event
+    time over that order minus the allowed lateness; NULL prefix (the
+    first arrival) is on time."""
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+w AS (SELECT us,
+             MAX(us) OVER (ORDER BY user_id, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pm
+      FROM e)
+SELECT (us // {window_us}) * {window_us} AS window_start_us,
+       CAST(count(*) FILTER (WHERE pm IS NOT NULL
+                             AND us < pm - {lateness_us}) AS BIGINT) AS n_late,
+       CAST(count(*) FILTER (WHERE pm IS NULL
+                             OR us >= pm - {lateness_us}) AS BIGINT) AS n_ontime
+FROM w GROUP BY window_start_us
+"""
+
+
 def sessionize_oracle(gap_sec: int = 1800) -> str:
     gap_us = gap_sec * 1_000_000
     return f"""

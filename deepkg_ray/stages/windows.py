@@ -1648,3 +1648,77 @@ def weekend_effect(ds, ts_col: str = "ts", value_col: str = "value"):
                                  pa.float64()),
         "t_stat": pa.array([float(round6(np.asarray([t]))[0])],
                            pa.float64())}))
+
+
+def watermark_late_counts(ds, *, lateness_us: int = 60_000_000,
+                          window_us: int = 60_000_000, n_parts: int = 64):
+    """Streaming watermark audit over merged per-key ordered streams.
+    Arrival order is (user_id, event_id) — each user's stream arrives in
+    order and streams are merged user by user — and the watermark at any
+    arrival is the running MAX event time over everything already arrived
+    minus the allowed lateness; an event is LATE iff ts < watermark.
+    Returns (window_start_us, n_ontime, n_late) per tumbling event-time
+    window — the on-time/late accounting a streaming sink needs to decide
+    window finalization (beam/flink watermark semantics, batch-audited).
+
+    Plan (the global-prefix streaming op Ray Data lacks, in two passes
+    that partition identically by user-range buckets):
+    pass 1: per-batch (bucket, max_us) combiner + tiny tree merge — the
+    driver sees n_parts rows and turns them into an EXCLUSIVE prefix-max
+    carry per bucket.  pass 2: bucket-complete groups re-scan with the
+    carry (n_parts-entry dict, shipped in the closure), compute flags
+    with one sort + np.maximum.accumulate, and collapse straight to
+    window cells.  No global sort ever happens; driver state is n_parts
+    scalars."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    NEG = -(2 ** 62)
+    max_uid = int(ds.max("user_id"))
+    span = max_uid // n_parts + 1
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(uid // span, pa.int64()),
+            "user_id": pa.array(uid),
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "us": b["ts"].cast(pa.timestamp("us")).cast(pa.int64())})
+
+    keyed_ds = (ds.select_columns(["user_id", "event_id", "ts"])
+                .map_batches(keyed, batch_format="pyarrow")
+                .materialize())   # both passes read the same keyed blocks
+
+    def bucket_max(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"bucket": b["bucket"].to_numpy(),
+                           "max_us": b["us"].to_numpy()})
+        return df.groupby("bucket", as_index=False)["max_us"].max()
+
+    bm = merge_partials(keyed_ds.map_batches(bucket_max,
+                                             batch_format="pyarrow"),
+                        ["bucket"], {"max_us": "max"}).to_pandas() \
+        .sort_values("bucket")
+    # exclusive prefix max: carry[b] = max ts of every bucket before b
+    pm = np.concatenate(([NEG],
+                         np.maximum.accumulate(
+                             bm["max_us"].to_numpy(np.int64))[:-1]))
+    carry = dict(zip(bm["bucket"].astype(int), pm.tolist()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="stable")
+        us = g["us"].to_numpy(np.int64)
+        run = np.maximum.accumulate(us)
+        prev = np.empty_like(run)
+        prev[0] = carry[int(g["bucket"].iloc[0])]
+        prev[1:] = np.maximum(run[:-1], prev[0])
+        late = (prev > NEG) & (us < prev - lateness_us)
+        cells = pd.DataFrame({
+            "window_start_us": (us // window_us) * window_us,
+            "n_late": late.astype(np.int64),
+            "n_ontime": (~late).astype(np.int64)})
+        return (cells.groupby("window_start_us", as_index=False)
+                [["n_late", "n_ontime"]].sum())
+
+    parts = keyed_ds.groupby("bucket").map_groups(per_bucket,
+                                                  batch_format="pandas")
+    return merge_partials(parts, ["window_start_us"],
+                          {"n_late": "sum", "n_ontime": "sum"})

@@ -909,3 +909,36 @@ def test_phash_integer_exactness_and_near_dups():
     # planted pairs dominate the result set
     planted = {(i - 1, i) for i in range(48) if i % 3 == 2}
     assert len(planted & brute) >= len(planted) - 2
+
+
+def test_watermark_late_counts_matches_rederivation(sf_dir):
+    """Bucket-carry two-pass == single-threaded running max over the
+    merged (user_id, event_id) arrival order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import watermark_late_counts
+
+    got = (watermark_late_counts(
+        read_events(sf_dir, ["user_id", "event_id", "ts"]), n_parts=7)
+        .to_pandas().sort_values("window_start_us").reset_index(drop=True))
+
+    df = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["user_id", "event_id", "ts"]).to_pandas()
+    df["us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df = df.sort_values(["user_id", "event_id"], kind="stable")
+    us = df["us"].to_numpy(np.int64)
+    run = np.maximum.accumulate(us)
+    prev = np.concatenate(([np.int64(-2**62)], run[:-1]))
+    late = (prev > -2**62) & (us < prev - 60_000_000)
+    cells = pd.DataFrame({"window_start_us": (us // 60_000_000) * 60_000_000,
+                          "n_late": late.astype("int64"),
+                          "n_ontime": (~late).astype("int64")})
+    exp = (cells.groupby("window_start_us", as_index=False)
+           [["n_late", "n_ontime"]].sum()
+           .sort_values("window_start_us").reset_index(drop=True))
+    assert exp["n_late"].sum() > 0          # arrival order is out-of-order
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  exp[sorted(exp.columns)],
+                                  check_dtype=False)
