@@ -109,6 +109,18 @@ def _q_decayed_adjacency(sf_dir: str):
     return kg.decayed_adjacency_dataset(sf_dir)
 
 
+def _q_entity_timeseries(sf_dir: str):
+    """Per-entity activity time series (entity_id, bucket, n)."""
+    from deepkg_ray.pipelines import kg
+    return kg.entity_timeseries_dataset(sf_dir)
+
+
+def _q_entity_burst(sf_dir: str):
+    """Burst concentration per entity: peak bucket share of mentions."""
+    from deepkg_ray.pipelines import kg
+    return kg.entity_burst_dataset(sf_dir)
+
+
 def _q_role_entity_affinity(sf_dir: str):
     """Who talks about what: (role, entity_id, type, n_mentions, n_turns)
     via the fused detect+collapse plan (role attaches batch-locally)."""
@@ -2891,6 +2903,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_lifespan": _q_entity_lifespan,
         "role_entity_affinity": _q_role_entity_affinity,
         "kg_decayed_adjacency": _q_decayed_adjacency,
+        "kg_entity_timeseries": _q_entity_timeseries,
+        "kg_entity_burst": _q_entity_burst,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
@@ -3159,6 +3173,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
         "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),
         "kg_decayed_adjacency": oracle.decayed_adjacency_sql(SF_ORACLE),
+        "kg_entity_timeseries": oracle.entity_timeseries_sql(SF_ORACLE),
+        "kg_entity_burst": oracle.entity_burst_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),

@@ -81,6 +81,41 @@ FROM per_bucket GROUP BY entity_id
 """
 
 
+def _entity_bucket_cte(sf_dir: str, bucket_us: int) -> str:
+    """occ → (entity_id, bucket, n) cells shared by the time-series and
+    burst oracles (the lifespan substring-count identity)."""
+    return f"""
+t AS (SELECT conv_id, turn_idx, lower(text) AS txt, epoch_us(ts) AS ts_us
+      FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+cells AS (
+  SELECT d.entity_id, t.ts_us // {int(bucket_us)} AS bucket,
+         CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface)) AS BIGINT) AS n
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+  GROUP BY d.entity_id, bucket
+)"""
+
+
+def entity_timeseries_sql(sf_dir: str, bucket_us: int = 60_000_000) -> str:
+    return f"""
+WITH {dict_values_cte()},
+{_entity_bucket_cte(sf_dir, bucket_us)}
+SELECT entity_id, bucket, n FROM cells
+"""
+
+
+def entity_burst_sql(sf_dir: str, bucket_us: int = 60_000_000) -> str:
+    """peak_share = round6(max bucket count / total) per entity."""
+    return f"""
+WITH {dict_values_cte()},
+{_entity_bucket_cte(sf_dir, bucket_us)}
+SELECT entity_id, CAST(max(n) AS BIGINT) AS peak_n,
+       CAST(sum(n) AS BIGINT) AS total_n,
+       floor(max(n) / CAST(sum(n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS peak_share
+FROM cells GROUP BY entity_id
+"""
+
+
 def role_entity_affinity_sql(sf_dir: str) -> str:
     """(role, entity_id, type) mention totals + distinct mentioning turns.
     Occurrence counting is the mention_counts_sql substring identity;

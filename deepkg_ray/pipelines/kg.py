@@ -84,6 +84,28 @@ def role_entity_affinity_dataset(sf_dir: str, *, concurrency=None):
     return role_entity_affinity(ds, dict_path, concurrency=concurrency)
 
 
+def entity_timeseries_dataset(sf_dir: str, *, bucket_us: int = 60_000_000,
+                              concurrency=None):
+    """transcripts (+ts) → (entity_id, bucket, n) activity series."""
+    from deepkg_ray.stages.mention import entity_mention_timeseries
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    return entity_mention_timeseries(ds, dict_path, bucket_us=bucket_us,
+                                     concurrency=concurrency)
+
+
+def entity_burst_dataset(sf_dir: str, *, bucket_us: int = 60_000_000,
+                         concurrency=None):
+    """transcripts (+ts) → per-entity burst concentration."""
+    from deepkg_ray.stages.mention import entity_burst_shares
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
+    return entity_burst_shares(ds, dict_path, bucket_us=bucket_us,
+                               concurrency=concurrency)
+
+
 def decayed_adjacency_dataset(sf_dir: str, *,
                               halflife_us: int = 600_000_000,
                               concurrency=None):

@@ -417,3 +417,52 @@ def role_entity_affinity(ds, dictionary_path: str, *, concurrency=None):
                          concurrency=concurrency, batch_size=None)
     return merge_partials(cells, ["role", "entity_id", "type"],
                           {"n_mentions": "sum", "n_turns": "sum"})
+
+
+def entity_mention_timeseries(ds, dictionary_path: str, *,
+                              bucket_us: int = _DAY_US, concurrency=None):
+    """Per-entity activity time series: (entity_id, bucket, n) mention
+    counts per time bucket — the trend table burst detection and KG
+    freshness dashboards read.  Same fused detect+collapse plan as
+    entity_lifespan (EntityLifespanCells), stopping at the
+    (entity, bucket) merge."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import stateful_map
+    cells = stateful_map(ds, EntityLifespanCells,
+                         {"dictionary_path": dictionary_path,
+                          "bucket_us": bucket_us},
+                         concurrency=concurrency, batch_size=None)
+    return merge_partials(cells, ["entity_id", "bucket"], {"n": "sum"})
+
+
+def entity_burst_shares(ds, dictionary_path: str, *,
+                        bucket_us: int = _DAY_US, concurrency=None):
+    """Burst concentration per entity: (entity_id, peak_n, total_n,
+    peak_share) where peak_share = round6(max bucket count / total) — a
+    bursty entity (event-driven) scores near 1, a steady one near
+    1/n_buckets.  Derived from the (entity, bucket) cells with one more
+    dictionary-bounded merge; peak_share is round6 in double (the driver
+    float convention)."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cells = entity_mention_timeseries(ds, dictionary_path,
+                                      bucket_us=bucket_us,
+                                      concurrency=concurrency)
+
+    def to_partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": b["entity_id"].combine_chunks().cast(pa.int64()),
+            "peak_n": b["n"].combine_chunks().cast(pa.int64()),
+            "total_n": b["n"].combine_chunks().cast(pa.int64())})
+
+    per_ent = merge_partials(
+        cells.map_batches(to_partial, batch_format="pyarrow"),
+        ["entity_id"], {"peak_n": "max", "total_n": "sum"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        peak = b["peak_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = b["total_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("peak_share", pa.array(round6(peak / tot)))
+
+    return per_ent.map_batches(finish, batch_format="pyarrow")

@@ -202,3 +202,14 @@ def test_decayed_adjacency_consistent_with_adjacency(sf_dir):
     assert (m["n"] == m["weight"]).all()
     assert (m["w_micros"] > 0).all()
     assert (m["w_micros"] <= m["n"] * 1_000_000).all()
+
+
+def test_entity_burst_shares_bounds(sf_dir):
+    """peak_share in (0, 1]; peak <= total; totals equal the lifespan
+    mention totals."""
+    b = kg.entity_burst_dataset(sf_dir).to_pandas()
+    ls = kg.entity_lifespan_dataset(sf_dir).to_pandas()
+    assert (b["peak_share"] > 0).all() and (b["peak_share"] <= 1).all()
+    assert (b["peak_n"] <= b["total_n"]).all()
+    m = b.merge(ls[["entity_id", "n_mentions"]], on="entity_id")
+    assert len(m) == len(b) and (m["total_n"] == m["n_mentions"]).all()
