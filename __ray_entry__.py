@@ -1912,6 +1912,14 @@ def _q_token_burstiness(sf_dir: str):
     return token_burstiness(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """Pairwise source vocabulary Jaccard via token membership bitmasks
+    (distinct (source, token) → masks → one Gram matmul per batch)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_vocab_overlap
+    return source_vocab_overlap(read_documents(sf_dir, ["text", "source"]))
+
+
 def _q_source_kl(sf_dir: str):
     """KL divergence between two sources' add-one-smoothed unigram
     distributions — domain-shift monitor, ln-micros integer sum."""
@@ -2851,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_fit": _q_token_zipf_fit,
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "events_mad": _q_events_mad,
         "events_ks": _q_events_ks,
         "events_auc": _q_events_auc,
@@ -3118,6 +3127,7 @@ def oracle_sql() -> dict[str, str]:
         "token_zipf_fit": oracle.token_zipf_fit_oracle(),
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
+        "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),
         "events_ks": oracle.ks_two_sample_oracle(),
         "events_auc": oracle.roc_auc_oracle(),

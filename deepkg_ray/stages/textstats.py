@@ -1124,3 +1124,84 @@ def rake_keywords(ds, text_col: str = "text", k: int = 50,
 
     return merged.map_batches(finish, batch_format="pandas",
                               batch_size=None)
+
+
+def source_vocab_overlap(ds, text_col: str = "text",
+                         src_col: str = "source"):
+    """Pairwise vocabulary Jaccard between corpus sources: for every
+    source pair (s1 < s2), |V₁∩V₂| / |V₁∪V₂| over distinct lowercase
+    whitespace tokens — the corpus-comparison matrix that complements
+    source_kl_divergence (KL compares frequencies of two named slices;
+    this compares vocab SETS across all pairs at once).
+
+    Plan: (1) distinct (source, token) via per-batch sets + cardinality-
+    auto merge; (2) sources enumerate to bits (source dictionary is tiny
+    — one driver-visible list), per-token membership masks fold with an
+    integer SUM (each bit occurs once per token after the distinct, so
+    sum ≡ or); (3) each batch of masks contributes one Mᵀ·M matrix —
+    intersections off-diagonal, vocab sizes on it — merged as n_src²
+    cells.  No token ever shuffles after step 1; the pair space never
+    exceeds n_src².  Returns (s1, s2, n_a, n_b, n_inter, jaccard)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def tok_sets(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        seen = set()
+        for t, s in zip(texts, srcs):
+            tl = t.lower().strip()
+            if tl:
+                for w in _WS.split(tl):
+                    seen.add((s, w))
+        return pa.table({
+            "source": pa.array([p[0] for p in seen], pa.string()),
+            "w": pa.array([p[1] for p in seen], pa.string()),
+            "one": pa.array(np.ones(len(seen), np.int64))})
+
+    pairs = merge_partials(
+        ds.select_columns([src_col, text_col])
+          .map_batches(tok_sets, batch_format="pyarrow"),
+        ["source", "w"], {"one": "first"}, mode="auto").materialize()
+
+    srcs = sorted(pairs.groupby("source")
+                  .count().to_pandas()["source"].tolist())
+    bit = {s: i for i, s in enumerate(srcs)}
+    n_src = len(srcs)
+    assert n_src <= 62, "source dictionary exceeds the bitmask tier"
+
+    def masks(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"w": b["w"].to_pylist(),
+                           "m": [1 << bit[s]
+                                 for s in b["source"].to_pylist()]})
+        g = df.groupby("w", sort=False, as_index=False)["m"].sum()
+        return pa.table({"w": pa.array(g["w"], pa.string()),
+                         "mask": pa.array(g["m"].to_numpy(np.int64))})
+
+    mask_ds = merge_partials(pairs.map_batches(masks, batch_format="pyarrow"),
+                             ["w"], {"mask": "sum"}, mode="auto")
+
+    def gram(b: pa.Table) -> pa.Table:
+        m = b["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = ((m[:, None] >> np.arange(n_src)[None, :]) & 1).astype(np.int64)
+        G = M.T @ M                    # diag = sizes, off-diag = inters
+        i, j = np.triu_indices(n_src)
+        return pa.table({"i": pa.array(i.astype(np.int64)),
+                         "j": pa.array(j.astype(np.int64)),
+                         "cnt": pa.array(G[i, j])})
+
+    cells = merge_partials(mask_ds.map_batches(gram, batch_format="pyarrow"),
+                           ["i", "j"], {"cnt": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = np.zeros((n_src, n_src), np.int64)
+        g[df["i"], df["j"]] = df["cnt"]
+        i, j = np.triu_indices(n_src, k=1)
+        na, nb, inter = g[i, i], g[j, j], g[i, j]
+        return pd.DataFrame({
+            "s1": [srcs[x] for x in i], "s2": [srcs[x] for x in j],
+            "n_a": na, "n_b": nb, "n_inter": inter,
+            "jaccard": round6(inter / (na + nb - inter).astype(np.float64))})
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

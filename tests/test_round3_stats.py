@@ -951,3 +951,34 @@ def test_weekend_effect_matches_duckdb():
     con = _events_con()
     exp = _canon(con.sql(weekend_effect_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_source_vocab_overlap_bitmask_matches_sets(sf_dir):
+    """The bitmask/Gram plan equals a direct driver set computation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import _WS, source_vocab_overlap
+
+    got = (source_vocab_overlap(read_documents(sf_dir, ["text", "source"]))
+           .to_pandas().sort_values(["s1", "s2"]).reset_index(drop=True))
+
+    df = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["text", "source"]).to_pandas()
+    vocab: dict[str, set] = {}
+    for t, s in zip(df["text"], df["source"]):
+        tl = t.lower().strip()
+        if tl:
+            vocab.setdefault(s, set()).update(_WS.split(tl))
+    rows = []
+    for s1 in sorted(vocab):
+        for s2 in sorted(vocab):
+            if s1 < s2:
+                a, b = vocab[s1], vocab[s2]
+                i = len(a & b)
+                rows.append((s1, s2, len(a), len(b), i,
+                             np.floor(i / len(a | b) * 1e6 + 0.5) / 1e6))
+    exp = pd.DataFrame(rows, columns=["s1", "s2", "n_a", "n_b", "n_inter",
+                                      "jaccard"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
