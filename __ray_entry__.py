@@ -1912,6 +1912,14 @@ def _q_token_burstiness(sf_dir: str):
     return token_burstiness(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading ease + type-token ratio per document (stateless
+    per-record map, round6 double chain on both sides)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import readability_scores
+    return readability_scores(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise source vocabulary Jaccard via token membership bitmasks
     (distinct (source, token) → masks → one Gram matmul per batch)."""
@@ -2860,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "readability_scores": _q_readability,
         "events_mad": _q_events_mad,
         "events_ks": _q_events_ks,
         "events_auc": _q_events_auc,
@@ -3128,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
+        "readability_scores": oracle.readability_scores_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),
         "events_ks": oracle.ks_two_sample_oracle(),
         "events_auc": oracle.roc_auc_oracle(),

@@ -4539,6 +4539,36 @@ FROM topk t, nd
 """
 
 
+def readability_scores_oracle() -> str:
+    """Mirror of textstats.readability_scores: identical left-associated
+    double chain 206.835 - 1.015*(W/S) - 84.6*(Syl/W), round6."""
+    return """
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS tl
+  FROM documents WHERE trim(text) <> ''
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(tl, '\\s+')) AS BIGINT) AS n_words,
+         CAST(GREATEST(1, length(tl) - length(replace(tl, '.', '')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(tl, '[aeiou]+')) AS BIGINT)
+           AS n_syllables,
+         CAST(len(list_distinct(string_split_regex(tl, '\\s+')))
+              AS BIGINT) AS n_distinct
+  FROM d
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, n_distinct,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+              - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words))
+             * 1000000 + 0.5) / 1000000 AS flesch,
+       floor(CAST(n_distinct AS DOUBLE) / n_words * 1000000 + 0.5)
+         / 1000000 AS ttr
+FROM m
+"""
+
+
 def source_vocab_overlap_oracle() -> str:
     """Mirror of textstats.source_vocab_overlap: distinct lowercase
     whitespace tokens per source, pairwise Jaccard (round6 double)."""

@@ -1205,3 +1205,48 @@ def source_vocab_overlap(ds, text_col: str = "text",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+_VOWELS = re.compile(r"[aeiou]+")
+
+
+def readability_scores(ds, text_col: str = "text",
+                       id_col: str = "doc_id"):
+    """Per-document readability + lexical diversity: Flesch reading ease
+    (206.835 − 1.015·W/S − 84.6·Syl/W, syllables ≈ vowel groups — the
+    standard dictionary-free approximation) and type-token ratio — the
+    quality-scoring signals a curation gate thresholds on alongside
+    doc_stats.  Stateless per-record map, zero shuffle; all ratios round6
+    in double so the SQL oracle lands on identical values.  Empty-vocab
+    docs are dropped (W = 0 has no defined score).  Returns
+    (doc_id, n_words, n_sentences, n_syllables, n_distinct, flesch, ttr)."""
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        out_id, nw, ns, sy, nd = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            tl = t.lower().strip()
+            if not tl:
+                continue
+            words = _WS.split(tl)
+            out_id.append(int(i))
+            nw.append(len(words))
+            ns.append(max(1, tl.count(".")))
+            sy.append(len(_VOWELS.findall(tl)))
+            nd.append(len(set(words)))
+        w = np.asarray(nw, np.float64)
+        s = np.asarray(ns, np.float64)
+        syl = np.asarray(sy, np.float64)
+        d = np.asarray(nd, np.float64)
+        flesch = round6(206.835 - 1.015 * (w / s) - 84.6 * (syl / w))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_words": pa.array(np.asarray(nw, np.int64)),
+            "n_sentences": pa.array(np.asarray(ns, np.int64)),
+            "n_syllables": pa.array(np.asarray(sy, np.int64)),
+            "n_distinct": pa.array(np.asarray(nd, np.int64)),
+            "flesch": pa.array(flesch),
+            "ttr": pa.array(round6(d / w))})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

@@ -982,3 +982,24 @@ def test_source_vocab_overlap_bitmask_matches_sets(sf_dir):
     exp = pd.DataFrame(rows, columns=["s1", "s2", "n_a", "n_b", "n_inter",
                                       "jaccard"])
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_readability_scores_golden(ray_session):
+    """Hand-computed Flesch on a two-doc table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import readability_scores
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat sat. the cat ran.", "aaa eee", "  "],
+                         pa.string())})
+    out = (readability_scores(rd.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [1, 2]          # blank doc dropped
+    r = out.iloc[0]
+    # 6 words, 2 sentences, 6 vowel groups, 4 distinct words
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"],
+            r["n_distinct"]) == (6, 2, 6, 4)
+    exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r["flesch"] - exp) < 1e-6
+    assert abs(r["ttr"] - round(4 / 6, 6)) < 1e-6
