@@ -1798,6 +1798,15 @@ def _q_events_props_extract(sf_dir: str):
     return props_extract_stats(read_events(sf_dir, ["event_type", "props"]))
 
 
+def _q_kg_stress(sf_dir: str):
+    """Stress centrality (integer betweenness cousin) over the built KG:
+    per-source BFS+σ fan-out on a broadcast CSR, n²-bounded assembly,
+    distributed per-node masked-outer-product accumulation."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import stress_centrality
+    return stress_centrality(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_closeness(sf_dir: str):
     """Landmark closeness centrality for the 4 smallest entity ids over the
     built KG — one labeled Bellman-Ford fixpoint runs all seeds together."""
@@ -2887,6 +2896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
+        "kg_stress": _q_kg_stress,
         "kg_diameter": _q_kg_diameter,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "events_chi_square": _q_events_chi_square,
@@ -3162,6 +3172,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": oracle.closeness_centrality_oracle(SF_ORACLE,
                                                            k_seeds=4,
                                                            rounds=8),
+        "kg_stress": oracle.stress_centrality_oracle(SF_ORACLE, rounds=8),
         "events_cume_dist": oracle.cume_dist_events_oracle(),
         "mode_event_type": oracle.mode_per_user_oracle(),
         "part_unpivot": oracle.part_unpivot_oracle(),

@@ -4055,6 +4055,63 @@ GROUP BY seed
 """)
 
 
+def stress_centrality_oracle(sf_dir: str, rounds: int = 8) -> str:
+    """Unrolled all-sources BFS with shortest-path counts for
+    stages/graph.stress_centrality: the kg_closeness min-fold chain gives
+    final distances; σ then fills level by level (σ(s,v) = Σ σ(s,u) over
+    edges u→v with dist(s,v) = dist(s,u)+1 — levels partition, so the
+    per-level UNION ALL is exact); stress(v) sums σ_sv·σ_tv over pairs
+    s<t with d(s,v)+d(v,t) = d(s,t).  All integer, no float accumulation.
+    Edges are DISTINCT (σ counts paths in the simple graph)."""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id)),
+gnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0),
+d0(seed, node, dist) AS (SELECT node, node, 0 FROM gnodes)"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{i}
+    UNION ALL
+    SELECT d.seed, e.v AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY seed, node)""")
+    parts.append(f"""
+dd AS MATERIALIZED (SELECT seed, node, dist FROM d{rounds}),
+s0 AS (SELECT node AS seed, node, CAST(1 AS BIGINT) AS sig FROM gnodes)""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""
+s{k} AS MATERIALIZED (
+  SELECT p.seed, e.v AS node, CAST(sum(p.sig) AS BIGINT) AS sig
+  FROM s{k - 1} p JOIN e0 e ON e.u = p.node
+  JOIN dd ON dd.seed = p.seed AND dd.node = e.v AND dd.dist = {k}
+  GROUP BY p.seed, e.v)""")
+    sig_union = " UNION ALL ".join(f"SELECT * FROM s{k}"
+                                   for k in range(rounds + 1))
+    parts.append(f"""
+sig AS MATERIALIZED ({sig_union}),
+ap AS MATERIALIZED (
+  SELECT dd.seed, dd.node, dd.dist, sig.sig
+  FROM dd JOIN sig ON sig.seed = dd.seed AND sig.node = dd.node),
+spairs AS (
+  SELECT a.node AS node, CAST(sum(a.sig * b.sig) AS BIGINT) AS stress
+  FROM ap a JOIN ap b ON b.node = a.node AND b.seed > a.seed
+  JOIN ap c ON c.seed = a.seed AND c.node = b.seed
+           AND c.dist = a.dist + b.dist
+  WHERE a.seed <> a.node AND b.seed <> b.node
+  GROUP BY a.node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + """
+SELECT g.node, CAST(COALESCE(p.stress, 0) AS BIGINT) AS stress
+FROM gnodes g LEFT JOIN spairs p ON p.node = g.node
+""")
+
+
 def llr_collocations_oracle() -> str:
     """Dunning G² mirror of stages/phrasemine.llr_collocations: margins and
     N re-derived from the bigram count table, the four k·ln(kN/(row·col))

@@ -2533,3 +2533,122 @@ def modularity(edges, rounds: int = 4, src_col: str = "subj_id",
         "degree_total": deg2,
         "q_contrib": q})
     return rd.from_pandas(out)
+
+
+def stress_centrality(edges, src_col: str = "subj_id",
+                      dst_col: str = "obj_id", max_nodes: int = 2048):
+    """Stress centrality (Shimbel): for every node v, the number of
+    shortest s–t paths that pass THROUGH v, over unordered pairs s<t of
+    the bidirected simple KG graph — the exactly-integer cousin of
+    betweenness (betweenness divides each term by σ_st; stress keeps the
+    raw count, so engine ≡ SQL bit for bit with no float dependency
+    accumulation).
+
+    Plan: (1) per-source BFS with shortest-path counts σ — the source set
+    fans out as a dataset over a broadcast CSR (ray.put once), each task
+    O(m) vectorized per source; (2) the (dist, σ) matrices assemble on the
+    driver — n²-bounded state, asserted by max_nodes (this operator's
+    state IS all-pairs; above the bound, restrict the seed set: landmark
+    stress, the closeness_centrality convention) — and broadcast back;
+    (3) the O(n²)-per-node pair accumulation fans out node by node:
+    stress(v) = Σ_{s<t≠v} [d(s,v)+d(v,t)=d(s,t)]·σ_sv·σ_tv as one masked
+    outer product per node.  Returns (node, stress)."""
+    import ray
+    import ray.data as rd
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = (edges.map_batches(bidirect, batch_format="pyarrow")
+              .groupby(["u", "v"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).to_pandas())
+    if len(simple) == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "stress": pa.array([], pa.int64())}))
+    us = simple["u"].to_numpy(np.int64)
+    vs = simple["v"].to_numpy(np.int64)
+    nodes = np.unique(us)
+    n = len(nodes)
+    assert n <= max_nodes, (
+        f"stress_centrality exact tier holds n^2 state: {n} > {max_nodes}; "
+        "restrict the seed set (landmark stress) above the bound")
+    order = np.lexsort((vs, us))
+    ui = np.searchsorted(nodes, us[order])
+    nbrs = np.searchsorted(nodes, vs[order]).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, ui + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    csr_ref = ray.put((indptr, nbrs, n))
+
+    def bfs_sigma(b: pa.Table) -> pa.Table:
+        indptr, nbrs, n = ray.get(csr_ref)
+        out_s, out_v, out_d, out_g = [], [], [], []
+        for s in b["sidx"].to_numpy(zero_copy_only=False):
+            dist = np.full(n, -1, np.int32)
+            sig = np.zeros(n, np.int64)
+            dist[s] = 0
+            sig[s] = 1
+            frontier = np.asarray([s], np.int64)
+            lvl = 0
+            while len(frontier):
+                cnt = indptr[frontier + 1] - indptr[frontier]
+                idx = np.repeat(indptr[frontier], cnt) \
+                    + (np.arange(int(cnt.sum()))
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                nb = nbrs[idx]
+                src_sig = np.repeat(sig[frontier], cnt)
+                new = dist[nb] == -1
+                dist[nb[new]] = lvl + 1
+                on_level = dist[nb] == lvl + 1
+                np.add.at(sig, nb[on_level], src_sig[on_level])
+                frontier = np.unique(nb[new])
+                lvl += 1
+            reach = np.flatnonzero(dist >= 0)
+            out_s.append(np.full(len(reach), s, np.int64))
+            out_v.append(reach.astype(np.int64))
+            out_d.append(dist[reach].astype(np.int64))
+            out_g.append(sig[reach])
+        return pa.table({
+            "sidx": pa.array(np.concatenate(out_s)),
+            "vidx": pa.array(np.concatenate(out_v)),
+            "dist": pa.array(np.concatenate(out_d)),
+            "sig": pa.array(np.concatenate(out_g))})
+
+    src_ds = rd.from_arrow(pa.table({
+        "sidx": pa.array(np.arange(n, dtype=np.int64))}))
+    ap = (src_ds.map_batches(bfs_sigma, batch_format="pyarrow")
+          .to_pandas())                      # n^2-bounded (max_nodes assert)
+
+    D = np.full((n, n), -1, np.int32)
+    S = np.zeros((n, n), np.int64)
+    si = ap["sidx"].to_numpy(np.int64)
+    vi = ap["vidx"].to_numpy(np.int64)
+    D[si, vi] = ap["dist"].to_numpy(np.int64)
+    S[si, vi] = ap["sig"].to_numpy(np.int64)
+    mat_ref = ray.put((D, S))
+
+    def per_node(b: pa.Table) -> pa.Table:
+        D, S = ray.get(mat_ref)
+        out = np.empty(b.num_rows, np.int64)
+        for i, v in enumerate(b["vidx"].to_numpy(zero_copy_only=False)):
+            dv = D[:, v].astype(np.int64)
+            sv = S[:, v]
+            ok = (dv >= 0)[:, None] & (dv >= 0)[None, :] & (D >= 0)
+            cond = (dv[:, None] + dv[None, :] == D) & ok
+            cond[v, :] = False
+            cond[:, v] = False
+            np.fill_diagonal(cond, False)
+            out[i] = int((sv[:, None] * sv[None, :])[cond].sum()) // 2
+        return pa.table({"node": pa.array(nodes[
+            b["vidx"].to_numpy(zero_copy_only=False)], pa.int64()),
+            "stress": pa.array(out)})
+
+    return src_ds.map_batches(
+        lambda t: t.rename_columns(["vidx"]),
+        batch_format="pyarrow").map_batches(per_node,
+                                            batch_format="pyarrow")

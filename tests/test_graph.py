@@ -600,3 +600,20 @@ def test_modularity_golden(ray_session):
     o2 = modularity(rd.from_pandas(chain), rounds=8).to_pandas()
     assert sorted(o2["intra_edges"]) == [0, 0]
     assert np.allclose(sorted(o2["q_contrib"]), [-0.25, -0.25])
+
+
+def test_stress_centrality_goldens(ray_session):
+    """Closed forms: path interior nodes, star center C(k,2), diamond
+    (two parallel shortest paths each counted)."""
+    import pyarrow as pa
+
+    def run(su, ob):
+        ds = rd.from_arrow(pa.table({
+            "subj_id": pa.array(su, pa.int64()),
+            "obj_id": pa.array(ob, pa.int64())}))
+        out = graph.stress_centrality(ds).to_pandas()
+        return dict(zip(out["node"], out["stress"]))
+
+    assert run([0, 1, 2], [1, 2, 3]) == {0: 0, 1: 2, 2: 2, 3: 0}
+    assert run([0, 0, 0, 0], [1, 2, 3, 4]) == {0: 6, 1: 0, 2: 0, 3: 0, 4: 0}
+    assert run([0, 0, 1, 2], [1, 2, 3, 3]) == {0: 1, 1: 1, 2: 1, 3: 1}
