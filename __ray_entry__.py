@@ -1798,6 +1798,15 @@ def _q_events_props_extract(sf_dir: str):
     return props_extract_stats(read_events(sf_dir, ["event_type", "props"]))
 
 
+def _q_kg_node_profiles(sf_dir: str):
+    """Per-node BFS profile (reach, eccentricity, harmonic centrality in
+    integer micros) — source fan-out over a broadcast CSR, one row per
+    task-local source, zero all-pairs state."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import node_bfs_profiles
+    return node_bfs_profiles(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_stress(sf_dir: str):
     """Stress centrality (integer betweenness cousin) over the built KG:
     per-source BFS+σ fan-out on a broadcast CSR, n²-bounded assembly,
@@ -2897,6 +2906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
         "kg_stress": _q_kg_stress,
+        "kg_node_profiles": _q_kg_node_profiles,
         "kg_diameter": _q_kg_diameter,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "events_chi_square": _q_events_chi_square,
@@ -3173,6 +3183,8 @@ def oracle_sql() -> dict[str, str]:
                                                            k_seeds=4,
                                                            rounds=8),
         "kg_stress": oracle.stress_centrality_oracle(SF_ORACLE, rounds=8),
+        "kg_node_profiles": oracle.node_bfs_profiles_oracle(SF_ORACLE,
+                                                            rounds=8),
         "events_cume_dist": oracle.cume_dist_events_oracle(),
         "mode_event_type": oracle.mode_per_user_oracle(),
         "part_unpivot": oracle.part_unpivot_oracle(),

@@ -4112,6 +4112,39 @@ FROM gnodes g LEFT JOIN spairs p ON p.node = g.node
 """)
 
 
+def node_bfs_profiles_oracle(sf_dir: str, rounds: int = 8) -> str:
+    """Mirror of stages/graph.node_bfs_profiles: all-sources min-fold BFS
+    (the kg_closeness chain over DISTINCT edges), then per-seed reach /
+    max dist / Σ 1000000 // dist — integer division on both sides."""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+    UNION ALL
+    SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id)),
+gnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e0),
+d0(seed, node, dist) AS (SELECT node, node, 0 FROM gnodes)"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{i}
+    UNION ALL
+    SELECT d.seed, e.v AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY seed, node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT seed AS node, CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(COALESCE(sum(1000000 // dist) FILTER (WHERE dist > 0), 0)
+            AS BIGINT) AS harmonic_micros
+FROM d{rounds}
+GROUP BY seed
+""")
+
+
 def llr_collocations_oracle() -> str:
     """Dunning G² mirror of stages/phrasemine.llr_collocations: margins and
     N re-derived from the bigram count table, the four k·ln(kN/(row·col))

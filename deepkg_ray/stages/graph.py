@@ -2652,3 +2652,86 @@ def stress_centrality(edges, src_col: str = "subj_id",
         lambda t: t.rename_columns(["vidx"]),
         batch_format="pyarrow").map_batches(per_node,
                                             batch_format="pyarrow")
+
+
+def node_bfs_profiles(edges, src_col: str = "subj_id",
+                      dst_col: str = "obj_id",
+                      max_edges: int = 4_000_000):
+    """Per-node BFS profile over the bidirected simple KG graph:
+    (node, n_reach, ecc, harmonic_micros) — reach size, eccentricity
+    (max distance), and harmonic centrality Σ_{u≠v} 1/d(v,u) in the
+    integer-micros convention (1000000 // d: distances are small ints, so
+    the per-term floor IS integer division and engine ≡ SQL exactly).
+
+    Unlike stress_centrality this needs NO all-pairs state: the source
+    set fans out as a dataset over a broadcast CSR and each source
+    collapses to ONE row inside its task.  The CSR broadcast bounds the
+    tier (max_edges; restrict the seed set above — landmark profiles,
+    the closeness convention)."""
+    import ray
+    import ray.data as rd
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = (edges.map_batches(bidirect, batch_format="pyarrow")
+              .groupby(["u", "v"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).to_pandas())
+    if len(simple) == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "n_reach": pa.array([], pa.int64()),
+            "ecc": pa.array([], pa.int64()),
+            "harmonic_micros": pa.array([], pa.int64())}))
+    assert len(simple) <= max_edges, (
+        f"node_bfs_profiles CSR broadcast tier: {len(simple)} > {max_edges}")
+    us = simple["u"].to_numpy(np.int64)
+    vs = simple["v"].to_numpy(np.int64)
+    nodes = np.unique(us)
+    n = len(nodes)
+    order = np.lexsort((vs, us))
+    ui = np.searchsorted(nodes, us[order])
+    nbrs = np.searchsorted(nodes, vs[order]).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, ui + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    csr_ref = ray.put((indptr, nbrs, nodes))
+
+    def profile(b: pa.Table) -> pa.Table:
+        indptr, nbrs, nodes = ray.get(csr_ref)
+        n = len(nodes)
+        out_n, out_r, out_e, out_h = [], [], [], []
+        for s in b["sidx"].to_numpy(zero_copy_only=False):
+            dist = np.full(n, -1, np.int32)
+            dist[s] = 0
+            frontier = np.asarray([s], np.int64)
+            lvl = 0
+            while len(frontier):
+                cnt = indptr[frontier + 1] - indptr[frontier]
+                idx = np.repeat(indptr[frontier], cnt) \
+                    + (np.arange(int(cnt.sum()))
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt))
+                nb = nbrs[idx]
+                new = dist[nb] == -1
+                dist[nb[new]] = lvl + 1
+                frontier = np.unique(nb[new])
+                lvl += 1
+            d = dist[dist > 0].astype(np.int64)
+            out_n.append(int(nodes[s]))
+            out_r.append(len(d) + 1)
+            out_e.append(int(d.max()) if len(d) else 0)
+            out_h.append(int((1_000_000 // d).sum()))
+        return pa.table({
+            "node": pa.array(out_n, pa.int64()),
+            "n_reach": pa.array(out_r, pa.int64()),
+            "ecc": pa.array(out_e, pa.int64()),
+            "harmonic_micros": pa.array(out_h, pa.int64())})
+
+    src_ds = rd.from_arrow(pa.table({
+        "sidx": pa.array(np.arange(n, dtype=np.int64))}))
+    return src_ds.map_batches(profile, batch_format="pyarrow")

@@ -617,3 +617,18 @@ def test_stress_centrality_goldens(ray_session):
     assert run([0, 1, 2], [1, 2, 3]) == {0: 0, 1: 2, 2: 2, 3: 0}
     assert run([0, 0, 0, 0], [1, 2, 3, 4]) == {0: 6, 1: 0, 2: 0, 3: 0, 4: 0}
     assert run([0, 0, 1, 2], [1, 2, 3, 3]) == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_node_bfs_profiles_goldens(ray_session):
+    """Path 0-1-2-3: ecc, reach, harmonic closed forms."""
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "subj_id": pa.array([0, 1, 2], pa.int64()),
+        "obj_id": pa.array([1, 2, 3], pa.int64())}))
+    out = graph.node_bfs_profiles(ds).to_pandas().set_index("node")
+    assert out.loc[0, "ecc"] == 3 and out.loc[1, "ecc"] == 2
+    assert (out["n_reach"] == 4).all()
+    # node 1: d = 1,1,2 -> 1e6 + 1e6 + 500000
+    assert out.loc[1, "harmonic_micros"] == 2_500_000
+    # node 0: d = 1,2,3 -> 1e6 + 500000 + 333333
+    assert out.loc[0, "harmonic_micros"] == 1_833_333
