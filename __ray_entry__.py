@@ -2633,6 +2633,15 @@ def _q_embedding_centroids(sf_dir: str):
                                                ["label", "embedding"]))
 
 
+def _q_centroid_similarity(sf_dir: str):
+    """Pairwise cosine between class-prototype centroids (exact integer
+    dots over micros centroids, one round6 double per pair)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import centroid_similarity
+    return centroid_similarity(read_embeddings(sf_dir,
+                                               ["label", "embedding"]))
+
+
 def _q_embedding_gram(sf_dir: str):
     """One-pass Gram-matrix reduction over the embedding column (the
     covariance/PCA building block), micros-exact."""
@@ -2946,6 +2955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
+        "centroid_similarity": _q_centroid_similarity,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -3221,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),
+        "centroid_similarity": oracle.centroid_similarity_oracle(dim=64),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),

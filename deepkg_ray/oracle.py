@@ -2983,6 +2983,40 @@ FROM m GROUP BY label, i
 """
 
 
+def centroid_similarity_oracle(dim: int = 64) -> str:
+    """Mirror of similarity.centroid_similarity: integer micros centroids
+    (floor(sum/n + 0.5)), exact integer dot/norm sums, one final
+    round6(dot / (√n1·√n2)) double op."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+m AS (
+  SELECT e.label, idx.i,
+         CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS em
+  FROM embeddings e, idx
+),
+c AS (
+  SELECT label, i,
+         CAST(floor(CAST(sum(em) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+           AS cm
+  FROM m GROUP BY label, i
+),
+dots AS (
+  SELECT a.label AS l1, b.label AS l2,
+         CAST(sum(a.cm * b.cm) AS BIGINT) AS dot_m2
+  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+  GROUP BY a.label, b.label
+),
+nn AS (SELECT label, CAST(sum(cm * cm) AS BIGINT) AS n2
+       FROM c GROUP BY label)
+SELECT CAST(d.l1 AS BIGINT) AS l1, CAST(d.l2 AS BIGINT) AS l2, d.dot_m2,
+       floor(CAST(d.dot_m2 AS DOUBLE)
+             / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS cosine
+FROM dots d JOIN nn a ON a.label = d.l1 JOIN nn b ON b.label = d.l2
+"""
+
+
 def kg_schema_oracle(sf_dir: str) -> str:
     """Predicate type-signature counts — mirrors
     stages/canonical.schema_table over the adjacency derivation."""

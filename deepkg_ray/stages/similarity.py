@@ -588,3 +588,44 @@ def knn_graph(ds, k: int = 5, *, id_col: str = "vec_id",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         per_batch, batch_format="pyarrow")
+
+
+def centroid_similarity(ds, label_col: str = "label",
+                        emb_col: str = "embedding"):
+    """Pairwise cosine between per-label centroids — the class-prototype
+    confusion structure (which clusters/classes sit close in embedding
+    space; the inter-cluster gap SemDeDup-style thresholds consult).
+
+    Built on embedding_centroids' (label, i, n, s_micros) cells: centroid
+    components quantize to int64 micros (floor(s/n + 0.5)), so dots and
+    norms² are EXACT integer sums (|c|≤1e6 micros, d·1e12 ≪ 2^63) and the
+    only float op is the final round6(dot / (√n1·√n2)) — no accumulation
+    order dependence on either side.  The pair step runs once over the
+    label²·d-bounded merged cells.  Returns (l1, l2, dot_m2, cosine)."""
+    import pandas as pd
+
+    cells = embedding_centroids(ds, label_col, emb_col)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        from deepkg_ray.functions.numeric import round6
+        cm = np.floor(df["s_micros"].to_numpy(np.float64)
+                      / df["n"].to_numpy(np.float64) + 0.5).astype(np.int64)
+        labels = np.unique(df["label"].to_numpy())
+        d = int(df["i"].max())
+        C = np.zeros((len(labels), d), np.int64)
+        li = np.searchsorted(labels, df["label"].to_numpy())
+        C[li, df["i"].to_numpy(np.int64) - 1] = cm
+        G = C @ C.T
+        i, j = np.triu_indices(len(labels), k=1)
+        dot = G[i, j]
+        cos = round6(dot.astype(np.float64)
+                     / (np.sqrt(G[i, i].astype(np.float64))
+                        * np.sqrt(G[j, j].astype(np.float64))))
+        return pd.DataFrame({
+            "l1": labels[i].astype(np.int64),
+            "l2": labels[j].astype(np.int64),
+            "dot_m2": dot,
+            "cosine": cos})
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

@@ -629,3 +629,32 @@ def test_nation_revenue_matches_duckdb():
             .sort_values("n_name").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
     assert len(got) > 0
+
+
+def test_centroid_similarity_self_consistency():
+    """cosine bounds and symmetry of the pair grid; identical-label
+    centroid pairs score exactly what a numpy rederivation gives."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import centroid_similarity
+    sf = "/root/testdata/sf0.001"
+    out = centroid_similarity(read_embeddings(sf, ["label", "embedding"])) \
+        .to_pandas()
+    assert (out["cosine"] <= 1.0).all() and (out["cosine"] >= -1.0).all()
+    assert (out["l1"] < out["l2"]).all()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"]).to_pandas()
+    em = np.floor(np.stack(t["embedding"].to_numpy()).astype(np.float64)
+                  * 1e6 + 0.5).astype(np.int64)
+    labels = sorted(t["label"].unique())
+    C = np.stack([
+        np.floor(em[t["label"].to_numpy() == l].sum(0).astype(np.float64)
+                 / (t["label"] == l).sum() + 0.5).astype(np.int64)
+        for l in labels])
+    k = len(labels)
+    assert len(out) == k * (k - 1) // 2
+    r0 = out.iloc[0]
+    a = C[labels.index(r0["l1"])]
+    b = C[labels.index(r0["l2"])]
+    assert int(r0["dot_m2"]) == int(a @ b)
