@@ -956,6 +956,15 @@ def _q_embedding_kmeans(sf_dir: str):
                   k=8, iters=4)
 
 
+def _q_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette of the k-means clustering —
+    clustering-quality eval, one O(n·k) streaming pass after the fit."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import silhouette_by_cluster
+    return silhouette_by_cluster(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]), k=8, iters=4)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup keep-set: k-means clusters, then within-cluster lower-id
     cosine dominance at tau=0.4.  Oracle: oracle.semantic_dedup_oracle."""
@@ -2776,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
+        "kmeans_silhouette": _q_silhouette,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
@@ -3050,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": oracle.pq_adc_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
+        "kmeans_silhouette": oracle.silhouette_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),

@@ -439,6 +439,38 @@ WHERE NOT EXISTS (
 """
 
 
+def silhouette_oracle(k: int = 8, iters: int = 4) -> str:
+    """Mirror of stages/kmeans.silhouette_by_cluster: integer quadratic
+    distances to every final centroid, a = own / b = min other, one sqrt
+    + divide per point, micros-quantized and integer-summed per cluster."""
+    return f"""{_kmeans_cte(k, iters)},
+dists AS (
+  SELECT a.vec_id, a.cl, c.cidx,
+         list_dot_product(a.em, a.em)
+         - 2 * list_dot_product(a.em, c.cem)
+         + list_dot_product(c.cem, c.cem) AS d2
+  FROM a{iters} a CROSS JOIN cent{iters} c
+),
+ab AS (
+  SELECT vec_id, cl,
+         sqrt(CAST(min(CASE WHEN cidx = cl THEN d2 END) AS DOUBLE)) AS da,
+         sqrt(CAST(min(CASE WHEN cidx <> cl THEN d2 END) AS DOUBLE)) AS db
+  FROM dists GROUP BY vec_id, cl
+),
+sm AS (
+  SELECT cl,
+         CAST(floor(CASE WHEN greatest(da, db) > 0
+                         THEN (db - da) / greatest(da, db)
+                         ELSE 0.0 END * 1000000 + 0.5) AS BIGINT) AS s
+  FROM ab
+)
+SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s) AS BIGINT) AS s_micros,
+       CAST(sum(s) AS DOUBLE) / count(*) / 1e6 AS mean_sil
+FROM sm GROUP BY cl
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracles over the driver's pre-registered testdata views (documents, events,
 # lineitem, orders, customer, embeddings).  Float convention: see

@@ -323,3 +323,59 @@ def pq_adc_topk(ds, queries: np.ndarray, query_ids, codebooks: np.ndarray,
     return (ds.select_columns([id_col, vec_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("query_id").map_groups(finish, batch_format="pandas"))
+
+
+def silhouette_by_cluster(ds, k: int = 8, iters: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """Per-cluster simplified silhouette of the kmeans_fit clustering:
+    for each point, a = distance to its own centroid, b = distance to the
+    nearest OTHER centroid, s = (b−a)/max(a,b) — the centroid-based
+    silhouette (Hruschka et al.), the standard O(n·k) clustering-quality
+    score (the O(n²) pairwise variant is not a streaming op).
+
+    Exactness: quadratic distances are integer-valued float64 (micros
+    space, same argument as kmeans_fit), sqrt/divide are single
+    deterministic double ops per point, s quantizes to int64 micros and
+    integer-sums per cluster.  One streaming pass after the fit; the
+    merge is k-bounded.  Returns (cluster, n, s_micros, mean_sil)."""
+    assert k >= 2
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cm = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        d2 = ((vm * vm).sum(1)[:, None] - 2.0 * (vm @ c.T)
+              + (c * c).sum(1)[None, :])
+        a_idx = _assign(vm, c)
+        rows = np.arange(len(vm))
+        da = np.sqrt(d2[rows, a_idx])
+        d2o = d2.copy()
+        d2o[rows, a_idx] = np.inf
+        db = np.sqrt(d2o.min(1))
+        mx = np.maximum(da, db)
+        s = np.where(mx > 0, (db - da) / np.where(mx > 0, mx, 1.0), 0.0)
+        sm = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"cluster": a_idx, "sm": sm}) \
+            .groupby("cluster", as_index=False) \
+            .agg(n=("sm", "size"), s_micros=("sm", "sum"))
+        return pa.table({
+            "cluster": pa.array(out["cluster"].to_numpy(np.int64)),
+            "n": pa.array(out["n"].to_numpy(np.int64)),
+            "s_micros": pa.array(out["s_micros"].to_numpy(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cluster"], {"n": "sum", "s_micros": "sum"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sm = b["s_micros"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return b.append_column("mean_sil", pa.array(sm / n / 1e6))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

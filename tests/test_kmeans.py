@@ -157,3 +157,23 @@ def test_pq_adc_topk_matches_exhaustive_code_distance(ray_session):
         np.testing.assert_array_equal(got["vec_id"].to_numpy(), exp)
         np.testing.assert_array_equal(got["dist"].to_numpy(),
                                       dist[qi, exp].astype(np.int64))
+
+
+def test_silhouette_separated_blobs(ray_session):
+    """Two well-separated blobs with k=2 score near-1 silhouette."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.kmeans import silhouette_by_cluster
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 0.01, (40, 8)) + 1.0
+    b = rng.normal(0.0, 0.01, (40, 8)) - 1.0
+    vecs = np.vstack([a, b]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(80, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32()))})
+    out = silhouette_by_cluster(rd.from_arrow(t), k=2, iters=4) \
+        .to_pandas()
+    assert len(out) == 2 and out["n"].sum() == 80
+    assert (out["mean_sil"] > 0.9).all()
