@@ -956,6 +956,16 @@ def _q_embedding_kmeans(sf_dir: str):
                   k=8, iters=4)
 
 
+def _q_cluster_purity(sf_dir: str):
+    """Cluster-vs-gold-label confusion + purity (external clustering
+    eval; integer cells, one round6 per cluster)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import cluster_purity
+    return cluster_purity(
+        read_embeddings(sf_dir, ["vec_id", "embedding", "label"]),
+        k=8, iters=4)
+
+
 def _q_silhouette(sf_dir: str):
     """Per-cluster simplified silhouette of the k-means clustering —
     clustering-quality eval, one O(n·k) streaming pass after the fit."""
@@ -2786,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "kmeans_silhouette": _q_silhouette,
+        "cluster_purity": _q_cluster_purity,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
@@ -3061,6 +3072,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),
         "kmeans_silhouette": oracle.silhouette_oracle(k=8, iters=4),
+        "cluster_purity": oracle.cluster_purity_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),

@@ -439,6 +439,29 @@ WHERE NOT EXISTS (
 """
 
 
+def cluster_purity_oracle(k: int = 8, iters: int = 4) -> str:
+    """Mirror of stages/kmeans.cluster_purity: confusion cells from the
+    unrolled Lloyd assignment joined to the gold label, purity =
+    round6(max cell / cluster size)."""
+    return f"""{_kmeans_cte(k, iters)},
+cells AS (
+  SELECT a.cl, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cl, e.label
+),
+tots AS (
+  SELECT cl, CAST(sum(n) AS BIGINT) AS cluster_n,
+         CAST(max(n) AS BIGINT) AS mx
+  FROM cells GROUP BY cl
+)
+SELECT CAST(c.cl AS BIGINT) AS cluster, c.label, c.n, t.cluster_n,
+       floor(CAST(t.mx AS DOUBLE) / t.cluster_n * 1000000 + 0.5)
+         / 1000000 AS purity
+FROM cells c JOIN tots t ON t.cl = c.cl
+"""
+
+
 def silhouette_oracle(k: int = 8, iters: int = 4) -> str:
     """Mirror of stages/kmeans.silhouette_by_cluster: integer quadratic
     distances to every final centroid, a = own / b = min other, one sqrt

@@ -379,3 +379,52 @@ def silhouette_by_cluster(ds, k: int = 8, iters: int = 4,
         return b.append_column("mean_sil", pa.array(sm / n / 1e6))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def cluster_purity(ds, k: int = 8, iters: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label"):
+    """Cluster-vs-gold-label quality: the (cluster × label) confusion
+    counts plus per-cluster purity = majority-label share — the external
+    clustering-evaluation table (purity/NMI family; purity is the
+    integer-exact member, so engine ≡ SQL with one round6 division).
+
+    One assignment pass after the fit emits (cluster, label) cell
+    partials; the merge is k × label-dictionary bounded.  Returns
+    (cluster, label, n, cluster_n, purity) — purity repeated per cell so
+    the table stays one relation (majority ties break toward the count
+    itself: purity = max n / cluster_n)."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cm = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        out = pd.DataFrame({
+            "cluster": _assign(vm, c).astype(np.int64),
+            "label": b[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}) \
+            .groupby(["cluster", "label"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = merge_partials(
+        ds.select_columns([id_col, vec_col, label_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cluster", "label"], {"n": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("cluster")["n"].transform("sum")
+        mx = df.groupby("cluster")["n"].transform("max")
+        df = df.copy()
+        df["cluster_n"] = tot.astype("int64")
+        df["purity"] = round6(mx.to_numpy(np.float64)
+                              / tot.to_numpy(np.float64))
+        return df
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

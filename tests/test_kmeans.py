@@ -177,3 +177,23 @@ def test_silhouette_separated_blobs(ray_session):
         .to_pandas()
     assert len(out) == 2 and out["n"].sum() == 80
     assert (out["mean_sil"] > 0.9).all()
+
+
+def test_cluster_purity_perfect_blobs(ray_session):
+    """Blobs aligned to labels give purity 1.0 everywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.kmeans import cluster_purity
+    rng = np.random.RandomState(3)
+    vecs = np.vstack([rng.normal(0, 0.01, (30, 8)) + 1.0,
+                      rng.normal(0, 0.01, (30, 8)) - 1.0]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 30 + [1] * 30, pa.int32())})
+    out = cluster_purity(rd.from_arrow(t), k=2, iters=4).to_pandas()
+    assert len(out) == 2                          # one label per cluster
+    assert (out["purity"] == 1.0).all()
+    assert out["cluster_n"].sum() == 60
