@@ -109,6 +109,14 @@ def _q_decayed_adjacency(sf_dir: str):
     return kg.decayed_adjacency_dataset(sf_dir)
 
 
+def _q_conv_profile(sf_dir: str):
+    """Per-conversation knowledge-density profile (turns, mentions,
+    distinct entities, triples) — padded partial streams summed by one
+    cardinality-auto merge, no generic join."""
+    from deepkg_ray.pipelines import kg
+    return kg.conv_profile_dataset(sf_dir)
+
+
 def _q_entity_timeseries(sf_dir: str):
     """Per-entity activity time series (entity_id, bucket, n)."""
     from deepkg_ray.pipelines import kg
@@ -2972,6 +2980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_entity_affinity": _q_role_entity_affinity,
         "kg_decayed_adjacency": _q_decayed_adjacency,
         "kg_entity_timeseries": _q_entity_timeseries,
+        "conv_profile": _q_conv_profile,
         "kg_entity_burst": _q_entity_burst,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
@@ -3250,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),
         "kg_decayed_adjacency": oracle.decayed_adjacency_sql(SF_ORACLE),
         "kg_entity_timeseries": oracle.entity_timeseries_sql(SF_ORACLE),
+        "conv_profile": oracle.conv_profile_sql(SF_ORACLE),
         "kg_entity_burst": oracle.entity_burst_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),

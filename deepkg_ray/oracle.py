@@ -206,6 +206,38 @@ GROUP BY tr.subj_id, tr.pred, tr.obj_id
 """
 
 
+def conv_profile_sql(sf_dir: str) -> str:
+    """Mirror of pipelines/kg.conv_profile_dataset: per-conversation turn,
+    mention-occurrence, distinct-entity and triple counts (zeros kept via
+    the turn stream / LEFT JOINs)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+turns AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+          FROM t GROUP BY conv_id),
+men AS (
+  SELECT t.conv_id, d.entity_id,
+         CAST((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface) AS BIGINT) AS n_occ
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+),
+mstats AS (
+  SELECT conv_id, CAST(sum(n_occ) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT entity_id) AS BIGINT) AS n_entities
+  FROM men GROUP BY conv_id
+),
+tri AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples
+        FROM triples GROUP BY conv_id)
+SELECT tu.conv_id, tu.n_turns,
+       CAST(COALESCE(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST(COALESCE(m.n_entities, 0) AS BIGINT) AS n_entities,
+       CAST(COALESCE(tr.n_triples, 0) AS BIGINT) AS n_triples
+FROM turns tu
+LEFT JOIN mstats m ON m.conv_id = tu.conv_id
+LEFT JOIN tri tr ON tr.conv_id = tu.conv_id
+"""
+
+
 def entities_sql(sf_dir: str) -> str:
     return f"""
 WITH {dict_values_cte()},

@@ -17,6 +17,7 @@ The whole thing is lazy: nothing materializes until the caller consumes
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from deepkg_ray import synth
@@ -104,6 +105,79 @@ def entity_burst_dataset(sf_dir: str, *, bucket_us: int = 60_000_000,
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"])
     return entity_burst_shares(ds, dict_path, bucket_us=bucket_us,
                                concurrency=concurrency)
+
+
+def conv_profile_dataset(sf_dir: str, *, concurrency=None):
+    """Per-conversation KG profile: (conv_id, n_turns, n_mentions,
+    n_entities, n_triples) — the curation table that ranks conversations
+    by knowledge density (how much a conversation contributes to the KG).
+
+    Plan: three partial streams over the same fused stages (turn counts
+    from the pruned conv_id read; mention totals AND distinct entities
+    from ONE detect pass via (conv, entity) cells; triple counts from the
+    fused extract+link) are padded to a common schema and summed per
+    conversation with one cardinality-auto merge — no generic join, and
+    conversations with zero mentions/triples keep their zero columns
+    because the turn stream carries every conv_id."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import tiny_task_cpus
+
+    cols = ["n_turns", "n_mentions", "n_entities", "n_triples"]
+
+    def pad(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cols:
+            if c not in df.columns:
+                df[c] = np.zeros(len(df), np.int64)
+        return df[["conv_id"] + cols]
+
+    tc = tiny_task_cpus()
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id"], num_cpus=tc)
+
+    def turn_partial(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({"conv_id": b["conv_id"].to_pylist()})
+             .groupby("conv_id", as_index=False).size()
+             .rename(columns={"size": "n_turns"}))
+        g["n_turns"] = g["n_turns"].astype("int64")
+        return pad(g)
+
+    men_cells = merge_partials(
+        mentions_dataset(sf_dir, concurrency=concurrency).map_batches(
+            lambda b: (pd.DataFrame({
+                "conv_id": b["conv_id"].to_pylist(),
+                "entity_id": b["entity_id"].to_numpy(
+                    zero_copy_only=False)})
+                .groupby(["conv_id", "entity_id"], as_index=False)
+                .size().rename(columns={"size": "n"})
+                .astype({"n": "int64"})),
+            batch_format="pyarrow"),
+        ["conv_id", "entity_id"], {"n": "sum"}, mode="auto")
+
+    def men_partial(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({"conv_id": b["conv_id"].to_pylist(),
+                           "n": b["n"].to_numpy(zero_copy_only=False)})
+             .groupby("conv_id", as_index=False)
+             .agg(n_mentions=("n", "sum"), n_entities=("n", "size"))
+             .astype({"n_mentions": "int64", "n_entities": "int64"}))
+        return pad(g)
+
+    def tri_partial(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({"conv_id": b["conv_id"].to_pylist()})
+             .groupby("conv_id", as_index=False).size()
+             .rename(columns={"size": "n_triples"}))
+        g["n_triples"] = g["n_triples"].astype("int64")
+        return pad(g)
+
+    parts = (turns.map_batches(turn_partial, batch_format="pyarrow")
+             .union(men_cells.map_batches(men_partial,
+                                          batch_format="pyarrow"))
+             .union(linked_triples_dataset(
+                 sf_dir, concurrency=concurrency).map_batches(
+                 tri_partial, batch_format="pyarrow")))
+    return merge_partials(parts, ["conv_id"],
+                          {c: "sum" for c in cols}, mode="auto")
 
 
 def decayed_adjacency_dataset(sf_dir: str, *,

@@ -213,3 +213,19 @@ def test_entity_burst_shares_bounds(sf_dir):
     assert (b["peak_n"] <= b["total_n"]).all()
     m = b.merge(ls[["entity_id", "n_mentions"]], on="entity_id")
     assert len(m) == len(b) and (m["total_n"] == m["n_mentions"]).all()
+
+
+def test_conv_profile_totals(sf_dir, synth_dir):
+    """Column totals tie to the gold mention/triple tables; every conv
+    from the transcripts appears."""
+    prof = kg.conv_profile_dataset(sf_dir).to_pandas()
+    men = pq.read_table(os.path.join(synth_dir, "mentions_gold.parquet"))
+    tri = pq.read_table(os.path.join(synth_dir, "triples_gold.parquet"))
+    assert prof["n_mentions"].sum() == men.num_rows
+    assert prof["n_triples"].sum() == tri.num_rows
+    assert (prof["n_entities"] <= prof["n_mentions"]).all()
+    from deepkg_ray import synth
+    n_convs = pq.read_table(synth.transcripts_path(sf_dir),
+                            columns=["conv_id"])
+    import pyarrow.compute as pc
+    assert len(prof) == len(pc.unique(n_convs["conv_id"]))
