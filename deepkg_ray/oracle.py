@@ -494,6 +494,53 @@ FROM cells c JOIN tots t ON t.cl = c.cl
 """
 
 
+def cluster_nmi_oracle(k: int = 8, iters: int = 4) -> str:
+    """Mirror of stages/kmeans.cluster_nmi: ln-micros MI/entropy sums
+    over the confusion cells, one final mi/√(hc·hl) double op."""
+    return f"""{_kmeans_cte(k, iters)},
+cells AS (
+  SELECT a.cl, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cl, e.label
+),
+tots AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+arow AS (SELECT cl, CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY cl),
+brow AS (SELECT label, CAST(sum(n) AS BIGINT) AS b
+         FROM cells GROUP BY label),
+mi AS (
+  SELECT CAST(sum(CAST(floor(
+      (c.n / CAST(t.nn AS DOUBLE))
+      * ln(CAST(c.n AS DOUBLE) * t.nn
+           / (CAST(a.a AS DOUBLE) * b.b)) * 1e6 + 0.5) AS BIGINT))
+    AS BIGINT) AS mi_m
+  FROM cells c JOIN arow a ON a.cl = c.cl
+  JOIN brow b ON b.label = c.label, tots t
+),
+hc AS (
+  SELECT CAST(sum(CAST(floor(
+      -(a / CAST(t.nn AS DOUBLE)) * ln(a / CAST(t.nn AS DOUBLE))
+      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS hc_m
+  FROM arow, tots t
+),
+hl AS (
+  SELECT CAST(sum(CAST(floor(
+      -(b / CAST(t.nn AS DOUBLE)) * ln(b / CAST(t.nn AS DOUBLE))
+      * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS hl_m
+  FROM brow, tots t
+)
+SELECT t.nn AS n, mi.mi_m AS mi_micros, hc.hc_m AS hc_micros,
+       hl.hl_m AS hl_micros,
+       CASE WHEN hc.hc_m > 0 AND hl.hl_m > 0
+            THEN floor(CAST(mi.mi_m AS DOUBLE)
+                       / (sqrt(CAST(hc.hc_m AS DOUBLE))
+                          * sqrt(CAST(hl.hl_m AS DOUBLE)))
+                       * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS nmi
+FROM tots t, mi, hc, hl
+"""
+
+
 def silhouette_oracle(k: int = 8, iters: int = 4) -> str:
     """Mirror of stages/kmeans.silhouette_by_cluster: integer quadratic
     distances to every final centroid, a = own / b = min other, one sqrt

@@ -428,3 +428,62 @@ def cluster_purity(ds, k: int = 8, iters: int = 4,
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def cluster_nmi(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding", label_col: str = "label"):
+    """Normalized mutual information between the k-means clustering and
+    the gold labels — the scale-free external eval (purity rewards many
+    tiny clusters; NMI doesn't).  From the same (cluster, label) cells as
+    cluster_purity: MI = Σ (n_ij/N)·ln(n_ij·N/(a_i·b_j)) and the two
+    entropies accumulate as per-cell floor(term·1e6+0.5) int64 sums (the
+    source_kl ln-micros convention — order-free, SQL-identical); the
+    single NMI = mi/√(hc·hl) division is one double op.  Returns one row
+    (n, mi_micros, hc_micros, hl_micros, nmi)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cm = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        out = pd.DataFrame({
+            "cluster": _assign(vm, c).astype(np.int64),
+            "label": b[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}) \
+            .groupby(["cluster", "label"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = merge_partials(
+        ds.select_columns([id_col, vec_col, label_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cluster", "label"], {"n": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        a = df.groupby("cluster")["n"].transform("sum").to_numpy(np.int64)
+        b = df.groupby("label")["n"].transform("sum").to_numpy(np.int64)
+        term = (n / N) * np.log(n.astype(np.float64) * N
+                                / (a.astype(np.float64) * b))
+        mi_m = int(np.floor(term * 1e6 + 0.5).astype(np.int64).sum())
+        ca = df.groupby("cluster", as_index=False)["n"].sum()["n"] \
+            .to_numpy(np.int64)
+        cb = df.groupby("label", as_index=False)["n"].sum()["n"] \
+            .to_numpy(np.int64)
+        hc_m = int(np.floor(-(ca / N) * np.log(ca / N) * 1e6 + 0.5)
+                   .astype(np.int64).sum())
+        hl_m = int(np.floor(-(cb / N) * np.log(cb / N) * 1e6 + 0.5)
+                   .astype(np.int64).sum())
+        denom = np.sqrt(float(hc_m)) * np.sqrt(float(hl_m))
+        nmi = float(mi_m) / denom if denom > 0 else 0.0
+        return pd.DataFrame({
+            "n": [N], "mi_micros": [mi_m], "hc_micros": [hc_m],
+            "hl_micros": [hl_m],
+            "nmi": [np.floor(nmi * 1e6 + 0.5) / 1e6]})
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

@@ -197,3 +197,22 @@ def test_cluster_purity_perfect_blobs(ray_session):
     assert len(out) == 2                          # one label per cluster
     assert (out["purity"] == 1.0).all()
     assert out["cluster_n"].sum() == 60
+
+
+def test_cluster_nmi_perfect_and_bounds(ray_session):
+    """Perfectly label-aligned blobs give NMI == 1; value bounded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.kmeans import cluster_nmi
+    rng = np.random.RandomState(11)
+    vecs = np.vstack([rng.normal(0, 0.01, (25, 8)) + 1.0,
+                      rng.normal(0, 0.01, (25, 8)) - 1.0]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 25 + [1] * 25, pa.int32())})
+    out = cluster_nmi(rd.from_arrow(t), k=2, iters=4).to_pandas()
+    assert len(out) == 1 and out["n"].iloc[0] == 50
+    assert abs(out["nmi"].iloc[0] - 1.0) < 1e-5
