@@ -109,6 +109,14 @@ def _q_decayed_adjacency(sf_dir: str):
     return kg.decayed_adjacency_dataset(sf_dir)
 
 
+def _q_entity_transitions(sf_dir: str):
+    """Discourse-flow entity transition edges across consecutive turns
+    (conversation-complete partitions, dictionary²-bounded merge)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.mention import entity_transitions
+    return entity_transitions(kg.mentions_dataset(sf_dir))
+
+
 def _q_conv_profile(sf_dir: str):
     """Per-conversation knowledge-density profile (turns, mentions,
     distinct entities, triples) — padded partial streams summed by one
@@ -2992,6 +3000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_decayed_adjacency": _q_decayed_adjacency,
         "kg_entity_timeseries": _q_entity_timeseries,
         "conv_profile": _q_conv_profile,
+        "kg_entity_transitions": _q_entity_transitions,
         "kg_entity_burst": _q_entity_burst,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
@@ -3272,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_decayed_adjacency": oracle.decayed_adjacency_sql(SF_ORACLE),
         "kg_entity_timeseries": oracle.entity_timeseries_sql(SF_ORACLE),
         "conv_profile": oracle.conv_profile_sql(SF_ORACLE),
+        "kg_entity_transitions": oracle.entity_transitions_sql(SF_ORACLE),
         "kg_entity_burst": oracle.entity_burst_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),

@@ -116,6 +116,25 @@ FROM cells GROUP BY entity_id
 """
 
 
+def entity_transitions_sql(sf_dir: str) -> str:
+    """Mirror of mention.entity_transitions: per-turn DISTINCT entity
+    sets (substring containment — n_occ > 0 ⇔ strpos > 0), self-joined
+    on turn_idx + 1 within the conversation."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+tm AS (
+  SELECT DISTINCT t.conv_id, t.turn_idx, d.entity_id
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+)
+SELECT a.entity_id AS e1, b.entity_id AS e2,
+       CAST(count(*) AS BIGINT) AS n
+FROM tm a JOIN tm b
+  ON b.conv_id = a.conv_id AND b.turn_idx = a.turn_idx + 1
+GROUP BY a.entity_id, b.entity_id
+"""
+
+
 def role_entity_affinity_sql(sf_dir: str) -> str:
     """(role, entity_id, type) mention totals + distinct mentioning turns.
     Occurrence counting is the mention_counts_sql substring identity;

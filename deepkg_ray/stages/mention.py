@@ -466,3 +466,46 @@ def entity_burst_shares(ds, dictionary_path: str, *,
         return b.append_column("peak_share", pa.array(round6(peak / tot)))
 
     return per_ent.map_batches(finish, batch_format="pyarrow")
+
+
+def entity_transitions(mentions, n_parts: int = 64, mode: str = "auto"):
+    """Entity transition edges across consecutive turns: (e1, e2, n) =
+    number of (turn t, turn t+1) adjacencies within one conversation
+    where e1 is mentioned in t and e2 in t+1 (entities deduped per turn)
+    — the discourse-flow graph (what gets talked about after what) that
+    complements same-turn cooccurrence_counts.
+
+    Plan: conversation-complete coarse hash partitions (the turn_latency
+    shape — per-turn mention sets must meet their successor turn, which
+    can live in another read block); per partition one vectorized
+    dedup + self-merge on turn_idx+1; the (e1, e2) count merge is
+    dictionary²-bounded (cardinality-auto for open vocabularies)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "entity_id": b["entity_id"],
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["conv_id", "turn_idx", "entity_id"]].drop_duplicates()
+        nxt = d.assign(turn_idx=d["turn_idx"] - 1)
+        m = d.merge(nxt, on=["conv_id", "turn_idx"],
+                    suffixes=("_1", "_2"))
+        out = (m.groupby(["entity_id_1", "entity_id_2"], as_index=False)
+               .size().rename(columns={"entity_id_1": "e1",
+                                       "entity_id_2": "e2", "size": "n"}))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parted = (mentions.select_columns(["conv_id", "turn_idx", "entity_id"])
+              .map_batches(add_part, batch_format="pyarrow"))
+    pairs = parted.groupby("part").map_groups(per_partition,
+                                              batch_format="pandas")
+    return merge_partials(pairs, ["e1", "e2"], {"n": "sum"}, mode=mode)

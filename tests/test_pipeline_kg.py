@@ -229,3 +229,22 @@ def test_conv_profile_totals(sf_dir, synth_dir):
                             columns=["conv_id"])
     import pyarrow.compute as pc
     assert len(prof) == len(pc.unique(n_convs["conv_id"]))
+
+
+def test_entity_transitions_rederivation(sf_dir, synth_dir):
+    """Partitioned self-merge equals a driver rederivation from the gold
+    mentions."""
+    import pandas as pd
+    from deepkg_ray.stages.mention import entity_transitions
+    got = (entity_transitions(kg.mentions_dataset(sf_dir))
+           .to_pandas().sort_values(["e1", "e2"]).reset_index(drop=True))
+    men = pq.read_table(os.path.join(synth_dir, "mentions_gold.parquet"),
+                        columns=["conv_id", "turn_idx", "entity_id"]) \
+        .to_pandas().drop_duplicates()
+    nxt = men.assign(turn_idx=men["turn_idx"] - 1)
+    m = men.merge(nxt, on=["conv_id", "turn_idx"], suffixes=("_1", "_2"))
+    exp = (m.groupby(["entity_id_1", "entity_id_2"], as_index=False)
+           .size().rename(columns={"entity_id_1": "e1",
+                                   "entity_id_2": "e2", "size": "n"})
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
