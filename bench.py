@@ -157,6 +157,24 @@ def _q_customer_order_distribution(sf_dir: str):
     return customer_order_distribution(sf_dir).count()
 
 
+def _q_conv_profile(sf_dir: str):
+    from deepkg_ray.pipelines.kg import conv_profile_dataset
+    return conv_profile_dataset(sf_dir).count()
+
+
+def _q_events_watermark(sf_dir: str):
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import watermark_late_counts
+    return watermark_late_counts(
+        read_events(sf_dir, ["user_id", "event_id", "ts"])).count()
+
+
+def _q_kg_stress(sf_dir: str):
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import stress_centrality
+    return stress_centrality(kg.adjacency_dataset(sf_dir)).count()
+
+
 def _q_events_mad(sf_dir: str):
     from deepkg_ray.sources.readers import read_events
     from deepkg_ray.stages.quantiles import grouped_mad
@@ -234,7 +252,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("state_history", _q_state_history),
             ("customer_order_distribution", _q_customer_order_distribution),
             ("events_mad", _q_events_mad),
-            ("token_burstiness", _q_token_burstiness)]
+            ("token_burstiness", _q_token_burstiness),
+            ("conv_profile", _q_conv_profile),
+            ("events_watermark", _q_events_watermark),
+            ("kg_stress", _q_kg_stress)]
     if os.environ.get("DEEPKG_BENCH_ONLY") == "kg_build":
         side = []
     for name, fn in side:
