@@ -1852,6 +1852,14 @@ def _q_kg_node_profiles(sf_dir: str):
     return node_bfs_profiles(kg.adjacency_dataset(sf_dir))
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    """Evidence-weighted PageRank: mass splits across out-edges by
+    extraction-count weight, exact int64 chain."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import weighted_pagerank_scaled
+    return weighted_pagerank_scaled(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_stress(sf_dir: str):
     """Stress centrality (integer betweenness cousin) over the built KG:
     per-source BFS+σ fan-out on a broadcast CSR, n²-bounded assembly,
@@ -2964,6 +2972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _q_kg_closeness,
         "kg_stress": _q_kg_stress,
         "kg_node_profiles": _q_kg_node_profiles,
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_diameter": _q_kg_diameter,
         "events_iqr_outliers": _q_events_iqr_outliers,
         "events_chi_square": _q_events_chi_square,
@@ -3246,6 +3255,7 @@ def oracle_sql() -> dict[str, str]:
                                                            k_seeds=4,
                                                            rounds=8),
         "kg_stress": oracle.stress_centrality_oracle(SF_ORACLE, rounds=8),
+        "kg_pagerank_weighted": oracle.weighted_pagerank_oracle(SF_ORACLE),
         "kg_node_profiles": oracle.node_bfs_profiles_oracle(SF_ORACLE,
                                                             rounds=8),
         "events_cume_dist": oracle.cume_dist_events_oracle(),

@@ -1765,6 +1765,45 @@ SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
 """
 
 
+def weighted_pagerank_oracle(sf_dir: str, n_iters: int = 5,
+                             damping_pct: int = 85) -> str:
+    """Mirror of stages/graph.weighted_pagerank_scaled: the kg_pagerank
+    BIGINT chain with weight-proportional contributions — per-edge
+    (pm·w) // W_out, edge weight = extraction count per (subj, obj)."""
+    scale, dp = 10**12, damping_pct
+    prev = "pr0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""pr{i} AS MATERIALIZED (
+  SELECT nd.node,
+         (SELECT ({100 - dp} * {scale}) // (100 * n) FROM params)
+         + ({dp} * COALESCE(t.total, 0)) // 100 AS pm
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM((p.pm * e.w) // o.tw) AS total
+    FROM {prev} p JOIN dedges e ON e.s = p.node
+    JOIN outw o ON o.s = p.node
+    GROUP BY e.d
+  ) t ON t.node = nd.node
+)""")
+        prev = f"pr{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS MATERIALIZED (
+  SELECT subj_id AS s, obj_id AS d, CAST(count(*) AS BIGINT) AS w
+  FROM triples WHERE subj_id <> obj_id GROUP BY s, d
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+params AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT s, CAST(sum(w) AS BIGINT) AS tw FROM dedges GROUP BY s),
+pr0 AS (SELECT node, (SELECT {scale} // n FROM params) AS pm FROM nodes),
+{chain}
+SELECT node, CAST(pm AS BIGINT) AS pr_scaled FROM {prev}
+"""
+
+
 def textrank_words_oracle(n_iters: int = 5, damping_pct: int = 85) -> str:
     """TextRank mirror of stages/phrasemine.textrank_words: the
     kg_pagerank chain (identical BIGINT ops) over the documents bigram

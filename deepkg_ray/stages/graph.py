@@ -2735,3 +2735,108 @@ def node_bfs_profiles(edges, src_col: str = "subj_id",
     src_ds = rd.from_arrow(pa.table({
         "sidx": pa.array(np.arange(n, dtype=np.int64))}))
     return src_ds.map_batches(profile, batch_format="pyarrow")
+
+
+def weighted_pagerank_scaled(edges, src_col: str = "subj_id",
+                             dst_col: str = "obj_id",
+                             weight_col: str = "weight",
+                             n_iters: int = 5, damping_pct: int = 85):
+    """Weight-proportional PageRank over the directed KG (self-loops
+    dropped, parallel edges' weights summed): a node's mass splits across
+    out-edges proportionally to edge weight — the evidence-weighted
+    variant an adjacency with extraction counts calls for.  Same exact
+    int64 unit chain as pagerank_scaled, with the per-edge contribution
+    pm·w // W_out (floor per edge, asserted pm·w < 2^63); dangling mass
+    dropped.  Returns (node, pr_scaled int64)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64()),
+                         "w": pa.array(w[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(_Sum("w", alias_name="w"))
+              .materialize())
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["s"].to_numpy(zero_copy_only=False),
+                               b["d"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "pr_scaled": pa.array([], pa.int64())}))
+    pm0 = PR_SCALE // n
+    base = ((100 - damping_pct) * PR_SCALE) // (100 * n)
+
+    def zero_row(b: pa.Table) -> pa.Table:
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table({"node": b["node"], "val": pa.array(z, pa.int64())})
+    zero_rows = nodes.map_batches(zero_row,
+                                  batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "pm": pa.array(np.full(b.num_rows, pm0,
+                                                   np.int64))}),
+        batch_format="pyarrow")
+    dp = damping_pct
+
+    for _ in range(n_iters):
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["pm"],
+                                "w": pa.array(np.zeros(b.num_rows,
+                                                       np.int64)),
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b: pa.table({"node": b["s"], "peer": b["d"],
+                                "w": b["w"].combine_chunks()
+                                .cast(pa.int64()),
+                                "is_edge": pa.array(
+                                    np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            peer = g["peer"].to_numpy(zero_copy_only=False)
+            w = g["w"].to_numpy(zero_copy_only=False)
+            pm = int(peer[~is_edge][0])
+            dst = peer[is_edge]
+            we = w[is_edge].astype(np.int64)
+            if len(dst) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.int64())})
+            W = int(we.sum())
+            assert we.max() * pm < 2 ** 63, "pm*w overflows int64"
+            contrib = (pm * we) // W
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(contrib, pa.int64())})
+
+        contribs = (st_rows.union(ed_rows).groupby("node")
+                    .map_groups(scatter, batch_format="pyarrow"))
+
+        def fold(g: pa.Table) -> pa.Table:
+            total = int(pc.sum(g["val"]).as_py() or 0)
+            return pa.table({"node": g["node"].slice(0, 1),
+                             "pm": pa.array([base + (dp * total) // 100],
+                                            pa.int64())})
+
+        state = (contribs.union(zero_rows).groupby("node")
+                 .map_groups(fold, batch_format="pyarrow").materialize())
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "pr_scaled": b["pm"]}),
+        batch_format="pyarrow")

@@ -632,3 +632,28 @@ def test_node_bfs_profiles_goldens(ray_session):
     assert out.loc[1, "harmonic_micros"] == 2_500_000
     # node 0: d = 1,2,3 -> 1e6 + 500000 + 333333
     assert out.loc[0, "harmonic_micros"] == 1_833_333
+
+
+def test_weighted_pagerank_uniform_equals_unweighted(ray_session):
+    """With all weights equal the weighted variant reduces exactly to
+    pagerank_scaled (same int64 chain)."""
+    import pandas as pd
+    import pyarrow as pa
+    edges = pa.table({
+        "subj_id": pa.array([0, 0, 1, 2, 3], pa.int64()),
+        "obj_id": pa.array([1, 2, 2, 3, 0], pa.int64()),
+        "weight": pa.array([7, 7, 7, 7, 7], pa.int64())})
+    w = (graph.weighted_pagerank_scaled(rd.from_arrow(edges))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    u = (graph.pagerank_scaled(rd.from_arrow(edges))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(w, u, check_dtype=False)
+
+    # unequal weights shift mass toward the heavy edge
+    edges2 = pa.table({
+        "subj_id": pa.array([0, 0], pa.int64()),
+        "obj_id": pa.array([1, 2], pa.int64()),
+        "weight": pa.array([9, 1], pa.int64())})
+    w2 = graph.weighted_pagerank_scaled(rd.from_arrow(edges2)) \
+        .to_pandas().set_index("node")["pr_scaled"]
+    assert w2[1] > w2[2]
