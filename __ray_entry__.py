@@ -972,6 +972,16 @@ def _q_embedding_kmeans(sf_dir: str):
                   k=8, iters=4)
 
 
+def _q_cluster_ari(sf_dir: str):
+    """Adjusted Rand index clusters-vs-labels (exact integer pair counts,
+    one final division)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import cluster_ari
+    return cluster_ari(
+        read_embeddings(sf_dir, ["vec_id", "embedding", "label"]),
+        k=8, iters=4)
+
+
 def _q_cluster_nmi(sf_dir: str):
     """Normalized mutual information clusters-vs-labels (ln-micros
     integer sums, one final double division)."""
@@ -2832,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_silhouette": _q_silhouette,
         "cluster_purity": _q_cluster_purity,
         "cluster_nmi": _q_cluster_nmi,
+        "cluster_ari": _q_cluster_ari,
         "semantic_dedup": _q_semantic_dedup,
         "ann_ivf": _q_ann_ivf,
         "ann_recall": _q_ann_recall,
@@ -3112,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_silhouette": oracle.silhouette_oracle(k=8, iters=4),
         "cluster_purity": oracle.cluster_purity_oracle(k=8, iters=4),
         "cluster_nmi": oracle.cluster_nmi_oracle(k=8, iters=4),
+        "cluster_ari": oracle.cluster_ari_oracle(k=8, iters=4),
         "semantic_dedup": oracle.semantic_dedup_oracle(k=8, iters=4, tau=0.4),
         "embedding_near_dup": oracle.embedding_near_dup_oracle(),
         "embedding_near_dup_lsh": oracle.embedding_near_dup_lsh_oracle(),

@@ -560,6 +560,40 @@ FROM tots t, mi, hc, hl
 """
 
 
+def cluster_ari_oracle(k: int = 8, iters: int = 4) -> str:
+    """Mirror of stages/kmeans.cluster_ari: exact integer pair counts,
+    one final doubled-form round6 division."""
+    return f"""{_kmeans_cte(k, iters)},
+cells AS (
+  SELECT a.cl, CAST(e.label AS BIGINT) AS label,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{iters} a JOIN embeddings e ON e.vec_id = a.vec_id
+  GROUP BY a.cl, e.label
+),
+arow AS (SELECT cl, CAST(sum(n) AS BIGINT) AS a FROM cells GROUP BY cl),
+brow AS (SELECT label, CAST(sum(n) AS BIGINT) AS b
+         FROM cells GROUP BY label),
+agg AS (
+  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM cells) AS nn,
+         (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM cells) AS sij,
+         (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) FROM arow) AS sa,
+         (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) FROM brow) AS sb
+),
+f AS (
+  SELECT nn, sij, sa, sb,
+         2 * (nn * (nn - 1) // 2) * sij - 2 * sa * sb AS num2,
+         (nn * (nn - 1) // 2) * (sa + sb) - 2 * sa * sb AS den2
+  FROM agg
+)
+SELECT nn AS n, sij AS sum_cells_c2, sa AS sum_a_c2, sb AS sum_b_c2,
+       CASE WHEN den2 <> 0
+            THEN floor(CAST(num2 AS DOUBLE) / den2 * 1000000 + 0.5)
+                 / 1000000
+            ELSE 0.0 END AS ari
+FROM f
+"""
+
+
 def silhouette_oracle(k: int = 8, iters: int = 4) -> str:
     """Mirror of stages/kmeans.silhouette_by_cluster: integer quadratic
     distances to every final centroid, a = own / b = min other, one sqrt

@@ -487,3 +487,59 @@ def cluster_nmi(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def cluster_ari(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding", label_col: str = "label"):
+    """Adjusted Rand index between the k-means clustering and the gold
+    labels — the chance-corrected pair-counting eval completing the
+    purity/NMI family.  Everything up to the last op is exact integer
+    combinatorics over the confusion cells:
+
+        sij = Σ_ij C(n_ij,2),  sa = Σ_i C(a_i,2),  sb = Σ_j C(b_j,2)
+        ARI = (C(N,2)·sij − sa·sb) / (C(N,2)·(sa+sb)/2 − sa·sb)
+
+    evaluated as num2/den2 with both sides doubled (keeps the midpoint
+    integral), Python big ints (no overflow), and ONE final round6
+    double division — engine ≡ SQL exactly.  Returns one row
+    (n, sum_cells_c2, sum_a_c2, sum_b_c2, ari)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cm = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    ref = ray.put(cm)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        out = pd.DataFrame({
+            "cluster": _assign(vm, c).astype(np.int64),
+            "label": b[label_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}) \
+            .groupby(["cluster", "label"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = merge_partials(
+        ds.select_columns([id_col, vec_col, label_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["cluster", "label"], {"n": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        N = int(n.sum())
+        a = df.groupby("cluster")["n"].sum().to_numpy(np.int64)
+        b = df.groupby("label")["n"].sum().to_numpy(np.int64)
+        c2 = lambda x: int((x * (x - 1) // 2).sum())
+        sij, sa, sb = c2(n), c2(a), c2(b)
+        cn2 = N * (N - 1) // 2
+        num2 = 2 * cn2 * sij - 2 * sa * sb
+        den2 = cn2 * (sa + sb) - 2 * sa * sb
+        ari = (np.floor(num2 / den2 * 1e6 + 0.5) / 1e6
+               if den2 != 0 else 0.0)
+        return pd.DataFrame({
+            "n": [N], "sum_cells_c2": [sij], "sum_a_c2": [sa],
+            "sum_b_c2": [sb], "ari": [ari]})
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)

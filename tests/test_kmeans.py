@@ -216,3 +216,21 @@ def test_cluster_nmi_perfect_and_bounds(ray_session):
     out = cluster_nmi(rd.from_arrow(t), k=2, iters=4).to_pandas()
     assert len(out) == 1 and out["n"].iloc[0] == 50
     assert abs(out["nmi"].iloc[0] - 1.0) < 1e-5
+
+
+def test_cluster_ari_perfect(ray_session):
+    """Label-aligned blobs give ARI == 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.kmeans import cluster_ari
+    rng = np.random.RandomState(5)
+    vecs = np.vstack([rng.normal(0, 0.01, (20, 8)) + 1.0,
+                      rng.normal(0, 0.01, (20, 8)) - 1.0]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20 + [1] * 20, pa.int32())})
+    out = cluster_ari(rd.from_arrow(t), k=2, iters=4).to_pandas()
+    assert out["ari"].iloc[0] == 1.0 and out["n"].iloc[0] == 40
