@@ -617,6 +617,22 @@ def _q_events_hopping(sf_dir: str):
                           window_sec=300, hop_sec=60)
 
 
+def _q_user_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    without window functions — one vectorized diff pass per partition)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import user_activity_streaks
+    return user_activity_streaks(read_events(sf_dir, ["user_id", "ts"]))
+
+
+def _q_trending(sf_dir: str):
+    """Top-3 event types per tumbling hour (grouped top-k, deterministic
+    ties)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import trending_per_window
+    return trending_per_window(read_events(sf_dir, ["event_type", "ts"]))
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark audit: on-time vs late counts per tumbling
     window under merged per-user arrival order — global prefix-max via a
@@ -2853,6 +2869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_sessionize": _q_events_sessionize,
         "events_watermark": _q_events_watermark,
+        "user_streaks": _q_user_streaks,
+        "trending_types": _q_trending,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
         "users_without_orders": _q_users_without_orders,
@@ -3131,6 +3149,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hopping": oracle.hopping_window_oracle(),
         "events_sessionize": oracle.sessionize_oracle(),
         "events_watermark": oracle.watermark_late_oracle(),
+        "user_streaks": oracle.user_activity_streaks_oracle(),
+        "trending_types": oracle.trending_per_window_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),
         "users_without_orders": oracle.users_without_orders_oracle(),

@@ -1067,6 +1067,43 @@ FROM w GROUP BY window_start_us
 """
 
 
+def user_activity_streaks_oracle() -> str:
+    """Mirror of windows.user_activity_streaks: the day − row_number()
+    gaps-and-islands identity."""
+    return """
+WITH d AS (SELECT DISTINCT user_id,
+                  epoch_us(ts) // 86400000000 AS day FROM events),
+r AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id
+                                      ORDER BY day) AS grp
+      FROM d),
+i AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+      FROM r GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM i GROUP BY user_id
+"""
+
+
+def trending_per_window_oracle(window_us: int = 3_600_000_000,
+                               k: int = 3) -> str:
+    """Mirror of windows.trending_per_window: row_number over
+    (n DESC, type) per tumbling window."""
+    return f"""
+WITH c AS (
+  SELECT (epoch_us(ts) // {window_us}) * {window_us} AS window_start_us,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY window_start_us, event_type
+),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start_us
+                 ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+  FROM c
+)
+SELECT window_start_us, event_type, n, rnk FROM r WHERE rnk <= {k}
+"""
+
+
 def sessionize_oracle(gap_sec: int = 1800) -> str:
     gap_us = gap_sec * 1_000_000
     return f"""

@@ -1722,3 +1722,88 @@ def watermark_late_counts(ds, *, lateness_us: int = 60_000_000,
                                                   batch_format="pandas")
     return merge_partials(parts, ["window_start_us"],
                           {"n_late": "sum", "n_ontime": "sum"})
+
+
+def user_activity_streaks(ds, user_col: str = "user_id",
+                          ts_col: str = "ts", n_parts: int = 64):
+    """Gaps-and-islands per user over active DAYS: (user_id,
+    n_active_days, longest_streak) where a streak is a maximal run of
+    consecutive calendar days with ≥1 event — the classic retention
+    signal SQL spells with the day − row_number() island trick.
+
+    Plan: user-complete coarse hash partitions; per partition one
+    distinct + sort + vectorized island segmentation (no window function
+    machinery, one diff pass)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            "day": pc.divide(b[ts_col].combine_chunks()
+                             .cast(pa.timestamp("us")).cast(pa.int64()),
+                             86_400_000_000),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[user_col, "day"]].drop_duplicates() \
+            .sort_values([user_col, "day"], kind="stable")
+        u = d[user_col].to_numpy()
+        day = d["day"].to_numpy(np.int64)
+        new_seg = np.concatenate(([True], (u[1:] != u[:-1])
+                                  | (day[1:] != day[:-1] + 1)))
+        seg = np.cumsum(new_seg) - 1
+        seg_len = np.bincount(seg)
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        out = pd.DataFrame({user_col: u, "seg": seg})
+        per_seg = out.drop_duplicates("seg")
+        per_seg = per_seg.assign(len=seg_len[per_seg["seg"]])
+        res = (per_seg.groupby(user_col, as_index=False)
+               .agg(n_active_days=("len", "sum"),
+                    longest_streak=("len", "max")))
+        res["n_active_days"] = res["n_active_days"].astype("int64")
+        res["longest_streak"] = res["longest_streak"].astype("int64")
+        return res
+
+    parted = ds.select_columns([user_col, ts_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
+def trending_per_window(ds, *, window_us: int = 3_600_000_000, k: int = 3,
+                        type_col: str = "event_type", ts_col: str = "ts"):
+    """Trending-items table: the top-k event types per tumbling window
+    (ties broken by type name, row_number semantics so exactly k rows per
+    window) — the per-window grouped top-k a streaming dashboard serves.
+    Counts pre-aggregate per batch into (window, type) cells (bounded by
+    windows × type dictionary), merge on the tree, and the rank cut runs
+    once over the merged cells.  Returns (window_start_us, event_type,
+    n, rnk)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "window_start_us": (us // window_us) * window_us,
+            "event_type": b[type_col].to_pylist()})
+            .groupby(["window_start_us", "event_type"], as_index=False)
+            .size().rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    merged = merge_partials(
+        ds.select_columns([type_col, ts_col]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["window_start_us", "event_type"], {"n": "sum"})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["window_start_us", "n", "event_type"],
+                            ascending=[True, False, True], kind="stable")
+        df["rnk"] = df.groupby("window_start_us").cumcount() + 1
+        out = df[df["rnk"] <= k].reset_index(drop=True)
+        out["rnk"] = out["rnk"].astype("int64")
+        return out
+
+    return merged.map_batches(topk, batch_format="pandas",
+                              batch_size=None)

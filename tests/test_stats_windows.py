@@ -942,3 +942,36 @@ def test_watermark_late_counts_matches_rederivation(sf_dir):
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   exp[sorted(exp.columns)],
                                   check_dtype=False)
+
+
+def test_user_activity_streaks_golden(ray_session):
+    """Hand-built day patterns: streaks of 3 and 1; single-day user."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.windows import user_activity_streaks
+    day = 86_400_000_000
+    ts = [1 * day + 5, 2 * day + 9, 3 * day + 1, 5 * day + 2,   # u1
+          7 * day + 3, 7 * day + 4]                             # u2
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    out = (user_activity_streaks(rd.from_arrow(t), n_parts=3)
+           .to_pandas().set_index("user_id"))
+    assert out.loc[1, "n_active_days"] == 4
+    assert out.loc[1, "longest_streak"] == 3
+    assert out.loc[2, "n_active_days"] == 1
+    assert out.loc[2, "longest_streak"] == 1
+
+
+def test_trending_per_window_rank_semantics(sf_dir):
+    """Exactly k rows per window; ranks contiguous; counts nonincreasing."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import trending_per_window
+    out = trending_per_window(read_events(sf_dir, ["event_type", "ts"])) \
+        .to_pandas()
+    per = out.groupby("window_start_us")
+    assert (per.size() <= 3).all()
+    for _, g in per:
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        assert (g["n"].diff().dropna() <= 0).all()
