@@ -617,6 +617,14 @@ def _q_events_hopping(sf_dir: str):
                           window_sec=300, hop_sec=60)
 
 
+def _q_events_geometric_mean(sf_dir: str):
+    """Grouped geometric mean (ln-micros integer sums, one exp)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import grouped_geometric_mean
+    return grouped_geometric_mean(read_events(sf_dir,
+                                              ["event_type", "value"]))
+
+
 def _q_user_streaks(sf_dir: str):
     """Longest consecutive-day activity streak per user (gaps-and-islands
     without window functions — one vectorized diff pass per partition)."""
@@ -2870,6 +2878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_watermark": _q_events_watermark,
         "user_streaks": _q_user_streaks,
+        "events_geometric_mean": _q_events_geometric_mean,
         "trending_types": _q_trending,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
@@ -3150,6 +3159,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracle.sessionize_oracle(),
         "events_watermark": oracle.watermark_late_oracle(),
         "user_streaks": oracle.user_activity_streaks_oracle(),
+        "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "trending_types": oracle.trending_per_window_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),

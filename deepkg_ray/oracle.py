@@ -5631,6 +5631,25 @@ FROM vm GROUP BY g
 """
 
 
+def grouped_geometric_mean_oracle() -> str:
+    """Mirror of quantiles.grouped_geometric_mean: ln-micros
+    floor(ln(vm/1e6)·1e6+0.5) over positive values, exp(Σ/n/1e6) round6
+    finish."""
+    return """
+WITH vm AS (SELECT event_type AS g,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+            FROM events
+            WHERE CAST(floor(value * 1e6 + 0.5) AS BIGINT) > 0)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(ln(vm / 1e6) * 1e6 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_ln_micros,
+       floor(exp(CAST(SUM(CAST(floor(ln(vm / 1e6) * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / count(*) / 1e6) * 1e6 + 0.5) / 1e6
+         AS gmean
+FROM vm GROUP BY g
+"""
+
+
 def salted_type_stats_oracle() -> str:
     """Plain GROUP BY mirror of events.salted_type_stats — equality
     proves the salted two-phase plan is answer-preserving."""

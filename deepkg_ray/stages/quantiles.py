@@ -777,3 +777,46 @@ def grouped_harmonic_mean(ds, group_col: str = "event_type",
             "sum_recip_micros": pa.array(s, pa.int64()),
             "hmean": pa.array(hm, pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_geometric_mean(ds, group_col: str = "event_type",
+                           col: str = "value"):
+    """Geometric mean of the POSITIVE values per group — completes the
+    mean family (arithmetic: windows, harmonic: above): per element
+    floor(ln(vm/1e6)·1e6 + 0.5) ln-MICROS (one ln per value, the
+    source_kl convention), Σ as int64, gmean = exp(Σ/n/1e6) — one exp in
+    double mirrored in SQL.  Rows with value ≤ 0 are excluded.  Returns
+    (group, n, sum_ln_micros, gmean)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "vm": to_micros(b[col].to_pylist())})
+        df = df[df["vm"] > 0]
+        vm = df["vm"].to_numpy(np.int64)
+        df["l"] = np.floor(np.log(vm / 1e6) * 1e6 + 0.5).astype(np.int64)
+        g = (df.groupby(group_col, sort=False)
+             .agg(n=("l", "size"), s=("l", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        ds.select_columns([group_col, col])
+        .map_batches(partial, batch_format="pyarrow"),
+        [group_col], {"n": "sum", "s": "sum"}, mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = b["s"].combine_chunks().cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        gm = np.exp(s.astype(np.float64) / n.astype(np.float64) / 1e6)
+        gm = np.floor(gm * 1e6 + 0.5) / 1e6
+        return pa.table({
+            group_col: b[group_col],
+            "n": pa.array(n, pa.int64()),
+            "sum_ln_micros": pa.array(s, pa.int64()),
+            "gmean": pa.array(gm, pa.float64())})
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -123,3 +123,19 @@ def test_grouped_iqr_outliers_golden():
     out = grouped_iqr_outliers(rd.from_pandas(df)).to_pandas()
     assert out["event_id"].tolist() == [19]
     assert out["value"].tolist() == [1000.0]
+
+
+def test_grouped_geometric_mean_golden(ray_session):
+    """gmean of {1, e^2} is e; negatives excluded."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import grouped_geometric_mean
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+        "value": pa.array([1.0, math.exp(2.0), -5.0], pa.float64())})
+    out = grouped_geometric_mean(rd.from_arrow(t)).to_pandas()
+    assert out["n"].iloc[0] == 2
+    assert abs(out["gmean"].iloc[0] - math.e) < 1e-4
