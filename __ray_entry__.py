@@ -2720,6 +2720,15 @@ def _q_embedding_centroids(sf_dir: str):
                                                ["label", "embedding"]))
 
 
+def _q_knn_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN accuracy per label (embedding-space quality
+    probe; broadcast reference, one matmul per batch)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import knn_accuracy
+    return knn_accuracy(read_embeddings(sf_dir,
+                                        ["vec_id", "embedding", "label"]))
+
+
 def _q_centroid_similarity(sf_dir: str):
     """Pairwise cosine between class-prototype centroids (exact integer
     dots over micros centroids, one round6 double per pair)."""
@@ -3053,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": _q_dsir_scores,
         "embedding_centroids": _q_embedding_centroids,
         "centroid_similarity": _q_centroid_similarity,
+        "knn_accuracy": _q_knn_accuracy,
         "conv_sentences": _q_conv_sentences,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
@@ -3339,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": oracle.dsir_scores_oracle(),
         "embedding_centroids": oracle.embedding_centroids_oracle(dim=64),
         "centroid_similarity": oracle.centroid_similarity_oracle(dim=64),
+        "knn_accuracy": oracle.knn_accuracy_oracle(),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),

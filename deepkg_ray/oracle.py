@@ -490,6 +490,36 @@ WHERE NOT EXISTS (
 """
 
 
+def knn_accuracy_oracle() -> str:
+    """Mirror of similarity.knn_accuracy: exact integer quadratic
+    distances, ties → lowest vec_id, per-label accuracy round6."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, {em} AS em
+           FROM embeddings),
+d AS (
+  SELECT a.vec_id, a.label AS la, b.label AS lb, b.vec_id AS nb,
+         list_dot_product(a.em, a.em)
+         - 2 * list_dot_product(a.em, b.em)
+         + list_dot_product(b.em, b.em) AS d2
+  FROM v a JOIN v b ON b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, nb) AS rn
+  FROM d
+)
+SELECT la AS label, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lb = la THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       floor(sum(CASE WHEN lb = la THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS accuracy
+FROM r WHERE rn = 1 GROUP BY la
+"""
+
+
 def cluster_purity_oracle(k: int = 8, iters: int = 4) -> str:
     """Mirror of stages/kmeans.cluster_purity: confusion cells from the
     unrolled Lloyd assignment joined to the gold label, purity =

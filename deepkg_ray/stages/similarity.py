@@ -629,3 +629,65 @@ def centroid_similarity(ds, label_col: str = "label",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def knn_accuracy(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label"):
+    """Leave-one-out 1-NN classification accuracy per label: each vector
+    is classified by its nearest OTHER vector's label (exact integer
+    quadratic distance in micros space, ties → lowest vec_id) — the
+    embedding-quality probe (does the space cluster by label?).
+
+    Plan: the reference set broadcasts once via ray.put (this exact tier
+    is bounded by worker memory — the scale path routes through the IVF
+    index like ann_ivf); the streaming side is one matmul per batch and
+    collapses to per-label (n, n_correct) partials.  Returns
+    (label, n, n_correct, accuracy)."""
+    import ray
+
+    from deepkg_ray.functions.numeric import micros_matrix, round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    refd = ds.select_columns([id_col, vec_col, label_col]).to_pandas()
+    ids = refd[id_col].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = micros_matrix(np.stack(refd[vec_col].to_numpy())[order])
+    labels = refd[label_col].to_numpy()[order].astype(np.int64)
+    ref = ray.put((ids, mat, labels))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        rid, rmat, rlab = ray.get(ref)
+        q = micros_matrix(_as_matrix(b[vec_col]))
+        qid = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qlab = b[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d2 = ((q * q).sum(1)[:, None] - 2.0 * (q @ rmat.T)
+              + (rmat * rmat).sum(1)[None, :])
+        self_pos = np.searchsorted(rid, qid)
+        is_self = (self_pos < len(rid)) & (rid[np.clip(
+            self_pos, 0, len(rid) - 1)] == qid)
+        rows = np.flatnonzero(is_self)
+        d2[rows, self_pos[rows]] = np.inf
+        nn = d2.argmin(1)       # np argmin → FIRST minimum = lowest id
+        pred = rlab[nn]
+        g = (pd.DataFrame({"label": qlab,
+                           "ok": (pred == qlab).astype(np.int64)})
+             .groupby("label", as_index=False)
+             .agg(n=("ok", "size"), n_correct=("ok", "sum"))
+             .astype({"n": "int64", "n_correct": "int64"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = merge_partials(
+        ds.select_columns([id_col, vec_col, label_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["label"], {"n": "sum", "n_correct": "sum"})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["n_correct"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return b.append_column("accuracy", pa.array(round6(c / n)))
+
+    return merged.map_batches(finish, batch_format="pyarrow")

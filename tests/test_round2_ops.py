@@ -658,3 +658,32 @@ def test_centroid_similarity_self_consistency():
     a = C[labels.index(r0["l1"])]
     b = C[labels.index(r0["l2"])]
     assert int(r0["dot_m2"]) == int(a @ b)
+
+
+def test_knn_accuracy_separated_blobs(ray_session):
+    """Tight label-aligned blobs give accuracy 1.0; self is excluded
+    (leave-one-out, not trivially 100% via self-match)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.similarity import knn_accuracy
+    rng = np.random.RandomState(9)
+    vecs = np.vstack([rng.normal(0, 0.01, (20, 8)) + 1.0,
+                      rng.normal(0, 0.01, (20, 8)) - 1.0]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20 + [1] * 20, pa.int32())})
+    out = knn_accuracy(rd.from_arrow(t)).to_pandas()
+    assert (out["accuracy"] == 1.0).all() and out["n"].sum() == 40
+
+    # a lone-label vector CANNOT match itself: its accuracy is 0
+    t2 = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.9, 0.1], [5.0, 5.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 7], pa.int32())})
+    out2 = knn_accuracy(rd.from_arrow(t2)).to_pandas() \
+        .set_index("label")
+    assert out2.loc[7, "accuracy"] == 0.0
