@@ -1877,6 +1877,14 @@ def _q_events_props_extract(sf_dir: str):
     return props_extract_stats(read_events(sf_dir, ["event_type", "props"]))
 
 
+def _q_kg_rich_club(sf_dir: str):
+    """Rich-club connectivity profile (min-degree histogram + suffix
+    sums — one edge pass for every threshold)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import rich_club
+    return rich_club(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_node_profiles(sf_dir: str):
     """Per-node BFS profile (reach, eccentricity, harmonic centrality in
     integer micros) — source fan-out over a broadcast CSR, one row per
@@ -3019,6 +3027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": _q_kg_closeness,
         "kg_stress": _q_kg_stress,
         "kg_node_profiles": _q_kg_node_profiles,
+        "kg_rich_club": _q_kg_rich_club,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_diameter": _q_kg_diameter,
         "events_iqr_outliers": _q_events_iqr_outliers,
@@ -3310,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank_weighted": oracle.weighted_pagerank_oracle(SF_ORACLE),
         "kg_node_profiles": oracle.node_bfs_profiles_oracle(SF_ORACLE,
                                                             rounds=8),
+        "kg_rich_club": oracle.rich_club_oracle(SF_ORACLE),
         "events_cume_dist": oracle.cume_dist_events_oracle(),
         "mode_event_type": oracle.mode_per_user_oracle(),
         "part_unpivot": oracle.part_unpivot_oracle(),

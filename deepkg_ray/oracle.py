@@ -4439,6 +4439,39 @@ FROM gnodes g LEFT JOIN spairs p ON p.node = g.node
 """)
 
 
+def rich_club_oracle(sf_dir: str) -> str:
+    """Mirror of stages/graph.rich_club: per-k node/edge threshold counts
+    over the undirected simple KG graph, φ = round6(2E/(N(N−1)))."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+eu AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS u,
+                  greatest(subj_id, obj_id) AS v
+  FROM triples WHERE subj_id <> obj_id),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT u AS node FROM eu UNION ALL SELECT v FROM eu)
+  GROUP BY node),
+ks AS (SELECT unnest(generate_series(1,
+          (SELECT CAST(max(d) AS INTEGER) FROM deg))) AS k),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM ks JOIN deg ON deg.d > ks.k GROUP BY k),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS n_edges
+       FROM ks JOIN eu ON true
+       JOIN deg a ON a.node = eu.u JOIN deg b ON b.node = eu.v
+       WHERE least(a.d, b.d) > ks.k GROUP BY k)
+SELECT nk.k AS k, nk.n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       floor(2.0 * COALESCE(ek.n_edges, 0)
+             / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1))
+             * 1000000 + 0.5) / 1000000 AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+WHERE nk.n_nodes >= 2
+"""
+
+
 def node_bfs_profiles_oracle(sf_dir: str, rounds: int = 8) -> str:
     """Mirror of stages/graph.node_bfs_profiles: all-sources min-fold BFS
     (the kg_closeness chain over DISTINCT edges), then per-seed reach /

@@ -2840,3 +2840,88 @@ def weighted_pagerank_scaled(edges, src_col: str = "subj_id",
     return state.map_batches(
         lambda b: pa.table({"node": b["node"], "pr_scaled": b["pm"]}),
         batch_format="pyarrow")
+
+
+def rich_club(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
+    """Rich-club coefficients of the bidirected simple KG graph: for each
+    degree threshold k, φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = nodes
+    with degree > k and E_k = edges with BOTH endpoints of degree > k —
+    the do-hubs-stick-together connectivity profile (Colizza et al.).
+
+    One histogram pass instead of per-k scans: an edge with
+    min(deg_u, deg_v) = m belongs to E_k for every k < m, so a histogram
+    of min-degrees + a suffix sum yields every E_k at once (same for N_k
+    from the degree histogram).  The degree map broadcasts via ray.put
+    (node-dictionary bounded); rows per k where N_k ≥ 2.  Returns
+    (k, n_nodes, n_edges, phi)."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def undirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return pa.table({"u": pa.array(lo), "v": pa.array(hi)})
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby(["u", "v"]).aggregate(Count(alias_name="_m"))
+           .drop_columns(["_m"]).materialize())
+    if und.count() == 0:
+        return rd.from_arrow(pa.table({
+            "k": pa.array([], pa.int64()),
+            "n_nodes": pa.array([], pa.int64()),
+            "n_edges": pa.array([], pa.int64()),
+            "phi": pa.array([], pa.float64())}))
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["u"].to_numpy(zero_copy_only=False),
+                               b["v"].to_numpy(zero_copy_only=False)])
+        n, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    degs = merge_partials(und.map_batches(deg_rows,
+                                          batch_format="pyarrow"),
+                          ["node"], {"deg": "sum"}).to_pandas()
+    nodes = degs["node"].to_numpy(np.int64)
+    dval = degs["deg"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    ref = ray.put((nodes[order], dval[order]))
+
+    def md_hist(b: pa.Table) -> pa.Table:
+        nd, dg = ray.get(ref)
+        du = dg[np.searchsorted(nd, b["u"].to_numpy(
+            zero_copy_only=False))]
+        dv = dg[np.searchsorted(nd, b["v"].to_numpy(
+            zero_copy_only=False))]
+        m, c = np.unique(np.minimum(du, dv), return_counts=True)
+        return pa.table({"md": pa.array(m.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    eh = merge_partials(und.map_batches(md_hist, batch_format="pyarrow"),
+                        ["md"], {"cnt": "sum"}).to_pandas()
+
+    kmax = int(dval.max())
+    ecnt = np.zeros(kmax + 1, np.int64)
+    ecnt[eh["md"].to_numpy(np.int64)] = eh["cnt"].to_numpy(np.int64)
+    dcnt = np.zeros(kmax + 1, np.int64)
+    dn, dc = np.unique(dval, return_counts=True)
+    dcnt[dn] = dc
+    # suffix sums: E_k / N_k = mass strictly above k
+    e_above = np.concatenate((np.cumsum(ecnt[::-1])[::-1][1:], [0]))
+    n_above = np.concatenate((np.cumsum(dcnt[::-1])[::-1][1:], [0]))
+    ks = np.arange(1, kmax + 1, dtype=np.int64)
+    nk = n_above[ks]              # nodes with deg > k
+    ek = e_above[ks]              # edges with min(deg) > k
+    keep = nk >= 2
+    ks, nk, ek = ks[keep], nk[keep], ek[keep]
+    phi = round6(2.0 * ek / (nk.astype(np.float64)
+                             * (nk - 1).astype(np.float64)))
+    return rd.from_arrow(pa.table({
+        "k": pa.array(ks), "n_nodes": pa.array(nk),
+        "n_edges": pa.array(ek), "phi": pa.array(phi)}))

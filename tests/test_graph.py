@@ -657,3 +657,20 @@ def test_weighted_pagerank_uniform_equals_unweighted(ray_session):
     w2 = graph.weighted_pagerank_scaled(rd.from_arrow(edges2)) \
         .to_pandas().set_index("node")["pr_scaled"]
     assert w2[1] > w2[2]
+
+
+def test_rich_club_goldens(ray_session):
+    """Star + clique hybrid: the clique is the rich club."""
+    import pyarrow as pa
+    # triangle 0-1-2 (deg 3,3,2 after pendants) + pendants 3,4 on 0 and 1
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 4)]
+    ds = rd.from_arrow(pa.table({
+        "subj_id": pa.array([e[0] for e in edges], pa.int64()),
+        "obj_id": pa.array([e[1] for e in edges], pa.int64())}))
+    out = graph.rich_club(ds).to_pandas().set_index("k")
+    # degrees: 0->3, 1->3, 2->2, 3->1, 4->1
+    # k=1: nodes {0,1,2} (deg>1), edges among them = 3 -> phi = 1.0
+    assert out.loc[1, "n_nodes"] == 3 and out.loc[1, "n_edges"] == 3
+    assert out.loc[1, "phi"] == 1.0
+    # k=2: nodes {0,1}, edge (0,1) -> phi = 1.0
+    assert out.loc[2, "n_nodes"] == 2 and out.loc[2, "phi"] == 1.0
