@@ -2077,6 +2077,14 @@ def _q_disjunctive_revenue(sf_dir: str):
 
 
 
+def _q_orc_roundtrip(sf_dir: str):
+    """ORC sink + source roundtrip (per-block pyarrow.orc write inside
+    the task, read_binary_files + decode back) hash-matched against the
+    parquet-side aggregate."""
+    from deepkg_ray.sources.readers import orc_roundtrip_counts
+    return orc_roundtrip_counts(sf_dir)
+
+
 def _q_csv_roundtrip(sf_dir: str):
     """CSV sink + source roundtrip (micros-int crossing) verified by
     hash-matching the parquet-side aggregate."""
@@ -2997,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_growth": _q_monthly_revenue_growth,
         "conversion_lag": _q_conversion_lag,
         "csv_roundtrip": _q_csv_roundtrip,
+        "orc_roundtrip": _q_orc_roundtrip,
         "user_event_entropy": _q_user_event_entropy,
         "returned_item_customers": _q_returned_item_customers,
         "top_supplier_revenue": _q_top_supplier_revenue,
@@ -3281,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_growth": oracle.monthly_revenue_growth_oracle(),
         "conversion_lag": oracle.conversion_lag_quantiles_oracle(),
         "csv_roundtrip": oracle.csv_roundtrip_counts_oracle(),
+        "orc_roundtrip": oracle.csv_roundtrip_counts_oracle(),
         "user_event_entropy": oracle.user_event_entropy_oracle(),
         "returned_item_customers": oracle.returned_item_customers_oracle(),
         "top_supplier_revenue": oracle.top_supplier_revenue_oracle(),

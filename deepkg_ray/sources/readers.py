@@ -289,3 +289,64 @@ def partitioned_prune_counts(sf_dir: str,
         "n": pa.array([int(df["c"].sum())], pa.int64()),
         "sum_micros": pa.array([int(df["s"].sum())], pa.int64()),
         "n_users": pa.array([len(df)], pa.int64())})
+
+
+def orc_roundtrip_counts(sf_dir: str, tmp_root: str = "/tmp/deepkg_orc"):
+    """ORC sink + source as a verified roundtrip (columnar-interchange
+    coverage beyond parquet/CSV/JSONL): events project to (event_type,
+    value micros), each block writes ONE .orc file inside its task
+    (pyarrow.orc — ray 2.49 has no native ORC datasource, so the sink is
+    a map_batches side effect and the source is read_binary_files +
+    per-file pyarrow.orc decode, both fully distributed), then the
+    aggregate hash-checks against the parquet-side oracle.  Returns
+    (event_type, n, sum_micros)."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from deepkg_ray.functions.numeric import to_micros
+
+    out_dir = _unique_out_dir(tmp_root, sf_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(b: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+        t = pa.table({
+            "event_type": b["event_type"],
+            "vm": pa.array(to_micros(b["value"].to_pylist()), pa.int64())})
+        orc.write_table(t, os.path.join(out_dir,
+                                        f"{uuid.uuid4().hex}.orc"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    n_written = int(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                    columns=["event_type", "value"])
+                    .map_batches(write_block, batch_format="pyarrow")
+                    .sum("n"))
+
+    def decode(b: pa.Table) -> pa.Table:
+        import pyarrow.orc as orc
+        tabs = [orc.read_table(pa.BufferReader(buf.as_py()))
+                for buf in b["bytes"]]
+        return pa.concat_tables(tabs) if tabs else pa.table({
+            "event_type": pa.array([], pa.string()),
+            "vm": pa.array([], pa.int64())})
+
+    back = (rd.read_binary_files(out_dir)
+            .select_columns(["bytes"])
+            .map_batches(decode, batch_format="pyarrow"))
+    agg = (back.groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("vm", alias_name="sum_micros")))
+    out = agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": b["n"].combine_chunks().cast(pa.int64()),
+            "sum_micros":
+                b["sum_micros"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    assert int(out["n"].sum()) == n_written, "ORC roundtrip lost rows"
+    return rd.from_pandas(out)

@@ -1003,3 +1003,16 @@ def test_readability_scores_golden(ray_session):
     exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert abs(r["flesch"] - exp) < 1e-6
     assert abs(r["ttr"] - round(4 / 6, 6)) < 1e-6
+
+
+def test_orc_roundtrip_matches_csv_roundtrip(sf_dir):
+    """The ORC path and the CSV path land on identical aggregates —
+    both interchange layers are lossless."""
+    import pandas as pd
+    from deepkg_ray.sources.readers import (csv_roundtrip_counts,
+                                            orc_roundtrip_counts)
+    a = (orc_roundtrip_counts(sf_dir).to_pandas()
+         .sort_values("event_type").reset_index(drop=True))
+    b = (csv_roundtrip_counts(sf_dir).to_pandas()
+         .sort_values("event_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
