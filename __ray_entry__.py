@@ -617,6 +617,14 @@ def _q_events_hopping(sf_dir: str):
                           window_sec=300, hop_sec=60)
 
 
+def _q_events_emd(sf_dir: str):
+    """1-D Wasserstein distance between two event types' value
+    distributions (exact integer CDF cross terms on the micros support)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import events_emd_1d
+    return events_emd_1d(read_events(sf_dir, ["event_type", "value"]))
+
+
 def _q_events_geometric_mean(sf_dir: str):
     """Grouped geometric mean (ln-micros integer sums, one exp)."""
     from deepkg_ray.sources.readers import read_events
@@ -2904,6 +2912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": _q_events_watermark,
         "user_streaks": _q_user_streaks,
         "events_geometric_mean": _q_events_geometric_mean,
+        "events_emd": _q_events_emd,
         "trending_types": _q_trending,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
@@ -3188,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": oracle.watermark_late_oracle(),
         "user_streaks": oracle.user_activity_streaks_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
+        "events_emd": oracle.events_emd_1d_oracle(),
         "trending_types": oracle.trending_per_window_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),

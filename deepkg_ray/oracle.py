@@ -5694,6 +5694,40 @@ FROM vm GROUP BY g
 """
 
 
+def events_emd_1d_oracle() -> str:
+    """Mirror of quantiles.events_emd_1d: exact integer CDF cross terms
+    on the merged micros support (HUGEINT sum), one round6 division."""
+    return """
+WITH two AS (SELECT event_type FROM events GROUP BY event_type
+             ORDER BY event_type LIMIT 2),
+v AS (SELECT event_type AS t,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+      FROM events WHERE event_type IN (SELECT event_type FROM two)),
+h AS (SELECT vm,
+             CAST(SUM(CASE WHEN t = (SELECT min(event_type) FROM two)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN t = (SELECT max(event_type) FROM two)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM v GROUP BY vm),
+c AS (SELECT vm,
+             SUM(ca) OVER (ORDER BY vm) AS cuma,
+             SUM(cb) OVER (ORDER BY vm) AS cumb,
+             LEAD(vm) OVER (ORDER BY vm) AS nxt
+      FROM h),
+tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb FROM h),
+s AS (SELECT SUM(ABS(c.cuma * tot.nb - c.cumb * tot.na)
+                 * (c.nxt - c.vm)) AS sv
+      FROM c, tot WHERE c.nxt IS NOT NULL)
+SELECT (SELECT min(event_type) FROM two) AS type_a,
+       (SELECT max(event_type) FROM two) AS type_b,
+       tot.na AS n_a, tot.nb AS n_b,
+       floor(CAST(s.sv AS DOUBLE) / (tot.na * tot.nb) / 1e6
+             * 1000000 + 0.5) / 1000000 AS emd
+FROM tot, s
+"""
+
+
 def grouped_geometric_mean_oracle() -> str:
     """Mirror of quantiles.grouped_geometric_mean: ln-micros
     floor(ln(vm/1e6)·1e6+0.5) over positive values, exp(Σ/n/1e6) round6

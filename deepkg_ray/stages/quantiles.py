@@ -820,3 +820,59 @@ def grouped_geometric_mean(ds, group_col: str = "event_type",
             "sum_ln_micros": pa.array(s, pa.int64()),
             "gmean": pa.array(gm, pa.float64())})
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def events_emd_1d(ds, type_col: str = "event_type", col: str = "value"):
+    """1-D earth mover's distance (Wasserstein-1) between the value
+    distributions of the two lexicographically smallest event types —
+    the distribution-shift measure complementing KS (sup gap) and KL
+    (likelihood ratio):  EMD = ∫|F_A − F_B| dv evaluated EXACTLY on the
+    merged micros support as Σ |cumA·n_B − cumB·n_A|·Δvm over support
+    gaps (integers; Python big ints in the value-count-bounded finish),
+    with one closing round6 division.  Histogram plan as the quantile
+    family: per-batch (type, vm) counts, vm-bounded merge.  Returns one
+    row (type_a, type_b, n_a, n_b, emd)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"t": b[type_col].to_pylist(),
+                           "vm": to_micros(b[col].to_pylist())})
+        g = (df.groupby(["t", "vm"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = merge_partials(
+        ds.select_columns([type_col, col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["t", "vm"], {"c": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        types = sorted(df["t"].unique())[:2]
+        ta, tb = types[0], types[1]
+        d = df[df["t"].isin(types)].sort_values("vm", kind="stable")
+        vm = np.sort(d["vm"].unique())
+        ca = np.zeros(len(vm), np.int64)
+        cb = np.zeros(len(vm), np.int64)
+        da = d[d["t"] == ta]
+        db = d[d["t"] == tb]
+        ca[np.searchsorted(vm, da["vm"].to_numpy(np.int64))] = \
+            da["c"].to_numpy(np.int64)
+        cb[np.searchsorted(vm, db["vm"].to_numpy(np.int64))] = \
+            db["c"].to_numpy(np.int64)
+        na, nb = int(ca.sum()), int(cb.sum())
+        cumA = np.cumsum(ca)
+        cumB = np.cumsum(cb)
+        gaps = np.diff(vm)
+        s = int(np.abs(cumA[:-1].astype(object) * nb
+                       - cumB[:-1].astype(object) * na).dot(
+                           gaps.astype(object)))   # exact big-int sum
+        emd = np.floor(float(s) / (na * nb) / 1e6 * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"type_a": [ta], "type_b": [tb],
+                             "n_a": [na], "n_b": [nb], "emd": [emd]})
+
+    return hist.map_batches(finish, batch_format="pandas",
+                            batch_size=None)

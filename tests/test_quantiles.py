@@ -139,3 +139,20 @@ def test_grouped_geometric_mean_golden(ray_session):
     out = grouped_geometric_mean(rd.from_arrow(t)).to_pandas()
     assert out["n"].iloc[0] == 2
     assert abs(out["gmean"].iloc[0] - math.e) < 1e-4
+
+
+def test_events_emd_golden(ray_session):
+    """Point masses at 0 and d have EMD d; identical distributions 0."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import events_emd_1d
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "value": pa.array([0.0, 0.0, 2.5, 2.5], pa.float64())})
+    out = events_emd_1d(rd.from_arrow(t)).to_pandas()
+    assert out["emd"].iloc[0] == 2.5
+    t2 = pa.table({
+        "event_type": pa.array(["a", "a", "b", "b"], pa.string()),
+        "value": pa.array([1.0, 3.0, 1.0, 3.0], pa.float64())})
+    out2 = events_emd_1d(rd.from_arrow(t2)).to_pandas()
+    assert out2["emd"].iloc[0] == 0.0
