@@ -2041,6 +2041,14 @@ def _q_readability(sf_dir: str):
     return readability_scores(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_cross_source_dups(sf_dir: str):
+    """Where exact duplication lives: per-source-pair shared normalized
+    texts (bitmask/Gram core keyed by text)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import cross_source_dups
+    return cross_source_dups(read_documents(sf_dir, ["text", "source"]))
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Pairwise source vocabulary Jaccard via token membership bitmasks
     (distinct (source, token) → masks → one Gram matmul per batch)."""
@@ -3024,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "cross_source_dups": _q_cross_source_dups,
         "readability_scores": _q_readability,
         "events_mad": _q_events_mad,
         "events_ks": _q_events_ks,
@@ -3310,6 +3319,7 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
+        "cross_source_dups": oracle.cross_source_dups_oracle(),
         "readability_scores": oracle.readability_scores_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),
         "events_ks": oracle.ks_two_sample_oracle(),

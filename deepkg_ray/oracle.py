@@ -5045,6 +5045,29 @@ LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
 """
 
 
+def cross_source_dups_oracle() -> str:
+    """Mirror of textstats.cross_source_dups: distinct normalized texts
+    per source, pairwise intersection/Jaccard."""
+    return """
+WITH toks AS (SELECT DISTINCT source, lower(trim(text)) AS w
+              FROM documents),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS i
+  FROM toks a JOIN toks b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p1.source AS s1, p2.source AS s2, p1.c AS n_a, p2.c AS n_b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS n_inter,
+       floor(COALESCE(i.i, 0)
+             / CAST(p1.c + p2.c - COALESCE(i.i, 0) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS jaccard
+FROM sizes p1 JOIN sizes p2 ON p1.source < p2.source
+LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
+"""
+
+
 def source_kl_divergence_oracle(src_a: str = "src0",
                                 src_b: str = "src1") -> str:
     """Mirror of textstats.source_kl_divergence: add-one smoothing over

@@ -1162,6 +1162,18 @@ def source_vocab_overlap(ds, text_col: str = "text",
         ds.select_columns([src_col, text_col])
           .map_batches(tok_sets, batch_format="pyarrow"),
         ["source", "w"], {"one": "first"}, mode="auto").materialize()
+    return _bitmask_set_overlap(pairs)
+
+
+def _bitmask_set_overlap(pairs):
+    """Shared pair-overlap core: a distinct (source, w) Dataset folds to
+    per-key source-membership bitmasks (integer sum ≡ or after the
+    distinct), each mask batch contributes one MᵀM Gram (sizes on the
+    diagonal, intersections off it), and the n_src²-bounded cells finish
+    to (s1, s2, n_a, n_b, n_inter, jaccard)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
 
     srcs = sorted(pairs.groupby("source")
                   .count().to_pandas()["source"].tolist())
@@ -1170,7 +1182,6 @@ def source_vocab_overlap(ds, text_col: str = "text",
     assert n_src <= 62, "source dictionary exceeds the bitmask tier"
 
     def masks(b: pa.Table) -> pa.Table:
-        import pandas as pd
         df = pd.DataFrame({"w": b["w"].to_pylist(),
                            "m": [1 << bit[s]
                                  for s in b["source"].to_pylist()]})
@@ -1205,6 +1216,32 @@ def source_vocab_overlap(ds, text_col: str = "text",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def cross_source_dups(ds, text_col: str = "text", src_col: str = "source"):
+    """Cross-source duplicate-document matrix: for every source pair,
+    how many distinct normalized texts (lower+strip) appear in BOTH —
+    the contamination-between-slices view of exact dedup (dedup_exact
+    collapses globally; this says WHERE the duplication lives).  Same
+    bitmask/Gram core as source_vocab_overlap, keyed by the normalized
+    text instead of tokens.  Returns (s1, s2, n_a, n_b, n_inter,
+    jaccard)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def doc_sets(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        seen = {(s, t.lower().strip()) for t, s in zip(texts, srcs)}
+        return pa.table({
+            "source": pa.array([p[0] for p in seen], pa.string()),
+            "w": pa.array([p[1] for p in seen], pa.string()),
+            "one": pa.array(np.ones(len(seen), np.int64))})
+
+    pairs = merge_partials(
+        ds.select_columns([src_col, text_col])
+          .map_batches(doc_sets, batch_format="pyarrow"),
+        ["source", "w"], {"one": "first"}, mode="auto").materialize()
+    return _bitmask_set_overlap(pairs)
 
 
 _VOWELS = re.compile(r"[aeiou]+")
