@@ -1885,6 +1885,14 @@ def _q_events_props_extract(sf_dir: str):
     return props_extract_stats(read_events(sf_dir, ["event_type", "props"]))
 
 
+def _q_kg_walk_counts(sf_dir: str):
+    """Directed walk counts A^k·e_s for k=1..4 (integer matvec chain —
+    the exact backbone of Katz/diffusion scores)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import walk_counts_from
+    return walk_counts_from(kg.adjacency_dataset(sf_dir), max_len=4)
+
+
 def _q_kg_rich_club(sf_dir: str):
     """Rich-club connectivity profile (min-degree histogram + suffix
     sums — one edge pass for every threshold)."""
@@ -3055,6 +3063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_stress": _q_kg_stress,
         "kg_node_profiles": _q_kg_node_profiles,
         "kg_rich_club": _q_kg_rich_club,
+        "kg_walk_counts": _q_kg_walk_counts,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,
         "kg_diameter": _q_kg_diameter,
         "events_iqr_outliers": _q_events_iqr_outliers,
@@ -3350,6 +3359,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_node_profiles": oracle.node_bfs_profiles_oracle(SF_ORACLE,
                                                             rounds=8),
         "kg_rich_club": oracle.rich_club_oracle(SF_ORACLE),
+        "kg_walk_counts": oracle.walk_counts_oracle(SF_ORACLE, max_len=4),
         "events_cume_dist": oracle.cume_dist_events_oracle(),
         "mode_event_type": oracle.mode_per_user_oracle(),
         "part_unpivot": oracle.part_unpivot_oracle(),

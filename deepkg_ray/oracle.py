@@ -4439,6 +4439,30 @@ FROM gnodes g LEFT JOIN spairs p ON p.node = g.node
 """)
 
 
+def walk_counts_oracle(sf_dir: str, max_len: int = 4) -> str:
+    """Mirror of stages/graph.walk_counts_from: k chained joins over the
+    DISTINCT directed edge set from the smallest source node."""
+    parts = ["""
+dedges AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id),
+w0 AS (SELECT (SELECT min(s) FROM dedges) AS node,
+              CAST(1 AS BIGINT) AS n)"""]
+    for k in range(1, max_len + 1):
+        parts.append(f"""
+w{k} AS MATERIALIZED (
+  SELECT e.d AS node, CAST(sum(p.n) AS BIGINT) AS n
+  FROM w{k - 1} p JOIN dedges e ON e.s = p.node
+  GROUP BY e.d)""")
+    union = " UNION ALL ".join(
+        f"SELECT {k} AS k, node, n AS n_walks FROM w{k}"
+        for k in range(1, max_len + 1))
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"\nSELECT CAST(k AS BIGINT) AS k, node, n_walks "
+              f"FROM ({union})\n")
+
+
 def rich_club_oracle(sf_dir: str) -> str:
     """Mirror of stages/graph.rich_club: per-k node/edge threshold counts
     over the undirected simple KG graph, φ = round6(2E/(N(N−1)))."""

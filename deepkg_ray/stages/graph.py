@@ -2925,3 +2925,59 @@ def rich_club(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
     return rd.from_arrow(pa.table({
         "k": pa.array(ks), "n_nodes": pa.array(nk),
         "n_edges": pa.array(ek), "phi": pa.array(phi)}))
+
+
+def walk_counts_from(edges, max_len: int = 4, src_col: str = "subj_id",
+                     dst_col: str = "obj_id"):
+    """Directed walk counts from the smallest source node: for k = 1..L,
+    n_walks(v, k) = number of length-k directed walks source → v over the
+    simple (deduped) edge set — the A^k·e_s matvec sequence (the integer
+    backbone of Katz/diffusion scores, exact where the damped variants
+    are floats).  Each step is one hash join edges ⋈ state + an integer
+    Sum groupby — the SSSP shuffle shape with counts instead of min.
+    Returns (k, node, n_walks)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as _Sum
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+    if dedges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "k": pa.array([], pa.int64()),
+            "node": pa.array([], pa.int64()),
+            "n_walks": pa.array([], pa.int64())}))
+    src = int(dedges.min("s"))
+    state = rd.from_arrow(pa.table({
+        "node": pa.array([src], pa.int64()),
+        "n": pa.array([1], pa.int64())})).materialize()
+    np_join = join_partitions()
+    outs = []
+    for k in range(1, max_len + 1):
+        cand = drop_empty_blocks(dedges).join(
+            drop_empty_blocks(state), join_type="inner",
+            num_partitions=np_join, on=("s",), right_on=("node",))
+        state = (cand.map_batches(
+            lambda b: pa.table({"node": b["d"], "n": b["n"]}),
+            batch_format="pyarrow")
+            .groupby("node").aggregate(_Sum("n", alias_name="n"))
+            .materialize())
+        outs.append(state.map_batches(
+            lambda b, kk=k: pa.table({
+                "k": pa.array(np.full(b.num_rows, kk, np.int64)),
+                "node": b["node"].combine_chunks().cast(pa.int64()),
+                "n_walks": b["n"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out

@@ -674,3 +674,16 @@ def test_rich_club_goldens(ray_session):
     assert out.loc[1, "phi"] == 1.0
     # k=2: nodes {0,1}, edge (0,1) -> phi = 1.0
     assert out.loc[2, "n_nodes"] == 2 and out.loc[2, "phi"] == 1.0
+
+
+def test_walk_counts_goldens(ray_session):
+    """Directed diamond 0→1, 0→2, 1→3, 2→3: two length-2 walks to 3."""
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "subj_id": pa.array([0, 0, 1, 2], pa.int64()),
+        "obj_id": pa.array([1, 2, 3, 3], pa.int64())}))
+    out = graph.walk_counts_from(ds, max_len=2).to_pandas()
+    got = {(r.k, r.node): r.n_walks for r in out.itertuples()}
+    assert got[(1, 1)] == 1 and got[(1, 2)] == 1
+    assert got[(2, 3)] == 2
+    assert (2, 1) not in got            # no length-2 walk ends at 1
