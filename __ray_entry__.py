@@ -2041,6 +2041,13 @@ def _q_token_burstiness(sf_dir: str):
     return token_burstiness(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_char_entropy(sf_dir: str):
+    """Per-doc character entropy (gibberish/boilerplate signal)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import char_entropy
+    return char_entropy(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_readability(sf_dir: str):
     """Flesch reading ease + type-token ratio per document (stateless
     per-record map, round6 double chain on both sides)."""
@@ -3042,6 +3049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cross_source_dups": _q_cross_source_dups,
         "readability_scores": _q_readability,
+        "char_entropy": _q_char_entropy,
         "events_mad": _q_events_mad,
         "events_ks": _q_events_ks,
         "events_auc": _q_events_auc,
@@ -3330,6 +3338,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "cross_source_dups": oracle.cross_source_dups_oracle(),
         "readability_scores": oracle.readability_scores_oracle(),
+        "char_entropy": oracle.char_entropy_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),
         "events_ks": oracle.ks_two_sample_oracle(),
         "events_auc": oracle.roc_auc_oracle(),

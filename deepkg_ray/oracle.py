@@ -5013,6 +5013,28 @@ FROM topk t, nd
 """
 
 
+def char_entropy_oracle() -> str:
+    """Mirror of textstats.char_entropy: per-(doc, char) counts, ln-micros
+    per class, integer sum / 1e6."""
+    return """
+WITH d AS (SELECT doc_id, lower(trim(text)) AS tl
+           FROM documents WHERE trim(text) <> ''),
+ch AS (SELECT doc_id, unnest(string_split_regex(tl, '')) AS c FROM d),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt
+       FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars
+      FROM cc GROUP BY doc_id)
+SELECT n.doc_id, n.n_chars, n.n_distinct_chars,
+       CAST(sum(CAST(floor(-(cc.cnt / CAST(n.n_chars AS DOUBLE))
+                           * ln(cc.cnt / CAST(n.n_chars AS DOUBLE))
+                           * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+         AS entropy
+FROM cc JOIN n ON n.doc_id = cc.doc_id
+GROUP BY n.doc_id, n.n_chars, n.n_distinct_chars
+"""
+
+
 def readability_scores_oracle() -> str:
     """Mirror of textstats.readability_scores: identical left-associated
     double chain 206.835 - 1.015*(W/S) - 84.6*(Syl/W), round6."""

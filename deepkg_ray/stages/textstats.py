@@ -1287,3 +1287,41 @@ def readability_scores(ds, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-level Shannon entropy (nats) over the
+    normalized (lower+strip) text — the gibberish/compressibility signal
+    (low-entropy docs are repetitive boilerplate, ultra-high-entropy docs
+    are noise) complementing the word-level quality scores.  Stateless
+    per-record map; per-character-class terms quantize to ln-micros and
+    integer-sum (the module convention), one division per doc.  Empty
+    docs are dropped.  Returns (doc_id, n_chars, n_distinct_chars,
+    entropy)."""
+    def score(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        out_id, nc, nd, em = [], [], [], []
+        for i, t in zip(ids, texts):
+            tl = t.lower().strip()
+            if not tl:
+                continue
+            codes = np.frombuffer(tl.encode("utf-32-le"), np.uint32)
+            _, cnt = np.unique(codes, return_counts=True)
+            n = len(codes)
+            p = cnt / n
+            h = int(np.floor(-p * np.log(p) * 1e6 + 0.5)
+                    .astype(np.int64).sum())
+            out_id.append(int(i))
+            nc.append(n)
+            nd.append(len(cnt))
+            em.append(h)
+        hm = np.asarray(em, np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "n_chars": pa.array(np.asarray(nc, np.int64)),
+            "n_distinct_chars": pa.array(np.asarray(nd, np.int64)),
+            "entropy": pa.array(hm.astype(np.float64) / 1e6)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")

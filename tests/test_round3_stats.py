@@ -1016,3 +1016,18 @@ def test_orc_roundtrip_matches_csv_roundtrip(sf_dir):
     b = (csv_roundtrip_counts(sf_dir).to_pandas()
          .sort_values("event_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_char_entropy_goldens(ray_session):
+    """Uniform 2-char doc -> ln 2; single-char doc -> 0."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import char_entropy
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["abab", "aaaa"], pa.string())})
+    out = char_entropy(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert abs(out.loc[1, "entropy"] - math.log(2)) < 1e-5
+    assert out.loc[2, "entropy"] == 0.0
+    assert out.loc[1, "n_distinct_chars"] == 2
