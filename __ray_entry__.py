@@ -633,6 +633,15 @@ def _q_events_geometric_mean(sf_dir: str):
                                               ["event_type", "value"]))
 
 
+def _q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence pairs (session-granular
+    basket signal)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import session_type_pairs
+    return session_type_pairs(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+
+
 def _q_user_streaks(sf_dir: str):
     """Longest consecutive-day activity streak per user (gaps-and-islands
     without window functions — one vectorized diff pass per partition)."""
@@ -2934,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": _q_events_sessionize,
         "events_watermark": _q_events_watermark,
         "user_streaks": _q_user_streaks,
+        "session_type_pairs": _q_session_type_pairs,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
         "trending_types": _q_trending,
@@ -3222,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": oracle.sessionize_oracle(),
         "events_watermark": oracle.watermark_late_oracle(),
         "user_streaks": oracle.user_activity_streaks_oracle(),
+        "session_type_pairs": oracle.session_type_pairs_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
         "trending_types": oracle.trending_per_window_oracle(),

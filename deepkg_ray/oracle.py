@@ -1097,6 +1097,33 @@ FROM w GROUP BY window_start_us
 """
 
 
+def session_type_pairs_oracle(gap_sec: int = 1800) -> str:
+    """Mirror of windows.session_type_pairs: window-function session ids
+    (cumsum of gap breaks over (us, event_id) order), distinct
+    (user, session, type), self-join for pairs."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+w AS (SELECT user_id, event_type, us, event_id,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                  > {gap_us} THEN 1 ELSE 0 END AS brk
+      FROM e),
+sids AS (SELECT user_id, event_type,
+                SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM w),
+dt AS (SELECT DISTINCT user_id, sid, event_type FROM sids)
+SELECT a.event_type AS t1, b.event_type AS t2,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM dt a JOIN dt b ON a.user_id = b.user_id AND a.sid = b.sid
+                    AND a.event_type < b.event_type
+GROUP BY a.event_type, b.event_type
+"""
+
+
 def user_activity_streaks_oracle() -> str:
     """Mirror of windows.user_activity_streaks: the day − row_number()
     gaps-and-islands identity."""

@@ -1807,3 +1807,53 @@ def trending_per_window(ds, *, window_us: int = 3_600_000_000, k: int = 3,
 
     return merged.map_batches(topk, batch_format="pandas",
                               batch_size=None)
+
+
+def session_type_pairs(ds, gap_sec: int = 1800, user_col: str = "user_id",
+                       ts_col: str = "ts", id_col: str = "event_id",
+                       type_col: str = "event_type", n_parts: int = 64):
+    """Within-session event-type co-occurrence: (t1, t2, n_sessions) =
+    number of user sessions (sessionize's gap rule) whose event-type set
+    contains BOTH types — the behavioral basket signal at session
+    granularity (same-turn cooccurrence_counts' event-stream twin).
+
+    Plan: user-complete coarse partitions; per partition one sort pass
+    assigns session ids (cumsum of gap breaks), dedups (user, session,
+    type) and self-merges the per-session type sets into pair partials;
+    the (t1, t2) merge is type-dictionary²-bounded."""
+    gap_us = gap_sec * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            type_col: b[type_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        gap = np.concatenate(([0], us[1:] - us[:-1]))
+        brk = (~same) | (gap > gap_us)
+        sid = np.cumsum(brk)                       # globally unique in part
+        d = pd.DataFrame({"sid": sid,
+                          "t": g[type_col].to_numpy()}).drop_duplicates()
+        m = d.merge(d, on="sid", suffixes=("_1", "_2"))
+        m = m[m["t_1"] < m["t_2"]]
+        out = (m.groupby(["t_1", "t_2"], as_index=False).size()
+               .rename(columns={"t_1": "t1", "t_2": "t2",
+                                "size": "n_sessions"}))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parted = ds.select_columns([user_col, ts_col, id_col, type_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    pairs = parted.groupby("part").map_groups(per_partition,
+                                              batch_format="pandas")
+    return merge_partials(pairs, ["t1", "t2"], {"n_sessions": "sum"})

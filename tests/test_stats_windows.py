@@ -975,3 +975,22 @@ def test_trending_per_window_rank_semantics(sf_dir):
         g = g.sort_values("rnk")
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
         assert (g["n"].diff().dropna() <= 0).all()
+
+
+def test_session_type_pairs_golden(ray_session):
+    """Two sessions for one user (gap split), one for another."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.windows import session_type_pairs
+    us = [0, 10_000_000, 4_000_000_000, 4_010_000_000, 0, 5_000_000]
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array(list(range(6)), pa.int64()),
+        "ts": pa.array(us, pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "c", "a", "b"],
+                               pa.string())})
+    out = session_type_pairs(rd.from_arrow(t), gap_sec=1800, n_parts=3) \
+        .to_pandas()
+    got = {(r.t1, r.t2): r.n_sessions for r in out.itertuples()}
+    # sessions: u1-s1 {a,b}, u1-s2 {a,c}, u2-s1 {a,b}
+    assert got == {("a", "b"): 2, ("a", "c"): 1}
