@@ -109,6 +109,21 @@ def _q_decayed_adjacency(sf_dir: str):
     return kg.decayed_adjacency_dataset(sf_dir)
 
 
+def _q_alias_usage(sf_dir: str):
+    """Alias-usage distribution per entity (canonicalization evidence)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.mention import alias_usage
+    return alias_usage(kg.mentions_dataset(sf_dir))
+
+
+def _q_edge_provenance(sf_dir: str):
+    """Distinct evidencing conversations per canonical edge (trust/
+    diversity signal beside raw weight)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.canonical import edge_provenance
+    return edge_provenance(kg.linked_triples_dataset(sf_dir))
+
+
 def _q_entity_transitions(sf_dir: str):
     """Discourse-flow entity transition edges across consecutive turns
     (conversation-complete partitions, dictionary²-bounded merge)."""
@@ -3120,6 +3135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_timeseries": _q_entity_timeseries,
         "conv_profile": _q_conv_profile,
         "kg_entity_transitions": _q_entity_transitions,
+        "kg_alias_usage": _q_alias_usage,
+        "kg_edge_provenance": _q_edge_provenance,
         "kg_entity_burst": _q_entity_burst,
         "lang_confusion": _q_lang_confusion,
         "dsir_scores": _q_dsir_scores,
@@ -3414,6 +3431,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_timeseries": oracle.entity_timeseries_sql(SF_ORACLE),
         "conv_profile": oracle.conv_profile_sql(SF_ORACLE),
         "kg_entity_transitions": oracle.entity_transitions_sql(SF_ORACLE),
+        "kg_alias_usage": oracle.alias_usage_sql(SF_ORACLE),
+        "kg_edge_provenance": oracle.edge_provenance_sql(SF_ORACLE),
         "kg_entity_burst": oracle.entity_burst_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),
         "dsir_scores": oracle.dsir_scores_oracle(),

@@ -116,6 +116,40 @@ FROM cells GROUP BY entity_id
 """
 
 
+def alias_usage_sql(sf_dir: str) -> str:
+    """Mirror of mention.alias_usage: substring occurrence totals per
+    (entity, surface), share = round6(n / entity total)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+occ AS (
+  SELECT d.entity_id, d.surface,
+         CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface)) AS BIGINT) AS n
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+  GROUP BY d.entity_id, d.surface
+),
+tot AS (SELECT entity_id, CAST(sum(n) AS BIGINT) AS tn
+        FROM occ GROUP BY entity_id)
+SELECT o.entity_id, o.surface, o.n,
+       floor(o.n / CAST(t.tn AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS share
+FROM occ o JOIN tot t ON t.entity_id = o.entity_id
+"""
+
+
+def edge_provenance_sql(sf_dir: str) -> str:
+    """Mirror of canonical.edge_provenance: distinct evidencing
+    conversations per canonical edge."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)}
+SELECT subj_id, pred, obj_id,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM triples GROUP BY subj_id, pred, obj_id
+"""
+
+
 def entity_transitions_sql(sf_dir: str) -> str:
     """Mirror of mention.entity_transitions: per-turn DISTINCT entity
     sets (substring containment — n_occ > 0 ⇔ strpos > 0), self-joined

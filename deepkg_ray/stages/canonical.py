@@ -279,3 +279,49 @@ def schema_table(adjacency_ds):
         adjacency_ds.map_batches(partial, batch_format="pyarrow"),
         ["subj_type", "pred", "obj_type"],
         {"n_edges": "sum", "n_support": "sum"}, fanout=1)
+
+
+def edge_provenance(linked, mode: str = "auto"):
+    """Provenance breadth per canonical edge: (subj_id, pred, obj_id,
+    n_convs) = distinct conversations that evidence the edge — the
+    trust/diversity signal an incremental KG ranks by alongside raw
+    weight (one hot conversation repeating a claim ≠ many independent
+    ones).  Two-level plan: per-batch distinct (edge, conv) cells made
+    globally distinct by a cardinality-auto merge, then the count fold
+    (rows per edge are summable after the distinct)."""
+    import pandas as pd
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "subj_id": b["subj_id"].to_numpy(zero_copy_only=False),
+            "pred": b["pred"].to_pylist(),
+            "obj_id": b["obj_id"].to_numpy(zero_copy_only=False),
+            "conv_id": b["conv_id"].to_pylist()})
+            .drop_duplicates())
+        g["one"] = np.ones(len(g), np.int64)
+        return g
+
+    distinct = merge_partials(
+        linked.select_columns(["subj_id", "pred", "obj_id", "conv_id"])
+        .map_batches(cells, batch_format="pyarrow"),
+        ["subj_id", "pred", "obj_id", "conv_id"], {"one": "first"},
+        mode=mode)
+
+    def fold(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "subj_id": b["subj_id"].to_numpy(zero_copy_only=False),
+            "pred": b["pred"].to_pylist(),
+            "obj_id": b["obj_id"].to_numpy(zero_copy_only=False)})
+            .groupby(["subj_id", "pred", "obj_id"], as_index=False)
+            .size().rename(columns={"size": "n_convs"}))
+        g["n_convs"] = g["n_convs"].astype("int64")
+        return g
+
+    return merge_partials(
+        distinct.map_batches(fold, batch_format="pyarrow"),
+        ["subj_id", "pred", "obj_id"], {"n_convs": "sum"}, mode=mode)

@@ -509,3 +509,39 @@ def entity_transitions(mentions, n_parts: int = 64, mode: str = "auto"):
     pairs = parted.groupby("part").map_groups(per_partition,
                                               batch_format="pandas")
     return merge_partials(pairs, ["e1", "e2"], {"n": "sum"}, mode=mode)
+
+
+def alias_usage(mentions, mode: str = "auto"):
+    """Alias-usage distribution per entity: (entity_id, surface, n,
+    share) — which surface form carries each entity's mentions (the
+    canonicalization evidence table an alias-dictionary curator reads;
+    a near-zero share flags a stale alias).  share = round6(n / entity
+    total), computed on the dictionary-bounded merged cells."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "entity_id": b["entity_id"].to_numpy(zero_copy_only=False),
+            "surface": b["surface"].to_pylist()})
+            .groupby(["entity_id", "surface"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    merged = merge_partials(
+        mentions.select_columns(["entity_id", "surface"]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["entity_id", "surface"], {"n": "sum"}, mode=mode)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("entity_id")["n"].transform("sum")
+        df = df.copy()
+        df["share"] = round6(df["n"].to_numpy(np.float64)
+                             / tot.to_numpy(np.float64))
+        return df
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

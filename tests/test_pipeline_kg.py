@@ -248,3 +248,23 @@ def test_entity_transitions_rederivation(sf_dir, synth_dir):
                                    "entity_id_2": "e2", "size": "n"})
            .sort_values(["e1", "e2"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_alias_usage_and_edge_provenance_consistency(sf_dir, synth_dir):
+    """Alias shares sum to 1 per entity; provenance never exceeds the
+    adjacency weight and is >= 1."""
+    from deepkg_ray.stages.canonical import edge_provenance
+    from deepkg_ray.stages.mention import alias_usage
+    au = alias_usage(kg.mentions_dataset(sf_dir)).to_pandas()
+    sums = au.groupby("entity_id")["share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert au["n"].sum() == pq.read_metadata(
+        os.path.join(synth_dir, "mentions_gold.parquet")).num_rows
+
+    prov = edge_provenance(kg.linked_triples_dataset(sf_dir)).to_pandas()
+    adj = kg.adjacency_dataset(sf_dir).to_pandas()
+    keys = ["subj_id", "pred", "obj_id"]
+    m = prov.merge(adj[keys + ["weight"]], on=keys)
+    assert len(m) == len(prov) == len(adj)
+    assert (m["n_convs"] >= 1).all()
+    assert (m["n_convs"] <= m["weight"]).all()
