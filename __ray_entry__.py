@@ -2080,6 +2080,13 @@ def _q_readability(sf_dir: str):
     return readability_scores(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_hapax_by_source(sf_dir: str):
+    """Corpus-wide singleton-token rate per source (vocabulary tail)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import hapax_by_source
+    return hapax_by_source(read_documents(sf_dir, ["text", "source"]))
+
+
 def _q_cross_source_dups(sf_dir: str):
     """Where exact duplication lives: per-source-pair shared normalized
     texts (bitmask/Gram core keyed by text)."""
@@ -3073,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl": _q_source_kl,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cross_source_dups": _q_cross_source_dups,
+        "hapax_by_source": _q_hapax_by_source,
         "readability_scores": _q_readability,
         "char_entropy": _q_char_entropy,
         "events_mad": _q_events_mad,
@@ -3365,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "cross_source_dups": oracle.cross_source_dups_oracle(),
+        "hapax_by_source": oracle.hapax_by_source_oracle(),
         "readability_scores": oracle.readability_scores_oracle(),
         "char_entropy": oracle.char_entropy_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),

@@ -5152,6 +5152,28 @@ LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
 """
 
 
+def hapax_by_source_oracle() -> str:
+    """Mirror of textstats.hapax_by_source: corpus-wide singleton tokens
+    attributed to their one source."""
+    return """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, w),
+g AS (SELECT w, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY w)
+SELECT c.source, CAST(sum(c.n) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN g.tot = 1 AND c.n = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hapax,
+       floor(sum(CASE WHEN g.tot = 1 AND c.n = 1 THEN 1 ELSE 0 END)
+             / CAST(sum(c.n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS hapax_rate
+FROM c JOIN g ON g.w = c.w
+GROUP BY c.source
+"""
+
+
 def cross_source_dups_oracle() -> str:
     """Mirror of textstats.cross_source_dups: distinct normalized texts
     per source, pairwise intersection/Jaccard."""

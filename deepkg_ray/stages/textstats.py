@@ -1325,3 +1325,58 @@ def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def hapax_by_source(ds, text_col: str = "text", src_col: str = "source"):
+    """Hapax legomena per source: how many of a source's token
+    occurrences are corpus-wide singletons — the vocabulary-tail /
+    noisiness signal (OCR garbage and boilerplate templates sit at the
+    extremes).  From ONE (source, token) count table (vocab × sources
+    bounded): a token is hapax iff its GLOBAL count is 1, in which case
+    exactly one source carries its single occurrence.  The finish runs
+    on the merged cells (dictionary-bounded tier, as llr_collocations).
+    Returns (source, n_tokens, n_hapax, hapax_rate)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        acc: dict[tuple, int] = {}
+        for t, s in zip(texts, srcs):
+            tl = t.lower().strip()
+            if tl:
+                for w in _WS.split(tl):
+                    k = (s, w)
+                    acc[k] = acc.get(k, 0) + 1
+        ks = list(acc.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "w": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([acc[k] for k in ks], pa.int64())})
+
+    merged = merge_partials(
+        ds.select_columns([src_col, text_col]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["source", "w"], {"n": "sum"}, mode="auto")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("w")["n"].transform("sum")
+        df = df.assign(hapax=((tot == 1) & (df["n"] == 1))
+                       .astype(np.int64))
+        g = (df.groupby("source", as_index=False)
+             .agg(n_tokens=("n", "sum"), n_hapax=("hapax", "sum")))
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        g["n_hapax"] = g["n_hapax"].astype("int64")
+        g["hapax_rate"] = round6(g["n_hapax"].to_numpy(np.float64)
+                                 / g["n_tokens"].to_numpy(np.float64))
+        return g
+
+    # the hapax test needs every (source, w) row of a token in ONE task:
+    # repartition(1) (the documented vocab-bounded finish tier) — the
+    # auto merge's shuffle path would otherwise split tokens across
+    # blocks and corrupt the global totals
+    return merged.repartition(1).map_batches(finish, batch_format="pandas",
+                                             batch_size=None)

@@ -1031,3 +1031,20 @@ def test_char_entropy_goldens(ray_session):
     assert abs(out.loc[1, "entropy"] - math.log(2)) < 1e-5
     assert out.loc[2, "entropy"] == 0.0
     assert out.loc[1, "n_distinct_chars"] == 2
+
+
+def test_hapax_by_source_golden(ray_session):
+    """Cross-source repeats are not hapax; true singletons are."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import hapax_by_source
+    t = pa.table({
+        "source": pa.array(["s1", "s2"], pa.string()),
+        "text": pa.array(["alpha beta shared", "gamma shared"],
+                         pa.string())})
+    out = hapax_by_source(rd.from_arrow(t)).to_pandas() \
+        .set_index("source")
+    # 'shared' occurs in both sources -> not hapax anywhere
+    assert out.loc["s1", "n_hapax"] == 2       # alpha, beta
+    assert out.loc["s2", "n_hapax"] == 1       # gamma
+    assert out.loc["s1", "n_tokens"] == 3
