@@ -648,6 +648,14 @@ def _q_events_geometric_mean(sf_dir: str):
                                               ["event_type", "value"]))
 
 
+def _q_events_expfit(sf_dir: str):
+    """Exponential fit + one-sample KS over inter-arrival gaps (Poisson
+    model check; histogram-based sup, no global sort)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import expfit_ks
+    return expfit_ks(read_events(sf_dir, ["user_id", "event_id", "ts"]))
+
+
 def _q_session_type_pairs(sf_dir: str):
     """Within-session event-type co-occurrence pairs (session-granular
     basket signal)."""
@@ -2966,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": _q_events_watermark,
         "user_streaks": _q_user_streaks,
         "session_type_pairs": _q_session_type_pairs,
+        "events_expfit": _q_events_expfit,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
         "trending_types": _q_trending,
@@ -3258,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "events_watermark": oracle.watermark_late_oracle(),
         "user_streaks": oracle.user_activity_streaks_oracle(),
         "session_type_pairs": oracle.session_type_pairs_oracle(),
+        "events_expfit": oracle.expfit_ks_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
         "trending_types": oracle.trending_per_window_oracle(),

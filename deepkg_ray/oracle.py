@@ -1158,6 +1158,29 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def expfit_ks_oracle() -> str:
+    """Mirror of windows.expfit_ks: MLE mean = Σgap/n, KS sup over the
+    gap histogram support, round6."""
+    mean = "(CAST(t.s AS DOUBLE) / t.n)"
+    f = f"(1 - exp(-(c.gap / {mean})))"
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+gp AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) AS gap
+       FROM e QUALIFY gap IS NOT NULL),
+h AS (SELECT gap, CAST(count(*) AS BIGINT) AS cnt FROM gp GROUP BY gap),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(gap * cnt) AS BIGINT) AS s FROM h),
+c AS (SELECT gap, cnt, SUM(cnt) OVER (ORDER BY gap) AS cum FROM h)
+SELECT t.n, t.s AS sum_gap_us,
+       floor(max(greatest(
+           abs(c.cum / CAST(t.n AS DOUBLE) - {f}),
+           abs((c.cum - c.cnt) / CAST(t.n AS DOUBLE) - {f})))
+           * 1000000 + 0.5) / 1000000 AS ks_d
+FROM c, t GROUP BY t.n, t.s
+"""
+
+
 def user_activity_streaks_oracle() -> str:
     """Mirror of windows.user_activity_streaks: the day − row_number()
     gaps-and-islands identity."""

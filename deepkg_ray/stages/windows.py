@@ -1857,3 +1857,55 @@ def session_type_pairs(ds, gap_sec: int = 1800, user_col: str = "user_id",
     pairs = parted.groupby("part").map_groups(per_partition,
                                               batch_format="pandas")
     return merge_partials(pairs, ["t1", "t2"], {"n_sessions": "sum"})
+
+
+def expfit_ks(ds, user_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id"):
+    """One-sample goodness-of-fit: MLE-fit an exponential to the per-user
+    inter-arrival gaps and report the Kolmogorov–Smirnov statistic
+    against the fitted CDF — the Poisson-process model check (completes
+    the statistics family: OLS/Zipf fit parameters, two-sample KS; this
+    is the one-sample fit-VALIDATION member).
+
+    Exactness: the MLE mean is the exact integer Σgap/n; the KS sup runs
+    over the gap VALUE-COUNT histogram (the quantile-family posture), so
+    each support point contributes two deterministic doubles
+    (|cum/n − F|, |(cum−cnt)/n − F| with F = 1 − exp(−g/mean)) and the
+    max is order-free; one round6 at the end.  Returns one row
+    (n, sum_gap_us, ks_d)."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    gaps = interarrival_gaps(ds, user_col=user_col, ts_col=ts_col,
+                             id_col=id_col)
+
+    def hist(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({"gap_us": b["gap_us"].to_numpy(
+            zero_copy_only=False)})
+            .groupby("gap_us", as_index=False).size()
+            .rename(columns={"size": "cnt"}))
+        g["cnt"] = g["cnt"].astype("int64")
+        return g
+
+    merged = merge_partials(
+        gaps.select_columns(["gap_us"]).map_batches(
+            hist, batch_format="pyarrow"),
+        ["gap_us"], {"cnt": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("gap_us", kind="stable")
+        g = df["gap_us"].to_numpy(np.int64)
+        c = df["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        s = int((g * c).sum())
+        mean = float(s) / n
+        F = 1.0 - np.exp(-(g / mean))
+        cum = np.cumsum(c)
+        d = np.maximum(np.abs(cum / n - F),
+                       np.abs((cum - c) / n - F)).max()
+        return pd.DataFrame({"n": [n], "sum_gap_us": [s],
+                             "ks_d": [round6(d)]})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)

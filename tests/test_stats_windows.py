@@ -994,3 +994,31 @@ def test_session_type_pairs_golden(ray_session):
     got = {(r.t1, r.t2): r.n_sessions for r in out.itertuples()}
     # sessions: u1-s1 {a,b}, u1-s2 {a,c}, u2-s1 {a,b}
     assert got == {("a", "b"): 2, ("a", "c"): 1}
+
+
+def test_expfit_ks_exponential_sample(ray_session):
+    """Gaps drawn from an exponential fit well (small D); constant gaps
+    fit badly (D near the point-mass bound)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.windows import expfit_ks
+    rng = np.random.RandomState(13)
+    gaps = rng.exponential(5_000_000, 4000).astype(np.int64) + 1
+    ts = np.cumsum(gaps)
+    t = pa.table({
+        "user_id": pa.array(np.zeros(len(ts), np.int64)),
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us"))})
+    out = expfit_ks(rd.from_arrow(t)).to_pandas()
+    assert out["n"].iloc[0] == len(ts) - 1
+    assert out["ks_d"].iloc[0] < 0.05
+
+    ts2 = np.arange(1, 1001, dtype=np.int64) * 7_000_000
+    t2 = pa.table({
+        "user_id": pa.array(np.zeros(1000, np.int64)),
+        "event_id": pa.array(np.arange(1000, dtype=np.int64)),
+        "ts": pa.array(ts2, pa.timestamp("us"))})
+    out2 = expfit_ks(rd.from_arrow(t2)).to_pandas()
+    # all mass at one gap: D = 1 - 1/e at the point (F(mean) = 0.632)
+    assert abs(out2["ks_d"].iloc[0] - (1 - np.exp(-1.0))) < 1e-3
