@@ -632,6 +632,13 @@ def _q_events_hopping(sf_dir: str):
                           window_sec=300, hop_sec=60)
 
 
+def _q_benford(sf_dir: str):
+    """Benford first-digit audit of positive values (forensic signal)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import benford_digits
+    return benford_digits(read_events(sf_dir, ["value"]))
+
+
 def _q_events_emd(sf_dir: str):
     """1-D Wasserstein distance between two event types' value
     distributions (exact integer CDF cross terms on the micros support)."""
@@ -2977,6 +2984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expfit": _q_events_expfit,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
+        "benford_digits": _q_benford,
         "trending_types": _q_trending,
         "events_asof_orders": _q_events_asof_orders,
         "events_range_join": _q_events_range_join,
@@ -3270,6 +3278,7 @@ def oracle_sql() -> dict[str, str]:
         "events_expfit": oracle.expfit_ks_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
+        "benford_digits": oracle.benford_digits_oracle(),
         "trending_types": oracle.trending_per_window_oracle(),
         "events_asof_orders": oracle.asof_join_oracle(),
         "events_range_join": oracle.range_join_oracle(),

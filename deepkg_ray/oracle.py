@@ -5869,6 +5869,26 @@ FROM vm GROUP BY g
 """
 
 
+def benford_digits_oracle() -> str:
+    """Mirror of quantiles.benford_digits: leading digit of the positive
+    micros ints, round6 shares vs log10(1+1/d); excess is round6 of the
+    DIFFERENCE of the two already-rounded values (matching the engine)."""
+    share = "floor(n / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6"
+    benford = "floor(log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6"
+    return f"""
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v
+            FROM events
+            WHERE CAST(floor(value * 1e6 + 0.5) AS BIGINT) > 0),
+d AS (SELECT CAST(left(CAST(v AS VARCHAR), 1) AS BIGINT) AS digit
+      FROM vm),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT digit, n, {share} AS share, {benford} AS benford,
+       floor((({share}) - ({benford})) * 1e6 + 0.5) / 1e6 AS excess
+FROM c, t
+"""
+
+
 def events_emd_1d_oracle() -> str:
     """Mirror of quantiles.events_emd_1d: exact integer CDF cross terms
     on the merged micros support (HUGEINT sum), one round6 division."""

@@ -876,3 +876,47 @@ def events_emd_1d(ds, type_col: str = "event_type", col: str = "value"):
 
     return hist.map_batches(finish, batch_format="pandas",
                             batch_size=None)
+
+
+def benford_digits(ds, col: str = "value"):
+    """Benford first-significant-digit audit of the positive values —
+    the classic fabricated/synthetic-data forensic: observed share per
+    leading digit vs log10(1 + 1/d).  The leading digit of value equals
+    the leading digit of its micros int (scaling by 10⁶ preserves it),
+    so extraction is string-free integer math; counts merge on 9 cells.
+    Returns (digit, n, share, benford, excess) — share/benford/excess
+    round6."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6, to_micros
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = to_micros(b[col].to_pylist())
+        vm = vm[vm > 0]
+        # strip trailing decimal magnitude: first digit of the int
+        d = vm.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        dig, cnt = np.unique(d, return_counts=True)
+        return pa.table({"digit": pa.array(dig.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([col]).map_batches(partial,
+                                             batch_format="pyarrow"),
+        ["digit"], {"n": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("digit", kind="stable").reset_index(drop=True)
+        n = df["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        dig = df["digit"].to_numpy(np.int64)
+        share = round6(n / tot)
+        benford = round6(np.log10(1.0 + 1.0 / dig))
+        return pd.DataFrame({
+            "digit": dig, "n": n, "share": share, "benford": benford,
+            "excess": round6(share - benford)})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

@@ -156,3 +156,19 @@ def test_events_emd_golden(ray_session):
         "value": pa.array([1.0, 3.0, 1.0, 3.0], pa.float64())})
     out2 = events_emd_1d(rd.from_arrow(t2)).to_pandas()
     assert out2["emd"].iloc[0] == 0.0
+
+
+def test_benford_digits_golden(ray_session):
+    """Digit extraction is magnitude-invariant; shares sum to 1."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.quantiles import benford_digits
+    t = pa.table({"value": pa.array(
+        [1.0, 0.019, 123.0, 9000.5, 0.0002, -5.0], pa.float64())})
+    out = benford_digits(rd.from_arrow(t)).to_pandas() \
+        .set_index("digit")
+    # digits: 1 (1.0), 1 (0.019), 1 (123.0), 9 (9000.5), 2 (0.0002);
+    # -5 excluded
+    assert out.loc[1, "n"] == 3 and out.loc[9, "n"] == 1
+    assert out.loc[2, "n"] == 1
+    assert abs(out["share"].sum() - 1.0) < 1e-5
