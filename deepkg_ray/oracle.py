@@ -116,6 +116,38 @@ FROM cells GROUP BY entity_id
 """
 
 
+def mention_gini_sql(sf_dir: str) -> str:
+    """Mirror of mention.mention_concentration_gini: per-entity counts,
+    sorted-form integer Gini per type (row_number ties are sum-invariant
+    because tied x values contribute symmetrically)."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+occ AS (
+  SELECT d.type, d.entity_id,
+         CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface)) AS BIGINT) AS n
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+  GROUP BY d.type, d.entity_id
+),
+r AS (SELECT type, n,
+             row_number() OVER (PARTITION BY type ORDER BY n) AS rn
+      FROM occ),
+agg AS (
+  SELECT type, CAST(count(*) AS BIGINT) AS n_entities,
+         CAST(sum(n) AS BIGINT) AS sum_mentions,
+         CAST(2 * sum(rn * n) - (count(*) + 1) * sum(n) AS BIGINT)
+           AS gini_num
+  FROM r GROUP BY type
+)
+SELECT type, n_entities, sum_mentions, gini_num,
+       CASE WHEN sum_mentions > 0
+            THEN CAST(gini_num AS DOUBLE)
+                 / CAST(n_entities * sum_mentions AS DOUBLE)
+            ELSE 0.0 END AS gini
+FROM agg
+"""
+
+
 def alias_usage_sql(sf_dir: str) -> str:
     """Mirror of mention.alias_usage: substring occurrence totals per
     (entity, surface), share = round6(n / entity total)."""

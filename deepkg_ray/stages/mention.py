@@ -545,3 +545,48 @@ def alias_usage(mentions, mode: str = "auto"):
 
     return merged.map_batches(finish, batch_format="pandas",
                               batch_size=None)
+
+
+def mention_concentration_gini(mentions, mode: str = "auto"):
+    """Mention-concentration Gini per entity TYPE: how unequally the
+    type's mention mass distributes over its entities — a spiking Gini
+    means a few head entities dominate the type (the KG skew diagnostic
+    that predicts hot-key trouble for entity-partitioned stages).
+    Sorted-form exact-integer Gini (the source_length_gini identity) on
+    the dictionary-bounded per-entity counts.  Returns
+    (type, n_entities, sum_mentions, gini_num, gini)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "type": b["type"].to_pylist(),
+            "entity_id": b["entity_id"].to_numpy(zero_copy_only=False)})
+            .groupby(["type", "entity_id"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    merged = merge_partials(
+        mentions.select_columns(["type", "entity_id"]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["type", "entity_id"], {"n": "sum"}, mode=mode)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("type"):
+            x = np.sort(g["n"].to_numpy(np.int64))
+            n = len(x)
+            sx = int(x.sum())
+            num = int(2 * np.sum(np.arange(1, n + 1, dtype=np.int64) * x)
+                      - (n + 1) * sx)
+            rows.append((t, n, sx, num,
+                         float(num) / float(n * sx) if sx else 0.0))
+        return pd.DataFrame(rows, columns=["type", "n_entities",
+                                           "sum_mentions", "gini_num",
+                                           "gini"])
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)

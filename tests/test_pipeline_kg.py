@@ -268,3 +268,25 @@ def test_alias_usage_and_edge_provenance_consistency(sf_dir, synth_dir):
     assert len(m) == len(prov) == len(adj)
     assert (m["n_convs"] >= 1).all()
     assert (m["n_convs"] <= m["weight"]).all()
+
+
+def test_mention_gini_goldens(ray_session):
+    """Equal counts -> Gini 0; extreme concentration -> near (n-1)/n."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.mention import mention_concentration_gini
+
+    def mk(counts, typ):
+        rows = []
+        for eid, c in enumerate(counts):
+            rows += [(typ, eid)] * c
+        return rows
+
+    rows = mk([5, 5, 5, 5], "EQ") + mk([1, 1, 1, 97], "SKEW")
+    ds = rd.from_arrow(pa.table({
+        "type": pa.array([r[0] for r in rows], pa.string()),
+        "entity_id": pa.array([r[1] for r in rows], pa.int64())}))
+    out = mention_concentration_gini(ds).to_pandas().set_index("type")
+    assert out.loc["EQ", "gini"] == 0.0
+    assert out.loc["SKEW", "gini"] > 0.65
