@@ -116,6 +116,31 @@ FROM cells GROUP BY entity_id
 """
 
 
+def conv_entity_entropy_sql(sf_dir: str) -> str:
+    """Mirror of mention.conv_entity_entropy: per-(conv, entity)
+    occurrence counts, ln-micros entropy terms, integer sum / 1e6."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+occ AS (
+  SELECT t.conv_id, d.entity_id,
+         CAST(sum((length(t.txt) - length(replace(t.txt, d.surface, ''))) / length(d.surface)) AS BIGINT) AS n
+  FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0
+  GROUP BY t.conv_id, d.entity_id
+),
+tot AS (SELECT conv_id, CAST(sum(n) AS BIGINT) AS tn,
+               CAST(count(*) AS BIGINT) AS ne
+        FROM occ GROUP BY conv_id)
+SELECT o.conv_id, t.tn AS n_mentions, t.ne AS n_entities,
+       CAST(sum(CAST(floor(-(o.n / CAST(t.tn AS DOUBLE))
+                           * ln(o.n / CAST(t.tn AS DOUBLE))
+                           * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+         AS entropy
+FROM occ o JOIN tot t ON t.conv_id = o.conv_id
+GROUP BY o.conv_id, t.tn, t.ne
+"""
+
+
 def mention_gini_sql(sf_dir: str) -> str:
     """Mirror of mention.mention_concentration_gini: per-entity counts,
     sorted-form integer Gini per type (row_number ties are sum-invariant

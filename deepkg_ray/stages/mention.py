@@ -590,3 +590,56 @@ def mention_concentration_gini(mentions, mode: str = "auto"):
     return merged.repartition(1).map_batches(finish,
                                              batch_format="pandas",
                                              batch_size=None)
+
+
+def conv_entity_entropy(mentions, mode: str = "auto"):
+    """Per-conversation entity-mention Shannon entropy (nats): a focused
+    conversation (one entity dominates) scores near 0, a roaming one
+    near ln(n_entities) — the topical-focus curation signal over the
+    (conv, entity) cells.  Per-class terms quantize to ln-micros and
+    integer-sum (the module convention); one division per conversation.
+    Returns (conv_id, n_mentions, n_entities, entropy)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "conv_id": b["conv_id"].to_pylist(),
+            "entity_id": b["entity_id"].to_numpy(zero_copy_only=False)})
+            .groupby(["conv_id", "entity_id"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    merged = merge_partials(
+        mentions.select_columns(["conv_id", "entity_id"]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["conv_id", "entity_id"], {"n": "sum"}, mode=mode)
+
+    # a conversation's cells must meet in ONE task (the merge is keyed
+    # (conv, entity), so a conv can straddle blocks): conv-complete
+    # coarse hash partitions, the turn_latency shape — scales with convs
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("conv_id")["n"].transform("sum") \
+            .to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        p = n / tot
+        df = df.assign(hm=np.floor(-p * np.log(p) * 1e6 + 0.5)
+                       .astype(np.int64))
+        g = (df.groupby("conv_id", as_index=False)
+             .agg(n_mentions=("n", "sum"), n_entities=("n", "size"),
+                  hm=("hm", "sum")))
+        g["n_mentions"] = g["n_mentions"].astype("int64")
+        g["n_entities"] = g["n_entities"].astype("int64")
+        g["entropy"] = g["hm"].to_numpy(np.int64).astype(np.float64) / 1e6
+        return g.drop(columns=["hm"])
+
+    return (merged.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))

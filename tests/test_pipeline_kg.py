@@ -290,3 +290,19 @@ def test_mention_gini_goldens(ray_session):
     out = mention_concentration_gini(ds).to_pandas().set_index("type")
     assert out.loc["EQ", "gini"] == 0.0
     assert out.loc["SKEW", "gini"] > 0.65
+
+
+def test_conv_entity_entropy_goldens(ray_session):
+    """Single-entity conv -> 0; uniform two-entity conv -> ln 2."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.mention import conv_entity_entropy
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c2"], pa.string()),
+        "entity_id": pa.array([7, 7, 1, 2], pa.int64())}))
+    out = conv_entity_entropy(ds).to_pandas().set_index("conv_id")
+    assert out.loc["c1", "entropy"] == 0.0
+    assert abs(out.loc["c2", "entropy"] - math.log(2)) < 1e-5
+    assert out.loc["c2", "n_entities"] == 2
