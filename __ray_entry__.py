@@ -2110,6 +2110,14 @@ def _q_readability(sf_dir: str):
     return readability_scores(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_weighted_jaccard(sf_dir: str):
+    """Token-mass-weighted Jaccard between sources (Σmin/Σmax)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_weighted_jaccard
+    return source_weighted_jaccard(read_documents(sf_dir,
+                                                  ["text", "source"]))
+
+
 def _q_hapax_by_source(sf_dir: str):
     """Corpus-wide singleton-token rate per source (vocabulary tail)."""
     from deepkg_ray.sources.readers import read_documents
@@ -3113,6 +3121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cross_source_dups": _q_cross_source_dups,
         "hapax_by_source": _q_hapax_by_source,
+        "source_weighted_jaccard": _q_source_weighted_jaccard,
         "readability_scores": _q_readability,
         "char_entropy": _q_char_entropy,
         "events_mad": _q_events_mad,
@@ -3410,6 +3419,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "cross_source_dups": oracle.cross_source_dups_oracle(),
         "hapax_by_source": oracle.hapax_by_source_oracle(),
+        "source_weighted_jaccard": oracle.source_weighted_jaccard_oracle(),
         "readability_scores": oracle.readability_scores_oracle(),
         "char_entropy": oracle.char_entropy_oracle(),
         "events_mad": oracle.grouped_mad_oracle(),

@@ -5232,6 +5232,35 @@ LEFT JOIN inter i ON i.s1 = p1.source AND i.s2 = p2.source
 """
 
 
+def source_weighted_jaccard_oracle() -> str:
+    """Mirror of textstats.source_weighted_jaccard: Σmin over shared
+    tokens (inner join), Σmax = tot_a + tot_b − Σmin."""
+    return """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+      FROM toks GROUP BY source, w),
+tots AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+         FROM c GROUP BY source),
+mins AS (
+  SELECT a.source AS s1, b.source AS s2,
+         CAST(sum(least(a.n, b.n)) AS BIGINT) AS smin
+  FROM c a JOIN c b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT t1.source AS s1, t2.source AS s2,
+       CAST(COALESCE(m.smin, 0) AS BIGINT) AS sum_min,
+       CAST(t1.tot + t2.tot - COALESCE(m.smin, 0) AS BIGINT) AS sum_max,
+       floor(COALESCE(m.smin, 0)
+             / CAST(t1.tot + t2.tot - COALESCE(m.smin, 0) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS wjaccard
+FROM tots t1 JOIN tots t2 ON t1.source < t2.source
+LEFT JOIN mins m ON m.s1 = t1.source AND m.s2 = t2.source
+"""
+
+
 def hapax_by_source_oracle() -> str:
     """Mirror of textstats.hapax_by_source: corpus-wide singleton tokens
     attributed to their one source."""

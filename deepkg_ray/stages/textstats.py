@@ -1380,3 +1380,61 @@ def hapax_by_source(ds, text_col: str = "text", src_col: str = "source"):
     # blocks and corrupt the global totals
     return merged.repartition(1).map_batches(finish, batch_format="pandas",
                                              batch_size=None)
+
+
+def source_weighted_jaccard(ds, text_col: str = "text",
+                            src_col: str = "source"):
+    """Frequency-weighted Jaccard between sources: Σ_w min(a_w, b_w) /
+    Σ_w max(a_w, b_w) over token counts — the occurrence-mass overlap
+    (set Jaccard says WHICH words are shared; this says how much of the
+    corpora's token mass is).  Identity used on both sides:
+    Σmax = tot_a + tot_b − Σmin, so only shared tokens need pairing.
+    Plan: (source, token, n) cells (vocab × sources bounded), finish in
+    one task on the sorted count matrix — 20 columns of pairwise mins.
+    Returns (s1, s2, sum_min, sum_max, wjaccard)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        acc: dict[tuple, int] = {}
+        for t, s in zip(texts, srcs):
+            tl = t.lower().strip()
+            if tl:
+                for w in _WS.split(tl):
+                    k = (s, w)
+                    acc[k] = acc.get(k, 0) + 1
+        ks = list(acc.keys())
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "w": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([acc[k] for k in ks], pa.int64())})
+
+    merged = merge_partials(
+        ds.select_columns([src_col, text_col]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["source", "w"], {"n": "sum"}, mode="auto")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(df["source"].unique())
+        words = {w: i for i, w in enumerate(df["w"].unique())}
+        M = np.zeros((len(words), len(srcs)), np.int64)
+        si = np.searchsorted(srcs, df["source"].to_numpy())
+        wi = df["w"].map(words).to_numpy(np.int64)
+        M[wi, si] = df["n"].to_numpy(np.int64)
+        tot = M.sum(0)
+        i, j = np.triu_indices(len(srcs), k=1)
+        smin = np.array([int(np.minimum(M[:, a], M[:, b]).sum())
+                         for a, b in zip(i, j)], np.int64)
+        smax = tot[i] + tot[j] - smin
+        return pd.DataFrame({
+            "s1": [srcs[x] for x in i], "s2": [srcs[x] for x in j],
+            "sum_min": smin, "sum_max": smax,
+            "wjaccard": round6(smin / smax.astype(np.float64))})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)

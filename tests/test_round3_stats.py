@@ -1048,3 +1048,23 @@ def test_hapax_by_source_golden(ray_session):
     assert out.loc["s1", "n_hapax"] == 2       # alpha, beta
     assert out.loc["s2", "n_hapax"] == 1       # gamma
     assert out.loc["s1", "n_tokens"] == 3
+
+
+def test_source_weighted_jaccard_golden(ray_session):
+    """min/max identity on a hand case; identical corpora score 1."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.textstats import source_weighted_jaccard
+    t = pa.table({
+        "source": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["x x y", "x y y z"], pa.string())})
+    out = source_weighted_jaccard(rd.from_arrow(t)).to_pandas()
+    r = out.iloc[0]
+    # counts a: x2 y1; b: x1 y2 z1 -> min 1+1=2, max 2+2+1=5
+    assert (r["sum_min"], r["sum_max"]) == (2, 5)
+    assert abs(r["wjaccard"] - 0.4) < 1e-9
+    t2 = pa.table({
+        "source": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["p q", "p q"], pa.string())})
+    out2 = source_weighted_jaccard(rd.from_arrow(t2)).to_pandas()
+    assert out2["wjaccard"].iloc[0] == 1.0
