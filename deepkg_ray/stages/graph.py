@@ -2928,13 +2928,19 @@ def rich_club(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
 
 
 def walk_counts_from(edges, max_len: int = 4, src_col: str = "subj_id",
-                     dst_col: str = "obj_id"):
+                     dst_col: str = "obj_id",
+                     driver_threshold: int = 500_000):
     """Directed walk counts from the smallest source node: for k = 1..L,
     n_walks(v, k) = number of length-k directed walks source → v over the
     simple (deduped) edge set — the A^k·e_s matvec sequence (the integer
     backbone of Katz/diffusion scores, exact where the damped variants
     are floats).  Each step is one hash join edges ⋈ state + an integer
     Sum groupby — the SSSP shuffle shape with counts instead of min.
+    Below driver_threshold deduped edges the L join rounds are pure
+    orchestration overhead, so the matvec chain runs as one vectorized
+    np.add.at scatter on the driver (the scc/truss auto-routing
+    convention; the distributed path stays the scale tier and is
+    exercised by a forced-zero-threshold test).
     Returns (k, node, n_walks)."""
     import ray.data as rd
     from ray.data.aggregate import Sum as _Sum
@@ -2951,12 +2957,36 @@ def walk_counts_from(edges, max_len: int = 4, src_col: str = "subj_id",
     dedges = (edges.map_batches(orient, batch_format="pyarrow")
               .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
               .drop_columns(["_m"]).materialize())
-    if dedges.count() == 0:
+    n_edges = dedges.count()
+    if n_edges == 0:
         return rd.from_arrow(pa.table({
             "k": pa.array([], pa.int64()),
             "node": pa.array([], pa.int64()),
             "n_walks": pa.array([], pa.int64())}))
     src = int(dedges.min("s"))
+
+    if n_edges <= driver_threshold:
+        ed = dedges.to_pandas()
+        s = ed["s"].to_numpy(np.int64)
+        d = ed["d"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([s, d]))
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        vec = np.zeros(len(nodes), np.int64)
+        vec[np.searchsorted(nodes, src)] = 1
+        ks, out_nodes, out_n = [], [], []
+        for k in range(1, max_len + 1):
+            new = np.zeros(len(nodes), np.int64)
+            np.add.at(new, di, vec[si])
+            vec = new
+            nz = np.nonzero(vec)[0]
+            ks.append(np.full(len(nz), k, np.int64))
+            out_nodes.append(nodes[nz])
+            out_n.append(vec[nz])
+        return rd.from_arrow(pa.table({
+            "k": pa.array(np.concatenate(ks), pa.int64()),
+            "node": pa.array(np.concatenate(out_nodes), pa.int64()),
+            "n_walks": pa.array(np.concatenate(out_n), pa.int64())}))
     state = rd.from_arrow(pa.table({
         "node": pa.array([src], pa.int64()),
         "n": pa.array([1], pa.int64())})).materialize()

@@ -687,3 +687,18 @@ def test_walk_counts_goldens(ray_session):
     assert got[(1, 1)] == 1 and got[(1, 2)] == 1
     assert got[(2, 3)] == 2
     assert (2, 1) not in got            # no length-2 walk ends at 1
+
+
+def test_walk_counts_tiers_agree(ray_session):
+    """Driver matvec tier == distributed join rounds on a random digraph."""
+    import pyarrow as pa
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 40, 300).astype(np.int64)
+    d = rng.integers(0, 40, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"subj_id": pa.array(s),
+                                 "obj_id": pa.array(d)}))
+    a = (graph.walk_counts_from(ds, max_len=3).to_pandas()
+         .sort_values(["k", "node"]).reset_index(drop=True))
+    b = (graph.walk_counts_from(ds, max_len=3, driver_threshold=0)
+         .to_pandas().sort_values(["k", "node"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
