@@ -678,6 +678,14 @@ def _q_events_expfit(sf_dir: str):
     return expfit_ks(read_events(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def _q_events_changepoint(sf_dir: str):
+    """CUSUM level-shift scan over the calendar-complete daily count
+    series (offline mean-shift detector; scaled-integer statistic)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cusum_changepoint
+    return cusum_changepoint(read_events(sf_dir, ["ts"]))
+
+
 def _q_session_type_pairs(sf_dir: str):
     """Within-session event-type co-occurrence pairs (session-granular
     basket signal)."""
@@ -3005,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": _q_user_streaks,
         "session_type_pairs": _q_session_type_pairs,
         "events_expfit": _q_events_expfit,
+        "events_changepoint": _q_events_changepoint,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
         "benford_digits": _q_benford,
@@ -3302,6 +3311,7 @@ def oracle_sql() -> dict[str, str]:
         "user_streaks": oracle.user_activity_streaks_oracle(),
         "session_type_pairs": oracle.session_type_pairs_oracle(),
         "events_expfit": oracle.expfit_ks_oracle(),
+        "events_changepoint": oracle.cusum_changepoint_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
         "benford_digits": oracle.benford_digits_oracle(),

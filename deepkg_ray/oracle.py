@@ -1215,6 +1215,32 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def cusum_changepoint_oracle() -> str:
+    """Mirror of windows.cusum_changepoint: calendar-complete daily
+    counts via generate_series, scaled integer statistic
+    s_k = D·prefix_k − k·total, argmax |s| (tie → earliest day), one
+    round6 division at the end."""
+    return """
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+b AS (SELECT min(day) AS d0, max(day) AS d1,
+             CAST(max(day) - min(day) + 1 AS BIGINT) AS dd,
+             CAST(sum(n) AS BIGINT) AS total FROM c),
+g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+f AS (SELECT g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM g LEFT JOIN c USING (day)),
+p AS (SELECT day, SUM(n) OVER (ORDER BY day) AS pre,
+             row_number() OVER (ORDER BY day) AS k FROM f),
+s AS (SELECT p.day, b.dd * p.pre - p.k * b.total AS sv FROM p, b),
+w AS (SELECT s.day, s.sv FROM s ORDER BY abs(s.sv) DESC, s.day LIMIT 1)
+SELECT CAST(w.day * 86400000000 AS BIGINT) AS change_day_us,
+       floor(CAST(w.sv AS DOUBLE) / b.dd * 1e6 + 0.5) / 1e6 AS cusum,
+       b.dd AS n_days, b.total AS total
+FROM w, b
+"""
+
+
 def expfit_ks_oracle() -> str:
     """Mirror of windows.expfit_ks: MLE mean = Σgap/n, KS sup over the
     gap histogram support, round6."""

@@ -1859,6 +1859,59 @@ def session_type_pairs(ds, gap_sec: int = 1800, user_col: str = "user_id",
     return merge_partials(pairs, ["t1", "t2"], {"n_sessions": "sum"})
 
 
+def cusum_changepoint(ds, ts_col: str = "ts"):
+    """CUSUM level-shift scan over the calendar-complete daily
+    event-count series: with μ = total/D over ALL D days in [first,
+    last] (missing days count 0), S_k = Σ_{i≤k}(n_i − μ) and the change
+    point is the day maximizing |S_k| (tie → earliest day) — the
+    offline mean-shift detector (Page 1954's batch form) a volume
+    monitor runs before alerting on a step change.
+
+    Exactness: the scaled statistic s_k = D·prefix_k − k·total is an
+    exact int64 (loud assert on the bound, the PACK convention), the
+    argmax runs on integers, and the reported cusum is ONE round6
+    division s*/D.  Plan: (day, n) grid combiner + tree merge
+    (calendar-bounded), one final task over ≤ D rows.  Returns one row
+    (change_day_us, cusum, n_days, total)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(us // 86_400_000_000, return_counts=True)
+        return pa.table({"day": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([ts_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["day"], {"n": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        days = df["day"].to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        d0, d1 = int(days[0]), int(days[-1])
+        D = d1 - d0 + 1
+        full = np.zeros(D, np.int64)
+        full[days - d0] = n
+        total = int(full.sum())
+        assert total * D < 2 ** 62, "cusum int64 bound exceeded"
+        k = np.arange(1, D + 1, dtype=np.int64)
+        s = D * np.cumsum(full) - k * total
+        idx = int(np.argmax(np.abs(s)))      # first max == earliest day
+        return pd.DataFrame({
+            "change_day_us": pd.array(
+                [(d0 + idx) * 86_400_000_000], dtype="int64"),
+            "cusum": [round6(s[idx] / D)],
+            "n_days": pd.array([D], dtype="int64"),
+            "total": pd.array([total], dtype="int64")})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+
 def expfit_ks(ds, user_col: str = "user_id", ts_col: str = "ts",
               id_col: str = "event_id"):
     """One-sample goodness-of-fit: MLE-fit an exponential to the per-user

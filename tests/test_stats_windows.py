@@ -1022,3 +1022,26 @@ def test_expfit_ks_exponential_sample(ray_session):
     out2 = expfit_ks(rd.from_arrow(t2)).to_pandas()
     # all mass at one gap: D = 1 - 1/e at the point (F(mean) = 0.632)
     assert abs(out2["ks_d"].iloc[0] - (1 - np.exp(-1.0))) < 1e-3
+
+def test_cusum_changepoint_step_series(ray_session):
+    """Rate steps from 2/day to 10/day at day 10 of 20: the max-|S|
+    day is the last low-rate day (day 9); cusum magnitude matches the
+    hand value; missing days count as zeros."""
+    days = []
+    for d in range(10):
+        days += [d] * 2
+    for d in range(10, 20):
+        days += [d] * 10
+    us = (np.array(days, np.int64) * 86_400_000_000 + 1)
+    out = windows.cusum_changepoint(rd.from_arrow(pa.table({
+        "ts": pa.array(us, pa.timestamp("us"))}))).to_pandas()
+    assert out["n_days"].iloc[0] == 20
+    assert out["total"].iloc[0] == 120
+    # prefix at day 9 (k=10) = 20; s = 20*20 - 10*120 = -800; /D = -40
+    assert out["change_day_us"].iloc[0] == 9 * 86_400_000_000
+    assert out["cusum"].iloc[0] == -40.0
+    # zero-gap handling: one event on day 0, one on day 4 -> D=5
+    out2 = windows.cusum_changepoint(rd.from_arrow(pa.table({
+        "ts": pa.array(np.array([0, 4], np.int64) * 86_400_000_000,
+                       pa.timestamp("us"))}))).to_pandas()
+    assert out2["n_days"].iloc[0] == 5 and out2["total"].iloc[0] == 2
