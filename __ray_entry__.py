@@ -678,6 +678,15 @@ def _q_events_expfit(sf_dir: str):
     return expfit_ks(read_events(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def _q_events_first_touch(sf_dir: str):
+    """First-touch attribution: purchases and revenue rolled up to each
+    user's acquisition channel (their first event's type)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import first_touch_attribution
+    return first_touch_attribution(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
+
+
 def _q_events_changepoint(sf_dir: str):
     """CUSUM level-shift scan over the calendar-complete daily count
     series (offline mean-shift detector; scaled-integer statistic)."""
@@ -3014,6 +3023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_pairs": _q_session_type_pairs,
         "events_expfit": _q_events_expfit,
         "events_changepoint": _q_events_changepoint,
+        "events_first_touch": _q_events_first_touch,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
         "benford_digits": _q_benford,
@@ -3312,6 +3322,7 @@ def oracle_sql() -> dict[str, str]:
         "session_type_pairs": oracle.session_type_pairs_oracle(),
         "events_expfit": oracle.expfit_ks_oracle(),
         "events_changepoint": oracle.cusum_changepoint_oracle(),
+        "events_first_touch": oracle.first_touch_attribution_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
         "benford_digits": oracle.benford_digits_oracle(),

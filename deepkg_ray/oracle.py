@@ -1215,6 +1215,31 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def first_touch_attribution_oracle(purchase_type: str = "purchase") -> str:
+    """Mirror of windows.first_touch_attribution: first event per user by
+    (us, event_id), purchase count + value micros rolled up per first
+    type; revenue is the single micros division."""
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events),
+f AS (SELECT user_id, event_type AS first_type FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) = 1),
+p AS (SELECT user_id,
+             CAST(COUNT(CASE WHEN event_type = '{purchase_type}'
+                             THEN 1 END) AS BIGINT) AS np,
+             CAST(COALESCE(SUM(CASE WHEN event_type = '{purchase_type}'
+                                    THEN vm END), 0) AS BIGINT) AS rm
+      FROM e GROUP BY user_id)
+SELECT f.first_type, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(SUM(p.np) AS BIGINT) AS n_purchases,
+       CAST(SUM(p.rm) AS BIGINT) AS rev_micros,
+       CAST(SUM(p.rm) AS DOUBLE) / 1e6 AS revenue
+FROM f JOIN p USING (user_id) GROUP BY f.first_type
+"""
+
+
 def cusum_changepoint_oracle() -> str:
     """Mirror of windows.cusum_changepoint: calendar-complete daily
     counts via generate_series, scaled integer statistic

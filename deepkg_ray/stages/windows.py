@@ -1859,6 +1859,82 @@ def session_type_pairs(ds, gap_sec: int = 1800, user_col: str = "user_id",
     return merge_partials(pairs, ["t1", "t2"], {"n_sessions": "sum"})
 
 
+def first_touch_attribution(ds, *, purchase_type: str = "purchase",
+                            user_col: str = "user_id", ts_col: str = "ts",
+                            id_col: str = "event_id",
+                            type_col: str = "event_type",
+                            value_col: str = "value"):
+    """First-touch attribution: each user's FIRST event overall (order
+    (ts, event_id)) names the acquisition channel; purchases and
+    purchase revenue then roll up per channel — the marketing
+    counterpart of timed_conversions' last-hour window rule.
+
+    Plan: one per-batch pass emits ONE row per user carrying BOTH the
+    batch-argmin first-event candidate (first_us, first_id, first_type
+    travel together — the latest_order_per_customer row-wise kernel)
+    AND the batch's purchase partials (np, rm), so a single two-level
+    merge tree reduces everything; the final task holds ≤ |users|
+    candidate rows (the documented key-bounded final-task tier).
+    Returns (first_type, n_users, n_purchases, rev_micros, revenue)."""
+    from deepkg_ray.functions.numeric import to_micros as _tm
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            user_col: b[user_col].to_numpy(zero_copy_only=False),
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_numpy(zero_copy_only=False),
+            "eid": b[id_col].to_numpy(zero_copy_only=False),
+            "etype": b[type_col].to_pylist(),
+            "vm": np.asarray(_tm(b[value_col].to_pylist()), np.int64)})
+        is_p = (df["etype"] == purchase_type).to_numpy()
+        sums = (pd.DataFrame({user_col: df[user_col],
+                              "np": is_p.astype(np.int64),
+                              "rm": np.where(is_p, df["vm"].to_numpy(), 0)})
+                .groupby(user_col, as_index=False, sort=False).sum())
+        first = (df.sort_values([user_col, "us", "eid"], kind="stable")
+                 .groupby(user_col, sort=False).head(1)
+                 [[user_col, "us", "eid", "etype"]]
+                 .rename(columns={"us": "first_us", "eid": "first_id",
+                                  "etype": "first_type"}))
+        out = first.merge(sums, on=user_col, sort=False)
+        out["np"] = out["np"].astype("int64")
+        out["rm"] = out["rm"].astype("int64")
+        return out
+
+    def merge_frames(df: pd.DataFrame) -> pd.DataFrame:
+        sums = (df.groupby(user_col, as_index=False, sort=False)
+                [["np", "rm"]].sum())
+        first = (df.sort_values([user_col, "first_us", "first_id"],
+                                kind="stable")
+                 .groupby(user_col, sort=False).head(1)
+                 [[user_col, "first_us", "first_id", "first_type"]])
+        out = first.merge(sums, on=user_col, sort=False)
+        out["np"] = out["np"].astype("int64")
+        out["rm"] = out["rm"].astype("int64")
+        return out
+
+    cols = [user_col, ts_col, id_col, type_col, value_col]
+    parts = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow")
+    lvl1 = parts.repartition(8).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)
+    final = lvl1.repartition(1).map_batches(
+        merge_frames, batch_format="pandas", batch_size=None)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("first_type", as_index=False)
+             .agg(n_users=(user_col, "size"), n_purchases=("np", "sum"),
+                  rev_micros=("rm", "sum")))
+        g["n_users"] = g["n_users"].astype("int64")
+        g["n_purchases"] = g["n_purchases"].astype("int64")
+        g["rev_micros"] = g["rev_micros"].astype("int64")
+        g["revenue"] = g["rev_micros"].to_numpy(np.int64) / 1e6
+        return g
+
+    return final.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
+
+
 def cusum_changepoint(ds, ts_col: str = "ts"):
     """CUSUM level-shift scan over the calendar-complete daily
     event-count series: with μ = total/D over ALL D days in [first,

@@ -1045,3 +1045,26 @@ def test_cusum_changepoint_step_series(ray_session):
         "ts": pa.array(np.array([0, 4], np.int64) * 86_400_000_000,
                        pa.timestamp("us"))}))).to_pandas()
     assert out2["n_days"].iloc[0] == 5 and out2["total"].iloc[0] == 2
+
+def test_first_touch_attribution_golden(ray_session):
+    """User 1 first touches 'view' then purchases twice; user 2 first
+    touches 'click', never purchases; user 3 ties on ts -> smaller
+    event_id wins the first touch."""
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20, 31, 30], pa.int64()),
+        "ts": pa.array(np.array([5, 6, 7, 5, 9, 9], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", "purchase", "purchase",
+                                "click", "click", "signup"]),
+        "value": pa.array([0.0, 2.5, 1.5, 0.0, 0.0, 0.0])})
+    out = (windows.first_touch_attribution(rd.from_arrow(t)).to_pandas()
+           .set_index("first_type"))
+    assert out.loc["view", "n_users"] == 1
+    assert out.loc["view", "n_purchases"] == 2
+    assert out.loc["view", "revenue"] == 4.0
+    assert out.loc["click", "n_users"] == 1
+    assert out.loc["click", "n_purchases"] == 0
+    # ts tie at 9: event_id 30 ('signup') is the first touch for user 3
+    assert out.loc["signup", "n_users"] == 1
+    assert "purchase" not in out.index
