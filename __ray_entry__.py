@@ -678,6 +678,14 @@ def _q_events_expfit(sf_dir: str):
     return expfit_ks(read_events(sf_dir, ["user_id", "event_id", "ts"]))
 
 
+def _q_session_paths(sf_dir: str):
+    """Top session type-path prefixes (clickstream path report)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import session_paths
+    return session_paths(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+
+
 def _q_events_first_touch(sf_dir: str):
     """First-touch attribution: purchases and revenue rolled up to each
     user's acquisition channel (their first event's type)."""
@@ -3024,6 +3032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expfit": _q_events_expfit,
         "events_changepoint": _q_events_changepoint,
         "events_first_touch": _q_events_first_touch,
+        "session_paths": _q_session_paths,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
         "benford_digits": _q_benford,
@@ -3323,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "events_expfit": oracle.expfit_ks_oracle(),
         "events_changepoint": oracle.cusum_changepoint_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
+        "session_paths": oracle.session_paths_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),
         "benford_digits": oracle.benford_digits_oracle(),

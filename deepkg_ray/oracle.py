@@ -1215,6 +1215,36 @@ GROUP BY a.event_type, b.event_type
 """
 
 
+def session_paths_oracle(gap_sec: int = 1800, prefix_len: int = 3) -> str:
+    """Mirror of windows.session_paths: session ids via the gap-break
+    window sum (session_type_pairs' derivation), first-``prefix_len``
+    ranks string_agg'd in order."""
+    gap_us = gap_sec * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+           FROM events),
+w AS (SELECT user_id, event_type, us, event_id,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id
+                                          ORDER BY us, event_id)
+                  > {gap_us} THEN 1 ELSE 0 END AS brk
+      FROM e),
+sids AS (SELECT user_id, event_type, us, event_id,
+                SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+         FROM w),
+r AS (SELECT user_id, sid, event_type,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY us, event_id) AS rn
+      FROM sids),
+p AS (SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= {prefix_len} GROUP BY user_id, sid)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+"""
+
+
 def first_touch_attribution_oracle(purchase_type: str = "purchase") -> str:
     """Mirror of windows.first_touch_attribution: first event per user by
     (us, event_id), purchase count + value micros rolled up per first

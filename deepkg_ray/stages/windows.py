@@ -1988,6 +1988,68 @@ def cusum_changepoint(ds, ts_col: str = "ts"):
                                              batch_size=None)
 
 
+def session_paths(ds, gap_sec: int = 1800, prefix_len: int = 3,
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  id_col: str = "event_id", type_col: str = "event_type"):
+    """Session path analysis: the '>'-joined sequence of the first
+    ``prefix_len`` event types of each user session (session_type_pairs'
+    gap rule, (ts, event_id) order) with the number of sessions following
+    each path — the clickstream "top paths" report.
+
+    Plan: user-complete coarse partitions; per partition one sort pass
+    assigns session ids, a rank-pivot builds the prefix strings fully
+    vectorized, and the (path) count merge is bounded by the
+    |types|^prefix_len path dictionary.  Returns (path, n_sessions)."""
+    gap_us = gap_sec * 1_000_000
+    n_parts = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            type_col: b[type_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        same = np.concatenate(([False], u[1:] == u[:-1]))
+        gap = np.concatenate(([0], us[1:] - us[:-1]))
+        sid = np.cumsum((~same) | (gap > gap_us))
+        first = np.concatenate(([0], np.nonzero(
+            sid[1:] != sid[:-1])[0] + 1))
+        rn = np.arange(len(sid)) - first[
+            np.cumsum(np.concatenate(([False], sid[1:] != sid[:-1])))]
+        kept = pd.DataFrame({"sid": sid, "rn": rn,
+                             "t": g[type_col].to_numpy()})
+        kept = kept[kept["rn"] < prefix_len]
+        piv = kept.pivot(index="sid", columns="rn", values="t") \
+            .reindex(columns=range(prefix_len))
+        path = piv[0].to_numpy(dtype=object)
+        for j in range(1, prefix_len):
+            col = piv[j]
+            mask = col.isna().to_numpy()
+            seg = np.where(
+                mask, "",
+                ">" + col.fillna("").astype(str).to_numpy(dtype=object))
+            path = path + seg
+        out = (pd.Series(path).value_counts().rename_axis("path")
+               .reset_index(name="n_sessions"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        return out
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parted = ds.select_columns([user_col, ts_col, id_col, type_col]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    paths = parted.groupby("part").map_groups(per_partition,
+                                              batch_format="pandas")
+    return merge_partials(paths, ["path"], {"n_sessions": "sum"})
+
+
 def expfit_ks(ds, user_col: str = "user_id", ts_col: str = "ts",
               id_col: str = "event_id"):
     """One-sample goodness-of-fit: MLE-fit an exponential to the per-user

@@ -1068,3 +1068,21 @@ def test_first_touch_attribution_golden(ray_session):
     # ts tie at 9: event_id 30 ('signup') is the first touch for user 3
     assert out.loc["signup", "n_users"] == 1
     assert "purchase" not in out.index
+
+def test_session_paths_golden(ray_session):
+    """Two sessions for user 1 (gap > 30min splits), one 4-event session
+    for user 2 truncated to a 3-prefix."""
+    m = 60_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": pa.array(np.array(
+            [0, m, 200 * m,                 # user1: [a,b] then [c]
+             0, m, 2 * m, 3 * m], np.int64), pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "c", "x", "y", "z", "w"])})
+    out = (windows.session_paths(rd.from_arrow(t)).to_pandas()
+           .set_index("path")["n_sessions"])
+    assert out["a>b"] == 1
+    assert out["c"] == 1
+    assert out["x>y>z"] == 1        # 4th event falls off the 3-prefix
+    assert len(out) == 3
