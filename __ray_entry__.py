@@ -109,6 +109,14 @@ def _q_decayed_adjacency(sf_dir: str):
     return kg.decayed_adjacency_dataset(sf_dir)
 
 
+def _q_kg_entity_relatedness(sf_dir: str):
+    """Entity-relatedness edges: conversation-set Jaccard per entity
+    pair (conv-grain co-presence, degree-normalized)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.mention import entity_relatedness
+    return entity_relatedness(kg.mentions_dataset(sf_dir))
+
+
 def _q_conv_entity_entropy(sf_dir: str):
     """Per-conversation entity-mention entropy (topical-focus signal)."""
     from deepkg_ray.pipelines import kg
@@ -3215,6 +3223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_usage": _q_alias_usage,
         "kg_mention_gini": _q_mention_gini,
         "conv_entity_entropy": _q_conv_entity_entropy,
+        "kg_entity_relatedness": _q_kg_entity_relatedness,
         "kg_edge_provenance": _q_edge_provenance,
         "kg_entity_burst": _q_entity_burst,
         "lang_confusion": _q_lang_confusion,
@@ -3520,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_alias_usage": oracle.alias_usage_sql(SF_ORACLE),
         "kg_mention_gini": oracle.mention_gini_sql(SF_ORACLE),
         "conv_entity_entropy": oracle.conv_entity_entropy_sql(SF_ORACLE),
+        "kg_entity_relatedness": oracle.entity_relatedness_sql(SF_ORACLE),
         "kg_edge_provenance": oracle.edge_provenance_sql(SF_ORACLE),
         "kg_entity_burst": oracle.entity_burst_sql(SF_ORACLE),
         "lang_confusion": oracle.lang_confusion_oracle(),

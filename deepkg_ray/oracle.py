@@ -141,6 +141,30 @@ GROUP BY o.conv_id, t.tn, t.ne
 """
 
 
+def entity_relatedness_sql(sf_dir: str) -> str:
+    """Mirror of mention.entity_relatedness: DISTINCT (conv, entity)
+    presence, self-join pair intersections, conv-degree Jaccard with one
+    round6 division."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+pres AS (SELECT DISTINCT t.conv_id, d.entity_id
+         FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0),
+deg AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n
+        FROM pres GROUP BY entity_id),
+pr AS (SELECT a.entity_id AS e1, b.entity_id AS e2,
+              CAST(count(*) AS BIGINT) AS n_inter
+       FROM pres a JOIN pres b
+         ON a.conv_id = b.conv_id AND a.entity_id < b.entity_id
+       GROUP BY a.entity_id, b.entity_id)
+SELECT pr.e1, pr.e2, pr.n_inter, da.n AS n_a, db.n AS n_b,
+       floor(pr.n_inter / CAST(da.n + db.n - pr.n_inter AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS jaccard
+FROM pr JOIN deg da ON da.entity_id = pr.e1
+        JOIN deg db ON db.entity_id = pr.e2
+"""
+
+
 def mention_gini_sql(sf_dir: str) -> str:
     """Mirror of mention.mention_concentration_gini: per-entity counts,
     sorted-form integer Gini per type (row_number ties are sum-invariant

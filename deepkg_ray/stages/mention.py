@@ -592,6 +592,86 @@ def mention_concentration_gini(mentions, mode: str = "auto"):
                                              batch_size=None)
 
 
+def entity_relatedness(mentions, mode: str = "auto"):
+    """Entity-relatedness edges by shared conversations: for every
+    entity pair mentioned together in ≥1 conversation, the
+    conversation-set Jaccard |convs(a) ∩ convs(b)| / |convs(a) ∪
+    convs(b)| — the distributional-similarity complement of
+    cooccurrence_counts (same turn) and entity_transitions (adjacent
+    turns): co-presence at CONVERSATION grain, degree-normalized.
+
+    Plan: (conv, entity) presence cells dedupe on the merge tree;
+    pair intersections fan out per conversation inside conv-complete
+    partitions (bounded by per-conv entity counts) and merge on the
+    entity²-bounded pair grid; per-entity conv counts fold from the
+    same presence cells (dictionary-bounded) and attach in the final
+    pair task as a broadcast map.  One round6 division per pair.
+    Returns (e1, e2, n_a, n_b, n_inter, jaccard)."""
+    import pandas as pd
+    import ray
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import rows_all
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "conv_id": b["conv_id"].to_pylist(),
+            "entity_id": b["entity_id"].to_numpy(zero_copy_only=False)})
+            .drop_duplicates())
+        g["one"] = np.int64(1)
+        return g
+
+    presence = merge_partials(
+        mentions.select_columns(["conv_id", "entity_id"]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["conv_id", "entity_id"], {"one": "first"}, mode=mode
+    ).materialize()
+
+    deg = merge_partials(
+        presence.map_batches(
+            lambda b: pd.DataFrame({
+                "entity_id": b["entity_id"].to_numpy(
+                    zero_copy_only=False),
+                "n_convs": np.ones(b.num_rows, np.int64)}),
+            batch_format="pyarrow"),
+        ["entity_id"], {"n_convs": "sum"})
+    deg_map = {int(r["entity_id"]): int(r["n_convs"])
+               for r in rows_all(deg)}
+    deg_ref = ray.put(deg_map)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["conv_id", "entity_id"]]
+        m = d.merge(d, on="conv_id", suffixes=("_1", "_2"))
+        m = m[m["entity_id_1"] < m["entity_id_2"]]
+        out = (m.groupby(["entity_id_1", "entity_id_2"], as_index=False)
+               .size().rename(columns={"entity_id_1": "e1",
+                                       "entity_id_2": "e2",
+                                       "size": "n_inter"}))
+        out["n_inter"] = out["n_inter"].astype("int64")
+        return out
+
+    pair_counts = merge_partials(
+        presence.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(pairs, batch_format="pandas"),
+        ["e1", "e2"], {"n_inter": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(deg_ref)
+        na = df["e1"].map(dm).to_numpy(np.int64)
+        nb = df["e2"].map(dm).to_numpy(np.int64)
+        inter = df["n_inter"].to_numpy(np.int64)
+        jac = np.floor(inter / (na + nb - inter) * 1e6 + 0.5) / 1e6
+        return df.assign(n_a=na, n_b=nb, jaccard=jac)
+
+    return pair_counts.map_batches(finish, batch_format="pandas")
+
+
 def conv_entity_entropy(mentions, mode: str = "auto"):
     """Per-conversation entity-mention Shannon entropy (nats): a focused
     conversation (one entity dominates) scores near 0, a roaming one

@@ -687,3 +687,24 @@ def test_knn_accuracy_separated_blobs(ray_session):
     out2 = knn_accuracy(rd.from_arrow(t2)).to_pandas() \
         .set_index("label")
     assert out2.loc[7, "accuracy"] == 0.0
+
+
+def test_entity_relatedness_golden():
+    """Conv-set Jaccard: entity 3 appears in {c1,c2}, 7 in {c1,c2},
+    9 in {c2} -> J(3,7)=1.0, J(3,9)=J(7,9)=0.5; repeated mentions in
+    the same conversation do not inflate presence."""
+    from deepkg_ray.stages.mention import entity_relatedness
+    mentions = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2", "c2", "c2", "c2"],
+        "turn_idx": np.array([0, 1, 1, 0, 0, 1, 2], np.int32),
+        "entity_id": np.array([3, 7, 7, 3, 7, 9, 9], np.int64),
+    })
+    got = (entity_relatedness(rd.from_pandas(mentions)).to_pandas()
+           .sort_values(["e1", "e2"]).reset_index(drop=True))
+    want = pd.DataFrame({
+        "e1": [3, 3, 7], "e2": [7, 9, 9],
+        "n_inter": [2, 1, 1], "n_a": [2, 2, 2], "n_b": [2, 1, 1],
+        "jaccard": [1.0, 0.5, 0.5]})
+    pd.testing.assert_frame_equal(
+        got[["e1", "e2", "n_inter", "n_a", "n_b", "jaccard"]], want,
+        check_dtype=False)
