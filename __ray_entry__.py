@@ -2330,6 +2330,13 @@ def _q_heavy_part_suppliers(sf_dir: str):
 
 
 
+def _q_revenue_concentration(sf_dir: str):
+    """Revenue-concentration audit: Gini + top-10%/1% customer shares
+    over per-customer lifetime revenue (value-count histogram plan)."""
+    from deepkg_ray.pipelines.relational import revenue_concentration
+    return revenue_concentration(sf_dir)
+
+
 def _q_latest_order_per_customer(sf_dir: str):
     """Keep-latest-row-per-key compaction (SCD-1): per customer the most
     recent order via an associative row-wise argmax merge tree."""
@@ -3131,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "upsert_snapshot": _q_upsert_snapshot,
         "embedding_norms": _q_embedding_norms,
         "latest_order_per_customer": _q_latest_order_per_customer,
+        "revenue_concentration": _q_revenue_concentration,
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
@@ -3432,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_snapshot": oracle.upsert_snapshot_oracle(),
         "embedding_norms": oracle.embedding_norms_oracle(),
         "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),
+        "revenue_concentration": oracle.revenue_concentration_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),

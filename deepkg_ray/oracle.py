@@ -1269,6 +1269,39 @@ FROM p GROUP BY path
 """
 
 
+def revenue_concentration_oracle() -> str:
+    """Mirror of relational.revenue_concentration: per-customer micros
+    sums, sorted-form integer Gini via row_number, rank-cut top-k
+    shares (tie-invariant)."""
+    return """
+WITH r AS (SELECT o_custkey,
+                  CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS rm
+           FROM orders GROUP BY o_custkey),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(rm) AS BIGINT) AS tot FROM r),
+s AS (SELECT rm, row_number() OVER (ORDER BY rm) AS rn FROM r),
+gn AS (SELECT 2 * SUM(rn * rm)
+               - ((SELECT n FROM t) + 1) * (SELECT tot FROM t)
+               AS gini_num FROM s),
+d AS (SELECT rm, row_number() OVER (ORDER BY rm DESC) AS dn FROM r),
+k AS (SELECT greatest(n // 10, 1) AS k10,
+             greatest(n // 100, 1) AS k1 FROM t),
+t10 AS (SELECT CAST(COALESCE(SUM(rm), 0) AS BIGINT) AS m
+        FROM d, k WHERE dn <= k.k10),
+t1 AS (SELECT CAST(COALESCE(SUM(rm), 0) AS BIGINT) AS m
+       FROM d, k WHERE dn <= k.k1)
+SELECT t.n AS n_customers, t.tot AS total_micros,
+       CAST(gn.gini_num AS DOUBLE)
+         / (CAST(t.n AS DOUBLE) * t.tot) AS gini,
+       t10.m AS top10_micros,
+       CAST(t10.m AS DOUBLE) / t.tot AS top10_share,
+       t1.m AS top1_micros,
+       CAST(t1.m AS DOUBLE) / t.tot AS top1_share
+FROM t, gn, t10, t1
+"""
+
+
 def first_touch_attribution_oracle(purchase_type: str = "purchase") -> str:
     """Mirror of windows.first_touch_attribution: first event per user by
     (us, event_id), purchase count + value micros rolled up per first

@@ -1720,6 +1720,86 @@ def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
     return per_supp.map_batches(finish, batch_format="pyarrow")
 
 
+def revenue_concentration(sf_dir: str):
+    """Revenue-concentration audit over per-customer lifetime revenue:
+    Gini coefficient plus the top-10% / top-1% customer revenue shares —
+    the Lorenz-curve skew diagnostic (an account book where 1% of
+    customers carry half the revenue shuffles and samples very
+    differently from a flat one).
+
+    Exactness: per-customer micros fold distributed (custkey groupby,
+    mode='auto'); the Lorenz statistics run over the per-customer
+    revenue VALUE-COUNT histogram (the quantile-family posture), so the
+    final task sees distinct revenue values, not customers.  Sorted-form
+    integer Gini (source_length_gini's identity); rank-cut top-k is
+    tie-invariant because tied values contribute equally either side of
+    the cut.  Returns one row (n_customers, total_micros, gini,
+    top10_micros, top10_share, top1_micros, top1_share)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "o_custkey": b["o_custkey"].to_numpy(zero_copy_only=False),
+            "rm": np.asarray(to_micros(b["o_totalprice"].to_pylist()),
+                             np.int64)})
+            .groupby("o_custkey", as_index=False, sort=False).sum())
+        g["rm"] = g["rm"].astype("int64")
+        return g
+
+    per_cust = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], {"rm": "sum"}, mode="auto")
+
+    def hist(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            b["rm"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"rm": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnts.astype(np.int64))})
+
+    h = merge_partials(
+        per_cust.map_batches(hist, batch_format="pyarrow"),
+        ["rm"], {"cnt": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("rm", kind="stable")
+        v = df["rm"].to_numpy(np.int64)
+        c = df["cnt"].to_numpy(np.int64)
+        n = int(c.sum())
+        tot = int((v.astype(object) * c).sum())
+        r_start = np.cumsum(c) - c + 1        # first rank of each run
+        # exact big-int numerator (n·tot can exceed int64): object dtype
+        # keeps every term a Python int, one float conversion at the end
+        sum_i_xi = int((v.astype(object)
+                        * (c.astype(object) * r_start
+                           + c.astype(object) * (c - 1) // 2)).sum())
+        gini_num = 2 * sum_i_xi - (n + 1) * tot
+        gini = float(gini_num) / (float(n) * float(tot)) if tot else 0.0
+
+        vd, cd = v[::-1], c[::-1]
+        ccd = np.cumsum(cd)
+
+        def top_micros(k: int) -> int:
+            take = np.clip(k - (ccd - cd), 0, cd)
+            return int(np.sum(vd * take))
+
+        k10, k1 = max(n // 10, 1), max(n // 100, 1)
+        t10, t1 = top_micros(k10), top_micros(k1)
+        return pd.DataFrame({
+            "n_customers": pd.array([n], dtype="int64"),
+            "total_micros": pd.array([tot], dtype="int64"),
+            "gini": [gini],
+            "top10_micros": pd.array([t10], dtype="int64"),
+            "top10_share": [float(t10) / float(tot) if tot else 0.0],
+            "top1_micros": pd.array([t1], dtype="int64"),
+            "top1_share": [float(t1) / float(tot) if tot else 0.0]})
+
+    return h.repartition(1).map_batches(finish, batch_format="pandas",
+                                        batch_size=None)
+
+
 def latest_order_per_customer(sf_dir: str):
     """Keep-latest-row-per-key (the SCD-1 compaction / CDC dedup shape):
     per customer, their most recent order row, ties broken by the larger

@@ -127,3 +127,21 @@ def test_rollup_subtotals_consistent(sf_dir):
     total = df[df.c_mktsegment == "ALL"]
     assert len(total) == 1 and total.n.iloc[0] == leaf.n.sum()
     assert total.o_orderpriority.iloc[0] == "ALL"
+
+
+def test_revenue_concentration_golden(ray_session, tmp_path):
+    """4 customers with revenues 1,1,1,7 (total 10): top-10% = top-1
+    customer = 0.7 share; Gini = (2*(1+2+3+28) - 5*10)/(4*10) = 0.45."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "o_totalprice": pa.array([1.0, 1.0, 1.0, 3.0, 4.0])})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    from deepkg_ray.pipelines.relational import revenue_concentration
+    out = revenue_concentration(str(tmp_path)).to_pandas()
+    assert out["n_customers"].iloc[0] == 4
+    assert out["total_micros"].iloc[0] == 10_000_000
+    assert out["top10_share"].iloc[0] == 0.7
+    assert out["top1_share"].iloc[0] == 0.7
+    assert abs(out["gini"].iloc[0] - 0.45) < 1e-12
