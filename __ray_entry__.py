@@ -2359,6 +2359,14 @@ def _q_upsert_snapshot(sf_dir: str):
     return upsert_snapshot(sf_dir)
 
 
+def _q_embedding_isotropy(sf_dir: str):
+    """Embedding-space isotropy (common-direction collapse diagnostic):
+    ||mean vec||^2 over mean ||v||^2 from d-bounded moment folds."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import embedding_isotropy
+    return embedding_isotropy(read_embeddings(sf_dir, ["embedding"]))
+
+
 def _q_embedding_norms(sf_dir: str):
     """Per-label embedding squared-norm stats in exact integer micros^2
     (encoder-health check)."""
@@ -3137,6 +3145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence": _q_type_cooccurrence,
         "upsert_snapshot": _q_upsert_snapshot,
         "embedding_norms": _q_embedding_norms,
+        "embedding_isotropy": _q_embedding_isotropy,
         "latest_order_per_customer": _q_latest_order_per_customer,
         "revenue_concentration": _q_revenue_concentration,
         "forecast_revenue": _q_forecast_revenue,
@@ -3439,6 +3448,7 @@ def oracle_sql() -> dict[str, str]:
         "type_cooccurrence": oracle.type_cooccurrence_jaccard_oracle(),
         "upsert_snapshot": oracle.upsert_snapshot_oracle(),
         "embedding_norms": oracle.embedding_norms_oracle(),
+        "embedding_isotropy": oracle.embedding_isotropy_oracle(),
         "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),
         "revenue_concentration": oracle.revenue_concentration_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),

@@ -5922,6 +5922,31 @@ FROM allr GROUP BY o_orderstatus
 """
 
 
+def embedding_isotropy_oracle(dim: int = 64) -> str:
+    """Mirror of similarity.embedding_isotropy: per-dim micros sums
+    squared (HUGEINT), Σ‖v‖² micros², one double division."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+m AS (SELECT idx.i,
+             CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT) AS em
+      FROM embeddings e, idx),
+s AS (SELECT i, CAST(SUM(em) AS BIGINT) AS sv FROM m GROUP BY i),
+num AS (SELECT SUM(sv * sv) AS num FROM s),
+n2 AS (SELECT (SELECT CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)
+                               * CAST(floor(x * 1e6 + 0.5) AS BIGINT))
+                           AS BIGINT)
+               FROM unnest(embedding) AS t(x)) AS n2
+       FROM embeddings),
+den AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(n2) AS BIGINT) AS sum_norm2 FROM n2)
+SELECT den.n, den.sum_norm2,
+       CAST(num.num AS DOUBLE)
+         / (CAST(den.n AS DOUBLE) * den.sum_norm2) AS isotropy
+FROM num, den
+"""
+
+
 def embedding_norms_oracle() -> str:
     """Mirror of similarity.embedding_norms: Σ over dims of the squared
     micros-quantized components, exact integer sums per label."""

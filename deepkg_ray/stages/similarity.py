@@ -358,6 +358,57 @@ def embedding_centroids(ds, label_col: str = "label",
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def embedding_isotropy(ds, emb_col: str = "embedding", dim: int = 64):
+    """Embedding-space isotropy estimate: ‖μ‖² / mean ‖v‖² — the
+    common-direction (anisotropy) diagnostic for encoder output
+    (Ethayarajh 2019's observation that contextual embeddings collapse
+    into a narrow cone; a healthy centered space scores near 0, a
+    collapsed one near 1).  Degenerates from the same moments the
+    dim-stats/Gram family already folds: per-dim micros sums S_j, row
+    count n and Σ‖v‖² — so one d+1-row combiner per batch and a
+    d-bounded merge tree carry everything; isotropy =
+    Σ_j S_j² / (n · Σ‖v‖²) with the numerator in exact Python big-ints
+    and ONE double division.  Returns (n, sum_norm2, isotropy)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import micros_matrix
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = micros_matrix(np.stack(
+            [np.asarray(x, np.float64) for x in b[emb_col].to_pylist()]))
+        s = m.sum(axis=0).astype(np.int64)
+        n2 = int((m * m).sum())
+        i = np.arange(0, dim + 1, dtype=np.int64)
+        return pa.table({
+            "i": pa.array(i),
+            "s": pa.array(np.concatenate(([0], s)), pa.int64()),
+            "n": pa.array(np.concatenate(
+                ([m.shape[0]], np.zeros(dim, np.int64))), pa.int64()),
+            "n2": pa.array(np.concatenate(
+                ([n2], np.zeros(dim, np.int64))), pa.int64())})
+
+    merged = merge_partials(
+        ds.select_columns([emb_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["i"], {"s": "sum", "n": "sum", "n2": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        sc = df[df["i"] == 0]
+        n = int(sc["n"].iloc[0])
+        den = int(sc["n2"].iloc[0])
+        dd = df[df["i"] > 0]
+        num = int((dd["s"].astype(object) ** 2).sum())
+        iso = float(num) / (float(n) * float(den)) if den else 0.0
+        return pd.DataFrame({
+            "n": pd.array([n], dtype="int64"),
+            "sum_norm2": pd.array([den], dtype="int64"),
+            "isotropy": [iso]})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
 def embedding_norms(ds, emb_col: str = "embedding",
                     label_col: str = "label"):
     """Per-label squared-norm statistics of the embedding column in the

@@ -326,3 +326,19 @@ def test_user_value_bands_matches_duckdb():
                 f"read_parquet('{SF}/events.parquet')")
     exp = _canon(con.sql(user_value_bands_oracle()).df())
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_embedding_isotropy_golden(ray_session):
+    """Identical vectors -> isotropy 1; sign-balanced pair -> 0."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.similarity import embedding_isotropy
+    v = np.zeros(64, np.float64)
+    v[0] = 1.0
+    same = pa.table({"embedding": pa.array([v.tolist()] * 4)})
+    out = embedding_isotropy(rd.from_arrow(same)).to_pandas()
+    assert out["n"].iloc[0] == 4
+    assert out["isotropy"].iloc[0] == 1.0
+    bal = pa.table({"embedding": pa.array([v.tolist(), (-v).tolist()])})
+    out2 = embedding_isotropy(rd.from_arrow(bal)).to_pandas()
+    assert out2["isotropy"].iloc[0] == 0.0
