@@ -2292,6 +2292,14 @@ def _q_rfm_scores(sf_dir: str):
 
 
 
+def _q_kwic_search(sf_dir: str):
+    """Keyword-in-context concordance view (first hit + context
+    windows), shuffle-free scan."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import kwic_search
+    return kwic_search(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_conjunctive_search(sf_dir: str):
     """AND keyword search over documents (scan tier: broadcast query
     tokens, vectorized per-batch hit masks)."""
@@ -3153,6 +3161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_part_suppliers": _q_heavy_part_suppliers,
         "cheapest_supplier_per_part": _q_cheapest_supplier,
         "conjunctive_search": _q_conjunctive_search,
+        "kwic_search": _q_kwic_search,
         "source_length_gini": _q_source_length_gini,
         "rfm_scores": _q_rfm_scores,
         "events_mad_outliers": _q_events_mad_outliers,
@@ -3457,6 +3466,7 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier_per_part":
             oracle.cheapest_supplier_per_part_oracle(),
         "conjunctive_search": oracle.conjunctive_search_oracle(),
+        "kwic_search": oracle.kwic_search_oracle(),
         "source_length_gini": oracle.source_length_gini_oracle(),
         "rfm_scores": oracle.rfm_scores_oracle(),
         "events_mad_outliers": oracle.grouped_mad_outliers_oracle(),

@@ -5922,6 +5922,21 @@ FROM allr GROUP BY o_orderstatus
 """
 
 
+def kwic_search_oracle(term: str = "join", width: int = 40) -> str:
+    """Mirror of textstats.kwic_search: strpos first occurrence,
+    substr context windows (char-based; corpus is ASCII)."""
+    tl = len(term)
+    return f"""
+WITH h AS (SELECT doc_id, text, strpos(text, '{term}') AS pos
+           FROM documents WHERE strpos(text, '{term}') > 0)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       substr(text, greatest(pos - {width}, 1),
+              pos - greatest(pos - {width}, 1)) AS left_ctx,
+       substr(text, pos + {tl}, {width}) AS right_ctx
+FROM h
+"""
+
+
 def embedding_isotropy_oracle(dim: int = 64) -> str:
     """Mirror of similarity.embedding_isotropy: per-dim micros sums
     squared (HUGEINT), Σ‖v‖² micros², one double division."""

@@ -806,6 +806,43 @@ def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
         "kl": pa.array([kl_micros / 1e6], pa.float64())}))
 
 
+def kwic_search(ds, term: str = "join", width: int = 40,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Keyword-in-context (KWIC) extraction: for every document
+    containing ``term``, the FIRST occurrence's 1-based character
+    position plus the ``width``-char left/right context windows — the
+    concordance view a corpus linguist (or a prompt auditor) reads
+    before deciding on a filter rule; conjunctive_search's
+    show-me-the-hits sibling.
+
+    Pure streaming scan, shuffle-free: the match scan is a vectorized
+    str.find per batch; only MATCHING rows pay the per-row context
+    slice (variable-offset gather-slices have no pandas kernel — the
+    source_length_gini posture).  Substring semantics: 'join' also
+    hits 'joins', identical to SQL strpos.  Returns
+    (doc_id, pos, left_ctx, right_ctx)."""
+    import pandas as pd
+
+    def kernel(b: pa.Table) -> pd.DataFrame:
+        s = pd.Series(b[text_col].to_pylist())
+        pos = s.str.find(term).to_numpy() + 1          # strpos: 1-based
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        m = pos > 0
+        s, pos, ids = s[m].reset_index(drop=True), pos[m], ids[m]
+        lstart = np.maximum(pos - width, 1)
+        left = np.asarray([t[ls - 1:p - 1]
+                           for t, ls, p in zip(s, lstart, pos)],
+                          dtype=object)
+        right = np.asarray([t[p - 1 + len(term):p - 1 + len(term) + width]
+                            for t, p in zip(s, pos)], dtype=object)
+        return pd.DataFrame({
+            "doc_id": ids.astype(np.int64), "pos": pos.astype(np.int64),
+            "left_ctx": left, "right_ctx": right})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
 def conjunctive_search(ds, query: str = "data hash join",
                        text_col: str = "text", id_col: str = "doc_id"):
     """Conjunctive (AND) keyword search: documents containing EVERY query

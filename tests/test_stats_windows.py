@@ -1086,3 +1086,20 @@ def test_session_paths_golden(ray_session):
     assert out["c"] == 1
     assert out["x>y>z"] == 1        # 4th event falls off the 3-prefix
     assert len(out) == 3
+
+def test_kwic_search_golden(ray_session):
+    """First-occurrence position and clipped context windows."""
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["join me at the join table",
+                          "no match here",
+                          "xjoins"])})
+    out = (textstats.kwic_search(rd.from_arrow(t), term="join", width=5)
+           .to_pandas().set_index("doc_id"))
+    assert list(out.index) == [1, 3]
+    assert out.loc[1, "pos"] == 1            # first hit, 1-based
+    assert out.loc[1, "left_ctx"] == ""      # clipped at doc start
+    assert out.loc[1, "right_ctx"] == " me a"
+    assert out.loc[3, "pos"] == 2            # substring hit in 'xjoins'
+    assert out.loc[3, "left_ctx"] == "x"
+    assert out.loc[3, "right_ctx"] == "s"
