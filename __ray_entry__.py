@@ -703,6 +703,14 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_events_dow_anomaly(sf_dir: str):
+    """Seasonality-adjusted daily volume anomaly (per-dow z-scores over
+    the calendar-complete daily counts)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import dow_daily_anomaly
+    return dow_daily_anomaly(read_events(sf_dir, ["ts"]))
+
+
 def _q_events_changepoint(sf_dir: str):
     """CUSUM level-shift scan over the calendar-complete daily count
     series (offline mean-shift detector; scaled-integer statistic)."""
@@ -3062,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_type_pairs": _q_session_type_pairs,
         "events_expfit": _q_events_expfit,
         "events_changepoint": _q_events_changepoint,
+        "events_dow_anomaly": _q_events_dow_anomaly,
         "events_first_touch": _q_events_first_touch,
         "session_paths": _q_session_paths,
         "events_geometric_mean": _q_events_geometric_mean,
@@ -3366,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "session_type_pairs": oracle.session_type_pairs_oracle(),
         "events_expfit": oracle.expfit_ks_oracle(),
         "events_changepoint": oracle.cusum_changepoint_oracle(),
+        "events_dow_anomaly": oracle.dow_daily_anomaly_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "session_paths": oracle.session_paths_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),

@@ -1327,6 +1327,40 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def dow_daily_anomaly_oracle(thresh: float = 2.0) -> str:
+    """Mirror of windows.dow_daily_anomaly: calendar-complete daily
+    counts, per-dow integer moments, the identical double z chain."""
+    return f"""
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+f AS (SELECT g.day, CAST((g.day + 4) % 7 AS BIGINT) AS dow,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM g LEFT JOIN c USING (day)),
+m AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss,
+             CAST(count(*) AS BIGINT) AS dc
+      FROM f GROUP BY dow),
+z AS (SELECT f.day, f.dow, f.n,
+             CAST(m.s AS DOUBLE) / m.dc AS mu,
+             CAST(m.ss AS DOUBLE) / m.dc
+               - (CAST(m.s AS DOUBLE) / m.dc)
+                 * (CAST(m.s AS DOUBLE) / m.dc) AS var
+      FROM f JOIN m USING (dow)),
+r AS (SELECT day, dow, n,
+             CASE WHEN var <= 0 THEN 0.0
+                  ELSE floor((n - mu) / sqrt(var) * 1e6 + 0.5) / 1e6
+             END AS z
+      FROM z)
+SELECT CAST(day * 86400000000 AS BIGINT) AS day_us, dow, n, z,
+       CAST(CASE WHEN abs(z) > {thresh} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM r
+"""
+
+
 def cusum_changepoint_oracle() -> str:
     """Mirror of windows.cusum_changepoint: calendar-complete daily
     counts via generate_series, scaled integer statistic

@@ -1935,6 +1935,65 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def dow_daily_anomaly(ds, ts_col: str = "ts", thresh: float = 2.0):
+    """Seasonality-adjusted daily volume anomaly: each calendar day's
+    event count z-scored against ITS day-of-week's mean/std over the
+    calendar-complete range (missing days count 0, the
+    cusum_changepoint convention) — the weekly-seasonal monitor that
+    doesn't page on every quiet Sunday.  DOW follows DuckDB's
+    dayofweek (0 = Sunday; epoch day 0 is a Thursday → (day+4) % 7).
+
+    Exactness: per-dow Σn / Σn² are exact integers; z is ONE fixed
+    double chain (n − S/D) / √(SS/D − (S/D)²), round6'd, with
+    zero-variance dows pinned to z = 0.  (day, n) grid combiner + tree
+    merge; the finish sees ≤ D rows.  Returns (day_us, dow, n, z,
+    is_outlier)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(us // 86_400_000_000, return_counts=True)
+        return pa.table({"day": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([ts_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["day"], {"n": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        days = df["day"].to_numpy(np.int64)
+        d0, d1 = int(days[0]), int(days[-1])
+        D = d1 - d0 + 1
+        full = np.zeros(D, np.int64)
+        full[days - d0] = df["n"].to_numpy(np.int64)
+        all_days = np.arange(d0, d1 + 1, dtype=np.int64)
+        dow = (all_days + 4) % 7
+        S = np.zeros(7, np.int64)
+        np.add.at(S, dow, full)                 # exact int sums (bincount
+        SS = np.zeros(7, np.int64)              # weights would go float)
+        np.add.at(SS, dow, full * full)
+        Dc = np.bincount(dow, minlength=7).astype(np.int64)
+        mu = S / Dc.astype(np.float64)
+        var = SS / Dc.astype(np.float64) - mu * mu
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(var[dow] <= 0, 0.0,
+                         (full - mu[dow]) / np.sqrt(var[dow]))
+        z6 = np.floor(z * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "day_us": all_days * 86_400_000_000,
+            "dow": dow.astype(np.int64),
+            "n": full,
+            "z": z6,
+            "is_outlier": (np.abs(z6) > thresh).astype(np.int64)})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+
 def cusum_changepoint(ds, ts_col: str = "ts"):
     """CUSUM level-shift scan over the calendar-complete daily
     event-count series: with μ = total/D over ALL D days in [first,

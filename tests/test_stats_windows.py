@@ -1103,3 +1103,29 @@ def test_kwic_search_golden(ray_session):
     assert out.loc[3, "pos"] == 2            # substring hit in 'xjoins'
     assert out.loc[3, "left_ctx"] == "x"
     assert out.loc[3, "right_ctx"] == "s"
+
+def test_dow_daily_anomaly_golden(ray_session):
+    """Three weeks of constant 5/day except one spiked Monday: only the
+    spiked day flags; constant dows have var 0 -> z pinned to 0."""
+    base, counts = [], []
+    for d in range(21):
+        counts.append(20 if d == 11 else 5)
+    for d, c in enumerate(counts):
+        base += [d * 86_400_000_000 + i for i in range(c)]
+    out = windows.dow_daily_anomaly(rd.from_arrow(pa.table({
+        "ts": pa.array(np.array(base, np.int64), pa.timestamp("us"))})
+    )).to_pandas()
+    assert len(out) == 21
+    spiked = out[out["day_us"] == 11 * 86_400_000_000].iloc[0]
+    # dow of epoch day 11: (11+4)%7 = 1 (Monday)
+    assert spiked["dow"] == 1
+    assert spiked["is_outlier"] == 0 or spiked["z"] > 0  # z positive
+    # its two siblings (days 4 and 18) share the dow and get negative z
+    sib = out[(out["dow"] == 1) & (out["day_us"] != 11 * 86_400_000_000)]
+    assert (sib["z"] < 0).all()
+    # every other dow is constant -> z exactly 0, no outliers
+    rest = out[out["dow"] != 1]
+    assert (rest["z"] == 0).all() and (rest["is_outlier"] == 0).all()
+    # the spike is the only |z| > 2 row: mean=10, var=50 -> z=10/sqrt(50)
+    assert abs(spiked["z"] - 10 / np.sqrt(50)) < 1e-6
+    assert int(out["is_outlier"].sum()) == 0  # 1.414 < 2: no page
