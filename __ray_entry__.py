@@ -703,6 +703,15 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_user_survival(sf_dir: str):
+    """Kaplan-Meier time-to-first-purchase survival curve with honest
+    right-censoring at each user's last observed event."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import survival_curve
+    return survival_curve(read_events(sf_dir,
+                                      ["user_id", "ts", "event_type"]))
+
+
 def _q_events_dow_anomaly(sf_dir: str):
     """Seasonality-adjusted daily volume anomaly (per-dow z-scores over
     the calendar-complete daily counts)."""
@@ -3071,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_expfit": _q_events_expfit,
         "events_changepoint": _q_events_changepoint,
         "events_dow_anomaly": _q_events_dow_anomaly,
+        "user_survival": _q_user_survival,
         "events_first_touch": _q_events_first_touch,
         "session_paths": _q_session_paths,
         "events_geometric_mean": _q_events_geometric_mean,
@@ -3376,6 +3386,7 @@ def oracle_sql() -> dict[str, str]:
         "events_expfit": oracle.expfit_ks_oracle(),
         "events_changepoint": oracle.cusum_changepoint_oracle(),
         "events_dow_anomaly": oracle.dow_daily_anomaly_oracle(),
+        "user_survival": oracle.survival_curve_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "session_paths": oracle.session_paths_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),

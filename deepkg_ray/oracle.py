@@ -1327,6 +1327,47 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def survival_curve_oracle(event_type: str = "purchase") -> str:
+    """Mirror of windows.survival_curve: per-user min/min/max triple,
+    day-duration histogram, suffix-sum risk sets, ln-micros cumulative
+    product with the d = n_risk zero-pin."""
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+u AS (SELECT user_id, min(us) AS f,
+             min(CASE WHEN event_type = '{event_type}' THEN us END) AS p,
+             max(us) AS l
+      FROM e GROUP BY user_id),
+t AS (SELECT CASE WHEN p IS NOT NULL THEN (p - f) // 86400000000
+                  ELSE (l - f) // 86400000000 END AS t_days,
+             CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u),
+h AS (SELECT t_days, CAST(count(*) AS BIGINT) AS c,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM t GROUP BY t_days),
+r AS (SELECT t_days, c, d,
+             CAST(SUM(c) OVER (ORDER BY t_days
+                               ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT)
+               AS n_risk
+      FROM h),
+k AS (SELECT t_days, n_risk, d,
+             CASE WHEN d = n_risk THEN 1 ELSE 0 END AS dead,
+             CASE WHEN d = n_risk THEN 0
+                  ELSE CAST(floor(ln(1 - d / CAST(n_risk AS DOUBLE))
+                                  * 1e6 + 0.5) AS BIGINT) END AS lm
+      FROM r),
+s AS (SELECT t_days, n_risk, d,
+             SUM(lm) OVER (ORDER BY t_days) AS cum,
+             MAX(dead) OVER (ORDER BY t_days) AS anydead
+      FROM k)
+SELECT t_days, n_risk, d,
+       CASE WHEN anydead = 1 THEN 0.0
+            ELSE floor(exp(CAST(cum AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+       END AS survival
+FROM s WHERE d > 0
+"""
+
+
 def dow_daily_anomaly_oracle(thresh: float = 2.0) -> str:
     """Mirror of windows.dow_daily_anomaly: calendar-complete daily
     counts, per-dow integer moments, the identical double z chain."""

@@ -1935,6 +1935,89 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def survival_curve(ds, *, event_type: str = "purchase",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type"):
+    """Kaplan–Meier survival curve for time-to-first-``event_type``:
+    per user the duration (whole days) from their FIRST event to their
+    first purchase, right-censored at their last observed event — the
+    conversion-lag estimator that handles never-converters honestly
+    (conversion_lag's quantiles condition on converting; KM does not).
+
+    Exactness: the per-user (first, first-purchase, last) triple folds
+    as min/min/max partials (sentinel = int64 max for no purchase);
+    durations histogram into (t_days, c, d) cells (day-range-bounded);
+    each factor ln(1 − d/n) quantizes to ln-micros and the product is
+    ONE exp of the integer cumulative sum (the geometric-mean
+    convention), with d = n_at_risk pinning survival to 0 from that
+    time on.  Returns event-time rows (t_days, n_risk, d, survival)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    SENTINEL = np.iinfo(np.int64).max
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            user_col: b[user_col].to_numpy(zero_copy_only=False),
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+                  .to_numpy(zero_copy_only=False),
+            "is_p": np.asarray(
+                pc.equal(b[type_col], event_type).to_numpy(
+                    zero_copy_only=False))})
+        df["pus"] = np.where(df["is_p"], df["us"], SENTINEL)
+        g = (df.groupby(user_col, as_index=False, sort=False)
+             .agg(f=("us", "min"), p=("pus", "min"), l=("us", "max")))
+        for c in ("f", "p", "l"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    trip = merge_partials(
+        ds.select_columns([user_col, ts_col, type_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        [user_col], {"f": "min", "p": "min", "l": "max"}, mode="auto")
+
+    def durations(b: pa.Table) -> pa.Table:
+        f = b["f"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        l = b["l"].to_numpy(zero_copy_only=False)
+        ev = p != SENTINEL
+        t = np.where(ev, p - f, l - f) // 86_400_000_000
+        g = (pd.DataFrame({"t_days": t.astype(np.int64),
+                           "ev": ev.astype(np.int64), "one": 1})
+             .groupby(["t_days"], as_index=False)
+             .agg(c=("one", "sum"), d=("ev", "sum")))
+        g["c"] = g["c"].astype("int64")
+        g["d"] = g["d"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = merge_partials(
+        trip.map_batches(durations, batch_format="pyarrow"),
+        ["t_days"], {"c": "sum", "d": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("t_days", kind="stable")
+        c = df["c"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        n_risk = np.cumsum(c[::-1])[::-1]       # at risk: t_u >= t
+        dead = d == n_risk
+        # guard BEFORE the log: np.where evaluates both branches and
+        # floor(log(0)) -> int64 garbage
+        ratio = np.where(dead, 1.0, 1.0 - d / n_risk.astype(np.float64))
+        lm = np.floor(np.log(ratio) * 1e6 + 0.5).astype(np.int64)
+        cum = np.cumsum(lm)
+        anydead = np.maximum.accumulate(dead)
+        surv = np.where(anydead, 0.0,
+                        np.floor(np.exp(cum / 1e6) * 1e6 + 0.5) / 1e6)
+        out = pd.DataFrame({
+            "t_days": df["t_days"].to_numpy(np.int64),
+            "n_risk": n_risk.astype(np.int64),
+            "d": d, "survival": surv})
+        return out[d > 0].reset_index(drop=True)
+
+    return cells.repartition(1).map_batches(finish,
+                                            batch_format="pandas",
+                                            batch_size=None)
+
+
 def dow_daily_anomaly(ds, ts_col: str = "ts", thresh: float = 2.0):
     """Seasonality-adjusted daily volume anomaly: each calendar day's
     event count z-scored against ITS day-of-week's mean/std over the

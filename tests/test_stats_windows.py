@@ -1129,3 +1129,38 @@ def test_dow_daily_anomaly_golden(ray_session):
     # the spike is the only |z| > 2 row: mean=10, var=50 -> z=10/sqrt(50)
     assert abs(spiked["z"] - 10 / np.sqrt(50)) < 1e-6
     assert int(out["is_outlier"].sum()) == 0  # 1.414 < 2: no page
+
+def test_survival_curve_km_golden(ray_session):
+    """3 users: converts day 1, converts day 2, censored at day 2.
+    KM: S(1) = 1 - 1/3 = 2/3; S(2) = 2/3 * (1 - 1/2) = 1/3."""
+    day = 86_400_000_000
+    rows = [
+        (1, 0, "view"), (1, day, "purchase"),          # t=1, event
+        (2, 0, "view"), (2, 2 * day, "purchase"),      # t=2, event
+        (3, 0, "view"), (3, 2 * day, "click"),         # t=2, censored
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows])})
+    out = (windows.survival_curve(rd.from_arrow(t)).to_pandas()
+           .set_index("t_days"))
+    assert list(out.index) == [1, 2]
+    assert out.loc[1, "n_risk"] == 3 and out.loc[1, "d"] == 1
+    assert abs(out.loc[1, "survival"] - 2 / 3) < 2e-6
+    assert out.loc[2, "n_risk"] == 2 and out.loc[2, "d"] == 1
+    assert abs(out.loc[2, "survival"] - 1 / 3) < 2e-6
+
+
+def test_survival_curve_all_die_pins_zero(ray_session):
+    """Every user converts at the same time: survival hits exactly 0."""
+    day = 86_400_000_000
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(np.array([0, day, 0, day], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array(["view", "purchase", "view", "purchase"])})
+    out = windows.survival_curve(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    assert out["survival"].iloc[0] == 0.0
