@@ -1463,6 +1463,14 @@ def _q_kg_truss(sf_dir: str):
     return truss_edges(kg.adjacency_dataset(sf_dir), k=3)
 
 
+def _q_kg_eigenvector(sf_dir: str):
+    """Fixed-iteration integer-scaled eigenvector centrality (power
+    iteration x' = A.x on the symmetrized KG, scalar max normalizer)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import eigenvector_scaled
+    return eigenvector_scaled(kg.adjacency_dataset(sf_dir), n_iters=3)
+
+
 def _q_kg_hits(sf_dir: str):
     """Fixed-iteration integer-scaled HITS hubs/authorities over the built
     KG (join-free scatters + scalar max normalizers; bitwise-identical to
@@ -3045,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sssp": _q_kg_sssp,
         "kg_scc": _q_kg_scc,
         "kg_hits": _q_kg_hits,
+        "kg_eigenvector": _q_kg_eigenvector,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -3354,6 +3363,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sssp": oracle.kg_sssp_oracle(SF_ORACLE, rounds=16),
         "kg_scc": oracle.kg_scc_oracle(SF_ORACLE),
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
+        "kg_eigenvector": oracle.kg_eigenvector_oracle(SF_ORACLE,
+                                                       n_iters=3),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "inverted_index": oracle.inverted_index_oracle(),

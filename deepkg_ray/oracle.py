@@ -2312,6 +2312,48 @@ FROM {prev} JOIN ids ON ids.id = {prev}.node
 """
 
 
+def kg_eigenvector_oracle(sf_dir: str, n_iters: int = 3,
+                          scale: int = 10**6) -> str:
+    """Fixed-iteration integer-scaled eigenvector centrality over the
+    symmetrized KG, one MATERIALIZED CTE per iteration — mirrors
+    stages/graph.eigenvector_scaled op for op (kg_hits_oracle's chain
+    with a single x-update per round)."""
+    prev = "x0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""x{i}raw AS MATERIALIZED (
+  SELECT nd.node, CAST(COALESCE(t.sm, 0) AS BIGINT) AS raw
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.v) AS sm
+    FROM {prev} p JOIN dedges e ON e.s = p.node GROUP BY e.d
+  ) t ON t.node = nd.node
+), x{i} AS MATERIALIZED (
+  SELECT node, CASE WHEN (SELECT max(raw) FROM x{i}raw) > 0
+    THEN (raw * {scale}) // (SELECT max(raw) FROM x{i}raw)
+    ELSE 0 END AS v
+  FROM x{i}raw
+)""")
+        prev = f"x{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS MATERIALIZED (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                  greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+dedges AS MATERIALIZED (
+  SELECT lo AS s, hi AS d FROM adj UNION ALL SELECT hi, lo FROM adj
+),
+nodes AS (SELECT DISTINCT s AS node FROM dedges),
+x0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),
+{chain}
+SELECT node, CAST(v AS BIGINT) AS eig_scaled FROM x{n_iters}
+"""
+
+
 def kg_hits_oracle(sf_dir: str, n_iters: int = 3,
                    scale: int = 10**6) -> str:
     """Fixed-iteration integer-scaled HITS, unrolled one MATERIALIZED CTE

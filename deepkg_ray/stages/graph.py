@@ -385,6 +385,116 @@ def personalized_pagerank_scaled(edges, src_col: str = "subj_id",
 HITS_SCALE = 10**6
 
 
+def eigenvector_scaled(edges, src_col: str = "subj_id",
+                       dst_col: str = "obj_id", n_iters: int = 3,
+                       scale: int = HITS_SCALE):
+    """Fixed-iteration eigenvector centrality over the UNDIRECTED simple
+    graph: power iteration x' = A·x with integer max-normalization per
+    round — hits_scaled's convention restricted to ONE half-step per
+    iteration on the symmetrized edge set (for symmetric A the hub and
+    authority updates coincide, so this is the remaining member of the
+    spectral family: PageRank damps, HITS alternates, eigenvector
+    iterates pure A·x):
+
+        x0       = scale
+        raw(v)   = Σ_{u~v} x[u]
+        x[v]     = (raw·scale) // max(raw)
+
+    Overflow bound: raw·scale < 2^63 requires maxdeg < 9.2e6
+    (hits_scaled's documented partitioning assumption).  Each round is
+    one join-free scatter (state ∪ symmetric edges grouped by the
+    scatter key) + one node-keyed Sum; the normalizer is a scalar max.
+    Returns (node, eig_scaled)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as RSum
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"lo": pa.array(np.minimum(u, v), pa.int64()),
+                         "hi": pa.array(np.maximum(u, v), pa.int64())})
+
+    und = (edges.map_batches(orient, batch_format="pyarrow")
+           .groupby(["lo", "hi"]).aggregate(Count(alias_name="_m"))
+           .drop_columns(["_m"]))
+
+    def bidir(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "d": pa.array(np.concatenate([hi, lo]), pa.int64())})
+
+    dedges = und.map_batches(bidir, batch_format="pyarrow").materialize()
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            np.unique(b["s"].to_numpy(zero_copy_only=False)), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    if nodes.count() == 0:
+        empty = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({"node": empty,
+                                       "eig_scaled": empty}))
+
+    zero_rows = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "val": pa.array(np.zeros(b.num_rows,
+                                                     np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "v": pa.array(np.full(b.num_rows, scale,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["v"],
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b: pa.table({"node": b["s"], "peer": b["d"],
+                                "is_edge": pa.array(
+                                    np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            pv = g["peer"].to_numpy(zero_copy_only=False)
+            val = int(pv[~is_edge][0])
+            dst = pv[is_edge]
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(
+                                 np.full(len(dst), val, np.int64))})
+
+        raw = (st_rows.union(ed_rows).groupby("node").map_groups(
+            scatter, batch_format="pyarrow")
+            .union(zero_rows).groupby("node")
+            .aggregate(RSum("val", alias_name="raw")).materialize())
+        mx = int(raw.max("raw") or 0)
+
+        def norm(b: pa.Table, mx=mx) -> pa.Table:
+            r = b["raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = (r * scale) // mx if mx > 0 else np.zeros(len(r),
+                                                          np.int64)
+            return pa.table({"node": b["node"],
+                             "v": pa.array(v, pa.int64())})
+
+        state = raw.map_batches(norm, batch_format="pyarrow") \
+            .materialize()
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "eig_scaled": b["v"]}),
+        batch_format="pyarrow")
+
+
 def hits_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
                 n_iters: int = 3, scale: int = HITS_SCALE):
     """Fixed-iteration HITS (hubs & authorities) over the simple directed

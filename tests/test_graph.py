@@ -702,3 +702,25 @@ def test_walk_counts_tiers_agree(ray_session):
     b = (graph.walk_counts_from(ds, max_len=3, driver_threshold=0)
          .to_pandas().sort_values(["k", "node"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_eigenvector_scaled_golden(ray_session):
+    """Star 0-1, 0-2, 0-3: the hub dominates; leaves tie below it.
+    After round 1: raw(0)=3·scale -> x0=scale; leaves raw=scale ->
+    x=scale//3.  Naive integer recurrence mirrored in pure python."""
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "subj_id": pa.array([0, 0, 0], pa.int64()),
+        "obj_id": pa.array([1, 2, 3], pa.int64())}))
+    out = (graph.eigenvector_scaled(ds, n_iters=3).to_pandas()
+           .set_index("node")["eig_scaled"])
+    scale = 10 ** 6
+    # pure-python reference on the symmetric star
+    x = {n: scale for n in range(4)}
+    for _ in range(3):
+        raw = {0: x[1] + x[2] + x[3], 1: x[0], 2: x[0], 3: x[0]}
+        mx = max(raw.values())
+        x = {n: (raw[n] * scale) // mx for n in raw}
+    for n in range(4):
+        assert out[n] == x[n], (n, out[n], x[n])
+    assert out[0] == scale and out[1] == out[2] == out[3] < scale
