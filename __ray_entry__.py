@@ -703,6 +703,14 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_seasonality_strength(sf_dir: str):
+    """Weekly seasonality strength: between-dow share of daily-count
+    variance (one-way ANOVA R^2)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import seasonality_strength
+    return seasonality_strength(read_events(sf_dir, ["ts"]))
+
+
 def _q_user_survival(sf_dir: str):
     """Kaplan-Meier time-to-first-purchase survival curve with honest
     right-censoring at each user's last observed event."""
@@ -3090,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_changepoint": _q_events_changepoint,
         "events_dow_anomaly": _q_events_dow_anomaly,
         "user_survival": _q_user_survival,
+        "seasonality_strength": _q_seasonality_strength,
         "events_first_touch": _q_events_first_touch,
         "session_paths": _q_session_paths,
         "events_geometric_mean": _q_events_geometric_mean,
@@ -3398,6 +3407,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changepoint": oracle.cusum_changepoint_oracle(),
         "events_dow_anomaly": oracle.dow_daily_anomaly_oracle(),
         "user_survival": oracle.survival_curve_oracle(),
+        "seasonality_strength": oracle.seasonality_strength_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "session_paths": oracle.session_paths_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),

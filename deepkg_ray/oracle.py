@@ -1327,6 +1327,43 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def seasonality_strength_oracle() -> str:
+    """Mirror of windows.seasonality_strength: calendar-complete daily
+    counts, integer moments, micros-quantized per-dow between terms."""
+    return """
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY day),
+b AS (SELECT min(day) AS d0, max(day) AS d1,
+             CAST(max(day) - min(day) + 1 AS BIGINT) AS dd FROM c),
+g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+f AS (SELECT g.day, CAST((g.day + 4) % 7 AS BIGINT) AS dow,
+             CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM g LEFT JOIN c USING (day)),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS ss FROM f),
+m AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS dc FROM f GROUP BY dow),
+mt AS (SELECT CAST(t.s AS DOUBLE) / b.dd AS mu,
+              CAST(t.ss AS DOUBLE) / b.dd
+                - (CAST(t.s AS DOUBLE) / b.dd)
+                  * (CAST(t.s AS DOUBLE) / b.dd) AS var_total
+       FROM t, b),
+terms AS (SELECT CAST(floor(
+            m.dc * (CAST(m.sd AS DOUBLE) / m.dc - mt.mu)
+                 * (CAST(m.sd AS DOUBLE) / m.dc - mt.mu)
+                 * 1e6 + 0.5) AS BIGINT) AS tm
+          FROM m, mt),
+vb AS (SELECT CAST(SUM(tm) AS DOUBLE) / 1e6 / (SELECT dd FROM b)
+         AS var_between FROM terms)
+SELECT b.dd AS n_days, t.s AS total, mt.var_total, vb.var_between,
+       CASE WHEN mt.var_total > 0
+            THEN floor(vb.var_between / mt.var_total * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS strength
+FROM b, t, mt, vb
+"""
+
+
 def survival_curve_oracle(event_type: str = "purchase") -> str:
     """Mirror of windows.survival_curve: per-user min/min/max triple,
     day-duration histogram, suffix-sum risk sets, ln-micros cumulative

@@ -1935,6 +1935,67 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def seasonality_strength(ds, ts_col: str = "ts"):
+    """Weekly seasonality strength of the daily event-count series: the
+    share of daily-count variance explained by day-of-week means
+    (between-group / total, the one-way ANOVA R²) — dow_daily_anomaly's
+    single-number summary (near 0: no weekly cycle, near 1: volume is
+    pure weekly seasonality).
+
+    Exactness: S/SS fold as exact integers on the calendar-complete
+    grid; each dow's between-variance term Dc·(μ_d − μ)² quantizes to
+    micros and integer-sums (order-free — 7 doubles summed by SQL in
+    arbitrary order would not hash-match), then two divisions and one
+    round6.  Returns one row (n_days, total, var_total, var_between,
+    strength)."""
+    from deepkg_ray.functions.numeric import round6 as _r6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(us // 86_400_000_000, return_counts=True)
+        return pa.table({"day": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    merged = merge_partials(
+        ds.select_columns([ts_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["day"], {"n": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        days = df["day"].to_numpy(np.int64)
+        d0, d1 = int(days[0]), int(days[-1])
+        D = d1 - d0 + 1
+        full = np.zeros(D, np.int64)
+        full[days - d0] = df["n"].to_numpy(np.int64)
+        dow = (np.arange(d0, d1 + 1, dtype=np.int64) + 4) % 7
+        S = int(full.sum())
+        SS = int((full * full).sum())
+        Sd = np.zeros(7, np.int64)
+        np.add.at(Sd, dow, full)
+        Dc = np.bincount(dow, minlength=7).astype(np.int64)
+        mu = float(S) / D
+        var_total = float(SS) / D - mu * mu
+        present = Dc > 0
+        mud = Sd[present] / Dc[present].astype(np.float64)
+        terms = np.floor(Dc[present] * (mud - mu) * (mud - mu)
+                         * 1e6 + 0.5).astype(np.int64)
+        var_between = float(int(terms.sum())) / 1e6 / D
+        strength = _r6(var_between / var_total) if var_total > 0 else 0.0
+        return pd.DataFrame({
+            "n_days": pd.array([D], dtype="int64"),
+            "total": pd.array([S], dtype="int64"),
+            "var_total": [var_total],
+            "var_between": [var_between],
+            "strength": [strength]})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+
 def survival_curve(ds, *, event_type: str = "purchase",
                    user_col: str = "user_id", ts_col: str = "ts",
                    type_col: str = "event_type"):

@@ -1164,3 +1164,22 @@ def test_survival_curve_all_die_pins_zero(ray_session):
     out = windows.survival_curve(rd.from_arrow(t)).to_pandas()
     assert len(out) == 1
     assert out["survival"].iloc[0] == 0.0
+
+def test_seasonality_strength_golden(ray_session):
+    """Pure weekly pattern (counts = dow) over exactly 2 weeks ->
+    between-variance equals total variance, strength = 1.  Constant
+    series -> var_total 0, strength pinned 0."""
+    base = []
+    for d in range(14):
+        dow = (d + 4) % 7
+        base += [d * 86_400_000_000 + i for i in range(dow + 1)]
+    out = windows.seasonality_strength(rd.from_arrow(pa.table({
+        "ts": pa.array(np.array(base, np.int64), pa.timestamp("us"))})
+    )).to_pandas()
+    assert out["n_days"].iloc[0] == 14
+    assert abs(out["strength"].iloc[0] - 1.0) < 1e-5
+    flat = [d * 86_400_000_000 for d in range(14)]
+    out2 = windows.seasonality_strength(rd.from_arrow(pa.table({
+        "ts": pa.array(np.array(flat, np.int64), pa.timestamp("us"))})
+    )).to_pandas()
+    assert out2["strength"].iloc[0] == 0.0
