@@ -532,6 +532,15 @@ def _q_ann_topk(sf_dir: str):
                             q, qids, k=10)
 
 
+def _q_knn_mutuality(sf_dir: str):
+    """Mutual-neighbor rate per kNN rank (hubness/asymmetry diagnostic
+    of the embedding space)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import knn_mutuality
+    return knn_mutuality(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                         k=5)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact kNN graph (k=5 cosine neighbors per vector): whole-corpus
     broadcast tier, per-batch matmul emits final rows — zero shuffle."""
@@ -3074,6 +3083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "knn_graph": _q_knn_graph,
+        "knn_mutuality": _q_knn_mutuality,
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
         "pq_adc_topk": _q_pq_adc_topk,
@@ -3384,6 +3394,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_entropy": oracle.neighbor_entropy_oracle(),
         "ann_topk": oracle.ann_topk_oracle(),
         "knn_graph": oracle.knn_graph_oracle(),
+        "knn_mutuality": oracle.knn_mutuality_oracle(),
         "hard_negatives": oracle.hard_negatives_oracle(),
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),

@@ -7242,6 +7242,33 @@ SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank < {k}
 """
 
 
+def knn_mutuality_oracle(k: int = 5) -> str:
+    """Mirror of similarity.knn_mutuality: knn_graph_oracle's edge CTE
+    left-joined to its own reverse, per-rank counts + round6 share."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    cos = SQL_COSINE.format(a="a.em", b="b.em")
+    return f"""
+WITH em AS (SELECT vec_id, {SQL_EMB_MICROS.format(e="embedding")} AS em
+            FROM embeddings),
+s AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, {cos} AS cosine
+  FROM em a JOIN em b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cosine DESC, nbr_id) - 1 AS INTEGER) AS rank
+  FROM s
+), g AS (SELECT vec_id, nbr_id, rank FROM r WHERE rank < {k})
+SELECT CAST(g.rank AS BIGINT) AS rank, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN g2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mutual,
+       floor(SUM(CASE WHEN g2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS share
+FROM g LEFT JOIN g g2
+  ON g2.vec_id = g.nbr_id AND g2.nbr_id = g.vec_id
+GROUP BY g.rank
+"""
+
+
 def rake_keywords_oracle(k: int = 50) -> str:
     """Mirror of stages/textstats.rake_keywords: RAKE phrase segmentation
     as a cumsum-of-stopwords gaps-and-islands, word score deg/freq rounded

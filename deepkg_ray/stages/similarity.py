@@ -641,6 +641,70 @@ def knn_graph(ds, k: int = 5, *, id_col: str = "vec_id",
         per_batch, batch_format="pyarrow")
 
 
+def knn_mutuality(ds, k: int = 5, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Mutual-neighbor rate of the exact kNN graph, per rank: how often
+    a vector's rank-r neighbor lists it back among ITS top-k — the
+    hubness/asymmetry diagnostic of the embedding space (low mutuality
+    at rank 0 means hub points dominate everyone's lists and
+    kNN-based dedup/retrieval will skew).
+
+    Plan: knn_graph's exact broadcast tier builds the edge list (its
+    N ≤ 200k bound already makes the edge set driver-sized, so the
+    packed reverse-edge membership set rides the same broadcast —
+    ids asserted < 2^31, the PACK convention); each batch tests
+    nbr→src membership with one np.isin against the sorted key array
+    and folds (rank, n, n_mutual) cells.  Returns
+    (rank, n, n_mutual, share)."""
+    import pandas as pd
+    import ray
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    edges = knn_graph(ds, k=k, id_col=id_col,
+                      vec_col=vec_col).materialize()
+    ed = edges.select_columns([id_col, "nbr_id"]).to_pandas()
+    s = ed[id_col].to_numpy(np.int64)
+    d = ed["nbr_id"].to_numpy(np.int64)
+    assert s.max(initial=0) < 2 ** 31 and d.max(initial=0) < 2 ** 31, \
+        "knn_mutuality PACK bound: ids must fit 31 bits"
+    keys = np.sort(s * (2 ** 31) + d)
+    ref = ray.put(keys)
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        kk = ray.get(ref)
+        src = b[id_col].to_numpy(zero_copy_only=False)
+        nbr = b["nbr_id"].to_numpy(zero_copy_only=False)
+        rev = nbr * (2 ** 31) + src
+        mut = np.zeros(len(rev), bool)
+        idx = np.searchsorted(kk, rev)
+        inb = idx < len(kk)
+        mut[inb] = kk[idx[inb]] == rev[inb]
+        g = (pd.DataFrame({
+            "rank": b["rank"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+            "one": np.ones(len(rev), np.int64),
+            "m": mut.astype(np.int64)})
+            .groupby("rank", as_index=False).sum())
+        return g.rename(columns={"one": "n", "m": "n_mutual"})
+
+    merged = merge_partials(
+        edges.map_batches(cells, batch_format="pyarrow"),
+        ["rank"], {"n": "sum", "n_mutual": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        m = df["n_mutual"].to_numpy(np.int64)
+        share = np.floor(m / n.astype(np.float64) * 1e6 + 0.5) / 1e6
+        out = df.assign(share=share).sort_values("rank", kind="stable")
+        out["n"] = out["n"].astype("int64")
+        out["n_mutual"] = out["n_mutual"].astype("int64")
+        return out.reset_index(drop=True)
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
 def centroid_similarity(ds, label_col: str = "label",
                         emb_col: str = "embedding"):
     """Pairwise cosine between per-label centroids — the class-prototype

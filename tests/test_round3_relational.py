@@ -342,3 +342,26 @@ def test_embedding_isotropy_golden(ray_session):
     bal = pa.table({"embedding": pa.array([v.tolist(), (-v).tolist()])})
     out2 = embedding_isotropy(rd.from_arrow(bal)).to_pandas()
     assert out2["isotropy"].iloc[0] == 0.0
+
+
+def test_knn_mutuality_golden(ray_session):
+    """Two tight pairs (a,b) and (c,d) at k=1: every vector's nearest
+    neighbor is its partner -> rank-0 mutuality 1.0.  Add a hub-ish
+    outlier pulled toward pair 1 at k=1: its nearest (a) does not
+    reciprocate, dropping the share to 4/5."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.similarity import knn_mutuality
+    d = 8
+    def v(*coords):
+        x = np.zeros(d); x[list(range(len(coords)))] = coords
+        return x.tolist()
+    vecs = [v(1.0), v(0.99, 0.1), v(0.0, 0.0, 1.0), v(0.0, 0.1, 0.99),
+            v(0.9, 0.4)]
+    t = pa.table({"vec_id": pa.array(range(5), pa.int64()),
+                  "embedding": pa.array(vecs)})
+    out = knn_mutuality(rd.from_arrow(t), k=1).to_pandas()
+    assert out["rank"].tolist() == [0]
+    assert out["n"].iloc[0] == 5
+    assert out["n_mutual"].iloc[0] == 4
+    assert out["share"].iloc[0] == 0.8
