@@ -2154,6 +2154,14 @@ def _q_events_drawdown(sf_dir: str):
 
 
 
+def _q_heaps_fit(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit (ln V ~ ln N OLS at doc-prefix
+    checkpoints) — token_zipf_fit's companion corpus-health law."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import heaps_fit
+    return heaps_fit(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_token_zipf_fit(sf_dir: str):
     """Zipf-law OLS fit (ln freq ~ ln rank) over the top-500 corpus
     unigrams — corpus-health diagnostic, big-int exact moments."""
@@ -3225,6 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": _q_brand_supplier_counts,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "token_zipf_fit": _q_token_zipf_fit,
+        "heaps_fit": _q_heaps_fit,
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -3536,6 +3545,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_supplier_counts": oracle.brand_supplier_counts_oracle(),
         "disjunctive_revenue": oracle.disjunctive_revenue_oracle(),
         "token_zipf_fit": oracle.token_zipf_fit_oracle(),
+        "heaps_fit": oracle.heaps_fit_oracle(),
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),

@@ -7242,6 +7242,42 @@ SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank < {k}
 """
 
 
+def heaps_fit_oracle(stride: int = 1) -> str:
+    """Mirror of textstats.heaps_fit: bucket token sums + per-token min
+    first doc, calendar-complete bucket cumsums, ln-micros OLS."""
+    return f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(string_split_regex(lower(trim(text)),
+                                              '\\s+')) AS w
+             FROM documents WHERE trim(text) <> ''),
+nt AS (SELECT doc_id // {stride} AS b, CAST(count(*) AS BIGINT) AS nt
+       FROM tok GROUP BY 1),
+fd AS (SELECT w, min(doc_id) AS fdoc FROM tok GROUP BY w),
+vn AS (SELECT fdoc // {stride} AS b, CAST(count(*) AS BIGINT) AS vnew
+       FROM fd GROUP BY 1),
+mb AS (SELECT greatest((SELECT max(b) FROM nt),
+                       (SELECT max(b) FROM vn)) AS m),
+bs AS (SELECT unnest(generate_series(0, (SELECT m FROM mb))) AS b),
+c AS (SELECT bs.b,
+             SUM(COALESCE(nt.nt, 0)) OVER (ORDER BY bs.b) AS nn,
+             SUM(COALESCE(vn.vnew, 0)) OVER (ORDER BY bs.b) AS vv
+      FROM bs LEFT JOIN nt USING (b) LEFT JOIN vn USING (b)),
+p AS (SELECT CAST(floor(ln(nn) * 1e6 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(vv) * 1e6 + 0.5) AS BIGINT) AS y
+      FROM c WHERE nn > 0),
+m AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM p),
+sl AS (SELECT n, sx, sy,
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       FROM m)
+SELECT n AS n_points, slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n / 1e6
+         AS intercept
+FROM sl
+"""
+
+
 def knn_mutuality_oracle(k: int = 5) -> str:
     """Mirror of similarity.knn_mutuality: knn_graph_oracle's edge CTE
     left-joined to its own reverse, per-rank counts + round6 share."""

@@ -627,6 +627,109 @@ def weighted_sample_k(ds, k: int = 100, weight_col: str = "n_chars",
 
 # --------------------------------------------------- corpus-level statistics
 
+def heaps_fit(ds, stride: int = 1, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Heaps'-law fit over vocabulary growth: OLS of ln V(N) on ln N at
+    doc-prefix checkpoints in doc_id order, where N is cumulative token
+    count and V cumulative distinct vocabulary — token_zipf_fit's
+    companion law (Heaps 1978; healthy natural text sits at β ≈ 0.4-0.6,
+    template/duplicated corpora flatten toward 0).
+
+    Plan: checkpoints sit at the end of each doc_id//stride bucket, so
+    BOTH reductions are bucket-bounded — (bucket, Σtokens) cells from a
+    per-batch combiner, and a per-token min-first-doc groupby (the open-
+    vocab shuffle) histogrammed into (bucket, new-vocab) cells — and the
+    finish folds cumsums over ≤ max_bucket rows.  stride = 1 checkpoints
+    every doc (the test tier); at corpus scale pick stride so buckets
+    stay ≲ 10⁴ (the two-phase-scan posture, packing.py).
+
+    Exactness: N/V are exact integers, per-point lns floor-micro'd from
+    integer args (the zipf convention), OLS moments in Python big-ints,
+    slope/intercept ONE fixed double chain.  Returns one row
+    (n_points, slope, intercept): slope ≈ β."""
+    import ray.data as rd
+    from ray.data.aggregate import Min as _Min
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def tok_cells(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        bks, nts = [], []
+        fd: dict[str, int] = {}
+        for i, t in enumerate(texts):
+            tl = t.lower().strip()
+            ws = _WS.split(tl) if tl else []
+            bks.append(int(ids[i]) // stride)
+            nts.append(len(ws))
+            for w in ws:
+                prev = fd.get(w)
+                if prev is None or ids[i] < prev:
+                    fd[w] = int(ids[i])
+        g = (pd.DataFrame({"b": np.asarray(bks, np.int64),
+                           "nt": np.asarray(nts, np.int64)})
+             .groupby("b", as_index=False).sum())
+        g["nt"] = g["nt"].astype("int64")
+        t1 = pa.Table.from_pandas(g, preserve_index=False)
+        t2 = pa.table({"w": pa.array(list(fd.keys())),
+                       "fdoc": pa.array(list(fd.values()), pa.int64())})
+        return {"nt": t1, "fd": t2}
+
+    # two passes share the tokenizer cost shape but keep plans simple:
+    # bucket token sums (combiner + tree) and per-token min first doc
+    # (open-vocab shuffle), histogrammed per bucket
+    src = ds.select_columns([id_col, text_col])
+    nt_cells = merge_partials(
+        src.map_batches(lambda b: tok_cells(b)["nt"],
+                        batch_format="pyarrow"),
+        ["b"], {"nt": "sum"}, mode="tree")
+    fdoc = (src.map_batches(lambda b: tok_cells(b)["fd"],
+                            batch_format="pyarrow")
+            .groupby("w").aggregate(_Min("fdoc", alias_name="fdoc")))
+    vn_cells = merge_partials(
+        fdoc.map_batches(
+            lambda b: pa.table({
+                "b": pa.array(b["fdoc"].to_numpy(zero_copy_only=False)
+                              // stride, pa.int64()),
+                "vnew": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["b"], {"vnew": "sum"}, mode="tree")
+
+    nt_df = nt_cells.to_pandas()
+    vn_df = vn_cells.to_pandas()
+    if len(nt_df) == 0:
+        return rd.from_arrow(pa.table({
+            "n_points": pa.array([0], pa.int64()),
+            "slope": pa.array([0.0], pa.float64()),
+            "intercept": pa.array([0.0], pa.float64())}))
+    B = int(max(nt_df["b"].max(), vn_df["b"].max())) + 1
+    nt = np.zeros(B, np.int64)
+    nt[nt_df["b"].to_numpy(np.int64)] = nt_df["nt"].to_numpy(np.int64)
+    vn = np.zeros(B, np.int64)
+    vn[vn_df["b"].to_numpy(np.int64)] = vn_df["vnew"].to_numpy(np.int64)
+    N = np.cumsum(nt)
+    V = np.cumsum(vn)
+    keep = N > 0
+    x = np.floor(np.log(N[keep]) * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(np.log(V[keep]) * 1e6 + 0.5).astype(np.int64)
+    n = len(x)
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "n_points": pa.array([n], pa.int64()),
+            "slope": pa.array([0.0], pa.float64()),
+            "intercept": pa.array([0.0], pa.float64())}))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x.astype(object) * y).sum())
+    sxx = int((x.astype(object) * x).sum())
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e6
+    return rd.from_arrow(pa.table({
+        "n_points": pa.array([n], pa.int64()),
+        "slope": pa.array([slope], pa.float64()),
+        "intercept": pa.array([intercept], pa.float64())}))
+
+
 def token_zipf_fit(ds, k: int = 500, text_col: str = "text"):
     """Zipf-law fit over the corpus unigram distribution: OLS of ln(freq)
     on ln(rank) for the top-``k`` tokens (rank by freq desc, token asc —

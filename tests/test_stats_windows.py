@@ -1183,3 +1183,22 @@ def test_seasonality_strength_golden(ray_session):
         "ts": pa.array(np.array(flat, np.int64), pa.timestamp("us"))})
     )).to_pandas()
     assert out2["strength"].iloc[0] == 0.0
+
+def test_heaps_fit_pure_power_law(ray_session):
+    """Construct docs so V(N) = N^0.5 exactly at every checkpoint:
+    each doc k contributes (2k+1) tokens of which ... simpler: doc k has
+    tokens so N_k = (k+1)^2 and V_k = k+1 -> slope = 0.5 exactly in the
+    log-log points (up to micros quantization)."""
+    docs = []
+    for k in range(1, 40):
+        n_k = k * k            # cumulative target
+        prev = (k - 1) * (k - 1)
+        fresh = [f"w{k}"]      # exactly one new vocab word per doc
+        fill = ["w1"] * (n_k - prev - 1)
+        docs.append((k - 1, " ".join(fresh + fill)))
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs])})
+    out = textstats.heaps_fit(rd.from_arrow(t)).to_pandas()
+    assert out["n_points"].iloc[0] == 39
+    assert abs(out["slope"].iloc[0] - 0.5) < 1e-3
