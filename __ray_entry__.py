@@ -2154,6 +2154,15 @@ def _q_events_drawdown(sf_dir: str):
 
 
 
+def _q_bigram_entropy(sf_dir: str):
+    """Per-source conditional bigram entropy H(w2|w1): next-token
+    predictability (template/duplication detector)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import bigram_cond_entropy
+    return bigram_cond_entropy(read_documents(sf_dir,
+                                              ["source", "text"]))
+
+
 def _q_heaps_fit(sf_dir: str):
     """Heaps'-law vocabulary-growth fit (ln V ~ ln N OLS at doc-prefix
     checkpoints) — token_zipf_fit's companion corpus-health law."""
@@ -3234,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _q_disjunctive_revenue,
         "token_zipf_fit": _q_token_zipf_fit,
         "heaps_fit": _q_heaps_fit,
+        "bigram_entropy": _q_bigram_entropy,
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
         "source_vocab_overlap": _q_source_vocab_overlap,
@@ -3546,6 +3556,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": oracle.disjunctive_revenue_oracle(),
         "token_zipf_fit": oracle.token_zipf_fit_oracle(),
         "heaps_fit": oracle.heaps_fit_oracle(),
+        "bigram_entropy": oracle.bigram_cond_entropy_oracle(),
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),

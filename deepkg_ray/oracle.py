@@ -7242,6 +7242,34 @@ SELECT vec_id, nbr_id, cosine, rank FROM r WHERE rank < {k}
 """
 
 
+def bigram_cond_entropy_oracle() -> str:
+    """Mirror of textstats.bigram_cond_entropy: per-source bigram counts
+    and w1 margins, micros-quantized c·ln(c/c1) terms, one double
+    chain."""
+    return """
+WITH toks AS (
+  SELECT source, CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), big AS (
+  SELECT source, ws[i] AS w1, ws[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g
+), c AS (SELECT source, w1, w2, CAST(count(*) AS BIGINT) AS c
+         FROM big GROUP BY 1, 2, 3),
+m AS (SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c1
+      FROM c GROUP BY 1, 2),
+t AS (SELECT c.source,
+             CAST(SUM(CAST(floor(c.c * ln(c.c / CAST(m.c1 AS DOUBLE))
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(c.c) AS BIGINT) AS tt
+      FROM c JOIN m ON m.source = c.source AND m.w1 = c.w1
+      GROUP BY c.source)
+SELECT source, tt AS n_bigrams,
+       -(CAST(s AS DOUBLE) / 1e6 / tt) AS entropy
+FROM t
+"""
+
+
 def heaps_fit_oracle(stride: int = 1) -> str:
     """Mirror of textstats.heaps_fit: bucket token sums + per-token min
     first doc, calendar-complete bucket cumsums, ln-micros OLS."""

@@ -627,6 +627,79 @@ def weighted_sample_k(ds, k: int = 100, weight_col: str = "n_chars",
 
 # --------------------------------------------------- corpus-level statistics
 
+def bigram_cond_entropy(ds, text_col: str = "text",
+                        src_col: str = "source"):
+    """Per-source conditional bigram entropy H(w₂|w₁) in nats — the
+    local-predictability complement of the unigram statistics (Zipf /
+    burstiness / KL measure WHAT occurs; this measures how predictable
+    the NEXT token is: templated or duplicated sources score low,
+    diverse prose high).
+
+    Exactness: bigram counts c₁₂ and margins c₁ are exact integers;
+    each bigram's term c₁₂·ln(c₁₂/c₁) quantizes to micros and
+    integer-sums per source (order-free), H = −Σ/1e6/T with T the
+    source's bigram total — one fixed double chain.  Plan: per-batch
+    (source, w1, w2) combiner → open-vocab groupby Sum; margins fold
+    inside (source, w1) groups (map_groups emits ONE row per group),
+    then a source-keyed merge.  Returns (source, n_bigrams, entropy)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        srcs = b[src_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        acc: dict[tuple, int] = {}
+        for s, t in zip(srcs, texts):
+            tl = t.lower().strip()
+            ws = _WS.split(tl) if tl else []
+            for i in range(len(ws) - 1):
+                k = (s, ws[i], ws[i + 1])
+                acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return pd.DataFrame({"source": [], "w1": [], "w2": [],
+                                 "c": pd.array([], dtype="int64")})
+        ks = list(acc.keys())
+        return pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "w1": [k[1] for k in ks],
+            "w2": [k[2] for k in ks],
+            "c": pd.array(list(acc.values()), dtype="int64")})
+
+    bg = (ds.select_columns([src_col, text_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "w1", "w2"])
+          .aggregate(_Sum("c", alias_name="c")))
+
+    def per_w1(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        c1 = int(c.sum())
+        tm = np.floor(c * np.log(c / float(c1)) * 1e6 + 0.5) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "s_tm": pd.array([int(tm.sum())], dtype="int64"),
+            "t": pd.array([c1], dtype="int64")})
+
+    per_src = merge_partials(
+        bg.groupby(["source", "w1"]).map_groups(
+            per_w1, batch_format="pandas"),
+        ["source"], {"s_tm": "sum", "t": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["s_tm"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        ent = -(s.astype(np.float64) / 1e6 / t)
+        out = pd.DataFrame({"source": df["source"],
+                            "n_bigrams": t,
+                            "entropy": ent})
+        return out
+
+    return per_src.map_batches(finish, batch_format="pandas",
+                               batch_size=None)
+
+
 def heaps_fit(ds, stride: int = 1, text_col: str = "text",
               id_col: str = "doc_id"):
     """Heaps'-law fit over vocabulary growth: OLS of ln V(N) on ln N at

@@ -1202,3 +1202,19 @@ def test_heaps_fit_pure_power_law(ray_session):
     out = textstats.heaps_fit(rd.from_arrow(t)).to_pandas()
     assert out["n_points"].iloc[0] == 39
     assert abs(out["slope"].iloc[0] - 0.5) < 1e-3
+
+def test_bigram_cond_entropy_golden(ray_session):
+    """Deterministic source ('a b a b') has H=0; a fair coin after 'a'
+    gives H = ln 2 weighted by the share of 'a'-contexts."""
+    t = pa.table({
+        "source": pa.array(["det", "det", "coin"]),
+        "text": pa.array(["a b a b a b", "a b a b",
+                          "a x a y a x a y"])})
+    out = (textstats.bigram_cond_entropy(rd.from_arrow(t)).to_pandas()
+           .set_index("source"))
+    assert out.loc["det", "entropy"] == 0.0
+    # coin: bigrams a->x (2), a->y (2), x->a (2), y->a (1); T=7
+    # H = (4/7)*ln2 + 0 + 0
+    want = 4 / 7 * np.log(2)
+    assert abs(out.loc["coin", "entropy"] - want) < 1e-5
+    assert out.loc["coin", "n_bigrams"] == 7
