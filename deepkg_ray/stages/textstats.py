@@ -643,7 +643,6 @@ def bigram_cond_entropy(ds, text_col: str = "text",
     inside (source, w1) groups (map_groups emits ONE row per group),
     then a source-keyed merge.  Returns (source, n_bigrams, entropy)."""
     import pandas as pd
-    from ray.data.aggregate import Sum as _Sum
 
     from deepkg_ray.stages.treeagg import merge_partials
 
@@ -667,24 +666,41 @@ def bigram_cond_entropy(ds, text_col: str = "text",
             "w2": [k[2] for k in ks],
             "c": pd.array(list(acc.values()), dtype="int64")})
 
-    bg = (ds.select_columns([src_col, text_col])
-          .map_batches(partial, batch_format="pyarrow")
-          .groupby(["source", "w1", "w2"])
-          .aggregate(_Sum("c", alias_name="c")))
+    # (source, w1, w2) cells are Heaps-sublinear in corpus size: auto
+    # routing merges them on the tree while observed cardinality stays
+    # bounded and falls back to the hash shuffle beyond (treeagg.py)
+    bg = merge_partials(
+        ds.select_columns([src_col, text_col])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["source", "w1", "w2"], {"c": "sum"}, mode="auto")
 
-    def per_w1(g: pd.DataFrame) -> pd.DataFrame:
+    # margins need (source, w1) co-located; a per-group map_groups would
+    # pay one pandas call per context — instead 64 coarse hash
+    # partitions, margins via ONE vectorized groupby-transform each
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        keys = [f"{s}\x00{w}" for s, w in zip(b["source"].to_pylist(),
+                                              b["w1"].to_pylist())]
+        h = stable_hash64_batch(keys)
+        return b.append_column(
+            "part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         c = g["c"].to_numpy(np.int64)
-        c1 = int(c.sum())
-        tm = np.floor(c * np.log(c / float(c1)) * 1e6 + 0.5) \
-            .astype(np.int64)
-        return pd.DataFrame({
-            "source": [g["source"].iloc[0]],
-            "s_tm": pd.array([int(tm.sum())], dtype="int64"),
-            "t": pd.array([c1], dtype="int64")})
+        c1 = g.groupby(["source", "w1"])["c"].transform("sum") \
+            .to_numpy(np.int64)
+        tm = np.floor(c * np.log(c / c1.astype(np.float64))
+                      * 1e6 + 0.5).astype(np.int64)
+        out = (pd.DataFrame({"source": g["source"], "s_tm": tm, "t": c})
+               .groupby("source", as_index=False).sum())
+        out["s_tm"] = out["s_tm"].astype("int64")
+        out["t"] = out["t"].astype("int64")
+        return out
 
     per_src = merge_partials(
-        bg.groupby(["source", "w1"]).map_groups(
-            per_w1, batch_format="pandas"),
+        bg.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_partition,
+                                    batch_format="pandas"),
         ["source"], {"s_tm": "sum", "t": "sum"}, mode="tree")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
