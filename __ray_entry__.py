@@ -245,6 +245,16 @@ def _q_transcript_stats(sf_dir: str):
                        Count(alias_name="n_convs")))
 
 
+def _q_conv_turn_taking(sf_dir: str):
+    """Per-conversation role-alternation rate (dialogue-quality signal)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import conv_turn_taking
+    return conv_turn_taking(rd.read_parquet(
+        synth.transcripts_path(sf_dir),
+        columns=["conv_id", "turn_idx", "role"]))
+
+
 def _q_turn_latency(sf_dir: str):
     """Role-transition latency stats (salted blocks + 1-turn overlap
     carry so hot conversations never straggle)."""
@@ -3035,6 +3045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_stats": _q_transcript_stats,
         "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
+        "conv_turn_taking": _q_conv_turn_taking,
         "conv_sessions": _q_conv_sessions,
         "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
@@ -3353,6 +3364,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
+        "conv_turn_taking": oracle.conv_turn_taking_oracle(SF_ORACLE),
         "conv_sessions": oracle.conv_sessions_oracle(SF_ORACLE),
         "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),

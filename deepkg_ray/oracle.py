@@ -3239,6 +3239,30 @@ GROUP BY from_role, to_role
 """
 
 
+def conv_turn_taking_oracle(sf_dir: str) -> str:
+    """Mirror of convgroup.conv_turn_taking: lag() role adjacency per
+    conversation, alternation share with one round6 division."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+l AS (
+  SELECT conv_id,
+         CASE WHEN role <> lag(role) OVER w THEN 1 ELSE 0 END AS alt,
+         CASE WHEN lag(role) OVER w IS NULL THEN 0 ELSE 1 END AS adj
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+a AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(SUM(adj) AS BIGINT) AS n_adj,
+             CAST(SUM(CASE WHEN adj = 1 THEN alt ELSE 0 END) AS BIGINT)
+               AS n_alt
+      FROM l GROUP BY conv_id)
+SELECT conv_id, n_turns, n_alt,
+       floor(n_alt / CAST(n_adj AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS alt_rate
+FROM a WHERE n_adj > 0
+"""
+
+
 def kg_walks_oracle(sf_dir: str, steps: int = 4, start_mod: int = 3) -> str:
     """Deterministic random walks — mirrors stages/graph.random_walks:
     neighbors ranked by ascending id (row_number), next-hop rank =

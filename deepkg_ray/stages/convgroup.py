@@ -194,6 +194,63 @@ def turn_latency(ds, *, n_parts: int = 64):
     return merged.map_batches(finish, batch_format="pandas")
 
 
+def conv_turn_taking(ds, *, n_parts: int = 64):
+    """Per-conversation turn-taking profile: how often adjacent turns
+    switch speaker role — alternation rate 1.0 is a clean dialogue,
+    low rates flag monologues / repeated-role runs (a transcript-
+    quality signal next to conv_sessions and turn_latency).  Only
+    conversations with ≥ 2 turns emit (the adjacency is undefined
+    otherwise, matching the SQL lag() filter).
+
+    turn_latency's plan: conversation-complete coarse partitions, one
+    vectorized sort+shift pass each; alt_rate = round6(n_alt / n_adj).
+    Returns (conv_id, n_turns, n_alt, alt_rate)."""
+    from deepkg_ray.functions.numeric import round6  # noqa: F401 (doc)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return pa.table({
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"].combine_chunks().cast(pa.int64()),
+            "role": b["role"],
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+        })
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = g["conv_id"].to_numpy()
+        roles = g["role"].to_numpy()
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({
+                "conv_id": [], "n_turns": pd.array([], dtype="int64"),
+                "n_alt": pd.array([], dtype="int64"),
+                "alt_rate": pd.array([], dtype="float64")})
+        same = conv[1:] == conv[:-1]
+        alt = (roles[1:] != roles[:-1]) & same
+        d = pd.DataFrame({"conv_id": conv,
+                          "adj": np.concatenate(([False], same)),
+                          "alt": np.concatenate(([False], alt))})
+        out = (d.groupby("conv_id", as_index=False)
+               .agg(n_turns=("adj", "size"), n_adj=("adj", "sum"),
+                    n_alt=("alt", "sum")))
+        out = out[out["n_adj"] > 0]
+        na = out["n_adj"].to_numpy(np.int64)
+        nl = out["n_alt"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "conv_id": out["conv_id"].to_numpy(),
+            "n_turns": out["n_turns"].to_numpy(np.int64),
+            "n_alt": nl,
+            "alt_rate": np.floor(nl / na.astype(np.float64)
+                                 * 1e6 + 0.5) / 1e6})
+
+    parted = ds.select_columns(["conv_id", "turn_idx", "role"]) \
+        .map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
 def tool_usage(ds):
     """Per (role, tool) usage stats over tool-bearing turns: turn count and
     DISTINCT conversations — two-level aggregation (per (role, tool,

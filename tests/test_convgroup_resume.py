@@ -133,3 +133,31 @@ def test_conv_transcripts_ordered_collect(ray_session):
     assert out["conv_id"].tolist() == ["c1", "c2"]
     assert out["n_turns"].tolist() == [3, 1]
     assert out["transcript"].tolist() == ["one\ntwo\nthree", "solo"]
+
+
+def test_conv_turn_taking_golden(ray_session):
+    """Perfect alternation -> 1.0; monologue -> 0.0; single-turn conv
+    excluded; mixed conv = 1 alternation of 3 adjacencies."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.convgroup import conv_turn_taking
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "user"),
+        ("c2", 0, "user"), ("c2", 1, "user"),
+        ("c3", 0, "user"),
+        ("c4", 0, "user"), ("c4", 1, "user"), ("c4", 2, "assistant"),
+        ("c4", 3, "assistant"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+        "role": pa.array([r[2] for r in rows])})
+    out = (conv_turn_taking(rd.from_arrow(t)).to_pandas()
+           .set_index("conv_id"))
+    assert "c3" not in out.index
+    assert out.loc["c1", "alt_rate"] == 1.0 and out.loc["c1", "n_alt"] == 2
+    assert out.loc["c2", "alt_rate"] == 0.0
+    assert out.loc["c4", "n_turns"] == 4 and out.loc["c4", "n_alt"] == 1
+    assert abs(out.loc["c4", "alt_rate"] - 1 / 3) < 1e-6
