@@ -2943,6 +2943,18 @@ def _q_kg_edge_spans(sf_dir: str):
     return edge_spans(kg.linked_triples_dataset(sf_dir), turns)
 
 
+def _q_kg_growth(sf_dir: str):
+    """KG growth curve: new canonical edges per day + running total
+    (construction saturation monitor)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import kg_growth_curve
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    return kg_growth_curve(kg.linked_triples_dataset(sf_dir), turns)
+
+
 def _q_dsir_scores(sf_dir: str):
     """DSIR hashed-ngram importance scores toward the English subset
     (bucket-count reduction + broadcast log-ratio scoring map)."""
@@ -3316,6 +3328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_edge_spans": _q_kg_edge_spans,
+        "kg_growth": _q_kg_growth,
         "kg_entity_spans": _q_entity_spans,
         "kg_entity_lifespan": _q_entity_lifespan,
         "role_entity_affinity": _q_role_entity_affinity,
@@ -3634,6 +3647,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": oracle.kg_degree_assortativity_oracle(SF_ORACLE),
         "kg_degree_distribution": oracle.kg_degree_distribution_oracle(SF_ORACLE),
         "kg_edge_spans": oracle.kg_edge_spans_oracle(SF_ORACLE),
+        "kg_growth": oracle.kg_growth_curve_oracle(SF_ORACLE),
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
         "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),

@@ -3673,6 +3673,37 @@ GROUP BY x.subj_id, x.pred, x.obj_id
 """
 
 
+def kg_growth_curve_oracle(sf_dir: str) -> str:
+    """Mirror of canonical.kg_growth_curve: first-observation day per
+    canonical edge (kg_edge_spans derivation), calendar-complete daily
+    new-edge counts + running cumulative."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+tr AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+),
+sp AS (
+  SELECT x.subj_id, x.pred, x.obj_id,
+         min(tr.ts_us) // 86400000000 AS day
+  FROM triples x JOIN tr
+    ON tr.conv_id = x.conv_id AND tr.turn_idx = x.turn_idx
+  GROUP BY x.subj_id, x.pred, x.obj_id
+),
+c AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM sp
+      GROUP BY day),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM c),
+g AS (SELECT unnest(generate_series(b.d0, b.d1)) AS day FROM b),
+f AS (SELECT g.day, CAST(COALESCE(c.n_new, 0) AS BIGINT) AS n_new
+      FROM g LEFT JOIN c USING (day))
+SELECT CAST(day * 86400000000 AS BIGINT) AS day_us, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_edges
+FROM f
+"""
+
+
 def dsir_scores_oracle(target_lang: str = "en", n_buckets: int = 1024) -> str:
     """Hashed-unigram DSIR log-likelihood-ratio scores — mirrors
     stages/curation.dsir_scores (word_idf tokenization, md5_number_lower

@@ -180,6 +180,54 @@ def predicate_table(adjacency_ds):
         ["pred"], {"n_edges": "sum", "n_support": "sum"}, fanout=1)
 
 
+def kg_growth_curve(linked_triples_ds, transcripts_ds,
+                    n_parts: int = 64):
+    """KG growth curve: per calendar day, how many NEW canonical edges
+    were first observed and the cumulative edge count — the
+    construction-monitoring view of edge_spans (a knowledge graph whose
+    growth flattens has saturated its source; one that spikes signals
+    an ingest change).  Missing days fill with zero (the
+    cusum_changepoint calendar-complete convention).
+
+    Plan: edge_spans' distributed first-observation fold, then a
+    (day, n_new) histogram combiner + tree merge (day-range-bounded)
+    and one cumsum finish.  Returns (day_us, n_new, cum_edges)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    spans = edge_spans(linked_triples_ds, transcripts_ds,
+                       n_parts=n_parts)
+
+    def hist(b: pa.Table) -> pa.Table:
+        fd = b["first_us"].to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        vals, cnts = np.unique(fd, return_counts=True)
+        return pa.table({"day": pa.array(vals.astype(np.int64)),
+                         "n_new": pa.array(cnts.astype(np.int64))})
+
+    merged = merge_partials(
+        spans.map_batches(hist, batch_format="pyarrow"),
+        ["day"], {"n_new": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("day", kind="stable")
+        days = df["day"].to_numpy(np.int64)
+        d0, d1 = int(days[0]), int(days[-1])
+        D = d1 - d0 + 1
+        full = np.zeros(D, np.int64)
+        full[days - d0] = df["n_new"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day_us": np.arange(d0, d1 + 1, dtype=np.int64)
+                      * 86_400_000_000,
+            "n_new": full,
+            "cum_edges": np.cumsum(full)})
+
+    return merged.repartition(1).map_batches(finish,
+                                             batch_format="pandas",
+                                             batch_size=None)
+
+
 def edge_spans(linked_triples_ds, transcripts_ds, n_parts: int = 64,
                mode: str = "auto"):
     """Temporal KG edges: (subj_id, pred, obj_id, weight, first_us,

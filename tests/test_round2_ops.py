@@ -708,3 +708,28 @@ def test_entity_relatedness_golden():
     pd.testing.assert_frame_equal(
         got[["e1", "e2", "n_inter", "n_a", "n_b", "jaccard"]], want,
         check_dtype=False)
+
+
+def test_kg_growth_curve_golden():
+    """Edges first observed on days 0, 0, 2 -> daily new counts (2,0,1)
+    with a calendar-complete zero day and cumulative (2,2,3)."""
+    from deepkg_ray.stages.canonical import kg_growth_curve
+    day = 86_400
+    tri = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3", "c3"],
+        "turn_idx": np.array([0, 0, 0, 0], np.int32),
+        "subj_id": np.array([1, 2, 3, 1], np.int64),
+        "pred": ["p", "p", "p", "p"],
+        "obj_id": np.array([5, 6, 7, 5], np.int64),
+    })
+    turns = pd.DataFrame({
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": np.array([0, 0, 0], np.int32),
+        "ts": pd.to_datetime([10, 20, 2 * day + 5], unit="s"),
+    })
+    got = (kg_growth_curve(rd.from_pandas(tri), rd.from_pandas(turns),
+                           n_parts=4).to_pandas())
+    assert got["n_new"].tolist() == [2, 0, 1]
+    assert got["cum_edges"].tolist() == [2, 2, 3]
+    assert got["day_us"].tolist() == [0, day * 1_000_000,
+                                      2 * day * 1_000_000]
