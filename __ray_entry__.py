@@ -713,6 +713,15 @@ def _q_session_paths(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type"]))
 
 
+def _q_channel_ltv(sf_dir: str):
+    """LTV quantiles per acquisition channel (first-touch composed with
+    grouped percentile_cont)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import channel_ltv_quantiles
+    return channel_ltv_quantiles(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
+
+
 def _q_events_first_touch(sf_dir: str):
     """First-touch attribution: purchases and revenue rolled up to each
     user's acquisition channel (their first event's type)."""
@@ -3150,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival": _q_user_survival,
         "seasonality_strength": _q_seasonality_strength,
         "events_first_touch": _q_events_first_touch,
+        "channel_ltv": _q_channel_ltv,
         "session_paths": _q_session_paths,
         "events_geometric_mean": _q_events_geometric_mean,
         "events_emd": _q_events_emd,
@@ -3464,6 +3474,7 @@ def oracle_sql() -> dict[str, str]:
         "user_survival": oracle.survival_curve_oracle(),
         "seasonality_strength": oracle.seasonality_strength_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
+        "channel_ltv": oracle.channel_ltv_quantiles_oracle(),
         "session_paths": oracle.session_paths_oracle(),
         "events_geometric_mean": oracle.grouped_geometric_mean_oracle(),
         "events_emd": oracle.events_emd_1d_oracle(),

@@ -7012,6 +7012,52 @@ GROUP BY a.subj_type, a.obj_type, b.obj_type
 """
 
 
+def channel_ltv_quantiles_oracle(qs=(0.25, 0.5, 0.75, 0.9),
+                                 purchase_type: str = "purchase") -> str:
+    """Mirror of windows.channel_ltv_quantiles: first-touch channel per
+    user, purchase micros sums as the quantile values, the
+    grouped-percentile_cont micro-interpolation CTE."""
+    q_rows = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"CAST(floor({q} * 1e6 + 0.5) AS BIGINT) AS qm" for q in qs)
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events),
+f AS (SELECT user_id, event_type AS first_type FROM e
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id) = 1),
+p AS (SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = '{purchase_type}'
+                                    THEN vm END), 0) AS BIGINT) AS rm
+      FROM e GROUP BY user_id),
+base AS (SELECT f.first_type AS grp, p.rm AS vm
+         FROM f JOIN p USING (user_id)),
+h AS (SELECT grp, vm, count(*) AS n FROM base GROUP BY grp, vm),
+c AS (SELECT grp, vm, sum(n) OVER (PARTITION BY grp ORDER BY vm) AS cum
+      FROM h),
+params AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY grp),
+qs AS ({q_rows}),
+pos AS (
+  SELECT p.grp, q.q, q.qm * (p.n - 1) AS hm FROM params p, qs q
+),
+pick AS (
+  SELECT grp, q, hm // 1000000 AS lo, hm % 1000000 AS frac FROM pos
+),
+el AS (
+  SELECT p.grp, p.q, p.frac,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp AND cum > p.lo) AS vlo,
+         (SELECT min(vm) FROM c WHERE c.grp = p.grp
+          AND cum > p.lo + CASE WHEN p.frac > 0 THEN 1 ELSE 0 END) AS vhi
+  FROM pick p
+)
+SELECT grp AS first_type, q,
+       floor(((vlo + (frac * (vhi - vlo)) / 1e6) / 1e6) * 1e6 + 0.5) / 1e6
+         AS value
+FROM el
+"""
+
+
 def user_value_bands_oracle(qs=(0.1, 0.9)) -> str:
     """Per-user interpolated value quantiles — the flag_quantiles_cont
     CTE keyed by user_id on micros-quantized values."""

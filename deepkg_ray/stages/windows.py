@@ -1863,7 +1863,8 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                             user_col: str = "user_id", ts_col: str = "ts",
                             id_col: str = "event_id",
                             type_col: str = "event_type",
-                            value_col: str = "value"):
+                            value_col: str = "value",
+                            _user_table: bool = False):
     """First-touch attribution: each user's FIRST event overall (order
     (ts, event_id)) names the acquisition channel; purchases and
     purchase revenue then roll up per channel — the marketing
@@ -1920,6 +1921,9 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
         merge_frames, batch_format="pandas", batch_size=None)
     final = lvl1.repartition(1).map_batches(
         merge_frames, batch_format="pandas", batch_size=None)
+
+    if _user_table:
+        return final
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("first_type", as_index=False)
@@ -2136,6 +2140,32 @@ def dow_daily_anomaly(ds, ts_col: str = "ts", thresh: float = 2.0):
     return merged.repartition(1).map_batches(finish,
                                              batch_format="pandas",
                                              batch_size=None)
+
+
+def channel_ltv_quantiles(ds, qs=(0.25, 0.5, 0.75, 0.9), **kw):
+    """Customer-lifetime-value distribution per acquisition channel:
+    interpolated quantiles of per-user purchase revenue grouped by the
+    user's FIRST event type — first_touch_attribution (who acquired
+    them) composed with grouped_quantiles_cont (what they're worth);
+    the mean-only rollup hides exactly the skew this shows.
+
+    The per-user (first_type, rm) table comes off first-touch's merge
+    tree; rm micros → double → micros round-trips exactly below 2^52,
+    so the quantile plan's quantization is lossless.  Returns
+    (first_type, q, value)."""
+    from deepkg_ray.stages.quantiles import grouped_quantiles_cont
+
+    users = first_touch_attribution(ds, _user_table=True, **kw)
+
+    def to_ltv(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "first_type": b["first_type"],
+            "ltv": pa.array(b["rm"].to_numpy(zero_copy_only=False)
+                            / 1e6, pa.float64())})
+
+    return grouped_quantiles_cont(
+        users.map_batches(to_ltv, batch_format="pyarrow"),
+        "first_type", "ltv", list(qs))
 
 
 def cusum_changepoint(ds, ts_col: str = "ts"):

@@ -1218,3 +1218,25 @@ def test_bigram_cond_entropy_golden(ray_session):
     want = 4 / 7 * np.log(2)
     assert abs(out.loc["coin", "entropy"] - want) < 1e-5
     assert out.loc["coin", "n_bigrams"] == 7
+
+def test_channel_ltv_quantiles_golden(ray_session):
+    """Three 'view'-acquired users with LTVs 0, 10, 20 -> median 10,
+    q=0.25 interpolates to 5."""
+    rows, eid = [], 0
+    for u, ltv in [(1, 0.0), (2, 10.0), (3, 20.0)]:
+        rows.append((u, eid, 0, "view", 0.0)); eid += 1
+        if ltv > 0:
+            rows.append((u, eid, 5, "purchase", ltv)); eid += 1
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows])})
+    out = (windows.channel_ltv_quantiles(rd.from_arrow(t),
+                                         qs=(0.25, 0.5)).to_pandas()
+           .set_index("q"))
+    assert (out["first_type"] == "view").all()
+    assert out.loc[0.5, "value"] == 10.0
+    assert out.loc[0.25, "value"] == 5.0
