@@ -965,6 +965,16 @@ def _q_phash_near_dups(sf_dir: str):
                            hamming_max=6)
 
 
+def _q_audio_silence(sf_dir: str):
+    """REAL WAV decode → silence statistics (VAD-style pre-filter)
+    through the actor pool; value-checked against the construction
+    gold computed from the raw sample arrays."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import (audio_silence,
+                                              synth_real_media_table)
+    return audio_silence(rd.from_arrow(synth_real_media_table(n=256)))
+
+
 def _q_multimodal_features(sf_dir: str):
     """REAL decode over valid encoded payloads (P6 PPM images, PCM16 WAV
     audio — parsed with numpy, no codec libs): decode → resize → feature
@@ -3367,6 +3377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linking_mrr": _q_linking_mrr,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
+        "audio_silence": _q_audio_silence,
         "media_phash": _q_media_phash,
         "phash_near_dups": _q_phash_near_dups,
         "video_frame_sample": _q_video_frame_sample,
@@ -3683,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": oracle.dedup_simhash_oracle(),
         "dedup_minhash": oracle.dedup_minhash_oracle(),
         "multimodal_features": oracle.multimodal_features_oracle(),
+        "audio_silence": oracle.audio_silence_oracle(),
         "media_phash": oracle.media_phash_oracle(),
         "phash_near_dups": oracle.phash_near_dups_oracle(),
         "video_frame_sample": oracle.video_frame_sample_oracle(),

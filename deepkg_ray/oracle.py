@@ -1973,6 +1973,13 @@ def multimodal_features_oracle() -> str:
     return f"SELECT * FROM read_parquet('{fpath}')"
 
 
+def audio_silence_oracle() -> str:
+    """audio_silence (WAV decode → VAD-style silence stats) must
+    reproduce the construction gold computed from the raw samples."""
+    from deepkg_ray.stages.multimodal import silence_gold_path
+    return f"SELECT * FROM read_parquet('{silence_gold_path()}')"
+
+
 def video_frame_sample_oracle() -> str:
     """sample_video_frames (stride-4 decode of the concatenated-P6 walk)
     must reproduce the construction gold computed from the raw frames."""

@@ -25,6 +25,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -459,6 +460,99 @@ def video_frames_gold(n: int = 8, seed: int = 9,
             "n_frames": pa.array(nfr, pa.int64())}
     cols.update(_feat_columns(feats))
     return pa.table(cols)
+
+
+def silence_stats_from_samples(s: np.ndarray,
+                               thresh: int = 4000) -> tuple:
+    """PCM16 samples → (n_samples, n_silent, longest_run,
+    silence_ratio): |sample| < thresh counts as silent; longest_run is
+    the longest consecutive silent stretch.  Shared by the decode tier
+    and the construction gold (image_features_from_pixels convention)."""
+    a = np.abs(s.astype(np.int64))
+    quiet = a < thresh
+    n = len(s)
+    nq = int(quiet.sum())
+    if nq == 0 or n == 0:
+        longest = 0
+    else:
+        brk = np.nonzero(~quiet)[0]
+        edges = np.concatenate(([-1], brk, [n]))
+        longest = int(np.max(np.diff(edges)) - 1)
+    ratio = float(np.floor(nq / n * 1e6 + 0.5) / 1e6) if n else 0.0
+    return n, nq, longest, ratio
+
+
+class SilenceAnalyzer:
+    """Audio-only decode stage: WAV payload → silence statistics — the
+    VAD-style pre-filter an audio-training pipeline runs before paying
+    for transcription (RealDecoder's actor contract; stateless here but
+    the __init__/__call__ split keeps the codec-loading tier drop-in)."""
+
+    def __init__(self, thresh: int = 4000):
+        self.thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["media_type"], pa.scalar("audio"))
+        batch = batch.filter(keep)
+        ids, ns, nq, lr, ratio = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            s, _rate = decode_wav(payload)
+            a, b, c, d = silence_stats_from_samples(s, self.thresh)
+            ids.append(mid)
+            ns.append(a)
+            nq.append(b)
+            lr.append(c)
+            ratio.append(d)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "n_silent": pa.array(nq, pa.int64()),
+            "longest_run": pa.array(lr, pa.int64()),
+            "silence_ratio": pa.array(ratio, pa.float64())})
+
+
+def audio_silence(ds, *, thresh: int = 4000, concurrency=(1, 4),
+                  batch_size: int = 64):
+    """media Dataset → per-audio-item silence stats (actor pool, wide
+    payload rows ⇒ small batches, the decode_features posture)."""
+    return ds.map_batches(SilenceAnalyzer,
+                          fn_constructor_kwargs={"thresh": thresh},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def audio_silence_gold(n: int = 64, seed: int = 5,
+                       thresh: int = 4000) -> pa.Table:
+    """Expected audio_silence output from the RAW sample arrays (never
+    through encode/decode bytes)."""
+    items = [d for d in _real_media_items(n, seed)
+             if d["media_type"] == "audio"]
+    rows = [silence_stats_from_samples(d["raw"], thresh) for d in items]
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "n_samples": pa.array([r[0] for r in rows], pa.int64()),
+        "n_silent": pa.array([r[1] for r in rows], pa.int64()),
+        "longest_run": pa.array([r[2] for r in rows], pa.int64()),
+        "silence_ratio": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def silence_gold_path() -> str:
+    """Idempotent golden parquet for audio_silence (media_gold_paths
+    convention)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    root = os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "audio_silence_gold_v1.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(audio_silence_gold(n=256), tmp)
+        os.replace(tmp, path)
+    return path
 
 
 def media_gold_paths() -> tuple[str, str]:

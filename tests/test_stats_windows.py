@@ -1240,3 +1240,19 @@ def test_channel_ltv_quantiles_golden(ray_session):
     assert (out["first_type"] == "view").all()
     assert out.loc[0.5, "value"] == 10.0
     assert out.loc[0.25, "value"] == 5.0
+
+def test_audio_silence_golden(ray_session):
+    """Hand-built PCM: 5 silent, 3 loud, 4 silent samples -> ratio 9/12,
+    longest run 5; plus engine==construction-gold on the sine corpus."""
+    from deepkg_ray.stages import multimodal as mm
+    s = np.array([0, 10, -5, 3, 0, 9000, -8000, 7000, 1, 2, 3, 4],
+                 np.int16)
+    n, nq, lr, ratio = mm.silence_stats_from_samples(s, thresh=4000)
+    assert (n, nq, lr) == (12, 9, 5)
+    assert ratio == 0.75
+    t = mm.synth_real_media_table(n=32)
+    out = (mm.audio_silence(rd.from_arrow(t)).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    gold = (mm.audio_silence_gold(n=32).to_pandas()
+            .sort_values("media_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, gold)
