@@ -731,6 +731,14 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_user_regularity(sf_dir: str):
+    """Per-user inter-arrival VMR (bot-likeness screen)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import user_regularity
+    return user_regularity(read_events(sf_dir,
+                                       ["user_id", "event_id", "ts"]))
+
+
 def _q_seasonality_strength(sf_dir: str):
     """Weekly seasonality strength: between-dow share of daily-count
     variance (one-way ANOVA R^2)."""
@@ -3168,6 +3176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dow_anomaly": _q_events_dow_anomaly,
         "user_survival": _q_user_survival,
         "seasonality_strength": _q_seasonality_strength,
+        "user_regularity": _q_user_regularity,
         "events_first_touch": _q_events_first_touch,
         "channel_ltv": _q_channel_ltv,
         "session_paths": _q_session_paths,
@@ -3484,6 +3493,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dow_anomaly": oracle.dow_daily_anomaly_oracle(),
         "user_survival": oracle.survival_curve_oracle(),
         "seasonality_strength": oracle.seasonality_strength_oracle(),
+        "user_regularity": oracle.user_regularity_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "channel_ltv": oracle.channel_ltv_quantiles_oracle(),
         "session_paths": oracle.session_paths_oracle(),

@@ -1327,6 +1327,28 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def user_regularity_oracle() -> str:
+    """Mirror of windows.user_regularity: lag gaps in whole seconds,
+    per-user integer moments, one double VMR division."""
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+gp AS (SELECT user_id,
+              (us - lag(us) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id)) // 1000000 AS g
+       FROM e QUALIFY g IS NOT NULL),
+m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(g * g) AS BIGINT) AS sg2
+      FROM gp GROUP BY user_id)
+SELECT user_id, n AS n_gaps, sg AS sum_gap_s,
+       CASE WHEN n * sg = 0 THEN 0.0
+            ELSE CAST(CAST(n AS HUGEINT) * sg2
+                      - CAST(sg AS HUGEINT) * sg AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sg AS DOUBLE) END AS vmr
+FROM m WHERE n >= 2
+"""
+
+
 def seasonality_strength_oracle() -> str:
     """Mirror of windows.seasonality_strength: calendar-complete daily
     counts, integer moments, micros-quantized per-dow between terms."""

@@ -1939,6 +1939,56 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def user_regularity(ds, user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id"):
+    """Per-user inter-arrival regularity: variance-to-mean ratio of the
+    gap series in WHOLE SECONDS — the bot-likeness screen (a human's
+    gaps are over-dispersed, VMR ≫ 1; a scheduled client's are nearly
+    constant, VMR → 0; token_burstiness' identity applied to time).
+
+    Exactness: gaps floor to seconds (µs² would overflow int64), the
+    per-user (n, Σg, Σg²) moments fold distributed, VMR =
+    (n·Σg² − (Σg)²) / (n·Σg) is ONE double division of exact int64s
+    (loud bound assert).  Users with < 2 gaps drop (VMR undefined).
+    Returns (user_id, n_gaps, sum_gap_s, vmr)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    gaps = interarrival_gaps(ds, user_col=user_col, ts_col=ts_col,
+                             id_col=id_col)
+
+    def moments(b: pa.Table) -> pd.DataFrame:
+        g = b["gap_us"].to_numpy(zero_copy_only=False) // 1_000_000
+        df = pd.DataFrame({
+            user_col: b[user_col].to_numpy(zero_copy_only=False),
+            "n": np.ones(len(g), np.int64), "sg": g, "sg2": g * g})
+        out = df.groupby(user_col, as_index=False, sort=False).sum()
+        for c in ("n", "sg", "sg2"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    merged = merge_partials(
+        gaps.map_batches(moments, batch_format="pyarrow"),
+        [user_col], {"n": "sum", "sg": "sum", "sg2": "sum"},
+        mode="auto")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= 2]
+        n = df["n"].to_numpy(np.int64)
+        sg = df["sg"].to_numpy(np.int64)
+        sg2 = df["sg2"].to_numpy(np.int64)
+        assert len(n) == 0 or int((n.astype(object) * sg2).max()) < 2 ** 63, \
+            "user_regularity int64 bound exceeded"
+        num = n * sg2 - sg * sg
+        den = n * sg
+        vmr = np.where(den > 0, num / np.where(den > 0, den, 1)
+                       .astype(np.float64), 0.0)
+        return pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "n_gaps": n, "sum_gap_s": sg, "vmr": vmr})
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def seasonality_strength(ds, ts_col: str = "ts"):
     """Weekly seasonality strength of the daily event-count series: the
     share of daily-count variance explained by day-of-week means

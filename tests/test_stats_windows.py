@@ -1256,3 +1256,24 @@ def test_audio_silence_golden(ray_session):
     gold = (mm.audio_silence_gold(n=32).to_pandas()
             .sort_values("media_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, gold)
+
+def test_user_regularity_golden(ray_session):
+    """Metronome user (constant 10s gaps) -> VMR 0; bursty user with
+    gaps 1s,1s,10s: mean 4, VMR = (3*102 - 144)/(3*12) = 4.5."""
+    m = 1_000_000
+    ts1 = [0, 10 * m, 20 * m, 30 * m]                 # gaps 10,10,10
+    ts2 = [0, 1 * m, 2 * m, 12 * m]                   # gaps 1,1,10
+    rows = [(1, i, t) for i, t in enumerate(ts1)] + \
+           [(2, 100 + i, t) for i, t in enumerate(ts2)] + \
+           [(3, 200, 0), (3, 201, 5 * m)]             # single gap: drop
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us"))})
+    out = (windows.user_regularity(rd.from_arrow(t)).to_pandas()
+           .set_index("user_id"))
+    assert 3 not in out.index
+    assert out.loc[1, "vmr"] == 0.0
+    assert out.loc[2, "n_gaps"] == 3 and out.loc[2, "sum_gap_s"] == 12
+    assert abs(out.loc[2, "vmr"] - 4.5) < 1e-12
