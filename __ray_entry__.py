@@ -731,6 +731,15 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_events_dup_audit(sf_dir: str):
+    """Instrumentation double-fire audit (same user/type/value within
+    5 s of the previous event)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import duplicate_event_audit
+    return duplicate_event_audit(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
+
+
 def _q_user_regularity(sf_dir: str):
     """Per-user inter-arrival VMR (bot-likeness screen)."""
     from deepkg_ray.sources.readers import read_events
@@ -3177,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_survival": _q_user_survival,
         "seasonality_strength": _q_seasonality_strength,
         "user_regularity": _q_user_regularity,
+        "events_dup_audit": _q_events_dup_audit,
         "events_first_touch": _q_events_first_touch,
         "channel_ltv": _q_channel_ltv,
         "session_paths": _q_session_paths,
@@ -3494,6 +3504,7 @@ def oracle_sql() -> dict[str, str]:
         "user_survival": oracle.survival_curve_oracle(),
         "seasonality_strength": oracle.seasonality_strength_oracle(),
         "user_regularity": oracle.user_regularity_oracle(),
+        "events_dup_audit": oracle.duplicate_event_audit_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "channel_ltv": oracle.channel_ltv_quantiles_oracle(),
         "session_paths": oracle.session_paths_oracle(),

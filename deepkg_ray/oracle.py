@@ -1327,6 +1327,28 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def duplicate_event_audit_oracle(eps_sec: int = 5) -> str:
+    """Mirror of windows.duplicate_event_audit: lag over the user
+    stream, same-type/same-micros/within-eps dup flags per type."""
+    eps_us = eps_sec * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events),
+l AS (SELECT event_type,
+             CASE WHEN event_type = lag(event_type) OVER w
+                   AND vm = lag(vm) OVER w
+                   AND us - lag(us) OVER w <= {eps_us}
+                  THEN 1 ELSE 0 END AS dup
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       floor(SUM(dup) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS dup_rate
+FROM l GROUP BY event_type
+"""
+
+
 def user_regularity_oracle() -> str:
     """Mirror of windows.user_regularity: lag gaps in whole seconds,
     per-user integer moments, one double VMR division."""

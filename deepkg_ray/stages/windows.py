@@ -1939,6 +1939,74 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def duplicate_event_audit(ds, eps_sec: int = 5,
+                          user_col: str = "user_id",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          value_col: str = "value"):
+    """Instrumentation double-fire audit: an event is a DUPLICATE when
+    the same user's immediately preceding event (order (ts, event_id))
+    has the same type AND the same micros value within ``eps_sec`` —
+    the client-retry / at-least-once-delivery artifact every event
+    pipeline deduplicates before counting.  Per type: events, dups and
+    the round6 dup rate.
+
+    Plan: user-complete coarse partitions (the interarrival shape),
+    one sort + shifted-compare pass each, then a type-dictionary
+    merge.  Returns (event_type, n_events, n_dups, dup_rate)."""
+    eps_us = eps_sec * 1_000_000
+    n_parts = 64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            type_col: b[type_col],
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(np.asarray(
+                to_micros(b[value_col].to_pylist()), np.int64)),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        t = g[type_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        vm = g["vm"].to_numpy(np.int64)
+        dup = np.concatenate(([False],
+                              (u[1:] == u[:-1]) & (t[1:] == t[:-1])
+                              & (vm[1:] == vm[:-1])
+                              & (us[1:] - us[:-1] <= eps_us)))
+        out = (pd.DataFrame({type_col: t,
+                             "n_events": np.ones(len(t), np.int64),
+                             "n_dups": dup.astype(np.int64)})
+               .groupby(type_col, as_index=False).sum())
+        out["n_events"] = out["n_events"].astype("int64")
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    parted = ds.select_columns(
+        [user_col, ts_col, id_col, type_col, value_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    merged = merge_partials(
+        parted.groupby("part").map_groups(per_partition,
+                                          batch_format="pandas"),
+        [type_col], {"n_events": "sum", "n_dups": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ne = df["n_events"].to_numpy(np.int64)
+        nd = df["n_dups"].to_numpy(np.int64)
+        df = df.assign(dup_rate=np.floor(
+            nd / ne.astype(np.float64) * 1e6 + 0.5) / 1e6)
+        return df
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
 def user_regularity(ds, user_col: str = "user_id", ts_col: str = "ts",
                     id_col: str = "event_id"):
     """Per-user inter-arrival regularity: variance-to-mean ratio of the

@@ -1277,3 +1277,30 @@ def test_user_regularity_golden(ray_session):
     assert out.loc[1, "vmr"] == 0.0
     assert out.loc[2, "n_gaps"] == 3 and out.loc[2, "sum_gap_s"] == 12
     assert abs(out.loc[2, "vmr"] - 4.5) < 1e-12
+
+def test_duplicate_event_audit_golden(ray_session):
+    """User 1 double-fires a purchase (same value, 1s apart); the third
+    same-value event arrives 100s later (not a dup); a different-value
+    retry is not a dup."""
+    m = 1_000_000
+    rows = [
+        (1, 1, 0, "purchase", 5.0),
+        (1, 2, 1 * m, "purchase", 5.0),        # dup
+        (1, 3, 101 * m, "purchase", 5.0),      # too late
+        (1, 4, 102 * m, "purchase", 6.0),      # different value
+        (2, 5, 0, "view", 0.0),
+        (2, 6, 2 * m, "view", 0.0),            # dup
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows])})
+    out = (windows.duplicate_event_audit(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type"))
+    assert out.loc["purchase", "n_events"] == 4
+    assert out.loc["purchase", "n_dups"] == 1
+    assert out.loc["purchase", "dup_rate"] == 0.25
+    assert out.loc["view", "n_dups"] == 1 and out.loc["view", "dup_rate"] == 0.5
