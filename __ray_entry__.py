@@ -731,6 +731,14 @@ def _q_events_first_touch(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type", "value"]))
 
 
+def _q_user_twa(sf_dir: str):
+    """Per-user time-weighted average value (step-function integral)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import user_time_weighted_avg
+    return user_time_weighted_avg(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "value"]))
+
+
 def _q_events_dup_audit(sf_dir: str):
     """Instrumentation double-fire audit (same user/type/value within
     5 s of the previous event)."""
@@ -3187,6 +3195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality_strength": _q_seasonality_strength,
         "user_regularity": _q_user_regularity,
         "events_dup_audit": _q_events_dup_audit,
+        "user_twa": _q_user_twa,
         "events_first_touch": _q_events_first_touch,
         "channel_ltv": _q_channel_ltv,
         "session_paths": _q_session_paths,
@@ -3505,6 +3514,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonality_strength": oracle.seasonality_strength_oracle(),
         "user_regularity": oracle.user_regularity_oracle(),
         "events_dup_audit": oracle.duplicate_event_audit_oracle(),
+        "user_twa": oracle.user_time_weighted_avg_oracle(),
         "events_first_touch": oracle.first_touch_attribution_oracle(),
         "channel_ltv": oracle.channel_ltv_quantiles_oracle(),
         "session_paths": oracle.session_paths_oracle(),

@@ -1327,6 +1327,27 @@ FROM f JOIN p USING (user_id) GROUP BY f.first_type
 """
 
 
+def user_time_weighted_avg_oracle() -> str:
+    """Mirror of windows.user_time_weighted_avg: LEAD step-function
+    integral with whole-second gaps, one double division."""
+    return """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                  CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+           FROM events),
+l AS (SELECT user_id, vm,
+             (lead(us) OVER w - us) // 1000000 AS dt
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      QUALIFY dt IS NOT NULL),
+m AS (SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+             CAST(SUM(dt) AS BIGINT) AS den,
+             CAST(SUM(vm * dt) AS BIGINT) AS num
+      FROM l GROUP BY user_id)
+SELECT user_id, n_events, den AS span_s,
+       floor(num / CAST(den AS DOUBLE) + 0.5) / 1e6 AS twa
+FROM m WHERE den > 0
+"""
+
+
 def duplicate_event_audit_oracle(eps_sec: int = 5) -> str:
     """Mirror of windows.duplicate_event_audit: lag over the user
     stream, same-type/same-micros/within-eps dup flags per type."""

@@ -1939,6 +1939,64 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def user_time_weighted_avg(ds, user_col: str = "user_id",
+                           ts_col: str = "ts", id_col: str = "event_id",
+                           value_col: str = "value", n_parts: int = 64):
+    """Per-user TIME-weighted average value: each event's value holds
+    until the user's next event (step function), so
+    TWA = Σ vᵢ·Δtᵢ / ΣΔtᵢ — the metric for state-like values (a plan
+    tier, a queue depth) where the plain mean over-weights chatty
+    periods.  Gaps quantize to whole seconds (µs products would
+    overflow int64; loud assert on the vm·Δt bound); users whose span
+    rounds to 0 s drop.
+
+    Plan: user-complete coarse partitions, one sort + shifted-product
+    pass each — per-partition rows are FINAL (a user never straddles
+    partitions).  twa = floor(num/den + 0.5)/1e6 on exact int64s.
+    Returns (user_id, n_events, span_s, twa)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b[user_col].to_pylist())
+        return pa.table({
+            user_col: b[user_col],
+            id_col: b[id_col].combine_chunks().cast(pa.int64()),
+            "us": b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vm": pa.array(np.asarray(
+                to_micros(b[value_col].to_pylist()), np.int64)),
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32))})
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "us", id_col], kind="stable")
+        u = g[user_col].to_numpy()
+        us = g["us"].to_numpy(np.int64)
+        vm = g["vm"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dt = (us[1:] - us[:-1]) // 1_000_000
+        if len(vm) and dt.size:
+            assert int(np.abs(vm).max()) * int(max(dt.max(), 1)) \
+                < 2 ** 62, "twa int64 bound exceeded"
+        num_t = np.where(same, vm[:-1] * dt, 0)
+        den_t = np.where(same, dt, 0)
+        d = pd.DataFrame({user_col: u[:-1][same],
+                          "num": num_t[same], "den": den_t[same],
+                          "n": np.ones(int(same.sum()), np.int64)})
+        out = d.groupby(user_col, as_index=False).sum()
+        out = out[out["den"] > 0]
+        num = out["num"].to_numpy(np.int64)
+        den = out["den"].to_numpy(np.int64)
+        return pd.DataFrame({
+            user_col: out[user_col].to_numpy(),
+            "n_events": out["n"].to_numpy(np.int64) + 1,
+            "span_s": den,
+            "twa": np.floor(num / den.astype(np.float64) + 0.5) / 1e6})
+
+    parted = ds.select_columns(
+        [user_col, ts_col, id_col, value_col]).map_batches(
+        add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(per_partition,
+                                             batch_format="pandas")
+
+
 def duplicate_event_audit(ds, eps_sec: int = 5,
                           user_col: str = "user_id",
                           ts_col: str = "ts", id_col: str = "event_id",

@@ -1304,3 +1304,20 @@ def test_duplicate_event_audit_golden(ray_session):
     assert out.loc["purchase", "n_dups"] == 1
     assert out.loc["purchase", "dup_rate"] == 0.25
     assert out.loc["view", "n_dups"] == 1 and out.loc["view", "dup_rate"] == 0.5
+
+def test_user_time_weighted_avg_golden(ray_session):
+    """Value 10 held 3s then 20 held 1s -> TWA (30+20)/4 = 12.5; the
+    chatty-mean would be (10+20+20)/3."""
+    m = 1_000_000
+    rows = [(1, 1, 0, 10.0), (1, 2, 3 * m, 20.0), (1, 3, 4 * m, 20.0)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows])})
+    out = windows.user_time_weighted_avg(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 1
+    assert out["n_events"].iloc[0] == 3
+    assert out["span_s"].iloc[0] == 4
+    assert out["twa"].iloc[0] == 12.5
