@@ -990,6 +990,15 @@ def _q_phash_near_dups(sf_dir: str):
                            hamming_max=6)
 
 
+def _q_image_exposure(sf_dir: str):
+    """REAL P6 decode → over/under-exposure stats through the actor
+    pool; value-checked against the raw-pixel construction gold."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import (image_exposure,
+                                              synth_real_media_table)
+    return image_exposure(rd.from_arrow(synth_real_media_table(n=256)))
+
+
 def _q_audio_silence(sf_dir: str):
     """REAL WAV decode → silence statistics (VAD-style pre-filter)
     through the actor pool; value-checked against the construction
@@ -3406,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
         "audio_silence": _q_audio_silence,
+        "image_exposure": _q_image_exposure,
         "media_phash": _q_media_phash,
         "phash_near_dups": _q_phash_near_dups,
         "video_frame_sample": _q_video_frame_sample,
@@ -3726,6 +3736,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": oracle.dedup_minhash_oracle(),
         "multimodal_features": oracle.multimodal_features_oracle(),
         "audio_silence": oracle.audio_silence_oracle(),
+        "image_exposure": oracle.image_exposure_oracle(),
         "media_phash": oracle.media_phash_oracle(),
         "phash_near_dups": oracle.phash_near_dups_oracle(),
         "video_frame_sample": oracle.video_frame_sample_oracle(),

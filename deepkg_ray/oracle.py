@@ -2038,6 +2038,13 @@ def multimodal_features_oracle() -> str:
     return f"SELECT * FROM read_parquet('{fpath}')"
 
 
+def image_exposure_oracle() -> str:
+    """image_exposure (P6 decode → exposure stats) must reproduce the
+    construction gold computed from the raw pixels."""
+    from deepkg_ray.stages.multimodal import exposure_gold_path
+    return f"SELECT * FROM read_parquet('{exposure_gold_path()}')"
+
+
 def audio_silence_oracle() -> str:
     """audio_silence (WAV decode → VAD-style silence stats) must
     reproduce the construction gold computed from the raw samples."""

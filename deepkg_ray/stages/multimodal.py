@@ -462,6 +462,92 @@ def video_frames_gold(n: int = 8, seed: int = 9,
     return pa.table(cols)
 
 
+def exposure_stats_from_pixels(px: np.ndarray, lo: int = 48,
+                               hi: int = 717) -> tuple:
+    """(h, w, 3) uint8 → (n_pixels, n_dark, n_bright, mean_brightness):
+    gray is the integer r+g+b sum (0..765, the phash grayscale),
+    dark/bright are the clipped tails, mean_brightness =
+    round6(Σgray / n / 765.0) — the share of full brightness, one
+    fixed double chain on exact integers.  Shared by the decode tier
+    and the construction gold."""
+    g = px.astype(np.int64).sum(axis=2)
+    n = int(g.size)
+    nd = int((g < lo).sum())
+    nb = int((g > hi).sum())
+    s = int(g.sum())
+    mean = float(np.floor(s / n / 765.0 * 1e6 + 0.5) / 1e6) if n else 0.0
+    return n, nd, nb, mean
+
+
+class ExposureAnalyzer:
+    """Image-only decode stage: P6 payload → exposure statistics — the
+    over/under-exposure gate an image-training pipeline applies before
+    feature extraction (SilenceAnalyzer's image sibling)."""
+
+    def __init__(self, lo: int = 48, hi: int = 717):
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["media_type"], pa.scalar("image"))
+        batch = batch.filter(keep)
+        ids, ns, nd, nb, mg = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            px = decode_ppm(payload)
+            a, b, c, d = exposure_stats_from_pixels(px, self.lo, self.hi)
+            ids.append(mid)
+            ns.append(a)
+            nd.append(b)
+            nb.append(c)
+            mg.append(d)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_pixels": pa.array(ns, pa.int64()),
+            "n_dark": pa.array(nd, pa.int64()),
+            "n_bright": pa.array(nb, pa.int64()),
+            "mean_brightness": pa.array(mg, pa.float64())})
+
+
+def image_exposure(ds, *, lo: int = 48, hi: int = 717,
+                   concurrency=(1, 4), batch_size: int = 64):
+    """media Dataset → per-image exposure stats (actor pool)."""
+    return ds.map_batches(ExposureAnalyzer,
+                          fn_constructor_kwargs={"lo": lo, "hi": hi},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+def image_exposure_gold(n: int = 64, seed: int = 5, lo: int = 48,
+                        hi: int = 717) -> pa.Table:
+    """Expected image_exposure output from the RAW pixel arrays."""
+    items = [d for d in _real_media_items(n, seed)
+             if d["media_type"] == "image"]
+    rows = [exposure_stats_from_pixels(d["raw"], lo, hi) for d in items]
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "n_pixels": pa.array([r[0] for r in rows], pa.int64()),
+        "n_dark": pa.array([r[1] for r in rows], pa.int64()),
+        "n_bright": pa.array([r[2] for r in rows], pa.int64()),
+        "mean_brightness": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def exposure_gold_path() -> str:
+    """Idempotent golden parquet for image_exposure."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    root = os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "image_exposure_gold_v1.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(image_exposure_gold(n=256), tmp)
+        os.replace(tmp, path)
+    return path
+
+
 def silence_stats_from_samples(s: np.ndarray,
                                thresh: int = 4000) -> tuple:
     """PCM16 samples → (n_samples, n_silent, longest_run,

@@ -1321,3 +1321,21 @@ def test_user_time_weighted_avg_golden(ray_session):
     assert out["n_events"].iloc[0] == 3
     assert out["span_s"].iloc[0] == 4
     assert out["twa"].iloc[0] == 12.5
+
+def test_image_exposure_golden(ray_session):
+    """Hand-built 2x2: one black, one white, two mid pixels -> 1 dark,
+    1 bright, mean brightness (0+765+382+382)/4/765; plus engine ==
+    construction-gold on the gradient corpus."""
+    from deepkg_ray.stages import multimodal as mm
+    px = np.array([[[0, 0, 0], [255, 255, 255]],
+                   [[127, 127, 128], [128, 127, 127]]], np.uint8)
+    n, nd, nb, mean = mm.exposure_stats_from_pixels(px)
+    assert (n, nd, nb) == (4, 1, 1)
+    assert abs(mean - np.floor((0 + 765 + 382 + 382) / 4 / 765.0
+                               * 1e6 + 0.5) / 1e6) < 1e-12
+    t = mm.synth_real_media_table(n=32)
+    out = (mm.image_exposure(rd.from_arrow(t)).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    gold = (mm.image_exposure_gold(n=32).to_pandas()
+            .sort_values("media_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, gold)
