@@ -2460,6 +2460,12 @@ def _q_heavy_part_suppliers(sf_dir: str):
 
 
 
+def _q_order_line_histogram(sf_dir: str):
+    """Order-size count-of-counts over lineitem (join-planning shape)."""
+    from deepkg_ray.pipelines.relational import order_line_histogram
+    return order_line_histogram(sf_dir)
+
+
 def _q_revenue_concentration(sf_dir: str):
     """Revenue-concentration audit: Gini + top-10%/1% customer shares
     over per-customer lifetime revenue (value-count histogram plan)."""
@@ -3300,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_isotropy": _q_embedding_isotropy,
         "latest_order_per_customer": _q_latest_order_per_customer,
         "revenue_concentration": _q_revenue_concentration,
+        "order_line_histogram": _q_order_line_histogram,
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
@@ -3620,6 +3627,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_isotropy": oracle.embedding_isotropy_oracle(),
         "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),
         "revenue_concentration": oracle.revenue_concentration_oracle(),
+        "order_line_histogram": oracle.order_line_histogram_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),

@@ -1269,6 +1269,16 @@ FROM p GROUP BY path
 """
 
 
+def order_line_histogram_oracle() -> str:
+    """Mirror of relational.order_line_histogram: count-of-counts."""
+    return """
+WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY l_orderkey)
+SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_lines
+"""
+
+
 def revenue_concentration_oracle() -> str:
     """Mirror of relational.revenue_concentration: per-customer micros
     sums, sorted-form integer Gini via row_number, rank-cut top-k

@@ -1720,6 +1720,39 @@ def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
     return per_supp.map_batches(finish, batch_format="pyarrow")
 
 
+def order_line_histogram(sf_dir: str):
+    """Order-size distribution: count-of-counts of lineitems per order
+    (customer_order_distribution's lineitem-grain sibling; the shape
+    planners consult before picking a join side).  Per-order counts
+    fold distributed (orderkey groupby, mode='auto'), then the
+    histogram cells are count-bounded.  Returns (n_lines, n_orders)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            b["l_orderkey"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"l_orderkey": pa.array(vals.astype(np.int64)),
+                         "c": pa.array(cnts.astype(np.int64))})
+
+    per_order = merge_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"], {"c": "sum"}, mode="auto")
+
+    def hist(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(b["c"].to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        return pa.table({"n_lines": pa.array(vals.astype(np.int64)),
+                         "n_orders": pa.array(cnts.astype(np.int64))})
+
+    return merge_partials(
+        per_order.map_batches(hist, batch_format="pyarrow"),
+        ["n_lines"], {"n_orders": "sum"}, mode="tree")
+
+
 def revenue_concentration(sf_dir: str):
     """Revenue-concentration audit over per-customer lifetime revenue:
     Gini coefficient plus the top-10% / top-1% customer revenue shares —

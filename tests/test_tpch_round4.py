@@ -145,3 +145,16 @@ def test_revenue_concentration_golden(ray_session, tmp_path):
     assert out["top10_share"].iloc[0] == 0.7
     assert out["top1_share"].iloc[0] == 0.7
     assert abs(out["gini"].iloc[0] - 0.45) < 1e-12
+
+
+def test_order_line_histogram_matches_duckdb(ray_session):
+    from deepkg_ray.pipelines.relational import order_line_histogram
+    got = (order_line_histogram(SF).to_pandas()
+           .sort_values("n_lines").reset_index(drop=True))
+    want = (_con().execute("""
+        WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+                   FROM lineitem GROUP BY l_orderkey)
+        SELECT n_lines, CAST(count(*) AS BIGINT) AS n_orders
+        FROM c GROUP BY n_lines ORDER BY n_lines""").fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert got["n_orders"].sum() > 0
