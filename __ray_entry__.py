@@ -1920,6 +1920,15 @@ def _q_state_history(sf_dir: str):
         sf_dir, ["user_id", "ts", "event_id", "event_type"]))
 
 
+def _q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain (pi.P^k,
+    integer floor arithmetic, unrolled-CTE oracle)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import markov_stationary
+    return markov_stationary(read_events(
+        sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
 def _q_markov_transitions(sf_dir: str):
     """First-order Markov transition matrix over per-user event-type
     sequences (per-partition pair combiner → tree merge over the
@@ -3374,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit": _q_fk_audit,
         "state_history": _q_state_history,
         "markov_transitions": _q_markov_transitions,
+        "markov_stationary": _q_markov_stationary,
         "frequent_pairs": _q_frequent_pairs,
         "part_skyline": _q_part_skyline,
         "top_events_with_ties": _q_top_with_ties,
@@ -3699,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_audit": oracle.fk_audit_oracle(),
         "state_history": oracle.state_history_oracle(),
         "markov_transitions": oracle.markov_transitions_oracle(),
+        "markov_stationary": oracle.markov_stationary_oracle(),
         "frequent_pairs": oracle.frequent_pairs_oracle(min_support=2),
         "part_skyline": oracle.skyline_oracle(),
         "top_events_with_ties": oracle.top_with_ties_oracle(k=2),

@@ -4463,6 +4463,45 @@ FROM isl
 """
 
 
+def markov_stationary_oracle(n_iters: int = 8,
+                             scale: int = 10 ** 12) -> str:
+    """Mirror of windows.markov_stationary: the unrolled π·Pᵏ chain in
+    integer floor arithmetic (kg_hits_oracle's MATERIALIZED-CTE
+    convention over the LEAD-pair transition grid)."""
+    prev = "x0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""x{i} AS MATERIALIZED (
+  SELECT ty.t, CAST(COALESCE(s.sm, 0) AS BIGINT) AS v
+  FROM ty LEFT JOIN (
+    SELECT c.dst_type AS t, SUM((p.v * c.n) // r.tot) AS sm
+    FROM {prev} p JOIN c ON c.src_type = p.t
+                 JOIN r ON r.src_type = c.src_type
+    GROUP BY c.dst_type) s ON s.t = ty.t
+)""")
+        prev = f"x{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH e AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id)
+           AS dst_type
+  FROM events
+),
+c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+      FROM e WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+ty AS (SELECT src_type AS t FROM c UNION SELECT dst_type FROM c),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+r AS (SELECT src_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM c GROUP BY src_type),
+x0 AS (SELECT t, CAST({scale} // (SELECT k FROM kk) AS BIGINT) AS v
+       FROM ty),
+{chain}
+SELECT t AS event_type, CAST(v AS BIGINT) AS pi_scaled FROM x{n_iters}
+"""
+
+
 def markov_transitions_oracle() -> str:
     """LEAD-pair transition counts + row-normalized probability for
     stages/windows.markov_transitions (single correctly-rounded divide on

@@ -1939,6 +1939,56 @@ def first_touch_attribution(ds, *, purchase_type: str = "purchase",
                              batch_size=None)
 
 
+def markov_stationary(ds, n_iters: int = 8, scale: int = 10 ** 12,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type", n_parts: int = 64):
+    """Stationary distribution of the event-type Markov chain: π·Pᵏ from
+    the uniform start over the LEAD-pair transition matrix — where the
+    per-step probabilities (markov_transitions) END UP if behavior
+    repeats; the long-run type mix forecast.
+
+    Exactness: the pagerank_scaled convention — all arithmetic in int64
+    units of 1/scale, per-edge contribution (π_i·n_ij) // row_tot_i
+    (floor mass-drop is deterministic on both sides; absorbing types
+    re-emit nothing, also both sides).  The |types|² transition grid is
+    dictionary-sized, so after the distributed pair fold the power
+    iteration runs in one numpy pass on the driver (the kg_walk_counts
+    driver tier).  Returns (event_type, pi_scaled)."""
+    import ray.data as rd
+
+    from deepkg_ray.util import rows_all
+
+    trans = markov_transitions(ds, user_col=user_col, ts_col=ts_col,
+                               id_col=id_col, key_col=type_col,
+                               n_parts=n_parts)
+    rows = rows_all(trans.select_columns(["src_type", "dst_type", "n"]))
+    types = sorted({r["src_type"] for r in rows}
+                   | {r["dst_type"] for r in rows})
+    if not types:
+        return rd.from_arrow(pa.table({
+            "event_type": pa.array([], pa.string()),
+            "pi_scaled": pa.array([], pa.int64())}))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    si = np.asarray([idx[r["src_type"]] for r in rows], np.int64)
+    di = np.asarray([idx[r["dst_type"]] for r in rows], np.int64)
+    nn = np.asarray([r["n"] for r in rows], np.int64)
+    tot = np.zeros(k, np.int64)
+    np.add.at(tot, si, nn)
+    assert scale * int(nn.max()) < 2 ** 63, \
+        "markov_stationary int64 bound exceeded"
+    pi = np.full(k, scale // k, np.int64)
+    for _ in range(n_iters):
+        contrib = (pi[si] * nn) // tot[si]
+        new = np.zeros(k, np.int64)
+        np.add.at(new, di, contrib)
+        pi = new
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "pi_scaled": pa.array(pi, pa.int64())}))
+
+
 def user_time_weighted_avg(ds, user_col: str = "user_id",
                            ts_col: str = "ts", id_col: str = "event_id",
                            value_col: str = "value", n_parts: int = 64):

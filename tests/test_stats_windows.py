@@ -1339,3 +1339,23 @@ def test_image_exposure_golden(ray_session):
     gold = (mm.image_exposure_gold(n=32).to_pandas()
             .sort_values("media_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(out, gold)
+
+def test_markov_stationary_golden(ray_session):
+    """Deterministic 2-cycle a->b->a: uniform start is already
+    stationary (up to floor), pure python mirror agrees."""
+    m = 1_000_000
+    seq = ["a", "b"] * 6
+    t = pa.table({
+        "user_id": pa.array([1] * len(seq), pa.int64()),
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "ts": pa.array(np.arange(len(seq), dtype=np.int64) * m,
+                       pa.timestamp("us")),
+        "event_type": pa.array(seq)})
+    out = (windows.markov_stationary(rd.from_arrow(t)).to_pandas()
+           .set_index("event_type")["pi_scaled"])
+    scale = 10 ** 12
+    # pure-python mirror: uniform start, P swaps a<->b exactly
+    pi = {"a": scale // 2, "b": scale // 2}
+    for _ in range(8):
+        pi = {"a": (pi["b"] * 5) // 5, "b": (pi["a"] * 6) // 6}
+    assert out["a"] == pi["a"] and out["b"] == pi["b"]
