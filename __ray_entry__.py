@@ -212,6 +212,13 @@ def _q_kg_cooccurrence_pmi(sf_dir: str):
     return cooccurrence_pmi(kg.mentions_dataset(sf_dir), n_total)
 
 
+def _q_kg_pred_cardinality(sf_dir: str):
+    """Relation-cardinality classes (1:1/1:N/N:1/M:N) per predicate."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.canonical import predicate_cardinality
+    return predicate_cardinality(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_schema(sf_dir: str):
     """Predicate type-signature induction over the canonical graph."""
     from deepkg_ray.pipelines import kg
@@ -3122,6 +3129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_predicates": _q_kg_predicates,
         "kg_schema": _q_kg_schema,
+        "kg_pred_cardinality": _q_kg_pred_cardinality,
         "transcript_stats": _q_transcript_stats,
         "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
@@ -3450,6 +3458,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": oracle.entities_sql(SF_ORACLE),
         "kg_predicates": oracle.predicates_sql(SF_ORACLE),
         "kg_schema": oracle.kg_schema_oracle(SF_ORACLE),
+        "kg_pred_cardinality":
+            oracle.predicate_cardinality_oracle(SF_ORACLE),
         "transcript_stats": oracle.transcript_stats_sql(SF_ORACLE),
         "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),

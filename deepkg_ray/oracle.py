@@ -3762,6 +3762,31 @@ GROUP BY x.subj_id, x.pred, x.obj_id
 """
 
 
+def predicate_cardinality_oracle(sf_dir: str) -> str:
+    """Mirror of canonical.predicate_cardinality over the canonical
+    DISTINCT edge set."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+ed AS (SELECT DISTINCT subj_id, pred, obj_id FROM triples),
+o AS (SELECT pred, subj_id, CAST(count(*) AS BIGINT) AS c
+      FROM ed GROUP BY pred, subj_id),
+i AS (SELECT pred, obj_id, CAST(count(*) AS BIGINT) AS c
+      FROM ed GROUP BY pred, obj_id),
+oo AS (SELECT pred, CAST(max(c) AS BIGINT) AS max_out,
+              CAST(sum(c) AS BIGINT) AS n_edges FROM o GROUP BY pred),
+ii AS (SELECT pred, CAST(max(c) AS BIGINT) AS max_in
+       FROM i GROUP BY pred)
+SELECT oo.pred, oo.n_edges, oo.max_out, ii.max_in,
+       CASE WHEN oo.max_out = 1 AND ii.max_in = 1 THEN '1:1'
+            WHEN oo.max_out = 1 THEN 'N:1'
+            WHEN ii.max_in = 1 THEN '1:N'
+            ELSE 'M:N' END AS cardinality
+FROM oo JOIN ii USING (pred)
+"""
+
+
 def kg_growth_curve_oracle(sf_dir: str) -> str:
     """Mirror of canonical.kg_growth_curve: first-observation day per
     canonical edge (kg_edge_spans derivation), calendar-complete daily

@@ -304,7 +304,71 @@ def edge_spans(linked_triples_ds, transcripts_ds, n_parts: int = 64,
                            "last_us": "max"}, mode=mode)
 
 
-def schema_table(adjacency_ds):
+def predicate_cardinality(adjacency_ds):
+    """Relation-cardinality induction per predicate over the canonical
+    DISTINCT edge set: max out-fan (objects per subject) and in-fan
+    (subjects per object) classify each predicate as 1:1 / 1:N / N:1 /
+    M:N — the schema constraint KG-embedding losses (TransE's flaw with
+    N-to-N relations, Bordes 2013) and entity-resolution rules both
+    consult; schema_table's cardinality complement.
+
+    Plan: adjacency rows are already one-per-canonical-edge, so the
+    out-fan cells are (pred, subj) sizes (auto merge), folded to a
+    pred-bounded max; same for in-fan; the classification runs once on
+    the pred-dictionary table.  Returns (pred, n_edges, max_out,
+    max_in, cardinality)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def fan_cells(key_col):
+        def cells(b: pa.Table) -> pd.DataFrame:
+            g = (pd.DataFrame({
+                "pred": b["pred"].to_pylist(),
+                "k": b[key_col].to_numpy(zero_copy_only=False)})
+                .groupby(["pred", "k"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+            g["c"] = g["c"].astype("int64")
+            return g
+        return cells
+
+    edges = adjacency_ds.select_columns(["subj_id", "pred", "obj_id"])
+    out_fan = merge_partials(
+        merge_partials(edges.map_batches(fan_cells("subj_id"),
+                                         batch_format="pyarrow"),
+                       ["pred", "k"], {"c": "sum"}, mode="auto")
+        .map_batches(lambda b: pa.table({
+            "pred": b["pred"], "max_out": b["c"],
+            "n_edges": b["c"]}), batch_format="pyarrow"),
+        ["pred"], {"max_out": "max", "n_edges": "sum"})
+    in_fan = merge_partials(
+        merge_partials(edges.map_batches(fan_cells("obj_id"),
+                                         batch_format="pyarrow"),
+                       ["pred", "k"], {"c": "sum"}, mode="auto")
+        .map_batches(lambda b: pa.table({
+            "pred": b["pred"], "max_in": b["c"]}),
+            batch_format="pyarrow"),
+        ["pred"], {"max_in": "max"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        mo = df["max_out"].to_numpy(np.int64)
+        mi = df["max_in"].to_numpy(np.int64)
+        card = np.where(mo == 1, np.where(mi == 1, "1:1", "N:1"),
+                        np.where(mi == 1, "1:N", "M:N"))
+        return df.assign(cardinality=card)
+
+    # both sides are pred-dictionary-sized: merge them on the driver
+    # (the broadcast-table convention; never row-shaped)
+    import ray.data as rd
+
+    from deepkg_ray.util import rows_all
+    a = pd.DataFrame(rows_all(out_fan))
+    b = pd.DataFrame(rows_all(in_fan))
+    m = a.merge(b, on="pred").sort_values("pred", kind="stable") \
+        .reset_index(drop=True)
+    m = finish(m)
+    return rd.from_pandas(m[["pred", "n_edges", "max_out", "max_in",
+                             "cardinality"]])
     """Predicate signature induction over the canonical graph:
     (subj_type, pred, obj_type, n_edges, n_support) — the observed type
     signature of every predicate (ontology-induction signal; the

@@ -733,3 +733,20 @@ def test_kg_growth_curve_golden():
     assert got["cum_edges"].tolist() == [2, 2, 3]
     assert got["day_us"].tolist() == [0, day * 1_000_000,
                                       2 * day * 1_000_000]
+
+
+def test_predicate_cardinality_golden():
+    """p: 1->5,6 and 2->5 (out fan 2, in fan 2 -> M:N); q: 1->7 only
+    (1:1); r: 1->8, 2->8 (out 1, in 2 -> N:1)."""
+    from deepkg_ray.stages.canonical import predicate_cardinality
+    edges = pd.DataFrame({
+        "subj_id": np.array([1, 1, 2, 1, 1, 2], np.int64),
+        "pred": ["p", "p", "p", "q", "r", "r"],
+        "obj_id": np.array([5, 6, 5, 7, 8, 8], np.int64)})
+    out = (predicate_cardinality(rd.from_pandas(edges)).to_pandas()
+           .set_index("pred"))
+    assert out.loc["p", "cardinality"] == "M:N"
+    assert out.loc["p", "n_edges"] == 3
+    assert out.loc["q", "cardinality"] == "1:1"
+    assert out.loc["r", "cardinality"] == "N:1"
+    assert out.loc["r", "max_in"] == 2 and out.loc["r", "max_out"] == 1
