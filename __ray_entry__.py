@@ -1155,6 +1155,16 @@ def _q_linking_recall(sf_dir: str):
     })
 
 
+def _q_linking_ndcg(sf_dir: str):
+    """nDCG@5 of the canonical name in BM25 candidates (micros-exact
+    tier; single-gold binary relevance so IDCG = 1)."""
+    import pandas as pd
+    from deepkg_ray.stages.scoring import ndcg_distributed
+    cands, gold_ds = _linking_eval_inputs(sf_dir)
+    n_q, nd = ndcg_distributed(cands.materialize(), gold_ds)
+    return pd.DataFrame({"n_queries": [n_q], "ndcg": [nd]})
+
+
 def _q_linking_mrr(sf_dir: str):
     """MRR of the canonical name among BM25 top-5 candidates (micros-exact
     tier; oracle evaluates the identical expression grid).  Distributed:
@@ -3437,6 +3447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
         "linking_mrr": _q_linking_mrr,
+        "linking_ndcg": _q_linking_ndcg,
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
         "audio_silence": _q_audio_silence,
@@ -3569,6 +3580,7 @@ def oracle_sql() -> dict[str, str]:
         "linking_candidates": oracle.bm25_topn_oracle(SF_ORACLE, top_n=10),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
+        "linking_ndcg": oracle.linking_ndcg_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),
         "distinct_event_types": oracle.distinct_event_types_oracle(),
         "pricing_summary": oracle.pricing_summary_oracle(),

@@ -3984,6 +3984,31 @@ FROM hits
 """
 
 
+def linking_ndcg_oracle(sf_dir: str, top_n: int = 5) -> str:
+    """nDCG of the canonical name among BM25 top-n candidates — mirrors
+    stages/scoring.ndcg_distributed (linking_mrr_oracle's hits CTE with
+    the ln-ratio log₂ discount)."""
+    q = ("q AS (SELECT DISTINCT a.query, dict.name AS gold FROM dict, "
+         "unnest(dict.aliases) AS a(query) WHERE a.query <> dict.name)")
+    return _bm25_ctes(sf_dir, q) + f"""
+, hits AS (
+  SELECT q.query,
+         min(CASE WHEN r.rank < {top_n} AND d.name = q.gold
+                  THEN r.rank END) AS best
+  FROM q
+  LEFT JOIN ranked r ON r.query = q.query
+  LEFT JOIN dict d ON d.entity_id = r.entity_id
+  GROUP BY q.query)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       floor(CAST(sum(CASE WHEN best IS NULL THEN 0
+                           ELSE CAST(floor(1e6 * ln(2) / ln(best + 2)
+                                           + 0.5) AS BIGINT)
+                      END) AS DOUBLE)
+             / count(*) + 0.5) / 1e6 AS ndcg
+FROM hits
+"""
+
+
 def funnel_oracle(steps=("view", "click", "purchase")) -> str:
     """Ordered funnel counts — mirrors stages/windows.funnel_counts
     (strictly-later µs at each stage)."""

@@ -285,6 +285,33 @@ def mrr_distributed(candidates_ds, gold_ds, *,
     return n_q, mrr
 
 
+def ndcg_distributed(candidates_ds, gold_ds, *,
+                     num_partitions=None) -> tuple:
+    """nDCG for the single-gold retrieval eval (binary relevance, one
+    gold per query ⇒ IDCG = 1): per query 1/log₂(best_rank + 2), 0 on
+    miss — mrr_distributed's plan with the log discount.  The discount
+    quantizes as floor(1e6·ln 2 / ln(rank+2) + 0.5): ln on INTEGER args
+    is bit-equal engine/DuckDB (the zipf-fit precedent), so the metric
+    is hash-exact.  Returns (n_queries, ndcg)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    minr = _min_gold_rank(candidates_ds, gold_ds,
+                          num_partitions=num_partitions)
+
+    def dcg(b: pa.Table) -> pa.Table:
+        r = b["minr"].to_numpy(zero_copy_only=False).astype(np.float64)
+        micros = np.floor(1e6 * np.log(2.0) / np.log(r + 2.0) + 0.5) \
+            .astype(np.int64)
+        return pa.table({"g": pa.array([int(micros.sum())], pa.int64())})
+
+    total = minr.map_batches(dcg, batch_format="pyarrow") \
+        .aggregate(Sum("g", alias_name="g"))["g"] or 0
+    n_q = _distinct_query_count(gold_ds)
+    nd = float(np.floor(total / n_q + 0.5) / 1e6) if n_q else float("nan")
+    return n_q, nd
+
+
 def spearman(x, y) -> float:
     """Spearman rank correlation — the reference's embedding-eval metric
     (simcse_unsup.py:204-228), computed driver-side on a small eval set."""

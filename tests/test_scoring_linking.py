@@ -255,3 +255,25 @@ def test_distributed_prf_closed_forms_match_tuplemetric():
         exp = m.compute_f1()
         assert all(abs(res[x] - exp[x]) < 1e-9
                    for x in ("tp", "gold", "pred", "P", "R", "F1")), mode
+
+
+def test_ndcg_distributed_golden(ray_session):
+    """Gold at rank 0 -> 1.0; rank 1 -> ln2/ln3; miss -> 0.
+    Mean over 3 queries, micros-rounded."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray.stages.scoring import ndcg_distributed
+    cands = pd.DataFrame({
+        "query": ["a", "a", "b", "b", "c"],
+        "candidate_name": ["A", "X", "Y", "B", "Z"],
+        "rank": np.array([0, 1, 0, 1, 0], np.int64)})
+    gold = pd.DataFrame({"query": ["a", "b", "c"],
+                         "gold": ["A", "B", "C"]})
+    n_q, nd = ndcg_distributed(rd.from_pandas(cands),
+                               rd.from_pandas(gold))
+    assert n_q == 3
+    g1 = int(np.floor(1e6 * np.log(2.0) / np.log(2.0) + 0.5))
+    g2 = int(np.floor(1e6 * np.log(2.0) / np.log(3.0) + 0.5))
+    want = np.floor((g1 + g2 + 0) / 3 + 0.5) / 1e6
+    assert nd == want
