@@ -2486,6 +2486,12 @@ def _q_heavy_part_suppliers(sf_dir: str):
 
 
 
+def _q_brand_hhi(sf_dir: str):
+    """Brand revenue concentration (Herfindahl index) per product type."""
+    from deepkg_ray.pipelines.relational import brand_hhi
+    return brand_hhi(sf_dir)
+
+
 def _q_order_line_histogram(sf_dir: str):
     """Order-size count-of-counts over lineitem (join-planning shape)."""
     from deepkg_ray.pipelines.relational import order_line_histogram
@@ -3334,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": _q_latest_order_per_customer,
         "revenue_concentration": _q_revenue_concentration,
         "order_line_histogram": _q_order_line_histogram,
+        "brand_hhi": _q_brand_hhi,
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
@@ -3660,6 +3667,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_order_per_customer": oracle.latest_order_per_customer_oracle(),
         "revenue_concentration": oracle.revenue_concentration_oracle(),
         "order_line_histogram": oracle.order_line_histogram_oracle(),
+        "brand_hhi": oracle.brand_hhi_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),

@@ -1269,6 +1269,27 @@ FROM p GROUP BY path
 """
 
 
+def brand_hhi_oracle() -> str:
+    """Mirror of relational.brand_hhi: per-(type, brand) revenue micros
+    (the module floor(ext·(1−disc)·1e6+0.5) convention), HUGEINT share
+    squares, one double division per type."""
+    return """
+WITH r AS (
+  SELECT p.p_type, p.p_brand,
+         CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                             * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS rm
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_type, p.p_brand
+)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(SUM(rm) AS BIGINT) AS total_micros,
+       CAST(SUM(CAST(rm AS HUGEINT) * rm) AS DOUBLE)
+         / (CAST(CAST(SUM(rm) AS BIGINT) AS DOUBLE)
+            * CAST(SUM(rm) AS BIGINT)) AS hhi
+FROM r GROUP BY p_type
+"""
+
+
 def order_line_histogram_oracle() -> str:
     """Mirror of relational.order_line_histogram: count-of-counts."""
     return """

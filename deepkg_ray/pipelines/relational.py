@@ -1720,6 +1720,75 @@ def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
     return per_supp.map_batches(finish, batch_format="pyarrow")
 
 
+def brand_hhi(sf_dir: str):
+    """Brand market concentration per product type: the Herfindahl–
+    Hirschman index Σ share² of brand revenue within each p_type —
+    the antitrust-style concentration score (HHI → 1: one brand owns
+    the category; → 1/n_brands: perfectly split).
+
+    Plan: part's (partkey → type, brand) attaches as a broadcast map
+    (the Q9 dim tier); revenue folds per (type, brand) in exact micros
+    on the merge tree (type×brand-dictionary-bounded); the HHI finish
+    squares in Python big-ints (rm² overflows int64) with ONE double
+    division per type.  Returns (p_type, n_brands, total_micros,
+    hhi)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type", "p_brand"])
+    pk = np.asarray(pt["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    ptype = np.asarray(pt["p_type"].to_pylist(), object)[order]
+    pbrand = np.asarray(pt["p_brand"].to_pylist(), object)[order]
+    dim_ref = ray.put((pk, ptype, pbrand))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        keys, types, brands = ray.get(dim_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, lp)
+        ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = b["l_discount"].to_numpy(zero_copy_only=False)
+        # per-row revenue micros: the module-wide to_micros(ext·(1−disc))
+        rm = np.asarray(to_micros(ext * (1.0 - disc)), np.int64)
+        g = (pd.DataFrame({"p_type": types[idx], "p_brand": brands[idx],
+                           "rm": rm})
+             .groupby(["p_type", "p_brand"], as_index=False, sort=False)
+             .sum())
+        g["rm"] = g["rm"].astype("int64")
+        return g
+
+    cells = merge_partials(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["p_type", "p_brand"], {"rm": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("p_type"):
+            rm = g["rm"].to_numpy(np.int64)
+            tot = int(rm.sum())
+            num = int((rm.astype(object) ** 2).sum())
+            hhi = float(num) / (float(tot) * float(tot)) if tot else 0.0
+            rows.append((t, len(rm), tot, hhi))
+        out = pd.DataFrame(rows, columns=["p_type", "n_brands",
+                                          "total_micros", "hhi"])
+        out["n_brands"] = out["n_brands"].astype("int64")
+        out["total_micros"] = out["total_micros"].astype("int64")
+        return out
+
+    return cells.repartition(1).map_batches(finish,
+                                            batch_format="pandas",
+                                            batch_size=None)
+
+
 def order_line_histogram(sf_dir: str):
     """Order-size distribution: count-of-counts of lineitems per order
     (customer_order_distribution's lineitem-grain sibling; the shape

@@ -158,3 +158,25 @@ def test_order_line_histogram_matches_duckdb(ray_session):
         FROM c GROUP BY n_lines ORDER BY n_lines""").fetchdf())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert got["n_orders"].sum() > 0
+
+
+def test_brand_hhi_matches_duckdb(ray_session):
+    from deepkg_ray.pipelines.relational import brand_hhi
+    got = (brand_hhi(SF).to_pandas()
+           .sort_values("p_type").reset_index(drop=True))
+    want = (_con().execute("""
+        WITH r AS (
+          SELECT p.p_type, p.p_brand,
+                 CAST(SUM(CAST(floor(l.l_extendedprice
+                       * (1.0 - l.l_discount) * 1e6 + 0.5) AS BIGINT))
+                      AS BIGINT) AS rm
+          FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+          GROUP BY p.p_type, p.p_brand)
+        SELECT p_type, CAST(count(*) AS BIGINT) AS n_brands,
+               CAST(SUM(rm) AS BIGINT) AS total_micros,
+               CAST(SUM(CAST(rm AS HUGEINT) * rm) AS DOUBLE)
+                 / (CAST(CAST(SUM(rm) AS BIGINT) AS DOUBLE)
+                    * CAST(SUM(rm) AS BIGINT)) AS hhi
+        FROM r GROUP BY p_type ORDER BY p_type""").fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert ((got["hhi"] > 0) & (got["hhi"] <= 1.0)).all()
