@@ -1560,6 +1560,14 @@ def _q_kg_truss(sf_dir: str):
     return truss_edges(kg.adjacency_dataset(sf_dir), k=3)
 
 
+def _q_kg_embeddedness(sf_dir: str):
+    """Edge embeddedness: common-neighbor support per existing edge
+    (bridges report 0)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import edge_embeddedness
+    return edge_embeddedness(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_eigenvector(sf_dir: str):
     """Fixed-iteration integer-scaled eigenvector centrality (power
     iteration x' = A.x on the symmetrized KG, scalar max normalizer)."""
@@ -3203,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _q_kg_scc,
         "kg_hits": _q_kg_hits,
         "kg_eigenvector": _q_kg_eigenvector,
+        "kg_embeddedness": _q_kg_embeddedness,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -3532,6 +3541,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "kg_eigenvector": oracle.kg_eigenvector_oracle(SF_ORACLE,
                                                        n_iters=3),
+        "kg_embeddedness": oracle.edge_embeddedness_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "inverted_index": oracle.inverted_index_oracle(),

@@ -2459,6 +2459,34 @@ FROM {prev} JOIN ids ON ids.id = {prev}.node
 """
 
 
+def edge_embeddedness_oracle(sf_dir: str) -> str:
+    """Mirror of graph.edge_embeddedness: common-neighbor counts per
+    existing undirected edge, bridges kept with cn = 0."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                  greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION ALL SELECT hi, lo FROM adj
+),
+cn AS (
+  SELECT a.lo, a.hi, CAST(count(*) AS BIGINT) AS cn
+  FROM adj a JOIN bidir x ON x.node = a.lo
+             JOIN bidir y ON y.node = a.hi AND y.peer = x.peer
+  GROUP BY a.lo, a.hi
+)
+SELECT a.lo AS e1, a.hi AS e2,
+       CAST(COALESCE(cn.cn, 0) AS BIGINT) AS cn
+FROM adj a LEFT JOIN cn ON cn.lo = a.lo AND cn.hi = a.hi
+"""
+
+
 def kg_eigenvector_oracle(sf_dir: str, n_iters: int = 3,
                           scale: int = 10**6) -> str:
     """Fixed-iteration integer-scaled eigenvector centrality over the

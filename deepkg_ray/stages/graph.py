@@ -1925,6 +1925,139 @@ def diameter_2sweep(edges, src_col: str = "subj_id",
         "diameter_lb": pa.array([int(d2["dist"].max())], pa.int64())}))
 
 
+def edge_embeddedness(edges, src_col: str = "subj_id",
+                      dst_col: str = "obj_id",
+                      num_partitions: int | None = None,
+                      broadcast_threshold: int = 2_000_000):
+    """Embeddedness of every EXISTING undirected edge: the number of
+    common neighbors of its endpoints (= the edge's triangle support;
+    Granovetter's tie-strength proxy — an edge with embeddedness 0 is
+    a local bridge).  link_prediction's wedge machinery with the anti
+    join flipped to a LEFT attach onto the edge set, so bridges report
+    cn = 0 instead of vanishing.
+
+    Plan: node-complete wedge partitions fold (e1, e2) wedge counts
+    (mode='auto'); the simple edge set left-attaches them — broadcast
+    packed-key lookup below the threshold, hash left_outer join above.
+    Returns (e1, e2, cn) with e1 < e2."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({
+            "node": pa.array(np.concatenate([u, v]), pa.int64()),
+            "peer": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    bidir = edges.map_batches(bidirect, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False)
+        return b.append_column("part", pa.array(
+            (node % np.int64(64)).astype(np.int32)))
+
+    def wedge_partition(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False)
+        peer = g["peer"].to_numpy(zero_copy_only=False)
+        if len(peer):
+            assert peer.min() >= 0 and peer.max() < 2**31, \
+                "pair packing requires node ids in [0, 2^31)"
+        order = np.lexsort((peer, node))
+        node, peer = node[order], peer[order]
+        first = np.ones(len(node), bool)
+        first[1:] = (node[1:] != node[:-1]) | (peer[1:] != peer[:-1])
+        node, peer = node[first], peer[first]
+        starts = np.nonzero(np.concatenate(
+            ([True], node[1:] != node[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(node)]))
+        keys = []
+        for s, e in zip(starts, ends):
+            deg = e - s
+            if deg < 2:
+                continue
+            ai, bi = np.triu_indices(deg, k=1)
+            p = peer[s:e]
+            keys.append(p[ai] * PACK + p[bi])
+        if not keys:
+            return pa.table({"e1": pa.array([], pa.int64()),
+                             "e2": pa.array([], pa.int64()),
+                             "cn": pa.array([], pa.int64())})
+        uk, cnts = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({
+            "e1": pa.array((uk // PACK).astype(np.int64), pa.int64()),
+            "e2": pa.array((uk % PACK).astype(np.int64), pa.int64()),
+            "cn": pa.array(cnts.astype(np.int64), pa.int64())})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    cand = merge_partials(
+        bidir.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(wedge_partition,
+                                    batch_format="pyarrow"),
+        ["e1", "e2"], {"cn": "sum"}, mode="auto").materialize()
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo = np.minimum(u, v)
+        hi = np.maximum(u, v)
+        packed = np.unique(lo * PACK + hi)
+        return pa.table({"packed": pa.array(packed, pa.int64()),
+                         "_n": pa.array(np.ones(len(packed), np.int64))})
+
+    simple = merge_partials(
+        edges.map_batches(orient, batch_format="pyarrow"),
+        ["packed"], {"_n": "sum"}, mode="auto").drop_columns(["_n"])
+
+    if cand.count() <= broadcast_threshold:
+        import ray
+        cp = cand.to_pandas()
+        ck = cp["e1"].to_numpy(np.int64) * PACK \
+            + cp["e2"].to_numpy(np.int64)
+        order = np.argsort(ck)
+        ref = ray.put((ck[order],
+                       cp["cn"].to_numpy(np.int64)[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            keys, cns = ray.get(ref)
+            pk = b["packed"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, pk)
+            pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (len(keys) > 0) & (keys[pos_c] == pk)
+            cn = np.where(hit, cns[pos_c], 0)
+            return pa.table({
+                "e1": pa.array(pk // PACK, pa.int64()),
+                "e2": pa.array(pk % PACK, pa.int64()),
+                "cn": pa.array(cn.astype(np.int64), pa.int64())})
+
+        return simple.map_batches(attach, batch_format="pyarrow")
+
+    unpacked = simple.map_batches(
+        lambda b: pa.table({
+            "e1": pa.array(b["packed"].to_numpy(
+                zero_copy_only=False) // PACK, pa.int64()),
+            "e2": pa.array(b["packed"].to_numpy(
+                zero_copy_only=False) % PACK, pa.int64())}),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(unpacked).join(
+        drop_empty_blocks(cand), join_type="left_outer",
+        num_partitions=num_partitions, on=("e1", "e2"))
+    return joined.map_batches(
+        lambda b: pa.table({
+            "e1": b["e1"].combine_chunks().cast(pa.int64()),
+            "e2": b["e2"].combine_chunks().cast(pa.int64()),
+            "cn": pa.array(np.nan_to_num(
+                b["cn"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)).astype(np.int64), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def link_prediction_scores(edges, src_col: str = "subj_id",
                            dst_col: str = "obj_id", min_cn: int = 2,
                            max_degree: int | None = None,

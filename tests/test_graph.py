@@ -724,3 +724,16 @@ def test_eigenvector_scaled_golden(ray_session):
     for n in range(4):
         assert out[n] == x[n], (n, out[n], x[n])
     assert out[0] == scale and out[1] == out[2] == out[3] < scale
+
+
+def test_edge_embeddedness_golden(ray_session):
+    """Triangle {1,2,3} + bridge 3-4: triangle edges have cn=1, the
+    bridge has cn=0 and still appears."""
+    ds = _edges_ds([(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = (graph.edge_embeddedness(ds).to_pandas()
+           .set_index(["e1", "e2"])["cn"].to_dict())
+    assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 1, (3, 4): 0}
+    # K4: every edge sits in 2 triangles
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out2 = graph.edge_embeddedness(_edges_ds(k4)).to_pandas()
+    assert (out2["cn"] == 2).all() and len(out2) == 6
