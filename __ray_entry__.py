@@ -1560,6 +1560,13 @@ def _q_kg_truss(sf_dir: str):
     return truss_edges(kg.adjacency_dataset(sf_dir), k=3)
 
 
+def _q_kg_avg_nbr_degree(sf_dir: str):
+    """Average neighbor degree per node (local assortativity view)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import avg_neighbor_degree
+    return avg_neighbor_degree(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_embeddedness(sf_dir: str):
     """Edge embeddedness: common-neighbor support per existing edge
     (bridges report 0)."""
@@ -3212,6 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "kg_eigenvector": _q_kg_eigenvector,
         "kg_embeddedness": _q_kg_embeddedness,
+        "kg_avg_nbr_degree": _q_kg_avg_nbr_degree,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -3542,6 +3550,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_eigenvector": oracle.kg_eigenvector_oracle(SF_ORACLE,
                                                        n_iters=3),
         "kg_embeddedness": oracle.edge_embeddedness_oracle(SF_ORACLE),
+        "kg_avg_nbr_degree":
+            oracle.avg_neighbor_degree_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "inverted_index": oracle.inverted_index_oracle(),

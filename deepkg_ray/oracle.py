@@ -2459,6 +2459,31 @@ FROM {prev} JOIN ids ON ids.id = {prev}.node
 """
 
 
+def avg_neighbor_degree_oracle(sf_dir: str) -> str:
+    """Mirror of graph.avg_neighbor_degree over the symmetrized KG."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+adj AS (
+  SELECT DISTINCT least(subj_id, obj_id) AS lo,
+                  greatest(subj_id, obj_id) AS hi
+  FROM triples WHERE subj_id <> obj_id
+),
+bidir AS (
+  SELECT lo AS node, hi AS peer FROM adj
+  UNION ALL SELECT hi, lo FROM adj
+),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM bidir GROUP BY node)
+SELECT b.node, CAST(count(*) AS BIGINT) AS degree,
+       floor(SUM(d.degree) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS avg_nbr_deg
+FROM bidir b JOIN deg d ON d.node = b.peer
+GROUP BY b.node
+"""
+
+
 def edge_embeddedness_oracle(sf_dir: str) -> str:
     """Mirror of graph.edge_embeddedness: common-neighbor counts per
     existing undirected edge, bridges kept with cn = 0."""

@@ -369,6 +369,9 @@ def predicate_cardinality(adjacency_ds):
     m = finish(m)
     return rd.from_pandas(m[["pred", "n_edges", "max_out", "max_in",
                              "cardinality"]])
+
+
+def schema_table(adjacency_ds):
     """Predicate signature induction over the canonical graph:
     (subj_type, pred, obj_type, n_edges, n_support) — the observed type
     signature of every predicate (ontology-induction signal; the

@@ -1925,6 +1925,105 @@ def diameter_2sweep(edges, src_col: str = "subj_id",
         "diameter_lb": pa.array([int(d2["dist"].max())], pa.int64())}))
 
 
+def avg_neighbor_degree(edges, src_col: str = "subj_id",
+                        dst_col: str = "obj_id",
+                        num_partitions: int | None = None,
+                        broadcast_threshold: int = 2_000_000):
+    """Average neighbor degree per node over the simple undirected
+    graph — degree_assortativity's node-local view (a node whose
+    neighbors out-rank it sits in a rich-club periphery; the
+    Pastor-Satorras k_nn(k) curve folds from these rows).
+
+    Plan: distinct (node, peer) pairs; the |V|-sized degree table
+    attaches to the peer side by broadcast below the threshold and by
+    one hash join above (the link_prediction_scores tier pair); the
+    per-node fold is exact integers with ONE round6 division.
+    Returns (node, degree, avg_nbr_deg)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def bidirect_dedup(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        pairs = np.unique(np.stack([np.concatenate([u, v]),
+                                    np.concatenate([v, u])],
+                                   axis=1), axis=0)
+        return pa.table({"node": pa.array(pairs[:, 0], pa.int64()),
+                         "peer": pa.array(pairs[:, 1], pa.int64()),
+                         "_n": pa.array(np.ones(len(pairs), np.int64))})
+
+    pairs = merge_partials(
+        edges.map_batches(bidirect_dedup, batch_format="pyarrow"),
+        ["node", "peer"], {"_n": "sum"}, mode="auto") \
+        .drop_columns(["_n"]).materialize()
+
+    deg = merge_partials(
+        pairs.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "degree": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], {"degree": "sum"}, mode="auto").materialize()
+
+    def finish(df):
+        s = df["s"].to_numpy(np.int64)
+        n = df["degree"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "node": df["node"].to_numpy(np.int64),
+            "degree": n,
+            "avg_nbr_deg": np.floor(s / n.astype(np.float64)
+                                    * 1e6 + 0.5) / 1e6})
+
+    import pandas as pd
+
+    if deg.count() <= broadcast_threshold:
+        import ray
+        dp = deg.to_pandas()
+        nodes = dp["node"].to_numpy(np.int64)
+        order = np.argsort(nodes)
+        ref = ray.put((nodes[order],
+                       dp["degree"].to_numpy(np.int64)[order]))
+
+        def attach(b: pa.Table) -> pd.DataFrame:
+            keys, dv = ray.get(ref)
+            peer = b["peer"].to_numpy(zero_copy_only=False)
+            pd_ = dv[np.searchsorted(keys, peer)]
+            g = (pd.DataFrame({
+                "node": b["node"].to_numpy(zero_copy_only=False),
+                "s": pd_, "degree": np.ones(len(pd_), np.int64)})
+                .groupby("node", as_index=False).sum())
+            g["s"] = g["s"].astype("int64")
+            g["degree"] = g["degree"].astype("int64")
+            return g
+
+        merged = merge_partials(
+            pairs.map_batches(attach, batch_format="pyarrow"),
+            ["node"], {"s": "sum", "degree": "sum"}, mode="auto")
+        return merged.map_batches(finish, batch_format="pandas")
+
+    peer_deg = deg.map_batches(
+        lambda b: pa.table({"peer": b["node"], "pdeg": b["degree"]}),
+        batch_format="pyarrow")
+    joined = drop_empty_blocks(pairs).join(
+        drop_empty_blocks(peer_deg), join_type="inner",
+        num_partitions=num_partitions, on=("peer",))
+    merged = merge_partials(
+        joined.map_batches(
+            lambda b: pa.table({
+                "node": b["node"],
+                "s": b["pdeg"],
+                "degree": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["node"], {"s": "sum", "degree": "sum"}, mode="auto")
+    return merged.map_batches(finish, batch_format="pandas")
+
+
 def edge_embeddedness(edges, src_col: str = "subj_id",
                       dst_col: str = "obj_id",
                       num_partitions: int | None = None,

@@ -737,3 +737,23 @@ def test_edge_embeddedness_golden(ray_session):
     k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
     out2 = graph.edge_embeddedness(_edges_ds(k4)).to_pandas()
     assert (out2["cn"] == 2).all() and len(out2) == 6
+
+
+def test_avg_neighbor_degree_tiers_agree(ray_session):
+    """Star 0-{1,2,3}: hub's neighbors all have degree 1 -> 1.0;
+    leaves see the hub's degree 3 -> 3.0.  Broadcast and join tiers
+    agree on a random graph."""
+    ds = _edges_ds([(0, 1), (0, 2), (0, 3)])
+    out = (graph.avg_neighbor_degree(ds).to_pandas()
+           .set_index("node"))
+    assert out.loc[0, "avg_nbr_deg"] == 1.0 and out.loc[0, "degree"] == 3
+    assert out.loc[1, "avg_nbr_deg"] == 3.0
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (80, 2))
+             if a != b]
+    ds2 = _edges_ds(edges)
+    a = (graph.avg_neighbor_degree(ds2).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (graph.avg_neighbor_degree(ds2, broadcast_threshold=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
