@@ -1758,6 +1758,17 @@ def _q_doc_repetition(sf_dir: str):
     return doc_repetition(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_source_pii_rates(sf_dir: str):
+    """Per-source PII exposure audit over the PII-augmented corpus
+    (emails/URLs/phones: doc-hit rates + total hits per class)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.scrub import (augment_pii_kernel,
+                                         source_pii_rates)
+    aug = read_documents(sf_dir, ["doc_id", "source", "text"]) \
+        .map_batches(augment_pii_kernel, batch_format="pyarrow")
+    return source_pii_rates(aug)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails/URLs/phones) over deterministically
     PII-augmented text — the public corpus has no PII, so the query injects
@@ -3298,6 +3309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "doc_repetition": _q_doc_repetition,
         "pii_scrub": _q_pii_scrub,
+        "source_pii_rates": _q_source_pii_rates,
         "quality_filter": _q_quality_filter,
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
@@ -3629,6 +3641,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oracle.stratified_sample_oracle(),
         "doc_repetition": oracle.doc_repetition_oracle(),
         "pii_scrub": oracle.pii_scrub_oracle(),
+        "source_pii_rates": oracle.source_pii_rates_oracle(),
         "quality_filter": oracle.quality_filter_oracle(),
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),

@@ -3002,6 +3002,36 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
 
 # ------------------------------------------------- corpus cleaning oracles --
 
+def source_pii_rates_oracle() -> str:
+    """Mirror of scrub.source_pii_rates: regexp_extract_all hit counts
+    per (source, PII class) — exact because the patterns live in the
+    Python-re ∩ RE2 subset (the pii_scrub contract)."""
+    from deepkg_ray.stages.scrub import PII_PATTERNS
+    kinds = " UNION ALL ".join(
+        f"SELECT '{k}' AS kind, '{p}' AS pat"
+        for k, p, _ in PII_PATTERNS)
+    return f"""
+WITH k AS ({kinds}),
+aug AS (
+  SELECT source,
+         text || ' contact doc' || doc_id
+              || '@mail.example.com see https://docs.example.org/d/'
+              || doc_id || ' call 202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents),
+c AS (SELECT d.source, k.kind,
+             CAST(len(regexp_extract_all(d.text, k.pat)) AS BIGINT) AS n
+      FROM aug d, k)
+SELECT source, kind, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_hit,
+       CAST(SUM(n) AS BIGINT) AS n_hits,
+       floor(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS hit_rate
+FROM c GROUP BY source, kind
+"""
+
+
 def pii_scrub_oracle() -> str:
     """PII scrub over PII-augmented text — the SAME pattern strings as
     stages/scrub.PII_PATTERNS (imported, not re-typed) feed DuckDB's RE2;

@@ -36,6 +36,58 @@ from deepkg_ray.util import rows_all
 
 # Patterns restricted to the Python-re ∩ RE2 common subset (see module
 # docstring).  Order matters and is part of the contract: emails are
+def source_pii_rates(ds, text_col: str = "text",
+                     src_col: str = "source"):
+    """Per-source PII exposure audit: for each PII class (the
+    pii_scrub pattern set — emails, URLs, phones), how many documents
+    contain ≥ 1 hit and the total hit count — the report a data-owner
+    reads BEFORE deciding whether scrubbing suffices or the source
+    must be dropped.  Patterns stay in the Python-re ∩ RE2 subset so
+    DuckDB regexp oracles are exact (the pii_scrub contract).
+
+    Shuffle shape: per-batch vectorized findall counts collapse to
+    (source, kind) cells — dictionary-bounded tree merge.  Returns
+    (source, kind, n_docs, n_docs_hit, n_hits, hit_rate)."""
+    import re
+
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    pats = [(k, re.compile(p)) for k, p, _ in PII_PATTERNS]
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        rows = []
+        for s, t in zip(srcs, texts):
+            for kind, rx in pats:
+                n = len(rx.findall(t))
+                rows.append((s, kind, 1, 1 if n else 0, n))
+        g = (pd.DataFrame(rows, columns=["source", "kind", "n_docs",
+                                         "n_docs_hit", "n_hits"])
+             .groupby(["source", "kind"], as_index=False).sum())
+        for c in ("n_docs", "n_docs_hit", "n_hits"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    merged = merge_partials(
+        ds.select_columns([src_col, text_col]).map_batches(
+            cells, batch_format="pyarrow"),
+        ["source", "kind"],
+        {"n_docs": "sum", "n_docs_hit": "sum", "n_hits": "sum"},
+        mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_docs"].to_numpy(np.int64)
+        nh = df["n_docs_hit"].to_numpy(np.int64)
+        return df.assign(hit_rate=np.floor(
+            nh / nd.astype(np.float64) * 1e6 + 0.5) / 1e6)
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
+
+
 # scrubbed before URLs so a URL pattern never eats an address' domain.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),

@@ -136,3 +136,26 @@ def test_rake_keywords_golden(ray_session):
     assert out["phrase"].tolist() == ["deep learning", "deep graph", "graph"]
     assert out["n_occurrences"].tolist() == [1, 1, 1]
     assert np.allclose(out["score"], [4.0, 3.5, 1.5])
+
+
+def test_source_pii_rates_golden(ray_session):
+    """Source a: 2 docs, one with an email; source b: 1 doc with two
+    URLs and a phone."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.scrub import source_pii_rates
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array([
+            "reach me at bob@x.org today",
+            "nothing here",
+            "see https://x.org/a and https://y.org/b call 555-123-4567"])})
+    out = (source_pii_rates(rd.from_arrow(t)).to_pandas()
+           .set_index(["source", "kind"]))
+    assert out.loc[("a", "email"), "n_docs_hit"] == 1
+    assert out.loc[("a", "email"), "hit_rate"] == 0.5
+    assert out.loc[("a", "url"), "n_hits"] == 0
+    assert out.loc[("b", "url"), "n_hits"] == 2
+    assert out.loc[("b", "phone"), "n_hits"] == 1
+    assert out.loc[("b", "phone"), "hit_rate"] == 1.0
