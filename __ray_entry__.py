@@ -252,6 +252,16 @@ def _q_transcript_stats(sf_dir: str):
                        Count(alias_name="n_convs")))
 
 
+def _q_context_budget(sf_dir: str):
+    """Context-window budget report: fit/truncate split of whole
+    conversations against a 2048-token limit."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import context_budget_report
+    return context_budget_report(rd.read_parquet(
+        synth.transcripts_path(sf_dir), columns=["conv_id", "text"]))
+
+
 def _q_conv_turn_taking(sf_dir: str):
     """Per-conversation role-alternation rate (dialogue-quality signal)."""
     import ray.data as rd
@@ -3176,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_stats": _q_key_skew,
         "turn_latency": _q_turn_latency,
         "conv_turn_taking": _q_conv_turn_taking,
+        "context_budget": _q_context_budget,
         "conv_sessions": _q_conv_sessions,
         "tool_usage": _q_tool_usage,
         "conv_cumulative_triples": _q_conv_cumulative_triples,
@@ -3511,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_stats": oracle.key_skew_stats_oracle(SF_ORACLE),
         "turn_latency": oracle.turn_latency_oracle(SF_ORACLE),
         "conv_turn_taking": oracle.conv_turn_taking_oracle(SF_ORACLE),
+        "context_budget": oracle.context_budget_oracle(SF_ORACLE),
         "conv_sessions": oracle.conv_sessions_oracle(SF_ORACLE),
         "tool_usage": oracle.tool_usage_oracle(SF_ORACLE),
         "conv_cumulative_triples": oracle.conv_cumulative_triples_sql(SF_ORACLE),

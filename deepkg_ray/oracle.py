@@ -3432,6 +3432,32 @@ GROUP BY from_role, to_role
 """
 
 
+def context_budget_oracle(sf_dir: str, limit: int = 2048) -> str:
+    """Mirror of convgroup.context_budget_report: whitespace tokens per
+    conversation (doc_stats convention), fit/overflow split."""
+    return f"""
+WITH t AS (
+  SELECT conv_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+c AS (SELECT conv_id, CAST(SUM(nt) AS BIGINT) AS tok
+      FROM t GROUP BY conv_id),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_convs,
+             CAST(SUM(CASE WHEN tok <= {limit} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_fit,
+             CAST(SUM(tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN tok > {limit} THEN tok - {limit}
+                           ELSE 0 END) AS BIGINT) AS overflow_tokens
+      FROM c)
+SELECT n_convs, n_fit, n_convs - n_fit AS n_trunc,
+       floor(n_fit / CAST(n_convs AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS fit_share,
+       total_tokens, overflow_tokens
+FROM a
+"""
+
+
 def conv_turn_taking_oracle(sf_dir: str) -> str:
     """Mirror of convgroup.conv_turn_taking: lag() role adjacency per
     conversation, alternation share with one round6 division."""

@@ -22,6 +22,8 @@ windows via (2) with a one-turn overlap carry.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -192,6 +194,74 @@ def turn_latency(ds, *, n_parts: int = 64):
                                 + 0.5).astype(np.int64)
         return df
     return merged.map_batches(finish, batch_format="pandas")
+
+
+def context_budget_report(ds, limit: int = 2048):
+    """Context-window budget report: how much of the transcript corpus
+    fits a ``limit``-token context whole — n_convs, the fit/truncate
+    split, total and over-budget token mass — the sizing answer a
+    fine-tuning run needs before choosing max_seq_len (sequence_packing
+    packs what this counts).  Tokens are whitespace tokens summed per
+    conversation (associative ⇒ per-batch combiner + merge, no
+    conversation co-location needed).  Returns one row (n_convs, n_fit,
+    n_trunc, fit_share, total_tokens, overflow_tokens)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    ws = re.compile(r"\s+")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        texts = b["text"].to_pylist()
+        n = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            tl = t.strip()
+            n[i] = len(ws.split(tl)) if tl else 0
+        g = (pd.DataFrame({"conv_id": b["conv_id"].to_pylist(),
+                           "tok": n})
+             .groupby("conv_id", as_index=False).sum())
+        g["tok"] = g["tok"].astype("int64")
+        return g
+
+    per_conv = merge_partials(
+        ds.select_columns(["conv_id", "text"]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["conv_id"], {"tok": "sum"}, mode="auto")
+
+    def cells(b: pa.Table) -> pa.Table:
+        tok = b["tok"].to_numpy(zero_copy_only=False)
+        fit = tok <= limit
+        return pa.table({
+            "n_convs": pa.array([len(tok)], pa.int64()),
+            "n_fit": pa.array([int(fit.sum())], pa.int64()),
+            "total_tokens": pa.array([int(tok.sum())], pa.int64()),
+            "overflow_tokens": pa.array(
+                [int((tok[~fit] - limit).sum())], pa.int64())})
+
+    merged = merge_partials(
+        per_conv.map_batches(cells, batch_format="pyarrow")
+        .map_batches(lambda b: b.append_column(
+            "k", pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["k"], {"n_convs": "sum", "n_fit": "sum", "total_tokens": "sum",
+                "overflow_tokens": "sum"}, mode="tree")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nc = int(df["n_convs"].iloc[0])
+        nf = int(df["n_fit"].iloc[0])
+        return pd.DataFrame({
+            "n_convs": pd.array([nc], dtype="int64"),
+            "n_fit": pd.array([nf], dtype="int64"),
+            "n_trunc": pd.array([nc - nf], dtype="int64"),
+            "fit_share": [float(np.floor(nf / nc * 1e6 + 0.5) / 1e6)
+                          if nc else 0.0],
+            "total_tokens": pd.array([int(df["total_tokens"].iloc[0])],
+                                     dtype="int64"),
+            "overflow_tokens": pd.array(
+                [int(df["overflow_tokens"].iloc[0])], dtype="int64")})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)
 
 
 def conv_turn_taking(ds, *, n_parts: int = 64):

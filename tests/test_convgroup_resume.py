@@ -161,3 +161,21 @@ def test_conv_turn_taking_golden(ray_session):
     assert out.loc["c2", "alt_rate"] == 0.0
     assert out.loc["c4", "n_turns"] == 4 and out.loc["c4", "n_alt"] == 1
     assert abs(out.loc["c4", "alt_rate"] - 1 / 3) < 1e-6
+
+
+def test_context_budget_report_golden(ray_session):
+    """Conv a: 3 tokens (fits a 4-token limit); conv b: 6 tokens
+    (overflows by 2)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from deepkg_ray.stages.convgroup import context_budget_report
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "b", "b"]),
+        "text": pa.array(["one two", "three", "a b c", "d e f"])})
+    out = context_budget_report(rd.from_arrow(t), limit=4).to_pandas()
+    assert out["n_convs"].iloc[0] == 2
+    assert out["n_fit"].iloc[0] == 1
+    assert out["n_trunc"].iloc[0] == 1
+    assert out["fit_share"].iloc[0] == 0.5
+    assert out["total_tokens"].iloc[0] == 9
+    assert out["overflow_tokens"].iloc[0] == 2
