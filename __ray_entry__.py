@@ -175,6 +175,17 @@ def _q_entity_burst(sf_dir: str):
     return kg.entity_burst_dataset(sf_dir)
 
 
+def _q_kg_entity_introducer(sf_dir: str):
+    """Which role introduces entities per conversation (initiative
+    signal; argmin turn inside conv-complete partitions)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.mention import entity_introducer
+    ds = transcripts_with_norm(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "role"])
+    return entity_introducer(ds, synth.dictionary_path(sf_dir))
+
+
 def _q_role_entity_affinity(sf_dir: str):
     """Who talks about what: (role, entity_id, type, n_mentions, n_turns)
     via the fused detect+collapse plan (role attaches batch-locally)."""
@@ -3471,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_spans": _q_entity_spans,
         "kg_entity_lifespan": _q_entity_lifespan,
         "role_entity_affinity": _q_role_entity_affinity,
+        "kg_entity_introducer": _q_kg_entity_introducer,
         "kg_decayed_adjacency": _q_decayed_adjacency,
         "kg_entity_timeseries": _q_entity_timeseries,
         "conv_profile": _q_conv_profile,
@@ -3808,6 +3820,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_spans": oracle.entity_spans_oracle(SF_ORACLE),
         "kg_entity_lifespan": oracle.entity_lifespan_sql(SF_ORACLE),
         "role_entity_affinity": oracle.role_entity_affinity_sql(SF_ORACLE),
+        "kg_entity_introducer": oracle.entity_introducer_sql(SF_ORACLE),
         "kg_decayed_adjacency": oracle.decayed_adjacency_sql(SF_ORACLE),
         "kg_entity_timeseries": oracle.entity_timeseries_sql(SF_ORACLE),
         "conv_profile": oracle.conv_profile_sql(SF_ORACLE),

@@ -267,6 +267,25 @@ GROUP BY t.role, d.entity_id, d.type
 """
 
 
+def entity_introducer_sql(sf_dir: str) -> str:
+    """Mirror of mention.entity_introducer: per (conv, entity) the role
+    of the first-mentioning turn (min turn_idx; role is unique per
+    turn), rolled up to (role, type)."""
+    return f"""
+WITH {dict_values_cte()},
+t AS (SELECT conv_id, turn_idx, role, lower(text) AS txt
+      FROM read_parquet('{_transcripts_glob(sf_dir)}')),
+m AS (SELECT DISTINCT t.conv_id, t.turn_idx, t.role,
+             d.entity_id, d.type
+      FROM t JOIN dict d ON strpos(t.txt, d.surface) > 0),
+f AS (SELECT conv_id, entity_id, type, role FROM m
+      QUALIFY row_number() OVER (PARTITION BY conv_id, entity_id
+                                 ORDER BY turn_idx) = 1)
+SELECT role, type, CAST(count(*) AS BIGINT) AS n_introduced
+FROM f GROUP BY role, type
+"""
+
+
 def _triples_cte(sf_dir: str) -> str:
     """UNION ALL of one RE2 extraction per predicate, validated against the
     inline dictionary with the template's type constraints."""

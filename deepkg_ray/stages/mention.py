@@ -592,6 +592,85 @@ def mention_concentration_gini(mentions, mode: str = "auto"):
                                              batch_size=None)
 
 
+def entity_introducer(ds, dictionary_path: str, *, concurrency=None,
+                      n_parts: int = 64):
+    """Who introduces entities into conversations: for every (conv,
+    entity) the ROLE of its first-mentioning turn, rolled up to
+    (role, type, n_introduced) — the initiative signal conversational
+    KG curation slices by (user-introduced entities are asks,
+    assistant-introduced ones are knowledge injection).
+    ds must carry (conv_id, turn_idx, role, text_norm).
+
+    Plan: RoleEntityCells' fused detect+attach emits batch-local
+    (conv, entity, type, first turn, role) argmin candidates; the
+    global argmin folds inside conv-complete coarse partitions (a
+    conversation never straddles, so partition rows are FINAL), and
+    the (role, type) rollup is dictionary-bounded.  Returns
+    (role, type, n_introduced)."""
+    import pandas as pd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import stateful_map
+
+    class IntroCells(DictionaryMentionDetector):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            men = DictionaryMentionDetector.__call__(self, batch)
+            if men.num_rows == 0:
+                return pa.table({
+                    "conv_id": pa.array([], pa.string()),
+                    "entity_id": pa.array([], pa.int64()),
+                    "type": pa.array([], pa.string()),
+                    "turn_idx": pa.array([], pa.int64()),
+                    "role": pa.array([], pa.string())})
+            bm = pd.DataFrame({
+                "conv_id": batch["conv_id"].to_pylist(),
+                "turn_idx": batch["turn_idx"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                "role": batch["role"].to_pylist()})
+            md = pd.DataFrame({
+                "conv_id": men["conv_id"].to_pylist(),
+                "turn_idx": men["turn_idx"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                "entity_id": men["entity_id"]
+                             .to_numpy(zero_copy_only=False),
+                "type": men["type"].to_pylist()})
+            j = (md.merge(bm, on=["conv_id", "turn_idx"], how="left",
+                          sort=False)
+                 .sort_values(["conv_id", "entity_id", "turn_idx"],
+                              kind="stable")
+                 .groupby(["conv_id", "entity_id"], sort=False).head(1))
+            return pa.Table.from_pandas(
+                j[["conv_id", "entity_id", "type", "turn_idx", "role"]],
+                preserve_index=False)
+
+    cells = stateful_map(ds, IntroCells,
+                         {"dictionary_path": dictionary_path},
+                         concurrency=concurrency)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.sort_values(["conv_id", "entity_id", "turn_idx"],
+                               kind="stable")
+                 .groupby(["conv_id", "entity_id"], sort=False).head(1))
+        out = (first.groupby(["role", "type"], as_index=False).size()
+               .rename(columns={"size": "n_introduced"}))
+        out["n_introduced"] = out["n_introduced"].astype("int64")
+        return out
+
+    return merge_partials(
+        cells.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(per_partition,
+                                    batch_format="pandas"),
+        ["role", "type"], {"n_introduced": "sum"})
+
+
 def entity_relatedness(mentions, mode: str = "auto"):
     """Entity-relatedness edges by shared conversations: for every
     entity pair mentioned together in ≥1 conversation, the

@@ -750,3 +750,26 @@ def test_predicate_cardinality_golden():
     assert out.loc["q", "cardinality"] == "1:1"
     assert out.loc["r", "cardinality"] == "N:1"
     assert out.loc["r", "max_in"] == 2 and out.loc["r", "max_out"] == 1
+
+
+def test_entity_introducer_argmin_semantics(ray_session):
+    """The first-mentioning turn's role wins per (conv, entity), even
+    when a later turn re-mentions with another role."""
+    from deepkg_ray.stages.mention import entity_introducer
+    from deepkg_ray import synth
+    sf = "/root/testdata/sf0.001"
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    ds = transcripts_with_norm(
+        sf, columns=["conv_id", "turn_idx", "text", "role"])
+    out = entity_introducer(ds, synth.dictionary_path(sf)).to_pandas()
+    assert (out["n_introduced"] > 0).all()
+    # role vocabulary sanity + totals equal the distinct (conv, entity)
+    # first-mention count derived independently via pandas
+    import duckdb
+    from deepkg_ray.oracle import entity_introducer_sql
+    want = duckdb.sql(entity_introducer_sql(sf)).fetchdf()
+    got = out.sort_values(["role", "type"]).reset_index(drop=True)
+    want = want.sort_values(["role", "type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["role", "type", "n_introduced"]],
+        want[["role", "type", "n_introduced"]], check_dtype=False)
