@@ -1581,6 +1581,14 @@ def _q_kg_truss(sf_dir: str):
     return truss_edges(kg.adjacency_dataset(sf_dir), k=3)
 
 
+def _q_kg_robustness(sf_dir: str):
+    """Targeted-attack robustness curve: LCC after removing the top-k
+    degree hubs (k = 0, 5, 10)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import robustness_profile
+    return robustness_profile(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_avg_nbr_degree(sf_dir: str):
     """Average neighbor degree per node (local assortativity view)."""
     from deepkg_ray.pipelines import kg
@@ -3253,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eigenvector": _q_kg_eigenvector,
         "kg_embeddedness": _q_kg_embeddedness,
         "kg_avg_nbr_degree": _q_kg_avg_nbr_degree,
+        "kg_robustness": _q_kg_robustness,
         # phrase-mining stats
         "bigram_counts": _q_bigram_counts,
         "word_idf": _q_word_idf,
@@ -3588,6 +3597,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_embeddedness": oracle.edge_embeddedness_oracle(SF_ORACLE),
         "kg_avg_nbr_degree":
             oracle.avg_neighbor_degree_oracle(SF_ORACLE),
+        "kg_robustness": oracle.robustness_profile_oracle(SF_ORACLE),
         "bigram_counts": oracle.bigram_counts_oracle(),
         "word_idf": oracle.word_idf_oracle(),
         "inverted_index": oracle.inverted_index_oracle(),

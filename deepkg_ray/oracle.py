@@ -3379,6 +3379,53 @@ FROM reach GROUP BY u
 """)
 
 
+def robustness_profile_oracle(sf_dir: str, ks=(0, 5, 10)) -> str:
+    """Mirror of graph.robustness_profile: per k, top-k degree hubs
+    (tie → smaller id) removed, transitive-closure LCC over the
+    remaining edges."""
+    arms = []
+    for k in sorted(ks):
+        arms.append(f"""hub{k} AS (
+  SELECT node FROM deg
+  QUALIFY row_number() OVER (ORDER BY degree DESC, node) <= {k}
+), ed{k} AS (
+  SELECT u, v FROM edges2
+  WHERE u NOT IN (SELECT node FROM hub{k})
+    AND v NOT IN (SELECT node FROM hub{k})
+), reach{k}(u, v) AS (
+  SELECT u, v FROM ed{k}
+  UNION
+  SELECT r.u, e.v FROM reach{k} r JOIN ed{k} e ON r.v = e.u
+), comp{k} AS (
+  SELECT u AS node, least(u, min(v)) AS component
+  FROM reach{k} GROUP BY u
+), sizes{k} AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS c
+  FROM comp{k} GROUP BY component
+)""")
+        ctes = ",\n".join(arms)
+    finals = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k_removed,
+       CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(MAX(c), 0) AS BIGINT) AS lcc_size,
+       CASE WHEN COALESCE(SUM(c), 0) = 0 THEN 0.0
+            ELSE floor(MAX(c) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5)
+                 / 1e6 END AS lcc_share
+FROM sizes{k}""" for k in sorted(ks))
+    return (f"WITH RECURSIVE {dict_values_cte()},\n"
+            f"{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + f""",
+edges2 AS (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM edges2 GROUP BY u),
+{ctes}
+{finals}
+""")
+
+
 def grouped_quantiles_oracle(qs=(0.25, 0.5, 0.75, 0.9)) -> str:
     """Per-lang n_chars quantiles — mirrors
     stages/quantiles.grouped_quantiles_disc (quantile_disc semantics)."""

@@ -1925,6 +1925,64 @@ def diameter_2sweep(edges, src_col: str = "subj_id",
         "diameter_lb": pa.array([int(d2["dist"].max())], pa.int64())}))
 
 
+def robustness_profile(edges, ks=(0, 5, 10), src_col: str = "subj_id",
+                       dst_col: str = "obj_id"):
+    """Targeted-attack robustness: for each k in ``ks``, remove the
+    top-k degree hubs (tie → smaller id) and report the largest
+    connected component of the remaining edge-induced graph — the
+    Albert–Jeong–Barabási scale-free fragility curve (a KG whose LCC
+    collapses after a handful of hub deletions routes everything
+    through those entities).  Nodes that lose all edges leave the
+    graph (edge-induced convention, both sides).
+
+    Plan: distinct-neighbor degrees → a k-sized hub list (sort+limit
+    moves k rows); per k one broadcast-filtered edge scan feeds
+    connected_components' tiered CC; per-component sizes reduce to two
+    scalars.  Returns (k_removed, n_nodes, lcc_size, lcc_share)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count as _Cnt
+
+    ks = sorted(ks)
+    deg = node_degrees(edges, src_col=src_col, dst_col=dst_col)
+    hubs = (deg.sort(["degree", "node"], descending=[True, False])
+            .limit(max(ks) if ks else 0).to_pandas())
+    hub_ids = hubs["node"].to_numpy(np.int64)
+
+    out_rows = []
+    for k in ks:
+        drop = np.sort(hub_ids[:k])
+        ref = ray.put(drop)
+
+        def filt(b: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            u = b[src_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            v = b[dst_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = (u != v)
+            if len(d):
+                keep &= ~np.isin(u, d) & ~np.isin(v, d)
+            return pa.table({"doc_a": pa.array(u[keep], pa.int64()),
+                             "doc_b": pa.array(v[keep], pa.int64())})
+
+        cc = connected_components(
+            edges.map_batches(filt, batch_format="pyarrow"))
+        sizes = cc.groupby("component").aggregate(
+            _Cnt(alias_name="c")).materialize()
+        n_nodes = int(sizes.sum("c") or 0)
+        lcc = int(sizes.max("c") or 0)
+        share = float(np.floor(lcc / n_nodes * 1e6 + 0.5) / 1e6) \
+            if n_nodes else 0.0
+        out_rows.append((k, n_nodes, lcc, share))
+
+    return rd.from_arrow(pa.table({
+        "k_removed": pa.array([r[0] for r in out_rows], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in out_rows], pa.int64()),
+        "lcc_size": pa.array([r[2] for r in out_rows], pa.int64()),
+        "lcc_share": pa.array([r[3] for r in out_rows], pa.float64())}))
+
+
 def avg_neighbor_degree(edges, src_col: str = "subj_id",
                         dst_col: str = "obj_id",
                         num_partitions: int | None = None,

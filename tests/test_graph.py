@@ -757,3 +757,16 @@ def test_avg_neighbor_degree_tiers_agree(ray_session):
     b = (graph.avg_neighbor_degree(ds2, broadcast_threshold=0)
          .to_pandas().sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_robustness_profile_golden(ray_session):
+    """Star 0-{1..4} plus pendant pair 5-6: k=0 LCC is the 5-node star;
+    k=1 removes hub 0 and only the 5-6 pair remains."""
+    ds = _edges_ds([(0, 1), (0, 2), (0, 3), (0, 4), (5, 6)])
+    out = (graph.robustness_profile(ds, ks=(0, 1)).to_pandas()
+           .set_index("k_removed"))
+    assert out.loc[0, "n_nodes"] == 7
+    assert out.loc[0, "lcc_size"] == 5
+    assert out.loc[1, "n_nodes"] == 2      # leaves lost all edges
+    assert out.loc[1, "lcc_size"] == 2
+    assert out.loc[1, "lcc_share"] == 1.0
