@@ -2541,6 +2541,12 @@ def _q_heavy_part_suppliers(sf_dir: str):
 
 
 
+def _q_order_type_diversity(sf_dir: str):
+    """Basket diversity histogram: distinct part types per order."""
+    from deepkg_ray.pipelines.relational import order_type_diversity
+    return order_type_diversity(sf_dir)
+
+
 def _q_brand_hhi(sf_dir: str):
     """Brand revenue concentration (Herfindahl index) per product type."""
     from deepkg_ray.pipelines.relational import brand_hhi
@@ -3401,6 +3407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": _q_revenue_concentration,
         "order_line_histogram": _q_order_line_histogram,
         "brand_hhi": _q_brand_hhi,
+        "order_type_diversity": _q_order_type_diversity,
         "forecast_revenue": _q_forecast_revenue,
         "nation_market_share": _q_nation_market_share,
         "heavy_part_suppliers": _q_heavy_part_suppliers,
@@ -3735,6 +3742,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_concentration": oracle.revenue_concentration_oracle(),
         "order_line_histogram": oracle.order_line_histogram_oracle(),
         "brand_hhi": oracle.brand_hhi_oracle(),
+        "order_type_diversity": oracle.order_type_diversity_oracle(),
         "forecast_revenue": oracle.forecast_revenue_oracle(),
         "nation_market_share": oracle.nation_market_share_oracle(),
         "heavy_part_suppliers": oracle.heavy_part_suppliers_oracle(),

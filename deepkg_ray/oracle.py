@@ -1288,6 +1288,19 @@ FROM p GROUP BY path
 """
 
 
+def order_type_diversity_oracle() -> str:
+    """Mirror of relational.order_type_diversity."""
+    return """
+WITH c AS (
+  SELECT l.l_orderkey,
+         CAST(count(DISTINCT p.p_type) AS BIGINT) AS n_types
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY l.l_orderkey)
+SELECT n_types, CAST(count(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_types
+"""
+
+
 def brand_hhi_oracle() -> str:
     """Mirror of relational.brand_hhi: per-(type, brand) revenue micros
     (the module floor(ext·(1−disc)·1e6+0.5) convention), HUGEINT share

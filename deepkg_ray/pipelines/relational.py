@@ -1720,6 +1720,66 @@ def heavy_part_suppliers(sf_dir: str, brand: str = "Brand#12",
     return per_supp.map_batches(finish, batch_format="pyarrow")
 
 
+def order_type_diversity(sf_dir: str):
+    """Basket diversity: distinct part TYPES per order, as a
+    count-of-counts histogram — the cross-sell breadth signal
+    (order_line_histogram counts lines; this counts distinct
+    categories).  part's (partkey → type) attaches as a broadcast map;
+    (order, type) presence dedupes on the merge tree (auto), per-order
+    counts fold the same way, and the final histogram is
+    type-count-bounded.  Returns (n_types, n_orders)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    pt = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_type"])
+    pk = np.asarray(pt["p_partkey"].to_pylist(), np.int64)
+    order = np.argsort(pk)
+    dim_ref = ray.put((pk[order],
+                       np.asarray(pt["p_type"].to_pylist(),
+                                  object)[order]))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def presence(b: pa.Table) -> pd.DataFrame:
+        keys, types = ray.get(dim_ref)
+        lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "l_orderkey": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "p_type": types[np.searchsorted(keys, lp)]})
+            .drop_duplicates())
+        g["one"] = np.int64(1)
+        return g
+
+    pres = merge_partials(
+        li.map_batches(presence, batch_format="pyarrow"),
+        ["l_orderkey", "p_type"], {"one": "first"}, mode="auto")
+
+    per_order = merge_partials(
+        pres.map_batches(
+            lambda b: pa.table({
+                "l_orderkey": b["l_orderkey"].combine_chunks()
+                              .cast(pa.int64()),
+                "n_types": pa.array(np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["l_orderkey"], {"n_types": "sum"}, mode="auto")
+
+    def hist(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            b["n_types"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({"n_types": pa.array(vals.astype(np.int64)),
+                         "n_orders": pa.array(cnts.astype(np.int64))})
+
+    return merge_partials(
+        per_order.map_batches(hist, batch_format="pyarrow"),
+        ["n_types"], {"n_orders": "sum"}, mode="tree")
+
+
 def brand_hhi(sf_dir: str):
     """Brand market concentration per product type: the Herfindahl–
     Hirschman index Σ share² of brand revenue within each p_type —

@@ -180,3 +180,17 @@ def test_brand_hhi_matches_duckdb(ray_session):
         FROM r GROUP BY p_type ORDER BY p_type""").fetchdf())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert ((got["hhi"] > 0) & (got["hhi"] <= 1.0)).all()
+
+
+def test_order_type_diversity_matches_duckdb(ray_session):
+    from deepkg_ray.pipelines.relational import order_type_diversity
+    got = (order_type_diversity(SF).to_pandas()
+           .sort_values("n_types").reset_index(drop=True))
+    want = (_con().execute("""
+        WITH c AS (SELECT l.l_orderkey,
+                          CAST(count(DISTINCT p.p_type) AS BIGINT) AS n_types
+                   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                   GROUP BY l.l_orderkey)
+        SELECT n_types, CAST(count(*) AS BIGINT) AS n_orders
+        FROM c GROUP BY n_types ORDER BY n_types""").fetchdf())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
