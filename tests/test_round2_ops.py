@@ -773,3 +773,20 @@ def test_entity_introducer_argmin_semantics(ray_session):
     pd.testing.assert_frame_equal(
         got[["role", "type", "n_introduced"]],
         want[["role", "type", "n_introduced"]], check_dtype=False)
+
+
+def test_entity_relatedness_modes_agree():
+    """tree/auto vs shuffle presence-dedup modes give identical pairs."""
+    from deepkg_ray.stages.mention import entity_relatedness
+    rng = np.random.default_rng(17)
+    mentions = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in rng.integers(0, 25, 400)],
+        "turn_idx": np.zeros(400, np.int32),
+        "entity_id": rng.integers(0, 12, 400).astype(np.int64),
+    })
+    ds = rd.from_pandas(mentions)
+    a = (entity_relatedness(ds, mode="auto").to_pandas()
+         .sort_values(["e1", "e2"]).reset_index(drop=True))
+    b = (entity_relatedness(ds, mode="shuffle").to_pandas()
+         .sort_values(["e1", "e2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

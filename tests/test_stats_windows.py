@@ -1359,3 +1359,24 @@ def test_markov_stationary_golden(ray_session):
     for _ in range(8):
         pi = {"a": (pi["b"] * 5) // 5, "b": (pi["a"] * 6) // 6}
     assert out["a"] == pi["a"] and out["b"] == pi["b"]
+
+def test_first_touch_partitioning_invariance(ray_session):
+    """The argmin+sums merge tree gives identical results regardless of
+    input block layout."""
+    rng = np.random.default_rng(23)
+    n = 500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(rng.integers(0, 10**9, n).astype(np.int64),
+                       pa.timestamp("us")),
+        "event_type": pa.array(
+            np.array(["view", "click", "purchase"])[
+                rng.integers(0, 3, n)]),
+        "value": pa.array(rng.random(n) * 10)})
+    ds = rd.from_arrow(t)
+    a = (windows.first_touch_attribution(ds).to_pandas()
+         .sort_values("first_type").reset_index(drop=True))
+    b = (windows.first_touch_attribution(ds.repartition(13)).to_pandas()
+         .sort_values("first_type").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
