@@ -6543,7 +6543,7 @@ m AS (SELECT idx.i,
                   AS BIGINT) AS em
       FROM embeddings e, idx),
 s AS (SELECT i, CAST(SUM(em) AS BIGINT) AS sv FROM m GROUP BY i),
-num AS (SELECT SUM(sv * sv) AS num FROM s),
+num AS (SELECT SUM(CAST(sv AS HUGEINT) * sv) AS num FROM s),
 n2 AS (SELECT (SELECT CAST(SUM(CAST(floor(x * 1e6 + 0.5) AS BIGINT)
                                * CAST(floor(x * 1e6 + 0.5) AS BIGINT))
                            AS BIGINT)
@@ -7360,23 +7360,30 @@ WITH x AS (
              AS ss2
   FROM x
 )
+, w AS (
+  SELECT n1, n2, s1, s2,
+         (CAST(ss1 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
+         / CAST(n1 AS DOUBLE)
+         + (CAST(ss2 AS DOUBLE)
+            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+              / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
+         / CAST(n2 AS DOUBLE) AS se2
+  FROM m
+)
 SELECT n1 AS n_weekday, n2 AS n_weekend,
        floor(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 1e3 * 1e6 + 0.5)
            / 1e6 AS mean_weekday,
        floor(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) / 1e3 * 1e6 + 0.5)
            / 1e6 AS mean_weekend,
+       -- zero-variance guard mirrors windows.weekend_effect: se = 0 -> t = 0
+       CASE WHEN se2 <= 0 THEN 0.0 ELSE
        floor((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
-             / sqrt((CAST(ss1 AS DOUBLE)
-                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-                       / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)
-                    / CAST(n1 AS DOUBLE)
-                    + (CAST(ss2 AS DOUBLE)
-                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-                         / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)
-                    / CAST(n2 AS DOUBLE))
-             * 1e6 + 0.5) / 1e6 AS t_stat
-FROM m
+             / sqrt(se2)
+             * 1e6 + 0.5) / 1e6 END AS t_stat
+FROM w
 """
 
 

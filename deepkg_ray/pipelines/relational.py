@@ -895,7 +895,8 @@ def small_lot_revenue(sf_dir: str, brand: str = "Brand#23"):
     part_keys = frozenset(
         rd.read_parquet(f"{sf_dir}/part.parquet",
                         columns=["p_partkey", "p_brand"])
-        .filter(lambda r: r["p_brand"] == brand)
+        .map_batches(lambda b: b.filter(pc.equal(b["p_brand"], brand)),
+                     batch_format="pyarrow")
         .to_pandas()["p_partkey"].tolist())
     keys_ref = ray.put(part_keys)
 

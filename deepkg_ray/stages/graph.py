@@ -1944,7 +1944,13 @@ def robustness_profile(edges, ks=(0, 5, 10), src_col: str = "subj_id",
     from ray.data.aggregate import Count as _Cnt
 
     ks = sorted(ks)
-    deg = node_degrees(edges, src_col=src_col, dst_col=dst_col)
+    # hub degrees over the SELF-LOOP-FREE graph — the oracle computes
+    # degrees over subj_id <> obj_id edges, and the per-k filter below
+    # drops self-loops anyway (same guard as link_prediction_scores)
+    noself = edges.map_batches(
+        lambda b: b.filter(pc.not_equal(b[src_col], b[dst_col])),
+        batch_format="pyarrow")
+    deg = node_degrees(noself, src_col=src_col, dst_col=dst_col)
     hubs = (deg.sort(["degree", "node"], descending=[True, False])
             .limit(max(ks) if ks else 0).to_pandas())
     hub_ids = hubs["node"].to_numpy(np.int64)

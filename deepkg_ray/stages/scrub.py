@@ -36,6 +36,14 @@ from deepkg_ray.util import rows_all
 
 # Patterns restricted to the Python-re ∩ RE2 common subset (see module
 # docstring).  Order matters and is part of the contract: emails are
+# scrubbed before URLs so a URL pattern never eats an address' domain.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[A-Za-z0-9./_-]+", "<URL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+]
+
+
 def source_pii_rates(ds, text_col: str = "text",
                      src_col: str = "source"):
     """Per-source PII exposure audit: for each PII class (the
@@ -86,14 +94,6 @@ def source_pii_rates(ds, text_col: str = "text",
 
     return merged.map_batches(finish, batch_format="pandas",
                               batch_size=None)
-
-
-# scrubbed before URLs so a URL pattern never eats an address' domain.
-PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("url", r"https?://[A-Za-z0-9./_-]+", "<URL>"),
-    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
-]
 
 
 def pii_scrub_kernel(batch: pa.Table, text_col: str = "text") -> pa.Table:

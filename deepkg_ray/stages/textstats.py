@@ -749,6 +749,12 @@ def heaps_fit(ds, stride: int = 1, text_col: str = "text",
         for i, t in enumerate(texts):
             tl = t.lower().strip()
             ws = _WS.split(tl) if tl else []
+            if not ws:
+                # empty/whitespace docs contribute no tokens AND no
+                # checkpoint bucket — the oracle derives its bucket set
+                # from trim(text) <> '' token rows, so a trailing empty
+                # doc must not extend B with duplicate OLS checkpoints
+                continue
             bks.append(int(ids[i]) // stride)
             nts.append(len(ws))
             for w in ws:

@@ -1638,7 +1638,11 @@ def weekend_effect(ds, ts_col: str = "ts", value_col: str = "value"):
     m2 = s2 / n2 / 1e3
     v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
     v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
-    t = (s1 / n1 - s2 / n2) / np.sqrt(v1 / n1 + v2 / n2)
+    # zero-variance guard: both sides constant → se = 0 and the Welch
+    # ratio is undefined; report t = 0 (no detectable shift) instead of
+    # letting a divide-by-zero RuntimeWarning mask future real errors
+    se2 = v1 / n1 + v2 / n2
+    t = (s1 / n1 - s2 / n2) / np.sqrt(se2) if se2 > 0 else 0.0
     return rd.from_arrow(pa.table({
         "n_weekday": pa.array([int(n1)], pa.int64()),
         "n_weekend": pa.array([int(n2)], pa.int64()),
