@@ -42,6 +42,47 @@ def _q_kg_mention_counts(sf_dir: str):
     return merge_partials(partial, keys, {"n_occ": "sum"})
 
 
+def _q_kg_mention_counts_sharded(sf_dir: str):
+    """kg_mention_counts through the above-broadcast dictionary tier
+    (shardeddict.detect_mentions_sharded, n_shards=4): hash-sharded
+    automata over the replicated stream + greedy resolve — proven
+    identical to the broadcast tier against the SAME SQL oracle."""
+    import pyarrow as pa
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.shardeddict import detect_mentions_sharded
+    from deepkg_ray.stages.treeagg import merge_partials
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+
+    men = detect_mentions_sharded(transcripts_with_norm(sf_dir),
+                                  synth.dictionary_path(sf_dir),
+                                  n_shards=4)
+    return merge_partials(men.map_batches(combine, batch_format="pyarrow"),
+                          keys, {"n_occ": "sum"})
+
+
+def _q_bm25_topn_sharded(sf_dir: str):
+    """bm25_topn through the sharded index tier
+    (shardeddict.bm25_candidates_sharded, n_shards=3): per-shard dense tf
+    with global idf/avgdl, cross-shard top-5 merge — same SQL oracle as
+    the broadcast tier."""
+    import pandas as pd
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.shardeddict import bm25_candidates_sharded
+    dict_path = synth.dictionary_path(sf_dir)
+    aliases = rd.read_parquet(dict_path, columns=["aliases"]).to_pandas()
+    surf = pd.DataFrame({"surface": sorted({a for al in aliases["aliases"]
+                                            for a in al})})
+    return bm25_candidates_sharded(rd.from_pandas(surf), dict_path,
+                                   n_shards=3, top_n=5)
+
+
 def _q_kg_triples(sf_dir: str):
     from deepkg_ray.pipelines import kg
     return kg.surface_triples_dataset(sf_dir).select_columns(
@@ -637,10 +678,14 @@ def _q_ann_ivf(sf_dir: str):
 
 def _q_ann_recall(sf_dir: str):
     """Quality measurement of the approximate scale path: recall@10 of
-    IVF(nprobe=4 of 8 cells) against the exact brute-force top-10, per
-    query and overall — the eval that makes the approximate tier a
-    measured component rather than a hope.  Rows-only (the measurement
-    compares two engine tiers; there is no independent SQL semantics)."""
+    IVF(64 cells, nprobe=24, spill=2 multi-assignment) against the exact
+    brute-force top-10, per query and overall — the eval that makes the
+    approximate tier a measured component rather than a hope.  The
+    overall floor recall ≥ 0.9 is ASSERTED (the uie_trained convention:
+    a quality regression fails the query rather than shipping silently;
+    measured 0.925 at sf0.01 / 0.975 at sf0.1).  Rows-only (the
+    measurement compares two engine tiers; no independent SQL
+    semantics)."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -651,11 +696,12 @@ def _q_ann_recall(sf_dir: str):
     sample = np.stack(pq.read_table(f"{sf_dir}/embeddings.parquet",
                                     columns=["embedding"])["embedding"]
                       .slice(0, 2000).to_pandas().to_numpy())
-    cents = train_centroids(sample, n_centroids=8)
+    cents = train_centroids(sample, n_centroids=64)
     exact = brute_force_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
                              q, qids, k=10).to_pandas()
     approx = ivf_topk(read_embeddings(sf_dir, ["vec_id", "embedding"]),
-                      q, qids, k=10, centroids=cents, nprobe=4).to_pandas()
+                      q, qids, k=10, centroids=cents, nprobe=24,
+                      spill=2).to_pandas()
     ex = exact.groupby("query_id")["vec_id"].agg(set)
     ap = approx.groupby("query_id")["vec_id"].agg(set)
     rows = []
@@ -664,6 +710,9 @@ def _q_ann_recall(sf_dir: str):
         rows.append((int(qid), hit, len(ex[qid])))
     df = pd.DataFrame(rows, columns=["query_id", "n_hit", "n_exact"])
     df["recall"] = np.floor(df["n_hit"] / df["n_exact"] * 1e6 + 0.5) / 1e6
+    overall = df["n_hit"].sum() / df["n_exact"].sum()
+    assert overall >= 0.9, \
+        f"IVF recall@10 floor breached: {overall:.3f} < 0.9"
     return df
 
 
@@ -3200,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # KG pipeline family (synthesized transcripts)
         "kg_mention_counts": _q_kg_mention_counts,
+        "kg_mention_counts_sharded": _q_kg_mention_counts_sharded,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
         "kg_incremental": _q_kg_incremental,
@@ -3519,6 +3569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
         "bm25_topn": _q_bm25_topn,
+        "bm25_topn_sharded": _q_bm25_topn_sharded,
         "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
         "linking_mrr": _q_linking_mrr,
@@ -3538,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
     synth.ensure_synth(SF_ORACLE)   # transcript SQL reads the synth parquet
     return {
         "kg_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
+        "kg_mention_counts_sharded": oracle.mention_counts_sql(SF_ORACLE),
         "kg_triples": oracle.triples_sql(SF_ORACLE),
         "kg_adjacency": oracle.adjacency_sql(SF_ORACLE),
         "kg_incremental": oracle.adjacency_sql(SF_ORACLE),
@@ -3657,6 +3709,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracle.nation_revenue_oracle(),
         "top_events_per_type": oracle.top_events_per_type_oracle(),
         "bm25_topn": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
+        "bm25_topn_sharded": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "linking_candidates": oracle.bm25_topn_oracle(SF_ORACLE, top_n=10),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),

@@ -297,41 +297,73 @@ def top_revenue_orders(sf_dir: str, k: int = 10):
     return topk.map_batches(finish, batch_format="pyarrow")
 
 
-class _SegmentLookup:
-    """Broadcast small-side hash join: customer (small) joined into orders
-    batches via a dict built once per actor — no shuffle (SURVEY.md §2.4)."""
+def _segmented_orders(sf_dir: str, order_cols: list[str],
+                      broadcast_threshold: int):
+    """orders with c_mktsegment attached (inner-join semantics: dangling
+    custkeys drop), tiered like customer_order_distribution: below the
+    threshold customer rides as ONE ray.put sorted-array pair consumed by
+    a vectorized searchsorted map (shipped once per node, no per-row dict
+    .get loop); above it a native hash join — customer is NOT
+    dictionary-sized at the 100-TB design point."""
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
 
-    def __init__(self, customer_path: str):
-        import pyarrow.parquet as pq
-        t = pq.read_table(customer_path, columns=["c_custkey", "c_mktsegment"])
-        self.seg = dict(zip(t["c_custkey"].to_pylist(),
-                            t["c_mktsegment"].to_pylist()))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=order_cols)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    if cust.count() <= broadcast_threshold:
+        import ray
+        cdf = cust.to_pandas()
+        keys = cdf["c_custkey"].to_numpy(np.int64)
+        order = np.argsort(keys)
+        segs = cdf["c_mktsegment"].to_numpy(object)[order]
+        ref = ray.put((keys[order], segs))
 
-    def __call__(self, b: pa.Table) -> pa.Table:
-        segs = [self.seg.get(k) for k in b["o_custkey"].to_pylist()]
-        return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+        def attach(b: pa.Table) -> pa.Table:
+            keys_s, segs_s = ray.get(ref)
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(keys_s, ck)
+            pos_c = np.clip(pos, 0, max(len(keys_s) - 1, 0))
+            hit = (len(keys_s) > 0) & (keys_s[pos_c] == ck)
+            t = b.append_column(
+                "c_mktsegment",
+                pa.array(np.where(hit, segs_s[pos_c], None), pa.string()))
+            return t.filter(pa.array(hit))
+
+        return orders.map_batches(attach, batch_format="pyarrow")
+
+    return drop_empty_blocks(orders).join(
+        drop_empty_blocks(cust), join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",))
 
 
-def segment_revenue(sf_dir: str):
-    """Revenue (o_totalprice sum) per customer market segment — broadcast
-    join orders→customer then groupby."""
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey", "o_totalprice"])
-    joined = orders.map_batches(
-        _SegmentLookup,
-        fn_constructor_kwargs={"customer_path": f"{sf_dir}/customer.parquet"},
-        batch_format="pyarrow", concurrency=(1, 4))
+def segment_revenue(sf_dir: str, broadcast_threshold: int = 2_000_000):
+    """Revenue (o_totalprice sum) per customer market segment: tiered
+    customer attach (_segmented_orders — broadcast arrays below the
+    threshold, native hash join above), then a per-batch combiner over
+    the 5-segment domain + tree merge (never a row-shaped groupby)."""
+    from deepkg_ray.stages.treeagg import merge_partials
 
-    def partial(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "c_mktsegment": b["c_mktsegment"],
-            "price_micros": pa.array(to_micros(b["o_totalprice"].to_pylist()),
-                                     pa.int64()),
-        })
-    agg = (joined.map_batches(partial, batch_format="pyarrow")
-           .groupby("c_mktsegment")
-           .aggregate(Sum("price_micros", alias_name="price_micros"),
-                      Count(alias_name="n_orders")))
+    joined = _segmented_orders(sf_dir, ["o_custkey", "o_totalprice"],
+                               broadcast_threshold)
+
+    def cells(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (pd.DataFrame({
+            "c_mktsegment": b["c_mktsegment"].to_pylist(),
+            "price_micros": to_micros(b["o_totalprice"].to_pylist())})
+            .groupby("c_mktsegment", as_index=False)
+            .agg(price_micros=("price_micros", "sum"),
+                 n_orders=("price_micros", "size")))
+        g["price_micros"] = g["price_micros"].astype("int64")
+        g["n_orders"] = g["n_orders"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = merge_partials(joined.map_batches(cells, batch_format="pyarrow"),
+                         ["c_mktsegment"],
+                         {"price_micros": "sum", "n_orders": "sum"},
+                         mode="tree")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -349,38 +381,29 @@ def distinct_event_types(sf_dir: str):
     return ds.groupby("event_type").aggregate(Count(alias_name="n"))
 
 
-def segment_revenue_share(sf_dir: str):
+def segment_revenue_share(sf_dir: str, broadcast_threshold: int = 2_000_000):
     """Ratio-to-group window primitive: each order's share of its market
     segment's total revenue — share = round6(order_total / segment_total).
-    Two-pass broadcast plan (no per-segment shuffle of order rows): the
-    5-row segment-total aggregate is computed once and carried into a
-    stateless scoring map; totals stay int64 micros so the share division
-    is the only float op, mirrored exactly in SQL.
+    Customer attaches through the tiered _segmented_orders (broadcast
+    arrays / hash join — inner semantics either way); the 5-row
+    segment-total aggregate is computed once and carried into a stateless
+    scoring map; totals stay int64 micros so the share division is the
+    only float op, mirrored exactly in SQL.
     Returns (o_orderkey, c_mktsegment, revenue, share)."""
-    import ray.data as rd
+    joined = _segmented_orders(sf_dir,
+                               ["o_orderkey", "o_custkey", "o_totalprice"],
+                               broadcast_threshold)
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey",
-                                      "o_totalprice"])
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
-                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_of = dict(zip(cust["c_custkey"].astype("int64"),
-                      cust["c_mktsegment"]))
-
-    def attach(b: pa.Table) -> pa.Table:
-        # inner-join semantics: a dangling custkey drops the order (the
-        # SQL oracle joins customer inner), never KeyErrors
-        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seg = [seg_of.get(int(k)) for k in ck]
+    def proj(b: pa.Table) -> pa.Table:
         price = np.asarray(b["o_totalprice"].to_pylist(), np.float64)
-        t = pa.table({
+        return pa.table({
             "o_orderkey": b["o_orderkey"].combine_chunks().cast(pa.int64()),
-            "c_mktsegment": pa.array(seg, pa.string()),
+            "c_mktsegment": b["c_mktsegment"].combine_chunks()
+                            .cast(pa.string()),
             "rev_micros": pa.array(to_micros(price), pa.int64()),
         })
-        return t.filter(pc.is_valid(t["c_mktsegment"]))
 
-    tagged = orders.map_batches(attach, batch_format="pyarrow").materialize()
+    tagged = joined.map_batches(proj, batch_format="pyarrow").materialize()
     from deepkg_ray.util import rows_all
     totals = {r["c_mktsegment"]: int(r["t"]) for r in rows_all(
               tagged.groupby("c_mktsegment")

@@ -144,14 +144,42 @@ def cooccurrence_counts(mentions, mode: str = "auto"):
         ["e1", "e2"], {"n_turns": "sum"}, mode=mode)
 
 
+_SURFACE_COUNT_CACHE: dict[str, int] = {}
+
+
 def detect_mentions(ds, dictionary_path: str, *, concurrency=None,
-                    batch_size: int | None = None):
+                    batch_size: int | None = None,
+                    broadcast_threshold: int = 2_000_000,
+                    n_shards: int | None = None):
     """transcripts Dataset (with text_norm) → mentions Dataset.
 
     Default execution is the worker-cached task pool (automaton compiled
     once per worker process); pass an explicit ``concurrency`` tuple for
-    an actor pool (util.stateful_map)."""
+    an actor pool (util.stateful_map).
+
+    Size gate (SURVEY §7.5 "dictionary must stay broadcastable"): up to
+    ``broadcast_threshold`` alias surfaces every worker compiles the full
+    automaton (the reference's ~40k-name ICD dictionary sits far below);
+    above it the dictionary is hash-sharded and the stream replicated —
+    shardeddict.detect_mentions_sharded, output identical by the
+    tier-agreement test.  ``n_shards`` forces a tier explicitly (1 =
+    broadcast); None auto-picks ceil(surfaces / threshold)."""
     from deepkg_ray.util import rows_all, stateful_map
+    if n_shards is None:
+        n = _SURFACE_COUNT_CACHE.get(dictionary_path)
+        if n is None:
+            from deepkg_ray.stages.shardeddict import \
+                dictionary_surface_count
+            n = dictionary_surface_count(dictionary_path)
+            _SURFACE_COUNT_CACHE[dictionary_path] = n
+        n_shards = 1 if n <= broadcast_threshold \
+            else -(-n // broadcast_threshold)
+    if n_shards > 1:
+        from deepkg_ray.stages.shardeddict import detect_mentions_sharded
+        return detect_mentions_sharded(ds, dictionary_path,
+                                       n_shards=n_shards,
+                                       concurrency=concurrency,
+                                       batch_size=batch_size)
     return stateful_map(ds, DictionaryMentionDetector,
                         {"dictionary_path": dictionary_path},
                         concurrency=concurrency, batch_size=batch_size)

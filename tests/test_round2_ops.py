@@ -449,6 +449,23 @@ def test_segment_revenue_share_sums_to_one_and_duckdb_exact():
     assert got["revenue"].tolist() == want["revenue"].tolist()
 
 
+def test_segment_revenue_join_tier_matches_broadcast():
+    """broadcast_threshold=0 forces the native hash-join tier (the
+    above-2M-customers path); both tiers must agree row-for-row."""
+    from deepkg_ray.pipelines.relational import (segment_revenue,
+                                                 segment_revenue_share)
+    base = (segment_revenue(SF).to_pandas()
+            .sort_values("c_mktsegment").reset_index(drop=True))
+    joined = (segment_revenue(SF, broadcast_threshold=0).to_pandas()
+              .sort_values("c_mktsegment").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base, joined)
+    base_s = (segment_revenue_share(SF).to_pandas()
+              .sort_values("o_orderkey").reset_index(drop=True))
+    join_s = (segment_revenue_share(SF, broadcast_threshold=0).to_pandas()
+              .sort_values("o_orderkey").reset_index(drop=True))
+    pd.testing.assert_frame_equal(base_s, join_s)
+
+
 # ------------------------------------------------------ entity spans / lang --
 
 def test_entity_spans_brute_force_parity(sf_dir):
@@ -497,16 +514,18 @@ def test_lang_confusion_matches_duckdb():
 
 # -------------------------------------------------------------- ann recall --
 
-def test_ivf_nprobe4_recall_reasonable():
-    """IVF with 4 of 8 probes keeps ≥70% of the exact top-10 on the
-    testdata embeddings (measured 0.76; nprobe=2 gives 0.49, 3 gives
-    0.63 — the knob trades recall for scan fraction as designed)."""
+def test_ivf_recall_floor():
+    """The ann_recall config (64 cells, nprobe=24, spill=2) holds the
+    asserted ≥0.9 overall recall@10 floor (measured 0.925 at sf0.01 /
+    0.975 at sf0.1; the old 8-cell nprobe=4 single-assign default sat at
+    0.71-0.78).  The query itself asserts the floor — this test also
+    checks the per-query artifact shape."""
     import sys
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as m
     df = m.queries()["ann_recall"](SF)
     assert (df["n_exact"] == 10).all()
-    assert df["recall"].mean() >= 0.7
+    assert df["n_hit"].sum() / df["n_exact"].sum() >= 0.9
 
 
 # --------------------------------------------------------------- sessions --

@@ -1,0 +1,118 @@
+"""Tier-agreement tests for the sharded dictionary tiers (SURVEY §7.5):
+sharded mention detection and sharded BM25 must be row-identical to the
+broadcast tiers on the same inputs."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(list(df.columns), kind="stable")
+            .reset_index(drop=True))
+
+
+@pytest.fixture(scope="module")
+def norm_transcripts(sf_dir):
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    return transcripts_with_norm(sf_dir)
+
+
+@pytest.fixture(scope="module")
+def dict_path(sf_dir):
+    from deepkg_ray import synth
+    return synth.dictionary_path(sf_dir)
+
+
+def test_sharded_mentions_match_broadcast(norm_transcripts, dict_path):
+    from deepkg_ray.stages.mention import detect_mentions
+    from deepkg_ray.stages.shardeddict import detect_mentions_sharded
+    base = _canon(detect_mentions(norm_transcripts, dict_path).to_pandas())
+    shard = _canon(detect_mentions_sharded(
+        norm_transcripts, dict_path, n_shards=4).to_pandas())
+    assert len(base) > 0
+    pd.testing.assert_frame_equal(base, shard)
+
+
+def test_detect_mentions_gate_routes_to_sharded(norm_transcripts, dict_path):
+    """broadcast_threshold below the dictionary size must route through
+    the sharded tier and still produce identical mentions."""
+    from deepkg_ray.stages import mention
+    from deepkg_ray.stages.shardeddict import dictionary_surface_count
+    n = dictionary_surface_count(dict_path)
+    assert n > 1
+    base = _canon(mention.detect_mentions(
+        norm_transcripts, dict_path).to_pandas())
+    mention._SURFACE_COUNT_CACHE.pop(dict_path, None)
+    gated = _canon(mention.detect_mentions(
+        norm_transcripts, dict_path,
+        broadcast_threshold=max(1, n // 3)).to_pandas())
+    pd.testing.assert_frame_equal(base, gated)
+
+
+def test_sharded_overlapping_surfaces_cross_shards(tmp_path):
+    """Surfaces engineered to overlap ('ab' inside 'abc', adjacent 'cd')
+    must resolve to the SAME greedy winners whatever shard they land in —
+    the candidate lookahead + greedy replay contract."""
+    from deepkg_ray.stages.mention import detect_mentions
+    from deepkg_ray.stages.shardeddict import detect_mentions_sharded
+    path = os.path.join(tmp_path, "dict.parquet")
+    pq.write_table(pa.table({
+        "entity_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "name": pa.array(["abc", "ab", "cd", "bcd"], pa.string()),
+        "type": pa.array(["T1", "T2", "T3", "T4"], pa.string()),
+        "aliases": pa.array([["abc"], ["ab"], ["cd"], ["bcd"]],
+                            pa.list_(pa.string()))}), path)
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c0", "c0", "c1"], pa.string()),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text_norm": pa.array(["xabcdy", "ababcd", "bcdcdab"],
+                              pa.string())}))
+    base = _canon(detect_mentions(ds, path).to_pandas())
+    assert len(base) > 0
+    for n_shards in (2, 3, 4):
+        shard = _canon(detect_mentions_sharded(
+            ds, path, n_shards=n_shards).to_pandas())
+        pd.testing.assert_frame_equal(base, shard)
+
+
+def test_sharded_bm25_matches_broadcast(dict_path):
+    from deepkg_ray.stages.linking import CandidateGenerator
+    from deepkg_ray.stages.shardeddict import bm25_candidates_sharded
+    aliases = pq.read_table(dict_path, columns=["aliases"]).to_pandas()
+    surf = sorted({a for al in aliases["aliases"] for a in al})[:200]
+    qds = rd.from_arrow(pa.table({"surface": pa.array(surf, pa.string())}))
+    base = _canon(qds.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dict_path, "top_n": 5,
+                               "exact": True},
+        batch_format="pyarrow", concurrency=(1, 2)).to_pandas())
+    base["rank"] = base["rank"].astype(np.int32)
+    for n_shards in (2, 3):
+        shard = _canon(bm25_candidates_sharded(
+            qds, dict_path, n_shards=n_shards, top_n=5).to_pandas())
+        pd.testing.assert_frame_equal(base, shard)
+
+
+def test_bm25_global_stats_match_index(dict_path):
+    """The streamed global stats equal BM25Index's own exact arrays."""
+    from deepkg_ray.stages.linking import BM25Index
+    from deepkg_ray.stages.shardeddict import bm25_global_stats
+    names = pq.read_table(dict_path, columns=["name"])["name"].to_pylist()
+    idx = BM25Index(names)
+    _, idf64, denom64 = idx._exact_arrays()
+    stats = bm25_global_stats(dict_path)
+    assert stats["n_docs"] == len(names)
+    for term, j in idx.vocab.items():
+        assert stats["idf"][term] == idf64[j]
+    dl = idx.tf.astype(np.float64).sum(axis=1)
+    np.testing.assert_allclose(
+        idx.k1 * (1.0 - idx.b + idx.b * dl / stats["avgdl"]), denom64,
+        rtol=0, atol=0)
