@@ -604,22 +604,29 @@ def knn_graph(ds, k: int = 5, *, id_col: str = "vec_id",
     evaluates recall, simcse_unsup.py:44-76).
 
     Plan: the corpus (ids + micros matrix) broadcasts ONCE via ray.put —
-    N×d int64, asserted ≤ broadcast_threshold rows so the object is
-    ~100 MB at d=64 — and each streaming batch matmuls against it,
-    emitting its rows' FINAL top-k: the broadcast side is the whole
-    corpus, so no cross-batch reduction or shuffle exists at all.  Above
-    the threshold the exact all-pairs graph is a different algorithm
-    (IVF/LSH-bucketed blocked matmul — ann_ivf holds the bucketed scan);
-    this operator is the exactness tier and fails loudly past its bound.
+    N×d int64, ≤ broadcast_threshold rows so the object is ~100 MB at
+    d=64 — and each streaming batch matmuls against it, emitting its
+    rows' FINAL top-k: the broadcast side is the whole corpus, so no
+    cross-batch reduction or shuffle exists at all.  Above the threshold
+    the exact graph routes to the BLOCKED tier (_knn_graph_blocked): the
+    corpus is hash-split into broadcast-sized blocks, the stream scanned
+    once per block for per-block top-k candidates, and a per-id merge
+    keeps the global top-k — same O(N²) flops an exact answer costs, but
+    no single object or task ever exceeds the broadcast bound (the
+    round-4 loud-fail past 200k is gone; ann_ivf remains the sub-
+    quadratic approximate path).  Tier agreement is pytest-asserted.
 
     Returns (vec_id, nbr_id, cosine, rank), rank 0 = nearest."""
     import ray
 
     from deepkg_ray.util import stateful_map
 
-    corpus = ds.select_columns([id_col, vec_col]).to_pandas()
-    assert len(corpus) <= broadcast_threshold, \
-        (len(corpus), "knn_graph exact tier bound; use ann_ivf above it")
+    src = ds.select_columns([id_col, vec_col]).materialize()
+    if src.count() > broadcast_threshold:
+        return _knn_graph_blocked(src, k, id_col=id_col, vec_col=vec_col,
+                                  block_rows=broadcast_threshold,
+                                  concurrency=concurrency)
+    corpus = src.to_pandas()
     ids_all = corpus[id_col].to_numpy(np.int64)
     order = np.argsort(ids_all, kind="stable")
     ids_all = ids_all[order]
@@ -647,8 +654,91 @@ def knn_graph(ds, k: int = 5, *, id_col: str = "vec_id",
             "cosine": pa.array(np.asarray(cos, np.float64), pa.float64()),
             "rank": pa.array(np.asarray(rnk, np.int32), pa.int32())})
 
-    return ds.select_columns([id_col, vec_col]).map_batches(
-        per_batch, batch_format="pyarrow")
+    return src.map_batches(per_batch, batch_format="pyarrow")
+
+
+def _knn_graph_blocked(src, k: int, *, id_col: str, vec_col: str,
+                       block_rows: int, n_parts: int = 64,
+                       concurrency=None):
+    """Exact kNN above the broadcast bound: the corpus splits into
+    ceil(N / block_rows) hash blocks; block b's (ids, micros matrix) is
+    collected transiently (driver holds ONE block at a time, each ≤ the
+    bound the single-broadcast tier enforces) and ray.put; the stream is
+    scanned once per block emitting per-(row, block) top-k candidates
+    (self-similarity masked to −2 and filtered); a vec_id-partitioned
+    merge keeps the global top-k under the SAME total order
+    (cosine desc, nbr_id asc), so the result is row-identical to the
+    broadcast tier wherever both apply.  Shuffle payload: N·blocks·k
+    candidate rows — never a matrix."""
+    import ray
+
+    from deepkg_ray.functions.hashing import mix64
+
+    n = src.count()
+    n_blocks = max(1, -(-n // block_rows))
+
+    def in_block(b: pa.Table, blk: int) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (mix64(ids.astype(np.uint64))
+                % np.uint64(n_blocks)) == np.uint64(blk)
+        return b.filter(pa.array(keep))
+
+    partials = []
+    for blk in range(n_blocks):
+        part = src.map_batches(
+            lambda b, _blk=blk: in_block(b, _blk),
+            batch_format="pyarrow").to_pandas()
+        nodes = part[id_col].to_numpy(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes = nodes[order]
+        mm = micros_matrix(np.stack(part[vec_col].to_numpy())[order])
+        ref = ray.put((nodes, mm))
+
+        def scan(b: pa.Table, _ref=ref) -> pa.Table:
+            nodes_b, mat = ray.get(_ref)
+            ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+            sims = cosine_micros(micros_matrix(_as_matrix(b[vec_col])),
+                                 mat)
+            pos = np.searchsorted(nodes_b, ids)
+            posc = np.clip(pos, 0, max(len(nodes_b) - 1, 0))
+            selfrow = np.flatnonzero(nodes_b[posc] == ids)
+            sims[selfrow, posc[selfrow]] = -2.0
+            kk = min(k, sims.shape[1])
+            src_o, nbr_o, cos_o = [], [], []
+            for i in range(len(ids)):
+                sel = np.lexsort((nodes_b, -sims[i]))[:kk]
+                sel = sel[sims[i, sel] > -2.0]
+                src_o.extend([int(ids[i])] * len(sel))
+                nbr_o.extend(nodes_b[sel].tolist())
+                cos_o.extend(sims[i, sel].tolist())
+            return pa.table({
+                id_col: pa.array(src_o, pa.int64()),
+                "nbr_id": pa.array(nbr_o, pa.int64()),
+                "cosine": pa.array(np.asarray(cos_o, np.float64),
+                                   pa.float64())})
+
+        partials.append(src.map_batches(scan, batch_format="pyarrow"))
+
+    cand = partials[0]
+    for p in partials[1:]:
+        cand = cand.union(p)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return b.append_column(
+            "part",
+            pa.array((mix64(ids) % np.uint64(n_parts)).astype(np.int32)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "cosine", "nbr_id"],
+                          ascending=[True, False, True], kind="stable")
+        g = g.groupby(id_col, sort=False).head(k)
+        g["rank"] = g.groupby(id_col, sort=False).cumcount() \
+            .astype(np.int32)
+        return g[[id_col, "nbr_id", "cosine", "rank"]]
+
+    return (cand.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pandas"))
 
 
 def knn_mutuality(ds, k: int = 5, *, id_col: str = "vec_id",

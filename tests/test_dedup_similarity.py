@@ -166,6 +166,21 @@ def test_ivf_spill_full_probe_equals_brute_force(vec_ds):
     assert len(two) >= len(one)
 
 
+def test_knn_graph_blocked_tier_matches_broadcast(vec_ds):
+    """Forcing broadcast_threshold below the corpus size routes knn_graph
+    through the blocked multi-block scan; the result must be
+    row-identical to the single-broadcast tier (same total order,
+    cosine desc / nbr_id asc)."""
+    ds, m = vec_ds
+    base = similarity.knn_graph(ds, k=4).to_pandas()
+    blocked = similarity.knn_graph(
+        ds, k=4, broadcast_threshold=max(2, len(m) // 3)).to_pandas()
+    cols = ["vec_id", "nbr_id", "cosine", "rank"]
+    a = base[cols].sort_values(cols).reset_index(drop=True)
+    b = blocked[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ivf_low_nprobe_recalls_own_cluster(vec_ds):
     ds, m = vec_ds
     q = m[:1]
