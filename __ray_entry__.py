@@ -1403,10 +1403,13 @@ def _q_kg_triples_via_sel(sf_dir: str):
 
 def _q_uie_model_generate(sf_dir: str):
     """REAL model tier (numpy seq2seq, seeded random weights) through the
-    generator actor pool + SEL parse; rows-only (model scoring is not
-    SQL-expressible).  One deterministic summary row."""
-    from deepkg_ray.pipelines.uie import model_sel_stats
-    return model_sel_stats(sf_dir, limit=2000)
+    generator actor pool: per-turn SEL strings, value-checked against a
+    construction gold that re-derives every string from the bare
+    recurrence with none of the engine's batching / compaction /
+    lookup-table machinery (uie.model_sel_gold_path — the multimodal
+    gold pattern).  The SEL parse still runs as an internal smoke."""
+    from deepkg_ray.pipelines.uie import model_sel_table
+    return model_sel_table(sf_dir, limit=2000)
 
 
 def _q_uie_trained_extract(sf_dir: str):
@@ -3720,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_phrases": oracle.frequent_phrases_oracle(),
         "autophrase_selftrain": oracle.autophrase_selftrain_oracle(),
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
+        "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),
         "duplicate_turn_groups": oracle.duplicate_turn_groups_oracle(SF_ORACLE),

@@ -2101,6 +2101,16 @@ def multimodal_features_oracle() -> str:
     return f"SELECT * FROM read_parquet('{fpath}')"
 
 
+def uie_model_generate_oracle(sf_dir: str, limit: int = 2000) -> str:
+    """model_sel_table (NumpySeq2SEL through the actor pool) must
+    reproduce the construction gold: the same seeded weights decoded by
+    an independent per-sentence recurrence (uie.model_sel_gold_path) —
+    no batching, compaction, or frozen lookup tables."""
+    from deepkg_ray.pipelines.uie import model_sel_gold_path
+    return (f"SELECT * FROM "
+            f"read_parquet('{model_sel_gold_path(sf_dir, limit=limit)}')")
+
+
 def image_exposure_oracle() -> str:
     """image_exposure (P6 decode → exposure stats) must reproduce the
     construction gold computed from the raw pixels."""

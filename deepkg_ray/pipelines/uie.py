@@ -397,6 +397,107 @@ def trained_extraction_metrics(sf_dir: str, *, assert_prf: float = 95.0):
                          "f1_pct": [round(res["F1"], 4)]})
 
 
+def model_sel_gold_path(sf_dir: str, *, limit: int = 2000) -> str:
+    """Construction gold for the NumpySeq2SEL model tier: an INDEPENDENT
+    re-implementation of the generate chain — per-sentence, no active-row
+    compaction, no frozen lookup tables, no batched decode, scalar
+    argmax — over the same limit-slice of transcripts, cached as a
+    parquet the SQL oracle reads verbatim (the multimodal
+    media_features_gold pattern: shared weight init + tokenizer, but the
+    entire batching/caching/actor-pool execution path under test is
+    re-derived from the bare recurrence).  Deterministic: seeded weights,
+    file-order limit slice."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out_path = os.path.join(synth.ensure_synth(sf_dir),
+                            f"uie_model_gold_{limit}.parquet")
+    if os.path.exists(out_path):
+        return out_path
+
+    dict_path = synth.dictionary_path(sf_dir)
+    t = pq.read_table(synth.transcripts_path(sf_dir),
+                      columns=["conv_id", "turn_idx", "text"]) \
+        .slice(0, limit)
+    t = add_text_norm(t)
+    texts = t["text_norm"].to_pylist()
+
+    # tokenizer + weights exactly as NumpySeq2SEL.__init__ builds them —
+    # the INIT is shared (it is not under test); the forward is not
+    from deepkg_ray.stages.seq2seq import SELTokenizer, TinySeq2Seq
+    d = pq.read_table(dict_path, columns=["name", "type"])
+    words: list[str] = ["[", "]", ":"]
+    words += sorted({w for n in d["name"].to_pylist() for w in n.split()})
+    words += sorted(set(d["type"].to_pylist()))
+    words += sorted({p for p, _, _, _ in RELATION_TEMPLATES})
+    tok = SELTokenizer(words)
+    model = TinySeq2Seq(len(tok), d_model=48, seed=11,
+                        pad_id=tok.pad_id, eos_id=tok.eos_id)
+    E, W_enc, W_dec = model.E, model.W_enc, model.W_dec
+    U, bvec = model.U, model.b
+    max_length, enc_len = 48, 64
+
+    sels = []
+    for text in texts:
+        ids = tok.encode_batch([text], max_len=enc_len)[0]
+        mask = (ids != tok.pad_id).astype(E.dtype)
+        emb = E[ids] * mask[:, None]
+        denom = max(float(mask.sum()), 1.0)
+        ctx = np.tanh((emb.sum(axis=0) / denom) @ W_enc)
+        cu = ctx @ U
+        prev = tok.pad_id
+        out = np.full(max_length, tok.pad_id, dtype=np.int64)
+        for step in range(max_length):
+            h = np.tanh(E[prev] @ W_dec + cu + bvec)
+            nxt = int(np.argmax(h @ E.T))
+            out[step] = nxt
+            if nxt == tok.eos_id:
+                break
+            prev = nxt
+        sels.append(tok.decode(out))
+
+    tmp = out_path + ".tmp"
+    pq.write_table(pa.table({
+        "conv_id": t["conv_id"],
+        "turn_idx": t["turn_idx"],
+        "pred_sel": pa.array(sels, pa.string())}), tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def model_sel_table(sf_dir: str, *, limit: int = 2000, concurrency=(1, 4)):
+    """Per-turn SEL output of the REAL model tier (NumpySeq2SEL, seeded
+    random weights) through the generator actor pool: (conv_id, turn_idx,
+    pred_sel) — value-checked against the construction gold
+    (model_sel_gold_path), which re-derives every string from the bare
+    recurrence with none of the engine's batching/compaction/lookup-table
+    machinery.  The parse branch (Sel2RecordKernel over the arbitrary
+    model SEL) still runs as an internal smoke: its robustness contract —
+    never crash on early-training-quality output — is asserted, its
+    counts are not part of the compared artifact."""
+    dict_path = synth.dictionary_path(sf_dir)
+    ds = read_transcripts(synth.transcripts_path(sf_dir)).limit(limit)
+    ds = ds.map_batches(add_text_norm, batch_format="pyarrow",
+                        batch_size=8192)
+    sel = ds.map_batches(NumpySeq2SEL,
+                         fn_constructor_kwargs={"dictionary_path": dict_path},
+                         batch_format="pyarrow", batch_size=1024,
+                         concurrency=concurrency).materialize()
+    asoc_types = {p for p, _, _, _ in RELATION_TEMPLATES}
+    parsed = sel.map_batches(
+        Sel2RecordKernel,
+        fn_constructor_kwargs={"entity_types": set(ENTITY_TYPES),
+                               "event_types": set(),
+                               "asoc_types": asoc_types,
+                               "sel_col": "pred_sel",
+                               "text_col": "text_norm"},
+        batch_format="pyarrow", batch_size=1024, concurrency=concurrency)
+    assert parsed.count() >= 0          # parse must complete, not crash
+    return sel.select_columns(["conv_id", "turn_idx", "pred_sel"])
+
+
 def model_sel_stats(sf_dir: str, *, limit: int = 2000, concurrency=(1, 4)):
     """Model-tier smoke pipeline (rows-only driver query): run the REAL
     autoregressive generator (NumpySeq2SEL, seeded-random weights) over a

@@ -173,3 +173,21 @@ def test_model_tier_end_to_end_through_parse(sf_dir, ray_session):
     assert a.iloc[0]["n_turns"] == 64
     assert a.equals(b)
     assert a.iloc[0]["n_records"] >= 0
+
+
+def test_model_sel_matches_construction_gold(sf_dir, ray_session):
+    """The batched/compacted/actor-pool generate path must reproduce the
+    independent per-sentence recurrence gold string-for-string — the
+    construction-gold contract behind the uie_model_generate oracle."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.pipelines.uie import model_sel_gold_path, model_sel_table
+    keys = ["conv_id", "turn_idx"]
+    got = (model_sel_table(sf_dir, limit=64).to_pandas()
+           .sort_values(keys).reset_index(drop=True))
+    gold = (pq.read_table(model_sel_gold_path(sf_dir, limit=64)).to_pandas()
+            .sort_values(keys).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["conv_id", "turn_idx", "pred_sel"]],
+                                  gold[["conv_id", "turn_idx", "pred_sel"]])
+    assert (gold["pred_sel"].str.len() > 0).any()
