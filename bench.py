@@ -39,6 +39,17 @@ def _q_mentions(sf_dir: str):
     return kg.mentions_dataset(sf_dir).count()
 
 
+def _q_mentions_sharded(sf_dir: str):
+    """Above-broadcast dictionary tier (4 shards): quantifies the
+    replicated-stream cost of sharding vs the broadcast automaton."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.shardeddict import detect_mentions_sharded
+    return detect_mentions_sharded(transcripts_with_norm(sf_dir),
+                                   synth.dictionary_path(sf_dir),
+                                   n_shards=4).count()
+
+
 def _q_dedup_exact(sf_dir: str):
     from deepkg_ray.sources.readers import read_documents
     from deepkg_ray.stages.dedup import dedup_exact
@@ -236,6 +247,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             extra["sf1"] = json.load(f)
 
     side = [("kg_mentions", _q_mentions),
+            ("kg_mentions_sharded", _q_mentions_sharded),
             ("kg_events", _q_events),
             ("dedup_exact", _q_dedup_exact),
             ("ann_topk", _q_ann),

@@ -17,6 +17,8 @@ The whole thing is lazy: nothing materializes until the caller consumes
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -311,15 +313,32 @@ def conv_cumulative_triples(sf_dir: str, *, concurrency=None):
     return per_turn.groupby("conv_id").map_groups(cum, batch_format="pandas")
 
 
-def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None) -> dict:
-    """Checkpointed variant of build_kg: each transcript shard is processed
-    and written atomically under ``out_dir/linked/part=<shard>/`` with a
-    manifest (state/checkpoint.py), so a rerun skips completed shards; the
+def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None,
+                       target_partitions: int | None = None,
+                       salt: int = 1) -> dict:
+    """Checkpointed variant of build_kg: each work unit is processed and
+    written atomically under ``out_dir/linked/part=<unit>/`` with a
+    manifest (state/checkpoint.py), so a rerun skips completed units; the
     canonical adjacency is then aggregated over the partitioned output.
-    This is the shape a 100 TB run uses: partition = input file group,
-    lineage counters per partition, resume = skip."""
+    This is the shape a 100 TB run uses: lineage counters per unit,
+    resume = skip.
+
+    Partition controls (SURVEY §7.4):
+    - ``target_partitions``: groups the input files round-robin into ≤ N
+      work units — checkpoint granularity decoupled from the input file
+      layout (a 100 TB input of a million small files must not mean a
+      million manifest entries; None keeps the 1-file-1-unit default).
+    - ``salt`` > 1: each file group fans out into `salt` sub-units, unit
+      r processing only conversations with hash(conv_id) % salt == r —
+      the salted-conv-group skew control: a HOT conversation's turns
+      split across `salt` independently-checkpointed units instead of
+      making one straggler partition (valid because the per-turn
+      extract→link chain never needs conversation completeness; the
+      downstream adjacency aggregate is edge-keyed and combiner-first).
+    Resume is stable for a fixed (file set, target_partitions, salt)."""
     import glob
     import ray.data as rd
+    from deepkg_ray.functions.hashing import stable_hash64_batch
     from deepkg_ray.state.checkpoint import metrics_table, run_partitioned
     from deepkg_ray.stages.linking import link_triples
     from deepkg_ray.stages.relation import extract_triples
@@ -327,15 +346,39 @@ def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None) -> dict:
     dict_path = synth.dictionary_path(sf_dir)
     files = sorted(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
 
-    def process(f: str):
-        ds = rd.read_parquet(f, columns=["conv_id", "turn_idx", "text"])
+    if target_partitions is None or target_partitions >= len(files):
+        groups = [[f] for f in files]
+        gnames = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    else:
+        k = max(1, target_partitions)
+        groups = [files[i::k] for i in range(k)]
+        groups = [g for g in groups if g]
+        gnames = [f"g{i:04d}" for i in range(len(groups))]
+    units: dict[str, tuple[list[str], int]] = {}
+    for gname, g in zip(gnames, groups):
+        if salt <= 1:
+            units[gname] = (g, -1)
+        else:
+            for r in range(salt):
+                units[f"{gname}.s{r:02d}"] = (g, r)
+
+    def process(unit: str):
+        g, r = units[unit]
+        ds = rd.read_parquet(g, columns=["conv_id", "turn_idx", "text"])
+        if r >= 0:
+            def keep_salt(b: pa.Table) -> pa.Table:
+                h = stable_hash64_batch(b["conv_id"].to_pylist())
+                return b.filter(pa.array(
+                    (h % np.uint64(salt)) == np.uint64(r)))
+            ds = ds.map_batches(keep_salt, batch_format="pyarrow")
         ds = ds.map_batches(add_text_norm, batch_format="pyarrow",
                             batch_size=8192)
         triples = extract_triples(ds, dict_path, concurrency=concurrency)
         return link_triples(triples, dict_path, concurrency=concurrency)
 
     linked_dir = f"{out_dir}/linked"
-    counters = run_partitioned(files, linked_dir, process)
+    counters = run_partitioned(sorted(units), linked_dir, process,
+                               partition_name=lambda u: u)
 
     # NB: ray 2.49 read_parquet accepts a list of FILES but trips on a
     # list of multiple directories — expand to the part files explicitly
@@ -343,7 +386,6 @@ def build_kg_resumable(sf_dir: str, out_dir: str, *, concurrency=None) -> dict:
     adj = aggregate_adjacency(linked, dictionary_path=dict_path)
     # atomic overwrite — write_parquet otherwise APPENDS uniquely-named
     # files into an existing dir, double-counting on rerun
-    import os
     import shutil
     tmp = f"{out_dir}/.adjacency.tmp"
     if os.path.exists(tmp):

@@ -83,6 +83,25 @@ def test_build_kg_resumable(sf_dir, synth_dir, tmp_path):
     assert len(mt) == n_parts and (mt["rows_out"] > 0).all()
 
 
+def test_build_kg_resumable_partition_controls(sf_dir, synth_dir, tmp_path):
+    """target_partitions (file grouping) and salt (conv-hash sub-units —
+    the hot-conversation skew control) must produce the SAME adjacency as
+    the default 1-file-1-unit build, with the expected unit count."""
+    base_dir = str(tmp_path / "base")
+    ctrl_dir = str(tmp_path / "ctrl")
+    kg.build_kg_resumable(sf_dir, base_dir)
+    r = kg.build_kg_resumable(sf_dir, ctrl_dir, target_partitions=2, salt=3)
+    n_files = len(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
+    assert len(r["counters"]) == min(2, n_files) * 3
+    cols = ["subj_id", "pred", "obj_id", "weight", "src"]
+    a = (pq.read_table(f"{base_dir}/adjacency").to_pandas()[cols]
+         .sort_values(cols[:3]).reset_index(drop=True))
+    b = (pq.read_table(f"{ctrl_dir}/adjacency").to_pandas()[cols]
+         .sort_values(cols[:3]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_turn_latency_golden(ray_session):
     import pandas as pd
     import ray.data as rd

@@ -2,7 +2,9 @@
 mid-run, rerun, and verify the final adjacency equals an uninterrupted
 build (FIXTURES.md §9 'resume-after-kill').
 
-Usage: python tools/resume_demo.py [sf_dir]
+Usage: python tools/resume_demo.py [sf_dir] [target_partitions] [salt]
+target_partitions/salt exercise the partition-count and hot-conversation
+skew controls of build_kg_resumable (0 = default).
 Prints one JSON line: {"partitions_before_kill": k, "partitions_total": n,
 "resumed_ok": true, "edges_match": true}
 """
@@ -18,6 +20,8 @@ import sys
 import time
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+TARGET = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+SALT = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 OUT = "/tmp/resume_demo_kg"
 CHILD = f"""
 import sys
@@ -28,7 +32,9 @@ ray.init(address="local", num_cpus=16, include_dashboard=False,
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 from deepkg_ray.pipelines import kg
-kg.build_kg_resumable({SF!r}, {OUT!r})
+kg.build_kg_resumable({SF!r}, {OUT!r},
+                      target_partitions={TARGET!r} or None,
+                      salt=max(1, {SALT!r}))
 ray.shutdown()
 """
 
@@ -48,7 +54,8 @@ def main():
         shutil.rmtree(OUT)
     from deepkg_ray import synth
     synth.ensure_synth(SF)
-    n_parts = len(glob.glob(f"{synth.transcripts_path(SF)}/*.parquet"))
+    n_files = len(glob.glob(f"{synth.transcripts_path(SF)}/*.parquet"))
+    n_parts = (min(TARGET, n_files) if TARGET else n_files) * max(1, SALT)
 
     # start, then SIGKILL once a few partitions are committed
     proc = subprocess.Popen([sys.executable, "-c", CHILD])
