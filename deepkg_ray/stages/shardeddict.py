@@ -60,20 +60,33 @@ def load_alias_shard(dictionary_path: str, n_shards: int, shard_idx: int
                      ) -> dict[str, tuple[int, str, str]]:
     """surface → (entity_id, type, name) for surfaces hashed to this shard.
     Surface-hash partitioning keeps shard sets disjoint and deterministic
-    across processes (stable_hash64, no PYTHONHASHSEED)."""
-    t = pq.read_table(dictionary_path)
+    across processes (stable_hash64, no PYTHONHASHSEED).  The dictionary
+    STREAMS through iter_batches — resident memory is the kept shard plus
+    one row batch, never the whole alias table (the entire point of the
+    above-broadcast tier)."""
     out: dict[str, tuple[int, str, str]] = {}
-    for eid, name, etype, aliases in zip(
-            t["entity_id"].to_pylist(), t["name"].to_pylist(),
-            t["type"].to_pylist(), t["aliases"].to_pylist()):
-        for a in aliases:
-            out[a] = (eid, etype, name)
-    if n_shards <= 1:
-        return out
-    surfs = list(out.keys())
-    h = stable_hash64_batch(surfs) % np.uint64(n_shards)
-    keep = np.flatnonzero(h == np.uint64(shard_idx))
-    return {surfs[i]: out[surfs[i]] for i in keep}
+    pf = pq.ParquetFile(dictionary_path)
+    for rb in pf.iter_batches(
+            columns=["entity_id", "name", "type", "aliases"],
+            batch_size=65536):
+        t = pa.Table.from_batches([rb])
+        surfs, metas = [], []
+        for eid, name, etype, aliases in zip(
+                t["entity_id"].to_pylist(), t["name"].to_pylist(),
+                t["type"].to_pylist(), t["aliases"].to_pylist()):
+            for a in aliases:
+                surfs.append(a)
+                metas.append((eid, etype, name))
+        if not surfs:
+            continue
+        if n_shards > 1:
+            h = stable_hash64_batch(surfs) % np.uint64(n_shards)
+            keep = np.flatnonzero(h == np.uint64(shard_idx))
+        else:
+            keep = range(len(surfs))
+        for i in keep:
+            out[surfs[i]] = metas[i]
+    return out
 
 
 class ShardCandidateDetector:
@@ -213,12 +226,16 @@ def detect_mentions_sharded(ds, dictionary_path: str, *, n_shards: int,
 
 
 def dictionary_surface_count(dictionary_path: str) -> int:
-    """Total alias-surface count — the broadcast-gate probe (reads ONE
-    list column; at real scale this is parquet column-statistics cheap
-    next to shipping the dictionary to every worker)."""
-    t = pq.read_table(dictionary_path, columns=["aliases"])
+    """Total alias-surface count — the broadcast-gate probe.  Streams the
+    single list column batch by batch (never resident all at once; at
+    real scale this probe is trivially cheap next to shipping the
+    dictionary to every worker)."""
     import pyarrow.compute as pc
-    return int(pc.sum(pc.list_value_length(t["aliases"])).as_py() or 0)
+    n = 0
+    pf = pq.ParquetFile(dictionary_path)
+    for rb in pf.iter_batches(columns=["aliases"], batch_size=65536):
+        n += int(pc.sum(pc.list_value_length(rb.column(0))).as_py() or 0)
+    return n
 
 
 # ------------------------------------------------------------------ BM25
@@ -279,15 +296,25 @@ class ShardedBM25Candidates:
         self.mode, self.top_n, self.text_col = mode, top_n, text_col
         self.k1, self.b = k1, b
 
-        t = pq.read_table(dictionary_path, columns=["entity_id", "name"])
-        eids = np.asarray(t["entity_id"].to_pylist(), np.int64)
-        names = t["name"].to_pylist()
-        if n_shards > 1:
-            from deepkg_ray.functions.hashing import mix64
-            keep = (mix64(eids.astype(np.uint64))
-                    % np.uint64(n_shards)) == np.uint64(shard_idx)
-            eids, names = eids[keep], [n for n, k in zip(names, keep) if k]
-        self.entity_ids = eids
+        # stream the name corpus, keeping only this shard's slice —
+        # resident memory is the shard, plus one row batch in flight
+        from deepkg_ray.functions.hashing import mix64
+        eid_parts: list[np.ndarray] = []
+        names: list[str] = []
+        pf = pq.ParquetFile(dictionary_path)
+        for rb in pf.iter_batches(columns=["entity_id", "name"],
+                                  batch_size=65536):
+            eids = np.asarray(rb.column(0).to_pylist(), np.int64)
+            nms = rb.column(1).to_pylist()
+            if n_shards > 1:
+                keep = (mix64(eids.astype(np.uint64))
+                        % np.uint64(n_shards)) == np.uint64(shard_idx)
+                eids = eids[keep]
+                nms = [n for n, k in zip(nms, keep) if k]
+            eid_parts.append(eids)
+            names.extend(nms)
+        self.entity_ids = (np.concatenate(eid_parts) if eid_parts
+                           else np.empty(0, np.int64))
         self.names = names
 
         docs = [cut(n, mode) for n in names]
