@@ -101,6 +101,58 @@ def test_sharded_bm25_matches_broadcast(dict_path):
         pd.testing.assert_frame_equal(base, shard)
 
 
+def test_greedy_resolve_property_random_dicts():
+    """Property: for RANDOM dictionaries and texts, merging per-shard
+    lookahead candidates through _resolve_greedy reproduces the
+    full-dictionary longest-first finditer scan — the core semantic
+    contract, tested without Ray on the bare kernels."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.stages.shardeddict import _resolve_greedy
+
+    alphabet = "abc"
+    surf = st.text(alphabet, min_size=1, max_size=4)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.sets(surf, min_size=1, max_size=8),
+           st.text(alphabet, min_size=0, max_size=30),
+           st.integers(min_value=2, max_value=4))
+    def check(surfaces, text, n_shards):
+        surfaces = sorted(surfaces)
+        # broadcast scan: longest-first alternation, non-overlapping
+        rx = re.compile("|".join(
+            re.escape(s) for s in sorted(surfaces, key=len, reverse=True)))
+        want = [(m.start(), m.end() - 1, m.group(0))
+                for m in rx.finditer(text)]
+        # per-shard lookahead candidates
+        h = stable_hash64_batch(surfaces) % np.uint64(n_shards)
+        rows = []
+        for r in range(n_shards):
+            shard = [s for s, hh in zip(surfaces, h)
+                     if hh == np.uint64(r)]
+            if not shard:
+                continue
+            srx = re.compile("(?=(" + "|".join(
+                re.escape(s) for s in sorted(shard, key=len,
+                                             reverse=True)) + "))")
+            for m in srx.finditer(text):
+                s = m.group(1)
+                rows.append(("c", 0, m.start(), m.start() + len(s),
+                             s, 1, "T"))
+        cand = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "start",
+                                           "end", "surface", "entity_id",
+                                           "type"])
+        got = _resolve_greedy(cand)
+        assert (list(zip(got["start_idx"], got["end_idx"],
+                         got["surface"])) == want)
+
+    check()
+
+
 def test_bm25_global_stats_match_index(dict_path):
     """The streamed global stats equal BM25Index's own exact arrays."""
     from deepkg_ray.stages.linking import BM25Index
