@@ -1015,6 +1015,16 @@ def _q_linking_candidates(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
 
+def _q_mmr_select(sf_dir: str):
+    """MMR diversity-aware top-k over the embedding column: one
+    distributed micros-relevance scan feeds a window-bounded driver
+    greedy; integer-exact scores vs the unrolled-CTE SQL oracle."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import mmr_select
+    return mmr_select(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                      query_id=0, k=8, window=50)
+
+
 def _q_similarity_join(sf_dir: str):
     """Prefix-filtered exact-Jaccard R×S similarity join (AllPairs) over a
     disjoint id split of documents; oracle = the all-pairs SQL ground
@@ -3332,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_entropy": _q_neighbor_entropy,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "mmr_select": _q_mmr_select,
         "knn_graph": _q_knn_graph,
         "knn_mutuality": _q_knn_mutuality,
         "hard_negatives": _q_hard_negatives,
@@ -3723,6 +3734,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_phrases": oracle.frequent_phrases_oracle(),
         "autophrase_selftrain": oracle.autophrase_selftrain_oracle(),
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
+        "mmr_select": oracle.mmr_select_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

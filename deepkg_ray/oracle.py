@@ -7885,3 +7885,53 @@ WITH toks AS (
 SELECT phrase, n_occurrences, CAST(s_micros AS DOUBLE) / 1e6 AS score
 FROM agg ORDER BY score DESC, phrase LIMIT {k}
 """
+
+
+def mmr_select_oracle(query_id: int = 0, k: int = 8, window: int = 50,
+                      lam_micros: int = 500_000) -> str:
+    """Mirror of similarity.mmr_select: integer-micros relevance vs the
+    query vector, top-``window`` rerank pool, then the k-step MMR greedy
+    UNROLLED as one CTE pair per step (the graph-family unrolled-CTE
+    pattern) — score = lam·rel_m − (1e6−lam)·max sim_m to the selected
+    set, ties → smaller vec_id, empty-set similarity term 0."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    lm = int(lam_micros)
+    em = SQL_EMB_MICROS.format(e="embedding")
+    cosm = ("CAST(floor(list_dot_product({a}, {b}) / "
+            "greatest(sqrt(list_dot_product({a}, {a})) * "
+            "sqrt(list_dot_product({b}, {b})), 1.0) * 1e6 + 0.5) "
+            "AS BIGINT)")
+    parts = [f"""
+WITH em AS (SELECT vec_id, {em} AS em FROM embeddings),
+q AS (SELECT em FROM em WHERE vec_id = {query_id}),
+rel AS (SELECT e.vec_id, {cosm.format(a='e.em', b='q.em')} AS rel_m
+        FROM em e, q),
+win AS MATERIALIZED (SELECT r.vec_id, r.rel_m, e.em
+        FROM rel r JOIN em e USING (vec_id)
+        WHERE r.vec_id <> {query_id}
+        ORDER BY r.rel_m DESC, r.vec_id LIMIT {window}),
+pairs AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+                 {cosm.format(a='a.em', b='b.em')} AS sim_m
+          FROM win a JOIN win b ON a.vec_id <> b.vec_id),
+s1 AS MATERIALIZED (SELECT vec_id, rel_m,
+       CAST({lm} AS BIGINT) * rel_m AS score
+       FROM win ORDER BY score DESC, vec_id LIMIT 1),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s1)"""]
+    for i in range(2, k + 1):
+        parts.append(f""",
+s{i} AS MATERIALIZED (SELECT w.vec_id, w.rel_m,
+                CAST({lm} AS BIGINT) * w.rel_m
+                - CAST({10**6 - lm} AS BIGINT)
+                  * (SELECT max(p.sim_m) FROM pairs p
+                     WHERE p.a = w.vec_id
+                       AND p.b IN (SELECT vec_id FROM sel{i - 1}))
+                  AS score
+         FROM win w
+         WHERE w.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+         ORDER BY score DESC, vec_id LIMIT 1),
+sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
+           UNION ALL SELECT vec_id FROM s{i})""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({i - 1} AS INTEGER) AS rank, vec_id, rel_m, score "
+        f"FROM s{i}" for i in range(1, k + 1))
+    return "".join(parts) + "\n" + unions + "\nORDER BY rank"

@@ -232,6 +232,39 @@ class CandidateGenerator:
         })
 
 
+def generate_candidates(queries_ds, dictionary_path: str, *,
+                        top_n: int = 10, mode: str = "word",
+                        text_col: str = "surface",
+                        broadcast_threshold: int = 200_000,
+                        n_shards: int | None = None,
+                        concurrency=(1, 4)):
+    """BM25 candidate generation with the dictionary-size gate (SURVEY
+    §7.5): up to ``broadcast_threshold`` names every actor holds the full
+    dense index (CandidateGenerator, micros-exact tier); above it the
+    index hash-shards across actors (shardeddict.bm25_candidates_sharded
+    — per-slice tf, one global idf/avgdl sweep, cross-shard top-N merge;
+    bit-identical scores, tier-agreement-tested).  ``n_shards`` forces a
+    tier (1 = broadcast); None auto-picks ceil(names / threshold) from
+    parquet row-count metadata (no data read)."""
+    if n_shards is None:
+        n = pq.ParquetFile(dictionary_path).metadata.num_rows
+        n_shards = 1 if n <= broadcast_threshold \
+            else -(-n // broadcast_threshold)
+    if n_shards > 1:
+        from deepkg_ray.stages.shardeddict import bm25_candidates_sharded
+        return bm25_candidates_sharded(
+            queries_ds, dictionary_path, n_shards=n_shards, top_n=top_n,
+            mode=mode, text_col=text_col,
+            concurrency=None if isinstance(concurrency, tuple) else
+            concurrency)
+    return queries_ds.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path,
+                               "top_n": top_n, "mode": mode,
+                               "text_col": text_col, "exact": True},
+        batch_format="pyarrow", concurrency=concurrency)
+
+
 class ExactLinker:
     """Stateless-shaped actor stage: add subj_id/obj_id (+ canonical names)
     to surface triples via broadcast alias map; unresolved surfaces get

@@ -906,3 +906,93 @@ def knn_accuracy(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         return b.append_column("accuracy", pa.array(round6(c / n)))
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def mmr_select(ds, *, query_id: int = 0, k: int = 8, window: int = 50,
+               lam_micros: int = 500_000, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick ``k`` vectors maximizing
+    λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — the diversity-aware
+    rerank a training-data curator runs after retrieval so the selected
+    exemplars aren't k near-duplicates of the top hit.  The reference's
+    recall stage stops at plain top-N (BM25_Model.py:38-72); MMR is the
+    beyond-reference diversification layer over the embedding column.
+
+    Plan: ONE distributed scan computes integer-micros relevance vs the
+    broadcast query vector and keeps each batch's top-``window``
+    candidates (same total order as the global cut: rel desc, id asc —
+    a locally dropped row is globally dropped); the window (the rerank
+    pool, ≤ `window` rows with their vectors) reduces to the driver,
+    where the k-step greedy runs over the window×window micros sim
+    matrix — the standard rerank-window shape (the pool comes from the
+    retrieval stage; it is NOT the corpus).  All scoring is exact int64:
+    score = lam_micros·rel_m − (1e6−lam_micros)·maxsim_m, ties → smaller
+    vec_id, empty-selection similarity term = 0.  The SQL oracle unrolls
+    the same k steps (oracle.mmr_select_oracle).
+    Returns (rank, vec_id, rel_m, score) — all integer-exact."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import micros_matrix
+    from deepkg_ray.util import rows_all
+
+    src = ds.select_columns([id_col, vec_col])
+    qvec = None
+    for r in rows_all(src.filter(expr=f"{id_col} == {int(query_id)}")):
+        qvec = np.asarray(r[vec_col], np.float64)
+    if qvec is None:
+        raise ValueError(f"query vec_id {query_id} not found")
+    qm = micros_matrix(qvec[None, :])[0]
+    qn = np.sqrt((qm * qm).sum())
+
+    def cand(b: pa.Table) -> pa.Table:
+        # the query vector is a QUERY, not a candidate — leaving it in
+        # the pool degenerates every λ=0.5 score to 0 (its pair sim to
+        # any candidate equals that candidate's relevance)
+        keep = pa.compute.not_equal(b[id_col], query_id)
+        b = b.filter(keep)
+        ids = np.asarray(b[id_col].to_pylist(), np.int64)
+        mm = micros_matrix(_as_matrix(b[vec_col]))
+        dot = mm @ qm
+        nn = np.sqrt((mm * mm).sum(axis=1))
+        rel = np.floor(dot / np.maximum(nn * qn, 1.0) * 1e6 + 0.5) \
+            .astype(np.int64)
+        sel = np.lexsort((ids, -rel))[:min(window, len(ids))]
+        t = b.take(pa.array(sel, pa.int64()))
+        return t.append_column("rel_m", pa.array(rel[sel], pa.int64()))
+
+    pool = (pd.DataFrame(rows_all(src.map_batches(cand,
+                                                  batch_format="pyarrow")))
+            .sort_values(["rel_m", id_col], ascending=[False, True],
+                         kind="stable").head(window)
+            .reset_index(drop=True))
+    ids = pool[id_col].to_numpy(np.int64)
+    rel = pool["rel_m"].to_numpy(np.int64)
+    mm = micros_matrix(np.stack(pool[vec_col].to_numpy()))
+    dots = mm @ mm.T
+    norms = np.sqrt((mm * mm).sum(axis=1))
+    sim = np.floor(dots / np.maximum(np.outer(norms, norms), 1.0)
+                   * 1e6 + 0.5).astype(np.int64)
+
+    lm = int(lam_micros)
+    order = np.argsort(ids, kind="stable")          # vec_id asc tie order
+    selected: list[int] = []
+    out_rows = []
+    for step in range(min(k, len(ids))):
+        best_i, best_score = -1, None
+        for i in order:
+            if i in selected:
+                continue
+            maxsim = int(sim[i, selected].max()) if selected else 0
+            score = lm * int(rel[i]) - (1_000_000 - lm) * maxsim
+            if best_score is None or score > best_score:
+                best_i, best_score = int(i), score
+        selected.append(best_i)
+        out_rows.append((step, int(ids[best_i]), int(rel[best_i]),
+                         int(best_score)))
+
+    return rd.from_arrow(pa.table({
+        "rank": pa.array([r[0] for r in out_rows], pa.int32()),
+        "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
+        "rel_m": pa.array([r[2] for r in out_rows], pa.int64()),
+        "score": pa.array([r[3] for r in out_rows], pa.int64())}))

