@@ -2933,6 +2933,16 @@ def _q_shipping_delay_quantiles(sf_dir: str):
 
 
 
+def _q_distinct_ngram_diversity(sf_dir: str):
+    """Distinct-1/distinct-2 diversity per source (Li et al. 2016) —
+    the templatedness diagnostic; open-vocab gram distinct groupby with
+    combiner-folded counts."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import distinct_ngram_diversity
+    return distinct_ngram_diversity(
+        read_documents(sf_dir, ["source", "text"]))
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3438,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_charge": _q_pricing_charge,
         "user_value_bands": _q_user_value_bands,
         "weekend_effect": _q_weekend_effect,
+        "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3735,6 +3746,7 @@ def oracle_sql() -> dict[str, str]:
         "autophrase_selftrain": oracle.autophrase_selftrain_oracle(),
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
         "mmr_select": oracle.mmr_select_oracle(),
+        "distinct_ngram_diversity": oracle.distinct_ngram_diversity_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

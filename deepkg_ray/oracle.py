@@ -7935,3 +7935,36 @@ sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i - 1}
         f"SELECT CAST({i - 1} AS INTEGER) AS rank, vec_id, rel_m, score "
         f"FROM s{i}" for i in range(1, k + 1))
     return "".join(parts) + "\n" + unions + "\nORDER BY rank"
+
+
+def distinct_ngram_diversity_oracle() -> str:
+    """Mirror of textstats.distinct_ngram_diversity (ns=(1,2)): the
+    bigram_counts tokenization (lower/trim, \\s+ split, space-joined
+    bigrams), distinct + total per (source, n), one round6 ratio."""
+    return """
+WITH toks AS (
+  SELECT source,
+         CASE WHEN trim(text)='' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents
+), uni AS (
+  SELECT source, unnest(ws) AS g FROM toks
+), big AS (
+  SELECT source, ws[i] || ' ' || ws[i+1] AS g
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t
+), cells AS (
+  SELECT source, CAST(1 AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS total,
+         CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+  FROM uni GROUP BY source
+  UNION ALL
+  SELECT source, CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT g) AS BIGINT)
+  FROM big GROUP BY source
+)
+SELECT source, n, total, n_distinct,
+       CASE WHEN total > 0 THEN
+         floor(n_distinct / CAST(greatest(total, 1) AS DOUBLE)
+               * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS ratio
+FROM cells
+"""

@@ -159,3 +159,26 @@ def test_source_pii_rates_golden(ray_session):
     assert out.loc[("b", "url"), "n_hits"] == 2
     assert out.loc[("b", "phone"), "n_hits"] == 1
     assert out.loc[("b", "phone"), "hit_rate"] == 1.0
+
+
+def test_distinct_ngram_diversity_matches_duckdb(sf_dir):
+    import duckdb
+
+    from deepkg_ray.oracle import distinct_ngram_diversity_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import distinct_ngram_diversity
+    got = (distinct_ngram_diversity(
+        read_documents(sf_dir, ["source", "text"])).to_pandas()
+        .sort_values(["source", "n"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(distinct_ngram_diversity_oracle()).df()
+            .sort_values(["source", "n"]).reset_index(drop=True))
+    assert got["total"].tolist() == want["total"].tolist()
+    assert got["n_distinct"].tolist() == want["n_distinct"].tolist()
+    assert got["ratio"].tolist() == want["ratio"].tolist()
+    # diversity sanity: distinct-2 ratio ≥ distinct-1 ratio per source
+    # (bigrams repeat less than unigrams in natural-ish text)
+    p = got.pivot(index="source", columns="n", values="ratio")
+    assert (p[2] >= p[1]).all()
