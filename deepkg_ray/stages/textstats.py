@@ -1683,82 +1683,63 @@ def distinct_ngram_diversity(ds, ns=(1, 2), text_col: str = "text",
     collapses is template-generated or heavily duplicated, exactly what
     a training-data curator down-weights before mixing.
 
-    Shuffle shape: per-batch the gram stream dedups locally and the
-    totals collapse to (source, n) cells (tree merge); the only
-    row-shaped exchange is the open-vocabulary (source, n, gram)
-    distinct groupby, whose output then folds to (source, n) counts via
-    a combiner — the word_idf posture.  Ratio is one round6 per cell.
+    Shuffle shape: ONE tokenize pass emits batch-local (source, n,
+    gram, cnt) combiner cells; ONE open-vocabulary groupby sums them —
+    its output carries BOTH statistics (n_distinct = surviving rows,
+    total = Σcnt), folded to (source, n) cells by a combiner + tree
+    merge.  Ratio is one round6 per cell.
     Returns (source, n, total, n_distinct, ratio)."""
     import pandas as pd
+    from ray.data.aggregate import Sum as _Sum
 
     from deepkg_ray.functions.numeric import round6
     from deepkg_ray.stages.treeagg import merge_partials
 
     ns = tuple(sorted(set(int(n) for n in ns)))
 
-    def grams_of(ws: list[str], n: int) -> list[str]:
-        if n == 1:
-            return ws
-        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
-
-    def gram_rows(b: pa.Table):
+    def gram_cells(b: pa.Table) -> pa.Table:
         srcs = b[src_col].to_pylist()
         texts = b[text_col].to_pylist()
-        out_s, out_n, out_g = [], [], []
-        seen: set = set()
-        tot: dict = {}
+        cnt: dict = {}
         for s, t in zip(srcs, texts):
             tl = t.lower().strip()
             ws = _WS.split(tl) if tl else []
             for n in ns:
-                gs = grams_of(ws, n)
-                tot[(s, n)] = tot.get((s, n), 0) + len(gs)
+                gs = ws if n == 1 else \
+                    [" ".join(ws[i:i + n])
+                     for i in range(len(ws) - n + 1)]
                 for g in gs:
                     key = (s, n, g)
-                    if key not in seen:
-                        seen.add(key)
-                        out_s.append(s); out_n.append(n); out_g.append(g)
-        gram_t = pa.table({
-            src_col: pa.array(out_s, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
-            "gram": pa.array(out_g, pa.string())})
-        tot_t = pa.table({
-            src_col: pa.array([k[0] for k in tot], pa.string()),
-            "n": pa.array([k[1] for k in tot], pa.int64()),
-            "total": pa.array(list(tot.values()), pa.int64())})
-        return {"grams": gram_t, "totals": tot_t}
+                    cnt[key] = cnt.get(key, 0) + 1
+        keys = list(cnt.keys())
+        return pa.table({
+            src_col: pa.array([k[0] for k in keys], pa.string()),
+            "n": pa.array([k[1] for k in keys], pa.int64()),
+            "gram": pa.array([k[2] for k in keys], pa.string()),
+            "cnt": pa.array(list(cnt.values()), pa.int64())})
 
-    src = ds.select_columns([src_col, text_col])
-    totals = merge_partials(
-        src.map_batches(lambda b: gram_rows(b)["totals"],
-                        batch_format="pyarrow"),
-        [src_col, "n"], {"total": "sum"}, mode="tree")
-
-    from ray.data.aggregate import Count as _Cnt
-    distinct = (src.map_batches(lambda b: gram_rows(b)["grams"],
-                                batch_format="pyarrow")
+    per_gram = (ds.select_columns([src_col, text_col])
+                .map_batches(gram_cells, batch_format="pyarrow")
                 .groupby([src_col, "n", "gram"])
-                .aggregate(_Cnt(alias_name="c")))
-    dcounts = merge_partials(
-        distinct.map_batches(
+                .aggregate(_Sum("cnt", alias_name="cnt")))
+    cells = merge_partials(
+        per_gram.map_batches(
             lambda b: pa.table({
                 src_col: b[src_col],
                 "n": b["n"].combine_chunks().cast(pa.int64()),
-                "n_distinct": pa.array(
-                    np.ones(b.num_rows, np.int64))}),
+                "total": b["cnt"].combine_chunks().cast(pa.int64()),
+                "n_distinct": pa.array(np.ones(b.num_rows, np.int64))}),
             batch_format="pyarrow"),
-        [src_col, "n"], {"n_distinct": "sum"}, mode="tree")
+        [src_col, "n"], {"total": "sum", "n_distinct": "sum"},
+        mode="tree")
 
-    tot_df = totals.to_pandas()
-    d_df = dcounts.to_pandas()
-    out = tot_df.merge(d_df, on=[src_col, "n"], how="left")
-    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
-    t = out["total"].to_numpy(np.float64)
-    d = out["n_distinct"].to_numpy(np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["total"].to_numpy(np.int64)
+        d = df["n_distinct"].to_numpy(np.int64)
         ratio = np.where(t > 0, np.asarray(round6(
-            np.where(t > 0, d / np.maximum(t, 1.0), 0.0))), 0.0)
-    out["ratio"] = ratio
-    import ray.data as rd
-    return rd.from_pandas(out[[src_col, "n", "total", "n_distinct",
-                               "ratio"]])
+            d / np.maximum(t, 1).astype(np.float64))), 0.0)
+        return df.assign(ratio=ratio)[[src_col, "n", "total",
+                                       "n_distinct", "ratio"]]
+
+    return cells.map_batches(finish, batch_format="pandas",
+                             batch_size=None)
