@@ -443,6 +443,110 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
     }
 
 
+def _ensure_skewed(sf_dir: str) -> str:
+    """Hot-key layout of the sf transcripts: every conversation whose
+    hash lands in 1/5 of the space is REWRITTEN into one giant
+    conversation (~20% of all turns under a single key), turn_idx
+    re-sequenced by timestamp.  Deterministic, cached, sharded."""
+    import glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+
+    out_dir = "/tmp/deepkg_skew/transcripts"
+    marker = "/tmp/deepkg_skew/_COMPLETE"
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(glob.glob(f"{synth.transcripts_path(sf_dir)}/*.parquet"))
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    conv = t["conv_id"].to_pylist()
+    hot = (stable_hash64_batch(conv) % np.uint64(5)) == np.uint64(0)
+    hot_idx = np.flatnonzero(hot)
+    cold_idx = np.flatnonzero(~hot)
+    hot_t = t.take(pa.array(hot_idx, pa.int64()))
+    ts = hot_t["ts"].cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    order = np.argsort(ts, kind="stable")
+    hot_t = hot_t.take(pa.array(order, pa.int64()))
+    hot_t = hot_t.set_column(
+        hot_t.schema.get_field_index("conv_id"), "conv_id",
+        pa.array(["conv-hot-000"] * hot_t.num_rows, pa.string()))
+    hot_t = hot_t.set_column(
+        hot_t.schema.get_field_index("turn_idx"), "turn_idx",
+        pa.array(np.arange(hot_t.num_rows, dtype=np.int32), pa.int32()))
+    skewed = pa.concat_tables([hot_t, t.take(pa.array(cold_idx,
+                                                      pa.int64()))])
+    n_shards = 8
+    per = -(-skewed.num_rows // n_shards)
+    for i in range(n_shards):
+        pq.write_table(skewed.slice(i * per, per),
+                       f"{out_dir}/part-{i:04d}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def run_skew(sf_dir: str, num_cpus: int = 32) -> dict:
+    """Hot-key stress: the conversation-grouped operators (the
+    skew-sensitive family — per-turn maps don't care) on the uniform
+    layout vs the 20%-one-key layout.  The claim under test: salting +
+    overlap-carry (conv_context, turn_latency) and coarse
+    conv-complete partitions (conv_sessions) keep the hot layout within
+    a small factor of uniform instead of serializing on one straggler
+    key.  Prints per-op walls and ratios."""
+    import time
+
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray import synth
+    from deepkg_ray.stages.convgroup import (conv_context_windows,
+                                             conv_sessions, turn_latency)
+
+    ray.init(address="local", num_cpus=num_cpus,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    uniform = synth.transcripts_path(sf_dir)
+    skewed = _ensure_skewed(sf_dir)
+
+    def ops(path):
+        res = {}
+        t0 = time.time()
+        conv_context_windows(
+            rd.read_parquet(path, columns=["conv_id", "turn_idx",
+                                           "text"]),
+            window=2, turns_per_salt=256).count()
+        res["conv_context"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        conv_sessions(rd.read_parquet(
+            path, columns=["conv_id", "turn_idx", "ts"])).count()
+        res["conv_sessions"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        turn_latency(rd.read_parquet(
+            path, columns=["conv_id", "turn_idx", "role",
+                           "ts"])).count()
+        res["turn_latency"] = round(time.time() - t0, 3)
+        return res
+
+    ops(uniform)                      # session warmup (discarded)
+    u1, s1 = ops(uniform), ops(skewed)
+    u2, s2 = ops(uniform), ops(skewed)
+    u = {k: min(u1[k], u2[k]) for k in u1}
+    s = {k: min(s1[k], s2[k]) for k in s1}
+    ratios = {k: round(s[k] / u[k], 2) for k in u}
+    ray.shutdown()
+    return {"metric": "skew_stress", "sf": sf_dir, "num_cpus": num_cpus,
+            "uniform": u, "skewed": s, "ratio": ratios,
+            "hot_share": 0.2}
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -450,5 +554,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir)))
     elif "--sf1" in sys.argv:
         print(json.dumps(run_sf1(ncpu)))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew(sf_dir, ncpu)))
     else:
         print(json.dumps(run_bench(sf_dir, ncpu)))
