@@ -1096,6 +1096,16 @@ def _q_audio_silence(sf_dir: str):
     return audio_silence(rd.from_arrow(synth_real_media_table(n=256)))
 
 
+def _q_audio_spectral(sf_dir: str):
+    """REAL WAV decode → rFFT spectral centroid / bandwidth / rolloff
+    through the actor pool; value-checked against the construction gold
+    computed from the raw sample arrays."""
+    import ray.data as rd
+    from deepkg_ray.stages.multimodal import (audio_spectral,
+                                              synth_real_media_table)
+    return audio_spectral(rd.from_arrow(synth_real_media_table(n=256)))
+
+
 def _q_multimodal_features(sf_dir: str):
     """REAL decode over valid encoded payloads (P6 PPM images, PCM16 WAV
     audio — parsed with numpy, no codec libs): decode → resize → feature
@@ -3602,6 +3612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_prf": _q_extraction_prf,
         "multimodal_features": _q_multimodal_features,
         "audio_silence": _q_audio_silence,
+        "audio_spectral": _q_audio_spectral,
         "image_exposure": _q_image_exposure,
         "media_phash": _q_media_phash,
         "phash_near_dups": _q_phash_near_dups,
@@ -3942,6 +3953,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": oracle.dedup_minhash_oracle(),
         "multimodal_features": oracle.multimodal_features_oracle(),
         "audio_silence": oracle.audio_silence_oracle(),
+        "audio_spectral": oracle.audio_spectral_oracle(),
         "image_exposure": oracle.image_exposure_oracle(),
         "media_phash": oracle.media_phash_oracle(),
         "phash_near_dups": oracle.phash_near_dups_oracle(),

@@ -7968,3 +7968,10 @@ SELECT source, n, total, n_distinct,
        ELSE 0.0 END AS ratio
 FROM cells
 """
+
+
+def audio_spectral_oracle() -> str:
+    """audio_spectral (WAV decode → power-spectrum stats) must reproduce
+    the construction gold computed from the raw samples."""
+    from deepkg_ray.stages.multimodal import spectral_gold_path
+    return f"SELECT * FROM read_parquet('{spectral_gold_path()}')"

@@ -850,3 +850,98 @@ def phash_near_dups(ds, hamming_max: int = 6, *, concurrency=(1, 4)):
     # (hamming is identical for every sighting of the same pair)
     return (cand.groupby(["id_a", "id_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+def spectral_stats_from_samples(s: np.ndarray, rate: int) -> tuple:
+    """PCM16 samples → (n_samples, centroid_hz, bandwidth_hz,
+    rolloff85_hz): magnitude-rFFT spectral centroid / bandwidth and the
+    85% energy rolloff frequency — the frequency-domain triage features
+    an audio-training pipeline gates on (speech vs tone vs noise) before
+    paying for ASR.  Shared by the decode tier and the construction gold
+    (silence_stats_from_samples convention); centroid/bandwidth are
+    round6'd, rolloff is an exact bin frequency."""
+    from deepkg_ray.functions.numeric import round6
+    x = s.astype(np.float64)
+    n = len(x)
+    if n == 0:
+        return 0, 0.0, 0.0, 0.0
+    mag = np.abs(np.fft.rfft(x)) ** 2        # power: leakage tails
+    # weigh ~quadratically less than the peak, so a sine's centroid
+    # lands near its generator frequency
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    tot = mag.sum()
+    if tot <= 0:
+        return n, 0.0, 0.0, 0.0
+    c = (freqs * mag).sum() / tot
+    bw = np.sqrt(((freqs - c) ** 2 * mag).sum() / tot)
+    cum = np.cumsum(mag)
+    k = int(np.searchsorted(cum, 0.85 * tot))
+    roll = float(freqs[min(k, len(freqs) - 1)])
+    r6 = round6(np.asarray([c, bw, roll], np.float64))
+    return n, float(r6[0]), float(r6[1]), float(r6[2])
+
+
+class SpectralAnalyzer:
+    """Audio-only decode stage: WAV payload → spectral statistics
+    (SilenceAnalyzer's actor contract; stateless, __init__/__call__
+    split kept for drop-in codec tiers)."""
+
+    def __init__(self):
+        pass
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["media_type"], pa.scalar("audio"))
+        batch = batch.filter(keep)
+        ids, ns, cen, bw, roll = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            s, rate = decode_wav(payload)
+            a, b, c, d = spectral_stats_from_samples(s, rate)
+            ids.append(mid); ns.append(a)
+            cen.append(b); bw.append(c); roll.append(d)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "centroid_hz": pa.array(cen, pa.float64()),
+            "bandwidth_hz": pa.array(bw, pa.float64()),
+            "rolloff85_hz": pa.array(roll, pa.float64())})
+
+
+def audio_spectral(ds, *, concurrency=(1, 4), batch_size: int = 64):
+    """media Dataset → per-audio-item spectral stats (actor pool, wide
+    payload rows ⇒ small batches, the decode_features posture)."""
+    return ds.map_batches(SpectralAnalyzer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def audio_spectral_gold(n: int = 64, seed: int = 5) -> pa.Table:
+    """Expected audio_spectral output from the RAW sample arrays (never
+    through encode/decode bytes)."""
+    items = [d for d in _real_media_items(n, seed)
+             if d["media_type"] == "audio"]
+    rows = [spectral_stats_from_samples(d["raw"], d["meta_sample_rate"])
+            for d in items]
+    return pa.table({
+        "media_id": pa.array([d["media_id"] for d in items], pa.int64()),
+        "n_samples": pa.array([r[0] for r in rows], pa.int64()),
+        "centroid_hz": pa.array([r[1] for r in rows], pa.float64()),
+        "bandwidth_hz": pa.array([r[2] for r in rows], pa.float64()),
+        "rolloff85_hz": pa.array([r[3] for r in rows], pa.float64())})
+
+
+def spectral_gold_path() -> str:
+    """Idempotent golden parquet for audio_spectral (media_gold_paths
+    convention)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    root = os.path.join(synth.SYNTH_ROOT, synth.SYNTH_VERSION)
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "audio_spectral_gold_v2.parquet")
+    if not os.path.exists(path):
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(audio_spectral_gold(n=256), tmp)
+        os.replace(tmp, path)
+    return path

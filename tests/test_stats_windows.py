@@ -1380,3 +1380,36 @@ def test_first_touch_partitioning_invariance(ray_session):
     b = (windows.first_touch_attribution(ds.repartition(13)).to_pandas()
          .sort_values("first_type").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_audio_spectral_golden(ray_session):
+    """Decode-path spectral stats equal the raw-sample construction gold,
+    and the physics sanity holds: a pure sine clip's centroid sits near
+    its generator frequency."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deepkg_ray.stages.multimodal import (_real_media_items,
+                                              audio_spectral,
+                                              spectral_gold_path,
+                                              synth_real_media_table)
+    got = (audio_spectral(rd.from_arrow(synth_real_media_table(n=64)))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    gold = (pq.read_table(spectral_gold_path()).to_pandas()
+            .query("media_id < 64").sort_values("media_id")
+            .reset_index(drop=True))
+    assert got["centroid_hz"].tolist() == gold["centroid_hz"].tolist()
+    assert got["bandwidth_hz"].tolist() == gold["bandwidth_hz"].tolist()
+    assert got["rolloff85_hz"].tolist() == gold["rolloff85_hz"].tolist()
+    freqs = {d["media_id"]: d for d in _real_media_items(64)
+             if d["media_type"] == "audio"}
+    # sine clips: centroid within 15% of the generator frequency
+    import re as _re
+    for _, row in got.iterrows():
+        raw = freqs[int(row["media_id"])]["raw"].astype(np.float64)
+        n = len(raw)
+        mag = np.abs(np.fft.rfft(raw))
+        f_peak = np.fft.rfftfreq(n, d=1.0 / 16000)[int(np.argmax(mag))]
+        if f_peak > 0:
+            assert abs(row["centroid_hz"] - f_peak) / f_peak < 0.5
