@@ -3110,6 +3110,22 @@ def _q_kg_linkpred_scores(sf_dir: str):
 
 
 
+def _q_kg_temporal_linkpred(sf_dir: str):
+    """Temporal KG link-prediction eval: split canonical pairs at the
+    midpoint of first-observation time, score train-graph non-edges with
+    common neighbors, exact doubled-rank AUC against appeared-after
+    labels."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    from deepkg_ray.stages.graph import temporal_linkpred_eval
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    spans = edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+    return temporal_linkpred_eval(spans, min_cn=2)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """Ego-net reach per KG node: degree and distinct <=2-hop neighbor
     count (2-path self-join + dedup)."""
@@ -3578,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_distribution": _q_kg_degree_distribution,
         "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
+        "kg_temporal_linkpred": _q_kg_temporal_linkpred,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_growth": _q_kg_growth,
         "kg_entity_spans": _q_entity_spans,
@@ -3920,6 +3937,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_truncated": oracle.kg_linkpred_oracle(
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
+        "kg_temporal_linkpred": oracle.kg_temporal_linkpred_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

@@ -7975,3 +7975,74 @@ def audio_spectral_oracle() -> str:
     the construction gold computed from the raw samples."""
     from deepkg_ray.stages.multimodal import spectral_gold_path
     return f"SELECT * FROM read_parquet('{spectral_gold_path()}')"
+
+
+def kg_temporal_linkpred_oracle(sf_dir: str, min_cn: int = 2) -> str:
+    """Mirror of stages/graph.temporal_linkpred_eval: pair-level min
+    first-observation µs, integer-midpoint cutoff, the
+    kg_linkpred_scores wedge derivation over the TRAIN pairs,
+    appeared-after labels, and the exact doubled-rank AUC
+    (roc_auc_oracle's histogram convention) on the cn score."""
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+tr AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+),
+es AS (
+  SELECT x.subj_id, x.obj_id, CAST(min(tr.ts_us) AS BIGINT) AS first_us
+  FROM triples x JOIN tr
+    ON tr.conv_id = x.conv_id AND tr.turn_idx = x.turn_idx
+  WHERE x.subj_id <> x.obj_id
+  GROUP BY x.subj_id, x.obj_id
+),
+pfirst AS (
+  SELECT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi,
+         CAST(min(first_us) AS BIGINT) AS first_us
+  FROM es GROUP BY 1, 2
+),
+cut AS (SELECT (min(first_us) + max(first_us)) // 2 AS c FROM pfirst),
+train AS (SELECT lo, hi FROM pfirst, cut WHERE first_us < c),
+aft AS (SELECT lo, hi FROM pfirst, cut WHERE first_us >= c),
+bidir AS (SELECT lo AS node, hi AS peer FROM train
+          UNION SELECT hi, lo FROM train),
+deg AS (SELECT node, count(*) AS degree FROM bidir GROUP BY node),
+w AS (SELECT b.node, b.peer FROM bidir b JOIN deg d USING (node)
+      WHERE d.degree >= 2),
+pairs AS (SELECT a.peer AS e1, b.peer AS e2
+          FROM w a JOIN w b ON a.node = b.node AND a.peer < b.peer),
+cand AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS cn
+         FROM pairs GROUP BY e1, e2 HAVING count(*) >= {min_cn}),
+cand2 AS (SELECT c.* FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM train t
+                            WHERE t.lo = c.e1 AND t.hi = c.e2)),
+lab AS (SELECT c.cn,
+               CASE WHEN a.lo IS NOT NULL THEN 1 ELSE 0 END AS pos
+        FROM cand2 c LEFT JOIN aft a
+          ON a.lo = c.e1 AND a.hi = c.e2),
+hist AS (SELECT cn, CAST(SUM(pos) AS BIGINT) AS p,
+                CAST(SUM(1 - pos) AS BIGINT) AS q
+         FROM lab GROUP BY cn),
+o AS (SELECT cn, p, q,
+             CAST(COALESCE(SUM(q) OVER (ORDER BY cn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS qb
+      FROM hist),
+agg AS (SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_pos,
+               CAST(COALESCE(SUM(q), 0) AS BIGINT) AS n_neg,
+               CAST(COALESCE(SUM(p * (2 * qb + q)), 0) AS BIGINT)
+                   AS auc_num2
+        FROM o)
+SELECT cut.c AS cutoff_us,
+       (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_train_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM aft) AS n_new_pairs,
+       agg.n_pos + agg.n_neg AS n_candidates,
+       agg.n_pos, agg.n_neg, agg.auc_num2,
+       CASE WHEN agg.n_pos > 0 AND agg.n_neg > 0 THEN
+         CAST(agg.auc_num2 AS DOUBLE)
+         / (2.0 * CAST(agg.n_pos AS DOUBLE) * CAST(agg.n_neg AS DOUBLE))
+       ELSE 0.0 END AS auc
+FROM cut, agg
+"""

@@ -3417,3 +3417,104 @@ def walk_counts_from(edges, max_len: int = 4, src_col: str = "subj_id",
     for o in outs[1:]:
         out = out.union(o)
     return out
+
+
+def temporal_linkpred_eval(spans, min_cn: int = 2,
+                           num_partitions: int | None = None):
+    """Temporal link-prediction evaluation — the standard KG-completion
+    eval run the way production KGs validate a scorer: split edges at a
+    time cutoff, score NON-edges of the train graph with structural
+    common-neighbor signals, and measure ROC AUC of the score against
+    "did this pair actually appear after the cutoff" (Liben-Nowell &
+    Kleinberg 2007's temporal protocol; the reference's KG has no eval
+    loop at all — this is the beyond-reference quality floor for
+    kg_linkpred).
+
+    Input: an edge_spans table (subj_id, pred, obj_id, first_us, ...).
+    cutoff = integer midpoint of the pair-level first-observation range.
+    Plan: pair-level min-first fold (entity²-bounded merge) → two
+    filtered views (train / appeared-after); the candidate scorer is the
+    existing link_prediction_scores wedge/anti-join pipeline over the
+    train pairs; labels attach with ONE hash join (candidate pairs ×
+    after-pairs); the AUC collapses to cn-value histogram cells (exact
+    doubled-rank tie handling, the quantiles.roc_auc convention).
+    Returns one row (cutoff_us, n_train_pairs, n_new_pairs,
+    n_candidates, n_pos, n_neg, auc_num2, auc)."""
+    import ray.data as rd
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+
+    def to_pair(b: pa.Table) -> pa.Table:
+        u = b["subj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["obj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = b["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "first_us": pa.array(f[keep], pa.int64())})
+
+    pf = merge_partials(
+        spans.select_columns(["subj_id", "obj_id", "first_us"])
+        .map_batches(to_pair, batch_format="pyarrow"),
+        ["lo", "hi"], {"first_us": "min"}, mode="auto").materialize()
+    mn, mx = int(pf.min("first_us")), int(pf.max("first_us"))
+    cutoff = (mn + mx) // 2
+    train = pf.filter(expr=f"first_us < {cutoff}")
+    after = pf.filter(expr=f"first_us >= {cutoff}")
+    n_train = train.count()
+    n_new = after.count()
+
+    cand = link_prediction_scores(
+        train.map_batches(
+            lambda b: pa.table({"subj_id": b["lo"], "obj_id": b["hi"]}),
+            batch_format="pyarrow"),
+        min_cn=min_cn, num_partitions=num_partitions)
+
+    lab = drop_empty_blocks(cand.select_columns(["e1", "e2", "cn"])) \
+        .join(drop_empty_blocks(
+            after.map_batches(
+                lambda b: pa.table({
+                    "e1": b["lo"], "e2": b["hi"],
+                    "pos": pa.array(np.ones(b.num_rows, np.int64))}),
+                batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("e1", "e2"))
+
+    def cells(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.nan_to_num(
+            b["pos"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        vals, inv = np.unique(cn, return_inverse=True)
+        p = np.bincount(inv, weights=pos).astype(np.int64)
+        q = np.bincount(inv, weights=1 - pos).astype(np.int64)
+        return pa.table({"cn": pa.array(vals, pa.int64()),
+                         "p": pa.array(p, pa.int64()),
+                         "q": pa.array(q, pa.int64())})
+
+    hist = merge_partials(
+        drop_empty_blocks(lab).map_batches(cells, batch_format="pyarrow"),
+        ["cn"], {"p": "sum", "q": "sum"}, mode="tree") \
+        .to_pandas().sort_values("cn")
+    p = hist["p"].to_numpy(np.int64)
+    q = hist["q"].to_numpy(np.int64)
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    qb = np.concatenate([[0], q.cumsum()[:-1]]) if len(q) else q
+    num2 = int(np.sum(p * (2 * qb + q)))
+    auc = float(num2) / (2.0 * float(n_pos) * float(n_neg)) \
+        if n_pos and n_neg else 0.0
+    return rd.from_arrow(pa.table({
+        "cutoff_us": pa.array([cutoff], pa.int64()),
+        "n_train_pairs": pa.array([n_train], pa.int64()),
+        "n_new_pairs": pa.array([n_new], pa.int64()),
+        "n_candidates": pa.array([n_pos + n_neg], pa.int64()),
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc_num2": pa.array([num2], pa.int64()),
+        "auc": pa.array([auc], pa.float64())}))

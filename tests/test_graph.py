@@ -770,3 +770,23 @@ def test_robustness_profile_golden(ray_session):
     assert out.loc[1, "n_nodes"] == 2      # leaves lost all edges
     assert out.loc[1, "lcc_size"] == 2
     assert out.loc[1, "lcc_share"] == 1.0
+
+
+def test_kg_temporal_linkpred_matches_duckdb(sf_dir, ray_session):
+    """Temporal split + CN scoring + exact doubled-rank AUC equals the
+    SQL composition, and the AUC is a valid probability."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+    got = m.queries()["kg_temporal_linkpred"](sf_dir).to_pandas()
+    import duckdb
+
+    from deepkg_ray.oracle import kg_temporal_linkpred_oracle
+    con = duckdb.connect()
+    want = con.sql(kg_temporal_linkpred_oracle(sf_dir)).df()
+    for c in ["cutoff_us", "n_train_pairs", "n_new_pairs",
+              "n_candidates", "n_pos", "n_neg", "auc_num2"]:
+        assert int(got[c].iloc[0]) == int(want[c].iloc[0]), c
+    assert got["auc"].iloc[0] == want["auc"].iloc[0]
+    assert 0.0 <= got["auc"].iloc[0] <= 1.0
