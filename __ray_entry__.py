@@ -3126,6 +3126,21 @@ def _q_kg_temporal_linkpred(sf_dir: str):
     return temporal_linkpred_eval(spans, min_cn=2)
 
 
+def _q_kg_temporal_ranking(sf_dir: str):
+    """KG-completion ranking eval over the temporal split: MRR and
+    Hits@1/5/10 of the common-neighbor scorer against appeared-after
+    pairs (Bordes et al. ranking protocol)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    from deepkg_ray.stages.graph import temporal_linkpred_ranking
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    spans = edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+    return temporal_linkpred_ranking(spans, min_cn=1)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """Ego-net reach per KG node: degree and distinct <=2-hop neighbor
     count (2-path self-join + dedup)."""
@@ -3595,6 +3610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_temporal_linkpred": _q_kg_temporal_linkpred,
+        "kg_temporal_ranking": _q_kg_temporal_ranking,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_growth": _q_kg_growth,
         "kg_entity_spans": _q_entity_spans,
@@ -3938,6 +3954,7 @@ def oracle_sql() -> dict[str, str]:
             SF_ORACLE, min_cn=2, max_degree=60),
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_temporal_linkpred": oracle.kg_temporal_linkpred_oracle(SF_ORACLE),
+        "kg_temporal_ranking": oracle.kg_temporal_ranking_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

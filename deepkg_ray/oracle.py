@@ -8046,3 +8046,82 @@ SELECT cut.c AS cutoff_us,
        ELSE 0.0 END AS auc
 FROM cut, agg
 """
+
+
+def kg_temporal_ranking_oracle(sf_dir: str, min_cn: int = 1,
+                               ks=(1, 5, 10)) -> str:
+    """Mirror of stages/graph.temporal_linkpred_ranking: the temporal
+    split + wedge candidates of kg_temporal_linkpred_oracle (min_cn=1),
+    candidates exploded to (endpoint, partner, cn) sides, per-new-pair
+    rank = 1 + better-candidates count under (cn desc, partner asc),
+    exact micros reciprocal ranks, one round6 per reported rate."""
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    hit_cols = ",\n       ".join(
+        f"(SELECT CAST(count(*) AS BIGINT) FROM rnk WHERE rank <= {k}) "
+        f"AS n_hits{k},\n       "
+        f"floor((SELECT count(*) FROM rnk WHERE rank <= {k})"
+        f" / CAST((SELECT count(*) FROM aft) AS DOUBLE) * 1e6 + 0.5)"
+        f" / 1e6 AS hits{k}" for k in ks)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+tr AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+),
+es AS (
+  SELECT x.subj_id, x.obj_id, CAST(min(tr.ts_us) AS BIGINT) AS first_us
+  FROM triples x JOIN tr
+    ON tr.conv_id = x.conv_id AND tr.turn_idx = x.turn_idx
+  WHERE x.subj_id <> x.obj_id
+  GROUP BY x.subj_id, x.obj_id
+),
+pfirst AS (
+  SELECT least(subj_id, obj_id) AS lo, greatest(subj_id, obj_id) AS hi,
+         CAST(min(first_us) AS BIGINT) AS first_us
+  FROM es GROUP BY 1, 2
+),
+cut AS (SELECT (min(first_us) + max(first_us)) // 2 AS c FROM pfirst),
+train AS (SELECT lo, hi FROM pfirst, cut WHERE first_us < c),
+aft AS (SELECT lo, hi FROM pfirst, cut WHERE first_us >= c),
+bidir AS (SELECT lo AS node, hi AS peer FROM train
+          UNION SELECT hi, lo FROM train),
+deg AS (SELECT node, count(*) AS degree FROM bidir GROUP BY node),
+w AS (SELECT b.node, b.peer FROM bidir b JOIN deg d USING (node)
+      WHERE d.degree >= 2),
+pairs AS (SELECT a.peer AS e1, b.peer AS e2
+          FROM w a JOIN w b ON a.node = b.node AND a.peer < b.peer),
+cand AS (SELECT e1, e2, CAST(count(*) AS BIGINT) AS cn
+         FROM pairs GROUP BY e1, e2 HAVING count(*) >= {min_cn}),
+cand2 AS MATERIALIZED (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM train t
+                    WHERE t.lo = c.e1 AND t.hi = c.e2)),
+side AS MATERIALIZED (
+  SELECT e1 AS node, e2 AS partner, cn FROM cand2
+  UNION ALL SELECT e2, e1, cn FROM cand2),
+ev AS MATERIALIZED (
+  SELECT a.lo, a.hi, s.partner, s.cn
+  FROM aft a JOIN side s ON s.node = a.lo),
+tgt AS (SELECT lo, hi, cn AS cn_true FROM ev WHERE partner = hi),
+rnk AS MATERIALIZED (
+  SELECT t.lo, t.hi,
+         1 + COALESCE((SELECT count(*) FROM ev e
+                       WHERE e.lo = t.lo AND e.hi = t.hi
+                         AND (e.cn > t.cn_true
+                              OR (e.cn = t.cn_true
+                                  AND e.partner < t.hi))), 0) AS rank
+  FROM tgt t)
+SELECT cut.c AS cutoff_us,
+       (SELECT CAST(count(*) AS BIGINT) FROM aft) AS n_eval,
+       (SELECT CAST(count(*) AS BIGINT) FROM rnk) AS n_ranked,
+       (SELECT CAST(COALESCE(SUM(CAST(floor(1e6 / rank + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+        FROM rnk) AS rr_micros,
+       floor((SELECT COALESCE(SUM(floor(1e6 / rank + 0.5)), 0) FROM rnk)
+             / 1e6 / (SELECT count(*) FROM aft) * 1e6 + 0.5) / 1e6
+           AS mrr,
+       {hit_cols}
+FROM cut
+"""

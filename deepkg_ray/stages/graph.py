@@ -3419,6 +3419,35 @@ def walk_counts_from(edges, max_len: int = 4, src_col: str = "subj_id",
     return out
 
 
+def _temporal_split(spans):
+    """Shared temporal-eval split: pair-level min first-observation fold
+    (entity²-bounded merge), integer-midpoint cutoff, (train, after)
+    filtered views.  Returns (cutoff, train_pairs, after_pairs) — pair
+    tables with (lo, hi) columns, lo < hi."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def to_pair(b: pa.Table) -> pa.Table:
+        u = b["subj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["obj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = b["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        lo = np.minimum(u[keep], v[keep])
+        hi = np.maximum(u[keep], v[keep])
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64()),
+                         "first_us": pa.array(f[keep], pa.int64())})
+
+    pf = merge_partials(
+        spans.select_columns(["subj_id", "obj_id", "first_us"])
+        .map_batches(to_pair, batch_format="pyarrow"),
+        ["lo", "hi"], {"first_us": "min"}, mode="auto").materialize()
+    mn, mx = int(pf.min("first_us")), int(pf.max("first_us"))
+    cutoff = (mn + mx) // 2
+    train = pf.filter(expr=f"first_us < {cutoff}")
+    after = pf.filter(expr=f"first_us >= {cutoff}")
+    return cutoff, train, after
+
+
 def temporal_linkpred_eval(spans, min_cn: int = 2,
                            num_partitions: int | None = None):
     """Temporal link-prediction evaluation — the standard KG-completion
@@ -3448,25 +3477,7 @@ def temporal_linkpred_eval(spans, min_cn: int = 2,
     if num_partitions is None:
         num_partitions = join_partitions()
 
-    def to_pair(b: pa.Table) -> pa.Table:
-        u = b["subj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v = b["obj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        f = b["first_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = u != v
-        lo = np.minimum(u[keep], v[keep])
-        hi = np.maximum(u[keep], v[keep])
-        return pa.table({"lo": pa.array(lo, pa.int64()),
-                         "hi": pa.array(hi, pa.int64()),
-                         "first_us": pa.array(f[keep], pa.int64())})
-
-    pf = merge_partials(
-        spans.select_columns(["subj_id", "obj_id", "first_us"])
-        .map_batches(to_pair, batch_format="pyarrow"),
-        ["lo", "hi"], {"first_us": "min"}, mode="auto").materialize()
-    mn, mx = int(pf.min("first_us")), int(pf.max("first_us"))
-    cutoff = (mn + mx) // 2
-    train = pf.filter(expr=f"first_us < {cutoff}")
-    after = pf.filter(expr=f"first_us >= {cutoff}")
+    cutoff, train, after = _temporal_split(spans)
     n_train = train.count()
     n_new = after.count()
 
@@ -3518,3 +3529,104 @@ def temporal_linkpred_eval(spans, min_cn: int = 2,
         "n_neg": pa.array([n_neg], pa.int64()),
         "auc_num2": pa.array([num2], pa.int64()),
         "auc": pa.array([auc], pa.float64())}))
+
+
+def temporal_linkpred_ranking(spans, ks=(1, 5, 10), min_cn: int = 1,
+                              num_partitions: int | None = None):
+    """KG-completion ranking metrics over the temporal split: for every
+    pair that APPEARS after the cutoff, the rank of its hi endpoint among
+    the lo endpoint's candidate partners (cn desc, partner asc) —
+    MRR and Hits@k, the standard completion eval (Bordes et al. 2013's
+    ranking protocol on structural scores; a new pair outside the
+    candidate set counts as a miss, reciprocal rank 0).
+
+    Plan: _temporal_split + the wedge scorer (min_cn=1 keeps candidate
+    lists dense); candidates explode to (endpoint, partner, cn) rows and
+    hash-join the after-pairs on the lo endpoint; each (lo, hi) group
+    ranks vectorized in one task (group size = that endpoint's candidate
+    count).  rr is exact micros floor(1e6/rank + 0.5); the MRR/Hits
+    finish divides by n_eval once.  Returns one row (cutoff_us, n_eval,
+    n_ranked, rr_micros, mrr, n_hits@k..., plus hits rates)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    ks = tuple(sorted(set(int(k) for k in ks)))
+
+    cutoff, train, after = _temporal_split(spans)
+    n_eval = after.count()
+
+    cand = link_prediction_scores(
+        train.map_batches(
+            lambda b: pa.table({"subj_id": b["lo"], "obj_id": b["hi"]}),
+            batch_format="pyarrow"),
+        min_cn=min_cn, num_partitions=num_partitions)
+
+    def explode(b: pa.Table) -> pa.Table:
+        e1 = b["e1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e2 = b["e2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([e1, e2]), pa.int64()),
+            "partner": pa.array(np.concatenate([e2, e1]), pa.int64()),
+            "cn": pa.array(np.concatenate([cn, cn]), pa.int64())})
+
+    side = cand.select_columns(["e1", "e2", "cn"]) \
+        .map_batches(explode, batch_format="pyarrow")
+    ev = drop_empty_blocks(
+        after.map_batches(
+            lambda b: pa.table({"node": b["lo"], "hi": b["hi"]}),
+            batch_format="pyarrow")) \
+        .join(drop_empty_blocks(side), join_type="inner",
+              num_partitions=num_partitions, on=("node",))
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (node, hi), grp in g.groupby(["node", "hi"], sort=False):
+            hit = grp[grp["partner"] == hi]
+            if not len(hit):
+                continue
+            cn_true = int(hit["cn"].iloc[0])
+            cn = grp["cn"].to_numpy(np.int64)
+            pr = grp["partner"].to_numpy(np.int64)
+            rank = 1 + int(((cn > cn_true)
+                            | ((cn == cn_true) & (pr < hi))).sum())
+            out.append((rank,))
+        return pd.DataFrame(out, columns=["rank"])
+
+    rdf = drop_empty_blocks(ev).groupby("node").map_groups(
+        ranks, batch_format="pandas")
+
+    def cells(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = {"n_ranked": np.int64(len(r)),
+               "rr_micros": np.floor(1e6 / r + 0.5).astype(np.int64)
+                                .sum()}
+        for k in ks:
+            row[f"n_hits{k}"] = np.int64((r <= k).sum())
+        return pa.table({c: pa.array([int(v)], pa.int64())
+                         for c, v in row.items()})
+
+    # one combiner row per block → the driver sums a block-count-bounded
+    # frame (the roc_auc finish posture)
+    agg = drop_empty_blocks(rdf).map_batches(
+        cells, batch_format="pyarrow").to_pandas()
+    n_ranked = int(agg["n_ranked"].sum()) if len(agg) else 0
+    rrm = int(agg["rr_micros"].sum()) if len(agg) else 0
+    cols = {
+        "cutoff_us": pa.array([cutoff], pa.int64()),
+        "n_eval": pa.array([n_eval], pa.int64()),
+        "n_ranked": pa.array([n_ranked], pa.int64()),
+        "rr_micros": pa.array([rrm], pa.int64()),
+        "mrr": pa.array([float(round6(np.asarray(
+            [rrm / 1e6 / n_eval if n_eval else 0.0])))], pa.float64())}
+    for k in ks:
+        nh = int(agg[f"n_hits{k}"].sum()) if len(agg) else 0
+        cols[f"n_hits{k}"] = pa.array([nh], pa.int64())
+        cols[f"hits{k}"] = pa.array([float(round6(np.asarray(
+            [nh / n_eval if n_eval else 0.0])))], pa.float64())
+    return rd.from_arrow(pa.table(cols))

@@ -790,3 +790,24 @@ def test_kg_temporal_linkpred_matches_duckdb(sf_dir, ray_session):
         assert int(got[c].iloc[0]) == int(want[c].iloc[0]), c
     assert got["auc"].iloc[0] == want["auc"].iloc[0]
     assert 0.0 <= got["auc"].iloc[0] <= 1.0
+
+
+def test_kg_temporal_ranking_matches_duckdb(sf_dir, ray_session):
+    """MRR/Hits@k ranking eval equals the SQL composition; metric
+    invariants hold (hits1 <= hits5 <= hits10 <= n_ranked/n_eval,
+    mrr in [0, 1])."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from deepkg_ray.oracle import kg_temporal_ranking_oracle
+    got = m.queries()["kg_temporal_ranking"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(kg_temporal_ranking_oracle(sf_dir)).df()
+    for c in sorted(got.columns):
+        assert got[c].iloc[0] == want[c].iloc[0], c
+    r = got.iloc[0]
+    assert r["n_hits1"] <= r["n_hits5"] <= r["n_hits10"] <= r["n_ranked"]
+    assert 0.0 <= r["mrr"] <= 1.0
