@@ -3141,6 +3141,20 @@ def _q_kg_temporal_ranking(sf_dir: str):
     return temporal_linkpred_ranking(spans, min_cn=1)
 
 
+def _q_kg_temporal_calibration(sf_dir: str):
+    """Reliability curve of the common-neighbor scorer: per cn value,
+    candidate count and appeared-after rate over the temporal split."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    from deepkg_ray.stages.graph import temporal_linkpred_calibration
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    spans = edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+    return temporal_linkpred_calibration(spans, min_cn=2)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """Ego-net reach per KG node: degree and distinct <=2-hop neighbor
     count (2-path self-join + dedup)."""
@@ -3611,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_linkpred_scores": _q_kg_linkpred_scores,
         "kg_temporal_linkpred": _q_kg_temporal_linkpred,
         "kg_temporal_ranking": _q_kg_temporal_ranking,
+        "kg_temporal_calibration": _q_kg_temporal_calibration,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_growth": _q_kg_growth,
         "kg_entity_spans": _q_entity_spans,
@@ -3955,6 +3970,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_linkpred_scores": oracle.kg_linkpred_scores_oracle(SF_ORACLE),
         "kg_temporal_linkpred": oracle.kg_temporal_linkpred_oracle(SF_ORACLE),
         "kg_temporal_ranking": oracle.kg_temporal_ranking_oracle(SF_ORACLE),
+        "kg_temporal_calibration": oracle.kg_temporal_calibration_oracle(SF_ORACLE),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

@@ -8125,3 +8125,17 @@ SELECT cut.c AS cutoff_us,
        {hit_cols}
 FROM cut
 """
+
+
+def kg_temporal_calibration_oracle(sf_dir: str, min_cn: int = 2) -> str:
+    """Mirror of stages/graph.temporal_linkpred_calibration: the
+    kg_temporal_linkpred_oracle derivation stopped at the per-cn
+    histogram, one round6 rate per row."""
+    base = kg_temporal_linkpred_oracle(sf_dir, min_cn)
+    head, _sep, _tail = base.partition("o AS (SELECT cn, p, q,")
+    return head + """calib AS (
+  SELECT cn, CAST(n AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+         floor(p / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate
+  FROM (SELECT cn, p + q AS n, p FROM hist))
+SELECT cn, n, n_pos, pos_rate FROM calib
+"""

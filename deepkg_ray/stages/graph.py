@@ -3630,3 +3630,60 @@ def temporal_linkpred_ranking(spans, ks=(1, 5, 10), min_cn: int = 1,
         cols[f"hits{k}"] = pa.array([float(round6(np.asarray(
             [nh / n_eval if n_eval else 0.0])))], pa.float64())
     return rd.from_arrow(pa.table(cols))
+
+
+def temporal_linkpred_calibration(spans, min_cn: int = 2,
+                                  num_partitions: int | None = None):
+    """Reliability curve of the common-neighbor scorer over the temporal
+    split: per cn value, how many candidate pairs exist and what
+    fraction actually appeared after the cutoff — the calibration table
+    that turns a ranking score into an edge-probability estimate (and
+    exposes score saturation the AUC can't show).  Same split + scorer +
+    label join as temporal_linkpred_eval, stopping at the cn histogram.
+    Returns (cn, n, n_pos, pos_rate) rows."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    cutoff, train, after = _temporal_split(spans)
+    cand = link_prediction_scores(
+        train.map_batches(
+            lambda b: pa.table({"subj_id": b["lo"], "obj_id": b["hi"]}),
+            batch_format="pyarrow"),
+        min_cn=min_cn, num_partitions=num_partitions)
+    lab = drop_empty_blocks(cand.select_columns(["e1", "e2", "cn"])) \
+        .join(drop_empty_blocks(
+            after.map_batches(
+                lambda b: pa.table({
+                    "e1": b["lo"], "e2": b["hi"],
+                    "pos": pa.array(np.ones(b.num_rows, np.int64))}),
+                batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("e1", "e2"))
+
+    def cells(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.nan_to_num(
+            b["pos"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        vals, inv = np.unique(cn, return_inverse=True)
+        return pa.table({
+            "cn": pa.array(vals, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_pos": pa.array(np.bincount(inv, weights=pos)
+                              .astype(np.int64))})
+
+    hist = merge_partials(
+        drop_empty_blocks(lab).map_batches(cells, batch_format="pyarrow"),
+        ["cn"], {"n": "sum", "n_pos": "sum"}, mode="tree")
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        p = b["n_pos"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column("pos_rate", pa.array(round6(p / n)))
+
+    return hist.map_batches(finish, batch_format="pyarrow")

@@ -811,3 +811,21 @@ def test_kg_temporal_ranking_matches_duckdb(sf_dir, ray_session):
     r = got.iloc[0]
     assert r["n_hits1"] <= r["n_hits5"] <= r["n_hits10"] <= r["n_ranked"]
     assert 0.0 <= r["mrr"] <= 1.0
+
+
+def test_kg_temporal_calibration_matches_duckdb(sf_dir, ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    import __ray_entry__ as m
+    from deepkg_ray.oracle import kg_temporal_calibration_oracle
+    got = (m.queries()["kg_temporal_calibration"](sf_dir).to_pandas()
+           .sort_values("cn").reset_index(drop=True))
+    con = duckdb.connect()
+    want = (con.sql(kg_temporal_calibration_oracle(sf_dir)).df()
+            .sort_values("cn").reset_index(drop=True))
+    for c in ["cn", "n", "n_pos", "pos_rate"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert (got["n_pos"] <= got["n"]).all()
