@@ -2987,6 +2987,14 @@ def _q_order_priority_counts(sf_dir: str):
     return order_priority_counts(sf_dir)
 
 
+def _q_join_size_audit(sf_dir: str):
+    """Exact join-size audit (orders x lineitem on orderkey): per-side
+    row/key counts + sum-of-products output cardinality, computed from
+    the per-key count tables without materializing the join."""
+    from deepkg_ray.pipelines.relational import join_size_audit
+    return join_size_audit(sf_dir)
+
+
 def _q_promo_revenue(sf_dir: str):
     """TPC-H Q14-shaped conditional-aggregation join: PROMO-part revenue
     share for one shipdate month, exact micros sums, one final division."""
@@ -3586,6 +3594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_lot_revenue": _q_small_lot_revenue,
         "supplier_share_nations": _q_supplier_share_nations,
         "promo_revenue": _q_promo_revenue,
+        "join_size_audit": _q_join_size_audit,
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
         "kg_stress": _q_kg_stress,
@@ -3971,6 +3980,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_linkpred": oracle.kg_temporal_linkpred_oracle(SF_ORACLE),
         "kg_temporal_ranking": oracle.kg_temporal_ranking_oracle(SF_ORACLE),
         "kg_temporal_calibration": oracle.kg_temporal_calibration_oracle(SF_ORACLE),
+        "join_size_audit": oracle.join_size_audit_oracle(),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

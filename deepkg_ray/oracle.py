@@ -8139,3 +8139,22 @@ def kg_temporal_calibration_oracle(sf_dir: str, min_cn: int = 2) -> str:
   FROM (SELECT cn, p + q AS n, p FROM hist))
 SELECT cn, n, n_pos, pos_rate FROM calib
 """
+
+
+def join_size_audit_oracle() -> str:
+    """Mirror of pipelines/relational.join_size_audit: per-key count
+    tables for both sides, exact Σ cnt_l·cnt_r join-size product."""
+    return """
+WITH l AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+r AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1),
+m AS (SELECT l.cnt AS cl, r.cnt AS cr FROM l JOIN r USING (k))
+SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM l) AS n_left,
+       (SELECT CAST(SUM(cnt) AS BIGINT) FROM r) AS n_right,
+       (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_keys_left,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_keys_right,
+       CAST(count(*) AS BIGINT) AS n_keys_common,
+       CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS est_join_rows
+FROM m
+"""

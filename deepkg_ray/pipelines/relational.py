@@ -2852,3 +2852,69 @@ def cheapest_supplier_per_part(sf_dir: str, region: str = "EUROPE",
 
     return final.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def join_size_audit(sf_dir: str, mode: str = "auto"):
+    """Join-size audit for orders ⋈ lineitem on orderkey — the
+    cardinality-planning primitive a distributed engine consults before
+    choosing a join strategy: per-side row and distinct-key counts plus
+    the EXACT join output size Σ_k cnt_left(k)·cnt_right(k) (computed
+    from the two per-key count tables, never by materializing the join).
+
+    Shuffle shape: each side collapses to (key, cnt) via a per-batch
+    combiner + cardinality-auto merge (key-bounded); the product-sum
+    folds inside conv... key-complete coarse partitions of the SMALL
+    merged tables, then one scalar row.  Returns (n_left, n_right,
+    n_keys_left, n_keys_right, n_keys_common, est_join_rows)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def counts(path: str, col: str):
+        def partial(b: pa.Table) -> pa.Table:
+            k, c = np.unique(b[col].to_numpy(zero_copy_only=False)
+                             .astype(np.int64), return_counts=True)
+            return pa.table({"k": pa.array(k, pa.int64()),
+                             "cnt": pa.array(c.astype(np.int64))})
+        return merge_partials(
+            rd.read_parquet(path, columns=[col])
+            .map_batches(partial, batch_format="pyarrow"),
+            ["k"], {"cnt": "sum"}, mode=mode)
+
+    left = counts(f"{sf_dir}/orders.parquet", "o_orderkey")
+    right = counts(f"{sf_dir}/lineitem.parquet", "l_orderkey")
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            h = stable_hash64_batch(
+                [str(x) for x in b["k"].to_pylist()])
+            return pa.table({
+                "part": pa.array((h % np.uint64(64)).astype(np.int32)),
+                "k": b["k"], "cnt": b["cnt"],
+                "side": pa.array(np.full(b.num_rows, side, np.int64))})
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["side"] == 0]
+        rt = g[g["side"] == 1]
+        m = lf.merge(rt, on="k", suffixes=("_l", "_r"))
+        return pd.DataFrame({
+            "n_left": [np.int64(lf["cnt"].sum())],
+            "n_right": [np.int64(rt["cnt"].sum())],
+            "n_keys_left": [np.int64(len(lf))],
+            "n_keys_right": [np.int64(len(rt))],
+            "n_keys_common": [np.int64(len(m))],
+            "est_join_rows": [np.int64(
+                (m["cnt_l"].to_numpy(np.int64)
+                 * m["cnt_r"].to_numpy(np.int64)).sum())]})
+
+    # 64 single-row partials → one scalar row (repartition(1) moves 64
+    # tiny rows, the quantiles finisher shape)
+    parts = both.groupby("part").map_groups(fold, batch_format="pandas")
+    return parts.repartition(1).map_batches(
+        lambda df: df.sum().to_frame().T.astype("int64"),
+        batch_format="pandas", batch_size=None)

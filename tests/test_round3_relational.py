@@ -365,3 +365,24 @@ def test_knn_mutuality_golden(ray_session):
     assert out["n"].iloc[0] == 5
     assert out["n_mutual"].iloc[0] == 4
     assert out["share"].iloc[0] == 0.8
+
+
+def test_join_size_audit_matches_duckdb_and_actual_join(sf_dir):
+    """Audit equals SQL, and est_join_rows equals the true join size."""
+    import duckdb
+
+    from deepkg_ray.oracle import join_size_audit_oracle
+    from deepkg_ray.pipelines.relational import join_size_audit
+    SF = "/root/testdata/sf0.001"
+    got = join_size_audit(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    want = con.sql(join_size_audit_oracle()).df()
+    for c in sorted(got.columns):
+        assert int(got[c].iloc[0]) == int(want[c].iloc[0]), c
+    true_join = con.sql(
+        "SELECT count(*) FROM orders o JOIN lineitem l "
+        "ON l.l_orderkey = o.o_orderkey").fetchone()[0]
+    assert int(got["est_join_rows"].iloc[0]) == int(true_join)
