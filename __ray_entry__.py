@@ -66,6 +66,48 @@ def _q_kg_mention_counts_sharded(sf_dir: str):
                           keys, {"n_occ": "sum"})
 
 
+def _q_kg_mention_counts_delta(sf_dir: str):
+    """kg_mention_counts through the dictionary-DELTA ingest path
+    (shardeddict.detect_mentions_multi): the dictionary split into a
+    base and a delta file, per-file candidate passes + global greedy
+    resolve — proven identical to full-dictionary detection against the
+    SAME SQL oracle (maximal matching is non-compositional; the resolve
+    step is where the delta composes correctly)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines.kg import transcripts_with_norm
+    from deepkg_ray.stages.shardeddict import detect_mentions_multi
+    from deepkg_ray.stages.treeagg import merge_partials
+    root = synth.ensure_synth(sf_dir)
+    base_p = os.path.join(root, "dictionary_base.parquet")
+    delta_p = os.path.join(root, "dictionary_delta.parquet")
+    if not (os.path.exists(base_p) and os.path.exists(delta_p)):
+        t = pq.read_table(synth.dictionary_path(sf_dir))
+        eid = np.asarray(t["entity_id"].to_pylist(), np.int64)
+        pq.write_table(t.filter(pa.array(eid % 2 == 0)),
+                       base_p + ".tmp")
+        os.replace(base_p + ".tmp", base_p)
+        pq.write_table(t.filter(pa.array(eid % 2 == 1)),
+                       delta_p + ".tmp")
+        os.replace(delta_p + ".tmp", delta_p)
+    men = detect_mentions_multi(transcripts_with_norm(sf_dir),
+                                [base_p, delta_p])
+    keys = ["conv_id", "turn_idx", "surface", "entity_id", "type"]
+
+    def combine(b: pa.Table) -> pa.Table:
+        g = b.select(keys).to_pandas().groupby(keys, as_index=False).size()
+        return pa.Table.from_pandas(g.rename(columns={"size": "n_occ"}),
+                                    preserve_index=False)
+
+    return merge_partials(men.map_batches(combine, batch_format="pyarrow"),
+                          keys, {"n_occ": "sum"})
+
+
 def _q_bm25_topn_sharded(sf_dir: str):
     """bm25_topn through the sharded index tier
     (shardeddict.bm25_candidates_sharded, n_shards=3): per-shard dense tf
@@ -3336,6 +3378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG pipeline family (synthesized transcripts)
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_mention_counts_sharded": _q_kg_mention_counts_sharded,
+        "kg_mention_counts_delta": _q_kg_mention_counts_delta,
         "kg_triples": _q_kg_triples,
         "kg_adjacency": _q_kg_adjacency,
         "kg_incremental": _q_kg_incremental,
@@ -3683,6 +3726,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_mention_counts": oracle.mention_counts_sql(SF_ORACLE),
         "kg_mention_counts_sharded": oracle.mention_counts_sql(SF_ORACLE),
+        "kg_mention_counts_delta": oracle.mention_counts_sql(SF_ORACLE),
         "kg_triples": oracle.triples_sql(SF_ORACLE),
         "kg_adjacency": oracle.adjacency_sql(SF_ORACLE),
         "kg_incremental": oracle.adjacency_sql(SF_ORACLE),

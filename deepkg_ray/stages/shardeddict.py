@@ -435,3 +435,78 @@ def bm25_candidates_sharded(queries_ds, dictionary_path: str, *,
                         ("rank", pa.int32())])
     return out.map_batches(lambda b: b.select(schema.names).cast(schema),
                            batch_format="pyarrow")
+
+
+def detect_mentions_multi(ds, dictionary_paths: list[str], *,
+                          concurrency=None, batch_size: int | None = None,
+                          n_parts: int = 64,
+                          candidate_cache_dir: str | None = None):
+    """Mention detection over a PARTITIONED dictionary — the
+    dictionary-DELTA ingest path: each dictionary file runs its own
+    candidate pass (ShardCandidateDetector with the whole file as one
+    shard), and the global greedy resolve reproduces full-dictionary
+    maximal matching exactly.  Maximal-forward matching is NOT
+    compositional (a new alias can change existing match boundaries), so
+    the incremental design keeps the non-compositional step — resolve —
+    cheap and re-runnable while the expensive corpus scans stay
+    per-dictionary-file.
+
+    ``candidate_cache_dir``: if set, each file's candidate stream is
+    written to ``<dir>/<md5(path)>/`` on first use and read back on
+    subsequent calls — when a delta dictionary arrives, ONLY the delta
+    file's corpus scan runs; base candidates load from parquet.  The
+    cache key is the dictionary file path: bump the file name when its
+    contents change (the synth-cache convention)."""
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    from deepkg_ray.util import stateful_map
+
+    streams = []
+    for path in dictionary_paths:
+        cache = None
+        if candidate_cache_dir is not None:
+            cache = os.path.join(
+                candidate_cache_dir,
+                hashlib.md5(path.encode()).hexdigest())
+        if cache is not None and os.path.exists(
+                os.path.join(cache, "_COMPLETE")):
+            streams.append(rd.read_parquet(cache))
+            continue
+        cand = stateful_map(ds, ShardCandidateDetector,
+                            {"dictionary_path": path, "n_shards": 1,
+                             "shard_idx": 0},
+                            concurrency=concurrency,
+                            batch_size=batch_size)
+        if cache is not None:
+            tmp = cache + f".tmp{os.getpid()}"
+            if os.path.exists(tmp):
+                import shutil
+                shutil.rmtree(tmp)
+            cand.write_parquet(tmp)
+            os.replace(tmp, cache)
+            with open(os.path.join(cache, "_COMPLETE"), "w") as f:
+                f.write("ok")
+            cand = rd.read_parquet(cache)
+        streams.append(cand)
+
+    cand = streams[0]
+    for s in streams[1:]:
+        cand = cand.union(s)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        return _resolve_greedy(g.drop(columns=["part"]))
+
+    from deepkg_ray.stages.mention import MENTION_SCHEMA
+    out = (cand.map_batches(add_part, batch_format="pyarrow")
+           .groupby("part").map_groups(resolve, batch_format="pandas"))
+    return out.map_batches(
+        lambda b: b.select(MENTION_SCHEMA.names).cast(MENTION_SCHEMA),
+        batch_format="pyarrow")

@@ -168,6 +168,35 @@ def test_generate_candidates_gate_routes_to_sharded(dict_path):
     pd.testing.assert_frame_equal(base, gated)
 
 
+def test_detect_mentions_multi_delta_matches_full(norm_transcripts,
+                                                  dict_path, tmp_path):
+    """Dictionary-delta ingest: per-file candidate passes + global
+    resolve over a base/delta split of the dictionary must equal
+    detect_mentions over the FULL dictionary; the candidate cache must
+    reproduce the same result on a second call (base scan skipped)."""
+    from deepkg_ray.stages.mention import detect_mentions
+    from deepkg_ray.stages.shardeddict import detect_mentions_multi
+    t = pq.read_table(dict_path)
+    eid = np.asarray(t["entity_id"].to_pylist(), np.int64)
+    base_p = os.path.join(tmp_path, "base.parquet")
+    delta_p = os.path.join(tmp_path, "delta.parquet")
+    pq.write_table(t.filter(pa.array(eid % 2 == 0)), base_p)
+    pq.write_table(t.filter(pa.array(eid % 2 == 1)), delta_p)
+    full = _canon(detect_mentions(norm_transcripts, dict_path).to_pandas())
+    multi = _canon(detect_mentions_multi(
+        norm_transcripts, [base_p, delta_p]).to_pandas())
+    pd.testing.assert_frame_equal(full, multi)
+    cache = os.path.join(tmp_path, "cand_cache")
+    first = _canon(detect_mentions_multi(
+        norm_transcripts, [base_p, delta_p],
+        candidate_cache_dir=cache).to_pandas())
+    again = _canon(detect_mentions_multi(
+        norm_transcripts, [base_p, delta_p],
+        candidate_cache_dir=cache).to_pandas())
+    pd.testing.assert_frame_equal(full, first)
+    pd.testing.assert_frame_equal(full, again)
+
+
 def test_bm25_global_stats_match_index(dict_path):
     """The streamed global stats equal BM25Index's own exact arrays."""
     from deepkg_ray.stages.linking import BM25Index
