@@ -2017,6 +2017,15 @@ def _q_segment_share(sf_dir: str):
     return segment_revenue_share(sf_dir)
 
 
+def _q_events_cep(sf_dir: str):
+    """SEQ(view, click+, purchase) CEP pattern matches within a 1-hour
+    window, skip-till-next-match semantics, per user."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cep_pattern_matches
+    return cep_pattern_matches(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel counts (per-user sequence
     match over user-complete hash partitions)."""
@@ -3539,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_avg": _q_events_moving_avg,
         "grid_quantiles": _q_grid_quantiles,
         "events_funnel": _q_events_funnel,
+        "events_cep": _q_events_cep,
         "events_zscore": _q_events_zscore,
         "windowed_distinct": _q_windowed_distinct,
         "events_time_window": _q_events_time_window,
@@ -4025,6 +4035,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_ranking": oracle.kg_temporal_ranking_oracle(SF_ORACLE),
         "kg_temporal_calibration": oracle.kg_temporal_calibration_oracle(SF_ORACLE),
         "join_size_audit": oracle.join_size_audit_oracle(),
+        "events_cep": oracle.cep_pattern_oracle(),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

@@ -2563,3 +2563,77 @@ def expfit_ks(ds, user_col: str = "user_id", ts_col: str = "ts",
     return merged.repartition(1).map_batches(finish,
                                              batch_format="pandas",
                                              batch_size=None)
+
+
+def cep_pattern_matches(ds, *, a_type: str = "view",
+                        b_type: str = "click",
+                        c_type: str = "purchase",
+                        window_us: int = 3_600_000_000,
+                        n_parts: int = 64):
+    """Multi-event sequence-pattern detection — SEQ(A, B+, C) within a
+    time window under skip-till-next-match semantics (the SASE/CEP
+    match model, Wu et al. SIGMOD'06; Ray Data has no CEP operator, this
+    is the batch-audited equivalent): for every A event, take the FIRST
+    C event of the same user strictly later in (ts, event_id) order and
+    within ``window_us``; the pattern matches iff ≥ 1 B event sits
+    strictly between them.  Deterministic: total order is (ts_us,
+    event_id), so ties never float.
+
+    Plan: user-complete coarse hash partitions (the max_drawdown shape);
+    inside each partition one sort + per-user vectorized searchsorted
+    (first-C lookup) + prefix-count difference (Bs between) — no
+    per-event Python loop.  Returns per-user rows
+    (user_id, n_a, n_matched, n_b_in_matches)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = stable_hash64_batch([str(u) for u in uid])
+        return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "ts_us": b["ts"].combine_chunks().cast(pa.timestamp("us"))
+                     .cast(pa.int64()),
+            "event_type": b["event_type"]})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            et = u["event_type"].to_numpy(object)
+            ts = u["ts_us"].to_numpy(np.int64)
+            is_b = (et == b_type)
+            bcum = np.concatenate([[0], np.cumsum(is_b)])  # prefix incl.
+            a_pos = np.flatnonzero(et == a_type)
+            c_pos = np.flatnonzero(et == c_type)
+            n_a = len(a_pos)
+            if n_a == 0:
+                out.append((int(uid), 0, 0, 0))
+                continue
+            if len(c_pos) == 0:
+                out.append((int(uid), n_a, 0, 0))
+                continue
+            idx = np.searchsorted(c_pos, a_pos, side="right")
+            valid = idx < len(c_pos)
+            first_c = np.where(valid, c_pos[np.minimum(
+                idx, len(c_pos) - 1)], -1)
+            in_win = valid & (ts[first_c] - ts[a_pos] <= window_us)
+            # Bs strictly between positions a_pos and first_c
+            nb = np.where(in_win,
+                          bcum[np.maximum(first_c, 0)]
+                          - bcum[a_pos + 1], 0)
+            matched = in_win & (nb >= 1)
+            out.append((int(uid), n_a, int(matched.sum()),
+                        int(nb[matched].sum())))
+        return pd.DataFrame(out, columns=["user_id", "n_a", "n_matched",
+                                          "n_b_in_matches"]) \
+            .astype({"user_id": "int64", "n_a": "int64",
+                     "n_matched": "int64", "n_b_in_matches": "int64"})
+
+    return (ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pandas"))

@@ -1413,3 +1413,54 @@ def test_audio_spectral_golden(ray_session):
         f_peak = np.fft.rfftfreq(n, d=1.0 / 16000)[int(np.argmax(mag))]
         if f_peak > 0:
             assert abs(row["centroid_hz"] - f_peak) / f_peak < 0.5
+
+
+def test_cep_pattern_golden(ray_session):
+    """Hand-checked SEQ(A, B+, C) semantics: first-C within window,
+    >=1 B strictly between, skip-till-next-match."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deepkg_ray.stages.windows import cep_pattern_matches
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        # user 1: A(0s) B(10s) C(20s)  -> match, 1 B
+        (1, 0, 0, "view"), (1, 1, 10, "click"), (1, 2, 20, "purchase"),
+        # user 1: A(100s) C(110s) no B -> no match
+        (1, 3, 100, "view"), (1, 4, 110, "purchase"),
+        # user 2: A(0s) B(10s) C(2h)   -> C outside window, no match
+        (2, 5, 0, "view"), (2, 6, 10, "click"),
+        (2, 7, 7200, "purchase"),
+        # user 3: no A at all
+        (3, 8, 0, "click"),
+    ]
+    df = pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], np.int64),
+        "event_id": np.array([r[1] for r in rows], np.int64),
+        "ts": [base + pd.Timedelta(seconds=r[2]) for r in rows],
+        "event_type": [r[3] for r in rows]})
+    out = (cep_pattern_matches(rd.from_pandas(df)).to_pandas()
+           .set_index("user_id").sort_index())
+    assert out.loc[1, "n_a"] == 2 and out.loc[1, "n_matched"] == 1
+    assert out.loc[1, "n_b_in_matches"] == 1
+    assert out.loc[2, "n_a"] == 1 and out.loc[2, "n_matched"] == 0
+    assert out.loc[3, "n_a"] == 0 and out.loc[3, "n_matched"] == 0
+
+
+def test_cep_pattern_matches_duckdb(ray_session):
+    import duckdb
+
+    from deepkg_ray.oracle import cep_pattern_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cep_pattern_matches
+    SF = "/root/testdata/sf0.001"
+    got = (cep_pattern_matches(read_events(
+        SF, ["user_id", "event_id", "ts", "event_type"])).to_pandas()
+        .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.sql(cep_pattern_oracle()).df()
+            .sort_values("user_id").reset_index(drop=True))
+    for c in ["user_id", "n_a", "n_matched", "n_b_in_matches"]:
+        assert got[c].tolist() == want[c].tolist(), c
