@@ -3004,6 +3004,15 @@ def _q_distinct_ngram_diversity(sf_dir: str):
         read_documents(sf_dir, ["source", "text"]))
 
 
+def _q_neyman_allocation(sf_dir: str):
+    """Neyman-optimal stratified sample allocation (n_h proportional to
+    N_h*S_h over doc length) with largest-remainder integer seats."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import neyman_allocation
+    return neyman_allocation(read_documents(sf_dir, ["source", "text"]),
+                             k=1000)
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3565,6 +3574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_bands": _q_user_value_bands,
         "weekend_effect": _q_weekend_effect,
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
+        "neyman_allocation": _q_neyman_allocation,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3869,6 +3879,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_via_sel": oracle.triples_sql(SF_ORACLE),
         "mmr_select": oracle.mmr_select_oracle(),
         "distinct_ngram_diversity": oracle.distinct_ngram_diversity_oracle(),
+        "neyman_allocation": oracle.neyman_allocation_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

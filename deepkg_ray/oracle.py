@@ -8212,3 +8212,52 @@ SELECT u.user_id,
 FROM u LEFT JOIN mb USING (user_id)
 GROUP BY u.user_id
 """
+
+
+def neyman_allocation_oracle(k: int = 1000) -> str:
+    """Mirror of curation.neyman_allocation: integer length moments per
+    source, the same double op chain for std/weight/share, largest-
+    remainder seats (floor + rank by fractional part desc, source asc)."""
+    return f"""
+WITH m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(length(text)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(length(text) AS BIGINT)
+                  * CAST(length(text) AS BIGINT)) AS BIGINT) AS s2
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         sqrt(greatest(CASE WHEN n > 1 THEN
+           (CAST(s2 AS DOUBLE)
+            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)
+         ELSE 0.0 END, 0.0)) AS std
+  FROM m
+),
+ww AS (SELECT source, n, std, CAST(n AS DOUBLE) * std AS wt FROM w),
+t AS (SELECT SUM(wt) AS tot FROM ww),
+ex AS (
+  SELECT ww.source, ww.n, ww.std, ww.wt,
+         CASE WHEN t.tot > 0 THEN {k} * (ww.wt / t.tot) ELSE 0.0 END
+             AS exact
+  FROM ww, t
+),
+b AS (
+  SELECT source, n, std, wt, exact,
+         CAST(floor(exact) AS BIGINT) AS base,
+         exact - floor(exact) AS frac
+  FROM ex
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY frac DESC, source) AS rk,
+         (SELECT {k} - SUM(base) FROM b) AS rem
+  FROM b
+)
+SELECT source, n AS n_docs,
+       floor(std * 1e6 + 0.5) / 1e6 AS std_len,
+       floor(wt * 1e6 + 0.5) / 1e6 AS weight,
+       CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc
+FROM r
+"""

@@ -535,3 +535,67 @@ def boilerplate_stats(ds, min_docs: int = 3, text_col: str = "text",
                 pa.int64())})
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def neyman_allocation(ds, k: int = 1000, stratum_col: str = "source",
+                      text_col: str = "text"):
+    """Neyman-optimal stratified sampling allocation over document
+    length: allocate a budget of ``k`` samples across strata
+    proportionally to N_h·S_h (stratum size × within-stratum std of doc
+    length, Neyman 1934) — the variance-minimizing sample design a
+    curator uses instead of naive proportional allocation when strata
+    have very different spreads.  Integer seats land via the largest-
+    remainder method (floor + top fractional parts, ties → stratum asc).
+
+    Shuffle shape: per-batch (stratum, n, Σlen, Σlen²) cells → tree
+    merge (stratum-bounded); the seat assignment runs on the
+    strata-sized driver table with ONE fixed double op chain per
+    stratum, mirrored in SQL.  Returns (source, n_docs, std_len,
+    weight, alloc)."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def cells(b: pa.Table) -> pa.Table:
+        srcs = np.asarray(b[stratum_col].to_pylist(), object)
+        ln = np.fromiter((len(t) for t in b[text_col].to_pylist()),
+                         np.int64, count=b.num_rows)
+        uniq, inv = np.unique(srcs, return_inverse=True)
+        return pa.table({
+            stratum_col: pa.array(uniq.tolist(), pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s1": pa.array(np.bincount(inv, weights=ln)
+                           .astype(np.int64)),
+            "s2": pa.array(np.bincount(inv, weights=ln * ln)
+                           .astype(np.int64))})
+
+    m = merge_partials(
+        ds.select_columns([stratum_col, text_col])
+        .map_batches(cells, batch_format="pyarrow"),
+        [stratum_col], {"n": "sum", "s1": "sum", "s2": "sum"},
+        mode="tree").to_pandas().sort_values(stratum_col) \
+        .reset_index(drop=True)
+
+    n = m["n"].to_numpy(np.int64).astype(np.float64)
+    s1 = m["s1"].to_numpy(np.int64).astype(np.float64)
+    s2 = m["s2"].to_numpy(np.int64).astype(np.float64)
+    # sample variance (n-1); single-doc strata contribute zero weight
+    var = np.where(n > 1, (s2 - s1 * s1 / n) / (n - 1.0), 0.0)
+    std = np.sqrt(np.maximum(var, 0.0))
+    w = n * std
+    tot = w.sum()
+    share = np.where(tot > 0, w / tot, 0.0)
+    exact = k * share
+    base = np.floor(exact).astype(np.int64)
+    rem = int(k - base.sum())
+    frac = exact - base
+    order = np.lexsort((m[stratum_col].to_numpy(object), -frac))
+    alloc = base.copy()
+    alloc[order[:rem]] += 1
+    return rd.from_arrow(pa.table({
+        stratum_col: pa.array(m[stratum_col].tolist(), pa.string()),
+        "n_docs": pa.array(m["n"].to_numpy(np.int64), pa.int64()),
+        "std_len": pa.array(round6(std), pa.float64()),
+        "weight": pa.array(round6(w), pa.float64()),
+        "alloc": pa.array(alloc, pa.int64())}))

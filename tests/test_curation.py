@@ -130,3 +130,25 @@ def test_boilerplate_stats_golden_and_tier_agreement(ray_session):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert dec2["mode"] == "join"
     pd.testing.assert_frame_equal(out, out2[out.columns])
+
+
+def test_neyman_allocation_matches_duckdb_and_sums_to_k(sf_dir):
+    import duckdb
+
+    from deepkg_ray.oracle import neyman_allocation_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import neyman_allocation
+    got = (neyman_allocation(read_documents(sf_dir, ["source", "text"]),
+                             k=97).to_pandas()
+           .sort_values("source").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(neyman_allocation_oracle(k=97)).df()
+            .sort_values("source").reset_index(drop=True))
+    for c in ["source", "n_docs", "std_len", "weight", "alloc"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert int(got["alloc"].sum()) == 97
+    # allocations never exceed what weight share implies by more than 1
+    sh = got["weight"] / got["weight"].sum()
+    assert (got["alloc"] - np.floor(97 * sh) <= 1).all()
