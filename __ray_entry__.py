@@ -2026,6 +2026,15 @@ def _q_events_cep(sf_dir: str):
         sf_dir, ["user_id", "event_id", "ts", "event_type"]))
 
 
+def _q_events_cep_absence(sf_dir: str):
+    """Negation CEP: SEQ(signup, no-error, purchase) within 1 hour —
+    clean-conversion detection (absence semantics)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cep_absence_matches
+    return cep_absence_matches(read_events(
+        sf_dir, ["user_id", "event_id", "ts", "event_type"]))
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel counts (per-user sequence
     match over user-complete hash partitions)."""
@@ -3558,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_quantiles": _q_grid_quantiles,
         "events_funnel": _q_events_funnel,
         "events_cep": _q_events_cep,
+        "events_cep_absence": _q_events_cep_absence,
         "events_zscore": _q_events_zscore,
         "windowed_distinct": _q_windowed_distinct,
         "events_time_window": _q_events_time_window,
@@ -4047,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_calibration": oracle.kg_temporal_calibration_oracle(SF_ORACLE),
         "join_size_audit": oracle.join_size_audit_oracle(),
         "events_cep": oracle.cep_pattern_oracle(),
+        "events_cep_absence": oracle.cep_absence_oracle(),
         "kg_two_hop": oracle.kg_two_hop_sizes_oracle(SF_ORACLE),
         "kg_metapaths": oracle.kg_metapaths_oracle(SF_ORACLE),
         "kg_clustering": oracle.kg_clustering_oracle(SF_ORACLE),

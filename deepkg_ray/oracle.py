@@ -8261,3 +8261,56 @@ SELECT source, n AS n_docs,
            AS alloc
 FROM r
 """
+
+
+def cep_absence_oracle(a_type: str = "signup", n_type: str = "error",
+                       c_type: str = "purchase",
+                       window_us: int = 3_600_000_000) -> str:
+    """Mirror of windows.cep_absence_matches: cep_pattern_oracle's
+    LATERAL first-C derivation, match iff the between-count of N-type
+    events is ZERO (blocked iff positive)."""
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+  FROM events
+),
+u AS (SELECT DISTINCT user_id FROM e),
+a AS (SELECT * FROM e WHERE event_type = '{a_type}'),
+m AS MATERIALIZED (
+  SELECT a.user_id, a.ts_us AS a_ts, a.event_id AS a_id, f.c_ts, f.c_id
+  FROM a LEFT JOIN LATERAL (
+    SELECT c.ts_us AS c_ts, c.event_id AS c_id
+    FROM e c
+    WHERE c.user_id = a.user_id AND c.event_type = '{c_type}'
+      AND (c.ts_us > a.ts_us
+           OR (c.ts_us = a.ts_us AND c.event_id > a.event_id))
+    ORDER BY c.ts_us, c.event_id LIMIT 1) f ON TRUE
+),
+mb AS MATERIALIZED (
+  SELECT m.user_id, m.a_id,
+         CASE WHEN m.c_ts IS NOT NULL
+                   AND m.c_ts - m.a_ts <= {window_us}
+              THEN 1 ELSE 0 END AS in_win,
+         CASE WHEN m.c_ts IS NOT NULL
+                   AND m.c_ts - m.a_ts <= {window_us} THEN
+           (SELECT count(*) FROM e b
+            WHERE b.user_id = m.user_id
+              AND b.event_type = '{n_type}'
+              AND (b.ts_us > m.a_ts
+                   OR (b.ts_us = m.a_ts AND b.event_id > m.a_id))
+              AND (b.ts_us < m.c_ts
+                   OR (b.ts_us = m.c_ts AND b.event_id < m.c_id)))
+         ELSE 0 END AS nn
+  FROM m
+)
+SELECT u.user_id,
+       CAST(count(mb.a_id) AS BIGINT) AS n_a,
+       CAST(COALESCE(SUM(CASE WHEN mb.in_win = 1 AND mb.nn = 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_matched,
+       CAST(COALESCE(SUM(CASE WHEN mb.in_win = 1 AND mb.nn > 0
+                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_blocked
+FROM u LEFT JOIN mb USING (user_id)
+GROUP BY u.user_id
+"""

@@ -2637,3 +2637,69 @@ def cep_pattern_matches(ds, *, a_type: str = "view",
     return (ds.select_columns(["user_id", "event_id", "ts", "event_type"])
             .map_batches(keyed, batch_format="pyarrow")
             .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def cep_absence_matches(ds, *, a_type: str = "signup",
+                        n_type: str = "error",
+                        c_type: str = "purchase",
+                        window_us: int = 3_600_000_000,
+                        n_parts: int = 64):
+    """Negation CEP — SEQ(A, ¬N, C) within a window: for every A event,
+    the first same-user C strictly later in (ts, event_id) order within
+    ``window_us`` MATCHES iff ZERO N-type events sit strictly between —
+    absence detection (the "clean conversion" pattern: signup →
+    purchase with no error in between), the dual of
+    cep_pattern_matches' B+ requirement and the second half of the
+    SASE operator set.  Same plan: user-complete partitions, one sort,
+    vectorized first-C lookup + prefix-count difference.
+    Returns (user_id, n_a, n_matched, n_blocked) — blocked = an
+    in-window C existed but an N intervened."""
+    import pandas as pd
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+
+    def keyed(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = stable_hash64_batch([str(u) for u in uid])
+        return pa.table({
+            "part": pa.array((h % np.uint64(n_parts)).astype(np.int32)),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_id": b["event_id"].combine_chunks().cast(pa.int64()),
+            "ts_us": b["ts"].combine_chunks().cast(pa.timestamp("us"))
+                     .cast(pa.int64()),
+            "event_type": b["event_type"]})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        out = []
+        for uid, u in g.groupby("user_id", sort=False):
+            et = u["event_type"].to_numpy(object)
+            ts = u["ts_us"].to_numpy(np.int64)
+            ncum = np.concatenate([[0], np.cumsum(et == n_type)])
+            a_pos = np.flatnonzero(et == a_type)
+            c_pos = np.flatnonzero(et == c_type)
+            n_a = len(a_pos)
+            if n_a == 0 or len(c_pos) == 0:
+                out.append((int(uid), n_a, 0, 0))
+                continue
+            idx = np.searchsorted(c_pos, a_pos, side="right")
+            valid = idx < len(c_pos)
+            first_c = np.where(valid, c_pos[np.minimum(
+                idx, len(c_pos) - 1)], -1)
+            in_win = valid & (ts[first_c] - ts[a_pos] <= window_us)
+            nn = np.where(in_win,
+                          ncum[np.maximum(first_c, 0)]
+                          - ncum[a_pos + 1], 0)
+            matched = in_win & (nn == 0)
+            blocked = in_win & (nn > 0)
+            out.append((int(uid), n_a, int(matched.sum()),
+                        int(blocked.sum())))
+        return pd.DataFrame(out, columns=["user_id", "n_a", "n_matched",
+                                          "n_blocked"]) \
+            .astype({"user_id": "int64", "n_a": "int64",
+                     "n_matched": "int64", "n_blocked": "int64"})
+
+    return (ds.select_columns(["user_id", "event_id", "ts", "event_type"])
+            .map_batches(keyed, batch_format="pyarrow")
+            .groupby("part").map_groups(per_part, batch_format="pandas"))

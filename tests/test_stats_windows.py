@@ -1464,3 +1464,24 @@ def test_cep_pattern_matches_duckdb(ray_session):
             .sort_values("user_id").reset_index(drop=True))
     for c in ["user_id", "n_a", "n_matched", "n_b_in_matches"]:
         assert got[c].tolist() == want[c].tolist(), c
+
+
+def test_cep_absence_matches_duckdb(ray_session):
+    import duckdb
+
+    from deepkg_ray.oracle import cep_absence_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import cep_absence_matches
+    SF = "/root/testdata/sf0.001"
+    got = (cep_absence_matches(read_events(
+        SF, ["user_id", "event_id", "ts", "event_type"])).to_pandas()
+        .sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    want = (con.sql(cep_absence_oracle()).df()
+            .sort_values("user_id").reset_index(drop=True))
+    for c in ["user_id", "n_a", "n_matched", "n_blocked"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # matched + blocked never exceeds n_a
+    assert ((got["n_matched"] + got["n_blocked"]) <= got["n_a"]).all()
