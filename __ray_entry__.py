@@ -3022,6 +3022,16 @@ def _q_neyman_allocation(sf_dir: str):
                              k=1000)
 
 
+def _q_neyman_sample(sf_dir: str):
+    """Plan-driven stratified sample: exactly the Neyman seats per
+    source, deterministic md5-rank order."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import neyman_sample
+    return neyman_sample(read_documents(sf_dir,
+                                        ["source", "doc_id", "text"]),
+                         k=200)
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3585,6 +3595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_effect": _q_weekend_effect,
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "neyman_allocation": _q_neyman_allocation,
+        "neyman_sample": _q_neyman_sample,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3890,6 +3901,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": oracle.mmr_select_oracle(),
         "distinct_ngram_diversity": oracle.distinct_ngram_diversity_oracle(),
         "neyman_allocation": oracle.neyman_allocation_oracle(),
+        "neyman_sample": oracle.neyman_sample_oracle(k=200),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

@@ -8314,3 +8314,29 @@ SELECT u.user_id,
 FROM u LEFT JOIN mb USING (user_id)
 GROUP BY u.user_id
 """
+
+
+def neyman_sample_oracle(k: int = 1000) -> str:
+    """Mirror of curation.neyman_sample: the neyman_allocation seat
+    derivation joined to per-source md5 ranks (the sample_exact_k order:
+    md5_number_lower(id::VARCHAR), id)."""
+    base = neyman_allocation_oracle(k)
+    head, _sep, _tail = base.partition("SELECT source, n AS n_docs,")
+    return head.rstrip() + ",\n" + f"""alloc AS (
+  SELECT source,
+         CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+  FROM r
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+         row_number() OVER (
+           PARTITION BY d.source
+           ORDER BY md5_number_lower(CAST(d.doc_id AS VARCHAR)),
+                    d.doc_id) AS rn
+  FROM documents d
+)
+SELECT ranked.source, ranked.doc_id
+FROM ranked JOIN alloc USING (source)
+WHERE ranked.rn <= alloc.alloc
+"""

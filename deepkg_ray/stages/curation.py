@@ -599,3 +599,48 @@ def neyman_allocation(ds, k: int = 1000, stratum_col: str = "source",
         "std_len": pa.array(round6(std), pa.float64()),
         "weight": pa.array(round6(w), pa.float64()),
         "alloc": pa.array(alloc, pa.int64())}))
+
+
+def neyman_sample(ds, k: int = 1000, stratum_col: str = "source",
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """EXECUTE the Neyman design: draw exactly the per-stratum seat
+    counts that neyman_allocation assigns, deterministically (per
+    stratum the alloc_h smallest md5 ranks, the stratified_exact_k
+    order).  Two passes over the corpus — the moments pass and the
+    sample scan; the quota table rides in the task closure
+    (strata-bounded).  Returns (source, doc_id) rows, Σ = k exactly
+    whenever every stratum holds at least its quota."""
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+
+    plan = neyman_allocation(ds, k=k, stratum_col=stratum_col,
+                             text_col=text_col).to_pandas()
+    quota = dict(zip(plan[stratum_col].tolist(),
+                     plan["alloc"].astype(int).tolist()))
+    _SIGN = np.uint64(1 << 63)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({stratum_col: pd.Series([], dtype=object),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "_rk": pd.Series([], dtype=np.int64)})
+        ids = df[id_col].to_numpy(np.int64)
+        rk = (md5_lower64_batch([str(int(x)) for x in ids])
+              ^ _SIGN).view(np.int64)
+        out = pd.DataFrame({stratum_col: df[stratum_col].to_numpy(),
+                            id_col: ids, "_rk": rk})
+        out = out.sort_values([stratum_col, "_rk", id_col],
+                              kind="stable")
+        keep = (out.groupby(stratum_col, sort=False).cumcount()
+                < out[stratum_col].map(quota).fillna(0).to_numpy())
+        return out.loc[keep]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([stratum_col, "_rk", id_col], kind="stable")
+        keep = (g.groupby(stratum_col, sort=False).cumcount()
+                < g[stratum_col].map(quota).fillna(0).to_numpy())
+        return g.loc[keep, [stratum_col, id_col]]
+
+    return (ds.select_columns([stratum_col, id_col])
+            .map_batches(partial, batch_format="pandas")
+            .groupby(stratum_col)
+            .map_groups(final, batch_format="pandas"))

@@ -152,3 +152,28 @@ def test_neyman_allocation_matches_duckdb_and_sums_to_k(sf_dir):
     # allocations never exceed what weight share implies by more than 1
     sh = got["weight"] / got["weight"].sum()
     assert (got["alloc"] - np.floor(97 * sh) <= 1).all()
+
+
+def test_neyman_sample_matches_duckdb_and_quota(sf_dir):
+    import duckdb
+
+    from deepkg_ray.oracle import neyman_sample_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import (neyman_allocation,
+                                            neyman_sample)
+    docs = read_documents(sf_dir, ["source", "doc_id", "text"])
+    got = (neyman_sample(docs, k=40).to_pandas()
+           .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(neyman_sample_oracle(k=40)).df()
+            .sort_values(["source", "doc_id"]).reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["source"].tolist() == want["source"].tolist()
+    # drawn counts equal the allocation plan exactly
+    plan = neyman_allocation(docs, k=40).to_pandas() \
+        .set_index("source")["alloc"]
+    drawn = got.groupby("source").size()
+    for s_, a in plan.items():
+        assert drawn.get(s_, 0) == a, s_
