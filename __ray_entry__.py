@@ -3032,6 +3032,14 @@ def _q_neyman_sample(sf_dir: str):
                          k=200)
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Per-doc zlib compression ratio (the repetition filter); checked
+    against a sequential driver-side gold pass (plumbing-gold)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import compression_ratio
+    return compression_ratio(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3596,6 +3604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "neyman_allocation": _q_neyman_allocation,
         "neyman_sample": _q_neyman_sample,
+        "compression_ratio": _q_compression_ratio,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3902,6 +3911,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_ngram_diversity": oracle.distinct_ngram_diversity_oracle(),
         "neyman_allocation": oracle.neyman_allocation_oracle(),
         "neyman_sample": oracle.neyman_sample_oracle(k=200),
+        "compression_ratio": oracle.compression_ratio_oracle(SF_ORACLE),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

@@ -8340,3 +8340,12 @@ SELECT ranked.source, ranked.doc_id
 FROM ranked JOIN alloc USING (source)
 WHERE ranked.rn <= alloc.alloc
 """
+
+
+def compression_ratio_oracle(sf_dir: str) -> str:
+    """compression_ratio's distributed path must reproduce the
+    sequential driver-side gold pass (zlib is not SQL-expressible; this
+    is the multimodal plumbing-gold convention)."""
+    from deepkg_ray.stages.textstats import compression_gold_path
+    return (f"SELECT * FROM "
+            f"read_parquet('{compression_gold_path(sf_dir)}')")

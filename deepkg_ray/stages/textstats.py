@@ -1743,3 +1743,79 @@ def distinct_ngram_diversity(ds, ns=(1, 2), text_col: str = "text",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def compression_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                      level: int = 6):
+    """Per-document zlib compression ratio — the industry repetition /
+    templatedness filter (a ratio near the format floor means the text
+    is highly compressible ⇒ boilerplate or repeated spans; CCNet-style
+    pipelines gate on it next to the Gopher rules).  DEFLATE level
+    pinned so the byte count is deterministic across workers/retries.
+
+    Verification note: zlib is not SQL-expressible; the oracle is a
+    construction-gold parquet computed by an independent driver-side
+    pass over the same rows (compression_gold_path) — what the check
+    proves is the DISTRIBUTED path (batching, encoding, row alignment)
+    reproduces the sequential reference bit-for-bit, the multimodal
+    plumbing-gold convention.  Returns (doc_id, n_bytes,
+    n_compressed, ratio) with ratio = round6(compressed / raw)."""
+    import zlib
+
+    from deepkg_ray.functions.numeric import round6
+
+    def kernel(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b[text_col].to_pylist()
+        raw = np.fromiter((len(t.encode("utf-8")) for t in texts),
+                          np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode("utf-8"), level))
+             for t in texts), np.int64, count=len(texts))
+        ratio = round6(comp / np.maximum(raw, 1).astype(np.float64))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(raw, pa.int64()),
+            "n_compressed": pa.array(comp, pa.int64()),
+            "ratio": pa.array(ratio, pa.float64())})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+def compression_gold_path(sf_dir: str, level: int = 6) -> str:
+    """Construction gold for compression_ratio: ONE sequential
+    driver-side pass over the documents parquet (no Ray, no batching),
+    cached under the synth root."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from deepkg_ray import synth
+    from deepkg_ray.functions.numeric import round6
+    root = synth.ensure_synth(sf_dir)
+    path = os.path.join(root, f"compression_gold_l{level}.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids, raw, comp = [], [], []
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        enc = txt.encode("utf-8")
+        ids.append(int(i))
+        raw.append(len(enc))
+        comp.append(len(zlib.compress(enc, level)))
+    raw_a = np.asarray(raw, np.int64)
+    comp_a = np.asarray(comp, np.int64)
+    out = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "n_bytes": pa.array(raw_a, pa.int64()),
+        "n_compressed": pa.array(comp_a, pa.int64()),
+        "ratio": pa.array(round6(
+            comp_a / np.maximum(raw_a, 1).astype(np.float64)),
+            pa.float64())})
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+    return path

@@ -182,3 +182,25 @@ def test_distinct_ngram_diversity_matches_duckdb(sf_dir):
     # (bigrams repeat less than unigrams in natural-ish text)
     p = got.pivot(index="source", columns="n", values="ratio")
     assert (p[2] >= p[1]).all()
+
+
+def test_compression_ratio_gold_and_monotonicity(sf_dir):
+    import pyarrow.parquet as pq
+
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import (compression_gold_path,
+                                             compression_ratio)
+    got = (compression_ratio(read_documents(sf_dir, ["doc_id", "text"]))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    gold = (pq.read_table(compression_gold_path(sf_dir)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    for c in ["doc_id", "n_bytes", "n_compressed", "ratio"]:
+        assert got[c].tolist() == gold[c].tolist(), c
+    # a doc repeated 10x must compress far better than once
+    import ray.data as rd
+    base = "the quick brown fox jumps over the lazy dog. "
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([base, base * 10], pa.string())})
+    r = (compression_ratio(rd.from_arrow(t)).to_pandas()
+         .set_index("doc_id")["ratio"])
+    assert r[1] < r[0]
