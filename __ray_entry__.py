@@ -3250,6 +3250,23 @@ def _q_kg_temporal_calibration(sf_dir: str):
     return temporal_linkpred_calibration(spans, min_cn=2)
 
 
+def _q_kg_edge_proposals(sf_dir: str):
+    """Calibrated KG-completion proposals: train-graph non-edges whose
+    common-neighbor count carries an appeared-after rate >= 25%,
+    annotated with the rate and confirmation flag (threshold 0.8% —
+    the synth KG's appeared-rates top out near 1.2%; production graphs
+    pass a higher bar)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    from deepkg_ray.stages.graph import kg_edge_proposals
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    spans = edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+    return kg_edge_proposals(spans, min_cn=2, min_rate_micros=8000)
+
+
 def _q_kg_two_hop(sf_dir: str):
     """Ego-net reach per KG node: degree and distinct <=2-hop neighbor
     count (2-path self-join + dedup)."""
@@ -3728,6 +3745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_temporal_linkpred": _q_kg_temporal_linkpred,
         "kg_temporal_ranking": _q_kg_temporal_ranking,
         "kg_temporal_calibration": _q_kg_temporal_calibration,
+        "kg_edge_proposals": _q_kg_edge_proposals,
         "kg_edge_spans": _q_kg_edge_spans,
         "kg_growth": _q_kg_growth,
         "kg_entity_spans": _q_entity_spans,
@@ -4077,6 +4095,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_temporal_linkpred": oracle.kg_temporal_linkpred_oracle(SF_ORACLE),
         "kg_temporal_ranking": oracle.kg_temporal_ranking_oracle(SF_ORACLE),
         "kg_temporal_calibration": oracle.kg_temporal_calibration_oracle(SF_ORACLE),
+        "kg_edge_proposals": oracle.kg_edge_proposals_oracle(SF_ORACLE, min_rate_micros=8000),
         "join_size_audit": oracle.join_size_audit_oracle(),
         "events_cep": oracle.cep_pattern_oracle(),
         "events_cep_absence": oracle.cep_absence_oracle(),

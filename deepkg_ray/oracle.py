@@ -8349,3 +8349,25 @@ def compression_ratio_oracle(sf_dir: str) -> str:
     from deepkg_ray.stages.textstats import compression_gold_path
     return (f"SELECT * FROM "
             f"read_parquet('{compression_gold_path(sf_dir)}')")
+
+
+def kg_edge_proposals_oracle(sf_dir: str, min_cn: int = 2,
+                             min_rate_micros: int = 250_000) -> str:
+    """Mirror of stages/graph.kg_edge_proposals: the calibration
+    histogram joined back onto the labeled candidates, rate-thresholded."""
+    base = kg_temporal_linkpred_oracle(sf_dir, min_cn)
+    head, _sep, _tail = base.partition("o AS (SELECT cn, p, q,")
+    return head + f"""rates AS (
+  SELECT cn, CAST(floor(p / CAST(p + q AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS rate_m
+  FROM hist),
+lab2 AS (
+  SELECT c.e1, c.e2, c.cn,
+         CASE WHEN a.lo IS NOT NULL THEN 1 ELSE 0 END AS appeared
+  FROM cand2 c LEFT JOIN aft a ON a.lo = c.e1 AND a.hi = c.e2)
+SELECT l.e1, l.e2, l.cn,
+       CAST(r.rate_m AS DOUBLE) / 1e6 AS pos_rate,
+       CAST(l.appeared AS BIGINT) AS appeared
+FROM lab2 l JOIN rates r USING (cn)
+WHERE r.rate_m >= {min_rate_micros}
+"""

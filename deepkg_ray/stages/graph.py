@@ -3687,3 +3687,80 @@ def temporal_linkpred_calibration(spans, min_cn: int = 2,
         return b.append_column("pos_rate", pa.array(round6(p / n)))
 
     return hist.map_batches(finish, batch_format="pyarrow")
+
+
+def kg_edge_proposals(spans, min_cn: int = 2,
+                      min_rate_micros: int = 250_000,
+                      num_partitions: int | None = None):
+    """Calibrated KG-completion proposals — the actionable end product
+    of the temporal eval family: every train-graph non-edge whose
+    common-neighbor count carries a calibrated appeared-after rate ≥ the
+    threshold, annotated with that rate and whether the edge DID appear
+    after the cutoff (appeared = confirmation, not-appeared = the open
+    proposal a curator reviews).  Plan: the shared split + wedge scorer
+    + label join; the cn→rate map is the cn-bounded calibration
+    histogram (driver dict, broadcast in the finish closure).
+    Returns (e1, e2, cn, pos_rate, appeared) rows."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    cutoff, train, after = _temporal_split(spans)
+    cand = link_prediction_scores(
+        train.map_batches(
+            lambda b: pa.table({"subj_id": b["lo"], "obj_id": b["hi"]}),
+            batch_format="pyarrow"),
+        min_cn=min_cn, num_partitions=num_partitions)
+    lab = drop_empty_blocks(cand.select_columns(["e1", "e2", "cn"])) \
+        .join(drop_empty_blocks(
+            after.map_batches(
+                lambda b: pa.table({
+                    "e1": b["lo"], "e2": b["hi"],
+                    "pos": pa.array(np.ones(b.num_rows, np.int64))}),
+                batch_format="pyarrow")),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("e1", "e2")).materialize()
+
+    def cells(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.nan_to_num(
+            b["pos"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        vals, inv = np.unique(cn, return_inverse=True)
+        return pa.table({
+            "cn": pa.array(vals, pa.int64()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_pos": pa.array(np.bincount(inv, weights=pos)
+                              .astype(np.int64))})
+
+    hist = merge_partials(
+        drop_empty_blocks(lab).map_batches(cells, batch_format="pyarrow"),
+        ["cn"], {"n": "sum", "n_pos": "sum"}, mode="tree").to_pandas()
+    rate_of = {
+        int(c): int(np.floor(p / n * 1e6 + 0.5))
+        for c, n, p in zip(hist["cn"], hist["n"], hist["n_pos"])}
+
+    def finish(b: pa.Table) -> pa.Table:
+        cn = b["cn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.fromiter((rate_of[int(c)] for c in cn), np.int64,
+                           count=len(cn))
+        pos = np.nan_to_num(
+            b["pos"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0).astype(np.int64)
+        keep = rate >= min_rate_micros
+        return pa.table({
+            "e1": pa.array(b["e1"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "e2": pa.array(b["e2"].to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "cn": pa.array(cn[keep], pa.int64()),
+            "pos_rate": pa.array(rate[keep].astype(np.float64) / 1e6,
+                                 pa.float64()),
+            "appeared": pa.array(pos[keep], pa.int64())})
+
+    return drop_empty_blocks(lab).map_batches(finish,
+                                              batch_format="pyarrow")

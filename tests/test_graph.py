@@ -829,3 +829,28 @@ def test_kg_temporal_calibration_matches_duckdb(sf_dir, ray_session):
     for c in ["cn", "n", "n_pos", "pos_rate"]:
         assert got[c].tolist() == want[c].tolist(), c
     assert (got["n_pos"] <= got["n"]).all()
+
+
+def test_kg_edge_proposals_matches_duckdb(sf_dir, ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import duckdb
+
+    from deepkg_ray import synth
+    from deepkg_ray.oracle import kg_edge_proposals_oracle
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.sources.readers import read_transcripts
+    from deepkg_ray.stages.canonical import edge_spans
+    from deepkg_ray.stages.graph import kg_edge_proposals
+    turns = read_transcripts(synth.transcripts_path(sf_dir),
+                             columns=["conv_id", "turn_idx", "ts"])
+    spans = edge_spans(kg.linked_triples_dataset(sf_dir), turns)
+    got = (kg_edge_proposals(spans, min_cn=2, min_rate_micros=1)
+           .to_pandas().sort_values(["e1", "e2"]).reset_index(drop=True))
+    con = duckdb.connect()
+    want = (con.sql(kg_edge_proposals_oracle(sf_dir, min_rate_micros=1))
+            .df().sort_values(["e1", "e2"]).reset_index(drop=True))
+    for c in ["e1", "e2", "cn", "pos_rate", "appeared"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert len(got) > 0 and set(got["appeared"]) <= {0, 1}
