@@ -3040,6 +3040,15 @@ def _q_compression_ratio(sf_dir: str):
     return compression_ratio(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_split_leakage(sf_dir: str):
+    """Cross-split exact-dup contamination audit: duplicate texts that
+    straddle the train/val/test md5 split — the eval-integrity gate."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import split_leakage_audit
+    return split_leakage_audit(read_documents(sf_dir,
+                                              ["doc_id", "text"]))
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3622,6 +3631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation": _q_neyman_allocation,
         "neyman_sample": _q_neyman_sample,
         "compression_ratio": _q_compression_ratio,
+        "split_leakage": _q_split_leakage,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3930,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": oracle.neyman_allocation_oracle(),
         "neyman_sample": oracle.neyman_sample_oracle(k=200),
         "compression_ratio": oracle.compression_ratio_oracle(SF_ORACLE),
+        "split_leakage": oracle.split_leakage_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

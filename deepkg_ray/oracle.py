@@ -8371,3 +8371,53 @@ SELECT l.e1, l.e2, l.cn,
 FROM lab2 l JOIN rates r USING (cn)
 WHERE r.rate_m >= {min_rate_micros}
 """
+
+
+def split_leakage_oracle(pcts=(80, 10, 10), seed: int = 9) -> str:
+    """Mirror of curation.split_leakage_audit: md5-byte split rule +
+    md5(text) content identity, per-hash split counts, three pair
+    cells."""
+    acc = 0
+    cuts = []
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    c0 = f"{cuts[0]:02x}"
+    c1 = f"{cuts[1]:02x}"
+    return f"""
+WITH a AS (
+  SELECT md5(text) AS h,
+         CASE
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c0}' THEN 'train'
+           WHEN substr(md5('{seed}:' || CAST(doc_id AS VARCHAR)), 1, 2)
+                < '{c1}' THEN 'val'
+           ELSE 'test' END AS split
+  FROM documents),
+g AS (
+  SELECT h,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+         SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+  FROM a GROUP BY h)
+SELECT 'train' AS split_a, 'val' AS split_b,
+       CAST(SUM(CASE WHEN tr > 0 AND va > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hashes,
+       CAST(SUM(CASE WHEN tr > 0 AND va > 0 THEN tr * va ELSE 0 END)
+            AS BIGINT) AS n_pairs
+FROM g
+UNION ALL
+SELECT 'train', 'test',
+       CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN tr > 0 AND te > 0 THEN tr * te ELSE 0 END)
+            AS BIGINT)
+FROM g
+UNION ALL
+SELECT 'val', 'test',
+       CAST(SUM(CASE WHEN va > 0 AND te > 0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(SUM(CASE WHEN va > 0 AND te > 0 THEN va * te ELSE 0 END)
+            AS BIGINT)
+FROM g
+"""

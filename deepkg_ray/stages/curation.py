@@ -644,3 +644,88 @@ def neyman_sample(ds, k: int = 1000, stratum_col: str = "source",
             .map_batches(partial, batch_format="pandas")
             .groupby(stratum_col)
             .map_groups(final, batch_format="pandas"))
+
+
+def split_leakage_audit(ds, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        pcts=(80, 10, 10), seed: int = 9):
+    """Cross-split contamination audit: exact-duplicate documents that
+    straddle the train/val/test assignment — the eval-integrity check
+    every training-data export runs BEFORE shipping (a val doc whose
+    exact text also sits in train makes the eval score a lie).  Split
+    assignment is dataset_split_assign's md5-byte rule; content identity
+    is md5(text) (the dedup_exact convention, so DuckDB reproduces both
+    byte-for-byte).
+
+    Plan: one map emits (content_hash, split) cells; the only shuffle is
+    the content-hash groupby (bounded by distinct texts); per-hash split
+    counts collapse to THREE pair cells (n_hashes, n_pairs =
+    Σ n_a·n_b) merged by tree.  Returns (split_a, split_b, n_hashes,
+    n_pairs)."""
+    import hashlib
+
+    import pandas as pd
+    import ray.data as rd
+
+    from deepkg_ray.functions.hashing import content_md5_batch
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    names = ["train", "val", "test"]
+    cuts = []
+    acc = 0
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        ids = b[id_col].to_pylist()
+        hs = content_md5_batch(b[text_col].to_pylist())
+        byte = [int(hashlib.md5(f"{seed}:{i}".encode())
+                    .hexdigest()[:2], 16) for i in ids]
+        split = [names[0] if x < cuts[0]
+                 else names[1] if x < cuts[1] else names[2]
+                 for x in byte]
+        g = (pd.DataFrame({"h": hs, "split": split})
+             .groupby(["h", "split"], as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    per_hash = merge_partials(
+        ds.select_columns([id_col, text_col])
+        .map_batches(cells, batch_format="pyarrow"),
+        ["h", "split"], {"c": "sum"}, mode="shuffle")
+
+    # a hash's split rows can land in different shuffle blocks — re-hash
+    # them into coarse hash-complete partitions before pairing
+    def add_part(b: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
+        h = stable_hash64_batch(b["h"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(64)).astype(np.int32)))
+
+    def pair_cells(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.pivot_table(index="h", columns="split", values="c",
+                           aggfunc="sum", fill_value=0))
+        for nme in names:
+            if nme not in w.columns:
+                w[nme] = 0
+        rows = []
+        for a, b2 in (("train", "val"), ("train", "test"),
+                      ("val", "test")):
+            na = w[a].to_numpy(np.int64)
+            nb = w[b2].to_numpy(np.int64)
+            both = (na > 0) & (nb > 0)
+            rows.append((a, b2, int(both.sum()),
+                         int((na[both] * nb[both]).sum())))
+        return pd.DataFrame(rows, columns=["split_a", "split_b",
+                                           "n_hashes", "n_pairs"]) \
+            .astype({"n_hashes": "int64", "n_pairs": "int64"})
+
+    return merge_partials(
+        per_hash.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part").map_groups(
+            lambda g: pair_cells(g.drop(columns=["part"])),
+            batch_format="pandas"),
+        ["split_a", "split_b"], {"n_hashes": "sum", "n_pairs": "sum"},
+        mode="tree")

@@ -177,3 +177,40 @@ def test_neyman_sample_matches_duckdb_and_quota(sf_dir):
     drawn = got.groupby("source").size()
     for s_, a in plan.items():
         assert drawn.get(s_, 0) == a, s_
+
+
+def test_split_leakage_matches_duckdb_and_finds_planted_dup(sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from deepkg_ray.oracle import split_leakage_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import split_leakage_audit
+    got = (split_leakage_audit(read_documents(sf_dir,
+                                              ["doc_id", "text"]))
+           .to_pandas().sort_values(["split_a", "split_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(split_leakage_oracle()).df()
+            .sort_values(["split_a", "split_b"]).reset_index(drop=True))
+    for c in ["split_a", "split_b", "n_hashes", "n_pairs"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # planted: same text under ids known to hash into different splits
+    # (found by scanning the split rule) must register as leakage
+    import hashlib
+    names = ["train", "val", "test"]
+    cuts = [204, 230, 256]
+
+    def split_of(i):
+        x = int(hashlib.md5(f"9:{i}".encode()).hexdigest()[:2], 16)
+        return (names[0] if x < cuts[0]
+                else names[1] if x < cuts[1] else names[2])
+    tr = next(i for i in range(1000) if split_of(i) == "train")
+    va = next(i for i in range(1000) if split_of(i) == "val")
+    t = pa.table({"doc_id": pa.array([tr, va], pa.int64()),
+                  "text": pa.array(["LEAKED DOC"] * 2, pa.string())})
+    leaked = (split_leakage_audit(rd.from_arrow(t)).to_pandas()
+              .set_index(["split_a", "split_b"]))
+    assert leaked.loc[("train", "val"), "n_pairs"] == 1
