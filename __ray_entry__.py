@@ -3049,6 +3049,14 @@ def _q_split_leakage(sf_dir: str):
                                               ["doc_id", "text"]))
 
 
+def _q_near_dup_leakage(sf_dir: str):
+    """Near-duplicate cross-split contamination: MinHash-verified pairs
+    (Jaccard >= 0.8) rolled up by endpoint split pair."""
+    from deepkg_ray.stages.curation import near_dup_leakage_audit
+    return near_dup_leakage_audit(_docs(sf_dir, ["doc_id", "text"]),
+                                  f"{sf_dir}/documents.parquet")
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3632,6 +3640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_sample": _q_neyman_sample,
         "compression_ratio": _q_compression_ratio,
         "split_leakage": _q_split_leakage,
+        "near_dup_leakage": _q_near_dup_leakage,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3941,6 +3950,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_sample": oracle.neyman_sample_oracle(k=200),
         "compression_ratio": oracle.compression_ratio_oracle(SF_ORACLE),
         "split_leakage": oracle.split_leakage_oracle(),
+        "near_dup_leakage": oracle.near_dup_leakage_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

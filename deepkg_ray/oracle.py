@@ -8421,3 +8421,40 @@ SELECT 'val', 'test',
             AS BIGINT)
 FROM g
 """
+
+
+def near_dup_leakage_oracle(threshold: float = 0.8,
+                            pcts=(80, 10, 10), seed: int = 9) -> str:
+    """Mirror of curation.near_dup_leakage_audit: the full
+    dedup_minhash_oracle pair derivation as a subquery, endpoints
+    assigned by the md5-byte split rule, pair splits ordered by the
+    fixed train<val<test rank."""
+    acc = 0
+    cuts = []
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    c0, c1 = f"{cuts[0]:02x}", f"{cuts[1]:02x}"
+    case = ("CASE WHEN substr(md5('" + str(seed)
+            + ":' || CAST({col} AS VARCHAR)), 1, 2) < '" + c0
+            + "' THEN 'train' WHEN substr(md5('" + str(seed)
+            + ":' || CAST({col} AS VARCHAR)), 1, 2) < '" + c1
+            + "' THEN 'val' ELSE 'test' END")
+    return f"""
+WITH pr AS (
+  SELECT doc_a, doc_b FROM ({dedup_minhash_oracle(threshold)}) q
+),
+sp AS (
+  SELECT {case.format(col='doc_a')} AS sa,
+         {case.format(col='doc_b')} AS sb
+  FROM pr
+),
+rk(nm, r) AS (VALUES ('train', 0), ('val', 1), ('test', 2)),
+o AS (
+  SELECT CASE WHEN ra.r <= rb.r THEN sp.sa ELSE sp.sb END AS split_a,
+         CASE WHEN ra.r <= rb.r THEN sp.sb ELSE sp.sa END AS split_b
+  FROM sp JOIN rk ra ON ra.nm = sp.sa JOIN rk rb ON rb.nm = sp.sb
+)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM o GROUP BY split_a, split_b
+"""

@@ -729,3 +729,61 @@ def split_leakage_audit(ds, id_col: str = "doc_id",
             batch_format="pandas"),
         ["split_a", "split_b"], {"n_hashes": "sum", "n_pairs": "sum"},
         mode="tree")
+
+
+def near_dup_leakage_audit(ds, documents_path: str,
+                           threshold: float = 0.8,
+                           pcts=(80, 10, 10), seed: int = 9):
+    """NEAR-duplicate cross-split contamination — the realistic leakage
+    case exact hashing misses (a val doc that is a lightly-edited train
+    doc still leaks the answer): MinHash-LSH verified pairs
+    (dedup.minhash_dedup_pairs, Jaccard ≥ threshold) rolled up by the
+    split pair of their endpoints (split order follows the fixed
+    train<val<test name order, so (train,val) and (val,train) collapse).
+    Same-split pairs report too — they are ordinary dups, the
+    off-diagonal rows are the leaks.  Returns (split_a, split_b,
+    n_pairs)."""
+    import hashlib
+
+    import pandas as pd
+
+    from deepkg_ray.stages.dedup import minhash_dedup_pairs
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    names = ["train", "val", "test"]
+    rank = {n: i for i, n in enumerate(names)}
+    cuts = []
+    acc = 0
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+
+    def split_of(ids):
+        out = []
+        for i in ids:
+            x = int(hashlib.md5(f"{seed}:{i}".encode())
+                    .hexdigest()[:2], 16)
+            out.append(names[0] if x < cuts[0]
+                       else names[1] if x < cuts[1] else names[2])
+        return out
+
+    pairs = minhash_dedup_pairs(ds, documents_path,
+                                threshold=threshold,
+                                hash_mode="parity")
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        sa = split_of(b["doc_a"].to_pylist())
+        sb = split_of(b["doc_b"].to_pylist())
+        lo = [a if rank[a] <= rank[b2] else b2
+              for a, b2 in zip(sa, sb)]
+        hi = [b2 if rank[a] <= rank[b2] else a
+              for a, b2 in zip(sa, sb)]
+        g = (pd.DataFrame({"split_a": lo, "split_b": hi})
+             .groupby(["split_a", "split_b"], as_index=False).size()
+             .rename(columns={"size": "n_pairs"}))
+        g["n_pairs"] = g["n_pairs"].astype("int64")
+        return g
+
+    return merge_partials(
+        pairs.map_batches(cells, batch_format="pyarrow"),
+        ["split_a", "split_b"], {"n_pairs": "sum"}, mode="tree")

@@ -214,3 +214,23 @@ def test_split_leakage_matches_duckdb_and_finds_planted_dup(sf_dir):
     leaked = (split_leakage_audit(rd.from_arrow(t)).to_pandas()
               .set_index(["split_a", "split_b"]))
     assert leaked.loc[("train", "val"), "n_pairs"] == 1
+
+
+def test_near_dup_leakage_matches_duckdb(sf_dir):
+    import duckdb
+
+    from deepkg_ray.oracle import near_dup_leakage_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import near_dup_leakage_audit
+    got = (near_dup_leakage_audit(
+        read_documents(sf_dir, ["doc_id", "text"]),
+        f"{sf_dir}/documents.parquet").to_pandas()
+        .sort_values(["split_a", "split_b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(near_dup_leakage_oracle()).df()
+            .sort_values(["split_a", "split_b"]).reset_index(drop=True))
+    for c in ["split_a", "split_b", "n_pairs"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert got["n_pairs"].sum() > 0        # synth HAS near-dups
