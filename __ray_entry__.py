@@ -3057,6 +3057,14 @@ def _q_near_dup_leakage(sf_dir: str):
                                   f"{sf_dir}/documents.parquet")
 
 
+def _q_quarantine_leaked(sf_dir: str):
+    """Remediation list: val/test docs near-duplicating any train doc
+    (the quarantine subtraction before an eval export ships)."""
+    from deepkg_ray.stages.curation import quarantine_leaked_docs
+    return quarantine_leaked_docs(_docs(sf_dir, ["doc_id", "text"]),
+                                  f"{sf_dir}/documents.parquet")
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3641,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "split_leakage": _q_split_leakage,
         "near_dup_leakage": _q_near_dup_leakage,
+        "quarantine_leaked": _q_quarantine_leaked,
         "shipping_delay_quantiles": _q_shipping_delay_quantiles,
         "pair_lift": _q_pair_lift,
         "value_autocorr": _q_value_autocorr,
@@ -3951,6 +3960,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio": oracle.compression_ratio_oracle(SF_ORACLE),
         "split_leakage": oracle.split_leakage_oracle(),
         "near_dup_leakage": oracle.near_dup_leakage_oracle(),
+        "quarantine_leaked": oracle.quarantine_leaked_oracle(),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

@@ -8458,3 +8458,40 @@ o AS (
 SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
 FROM o GROUP BY split_a, split_b
 """
+
+
+def quarantine_leaked_oracle(threshold: float = 0.8,
+                             pcts=(80, 10, 10), seed: int = 9) -> str:
+    """Mirror of curation.quarantine_leaked_docs: the MinHash pair
+    subquery, both orientations unioned, eval-side docs paired with a
+    train-side doc."""
+    acc = 0
+    cuts = []
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+    c0, c1 = f"{cuts[0]:02x}", f"{cuts[1]:02x}"
+    case = ("CASE WHEN substr(md5('" + str(seed)
+            + ":' || CAST({col} AS VARCHAR)), 1, 2) < '" + c0
+            + "' THEN 'train' WHEN substr(md5('" + str(seed)
+            + ":' || CAST({col} AS VARCHAR)), 1, 2) < '" + c1
+            + "' THEN 'val' ELSE 'test' END")
+    return f"""
+WITH pr AS (
+  SELECT doc_a, doc_b FROM ({dedup_minhash_oracle(threshold)}) q
+),
+orient AS (
+  SELECT doc_a AS ev, doc_b AS tr FROM pr
+  UNION ALL
+  SELECT doc_b, doc_a FROM pr
+),
+s AS (
+  SELECT ev AS doc_id, {case.format(col='ev')} AS split,
+         {case.format(col='tr')} AS tr_split
+  FROM orient
+)
+SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_train_dups
+FROM s
+WHERE split <> 'train' AND tr_split = 'train'
+GROUP BY doc_id, split
+"""

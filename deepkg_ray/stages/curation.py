@@ -787,3 +787,62 @@ def near_dup_leakage_audit(ds, documents_path: str,
     return merge_partials(
         pairs.map_batches(cells, batch_format="pyarrow"),
         ["split_a", "split_b"], {"n_pairs": "sum"}, mode="tree")
+
+
+def quarantine_leaked_docs(ds, documents_path: str,
+                           threshold: float = 0.8,
+                           pcts=(80, 10, 10), seed: int = 9):
+    """The REMEDIATION step after near_dup_leakage_audit: every val/test
+    document that near-duplicates (Jaccard ≥ threshold) ANY train
+    document, with its split and the count of train near-dups — the
+    quarantine list an export job subtracts from the eval splits before
+    shipping (leaving a leaked eval doc in place makes the benchmark
+    score a lie; moving it to train is the standard fix).
+    Returns (doc_id, split, n_train_dups)."""
+    import hashlib
+
+    import pandas as pd
+
+    from deepkg_ray.stages.dedup import minhash_dedup_pairs
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    names = ["train", "val", "test"]
+    cuts = []
+    acc = 0
+    for p in pcts:
+        acc += p
+        cuts.append(acc * 256 // 100)
+
+    def split_of(ids):
+        out = []
+        for i in ids:
+            x = int(hashlib.md5(f"{seed}:{i}".encode())
+                    .hexdigest()[:2], 16)
+            out.append(names[0] if x < cuts[0]
+                       else names[1] if x < cuts[1] else names[2])
+        return out
+
+    pairs = minhash_dedup_pairs(ds, documents_path,
+                                threshold=threshold,
+                                hash_mode="parity")
+
+    def cells(b: pa.Table) -> pd.DataFrame:
+        da = b["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sa = np.asarray(split_of(da.tolist()), object)
+        sb = np.asarray(split_of(db.tolist()), object)
+        rows = []
+        # eval side paired with a train side, either orientation
+        for ev, tr, se in ((da, sb, sa), (db, sa, sb)):
+            m = (se != "train") & (tr == "train")
+            for d, s_ in zip(ev[m], se[m]):
+                rows.append((int(d), s_, 1))
+        g = (pd.DataFrame(rows, columns=["doc_id", "split",
+                                         "n_train_dups"])
+             .groupby(["doc_id", "split"], as_index=False).sum())
+        g["n_train_dups"] = g["n_train_dups"].astype("int64")
+        return g
+
+    return merge_partials(
+        pairs.map_batches(cells, batch_format="pyarrow"),
+        ["doc_id", "split"], {"n_train_dups": "sum"}, mode="tree")

@@ -234,3 +234,23 @@ def test_near_dup_leakage_matches_duckdb(sf_dir):
     for c in ["split_a", "split_b", "n_pairs"]:
         assert got[c].tolist() == want[c].tolist(), c
     assert got["n_pairs"].sum() > 0        # synth HAS near-dups
+
+
+def test_quarantine_leaked_matches_duckdb(sf_dir):
+    import duckdb
+
+    from deepkg_ray.oracle import quarantine_leaked_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import quarantine_leaked_docs
+    got = (quarantine_leaked_docs(
+        read_documents(sf_dir, ["doc_id", "text"]),
+        f"{sf_dir}/documents.parquet").to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.sql(quarantine_leaked_oracle()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    for c in ["doc_id", "split", "n_train_dups"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    assert set(got["split"]) <= {"val", "test"}
