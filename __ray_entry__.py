@@ -3065,6 +3065,18 @@ def _q_quarantine_leaked(sf_dir: str):
                                   f"{sf_dir}/documents.parquet")
 
 
+def _q_pack_conversations(sf_dir: str):
+    """Conversation-boundary-respecting context packing: whole-conv
+    assignment by exclusive token prefix // window (distributed via
+    lexicographic prefix buckets of conv_id)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.packing import pack_conversations
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "text"])
+    return pack_conversations(ds, window=2048)
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3489,6 +3501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         "bpe_merge_token_counts": _q_bpe_merge_token_counts,
         "sequence_packing": _q_sequence_packing,
+        "pack_conversations": _q_pack_conversations,
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
         "gopher_repetition": _q_gopher_repetition,
@@ -3961,6 +3974,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": oracle.split_leakage_oracle(),
         "near_dup_leakage": oracle.near_dup_leakage_oracle(),
         "quarantine_leaked": oracle.quarantine_leaked_oracle(),
+        "pack_conversations": oracle.pack_conversations_oracle(SF_ORACLE),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

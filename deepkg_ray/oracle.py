@@ -8495,3 +8495,32 @@ FROM s
 WHERE split <> 'train' AND tr_split = 'train'
 GROUP BY doc_id, split
 """
+
+
+def pack_conversations_oracle(sf_dir: str, window: int = 2048,
+                              sep_tokens: int = 1) -> str:
+    """Mirror of packing.pack_conversations: per-conv whitespace token
+    totals, exclusive prefix in conv_id order, integer pack ids."""
+    return f"""
+WITH t AS (
+  SELECT conv_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
+  FROM read_parquet('{_transcripts_glob(sf_dir)}')
+),
+c AS (
+  SELECT conv_id, CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM t GROUP BY conv_id
+),
+p AS (
+  SELECT conv_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens + {sep_tokens}) OVER (
+           ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS token_start
+  FROM c
+)
+SELECT conv_id, n_tokens, token_start,
+       token_start // {window} AS pack_id
+FROM p
+"""

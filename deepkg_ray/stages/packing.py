@@ -205,3 +205,69 @@ def global_shuffle_positions(ds, *, seed: int = 7, id_col: str = "doc_id",
     return with_key.groupby("_bucket").map_groups(place,
                                                   batch_format="pandas")
 
+
+
+def pack_conversations(ds, *, window: int = 2048, sep_tokens: int = 1,
+                       conv_col: str = "conv_id", text_col: str = "text",
+                       bucket_chars: int = 9):
+    """Conversation-boundary-respecting packing: each CONVERSATION is
+    assigned whole to the pack where its token stream starts (pack_id =
+    exclusive prefix sum of per-conv effective tokens, in conv_id order,
+    // window) — dialogue training must never split a conversation
+    across contexts, so packs stretch past the window rather than cut
+    (the trainer pads/truncates; pack_sequences is the doc-level
+    splitting variant).
+
+    Plan: per-conv token totals (conv-bounded cardinality-auto merge),
+    then the distributed ordered prefix via PREFIX BUCKETS of the
+    conv_id string — a fixed-length string prefix respects
+    lexicographic order, so per-(block, bucket) partial sums give the
+    driver an exclusive carry per bucket (the pack_sequences two-phase
+    scan lifted to string keys) and bucket-complete groups finish
+    locally.  Returns (conv_id, n_tokens, token_start, pack_id)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def conv_cells(df: pd.DataFrame) -> pd.DataFrame:
+        n_tok = _ws_token_counts(df[text_col])
+        g = (pd.DataFrame({conv_col: df[conv_col].to_numpy(object),
+                           "n_tokens": n_tok})
+             .groupby(conv_col, as_index=False).sum())
+        g["n_tokens"] = g["n_tokens"].astype("int64")
+        return g
+
+    totals = merge_partials(
+        ds.select_columns([conv_col, text_col]).map_batches(
+            conv_cells, batch_format="pandas"),
+        [conv_col], {"n_tokens": "sum"}, mode="auto").materialize()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = [c[:bucket_chars] for c in b[conv_col].to_pylist()]
+        return b.append_column("bucket", pa.array(bk, pa.string()))
+
+    with_bk = totals.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    # phase 1: per-bucket eff sums → driver exclusive carries (buckets
+    # are lexicographically ordered because the prefix is)
+    parts = with_bk.map_batches(
+        lambda df: df.assign(eff=df["n_tokens"] + np.int64(sep_tokens))
+        .groupby("bucket", as_index=False)["eff"].sum(),
+        batch_format="pandas").to_pandas()
+    agg = parts.groupby("bucket")["eff"].sum().sort_index()
+    carry = {b: int(s) for b, s in
+             zip(agg.index, np.concatenate([[0], agg.cumsum()
+                                            .to_numpy()[:-1]]))}
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(conv_col, kind="stable")
+        eff = g["n_tokens"].to_numpy(np.int64) + np.int64(sep_tokens)
+        start = (carry[g["bucket"].iloc[0]]
+                 + np.concatenate([[0], eff.cumsum()[:-1]]))
+        return pd.DataFrame({
+            conv_col: g[conv_col].to_numpy(object),
+            "n_tokens": g["n_tokens"].to_numpy(np.int64),
+            "token_start": start.astype(np.int64),
+            "pack_id": (start // window).astype(np.int64)})
+
+    return with_bk.groupby("bucket").map_groups(finish,
+                                                batch_format="pandas")

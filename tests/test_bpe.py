@@ -81,3 +81,28 @@ def test_token_count_decreases_with_merges():
     n0 = sum(len(bpe_segment(w, r0)) * f for w, f in freqs.items())
     n20 = sum(len(bpe_segment(w, r20)) * f for w, f in freqs.items())
     assert n20 < n0
+
+
+def test_pack_conversations_matches_duckdb_and_never_splits(sf_dir,
+                                                            ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from deepkg_ray import synth
+    from deepkg_ray.oracle import pack_conversations_oracle
+    from deepkg_ray.stages.packing import pack_conversations
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "text"])
+    got = (pack_conversations(ds, window=512).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    con = duckdb.connect()
+    want = (con.sql(pack_conversations_oracle(sf_dir, window=512)).df()
+            .sort_values("conv_id").reset_index(drop=True))
+    for c in ["conv_id", "n_tokens", "token_start", "pack_id"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # invariant: one pack per conversation (whole-conv assignment) and
+    # pack ids are non-decreasing in conv order with no gaps beyond
+    # what oversized conversations create
+    assert got["conv_id"].is_unique
+    assert (np.diff(got.sort_values("token_start")["pack_id"]
+                    .to_numpy(np.int64)) >= 0).all()
