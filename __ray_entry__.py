@@ -3077,6 +3077,17 @@ def _q_pack_conversations(sf_dir: str):
     return pack_conversations(ds, window=2048)
 
 
+def _q_conv_packing_stats(sf_dir: str):
+    """Conversation-packing utilization: pack count, oversized convs,
+    mean fill — the padding-waste budget for dialogue training."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.packing import conv_packing_stats
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "text"])
+    return conv_packing_stats(ds, window=2048)
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3502,6 +3513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_token_counts": _q_bpe_merge_token_counts,
         "sequence_packing": _q_sequence_packing,
         "pack_conversations": _q_pack_conversations,
+        "conv_packing_stats": _q_conv_packing_stats,
         "substring_dup_spans": _q_substring_dup_spans,
         "chunk_documents": _q_chunk_documents,
         "gopher_repetition": _q_gopher_repetition,
@@ -3975,6 +3987,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_leakage": oracle.near_dup_leakage_oracle(),
         "quarantine_leaked": oracle.quarantine_leaked_oracle(),
         "pack_conversations": oracle.pack_conversations_oracle(SF_ORACLE),
+        "conv_packing_stats": oracle.conv_packing_stats_oracle(SF_ORACLE),
         "uie_model_generate": oracle.uie_model_generate_oracle(SF_ORACLE),
         "kg_events": oracle.events_sql(SF_ORACLE),
         "transcript_sample": oracle.transcript_sample_oracle(SF_ORACLE),

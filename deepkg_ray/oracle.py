@@ -8524,3 +8524,22 @@ SELECT conv_id, n_tokens, token_start,
        token_start // {window} AS pack_id
 FROM p
 """
+
+
+def conv_packing_stats_oracle(sf_dir: str, window: int = 2048,
+                              sep_tokens: int = 1) -> str:
+    """Mirror of packing.conv_packing_stats over the
+    pack_conversations derivation."""
+    base = pack_conversations_oracle(sf_dir, window, sep_tokens)
+    return f"""
+WITH placed AS ({base})
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+       CAST(SUM(CASE WHEN n_tokens + {sep_tokens} > {window}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+       CAST(SUM(n_tokens + {sep_tokens}) AS BIGINT) AS total_tokens,
+       floor(SUM(n_tokens + {sep_tokens})
+             / (CAST(max(pack_id) + 1 AS DOUBLE) * {window})
+             * 1e6 + 0.5) / 1e6 AS mean_fill
+FROM placed
+"""

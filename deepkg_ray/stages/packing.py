@@ -271,3 +271,45 @@ def pack_conversations(ds, *, window: int = 2048, sep_tokens: int = 1,
 
     return with_bk.groupby("bucket").map_groups(finish,
                                                 batch_format="pandas")
+
+
+def conv_packing_stats(ds, *, window: int = 2048, sep_tokens: int = 1,
+                       conv_col: str = "conv_id", text_col: str = "text",
+                       bucket_chars: int = 9):
+    """Utilization summary of conversation packing: (n_convs, n_packs,
+    n_oversized, total_tokens, mean_fill) where an OVERSIZED
+    conversation exceeds the window by itself (it necessarily
+    stretches its pack) and mean_fill = round6(total effective tokens / (n_packs ×
+    window)) — the padding-waste metric a dialogue-training run
+    budgets by.  One aggregate over pack_conversations."""
+    from deepkg_ray.functions.numeric import round6
+    placed = pack_conversations(ds, window=window,
+                                sep_tokens=sep_tokens,
+                                conv_col=conv_col, text_col=text_col,
+                                bucket_chars=bucket_chars)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        nt = df["n_tokens"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_convs": [np.int64(len(df))],
+            "n_oversized": [np.int64(
+                (nt + sep_tokens > window).sum())],
+            "eff_tokens": [np.int64((nt + sep_tokens).sum())],
+            "max_pack": [np.int64(df["pack_id"].max())
+                         if len(df) else np.int64(-1)]})
+
+    parts = placed.map_batches(partial, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    n_convs = int(parts["n_convs"].sum())
+    n_over = int(parts["n_oversized"].sum())
+    eff = int(parts["eff_tokens"].sum())
+    n_packs = int(parts["max_pack"].max()) + 1 if n_convs else 0
+    fill = float(round6(np.asarray(
+        [eff / (n_packs * window)]))[0]) if n_packs else 0.0
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_convs": pa.array([n_convs], pa.int64()),
+        "n_packs": pa.array([n_packs], pa.int64()),
+        "n_oversized": pa.array([n_over], pa.int64()),
+        "total_tokens": pa.array([eff], pa.int64()),
+        "mean_fill": pa.array([fill], pa.float64())}))

@@ -106,3 +106,20 @@ def test_pack_conversations_matches_duckdb_and_never_splits(sf_dir,
     assert got["conv_id"].is_unique
     assert (np.diff(got.sort_values("token_start")["pack_id"]
                     .to_numpy(np.int64)) >= 0).all()
+
+
+def test_conv_packing_stats_matches_duckdb(sf_dir, ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from deepkg_ray import synth
+    from deepkg_ray.oracle import conv_packing_stats_oracle
+    from deepkg_ray.stages.packing import conv_packing_stats
+    ds = rd.read_parquet(synth.transcripts_path(sf_dir),
+                         columns=["conv_id", "text"])
+    got = conv_packing_stats(ds, window=512).to_pandas()
+    con = duckdb.connect()
+    want = con.sql(conv_packing_stats_oracle(sf_dir, window=512)).df()
+    for c in sorted(got.columns):
+        assert got[c].iloc[0] == want[c].iloc[0], c
+    assert 0.0 < got["mean_fill"].iloc[0]
