@@ -1533,6 +1533,46 @@ def _q_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(_docs(sf_dir, ["doc_id", "text"]), k=20)
 
 
+def _q_cms_state(sf_dir: str):
+    """Count-min sketch over document tokens as its nonzero-cell table —
+    the linear-sketch aggregation plan (per-batch d×w grids integer-summed
+    through the merge tree, never a vocabulary shuffle); md5-parity
+    hashing makes every cell SQL-exact (stages/approx.py)."""
+    from deepkg_ray.stages.approx import cms_state
+    return cms_state(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_cms_estimates(sf_dir: str):
+    """CMS point estimates vs exact truth for the certified exact top-20
+    tokens: (token, n_true, n_est), n_est = min over rows of the hashed
+    cell — the sketch's one-sided error guarantee, value-checked."""
+    from deepkg_ray.stages.approx import cms_estimates
+    return cms_estimates(_docs(sf_dir, ["doc_id", "text"]), k=20)
+
+
+def _q_bootstrap_means(sf_dir: str):
+    """Poisson bootstrap of mean(o_totalprice): all 100 replicates in one
+    streaming pass (deterministic md5→affine-mix→integer-inverse-CDF
+    Poisson(1) row weights; only B partial rows per block shuffle)."""
+    import ray.data as rd
+    from deepkg_ray.stages.approx import poisson_bootstrap_means
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    return poisson_bootstrap_means(orders, "o_orderkey", "o_totalprice",
+                                   n_boot=100)
+
+
+def _q_bootstrap_ci(sf_dir: str):
+    """Percentile-bootstrap 95% CI for mean(o_totalprice) from the exact
+    order statistics of the replicate means."""
+    import ray.data as rd
+    from deepkg_ray.stages.approx import poisson_bootstrap_ci
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    return poisson_bootstrap_ci(orders, "o_orderkey", "o_totalprice",
+                                n_boot=100)
+
+
 def _q_rake_keywords(sf_dir: str):
     """RAKE keyword extraction (Rose et al. 2010) at corpus level:
     stopword-delimited candidate phrases, deg/freq word scores, top-k
@@ -3534,6 +3574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flag_quantiles_cont": _q_flag_quantiles_cont,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "heavy_hitter_tokens": _q_heavy_hitters,
+        "cms_state": _q_cms_state,
+        "cms_estimates": _q_cms_estimates,
+        "bootstrap_means": _q_bootstrap_means,
+        "bootstrap_ci": _q_bootstrap_ci,
         "rake_keywords": _q_rake_keywords,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -3889,6 +3933,10 @@ def oracle_sql() -> dict[str, str]:
         "flag_quantiles_cont": oracle.flag_quantiles_cont_oracle(),
         "doc_len_quantiles": oracle.grouped_quantiles_oracle(),
         "heavy_hitter_tokens": oracle.heavy_hitter_tokens_oracle(),
+        "cms_state": oracle.cms_state_oracle(),
+        "cms_estimates": oracle.cms_estimates_oracle(),
+        "bootstrap_means": oracle.bootstrap_means_oracle(),
+        "bootstrap_ci": oracle.bootstrap_ci_oracle(),
         "rake_keywords": oracle.rake_keywords_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),

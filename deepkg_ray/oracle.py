@@ -8543,3 +8543,117 @@ SELECT CAST(count(*) AS BIGINT) AS n_convs,
              * 1e6 + 0.5) / 1e6 AS mean_fill
 FROM placed
 """
+
+
+# ------------------------------------------------ approx: CMS + bootstrap ---
+
+def _cms_cells_cte(depth: int, width: int) -> str:
+    """Shared CTE chain: whitespace tokens of documents → count-min cell
+    rows, the md5-parity twin of stages/approx._cms_grid (col =
+    md5_number_lower('j:token') % width)."""
+    return f"""
+toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+cells AS (
+  SELECT g.j, CAST(md5_number_lower(CAST(g.j AS VARCHAR) || ':' || token)
+                   % {width} AS BIGINT) AS col,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks CROSS JOIN unnest(generate_series(0, {depth - 1})) AS g(j)
+  GROUP BY 1, 2
+)"""
+
+
+def cms_state_oracle(depth: int = 4, width: int = 1024) -> str:
+    """Count-min sketch state over document tokens (approx.cms_state):
+    every nonzero (row_j, col, cnt) cell, value-exact by md5 parity."""
+    return f"""
+WITH {_cms_cells_cte(depth, width)}
+SELECT j AS row_j, col, cnt FROM cells
+"""
+
+
+def cms_estimates_oracle(k: int = 20, depth: int = 4,
+                         width: int = 1024) -> str:
+    """CMS point estimates for the exact top-k tokens
+    (approx.cms_estimates): n_est = MIN over rows of the hashed cell."""
+    return f"""
+WITH {_cms_cells_cte(depth, width)},
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token),
+top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT {k}),
+probe AS (
+  SELECT t.token, t.n, g.j,
+         CAST(md5_number_lower(CAST(g.j AS VARCHAR) || ':' || t.token)
+              % {width} AS BIGINT) AS col
+  FROM top t CROSS JOIN unnest(generate_series(0, {depth - 1})) AS g(j)
+)
+SELECT p.token, p.n AS n_true, CAST(MIN(ce.cnt) AS BIGINT) AS n_est
+FROM probe p JOIN cells ce ON ce.j = p.j AND ce.col = p.col
+GROUP BY p.token, p.n
+"""
+
+
+def _bootstrap_means_cte(n_boot: int) -> str:
+    """Shared CTE chain: orders → per-replicate (n_eff, sum_micros, mean)
+    of o_totalprice, the exact twin of approx.poisson_bootstrap_means
+    (md5 row hash → (MIX_A·h + b·MIX_C + MIX_D) mod 2^64 via the
+    HUGEINT 32/64 split → integer Poisson(1) inverse-CDF cutoffs shared
+    verbatim with the engine)."""
+    from deepkg_ray.stages.approx import (MIX_A, POISSON1_CUTOFFS,
+                                          _replicate_addends)
+    addends = _replicate_addends(n_boot)
+    rep_rows = ",\n    ".join(
+        f"({b}, {int(addends[b])}::UBIGINT)" for b in range(n_boot))
+    w_cases = " + ".join(
+        f"(CASE WHEN CAST(u AS HUGEINT) >= {int(c)} THEN 1 ELSE 0 END)"
+        for c in POISSON1_CUTOFFS)
+    m64 = 1 << 64
+    return f"""
+reps(b, addend) AS (VALUES
+    {rep_rows}),
+h AS (
+  SELECT md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS h,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM orders
+),
+u AS (
+  SELECT r.b, h.vm,
+         CAST(({MIX_A}::HUGEINT * (h & 4294967295)
+               + (({MIX_A}::HUGEINT * (h >> 32)) % 4294967296) * 4294967296
+               + r.addend) % {m64} AS UBIGINT) AS u
+  FROM h CROSS JOIN reps r
+),
+w AS (SELECT b, vm, {w_cases} AS w FROM u),
+means AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+         CAST(SUM(w * vm) AS BIGINT) AS sum_micros,
+         floor(CAST(SUM(w * vm) AS DOUBLE) / 1e6 / SUM(w) * 1e6 + 0.5)
+           / 1e6 AS mean_value
+  FROM w GROUP BY b
+)"""
+
+
+def bootstrap_means_oracle(n_boot: int = 100) -> str:
+    """All Poisson-bootstrap replicates of mean(o_totalprice)
+    (approx.poisson_bootstrap_means over orders)."""
+    return f"""
+WITH {_bootstrap_means_cte(n_boot)}
+SELECT b, n_eff, sum_micros, mean_value FROM means
+"""
+
+
+def bootstrap_ci_oracle(n_boot: int = 100, alpha: float = 0.05) -> str:
+    """Percentile CI from the replicate means (approx.poisson_bootstrap_ci):
+    exact order statistics at ranks ⌊α/2·B⌋+1 and B−⌊α/2·B⌋."""
+    k = int(alpha / 2 * n_boot)
+    return f"""
+WITH {_bootstrap_means_cte(n_boot)}
+SELECT CAST({n_boot} AS BIGINT) AS n_boot,
+       CAST({k + 1} AS BIGINT) AS lo_rank,
+       CAST({n_boot - k} AS BIGINT) AS hi_rank,
+       (SELECT mean_value FROM means ORDER BY mean_value
+        LIMIT 1 OFFSET {k}) AS ci_lo,
+       (SELECT mean_value FROM means ORDER BY mean_value
+        LIMIT 1 OFFSET {n_boot - k - 1}) AS ci_hi
+"""
