@@ -1573,6 +1573,26 @@ def _q_bootstrap_ci(sf_dir: str):
                                 n_boot=100)
 
 
+def _q_vocab_coverage(sf_dir: str):
+    """Top-N vocabulary coverage curve (tokenizer-design diagnostic): the
+    open-vocab count table folds to a count-of-counts histogram — nothing
+    row-shaped reaches the driver (stages/textstats.vocab_coverage)."""
+    from deepkg_ray.stages.textstats import vocab_coverage
+    return vocab_coverage(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-domain URL exposure (blocklist/domain-dedup staple): hosts via
+    the capture-group URL regex, distinct-doc + occurrence counts,
+    cardinality-auto merged (stages/scrub.domain_stats).  The public
+    corpus has no URLs, so the query injects id-derived multi-host links
+    (augment_urls_kernel — identical suffix in the SQL oracle)."""
+    from deepkg_ray.stages.scrub import augment_urls_kernel, domain_stats
+    aug = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        augment_urls_kernel, batch_format="pyarrow")
+    return domain_stats(aug)
+
+
 def _q_rake_keywords(sf_dir: str):
     """RAKE keyword extraction (Rose et al. 2010) at corpus level:
     stopword-delimited candidate phrases, deg/freq word scores, top-k
@@ -3578,6 +3598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_estimates": _q_cms_estimates,
         "bootstrap_means": _q_bootstrap_means,
         "bootstrap_ci": _q_bootstrap_ci,
+        "vocab_coverage": _q_vocab_coverage,
+        "domain_stats": _q_domain_stats,
         "rake_keywords": _q_rake_keywords,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
@@ -3937,6 +3959,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": oracle.cms_estimates_oracle(),
         "bootstrap_means": oracle.bootstrap_means_oracle(),
         "bootstrap_ci": oracle.bootstrap_ci_oracle(),
+        "vocab_coverage": oracle.vocab_coverage_oracle(),
+        "domain_stats": oracle.domain_stats_oracle(),
         "rake_keywords": oracle.rake_keywords_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),

@@ -8657,3 +8657,59 @@ SELECT CAST({n_boot} AS BIGINT) AS n_boot,
        (SELECT mean_value FROM means ORDER BY mean_value
         LIMIT 1 OFFSET {n_boot - k - 1}) AS ci_hi
 """
+
+
+def vocab_coverage_oracle(checkpoints=(10, 100, 1000, 5000)) -> str:
+    """Mirror of textstats.vocab_coverage: running token mass over the
+    (count desc, token asc) vocabulary order, read at the checkpoint ranks
+    (ties share a count, so prefix mass is order-independent)."""
+    cp_rows = ", ".join(f"({int(n)})" for n in checkpoints)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE trim(text) <> ''
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY token),
+r AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS r,
+         SUM(n) OVER (ORDER BY n DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(count(*) AS BIGINT) AS v FROM c),
+cp(top_n) AS (VALUES {cp_rows})
+SELECT CAST(cp.top_n AS BIGINT) AS top_n,
+       CAST(r.cum AS BIGINT) AS cum_tokens,
+       tot.t AS total_tokens,
+       floor(CAST(r.cum AS DOUBLE) / tot.t * 1e6 + 0.5) / 1e6 AS coverage
+FROM cp CROSS JOIN tot
+JOIN r ON r.r = LEAST(CAST(cp.top_n AS BIGINT), tot.v)
+"""
+
+
+def domain_stats_oracle() -> str:
+    """Mirror of scrub.domain_stats over the URL-augmented corpus: the
+    aug CTE appends scrub.augment_urls_kernel's identical suffix, then
+    hosts come from the capture-group regexp (re ∩ RE2), distinct-doc and
+    occurrence counts per domain."""
+    return """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' link https://site' || CAST(doc_id % 7 AS VARCHAR)
+              || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' more https://cdn.example.net/x' ELSE '' END
+           AS text
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text,
+                'https?://([A-Za-z0-9._-]+)', 1)) AS domain
+  FROM aug
+)
+SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM hosts GROUP BY domain
+"""

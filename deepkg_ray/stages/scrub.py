@@ -133,6 +133,22 @@ def augment_pii_kernel(batch: pa.Table, text_col: str = "text",
                             pa.array(aug, pa.string()))
 
 
+def augment_urls_kernel(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Deterministically append id-derived URLs spanning several hosts —
+    the test-input builder for domain_stats (the public testdata corpus
+    contains no URLs; the SQL oracle appends the identical suffix).
+    Every doc links one of 7 site hosts; every 3rd doc also links a CDN
+    host, so per-domain doc and occurrence counts differ."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    aug = [f"{t} link https://site{d % 7}.example.com/p/{d}"
+           + (" more https://cdn.example.net/x" if d % 3 == 0 else "")
+           for d, t in zip(ids, texts)]
+    return batch.set_column(batch.schema.get_field_index(text_col), text_col,
+                            pa.array(aug, pa.string()))
+
+
 # ----------------------------------------------------------- decontaminate
 
 _WS = re.compile(r"\s+")
@@ -221,3 +237,42 @@ def decontaminate(ds, bench_ds, n: int = 4, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         per_batch, batch_format="pyarrow", batch_size=8192)
+
+
+# URL host extraction: the capture-group refinement of the PII url pattern
+# (kept in re ∩ RE2 so DuckDB regexp_extract_all(text, pat, 1) is the exact
+# oracle; the host stops at the first character outside [A-Za-z0-9._-]).
+URL_HOST_RE = re.compile(r"https?://([A-Za-z0-9._-]+)")
+
+
+def domain_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-domain URL exposure over the corpus: (domain, n_docs, n_occ) —
+    how many documents mention each URL host and how many URL occurrences
+    point at it.  The CommonCrawl-pipeline staple behind domain blocklists
+    (UT1-style) and per-domain quality/dedup decisions.
+
+    Plan: per-batch (domain → occurrences, distinct-doc count) combiner
+    rows — exact, since batches never split a document — then the
+    cardinality-auto merge (web domain counts are Zipfian: usually
+    tree-sized, but the shuffle tier engages above 2M distinct hosts).
+    Engine-only addition (the reference has no URL analytics)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pa.Table:
+        occ: dict[str, int] = {}
+        docs: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            hosts = URL_HOST_RE.findall(t)
+            for h in hosts:
+                occ[h] = occ.get(h, 0) + 1
+            for h in set(hosts):
+                docs[h] = docs.get(h, 0) + 1
+        return pa.table({
+            "domain": pa.array(list(occ.keys()), pa.string()),
+            "n_docs": pa.array([docs[h] for h in occ], pa.int64()),
+            "n_occ": pa.array(list(occ.values()), pa.int64())})
+
+    part = (ds.select_columns([id_col, text_col])
+            .map_batches(partial, batch_format="pyarrow"))
+    return merge_partials(part, ["domain"],
+                          {"n_docs": "sum", "n_occ": "sum"}, mode="auto")

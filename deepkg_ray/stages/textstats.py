@@ -1819,3 +1819,62 @@ def compression_gold_path(sf_dir: str, level: int = 6) -> str:
     pq.write_table(out, tmp)
     os.replace(tmp, path)
     return path
+
+
+def vocab_coverage(ds, checkpoints=(10, 100, 1000, 5000),
+                   text_col: str = "text"):
+    """Token-mass coverage of the top-N vocabulary at size checkpoints:
+    (top_n, cum_tokens, total_tokens, coverage) — the curve a tokenizer /
+    vocabulary designer reads to pick a vocab size ("how much of the
+    corpus do the most frequent N types cover?").
+
+    Top-N mass is tie-unambiguous: tokens tied at the boundary share the
+    same count, so the mass of any (count desc, token asc) prefix of
+    length N is well-defined regardless of tie order.
+
+    Plan: the open-vocabulary token-count table (phrasemine.ngram_counts
+    n=1, cardinality-auto merge) never reaches the driver — it folds to a
+    count-of-counts histogram (distinct count values are O(√mass), always
+    tiny) and the checkpoint prefix sums are read off the histogram.
+    Engine-only addition (no reference analog)."""
+    import ray.data as rd
+    from deepkg_ray.stages.phrasemine import ngram_counts
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import rows_all
+
+    def cc(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["cnt"].to_numpy(zero_copy_only=False), np.int64)
+        u, m = np.unique(n, return_counts=True)
+        return pa.table({"n": pa.array(u, pa.int64()),
+                         "m": pa.array(m.astype(np.int64), pa.int64())})
+
+    hist = pd.DataFrame(rows_all(merge_partials(
+        ngram_counts(ds, 1, text_col=text_col)
+        .map_batches(cc, batch_format="pyarrow"),
+        ["n"], {"m": "sum"})))
+    hist = hist.sort_values("n", ascending=False).reset_index(drop=True)
+    ns = hist["n"].to_numpy(np.int64)
+    ms = hist["m"].to_numpy(np.int64)
+    cum_vocab = np.cumsum(ms)
+    cum_mass = np.cumsum(ns * ms)
+    vocab = int(cum_vocab[-1]) if len(ms) else 0
+    total = int(cum_mass[-1]) if len(ms) else 0
+    rows = []
+    for top_n in checkpoints:
+        if vocab == 0 or total == 0:
+            rows.append((int(top_n), 0, 0, 0.0))
+            continue
+        if top_n >= vocab:
+            cum = total
+        else:
+            # first count-group whose cumulative vocab reaches rank top_n
+            i = int(np.searchsorted(cum_vocab, top_n, side="left"))
+            before_v = int(cum_vocab[i - 1]) if i else 0
+            before_m = int(cum_mass[i - 1]) if i else 0
+            cum = before_m + (int(top_n) - before_v) * int(ns[i])
+        rows.append((int(top_n), cum, total, round6(cum / total)))
+    return rd.from_arrow(pa.table({
+        "top_n": pa.array([r[0] for r in rows], pa.int64()),
+        "cum_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "coverage": pa.array([r[3] for r in rows], pa.float64())}))
