@@ -1688,6 +1688,16 @@ def _q_kg_components(sf_dir: str):
                                 mode="distributed")
 
 
+def _q_kg_mis(sf_dir: str):
+    """Luby maximal independent set over the built KG (deterministic
+    hash priorities → equals sequential greedy; broadcast tier — node
+    dictionary is driver-sized; the join tier is tier-agreement-tested).
+    Oracle: unrolled synchronous-round CTEs."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import maximal_independent_set
+    return maximal_independent_set(kg.adjacency_dataset(sf_dir))
+
+
 def _q_kg_negatives(sf_dir: str):
     """Filtered TransE-style negative triples over the built KG
     (deterministic corruption offsets, positives removed by a distributed
@@ -3612,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop": _q_kg_labelprop,
         "kg_modularity": _q_kg_modularity,
         "kg_components": _q_kg_components,
+        "kg_mis": _q_kg_mis,
         "kg_negatives": _q_kg_negatives,
         "kg_walks": _q_kg_walks,
         "kg_triangles": _q_kg_triangles,
@@ -3972,6 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_labelprop": oracle.kg_labelprop_oracle(SF_ORACLE, rounds=4),
         "kg_modularity": oracle.kg_modularity_oracle(SF_ORACLE, rounds=4),
         "kg_components": oracle.kg_components_oracle(SF_ORACLE),
+        "kg_mis": oracle.kg_mis_oracle(SF_ORACLE),
         "kg_negatives": oracle.kg_negatives_oracle(SF_ORACLE, ks=(1, 7)),
         "kg_walks": oracle.kg_walks_oracle(SF_ORACLE, steps=4, start_mod=3),
         "kg_triangles": oracle.kg_triangles_oracle(SF_ORACLE),

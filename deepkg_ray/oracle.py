@@ -8713,3 +8713,46 @@ SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(count(*) AS BIGINT) AS n_occ
 FROM hosts GROUP BY domain
 """
+
+
+def kg_mis_oracle(sf_dir: str, rounds: int = 12) -> str:
+    """Luby maximal independent set over the KG's undirected simple graph
+    (graph.maximal_independent_set): unrolled synchronous rounds — each
+    round the undecided strict-local-minimum-priority nodes join (m_r),
+    their undecided neighbors leave (st=2).  Priority twin:
+    (md5_number_lower(node) % 2^40) * 2^20 + node.  Decided states are
+    fixpoints, so a fixed unroll ≥ the engine's max_rounds is exact."""
+    head = (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + """,
+edges2 AS MATERIALIZED (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+nds AS (SELECT DISTINCT u AS node FROM edges2),
+s0 AS MATERIALIZED (
+  SELECT node,
+         CAST((md5_number_lower(CAST(node AS VARCHAR)) % 1099511627776)
+              * 1048576 + node AS BIGINT) AS pr,
+         0 AS st
+  FROM nds)""")
+    parts = [head]
+    for r in range(rounds):
+        parts.append(f""",
+m{r + 1} AS MATERIALIZED (
+  SELECT a.node FROM s{r} a
+  WHERE a.st = 0 AND NOT EXISTS (
+    SELECT 1 FROM edges2 e JOIN s{r} b ON b.node = e.v AND b.st = 0
+    WHERE e.u = a.node AND b.pr < a.pr)),
+s{r + 1} AS MATERIALIZED (
+  SELECT a.node, a.pr,
+         CASE WHEN a.node IN (SELECT node FROM m{r + 1}) THEN 1
+              WHEN a.st = 0 AND EXISTS (
+                SELECT 1 FROM edges2 e JOIN m{r + 1} m ON m.node = e.v
+                WHERE e.u = a.node) THEN 2
+              ELSE a.st END AS st
+  FROM s{r} a)""")
+    parts.append(f"""
+SELECT node, CAST(CASE WHEN st = 1 THEN 1 ELSE 0 END AS BIGINT) AS in_mis
+FROM s{rounds}
+""")
+    return "".join(parts)

@@ -3764,3 +3764,244 @@ def kg_edge_proposals(spans, min_cn: int = 2,
 
     return drop_empty_blocks(lab).map_batches(finish,
                                               batch_format="pyarrow")
+
+
+# ------------------------------------------------ maximal independent set --
+
+def _mis_priority(nodes: np.ndarray) -> np.ndarray:
+    """Deterministic unique MIS priority per node: the md5 hash (mod 2^40)
+    shifted over the id (nodes must fit 20 bits — entity dictionaries do;
+    asserted).  Random-order priorities give Luby's O(log n) round bound;
+    embedding the id makes every priority unique so comparisons never
+    tie.  SQL twin: (md5_number_lower(node::VARCHAR) % 2^40) * 2^20 +
+    node."""
+    from deepkg_ray.stages.sketches import _hash64
+    assert nodes.size == 0 or (nodes.min() >= 0 and nodes.max() < 1 << 20), \
+        "MIS priority packing requires node ids < 2^20"
+    h = _hash64([str(int(n)) for n in nodes])
+    return ((h % np.uint64(1 << 40)).astype(np.int64) << 20) + nodes
+
+
+def maximal_independent_set(edges, src_col: str = "subj_id",
+                            dst_col: str = "obj_id", max_rounds: int = 12,
+                            mode: str = "broadcast",
+                            num_partitions: int | None = None):
+    """Luby-style maximal independent set over the undirected simple graph
+    (Luby 1986): each synchronous round, every undecided node whose
+    priority is a strict local minimum among its undecided neighbors joins
+    the MIS and its neighbors leave the candidate pool — the classic
+    distributed symmetry-breaking primitive (scheduling, graph coloring,
+    parallel greedy).  Deterministic: priorities are id-derived hashes
+    (_mis_priority), so the result equals the sequential greedy MIS in
+    hash-priority order on any partitioning.
+
+    mode='broadcast': node statuses are a driver array (node dictionary is
+    driver-sized); each round is two shuffle-free edge scans — (a) per-node
+    min undecided-neighbor priority, tree-merged; (b) mark neighbors of
+    the new MIS members.  mode='join': the undecided frontier is a
+    Dataset; each round joins it onto the edge table twice (both-endpoint
+    filter → per-node Min, then exclusion scatter) — nothing node-sized on
+    the driver.  Raises if the graph is not fully decided after
+    ``max_rounds`` (the SQL oracle unrolls the same fixed count; decided
+    states are fixpoints, so early convergence is round-count safe).
+    Returns a Dataset (node, in_mis ∈ {0,1})."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.dedup import dedup_pair_rows
+    from deepkg_ray.stages.treeagg import merge_partials
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+
+    def bidirect(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    simple = dedup_pair_rows(
+        edges.map_batches(bidirect, batch_format="pyarrow"),
+        a_col="u", b_col="v").drop_columns(["n_hits"]).materialize()
+
+    if mode == "join":
+        return _mis_join_tier(simple, max_rounds, num_partitions)
+
+    nodes = np.unique(np.concatenate(
+        [b["u"].to_numpy(zero_copy_only=False)
+         for b in simple.select_columns(["u"]).iter_batches(
+             batch_format="pyarrow")] or [np.empty(0, np.int64)]))
+    prs = _mis_priority(nodes)
+    status = np.zeros(nodes.size, dtype=np.int8)      # 0 und / 1 mis / 2 out
+
+    for _ in range(max_rounds):
+        und_idx = np.flatnonzero(status == 0)
+        if und_idx.size == 0:
+            break
+        ref = ray.put((nodes, prs, status))
+
+        def min_nbr(b: pa.Table, r=ref) -> pd.DataFrame:
+            nd, pr, st = ray.get(r)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            iu, iv = np.searchsorted(nd, u), np.searchsorted(nd, v)
+            keep = (st[iu] == 0) & (st[iv] == 0)
+            d = pd.DataFrame({"u": u[keep], "pv": pr[iv[keep]]})
+            return d.groupby("u", sort=False, as_index=False)["pv"].min()
+
+        mn = merge_partials(
+            simple.map_batches(min_nbr, batch_format="pyarrow"),
+            ["u"], {"pv": "min"}, fanout=2).to_pandas()
+        mins = np.full(nodes.size, np.iinfo(np.int64).max, dtype=np.int64)
+        if len(mn):
+            mins[np.searchsorted(nodes, mn["u"].to_numpy())] = \
+                mn["pv"].to_numpy(np.int64)
+        new_mis = und_idx[prs[und_idx] < mins[und_idx]]
+        status[new_mis] = 1
+        mref = ray.put((nodes, status, frozenset(nodes[new_mis].tolist())))
+
+        def nbrs_of_mis(b: pa.Table, r=mref) -> pa.Table:
+            nd, st, mset = ray.get(r)
+            u = b["u"].to_numpy(zero_copy_only=False)
+            v = b["v"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter((x in mset for x in u), dtype=bool,
+                               count=u.size)
+            out = np.unique(v[keep])
+            return pa.table({"v": pa.array(out, pa.int64()),
+                             "one": pa.array(np.ones(out.size, np.int64))})
+
+        ex = merge_partials(
+            simple.map_batches(nbrs_of_mis, batch_format="pyarrow"),
+            ["v"], {"one": "min"}, fanout=2).to_pandas()
+        if len(ex):
+            ei = np.searchsorted(nodes, ex["v"].to_numpy())
+            status[ei[status[ei] == 0]] = 2
+    if (status == 0).any():
+        raise ValueError(
+            f"maximal_independent_set: {int((status == 0).sum())} nodes "
+            f"undecided after {max_rounds} rounds — raise max_rounds")
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes, "in_mis": (status == 1).astype(np.int64)}))
+
+
+def _mis_join_tier(simple, max_rounds: int, num_partitions: int):
+    """Join-tier MIS rounds: the undecided frontier is a Dataset
+    (node, pr); decided rows accumulate in a result list unioned at the
+    end.  Same round semantics as the broadcast tier (tier-agreement
+    pytest).  Filtering is vectorized batch-level; every join input that
+    derives from a hash groupby/join is drop_empty_blocks-cleaned (see
+    util.drop_empty_blocks for the 0-column-shard hazard)."""
+    import ray.data as rd
+
+    from deepkg_ray.util import drop_empty_blocks
+
+    def seed(b: pa.Table) -> pa.Table:
+        u = np.unique(b["u"].to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "pr": pa.array(_mis_priority(u), pa.int64())})
+
+    und = drop_empty_blocks(
+        simple.select_columns(["u"]).map_batches(seed,
+                                                 batch_format="pyarrow")
+        .groupby("node").aggregate(Min("pr", alias_name="pr")))
+    decided = []
+    for _ in range(max_rounds):
+        if und.count() == 0:
+            break
+        # both-endpoint-undecided edges, neighbor priority attached
+        e1 = simple.join(
+            und.map_batches(lambda b: b.rename_columns(["v", "pv"]),
+                            batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("v",))
+        e2 = drop_empty_blocks(e1).join(
+            und.map_batches(lambda b: pa.table({"u": b["node"]}),
+                            batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("u",))
+        mn = drop_empty_blocks(
+            drop_empty_blocks(e2).groupby("u")
+            .aggregate(Min("pv", alias_name="mn")))
+        if mn.count() == 0:
+            # frontier is itself independent (no undecided-undecided
+            # edges): every remaining node joins — guard the all-empty
+            # join-side case drop_empty_blocks documents
+            new_mis = und.map_batches(
+                lambda b: pa.table({"node": b["node"]}),
+                batch_format="pyarrow").materialize()
+        else:
+            jo = drop_empty_blocks(und.join(
+                mn.map_batches(lambda b: b.rename_columns(["node", "mn"]),
+                               batch_format="pyarrow"),
+                join_type="left_outer", num_partitions=num_partitions,
+                on=("node",)))
+
+            def winners(b: pa.Table) -> pa.Table:
+                pr = b["pr"].to_numpy(zero_copy_only=False)
+                mn_ = np.asarray(
+                    b["mn"].to_pandas().fillna(np.iinfo(np.int64).max),
+                    dtype=np.int64)
+                return pa.table(
+                    {"node": b["node"].filter(pa.array(pr < mn_))})
+
+            new_mis = drop_empty_blocks(
+                jo.map_batches(winners, batch_format="pyarrow"))
+        decided.append(new_mis.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "in_mis": pa.array(
+                                    np.ones(b.num_rows, np.int64))}),
+            batch_format="pyarrow").materialize())
+        # neighbors of new MIS members leave the pool as excluded
+        excl = (drop_empty_blocks(simple.join(
+            new_mis.map_batches(lambda b: pa.table({"u": b["node"]}),
+                                batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("u",)))
+            .groupby("v").aggregate(Count(alias_name="_c"))
+            .map_batches(lambda b: pa.table({"node": b["v"]}),
+                         batch_format="pyarrow"))
+        gone = drop_empty_blocks(
+            new_mis.union(drop_empty_blocks(excl)).groupby("node")
+            .aggregate(Count(alias_name="_g")))
+        nxt = drop_empty_blocks(und.join(
+            gone.map_batches(lambda b: b.rename_columns(["node", "_g"]),
+                             batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)))
+        marked = drop_empty_blocks(nxt.join(
+            new_mis.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "_m": pa.array(
+                                        np.ones(b.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)))
+
+        def excluded(b: pa.Table) -> pa.Table:
+            mask = pc.and_kleene(pc.is_valid(b["_g"]), pc.is_null(b["_m"]))
+            mask = pc.fill_null(mask, False)
+            node = b["node"].filter(mask)
+            return pa.table({
+                "node": node,
+                "in_mis": pa.array(np.zeros(len(node), np.int64))})
+
+        decided.append(marked.map_batches(excluded, batch_format="pyarrow")
+                       .materialize())
+
+        def still_undecided(b: pa.Table) -> pa.Table:
+            mask = pc.is_null(b["_g"])
+            return pa.table({"node": b["node"].filter(mask),
+                             "pr": b["pr"].filter(mask)})
+
+        und = drop_empty_blocks(
+            nxt.map_batches(still_undecided, batch_format="pyarrow"))
+    if und.count() > 0:
+        raise ValueError(
+            f"maximal_independent_set(join): {und.count()} nodes undecided "
+            f"after {max_rounds} rounds — raise max_rounds")
+    if not decided:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "in_mis": pa.array([], pa.int64())}))
+    out = decided[0]
+    for d in decided[1:]:
+        out = out.union(d)
+    return out
