@@ -61,7 +61,8 @@ class DictSpanScorer:
             m.group(0) for k in alias_map
             if (m := _TOKEN_RE.search(k)) is not None)
 
-    def score(self, text: str, toks, starts, ends) -> np.ndarray:
+    def score(self, text: str, toks, starts, ends,
+              tok_hashes=None) -> np.ndarray:
         L = len(toks)
         s = np.full((len(self.type_order), L, L), -1.0, dtype=np.float32)
         first = self.first_tokens
@@ -100,14 +101,16 @@ class NumpySpanScorer:
         self.dim = dim
         self.buckets = vocab_buckets
 
-    def score(self, text: str, toks, starts, ends) -> np.ndarray:
+    def score(self, text: str, toks, starts, ends,
+              tok_hashes=None) -> np.ndarray:
         from deepkg_ray.functions.hashing import stable_hash64_batch
         nt = self.wq.shape[0]
         L = len(toks)
         if L == 0:
             return np.zeros((nt, 0, 0), dtype=np.float32)
-        idx = (stable_hash64_batch(list(toks))
-               % np.uint64(self.buckets)).astype(np.int64)
+        if tok_hashes is None:
+            tok_hashes = stable_hash64_batch(list(toks))
+        idx = (tok_hashes % np.uint64(self.buckets)).astype(np.int64)
         h = self.emb[idx]                                    # L × d
         hm = h.copy()
         hm[1:] += 0.5 * h[:-1]
@@ -169,6 +172,11 @@ class BiaffineSpanScorer:
         # clipped span-width / relative-position embedding)
         self.rel = (rng.standard_normal((nt, max_rel)).astype(np.float32)
                     * 0.1)
+        # (d, nt·d) layout of U so the per-type bilinear left products are
+        # ONE matmul for all types (score(): hs @ u_flat → L × nt·d)
+        self.u_flat = np.ascontiguousarray(
+            self.u.transpose(1, 0, 2).reshape(dim, nt * dim))
+        self._rel_idx_cache: dict[int, np.ndarray] = {}
         self.max_rel = max_rel
         self.dim = dim
         self.buckets = vocab_buckets
@@ -179,44 +187,56 @@ class BiaffineSpanScorer:
                 m.group(0) for k in dict_margin
                 if (m := _TOKEN_RE.search(k)) is not None)
 
-    def _reps(self, toks) -> np.ndarray:
+    def _reps(self, toks, tok_hashes=None) -> np.ndarray:
         from deepkg_ray.functions.hashing import stable_hash64_batch
-        idx = (stable_hash64_batch(list(toks))
-               % np.uint64(self.buckets)).astype(np.int64)
+        if tok_hashes is None:
+            tok_hashes = stable_hash64_batch(list(toks))
+        idx = (tok_hashes % np.uint64(self.buckets)).astype(np.int64)
         h = self.emb[idx]
         hm = h.copy()
         hm[1:] += 0.5 * h[:-1]
         hm[:-1] += 0.5 * h[1:]
         return hm
 
-    def score(self, text: str, toks, starts, ends) -> np.ndarray:
+    def score(self, text: str, toks, starts, ends,
+              tok_hashes=None) -> np.ndarray:
         nt = self.u.shape[0]
         L = len(toks)
         if L == 0:
             return np.zeros((nt, 0, 0), dtype=np.float32)
-        hm = self._reps(toks)
+        hm = self._reps(toks, tok_hashes)
         hs = np.tanh(hm @ self.ws)                           # L × d
         he = np.tanh(hm @ self.we)
-        # bilinear: s1[t,i,j] = hs_i U_t he_j — per-type (L×d)(d×d)(d×L)
-        # matmuls (nt is small; einsum's tij path is far slower per row)
+        # bilinear: s1[t,i,j] = hs_i U_t he_j — all types in TWO matmuls
+        # ((L×d)(d×nt·d) then the stacked (nt,L,d)@(d,L) batch matmul;
+        # the per-type loop costs ~2·nt python/numpy dispatches per turn)
         nt_ = self.u.shape[0]
-        s1 = np.empty((nt_, L, L), dtype=np.float32)
         het = he.T
-        for t in range(nt_):
-            s1[t] = (hs @ self.u[t]) @ het
-        # linear over the pair: w_t·hs_i + w_t·he_j (split halves)
+        z = (hs @ self.u_flat).reshape(L, nt_, self.dim).transpose(1, 0, 2)
+        raw = np.matmul(z, het)                              # nt × L × L
+        # linear over the pair: w_t·hs_i + w_t·he_j (split halves),
+        # accumulated in place
         ls = hs @ self.w[:, :self.dim].T                     # L × nt
         le = he @ self.w[:, self.dim:].T
-        s2 = ls.T[:, :, None] + le.T[:, None, :]             # nt × L × L
-        # clipped relative-position embedding
-        rel_idx = np.clip(np.arange(L)[None, :] - np.arange(L)[:, None],
-                          0, self.max_rel - 1)
-        s3 = self.rel[:, rel_idx]                            # nt × L × L
-        raw = (s1 + s2 + s3 + self.b[:, None, None]).astype(np.float32)
+        raw += ls.T[:, :, None]
+        raw += le.T[:, None, :]
+        # clipped relative-position embedding (index matrix cached per L)
+        rel_idx = self._rel_idx_cache.get(L)
+        if rel_idx is None:
+            rel_idx = np.clip(np.arange(L)[None, :] - np.arange(L)[:, None],
+                              0, self.max_rel - 1)
+            self._rel_idx_cache[L] = rel_idx
+        raw += self.rel[:, rel_idx]                          # nt × L × L
+        raw += self.b[:, None, None]
         if self.dict_margin is None:
             return raw
         # dict-margin tier: squash raw to (−0.4, 0.4), add ±1 dict margin
-        out = (raw / (1.0 + np.abs(raw))) * 0.4 - 1.0
+        # (in-place: raw is not referenced afterwards)
+        den = np.abs(raw)
+        den += 1.0
+        out = np.divide(raw, den, out=raw)
+        out *= 0.4
+        out -= 1.0
         first = self.first_tokens
         for i in range(L):
             if toks[i] not in first:
@@ -236,18 +256,18 @@ def decode_spans(scores: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 
     mask_specials mirrors the reference's CLS/SEP −inf masking
     (inference.py:66-69) for tokenizers that add special positions."""
-    s = scores.copy()
-    if mask_specials and s.shape[1] >= 2:
-        s[:, 0, :] = -np.inf
-        s[:, -1, :] = -np.inf
-        s[:, :, 0] = -np.inf
-        s[:, :, -1] = -np.inf
-    # lower-triangle mask (add_mask_tril analog, model/model.py:79-87)
-    L = s.shape[1]
-    tril = np.tril_indices(L, k=-1)
-    s[:, tril[0], tril[1]] = -np.inf
+    # no-copy decode: threshold first, then drop the lower triangle
+    # (add_mask_tril analog, model/model.py:79-87) and the special
+    # positions as index filters — same crossings as masking with −inf,
+    # without materializing a masked copy of the (nt, L, L) tensor
+    t_hit, i_hit, j_hit = np.where(scores > threshold)
+    keep = j_hit >= i_hit
+    if mask_specials and scores.shape[1] >= 2:
+        L = scores.shape[1]
+        keep &= ((i_hit != 0) & (i_hit != L - 1)
+                 & (j_hit != 0) & (j_hit != L - 1))
     out = []
-    for t_idx, i, j in zip(*np.where(s > threshold)):
+    for t_idx, i, j in zip(t_hit[keep], i_hit[keep], j_hit[keep]):
         out.append((type_order[t_idx], int(starts[i]), int(ends[j]) - 1))
     return out
 
@@ -285,14 +305,29 @@ class SpanModelNER:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from deepkg_ray.functions.hashing import stable_hash64_batch
         conv, turn = batch["conv_id"].to_pylist(), batch["turn_idx"].to_pylist()
         rows = {"conv_id": [], "turn_idx": [], "start_idx": [], "end_idx": [],
                 "type": [], "surface": [], "entity_id": []}
-        for c, t, text in zip(conv, turn, batch[self.text_col].to_pylist()):
-            toks, starts, ends = tokenize_with_offsets(text)
+        # tokenize the whole batch first and hash ALL tokens in ONE call
+        # (per-turn hashing pays a fixed pandas hash_array overhead that
+        # dominates short turns), then slice per turn
+        toked = [(c, t, text, *tokenize_with_offsets(text))
+                 for c, t, text in zip(conv, turn,
+                                       batch[self.text_col].to_pylist())]
+        all_toks: list[str] = []
+        for _, _, _, toks, _, _ in toked:
+            all_toks.extend(toks)
+        all_hashes = (stable_hash64_batch(all_toks) if all_toks
+                      else np.empty(0, np.uint64))
+        pos = 0
+        for c, t, text, toks, starts, ends in toked:
             if not toks:
                 continue
-            scores = self.scorer.score(text, toks, starts, ends)
+            th = all_hashes[pos:pos + len(toks)]
+            pos += len(toks)
+            scores = self.scorer.score(text, toks, starts, ends,
+                                       tok_hashes=th)
             for etype, cs, ce in decode_spans(scores, starts, ends,
                                               self.type_order, self.threshold):
                 surface = text[cs:ce + 1]
