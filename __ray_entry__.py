@@ -2032,6 +2032,15 @@ def _q_doc_logprob(sf_dir: str):
     return doc_logprob(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_doc_logprob_bigram(sf_dir: str):
+    """Per-doc Laplace-smoothed bigram LM score (the KenLM-style quality
+    filter one rung above unigram doc_logprob); broadcast model tier, the
+    open-vocab join tier is tier-agreement-tested."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import doc_logprob_bigram
+    return doc_logprob_bigram(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_boilerplate_stats(sf_dir: str):
     """CCNet-style boilerplate removal stats: sentences in ≥3 distinct
     docs are boilerplate; per-doc surviving-text accounting."""
@@ -3719,6 +3728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": _q_quality_filter,
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
+        "doc_logprob_bigram": _q_doc_logprob_bigram,
         "sentence_dedup": _q_sentence_dedup,
         "boilerplate_stats": _q_boilerplate_stats,
         "budget_select": _q_budget_select,
@@ -4092,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter": oracle.quality_filter_oracle(),
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),
+        "doc_logprob_bigram": oracle.doc_logprob_bigram_oracle(),
         "sentence_dedup": oracle.sentence_dedup_oracle(),
         "budget_select": oracle.budget_select_oracle(frac=0.6),
         "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),

@@ -8756,3 +8756,43 @@ SELECT node, CAST(CASE WHEN st = 1 THEN 1 ELSE 0 END AS BIGINT) AS in_mis
 FROM s{rounds}
 """)
     return "".join(parts)
+
+
+def doc_logprob_bigram_oracle() -> str:
+    """Per-doc Laplace-smoothed bigram log-likelihood — mirrors
+    textstats.doc_logprob_bigram: per-bigram micros
+    floor(ln((c2+1)/(c1+V))·1e6+0.5), integer SUM per doc; c1 is the
+    bigram-history count, V the unigram vocabulary size; docs with < 2
+    tokens score 0."""
+    return """
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM big GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM (
+        SELECT unnest(ws) AS w FROM ws)),
+lp AS (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v))
+                    * 1e6 + 0.5) AS BIGINT) AS lpm
+  FROM c2 JOIN c1 USING (w1), v),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lpm) AS BIGINT) AS logprob_micros
+  FROM big JOIN lp USING (w1, w2) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.logprob_micros, 0) AS logprob_micros,
+       COALESCE(per.logprob_micros, 0) / 1e6 AS logprob,
+       CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0.0
+            ELSE floor(CAST(per.logprob_micros AS DOUBLE) / per.n_bigrams
+                       + 0.5) / 1e6 END AS avg_logprob
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""

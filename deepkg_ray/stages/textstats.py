@@ -1878,3 +1878,147 @@ def vocab_coverage(ds, checkpoints=(10, 100, 1000, 5000),
         "cum_tokens": pa.array([r[1] for r in rows], pa.int64()),
         "total_tokens": pa.array([r[2] for r in rows], pa.int64()),
         "coverage": pa.array([r[3] for r in rows], pa.float64())}))
+
+
+def doc_logprob_bigram(ds, text_col: str = "text", id_col: str = "doc_id",
+                       mode: str = "broadcast"):
+    """Per-document BIGRAM log-likelihood under the corpus' own
+    Laplace-smoothed bigram model — one rung up from doc_logprob's unigram
+    quality signal (the KenLM-style filter CCNet popularized, with the
+    corpus itself as the model):
+
+        P(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)
+
+    c(w1·) is the bigram-history count (Σ_w2 c(w1,w2)) and V the unigram
+    vocabulary size, so every in-corpus bigram has a defined probability
+    and self-scoring never sees OOV.  Per-bigram contribution
+    floor(ln((c2+1)/(c1+V))·1e6+0.5) as int64 micros, integer-summed per
+    doc (the doc_logprob ln-parity convention — DuckDB ln lands on
+    identical values).
+
+    mode='broadcast': the (w1,w2)→micros table is tree-merged, shipped
+    once via ray.put, one stateless scoring pass.  mode='join': explode
+    (doc, w1, w2, tf) rows, hash-join the micros table, groupby-sum —
+    nothing vocabulary-sized on the driver (open-vocab tier;
+    tier-agreement pytest).
+
+    Output (doc_id, n_bigrams, logprob_micros, logprob, avg_logprob);
+    docs with < 2 tokens score 0 everywhere."""
+    import ray
+    import ray.data as rd
+
+    from deepkg_ray.stages.phrasemine import ngram_counts
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    big = ngram_counts(ds.select_columns([text_col]), 2, text_col)
+    vocab_size = ngram_counts(ds.select_columns([text_col]), 1,
+                              text_col).count()
+
+    def hist_partial(b: pa.Table) -> pd.DataFrame:
+        d = b.select(["w1", "cnt"]).to_pandas()
+        return d.groupby("w1", sort=False, as_index=False)["cnt"].sum() \
+                .rename(columns={"cnt": "c1"})
+
+    hist = merge_partials(big.map_batches(hist_partial,
+                                          batch_format="pyarrow"),
+                          ["w1"], {"c1": "sum"})
+
+    def lpm_table(b: pa.Table) -> pa.Table:
+        d = b.to_pandas()
+        lpm = np.floor(np.log(
+            (d["cnt"].to_numpy(np.float64) + 1.0)
+            / (d["c1"].to_numpy(np.float64) + float(vocab_size)))
+            * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"w1": pa.array(d["w1"], pa.string()),
+                         "w2": pa.array(d["w2"], pa.string()),
+                         "lpm": pa.array(lpm, pa.int64())})
+
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    scored = drop_empty_blocks(big.join(
+        drop_empty_blocks(hist), join_type="inner",
+        num_partitions=join_partitions(), on=("w1",))) \
+        .map_batches(lpm_table, batch_format="pyarrow")
+
+    def add_derived(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[id_col, "n_bigrams", "logprob_micros"]]
+        df = df.copy()
+        df["logprob"] = df["logprob_micros"] / 1e6
+        n = df["n_bigrams"].to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            av = np.floor(df["logprob_micros"].to_numpy(np.float64)
+                          / np.maximum(n, 1.0) + 0.5) / 1e6
+        df["avg_logprob"] = np.where(n == 0, 0.0, av)
+        return df
+
+    if mode == "join":
+        def bigram_tf(b: pa.Table) -> pd.DataFrame:
+            rid, r1, r2 = [], [], []
+            for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+                tt = t.lower().strip()
+                ws = _WS.split(tt) if tt else []
+                for a, c in zip(ws, ws[1:]):
+                    rid.append(d)
+                    r1.append(a)
+                    r2.append(c)
+            d = pd.DataFrame({id_col: rid, "w1": r1, "w2": r2})
+            return (d.groupby([id_col, "w1", "w2"], sort=False).size()
+                    .reset_index(name="tf"))
+
+        tf = ds.select_columns([id_col, text_col]).map_batches(
+            bigram_tf, batch_format="pyarrow")
+        joined = drop_empty_blocks(tf).join(
+            scored, join_type="inner",
+            num_partitions=join_partitions(), on=("w1", "w2"))
+
+        def contrib(b: pa.Table) -> pd.DataFrame:
+            d = b.to_pandas()
+            d["n_bigrams"] = d["tf"].astype(np.int64)
+            d["logprob_micros"] = (d["tf"].to_numpy(np.int64)
+                                   * d["lpm"].to_numpy(np.int64))
+            return (d.groupby(id_col, as_index=False, sort=False)
+                    [["n_bigrams", "logprob_micros"]].sum())
+
+        per_doc = merge_partials(
+            drop_empty_blocks(joined).map_batches(contrib,
+                                                  batch_format="pyarrow"),
+            [id_col], {"n_bigrams": "sum", "logprob_micros": "sum"},
+            mode="shuffle")
+        # docs with < 2 tokens produce no join rows — restore them as zeros
+        def zero_rows(b: pa.Table) -> pa.Table:
+            n = [len(_WS.split(t.lower().strip())) if t.strip() else 0
+                 for t in b[text_col].to_pylist()]
+            keep = [i for i, k in enumerate(n) if k < 2]
+            ids = [b[id_col][i].as_py() for i in keep]
+            z = [0] * len(keep)
+            return pa.table({id_col: pa.array(ids, b[id_col].type),
+                             "n_bigrams": pa.array(z, pa.int64()),
+                             "logprob_micros": pa.array(z, pa.int64())})
+
+        zeros = ds.select_columns([id_col, text_col]).map_batches(
+            zero_rows, batch_format="pyarrow")
+        return drop_empty_blocks(per_doc.union(drop_empty_blocks(zeros))) \
+            .map_batches(add_derived, batch_format="pandas")
+
+    lpm_df = scored.to_pandas()
+    model = ray.put((dict(zip(zip(lpm_df["w1"], lpm_df["w2"]),
+                              lpm_df["lpm"].astype(np.int64)))))
+
+    def score_docs(b: pa.Table) -> pd.DataFrame:
+        lut = ray.get(model)
+        ids, nb, lp = [], [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            tt = t.lower().strip()
+            ws = _WS.split(tt) if tt else []
+            s = 0
+            for a, c in zip(ws, ws[1:]):
+                s += lut[(a, c)]
+            ids.append(d)
+            nb.append(max(len(ws) - 1, 0))
+            lp.append(s)
+        return pd.DataFrame({id_col: ids,
+                             "n_bigrams": np.asarray(nb, np.int64),
+                             "logprob_micros": np.asarray(lp, np.int64)})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score_docs, batch_format="pyarrow").map_batches(
+        add_derived, batch_format="pandas")
