@@ -678,6 +678,15 @@ def _q_pq_codes(sf_dir: str):
     return pq_codes(read_embeddings(sf_dir, ["vec_id", "embedding"]))
 
 
+def _q_pq_distortion(sf_dir: str):
+    """Per-subspace PQ reconstruction SSE/MSE (quantization-error audit
+    over the fitted codebooks — one extra streaming pass, m partial rows
+    per block)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.kmeans import pq_distortion
+    return pq_distortion(read_embeddings(sf_dir, ["vec_id", "embedding"]))
+
+
 def _q_pq_adc_topk(sf_dir: str):
     """ADC top-k over PQ codes — the compressed-index answer path."""
     from deepkg_ray.sources.readers import read_embeddings
@@ -3661,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mutuality": _q_knn_mutuality,
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
+        "pq_distortion": _q_pq_distortion,
         "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "kmeans_silhouette": _q_silhouette,
@@ -4023,6 +4033,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": oracle.hard_negatives_oracle(),
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),
+        "pq_distortion": oracle.pq_distortion_oracle(),
         "pq_adc_topk": oracle.pq_adc_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),

@@ -8796,3 +8796,42 @@ SELECT d.doc_id,
                        + 0.5) / 1e6 END AS avg_logprob
 FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
+
+
+def pq_distortion_oracle(m: int = 4, k: int = 16, iters: int = 2,
+                         dim: int = 64) -> str:
+    """Per-subspace PQ reconstruction SSE — mirrors kmeans.pq_distortion:
+    the same _kmeans_parts chains as pq_codes, then for every (vector,
+    subspace) the exact integer quadratic distance to the assigned
+    centroid, BIGINT-summed (per-row CAST keeps the sum integer-exact);
+    mse = floor(sse/n + 0.5) in float64 like the engine."""
+    from deepkg_ray.functions.numeric import SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    w = dim // m
+    chains = [
+        _kmeans_parts(k, iters, suffix=f"_p{j}",
+                      vec_expr=f"list_slice({em}, {j * w + 1}, {(j + 1) * w})")
+        for j in range(m)]
+    unions = []
+    for j in range(m):
+        xj = f"list_slice(v.em, {j * w + 1}, {(j + 1) * w})"
+        unions.append(f"""
+  SELECT {j} AS subspace,
+         CAST(list_dot_product({xj}, {xj})
+              - 2 * list_dot_product({xj}, c.cem)
+              + list_dot_product(c.cem, c.cem) AS BIGINT) AS d
+  FROM vf v
+  JOIN a{iters}_p{j} a ON a.vec_id = v.vec_id
+  JOIN cent{iters}_p{j} c ON c.cidx = a.cl""")
+    u = "\n  UNION ALL\n".join(unions)
+    return f"""WITH {",".join(chains)},
+vf AS (SELECT vec_id, {em} AS em FROM embeddings),
+d AS ({u}),
+s AS (SELECT subspace, CAST(count(*) AS BIGINT) AS n_vecs,
+             CAST(SUM(d) AS BIGINT) AS sse
+      FROM d GROUP BY subspace)
+SELECT subspace, n_vecs, sse,
+       CASE WHEN n_vecs = 0 THEN 0.0
+            ELSE floor(CAST(sse AS DOUBLE) / n_vecs + 0.5) END AS mse
+FROM s
+"""

@@ -543,3 +543,57 @@ def cluster_ari(ds, k: int = 8, iters: int = 4, id_col: str = "vec_id",
 
     return cells.map_batches(finish, batch_format="pandas",
                              batch_size=None)
+
+
+def pq_distortion(ds, m: int = 4, k: int = 16, iters: int = 2,
+                  id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Per-subspace PQ reconstruction distortion — the quantization-error
+    audit behind every PQ deployment (faiss's imbalance/quantization-error
+    report): for each subspace j, SSE = Σ over vectors of the exact
+    integer quadratic distance (micros²) to the ASSIGNED centroid, plus
+    the rounded mean (mse = floor(sse/n + 0.5), float64 division —
+    identical in SQL).
+
+    One extra streaming pass over the fitted codebooks (broadcast via
+    ray.put); per-batch (subspace, n, sse) partials fold through the merge
+    tree — m rows total.  Overflow bound: per-row-subspace distance ≤
+    w·(2·maxabs_micros)² ≈ 6.4e13 at w=16, so int64 holds corpora to
+    ~10^5 × that row count per block — the per-batch partial keeps blocks
+    bounded.  Returns (subspace, n_vecs, sse, mse)."""
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    cb = pq_fit(ds, m, k, iters, id_col, vec_col)
+    mq, kq, w = cb.shape
+    ref = ray.put(cb)
+
+    def part(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        vm = micros_matrix(_matrix(b[vec_col]))
+        subs, ns, sses = [], [], []
+        for j in range(mq):
+            x = vm[:, j * w:(j + 1) * w].astype(np.float64)
+            cj = c[j].astype(np.float64)
+            d2 = ((x * x).sum(axis=1)[:, None] - 2.0 * (x @ cj.T)
+                  + (cj * cj).sum(axis=1)[None, :])
+            # integer-exact: micros ≤ ~2e6 keeps every term < 2^53
+            dmin = d2.min(axis=1)
+            subs.append(j)
+            ns.append(x.shape[0])
+            sses.append(int(dmin.astype(np.int64).sum()))
+        return pa.table({"subspace": pa.array(subs, pa.int64()),
+                         "n_vecs": pa.array(ns, pa.int64()),
+                         "sse": pa.array(sses, pa.int64())})
+
+    merged = merge_partials(
+        ds.select_columns([id_col, vec_col]).map_batches(
+            part, batch_format="pyarrow"),
+        ["subspace"], {"n_vecs": "sum", "sse": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("subspace").reset_index(drop=True)
+        df["mse"] = [float(np.floor(s / n + 0.5)) if n else 0.0
+                     for s, n in zip(df["sse"], df["n_vecs"])]
+        return df[["subspace", "n_vecs", "sse", "mse"]]
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

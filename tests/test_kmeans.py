@@ -234,3 +234,30 @@ def test_cluster_ari_perfect(ray_session):
         "label": pa.array([0] * 20 + [1] * 20, pa.int32())})
     out = cluster_ari(rd.from_arrow(t), k=2, iters=4).to_pandas()
     assert out["ari"].iloc[0] == 1.0 and out["n"].iloc[0] == 40
+
+
+def test_pq_distortion_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(21)
+    d, m, k = 8, 2, 4
+    vecs = rng.normal(size=(50, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    got = (km.pq_distortion(ds, m=m, k=k, iters=1).to_pandas()
+           .sort_values("subspace").reset_index(drop=True))
+    books = km.pq_fit(ds, m=m, k=k, iters=1)
+    vm = micros_matrix(vecs)
+    w = d // m
+    for j in range(m):
+        sub = vm[:, j * w:(j + 1) * w].astype(np.float64)
+        cm = books[j].astype(np.float64)
+        d2 = ((sub * sub).sum(1)[:, None] - 2.0 * sub @ cm.T
+              + (cm * cm).sum(1)[None, :])
+        sse = int(d2.min(axis=1).astype(np.int64).sum())
+        assert got.loc[j, "n_vecs"] == 50
+        assert got.loc[j, "sse"] == sse
+        assert got.loc[j, "mse"] == float(np.floor(sse / 50 + 0.5))
+    # more codewords can only reduce distortion
+    finer = (km.pq_distortion(ds, m=m, k=8, iters=1).to_pandas()
+             .sort_values("subspace").reset_index(drop=True))
+    assert (finer["sse"].to_numpy() <= got["sse"].to_numpy()).all()
