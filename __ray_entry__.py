@@ -653,6 +653,18 @@ def _q_ann_topk(sf_dir: str):
                             q, qids, k=10)
 
 
+def _q_truncation_recall(sf_dir: str):
+    """Matryoshka-dimension diagnostic: recall@10 of first-16/32-dim
+    brute top-k vs the full 64-dim top-k (one ann_topk-shaped pass per
+    level, driver-side overlap on k·n_queries rows)."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import truncation_recall
+    q, qids = _embed_queries(sf_dir)
+    return truncation_recall(
+        read_embeddings(sf_dir, ["vec_id", "embedding"]), q, qids,
+        k=10, dims=(16, 32))
+
+
 def _q_knn_mutuality(sf_dir: str):
     """Mutual-neighbor rate per kNN rank (hubness/asymmetry diagnostic
     of the embedding space)."""
@@ -3671,6 +3683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
         "pq_distortion": _q_pq_distortion,
+        "truncation_recall": _q_truncation_recall,
         "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
         "kmeans_silhouette": _q_silhouette,
@@ -4034,6 +4047,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),
         "pq_distortion": oracle.pq_distortion_oracle(),
+        "truncation_recall": oracle.truncation_recall_oracle(),
         "pq_adc_topk": oracle.pq_adc_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact
         "embedding_kmeans": oracle.kmeans_oracle(k=8, iters=4),

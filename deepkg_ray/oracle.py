@@ -8835,3 +8835,46 @@ SELECT subspace, n_vecs, sse,
             ELSE floor(CAST(sse AS DOUBLE) / n_vecs + 0.5) END AS mse
 FROM s
 """
+
+
+def truncation_recall_oracle(n_queries: int = 8, k: int = 10,
+                             dims=(16, 32)) -> str:
+    """Matryoshka truncation recall — mirrors similarity.truncation_recall:
+    per level t, the brute cosine top-k over list_slice'd micros vectors
+    joined against the full-dimension top-k (micros quantization commutes
+    with truncation)."""
+    from deepkg_ray.functions.numeric import SQL_COSINE, SQL_EMB_MICROS
+    em = SQL_EMB_MICROS.format(e="embedding")
+    parts = [f"""
+q AS MATERIALIZED (SELECT vec_id AS query_id, {em} AS qm
+     FROM embeddings WHERE vec_id < {n_queries}),
+ev AS MATERIALIZED (SELECT vec_id, {em} AS em FROM embeddings),
+rfull AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           {SQL_COSINE.format(a="q.qm", b="e.em")} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {SQL_COSINE.format(a="q.qm", b="e.em")} DESC,
+                      e.vec_id) AS rn
+    FROM q CROSS JOIN ev e) WHERE rn <= {k})"""]
+    selects = []
+    for t in dims:
+        qa = f"list_slice(q.qm, 1, {t})"
+        eb = f"list_slice(e.em, 1, {t})"
+        cos = SQL_COSINE.format(a=qa, b=eb)
+        parts.append(f""",
+r{t} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id, {cos} AS cosine,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {cos} DESC, e.vec_id) AS rn
+    FROM q CROSS JOIN ev e) WHERE rn <= {k})""")
+        selects.append(f"""
+SELECT CAST({t} AS BIGINT) AS trunc_dim, CAST({k} AS BIGINT) AS k,
+       CAST({n_queries} AS BIGINT) AS n_queries,
+       (SELECT CAST(count(*) AS BIGINT) FROM r{t}
+        JOIN rfull USING (query_id, vec_id)) AS n_common,
+       floor((SELECT count(*) FROM r{t} JOIN rfull
+              USING (query_id, vec_id))
+             / ({k}.0 * {n_queries}) * 1e6 + 0.5) / 1e6 AS recall""")
+    return "WITH " + "".join(parts) + "\nUNION ALL".join(selects)

@@ -996,3 +996,48 @@ def mmr_select(ds, *, query_id: int = 0, k: int = 8, window: int = 50,
         "vec_id": pa.array([r[1] for r in out_rows], pa.int64()),
         "rel_m": pa.array([r[2] for r in out_rows], pa.int64()),
         "score": pa.array([r[3] for r in out_rows], pa.int64())}))
+
+
+def truncation_recall(ds, queries: np.ndarray, query_ids: list[int],
+                      k: int = 10, dims=(16, 32),
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Matryoshka-style dimension-truncation diagnostic: recall@k of
+    brute-force cosine top-k computed on only the first ``t`` dimensions
+    against the full-dimension top-k, per truncation level — the table an
+    embedding-serving team reads to decide how many dims the ANN tier can
+    drop (Kusupati et al. 2022).  micros-quantization commutes with
+    truncation, so the SQL oracle slices the same micros lists.
+
+    One brute pass per level (each is the ann_topk plan: per-batch partial
+    top-k, per-query merge); the overlap join runs on the k·n_queries-row
+    results driver-side.  Returns (trunc_dim, k, n_queries, n_common,
+    recall) with recall = round6(n_common / (k·n_queries))."""
+    import pandas as pd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.util import rows_all
+
+    full = pd.DataFrame(rows_all(
+        brute_force_topk(ds, queries, query_ids, k,
+                         id_col=id_col, vec_col=vec_col)))
+    full_set = set(zip(full["query_id"], full["vec_id"]))
+    nq = len(query_ids)
+    rows = []
+    for t in dims:
+        def cut(b: pa.Table, t=t) -> pa.Table:
+            m = np.stack(b[vec_col].to_pandas().to_numpy())[:, :t]
+            return pa.table({
+                id_col: b[id_col],
+                vec_col: pa.array(list(m.astype(np.float32)))})
+
+        trunc = pd.DataFrame(rows_all(brute_force_topk(
+            ds.select_columns([id_col, vec_col])
+              .map_batches(cut, batch_format="pyarrow"),
+            queries[:, :t], query_ids, k,
+            id_col=id_col, vec_col=vec_col)))
+        common = sum((q, v) in full_set
+                     for q, v in zip(trunc["query_id"], trunc["vec_id"]))
+        rows.append((int(t), int(k), nq, int(common),
+                     round6(common / (k * nq))))
+    return pd.DataFrame(rows, columns=["trunc_dim", "k", "n_queries",
+                                       "n_common", "recall"])

@@ -101,3 +101,36 @@ def test_poisson_weights_follow_poisson1():
     assert abs(p0 - math.exp(-1)) < 0.02
     assert abs(p1 - math.exp(-1)) < 0.02
     assert w.max() <= len(POISSON1_CUTOFFS)
+
+
+def test_truncation_recall_properties():
+    """Full-dim truncation must give recall 1; overlap counts match a
+    numpy brute-force recomputation."""
+    from deepkg_ray.functions.numeric import micros_matrix, round6
+    from deepkg_ray.stages.similarity import truncation_recall
+    rng = np.random.default_rng(13)
+    n, d, k = 200, 16, 5
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    q, qids = vecs[:4], [0, 1, 2, 3]
+    got = truncation_recall(ds, q, qids, k=k, dims=(4, d))
+    got = got.set_index("trunc_dim")
+    assert got.loc[d, "recall"] == 1.0 and got.loc[d, "n_common"] == k * 4
+
+    def topk_set(t):
+        vm = micros_matrix(vecs[:, :t]).astype(np.float64)
+        qm = micros_matrix(q[:, :t]).astype(np.float64)
+        sims = qm @ vm.T / np.maximum(
+            np.linalg.norm(qm, axis=1)[:, None]
+            * np.linalg.norm(vm, axis=1)[None, :], 1.0)
+        out = set()
+        for qi, row in zip(qids, np.vectorize(round6)(sims)):
+            order = sorted(range(n), key=lambda i: (-row[i], i))[:k]
+            out.update((qi, i) for i in order)
+        return out
+
+    want = len(topk_set(4) & topk_set(d))
+    assert got.loc[4, "n_common"] == want
+    assert got.loc[4, "recall"] == round6(want / (k * 4))
