@@ -1655,6 +1655,28 @@ def _q_editdist_pairs(sf_dir: str):
     return editdist_pairs(cust, id_col="c_custkey", name_col="c_name")
 
 
+def _q_fs_weights(sf_dir: str):
+    """Fellegi–Sunter record-linkage weights (m from the ed≤1 declared
+    match set, frequency-based u from attribute marginals, ln-micros)."""
+    import ray.data as rd
+    from deepkg_ray.stages.editdist import fs_weight_table
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey",
+                                    "c_mktsegment", "c_acctbal"])
+    return fs_weight_table(cust)
+
+
+def _q_fs_scores(sf_dir: str):
+    """Per-candidate-pair Fellegi–Sunter log-likelihood-ratio score
+    (agreement flags joined through two hash joins, integer weight sum)."""
+    import ray.data as rd
+    from deepkg_ray.stages.editdist import fs_match_scores
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey",
+                                    "c_mktsegment", "c_acctbal"])
+    return fs_match_scores(cust)
+
+
 def _q_editdist_clusters(sf_dir: str):
     """Edit-distance canonicalization clusters: connected components over
     the ed<=1 pair graph, component = min reachable id."""
@@ -3644,6 +3666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_cluster_sizes": _q_dedup_cluster_sizes,
         "editdist_pairs": _q_editdist_pairs,
+        "fs_weights": _q_fs_weights,
+        "fs_scores": _q_fs_scores,
         "editdist_clusters": _q_editdist_clusters,
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
@@ -4009,6 +4033,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracle.dedup_clusters_oracle(),
         "dedup_cluster_sizes": oracle.dedup_cluster_sizes_oracle(),
         "editdist_pairs": oracle.editdist_pairs_oracle(),
+        "fs_weights": oracle.fs_weight_table_oracle(),
+        "fs_scores": oracle.fs_match_scores_oracle(),
         "editdist_clusters": oracle.editdist_clusters_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),

@@ -8878,3 +8878,81 @@ SELECT CAST({t} AS BIGINT) AS trunc_dim, CAST({k} AS BIGINT) AS k,
               USING (query_id, vec_id))
              / ({k}.0 * {n_queries}) * 1e6 + 0.5) / 1e6 AS recall""")
     return "WITH " + "".join(parts) + "\nUNION ALL".join(selects)
+
+
+def _fs_ctes() -> str:
+    """Shared Fellegi–Sunter CTE chain over customer (mirrors
+    stages/editdist fs_*): ed≤1 name pairs as the declared match set,
+    agreement flags per feature, smoothed m from the match set and
+    frequency-based u from the marginals, ln-micros weights with the
+    engine's exact float nesting."""
+    feats = [("nation", "un"), ("segment", "us"), ("band", "ub")]
+    margs = ",\n".join(
+        f"""{cte} AS (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS s FROM (
+  SELECT count(*) AS c FROM attrs GROUP BY {f}))"""
+        for f, cte in feats)
+    agg = {"nation": "an", "segment": "asg", "band": "ab"}
+    wcols = []
+    for f, cte in feats:
+        m = f"((ms.{agg[f]} + 0.5) / (ms.np + 1))"
+        u = f"(({cte}.s + 0.5) / (nn.n * (nn.n - 1) + 1))"
+        wcols.append(
+            f"CAST(floor(ln({m} / {u}) * 1e6 + 0.5) AS BIGINT) AS wa_{f},\n"
+            f"  CAST(floor(ln((1 - {m}) / (1 - {u})) * 1e6 + 0.5) AS BIGINT)"
+            f" AS wd_{f},\n  {m} AS m_{f},\n  {u} AS u_{f}")
+    return f"""
+pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+attrs AS (
+  SELECT c_custkey AS cid, CAST(c_nationkey AS BIGINT) AS nation,
+         c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+  FROM customer),
+fl AS (
+  SELECT p.id_a, p.id_b,
+         CASE WHEN a.nation = b.nation THEN 1 ELSE 0 END AS agree_nation,
+         CASE WHEN a.segment = b.segment THEN 1 ELSE 0 END AS agree_segment,
+         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS agree_band
+  FROM pairs p JOIN attrs a ON a.cid = p.id_a
+               JOIN attrs b ON b.cid = p.id_b),
+ms AS (SELECT CAST(count(*) AS BIGINT) AS np,
+              CAST(SUM(agree_nation) AS BIGINT) AS an,
+              CAST(SUM(agree_segment) AS BIGINT) AS asg,
+              CAST(SUM(agree_band) AS BIGINT) AS ab FROM fl),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer),
+{margs},
+w AS (SELECT
+  {",".join(wcols)}
+FROM ms, nn, un, us, ub)"""
+
+
+def fs_weight_table_oracle() -> str:
+    """Mirror of editdist.fs_weight_table: one row per feature."""
+    arms = " UNION ALL ".join(
+        f"""SELECT '{f}' AS feature, w.m_{f} AS m_prob, w.u_{f} AS u_prob,
+       w.wa_{f} AS w_agree_micros, w.wd_{f} AS w_disagree_micros FROM w"""
+        for f in ("nation", "segment", "band"))
+    return f"WITH {_fs_ctes()}\n{arms}"
+
+
+def fs_match_scores_oracle() -> str:
+    """Mirror of editdist.fs_match_scores: per-pair log-likelihood-ratio
+    score in micros (agree → w_agree, else w_disagree; integer sum)."""
+    return f"""WITH {_fs_ctes()},
+sc AS (
+  SELECT fl.*,
+         CAST((CASE WHEN fl.agree_nation = 1 THEN w.wa_nation
+                    ELSE w.wd_nation END)
+            + (CASE WHEN fl.agree_segment = 1 THEN w.wa_segment
+                    ELSE w.wd_segment END)
+            + (CASE WHEN fl.agree_band = 1 THEN w.wa_band
+                    ELSE w.wd_band END) AS BIGINT) AS score_micros
+  FROM fl, w)
+SELECT id_a, id_b, agree_nation, agree_segment, agree_band,
+       score_micros, score_micros / 1e6 AS score
+FROM sc
+"""

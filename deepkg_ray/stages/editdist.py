@@ -145,3 +145,157 @@ def editdist_clusters(ds, *, id_col: str = "id", name_col: str = "name",
     from deepkg_ray.stages.graph import connected_components
     return connected_components(pairs, a_col="id_a", b_col="id_b",
                                 mode=mode)
+
+
+# ------------------------------------------------ Fellegi–Sunter scoring ---
+
+FS_FEATURES = ("nation", "segment", "band")
+
+
+def _fs_attrs(cust, id_col, nation_col, seg_col, bal_col):
+    def prep(b: pa.Table) -> pa.Table:
+        bal = b[bal_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "cid": b[id_col].cast(pa.int64()),
+            "nation": b[nation_col].cast(pa.int64()),
+            "segment": b[seg_col],
+            "band": pa.array(np.floor(bal / 1000.0).astype(np.int64))})
+    return cust.map_batches(prep, batch_format="pyarrow")
+
+
+def _fs_flagged(cust, pairs, id_col, nation_col, seg_col, bal_col,
+                num_partitions):
+    """Candidate pairs with per-feature agreement flags — two hash joins
+    of the pair table onto the attribute table (nothing customer-sized on
+    the driver)."""
+    from deepkg_ray.util import drop_empty_blocks
+    attrs = _fs_attrs(cust, id_col, nation_col, seg_col, bal_col)
+    a = pairs.select_columns(["id_a", "id_b"]).join(
+        attrs.map_batches(
+            lambda b: b.rename_columns(["id_a", "na", "sa", "ba"]),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    ab = drop_empty_blocks(a).join(
+        attrs.map_batches(
+            lambda b: b.rename_columns(["id_b", "nb", "sb", "bb"]),
+            batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def flags(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "id_a": b["id_a"], "id_b": b["id_b"],
+            "agree_nation": pa.array(
+                (b["na"].to_numpy(zero_copy_only=False)
+                 == b["nb"].to_numpy(zero_copy_only=False))
+                .astype(np.int64)),
+            "agree_segment": pa.array(
+                np.asarray([x == y for x, y in
+                            zip(b["sa"].to_pylist(), b["sb"].to_pylist())],
+                           dtype=np.int64)),
+            "agree_band": pa.array(
+                (b["ba"].to_numpy(zero_copy_only=False)
+                 == b["bb"].to_numpy(zero_copy_only=False))
+                .astype(np.int64)),
+        })
+
+    return drop_empty_blocks(ab).map_batches(flags, batch_format="pyarrow") \
+        .materialize()
+
+
+def _fs_weights(cust, flagged, nation_col, seg_col, bal_col, id_col):
+    """Per-feature (m, u, w_agree_micros, w_disagree_micros):
+    m from the declared match set (the candidate pairs) with +0.5/+1
+    smoothing; u frequency-based from the attribute marginals
+    (P(agree | random ordered pair) = Σ c(c−1) / N(N−1)), same smoothing.
+    Float order fixed: ln((a+0.5)/(n+1) / ((s+0.5)/(d+1))) — the SQL twin
+    nests identically."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    stats = flagged.aggregate(
+        Count(alias_name="np"),
+        Sum("agree_nation", alias_name="an"),
+        Sum("agree_segment", alias_name="as_"),
+        Sum("agree_band", alias_name="ab"))
+    n_pairs = int(stats["np"])
+    agree = {"nation": int(stats["an"]), "segment": int(stats["as_"]),
+             "band": int(stats["ab"])}
+
+    attrs = _fs_attrs(cust, id_col, nation_col, seg_col, bal_col)
+
+    def marg(col):
+        def partial(b: pa.Table) -> pd.DataFrame:
+            d = pd.DataFrame({"k": b[col].to_pylist()})
+            return (d.groupby("k", sort=False).size()
+                    .reset_index(name="c"))
+        m = merge_partials(attrs.map_batches(partial,
+                                             batch_format="pyarrow"),
+                           ["k"], {"c": "sum"}).to_pandas()
+        c = m["c"].to_numpy(np.int64)
+        return int((c * (c - 1)).sum()), int(c.sum())
+
+    rows = []
+    for feat in FS_FEATURES:
+        s, n = marg(feat)
+        d = n * (n - 1)
+        m_f = (agree[feat] + 0.5) / (n_pairs + 1)
+        u_f = (s + 0.5) / (d + 1)
+        wa = math.floor(math.log(m_f / u_f) * 1e6 + 0.5)
+        wd = math.floor(math.log((1.0 - m_f) / (1.0 - u_f)) * 1e6 + 0.5)
+        rows.append((feat, m_f, u_f, int(wa), int(wd)))
+    return pd.DataFrame(rows, columns=["feature", "m_prob", "u_prob",
+                                       "w_agree_micros",
+                                       "w_disagree_micros"])
+
+
+def fs_weight_table(cust, *, id_col="c_custkey", name_col="c_name",
+                    nation_col="c_nationkey", seg_col="c_mktsegment",
+                    bal_col="c_acctbal", num_partitions: int | None = None):
+    """Fellegi–Sunter (1969) agreement/disagreement weights for customer
+    record linkage: the ed≤1 name pairs act as the declared match set for
+    the m-probabilities; u-probabilities are frequency-based from the
+    attribute marginals (the standard 'random pair agrees by chance'
+    estimate).  Returns one row per feature (nation / mktsegment /
+    acctbal-band) with smoothed m, u and ln-micros weights."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    pairs = editdist_pairs(cust.select_columns([id_col, name_col]),
+                           id_col=id_col, name_col=name_col)
+    flagged = _fs_flagged(cust, pairs, id_col, nation_col, seg_col,
+                          bal_col, num_partitions)
+    return _fs_weights(cust, flagged, nation_col, seg_col, bal_col, id_col)
+
+
+def fs_match_scores(cust, *, id_col="c_custkey", name_col="c_name",
+                    nation_col="c_nationkey", seg_col="c_mktsegment",
+                    bal_col="c_acctbal", num_partitions: int | None = None):
+    """Fellegi–Sunter match scores for every ed≤1 candidate pair:
+    score_micros = Σ over features of (agree ? w_agree : w_disagree) —
+    the classic record-linkage log-likelihood-ratio ranking, here with
+    deterministic m/u estimation (see fs_weight_table).  One extra
+    stateless pass over the flagged pair table.  Returns (id_a, id_b,
+    agree_nation, agree_segment, agree_band, score_micros, score)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    pairs = editdist_pairs(cust.select_columns([id_col, name_col]),
+                           id_col=id_col, name_col=name_col)
+    flagged = _fs_flagged(cust, pairs, id_col, nation_col, seg_col,
+                          bal_col, num_partitions)
+    w = _fs_weights(cust, flagged, nation_col, seg_col, bal_col, id_col)
+    wa = dict(zip(w["feature"], w["w_agree_micros"].astype(np.int64)))
+    wd = dict(zip(w["feature"], w["w_disagree_micros"].astype(np.int64)))
+
+    def score(b: pa.Table) -> pa.Table:
+        s = np.zeros(b.num_rows, dtype=np.int64)
+        for feat in FS_FEATURES:
+            f = b[f"agree_{feat}"].to_numpy(zero_copy_only=False)
+            s += np.where(f == 1, wa[feat], wd[feat])
+        return b.append_column(
+            "score_micros", pa.array(s)).append_column(
+            "score", pa.array(s / 1e6, pa.float64()))
+
+    return flagged.map_batches(score, batch_format="pyarrow")
