@@ -1655,6 +1655,18 @@ def _q_editdist_pairs(sf_dir: str):
     return editdist_pairs(cust, id_col="c_custkey", name_col="c_name")
 
 
+def _q_er_canonical(sf_dir: str):
+    """Golden-record survivorship per ed≤1 name cluster (per-attribute
+    mode, ties → smallest value) — the MDM step completing the linkage
+    chain."""
+    import ray.data as rd
+    from deepkg_ray.stages.editdist import er_canonical
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey",
+                                    "c_mktsegment"])
+    return er_canonical(cust)
+
+
 def _q_fs_weights(sf_dir: str):
     """Fellegi–Sunter record-linkage weights (m from the ed≤1 declared
     match set, frequency-based u from attribute marginals, ln-micros)."""
@@ -3668,6 +3680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_pairs": _q_editdist_pairs,
         "fs_weights": _q_fs_weights,
         "fs_scores": _q_fs_scores,
+        "er_canonical": _q_er_canonical,
         "editdist_clusters": _q_editdist_clusters,
         # graph analytics over the built KG
         "kg_degrees": _q_kg_degrees,
@@ -4035,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_pairs": oracle.editdist_pairs_oracle(),
         "fs_weights": oracle.fs_weight_table_oracle(),
         "fs_scores": oracle.fs_match_scores_oracle(),
+        "er_canonical": oracle.er_canonical_oracle(),
         "editdist_clusters": oracle.editdist_clusters_oracle(),
         "kg_degrees": oracle.kg_degrees_oracle(SF_ORACLE),
         "kg_kcore": oracle.kg_kcore_oracle(SF_ORACLE, k=3, rounds=8),

@@ -8956,3 +8956,64 @@ SELECT id_a, id_b, agree_nation, agree_segment, agree_band,
        score_micros, score_micros / 1e6 AS score
 FROM sc
 """
+
+
+def er_canonical_oracle() -> str:
+    """Mirror of editdist.er_canonical: per ed≤1 cluster the per-attribute
+    mode (count desc, value asc) via QUALIFY row_number."""
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_custkey < b.c_custkey
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+edges2 AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges2
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+),
+comp AS (
+  SELECT u AS node, CAST(least(u, min(v)) AS BIGINT) AS component
+  FROM reach GROUP BY u
+),
+mem AS (
+  SELECT c.component, cu.c_name AS name,
+         CAST(cu.c_nationkey AS BIGINT) AS nation,
+         cu.c_mktsegment AS segment
+  FROM comp c JOIN customer cu ON cu.c_custkey = c.node
+),
+mname AS (
+  SELECT component, name FROM (
+    SELECT component, name, count(*) AS c FROM mem GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY c DESC, name) = 1
+),
+mnat AS (
+  SELECT component, nation FROM (
+    SELECT component, nation, count(*) AS c FROM mem GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY c DESC, nation) = 1
+),
+mseg AS (
+  SELECT component, segment FROM (
+    SELECT component, segment, count(*) AS c FROM mem GROUP BY 1, 2)
+  QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY c DESC, segment) = 1
+),
+sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+       FROM mem GROUP BY component)
+SELECT sz.component, sz.n_members,
+       mname.name AS canonical_name,
+       mnat.nation AS canonical_nation,
+       mseg.segment AS canonical_segment
+FROM sz JOIN mname USING (component)
+        JOIN mnat USING (component)
+        JOIN mseg USING (component)
+"""

@@ -299,3 +299,54 @@ def fs_match_scores(cust, *, id_col="c_custkey", name_col="c_name",
             "score", pa.array(s / 1e6, pa.float64()))
 
     return flagged.map_batches(score, batch_format="pyarrow")
+
+
+def er_canonical(cust, *, id_col="c_custkey", name_col="c_name",
+                 nation_col="c_nationkey", seg_col="c_mktsegment",
+                 num_partitions: int | None = None, mode: str = "auto"):
+    """Entity-resolution survivorship: one canonical record per ed≤1 name
+    cluster — per attribute the MODE across cluster members (ties → the
+    lexicographically/numerically smallest value), the standard
+    most-frequent-value survivorship rule of MDM pipelines.  Completes the
+    blocking → pairing → clustering → FS-scoring linkage chain with the
+    golden-record step.
+
+    Plan: (node, component) clusters hash-joined onto the attribute rows,
+    then one groupby(component).map_groups finisher — cluster groups are
+    near-dup-sized (a handful of rows), so the per-group pandas kernel is
+    bounded regardless of corpus size.  Returns (component, n_members,
+    canonical_name, canonical_nation, canonical_segment)."""
+    if num_partitions is None:
+        from deepkg_ray.util import join_partitions
+        num_partitions = join_partitions()
+    from deepkg_ray.util import drop_empty_blocks
+
+    clusters = editdist_clusters(cust.select_columns([id_col, name_col]),
+                                 id_col=id_col, name_col=name_col,
+                                 mode=mode)
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[id_col].cast(pa.int64()),
+                         "name": b[name_col],
+                         "nation": b[nation_col].cast(pa.int64()),
+                         "segment": b[seg_col]})
+
+    joined = drop_empty_blocks(clusters).join(
+        cust.map_batches(prep, batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("node",))
+
+    def survive(g: pd.DataFrame) -> pd.DataFrame:
+        def md(col):
+            vc = (g.groupby(col, sort=False).size().reset_index(name="c")
+                  .sort_values(["c", col], ascending=[False, True],
+                               kind="stable"))
+            return vc.iloc[0][col]
+        return pd.DataFrame({
+            "component": [g["component"].iloc[0]],
+            "n_members": np.asarray([len(g)], np.int64),
+            "canonical_name": [md("name")],
+            "canonical_nation": np.asarray([md("nation")], np.int64),
+            "canonical_segment": [md("segment")]})
+
+    return drop_empty_blocks(joined).groupby("component").map_groups(
+        survive, batch_format="pandas")

@@ -62,3 +62,29 @@ def test_fs_scores_rank_agreeing_pair_higher():
     assert by_pair.loc[(1, 2), "score_micros"] > \
         by_pair.loc[(3, 4), "score_micros"]
     assert (got["score"] == got["score_micros"] / 1e6).all()
+
+
+def test_er_canonical_survivorship():
+    from deepkg_ray.stages.editdist import er_canonical
+    rows = [
+        (1, "acme corp", 3, "AUTO"),
+        (2, "acme orp", 3, "AUTO"),
+        (3, "acme cor", 5, "STEEL"),     # cluster {1,2,3}: nation mode 3
+        (7, "beta llc", 7, "HOUSE"),
+        (8, "beta lc", 9, "HOUSE"),      # cluster {7,8}: nation tie -> 7
+        (9, "solo name", 11, "AUTO"),    # singleton: absent
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["c_custkey", "c_name", "c_nationkey",
+                       "c_mktsegment"]))
+    got = (er_canonical(ds).to_pandas()
+           .set_index("component").sort_index())
+    assert list(got.index) == [1, 7]
+    assert got.loc[1, "n_members"] == 3
+    assert got.loc[1, "canonical_nation"] == 3
+    assert got.loc[1, "canonical_segment"] == "AUTO"
+    # name mode: all distinct -> lexicographically smallest
+    assert got.loc[1, "canonical_name"] == "acme cor"
+    assert got.loc[7, "n_members"] == 2
+    assert got.loc[7, "canonical_nation"] == 7      # tie -> smallest
+    assert got.loc[7, "canonical_segment"] == "HOUSE"
