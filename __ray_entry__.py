@@ -1594,6 +1594,22 @@ def _q_bootstrap_ci(sf_dir: str):
                                 n_boot=100)
 
 
+def _q_length_bucketing(sf_dir: str):
+    """Power-of-2 length-bucketed batching audit: per bucket the doc
+    count, token mass, padding waste and fill factor (serving-efficiency
+    report; integer bit-length buckets, no float log)."""
+    from deepkg_ray.stages.packing import length_bucketing
+    return length_bucketing(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_shard_plan(sf_dir: str):
+    """Rendezvous-hash shard map audit: per shard the doc count plus the
+    count that KEEPS its shard when the last shard is dropped — the HRW
+    minimal-disruption property, value-checked."""
+    from deepkg_ray.stages.curation import shard_plan
+    return shard_plan(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_vocab_coverage(sf_dir: str):
     """Top-N vocabulary coverage curve (tokenizer-design diagnostic): the
     open-vocab count table folds to a count-of-counts histogram — nothing
@@ -3673,6 +3689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_means": _q_bootstrap_means,
         "bootstrap_ci": _q_bootstrap_ci,
         "vocab_coverage": _q_vocab_coverage,
+        "length_bucketing": _q_length_bucketing,
+        "shard_plan": _q_shard_plan,
         "domain_stats": _q_domain_stats,
         "rake_keywords": _q_rake_keywords,
         "dedup_clusters": _q_dedup_clusters,
@@ -4041,6 +4059,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_means": oracle.bootstrap_means_oracle(),
         "bootstrap_ci": oracle.bootstrap_ci_oracle(),
         "vocab_coverage": oracle.vocab_coverage_oracle(),
+        "length_bucketing": oracle.length_bucketing_oracle(),
+        "shard_plan": oracle.shard_plan_oracle(),
         "domain_stats": oracle.domain_stats_oracle(),
         "rake_keywords": oracle.rake_keywords_oracle(),
         "dedup_clusters": oracle.dedup_clusters_oracle(),

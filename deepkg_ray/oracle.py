@@ -9017,3 +9017,53 @@ FROM sz JOIN mname USING (component)
         JOIN mnat USING (component)
         JOIN mseg USING (component)
 """
+
+
+def length_bucketing_oracle() -> str:
+    """Mirror of packing.length_bucketing: power-of-2 bucket via integer
+    bit length (1 << length(to_base(n-1,2))), per-bucket padding audit."""
+    return """
+WITH n AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+  FROM documents),
+b AS (
+  SELECT CASE WHEN n <= 1 THEN 1
+              ELSE (1::BIGINT << length(to_base(n - 1, 2))) END AS bucket,
+         n
+  FROM n),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n) AS BIGINT) AS total_tokens
+      FROM b GROUP BY bucket)
+SELECT bucket, n_docs, total_tokens,
+       bucket * n_docs - total_tokens AS total_padding,
+       floor(CAST(total_tokens AS DOUBLE) / (bucket * n_docs) * 1e6 + 0.5)
+         / 1e6 AS fill
+FROM g
+"""
+
+
+def shard_plan_oracle(n_shards: int = 8) -> str:
+    """Mirror of curation.shard_plan: rendezvous argmax via QUALIFY
+    (weight DESC, shard ASC), stability vs dropping the last shard."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, g.s,
+         md5_number_lower(CAST(g.s AS VARCHAR) || ':'
+                          || CAST(doc_id AS VARCHAR)) AS w
+  FROM documents
+  CROSS JOIN unnest(generate_series(0, {n_shards - 1})) AS g(s)),
+fulla AS (
+  SELECT doc_id, s AS shard FROM w
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY w DESC, s) = 1),
+dropa AS (
+  SELECT doc_id, s AS shard FROM w WHERE s < {n_shards - 1}
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+                             ORDER BY w DESC, s) = 1)
+SELECT f.shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.shard = f.shard THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stable
+FROM fulla f JOIN dropa d USING (doc_id)
+GROUP BY f.shard
+"""

@@ -846,3 +846,50 @@ def quarantine_leaked_docs(ds, documents_path: str,
     return merge_partials(
         pairs.map_batches(cells, batch_format="pyarrow"),
         ["doc_id", "split"], {"n_train_dups": "sum"}, mode="tree")
+
+
+def shard_plan(ds, n_shards: int = 8, id_col: str = "doc_id"):
+    """Rendezvous (highest-random-weight) shard assignment audit —
+    the stable shard-map primitive behind resumable partitioned output:
+    doc → argmax over shards of md5(shard ':' doc), so removing one shard
+    remaps ONLY that shard's docs (minimal disruption, Thaler & Ravishankar
+    1998).  The report proves it: per shard,
+
+        (shard, n_docs, n_stable)
+
+    where n_stable counts docs that keep their shard when shard
+    n_shards−1 is dropped — equal to n_docs for every surviving shard by
+    the HRW property, and 0 for the dropped one.  One streaming pass,
+    n_shards hash evaluations per row, S-row partials."""
+    import ray.data as rd
+
+    from deepkg_ray.stages.sketches import _hash64
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        ids = [str(v) for v in b[id_col].to_pylist()]
+        if not ids:
+            return pd.DataFrame({"shard": [], "n_docs": [], "n_stable": []})
+        w = np.stack([_hash64([f"{s}:{i}" for i in ids])
+                      for s in range(n_shards)])          # S × n
+        full = w.argmax(axis=0)
+        drop = w[:-1].argmax(axis=0) if n_shards > 1 else full
+        d = pd.DataFrame({
+            "shard": full.astype(np.int64),
+            "stable": (full == drop).astype(np.int64)})
+        g = d.groupby("shard", sort=False).agg(
+            n_docs=("stable", "size"), n_stable=("stable", "sum"))
+        return g.reset_index()
+
+    merged = merge_partials(
+        ds.select_columns([id_col]).map_batches(partial,
+                                                batch_format="pyarrow"),
+        ["shard"], {"n_docs": "sum", "n_stable": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("shard").reset_index(drop=True)
+        return df[["shard", "n_docs", "n_stable"]].astype(
+            {"shard": np.int64, "n_docs": np.int64, "n_stable": np.int64})
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

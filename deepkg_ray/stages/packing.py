@@ -313,3 +313,47 @@ def conv_packing_stats(ds, *, window: int = 2048, sep_tokens: int = 1,
         "n_oversized": pa.array([n_over], pa.int64()),
         "total_tokens": pa.array([eff], pa.int64()),
         "mean_fill": pa.array([fill], pa.float64())}))
+
+
+def length_bucketing(ds, *, text_col: str = "text"):
+    """Serving-efficiency report for power-of-2 length-bucketed batching:
+    each doc lands in the bucket 2^ceil(log2(n_tokens)) (computed via
+    integer bit length — no float log), and the report shows how much
+    padding that batching scheme wastes per bucket:
+
+        (bucket, n_docs, total_tokens, total_padding, fill)
+
+    fill = round6(total_tokens / (n_docs · bucket)).  One streaming pass;
+    per-batch (bucket → count, token-sum) partials fold through the merge
+    tree (≤ ~40 buckets exist for any corpus)."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        n = _ws_token_counts(b[text_col].to_pandas())
+        bucket = np.asarray(
+            [1 if x <= 1 else 1 << int(x - 1).bit_length() for x in n],
+            np.int64)
+        d = pd.DataFrame({"bucket": bucket, "n": n.astype(np.int64)})
+        g = d.groupby("bucket", sort=False).agg(
+            n_docs=("n", "size"), total_tokens=("n", "sum"))
+        return g.reset_index()
+
+    merged = merge_partials(
+        ds.select_columns([text_col]).map_batches(partial,
+                                                  batch_format="pyarrow"),
+        ["bucket"], {"n_docs": "sum", "total_tokens": "sum"})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("bucket").reset_index(drop=True)
+        cap = df["bucket"].to_numpy(np.int64) * df["n_docs"].to_numpy(np.int64)
+        df["total_padding"] = cap - df["total_tokens"].to_numpy(np.int64)
+        df["fill"] = [round6(t / c) if c else 0.0
+                      for t, c in zip(df["total_tokens"], cap)]
+        return df[["bucket", "n_docs", "total_tokens", "total_padding",
+                   "fill"]]
+
+    return merged.map_batches(finish, batch_format="pandas",
+                              batch_size=None)

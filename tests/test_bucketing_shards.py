@@ -1,0 +1,46 @@
+"""length_bucketing (packing) + rendezvous shard_plan (curation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_length_bucketing_golden():
+    from deepkg_ray.stages.packing import length_bucketing
+    texts = ["one", "a b", "a b c", "a b c d", " ".join(["w"] * 17), ""]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64), "text": texts}))
+    got = (length_bucketing(ds).to_pandas()
+           .set_index("bucket").sort_index())
+    # token counts: 1,2,3,4,17,0 → buckets 1,2,4,4,32,1
+    assert got.loc[1, "n_docs"] == 2 and got.loc[1, "total_tokens"] == 1
+    assert got.loc[2, "n_docs"] == 1 and got.loc[2, "total_padding"] == 0
+    assert got.loc[4, "n_docs"] == 2 and got.loc[4, "total_tokens"] == 7
+    assert got.loc[4, "total_padding"] == 1
+    assert got.loc[32, "total_padding"] == 15
+    assert got.loc[4, "fill"] == 0.875
+    # padding + tokens == capacity everywhere
+    cap = got.index.to_numpy() * got["n_docs"].to_numpy()
+    assert (got["total_tokens"].to_numpy()
+            + got["total_padding"].to_numpy() == cap).all()
+
+
+def test_shard_plan_hrw_stability():
+    from deepkg_ray.stages.curation import shard_plan
+    n, s = 3000, 8
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64)}))
+    got = (shard_plan(ds, n_shards=s).to_pandas()
+           .set_index("shard").sort_index())
+    assert got["n_docs"].sum() == n
+    # balanced within ~5 sigma of n/s
+    exp = n / s
+    assert (np.abs(got["n_docs"] - exp)
+            < 5 * np.sqrt(exp * (1 - 1 / s))).all()
+    # HRW minimal disruption: surviving shards keep every doc,
+    # the dropped shard keeps none
+    for shard in range(s - 1):
+        assert got.loc[shard, "n_stable"] == got.loc[shard, "n_docs"]
+    assert got.loc[s - 1, "n_stable"] == 0
