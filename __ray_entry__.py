@@ -553,6 +553,13 @@ def _q_substring_dup_spans(sf_dir: str):
                                hash_mode="parity")
 
 
+def _q_doc_dup_fraction(sf_dir: str):
+    """Per-doc duplicated-token share (substring_dup_spans rolled up +
+    left join onto doc lengths) — the cut-or-drop curation signal."""
+    from deepkg_ray.stages.dedup import doc_dup_fraction
+    return doc_dup_fraction(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_dedup_exact(sf_dir: str):
     from deepkg_ray.stages.dedup import dedup_exact
     return dedup_exact(_docs(sf_dir, ["doc_id", "text"]))
@@ -3665,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_conversations": _q_pack_conversations,
         "conv_packing_stats": _q_conv_packing_stats,
         "substring_dup_spans": _q_substring_dup_spans,
+        "doc_dup_fraction": _q_doc_dup_fraction,
         "chunk_documents": _q_chunk_documents,
         "gopher_repetition": _q_gopher_repetition,
         "sample_exact_k": _q_sample_exact_k,
@@ -4038,6 +4046,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_token_counts": oracle.bpe_merge_counts_oracle(SF_ORACLE),
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
+        "doc_dup_fraction": oracle.doc_dup_fraction_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),
         "gopher_repetition": oracle.gopher_repetition_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),

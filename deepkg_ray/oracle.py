@@ -9067,3 +9067,28 @@ SELECT f.shard, CAST(count(*) AS BIGINT) AS n_docs,
 FROM fulla f JOIN dropa d USING (doc_id)
 GROUP BY f.shard
 """
+
+
+def doc_dup_fraction_oracle(w: int = 5, min_count: int = 2) -> str:
+    """Mirror of dedup.doc_dup_fraction: the substring_dup_spans oracle as
+    a subquery, rolled up to per-doc duplicated-token share (token count
+    via the same filtered whitespace split)."""
+    spans = substring_dup_spans_oracle(w, min_count)
+    return f"""
+WITH sp AS ({spans}),
+lens AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+dup AS (SELECT doc_id, CAST(SUM(span_end - span_start) AS BIGINT)
+               AS dup_tokens
+        FROM sp GROUP BY doc_id)
+SELECT l.doc_id, l.n_tokens,
+       COALESCE(d.dup_tokens, 0) AS dup_tokens,
+       CASE WHEN l.n_tokens = 0 THEN 0.0
+            ELSE floor(COALESCE(d.dup_tokens, 0)
+                       / CAST(l.n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+            END AS dup_fraction
+FROM lens l LEFT JOIN dup d USING (doc_id)
+"""

@@ -1021,3 +1021,60 @@ def source_dup_rates(ds, id_col: str = "doc_id", text_col: str = "text",
 
     return counts.groupby(src_col).map_groups(per_source,
                                               batch_format="pandas")
+
+
+def doc_dup_fraction(ds, *, w: int = 5, min_count: int = 2,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     hash_mode: str = "parity",
+                     num_partitions: int | None = None):
+    """Per-document duplicated-token share: the substring_dup_spans span
+    table rolled up to (doc_id, n_tokens, dup_tokens, dup_fraction) —
+    the curation signal that decides whether to cut spans or drop the
+    whole doc (Lee et al. 2022 report corpus-level dup fractions exactly
+    this way).  Spans are disjoint per doc by construction, so
+    dup_tokens = Σ (span_end − span_start).  Docs with no duplicated
+    span report 0."""
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+    if num_partitions is None:
+        num_partitions = join_partitions()
+    from deepkg_ray.functions.numeric import round6
+
+    spans = substring_dup_spans(ds, w=w, min_count=min_count,
+                                id_col=id_col, text_col=text_col,
+                                hash_mode=hash_mode,
+                                num_partitions=num_partitions)
+
+    def dup_partial(b: pa.Table) -> pd.DataFrame:
+        d = pd.DataFrame({
+            id_col: b[id_col].to_numpy(zero_copy_only=False),
+            "dup_tokens": (b["span_end"].to_numpy(zero_copy_only=False)
+                           - b["span_start"].to_numpy(zero_copy_only=False))})
+        return d.groupby(id_col, sort=False, as_index=False).sum()
+
+    dup = merge_partials(
+        spans.map_batches(dup_partial, batch_format="pyarrow"),
+        [id_col], {"dup_tokens": "sum"}, mode="auto")
+
+    def lens(b: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in b[text_col].to_pylist()]
+        return pa.table({id_col: b[id_col].cast(pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    lengths = ds.select_columns([id_col, text_col]).map_batches(
+        lens, batch_format="pyarrow")
+    joined = drop_empty_blocks(lengths).join(
+        drop_empty_blocks(dup), join_type="left_outer",
+        num_partitions=num_partitions, on=(id_col,))
+
+    def finish(b: pa.Table) -> pd.DataFrame:
+        d = b.to_pandas()
+        d["dup_tokens"] = d["dup_tokens"].fillna(0).astype(np.int64)
+        n = d["n_tokens"].to_numpy(np.int64)
+        d["dup_fraction"] = [
+            round6(dt / nt) if nt else 0.0
+            for dt, nt in zip(d["dup_tokens"], n)]
+        return d[[id_col, "n_tokens", "dup_tokens", "dup_fraction"]]
+
+    return drop_empty_blocks(joined).map_batches(finish,
+                                                 batch_format="pyarrow")

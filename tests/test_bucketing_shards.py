@@ -44,3 +44,24 @@ def test_shard_plan_hrw_stability():
     for shard in range(s - 1):
         assert got.loc[shard, "n_stable"] == got.loc[shard, "n_docs"]
     assert got.loc[s - 1, "n_stable"] == 0
+
+
+def test_doc_dup_fraction_golden():
+    from deepkg_ray.stages.dedup import doc_dup_fraction
+    rep = "alpha beta gamma delta eps"
+    texts = [
+        f"{rep} one two three",          # 5-token dup span at 0..5
+        f"zero {rep} tail",              # same span shifted
+        "totally unique words here only there",
+        "",
+    ]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    got = (doc_dup_fraction(ds, w=5).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert got.loc[0, "n_tokens"] == 8 and got.loc[0, "dup_tokens"] == 5
+    assert got.loc[0, "dup_fraction"] == 0.625
+    assert got.loc[1, "dup_tokens"] == 5
+    assert got.loc[2, "dup_tokens"] == 0
+    assert got.loc[2, "dup_fraction"] == 0.0
+    assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "dup_fraction"] == 0.0
