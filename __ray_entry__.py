@@ -1601,6 +1601,26 @@ def _q_bootstrap_ci(sf_dir: str):
                                 n_boot=100)
 
 
+def _q_cuped(sf_dir: str):
+    """CUPED variance-reduction audit over events (θ = cov/var on
+    per-user half-period sums, millis-quantized integer moments,
+    HUGEINT/big-int products)."""
+    import ray.data as rd
+    from deepkg_ray.stages.experiment import cuped_adjustment
+    return cuped_adjustment(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]))
+
+
+def _q_psi_drift(sf_dir: str):
+    """Categorical PSI of the event-type mix between the two time halves
+    (+0.5 smoothing, per-term ln-micros) — the model-monitoring drift
+    score."""
+    import ray.data as rd
+    from deepkg_ray.stages.experiment import psi_drift
+    return psi_drift(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]))
+
+
 def _q_length_bucketing(sf_dir: str):
     """Power-of-2 length-bucketed batching audit: per bucket the doc
     count, token mass, padding waste and fill factor (serving-efficiency
@@ -3698,6 +3718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "vocab_coverage": _q_vocab_coverage,
         "length_bucketing": _q_length_bucketing,
+        "cuped": _q_cuped,
+        "psi_drift": _q_psi_drift,
         "shard_plan": _q_shard_plan,
         "domain_stats": _q_domain_stats,
         "rake_keywords": _q_rake_keywords,
@@ -4069,6 +4091,8 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": oracle.bootstrap_ci_oracle(),
         "vocab_coverage": oracle.vocab_coverage_oracle(),
         "length_bucketing": oracle.length_bucketing_oracle(),
+        "cuped": oracle.cuped_adjustment_oracle(),
+        "psi_drift": oracle.psi_drift_oracle(),
         "shard_plan": oracle.shard_plan_oracle(),
         "domain_stats": oracle.domain_stats_oracle(),
         "rake_keywords": oracle.rake_keywords_oracle(),

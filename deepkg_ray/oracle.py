@@ -9092,3 +9092,71 @@ SELECT l.doc_id, l.n_tokens,
             END AS dup_fraction
 FROM lens l LEFT JOIN dup d USING (doc_id)
 """
+
+
+def cuped_adjustment_oracle() -> str:
+    """Mirror of experiment.cuped_adjustment: per-user micros pre/post
+    sums split at the integer-μs midpoint, millis quantization (integer
+    division — engine floor and SQL truncation agree because
+    events.value ≥ 0 keeps the sums non-negative), HUGEINT moment
+    products, the engine's exact float nesting for θ and ρ²."""
+    return """
+WITH t AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, user_id,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events),
+sp AS (SELECT MIN(tsu) AS lo, MAX(tsu) AS hi FROM t),
+u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN tsu < (sp.lo + sp.hi) // 2
+                       THEN vm ELSE 0 END) AS BIGINT) AS pre,
+         CAST(SUM(CASE WHEN tsu >= (sp.lo + sp.hi) // 2
+                       THEN vm ELSE 0 END) AS BIGINT) AS post
+  FROM t, sp GROUP BY user_id),
+q AS (SELECT pre // 1000 AS x, post // 1000 AS y FROM u),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM q)
+SELECT CAST(m.n AS BIGINT) AS n_users,
+       floor(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+             / CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS theta,
+       floor((CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+              * CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE))
+             / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                * CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS var_reduction
+FROM m
+"""
+
+
+def psi_drift_oracle() -> str:
+    """Mirror of experiment.psi_drift: category×half counts split at the
+    integer-μs midpoint, +0.5 smoothing, per-term micros floor."""
+    return """
+WITH t AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu, event_type AS cat
+  FROM events),
+sp AS (SELECT MIN(tsu) AS lo, MAX(tsu) AS hi FROM t),
+c AS (
+  SELECT cat,
+         CAST(SUM(CASE WHEN tsu < (sp.lo + sp.hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+         CAST(SUM(CASE WHEN tsu >= (sp.lo + sp.hi) // 2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+  FROM t, sp GROUP BY cat),
+tot AS (SELECT CAST(SUM(n_first) AS DOUBLE) AS ta,
+               CAST(SUM(n_second) AS DOUBLE) AS tb,
+               CAST(count(*) AS BIGINT) AS k FROM c)
+SELECT c.cat, c.n_first, c.n_second,
+       CAST(floor(((c.n_first + 0.5) / (tot.ta + 0.5 * tot.k)
+                   - (c.n_second + 0.5) / (tot.tb + 0.5 * tot.k))
+                  * ln(((c.n_first + 0.5) / (tot.ta + 0.5 * tot.k))
+                       / ((c.n_second + 0.5) / (tot.tb + 0.5 * tot.k)))
+                  * 1e6 + 0.5) AS BIGINT) AS psi_term_micros
+FROM c, tot
+"""

@@ -1,0 +1,91 @@
+"""CUPED + PSI drift (stages/experiment.py)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _events(n_users=60, per_user=20, seed=5):
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = 1_700_000_000_000_000
+    span = 10_000_000_000
+    for u in range(n_users):
+        trait = rng.normal(10.0, 3.0)
+        for _ in range(per_user):
+            ts = base + int(rng.integers(0, span))
+            # post values correlate with the user's trait → CUPED helps
+            val = max(0.01, trait + rng.normal(0.0, 1.0))
+            rows.append((ts, u, round(val, 2)))
+    df = pd.DataFrame(rows, columns=["tsu", "user_id", "value"])
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    return df[["ts", "user_id", "value"]]
+
+
+def test_cuped_matches_numpy_and_reduces_variance():
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.experiment import cuped_adjustment
+    df = _events()
+    got = cuped_adjustment(rd.from_pandas(df)).to_pandas()
+    # numpy ground truth with the same quantization pipeline
+    tsu = df["ts"].astype("int64").to_numpy()
+    mid = (int(tsu.min()) + int(tsu.max())) // 2
+    vm = np.floor(df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    agg = pd.DataFrame({
+        "u": df["user_id"],
+        "pre": np.where(tsu < mid, vm, 0),
+        "post": np.where(tsu >= mid, vm, 0)}).groupby("u").sum()
+    x = (agg["pre"].to_numpy() // 1000).astype(object)
+    y = (agg["post"].to_numpy() // 1000).astype(object)
+    n = len(x)
+    sx, sy = int(sum(x)), int(sum(y))
+    sxx = int(sum(a * a for a in x))
+    syy = int(sum(a * a for a in y))
+    sxy = int(sum(a * b for a, b in zip(x, y)))
+    cov, vx, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    assert got.loc[0, "n_users"] == n
+    assert got.loc[0, "theta"] == round6(float(cov) / float(vx))
+    assert got.loc[0, "var_reduction"] == round6(
+        float(cov) * float(cov) / (float(vx) * float(vy)))
+    # the trait-driven correlation must yield a real reduction (the
+    # complementary split counts add anti-correlated noise, so the
+    # attainable rho^2 here is modest but clearly non-zero)
+    assert got.loc[0, "var_reduction"] > 0.05
+    assert got.loc[0, "theta"] > 0
+
+
+def test_psi_drift_detects_mix_shift():
+    from deepkg_ray.stages.experiment import psi_drift
+    base = 1_700_000_000_000_000
+    rows = []
+    # first half: mostly A; second half: mostly B → large PSI terms
+    for i in range(400):
+        rows.append((base + i, "A" if i % 4 else "B"))
+    for i in range(400):
+        rows.append((base + 10_000_000 + i, "B" if i % 4 else "A"))
+    df = pd.DataFrame(rows, columns=["tsu", "event_type"])
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    got = (psi_drift(rd.from_pandas(df[["ts", "event_type"]]))
+           .to_pandas().set_index("cat"))
+    assert got.loc["A", "n_first"] == 300 and got.loc["A", "n_second"] == 100
+    # hand-compute the A term
+    p = (300 + 0.5) / (400 + 1.0)
+    q = (100 + 0.5) / (400 + 1.0)
+    want = math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+    assert got.loc["A", "psi_term_micros"] == want
+    # drifted mix → total PSI well above the 0.2 alert bar
+    assert got["psi_term_micros"].sum() / 1e6 > 0.2
+
+
+def test_psi_drift_stable_mix_near_zero():
+    from deepkg_ray.stages.experiment import psi_drift
+    base = 1_700_000_000_000_000
+    rows = [(base + i * 1_000, "ABC"[i % 3]) for i in range(1200)]
+    df = pd.DataFrame(rows, columns=["tsu", "event_type"])
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    got = psi_drift(rd.from_pandas(df[["ts", "event_type"]])).to_pandas()
+    assert abs(got["psi_term_micros"].sum()) / 1e6 < 0.01
