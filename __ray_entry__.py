@@ -553,6 +553,14 @@ def _q_substring_dup_spans(sf_dir: str):
                                hash_mode="parity")
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking dedup audit (Rabin/LBFS boundaries via
+    the rolling polynomial hash, md5 chunk identity) — the blob-level
+    dedup reclamation estimate."""
+    from deepkg_ray.stages.dedup import cdc_chunk_stats
+    return cdc_chunk_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_doc_dup_fraction(sf_dir: str):
     """Per-doc duplicated-token share (substring_dup_spans rolled up +
     left join onto doc lengths) — the cut-or-drop curation signal."""
@@ -3693,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_packing_stats": _q_conv_packing_stats,
         "substring_dup_spans": _q_substring_dup_spans,
         "doc_dup_fraction": _q_doc_dup_fraction,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "chunk_documents": _q_chunk_documents,
         "gopher_repetition": _q_gopher_repetition,
         "sample_exact_k": _q_sample_exact_k,
@@ -4069,6 +4078,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),
         "doc_dup_fraction": oracle.doc_dup_fraction_oracle(),
+        "cdc_chunk_stats": oracle.cdc_chunk_stats_oracle(),
         "chunk_documents": oracle.chunk_documents_oracle(),
         "gopher_repetition": oracle.gopher_repetition_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),

@@ -9160,3 +9160,55 @@ SELECT c.cat, c.n_first, c.n_second,
                   * 1e6 + 0.5) AS BIGINT) AS psi_term_micros
 FROM c, tot
 """
+
+
+def cdc_chunk_stats_oracle(w: int = 8, boundary_mod: int = 64) -> str:
+    """Mirror of dedup.cdc_chunk_stats: per-position polynomial window
+    hashes (the doc_fingerprints derivation), boundaries where
+    h % boundary_mod = 0, chunk segments via LAG over boundary end
+    positions plus the tail, chunk identity via md5_number_lower of the
+    substring, corpus rollup."""
+    m = (1 << 61) - 1
+    ks = [pow(257, w - 1 - t, m) for t in range(w)]
+    terms = " + ".join(f"CAST(cs[p + {t}] AS HUGEINT) * {k}"
+                       for t, k in enumerate(ks))
+    return f"""
+WITH codes AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ''), c -> ord(c)) AS cs,
+         length(text) AS n
+  FROM documents WHERE length(text) > 0),
+pos AS (
+  SELECT doc_id, p + {w - 1} AS e,
+         CAST(({terms}) % {m} AS BIGINT) AS h
+  FROM codes, unnest(generate_series(1, n - {w - 1})) AS u(p)
+  WHERE n >= {w}),
+bnd AS (SELECT doc_id, e FROM pos WHERE h % {boundary_mod} = 0),
+segs AS (
+  SELECT doc_id,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+           AS s,
+         e
+  FROM bnd
+  UNION ALL
+  SELECT c.doc_id,
+         COALESCE((SELECT MAX(b.e) FROM bnd b
+                   WHERE b.doc_id = c.doc_id), 0) + 1 AS s,
+         c.n AS e
+  FROM codes c
+  WHERE COALESCE((SELECT MAX(b.e) FROM bnd b
+                  WHERE b.doc_id = c.doc_id), 0) < c.n),
+ch AS (
+  SELECT sg.doc_id, sg.e - sg.s + 1 AS clen,
+         md5_number_lower(substr(c.text, sg.s, sg.e - sg.s + 1)) AS h
+  FROM segs sg JOIN codes c ON c.doc_id = sg.doc_id)
+SELECT CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS total_chunks,
+       CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks,
+       floor((1 - count(DISTINCT h) / CAST(count(*) AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS dup_ratio,
+       CAST(SUM(clen) AS BIGINT) AS total_chars,
+       floor(SUM(clen) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS mean_chunk_len
+FROM ch
+"""

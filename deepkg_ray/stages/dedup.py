@@ -1078,3 +1078,86 @@ def doc_dup_fraction(ds, *, w: int = 5, min_count: int = 2,
 
     return drop_empty_blocks(joined).map_batches(finish,
                                                  batch_format="pyarrow")
+
+
+def cdc_chunk_stats(ds, *, w: int = 8, boundary_mod: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Content-defined chunking dedup audit (the Rabin/LBFS idea behind
+    blob-level dedup in backup systems and multimodal payload stores):
+    chunk boundaries fall wherever the w-char polynomial rolling hash
+    ≡ 0 (mod boundary_mod) — boundaries survive insertions/deletions
+    elsewhere in the stream, unlike fixed-size blocks — then chunks are
+    content-hashed (md5 parity) and counted corpus-wide.
+
+    Returns ONE row: (n_docs, total_chunks, distinct_chunks, dup_ratio,
+    total_chars, mean_chunk_len).  dup_ratio = round6(1 − distinct/total)
+    is the share of chunk storage dedup would reclaim.
+
+    Plan: per-doc chunking is batch-local (the rolling hash is the
+    rolling_fingerprint recurrence, SQL-reproducible without recursion);
+    only (chunk_hash, 1) rows shuffle into a groupby count — chunk-level
+    cardinality, never characters.  Empty docs contribute nothing."""
+    from ray.data.aggregate import Count, Sum
+    from deepkg_ray.functions.hashing import _MERSENNE
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.sketches import _hash64
+
+    base, mod = 257, _MERSENNE
+
+    def chunk_rows(b: pa.Table) -> pa.Table:
+        hashes: list[str] = []
+        lens: list[int] = []
+        docs = 0
+        for t in b[text_col].to_pylist():
+            n = len(t)
+            if n == 0:
+                continue
+            docs += 1
+            if n < w:
+                hashes.append(t)
+                lens.append(n)
+                continue
+            pw = pow(base, w - 1, mod)
+            h = 0
+            start = 0
+            for i, c in enumerate(t):
+                h = (h * base + ord(c)) % mod
+                if i >= w:
+                    h = (h - ord(t[i - w]) * pw * base) % mod
+                if i >= w - 1 and h % boundary_mod == 0:
+                    hashes.append(t[start:i + 1])
+                    lens.append(i + 1 - start)
+                    start = i + 1
+            if start < n:
+                hashes.append(t[start:])
+                lens.append(n - start)
+        hv = (_hash64(hashes).view(np.int64) if hashes
+              else np.empty(0, np.int64))
+        return pa.table({
+            "h": pa.array(hv, pa.int64()),
+            "clen": pa.array(np.asarray(lens, np.int64)),
+            "docs": pa.array(
+                np.concatenate([[docs], np.zeros(max(len(hv) - 1, 0),
+                                                 np.int64)])
+                if len(hv) else np.empty(0, np.int64), pa.int64())})
+
+    rows = ds.select_columns([text_col]).map_batches(
+        chunk_rows, batch_format="pyarrow").materialize()
+    totals = rows.aggregate(Count(alias_name="total_chunks"),
+                            Sum("clen", alias_name="total_chars"),
+                            Sum("docs", alias_name="n_docs"))
+    distinct = rows.groupby("h").aggregate(
+        Count(alias_name="_c")).count()
+    tc = int(totals["total_chunks"])
+    n_docs = int(totals["n_docs"] or 0)
+    chars = int(totals["total_chars"] or 0)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "total_chunks": pa.array([tc], pa.int64()),
+        "distinct_chunks": pa.array([int(distinct)], pa.int64()),
+        "dup_ratio": pa.array(
+            [round6(1.0 - distinct / tc) if tc else 0.0], pa.float64()),
+        "total_chars": pa.array([chars], pa.int64()),
+        "mean_chunk_len": pa.array(
+            [round6(chars / tc) if tc else 0.0], pa.float64())}))

@@ -65,3 +65,42 @@ def test_doc_dup_fraction_golden():
     assert got.loc[2, "dup_tokens"] == 0
     assert got.loc[2, "dup_fraction"] == 0.0
     assert got.loc[3, "n_tokens"] == 0 and got.loc[3, "dup_fraction"] == 0.0
+
+
+def test_cdc_chunk_stats_properties():
+    from deepkg_ray.stages.dedup import cdc_chunk_stats
+    seg = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [seg + " one", seg + " two", "short", ""]
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts}))
+    got = cdc_chunk_stats(ds).to_pandas().iloc[0]
+    # empty doc excluded; every char lands in exactly one chunk
+    assert got["n_docs"] == 3
+    assert got["total_chars"] == sum(len(t) for t in texts)
+    assert got["distinct_chunks"] <= got["total_chunks"]
+    # the shared prefix makes the two long docs share their leading
+    # chunks → dedup finds duplicates
+    assert got["dup_ratio"] > 0.0
+    # boundary stability: appending a suffix must not change the
+    # boundaries inside the shared prefix — verify via a direct re-chunk
+    from deepkg_ray.functions.hashing import _MERSENNE
+    def chunks(t, w=8, mod=64):
+        base, M = 257, _MERSENNE
+        pw = pow(base, w - 1, M)
+        h, start, out = 0, 0, []
+        for i, c in enumerate(t):
+            h = (h * base + ord(c)) % M
+            if i >= w:
+                h = (h - ord(t[i - w]) * pw * base) % M
+            if i >= w - 1 and h % mod == 0:
+                out.append(t[start:i + 1])
+                start = i + 1
+        if start < len(t):
+            out.append(t[start:])
+        return out
+    c1, c2 = chunks(texts[0]), chunks(texts[1])
+    # chunks that end at least a window before the divergence point are
+    # byte-identical between the two docs (the CDC property); later
+    # chunks may differ
+    assert len(c1) > 1 and len(c2) > 1
+    assert c1[0] == c2[0]
