@@ -1609,6 +1609,15 @@ def _q_bootstrap_ci(sf_dir: str):
                                 n_boot=100)
 
 
+def _q_markov_entropy_rate(sf_dir: str):
+    """Plug-in entropy rate H(next|current) of the event-type chain —
+    bounded finisher over the markov_transitions counts (ln-micros
+    terms)."""
+    import ray.data as rd
+    from deepkg_ray.stages.windows import markov_entropy_rate
+    return markov_entropy_rate(rd.read_parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_cuped(sf_dir: str):
     """CUPED variance-reduction audit over events (θ = cov/var on
     per-user half-period sums, millis-quantized integer moments,
@@ -1643,6 +1652,20 @@ def _q_shard_plan(sf_dir: str):
     minimal-disruption property, value-checked."""
     from deepkg_ray.stages.curation import shard_plan
     return shard_plan(_docs(sf_dir, ["doc_id"]))
+
+
+def _q_bootstrap_diff_ci(sf_dir: str):
+    """Two-sample Poisson-bootstrap CI for the urgent-vs-rest difference
+    in mean order value (both arms accumulated in the same single
+    streaming pass)."""
+    import ray.data as rd
+    from deepkg_ray.stages.approx import poisson_bootstrap_diff_ci
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+    return poisson_bootstrap_diff_ci(orders, "o_orderkey", "o_totalprice",
+                                     "o_orderpriority", "1-URGENT",
+                                     n_boot=100)
 
 
 def _q_vocab_coverage(sf_dir: str):
@@ -3725,9 +3748,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_estimates": _q_cms_estimates,
         "bootstrap_means": _q_bootstrap_means,
         "bootstrap_ci": _q_bootstrap_ci,
+        "bootstrap_diff_ci": _q_bootstrap_diff_ci,
         "vocab_coverage": _q_vocab_coverage,
         "length_bucketing": _q_length_bucketing,
         "cuped": _q_cuped,
+        "markov_entropy_rate": _q_markov_entropy_rate,
         "psi_drift": _q_psi_drift,
         "shard_plan": _q_shard_plan,
         "domain_stats": _q_domain_stats,
@@ -4099,9 +4124,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": oracle.cms_estimates_oracle(),
         "bootstrap_means": oracle.bootstrap_means_oracle(),
         "bootstrap_ci": oracle.bootstrap_ci_oracle(),
+        "bootstrap_diff_ci": oracle.bootstrap_diff_ci_oracle(),
         "vocab_coverage": oracle.vocab_coverage_oracle(),
         "length_bucketing": oracle.length_bucketing_oracle(),
         "cuped": oracle.cuped_adjustment_oracle(),
+        "markov_entropy_rate": oracle.markov_entropy_rate_oracle(),
         "psi_drift": oracle.psi_drift_oracle(),
         "shard_plan": oracle.shard_plan_oracle(),
         "domain_stats": oracle.domain_stats_oracle(),

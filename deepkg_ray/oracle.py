@@ -9212,3 +9212,93 @@ SELECT CAST((SELECT count(*) FROM codes) AS BIGINT) AS n_docs,
          AS mean_chunk_len
 FROM ch
 """
+
+
+def markov_entropy_rate_oracle() -> str:
+    """Mirror of windows.markov_entropy_rate: per-pair micros terms
+    (n_ij/N)·ln(n_i·/n_ij) over the LEAD-pair counts, integer-summed."""
+    return """
+WITH e AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS dst_type
+  FROM events
+),
+c AS (
+  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM c),
+rows_ AS (
+  SELECT c.n,
+         CAST(SUM(c.n) OVER (PARTITION BY c.src_type) AS BIGINT) AS rt
+  FROM c
+),
+terms AS (
+  SELECT CAST(floor((CAST(n AS DOUBLE) / tot.big_n)
+              * ln(CAST(rt AS DOUBLE) / n) * 1e6 + 0.5) AS BIGINT) AS tm
+  FROM rows_, tot
+)
+SELECT tot.big_n AS n_transitions,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_pairs,
+       CAST((SELECT SUM(tm) FROM terms) AS BIGINT) AS entropy_micros,
+       CAST((SELECT SUM(tm) FROM terms) AS BIGINT) / 1e6 AS entropy_rate
+FROM tot
+"""
+
+
+def bootstrap_diff_ci_oracle(n_boot: int = 100, alpha: float = 0.05,
+                             group_value: str = "1-URGENT") -> str:
+    """Two-sample Poisson-bootstrap difference CI
+    (approx.poisson_bootstrap_diff_ci over orders, A = o_orderpriority ==
+    group_value): same reps/h/u/w chain as the single-arm oracle plus a
+    group flag; per-replicate diff of means, order-statistic CI."""
+    from deepkg_ray.stages.approx import (MIX_A, POISSON1_CUTOFFS,
+                                          _replicate_addends)
+    addends = _replicate_addends(n_boot)
+    rep_rows = ",\n    ".join(
+        f"({b}, {int(addends[b])}::UBIGINT)" for b in range(n_boot))
+    w_cases = " + ".join(
+        f"(CASE WHEN CAST(u AS HUGEINT) >= {int(c)} THEN 1 ELSE 0 END)"
+        for c in POISSON1_CUTOFFS)
+    m64 = 1 << 64
+    k = int(alpha / 2 * n_boot)
+    return f"""
+WITH reps(b, addend) AS (VALUES
+    {rep_rows}),
+h AS (
+  SELECT md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS h,
+         CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vm,
+         CASE WHEN o_orderpriority = '{group_value}'
+              THEN 1 ELSE 0 END AS ga
+  FROM orders
+),
+u AS (
+  SELECT r.b, h.vm, h.ga,
+         CAST(({MIX_A}::HUGEINT * (h & 4294967295)
+               + (({MIX_A}::HUGEINT * (h >> 32)) % 4294967296) * 4294967296
+               + r.addend) % {m64} AS UBIGINT) AS u
+  FROM h CROSS JOIN reps r
+),
+w AS (SELECT b, vm, ga, {w_cases} AS w FROM u),
+d AS (
+  SELECT b,
+         CAST(SUM(w * ga) AS BIGINT) AS na,
+         CAST(SUM(w * vm * ga) AS BIGINT) AS sa,
+         CAST(SUM(w * (1 - ga)) AS BIGINT) AS nb,
+         CAST(SUM(w * vm * (1 - ga)) AS BIGINT) AS sb
+  FROM w GROUP BY b
+),
+diffs AS (
+  SELECT floor((CAST(sa AS DOUBLE) / 1e6 / na
+                - CAST(sb AS DOUBLE) / 1e6 / nb) * 1e6 + 0.5) / 1e6
+           AS diff
+  FROM d
+)
+SELECT CAST({n_boot} AS BIGINT) AS n_boot,
+       CAST({k + 1} AS BIGINT) AS lo_rank,
+       CAST({n_boot - k} AS BIGINT) AS hi_rank,
+       (SELECT diff FROM diffs ORDER BY diff LIMIT 1 OFFSET {k}) AS ci_lo,
+       (SELECT diff FROM diffs ORDER BY diff
+        LIMIT 1 OFFSET {n_boot - k - 1}) AS ci_hi
+"""

@@ -224,3 +224,59 @@ def poisson_bootstrap_ci(ds, id_col: str, value_col: str,
         "ci_lo": [float(mv[k])],
         "ci_hi": [float(mv[n_boot - k - 1])],
     })
+
+
+def poisson_bootstrap_diff_ci(ds, id_col: str, value_col: str,
+                              group_col: str, group_value,
+                              n_boot: int = 100, alpha: float = 0.05):
+    """Two-sample Poisson bootstrap: percentile CI for
+    mean(value | group==group_value) − mean(value | otherwise), all B
+    replicates in the same single streaming pass as
+    poisson_bootstrap_means (each row carries its group flag; every
+    replicate accumulates (n, sum) for both arms).  The difference CI is
+    the experimentation primitive the single-arm CI builds toward.
+    Returns one row (n_boot, lo_rank, hi_rank, ci_lo, ci_hi)."""
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import rows_all
+
+    addends = _replicate_addends(n_boot)
+    cutoffs = np.asarray(POISSON1_CUTOFFS, dtype=np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = [str(v) for v in b[id_col].to_pylist()]
+        vals = np.asarray(b[value_col].to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        micros = np.floor(vals * 1e6 + 0.5).astype(np.int64)
+        ga = np.asarray([1 if v == group_value else 0
+                         for v in b[group_col].to_pylist()], np.int64)
+        h = _hash64(ids)
+        with np.errstate(over="ignore"):
+            hb = (h * np.uint64(MIX_A))[:, None] + addends[None, :]
+        w = np.searchsorted(cutoffs, hb.ravel(), side="right") \
+            .reshape(hb.shape).astype(np.int64)          # rows × B
+        wa = w * ga[:, None]
+        wb = w * (1 - ga)[:, None]
+        return pa.table({
+            "b": pa.array(np.arange(n_boot, dtype=np.int64)),
+            "na": pa.array(wa.sum(axis=0)),
+            "sa": pa.array((wa * micros[:, None]).sum(axis=0)),
+            "nb": pa.array(wb.sum(axis=0)),
+            "sb": pa.array((wb * micros[:, None]).sum(axis=0))})
+
+    merged = pd.DataFrame(rows_all(merge_partials(
+        ds.select_columns([id_col, value_col, group_col])
+          .map_batches(partial, batch_format="pyarrow"),
+        ["b"], {"na": "sum", "sa": "sum", "nb": "sum", "sb": "sum"})))
+    diffs = np.sort(np.asarray([
+        round6(s_a / 1e6 / n_a - s_b / 1e6 / n_b)
+        for n_a, s_a, n_b, s_b in zip(merged["na"], merged["sa"],
+                                      merged["nb"], merged["sb"])]))
+    k = int(alpha / 2 * n_boot)
+    return pd.DataFrame({
+        "n_boot": pd.array([n_boot], dtype="int64"),
+        "lo_rank": pd.array([k + 1], dtype="int64"),
+        "hi_rank": pd.array([n_boot - k], dtype="int64"),
+        "ci_lo": [float(diffs[k])],
+        "ci_hi": [float(diffs[n_boot - k - 1])],
+    })

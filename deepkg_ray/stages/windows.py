@@ -2703,3 +2703,35 @@ def cep_absence_matches(ds, *, a_type: str = "signup",
     return (ds.select_columns(["user_id", "event_id", "ts", "event_type"])
             .map_batches(keyed, batch_format="pyarrow")
             .groupby("part").map_groups(per_part, batch_format="pandas"))
+
+
+def markov_entropy_rate(ds, user_col: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        key_col: str = "event_type"):
+    """Plug-in entropy rate of the event-type chain: the conditional
+    entropy H(next | current) = Σ_ij (n_ij/N)·ln(n_i·/n_ij) over the
+    empirical transition counts — how predictable the next event is
+    given the current one (0 = deterministic chain, ln|types| = i.i.d.
+    uniform).  Per-term micros floor then integer sum (the ln-parity
+    convention); all counts come from the markov_transitions pipeline
+    (bounded |types|² rows), so this is one bounded finisher on top of
+    it.  Returns (n_transitions, n_pairs, entropy_micros, entropy_rate)."""
+    import math
+
+    import ray.data as rd
+
+    t = markov_transitions(ds, user_col=user_col, ts_col=ts_col,
+                           id_col=id_col, key_col=key_col).to_pandas()
+    n = t["n"].to_numpy(np.int64)
+    big_n = int(n.sum())
+    row_tot = t.groupby("src_type")["n"].transform("sum") \
+        .to_numpy(np.int64)
+    terms = [math.floor((int(nij) / big_n)
+                        * math.log(int(tot) / int(nij)) * 1e6 + 0.5)
+             for nij, tot in zip(n, row_tot)]
+    hm = int(sum(terms))
+    return rd.from_arrow(pa.table({
+        "n_transitions": pa.array([big_n], pa.int64()),
+        "n_pairs": pa.array([len(t)], pa.int64()),
+        "entropy_micros": pa.array([hm], pa.int64()),
+        "entropy_rate": pa.array([hm / 1e6], pa.float64())}))

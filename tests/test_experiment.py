@@ -89,3 +89,24 @@ def test_psi_drift_stable_mix_near_zero():
     df["ts"] = pd.to_datetime(df["tsu"], unit="us")
     got = psi_drift(rd.from_pandas(df[["ts", "event_type"]])).to_pandas()
     assert abs(got["psi_term_micros"].sum()) / 1e6 < 0.01
+
+
+def test_bootstrap_diff_ci_covers_true_difference():
+    from deepkg_ray.stages.approx import poisson_bootstrap_diff_ci
+    rng = np.random.default_rng(8)
+    n = 4000
+    grp = np.where(rng.random(n) < 0.4, "A", "B")
+    vals = np.where(grp == "A",
+                    rng.normal(60.0, 5.0, n),
+                    rng.normal(50.0, 5.0, n)).round(2)
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "v": vals, "g": grp})
+    ds = rd.from_pandas(df)
+    ci = poisson_bootstrap_diff_ci(ds, "id", "v", "g", "A", n_boot=64)
+    true_diff = vals[grp == "A"].mean() - vals[grp == "B"].mean()
+    assert ci.loc[0, "ci_lo"] < true_diff < ci.loc[0, "ci_hi"]
+    # the ~10-unit effect is way outside a zero-covering CI
+    assert ci.loc[0, "ci_lo"] > 5.0
+    # deterministic
+    again = poisson_bootstrap_diff_ci(ds, "id", "v", "g", "A", n_boot=64)
+    pd.testing.assert_frame_equal(ci, again)
