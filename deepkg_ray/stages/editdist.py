@@ -27,7 +27,10 @@ Scale shape (the 100-TB posture):
     within ed 2 of each other), so no quadratic blowup on skew.
   * Verification is O(L) per candidate (two-pointer scan — ed <= 1 needs
     no DP), inside the same task; only verified (id_a, id_b, dist) rows
-    ever leave, then one ids-only dedup groupby.
+    ever leave.  A verified pair is emitted ONLY from the group of its
+    minimum shared variant hash (computable task-locally from the two
+    names), so cross-bucket duplicates never exist and the bucket
+    groupby is the ONLY all-to-all in the whole operator.
   * No driver-side state of any size.
 
 Clusters: editdist_clusters feeds the verified pairs to
@@ -98,10 +101,23 @@ def editdist_pairs(ds, *, id_col: str = "id", name_col: str = "name",
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
-        seen: set[tuple[int, int]] = set()   # per-task dedup only
-        for _, g in part.groupby("vh", sort=False):
+        # per-task caches only — name -> uint64 variant-hash array, and
+        # (id_a, id_b) -> verified distance (a pair sharing two variants
+        # can surface in two groups; don't re-verify it)
+        vcache: dict[str, np.ndarray] = {}
+        dcache: dict[tuple[int, int], int] = {}
+
+        def vhashes(nm: str) -> np.ndarray:
+            h = vcache.get(nm)
+            if h is None:
+                h = np.sort(stable_hash64_batch(_deletion_variants(nm)))
+                vcache[nm] = h
+            return h
+
+        for vh, g in part.groupby("vh", sort=False):
             if len(g) < 2:
                 continue
+            cur = np.int64(vh)
             rids = g["rid"].to_numpy(np.int64)
             names = g["name"].tolist()
             for x in range(len(rids)):
@@ -112,26 +128,35 @@ def editdist_pairs(ds, *, id_col: str = "id", name_col: str = "name",
                     if ia > ib:
                         ia, ib = ib, ia
                     key = (int(ia), int(ib))
-                    if key in seen:
+                    d = dcache.get(key)
+                    if d is None:
+                        d = edit_distance_le1(names[x], names[y])
+                        dcache[key] = d
+                    if d > 1:
                         continue
-                    seen.add(key)
-                    d = edit_distance_le1(names[x], names[y])
-                    if d <= 1:
-                        out_a.append(ia)
-                        out_b.append(ib)
-                        out_d.append(d)
+                    # canonical-bucket emission: a qualifying pair is
+                    # emitted ONLY from the group of its minimum shared
+                    # variant hash (min in uint64 space, same space the
+                    # bucketing hashed in) — every other group drops it,
+                    # so no global dedup shuffle is needed afterwards
+                    shared = np.intersect1d(vhashes(names[x]),
+                                            vhashes(names[y]),
+                                            assume_unique=False)
+                    if shared.min().astype(np.int64) != cur:
+                        continue
+                    out_a.append(ia)
+                    out_b.append(ib)
+                    out_d.append(d)
         return pd.DataFrame({"id_a": np.asarray(out_a, np.int64),
                              "id_b": np.asarray(out_b, np.int64),
                              "dist": np.asarray(out_d, np.int64)})
 
-    raw = rows.groupby("bucket").map_groups(bucket_pairs,
-                                            batch_format="pandas")
-    # a pair can surface in two different buckets (two shared variants with
-    # different hashes) — one global ids-only dedup groupby; dist is a
-    # function of the pair so min() == the value
-    from ray.data.aggregate import Min
-    return (raw.groupby(["id_a", "id_b"])
-            .aggregate(Min("dist", alias_name="dist")))
+    # ONE all-to-all total: the bucket groupby.  Cross-bucket duplicate
+    # emission is impossible by the canonical-bucket rule above (the min
+    # shared variant hash picks exactly one group globally), so the old
+    # second groupby(["id_a","id_b"]).min(dist) pass is gone.
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pandas")
 
 
 def editdist_clusters(ds, *, id_col: str = "id", name_col: str = "name",
