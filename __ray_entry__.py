@@ -1917,6 +1917,15 @@ def _q_kg_embeddedness(sf_dir: str):
     return edge_embeddedness(kg.adjacency_dataset(sf_dir))
 
 
+def _q_kg_katz(sf_dir: str):
+    """Fixed-iteration integer-scaled Katz centrality over the directed
+    KG (β source term + α-damped in-edge prestige, stages/graph.py
+    katz_scaled)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import katz_scaled
+    return katz_scaled(kg.adjacency_dataset(sf_dir), n_iters=3)
+
+
 def _q_kg_eigenvector(sf_dir: str):
     """Fixed-iteration integer-scaled eigenvector centrality (power
     iteration x' = A.x on the symmetrized KG, scalar max normalizer)."""
@@ -3782,6 +3791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _q_kg_scc,
         "kg_hits": _q_kg_hits,
         "kg_eigenvector": _q_kg_eigenvector,
+        "kg_katz": _q_kg_katz,
         "kg_embeddedness": _q_kg_embeddedness,
         "kg_avg_nbr_degree": _q_kg_avg_nbr_degree,
         "kg_robustness": _q_kg_robustness,
@@ -4158,6 +4168,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": oracle.kg_hits_oracle(SF_ORACLE, n_iters=3),
         "kg_eigenvector": oracle.kg_eigenvector_oracle(SF_ORACLE,
                                                        n_iters=3),
+        "kg_katz": oracle.kg_katz_oracle(SF_ORACLE, n_iters=3),
         "kg_embeddedness": oracle.edge_embeddedness_oracle(SF_ORACLE),
         "kg_avg_nbr_degree":
             oracle.avg_neighbor_degree_oracle(SF_ORACLE),

@@ -2647,6 +2647,41 @@ FROM h{n_iters} h JOIN a{n_iters} a USING (node)
 """
 
 
+def kg_katz_oracle(sf_dir: str, n_iters: int = 3, alpha_num: int = 1,
+                   alpha_den: int = 5, scale: int = 10**6) -> str:
+    """Fixed-iteration integer-scaled Katz centrality over the simple
+    DIRECTED KG, one MATERIALIZED CTE per iteration — mirrors
+    stages/graph.katz_scaled op for op (x = scale + (α_num·Σ_in)//α_den,
+    BIGINT floor division throughout)."""
+    prev = "x0"
+    iters = []
+    for i in range(1, n_iters + 1):
+        iters.append(f"""x{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST({scale} + ({alpha_num} * CAST(COALESCE(t.sm, 0) AS BIGINT))
+              // {alpha_den} AS BIGINT) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT e.d AS node, SUM(p.v) AS sm
+    FROM {prev} p JOIN dedges e ON e.s = p.node GROUP BY e.d
+  ) t ON t.node = nd.node
+)""")
+        prev = f"x{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)},
+dedges AS MATERIALIZED (
+  SELECT DISTINCT subj_id AS s, obj_id AS d FROM triples
+  WHERE subj_id <> obj_id
+),
+nodes AS (SELECT s AS node FROM dedges UNION SELECT d FROM dedges),
+x0 AS (SELECT node, CAST({scale} AS BIGINT) AS v FROM nodes),
+{chain}
+SELECT node, CAST(v AS BIGINT) AS katz_scaled FROM x{n_iters}
+"""
+
+
 def hll_registers_oracle(p: int = 12) -> str:
     """HyperLogLog sketch state over events.user_id / event_type — the md5-
     parity twin of stages/sketches.py (_hash64 ≡ md5_number_lower; register

@@ -612,6 +612,105 @@ def hits_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
             .groupby("node").map_groups(fold, batch_format="pyarrow"))
 
 
+def katz_scaled(edges, src_col: str = "subj_id", dst_col: str = "obj_id",
+                n_iters: int = 3, alpha_num: int = 1, alpha_den: int = 5,
+                scale: int = HITS_SCALE):
+    """Fixed-iteration Katz centrality over the simple directed graph,
+    ALL arithmetic in int64 units of 1/scale so the engine and the
+    unrolled-CTE SQL oracle agree bitwise (the remaining member of the
+    spectral family next to eigenvector_scaled / hits_scaled: Katz adds a
+    per-node β source term instead of normalizing, so prestige flows along
+    in-edges but every node keeps a baseline):
+
+        x0(v)     = scale                       (β = 1 in scaled units)
+        x_t+1(v)  = scale + (α_num · Σ_{u→v} x_t(u)) // α_den
+
+    α = α_num/α_den = 0.2 by default — inside the convergence radius
+    whenever α < 1/λ_max.  Overflow bound: with α=0.2 and T=3 iterations
+    x ≤ scale·(1 + D/5 + (D/5)² + (D/5)³) for max in-degree D, so
+    D < 2×10⁴ keeps everything < 2^63 — documented partitioning
+    assumption, far above the synth KG's degrees.  Each round is one
+    join-free scatter (state ∪ edges grouped by the destination key) +
+    one node-keyed Sum; no driver-side state beyond the loop counter.
+    Returns (node, katz_scaled)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum as RSum
+
+    def orient(b: pa.Table) -> pa.Table:
+        u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = u != v
+        return pa.table({"s": pa.array(u[keep], pa.int64()),
+                         "d": pa.array(v[keep], pa.int64())})
+
+    dedges = (edges.map_batches(orient, batch_format="pyarrow")
+              .groupby(["s", "d"]).aggregate(Count(alias_name="_m"))
+              .drop_columns(["_m"]).materialize())
+
+    def nodes_of(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["s"].to_numpy(zero_copy_only=False),
+                               b["d"].to_numpy(zero_copy_only=False)])
+        return pa.table({"node": pa.array(np.unique(both), pa.int64())})
+
+    nodes = (dedges.map_batches(nodes_of, batch_format="pyarrow")
+             .groupby("node").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]).materialize())
+    if nodes.count() == 0:
+        empty = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table({"node": empty,
+                                       "katz_scaled": empty}))
+
+    zero_rows = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "val": pa.array(np.zeros(b.num_rows,
+                                                     np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    state = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "v": pa.array(np.full(b.num_rows, scale,
+                                                  np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(n_iters):
+        st_rows = state.map_batches(
+            lambda b: pa.table({"node": b["node"], "peer": b["v"],
+                                "is_edge": pa.array(
+                                    np.zeros(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+        ed_rows = dedges.map_batches(
+            lambda b: pa.table({"node": b["s"], "peer": b["d"],
+                                "is_edge": pa.array(
+                                    np.ones(b.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+        def scatter(g: pa.Table) -> pa.Table:
+            is_edge = g["is_edge"].to_numpy(zero_copy_only=False)
+            pv = g["peer"].to_numpy(zero_copy_only=False)
+            val = int(pv[~is_edge][0])
+            dst = pv[is_edge]
+            return pa.table({"node": pa.array(dst, pa.int64()),
+                             "val": pa.array(
+                                 np.full(len(dst), val, np.int64))})
+
+        raw = (st_rows.union(ed_rows).groupby("node").map_groups(
+            scatter, batch_format="pyarrow")
+            .union(zero_rows).groupby("node")
+            .aggregate(RSum("val", alias_name="raw")))
+
+        def fold(b: pa.Table) -> pa.Table:
+            r = b["raw"].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = scale + (alpha_num * r) // alpha_den
+            return pa.table({"node": b["node"],
+                             "v": pa.array(v, pa.int64())})
+
+        state = raw.map_batches(fold, batch_format="pyarrow").materialize()
+
+    return state.map_batches(
+        lambda b: pa.table({"node": b["node"], "katz_scaled": b["v"]}),
+        batch_format="pyarrow")
+
+
 def reciprocity(edges, src_col: str = "subj_id", dst_col: str = "obj_id"):
     """Edge reciprocity of the simple directed graph: the fraction of
     distinct s≠d edges whose reverse edge also exists.  One groupby over

@@ -726,6 +726,26 @@ def test_eigenvector_scaled_golden(ray_session):
     assert out[0] == scale and out[1] == out[2] == out[3] < scale
 
 
+def test_katz_scaled_golden(ray_session):
+    """Path 1->2->3 plus 4->2: node 2 collects two β-sized in-flows, 3
+    collects 2's growing score, sources stay at β.  Naive integer
+    recurrence mirrored in pure python (α = 1/5, scale = 1e6)."""
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "subj_id": pa.array([1, 2, 4], pa.int64()),
+        "obj_id": pa.array([2, 3, 2], pa.int64())}))
+    out = (graph.katz_scaled(ds, n_iters=3).to_pandas()
+           .set_index("node")["katz_scaled"])
+    scale = 10 ** 6
+    ins = {2: [1, 4], 3: [2], 1: [], 4: []}
+    x = {n: scale for n in ins}
+    for _ in range(3):
+        x = {n: scale + (1 * sum(x[u] for u in ins[n])) // 5 for n in ins}
+    for n in ins:
+        assert out[n] == x[n], (n, out[n], x[n])
+    assert out[2] > out[3] > out[1] == out[4] == scale
+
+
 def test_edge_embeddedness_golden(ray_session):
     """Triangle {1,2,3} + bridge 3-4: triangle edges have cn=1, the
     bridge has cn=0 and still appears."""
