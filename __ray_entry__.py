@@ -3305,6 +3305,15 @@ def _q_conv_packing_stats(sf_dir: str):
     return conv_packing_stats(ds, window=2048)
 
 
+def _q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U rank-sum test of weekend vs weekday values — the
+    nonparametric twin of weekend_effect, assembled without a global sort
+    via ordered value-range buckets (stages/windows.py)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import mann_whitney_weekend
+    return mann_whitney_weekend(read_events(sf_dir, ["ts", "value"]))
+
+
 def _q_weekend_effect(sf_dir: str):
     """Welch t statistic for weekend-vs-weekday value shift (mirrored
     DOUBLE chain over exact millis moments)."""
@@ -3907,6 +3916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_charge": _q_pricing_charge,
         "user_value_bands": _q_user_value_bands,
         "weekend_effect": _q_weekend_effect,
+        "mann_whitney": _q_mann_whitney,
         "distinct_ngram_diversity": _q_distinct_ngram_diversity,
         "neyman_allocation": _q_neyman_allocation,
         "neyman_sample": _q_neyman_sample,
@@ -4292,6 +4302,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_charge": oracle.pricing_charge_summary_oracle(),
         "user_value_bands": oracle.user_value_bands_oracle(),
         "weekend_effect": oracle.weekend_effect_oracle(),
+        "mann_whitney": oracle.mann_whitney_weekend_oracle(),
         "shipping_delay_quantiles": oracle.shipping_delay_quantiles_oracle(),
         "pair_lift": oracle.pair_lift_oracle(),
         "value_autocorr": oracle.value_autocorr_oracle(),

@@ -7386,6 +7386,52 @@ FROM el
 """
 
 
+def mann_whitney_weekend_oracle() -> str:
+    """Mirror of windows.mann_whitney_weekend: U in half-units via the
+    midrank identity u2 = Σ_v c_we(v)·(2·prefix(<v) + c(v) + 1)
+    − n2·(n2+1) over int64-millis tie classes (algebraically equal to the
+    engine's bucketed pair count — both count 2 per strict win and 1 per
+    tie), tie term t3 = Σ (c³ − c), and the tie-corrected normal z in the
+    engine's DOUBLE op order."""
+    return """
+WITH x AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS vm
+  FROM events
+), c AS (
+  SELECT vm, CAST(SUM(we) AS BIGINT) AS c_we,
+         CAST(COUNT(*) - SUM(we) AS BIGINT) AS c_wd,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM x GROUP BY vm
+), p AS (
+  SELECT vm, c_we, c_wd, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY vm
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cl
+  FROM c
+), s AS (
+  SELECT CAST(SUM(c_wd) AS BIGINT) AS n1,
+         CAST(SUM(c_we) AS BIGINT) AS n2,
+         CAST(SUM(c_we * (2 * cl + c + 1)) AS BIGINT) AS r2we,
+         CAST(SUM(c * c * c - c) AS BIGINT) AS t3
+  FROM p
+)
+SELECT n1 AS n_weekday, n2 AS n_weekend,
+       CAST(r2we - n2 * (n2 + 1) AS BIGINT) AS u2_weekend,
+       t3 AS tie_t3,
+       CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN 0.0
+            WHEN ((n1 + n2 + 1) - CAST(t3 AS DOUBLE)
+                  / ((n1 + n2) * (n1 + n2 - 1))) <= 0 THEN 0.0
+            ELSE floor(
+              (r2we - n2 * (n2 + 1) - n1 * n2)
+              / (2.0 * sqrt(CAST(n1 * n2 AS DOUBLE)
+                  * ((n1 + n2 + 1) - CAST(t3 AS DOUBLE)
+                     / ((n1 + n2) * (n1 + n2 - 1))) / 12.0))
+              * 1e6 + 0.5) / 1e6 END AS z_stat
+FROM s
+"""
+
+
 def weekend_effect_oracle() -> str:
     """Mirror of windows.weekend_effect: identical DOUBLE op order for
     the Welch chain on millis-int moments."""

@@ -1654,6 +1654,113 @@ def weekend_effect(ds, ts_col: str = "ts", value_col: str = "value"):
                            pa.float64())}))
 
 
+def mann_whitney_weekend(ds, ts_col: str = "ts", value_col: str = "value",
+                         shift: int = 12, max_buckets: int = 1 << 20):
+    """Mann–Whitney U rank-sum test, weekend vs weekday values — the
+    nonparametric twin of weekend_effect (that one tests the mean; this
+    tests stochastic dominance and is robust to heavy tails).
+
+    Exactness: values are compared as int64 millis (weekend_effect's
+    quantization), so tie classes match the SQL oracle bit for bit.  The
+    U statistic is kept in HALF-UNITS (u2 = 2·U, integer — a tie
+    contributes ½ per pair) and assembled WITHOUT a global sort via
+    ordered value-range buckets (bucket = vm >> shift — monotone in vm by
+    construction, the curation histogram-prefix trick):
+
+      * per batch: batch-local distinct-vm counts (combiner),
+      * per bucket (one task): within-bucket exact pair count
+        u2w = Σ_v c_we(v)·(2·prefix_wd(<v) + c_wd(v)) and the tie term
+        t3 = Σ_v (c³ − c) over c = c_wd + c_we, both in arbitrary-
+        precision Python ints over ≤ 2^shift distinct values,
+      * driver: cross-bucket pairs from the bucket-totals table
+        (u2x = 2·Σ_b twe(b)·prefix_wd(<b)) — bucket-shaped
+        (value_range/2^shift rows, asserted ≤ max_buckets), never
+        row-shaped.
+
+    z uses the normal approximation with tie correction,
+    σ² = (n1·n2/12)·((N+1) − t3/(N(N−1))), identical DOUBLE op order to
+    the SQL mirror.  Documented bounds: per-bucket u2w and the total u2
+    are emitted as int64 (fine below ~4·10⁹ rows per value-range bucket
+    and ~3·10⁹ total rows; shard the test per stratum beyond that).
+    Returns one row (n_weekday, n_weekend, u2_weekend, tie_t3, z_stat)."""
+    import math
+
+    import ray.data as rd
+    from deepkg_ray.util import rows_all
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        dow = (dt.dayofweek.to_numpy() + 1) % 7       # DuckDB: 0=Sun
+        we = ((dow == 0) | (dow == 6)).astype(np.int64)
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        vm = np.floor(v * 1e3 + 0.5).astype(np.int64)
+        d = pd.DataFrame({"vm": vm, "we": we})
+        g = d.groupby("vm", sort=False)["we"].agg(["count", "sum"]) \
+            .reset_index()
+        out = pd.DataFrame({
+            "bucket": (g["vm"].to_numpy(np.int64) >> shift),
+            "vm": g["vm"].to_numpy(np.int64),
+            "c_we": g["sum"].to_numpy(np.int64),
+            "c_wd": (g["count"] - g["sum"]).to_numpy(np.int64)})
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.groupby("vm", sort=True)[["c_wd", "c_we"]].sum()
+             .reset_index())
+        cwd = m["c_wd"].tolist()
+        cwe = m["c_we"].tolist()
+        u2w = 0
+        t3 = 0
+        pw = 0                                   # prefix of c_wd within
+        for w_, e_ in zip(cwd, cwe):
+            w_, e_ = int(w_), int(e_)
+            u2w += e_ * (2 * pw + w_)
+            c = w_ + e_
+            t3 += c * c * c - c
+            pw += w_
+        return pd.DataFrame({
+            "bucket": np.asarray([g["bucket"].iloc[0]], np.int64),
+            "twd": np.asarray([pw], np.int64),
+            "twe": np.asarray([sum(map(int, cwe))], np.int64),
+            "u2w": np.asarray([u2w], np.int64),
+            "t3": np.asarray([t3], np.int64)})
+
+    buckets = (ds.select_columns([ts_col, value_col])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas"))
+    rows = sorted(rows_all(buckets), key=lambda r: r["bucket"])
+    assert len(rows) <= max_buckets, \
+        f"bucket table {len(rows)} > {max_buckets}: raise shift"
+    n1 = sum(int(r["twd"]) for r in rows)          # weekday
+    n2 = sum(int(r["twe"]) for r in rows)          # weekend
+    t3 = sum(int(r["t3"]) for r in rows)
+    u2 = 0
+    pw = 0
+    for r in rows:                                 # cross-bucket pairs
+        u2 += int(r["u2w"]) + 2 * int(r["twe"]) * pw
+        pw += int(r["twd"])
+    N = n1 + n2
+    mu2 = n1 * n2
+    if n1 > 0 and n2 > 0 and N > 1:
+        # inner >= 0 algebraically (t3 <= N^3 - N); the guard also
+        # absorbs the all-tied case where float rounding could dip below 0
+        inner = (N + 1) - t3 / (N * (N - 1))
+        sigma = math.sqrt((n1 * n2) * inner / 12.0) if inner > 0 else 0.0
+    else:
+        sigma = 0.0
+    z = (float(round6(np.asarray([(u2 - mu2) / (2.0 * sigma)]))[0])
+         if sigma > 0 else 0.0)
+    return rd.from_arrow(pa.table({
+        "n_weekday": pa.array([n1], pa.int64()),
+        "n_weekend": pa.array([n2], pa.int64()),
+        "u2_weekend": pa.array([u2], pa.int64()),
+        "tie_t3": pa.array([t3], pa.int64()),
+        "z_stat": pa.array([z], pa.float64())}))
+
+
 def watermark_late_counts(ds, *, lateness_us: int = 60_000_000,
                           window_us: int = 60_000_000, n_parts: int = 64):
     """Streaming watermark audit over merged per-key ordered streams.

@@ -942,6 +942,44 @@ def test_weekend_effect_golden():
     assert out["mean_weekday"].item() == 2.0
 
 
+def test_mann_whitney_golden_bruteforce():
+    """Bucketed half-unit U == the O(n1·n2) definition (2 per strict
+    weekend win, 1 per tie), with values straddling bucket boundaries
+    (shift=2 -> 4-milli buckets) and tie classes on both sides."""
+    from deepkg_ray.stages.windows import mann_whitney_weekend
+    we_days = ["2024-01-06", "2024-01-07"]
+    wd_days = ["2024-01-08", "2024-01-09"]
+    we_vals = [0.010, 0.010, 0.002, 0.050, 0.007]
+    wd_vals = [0.004, 0.010, 0.002, 0.049, 0.003, 0.051]
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(
+            [we_days[i % 2] for i in range(len(we_vals))]
+            + [wd_days[i % 2] for i in range(len(wd_vals))]),
+        "value": we_vals + wd_vals})
+    out = mann_whitney_weekend(rd.from_pandas(df), shift=2).to_pandas()
+    wem = [round(v * 1e3) for v in we_vals]
+    wdm = [round(v * 1e3) for v in wd_vals]
+    u2 = sum(2 if a > b else (1 if a == b else 0)
+             for a in wem for b in wdm)
+    assert out["u2_weekend"].item() == u2
+    assert out["n_weekend"].item() == len(we_vals)
+    assert out["n_weekday"].item() == len(wd_vals)
+    from collections import Counter
+    t3 = sum(c ** 3 - c for c in Counter(wem + wdm).values())
+    assert out["tie_t3"].item() == t3
+
+
+def test_mann_whitney_matches_duckdb():
+    from deepkg_ray.oracle import mann_whitney_weekend_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.windows import mann_whitney_weekend
+    got = _canon(mann_whitney_weekend(
+        read_events(SF, ["ts", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(mann_whitney_weekend_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_weekend_effect_matches_duckdb():
     from deepkg_ray.oracle import weekend_effect_oracle
     from deepkg_ray.sources.readers import read_events
