@@ -2637,6 +2637,15 @@ def _q_events_auc(sf_dir: str):
     return roc_auc(read_events(sf_dir, ["event_type", "value"]))
 
 
+def _q_events_pr_auc(sf_dir: str):
+    """Average precision (PR-AUC) of value as a purchase-detector score,
+    integer per-threshold terms over the distinct-value histogram
+    (stages/quantiles.pr_auc)."""
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import pr_auc
+    return pr_auc(read_events(sf_dir, ["event_type", "value"]))
+
+
 def _q_events_drawdown(sf_dir: str):
     """Per-user max drawdown of the cumulative value series (chained
     SUM-OVER / MAX-OVER windows on user-complete partitions)."""
@@ -3993,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad": _q_events_mad,
         "events_ks": _q_events_ks,
         "events_auc": _q_events_auc,
+        "events_pr_auc": _q_events_pr_auc,
         "events_drawdown": _q_events_drawdown,
         "customer_order_distribution": _q_customer_order_distribution,
         "local_supplier_volume": _q_local_supplier_volume,
@@ -4373,6 +4383,7 @@ def oracle_sql() -> dict[str, str]:
         "events_mad": oracle.grouped_mad_oracle(),
         "events_ks": oracle.ks_two_sample_oracle(),
         "events_auc": oracle.roc_auc_oracle(),
+        "events_pr_auc": oracle.pr_auc_oracle(),
         "events_drawdown": oracle.max_drawdown_oracle(),
         "customer_order_distribution": oracle.customer_order_distribution_oracle(),
         "local_supplier_volume": oracle.local_supplier_volume_oracle(),

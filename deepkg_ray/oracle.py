@@ -5796,6 +5796,40 @@ FROM c, t GROUP BY t.np, t.nq
 """
 
 
+def pr_auc_oracle(positive: str = "purchase") -> str:
+    """Mirror of quantiles.pr_auc: integer per-threshold terms
+    (p·cp·10⁶)//(cp+cq) in HUGEINT over distinct micros values
+    descending, one float op chain for the final scalar."""
+    return f"""
+WITH vm AS (SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+                   CASE WHEN event_type = '{positive}'
+                        THEN 1 ELSE 0 END AS p
+            FROM events),
+     h AS (SELECT vm, CAST(SUM(p) AS BIGINT) AS p,
+                  CAST(count(*) - SUM(p) AS BIGINT) AS q
+           FROM vm GROUP BY vm),
+     t AS (SELECT CAST(SUM(p) AS BIGINT) AS np,
+                  CAST(SUM(q) AS BIGINT) AS nq FROM h),
+     c AS (SELECT p, q,
+                  CAST(SUM(p) OVER (ORDER BY vm DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cp,
+                  CAST(SUM(q) OVER (ORDER BY vm DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cq
+           FROM h),
+     s AS (SELECT CAST(SUM(CASE WHEN p > 0 THEN
+                  (CAST(p AS HUGEINT) * cp * 1000000) // (cp + cq)
+                  ELSE 0 END) AS BIGINT) AS num
+           FROM c)
+SELECT t.np AS n_pos, t.nq AS n_neg, s.num AS ap_num_micros,
+       CASE WHEN t.np = 0 THEN 0.0 ELSE
+         floor(CAST(s.num AS DOUBLE) / CAST(t.np AS DOUBLE) / 1e6
+               * 1e6 + 0.5) / 1e6 END AS average_precision
+FROM s, t
+"""
+
+
 def max_drawdown_oracle() -> str:
     """Mirror of windows.max_drawdown: SUM-OVER running total, MAX-OVER
     running peak, grouped MAX of the gap — all in exact micros."""

@@ -586,6 +586,60 @@ def roc_auc(ds, group_col: str = "event_type", col: str = "value",
         "auc": pa.array([auc], pa.float64())}))
 
 
+def pr_auc(ds, group_col: str = "event_type", col: str = "value",
+           positive: str = "purchase"):
+    """Average precision (area under the precision-recall curve, the
+    step-wise interpolation sklearn calls AP) of ``col`` as a score for
+    the ``positive`` class — the imbalanced-class companion of roc_auc:
+
+        AP = Σ_v  (p(v)/P) · cp(v)/(cp(v)+cq(v))
+
+    over distinct score values v descending, cp/cq the ≥v cumulative
+    positive/negative counts.  Exactness: each term is the INTEGER floor
+    (p·cp·10⁶) // (cp+cq) in arbitrary-precision ints (HUGEINT in the SQL
+    mirror), summed to ap_num_micros; only the final ap = num/P/1e6
+    scalar is float, in oracle-identical op order.  Same distinct-value-
+    bounded histogram plan as roc_auc/ks_two_sample (the driver sees one
+    row per distinct micros value, never row-shaped data).  Returns one
+    row (n_pos, n_neg, ap_num_micros, average_precision)."""
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import round6, to_micros
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = np.asarray(b[group_col].to_pylist(), object)
+        vm = np.asarray(to_micros(b[col].to_pylist()), np.int64)
+        p = (t == positive).astype(np.int64)
+        vals, inv = np.unique(vm, return_inverse=True)
+        cp = np.bincount(inv, weights=p).astype(np.int64)
+        cq = np.bincount(inv, weights=1 - p).astype(np.int64)
+        return pa.table({"vm": pa.array(vals, pa.int64()),
+                         "p": pa.array(cp, pa.int64()),
+                         "q": pa.array(cq, pa.int64())})
+
+    hist = (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("vm").aggregate(Sum("p", alias_name="p"),
+                                     Sum("q", alias_name="q"))
+            .to_pandas().sort_values("vm", ascending=False))
+    p = hist["p"].to_numpy(np.int64)
+    q = hist["q"].to_numpy(np.int64)
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    num = 0
+    cp = cq = 0
+    for pi, qi in zip(p.tolist(), q.tolist()):
+        cp += int(pi)
+        cq += int(qi)
+        if pi:
+            num += (int(pi) * cp * 10**6) // (cp + cq)
+    ap = (float(round6(np.asarray(
+        [float(num) / float(n_pos) / 1e6]))[0]) if n_pos else 0.0)
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "ap_num_micros": pa.array([num], pa.int64()),
+        "average_precision": pa.array([ap], pa.float64())}))
+
+
 def grouped_mad_outliers(ds, k: int = 3, group_col: str = "event_type",
                          col: str = "value", id_col: str = "event_id"):
     """Robust outlier flagging per group: rows more than ``k`` MADs from

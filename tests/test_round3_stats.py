@@ -119,6 +119,43 @@ def test_roc_auc_perfect_separation():
     assert roc_auc(rd.from_pandas(df)).to_pandas()["auc"].item() == 1.0
 
 
+def test_pr_auc_golden_with_ties():
+    from deepkg_ray.stages.quantiles import pr_auc
+    # thresholds desc: v=3 -> cp=1, cq=0, term = 1·1e6//1 = 1e6
+    #                  v=2 -> p=1 (tied with one neg), cp=2, cq=1,
+    #                         term = 1·2·1e6//3 = 666666
+    # AP = (1e6 + 666666)/2/1e6 = 0.833333
+    df = pd.DataFrame({
+        "event_type": ["purchase", "purchase", "view", "view"],
+        "value": [3.0, 2.0, 1.0, 2.0],
+    })
+    out = pr_auc(rd.from_pandas(df)).to_pandas()
+    assert out["n_pos"].item() == 2 and out["n_neg"].item() == 2
+    assert out["ap_num_micros"].item() == 10**6 + 666666
+    assert out["average_precision"].item() == 0.833333
+
+
+def test_pr_auc_perfect_separation():
+    from deepkg_ray.stages.quantiles import pr_auc
+    df = pd.DataFrame({
+        "event_type": ["purchase"] * 3 + ["view"] * 3,
+        "value": [10.0, 11.0, 12.0, 1.0, 2.0, 3.0],
+    })
+    out = pr_auc(rd.from_pandas(df)).to_pandas()
+    assert out["average_precision"].item() == 1.0
+
+
+def test_pr_auc_matches_duckdb():
+    from deepkg_ray.oracle import pr_auc_oracle
+    from deepkg_ray.sources.readers import read_events
+    from deepkg_ray.stages.quantiles import pr_auc
+    got = _canon(pr_auc(
+        read_events(SF, ["event_type", "value"])).to_pandas())
+    con = _events_con()
+    exp = _canon(con.sql(pr_auc_oracle()).df())
+    pd.testing.assert_frame_equal(got, exp)
+
+
 def test_roc_auc_matches_duckdb():
     from deepkg_ray.oracle import roc_auc_oracle
     from deepkg_ray.sources.readers import read_events
