@@ -2132,6 +2132,33 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(aug)
 
 
+def _q_quality_lr_weights(sf_dir: str):
+    """Trained hard-sigmoid logistic-regression quality classifier:
+    final weight vector after 16 integer-exact full-batch GD rounds
+    (stages/logreg.py — fasttext-style corpus quality filter,
+    distilling doc_stats' quality rule)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.logreg import lr_weight_table
+    return lr_weight_table(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_quality_lr_scores(sf_dir: str):
+    """Per-doc margins/predictions under the trained quality classifier
+    — the whole train+score chain is integer arithmetic, hash-exact vs
+    the unrolled-CTE SQL."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.logreg import lr_scores
+    return lr_scores(read_documents(sf_dir, ["doc_id", "text"]))
+
+
+def _q_quality_lr_accuracy(sf_dir: str):
+    """Training report for the learned quality filter (n, positives,
+    correct, train accuracy)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.logreg import lr_accuracy
+    return lr_accuracy(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_quality_filter(sf_dir: str):
     """Gopher-style rule-based quality gate with per-rule flags."""
     from deepkg_ray.sources.readers import read_documents
@@ -3896,6 +3923,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "source_pii_rates": _q_source_pii_rates,
         "quality_filter": _q_quality_filter,
+        "quality_lr_weights": _q_quality_lr_weights,
+        "quality_lr_scores": _q_quality_lr_scores,
+        "quality_lr_accuracy": _q_quality_lr_accuracy,
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
         "doc_logprob_bigram": _q_doc_logprob_bigram,
@@ -4286,6 +4316,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracle.pii_scrub_oracle(),
         "source_pii_rates": oracle.source_pii_rates_oracle(),
         "quality_filter": oracle.quality_filter_oracle(),
+        "quality_lr_weights": oracle.quality_lr_weights_oracle(),
+        "quality_lr_scores": oracle.quality_lr_scores_oracle(),
+        "quality_lr_accuracy": oracle.quality_lr_accuracy_oracle(),
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),
         "doc_logprob_bigram": oracle.doc_logprob_bigram_oracle(),

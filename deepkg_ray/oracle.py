@@ -830,6 +830,116 @@ FROM r
 """
 
 
+def _lr_chain(table: str = "documents", eta_num: int = 4,
+              n_iters: int = 16) -> str:
+    """Shared CTE chain for the hard-sigmoid logistic-regression oracles
+    (stages/logreg.py): doc_stats base counts → integer-micros features +
+    distillation label → T unrolled (gradient, weight-update) CTE pairs.
+    All arithmetic BIGINT with DuckDB's truncating `//`, mirroring the
+    engine's tdiv — zero floats in the iterate."""
+    stop = "'the','and','of','to','in'"
+    am = "floor(n_alpha * 1.0 / greatest(n_chars_calc, 1) * 1e6 + 0.5)"
+    sm = "floor(n_stop * 1.0 / greatest(n_tokens, 1) * 1e6 + 0.5)"
+    qm = (f"least(greatest(floor(0.4*{am} + 0.3*(least(n_tokens,100)"
+          f"*10000.0) + 0.3*{sm} + 0.5), 0.0), 1000000.0)")
+    zex = ("(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 "
+           "+ f.x4*w.w4)")
+    sig = f"least(greatest({zex} // 4000000 + 500000, 0), 1000000)"
+    iters = []
+    prev = "w0"
+    for i in range(1, n_iters + 1):
+        gs = ", ".join(
+            f"CAST(SUM((({sig} - f.y*1000000) * f.x{j}) // 1000000) "
+            f"AS BIGINT) AS g{j}" for j in range(5))
+        ws = ", ".join(
+            f"CAST(w.w{j} - ({eta_num}*g.g{j}) // c.n AS BIGINT) AS w{j}"
+            for j in range(5))
+        iters.append(
+            f"g{i} AS MATERIALIZED (SELECT {gs} FROM f, {prev} w),\n"
+            f"w{i} AS MATERIALIZED (SELECT {ws} FROM {prev} w, g{i} g, "
+            f"cnt c)")
+        prev = f"w{i}"
+    chain = ",\n".join(iters)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         length(text) AS n_chars_calc,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+'))
+              END AS n_tokens,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(string_split_regex(lower(trim(text)),
+                                                      '\\s+'),
+                                   x -> x IN ({stop}))) END AS n_stop
+  FROM {table}
+), f AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(1000000 AS BIGINT) AS x0,
+         CAST(least(n_chars_calc, 2000) * 500 AS BIGINT) AS x1,
+         CAST(least(n_tokens, 400) * 2500 AS BIGINT) AS x2,
+         CAST({am} AS BIGINT) AS x3,
+         CAST({sm} AS BIGINT) AS x4,
+         CAST(CASE WHEN {qm} / 1e6 >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS y
+  FROM base
+),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+              CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
+              CAST(0 AS BIGINT) AS w4),
+{chain}"""
+
+
+def quality_lr_weights_oracle(table: str = "documents",
+                              eta_num: int = 4,
+                              n_iters: int = 16) -> str:
+    """Mirror of logreg.lr_weight_table: final weight vector unpivoted
+    to (feature, w_micros) rows."""
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS feature, w{j} AS w_micros FROM w{n_iters}"
+        for j, name in enumerate(("bias", "len_capped", "tokens_capped",
+                                  "alpha_ratio", "stop_ratio")))
+    return _lr_chain(table, eta_num, n_iters) + "\n" + rows
+
+
+def quality_lr_scores_oracle(table: str = "documents",
+                             eta_num: int = 4,
+                             n_iters: int = 16) -> str:
+    """Mirror of logreg.lr_scores: per-doc exact int64 margin under the
+    trained weights, pred = [z ≥ 0], distillation label."""
+    zex = ("(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 "
+           "+ f.x4*w.w4)")
+    return _lr_chain(table, eta_num, n_iters) + f"""
+SELECT f.doc_id, CAST({zex} AS BIGINT) AS z_scaled,
+       CAST(CASE WHEN {zex} >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       f.y AS label
+FROM f, w{n_iters} w
+"""
+
+
+def quality_lr_accuracy_oracle(table: str = "documents",
+                               eta_num: int = 4,
+                               n_iters: int = 16) -> str:
+    """Mirror of logreg.lr_accuracy: integer confusion counts + one
+    round6 float division."""
+    zex = ("(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 "
+           "+ f.x4*w.w4)")
+    return _lr_chain(table, eta_num, n_iters) + f"""
+, p AS (SELECT f.y AS label,
+               CASE WHEN {zex} >= 0 THEN 1 ELSE 0 END AS pred
+        FROM f, w{n_iters} w)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       floor(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+           AS train_accuracy
+FROM p
+"""
+
+
 def sequence_packing_oracle(window: int = 2048, sep_tokens: int = 1,
                             table: str = "documents") -> str:
     """Window-function re-derivation of the distributed prefix-sum packing
