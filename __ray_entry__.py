@@ -2159,6 +2159,14 @@ def _q_quality_lr_accuracy(sf_dir: str):
     return lr_accuracy(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_quality_lr_holdout(sf_dir: str):
+    """Generalization report for the learned quality filter: trained on
+    the deterministic md5-80% split only, accuracy on train vs holdout."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.logreg import lr_holdout
+    return lr_holdout(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_quality_filter(sf_dir: str):
     """Gopher-style rule-based quality gate with per-rule flags."""
     from deepkg_ray.sources.readers import read_documents
@@ -3926,6 +3934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_lr_weights": _q_quality_lr_weights,
         "quality_lr_scores": _q_quality_lr_scores,
         "quality_lr_accuracy": _q_quality_lr_accuracy,
+        "quality_lr_holdout": _q_quality_lr_holdout,
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
         "doc_logprob_bigram": _q_doc_logprob_bigram,
@@ -4319,6 +4328,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_weights": oracle.quality_lr_weights_oracle(),
         "quality_lr_scores": oracle.quality_lr_scores_oracle(),
         "quality_lr_accuracy": oracle.quality_lr_accuracy_oracle(),
+        "quality_lr_holdout": oracle.quality_lr_holdout_oracle(),
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),
         "doc_logprob_bigram": oracle.doc_logprob_bigram_oracle(),

@@ -831,7 +831,8 @@ FROM r
 
 
 def _lr_chain(table: str = "documents", eta_num: int = 4,
-              n_iters: int = 16) -> str:
+              n_iters: int = 16, holdout: bool = False,
+              seed: int = 9, train_cut: int = 204) -> str:
     """Shared CTE chain for the hard-sigmoid logistic-regression oracles
     (stages/logreg.py): doc_stats base counts → integer-micros features +
     distillation label → T unrolled (gradient, weight-update) CTE pairs.
@@ -854,12 +855,19 @@ def _lr_chain(table: str = "documents", eta_num: int = 4,
         ws = ", ".join(
             f"CAST(w.w{j} - ({eta_num}*g.g{j}) // c.n AS BIGINT) AS w{j}"
             for j in range(5))
+        where = " WHERE f.tr = 1" if holdout else ""
         iters.append(
-            f"g{i} AS MATERIALIZED (SELECT {gs} FROM f, {prev} w),\n"
+            f"g{i} AS MATERIALIZED (SELECT {gs} FROM f, {prev} w"
+            f"{where}),\n"
             f"w{i} AS MATERIALIZED (SELECT {ws} FROM {prev} w, g{i} g, "
             f"cnt c)")
         prev = f"w{i}"
     chain = ",\n".join(iters)
+    tr_col = (f",\n         CAST(CASE WHEN substr(md5('{seed}:' || "
+              f"CAST(doc_id AS VARCHAR)), 1, 2) < '{train_cut:02x}' "
+              f"THEN 1 ELSE 0 END AS BIGINT) AS tr"
+              if holdout else "")
+    cnt_where = " WHERE tr = 1" if holdout else ""
     return f"""
 WITH base AS MATERIALIZED (
   SELECT doc_id,
@@ -881,10 +889,10 @@ WITH base AS MATERIALIZED (
          CAST({am} AS BIGINT) AS x3,
          CAST({sm} AS BIGINT) AS x4,
          CAST(CASE WHEN {qm} / 1e6 >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
-             AS y
+             AS y{tr_col}
   FROM base
 ),
-cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f{cnt_where}),
 w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
               CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
               CAST(0 AS BIGINT) AS w4),
@@ -937,6 +945,28 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
                   AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
            AS train_accuracy
 FROM p
+"""
+
+
+def quality_lr_holdout_oracle(table: str = "documents",
+                              eta_num: int = 4,
+                              n_iters: int = 16) -> str:
+    """Mirror of logreg.lr_holdout: weights trained only on the md5-80%
+    split (f.tr = 1 rows), both splits evaluated."""
+    zex = ("(f.x0*w.w0 + f.x1*w.w1 + f.x2*w.w2 + f.x3*w.w3 "
+           "+ f.x4*w.w4)")
+    return _lr_chain(table, eta_num, n_iters, holdout=True) + f"""
+, p AS (SELECT CASE WHEN f.tr = 1 THEN 'train' ELSE 'holdout' END
+               AS split,
+               f.y AS label,
+               CASE WHEN {zex} >= 0 THEN 1 ELSE 0 END AS pred
+        FROM f, w{n_iters} w)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       floor(CAST(SUM(CASE WHEN pred = label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS accuracy
+FROM p GROUP BY split
 """
 
 

@@ -172,6 +172,64 @@ def lr_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return feats.map_batches(score, batch_format="pyarrow")
 
 
+def lr_holdout(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               eta_num: int = LR_ETA_NUM, n_iters: int = LR_ITERS,
+               seed: int = 9, train_cut: int = 204):
+    """Generalization check for the quality classifier: train ONLY on
+    the deterministic md5 80% split (curation.dataset_split_assign's
+    convention — first md5 byte of 'seed:id' < 204), then evaluate on
+    both splits.  The gap between the two accuracy rows is the
+    overfitting measure; the whole chain stays integer-exact so the
+    unrolled SQL reproduces the held-out predictions bit for bit.
+    Returns rows (split ∈ {train, holdout}, n_docs, n_correct,
+    accuracy)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from deepkg_ray.functions.numeric import round6
+
+    def add_tr(b: pa.Table) -> pa.Table:
+        tr = [1 if int(hashlib.md5(f"{seed}:{i}".encode())
+                       .hexdigest()[:2], 16) < train_cut else 0
+              for i in b[id_col].to_pylist()]
+        return b.append_column("tr", pa.array(tr, pa.int64()))
+
+    feats = (lr_features(ds, text_col=text_col, id_col=id_col)
+             .map_batches(add_tr, batch_format="pyarrow").materialize())
+    train = feats.map_batches(
+        lambda b: b.filter(pc.equal(b["tr"], 1)),
+        batch_format="pyarrow").materialize()
+    w = lr_train(train, eta_num=eta_num, n_iters=n_iters)
+
+    def partial(b: pa.Table, w=list(w)) -> pa.Table:
+        z = _z_scaled(b, w)
+        pred = (z >= 0).astype(np.int64)
+        lab = b["y"].to_numpy(zero_copy_only=False)
+        tr = b["tr"].to_numpy(zero_copy_only=False)
+        cols = {}
+        for tag, m in (("tr", tr == 1), ("ho", tr == 0)):
+            cols[f"n_{tag}"] = pa.array([int(m.sum())], pa.int64())
+            cols[f"c_{tag}"] = pa.array(
+                [int((pred[m] == lab[m]).sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = feats.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c)
+          for c in ("n_tr", "c_tr", "n_ho", "c_ho")])
+    rows = []
+    for name, nk, ck in (("train", "n_tr", "c_tr"),
+                         ("holdout", "n_ho", "c_ho")):
+        n, c = int(agg[nk] or 0), int(agg[ck] or 0)
+        rows.append((name, n, c,
+                     float(round6(np.asarray([c / n]))[0]) if n else 0.0))
+    return rd.from_arrow(pa.table({
+        "split": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_correct": pa.array([r[2] for r in rows], pa.int64()),
+        "accuracy": pa.array([r[3] for r in rows], pa.float64())}))
+
+
 def lr_accuracy(ds, *, text_col: str = "text", id_col: str = "doc_id",
                 eta_num: int = LR_ETA_NUM, n_iters: int = LR_ITERS):
     """One-row training report: (n_docs, n_pos, n_correct,

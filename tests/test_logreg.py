@@ -67,6 +67,22 @@ def test_lr_training_learns_the_quality_rule(ray_session):
     assert out["train_accuracy"].item() >= 0.85
 
 
+def test_lr_holdout_matches_duckdb_and_generalizes(ray_session):
+    from deepkg_ray.oracle import quality_lr_holdout_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.logreg import lr_holdout
+    got = lr_holdout(read_documents(SF, ["doc_id", "text"])).to_pandas()
+    con = _docs_con()
+    exp = _canon(con.sql(quality_lr_holdout_oracle()).df())
+    pd.testing.assert_frame_equal(_canon(got), exp)
+    ho = got.set_index("split")
+    # the distilled rule generalizes: held-out accuracy clears the
+    # majority baseline by a wide margin
+    assert ho.loc["holdout", "accuracy"] >= 0.75
+    assert ho.loc["train", "n_docs"].item() \
+        + ho.loc["holdout", "n_docs"].item() > 0
+
+
 def test_lr_batch_order_invariance(ray_session):
     """Gradient sums are integer micros, so training is invariant to
     block layout — 1 block vs many blocks give identical weights."""
