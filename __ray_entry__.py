@@ -2214,6 +2214,16 @@ def _q_doc_logprob_bigram(sf_dir: str):
     return doc_logprob_bigram(read_documents(sf_dir, ["doc_id", "text"]))
 
 
+def _q_doc_logprob_kn(sf_dir: str):
+    """Per-doc interpolated Kneser-Ney bigram LM score — the
+    continuation-count smoothing (Kneser & Ney 1995) completing the
+    unigram/Laplace/KN LM-scoring ladder; broadcast model tier, join
+    tier tier-agreement-tested."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import doc_logprob_kn
+    return doc_logprob_kn(read_documents(sf_dir, ["doc_id", "text"]))
+
+
 def _q_boilerplate_stats(sf_dir: str):
     """CCNet-style boilerplate removal stats: sentences in ≥3 distinct
     docs are boilerplate; per-doc surviving-text accounting."""
@@ -3938,6 +3948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "doc_logprob": _q_doc_logprob,
         "doc_logprob_bigram": _q_doc_logprob_bigram,
+        "doc_logprob_kn": _q_doc_logprob_kn,
         "sentence_dedup": _q_sentence_dedup,
         "boilerplate_stats": _q_boilerplate_stats,
         "budget_select": _q_budget_select,
@@ -4332,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracle.decontaminate_oracle(n=4, bench_mod=17),
         "doc_logprob": oracle.doc_logprob_oracle(),
         "doc_logprob_bigram": oracle.doc_logprob_bigram_oracle(),
+        "doc_logprob_kn": oracle.doc_logprob_kn_oracle(),
         "sentence_dedup": oracle.sentence_dedup_oracle(),
         "budget_select": oracle.budget_select_oracle(frac=0.6),
         "corpus_curate": oracle.corpus_curate_oracle(frac=0.6),

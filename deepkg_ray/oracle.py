@@ -9053,6 +9053,50 @@ FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
 
+def doc_logprob_kn_oracle(discount: float = 0.75) -> str:
+    """Per-doc interpolated Kneser-Ney bigram log-likelihood — mirrors
+    textstats.doc_logprob_kn: per-bigram micros
+    floor(ln((c−D)/c1 + D·n1f/c1·(n1b/B))·1e6+0.5) in the engine's
+    exact DOUBLE op order, integer SUM per doc, <2-token docs 0."""
+    return f"""
+WITH ws AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ws
+  FROM documents),
+big AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) g),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM big GROUP BY w1, w2),
+fwd AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM c2 GROUP BY w1),
+bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+        FROM c2 GROUP BY w2),
+bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM c2),
+lp AS (
+  SELECT c2.w1, c2.w2,
+         CAST(floor(ln((CAST(c2.c2 AS DOUBLE) - {discount}) / fwd.c1
+                       + {discount} * fwd.n1f / fwd.c1
+                         * (bwd.n1b / bt.b))
+                    * 1e6 + 0.5) AS BIGINT) AS lpm
+  FROM c2 JOIN fwd USING (w1) JOIN bwd USING (w2), bt),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(lpm) AS BIGINT) AS logprob_micros
+  FROM big JOIN lp USING (w1, w2) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+       COALESCE(per.logprob_micros, 0) AS logprob_micros,
+       COALESCE(per.logprob_micros, 0) / 1e6 AS logprob,
+       CASE WHEN COALESCE(per.n_bigrams, 0) = 0 THEN 0.0
+            ELSE floor(CAST(per.logprob_micros AS DOUBLE) / per.n_bigrams
+                       + 0.5) / 1e6 END AS avg_logprob
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
 def pq_distortion_oracle(m: int = 4, k: int = 16, iters: int = 2,
                          dim: int = 64) -> str:
     """Per-subspace PQ reconstruction SSE — mirrors kmeans.pq_distortion:

@@ -1939,6 +1939,95 @@ def doc_logprob_bigram(ds, text_col: str = "text", id_col: str = "doc_id",
         num_partitions=join_partitions(), on=("w1",))) \
         .map_batches(lpm_table, batch_format="pyarrow")
 
+    return _score_bigram_lpm(ds, scored, id_col, text_col, mode)
+
+
+def doc_logprob_kn(ds, text_col: str = "text", id_col: str = "doc_id",
+                   mode: str = "broadcast", discount: float = 0.75):
+    """Per-document bigram log-likelihood under interpolated KNESER-NEY
+    smoothing — the state-of-the-art count-based LM (Kneser & Ney 1995;
+    Chen & Goodman 1999), one rung up from doc_logprob_bigram's Laplace:
+
+        P(w2|w1) = (c(w1,w2) − D)/c1(w1)
+                   + D·n1f(w1)/c1(w1) · (n1b(w2)/B)
+
+    with D = 0.75, c1 the history count, n1f(w1) = #distinct
+    continuations of w1, n1b(w2) = #distinct histories of w2, and
+    B = #distinct bigrams (the continuation-probability normalizer —
+    the "how many contexts does w2 complete" insight that distinguishes
+    KN from frequency smoothing).  Self-scoring: every scored bigram has
+    c ≥ 1 > D, so the first term is positive and OOV never arises.
+
+    Per-bigram micros floor(ln(P)·1e6+0.5) with ONE canonical float
+    chain ((c−0.75)/c1 + 0.75·n1f/c1·(n1b/B)), mirrored op for op in
+    SQL (doc_logprob's np.log ≡ DuckDB ln parity convention).  Model
+    tables are vocabulary-shaped: bigram counts + two distinct-count
+    marginals (one groupby each) + two hash joins.  Scoring reuses
+    _score_bigram_lpm — broadcast lut or the open-vocab join tier.
+    Output schema identical to doc_logprob_bigram."""
+    from deepkg_ray.stages.phrasemine import ngram_counts
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
+    big = ngram_counts(ds.select_columns([text_col]), 2, text_col)
+    n_bigrams_distinct = big.count()
+
+    def fwd_partial(b: pa.Table) -> pd.DataFrame:
+        d = b.select(["w1", "cnt"]).to_pandas()
+        g = d.groupby("w1", sort=False)["cnt"].agg(["sum", "count"]) \
+            .reset_index()
+        return g.rename(columns={"sum": "c1", "count": "n1f"})
+
+    fwd = merge_partials(big.map_batches(fwd_partial,
+                                         batch_format="pyarrow"),
+                         ["w1"], {"c1": "sum", "n1f": "sum"})
+
+    def bwd_partial(b: pa.Table) -> pd.DataFrame:
+        d = b.select(["w2"]).to_pandas()
+        return (d.groupby("w2", sort=False).size()
+                .reset_index(name="n1b"))
+
+    bwd = merge_partials(big.map_batches(bwd_partial,
+                                         batch_format="pyarrow"),
+                         ["w2"], {"n1b": "sum"})
+
+    def lpm_table(b: pa.Table, B=float(n_bigrams_distinct)) -> pa.Table:
+        d = b.to_pandas()
+        c = d["cnt"].to_numpy(np.float64)
+        c1 = d["c1"].to_numpy(np.float64)
+        n1f = d["n1f"].to_numpy(np.float64)
+        n1b = d["n1b"].to_numpy(np.float64)
+        p = (c - discount) / c1 + discount * n1f / c1 * (n1b / B)
+        lpm = np.floor(np.log(p) * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"w1": pa.array(d["w1"], pa.string()),
+                         "w2": pa.array(d["w2"], pa.string()),
+                         "lpm": pa.array(lpm, pa.int64())})
+
+    np_ = join_partitions()
+    scored = drop_empty_blocks(
+        drop_empty_blocks(big.join(drop_empty_blocks(fwd),
+                                   join_type="inner",
+                                   num_partitions=np_, on=("w1",)))
+        .join(drop_empty_blocks(bwd), join_type="inner",
+              num_partitions=np_, on=("w2",))) \
+        .map_batches(lpm_table, batch_format="pyarrow")
+
+    return _score_bigram_lpm(ds, scored, id_col, text_col, mode)
+
+
+def _score_bigram_lpm(ds, scored, id_col, text_col, mode):
+    """Shared doc-scoring scaffold over a (w1, w2, lpm) per-bigram
+    micros table: broadcast tier (lut via ray.put, one stateless pass)
+    or open-vocab join tier (explode doc bigram tf rows, hash join,
+    groupby-sum, zero-restore).  Used by doc_logprob_bigram (Laplace)
+    and doc_logprob_kn (Kneser-Ney) — the model only changes the lpm
+    table."""
+    import ray
+    import ray.data as rd  # noqa: F401  (parity with callers)
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    from deepkg_ray.util import drop_empty_blocks, join_partitions
+
     def add_derived(df: pd.DataFrame) -> pd.DataFrame:
         df = df[[id_col, "n_bigrams", "logprob_micros"]]
         df = df.copy()

@@ -64,6 +64,53 @@ def test_bigram_logprob_matches_truth():
     assert got.loc[0, "avg_logprob"] > got.loc[2, "avg_logprob"]
 
 
+def _kn_truth(texts, d=0.75):
+    from collections import Counter
+    c2: Counter = Counter()
+    for t in texts:
+        ws = t.lower().split()
+        c2.update(zip(ws, ws[1:]))
+    c1, n1f, n1b = Counter(), Counter(), Counter()
+    for (a, b), n in c2.items():
+        c1[a] += n
+        n1f[a] += 1
+        n1b[b] += 1
+    B = float(len(c2))
+    out = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        s = 0
+        for a, b in zip(ws, ws[1:]):
+            p = (c2[(a, b)] - d) / c1[a] + d * n1f[a] / c1[a] \
+                * (n1b[b] / B)
+            s += math.floor(math.log(p) * 1e6 + 0.5)
+        out[i] = (max(len(ws) - 1, 0), s)
+    return out
+
+
+def test_kn_logprob_matches_truth():
+    from deepkg_ray.stages.textstats import doc_logprob_kn
+    ds, texts = _docs()
+    got = (doc_logprob_kn(ds).to_pandas()
+           .set_index("doc_id").sort_index())
+    want = _kn_truth(texts)
+    for i, (nb, lp) in want.items():
+        assert got.loc[i, "n_bigrams"] == nb
+        assert got.loc[i, "logprob_micros"] == lp
+    # repeated bigrams still score higher than hapax ones under KN
+    assert got.loc[0, "avg_logprob"] > got.loc[2, "avg_logprob"]
+
+
+def test_kn_logprob_join_tier_agrees():
+    from deepkg_ray.stages.textstats import doc_logprob_kn
+    ds, _ = _docs()
+    a = (doc_logprob_kn(ds, mode="broadcast").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (doc_logprob_kn(ds, mode="join").to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_bigram_logprob_join_tier_agrees():
     from deepkg_ray.stages.textstats import doc_logprob_bigram
     ds, _ = _docs()
