@@ -2594,6 +2594,15 @@ def _q_kg_stress(sf_dir: str):
     return stress_centrality(kg.adjacency_dataset(sf_dir))
 
 
+def _q_kg_harmonic(sf_dir: str):
+    """Landmark harmonic centrality (Σ 1/dist, integer 1e6//d terms) for
+    the 4 smallest entity ids — the disconnected-graph-safe closeness
+    variant (Boldi & Vigna 2014)."""
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.graph import harmonic_centrality
+    return harmonic_centrality(kg.adjacency_dataset(sf_dir), k_seeds=4)
+
+
 def _q_kg_closeness(sf_dir: str):
     """Landmark closeness centrality for the 4 smallest entity ids over the
     built KG — one labeled Bellman-Ford fixpoint runs all seeds together."""
@@ -4069,6 +4078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_audit": _q_join_size_audit,
         "large_volume_customers": _q_large_volume_customers,
         "kg_closeness": _q_kg_closeness,
+        "kg_harmonic": _q_kg_harmonic,
         "kg_stress": _q_kg_stress,
         "kg_node_profiles": _q_kg_node_profiles,
         "kg_rich_club": _q_kg_rich_club,
@@ -4460,6 +4470,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": oracle.closeness_centrality_oracle(SF_ORACLE,
                                                            k_seeds=4,
                                                            rounds=8),
+        "kg_harmonic": oracle.harmonic_centrality_oracle(SF_ORACLE,
+                                                         k_seeds=4,
+                                                         rounds=8),
         "kg_stress": oracle.stress_centrality_oracle(SF_ORACLE, rounds=8),
         "kg_pagerank_weighted": oracle.weighted_pagerank_oracle(SF_ORACLE),
         "kg_node_profiles": oracle.node_bfs_profiles_oracle(SF_ORACLE,

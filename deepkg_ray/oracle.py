@@ -5442,6 +5442,42 @@ GROUP BY seed
 """)
 
 
+def harmonic_centrality_oracle(sf_dir: str, k_seeds: int = 4,
+                               rounds: int = 8) -> str:
+    """Unrolled labeled min-fold BFS for stages/graph.harmonic_centrality
+    — the kg_closeness chain with the integer-harmonic finisher
+    Σ 1000000 // dist over dist > 0 (DuckDB // on positives = the
+    engine's floor)."""
+    parts = [f"""
+e0 AS MATERIALIZED (
+  SELECT subj_id AS u, obj_id AS v FROM triples WHERE subj_id <> obj_id
+  UNION ALL
+  SELECT obj_id, subj_id FROM triples WHERE subj_id <> obj_id),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT u AS s FROM e0 ORDER BY u LIMIT {k_seeds}),
+d0(seed, node, dist) AS (SELECT s, s, 0 FROM seeds)"""]
+    for i in range(rounds):
+        parts.append(f"""
+d{i + 1} AS MATERIALIZED (
+  SELECT seed, node, min(dist) AS dist FROM (
+    SELECT seed, node, dist FROM d{i}
+    UNION ALL
+    SELECT d.seed, e.v AS node, d.dist + 1 AS dist
+    FROM d{i} d JOIN e0 e ON e.u = d.node)
+  GROUP BY seed, node)""")
+    return (f"WITH {dict_values_cte()},\n{transcripts_cte(sf_dir)},\n"
+            + _triples_cte(sf_dir) + "," + ",".join(parts)
+            + f"""
+SELECT seed, CAST(count(*) AS BIGINT) AS n_reach,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+            AS BIGINT) AS harmonic_micros,
+       CAST(SUM(CASE WHEN dist > 0 THEN 1000000 // dist ELSE 0 END)
+            AS BIGINT) / 1e6 AS harmonic
+FROM d{rounds}
+GROUP BY seed
+""")
+
+
 def stress_centrality_oracle(sf_dir: str, rounds: int = 8) -> str:
     """Unrolled all-sources BFS with shortest-path counts for
     stages/graph.stress_centrality: the kg_closeness min-fold chain gives

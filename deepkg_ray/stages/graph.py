@@ -1888,28 +1888,20 @@ def random_walks(edges, steps: int = 4, start_mod: int = 3,
         "node": np.concatenate(out_node)}))
 
 
-def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
-                         dst_col: str = "obj_id", max_rounds: int = 32,
-                         num_partitions: int | None = None):
-    """Landmark closeness centrality: exact per-seed BFS distances for the
-    ``k_seeds`` smallest node ids, folded to (n_reach, Σdist, closeness =
-    (n_reach−1)/Σdist) per seed — the landmark-sampling estimator for
-    closeness at scale (run it on a node sample; each seed's column is an
-    exact BFS).
-
-    One LABELED Bellman-Ford over composite state (seed, node, dist) runs
-    all seeds together: per round one hash join (edges ⋈ state on node)
-    plus one Min-groupby on (seed, node) — k seeds cost one fixpoint, not k
-    (the SSSP machinery of sssp_weighted with a seed label carried through
-    the fold).  The fold is monotone, so convergence is "(pair count,
-    Σdist) unchanged".  Nothing node-sized touches the driver except the
-    k-row seed pick."""
+def _landmark_bfs_state(edges, k_seeds, src_col, dst_col, max_rounds,
+                        num_partitions):
+    """Shared labeled-BFS fixpoint over the bidirected simple graph for
+    the landmark-centrality family (closeness, harmonic): returns the
+    converged (seed, node, dist) Dataset, or None for an empty graph.
+    Seeds are the k smallest node ids; per round one hash join + one
+    Min-groupby; convergence when (pair count, Σdist) stops moving
+    (monotone fold)."""
     import ray.data as rd
     if num_partitions is None:
         from deepkg_ray.util import join_partitions
         num_partitions = join_partitions()
     from deepkg_ray.util import drop_empty_blocks
-    from ray.data.aggregate import Count as _Count, Min, Sum as _Sum
+    from ray.data.aggregate import Count as _Count, Min
 
     def bidirect(b: pa.Table) -> pa.Table:
         u = b[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1920,12 +1912,8 @@ def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
                          "v": pa.array(np.concatenate([v, u]), pa.int64())})
 
     bi = edges.map_batches(bidirect, batch_format="pyarrow").materialize()
-    empty = pa.table({"seed": pa.array([], pa.int64()),
-                      "n_reach": pa.array([], pa.int64()),
-                      "total_dist": pa.array([], pa.int64()),
-                      "closeness": pa.array([], pa.float64())})
     if bi.count() == 0:
-        return rd.from_arrow(empty)
+        return None
 
     seed_rows = (bi.select_columns(["u"]).groupby("u")
                  .aggregate(_Count(alias_name="c"))
@@ -1962,6 +1950,86 @@ def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
     else:
         raise AssertionError(
             f"labeled BFS did not converge within {max_rounds} rounds")
+    return state
+
+
+def harmonic_centrality(edges, k_seeds: int = 4,
+                        src_col: str = "subj_id",
+                        dst_col: str = "obj_id", max_rounds: int = 32,
+                        num_partitions: int | None = None):
+    """Landmark HARMONIC centrality (Marchiori & Latora 2000; Boldi &
+    Vigna 2014 argue it is the principled closeness variant): per seed
+    Σ_{v≠seed reached} 1/dist(v) — unlike closeness it handles
+    disconnected graphs gracefully (unreached nodes contribute 0 instead
+    of poisoning the mean).  Same labeled-BFS fixpoint as
+    closeness_centrality (shared _landmark_bfs_state, one fixpoint for
+    all k seeds).  Exactness: per-node term is the INTEGER
+    1000000 // dist, summed as int64 — no float accumulation, the SQL
+    twin is bit-identical.  Returns (seed, n_reach, harmonic_micros,
+    harmonic)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    state = _landmark_bfs_state(edges, k_seeds, src_col, dst_col,
+                                max_rounds, num_partitions)
+    if state is None:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.int64()),
+            "n_reach": pa.array([], pa.int64()),
+            "harmonic_micros": pa.array([], pa.int64()),
+            "harmonic": pa.array([], pa.float64())}))
+
+    def terms(b: pa.Table) -> pa.Table:
+        d = b["dist"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hm = np.where(d > 0, 1_000_000 // np.maximum(d, 1), 0)
+        return pa.table({"seed": b["seed"],
+                         "one": pa.array(np.ones(len(d), np.int64)),
+                         "hm": pa.array(hm, pa.int64())})
+
+    agg = (state.map_batches(terms, batch_format="pyarrow")
+           .groupby("seed")
+           .aggregate(_Sum("one", alias_name="n_reach"),
+                      _Sum("hm", alias_name="harmonic_micros")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        hm = b["harmonic_micros"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "seed": b["seed"].combine_chunks().cast(pa.int64()),
+            "n_reach": b["n_reach"].combine_chunks().cast(pa.int64()),
+            "harmonic_micros": pa.array(hm, pa.int64()),
+            "harmonic": pa.array(hm / 1e6, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def closeness_centrality(edges, k_seeds: int = 4, src_col: str = "subj_id",
+                         dst_col: str = "obj_id", max_rounds: int = 32,
+                         num_partitions: int | None = None):
+    """Landmark closeness centrality: exact per-seed BFS distances for the
+    ``k_seeds`` smallest node ids, folded to (n_reach, Σdist, closeness =
+    (n_reach−1)/Σdist) per seed — the landmark-sampling estimator for
+    closeness at scale (run it on a node sample; each seed's column is an
+    exact BFS).
+
+    One LABELED Bellman-Ford over composite state (seed, node, dist) runs
+    all seeds together: per round one hash join (edges ⋈ state on node)
+    plus one Min-groupby on (seed, node) — k seeds cost one fixpoint, not k
+    (the SSSP machinery of sssp_weighted with a seed label carried through
+    the fold).  The fold is monotone, so convergence is "(pair count,
+    Σdist) unchanged".  Nothing node-sized touches the driver except the
+    k-row seed pick."""
+    import ray.data as rd
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    state = _landmark_bfs_state(edges, k_seeds, src_col, dst_col,
+                                max_rounds, num_partitions)
+    if state is None:
+        return rd.from_arrow(pa.table({
+            "seed": pa.array([], pa.int64()),
+            "n_reach": pa.array([], pa.int64()),
+            "total_dist": pa.array([], pa.int64()),
+            "closeness": pa.array([], pa.float64())}))
 
     agg = (state.groupby("seed")
            .aggregate(_Count(alias_name="n_reach"),

@@ -726,6 +726,18 @@ def test_eigenvector_scaled_golden(ray_session):
     assert out[0] == scale and out[1] == out[2] == out[3] < scale
 
 
+def test_harmonic_centrality_golden(ray_session):
+    """Path 1-2-3-4 with k_seeds=2: seed 1 sees d=1,2,3 →
+    hm = 1e6 + 5e5 + 333333; seed 2 sees d=1,1,2 → 2e6 + 5e5.
+    Disconnected node 9-10 pair untouched (seeds are smallest ids)."""
+    ds = _edges_ds([(1, 2), (2, 3), (3, 4), (9, 10)])
+    out = (graph.harmonic_centrality(ds, k_seeds=2).to_pandas()
+           .set_index("seed"))
+    assert out.loc[1, "harmonic_micros"] == 1_000_000 + 500_000 + 333_333
+    assert out.loc[2, "harmonic_micros"] == 2_000_000 + 500_000
+    assert out.loc[1, "n_reach"] == 4 and out.loc[2, "n_reach"] == 4
+
+
 def test_katz_scaled_golden(ray_session):
     """Path 1->2->3 plus 4->2: node 2 collects two β-sized in-flows, 3
     collects 2's growing score, sources stay at β.  Naive integer
