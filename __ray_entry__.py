@@ -705,6 +705,16 @@ def _q_pq_codes(sf_dir: str):
     return pq_codes(read_embeddings(sf_dir, ["vec_id", "embedding"]))
 
 
+def _q_sq8_audit(sf_dir: str):
+    """Int8 scalar-quantization (SQ8) reconstruction audit per embedding
+    dimension — faiss QT_8bit-style min/max affine grid, fully integer
+    codec (stages/similarity.sq8_audit); the distortion comparison point
+    against pq_distortion."""
+    from deepkg_ray.sources.readers import read_embeddings
+    from deepkg_ray.stages.similarity import sq8_audit
+    return sq8_audit(read_embeddings(sf_dir, ["embedding"]))
+
+
 def _q_pq_distortion(sf_dir: str):
     """Per-subspace PQ reconstruction SSE/MSE (quantization-error audit
     over the fitted codebooks — one extra streaming pass, m partial rows
@@ -3884,6 +3894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "pq_codes": _q_pq_codes,
         "pq_distortion": _q_pq_distortion,
+        "sq8_audit": _q_sq8_audit,
         "truncation_recall": _q_truncation_recall,
         "pq_adc_topk": _q_pq_adc_topk,
         "embedding_kmeans": _q_embedding_kmeans,
@@ -4268,6 +4279,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_stats": oracle.boilerplate_stats_oracle(),
         "pq_codes": oracle.pq_codes_oracle(),
         "pq_distortion": oracle.pq_distortion_oracle(),
+        "sq8_audit": oracle.sq8_audit_oracle(),
         "truncation_recall": oracle.truncation_recall_oracle(),
         "pq_adc_topk": oracle.pq_adc_topk_oracle(),
         "ann_ivf": oracle.ann_topk_oracle(),   # nprobe=all → exact

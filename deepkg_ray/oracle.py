@@ -6918,6 +6918,41 @@ FROM m
 """
 
 
+def sq8_audit_oracle(dim: int = 64) -> str:
+    """Mirror of similarity.sq8_audit: per-dim min/max micros grid,
+    integer round-half-up code/recon ((2a+b)//2b identity, DuckDB //
+    on non-negatives = floor), exact SSE, mse = floor(sse/n + 0.5)."""
+    return f"""
+WITH idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+x AS (
+  SELECT idx.i,
+         CAST(floor(CAST(e.embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS xm
+  FROM embeddings e, idx),
+mm AS (
+  SELECT i, CAST(MIN(xm) AS BIGINT) AS mn, CAST(MAX(xm) AS BIGINT) AS mx
+  FROM x GROUP BY i),
+co AS (
+  SELECT x.i, x.xm - mm.mn AS d, mm.mx - mm.mn AS rng, mm.mn, mm.mx,
+         CASE WHEN mm.mx - mm.mn = 0 THEN 0
+              ELSE ((x.xm - mm.mn) * 510 + (mm.mx - mm.mn))
+                   // (2 * (mm.mx - mm.mn)) END AS c
+  FROM x JOIN mm USING (i)),
+er AS (
+  SELECT i, mn, mx,
+         d - CASE WHEN rng = 0 THEN 0
+                  ELSE (c * rng * 2 + 255) // 510 END AS err
+  FROM co)
+SELECT CAST(i AS BIGINT) AS i, CAST(count(*) AS BIGINT) AS n,
+       CAST(mn AS BIGINT) AS vmin_micros, CAST(mx AS BIGINT)
+           AS vmax_micros,
+       CAST(SUM(err * err) AS BIGINT) AS sse,
+       CAST(floor(CAST(SUM(err * err) AS DOUBLE) / count(*) + 0.5)
+            AS BIGINT) AS mse
+FROM er GROUP BY i, mn, mx
+"""
+
+
 def dataset_split_assign_oracle(pcts=(80, 10, 10), seed: int = 9) -> str:
     """Mirror of curation.dataset_split_assign: first md5 byte of
     'seed:doc_id' against the same cumulative 256-scaled cuts."""

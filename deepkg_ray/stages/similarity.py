@@ -512,6 +512,79 @@ def embedding_dim_stats(ds, emb_col: str = "embedding", dim: int = 64):
         "std": pa.array(std, pa.float64())}))
 
 
+def sq8_audit(ds, emb_col: str = "embedding", dim: int = 64):
+    """Int8 scalar-quantization (SQ8) audit — the memory-4×-reduction
+    codec every large ANN deployment offers (faiss ScalarQuantizer
+    QT_8bit semantics: per-dimension min/max affine grid, 256 levels):
+    per dim  code = round((x − min)·255/range),
+             recon = min + round(code·range/255),
+    reported as per-dimension reconstruction SSE/MSE — the
+    distortion-vs-PQ comparison point (pq_distortion is the codebook
+    sibling).
+
+    Exactness: values are micros ints; both roundings are the integer
+    round-half-up identity ((2a+b)//2b), so codes, reconstructions and
+    squared errors are exact int64 on both sides — no float in the
+    codec.  Plan: one d-bounded min/max aggregate (merge tree), then one
+    stateless pass emitting d-bounded SSE partials; nothing row-shaped
+    reaches the driver.  Returns (i, n, vmin_micros, vmax_micros, sse,
+    mse) with 1-based i and mse = floor(sse/n + 0.5)."""
+    import pandas as pd  # noqa: F401
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import micros_matrix
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    def mm_partial(b: pa.Table) -> pa.Table:
+        m = micros_matrix(np.stack(
+            [np.asarray(x, np.float64) for x in b[emb_col].to_pylist()]))
+        return pa.table({
+            "i": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0).astype(np.int64)),
+            "mx": pa.array(m.max(axis=0).astype(np.int64))})
+
+    mm = merge_partials(
+        ds.select_columns([emb_col]).map_batches(mm_partial,
+                                                 batch_format="pyarrow"),
+        ["i"], {"mn": "min", "mx": "max"}, mode="tree").to_pandas() \
+        .sort_values("i")
+    mn = mm["mn"].to_numpy(np.int64)
+    mx = mm["mx"].to_numpy(np.int64)
+    rng = mx - mn
+
+    def sse_partial(b: pa.Table, mn=mn, rng=rng) -> pa.Table:
+        m = micros_matrix(np.stack(
+            [np.asarray(x, np.float64) for x in b[emb_col].to_pylist()]))
+        d = (m - mn[None, :]).astype(np.int64)
+        safe = np.maximum(rng, 1)[None, :]
+        c = np.where(rng[None, :] > 0,
+                     (d * 510 + rng[None, :]) // (2 * safe), 0)
+        r = np.where(rng[None, :] > 0,
+                     (c * rng[None, :] * 2 + 255) // 510, 0)
+        err = d - r
+        return pa.table({
+            "i": pa.array(np.arange(1, m.shape[1] + 1, dtype=np.int64)),
+            "n": pa.array(np.full(m.shape[1], m.shape[0], np.int64)),
+            "sse": pa.array((err * err).sum(axis=0).astype(np.int64))})
+
+    agg = merge_partials(
+        ds.select_columns([emb_col]).map_batches(sse_partial,
+                                                 batch_format="pyarrow"),
+        ["i"], {"n": "sum", "sse": "sum"}, mode="tree").to_pandas() \
+        .sort_values("i")
+    n = agg["n"].to_numpy(np.int64)
+    sse = agg["sse"].to_numpy(np.int64)
+    mse = np.floor(sse.astype(np.float64) / n.astype(np.float64)
+                   + 0.5).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "i": pa.array(agg["i"].to_numpy(np.int64), pa.int64()),
+        "n": pa.array(n, pa.int64()),
+        "vmin_micros": pa.array(mn, pa.int64()),
+        "vmax_micros": pa.array(mx, pa.int64()),
+        "sse": pa.array(sse, pa.int64()),
+        "mse": pa.array(mse, pa.int64())}))
+
+
 def semantic_contamination(ds, queries: np.ndarray, query_ids, tau: float,
                            *, id_col: str = "vec_id",
                            vec_col: str = "embedding"):

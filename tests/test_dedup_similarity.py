@@ -420,3 +420,37 @@ def test_knn_graph_exact(ray_session):
         want = np.lexsort((np.arange(n), -sims[i]))[:k]
         got = out.loc[out["vec_id"] == i, "nbr_id"].to_numpy()
         assert (got == want).all(), (i, got, want)
+
+
+def test_sq8_audit_golden(ray_session):
+    """Integer round-half-up codec equals the float definition
+    round((x-mn)*255/rng) / recon round(c*rng/255) on a small matrix,
+    and a constant dimension (rng=0) reconstructs exactly."""
+    import math
+
+    import ray.data as rd
+
+    from deepkg_ray.stages.similarity import sq8_audit
+    rng_ = np.random.default_rng(11)
+    m = rng_.uniform(-1, 1, (50, 4))
+    m[:, 3] = 0.25                          # constant dim -> rng = 0
+    df = pd.DataFrame({"embedding": [v.tolist() for v in m]})
+    out = (sq8_audit(rd.from_pandas(df), dim=4).to_pandas()
+           .sort_values("i").reset_index(drop=True))
+    xm = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    for j in range(4):
+        mn, mx = xm[:, j].min(), xm[:, j].max()
+        r = mx - mn
+        sse = 0
+        for v in xm[:, j]:
+            if r == 0:
+                err = 0
+            else:
+                c = math.floor((v - mn) * 255 / r + 0.5)
+                rec = mn + math.floor(c * r / 255 + 0.5)
+                err = int(v) - rec
+            sse += err * err
+        row = out.iloc[j]
+        assert row["vmin_micros"] == mn and row["vmax_micros"] == mx
+        assert row["sse"] == sse, (j, row["sse"], sse)
+    assert out.iloc[3]["sse"] == 0
