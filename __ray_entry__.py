@@ -2799,6 +2799,16 @@ def _q_source_vocab_overlap(sf_dir: str):
     return source_vocab_overlap(read_documents(sf_dir, ["text", "source"]))
 
 
+def _q_source_js(sf_dir: str):
+    """Jensen-Shannon divergence between src0/src1 unigram
+    distributions — the symmetric bounded drift monitor next to
+    source_kl (stages/textstats.source_js_divergence)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import source_js_divergence
+    return source_js_divergence(read_documents(
+        sf_dir, ["doc_id", "text", "source"]))
+
+
 def _q_source_kl(sf_dir: str):
     """KL divergence between two sources' add-one-smoothed unigram
     distributions — domain-shift monitor, ln-micros integer sum."""
@@ -4063,6 +4073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_entropy": _q_bigram_entropy,
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
+        "source_js": _q_source_js,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cross_source_dups": _q_cross_source_dups,
         "hapax_by_source": _q_hapax_by_source,
@@ -4451,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_entropy": oracle.bigram_cond_entropy_oracle(),
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
+        "source_js": oracle.source_js_divergence_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "cross_source_dups": oracle.cross_source_dups_oracle(),
         "hapax_by_source": oracle.hapax_by_source_oracle(),

@@ -6333,6 +6333,47 @@ FROM c, t GROUP BY t.v, t.ta, t.tb
 """
 
 
+def source_js_divergence_oracle(src_a: str = "src0",
+                                src_b: str = "src1") -> str:
+    """Mirror of textstats.source_js_divergence: JS = ½KL(P‖M)+½KL(Q‖M)
+    with M = ½(P+Q), per-term floor((0.5·p·ln(p/m)+0.5·q·ln(q/m))·1e6
+    +0.5) int64 sum in the engine's exact double op order."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w1
+  FROM documents
+  WHERE source IN ('{src_a}', '{src_b}') AND trim(text) <> ''
+), c AS (
+  SELECT w1,
+         CAST(SUM(CASE WHEN source = '{src_a}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN source = '{src_b}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM toks GROUP BY w1
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(coalesce(SUM(ca), 0) AS BIGINT) AS ta,
+         CAST(coalesce(SUM(cb), 0) AS BIGINT) AS tb
+  FROM c
+), pq AS (
+  SELECT CAST(c.ca + 1 AS DOUBLE) / CAST(t.ta + t.v AS DOUBLE) AS p,
+         CAST(c.cb + 1 AS DOUBLE) / CAST(t.tb + t.v AS DOUBLE) AS q
+  FROM c, t
+), tm AS (
+  SELECT CAST(floor((0.5 * p * ln(p / (0.5 * (p + q)))
+                     + 0.5 * q * ln(q / (0.5 * (p + q))))
+                    * 1e6 + 0.5) AS BIGINT) AS term
+  FROM pq
+)
+SELECT t.v AS n_vocab, t.ta AS t_a, t.tb AS t_b,
+       CAST(coalesce((SELECT SUM(term) FROM tm), 0) AS BIGINT)
+           AS js_micros,
+       CAST(CAST(coalesce((SELECT SUM(term) FROM tm), 0) AS BIGINT)
+            AS DOUBLE) / 1e6 AS js
+FROM t
+"""
+
+
 def returned_item_customers_oracle(k: int = 20) -> str:
     """TPC-H Q10 mirror of relational.returned_item_customers: returned
     revenue per customer in exact micros, deterministic (rev desc,

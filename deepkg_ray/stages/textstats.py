@@ -939,23 +939,11 @@ def token_burstiness(ds, k: int = 50, text_col: str = "text",
     return top.map_batches(finish, batch_format="pyarrow")
 
 
-def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
-                         text_col: str = "text", src_col: str = "source"):
-    """KL divergence KL(Pₐ ‖ P_b) between the add-one-smoothed unigram
-    distributions of two corpus slices — the standard domain-shift /
-    contamination monitor between data sources (cf. the DSIR importance
-    weights in curation.py, which this generalizes to a symmetric-ready
-    divergence).
-
-    p_i = (cₐᵢ+1)/(Tₐ+V), q_i = (c_bᵢ+1)/(T_b+V) over the JOINT vocab;
-    per-term contribution floor(p·ln(p/q)·1e6+0.5) as int64, integer-
-    summed — the module's standing ln-micros convention (doc_logprob), so
-    the oracle lands on identical values.  Distributed part: one
-    vocab-bounded (token → cₐ, c_b) groupby with per-batch combiners; the
-    vocab-sized finish runs vectorized on the driver (dictionary-bounded
-    tier, as llr_collocations).  Returns one row
-    (n_vocab, t_a, t_b, kl_micros, kl)."""
-    import ray.data as rd
+def _two_source_counts(ds, src_a, src_b, text_col, src_col):
+    """Joint-vocab (token → cₐ, c_b) counts for two corpus slices: one
+    vocab-bounded groupby with per-batch combiners, collected to the
+    driver (dictionary-bounded tier — shared by the KL/JS divergence
+    monitors)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -980,11 +968,69 @@ def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
             "ca": pa.array([acc[w][0] for w in toks], pa.int64()),
             "cb": pa.array([acc[w][1] for w in toks], pa.int64())})
 
-    c = (ds.select_columns([src_col, text_col])
-         .map_batches(partial, batch_format="pyarrow")
-         .groupby("w1").aggregate(Sum("ca", alias_name="ca"),
-                                  Sum("cb", alias_name="cb"))
-         .to_pandas())
+    return (ds.select_columns([src_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("w1").aggregate(Sum("ca", alias_name="ca"),
+                                     Sum("cb", alias_name="cb"))
+            .to_pandas())
+
+
+def source_js_divergence(ds, src_a: str = "src0", src_b: str = "src1",
+                         text_col: str = "text", src_col: str = "source"):
+    """Jensen–Shannon divergence between the add-one-smoothed unigram
+    distributions of two corpus slices — the SYMMETRIC, bounded-by-ln2
+    companion of source_kl_divergence (the drift score you can threshold
+    without caring which side is 'reference'):
+
+        JS = ½·KL(P‖M) + ½·KL(Q‖M),   M = ½(P+Q)
+
+    Per-token contribution floor((0.5·p·ln(p/m) + 0.5·q·ln(q/m))·1e6
+    + 0.5) as int64 (ONE rounding per term, the doc_stats micros-chain
+    lesson), integer-summed; same vocab-bounded distributed counts as
+    KL (shared _two_source_counts).  Returns one row
+    (n_vocab, t_a, t_b, js_micros, js)."""
+    import ray.data as rd
+
+    c = _two_source_counts(ds, src_a, src_b, text_col, src_col)
+    v = len(c)
+    ca = c["ca"].to_numpy(np.int64)
+    cb = c["cb"].to_numpy(np.int64)
+    ta, tb = int(ca.sum()), int(cb.sum())
+    if v == 0:
+        js_micros = 0
+    else:
+        p = (ca + 1).astype(np.float64) / np.float64(ta + v)
+        q = (cb + 1).astype(np.float64) / np.float64(tb + v)
+        m = 0.5 * (p + q)
+        term = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+        js_micros = int(np.floor(term * 1e6 + 0.5).astype(np.int64).sum())
+    return rd.from_arrow(pa.table({
+        "n_vocab": pa.array([v], pa.int64()),
+        "t_a": pa.array([ta], pa.int64()),
+        "t_b": pa.array([tb], pa.int64()),
+        "js_micros": pa.array([js_micros], pa.int64()),
+        "js": pa.array([js_micros / 1e6], pa.float64())}))
+
+
+def source_kl_divergence(ds, src_a: str = "src0", src_b: str = "src1",
+                         text_col: str = "text", src_col: str = "source"):
+    """KL divergence KL(Pₐ ‖ P_b) between the add-one-smoothed unigram
+    distributions of two corpus slices — the standard domain-shift /
+    contamination monitor between data sources (cf. the DSIR importance
+    weights in curation.py, which this generalizes to a symmetric-ready
+    divergence).
+
+    p_i = (cₐᵢ+1)/(Tₐ+V), q_i = (c_bᵢ+1)/(T_b+V) over the JOINT vocab;
+    per-term contribution floor(p·ln(p/q)·1e6+0.5) as int64, integer-
+    summed — the module's standing ln-micros convention (doc_logprob), so
+    the oracle lands on identical values.  Distributed part: one
+    vocab-bounded (token → cₐ, c_b) groupby with per-batch combiners; the
+    vocab-sized finish runs vectorized on the driver (dictionary-bounded
+    tier, as llr_collocations).  Returns one row
+    (n_vocab, t_a, t_b, kl_micros, kl)."""
+    import ray.data as rd
+
+    c = _two_source_counts(ds, src_a, src_b, text_col, src_col)
     v = len(c)
     ca = c["ca"].to_numpy(np.int64)
     cb = c["cb"].to_numpy(np.int64)

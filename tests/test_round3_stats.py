@@ -303,6 +303,26 @@ def test_source_kl_zero_on_identical_slices():
     assert out["kl_micros"].item() == 0
 
 
+def test_source_js_symmetric_and_bounded():
+    from deepkg_ray.stages.textstats import source_js_divergence
+    import math
+    df = pd.DataFrame({
+        "source": ["src0", "src0", "src1"],
+        "text": ["alpha alpha beta", "gamma", "omega beta omega"]})
+    a = source_js_divergence(rd.from_pandas(df),
+                             src_a="src0", src_b="src1").to_pandas()
+    b = source_js_divergence(rd.from_pandas(df),
+                             src_a="src1", src_b="src0").to_pandas()
+    # JS is symmetric (micros may differ by per-term rounding only)
+    assert abs(a["js_micros"].item() - b["js_micros"].item()) <= len("x")
+    assert 0 <= a["js"].item() <= math.log(2) + 1e-9
+    # identical slices → 0
+    df2 = pd.DataFrame({"source": ["src0", "src1"],
+                        "text": ["alpha beta", "alpha beta"]})
+    z = source_js_divergence(rd.from_pandas(df2)).to_pandas()
+    assert z["js_micros"].item() == 0
+
+
 def test_source_kl_positive_on_disjoint_slices():
     from deepkg_ray.stages.textstats import source_kl_divergence
     df = pd.DataFrame({
