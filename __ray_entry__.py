@@ -1628,6 +1628,16 @@ def _q_markov_entropy_rate(sf_dir: str):
     return markov_entropy_rate(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_diff_in_diff(sf_dir: str):
+    """Difference-in-differences estimator (odd-user treatment × CUPED
+    midpoint period split; one stateless 8-cell pass,
+    stages/experiment.diff_in_diff)."""
+    import ray.data as rd
+    from deepkg_ray.stages.experiment import diff_in_diff
+    return diff_in_diff(rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]))
+
+
 def _q_cuped(sf_dir: str):
     """CUPED variance-reduction audit over events (θ = cov/var on
     per-user half-period sums, millis-quantized integer moments,
@@ -3853,6 +3863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage": _q_vocab_coverage,
         "length_bucketing": _q_length_bucketing,
         "cuped": _q_cuped,
+        "diff_in_diff": _q_diff_in_diff,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "psi_drift": _q_psi_drift,
         "shard_plan": _q_shard_plan,
@@ -4240,6 +4251,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": oracle.vocab_coverage_oracle(),
         "length_bucketing": oracle.length_bucketing_oracle(),
         "cuped": oracle.cuped_adjustment_oracle(),
+        "diff_in_diff": oracle.diff_in_diff_oracle(),
         "markov_entropy_rate": oracle.markov_entropy_rate_oracle(),
         "psi_drift": oracle.psi_drift_oracle(),
         "shard_plan": oracle.shard_plan_oracle(),

@@ -9505,6 +9505,60 @@ FROM lens l LEFT JOIN dup d USING (doc_id)
 """
 
 
+def diff_in_diff_oracle() -> str:
+    """Mirror of experiment.diff_in_diff: odd-user treatment, CUPED
+    integer-μs midpoint period split, eight exact int64 cells, each mean
+    and the DiD from raw cells in the engine's exact double nesting."""
+    mean = ("floor(CAST(s_{c} AS DOUBLE) / n_{c} / 1e6 * 1e6 + 0.5) "
+            "/ 1e6")
+    means = ",\n       ".join(
+        f"CASE WHEN n_{c} = 0 THEN 0.0 ELSE {mean.format(c=c)} END "
+        f"AS mean_{c}"
+        for c in ("c_pre", "c_post", "t_pre", "t_post"))
+    return f"""
+WITH t AS (
+  SELECT CAST(epoch_us(ts) AS BIGINT) AS tsu,
+         CAST(user_id AS BIGINT) AS u,
+         CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm
+  FROM events),
+sp AS (SELECT (MIN(tsu) + MAX(tsu)) // 2 AS mid FROM t),
+x AS (
+  SELECT CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN tsu >= sp.mid THEN 1 ELSE 0 END AS post, vm
+  FROM t, sp),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_c_pre,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN vm ELSE 0 END)
+         AS BIGINT) AS s_c_pre,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_c_post,
+    CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN vm ELSE 0 END)
+         AS BIGINT) AS s_c_post,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_t_pre,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN vm ELSE 0 END)
+         AS BIGINT) AS s_t_pre,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_t_post,
+    CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN vm ELSE 0 END)
+         AS BIGINT) AS s_t_post
+  FROM x)
+SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       {means},
+       CASE WHEN n_c_pre = 0 OR n_c_post = 0 OR n_t_pre = 0
+                 OR n_t_post = 0 THEN 0.0
+            ELSE floor(
+              ((CAST(s_t_post AS DOUBLE) / n_t_post
+                - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+               - (CAST(s_c_post AS DOUBLE) / n_c_post
+                  - CAST(s_c_pre AS DOUBLE) / n_c_pre))
+              / 1e6 * 1e6 + 0.5) / 1e6 END AS did
+FROM c
+"""
+
+
 def cuped_adjustment_oracle() -> str:
     """Mirror of experiment.cuped_adjustment: per-user micros pre/post
     sums split at the integer-μs midpoint, millis quantization (integer

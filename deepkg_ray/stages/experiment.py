@@ -99,6 +99,81 @@ def cuped_adjustment(ds, *, ts_col: str = "ts", user_col: str = "user_id",
         "var_reduction": pa.array([round6(rho2)], pa.float64())}))
 
 
+def diff_in_diff(ds, *, ts_col: str = "ts", user_col: str = "user_id",
+                 value_col: str = "value"):
+    """Difference-in-differences estimator over the event stream — the
+    causal-inference workhorse for staggered rollouts (Card & Krueger
+    1994 canon): treatment group = odd user_id (the deterministic
+    assignment an A/B hash would give), period split at the CUPED
+    midpoint mid = (min_ts + max_ts)//2, and
+
+        DiD = (mean_t,post − mean_t,pre) − (mean_c,post − mean_c,pre)
+
+    The distributed part is ONE stateless pass emitting eight int64
+    cells per batch (count + micros value sum per 2×2 cell) folded by a
+    global Sum — nothing keyed, nothing row-shaped on the driver.  All
+    four means and the DiD run in ONE double chain each from the raw
+    integer cells (round6 at the end only), mirrored in SQL.  Returns
+    one row (n_c_pre, n_c_post, n_t_pre, n_t_post, mean_c_pre,
+    mean_c_post, mean_t_pre, mean_t_post, did)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from deepkg_ray.functions.numeric import round6
+
+    span = ds.select_columns([ts_col]).map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([int(np.min(
+                b[ts_col].cast(pa.int64()).to_numpy()))], pa.int64()),
+            "hi": pa.array([int(np.max(
+                b[ts_col].cast(pa.int64()).to_numpy()))], pa.int64())}),
+        batch_format="pyarrow").aggregate(Min("lo", alias_name="lo"),
+                                          Max("hi", alias_name="hi"))
+    mid = (int(span["lo"]) + int(span["hi"])) // 2
+
+    cells = ("c_pre", "c_post", "t_pre", "t_post")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vm = np.floor(np.asarray(b[value_col].to_numpy(
+            zero_copy_only=False), np.float64) * 1e6 + 0.5) \
+            .astype(np.int64)
+        treat = (u % 2) == 1
+        post = ts >= mid
+        out = {}
+        for name, m in (("c_pre", ~treat & ~post),
+                        ("c_post", ~treat & post),
+                        ("t_pre", treat & ~post),
+                        ("t_post", treat & post)):
+            out[f"n_{name}"] = pa.array([int(m.sum())], pa.int64())
+            out[f"s_{name}"] = pa.array([int(vm[m].sum())], pa.int64())
+        return pa.table(out)
+
+    agg = (ds.select_columns([ts_col, user_col, value_col])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(*[Sum(f"{k}_{c}", alias_name=f"{k}_{c}")
+                        for c in cells for k in ("n", "s")]))
+    n = {c: int(agg[f"n_{c}"] or 0) for c in cells}
+    s = {c: int(agg[f"s_{c}"] or 0) for c in cells}
+    means = {c: (float(round6(np.asarray([s[c] / n[c] / 1e6]))[0])
+                 if n[c] else 0.0) for c in cells}
+    if all(n[c] > 0 for c in cells):
+        did = float(round6(np.asarray([
+            ((s["t_post"] / n["t_post"] - s["t_pre"] / n["t_pre"])
+             - (s["c_post"] / n["c_post"] - s["c_pre"] / n["c_pre"]))
+            / 1e6]))[0])
+    else:
+        did = 0.0
+    cols = {}
+    for c in cells:
+        cols[f"n_{c}"] = pa.array([n[c]], pa.int64())
+    for c in cells:
+        cols[f"mean_{c}"] = pa.array([means[c]], pa.float64())
+    cols["did"] = pa.array([did], pa.float64())
+    return rd.from_arrow(pa.table(cols))
+
+
 def psi_drift(ds, *, ts_col: str = "ts", cat_col: str = "event_type"):
     """Categorical PSI between the first and second half of the time
     range: per category (cat, n_first, n_second, psi_term_micros) with

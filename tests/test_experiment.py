@@ -110,3 +110,39 @@ def test_bootstrap_diff_ci_covers_true_difference():
     # deterministic
     again = poisson_bootstrap_diff_ci(ds, "id", "v", "g", "A", n_boot=64)
     pd.testing.assert_frame_equal(ci, again)
+
+
+def test_diff_in_diff_golden():
+    """Hand-built 2x2: control flat (5 -> 5), treated lifts (5 -> 8)
+    after the midpoint => DiD = 3.  Odd users are treated."""
+    from deepkg_ray.stages.experiment import diff_in_diff
+    base = 1_700_000_000_000_000
+    rows = []
+    for u, pre_v, post_v in [(2, 5.0, 5.0), (4, 5.0, 5.0),
+                             (1, 5.0, 8.0), (3, 5.0, 8.0)]:
+        rows.append((base, u, pre_v))                 # pre (ts = lo)
+        rows.append((base + 1_000_000_000, u, post_v))  # post (ts = hi)
+    df = pd.DataFrame(rows, columns=["tsu", "user_id", "value"])
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    out = diff_in_diff(rd.from_pandas(
+        df[["ts", "user_id", "value"]])).to_pandas()
+    assert out["n_c_pre"].item() == 2 and out["n_t_post"].item() == 2
+    assert out["mean_c_pre"].item() == 5.0
+    assert out["mean_t_post"].item() == 8.0
+    assert out["did"].item() == 3.0
+
+
+def test_diff_in_diff_parallel_trends_zero():
+    """Both groups drift by the same +2 => DiD = 0 (the estimator
+    removes the shared trend)."""
+    from deepkg_ray.stages.experiment import diff_in_diff
+    base = 1_700_000_000_000_000
+    rows = []
+    for u, pre_v in [(2, 4.0), (4, 6.0), (1, 3.0), (3, 9.0)]:
+        rows.append((base, u, pre_v))
+        rows.append((base + 1_000_000_000, u, pre_v + 2.0))
+    df = pd.DataFrame(rows, columns=["tsu", "user_id", "value"])
+    df["ts"] = pd.to_datetime(df["tsu"], unit="us")
+    out = diff_in_diff(rd.from_pandas(
+        df[["ts", "user_id", "value"]])).to_pandas()
+    assert out["did"].item() == 0.0
