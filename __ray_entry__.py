@@ -2809,6 +2809,16 @@ def _q_source_vocab_overlap(sf_dir: str):
     return source_vocab_overlap(read_documents(sf_dir, ["text", "source"]))
 
 
+def _q_chi2_tokens(sf_dir: str):
+    """Top-3 chi-square discriminative tokens per source (Yang &
+    Pedersen 1997 feature selection, integer-rational micros,
+    stages/textstats.chi2_tokens)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.textstats import chi2_tokens
+    return chi2_tokens(read_documents(sf_dir, ["doc_id", "text",
+                                               "source"]))
+
+
 def _q_source_js(sf_dir: str):
     """Jensen-Shannon divergence between src0/src1 unigram
     distributions — the symmetric bounded drift monitor next to
@@ -4085,6 +4095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": _q_token_burstiness,
         "source_kl": _q_source_kl,
         "source_js": _q_source_js,
+        "chi2_tokens": _q_chi2_tokens,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "cross_source_dups": _q_cross_source_dups,
         "hapax_by_source": _q_hapax_by_source,
@@ -4475,6 +4486,7 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": oracle.token_burstiness_oracle(),
         "source_kl": oracle.source_kl_divergence_oracle(),
         "source_js": oracle.source_js_divergence_oracle(),
+        "chi2_tokens": oracle.chi2_tokens_oracle(),
         "source_vocab_overlap": oracle.source_vocab_overlap_oracle(),
         "cross_source_dups": oracle.cross_source_dups_oracle(),
         "hapax_by_source": oracle.hapax_by_source_oracle(),

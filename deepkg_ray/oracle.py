@@ -6333,6 +6333,47 @@ FROM c, t GROUP BY t.v, t.ta, t.tb
 """
 
 
+def chi2_tokens_oracle(k: int = 3) -> str:
+    """Mirror of textstats.chi2_tokens: integer-rational χ² micros in
+    HUGEINT (safe to ~4×10⁹ total tokens; the engine's Python ints are
+    unbounded), row_number top-k per source (chi2 desc, token asc)."""
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+      AS token
+  FROM documents WHERE trim(text) <> ''
+), c AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS n_sw
+  FROM toks GROUP BY source, token
+), ts AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS t_s
+          FROM c GROUP BY source),
+cw AS (SELECT token, CAST(SUM(n_sw) AS BIGINT) AS c_w
+       FROM c GROUP BY token),
+nn AS (SELECT CAST(SUM(n_sw) AS BIGINT) AS n FROM c),
+ab AS (
+  SELECT c.source, c.token, c.n_sw,
+         CAST(c.n_sw AS HUGEINT) AS a,
+         CAST(ts.t_s - c.n_sw AS HUGEINT) AS b,
+         CAST(cw.c_w - c.n_sw AS HUGEINT) AS cc,
+         CAST(nn.n - ts.t_s - (cw.c_w - c.n_sw) AS HUGEINT) AS d,
+         CAST(nn.n AS HUGEINT) AS n
+  FROM c JOIN ts USING (source) JOIN cw USING (token), nn
+), x AS (
+  SELECT source, token, n_sw,
+         CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) = 0 THEN 0
+              ELSE CAST((n * (a * d - b * cc) * (a * d - b * cc)
+                         * 1000000)
+                        // ((a + b) * (cc + d) * (a + cc) * (b + d))
+                        AS BIGINT) END AS chi2_micros
+  FROM ab
+)
+SELECT source, token, n_sw, chi2_micros FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+             ORDER BY chi2_micros DESC, token) AS rn
+  FROM x) WHERE rn <= {k}
+"""
+
+
 def source_js_divergence_oracle(src_a: str = "src0",
                                 src_b: str = "src1") -> str:
     """Mirror of textstats.source_js_divergence: JS = ½KL(P‖M)+½KL(Q‖M)

@@ -939,6 +939,77 @@ def token_burstiness(ds, k: int = 50, text_col: str = "text",
     return top.map_batches(finish, batch_format="pyarrow")
 
 
+def chi2_tokens(ds, k: int = 3, text_col: str = "text",
+                src_col: str = "source"):
+    """Per-source top-k DISCRIMINATIVE tokens by the chi-square statistic
+    of the 2×2 (token-in-source vs rest-of-corpus) contingency table —
+    the classic feature-selection score (Yang & Pedersen 1997) and the
+    quick "what makes this source different" triage view:
+
+        χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+
+    with a = c(s,w), b = t_s − a, c = c(w) − a, d = N − t_s − (c(w) − a).
+    Exactness: χ² is a RATIONAL of integer counts — computed as
+    chi2_micros = (N·(ad−bc)²·10⁶) // denom in arbitrary-precision
+    Python ints (HUGEINT in the SQL twin), no floats anywhere.  Top-k
+    per source ordered (chi2 desc, token asc), deterministic.
+
+    Distributed part: one vocab×sources-bounded (source, token) count
+    groupby with per-batch combiners; the finish is dictionary-bounded
+    on the driver (the llr_collocations tier).  Returns
+    (source, token, n_sw, chi2_micros)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        srcs = b[src_col].to_pylist()
+        acc: dict[tuple, int] = {}
+        for t, s in zip(texts, srcs):
+            tl = t.lower().strip()
+            for w in (_WS.split(tl) if tl else []):
+                key = (s, w)
+                acc[key] = acc.get(key, 0) + 1
+        ks = list(acc.keys())
+        return pa.table({
+            src_col: pa.array([x[0] for x in ks], pa.string()),
+            "token": pa.array([x[1] for x in ks], pa.string()),
+            "n_sw": pa.array([acc[x] for x in ks], pa.int64())})
+
+    c = (ds.select_columns([src_col, text_col])
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby([src_col, "token"])
+         .aggregate(Sum("n_sw", alias_name="n_sw"))
+         .to_pandas())
+    if len(c) == 0:
+        return rd.from_arrow(pa.table({
+            src_col: pa.array([], pa.string()),
+            "token": pa.array([], pa.string()),
+            "n_sw": pa.array([], pa.int64()),
+            "chi2_micros": pa.array([], pa.int64())}))
+    ts_ = c.groupby(src_col)["n_sw"].sum()          # tokens per source
+    cw = c.groupby("token")["n_sw"].sum()           # corpus token count
+    N = int(c["n_sw"].sum())
+    rows = []
+    for src, tok, a in zip(c[src_col], c["token"],
+                           c["n_sw"].astype(int)):
+        t_s = int(ts_[src])
+        c_w = int(cw[tok])
+        b_ = t_s - a
+        c_ = c_w - a
+        d_ = N - t_s - c_
+        num = N * (a * d_ - b_ * c_) ** 2 * 10**6
+        den = (a + b_) * (c_ + d_) * (a + c_) * (b_ + d_)
+        rows.append((src, tok, a, num // den if den else 0))
+    df = pd.DataFrame(rows, columns=[src_col, "token", "n_sw",
+                                     "chi2_micros"])
+    df = (df.sort_values([src_col, "chi2_micros", "token"],
+                         ascending=[True, False, True], kind="stable")
+          .groupby(src_col, sort=False).head(k)
+          .reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
 def _two_source_counts(ds, src_a, src_b, text_col, src_col):
     """Joint-vocab (token → cₐ, c_b) counts for two corpus slices: one
     vocab-bounded groupby with per-batch combiners, collected to the

@@ -1163,3 +1163,23 @@ def test_source_weighted_jaccard_golden(ray_session):
         "text": pa.array(["p q", "p q"], pa.string())})
     out2 = source_weighted_jaccard(rd.from_arrow(t2)).to_pandas()
     assert out2["wjaccard"].iloc[0] == 1.0
+
+
+def test_chi2_tokens_golden():
+    """Hand-built corpus where 'zebra' is exclusive to src0: it must top
+    src0's list; the integer-rational micros equal the float chi2."""
+    from deepkg_ray.stages.textstats import chi2_tokens
+    df = pd.DataFrame({
+        "source": ["src0", "src0", "src1", "src1"],
+        "text": ["zebra zebra common", "common common",
+                 "common common common", "other common"]})
+    out = chi2_tokens(rd.from_pandas(df), k=2).to_pandas()
+    top0 = out[out["source"] == "src0"].iloc[0]
+    assert top0["token"] == "zebra" and top0["n_sw"] == 2
+    # brute-force chi2 for (src0, zebra): a=2,b=3,c=0,d=5, N=10
+    a, b, c_, d_ = 2, 3, 0, 5
+    n = a + b + c_ + d_
+    num = n * (a * d_ - b * c_) ** 2 * 10**6
+    den = (a + b) * (c_ + d_) * (a + c_) * (b + d_)
+    assert top0["chi2_micros"] == num // den
+    assert (out.groupby("source").size() <= 2).all()
