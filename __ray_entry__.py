@@ -3507,6 +3507,15 @@ def _q_events_rank(sf_dir: str):
         sf_dir, ["event_id", "event_type", "value"]))
 
 
+def _q_dsir_sample(sf_dir: str):
+    """Execute the DSIR importance-resampling plan: deterministic
+    Gumbel-top-k over dsir scores (inclusion probability ∝ exp(score),
+    stages/curation.dsir_sample)."""
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dsir_sample
+    return dsir_sample(read_documents(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_weighted_sample(sf_dir: str):
     """Deterministic ppswor sample (Efraimidis-Spirakis) of 100 docs
     weighted by n_chars."""
@@ -3850,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "sample_exact_k": _q_sample_exact_k,
         "weighted_sample": _q_weighted_sample,
+        "dsir_sample": _q_dsir_sample,
         "global_shuffle_positions": _q_global_shuffle,
         "stratified_exact_k": _q_stratified_exact_k,
         "containment_pairs": _q_containment_pairs,
@@ -4242,6 +4252,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": oracle.gopher_repetition_oracle(),
         "sample_exact_k": oracle.sample_exact_k_oracle(),
         "weighted_sample": oracle.weighted_sample_oracle(),
+        "dsir_sample": oracle.dsir_sample_oracle(),
         "global_shuffle_positions": oracle.global_shuffle_positions_oracle(),
         "stratified_exact_k": oracle.stratified_exact_k_oracle(),
         "containment_pairs": oracle.containment_pairs_oracle(),

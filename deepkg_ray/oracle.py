@@ -4618,6 +4618,28 @@ FROM r GROUP BY window_start_us, register
 """
 
 
+def dsir_sample_oracle(m: int = 100, seed: int = 13,
+                       target_lang: str = "en",
+                       n_buckets: int = 1024) -> str:
+    """Mirror of curation.dsir_sample: the dsir_scores chain wrapped as
+    a CTE, Gumbel key dsir_micros/1e6 − ln(−ln(u)) with the exact-dyadic
+    md5 uniform, top-m (key desc, doc_id)."""
+    u = (f"((md5_number_lower('{seed}:' || CAST(doc_id AS VARCHAR)) >> 11)"
+         f" + 1.0) / {float(1 << 53)!r}")
+    return f"""
+WITH sc AS ({dsir_scores_oracle(target_lang, n_buckets)}),
+g AS (
+  SELECT doc_id, dsir_micros,
+         CAST(dsir_micros AS DOUBLE) / 1e6 - ln(-ln({u})) AS key
+  FROM sc
+)
+SELECT doc_id, dsir_micros,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+         AS "rank"
+FROM g ORDER BY key DESC, doc_id LIMIT {m}
+"""
+
+
 def weighted_sample_oracle(k: int = 100, seed: int = 7) -> str:
     """A-ES weighted sample — mirrors stages/textstats.weighted_sample_k:
     identical exact-dyadic u and ln(u)/max(w,1) key, ORDER BY key DESC."""

