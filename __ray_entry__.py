@@ -1628,6 +1628,15 @@ def _q_markov_entropy_rate(sf_dir: str):
     return markov_entropy_rate(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_srm_check(sf_dir: str):
+    """Sample-ratio mismatch guardrail for the odd/even assignment over
+    distinct users (stages/experiment.srm_check)."""
+    import ray.data as rd
+    from deepkg_ray.stages.experiment import srm_check
+    return srm_check(rd.read_parquet(f"{sf_dir}/events.parquet",
+                                     columns=["user_id"]))
+
+
 def _q_diff_in_diff(sf_dir: str):
     """Difference-in-differences estimator (odd-user treatment × CUPED
     midpoint period split; one stateless 8-cell pass,
@@ -3884,6 +3893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_bucketing": _q_length_bucketing,
         "cuped": _q_cuped,
         "diff_in_diff": _q_diff_in_diff,
+        "srm_check": _q_srm_check,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "psi_drift": _q_psi_drift,
         "shard_plan": _q_shard_plan,
@@ -4274,6 +4284,7 @@ def oracle_sql() -> dict[str, str]:
         "length_bucketing": oracle.length_bucketing_oracle(),
         "cuped": oracle.cuped_adjustment_oracle(),
         "diff_in_diff": oracle.diff_in_diff_oracle(),
+        "srm_check": oracle.srm_check_oracle(),
         "markov_entropy_rate": oracle.markov_entropy_rate_oracle(),
         "psi_drift": oracle.psi_drift_oracle(),
         "shard_plan": oracle.shard_plan_oracle(),

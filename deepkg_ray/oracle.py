@@ -9622,6 +9622,28 @@ FROM c
 """
 
 
+def srm_check_oracle() -> str:
+    """Mirror of experiment.srm_check: distinct-user parity counts,
+    integer-rational chi2 micros, 3.84 (micros 3841459) flag."""
+    return """
+WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events),
+c AS (
+  SELECT CAST(SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c,
+         CAST(SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_t
+  FROM u)
+SELECT n_c AS n_control, n_t AS n_treat,
+       CASE WHEN n_c + n_t = 0 THEN 0
+            ELSE ((n_t - n_c) * (n_t - n_c) * 1000000) // (n_c + n_t)
+            END AS chi2_micros,
+       CAST(CASE WHEN n_c + n_t > 0 AND
+                 ((n_t - n_c) * (n_t - n_c) * 1000000) // (n_c + n_t)
+                 > 3841459 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM c
+"""
+
+
 def cuped_adjustment_oracle() -> str:
     """Mirror of experiment.cuped_adjustment: per-user micros pre/post
     sums split at the integer-μs midpoint, millis quantization (integer

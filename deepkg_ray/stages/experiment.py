@@ -174,6 +174,45 @@ def diff_in_diff(ds, *, ts_col: str = "ts", user_col: str = "user_id",
     return rd.from_arrow(pa.table(cols))
 
 
+def srm_check(ds, *, user_col: str = "user_id"):
+    """Sample-ratio mismatch guardrail for the odd/even user assignment
+    (the #1 A/B-test validity check — Fabijan et al. 2019: an SRM means
+    the randomization itself broke, and every downstream metric is
+    suspect): χ² of the DISTINCT-user split against 50/50,
+
+        χ² = (n_t − n_c)² / (n_t + n_c)
+
+    computed on randomization UNITS (distinct users — counting events
+    would double-weight heavy users), as an exact integer rational in
+    micros; flag at the 3.84 (α=0.05, df=1) threshold via integer
+    comparison.  One user-keyed dedup groupby + a parity fold.  Returns
+    one row (n_control, n_treat, chi2_micros, srm_flag)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    users = (ds.select_columns([user_col]).groupby(user_col)
+             .aggregate(Count(alias_name="_c")))
+
+    def parity(b: pa.Table) -> pa.Table:
+        u = b[user_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = (u % 2) == 1
+        return pa.table({
+            "n_c": pa.array([int((~t).sum())], pa.int64()),
+            "n_t": pa.array([int(t.sum())], pa.int64())})
+
+    agg = users.map_batches(parity, batch_format="pyarrow").aggregate(
+        Sum("n_c", alias_name="n_c"), Sum("n_t", alias_name="n_t"))
+    n_c, n_t = int(agg["n_c"] or 0), int(agg["n_t"] or 0)
+    tot = n_c + n_t
+    chi2_micros = ((n_t - n_c) ** 2 * 10**6) // tot if tot else 0
+    return rd.from_arrow(pa.table({
+        "n_control": pa.array([n_c], pa.int64()),
+        "n_treat": pa.array([n_t], pa.int64()),
+        "chi2_micros": pa.array([chi2_micros], pa.int64()),
+        "srm_flag": pa.array([int(chi2_micros > 3_841_459)],
+                             pa.int64())}))
+
+
 def psi_drift(ds, *, ts_col: str = "ts", cat_col: str = "event_type"):
     """Categorical PSI between the first and second half of the time
     range: per category (cat, n_first, n_second, psi_term_micros) with

@@ -146,3 +146,20 @@ def test_diff_in_diff_parallel_trends_zero():
     out = diff_in_diff(rd.from_pandas(
         df[["ts", "user_id", "value"]])).to_pandas()
     assert out["did"].item() == 0.0
+
+
+def test_srm_check_golden():
+    """6 even vs 14 odd distinct users, duplicated event rows must not
+    double-count: chi2 = (14-6)^2/20 = 3.2 -> no flag; a 2-vs-18 split
+    flags."""
+    from deepkg_ray.stages.experiment import srm_check
+    users = list(range(0, 12, 2)) + list(range(1, 28, 2))
+    df = pd.DataFrame({"user_id": users * 3})      # 3 events per user
+    out = srm_check(rd.from_pandas(df)).to_pandas()
+    assert out["n_control"].item() == 6
+    assert out["n_treat"].item() == 14
+    assert out["chi2_micros"].item() == (8 * 8 * 10**6) // 20
+    assert out["srm_flag"].item() == 0
+    df2 = pd.DataFrame({"user_id": [0, 2] + list(range(1, 36, 2))})
+    out2 = srm_check(rd.from_pandas(df2)).to_pandas()
+    assert out2["srm_flag"].item() == 1
