@@ -3802,6 +3802,17 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_sample_counts(read_documents(sf_dir, ["doc_id", "source"]))
 
 
+def _q_conv_weighted_sample(sf_dir: str):
+    """Whole-conversation A-ES weighted sample (inclusion probability
+    rises with conversation token count) — intact-dialogue eval-set
+    construction (stages/packing.conv_weighted_sample)."""
+    import ray.data as rd
+    from deepkg_ray import synth
+    from deepkg_ray.stages.packing import conv_weighted_sample
+    return conv_weighted_sample(rd.read_parquet(
+        synth.transcripts_path(sf_dir), columns=["conv_id", "text"]))
+
+
 def _q_conv_sentences(sf_dir: str):
     """Sentence explode over transcripts (1-based sent_idx, '.'-stripped)."""
     import ray.data as rd
@@ -4204,6 +4215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_similarity": _q_centroid_similarity,
         "knn_accuracy": _q_knn_accuracy,
         "conv_sentences": _q_conv_sentences,
+        "conv_weighted_sample": _q_conv_weighted_sample,
         "ck_tokens": _q_ck_tokens,
         # rows-only (non-SQL-expressible)
         "linking_candidates": _q_linking_candidates,
@@ -4605,6 +4617,8 @@ def oracle_sql() -> dict[str, str]:
         "centroid_similarity": oracle.centroid_similarity_oracle(dim=64),
         "knn_accuracy": oracle.knn_accuracy_oracle(),
         "conv_sentences": oracle.conv_sentences_oracle(SF_ORACLE),
+        "conv_weighted_sample":
+            oracle.conv_weighted_sample_oracle(SF_ORACLE),
         "approx_distinct": oracle.hll_registers_oracle(),
         "doc_fingerprints": oracle.doc_fingerprints_oracle(),
         "dedup_simhash": oracle.dedup_simhash_oracle(),

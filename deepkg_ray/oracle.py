@@ -4618,6 +4618,33 @@ FROM r GROUP BY window_start_us, register
 """
 
 
+def conv_weighted_sample_oracle(sf_dir: str, k: int = 50,
+                                seed: int = 11) -> str:
+    """Mirror of packing.conv_weighted_sample: per-conversation ws-token
+    totals over the synthesized transcripts, exact-dyadic md5 uniform on
+    the string conv key, A-ES ln(u)/max(w,1) top-k."""
+    u = (f"((md5_number_lower('{seed}:' || conv_id) >> 11) + 1.0) "
+         f"/ {float(1 << 53)!r}")
+    return f"""
+WITH {transcripts_cte(sf_dir)},
+c AS (
+  SELECT conv_id,
+         CAST(SUM(CASE WHEN trim(txt) = '' THEN 0
+                  ELSE len(string_split_regex(trim(txt), '\\s+')) END)
+              AS BIGINT) AS n_tokens
+  FROM t GROUP BY conv_id
+), s AS (
+  SELECT conv_id, n_tokens,
+         ln({u}) / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS key
+  FROM c
+)
+SELECT conv_id, n_tokens,
+       CAST(row_number() OVER (ORDER BY key DESC, conv_id) AS BIGINT)
+         AS "rank"
+FROM s ORDER BY key DESC, conv_id LIMIT {k}
+"""
+
+
 def dsir_sample_oracle(m: int = 100, seed: int = 13,
                        target_lang: str = "en",
                        n_buckets: int = 1024) -> str:

@@ -315,6 +315,70 @@ def conv_packing_stats(ds, *, window: int = 2048, sep_tokens: int = 1,
         "mean_fill": pa.array([fill], pa.float64())}))
 
 
+def conv_weighted_sample(ds, k: int = 50, seed: int = 11,
+                         conv_col: str = "conv_id",
+                         text_col: str = "text"):
+    """Whole-conversation weighted sample WITHOUT replacement, inclusion
+    probability rising with conversation length — eval-set construction
+    that keeps dialogues intact (sampling turns would break coherence;
+    sampling convs uniformly under-weights the long multi-turn sessions
+    that dominate training tokens).  A-ES (Efraimidis–Spirakis) over
+    per-conversation token totals: key = ln(u)/max(w, 1) with u the
+    exact-dyadic md5 uniform of 'seed:conv_id' (weighted_sample_k's
+    convention on the string key), top-k by (key desc, conv_id).
+
+    Plan: per-batch conversation token partials → one conv-keyed Sum
+    groupby (the only all-to-all) → per-block partial top-k → one
+    ≤ k·blocks-row final merge.  Returns (conv_id, n_tokens, rank)."""
+    from ray.data.aggregate import Sum
+
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+
+    kk = int(k)
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            conv_col: df[conv_col],
+            "n_tokens": _ws_token_counts(df[text_col])})
+        return d.groupby(conv_col, sort=False, as_index=False).sum()
+
+    per_conv = (ds.select_columns([conv_col, text_col])
+                .map_batches(counts, batch_format="pandas")
+                .groupby(conv_col)
+                .aggregate(Sum("n_tokens", alias_name="n_tokens")))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[conv_col].to_pylist()
+        w = b["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if not ids:
+            return pa.table({conv_col: pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "_key": pa.array([], pa.float64())})
+        h = md5_lower64_batch([f"{seed}:{c}" for c in ids])
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) \
+            / float(1 << 53)
+        key = np.log(u) / np.maximum(w, 1.0)
+        if len(ids) > kk:
+            order = np.lexsort((np.asarray(ids, object), -key))[:kk]
+            ids = [ids[i] for i in order]
+            w, key = w[order], key[order]
+        return pa.table({conv_col: pa.array(ids, pa.string()),
+                         "n_tokens": pa.array(w.astype(np.int64)),
+                         "_key": pa.array(key, pa.float64())})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_key", conv_col],
+                            ascending=[False, True],
+                            kind="stable").head(kk).reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[[conv_col, "n_tokens", "rank"]]
+
+    return (per_conv.map_batches(partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(final, batch_format="pandas", batch_size=None))
+
+
 def length_bucketing(ds, *, text_col: str = "text"):
     """Serving-efficiency report for power-of-2 length-bucketed batching:
     each doc lands in the bucket 2^ceil(log2(n_tokens)) (computed via
