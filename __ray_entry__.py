@@ -1628,6 +1628,16 @@ def _q_markov_entropy_rate(sf_dir: str):
     return markov_entropy_rate(rd.read_parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_events_perm_test(sf_dir: str):
+    """One-pass 64-permutation randomization test of the weekend effect
+    (md5 label bits, add-one p-value; stages/experiment.py)."""
+    import ray.data as rd
+    from deepkg_ray.stages.experiment import permutation_test_weekend
+    return permutation_test_weekend(rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_id", "value"]))
+
+
 def _q_srm_check(sf_dir: str):
     """Sample-ratio mismatch guardrail for the odd/even assignment over
     distinct users (stages/experiment.srm_check)."""
@@ -3905,6 +3915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped": _q_cuped,
         "diff_in_diff": _q_diff_in_diff,
         "srm_check": _q_srm_check,
+        "events_perm_test": _q_events_perm_test,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "psi_drift": _q_psi_drift,
         "shard_plan": _q_shard_plan,
@@ -4297,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped": oracle.cuped_adjustment_oracle(),
         "diff_in_diff": oracle.diff_in_diff_oracle(),
         "srm_check": oracle.srm_check_oracle(),
+        "events_perm_test": oracle.permutation_test_weekend_oracle(),
         "markov_entropy_rate": oracle.markov_entropy_rate_oracle(),
         "psi_drift": oracle.psi_drift_oracle(),
         "shard_plan": oracle.shard_plan_oracle(),

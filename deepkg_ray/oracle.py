@@ -9649,6 +9649,62 @@ FROM c
 """
 
 
+def permutation_test_weekend_oracle(seed: int = 17,
+                                    k_perms: int = 64) -> str:
+    """Mirror of experiment.permutation_test_weekend: 64 label bits from
+    one md5, per-k Welch t in the engine's exact double chain (round6
+    before comparison), add-one permutation p-value."""
+    def welch(n1, s1, ss1):
+        n0 = f"(t.nn - {n1})"
+        s0 = f"(t.s - {s1})"
+        ss0 = f"(t.ss - {ss1})"
+        se2 = (f"(CAST({ss1} AS DOUBLE) - CAST({s1} AS DOUBLE)"
+               f" * CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE))"
+               f" / (CAST({n1} AS DOUBLE) - 1.0) / CAST({n1} AS DOUBLE)"
+               f" + (CAST({ss0} AS DOUBLE) - CAST({s0} AS DOUBLE)"
+               f" * CAST({s0} AS DOUBLE) / CAST({n0} AS DOUBLE))"
+               f" / (CAST({n0} AS DOUBLE) - 1.0) / CAST({n0} AS DOUBLE)")
+        tt = (f"(CAST({s1} AS DOUBLE) / CAST({n1} AS DOUBLE)"
+              f" - CAST({s0} AS DOUBLE) / CAST({n0} AS DOUBLE))"
+              f" / sqrt({se2})")
+        return (f"CASE WHEN {n1} < 2 OR {n0} < 2 THEN 0.0"
+                f" WHEN ({se2}) <= 0 THEN 0.0"
+                f" ELSE floor(({tt}) * 1e6 + 0.5) / 1e6 END")
+
+    t_obs = welch("t.nwe", "t.swe", "t.sswe")
+    t_k = welch("pk.n1", "pk.s1", "pk.ss1")
+    return f"""
+WITH e AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS we,
+         CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS xm,
+         md5_number_lower('{seed}:' || CAST(event_id AS VARCHAR)) AS h
+  FROM events),
+ks AS (SELECT unnest(generate_series(0, {k_perms - 1})) AS k),
+g AS (SELECT ks.k, CAST((e.h >> ks.k) & 1 AS BIGINT) AS b, e.xm
+      FROM e, ks),
+pk AS (SELECT k, CAST(SUM(b) AS BIGINT) AS n1,
+              CAST(SUM(b * xm) AS BIGINT) AS s1,
+              CAST(SUM(b * xm * xm) AS BIGINT) AS ss1
+       FROM g GROUP BY k),
+t AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+             CAST(SUM(xm) AS BIGINT) AS s,
+             CAST(SUM(xm * xm) AS BIGINT) AS ss,
+             CAST(SUM(we) AS BIGINT) AS nwe,
+             CAST(SUM(we * xm) AS BIGINT) AS swe,
+             CAST(SUM(we * xm * xm) AS BIGINT) AS sswe
+      FROM e),
+ex AS (SELECT CAST(SUM(CASE WHEN abs({t_k}) >= abs({t_obs})
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed
+       FROM pk, t)
+SELECT {t_obs} AS t_obs,
+       CAST({k_perms} AS BIGINT) AS k_perms,
+       ex.n_exceed,
+       floor((1 + ex.n_exceed) / ({k_perms} + 1.0) * 1e6 + 0.5) / 1e6
+           AS p_value
+FROM t, ex
+"""
+
+
 def srm_check_oracle() -> str:
     """Mirror of experiment.srm_check: distinct-user parity counts,
     integer-rational chi2 micros, 3.84 (micros 3841459) flag."""

@@ -174,6 +174,103 @@ def diff_in_diff(ds, *, ts_col: str = "ts", user_col: str = "user_id",
     return rd.from_arrow(pa.table(cols))
 
 
+def permutation_test_weekend(ds, *, ts_col: str = "ts",
+                             id_col: str = "event_id",
+                             value_col: str = "value", seed: int = 17,
+                             k_perms: int = 64):
+    """Randomization test for the weekend effect: is the observed Welch
+    t for weekend-vs-weekday means extreme against the null of
+    exchangeable labels?  The permutation distribution is built in ONE
+    corpus pass: permutation k relabels every row by BIT k of
+    md5('seed:event_id') (64 deterministic Bernoulli-½ relabelings from
+    one hash — the random-relabeling form of the test, valid under
+    exchangeability since each permuted t uses its own group sizes),
+    so the pass emits a 65-row (k, n₁, Σx, Σx²) table instead of
+    rerunning 64 times.  p = (1 + #{|t_k| ≥ |t_obs|}) / (K + 1), the
+    add-one permutation p-value (Phipson & Smyth 2010).
+
+    Exactness: values are int64 millis (weekend_effect's quantization),
+    partials merge by integer Sum, every t runs the weekend_effect Welch
+    chain and is round6-ed BEFORE comparison — the SQL twin reproduces
+    each t and the exceedance count bit for bit.  Overflow bound as
+    weekend_effect: Σx² int64 holds to ~10⁹ rows at |value| ≤ 5·10⁵
+    (shard the test beyond).  Returns one row
+    (t_obs, k_perms, n_exceed, p_value)."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.hashing import md5_lower64_batch
+    from deepkg_ray.functions.numeric import round6
+
+    K = int(k_perms)
+    assert 1 <= K <= 64, "one md5 supplies at most 64 label bits"
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        us = b[ts_col].cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        dt = pd.to_datetime(us, unit="us")
+        dow = (dt.dayofweek.to_numpy() + 1) % 7
+        we = ((dow == 0) | (dow == 6))
+        v = np.asarray(b[value_col].to_pylist(), np.float64)
+        x = np.floor(v * 1e3 + 0.5).astype(np.int64)
+        ids = b[id_col].to_pylist()
+        h = md5_lower64_batch([f"{seed}:{i}" for i in ids])
+        bits = ((h[:, None] >> np.arange(K, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)      # n × K
+        ks = list(range(K)) + [100, 101]              # 100=weekend, 101=all
+        n1 = np.concatenate([bits.sum(axis=0),
+                             [int(we.sum()), len(x)]])
+        s1 = np.concatenate([(bits * x[:, None]).sum(axis=0),
+                             [int(x[we].sum()), int(x.sum())]])
+        xx = x * x
+        ss1 = np.concatenate([(bits * xx[:, None]).sum(axis=0),
+                              [int(xx[we].sum()), int(xx.sum())]])
+        return pd.DataFrame({"k": np.asarray(ks, np.int64),
+                             "n1": n1.astype(np.int64),
+                             "s1": s1.astype(np.int64),
+                             "ss1": ss1.astype(np.int64)})
+
+    from deepkg_ray.stages.treeagg import merge_partials
+    m = merge_partials(
+        ds.select_columns([ts_col, id_col, value_col]).map_batches(
+            partial, batch_format="pyarrow"),
+        ["k"], {"n1": "sum", "s1": "sum", "ss1": "sum"},
+        mode="tree").to_pandas().set_index("k")
+
+    N = int(m.loc[101, "n1"])
+    S = int(m.loc[101, "s1"])
+    SS = int(m.loc[101, "ss1"])
+
+    def welch_t(n1, s1, ss1):
+        """weekend_effect's exact Welch chain on (group1, complement)."""
+        n0 = N - n1
+        s0, ss0 = S - s1, SS - ss1
+        if n1 < 2 or n0 < 2:
+            return 0.0
+        f1, f0 = float(n1), float(n0)
+        v1 = (float(ss1) - float(s1) * float(s1) / f1) / (f1 - 1.0)
+        v0 = (float(ss0) - float(s0) * float(s0) / f0) / (f0 - 1.0)
+        se2 = v1 / f1 + v0 / f0
+        if se2 <= 0:
+            return 0.0
+        return float(round6(np.asarray(
+            [(float(s1) / f1 - float(s0) / f0) / np.sqrt(se2)]))[0])
+
+    t_obs = welch_t(int(m.loc[100, "n1"]), int(m.loc[100, "s1"]),
+                    int(m.loc[100, "ss1"]))
+    n_exceed = 0
+    for k in range(K):
+        tk = welch_t(int(m.loc[k, "n1"]), int(m.loc[k, "s1"]),
+                     int(m.loc[k, "ss1"]))
+        if abs(tk) >= abs(t_obs):
+            n_exceed += 1
+    p = float(round6(np.asarray([(1 + n_exceed) / (K + 1)]))[0])
+    return rd.from_arrow(pa.table({
+        "t_obs": pa.array([t_obs], pa.float64()),
+        "k_perms": pa.array([K], pa.int64()),
+        "n_exceed": pa.array([n_exceed], pa.int64()),
+        "p_value": pa.array([p], pa.float64())}))
+
+
 def srm_check(ds, *, user_col: str = "user_id"):
     """Sample-ratio mismatch guardrail for the odd/even user assignment
     (the #1 A/B-test validity check — Fabijan et al. 2019: an SRM means

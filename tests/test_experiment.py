@@ -163,3 +163,27 @@ def test_srm_check_golden():
     df2 = pd.DataFrame({"user_id": [0, 2] + list(range(1, 36, 2))})
     out2 = srm_check(rd.from_pandas(df2)).to_pandas()
     assert out2["srm_flag"].item() == 1
+
+
+def test_permutation_test_null_is_uniformish():
+    """Labels independent of values: the observed weekend 'effect' on a
+    symmetric null corpus should not be extreme — p well above 0.05 —
+    and a strong injected effect drives p to the floor 1/(K+1)."""
+    from deepkg_ray.stages.experiment import permutation_test_weekend
+    rng = np.random.default_rng(3)
+    n = 400
+    # Jan 2024: 6th/7th are Sat/Sun, 8th/9th Mon/Tue
+    days = ["2024-01-06", "2024-01-07", "2024-01-08", "2024-01-09"]
+    ts = pd.to_datetime([days[i % 4] for i in range(n)])
+    null_vals = rng.normal(50.0, 5.0, n).round(2)
+    df = pd.DataFrame({"ts": ts,
+                       "event_id": np.arange(n, dtype=np.int64),
+                       "value": null_vals})
+    out = permutation_test_weekend(rd.from_pandas(df)).to_pandas()
+    assert out["p_value"].item() > 0.05
+    # inject +30 on weekends -> significant
+    lift = null_vals + np.where(np.arange(n) % 4 < 2, 30.0, 0.0)
+    df2 = df.assign(value=lift)
+    out2 = permutation_test_weekend(rd.from_pandas(df2)).to_pandas()
+    assert out2["p_value"].item() <= 2 / 65
+    assert abs(out2["t_obs"].item()) > 10
