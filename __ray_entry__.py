@@ -432,6 +432,14 @@ def _q_bpe_merge_token_counts(sf_dir: str):
                                   concurrency=(1, 8))
 
 
+def _q_source_fertility(sf_dir: str):
+    """Tokenizer fertility (BPE pretokens per whitespace word) per
+    source — corpus-ratio from exact integer sums
+    (stages/textstats.source_fertility)."""
+    from deepkg_ray.stages.textstats import source_fertility
+    return source_fertility(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
 def _q_bpe_token_counts(sf_dir: str):
     from deepkg_ray.stages.textstats import bpe_token_counts
     return bpe_token_counts(_docs(sf_dir, ["doc_id", "text"]))
@@ -3878,6 +3886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
         "bpe_token_counts": _q_bpe_token_counts,
+        "source_fertility": _q_source_fertility,
         "bpe_merge_token_counts": _q_bpe_merge_token_counts,
         "sequence_packing": _q_sequence_packing,
         "pack_conversations": _q_pack_conversations,
@@ -4276,6 +4285,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracle.doc_stats_oracle(),
         "lang_id": oracle.lang_id_oracle(),
         "bpe_token_counts": oracle.bpe_token_counts_oracle(),
+        "source_fertility": oracle.source_fertility_oracle(),
         "bpe_merge_token_counts": oracle.bpe_merge_counts_oracle(SF_ORACLE),
         "sequence_packing": oracle.sequence_packing_oracle(),
         "substring_dup_spans": oracle.substring_dup_spans_oracle(),

@@ -1113,6 +1113,33 @@ FROM base
 """
 
 
+def source_fertility_oracle(table: str = "documents") -> str:
+    """Mirror of textstats.source_fertility: corpus-ratio fertility from
+    exact integer sums under the identical RE2-safe pre-tokenizer."""
+    from deepkg_ray.stages.textstats import BPE_PRETOKEN_PATTERN
+    sqlpat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '{sqlpat}')) AS BIGINT)
+           AS n_bpe,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len(string_split_regex(trim(text), '\\s+'))
+                        AS BIGINT) END AS n_ws
+  FROM {table}
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+         CAST(SUM(n_ws) AS BIGINT) AS sum_ws
+  FROM base GROUP BY source
+)
+SELECT source, n_docs, sum_bpe, sum_ws,
+       floor(CAST(sum_bpe AS DOUBLE) / greatest(sum_ws, 1) * 1e6 + 0.5)
+           / 1e6 AS fertility
+FROM agg
+"""
+
+
 def lang_id_oracle() -> str:
     langs = {
         "en": "'the','and','of','to','in'",

@@ -168,6 +168,52 @@ def bpe_token_counts(ds, text_col: str = "text", id_col: str = "doc_id"):
         kernel, batch_format="pandas")
 
 
+def source_fertility(ds, text_col: str = "text",
+                     src_col: str = "source"):
+    """Tokenizer FERTILITY per source: corpus-level BPE-pretoken count
+    over whitespace-word count, the tokenizer-health metric that flags
+    domains where a tokenizer fragments badly (high fertility = more
+    compute per word; the per-language fertility tables of the BLOOM /
+    XLM-R tokenizer analyses).  Corpus ratio Σbpe/Σws (not a mean of
+    per-doc ratios — long docs should weigh more), from exact integer
+    sums via one source-keyed combiner + merge tree; round6 at the end.
+    Returns (source, n_docs, sum_bpe, sum_ws, fertility)."""
+    import ray.data as rd
+
+    from deepkg_ray.functions.numeric import round6
+    from deepkg_ray.stages.treeagg import merge_partials
+
+    pat = BPE_PRETOKEN_PATTERN
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_bpe = df[text_col].str.count(pat, flags=re.ASCII) \
+            .to_numpy(np.int64)
+        stripped = df[text_col].str.strip()
+        n_ws = np.where(stripped.to_numpy() == "", 0,
+                        stripped.str.count(r"\s+", flags=re.ASCII)
+                        .to_numpy(np.int64) + 1)
+        d = pd.DataFrame({src_col: df[src_col],
+                          "n_docs": np.ones(len(df), np.int64),
+                          "sum_bpe": n_bpe,
+                          "sum_ws": n_ws.astype(np.int64)})
+        return d.groupby(src_col, sort=False, as_index=False).sum()
+
+    m = merge_partials(
+        ds.select_columns([src_col, text_col]).map_batches(
+            partial, batch_format="pandas"),
+        [src_col], {"n_docs": "sum", "sum_bpe": "sum", "sum_ws": "sum"},
+        mode="tree").to_pandas()
+    sb = m["sum_bpe"].to_numpy(np.int64)
+    sw = m["sum_ws"].to_numpy(np.int64)
+    fert = round6(sb / np.maximum(sw, 1))
+    return rd.from_arrow(pa.table({
+        src_col: pa.array(m[src_col].astype(str), pa.string()),
+        "n_docs": pa.array(m["n_docs"].to_numpy(np.int64), pa.int64()),
+        "sum_bpe": pa.array(sb, pa.int64()),
+        "sum_ws": pa.array(sw, pa.int64()),
+        "fertility": pa.array(fert, pa.float64())}))
+
+
 def chunk_documents(ds, *, chunk_size: int = 64, overlap: int = 16,
                     text_col: str = "text", id_col: str = "doc_id"):
     """RAG/training-style document chunking: split each doc's whitespace

@@ -119,3 +119,19 @@ def test_bigram_logprob_join_tier_agrees():
     b = (doc_logprob_bigram(ds, mode="join").to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_source_fertility_golden():
+    """Corpus ratio, not mean-of-ratios: srcA has a long fragmenting doc
+    (punctuation-heavy) that must dominate its fertility."""
+    from deepkg_ray.stages.textstats import source_fertility
+    df = pd.DataFrame({
+        "source": ["a", "a", "b"],
+        "text": ["don't stop-me now!!", "ok", "plain words here"]})
+    out = (source_fertility(rd.from_pandas(df)).to_pandas()
+           .set_index("source"))
+    # 'don't stop-me now!!' -> pretokens: don,'t, stop,-,me, now,!! = 7
+    # 'ok' -> 1 ; ws: 3 + 1
+    assert out.loc["a", "sum_bpe"] == 8 and out.loc["a", "sum_ws"] == 4
+    assert out.loc["a", "fertility"] == 2.0
+    assert out.loc["b", "sum_bpe"] == 3 and out.loc["b", "fertility"] == 1.0
