@@ -1325,6 +1325,19 @@ def _linking_eval_inputs(sf_dir: str):
     return cands, gold_ds
 
 
+def _q_linking_coherence(sf_dir: str):
+    """Collective entity linking: BM25 candidates reranked by KG
+    coherence with the conversation's other entities (AIDA-style global
+    step, stages/linking.coherence_link); emits the BM25 top-1 next to
+    the coherence winner so the query is its own ablation."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import coherence_link
+    return coherence_link(kg.mentions_dataset(sf_dir),
+                          kg.adjacency_dataset(sf_dir),
+                          synth.dictionary_path(sf_dir))
+
+
 def _q_linking_recall(sf_dir: str):
     """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
     scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
@@ -4243,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topn_sharded": _q_bm25_topn_sharded,
         "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
+        "linking_coherence": _q_linking_coherence,
         "linking_mrr": _q_linking_mrr,
         "linking_ndcg": _q_linking_ndcg,
         "extraction_prf": _q_extraction_prf,
@@ -4412,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topn_sharded": oracle.bm25_topn_oracle(SF_ORACLE, top_n=5),
         "linking_candidates": oracle.bm25_topn_oracle(SF_ORACLE, top_n=10),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
+        "linking_coherence": oracle.coherence_link_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
         "linking_ndcg": oracle.linking_ndcg_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),

@@ -3161,6 +3161,79 @@ WHERE r.rank < {top_n}
 """
 
 
+def coherence_link_oracle(sf_dir: str, top_n: int = 5) -> str:
+    """Mirror of linking.coherence_link: nested-WITH composition (each
+    sub-chain keeps its own `dict`/`t` namespaces) — mention rows via the
+    strpos identity (synth invariant 1, as mention_counts_sql), BM25
+    candidates via _bm25_ctes over the mention surfaces, undirected pair
+    weights from the triples chain, coherence Σ, (coh desc, rank,
+    cand_id) winner per (conv, surface)."""
+    p = synth.dictionary_path(sf_dir)
+    glob = _transcripts_glob(sf_dir)
+    q_cte = (
+        f"t2 AS (SELECT lower(text) AS txt FROM read_parquet('{glob}')),\n"
+        "da2 AS (SELECT unnest(aliases) AS surface FROM dict),\n"
+        "q AS (SELECT DISTINCT da2.surface AS query\n"
+        "      FROM t2 JOIN da2 ON strpos(t2.txt, da2.surface) > 0)")
+    cand_select = _bm25_ctes(sf_dir, q_cte) + f"""
+SELECT query AS surface, entity_id AS cand_id, rank
+FROM ranked WHERE rank < {top_n}"""
+    mrows_select = f"""
+WITH da AS (SELECT entity_id, unnest(aliases) AS surface
+            FROM read_parquet('{p}')),
+tt AS (SELECT conv_id, lower(text) AS txt FROM read_parquet('{glob}'))
+SELECT DISTINCT tt.conv_id, da.surface, da.entity_id AS gold
+FROM tt JOIN da ON strpos(tt.txt, da.surface) > 0"""
+    pair_select = f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)}
+SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+       CAST(count(*) AS BIGINT) AS w
+FROM triples WHERE subj_id <> obj_id GROUP BY 1, 2"""
+    return f"""
+WITH mrows AS ({mrows_select}),
+cands AS ({cand_select}),
+pairw AS ({pair_select}),
+ctx AS (
+  SELECT DISTINCT m.conv_id, m.surface, m2.gold AS ctx_gold
+  FROM mrows m JOIN mrows m2
+    ON m2.conv_id = m.conv_id AND m2.surface <> m.surface),
+base AS (
+  SELECT m.conv_id, m.surface, m.gold, c.cand_id, c.rank
+  FROM mrows m JOIN cands c ON c.surface = m.surface),
+coh AS (
+  SELECT b.conv_id, b.surface, b.cand_id,
+         CAST(COALESCE(SUM(CASE WHEN x.ctx_gold IS NOT NULL
+                                     AND x.ctx_gold <> b.cand_id
+                                THEN COALESCE(p.w, 0) ELSE 0 END), 0)
+              AS BIGINT) AS coh
+  FROM base b
+  LEFT JOIN ctx x ON x.conv_id = b.conv_id AND x.surface = b.surface
+  LEFT JOIN pairw p ON p.a = least(b.cand_id, x.ctx_gold)
+                    AND p.b = greatest(b.cand_id, x.ctx_gold)
+  GROUP BY b.conv_id, b.surface, b.cand_id),
+sel AS (
+  SELECT b.conv_id, b.surface, b.gold, b.cand_id, b.rank, c.coh,
+         row_number() OVER (PARTITION BY b.conv_id, b.surface
+                            ORDER BY c.coh DESC, b.rank, b.cand_id)
+             AS rc
+  FROM base b JOIN coh c ON c.conv_id = b.conv_id
+    AND c.surface = b.surface AND c.cand_id = b.cand_id)
+SELECT conv_id, surface, gold AS gold_id,
+       CAST(MAX(CASE WHEN rank = 0 THEN cand_id END) AS BIGINT)
+           AS bm25_top1,
+       CAST(MAX(CASE WHEN rc = 1 THEN cand_id END) AS BIGINT)
+           AS coh_top1,
+       CAST(MAX(CASE WHEN rc = 1 THEN coh END) AS BIGINT) AS coh_weight,
+       CAST(MAX(CASE WHEN rank = 0 AND cand_id = gold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bm25_hit,
+       CAST(MAX(CASE WHEN rc = 1 AND cand_id = gold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS coh_hit
+FROM sel GROUP BY conv_id, surface, gold
+"""
+
+
 def linking_recall_oracle(sf_dir: str) -> str:
     """recall@1 / recall@5 of the canonical name among BM25 candidates,
     over non-canonical alias surfaces (gold = the alias's own entity name)
