@@ -267,7 +267,8 @@ def generate_candidates(queries_ds, dictionary_path: str, *,
 
 def coherence_link(mentions, adjacency, dictionary_path, *,
                    top_n: int = 5, n_parts: int = 64,
-                   num_partitions: int | None = None):
+                   num_partitions: int | None = None,
+                   mode: str = "broadcast"):
     """COLLECTIVE entity linking: rerank each mention surface's BM25
     candidates by graph coherence with the other entities mentioned in
     the same conversation — the AIDA/global-coherence step (Hoffart et
@@ -291,10 +292,16 @@ def coherence_link(mentions, adjacency, dictionary_path, *,
     task-locally.  Per-candidate cost is O(deg) via a sorted-ents
     searchsorted — linear in mentions, no conv-quadratic expansion (a
     naive per-(surface × ctx-entity) join plan measured 132 s on the
-    hot-conversation layout; this runs the whole query in ~8 s).  Swap
-    the broadcasts for hash joins when the entity universe outgrows the
-    gate.  Returns (conv_id, surface, gold_id, bm25_top1, coh_top1,
-    coh_weight, bm25_hit, coh_hit)."""
+    hot-conversation layout; this runs the whole query in ~8 s).
+
+    ``mode='join'`` is the above-the-gate tier: NO driver-side model
+    table of any size — pair weights aggregated distributed, candidates
+    fanned by a hash join, S(conv, c) = Σ_{e ∈ ents(conv)} w(c, e)
+    assembled via the algebraic decomposition
+    coh = S − [lone gold]·w(c, g_s) with joins end to end
+    (tier-agreement-tested, identical output).  Returns (conv_id,
+    surface, gold_id, bm25_top1, coh_top1, coh_weight, bm25_hit,
+    coh_hit)."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Min
@@ -314,11 +321,22 @@ def coherence_link(mentions, adjacency, dictionary_path, *,
     from ray.data.aggregate import Count
     surfaces = (ms.groupby("surface").aggregate(Count(alias_name="_c"))
                 .drop_columns(["_c"]))
-    cdf = surfaces.map_batches(
+    cand_ds = surfaces.map_batches(
         CandidateGenerator,
         fn_constructor_kwargs={"dictionary_path": dictionary_path,
                                "top_n": top_n, "exact": True},
-        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+        batch_format="pyarrow", concurrency=(1, 4)).map_batches(
+        lambda b: pa.table({
+            "surface": b["query"], "cand_id": b["candidate_id"],
+            "rank": b["rank"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+    if mode == "join":
+        from deepkg_ray.util import join_partitions
+        return _coherence_link_join(
+            ms, cand_ds, adjacency,
+            num_partitions or join_partitions(), n_parts)
+    cdf = cand_ds.to_pandas().rename(
+        columns={"surface": "query", "cand_id": "candidate_id"})
     cmap: dict[str, list[tuple[int, int]]] = {}
     for s_, c_, r_ in zip(cdf["query"], cdf["candidate_id"],
                           cdf["rank"]):
@@ -410,6 +428,163 @@ def coherence_link(mentions, adjacency, dictionary_path, *,
             .map_groups(lambda g: per_part(g.drop(columns=["part"])),
                         batch_format="pandas"))
 
+
+
+def _coherence_link_join(ms, cand_ds, adjacency, num_partitions,
+                         n_parts):
+    """coherence_link's above-the-gate tier: hash joins end to end, no
+    driver-side model table.  S(conv, c) = Σ_{e ∈ ents(conv)} w(c, e)
+    via candidate-set × neighbor-table × conv-entity joins; the lone-
+    gold correction −w(c, g_s) via a (lo, hi) join on the pair-weight
+    table; one keyed Sum/Min/Max merge; coarse-partition vectorized
+    finisher.  Output identical to the broadcast tier (tier-agreement
+    pytest)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.util import drop_empty_blocks
+
+    def orient(b: pa.Table) -> pa.Table:
+        a = b["subj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["obj_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != c
+        a, c, w = a[keep], c[keep], w[keep]
+        return pa.table({"lo": pa.array(np.minimum(a, c), pa.int64()),
+                         "hi": pa.array(np.maximum(a, c), pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    pw_ds = (adjacency.select_columns(["subj_id", "obj_id", "weight"])
+             .map_batches(orient, batch_format="pyarrow")
+             .groupby(["lo", "hi"]).aggregate(Sum("w", alias_name="w"))
+             .materialize())
+
+    def bidir(b: pa.Table) -> pa.Table:
+        lo = b["lo"].to_numpy(zero_copy_only=False)
+        hi = b["hi"].to_numpy(zero_copy_only=False)
+        w = b["w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cand_id": pa.array(np.concatenate([lo, hi]), pa.int64()),
+            "gold": pa.array(np.concatenate([hi, lo]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.int64())})
+
+    nbr = pw_ds.map_batches(bidir, batch_format="pyarrow")
+
+    ms = ms.materialize()
+    conv_ents = (ms.groupby(["conv_id", "gold"])
+                 .aggregate(Count(alias_name="n_surf")).materialize())
+    base = (drop_empty_blocks(ms).join(
+        drop_empty_blocks(cand_ds), join_type="inner",
+        num_partitions=num_partitions, on=("surface",))
+        .materialize())
+    cand_conv = (base.groupby(["conv_id", "cand_id"])
+                 .aggregate(Count(alias_name="_c"))
+                 .drop_columns(["_c"]))
+
+    s_rows = (drop_empty_blocks(cand_conv).join(
+        drop_empty_blocks(nbr), join_type="inner",
+        num_partitions=num_partitions, on=("cand_id",))
+        .join(drop_empty_blocks(conv_ents.drop_columns(["n_surf"])),
+              join_type="inner", num_partitions=num_partitions,
+              on=("conv_id", "gold"))
+        .groupby(["conv_id", "cand_id"])
+        .aggregate(Sum("w", alias_name="s")))
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"], "surface": b["surface"],
+            "cand_id": b["cand_id"], "rank": b["rank"],
+            "gold": b["gold"],
+            "coh": pa.array(np.zeros(b.num_rows, np.int64))})
+
+    def s_fanned(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"], "surface": b["surface"],
+            "cand_id": b["cand_id"], "rank": b["rank"],
+            "gold": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "coh": b["s"].combine_chunks().cast(pa.int64())})
+
+    s_contrib = drop_empty_blocks(base).join(
+        drop_empty_blocks(s_rows), join_type="inner",
+        num_partitions=num_partitions, on=("conv_id", "cand_id")) \
+        .map_batches(s_fanned, batch_format="pyarrow")
+
+    # lone-gold correction: base rows where n_surf(conv, gold) == 1 and
+    # cand != gold, joined onto the pair-weight table by (lo, hi)
+    def corr_keys(b: pa.Table) -> pa.Table:
+        cid = b["cand_id"].to_numpy(zero_copy_only=False)
+        g = b["gold"].to_numpy(zero_copy_only=False)
+        ns = b["n_surf"].to_numpy(zero_copy_only=False)
+        keep = (ns == 1) & (cid != g)
+        t = b.filter(pa.array(keep))
+        cid, g = cid[keep], g[keep]
+        return pa.table({
+            "conv_id": t["conv_id"], "surface": t["surface"],
+            "cand_id": t["cand_id"], "rank": t["rank"],
+            "lo": pa.array(np.minimum(cid, g), pa.int64()),
+            "hi": pa.array(np.maximum(cid, g), pa.int64())})
+
+    def corr_rows(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "conv_id": b["conv_id"], "surface": b["surface"],
+            "cand_id": b["cand_id"], "rank": b["rank"],
+            "gold": pa.array(np.full(b.num_rows, -1, np.int64)),
+            "coh": pa.array(-w, pa.int64())})
+
+    corr = (drop_empty_blocks(
+        drop_empty_blocks(base).join(
+            drop_empty_blocks(conv_ents), join_type="inner",
+            num_partitions=num_partitions, on=("conv_id", "gold"))
+        .map_batches(corr_keys, batch_format="pyarrow"))
+        .join(drop_empty_blocks(pw_ds), join_type="inner",
+              num_partitions=num_partitions, on=("lo", "hi"))
+        .map_batches(corr_rows, batch_format="pyarrow"))
+
+    merged = (drop_empty_blocks(base)
+              .map_batches(base_rows, batch_format="pyarrow")
+              .union(drop_empty_blocks(s_contrib))
+              .union(drop_empty_blocks(corr))
+              .groupby(["conv_id", "surface", "cand_id"])
+              .aggregate(Sum("coh", alias_name="coh"),
+                         Min("rank", alias_name="rank"),
+                         Max("gold", alias_name="gold")))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys = ["conv_id", "surface"]
+        gold = (g.groupby(keys, sort=False, as_index=False)["gold"]
+                .max().rename(columns={"gold": "gold_id"}))
+        s = g.sort_values(keys + ["coh", "rank", "cand_id"],
+                          ascending=[True, True, False, True, True],
+                          kind="stable")
+        win = s.drop_duplicates(keys)[
+            keys + ["cand_id", "coh"]].rename(
+            columns={"cand_id": "coh_top1", "coh": "coh_weight"})
+        b0 = g.loc[g["rank"] == 0, keys + ["cand_id"]] \
+            .drop_duplicates(keys).rename(columns={"cand_id":
+                                                   "bm25_top1"})
+        out = gold.merge(b0, on=keys, sort=False) \
+            .merge(win, on=keys, sort=False)
+        out["bm25_hit"] = (out["bm25_top1"] == out["gold_id"]) \
+            .astype(np.int64)
+        out["coh_hit"] = (out["coh_top1"] == out["gold_id"]) \
+            .astype(np.int64)
+        for c in ("gold_id", "bm25_top1", "coh_top1", "coh_weight"):
+            out[c] = out[c].astype(np.int64)
+        return out[keys + ["gold_id", "bm25_top1", "coh_top1",
+                           "coh_weight", "bm25_hit", "coh_hit"]]
+
+    return (drop_empty_blocks(merged)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: per_part(g.drop(columns=["part"])),
+                        batch_format="pandas"))
 
 
 class ExactLinker:

@@ -36,6 +36,21 @@ def test_coherence_link_matches_duckdb(ray_session):
     assert got["bm25_hit"].sum() > 0 and got["coh_hit"].sum() > 0
 
 
+def test_coherence_tiers_agree(ray_session):
+    """Broadcast tier == fully-joined tier on the same corpus."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import coherence_link
+    a = coherence_link(kg.mentions_dataset(SF),
+                       kg.adjacency_dataset(SF),
+                       synth.dictionary_path(SF)).to_pandas()
+    b = coherence_link(kg.mentions_dataset(SF),
+                       kg.adjacency_dataset(SF),
+                       synth.dictionary_path(SF),
+                       mode="join").to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
 def test_coherence_beats_or_matches_bm25_on_ambiguous_surfaces(
         ray_session):
     """Where BM25's top-1 already equals gold, coherence should rarely
