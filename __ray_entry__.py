@@ -1338,6 +1338,19 @@ def _q_linking_coherence(sf_dir: str):
                           synth.dictionary_path(sf_dir))
 
 
+def _q_linking_sem_coherence(sf_dir: str):
+    """Embedding-coherence entity linking: BM25 candidates rescored by
+    cosine to the conversation's context vector (sum of entity
+    embeddings, lone-gold-corrected) — the dense sibling of
+    linking_coherence (stages/linking.semantic_coherence_link)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import semantic_coherence_link
+    return semantic_coherence_link(kg.mentions_dataset(sf_dir),
+                                   f"{sf_dir}/embeddings.parquet",
+                                   synth.dictionary_path(sf_dir))
+
+
 def _q_linking_recall(sf_dir: str):
     """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
     scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
@@ -4257,6 +4270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": _q_similarity_join,
         "linking_recall": _q_linking_recall,
         "linking_coherence": _q_linking_coherence,
+        "linking_sem_coherence": _q_linking_sem_coherence,
         "linking_mrr": _q_linking_mrr,
         "linking_ndcg": _q_linking_ndcg,
         "extraction_prf": _q_extraction_prf,
@@ -4427,6 +4441,8 @@ def oracle_sql() -> dict[str, str]:
         "linking_candidates": oracle.bm25_topn_oracle(SF_ORACLE, top_n=10),
         "linking_recall": oracle.linking_recall_oracle(SF_ORACLE),
         "linking_coherence": oracle.coherence_link_oracle(SF_ORACLE),
+        "linking_sem_coherence":
+            oracle.semantic_coherence_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
         "linking_ndcg": oracle.linking_ndcg_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),

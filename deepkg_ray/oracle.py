@@ -3234,6 +3234,91 @@ FROM sel GROUP BY conv_id, surface, gold
 """
 
 
+def semantic_coherence_oracle(sf_dir: str, top_n: int = 5,
+                              dim: int = 64) -> str:
+    """Mirror of linking.semantic_coherence_link: per-dim integer
+    context-vector sums with the lone-gold correction, exact integer
+    dots/norms, one IEEE float chain num/max(√da·√db, 1), winner by
+    (cos desc, rank, cand_id)."""
+    p = synth.dictionary_path(sf_dir)
+    glob = _transcripts_glob(sf_dir)
+    q_cte = (
+        f"t2 AS (SELECT lower(text) AS txt FROM read_parquet('{glob}')),\n"
+        "da2 AS (SELECT unnest(aliases) AS surface FROM dict),\n"
+        "q AS (SELECT DISTINCT da2.surface AS query\n"
+        "      FROM t2 JOIN da2 ON strpos(t2.txt, da2.surface) > 0)")
+    cand_select = _bm25_ctes(sf_dir, q_cte) + f"""
+SELECT query AS surface, entity_id AS cand_id, rank
+FROM ranked WHERE rank < {top_n}"""
+    mrows_select = f"""
+WITH da AS (SELECT entity_id, unnest(aliases) AS surface
+            FROM read_parquet('{p}')),
+tt AS (SELECT conv_id, lower(text) AS txt FROM read_parquet('{glob}'))
+SELECT DISTINCT tt.conv_id, da.surface, da.entity_id AS gold
+FROM tt JOIN da ON strpos(tt.txt, da.surface) > 0"""
+    return f"""
+WITH mrows AS ({mrows_select}),
+cands AS ({cand_select}),
+idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+ev AS (
+  SELECT vec_id AS e, idx.i,
+         CAST(floor(CAST(embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, idx),
+ents AS (
+  SELECT conv_id, gold, CAST(count(*) AS BIGINT) AS n_surf
+  FROM mrows GROUP BY conv_id, gold),
+convsum AS (
+  SELECT en.conv_id, ev.i, CAST(SUM(ev.v) AS BIGINT) AS sv
+  FROM ents en JOIN ev ON ev.e = en.gold GROUP BY en.conv_id, ev.i),
+adjv AS (
+  SELECT m.conv_id, m.surface, m.gold, cs.i,
+         CAST(cs.sv - CASE WHEN en.n_surf = 1 THEN evg.v ELSE 0 END
+              AS BIGINT) AS av
+  FROM mrows m
+  JOIN ents en ON en.conv_id = m.conv_id AND en.gold = m.gold
+  JOIN convsum cs ON cs.conv_id = m.conv_id
+  JOIN ev evg ON evg.e = m.gold AND evg.i = cs.i),
+danorm AS (
+  SELECT conv_id, surface, CAST(SUM(av * av) AS BIGINT) AS da
+  FROM adjv GROUP BY conv_id, surface),
+dbn AS (SELECT e, CAST(SUM(v * v) AS BIGINT) AS db FROM ev GROUP BY e),
+nums AS (
+  SELECT a.conv_id, a.surface, c.cand_id, c.rank,
+         CAST(SUM(a.av * ev.v) AS BIGINT) AS num
+  FROM adjv a
+  JOIN cands c ON c.surface = a.surface
+  JOIN ev ON ev.e = c.cand_id AND ev.i = a.i
+  GROUP BY a.conv_id, a.surface, c.cand_id, c.rank),
+sel AS (
+  SELECT n.conv_id, n.surface, m.gold, n.cand_id, n.rank,
+         CAST(floor(CAST(n.num AS DOUBLE)
+                    / greatest(sqrt(CAST(d.da AS DOUBLE))
+                               * sqrt(CAST(b.db AS DOUBLE)), 1.0)
+                    * 1e6 + 0.5) AS BIGINT) AS cosm
+  FROM nums n
+  JOIN danorm d ON d.conv_id = n.conv_id AND d.surface = n.surface
+  JOIN dbn b ON b.e = n.cand_id
+  JOIN mrows m ON m.conv_id = n.conv_id AND m.surface = n.surface),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, surface
+                               ORDER BY cosm DESC, rank, cand_id) AS rc
+  FROM sel)
+SELECT conv_id, surface, gold AS gold_id,
+       CAST(MAX(CASE WHEN rank = 0 THEN cand_id END) AS BIGINT)
+           AS bm25_top1,
+       CAST(MAX(CASE WHEN rc = 1 THEN cand_id END) AS BIGINT)
+           AS sem_top1,
+       CAST(MAX(CASE WHEN rc = 1 THEN cosm END) AS BIGINT)
+           AS cos_micros,
+       CAST(MAX(CASE WHEN rank = 0 AND cand_id = gold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bm25_hit,
+       CAST(MAX(CASE WHEN rc = 1 AND cand_id = gold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS sem_hit
+FROM rk GROUP BY conv_id, surface, gold
+"""
+
+
 def linking_recall_oracle(sf_dir: str) -> str:
     """recall@1 / recall@5 of the canonical name among BM25 candidates,
     over non-canonical alias surfaces (gold = the alias's own entity name)

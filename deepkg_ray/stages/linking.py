@@ -430,6 +430,132 @@ def coherence_link(mentions, adjacency, dictionary_path, *,
 
 
 
+def semantic_coherence_link(mentions, embeddings_path: str,
+                            dictionary_path: str, *, top_n: int = 5,
+                            n_parts: int = 64, dim: int = 64):
+    """EMBEDDING-coherence entity linking — the dense sibling of
+    coherence_link (the north star's 'string/embedding-based
+    canonicalization' pairing): each surface's BM25 candidates are
+    rescored by cosine against the conversation's CONTEXT VECTOR, the
+    sum of its entity embeddings (entity e ↔ embeddings.vec_id = e)
+    with the lone-gold correction of coherence_link (the surface's own
+    entity is subtracted unless another surface shares it):
+
+        ctxvec(conv, s) = Σ_{e ∈ ents(conv)} v(e) − [lone g_s]·v(g_s)
+        score(c)        = round6 cos(v(c), ctxvec)
+
+    Exactness: vectors are int64 micros; sums, dots and norms are exact
+    integers (documented bound: |ents(conv)| ≲ 4000 at unit-norm
+    embeddings keeps Σav² < 2^63 — the entity dictionary is far
+    smaller), and the single float chain
+    num / max(√da·√db, 1) is IEEE-identical in DuckDB.  Using the SUM
+    vector instead of the centroid is exact too: cosine is
+    scale-invariant.  Same conv-complete coarse-partition plan as
+    coherence_link; the entity-embedding matrix (dictionary-sized) and
+    candidate table broadcast once.  Returns (conv_id, surface,
+    gold_id, bm25_top1, sem_top1, cos_micros, bm25_hit, sem_hit)."""
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.functions.numeric import micros_matrix
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"], "surface": b["surface"],
+            "gold": b["entity_id"].combine_chunks().cast(pa.int64())})
+
+    ms = (mentions.map_batches(proj, batch_format="pyarrow")
+          .groupby(["conv_id", "surface"])
+          .aggregate(Min("gold", alias_name="gold")))
+
+    surfaces = (ms.groupby("surface").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+    cdf = surfaces.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path,
+                               "top_n": top_n, "exact": True},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    cmap: dict[str, list[tuple[int, int]]] = {}
+    for s_, c_, r_ in zip(cdf["query"], cdf["candidate_id"],
+                          cdf["rank"]):
+        cmap.setdefault(s_, []).append((int(c_), int(r_)))
+    for v in cmap.values():
+        v.sort(key=lambda t: t[1])
+
+    et = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    em = micros_matrix(np.stack(
+        [np.asarray(x, np.float64) for x in
+         et["embedding"].to_pylist()])).astype(np.int64)
+    erow = {int(v): i for i, v in
+            enumerate(et["vec_id"].to_pylist())}
+    model_ref = ray.put((cmap, em, erow))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cm, E, er = ray.get(model_ref)
+        db_cache: dict[int, int] = {}
+        o = {k: [] for k in ("conv_id", "surface", "gold_id",
+                             "bm25_top1", "sem_top1", "cos_micros",
+                             "bm25_hit", "sem_hit")}
+        from collections import Counter
+        for conv, sub in g.groupby("conv_id", sort=False):
+            golds = sub["gold"].to_numpy(np.int64)
+            ncnt = Counter(golds.tolist())
+            ents = np.unique(golds)
+            rows = np.asarray([er[int(e)] for e in ents], np.int64)
+            sumvec = E[rows].sum(axis=0)
+            for s_, g_ in zip(sub["surface"].tolist(), golds.tolist()):
+                cands = cm.get(s_)
+                if not cands:
+                    continue
+                av = sumvec - E[er[g_]] if ncnt[g_] == 1 else sumvec
+                da = int(av @ av)
+                best_key, best_c, best_cos = None, None, 0
+                b1 = cands[0][0]
+                for c_, r_ in cands:
+                    cv = E[er[c_]]
+                    num = int(av @ cv)
+                    db = db_cache.get(c_)
+                    if db is None:
+                        db = int(cv @ cv)
+                        db_cache[c_] = db
+                    cosm = int(math.floor(
+                        num / max(math.sqrt(da) * math.sqrt(db), 1.0)
+                        * 1e6 + 0.5))
+                    key = (-cosm, r_, c_)
+                    if best_key is None or key < best_key:
+                        best_key, best_c, best_cos = key, c_, cosm
+                o["conv_id"].append(conv)
+                o["surface"].append(s_)
+                o["gold_id"].append(g_)
+                o["bm25_top1"].append(b1)
+                o["sem_top1"].append(best_c)
+                o["cos_micros"].append(best_cos)
+                o["bm25_hit"].append(int(b1 == g_))
+                o["sem_hit"].append(int(best_c == g_))
+        return pd.DataFrame({
+            "conv_id": o["conv_id"], "surface": o["surface"],
+            "gold_id": np.asarray(o["gold_id"], np.int64),
+            "bm25_top1": np.asarray(o["bm25_top1"], np.int64),
+            "sem_top1": np.asarray(o["sem_top1"], np.int64),
+            "cos_micros": np.asarray(o["cos_micros"], np.int64),
+            "bm25_hit": np.asarray(o["bm25_hit"], np.int64),
+            "sem_hit": np.asarray(o["sem_hit"], np.int64)})
+
+    return (ms.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: per_part(g.drop(columns=["part"])),
+                        batch_format="pandas"))
+
+
 def _coherence_link_join(ms, cand_ds, adjacency, num_partitions,
                          n_parts):
     """coherence_link's above-the-gate tier: hash joins end to end, no

@@ -51,6 +51,22 @@ def test_coherence_tiers_agree(ray_session):
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
 
+def test_semantic_coherence_matches_duckdb(ray_session):
+    from deepkg_ray import synth
+    from deepkg_ray.oracle import semantic_coherence_oracle
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import semantic_coherence_link
+    got = semantic_coherence_link(
+        kg.mentions_dataset(SF), f"{SF}/embeddings.parquet",
+        synth.dictionary_path(SF)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = con.sql(semantic_coherence_oracle(SF)).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    assert got["cos_micros"].abs().max() > 0
+
+
 def test_coherence_beats_or_matches_bm25_on_ambiguous_surfaces(
         ray_session):
     """Where BM25's top-1 already equals gold, coherence should rarely
