@@ -384,25 +384,36 @@ def coherence_link(mentions, adjacency, dictionary_path, *,
             from collections import Counter
             ncnt = Counter(golds.tolist())
             ents = np.unique(golds)
-            for s_, g_ in zip(sub["surface"].tolist(), golds.tolist()):
-                cands = cm.get(s_)
+            surf_list = sub["surface"].tolist()
+            cand_lists = [cm.get(s) for s in surf_list]
+            # S(conv, c) is surface-independent — compute once per conv
+            # for the union of candidate ids, not once per surface
+            s_sums: dict[int, int] = {}
+            for lst in cand_lists:
+                if not lst:
+                    continue
+                for c_, _ in lst:
+                    if c_ in s_sums:
+                        continue
+                    hit = nm.get(c_)
+                    if hit is None:
+                        s_sums[c_] = 0
+                    else:
+                        cs, ws = hit
+                        idx = np.searchsorted(ents, cs)
+                        idx[idx >= len(ents)] = 0
+                        s_sums[c_] = int(ws[ents[idx] == cs].sum())
+            for s_, g_, cands in zip(surf_list, golds.tolist(),
+                                     cand_lists):
                 if not cands:
                     continue
                 best_key, best_c, best_coh = None, None, 0
                 b1 = cands[0][0]              # rank 0 first
                 lone = ncnt[g_] == 1
                 for c_, r_ in cands:
-                    hit = nm.get(c_)
-                    if hit is None:
-                        s_sum = 0
-                    else:
-                        cs, ws = hit
-                        idx = np.searchsorted(ents, cs)
-                        idx[idx >= len(ents)] = 0
-                        s_sum = int(ws[ents[idx] == cs].sum())
                     corr = pw_.get((min(c_, g_), max(c_, g_)), 0) \
                         if lone and c_ != g_ else 0
-                    coh = s_sum - corr
+                    coh = s_sums[c_] - corr
                     key = (-coh, r_, c_)
                     if best_key is None or key < best_key:
                         best_key, best_c, best_coh = key, c_, coh
