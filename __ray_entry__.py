@@ -1351,6 +1351,19 @@ def _q_linking_sem_coherence(sf_dir: str):
                                    synth.dictionary_path(sf_dir))
 
 
+def _q_linking_fused(sf_dir: str):
+    """Final linker: lexicographic fusion of graph coherence, embedding
+    cosine and BM25 rank per mention surface
+    (stages/linking.fused_link)."""
+    from deepkg_ray import synth
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import fused_link
+    return fused_link(kg.mentions_dataset(sf_dir),
+                      kg.adjacency_dataset(sf_dir),
+                      f"{sf_dir}/embeddings.parquet",
+                      synth.dictionary_path(sf_dir))
+
+
 def _q_linking_recall(sf_dir: str):
     """BM25 recall@{1,5} over alias→canonical queries, on the micros-exact
     scoring tier — SQL-checked end-to-end (oracle.linking_recall_oracle).
@@ -4271,6 +4284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linking_recall": _q_linking_recall,
         "linking_coherence": _q_linking_coherence,
         "linking_sem_coherence": _q_linking_sem_coherence,
+        "linking_fused": _q_linking_fused,
         "linking_mrr": _q_linking_mrr,
         "linking_ndcg": _q_linking_ndcg,
         "extraction_prf": _q_extraction_prf,
@@ -4443,6 +4457,7 @@ def oracle_sql() -> dict[str, str]:
         "linking_coherence": oracle.coherence_link_oracle(SF_ORACLE),
         "linking_sem_coherence":
             oracle.semantic_coherence_oracle(SF_ORACLE),
+        "linking_fused": oracle.fused_link_oracle(SF_ORACLE),
         "linking_mrr": oracle.linking_mrr_oracle(SF_ORACLE),
         "linking_ndcg": oracle.linking_ndcg_oracle(SF_ORACLE),
         "similarity_join": oracle.similarity_join_oracle(threshold=0.8),

@@ -3319,6 +3319,126 @@ FROM rk GROUP BY conv_id, surface, gold
 """
 
 
+def fused_link_oracle(sf_dir: str, top_n: int = 5,
+                      dim: int = 64) -> str:
+    """Mirror of linking.fused_link: the coherence_link and
+    semantic_coherence chains joined per (conv, surface, candidate),
+    three winner windows (coh / cosine / lexicographic fusion), BM25
+    rank-0 prior."""
+    p = synth.dictionary_path(sf_dir)
+    glob = _transcripts_glob(sf_dir)
+    q_cte = (
+        f"t2 AS (SELECT lower(text) AS txt FROM read_parquet('{glob}')),\n"
+        "da2 AS (SELECT unnest(aliases) AS surface FROM dict),\n"
+        "q AS (SELECT DISTINCT da2.surface AS query\n"
+        "      FROM t2 JOIN da2 ON strpos(t2.txt, da2.surface) > 0)")
+    cand_select = _bm25_ctes(sf_dir, q_cte) + f"""
+SELECT query AS surface, entity_id AS cand_id, rank
+FROM ranked WHERE rank < {top_n}"""
+    mrows_select = f"""
+WITH da AS (SELECT entity_id, unnest(aliases) AS surface
+            FROM read_parquet('{p}')),
+tt AS (SELECT conv_id, lower(text) AS txt FROM read_parquet('{glob}'))
+SELECT DISTINCT tt.conv_id, da.surface, da.entity_id AS gold
+FROM tt JOIN da ON strpos(tt.txt, da.surface) > 0"""
+    pair_select = f"""
+WITH {dict_values_cte()},
+{transcripts_cte(sf_dir)},
+{_triples_cte(sf_dir)}
+SELECT least(subj_id, obj_id) AS a, greatest(subj_id, obj_id) AS b,
+       CAST(count(*) AS BIGINT) AS w
+FROM triples WHERE subj_id <> obj_id GROUP BY 1, 2"""
+    return f"""
+WITH mrows AS ({mrows_select}),
+cands AS ({cand_select}),
+pairw AS ({pair_select}),
+ctx AS (
+  SELECT DISTINCT m.conv_id, m.surface, m2.gold AS ctx_gold
+  FROM mrows m JOIN mrows m2
+    ON m2.conv_id = m.conv_id AND m2.surface <> m.surface),
+base AS (
+  SELECT m.conv_id, m.surface, m.gold, c.cand_id, c.rank
+  FROM mrows m JOIN cands c ON c.surface = m.surface),
+coh AS (
+  SELECT b.conv_id, b.surface, b.cand_id,
+         CAST(COALESCE(SUM(CASE WHEN x.ctx_gold IS NOT NULL
+                                     AND x.ctx_gold <> b.cand_id
+                                THEN COALESCE(p.w, 0) ELSE 0 END), 0)
+              AS BIGINT) AS coh
+  FROM base b
+  LEFT JOIN ctx x ON x.conv_id = b.conv_id AND x.surface = b.surface
+  LEFT JOIN pairw p ON p.a = least(b.cand_id, x.ctx_gold)
+                    AND p.b = greatest(b.cand_id, x.ctx_gold)
+  GROUP BY b.conv_id, b.surface, b.cand_id),
+idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+ev AS (
+  SELECT vec_id AS e, idx.i,
+         CAST(floor(CAST(embedding[idx.i] AS DOUBLE) * 1e6 + 0.5)
+              AS BIGINT) AS v
+  FROM embeddings, idx),
+ents AS (
+  SELECT conv_id, gold, CAST(count(*) AS BIGINT) AS n_surf
+  FROM mrows GROUP BY conv_id, gold),
+convsum AS (
+  SELECT en.conv_id, ev.i, CAST(SUM(ev.v) AS BIGINT) AS sv
+  FROM ents en JOIN ev ON ev.e = en.gold GROUP BY en.conv_id, ev.i),
+adjv AS (
+  SELECT m.conv_id, m.surface, cs.i,
+         CAST(cs.sv - CASE WHEN en.n_surf = 1 THEN evg.v ELSE 0 END
+              AS BIGINT) AS av
+  FROM mrows m
+  JOIN ents en ON en.conv_id = m.conv_id AND en.gold = m.gold
+  JOIN convsum cs ON cs.conv_id = m.conv_id
+  JOIN ev evg ON evg.e = m.gold AND evg.i = cs.i),
+danorm AS (
+  SELECT conv_id, surface, CAST(SUM(av * av) AS BIGINT) AS da
+  FROM adjv GROUP BY conv_id, surface),
+dbn AS (SELECT e, CAST(SUM(v * v) AS BIGINT) AS db FROM ev GROUP BY e),
+nums AS (
+  SELECT a.conv_id, a.surface, c.cand_id,
+         CAST(SUM(a.av * ev.v) AS BIGINT) AS num
+  FROM adjv a
+  JOIN cands c ON c.surface = a.surface
+  JOIN ev ON ev.e = c.cand_id AND ev.i = a.i
+  GROUP BY a.conv_id, a.surface, c.cand_id),
+sig AS (
+  SELECT b.conv_id, b.surface, b.gold, b.cand_id, b.rank, h.coh,
+         CAST(floor(CAST(n.num AS DOUBLE)
+                    / greatest(sqrt(CAST(d.da AS DOUBLE))
+                               * sqrt(CAST(db.db AS DOUBLE)), 1.0)
+                    * 1e6 + 0.5) AS BIGINT) AS cosm
+  FROM base b
+  JOIN coh h ON h.conv_id = b.conv_id AND h.surface = b.surface
+            AND h.cand_id = b.cand_id
+  JOIN nums n ON n.conv_id = b.conv_id AND n.surface = b.surface
+             AND n.cand_id = b.cand_id
+  JOIN danorm d ON d.conv_id = b.conv_id AND d.surface = b.surface
+  JOIN dbn db ON db.e = b.cand_id),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY conv_id, surface
+                            ORDER BY coh DESC, rank, cand_id) AS rc,
+         row_number() OVER (PARTITION BY conv_id, surface
+                            ORDER BY cosm DESC, rank, cand_id) AS rs,
+         row_number() OVER (PARTITION BY conv_id, surface
+                            ORDER BY coh DESC, cosm DESC, rank,
+                                     cand_id) AS rf
+  FROM sig)
+SELECT conv_id, surface, gold AS gold_id,
+       CAST(MAX(CASE WHEN rank = 0 THEN cand_id END) AS BIGINT)
+           AS bm25_top1,
+       CAST(MAX(CASE WHEN rc = 1 THEN cand_id END) AS BIGINT)
+           AS coh_top1,
+       CAST(MAX(CASE WHEN rs = 1 THEN cand_id END) AS BIGINT)
+           AS sem_top1,
+       CAST(MAX(CASE WHEN rf = 1 THEN cand_id END) AS BIGINT)
+           AS final_id,
+       CAST(MAX(CASE WHEN rf = 1 AND cand_id = gold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS final_hit
+FROM rk GROUP BY conv_id, surface, gold
+"""
+
+
 def linking_recall_oracle(sf_dir: str) -> str:
     """recall@1 / recall@5 of the canonical name among BM25 candidates,
     over non-canonical alias surfaces (gold = the alias's own entity name)

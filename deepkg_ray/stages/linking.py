@@ -567,6 +567,178 @@ def semantic_coherence_link(mentions, embeddings_path: str,
                         batch_format="pandas"))
 
 
+def fused_link(mentions, adjacency, embeddings_path: str,
+               dictionary_path: str, *, top_n: int = 5,
+               n_parts: int = 64):
+    """The FINAL linker: one decision per mention surface fusing all
+    three signals LEXICOGRAPHICALLY — graph coherence first (the
+    strongest evidence: entities that interact in the KG), embedding
+    cosine to the conversation context vector as the tiebreak, BM25
+    rank last (string prior).  Lexicographic fusion needs no arbitrary
+    scale mixing, stays integer-exact, and reduces to each single-signal
+    linker when the stronger signals tie:
+
+        winner = argmin over candidates of
+                 (−coh, −cos_micros, bm25_rank, entity_id)
+
+    One conv-complete coarse-partition pass with all three model tables
+    broadcast (BM25 candidate table, adjacency neighbor lists + pair
+    weights, entity-embedding matrix — each dictionary-sized); the per-
+    conv S-sum hoist and context-vector algebra of coherence_link /
+    semantic_coherence_link apply unchanged.  Returns (conv_id,
+    surface, gold_id, bm25_top1, coh_top1, sem_top1, final_id,
+    final_hit)."""
+    import math
+
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from deepkg_ray.functions.hashing import stable_hash64_batch
+    from deepkg_ray.functions.numeric import micros_matrix
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": b["conv_id"], "surface": b["surface"],
+            "gold": b["entity_id"].combine_chunks().cast(pa.int64())})
+
+    ms = (mentions.map_batches(proj, batch_format="pyarrow")
+          .groupby(["conv_id", "surface"])
+          .aggregate(Min("gold", alias_name="gold")))
+
+    surfaces = (ms.groupby("surface").aggregate(Count(alias_name="_c"))
+                .drop_columns(["_c"]))
+    cdf = surfaces.map_batches(
+        CandidateGenerator,
+        fn_constructor_kwargs={"dictionary_path": dictionary_path,
+                               "top_n": top_n, "exact": True},
+        batch_format="pyarrow", concurrency=(1, 4)).to_pandas()
+    cmap: dict[str, list[tuple[int, int]]] = {}
+    for s_, c_, r_ in zip(cdf["query"], cdf["candidate_id"],
+                          cdf["rank"]):
+        cmap.setdefault(s_, []).append((int(c_), int(r_)))
+    for v in cmap.values():
+        v.sort(key=lambda t: t[1])
+
+    adf = adjacency.select_columns(["subj_id", "obj_id", "weight"]) \
+        .to_pandas()
+    sa = adf["subj_id"].to_numpy(np.int64)
+    sb = adf["obj_id"].to_numpy(np.int64)
+    sw = adf["weight"].to_numpy(np.int64)
+    keep = sa != sb
+    pwdf = pd.DataFrame({"lo": np.minimum(sa, sb)[keep],
+                         "hi": np.maximum(sa, sb)[keep],
+                         "w": sw[keep]}) \
+        .groupby(["lo", "hi"], as_index=False).sum()
+    pw = {(int(lo), int(hi)): int(w) for lo, hi, w in
+          zip(pwdf["lo"], pwdf["hi"], pwdf["w"])}
+    nd = pd.DataFrame({
+        "e": np.concatenate([pwdf["lo"].to_numpy(np.int64),
+                             pwdf["hi"].to_numpy(np.int64)]),
+        "c": np.concatenate([pwdf["hi"].to_numpy(np.int64),
+                             pwdf["lo"].to_numpy(np.int64)]),
+        "w": np.concatenate([pwdf["w"].to_numpy(np.int64)] * 2)})
+    nmap = {int(e_): (g["c"].to_numpy(np.int64),
+                      g["w"].to_numpy(np.int64))
+            for e_, g in nd.groupby("e", sort=False)}
+
+    et = pq.read_table(embeddings_path, columns=["vec_id", "embedding"])
+    em = micros_matrix(np.stack(
+        [np.asarray(x, np.float64) for x in
+         et["embedding"].to_pylist()])).astype(np.int64)
+    erow = {int(v): i for i, v in enumerate(et["vec_id"].to_pylist())}
+    model_ref = ray.put((cmap, pw, nmap, em, erow))
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = stable_hash64_batch(b["conv_id"].to_pylist())
+        return b.append_column(
+            "part", pa.array((h % np.uint64(n_parts)).astype(np.int32)))
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        cm, pw_, nm, E, er = ray.get(model_ref)
+        db_cache: dict[int, int] = {}
+        o = {k: [] for k in ("conv_id", "surface", "gold_id",
+                             "bm25_top1", "coh_top1", "sem_top1",
+                             "final_id", "final_hit")}
+        from collections import Counter
+        for conv, sub in g.groupby("conv_id", sort=False):
+            golds = sub["gold"].to_numpy(np.int64)
+            ncnt = Counter(golds.tolist())
+            ents = np.unique(golds)
+            rows = np.asarray([er[int(e)] for e in ents], np.int64)
+            sumvec = E[rows].sum(axis=0)
+            surf_list = sub["surface"].tolist()
+            cand_lists = [cm.get(s) for s in surf_list]
+            s_sums: dict[int, int] = {}
+            for lst in cand_lists:
+                if not lst:
+                    continue
+                for c_, _ in lst:
+                    if c_ in s_sums:
+                        continue
+                    hit = nm.get(c_)
+                    if hit is None:
+                        s_sums[c_] = 0
+                    else:
+                        cs, ws = hit
+                        idx = np.searchsorted(ents, cs)
+                        idx[idx >= len(ents)] = 0
+                        s_sums[c_] = int(ws[ents[idx] == cs].sum())
+            for s_, g_, cands in zip(surf_list, golds.tolist(),
+                                     cand_lists):
+                if not cands:
+                    continue
+                lone = ncnt[g_] == 1
+                av = sumvec - E[er[g_]] if lone else sumvec
+                da = int(av @ av)
+                bk_c = bk_s = bk_f = None
+                bc_c = bc_s = bc_f = None
+                b1 = cands[0][0]
+                for c_, r_ in cands:
+                    corr = pw_.get((min(c_, g_), max(c_, g_)), 0) \
+                        if lone and c_ != g_ else 0
+                    coh = s_sums[c_] - corr
+                    cv = E[er[c_]]
+                    num = int(av @ cv)
+                    db = db_cache.get(c_)
+                    if db is None:
+                        db = int(cv @ cv)
+                        db_cache[c_] = db
+                    cosm = int(math.floor(
+                        num / max(math.sqrt(da) * math.sqrt(db), 1.0)
+                        * 1e6 + 0.5))
+                    kc = (-coh, r_, c_)
+                    ks = (-cosm, r_, c_)
+                    kf = (-coh, -cosm, r_, c_)
+                    if bk_c is None or kc < bk_c:
+                        bk_c, bc_c = kc, c_
+                    if bk_s is None or ks < bk_s:
+                        bk_s, bc_s = ks, c_
+                    if bk_f is None or kf < bk_f:
+                        bk_f, bc_f = kf, c_
+                o["conv_id"].append(conv)
+                o["surface"].append(s_)
+                o["gold_id"].append(g_)
+                o["bm25_top1"].append(b1)
+                o["coh_top1"].append(bc_c)
+                o["sem_top1"].append(bc_s)
+                o["final_id"].append(bc_f)
+                o["final_hit"].append(int(bc_f == g_))
+        return pd.DataFrame({
+            "conv_id": o["conv_id"], "surface": o["surface"],
+            "gold_id": np.asarray(o["gold_id"], np.int64),
+            "bm25_top1": np.asarray(o["bm25_top1"], np.int64),
+            "coh_top1": np.asarray(o["coh_top1"], np.int64),
+            "sem_top1": np.asarray(o["sem_top1"], np.int64),
+            "final_id": np.asarray(o["final_id"], np.int64),
+            "final_hit": np.asarray(o["final_hit"], np.int64)})
+
+    return (ms.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g: per_part(g.drop(columns=["part"])),
+                        batch_format="pandas"))
+
+
 def _coherence_link_join(ms, cand_ds, adjacency, num_partitions,
                          n_parts):
     """coherence_link's above-the-gate tier: hash joins end to end, no

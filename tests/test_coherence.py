@@ -67,6 +67,26 @@ def test_semantic_coherence_matches_duckdb(ray_session):
     assert got["cos_micros"].abs().max() > 0
 
 
+def test_fused_link_matches_duckdb_and_dominates(ray_session):
+    from deepkg_ray import synth
+    from deepkg_ray.oracle import fused_link_oracle
+    from deepkg_ray.pipelines import kg
+    from deepkg_ray.stages.linking import fused_link
+    got = fused_link(kg.mentions_dataset(SF),
+                     kg.adjacency_dataset(SF),
+                     f"{SF}/embeddings.parquet",
+                     synth.dictionary_path(SF)).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    exp = con.sql(fused_link_oracle(SF)).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp))
+    # the fused decision follows coherence when coherence is decisive:
+    # rows where coh_top1 == sem_top1 must have final_id equal to it
+    agree = got.loc[got["coh_top1"] == got["sem_top1"]]
+    assert (agree["final_id"] == agree["coh_top1"]).all()
+
+
 def test_coherence_beats_or_matches_bm25_on_ambiguous_surfaces(
         ray_session):
     """Where BM25's top-1 already equals gold, coherence should rarely
